@@ -1,0 +1,70 @@
+"""Pure-Python (stdlib-only) document format parsers.
+
+These are deliberately Spark-free: the Spark operators in
+``operators.extract`` call them inside Arrow-batched ``mapInPandas``
+workers. Keeping them import-light makes the Python worker fork cheap.
+
+Dispatcher semantics mirror the reference processor
+(/root/reference/.../ExtractTextProcessor.java:145-199):
+detect MIME → parse → on any error return ('', error_message) with the
+empty-content-on-failure quirk preserved.
+"""
+
+from __future__ import annotations
+
+from . import mime as m
+from .html import html_to_text, render_xhtml
+from .legacy_doc import extract_doc_text, extract_xls_text
+from .mime import detect_mime
+from .ooxml import extract_docx_text, extract_xlsx_text
+from .pdf import extract_pdf_text
+
+__all__ = [
+    "detect_mime", "extract_any", "extract_pdf_text", "extract_docx_text",
+    "extract_xlsx_text", "extract_doc_text", "extract_xls_text",
+    "html_to_text", "render_xhtml",
+]
+
+
+def extract_any(
+    data: bytes | None,
+    filename: str | None = None,
+    max_text_length: int = -1,
+    output_mode: str = "text",
+) -> tuple[str, str, str | None]:
+    """Detect + extract. Returns (text, detected_mime, error).
+
+    Faithful quirks (ExtractTextProcessor.java):
+      * error → text='' and error set (:178-191 — content written anyway)
+      * max_text_length applies ONLY in text mode (:173-176; the html
+        branch at :158-172 never calls setMaxStringLength)
+      * -1 = unlimited (:83-86)
+    """
+    if data is None:
+        return "", m.MIME_BIN, "Input file was null"  # :194-197
+    detected = m.MIME_BIN
+    try:
+        detected = detect_mime(data, filename)
+        if detected == m.MIME_PDF:
+            text = extract_pdf_text(data)
+        elif detected == m.MIME_DOC:
+            text = extract_doc_text(data)
+        elif detected == m.MIME_DOCX:
+            text = extract_docx_text(data)
+        elif detected == m.MIME_XLSX:
+            text = extract_xlsx_text(data)
+        elif detected == m.MIME_XLS:
+            text = extract_xls_text(data)
+        elif detected == m.MIME_HTML:
+            text = html_to_text(data)
+        elif detected in (m.MIME_TEXT, m.MIME_JSON):
+            text = data.decode("utf-8", "replace")
+        else:
+            raise ValueError(f"unsupported content type: {detected}")
+        if output_mode == "html":
+            return render_xhtml(text, title=filename or ""), detected, None
+        if max_text_length >= 0:
+            text = text[:max_text_length]
+        return text, detected, None
+    except Exception as exc:  # noqa: BLE001 — route-to-failure semantics
+        return "", detected, f"{type(exc).__name__}: {exc}"

@@ -1,0 +1,102 @@
+"""MIME detection from magic bytes + filename — pure stdlib.
+
+Re-implements the behavior of `tika.detect(stream, filename)` used at
+/root/reference/.../ExtractTextProcessor.java:145,153,156 for the formats
+the reference exercises (PDF, legacy Office, OOXML), with sensible
+fallbacks for text/HTML/JSON and unknown binary.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+MIME_PDF = "application/pdf"
+MIME_DOC = "application/msword"
+MIME_XLS = "application/vnd.ms-excel"
+MIME_PPT = "application/vnd.ms-powerpoint"
+MIME_DOCX = ("application/vnd.openxmlformats-officedocument"
+             ".wordprocessingml.document")
+MIME_XLSX = ("application/vnd.openxmlformats-officedocument"
+             ".spreadsheetml.sheet")
+MIME_PPTX = ("application/vnd.openxmlformats-officedocument"
+             ".presentationml.presentation")
+MIME_HTML = "text/html"
+MIME_TEXT = "text/plain"
+MIME_JSON = "application/json"
+MIME_ZIP = "application/zip"
+MIME_OLE = "application/x-tika-msoffice"
+MIME_BIN = "application/octet-stream"
+
+_OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+def _ole_kind(data: bytes) -> str:
+    """Distinguish legacy Office types by directory stream names."""
+    try:
+        from .ole2 import Ole2File
+        streams = set(Ole2File(data).list_streams())
+    except Exception:
+        streams = set()
+    if "WordDocument" in streams:
+        return MIME_DOC
+    if "Workbook" in streams or "Book" in streams:
+        return MIME_XLS
+    if "PowerPoint Document" in streams:
+        return MIME_PPT
+    return MIME_OLE
+
+
+def _zip_kind(data: bytes, filename: str | None) -> str:
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+    except Exception:
+        return MIME_ZIP
+    if "word/document.xml" in names:
+        return MIME_DOCX
+    if "xl/workbook.xml" in names:
+        return MIME_XLSX
+    if any(n.startswith("ppt/") for n in names):
+        return MIME_PPTX
+    if filename:
+        low = filename.lower()
+        if low.endswith(".docx"):
+            return MIME_DOCX
+        if low.endswith(".xlsx"):
+            return MIME_XLSX
+    return MIME_ZIP
+
+
+def _looks_html(head: bytes) -> bool:
+    h = head.lstrip()[:256].lower()
+    return (h.startswith(b"<!doctype html") or h.startswith(b"<html")
+            or b"<head" in h[:64] or b"<body" in h[:64])
+
+
+def detect_mime(data: bytes | None, filename: str | None = None) -> str:
+    if not data:
+        return MIME_BIN
+    head = data[:512]
+    if head.startswith(b"%PDF"):
+        return MIME_PDF
+    if head.startswith(_OLE_MAGIC):
+        return _ole_kind(data)
+    if head.startswith(b"PK\x03\x04"):
+        return _zip_kind(data, filename)
+    if _looks_html(head):
+        return MIME_HTML
+    stripped = head.lstrip()
+    if stripped[:1] in (b"{", b"[") and (filename or "").lower().endswith(".json"):
+        return MIME_JSON
+    # printable-ratio heuristic for text
+    sample = head
+    printable = sum(1 for b in sample if 32 <= b < 127 or b in (9, 10, 13))
+    try:
+        data[:4096].decode("utf-8")
+        utf8_ok = True
+    except UnicodeDecodeError:
+        utf8_ok = False
+    if sample and (printable / len(sample) > 0.9 or utf8_ok):
+        return MIME_TEXT
+    return MIME_BIN

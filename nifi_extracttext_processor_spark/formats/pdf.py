@@ -1,0 +1,425 @@
+"""Minimal pure-stdlib PDF text extraction.
+
+Re-implements (Spark-first, from scratch) the text-mode behavior of the
+reference's Tika `parseToString` path for PDFs
+(/root/reference/.../ExtractTextProcessor.java:173-176): pull the visible
+text out of page content streams.
+
+Supported subset — enough for real-world "text PDFs":
+  * classic xref / object syntax, incremental updates
+  * FlateDecode-compressed and raw content streams
+  * object streams (ObjStm, PDF 1.5+) holding page/content objects
+  * BT/ET text blocks with Tj / TJ / ' / " show operators
+  * paren strings with escapes + octal, and hex strings
+  * per-font ToUnicode CMaps are NOT parsed; bytes are decoded via
+    PDFDocEncoding-ish latin-1 fallback (adequate for ASCII corpora)
+
+This is intentionally not a full PDF parser: malformed input raises
+(caught upstream and routed to the failure port, matching the
+reference's error semantics at ExtractTextProcessor.java:178-191).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _decompress_if_flate(dict_bytes: bytes, data: bytes) -> bytes | None:
+    """Return decoded stream data, or None if the filter is unsupported."""
+    if b"/FlateDecode" in dict_bytes:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            # some writers pad streams; try truncating trailing whitespace
+            try:
+                data = zlib.decompressobj().decompress(data)
+            except zlib.error:
+                return None
+        if b"/Predictor" not in dict_bytes:
+            return data
+        return _apply_png_predictor(dict_bytes, data)
+    if b"/Filter" not in dict_bytes:
+        return data
+    return None  # DCTDecode / CCITT etc. — image data, no text
+
+
+def _apply_png_predictor(dict_bytes: bytes, data: bytes) -> bytes:
+    m = re.search(rb"/Predictor\s+(\d+)", dict_bytes)
+    pred = int(m.group(1)) if m else 1
+    if pred < 10:
+        return data
+    m = re.search(rb"/Columns\s+(\d+)", dict_bytes)
+    columns = int(m.group(1)) if m else 1
+    rowlen = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for i in range(0, len(data) - rowlen + 1, rowlen):
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + rowlen])
+        if ft == 2:  # Up — the only predictor xref streams use in practice
+            for j in range(columns):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _iter_streams(buf: bytes):
+    """Yield (dict_bytes, raw_stream_bytes) for every stream object."""
+    pos = 0
+    while True:
+        m = _STREAM_RE.search(buf, pos)
+        if not m:
+            return
+        # the stream dict is the << ... >> immediately before `stream`
+        dict_end = m.start()
+        dstart = buf.rfind(b"<<", max(0, dict_end - 2048), dict_end)
+        dict_bytes = buf[dstart:dict_end] if dstart != -1 else b""
+        data_start = m.end()
+        end = buf.find(b"endstream", data_start)
+        if end == -1:
+            return
+        data = buf[data_start:end]
+        # strip the EOL that precedes `endstream`
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith(b"\n") or data.endswith(b"\r"):
+            data = data[:-1]
+        yield dict_bytes, data
+        pos = end + len(b"endstream")
+
+
+def _expand_object_streams(buf: bytes) -> list[bytes]:
+    """Decode /Type/ObjStm streams so their member objects become scannable."""
+    chunks = []
+    for dict_bytes, data in _iter_streams(buf):
+        if b"/ObjStm" not in dict_bytes:
+            continue
+        decoded = _decompress_if_flate(dict_bytes, data)
+        if decoded is not None:
+            chunks.append(decoded)
+    return chunks
+
+_ESCAPES = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
+    ord("f"): "\f", ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+
+
+def _parse_string(buf: bytes, i: int) -> tuple[str, int]:
+    """Parse a PDF literal string starting at the '(' at buf[i]."""
+    out = []
+    depth = 1
+    i += 1
+    n = len(buf)
+    while i < n and depth:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = buf[i]
+            if e in _ESCAPES:
+                out.append(_ESCAPES[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal
+                oct_digits = chr(e)
+                i += 1
+                while i < n and len(oct_digits) < 3 and 0x30 <= buf[i] <= 0x37:
+                    oct_digits += chr(buf[i])
+                    i += 1
+                out.append(chr(int(oct_digits, 8) & 0xFF))
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(chr(e))
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(")")
+            i += 1
+        else:
+            out.append(chr(c))
+            i += 1
+    return "".join(out), i
+
+
+def _decode_hex_string(h: bytes) -> str:
+    h = re.sub(rb"[^0-9a-fA-F]", b"", h)
+    if len(h) % 2:
+        h += b"0"
+    raw = bytes.fromhex(h.decode("ascii", "ignore"))
+    # UTF-16BE with BOM, else 2-byte-aligned CID text heuristic, else latin-1
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    if len(raw) >= 2 and raw[0] == 0 and len(raw) % 2 == 0:
+        return raw.decode("utf-16-be", "replace")
+    return raw.decode("latin-1", "replace")
+
+
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMap support (maps subsetted-font character codes back to text)
+# ---------------------------------------------------------------------------
+
+_HEX_TOKEN_RE = re.compile(rb"<([0-9a-fA-F]+)>")
+
+
+def _parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a ToUnicode CMap stream → (code_byte_len, code→str map)."""
+    cmap: dict[int, str] = {}
+    code_len = 2
+    m = re.search(
+        rb"begincodespacerange\s*<([0-9a-fA-F]+)>", data)
+    if m:
+        code_len = max(1, len(m.group(1)) // 2)
+
+    def _u(hexs: bytes) -> str:
+        raw = bytes.fromhex(hexs.decode("ascii"))
+        if len(raw) % 2:
+            raw = b"\x00" + raw
+        return raw.decode("utf-16-be", "replace")
+
+    for block in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _HEX_TOKEN_RE.findall(block.group(1))
+        for k in range(0, len(toks) - 1, 2):
+            cmap[int(toks[k], 16)] = _u(toks[k + 1])
+    for block in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = block.group(1)
+        i = 0
+        # entries: <lo> <hi> <dst>   or   <lo> <hi> [<d0> <d1> ...]
+        entry_re = re.compile(
+            rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*(\[[^\]]*\]|<[0-9a-fA-F]+>)")
+        for m2 in entry_re.finditer(body):
+            lo, hi = int(m2.group(1), 16), int(m2.group(2), 16)
+            dst = m2.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEX_TOKEN_RE.findall(dst)
+                for off, d in enumerate(dsts):
+                    if lo + off <= hi:
+                        cmap[lo + off] = _u(d)
+            else:
+                base_hex = dst[1:-1]
+                base_raw = bytes.fromhex(base_hex.decode("ascii"))
+                if len(base_raw) % 2:
+                    base_raw = b"\x00" + base_raw
+                base = int.from_bytes(base_raw, "big")
+                width = len(base_raw)
+                for off in range(hi - lo + 1):
+                    v = base + off
+                    cmap[lo + off] = v.to_bytes(width, "big").decode(
+                        "utf-16-be", "replace")
+    return code_len, cmap
+
+
+def _apply_cmap(s: str, font: tuple[int, dict[int, str]] | None) -> str:
+    """Map raw string-object code units through the current font's CMap."""
+    if not font:
+        return s
+    code_len, cmap = font
+    if not cmap:
+        return s
+    raw = s.encode("latin-1", "replace")
+    out = []
+    for k in range(0, len(raw) - code_len + 1, code_len):
+        code = int.from_bytes(raw[k : k + code_len], "big")
+        ch = cmap.get(code)
+        if ch is not None:
+            out.append(ch)
+        elif code_len == 1:
+            out.append(chr(code))
+    return "".join(out)
+
+
+def _build_fontmap(buffers: list[bytes]) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """Resolve /Font resource dicts → ToUnicode CMaps, keyed by resource name.
+
+    Heuristic single global namespace: page-level resource names (/F1, /TT0…)
+    rarely collide with different meanings inside one document.
+    """
+    # 1. object number → (dict_bytes, decoded stream | None) and raw bodies
+    objstreams: dict[int, bytes] = {}
+    objbodies: dict[int, bytes] = {}
+    for buf in buffers:
+        for m in _OBJ_RE.finditer(buf):
+            num = int(m.group(1))
+            end = buf.find(b"endobj", m.end())
+            body = buf[m.end() : end if end != -1 else m.end() + 4096]
+            objbodies[num] = body
+            sm = _STREAM_RE.search(body)
+            if sm:
+                raw = body[sm.end() : body.find(b"endstream", sm.end())]
+                dec = _decompress_if_flate(body[: sm.start()], raw)
+                if dec is not None:
+                    objstreams[num] = dec
+    # 2. font objects with /ToUnicode N 0 R
+    font_cmaps: dict[int, tuple[int, dict[int, str]]] = {}
+    for num, body in objbodies.items():
+        if b"/Font" not in body and b"/BaseFont" not in body:
+            continue
+        m = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+        if m:
+            ref = int(m.group(1))
+            if ref in objstreams:
+                font_cmaps[num] = _parse_tounicode_cmap(objstreams[ref])
+    # 3. /Font << /Name N 0 R ... >> resource dicts anywhere
+    fontmap: dict[bytes, tuple[int, dict[int, str]]] = {}
+    for body in objbodies.values():
+        for m in re.finditer(rb"/Font\s*<<(.*?)>>", body, re.S):
+            for e in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
+                                 m.group(1)):
+                ref = int(e.group(2))
+                if ref in font_cmaps:
+                    fontmap[e.group(1)] = font_cmaps[ref]
+    return fontmap
+
+
+def _extract_text_ops(
+    content: bytes,
+    fontmap: dict[bytes, tuple[int, dict[int, str]]] | None = None,
+) -> str:
+    """Walk a content stream, collecting show-text operators into lines."""
+    fontmap = fontmap or {}
+    lines: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(content)
+    pending: str | None = None  # last parsed string awaiting its operator
+    last_name: bytes | None = None
+    cur_font: tuple[int, dict[int, str]] | None = None
+    in_array = False
+
+    def flush_line():
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    def _emit(s: str):
+        nonlocal pending
+        if in_array and pending is not None:
+            pending += s
+        else:
+            pending = s
+
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( literal string
+            s, i = _parse_string(content, i)
+            _emit(_apply_cmap(s, cur_font))
+            continue
+        if c == 0x3C and i + 1 < n and content[i + 1] != 0x3C:  # <hex>
+            j = content.find(b">", i)
+            if j == -1:
+                break
+            if cur_font:
+                hexs = re.sub(rb"[^0-9a-fA-F]", b"",
+                              content[i + 1 : j]).decode("ascii")
+                if len(hexs) % 2:
+                    hexs += "0"
+                raw = bytes.fromhex(hexs)
+                _emit(_apply_cmap(raw.decode("latin-1"), cur_font))
+            else:
+                _emit(_decode_hex_string(content[i + 1 : j]))
+            i = j + 1
+            continue
+        if c == 0x2F:  # /Name token
+            j = i + 1
+            while j < n and content[j] not in b" \t\r\n()<>[]/%":
+                j += 1
+            last_name = content[i + 1 : j]
+            i = j
+            continue
+        if c == 0x5B:  # [ TJ array start — accumulate member strings
+            in_array = True
+            pending = ""
+            i += 1
+            continue
+        if c == 0x5D:  # ] end of TJ array
+            in_array = False
+            i += 1
+            continue
+        # operator tokens
+        if 0x21 <= c <= 0x7E and not (0x30 <= c <= 0x39):
+            j = i
+            while j < n and content[j] not in b" \t\r\n()<>[]/%":
+                j += 1
+            op = content[i:j]
+            if op == b"BI":  # inline image: skip to EI to avoid binary noise
+                e = content.find(b"EI", j)
+                i = n if e == -1 else e + 2
+                continue
+            if op == b"Tf":
+                cur_font = fontmap.get(last_name) if last_name else None
+            elif op in (b"Tj", b"TJ"):
+                if pending is not None:
+                    cur.append(pending)
+                    pending = None
+            elif op == b"'":
+                flush_line()
+                if pending is not None:
+                    cur.append(pending)
+                    pending = None
+            elif op == b'"':
+                flush_line()
+                if pending is not None:
+                    cur.append(pending)
+                    pending = None
+            elif op in (b"Td", b"TD", b"T*", b"ET"):
+                flush_line()
+            i = j if j > i else i + 1
+            continue
+        i += 1
+    flush_line()
+    return "\n".join(lines)
+
+
+def extract_pdf_text(data: bytes, max_length: int = -1) -> str:
+    """Extract plain text from PDF bytes.
+
+    Parity target: Tika `parseToString` golden prefixes in
+    /root/reference/.../ExtractTextProcessorTest.java:69,249-295.
+    """
+    if not data.startswith(b"%PDF"):
+        raise ValueError("not a PDF: missing %PDF header")
+    if not _OBJ_RE.search(data):
+        # parity with Tika: structurally-empty/truncated PDFs throw
+        # (TikaException → failure route, ExtractTextProcessor.java:178)
+        raise ValueError("corrupt PDF: no indirect objects found")
+    buffers = [data]
+    buffers += _expand_object_streams(data)
+    fontmap = _build_fontmap(buffers)
+    parts: list[str] = []
+    for buf in buffers:
+        for dict_bytes, raw in _iter_streams(buf):
+            if b"/ObjStm" in dict_bytes or b"/XRef" in dict_bytes:
+                continue
+            if b"/Image" in dict_bytes or b"/FontFile" in dict_bytes:
+                continue
+            decoded = _decompress_if_flate(dict_bytes, raw)
+            if decoded is None:
+                continue
+            # only streams that actually contain text-showing operators
+            if b"BT" not in decoded and b"Tj" not in decoded and b"TJ" not in decoded:
+                continue
+            text = _extract_text_ops(decoded, fontmap)
+            if text.strip():
+                parts.append(text)
+            if max_length >= 0 and sum(len(p) for p in parts) >= max_length:
+                break
+    text = "\n".join(parts)
+    text = re.sub(r"[ \t]+\n", "\n", text)
+    if max_length >= 0:
+        text = text[:max_length]
+    return text

@@ -1,0 +1,189 @@
+"""Tier A operators: MIME detect + text extraction + routing.
+
+Spark-first re-expression of the reference processor
+(/root/reference/.../ExtractTextProcessor.java):
+
+  A2 MIME detect        :145,153,156 → `orig_mime_type` column
+  A3 text extraction    :173-176     → `text` column (mapInPandas)
+  A4 html extraction    :158-172     → XHTML in `text`, NO truncation
+  A5 content replace    :148,191     → new column, content droppable
+  A6 error capture      :178-191     → error col; text='' on failure
+  A7 null guard         :151,194-197 → null content → failure route
+  A8 attribute enrich   :205-223     → mime_type/orig_mime_type cols,
+                                       NOT set on failure (quirk)
+  A9 success/failure    :201-202,224 → route_by_error → two DataFrames
+
+Scale design: extraction is embarrassingly parallel (narrow dependency,
+no shuffle). The only knobs that matter at 100 TB are input-partition
+sizing (small-files coalesce / big-files spread — `repartition_for_docs`)
+and Arrow batch size (bounded in session.get_spark). The heavy parse
+work runs in Python workers on Arrow batches; one task per partition,
+1000 executors scale linearly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+OUTPUT_TEXT = "text"    # ExtractTextProcessor.java:73
+OUTPUT_HTML = "html"    # :74
+
+_EXTRACT_FIELDS = (
+    "text STRING, mime_type STRING, orig_mime_type STRING, error STRING")
+
+
+def _extract_schema(input_schema: StructType) -> str:
+    keep = [f"`{f.name}` {f.dataType.simpleString()}"
+            for f in input_schema.fields if f.name != "content"]
+    return ", ".join(keep + [_EXTRACT_FIELDS])
+
+
+def extract_text(
+    df: DataFrame,
+    max_text_length: int = -1,
+    output_mode: str = OUTPUT_TEXT,
+    content_col: str = "content",
+    filename_col: str = "filename",
+    keep_content: bool = False,
+) -> DataFrame:
+    """A2–A8 in one Arrow-batched pass.
+
+    Parameters mirror the reference's property descriptors
+    (MAX_TEXT_LENGTH :81-86 default -1; HTML_OUTPUT :88-94 default text).
+    """
+    if output_mode not in (OUTPUT_TEXT, OUTPUT_HTML):
+        raise ValueError(f"output_mode must be text|html, got {output_mode!r}")
+    if not isinstance(max_text_length, int):
+        raise TypeError("max_text_length must be int")  # validator :82-86
+
+    out_schema = _extract_schema(df.schema)
+    if keep_content:
+        out_schema = "content BINARY, " + out_schema
+    success_mime = "text/html" if output_mode == OUTPUT_HTML else "text/plain"
+    has_filename = filename_col in df.columns
+    pass_cols = [c for c in df.columns if c != content_col or keep_content]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nifi_extracttext_processor_spark.formats import extract_any
+
+        for pdf in batches:
+            texts, mimes, origs, errs = [], [], [], []
+            fnames = pdf[filename_col] if has_filename else None
+            for i, blob in enumerate(pdf[content_col]):
+                data = bytes(blob) if blob is not None else None
+                fname = fnames.iloc[i] if fnames is not None else None
+                text, detected, err = extract_any(
+                    data, fname, max_text_length, output_mode)
+                texts.append(text)
+                errs.append(err)
+                if err is None:
+                    mimes.append(success_mime)   # :205-213
+                    origs.append(detected)       # :216-221
+                else:
+                    mimes.append(None)           # A6 quirk: attrs not set
+                    origs.append(None)
+            out = pdf[pass_cols].copy()
+            out["text"] = texts
+            out["mime_type"] = mimes
+            out["orig_mime_type"] = origs
+            out["error"] = errs
+            yield out
+
+    return df.mapInPandas(_run, schema=out_schema)
+
+
+def detect_mime_col(
+    df: DataFrame,
+    content_col: str = "content",
+    filename_col: str = "filename",
+    out_col: str = "orig_mime_type",
+) -> DataFrame:
+    """A2 standalone: magic-byte MIME detection column."""
+    has_filename = filename_col in df.columns
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} STRING"])
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nifi_extracttext_processor_spark.formats import detect_mime
+
+        for pdf in batches:
+            fnames = pdf[filename_col] if has_filename else None
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                detect_mime(bytes(b) if b is not None else None,
+                            fnames.iloc[i] if fnames is not None else None)
+                for i, b in enumerate(pdf[content_col])]
+            yield pdf
+
+    return df.mapInPandas(_run, schema=schema)
+
+
+def route_by_error(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """A9: (success, failure) pair — REL_SUCCESS / REL_FAILURE (:96-100).
+
+    One narrow filter each; Catalyst pushes the predicate into both
+    plans. Callers fanning out to multiple sinks should .cache() `df`
+    first (SURVEY §3 — the template's queue fan-out made explicit).
+    """
+    return (df.filter(F.col("error").isNull()),
+            df.filter(F.col("error").isNotNull()))
+
+
+def media_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    filename_col: str = "filename",
+    max_attrs: int = 5000,
+    max_attr_len: int = 2048,
+) -> DataFrame:
+    """B3 ExtractMediaMetadata → `metadata: map<string,string>`.
+
+    Caps mirror the template config (56409-tika.xml:1761 region:
+    Max Number of Attributes=5000, Max Attribute Length=2048).
+    """
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["metadata MAP<STRING,STRING>"])
+    has_filename = filename_col in df.columns
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nifi_extracttext_processor_spark.formats import detect_mime
+
+        for pdf in batches:
+            metas = []
+            fnames = pdf[filename_col] if has_filename else None
+            for i, blob in enumerate(pdf[content_col]):
+                data = bytes(blob) if blob is not None else None
+                fname = fnames.iloc[i] if fnames is not None else None
+                md: dict[str, str] = {}
+                if data is not None:
+                    md["Content-Type"] = detect_mime(data, fname)
+                    md["Content-Length"] = str(len(data))
+                    if fname:
+                        md["resourceName"] = str(fname)
+                    if data.startswith(b"%PDF-"):
+                        md["pdf:PDFVersion"] = data[5:8].decode(
+                            "ascii", "replace")
+                md = dict(list(md.items())[:max_attrs])
+                metas.append({k: v[:max_attr_len] for k, v in md.items()})
+            pdf = pdf.copy()
+            pdf["metadata"] = metas
+            yield pdf
+
+    return df.mapInPandas(_run, schema=schema)
+
+
+def repartition_for_docs(df: DataFrame, target_partitions: int) -> DataFrame:
+    """Spread few-big-docs / coalesce many-small-docs before extraction.
+
+    At 100 TB the binary scan's partition count tracks file count/size;
+    extraction cost tracks document complexity. A cheap round-robin
+    repartition decouples the two (SURVEY §4 'Parallelism').
+    """
+    return df.repartition(target_partitions)

@@ -1,0 +1,230 @@
+"""Deterministic in-memory document builders for tests.
+
+We generate tiny valid PDF/DOCX/XLSX/DOC byte streams with stdlib only,
+so the suite never depends on files outside the repo. Where present, the
+reference fixtures under /root/reference/.../src/test/resources are used
+*in addition* (read-only) for Tika-parity goldens.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+import zlib
+
+
+def build_pdf(lines: list[str], compress: bool = False) -> bytes:
+    """One-page PDF showing each line with a Tj operator."""
+    content = ["BT", "/F1 12 Tf", "50 750 Td", "14 TL"]
+    for i, line in enumerate(lines):
+        esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        if i == 0:
+            content.append(f"({esc}) Tj")
+        else:
+            content.append("T*")
+            content.append(f"({esc}) Tj")
+    content.append("ET")
+    stream = "\n".join(content).encode("latin-1")
+    filt = b""
+    if compress:
+        stream = zlib.compress(stream)
+        filt = b" /Filter /FlateDecode"
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (
+            len(stream), filt, stream),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xref_at = out.tell()
+    out.write(b"xref\n0 %d\n" % (len(objs) + 1))
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets:
+        out.write(b"%010d 00000 n \n" % off)
+    out.write(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+              % (len(objs) + 1, xref_at))
+    return out.getvalue()
+
+
+def build_docx(paragraphs: list[str]) -> bytes:
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = "".join(
+        f'<w:p><w:r><w:t xml:space="preserve">{p}</w:t></w:r></w:p>'
+        for p in paragraphs)
+    document = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<w:document xmlns:w="{w}"><w:body>{body}</w:body>'
+                f'</w:document>')
+    ct = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+          'content-types">'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/word/document.xml" ContentType="application/'
+          'vnd.openxmlformats-officedocument.wordprocessingml.document.'
+          'main+xml"/></Types>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("word/document.xml", document)
+    return buf.getvalue()
+
+
+def build_xlsx(rows: list[list[str]]) -> bytes:
+    s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    strings: list[str] = []
+    xml_rows = []
+    for r, row in enumerate(rows, start=1):
+        cells = []
+        for c, val in enumerate(row):
+            col = chr(ord("A") + c)
+            strings.append(val)
+            cells.append(f'<c r="{col}{r}" t="s"><v>{len(strings)-1}</v></c>')
+        xml_rows.append(f'<row r="{r}">{"".join(cells)}</row>')
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{s}">'
+             f'<sheetData>{"".join(xml_rows)}</sheetData></worksheet>')
+    sst = (f'<?xml version="1.0"?><sst xmlns="{s}" count="{len(strings)}" '
+           f'uniqueCount="{len(strings)}">'
+           + "".join(f'<si><t xml:space="preserve">{t}</t></si>'
+                     for t in strings)
+           + "</sst>")
+    wb = (f'<?xml version="1.0"?><workbook xmlns="{s}"><sheets>'
+          f'<sheet name="Sheet1" sheetId="1" r:id="rId1" xmlns:r="http://'
+          f'schemas.openxmlformats.org/officeDocument/2006/relationships"/>'
+          f'</sheets></workbook>')
+    ct = ('<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.'
+          'org/package/2006/content-types">'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/xl/workbook.xml" ContentType="application/'
+          'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+          '</Types>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def build_doc(text: str) -> bytes:
+    """Minimal Word-97 binary: OLE2 container + FIB + single-piece Clx.
+
+    Text is stored 8-bit (cp1252) in the WordDocument stream; the piece
+    table lives in 0Table.
+    """
+    text_bytes = (text + "\r").encode("cp1252")
+
+    # --- WordDocument stream: 1024-byte FIB + text ---
+    fib = bytearray(1024)
+    struct.pack_into("<H", fib, 0, 0xA5EC)        # wIdent
+    struct.pack_into("<H", fib, 2, 0x00C1)        # nFib (Word 97)
+    struct.pack_into("<H", fib, 0x0A, 0x0000)     # flags: 0Table
+    struct.pack_into("<I", fib, 0x18, 1024)       # fcMin
+    struct.pack_into("<I", fib, 0x1C, 1024 + len(text_bytes))  # fcMac
+    word_stream = bytes(fib) + text_bytes
+
+    # --- 0Table stream: Clx (Pcdt with one piece) ---
+    nchars = len(text_bytes)
+    plcpcd = struct.pack("<II", 0, nchars)  # cp[0], cp[1]
+    fc_raw = (1024 * 2) | 0x40000000        # fCompressed → fc/2 = 1024
+    plcpcd += struct.pack("<HIH", 0, fc_raw, 0)
+    clx = b"\x02" + struct.pack("<I", len(plcpcd)) + plcpcd
+    table_stream = clx
+    struct.pack_into("<I", fib, 0x01A2, 0)              # fcClx
+    struct.pack_into("<I", fib, 0x01A6, len(clx))       # lcbClx
+    word_stream = bytes(fib) + text_bytes
+
+    return _build_ole2({"WordDocument": word_stream, "0Table": table_stream})
+
+
+def _build_ole2(streams: dict[str, bytes]) -> bytes:
+    """Tiny OLE2 writer: 512-byte sectors, all streams in the regular FAT.
+
+    Streams are padded to the mini-stream cutoff (4096) so we never need
+    a mini-FAT.
+    """
+    sector = 512
+    streams = {k: v + b"\x00" * max(0, 4096 - len(v)) for k, v in streams.items()}
+
+    # layout: [FAT sector][dir sectors][stream sectors...]
+    dir_entries = []
+    # root entry
+    payload_sectors: list[bytes] = []
+    start_sids: dict[str, int] = {}
+
+    def pad(b: bytes) -> bytes:
+        rem = (-len(b)) % sector
+        return b + b"\x00" * rem
+
+    # directory: root + streams (each 128 bytes)
+    def dirent(name: str, etype: int, start: int, size: int,
+               left=0xFFFFFFFF, right=0xFFFFFFFF, child=0xFFFFFFFF) -> bytes:
+        raw_name = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[: len(raw_name)] = raw_name
+        struct.pack_into("<H", e, 64, len(raw_name))
+        e[66] = etype
+        e[67] = 1  # black
+        struct.pack_into("<I", e, 68, left)
+        struct.pack_into("<I", e, 72, right)
+        struct.pack_into("<I", e, 76, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    names = list(streams)
+    # sector ids: 0 = FAT, 1 = directory, then stream data
+    next_sid = 2
+    fat: list[int] = [0xFFFFFFFD, 0xFFFFFFFE]  # FAT sector, dir chain end
+    for name in names:
+        data = pad(streams[name])
+        nsec = len(data) // sector
+        start_sids[name] = next_sid
+        for k in range(nsec):
+            fat.append(next_sid + k + 1 if k < nsec - 1 else 0xFFFFFFFE)
+        payload_sectors.append(data)
+        next_sid += nsec
+
+    # red-black-ish flat tree: root's child = first stream; chain via right
+    child_sid = 1 if names else 0xFFFFFFFF
+    ents = [dirent("Root Entry", 5, 0xFFFFFFFE, 0, child=child_sid)]
+    for i, name in enumerate(names):
+        right = i + 2 if i + 1 < len(names) else 0xFFFFFFFF
+        ents.append(dirent(name, 2, start_sids[name], len(streams[name]),
+                           right=right))
+    dir_raw = pad(b"".join(ents))
+    assert len(dir_raw) == sector, "directory must fit one sector for this writer"
+
+    while len(fat) < sector // 4:
+        fat.append(0xFFFFFFFF)
+    fat_raw = struct.pack(f"<{sector // 4}I", *fat[: sector // 4])
+
+    header = bytearray(512)
+    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x003E)   # minor
+    struct.pack_into("<H", header, 26, 0x0003)   # major (512-byte sectors)
+    struct.pack_into("<H", header, 28, 0xFFFE)   # little-endian
+    struct.pack_into("<H", header, 30, 9)        # sector shift
+    struct.pack_into("<H", header, 32, 6)        # mini shift
+    struct.pack_into("<I", header, 44, 1)        # num FAT sectors
+    struct.pack_into("<I", header, 48, 1)        # dir start sid
+    struct.pack_into("<I", header, 56, 4096)     # mini cutoff
+    struct.pack_into("<I", header, 60, 0xFFFFFFFE)  # no mini FAT
+    struct.pack_into("<I", header, 64, 0)
+    struct.pack_into("<I", header, 68, 0xFFFFFFFE)  # no DIFAT chain
+    struct.pack_into("<I", header, 72, 0)
+    difat = [0] + [0xFFFFFFFF] * 108             # FAT at sector 0
+    struct.pack_into("<109I", header, 76, *difat)
+
+    return bytes(header) + fat_raw + dir_raw + b"".join(payload_sectors)

@@ -1,0 +1,114 @@
+"""Pure-Python parser tests, incl. Tika-parity goldens on the
+reference's own fixtures (ExtractTextProcessorTest.java ports — the
+Spark-level ports live in test_extract_spark.py)."""
+
+from __future__ import annotations
+
+from nifi_extracttext_processor_spark.formats import (
+    detect_mime, extract_any, extract_doc_text, extract_docx_text,
+    extract_pdf_text, html_to_text, render_xhtml,
+)
+from tests.fixtures.builders import (
+    build_doc, build_docx, build_pdf, build_xlsx,
+)
+
+
+class TestReferenceGoldens:
+    """1:1 ports of the reference's golden-prefix asserts (SURVEY §5)."""
+
+    def test_simple_pdf(self, reference_fixture):  # Test.java:47-75
+        text = extract_pdf_text(reference_fixture("simple.pdf"))
+        assert text.strip().startswith("A Simple PDF File")
+
+    def test_simple_doc(self, reference_fixture):  # :77-104
+        text = extract_doc_text(reference_fixture("simple.doc"))
+        assert text.strip().startswith("A Simple WORD DOC File")
+
+    def test_simple_docx(self, reference_fixture):  # :107-133
+        text = extract_docx_text(reference_fixture("simple.docx"))
+        assert text.strip().startswith("A Simple WORD DOCX File")
+
+    def test_big_pdf_unlimited(self, reference_fixture):  # :245-272
+        text, _, err = extract_any(reference_fixture("big.pdf"), "big.pdf")
+        assert err is None
+        assert len(text) > 100
+
+    def test_big_pdf_truncated(self, reference_fixture):  # :275-297
+        text, _, err = extract_any(
+            reference_fixture("big.pdf"), "big.pdf", max_text_length=100)
+        assert err is None
+        assert len(text) <= 100
+
+    def test_mime_attributes(self, reference_fixture):  # :138-160, 196-243
+        for name, want in [
+            ("simple.pdf", "application/pdf"),
+            ("simple.doc", "application/msword"),
+            ("simple.docx",
+             "application/vnd.openxmlformats-officedocument"
+             ".wordprocessingml.document"),
+        ]:
+            assert detect_mime(reference_fixture(name), name) == want
+
+    def test_html_mode_no_truncation(self, reference_fixture):  # A4 quirk
+        html, _, err = extract_any(
+            reference_fixture("big.pdf"), "big.pdf",
+            max_text_length=100, output_mode="html")
+        assert err is None
+        assert len(html) > 100  # :158-172 never applies the cap
+
+
+class TestSyntheticFormats:
+    def test_pdf_roundtrip(self):
+        for compress in (False, True):
+            data = build_pdf(["alpha beta", "gamma"], compress=compress)
+            assert detect_mime(data) == "application/pdf"
+            assert extract_pdf_text(data) == "alpha beta\ngamma"
+
+    def test_pdf_truncation_bound(self):
+        data = build_pdf(["x" * 500])
+        assert len(extract_pdf_text(data, max_length=10)) == 10
+        assert len(extract_pdf_text(data, max_length=0)) == 0
+        assert len(extract_pdf_text(data, max_length=-1)) == 500
+
+    def test_docx(self):
+        data = build_docx(["one", "two", "three"])
+        assert extract_docx_text(data) == "one\ntwo\nthree\n"
+
+    def test_xlsx(self):
+        data = build_xlsx([["h1", "h2"], ["v1", "v2"]])
+        text, mime, err = extract_any(data, "t.xlsx")
+        assert err is None
+        assert "spreadsheetml" in mime
+        assert text == "h1\th2\nv1\tv2\n"
+
+    def test_legacy_doc(self):
+        data = build_doc("Legacy doc body text")
+        assert extract_doc_text(data).startswith("Legacy doc body text")
+        assert detect_mime(data) == "application/msword"
+
+    def test_html_input(self):
+        html = (b"<html><head><title>T</title><style>p{}</style></head>"
+                b"<body><p>Hello</p><p>World &amp; more</p>"
+                b"<script>var x=1;</script></body></html>")
+        assert html_to_text(html) == "T\nHello\nWorld & more"
+
+    def test_render_xhtml_structure(self):
+        out = render_xhtml("a\nb", title="t")
+        assert out.startswith('<html xmlns="http://www.w3.org/1999/xhtml">')
+        assert "<p>a</p>" in out and "<p>b</p>" in out
+        assert "<title>t</title>" in out
+
+    def test_error_quirks(self):
+        # corrupt bytes → text='' + error set, mime attrs withheld (A6)
+        text, _, err = extract_any(b"\x00\x01\x02\xff\xfe", "x.bin")
+        assert text == "" and err is not None
+        # null content → A7 null guard message
+        text, _, err = extract_any(None, None)
+        assert text == "" and err == "Input file was null"
+        # corrupt PDF body → error, not crash
+        text, _, err = extract_any(b"%PDF-1.4 then garbage\xff\x00", "x.pdf")
+        assert err is None or text == ""  # tolerant parse or clean failure
+
+    def test_unicode_escapes_in_pdf(self):
+        data = build_pdf(["paren ( inside ) ok", "back\\slash"])
+        assert extract_pdf_text(data) == "paren ( inside ) ok\nback\\slash"
