@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship document pipeline; `queries()` exposes
+one callable per implemented operator from SURVEY.md §2 (+ north-star
+extensions); `oracle_sql()` gives each one a DuckDB-equivalent SQL
+string over the same parquet tables.
+
+Column-name and column-TYPE parity notes: every computed column is
+aliased identically on both sides; Spark int32 outputs (size/posexplode)
+are cast to long because DuckDB len()/range() yield BIGINT and the
+driver compares schemas.
 """
 
 from __future__ import annotations
@@ -12,27 +16,446 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators import dedup as dd
+from nifi_extracttext_processor_spark.operators import nlp
+from nifi_extracttext_processor_spark.operators import text_analysis as ta
+from nifi_extracttext_processor_spark.operators.routing import (
+    SENTIMENT_ROUTES, query_routes, route_column,
+)
+from nifi_extracttext_processor_spark.operators.similarity import (
+    brute_force_topk_sql,
+)
+from nifi_extracttext_processor_spark.operators.split import (
+    extract_regex, split_lines,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from nifi_extracttext_processor_spark.sources.tables import load_table
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# flagship pipeline (entry)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's flow-template pipeline (SURVEY §3) on
+    the sf0.001 documents table — split → regex-extract → sentiment →
+    entities → 3-way SQL route → per-route counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    lines = split_lines(docs, text_col="text", out_col="line",
+                        delimiter=" ")  # corpus is single-line; split words
+    # re-assemble per-doc sentences: the corpus is one line per doc, so
+    # route at doc granularity like the template routes per record
+    enriched = nlp.entities(nlp.sentiment(docs, "text"), "text")
+    routed = route_column(
+        enriched,
+        {"bad": "sentiment = 'NEGATIVE'",
+         "good": "sentiment = 'POSITIVE'",
+         "neutral": "sentiment = 'NEUTRAL'"})
+    return (routed.groupBy("route")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size("names").cast("long")).alias("n_names"))
+            .orderBy("route"))
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# ---- B1 ListFile filter semantics (on documents as the files table) ----
+
+@_q("listfile_filter", """
+SELECT doc_id, source, n_chars FROM documents
+WHERE n_chars >= 50 AND source NOT LIKE '.%'
+  AND regexp_matches(source, '^[^.].*')
+""")
+def q_listfile(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.filter((F.col("n_chars") >= 50)
+                     & ~F.col("source").startswith(".")
+                     & F.col("source").rlike("^[^.].*"))
+            .select("doc_id", "source", "n_chars"))
+
+
+# ---- B4 SplitText: posexplode with positions ----
+
+@_q("split_lines", """
+SELECT doc_id,
+       unnest(range(len(string_split(text, ' ')))) AS line_no,
+       unnest(string_split(text, ' ')) AS line
+FROM documents
+""")
+def q_split(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = split_lines(d, text_col="text", out_col="line", delimiter=" ",
+                      remove_trailing_newlines=False)
+    return out.select("doc_id", F.col("line_no").cast("long").alias("line_no"),
+                      "line")
+
+
+# ---- B5 ExtractText regex capture ----
+
+@_q("extract_regex", """
+SELECT doc_id,
+       regexp_extract(text, '^(\\w+)', 1) AS first_word,
+       regexp_extract(text, '(\\d+)', 1) AS first_number
+FROM documents
+""")
+def q_regex(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = extract_regex(d, {"first_word": r"^(\w+)",
+                            "first_number": r"(\d+)"}, text_col="text")
+    return out.select("doc_id", "first_word", "first_number")
+
+
+# ---- B9 AttributesToJSON ----
+
+@_q("attrs_to_json", """
+SELECT doc_id, to_json({doc_id: doc_id, lang: lang, source: source}) AS json
+FROM documents
+""")
+def q_to_json(spark, sf):
+    from nifi_extracttext_processor_spark.operators.attributes import (
+        attrs_to_json,
+    )
+    d = _t(spark, sf, "documents")
+    return attrs_to_json(d, ["doc_id", "lang", "source"]) \
+        .select("doc_id", "json")
+
+
+# ---- B11 UpdateAttribute static sets ----
+
+@_q("set_attrs", """
+SELECT doc_id, 'PDF' AS schema_name, 'text/json' AS content_type
+FROM documents
+""")
+def q_set_attrs(spark, sf):
+    from nifi_extracttext_processor_spark.operators.attributes import set_attrs
+    d = _t(spark, sf, "documents")
+    # template values: schema.name=PDF, content-type=text/json (:804-816)
+    out = set_attrs(d, {"schema.name": "PDF", "content-type": "text/json"})
+    return out.select("doc_id", "schema_name", "content_type")
+
+
+# ---- B17 record round-trip (JSON in events.props) ----
+
+@_q("record_roundtrip", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""")
+def q_roundtrip(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select("event_id",
+                    F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+# ---- B7 sentiment ----
+
+@_q("sentiment",
+    "SELECT doc_id, "
+    + nlp.sentiment_sql("text") + " AS sentiment FROM documents")
+def q_sentiment(spark, sf):
+    d = _t(spark, sf, "documents")
+    return nlp.sentiment(d, "text").select("doc_id", "sentiment")
+
+
+# ---- B6 entities ----
+
+@_q("entities", f"""
+SELECT doc_id,
+       coalesce(array_to_string(
+           {nlp.entities_sql('text', nlp.NAME_GAZETTEER)}, ','), '')
+           AS names,
+       coalesce(array_to_string(
+           {nlp.entities_sql('text', nlp.LOCATION_GAZETTEER)}, ','), '')
+           AS locations
+FROM documents
+""")
+def q_entities(spark, sf):
+    # arrays serialized to csv so the value-hash is engine-independent
+    d = _t(spark, sf, "documents")
+    return (nlp.entities(d, "text")
+            .select("doc_id",
+                    F.array_join("names", ",").alias("names"),
+                    F.array_join("locations", ",").alias("locations")))
+
+
+# ---- B12 QueryRecord: the three template routes, verbatim ----
+
+def _routed(spark, sf):
+    d = _t(spark, sf, "documents")
+    return nlp.sentiment(d, "text", out_col="sentiment") \
+        .select("doc_id", "sentiment")
+
+
+for _route, _sent in [("bad", "NEGATIVE"), ("good", "POSITIVE"),
+                      ("neutral", "NEUTRAL")]:
+    _ORACLES[f"route_{_route}"] = (
+        "SELECT doc_id, " + nlp.sentiment_sql("text")
+        + f" AS sentiment FROM documents WHERE ("
+        + nlp.sentiment_sql("text") + f") = '{_sent}'")
+
+    def _mk(sentval):
+        def fn(spark, sf):
+            records = _routed(spark, sf)
+            routes = query_routes(records, SENTIMENT_ROUTES, cache=False)
+            name = {"NEGATIVE": "bad", "POSITIVE": "good",
+                    "NEUTRAL": "neutral"}[sentval]
+            return routes[name]
+        return fn
+
+    _QUERIES[f"route_{_route}"] = _mk(_sent)
+
+
+# ---- B12 general SQL surface: aggregation (pricing-summary shape) ----
+
+@_q("sql_agg_pricing", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (l.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+# ---- B12 general SQL surface: multi-join (revenue by nation) ----
+
+@_q("sql_join_revenue", """
+SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q_join(spark, sf):
+    o, c, n = (_t(spark, sf, t) for t in ("orders", "customer", "nation"))
+    return (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("n_name")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                  F.count("*").alias("n_orders")))
+
+
+# ---- streaming-shape windowed aggregation over events ----
+
+@_q("events_window_agg", """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def q_events_window(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+# ---- extension: exact dedup (self-union makes real duplicate groups) ----
+
+@_q("dedup_exact", f"""
+WITH doubled AS (
+  SELECT * FROM documents UNION ALL SELECT * FROM documents
+)
+SELECT {ta.fingerprint_sql('text')} AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM doubled
+GROUP BY 1 HAVING count(*) > 1
+""")
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    doubled = d.unionAll(d)
+    return (dd.exact_duplicates(doubled)
+            .select("fingerprint", "n_docs",
+                    F.array_min("doc_ids").alias("min_doc"),
+                    F.array_max("doc_ids").alias("max_doc")))
+
+
+# ---- extension: MinHash LSH near-dup pairs ----
+
+@_q("dedup_minhash", dd.minhash_lsh_pairs_sql(threshold=0.2))
+def q_minhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dd.minhash_lsh_pairs(d, threshold=0.2)
+
+
+# ---- extension: SimHash signatures ----
+
+@_q("dedup_simhash_sig",
+    "SELECT doc_id, " + dd.simhash64_sql("text")
+    + " AS simhash FROM documents")
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", dd.simhash64("text").alias("simhash"))
+
+
+# ---- extension: SimHash near-dup pairs (banded hamming; rows-only) ----
+
+@_q("dedup_simhash_pairs")  # non-SQL-expressible comfortably → rows-only
+def q_simhash_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dd.simhash_pairs(d, max_hamming=16)
+
+
+# ---- extension: n-gram Jaccard (wide-band LSH + exact verify) ----
+
+@_q("dedup_ngram", dd.minhash_lsh_pairs_sql(rows=2, threshold=0.15))
+def q_ngram(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dd.ngram_jaccard_pairs(d, threshold=0.15)
+
+
+# ---- extension: embedding cosine near-dup pairs (brute force) ----
+
+_EMB_COS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT l.vec_id AS id1, r.vec_id AS id2,
+         round(CASE WHEN sqrt(list_sum(list_transform(l.v, x -> x*x))) > 0
+                     AND sqrt(list_sum(list_transform(r.v, x -> x*x))) > 0
+               THEN list_sum(list_transform(list_zip(l.v, r.v),
+                                            p -> p[1] * p[2]))
+                    / (sqrt(list_sum(list_transform(l.v, x -> x*x)))
+                       * sqrt(list_sum(list_transform(r.v, x -> x*x))))
+               ELSE 0.0 END, 4) AS cosine
+  FROM v l JOIN v r ON l.vec_id < r.vec_id
+)
+SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.5
+"""
+
+
+@_q("dedup_embedding", _EMB_COS)
+def q_emb_dedup(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return dd.embedding_dup_pairs(e, threshold=0.5)
+
+
+# ---- extension: ANN top-k (query = vec_id 0, via self-join → static SQL) --
+
+@_q("ann_topk", """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+     v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       round(CASE WHEN sqrt(list_sum(list_transform(v, x -> x*x))) > 0
+                   AND sqrt(list_sum(list_transform(qv, x -> x*x))) > 0
+             THEN list_sum(list_transform(list_zip(v, qv), p -> p[1]*p[2]))
+                  / (sqrt(list_sum(list_transform(v, x -> x*x)))
+                     * sqrt(list_sum(list_transform(qv, x -> x*x))))
+             ELSE 0.0 END, 4) AS cosine
+FROM v, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+""")
+def q_ann(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").cast("array<double>").alias("qv")))
+    joined = v.crossJoin(F.broadcast(q))
+    return (joined.select(
+        "vec_id", F.round(dd.cosine(F.col("v"), F.col("qv")), 4)
+        .alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10))
+
+
+# ---- extension: ANN via LSH buckets (approximate → rows-only check) ----
+
+@_q("ann_topk_lsh")
+def q_ann_lsh(spark, sf):
+    from nifi_extracttext_processor_spark.operators.similarity import lsh_topk
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_topk(e, qvec, k=10)
+
+
+# ---- extension: language id ----
+
+@_q("lang_id",
+    "SELECT doc_id, " + ta.language_id_sql("text")
+    + " AS lang_pred FROM documents")
+def q_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.language_id(d, "text").select("doc_id", "lang_pred")
+
+
+# ---- extension: quality scoring ----
+
+@_q("quality_score",
+    "SELECT doc_id, " + ta.quality_score_sql("text")
+    + " AS quality FROM documents")
+def q_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.quality_score(d, "text").select("doc_id", "quality")
+
+
+# ---- extension: token stats ----
+
+@_q("token_stats", f"""
+SELECT doc_id,
+       length(text) AS n_chars_computed,
+       len(string_split_regex(text, '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{ta.BPE_TOKEN_RE}')) AS n_bpe_tokens
+FROM documents
+""")
+def q_tokens(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (ta.token_stats(d, "text")
+            .select("doc_id",
+                    F.col("n_chars_computed").cast("long")
+                     .alias("n_chars_computed"),
+                    F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+                    F.col("n_bpe_tokens").cast("long")
+                     .alias("n_bpe_tokens")))
+
+
+# ---- extension: document fingerprint ----
+
+@_q("fingerprint",
+    "SELECT doc_id, " + ta.fingerprint_sql("text")
+    + " AS fingerprint FROM documents")
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.fingerprint(d, "text").select("doc_id", "fingerprint")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

