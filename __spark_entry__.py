@@ -319,7 +319,7 @@ def q_minhash(spark, sf):
     + " AS simhash FROM documents")
 def q_simhash(spark, sf):
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", dd.simhash64("text").alias("simhash"))
+    return dd.simhash64_table(d.select("doc_id", "text"))
 
 
 # ---- extension: SimHash near-dup pairs (banded hamming; rows-only) ----

@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full compute, no
+driver collect) — count() alone would let Catalyst prune the very
+projections we're benchmarking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import __spark_entry__ as entry
+from nifi_extracttext_processor_spark.session import get_spark
+
+# representative, heavy-path headliners across the operator surface
+HEADLINE = [
+    "sql_agg_pricing",     # group-agg over lineitem (codegen path)
+    "sql_join_revenue",    # 3-way join with broadcast dim
+    "split_lines",         # explode fan-out
+    "events_window_agg",   # time-bucketed agg
+    "record_roundtrip",    # JSON path extraction
+    "sentiment",           # higher-order array expressions
+    "token_stats",         # regex-heavy projections
+    "fingerprint",         # hash projection
+    "dedup_exact",         # hash group-by on doubled corpus
+    "dedup_minhash",       # shingle→minhash→band join→verify
+    "dedup_simhash_sig",   # 64-bit higher-order fold
+    "ann_topk",            # brute-force cosine top-k
+    "quality_score",       # mixed regex/array scoring
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    # JVM/codegen warmup on a trivial action
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

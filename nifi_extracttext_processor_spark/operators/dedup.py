@@ -24,6 +24,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input scan
+    gave too few partitions (small files + heavy per-row compute —
+    signature hashing cost tracks rows, not input bytes; SURVEY §4
+    'Parallelism'). No-op when the scan is already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -140,26 +151,31 @@ def minhash_lsh_pairs(
     shingle→minhash→band→bucket-join→exact-verify. Deterministic: a
     pair appears iff it shares ≥1 band AND true Jaccard ≥ threshold —
     reproducible in SQL for the oracle.
+
+    Scale shape: the expensive shingle+signature pass runs ONCE and is
+    persisted as (id, sh); the band self-join moves only (id, band_key)
+    — candidate discovery shuffles ~40 bytes/row, not shingle arrays.
+    Shingles travel only to verify surviving candidates.
     """
     sh = shingles(text_col, n)
-    base = df.select(F.col(id_col), sh.alias("sh"))
-    base = base.withColumn("sig", minhash_signature(F.col("sh"), k))
-    bands = minhash_bands(F.col("sig"), k, rows)
-    banded = base.select(
-        id_col, "sh",
-        F.posexplode(F.array(*bands)).alias("band_id", "band_key"))
-    left = banded.alias("l")
-    right = banded.alias("r")
+    base = _spread(df).select(F.col(id_col), sh.alias("sh")).persist()
+    banded = (base
+              .withColumn("sig", minhash_signature(F.col("sh"), k))
+              .select(id_col, F.posexplode(F.array(
+                  *minhash_bands(F.col("sig"), k, rows)))
+                  .alias("band_id", "band_key")))
+    left, right = banded.alias("l"), banded.alias("r")
     cand = (left.join(
         right,
         (F.col("l.band_id") == F.col("r.band_id"))
         & (F.col("l.band_key") == F.col("r.band_key"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
         .select(F.col(f"l.{id_col}").alias("id1"),
-                F.col(f"r.{id_col}").alias("id2"),
-                F.col("l.sh").alias("sh1"), F.col("r.sh").alias("sh2"))
+                F.col(f"r.{id_col}").alias("id2"))
         .dropDuplicates(["id1", "id2"]))
-    return (cand
+    sh1 = base.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
+    sh2 = base.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
+    return (cand.join(sh1, "id1").join(sh2, "id2")
             .withColumn("jaccard", F.round(
                 jaccard(F.col("sh1"), F.col("sh2")), 4))
             .filter(F.col("jaccard") >= threshold)
@@ -221,38 +237,41 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(sh1, sh2))) > 0
 _HEX = "0123456789abcdef"
 
 
-def simhash64(text_col: str = "text") -> Column:
-    """64-bit SimHash as a 16-hex-char string — zero-UDF.
+def simhash64_table(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per row as a 16-hex-char string — zero-UDF.
 
-    For each token, md5's first 16 hex chars give 64 bits; per-bit ±1
-    votes are folded with aggregate/zip_with; sign → bit. Portable:
-    the DuckDB twin (simhash64_sql) reproduces it digit for digit.
+    Spark-first shape: explode tokens (narrow), one md5 per token, then
+    ONE hash aggregation with 64 simple sum columns (map-side partial
+    agg → a single shuffle keyed by id). Every expression stays inside
+    whole-stage codegen; a 64-wide nested higher-order fold compiles
+    pathologically (≈90 s for 500 rows when tried), this runs in
+    milliseconds and scales: shuffle traffic is 64 ints per id.
+
+    Portable: DuckDB twin simhash64_sql reproduces it digit for digit.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    zero64 = F.array_repeat(F.lit(0), 64)
+    others = [c for c in df.columns if c != text_col]
+    toks = _spread(df).select(
+        *others,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("__tok"))
+    toks = toks.withColumn("__h", F.md5(F.col("__tok")))
 
-    def tok_bits(t: Column) -> Column:
-        h = F.md5(t)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda i: (
-                F.floor(
-                    (F.instr(F.lit(_HEX),
-                             F.substring(h, (i / 4).cast("int") + 1, 1)) - 1)
-                    / F.pow(F.lit(2), 3 - (i % 4))).cast("int") % 2))
+    def bit(i: int) -> Column:
+        nib = (F.instr(F.lit(_HEX),
+                       F.substring(F.col("__h"), i // 4 + 1, 1)) - 1)
+        return F.floor(nib / (2 ** (3 - i % 4))).cast("int") % 2
 
-    votes = F.aggregate(
-        toks, zero64,
-        lambda acc, t: F.zip_with(acc, tok_bits(t),
-                                  lambda a, b: a + 2 * b - 1))
-    bits = F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
-    nibbles = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda j: F.substring(
-            F.lit(_HEX),
-            (bits[j * 4] * 8 + bits[j * 4 + 1] * 4
-             + bits[j * 4 + 2] * 2 + bits[j * 4 + 3]) + 1, 1))
-    return F.array_join(nibbles, "")
+    votes = toks.groupBy(id_col).agg(*[
+        F.sum(2 * bit(i) - 1).alias(f"__v{i}") for i in range(64)])
+    bits = [F.when(F.col(f"__v{i}") > 0, 1).otherwise(0) for i in range(64)]
+    nibbles = [
+        F.substring(F.lit(_HEX),
+                    (bits[j * 4] * 8 + bits[j * 4 + 1] * 4
+                     + bits[j * 4 + 2] * 2 + bits[j * 4 + 3]) + 1, 1)
+        for j in range(16)]
+    return votes.select(F.col(id_col), F.concat(*nibbles).alias(out_col))
 
 
 def simhash64_sql(text_expr: str) -> str:
@@ -287,7 +306,8 @@ def simhash_pairs(
     Banding on 4×16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least
     one identical chunk) keeps the join keyed, never O(n²).
     """
-    sig = df.select(F.col(id_col), simhash64(text_col).alias("sim"))
+    sig = simhash64_table(df.select(id_col, text_col), id_col, text_col,
+                          out_col="sim")
     banded = sig.select(
         id_col, "sim",
         F.posexplode(F.array(*[
