@@ -83,12 +83,17 @@ DEFAULT_BAND_ROWS = 3  # 12 hashes / 3 rows = 4 bands
 
 
 def shingles(text_col: str, n: int = DEFAULT_SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles as strings (JVM-side)."""
+    """Distinct word n-gram shingles as strings (JVM-side).
+
+    Docs shorter than n tokens yield an EMPTY shingle set (guarded:
+    Spark's sequence(1, 0) counts DOWN, which would feed slice a 0)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(
-        F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(text_expr: str, n: int = DEFAULT_SHINGLE_N) -> str:

@@ -136,15 +136,14 @@ def ivf_topk(
               .collect())
     cents = [list(r["c"]) for r in sample]
 
-    def nearest_cell(vec: Column) -> Column:
-        best_id, best_sim = F.lit(-1), F.lit(-2.0)
-        for ci, cv in enumerate(cents):
-            lit = F.array(*[F.lit(x) for x in cv])
-            sim = cosine(vec, lit)
-            take = sim > best_sim
-            best_id = F.when(take, F.lit(ci)).otherwise(best_id)
-            best_sim = F.when(take, sim).otherwise(best_sim)
-        return best_id
+    def cell_sims(vec: Column) -> Column:
+        # One cosine per centroid, materialized into a single named
+        # array column. (A when()-chain argmax duplicates the running
+        # best expression in BOTH branches each step — exponential
+        # tree growth that OOMs the driver at n_cells=16.)
+        return F.array(*[
+            cosine(vec, F.array(*[F.lit(x) for x in cv]))
+            for cv in cents])
 
     def q_cells() -> list[int]:
         import math
@@ -158,7 +157,13 @@ def ivf_topk(
         return [ci for _, ci in sims[:nprobe]]
 
     v = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    assigned = v.withColumn("cell", nearest_cell(F.col("v")))
+    assigned = (
+        v.withColumn("sims", cell_sims(F.col("v")))
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("sims"), F.array_max(F.col("sims")))
+             - F.lit(1)).cast("int"))
+        .drop("sims"))
     probe = q_cells()
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (assigned.filter(F.col("cell").isin(probe))

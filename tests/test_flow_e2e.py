@@ -1,0 +1,71 @@
+"""End-to-end pipeline test (SURVEY §5c): the §3 flow over a synthetic
+corpus, asserting the 3-way sentiment routing exactly partitions the
+input and sinks land on disk."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nifi_extracttext_processor_spark.plans.flow import (
+    document_flow, run_flow_to_files,
+)
+from tests.fixtures.builders import build_docx, build_pdf
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    docs = {
+        "good.pdf": build_pdf(["spark is fast and great", "love this engine"]),
+        "bad.docx": build_docx(["terrible slow awful results"]),
+        "neutral.pdf": build_pdf(["the customer table has rows"]),
+        "broken.pdf": b"%PDF-1.4 nothing here",
+    }
+    for name, data in docs.items():
+        (d / name).write_bytes(data)
+    return str(d)
+
+
+def test_flow_routes_partition_input(spark, corpus_dir):
+    result = document_flow(spark, corpus_dir)
+    counts = {k: v.count() for k, v in result.routes.items()}
+    total_records = result.records.count()
+    # disjoint + union = input (B12 invariant, FIXTURES.md §4)
+    assert sum(counts.values()) == total_records
+    assert counts["good"] >= 2       # two positive lines in good.pdf
+    assert counts["bad"] >= 1
+    assert counts["neutral"] >= 1
+    assert result.failures.count() == 1  # broken.pdf
+    # routed frames carry the enriched record columns
+    row = result.routes["good"].first()
+    assert row["sentiment"] == "POSITIVE"
+    assert "json" in result.routes["good"].columns
+
+
+def test_flow_schema_inference(spark, corpus_dir):
+    result = document_flow(spark, corpus_dir)
+    assert result.inferred_schema is not None
+    assert "sentence" in result.inferred_schema  # B10 DDL string
+
+
+def test_flow_to_files(spark, corpus_dir, tmp_path):
+    out = str(tmp_path / "out")
+    counts = run_flow_to_files(spark, corpus_dir, out)
+    for route, n in counts.items():
+        if n > 0:
+            files = os.listdir(f"{out}/{route}")
+            assert any(f.endswith(".parquet") for f in files)
+    # re-read and verify row preservation (B13/B14 golden)
+    good = spark.read.parquet(f"{out}/good")
+    assert good.count() == counts["good"]
+
+
+def test_flow_single_scan_fanout(spark, corpus_dir):
+    """The fan-out point must be cached: all three routes reuse one
+    InMemoryRelation instead of re-running extraction per route."""
+    result = document_flow(spark, corpus_dir)
+    plan = (result.routes["good"]._jdf.queryExecution()
+            .optimizedPlan().toString())
+    assert "InMemoryRelation" in plan

@@ -1,0 +1,80 @@
+"""Streaming parity tests: availableNow drain of a document directory,
+back-pressure option plumbing, watermarked window shape, and the
+foreachBatch route fan-out."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.extract import extract_text
+from nifi_extracttext_processor_spark.streaming.pipeline import (
+    drain_directory, foreach_batch_routes, read_document_stream,
+    windowed_event_counts,
+)
+from tests.fixtures.builders import build_docx, build_pdf
+
+
+@pytest.fixture()
+def doc_dir(tmp_path):
+    (tmp_path / "a.pdf").write_bytes(build_pdf(["fast great engine"]))
+    (tmp_path / "b.docx").write_bytes(build_docx(["slow awful day"]))
+    return str(tmp_path)
+
+
+def test_drain_directory(spark, doc_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    drain_directory(spark, doc_dir, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    texts = {r["filename"]: r["text"] for r in got.collect()}
+    assert texts["a.pdf"].startswith("fast great engine")
+    assert {r["error"] for r in got.collect()} == {None}
+
+
+def test_stream_is_streaming_with_backpressure(spark, doc_dir):
+    s = read_document_stream(spark, doc_dir, max_files_per_trigger=1)
+    assert s.isStreaming
+    assert "filename" in s.columns
+
+
+def test_foreach_batch_routes(spark, doc_dir, tmp_path):
+    """availableNow run with the 3-way sentiment fan-out writing one
+    dir per route via foreachBatch (B12+B16 streaming shape)."""
+    from nifi_extracttext_processor_spark.operators.nlp import sentiment
+
+    seen: dict[str, int] = {}
+
+    def make_sink(name):
+        def _s(df, batch_id):
+            seen[name] = seen.get(name, 0) + df.count()
+        return _s
+
+    stream = read_document_stream(spark, doc_dir)
+    extracted = sentiment(extract_text(stream), text_col="text")
+    routes = {
+        "good": "SELECT * FROM FLOWFILE WHERE sentiment = 'POSITIVE'",
+        "bad": "SELECT * FROM FLOWFILE WHERE sentiment = 'NEGATIVE'",
+    }
+    sinks = {k: make_sink(k) for k in routes}
+    q = (extracted.writeStream
+         .foreachBatch(foreach_batch_routes(routes, sinks))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    assert seen == {"good": 1, "bad": 1}
+
+
+def test_windowed_event_counts_batch_shape(spark, sf_dir):
+    """The watermarked agg runs identically on a batch frame (late-data
+    semantics only differ in streaming mode)."""
+    from nifi_extracttext_processor_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(events)
+    row = out.first()
+    assert row["n_events"] >= 1
+    assert set(out.columns) == {"hour", "event_type", "n_events",
+                                "total_value"}
