@@ -261,16 +261,25 @@ def simhash64_table(df: DataFrame, id_col: str = "doc_id",
         *others,
         F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                           r"\s+")).alias("__tok"))
-    toks = toks.withColumn("__h", F.md5(F.col("__tok")))
+    # First 64 md5 bits as two 32-bit longs: one conv() per half beats
+    # 64 instr+substring string ops per token by ~an order of magnitude
+    # (bit i = bit (31 - i%32) of half i//32, matching hex-string order).
+    h = F.md5(F.col("__tok"))
+    toks = toks.withColumn(
+        "__h0", F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "__h1", F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
 
     def bit(i: int) -> Column:
-        nib = (F.instr(F.lit(_HEX),
-                       F.substring(F.col("__h"), i // 4 + 1, 1)) - 1)
-        return F.floor(nib / (2 ** (3 - i % 4))).cast("int") % 2
+        half = F.col("__h0") if i < 32 else F.col("__h1")
+        return F.shiftrightunsigned(half, 31 - (i % 32)).bitwiseAND(F.lit(1))
 
-    votes = toks.groupBy(id_col).agg(*[
-        F.sum(2 * bit(i) - 1).alias(f"__v{i}") for i in range(64)])
-    bits = [F.when(F.col(f"__v{i}") > 0, 1).otherwise(0) for i in range(64)]
+    votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(bit(i)).alias(f"__v{i}") for i in range(64)])
+    # majority vote: sum(2b-1) > 0  ⟺  2*sum(b) > n
+    bits = [F.when(2 * F.col(f"__v{i}") > F.col("__n"), 1).otherwise(0)
+            for i in range(64)]
     nibbles = [
         F.substring(F.lit(_HEX),
                     (bits[j * 4] * 8 + bits[j * 4 + 1] * 4
