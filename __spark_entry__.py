@@ -127,6 +127,39 @@ def q_regex(spark, sf):
     return out.select("doc_id", "first_word", "first_number")
 
 
+# ---- A7 null-input guard: empty/null content → failure route ----
+
+@_q("null_guard", """
+SELECT CASE WHEN nullif(trim(text), '') IS NULL THEN 'failure'
+            ELSE 'success' END AS route,
+       count(*) AS n
+FROM documents GROUP BY 1
+""")
+def q_null_guard(spark, sf):
+    d = _t(spark, sf, "documents")
+    routed = route_column(
+        d, {"failure": "nullif(trim(text), '') IS NULL"}, default="success")
+    return routed.groupBy("route").agg(F.count("*").alias("n"))
+
+
+# ---- B8 AttributeCleaner: name sanitation visible in output schema ----
+
+@_q("clean_names", """
+SELECT doc_id, lang AS doc_lang_, source AS source_name FROM documents
+""")
+def q_clean_names(spark, sf):
+    from nifi_extracttext_processor_spark.operators.attributes import (
+        clean_names,
+    )
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("lang").alias("Doc-Lang!"),
+        F.col("source").alias("Source Name"))
+    # B8 rule (lowercase, [^a-z0-9_] → _) must yield exactly the oracle's
+    # aliases — the driver compares schemas, so the sanitizer is checked
+    return clean_names(d)
+
+
 # ---- B9 AttributesToJSON ----
 
 @_q("attrs_to_json", """
@@ -166,6 +199,38 @@ def q_roundtrip(spark, sf):
     e = _t(spark, sf, "events")
     return e.select("event_id",
                     F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+# ---- B10 InferAvroSchema: sampled-JSON schema inference ----
+
+@_q("infer_schema",
+    "SELECT 'struct<doc_id:bigint,lang:string,n_chars:bigint>'"
+    " AS schema_ddl")
+def q_infer_schema(spark, sf):
+    # the inferred DDL is deterministic for this table, so the oracle is
+    # the expected literal — a golden check the driver can hash
+    from nifi_extracttext_processor_spark.operators.attributes import (
+        attrs_to_json, infer_json_schema,
+    )
+    d = _t(spark, sf, "documents")
+    j = attrs_to_json(d, ["doc_id", "lang", "n_chars"])
+    schema = infer_json_schema(spark, j)
+    return spark.createDataFrame([(schema.simpleString(),)],
+                                 "schema_ddl string")
+
+
+# ---- B13+B14 MergeContent/PutFile: batched write → re-read, row-safe ----
+
+@_q("batch_roundtrip", "SELECT count(*) AS n_rows FROM documents")
+def q_batch_roundtrip(spark, sf):
+    import tempfile
+
+    from nifi_extracttext_processor_spark.operators.batch import write_files
+    d = _t(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="batch_rt_") + "/out"
+    write_files(d, path, fmt="parquet", mode="overwrite",
+                max_records_per_file=100)
+    return spark.read.parquet(path).agg(F.count("*").alias("n_rows"))
 
 
 # ---- B7 sentiment ----
@@ -401,6 +466,73 @@ def q_ann_lsh(spark, sf):
     qvec = [float(x) for x in
             e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return lsh_topk(e, qvec, k=10)
+
+
+# ---- extension: embedding-cosine LSH scale path (rows-only) ----
+
+@_q("dedup_embedding_lsh")
+def q_emb_dedup_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return dd.embedding_dup_pairs_lsh(e, threshold=0.5)
+
+
+# ---- extension: ANN via IVF cells (approximate → rows-only) ----
+
+@_q("ann_topk_ivf")
+def q_ann_ivf(spark, sf):
+    from nifi_extracttext_processor_spark.operators.similarity import ivf_topk
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(e, qvec, k=10)
+
+
+# ---- extension: multimodal image pipeline (stubbed decode; rows-only) ----
+
+def _fake_media(spark, sf, kind: str, mime: str):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"), F.lit(kind).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(mime).alias("mime_type"))
+
+
+@_q("multimodal_image_features")
+def q_mm_image(spark, sf):
+    from nifi_extracttext_processor_spark.operators.multimodal import (
+        decode_image, image_features,
+    )
+    media = _fake_media(spark, sf, "image", "image/png")
+    feats = image_features(decode_image(media, width=8, height=8),
+                           n_features=16)
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4)
+         .alias("feat_sum"))
+
+
+@_q("multimodal_frame_sample")
+def q_mm_frames(spark, sf):
+    from nifi_extracttext_processor_spark.operators.multimodal import (
+        sample_frames,
+    )
+    media = _fake_media(spark, sf, "video", "video/mp4")
+    frames = sample_frames(media, every_n=10, max_frames=3)
+    return frames.select("media_id", "frame_no",
+                         F.md5(F.col("frame")).alias("frame_md5"))
+
+
+@_q("multimodal_audio_mfcc")
+def q_mm_audio(spark, sf):
+    from nifi_extracttext_processor_spark.operators.multimodal import (
+        audio_features,
+    )
+    media = _fake_media(spark, sf, "audio", "audio/wav")
+    feats = audio_features(media, n_mfcc=8)
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("mfcc", F.lit(0.0), lambda a, x: a + x), 4)
+         .alias("mfcc_sum"))
 
 
 # ---- extension: language id ----
