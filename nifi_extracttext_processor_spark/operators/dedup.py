@@ -103,21 +103,40 @@ def shingles_sql(text_expr: str, n: int = DEFAULT_SHINGLE_N) -> str:
             f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
 
 
-def minhash_signature(sh: Column, k: int = DEFAULT_NUM_HASHES) -> Column:
-    """k permutation-free MinHashes: lexicographic min of md5('i:'‖s).
+_M32 = 4294967296  # 2^32
 
-    md5 is the portable hash family — identical in DuckDB, so signatures
-    (and therefore LSH results) are engine-independent.
+
+def minhash_signature(sh: Column, k: int = DEFAULT_NUM_HASHES) -> Column:
+    """k MinHashes from ONE md5 per shingle (Kirsch-Mitzenmacher:
+    h_i = (h1 + i·h2) mod 2^32 from the two 32-bit halves of md5).
+
+    One hash pass instead of k, and signatures are longs, not 32-char
+    strings — 8× less signature/shuffle payload. md5 + hex→int is the
+    portable hash family: DuckDB reproduces every value exactly.
     """
+    halves = F.transform(
+        F.transform(sh, F.md5),  # inner: md5 once per shingle
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2")))
     return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(
-            F.lit(f"{i}:"), s))))
+        F.array_min(F.transform(
+            halves, lambda e: (e["h1"] + i * e["h2"]) % _M32))
         for i in range(k)])
 
 
-def minhash_signature_sql(sh_expr: str, k: int = DEFAULT_NUM_HASHES) -> str:
+def minhash_halves_sql(sh_expr: str) -> str:
+    """DuckDB twin of the per-shingle (h1, h2) md5 halves."""
+    return (f"list_transform(list_transform({sh_expr}, s -> md5(s)), "
+            f"h -> {{h1: ('0x' || substr(h, 1, 8))::BIGINT, "
+            f"h2: ('0x' || substr(h, 9, 8))::BIGINT}})")
+
+
+def minhash_signature_sql(halves_expr: str,
+                          k: int = DEFAULT_NUM_HASHES) -> str:
     parts = ", ".join(
-        f"list_min(list_transform({sh_expr}, s -> md5('{i}:' || s)))"
+        f"list_min(list_transform({halves_expr}, "
+        f"e -> (e.h1 + {i} * e.h2) % {_M32}))"
         for i in range(k))
     return f"[{parts}]"
 
@@ -128,7 +147,8 @@ def minhash_bands(sig_col: Column, k: int = DEFAULT_NUM_HASHES,
     empty docs (null minhash) never join."""
     bands = []
     for b in range(k // rows):
-        slots = [sig_col.getItem(b * rows + r) for r in range(rows)]
+        slots = [sig_col.getItem(b * rows + r).cast("string")
+                 for r in range(rows)]
         parts: list[Column] = []
         for s in slots:
             parts += [s, F.lit("|")]
@@ -198,7 +218,8 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     """DuckDB twin of minhash_lsh_pairs (same constants and hashes)."""
     sh = shingles_sql(text_expr, n)
-    sig = minhash_signature_sql("sh", k)
+    halves = minhash_halves_sql("sh")
+    sig = minhash_signature_sql("halves", k)
     band_exprs = []
     for b in range(k // rows):
         slots = [f"sig[{b * rows + r + 1}]" for r in range(rows)]
@@ -207,8 +228,10 @@ def minhash_lsh_pairs_sql(
     return f"""
 WITH sh_t AS (
   SELECT {id_col}, {sh} AS sh FROM {table}
+), halves_t AS (
+  SELECT {id_col}, sh, {halves} AS halves FROM sh_t
 ), sig_t AS (
-  SELECT {id_col}, sh, {sig} AS sig FROM sh_t
+  SELECT {id_col}, sh, {sig} AS sig FROM halves_t
 ), banded AS (
   SELECT {id_col}, sh,
          unnest(range({k // rows})) AS band_id,
