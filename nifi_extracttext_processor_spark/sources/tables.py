@@ -18,6 +18,13 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The conf must be set on *this* session (callers may hand us a session
+    # built without it — e.g. an external harness) or the TIMESTAMP(NANOS)
+    # physical type in events.parquet is rejected with PARQUET_TYPE_ILLEGAL.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # pre-3.2 Sparks lack the conf; the read will surface any issue
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn(
