@@ -387,12 +387,14 @@ def q_simhash(spark, sf):
     return dd.simhash64_table(d.select("doc_id", "text"))
 
 
-# ---- extension: SimHash near-dup pairs (banded hamming; rows-only) ----
+# ---- extension: SimHash near-dup pairs (banded hamming) ----
 
-@_q("dedup_simhash_pairs")  # non-SQL-expressible comfortably → rows-only
+@_q("dedup_simhash_pairs", dd.simhash_pairs_sql(max_hamming=16))
 def q_simhash_pairs(spark, sf):
     d = _t(spark, sf, "documents")
-    return dd.simhash_pairs(d, max_hamming=16)
+    return (dd.simhash_pairs(d, max_hamming=16)
+            .select("id1", "id2",
+                    F.col("hamming").cast("long").alias("hamming")))
 
 
 # ---- extension: n-gram Jaccard (wide-band LSH + exact verify) ----
@@ -457,9 +459,15 @@ def q_ann(spark, sf):
         .limit(10))
 
 
-# ---- extension: ANN via LSH buckets (approximate → rows-only check) ----
+# ---- extension: ANN via LSH buckets (deterministic hyperplanes →
+# the approximate result itself is hash-checkable) ----
 
-@_q("ann_topk_lsh")
+from nifi_extracttext_processor_spark.operators.similarity import (  # noqa: E402
+    ivf_topk_sql, lsh_topk_sql,
+)
+
+
+@_q("ann_topk_lsh", lsh_topk_sql(k=10, query_id=0))
 def q_ann_lsh(spark, sf):
     from nifi_extracttext_processor_spark.operators.similarity import lsh_topk
     e = _t(spark, sf, "embeddings")
@@ -468,17 +476,17 @@ def q_ann_lsh(spark, sf):
     return lsh_topk(e, qvec, k=10)
 
 
-# ---- extension: embedding-cosine LSH scale path (rows-only) ----
+# ---- extension: embedding-cosine LSH scale path ----
 
-@_q("dedup_embedding_lsh")
+@_q("dedup_embedding_lsh", dd.embedding_dup_pairs_lsh_sql(threshold=0.5))
 def q_emb_dedup_lsh(spark, sf):
     e = _t(spark, sf, "embeddings")
     return dd.embedding_dup_pairs_lsh(e, threshold=0.5)
 
 
-# ---- extension: ANN via IVF cells (approximate → rows-only) ----
+# ---- extension: ANN via IVF cells (deterministic centroids) ----
 
-@_q("ann_topk_ivf")
+@_q("ann_topk_ivf", ivf_topk_sql(k=10, query_id=0))
 def q_ann_ivf(spark, sf):
     from nifi_extracttext_processor_spark.operators.similarity import ivf_topk
     e = _t(spark, sf, "embeddings")
@@ -497,7 +505,12 @@ def _fake_media(spark, sf, kind: str, mime: str):
         F.lit(mime).alias("mime_type"))
 
 
-@_q("multimodal_image_features")
+from nifi_extracttext_processor_spark.operators.multimodal import (  # noqa: E402
+    fake_audio_mfcc_sum_sql, fake_frame_sample_sql, fake_image_feat_sum_sql,
+)
+
+
+@_q("multimodal_image_features", fake_image_feat_sum_sql())
 def q_mm_image(spark, sf):
     from nifi_extracttext_processor_spark.operators.multimodal import (
         decode_image, image_features,
@@ -511,18 +524,21 @@ def q_mm_image(spark, sf):
          .alias("feat_sum"))
 
 
-@_q("multimodal_frame_sample")
+@_q("multimodal_frame_sample", fake_frame_sample_sql())
 def q_mm_frames(spark, sf):
     from nifi_extracttext_processor_spark.operators.multimodal import (
         sample_frames,
     )
     media = _fake_media(spark, sf, "video", "video/mp4")
     frames = sample_frames(media, every_n=10, max_frames=3)
-    return frames.select("media_id", "frame_no",
-                         F.md5(F.col("frame")).alias("frame_md5"))
+    # frame payload is binary; DuckDB md5 is VARCHAR-only, so both
+    # sides hash the uppercase-hex rendering of the digest
+    return frames.select("media_id",
+                         F.col("frame_no").cast("long").alias("frame_no"),
+                         F.md5(F.hex(F.col("frame"))).alias("frame_md5"))
 
 
-@_q("multimodal_audio_mfcc")
+@_q("multimodal_audio_mfcc", fake_audio_mfcc_sum_sql())
 def q_mm_audio(spark, sf):
     from nifi_extracttext_processor_spark.operators.multimodal import (
         audio_features,

@@ -28,9 +28,19 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input scan
     gave too few partitions (small files + heavy per-row compute —
     signature hashing cost tracks rows, not input bytes; SURVEY §4
-    'Parallelism'). No-op when the scan is already wide."""
+    'Parallelism').
+
+    Uses the leaf-file count as a cheap width proxy instead of
+    df.rdd.getNumPartitions() — building the RDD lineage costs a plan
+    conversion per call and defeats AQE. At scale the scan has >> target
+    files and this is a no-op (no shuffle of the wide input); only tiny
+    local inputs (one file / in-memory) get spread."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -182,8 +192,11 @@ def minhash_lsh_pairs(
     — candidate discovery shuffles ~40 bytes/row, not shingle arrays.
     Shingles travel only to verify surviving candidates.
     """
+    from .lifecycle import track_persist
+
     sh = shingles(text_col, n)
-    base = _spread(df).select(F.col(id_col), sh.alias("sh")).persist()
+    base = track_persist(
+        _spread(df).select(F.col(id_col), sh.alias("sh")))
     banded = (base
               .withColumn("sig", minhash_signature(F.col("sh"), k))
               .select(id_col, F.posexplode(F.array(
@@ -371,6 +384,81 @@ def simhash_pairs(
             .withColumn("hamming", hamming(F.col("s1"), F.col("s2")))
             .filter(F.col("hamming") <= max_hamming)
             .select("id1", "id2", "hamming"))
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB twin of simhash_pairs: same 4×16-bit chunk banding, same
+    nibble-XOR-popcount hamming — hash-matches the Spark result."""
+    sig = simhash64_sql(text_expr)
+    chunks = ", ".join(f"substr(sim, {b * 4 + 1}, 4)" for b in range(4))
+    ham = (
+        "CAST(list_sum(list_transform(range(16), i -> "
+        "bit_count(xor(strpos('0123456789abcdef', s1[i + 1]) - 1, "
+        "strpos('0123456789abcdef', s2[i + 1]) - 1)))) AS BIGINT)")
+    return f"""
+WITH sig_t AS (
+  SELECT {id_col}, {sig} AS sim FROM {table}
+), banded AS (
+  SELECT {id_col}, sim,
+         unnest(range(4)) AS chunk_id,
+         unnest([{chunks}]) AS chunk
+  FROM sig_t
+), cand AS (
+  SELECT l.{id_col} AS id1, r.{id_col} AS id2,
+         any_value(l.sim) AS s1, any_value(r.sim) AS s2
+  FROM banded l JOIN banded r
+    ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+   AND l.{id_col} < r.{id_col}
+  GROUP BY 1, 2
+), ham_t AS (
+  SELECT id1, id2, {ham} AS hamming FROM cand
+)
+SELECT id1, id2, hamming FROM ham_t WHERE hamming <= {max_hamming}
+"""
+
+
+def embedding_dup_pairs_lsh_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of embedding_dup_pairs_lsh — identical md5-seeded
+    hyperplanes (embedded as exact DOUBLE literals), banding, and
+    round-4 cosine verify, so the approximate path is hash-checkable."""
+    from ..functions.portable import band_keys_sql, cosine_sql
+
+    hps = random_hyperplanes(dim, planes)
+    band_exprs = ", ".join(band_keys_sql("v", hps, bands))
+    cos = cosine_sql("v1", "v2")
+    return f"""
+WITH v_t AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+), banded AS (
+  SELECT {id_col}, v,
+         unnest(range({bands})) AS band_id,
+         unnest([{band_exprs}]) AS band_key
+  FROM v_t
+), cand AS (
+  SELECT l.{id_col} AS id1, r.{id_col} AS id2,
+         any_value(l.v) AS v1, any_value(r.v) AS v2
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.{id_col} < r.{id_col}
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id1, id2, round({cos}, 4) AS cosine FROM cand
+)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------

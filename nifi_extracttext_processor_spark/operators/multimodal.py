@@ -95,15 +95,22 @@ def image_features(
         for pdf in batches:
             feats = []
             for px in pdf[pixels_col]:
-                arr = np.asarray(px, dtype=np.float32)
+                # float64 + explicit left-to-right block sums so the
+                # arithmetic is exactly reproducible in SQL (the DuckDB
+                # oracle computes (p1+p2+...)/w in the same order)
+                arr = np.asarray(px, dtype=np.float64)
                 if arr.size == 0:
                     feats.append([0.0] * n_features)
                     continue
                 pad = (-arr.size) % n_features
                 if pad:
                     arr = np.pad(arr, (0, pad))
-                feats.append([round(float(x), 6) for x in
-                              arr.reshape(n_features, -1).mean(axis=1)])
+                blocks = arr.reshape(n_features, -1)
+                acc = blocks[:, 0].copy()
+                for c in range(1, blocks.shape[1]):
+                    acc = acc + blocks[:, c]
+                means = acc / blocks.shape[1]
+                feats.append([round(float(x), 6) for x in means])
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf
@@ -158,23 +165,108 @@ def sample_frames(
               + ", frame_no INT, frame BINARY")
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
                     "real frame sampling needs ffmpeg/pyav; run fake=True")
-            rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col] or b"")
-                for f in range(max_frames):
-                    d = dict(row)
-                    d["frame_no"] = f * every_n
-                    d["frame"] = hashlib.md5(
-                        data + f"#{f * every_n}".encode()).digest()
-                    rows.append(d)
-            yield pd.DataFrame(rows, columns=list(pdf.columns)
-                               + ["frame_no", "frame"])
+            n = len(pdf)
+            # vectorized explode: repeat every input row max_frames times
+            # (no per-row dict building — index-repeat + tiled frame_no)
+            rep = pdf.loc[pdf.index.repeat(max_frames)].reset_index(drop=True)
+            frame_nos = np.tile(np.arange(max_frames) * every_n, n)
+            rep["frame_no"] = frame_nos.astype("int32")
+            rep["frame"] = [
+                hashlib.md5((bytes(c) if c is not None else b"")
+                            + f"#{fn}".encode()).digest()
+                for c, fn in zip(rep[content_col], frame_nos)]
+            yield rep
 
     return df.mapInPandas(_run, schema=schema)
+
+
+def fake_image_feat_sum_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    width: int = 8,
+    height: int = 8,
+    n_features: int = 16,
+) -> str:
+    """DuckDB twin of decode_image(fake) → image_features → feat_sum
+    over media faked from `text_expr` (content = UTF-8 bytes of text).
+
+    Reproduces the exact arithmetic: md5-seeded bytes, xor with pixel
+    index, /255 round-6, FLOAT storage truncation between the two
+    mapInPandas stages, fold-left block means, round-6 FLOAT features,
+    fold-left double sum round-4."""
+    n_px = width * height
+    assert n_px % n_features == 0
+    block = n_px // n_features
+    # pixel i: round((seed_byte[i % 16] XOR i) / 255, 6) stored as FLOAT
+    px = (f"list_transform(range({n_px}), i -> "
+          f"CAST(round(xor(('0x' || substr(hx, 2 * (i % 16) + 1, 2))::BIGINT,"
+          f" i) / 255.0, 6) AS FLOAT))")
+    mean = "(" + " + ".join(
+        f"pixels[{block} * j + {c + 1}]" + ("::DOUBLE" if c == 0 else "")
+        for c in range(block)) + f") / {block}.0"
+    feats = (f"list_transform(range({n_features}), j -> "
+             f"CAST(round({mean}, 6) AS FLOAT))")
+    return f"""
+WITH h_t AS (
+  SELECT {id_col} AS media_id, md5(coalesce({text_expr}, '')) AS hx
+  FROM {table}
+), px_t AS (
+  SELECT media_id, {px} AS pixels FROM h_t
+), feat_t AS (
+  SELECT media_id, {feats} AS features FROM px_t
+)
+SELECT media_id,
+       round(list_sum(list_transform(features, f -> f::DOUBLE)), 4)
+         AS feat_sum
+FROM feat_t
+"""
+
+
+def fake_frame_sample_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    every_n: int = 10,
+    max_frames: int = 3,
+) -> str:
+    """DuckDB twin of sample_frames(fake) → md5-of-hex(frame): the fake
+    frame is md5(content || '#' || frame_no) raw digest; DuckDB's md5
+    is VARCHAR-only, so both sides hash the UPPERCASE-hex digest."""
+    frame_nos = ", ".join(
+        str(f * every_n) for f in range(max_frames))
+    return f"""
+SELECT {id_col} AS media_id,
+       CAST(fn.frame_no AS BIGINT) AS frame_no,
+       md5(upper(md5(coalesce({text_expr}, '') || '#' || fn.frame_no)))
+         AS frame_md5
+FROM {table}, (SELECT unnest([{frame_nos}]) AS frame_no) fn
+"""
+
+
+def fake_audio_mfcc_sum_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    n_mfcc: int = 8,
+) -> str:
+    """DuckDB twin of audio_features(fake) → mfcc_sum: coefficient i is
+    byte 0 of md5(content || '#i') / 255 round-6 (FLOAT storage),
+    summed fold-left in double, round-4."""
+    coeff = (f"CAST(round((('0x' || substr(md5(coalesce({text_expr}, '') "
+             f"|| '#' || i), 1, 2))::BIGINT) / 255.0, 6) AS FLOAT)::DOUBLE")
+    return f"""
+SELECT {id_col} AS media_id,
+       round(list_sum(list_transform(range({n_mfcc}), i -> {coeff})), 4)
+         AS mfcc_sum
+FROM {table}
+"""
 
 
 def audio_features(
@@ -193,8 +285,12 @@ def audio_features(
                     "real audio features need torchaudio/librosa; "
                     "run fake=True")
             pdf = pdf.copy()
+            # coefficient index appended as ASCII ("#0".."#7") so the
+            # digest input never contains NUL bytes and the DuckDB
+            # oracle can reproduce it with VARCHAR md5()
             pdf["mfcc"] = [
-                [round(hashlib.md5(bytes(b or b"") + bytes([i])).digest()[0]
+                [round(hashlib.md5(
+                    bytes(b or b"") + f"#{i}".encode()).digest()[0]
                        / 255.0, 6) for i in range(n_mfcc)]
                 for b in pdf[content_col]]
             yield pdf

@@ -16,10 +16,14 @@ a 3-way route at 100 TB costs one pass, not three.
 
 from __future__ import annotations
 
-import uuid
+import re
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+_VIEW_LOCK = threading.Lock()
 
 
 def query_routes(
@@ -35,20 +39,32 @@ def query_routes(
     (56409-tika.xml:1871 region): routes with no rows are dropped from
     the result dict (costs an extra count per route — off by default
     for the lazy path).
+
+    Lifecycle: one STABLE temp view per view_name, atomically replaced
+    (never dropped — dropTempView would uncache the fan-out cache, and
+    per-call unique names grow the catalog forever in a long-running
+    session). Catalog footprint is bounded at one entry per view_name;
+    a module lock makes register+analyze safe for concurrent pipelines
+    in one session. With cache=True the INPUT df is marked cached so
+    the N routes share one scan; the caller owns that cache — call
+    df.unpersist() when the routes are consumed.
     """
     spark = df.sparkSession
     if cache:
         df = df.cache()
-    # unique view per call: concurrent pipelines must not collide
-    name = f"{view_name}_{uuid.uuid4().hex[:8]}"
-    df.createOrReplaceTempView(name)
+    name = f"__graft_{view_name.lower()}"
+    # word-boundary + case-insensitive so FROM(FLOWFILE), lowercase
+    # flowfile, and columns like X_FLOWFILE all behave correctly
+    pattern = re.compile(rf"\b{re.escape(view_name)}\b", re.IGNORECASE)
     out: dict[str, DataFrame] = {}
-    for route, sql in routes.items():
-        q = sql.replace(f" {view_name}", f" {name}")
-        routed = spark.sql(q)
-        if drop_empty and routed.isEmpty():
-            continue
-        out[route] = routed
+    with _VIEW_LOCK:
+        df.createOrReplaceTempView(name)
+        for route, sql in routes.items():
+            q = pattern.sub(name, sql)
+            routed = spark.sql(q)  # analyzes eagerly: view binding is done
+            if drop_empty and routed.isEmpty():
+                continue
+            out[route] = routed
     return out
 
 

@@ -115,6 +115,93 @@ def lsh_topk(
             .limit(k))
 
 
+def lsh_topk_sql(
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of lsh_topk when the query vector is a table row
+    (`query_id`): identical md5-seeded hyperplanes as DOUBLE literals,
+    so the band restriction — and therefore the approximate result —
+    is deterministic and hash-checkable."""
+    from ..functions.portable import band_keys_sql, cosine_sql
+
+    hps = random_hyperplanes(dim, planes)
+    vbands = ", ".join(band_keys_sql("v", hps, bands))
+    qbands = ", ".join(band_keys_sql("qv", hps, bands))
+    match = " OR ".join(f"vbands[{b + 1}] = qbands[{b + 1}]"
+                        for b in range(bands))
+    cos = cosine_sql("v", "qv")
+    return f"""
+WITH v_t AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+), q_t AS (
+  SELECT v AS qv FROM v_t WHERE {id_col} = {query_id}
+), vb AS (
+  SELECT {id_col}, v, [{vbands}] AS vbands FROM v_t
+), qb AS (
+  SELECT qv, [{qbands}] AS qbands FROM q_t
+)
+SELECT {id_col}, round({cos}, 4) AS cosine
+FROM vb, qb
+WHERE {match}
+ORDER BY cosine DESC, {id_col} ASC
+LIMIT {k}
+"""
+
+
+def ivf_topk_sql(
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of ivf_topk: centroids = the n_cells lowest-id rows
+    (same deterministic 'sample' as the Spark path), round-6 cell
+    assignment with first-max tie-break, round-6 probe selection."""
+    from ..functions.portable import cosine_sql
+
+    return f"""
+WITH v_t AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+), q_t AS (
+  SELECT v AS qv FROM v_t WHERE {id_col} = {query_id}
+), cents AS (
+  SELECT row_number() OVER (ORDER BY {id_col} ASC) - 1 AS ci, v AS c
+  FROM v_t ORDER BY {id_col} ASC LIMIT {n_cells}
+), sims AS (
+  SELECT v_t.{id_col}, v_t.v, cents.ci,
+         round({cosine_sql('v_t.v', 'cents.c')}, 6) AS s
+  FROM v_t CROSS JOIN cents
+), cellof AS (
+  SELECT {id_col}, v, ci AS cell FROM (
+    SELECT {id_col}, v, ci,
+           row_number() OVER (PARTITION BY {id_col}
+                              ORDER BY s DESC, ci ASC) AS rn
+    FROM sims) ranked
+  WHERE rn = 1
+), qsims AS (
+  SELECT cents.ci, round({cosine_sql('q_t.qv', 'cents.c')}, 6) AS s
+  FROM q_t CROSS JOIN cents
+), probe AS (
+  SELECT ci FROM qsims ORDER BY s DESC, ci ASC LIMIT {nprobe}
+)
+SELECT cellof.{id_col},
+       round({cosine_sql('cellof.v', 'q_t.qv')}, 4) AS cosine
+FROM cellof JOIN probe ON cellof.cell = probe.ci CROSS JOIN q_t
+ORDER BY cosine DESC, cellof.{id_col} ASC
+LIMIT {k}
+"""
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -141,19 +228,22 @@ def ivf_topk(
         # array column. (A when()-chain argmax duplicates the running
         # best expression in BOTH branches each step — exponential
         # tree growth that OOMs the driver at n_cells=16.)
+        # round(…,6) so cell assignment is reproducible across engines
+        # (the DuckDB oracle rounds identically before its argmax).
         return F.array(*[
-            cosine(vec, F.array(*[F.lit(x) for x in cv]))
+            F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6)
             for cv in cents])
 
     def q_cells() -> list[int]:
         import math
         sims = []
-        qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+        qn = math.sqrt(sum(x * x for x in query_vec))
         for ci, cv in enumerate(cents):
-            cn = math.sqrt(sum(x * x for x in cv)) or 1.0
+            cn = math.sqrt(sum(x * x for x in cv))
             dot = sum(x * y for x, y in zip(query_vec, cv))
-            sims.append((dot / (qn * cn), ci))
-        sims.sort(reverse=True)
+            s = round(dot / (qn * cn), 6) if qn > 0 and cn > 0 else 0.0
+            sims.append((s, ci))
+        sims.sort(key=lambda t: (-t[0], t[1]))  # ties → lowest cell id
         return [ci for _, ci in sims[:nprobe]]
 
     v = df.select(F.col(id_col), _as_double(vec_col).alias("v"))

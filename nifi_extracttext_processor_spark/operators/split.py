@@ -33,12 +33,15 @@ def split_lines(
     trimming trailing empty lines before the explode (so a final "\\n"
     doesn't emit an empty split).
     """
+    import re
+
+    delim = re.escape(delimiter)  # regex-special delimiters (".", "|") split literally
     src = F.col(text_col)
     if remove_trailing_newlines:
         # strip only TRAILING newline runs — interior empties survive,
         # matching SplitText's Remove Trailing Newlines semantics
-        src = F.regexp_replace(src, f"{delimiter}+$", "")
-    parts = F.split(src, delimiter)
+        src = F.regexp_replace(src, f"{delim}+$", "")
+    parts = F.split(src, delim)
     keep = [c for c in df.columns if not (drop_text and c == text_col)]
     return (df
             .withColumn("__parts", parts)

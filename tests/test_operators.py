@@ -300,3 +300,63 @@ class TestMultimodal:
                                         content=bytearray(b"x"))])
         with pytest.raises(Exception, match="Pillow|NotImplemented"):
             decode_image(df, fake=False).collect()
+
+
+class TestLifecycleHygiene:
+    def test_query_routes_bounded_catalog_and_cache(self, spark):
+        """100 sequential route calls: catalog stays at one stable view,
+        the fan-out cache survives, odd FLOWFILE spellings resolve."""
+        from nifi_extracttext_processor_spark.operators.routing import (
+            query_routes,
+        )
+        df = spark.createDataFrame(
+            [(1, "NEGATIVE"), (2, "POSITIVE"), (3, "NEUTRAL")],
+            "id long, sentiment string")
+        for i in range(100):
+            routes = query_routes(df, {
+                "bad": "SELECT * FROM FLOWFILE WHERE sentiment='NEGATIVE'",
+                "good": "SELECT * FROM(flowfile) WHERE sentiment='POSITIVE'",
+            }, cache=(i == 0))
+        views = [t.name for t in spark.catalog.listTables()
+                 if t.name.startswith("__graft_")]
+        assert views == ["__graft_flowfile"]
+        assert routes["bad"].count() == 1
+        assert routes["good"].count() == 1
+        plan = (routes["good"]._jdf.queryExecution()
+                .optimizedPlan().toString())
+        assert "InMemoryRelation" in plan
+        df.unpersist()
+
+    def test_flowfile_rewrite_word_boundary(self, spark):
+        """A column literally named X_FLOWFILE must NOT be rewritten."""
+        from nifi_extracttext_processor_spark.operators.routing import (
+            query_routes,
+        )
+        df = spark.createDataFrame([(1, 7)], "id long, X_FLOWFILE long")
+        routes = query_routes(
+            df, {"all": "SELECT X_FLOWFILE FROM FLOWFILE"}, cache=False)
+        assert routes["all"].collect()[0][0] == 7
+
+    def test_minhash_persist_released(self, spark):
+        from nifi_extracttext_processor_spark.operators import dedup as dd
+        from nifi_extracttext_processor_spark.operators import lifecycle
+        df = spark.createDataFrame(
+            [(i, f"the quick brown fox {i} jumps over the lazy dog")
+             for i in range(20)], "doc_id long, text string")
+        lifecycle.release_all()
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        dd.minhash_lsh_pairs(df, threshold=0.1).count()
+        assert lifecycle.live_count() >= 1
+        freed = lifecycle.release_all(blocking=True)
+        assert freed >= 1
+        # no net block-manager growth from the operator call
+        assert jsc.getPersistentRDDs().size() <= before
+
+    def test_split_lines_regex_special_delimiter(self, spark):
+        from nifi_extracttext_processor_spark.operators.split import (
+            split_lines,
+        )
+        df = spark.createDataFrame([(1, "a.b.c...")], "id long, text string")
+        out = split_lines(df, delimiter=".").collect()
+        assert [r["line"] for r in out] == ["a", "b", "c"]
