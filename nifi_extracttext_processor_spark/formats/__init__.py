@@ -15,13 +15,16 @@ from __future__ import annotations
 from . import mime as m
 from .html import html_to_text, render_xhtml
 from .legacy_doc import extract_doc_text, extract_xls_text
+from .legacy_ppt import extract_ppt_text
 from .mime import detect_mime
-from .ooxml import extract_docx_text, extract_xlsx_text
+from .ooxml import extract_docx_text, extract_pptx_text, extract_xlsx_text
 from .pdf import extract_pdf_text
+from .rtf import extract_rtf_text
 
 __all__ = [
     "detect_mime", "extract_any", "extract_pdf_text", "extract_docx_text",
     "extract_xlsx_text", "extract_doc_text", "extract_xls_text",
+    "extract_pptx_text", "extract_ppt_text", "extract_rtf_text",
     "html_to_text", "render_xhtml",
 ]
 
@@ -55,6 +58,12 @@ def extract_any(
             text = extract_xlsx_text(data)
         elif detected == m.MIME_XLS:
             text = extract_xls_text(data)
+        elif detected == m.MIME_PPTX:
+            text = extract_pptx_text(data)
+        elif detected == m.MIME_PPT:
+            text = extract_ppt_text(data)
+        elif detected == m.MIME_RTF:
+            text = extract_rtf_text(data)
         elif detected == m.MIME_HTML:
             text = html_to_text(data)
         elif detected in (m.MIME_TEXT, m.MIME_JSON):

@@ -21,6 +21,7 @@ MIME_XLSX = ("application/vnd.openxmlformats-officedocument"
              ".spreadsheetml.sheet")
 MIME_PPTX = ("application/vnd.openxmlformats-officedocument"
              ".presentationml.presentation")
+MIME_RTF = "application/rtf"
 MIME_HTML = "text/html"
 MIME_TEXT = "text/plain"
 MIME_JSON = "application/json"
@@ -84,6 +85,8 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
         return _ole_kind(data)
     if head.startswith(b"PK\x03\x04"):
         return _zip_kind(data, filename)
+    if head.startswith(b"{\\rtf"):
+        return MIME_RTF
     if _looks_html(head):
         return MIME_HTML
     stripped = head.lstrip()

@@ -154,6 +154,9 @@ def media_metadata(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.metadata import (
+            html_title, ooxml_core_props, pdf_info,
+        )
 
         for pdf in batches:
             metas = []
@@ -163,13 +166,21 @@ def media_metadata(
                 fname = fnames.iloc[i] if fnames is not None else None
                 md: dict[str, str] = {}
                 if data is not None:
-                    md["Content-Type"] = detect_mime(data, fname)
+                    mime = detect_mime(data, fname)
+                    md["Content-Type"] = mime
                     md["Content-Length"] = str(len(data))
                     if fname:
                         md["resourceName"] = str(fname)
                     if data.startswith(b"%PDF-"):
                         md["pdf:PDFVersion"] = data[5:8].decode(
                             "ascii", "replace")
+                        md.update(pdf_info(data))
+                    elif data.startswith(b"PK\x03\x04"):
+                        md.update(ooxml_core_props(data))
+                    elif mime == "text/html":
+                        title = html_title(data)
+                        if title:
+                            md["dc:title"] = title
                 md = dict(list(md.items())[:max_attrs])
                 metas.append({k: v[:max_attr_len] for k, v in md.items()})
             pdf = pdf.copy()

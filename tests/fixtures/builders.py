@@ -228,3 +228,64 @@ def _build_ole2(streams: dict[str, bytes]) -> bytes:
     struct.pack_into("<109I", header, 76, *difat)
 
     return bytes(header) + fat_raw + dir_raw + b"".join(payload_sectors)
+
+
+def build_pptx(slides: list[list[str]]) -> bytes:
+    """Minimal PPTX: one ppt/slides/slideN.xml per deck slide."""
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    ct_overrides = []
+    parts = {}
+    for i, paras in enumerate(slides, start=1):
+        body = "".join(
+            f'<a:p><a:r><a:t>{t}</a:t></a:r></a:p>' for t in paras)
+        parts[f"ppt/slides/slide{i}.xml"] = (
+            f'<?xml version="1.0"?>'
+            f'<p:sld xmlns:p="{p}" xmlns:a="{a}"><p:cSld><p:spTree>'
+            f'<p:sp><p:txBody>{body}</p:txBody></p:sp>'
+            f'</p:spTree></p:cSld></p:sld>')
+        ct_overrides.append(
+            f'<Override PartName="/ppt/slides/slide{i}.xml" ContentType='
+            f'"application/vnd.openxmlformats-officedocument.presentationml'
+            f'.slide+xml"/>')
+    parts["ppt/presentation.xml"] = (
+        f'<?xml version="1.0"?><p:presentation xmlns:p="{p}"/>')
+    ct = ('<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+          '.org/package/2006/content-types">'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          + "".join(ct_overrides) + "</Types>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        for name, xml in parts.items():
+            zf.writestr(name, xml)
+    return buf.getvalue()
+
+
+def build_ppt(texts: list[str], utf16: bool = True) -> bytes:
+    """Minimal PowerPoint-97 binary: OLE2 container whose 'PowerPoint
+    Document' stream holds one SlideListWithText container (0x0FF0)
+    wrapping a TextCharsAtom (0x0FA0) or TextBytesAtom (0x0FA8) per
+    text block."""
+    def rec(ver_inst: int, rtype: int, payload: bytes) -> bytes:
+        return struct.pack("<HHI", ver_inst, rtype, len(payload)) + payload
+
+    atoms = b"".join(
+        rec(0, 0x0FA0, t.encode("utf-16-le")) if utf16
+        else rec(0, 0x0FA8, t.encode("cp1252"))
+        for t in texts)
+    doc = rec(0x000F, 0x0FF0, atoms)
+    return _build_ole2({"PowerPoint Document": doc,
+                        "Current User": b"\x00" * 16})
+
+
+def build_rtf(paragraphs: list[str]) -> bytes:
+    r"""Small RTF with a font table (must be skipped by the extractor),
+    a \uN unicode escape, and one \par per paragraph."""
+    body = r"\par ".join(
+        p.replace("\\", r"\\").replace("{", r"\{").replace("}", r"\}")
+        for p in paragraphs)
+    rtf = (r"{\rtf1\ansi\deff0{\fonttbl{\f0 Helvetica;}}"
+           r"{\colortbl;\red0\green0\blue0;}"
+           r"\f0\fs24 " + body + r"\par}")
+    return rtf.encode("cp1252")

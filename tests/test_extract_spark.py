@@ -124,3 +124,27 @@ def test_extraction_plan_is_narrow(docs_df):
     """Extraction must not shuffle — embarrassingly parallel at 100 TB."""
     plan = extract_text(docs_df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_media_metadata_widened(spark, reference_fixture):
+    """B3 Tika-surface widening: PDF Info dict, OOXML core props, HTML
+    title all land in the metadata map (reference template region
+    56409-tika.xml:1761; caps 5000/2048 still honored)."""
+    from tests.fixtures.builders import build_pptx
+    html = b"<html><head><title>Page Title</title></head><body>x</body></html>"
+    df = spark.createDataFrame([
+        Row(doc_id=0, filename="big.pdf",
+            content=bytearray(reference_fixture("big.pdf"))),
+        Row(doc_id=1, filename="d.pptx",
+            content=bytearray(build_pptx([["Hello"]]))),
+        Row(doc_id=2, filename="p.html", content=bytearray(html)),
+    ], DOC_SCHEMA)
+    md = {r["filename"]: r["metadata"] for r in media_metadata(df).collect()}
+    # PDF Info dictionary (real reference fixture values)
+    assert md["big.pdf"]["dc:title"] == "Hortonworks DataFlow - Getting Started"
+    assert md["big.pdf"]["pdf:Producer"] == "Apache FOP Version 1.0"
+    assert md["big.pdf"]["xmp:CreatorTool"] == "Cloud API Docs Plugin"
+    # OOXML package without docProps still yields base attrs, no crash
+    assert md["d.pptx"]["Content-Type"].endswith("presentation")
+    # HTML title
+    assert md["p.html"]["dc:title"] == "Page Title"

@@ -9,7 +9,8 @@ from nifi_extracttext_processor_spark.formats import (
     extract_pdf_text, html_to_text, render_xhtml,
 )
 from tests.fixtures.builders import (
-    build_doc, build_docx, build_pdf, build_xlsx,
+    build_doc, build_docx, build_pdf, build_ppt, build_pptx, build_rtf,
+    build_xlsx,
 )
 
 
@@ -112,3 +113,71 @@ class TestSyntheticFormats:
     def test_unicode_escapes_in_pdf(self):
         data = build_pdf(["paren ( inside ) ok", "back\\slash"])
         assert extract_pdf_text(data) == "paren ( inside ) ok\nback\\slash"
+
+
+class TestPresentationAndRtf:
+    """PPTX/PPT/RTF coverage — the reference handles these via Tika
+    AutoDetectParser (ExtractTextProcessor.java:158,173-176)."""
+
+    def test_pptx_golden(self):
+        from nifi_extracttext_processor_spark.formats import (
+            detect_mime, extract_any, extract_pptx_text,
+        )
+        from nifi_extracttext_processor_spark.formats import mime as m
+        data = build_pptx([["A Simple PPTX Deck", "Second line"],
+                           ["Slide two"]])
+        assert detect_mime(data, "deck.pptx") == m.MIME_PPTX
+        assert extract_pptx_text(data).startswith("A Simple PPTX Deck")
+        text, mime, err = extract_any(data, "deck.pptx")
+        assert err is None and mime == m.MIME_PPTX
+        assert text == "A Simple PPTX Deck\nSecond line\nSlide two\n"
+
+    def test_pptx_slide_order_numeric(self):
+        # slide10 must come after slide2 (numeric, not lexicographic)
+        from nifi_extracttext_processor_spark.formats import (
+            extract_pptx_text,
+        )
+        slides = [[f"slide {i}"] for i in range(1, 12)]
+        text = extract_pptx_text(build_pptx(slides))
+        assert text.splitlines() == [f"slide {i}" for i in range(1, 12)]
+
+    def test_ppt_utf16_and_bytes_atoms(self):
+        from nifi_extracttext_processor_spark.formats import (
+            detect_mime, extract_any, extract_ppt_text,
+        )
+        from nifi_extracttext_processor_spark.formats import mime as m
+        data = build_ppt(["A Simple PPT File", "More text"])
+        assert detect_mime(data, "deck.ppt") == m.MIME_PPT
+        assert extract_ppt_text(data) == "A Simple PPT File\nMore text\n"
+        data8 = build_ppt(["Café bytes"], utf16=False)
+        text, mime, err = extract_any(data8, "deck.ppt")
+        assert err is None and text == "Café bytes\n"
+
+    def test_rtf_golden_with_skipped_tables(self):
+        from nifi_extracttext_processor_spark.formats import (
+            detect_mime, extract_any,
+        )
+        from nifi_extracttext_processor_spark.formats import mime as m
+        data = build_rtf(["A Simple RTF File", "Par two"])
+        assert detect_mime(data, "doc.rtf") == m.MIME_RTF
+        text, mime, err = extract_any(data, "doc.rtf")
+        assert err is None and mime == m.MIME_RTF
+        # font/color tables must not leak into the text
+        assert text == "A Simple RTF File\nPar two\n"
+        assert "Helvetica" not in text
+
+    def test_rtf_unicode_escape(self):
+        from nifi_extracttext_processor_spark.formats import (
+            extract_rtf_text,
+        )
+        rtf = (rb"{\rtf1\ansi\uc1 caf\u233? and \'e9 and "
+               rb"{\*\secret hidden}done\par}")
+        text = extract_rtf_text(rtf)
+        assert "café and é and done" in text
+        assert "hidden" not in text
+
+    def test_truncation_applies_to_new_formats(self):
+        from nifi_extracttext_processor_spark.formats import extract_any
+        data = build_pptx([["A Simple PPTX Deck"]])
+        text, _, err = extract_any(data, "d.pptx", max_text_length=8)
+        assert err is None and text == "A Simple"
