@@ -495,6 +495,39 @@ def q_ann_ivf(spark, sf):
     return ivf_topk(e, qvec, k=10)
 
 
+# ---- extension: indexed ANN (build once, partition-pruned lookups;
+# identical results to the unindexed paths → same oracles) ----
+
+@_q("ann_topk_lsh_indexed", lsh_topk_sql(k=10, query_id=0))
+def q_ann_lsh_indexed(spark, sf):
+    import tempfile
+
+    from nifi_extracttext_processor_spark.operators.similarity import (
+        build_lsh_index, lsh_topk_indexed,
+    )
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = tempfile.mkdtemp(prefix="lsh_idx_") + "/idx"
+    build_lsh_index(e, path)
+    return lsh_topk_indexed(spark, path, qvec, k=10)
+
+
+@_q("ann_topk_ivf_indexed", ivf_topk_sql(k=10, query_id=0))
+def q_ann_ivf_indexed(spark, sf):
+    import tempfile
+
+    from nifi_extracttext_processor_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_indexed,
+    )
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/idx"
+    build_ivf_index(e, path)
+    return ivf_topk_indexed(spark, path, qvec, k=10)
+
+
 # ---- extension: multimodal image pipeline (stubbed decode; rows-only) ----
 
 def _fake_media(spark, sf, kind: str, mime: str):

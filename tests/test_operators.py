@@ -360,3 +360,49 @@ class TestLifecycleHygiene:
         df = spark.createDataFrame([(1, "a.b.c...")], "id long, text string")
         out = split_lines(df, delimiter=".").collect()
         assert [r["line"] for r in out] == ["a", "b", "c"]
+
+
+class TestAnnIndex:
+    """Persisted ANN index path (VERDICT r1 scale gap): queries must
+    partition-prune instead of re-hashing the full table per lookup."""
+
+    @staticmethod
+    def _vectors(spark, n=120, dim=16):
+        rows = [(i, [((i * 31 + j * 7) % 17 - 8) / 8.0
+                     for j in range(dim)]) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_lsh_index_matches_unindexed_and_prunes(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            build_lsh_index, lsh_topk, lsh_topk_indexed,
+        )
+        df = self._vectors(spark)
+        qvec = df.filter("vec_id = 5").first()["embedding"]
+        path = str(tmp_path / "lsh_idx")
+        build_lsh_index(df, path)
+        indexed = lsh_topk_indexed(spark, path, qvec, k=10)
+        direct = lsh_topk(df, qvec, k=10)
+        assert [tuple(r) for r in indexed.collect()] == \
+               [tuple(r) for r in direct.collect()]
+        # the scan must carry partition filters on (band_id, band_key)
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        part_section = plan.split("PartitionFilters")[1][:400]
+        assert "band_key" in part_section and "band_id" in part_section
+
+    def test_ivf_index_matches_unindexed_and_prunes(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            build_ivf_index, ivf_topk, ivf_topk_indexed,
+        )
+        df = self._vectors(spark)
+        qvec = df.filter("vec_id = 5").first()["embedding"]
+        path = str(tmp_path / "ivf_idx")
+        build_ivf_index(df, path, n_cells=8)
+        indexed = ivf_topk_indexed(spark, path, qvec, k=10, nprobe=3)
+        direct = ivf_topk(df, qvec, k=10, n_cells=8, nprobe=3)
+        assert [tuple(r) for r in indexed.collect()] == \
+               [tuple(r) for r in direct.collect()]
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "cell" in plan.split("PartitionFilters")[1][:400]
