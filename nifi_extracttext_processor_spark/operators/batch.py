@@ -30,8 +30,9 @@ def bin_pack(
     """
     n = approx_rows if approx_rows is not None else df.count()
     bins = max(1, math.ceil(n / max_entries))
-    return df.coalesce(bins) if bins < df.rdd.getNumPartitions() \
-        else df.repartition(bins)
+    # repartition unconditionally: coalesce can't widen, and probing
+    # df.rdd.getNumPartitions() forces an RDD conversion per call
+    return df.repartition(bins)
 
 
 def write_files(
@@ -50,6 +51,15 @@ def write_files(
     — the right call at 100 TB) with fmt='avro' available when the
     runtime ships the connector.
     """
+    if fmt == "avro":
+        from ..sinks.connectors import avro_available
+
+        if not avro_available(df.sparkSession):
+            raise RuntimeError(
+                "Avro format unavailable: spark-avro is not on the "
+                "classpath. Launch with SPARK_GRAFT_PACKAGES="
+                "org.apache.spark:spark-avro_2.13:<spark-version> "
+                "(or use the parquet default)")
     writer = (df.write.mode(mode)
               .option("maxRecordsPerFile", max_records_per_file))
     if partition_by:

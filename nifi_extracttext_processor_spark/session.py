@@ -18,6 +18,9 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # optional connector jars (Avro merge format / Kafka sink — B13/B15):
+    # SPARK_GRAFT_PACKAGES="org.apache.spark:spark-avro_2.13:4.0.0,..."
+    packages = os.environ.get("SPARK_GRAFT_PACKAGES", "")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -40,6 +43,8 @@ def get_spark(
         # rejects; read as long and convert in sources.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if packages:
+        builder = builder.config("spark.jars.packages", packages)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

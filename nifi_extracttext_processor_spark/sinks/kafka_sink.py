@@ -36,7 +36,19 @@ def write_kafka(
     value_cols: list[str] | None = None,
     key_col: str | None = None,
 ) -> None:
-    """Batch Kafka write (use .writeStream in streaming pipelines)."""
+    """Batch Kafka write (use .writeStream in streaming pipelines).
+
+    Runnable wherever the connector jar is present — launch with
+    SPARK_GRAFT_PACKAGES including spark-sql-kafka (see
+    sinks.connectors); probe with connectors.kafka_available(spark).
+    """
+    from .connectors import kafka_available
+
+    if not kafka_available(df.sparkSession):
+        raise RuntimeError(
+            "Kafka sink unavailable: spark-sql-kafka is not on the "
+            "classpath. Launch with SPARK_GRAFT_PACKAGES="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>")
     payload = serialize_records(df, value_cols, key_col)
     try:
         (payload.write.format("kafka")

@@ -406,3 +406,28 @@ class TestAnnIndex:
         plan = indexed._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
         assert "cell" in plan.split("PartitionFilters")[1][:400]
+
+
+class TestConnectorGating:
+    """B13 Avro / B15 Kafka: paths must be provably runnable where the
+    jars exist, and fail with actionable errors where they don't."""
+
+    def test_probes_report_missing_connectors(self, spark):
+        from nifi_extracttext_processor_spark.sinks.connectors import (
+            avro_available, kafka_available,
+        )
+        # this container ships neither package
+        assert avro_available(spark) is False
+        assert kafka_available(spark) is False
+
+    def test_avro_write_raises_actionable(self, spark, tmp_path):
+        with pytest.raises(RuntimeError, match="SPARK_GRAFT_PACKAGES"):
+            write_files(spark.range(3), str(tmp_path / "a"), fmt="avro")
+
+    def test_kafka_write_raises_actionable(self, spark):
+        from nifi_extracttext_processor_spark.sinks.kafka_sink import (
+            write_kafka,
+        )
+        df = spark.createDataFrame([Row(doc_id=1, text="t")])
+        with pytest.raises(RuntimeError, match="SPARK_GRAFT_PACKAGES"):
+            write_kafka(df, "topic")
