@@ -157,6 +157,9 @@ def media_metadata(
         from nifi_extracttext_processor_spark.formats.metadata import (
             html_title, ooxml_core_props, pdf_info,
         )
+        from nifi_extracttext_processor_spark.formats.oleps import (
+            summary_info,
+        )
 
         for pdf in batches:
             metas = []
@@ -177,6 +180,9 @@ def media_metadata(
                         md.update(pdf_info(data))
                     elif data.startswith(b"PK\x03\x04"):
                         md.update(ooxml_core_props(data))
+                    elif data.startswith(
+                            b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+                        md.update(summary_info(data))
                     elif mime == "text/html":
                         title = html_title(data)
                         if title:

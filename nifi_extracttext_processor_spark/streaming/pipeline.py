@@ -98,6 +98,28 @@ def windowed_event_counts(
                     "n_events", "total_value"))
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each normalized
+    fingerprint within the watermark horizon.
+
+    100 TB posture: state holds only (fingerprint, window) keys — 32
+    bytes per distinct doc inside the horizon, evicted by the watermark
+    (dropDuplicatesWithinWatermark), so state size is bounded by the
+    dedup window, not the corpus. The text itself never enters state.
+    """
+    from ..operators.dedup import _norm
+
+    return (docs
+            .withColumn("fingerprint", F.md5(_norm(text_col)))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["fingerprint"]))
+
+
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),

@@ -148,3 +148,17 @@ def test_media_metadata_widened(spark, reference_fixture):
     assert md["d.pptx"]["Content-Type"].endswith("presentation")
     # HTML title
     assert md["p.html"]["dc:title"] == "Page Title"
+
+
+def test_media_metadata_legacy_summary_info(spark, reference_fixture):
+    """OLE SummaryInformation ([MS-OLEPS]) surfaces for legacy Office
+    files — values asserted against the real reference simple.doc."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, filename="simple.doc",
+             content=bytearray(reference_fixture("simple.doc")))],
+        DOC_SCHEMA)
+    md = media_metadata(df).collect()[0]["metadata"]
+    assert md["meta:last-author"] == "Willy Demis"
+    assert md["extended-properties:Application"] == \
+        "Microsoft Macintosh Word"
+    assert md["dcterms:modified"] == "2018-02-21T20:00:00Z"

@@ -78,3 +78,32 @@ def test_windowed_event_counts_batch_shape(spark, sf_dir):
     assert row["n_events"] >= 1
     assert set(out.columns) == {"hour", "event_type", "n_events",
                                 "total_value"}
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup keeps first arrival per fingerprint within
+    the watermark horizon (dropDuplicatesWithinWatermark state shape)."""
+    import datetime as dt
+
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        stream_dedup_exact,
+    )
+    src = str(tmp_path / "src")
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [(i, ["same text", "Same   TEXT", f"unique {i}"][i % 3],
+             base + dt.timedelta(minutes=i)) for i in range(9)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp")
+              .parquet(src))
+    out = stream_dedup_exact(stream, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id, text FROM dedup_t").collect()
+    texts = sorted(r["text"].lower().replace("   ", " ") for r in got)
+    # 3 "unique i" docs survive; the 6 same-text docs collapse to 1
+    assert len(got) == 4
+    assert texts.count("same text") == 1
