@@ -174,19 +174,22 @@ def media_metadata(
                     md["Content-Length"] = str(len(data))
                     if fname:
                         md["resourceName"] = str(fname)
-                    if data.startswith(b"%PDF-"):
-                        md["pdf:PDFVersion"] = data[5:8].decode(
-                            "ascii", "replace")
-                        md.update(pdf_info(data))
-                    elif data.startswith(b"PK\x03\x04"):
-                        md.update(ooxml_core_props(data))
-                    elif data.startswith(
-                            b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
-                        md.update(summary_info(data))
-                    elif mime == "text/html":
-                        title = html_title(data)
-                        if title:
-                            md["dc:title"] = title
+                    try:  # metadata is best-effort: never fail the task
+                        if data.startswith(b"%PDF-"):
+                            md["pdf:PDFVersion"] = data[5:8].decode(
+                                "ascii", "replace")
+                            md.update(pdf_info(data))
+                        elif data.startswith(b"PK\x03\x04"):
+                            md.update(ooxml_core_props(data))
+                        elif data.startswith(
+                                b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+                            md.update(summary_info(data))
+                        elif mime == "text/html":
+                            title = html_title(data)
+                            if title:
+                                md["dc:title"] = title
+                    except Exception:
+                        pass
                 md = dict(list(md.items())[:max_attrs])
                 metas.append({k: v[:max_attr_len] for k, v in md.items()})
             pdf = pdf.copy()

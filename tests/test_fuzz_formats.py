@@ -1,0 +1,68 @@
+"""Robustness fuzzing: extract_any must NEVER raise — malformed input
+is a failure ROUTE (A6 semantics), not an exception. Mirrors the
+reference's catch-all error capture (ExtractTextProcessor.java:178-189,
+227-233) under adversarial bytes."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nifi_extracttext_processor_spark.formats import detect_mime, extract_any
+from nifi_extracttext_processor_spark.formats.metadata import (
+    html_title, ooxml_core_props, pdf_info,
+)
+from nifi_extracttext_processor_spark.formats.oleps import summary_info
+
+_FAST = settings(max_examples=150, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+@_FAST
+@given(st.binary(max_size=4096))
+def test_extract_any_never_raises(data):
+    text, mime, err = extract_any(data, "fuzz.bin")
+    assert isinstance(text, str) and isinstance(mime, str)
+    assert err is None or isinstance(err, str)
+    if err is not None:
+        assert text == ""  # A6 quirk: empty content on failure
+
+
+@_FAST
+@given(st.binary(max_size=4096))
+def test_detect_mime_total(data):
+    assert isinstance(detect_mime(data, None), str)
+
+
+# magic-byte prefixes steer the fuzz into each parser's deep path
+@_FAST
+@given(st.sampled_from([b"%PDF-1.4\n", b"PK\x03\x04",
+                        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1",
+                        b"{\\rtf1", b"<html><body>"]),
+       st.binary(max_size=2048))
+def test_parsers_survive_corrupt_tails(prefix, tail):
+    text, mime, err = extract_any(prefix + tail, "fuzz.doc")
+    assert isinstance(text, str)
+    if err is not None:
+        assert text == ""
+
+
+@_FAST
+@given(st.binary(max_size=2048))
+def test_metadata_extractors_total(data):
+    assert isinstance(pdf_info(b"%PDF-1.4" + data), dict)
+    assert isinstance(ooxml_core_props(b"PK\x03\x04" + data), dict)
+    assert isinstance(summary_info(
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + data), dict)
+    t = html_title(data)
+    assert t is None or isinstance(t, str)
+
+
+@_FAST
+@given(st.text(alphabet=st.characters(codec="latin-1"), max_size=1024))
+def test_rtf_tokenizer_total(body):
+    from nifi_extracttext_processor_spark.formats.rtf import (
+        extract_rtf_text,
+    )
+    data = ("{\\rtf1" + body + "}").encode("latin-1", "replace")
+    assert isinstance(extract_rtf_text(data), str)

@@ -431,3 +431,66 @@ class TestConnectorGating:
         df = spark.createDataFrame([Row(doc_id=1, text="t")])
         with pytest.raises(RuntimeError, match="SPARK_GRAFT_PACKAGES"):
             write_kafka(df, "topic")
+
+
+class TestExpressionLanguage:
+    """B18: NiFi EL property strings compile to Catalyst columns
+    (template usages: ${filename}, ${absolute.path}/${filename},
+    ${schema.name} — 56409-tika.xml:468,599,816,1489)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [Row(filename="report.final.PDF", absolute_path="/data/in",
+                 schema_name="PDF", n="41")])
+
+    def test_plain_interpolation(self, spark):
+        from nifi_extracttext_processor_spark.operators import (
+            expression_language as el,
+        )
+        df = self._df(spark)
+        out = df.select(el.el_column(
+            "${absolute.path}/${filename}").alias("p")).first()["p"]
+        assert out == "/data/in/report.final.PDF"
+
+    def test_function_chains(self, spark):
+        from nifi_extracttext_processor_spark.operators import (
+            expression_language as el,
+        )
+        df = self._df(spark)
+        cases = {
+            "${filename:toUpper()}": "REPORT.FINAL.PDF",
+            "${filename:substringBeforeLast('.')}": "report.final",
+            "${filename:substringAfterLast('.')}": "PDF",
+            "${filename:toLower():endsWith('.pdf')}": True,
+            "${filename:replace('.', '_')}": "report_final_PDF",
+            "${filename:substring(0, 6)}": "report",
+            "${filename:length()}": 16,
+            "${n:toNumber():plus(1)}": 42,
+            "${schema.name:equals('PDF'):ifElse('y', 'n')}": "y",
+            "${missing:isEmpty()}": None,  # placeholder, handled below
+        }
+        del cases["${missing:isEmpty()}"]
+        for expr, want in cases.items():
+            got = df.select(el.el_column(expr).alias("v")).first()["v"]
+            assert got == want, f"{expr}: {got!r} != {want!r}"
+
+    def test_el_as_filter(self, spark):
+        from nifi_extracttext_processor_spark.operators import (
+            expression_language as el,
+        )
+        df = spark.createDataFrame(
+            [Row(filename="a.pdf"), Row(filename="b.txt")])
+        kept = df.filter(el.el_column(
+            "${filename:endsWith('.pdf')}")).collect()
+        assert [r["filename"] for r in kept] == ["a.pdf"]
+
+    def test_literal_subject_and_unknown_fn(self, spark):
+        from nifi_extracttext_processor_spark.operators import (
+            expression_language as el,
+        )
+        df = self._df(spark)
+        v = df.select(el.el_column(
+            "${literal('x'):append('y')}").alias("v")).first()["v"]
+        assert v == "xy"
+        with pytest.raises(ValueError, match="unsupported EL function"):
+            el.el_column("${filename:frobnicate()}")
