@@ -189,6 +189,31 @@ def q_set_attrs(spark, sf):
     return out.select("doc_id", "schema_name", "content_type")
 
 
+# ---- B18 Expression Language: template-style property strings ----
+
+@_q("el_interpolation", """
+SELECT doc_id,
+       '/opt/demo/files/' || source AS fetch_path,
+       upper(CASE WHEN instr(reverse(source), '.') > 0
+             THEN substr(source, 1,
+                         length(source) - instr(reverse(source), '.'))
+             ELSE source END) AS base_upper,
+       (lang = 'en') AS is_en
+FROM documents
+""")
+def q_el(spark, sf):
+    from nifi_extracttext_processor_spark.operators import (
+        expression_language as el,
+    )
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        el.el_column("/opt/demo/files/${source}").alias("fetch_path"),
+        el.el_column("${source:substringBeforeLast('.'):toUpper()}")
+          .alias("base_upper"),
+        el.el_column("${lang:equals('en')}").alias("is_en"))
+
+
 # ---- B17 record round-trip (JSON in events.props) ----
 
 @_q("record_roundtrip", """

@@ -494,3 +494,24 @@ class TestExpressionLanguage:
         assert v == "xy"
         with pytest.raises(ValueError, match="unsupported EL function"):
             el.el_column("${filename:frobnicate()}")
+
+
+class TestSkew:
+    def test_salted_join_equals_plain_join(self, spark):
+        from nifi_extracttext_processor_spark.operators.skew import (
+            salted_join,
+        )
+        big = spark.createDataFrame(
+            [(i, i % 3) for i in range(300)], "id long, k long")
+        small = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "k long, label string")
+        got = sorted(tuple(r) for r in
+                     salted_join(big, small, "k").collect())
+        want = sorted(tuple(r) for r in
+                      big.join(small, "k").collect())
+        assert got == want
+        # left join keeps unmatched big rows exactly once
+        small2 = small.filter("k < 2")
+        got_l = salted_join(big, small2, "k", how="left")
+        assert got_l.count() == 300
+        assert got_l.filter("label IS NULL").count() == 100
