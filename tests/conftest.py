@@ -9,9 +9,13 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test JVM light
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from nifi_extracttext_processor_spark.session import get_spark
 
-    s = get_spark("tests", shuffle_partitions=8)
+    warehouse = tempfile.mkdtemp(prefix="graft_warehouse_")
+    s = get_spark("tests", shuffle_partitions=8,
+                  extra_conf={"spark.sql.warehouse.dir": warehouse})
     yield s
 
 

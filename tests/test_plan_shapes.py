@@ -1,0 +1,94 @@
+"""Plan-shape regression tests: the physical plans that make these
+operators scale must not silently regress (SURVEY §4 — pushdown,
+pruning, broadcast, codegen are the 100 TB contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_listfile_filter_pushes_predicates(spark):
+    df = entry.queries()["listfile_filter"](spark, SF)
+    plan = _plan(df)
+    # n_chars >= 50 must reach the parquet scan
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(n_chars,50)" in pushed
+
+
+def test_token_stats_prunes_columns(spark):
+    df = entry.queries()["token_stats"](spark, SF)
+    plan = _plan(df)
+    schema = plan.split("ReadSchema")[1][:200]
+    assert "text" in schema and "doc_id" in schema
+    # untouched wide columns must NOT be read
+    assert "n_chars" not in schema and "source" not in schema
+
+
+def test_join_revenue_broadcasts_dimension(spark):
+    df = entry.queries()["sql_join_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_extraction_whole_stage_codegen_everywhere_relational(spark):
+    df = entry.queries()["quality_score"](spark, SF)
+    plan = _plan(df)
+    # zero-UDF text analysis: no Python eval nodes in the plan
+    # (the scoring Project uses higher-order lambdas, which stay JVM
+    # interpreted; the scan itself is codegen'd, marked "*(n)")
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1)" in plan
+
+
+def test_dedup_exact_shuffles_hashes_not_text(spark):
+    """The exact-dedup shuffle payload is (fingerprint, doc_id) — the
+    document text must not appear in any Exchange."""
+    from nifi_extracttext_processor_spark.operators.dedup import (
+        dedup_exact,
+    )
+    from nifi_extracttext_processor_spark.sources.tables import load_table
+    d = load_table(spark, SF, "documents")
+    keep_plan = _plan(
+        dedup_exact(d).groupBy().count())  # force full plan build
+    # the aggregate exchange carries fingerprint, never text
+    for line in keep_plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Both sides bucketed on the key → sort-merge join with NO
+    Exchange (the co-located-join contract at 100 TB)."""
+    from nifi_extracttext_processor_spark.operators.bucketing import (
+        bucketed_join, write_bucketed,
+    )
+    docs = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text")
+    scores = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "id % 100 AS score")
+    write_bucketed(docs, "b_docs", "doc_id", n_buckets=8)
+    write_bucketed(scores, "b_scores", "doc_id", n_buckets=8)
+    # force the shuffle-join path (tiny test tables would broadcast,
+    # which bypasses bucketing entirely)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_docs", "b_scores", "doc_id")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan
+        assert plan.count("SelectedBucketsCount") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_scores")
