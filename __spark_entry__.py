@@ -609,6 +609,96 @@ def q_mm_audio(spark, sf):
          .alias("mfcc_sum"))
 
 
+# ---- A4 HTML output mode (incl. the no-truncation quirk) ----
+
+_XHTML_ESC = ("replace(replace(replace(replace(replace(p, '&', '&amp;'), "
+              "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), "
+              "chr(39), '&#x27;')")
+
+@_q("extract_html_mode", f"""
+SELECT doc_id,
+       '<html xmlns="http://www.w3.org/1999/xhtml">' || chr(10)
+       || '<head><meta charset="UTF-8"/><title>doc.txt</title></head>'
+       || chr(10) || '<body>' || chr(10) || body || chr(10)
+       || '</body>' || chr(10) || '</html>' || chr(10) AS xhtml,
+       'text/html' AS mime_type
+FROM (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_filter(string_split_regex(text, '\\n+'),
+                       p -> regexp_matches(p, '\\S')),
+           p -> '<p>' || {_XHTML_ESC} || '</p>'), chr(10)) AS body
+  FROM documents
+)
+""")
+def q_html_mode(spark, sf):
+    """A4: html output mode renders full XHTML — max_text_length is
+    deliberately ignored in this branch (ExtractTextProcessor.java:
+    158-172 never calls setMaxStringLength), which the oracle proves by
+    using the UNtruncated text."""
+    from nifi_extracttext_processor_spark.operators.extract import (
+        extract_text,
+    )
+    d = _t(spark, sf, "documents")
+    media = d.select("doc_id", F.lit("doc.txt").alias("filename"),
+                     F.encode("text", "UTF-8").alias("content"))
+    out = extract_text(media, max_text_length=5, output_mode="html")
+    return out.select("doc_id", F.col("text").alias("xhtml"), "mime_type")
+
+
+# ---- B3 media metadata surface (map plumbing; Tika keys golden-tested) --
+
+@_q("media_metadata_surface", """
+SELECT doc_id, octet_length(encode(text)) AS content_length
+FROM documents
+""")
+def q_media_meta(spark, sf):
+    from nifi_extracttext_processor_spark.operators.extract import (
+        media_metadata,
+    )
+    d = _t(spark, sf, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    meta = media_metadata(media)
+    return meta.select(
+        "doc_id",
+        F.element_at("metadata", "Content-Length").cast("long")
+         .alias("content_length"))
+
+
+# ---- extension: multimodal resize (pure selection — exact oracle) ----
+
+@_q("multimodal_resize", """
+WITH h_t AS (
+  SELECT doc_id AS media_id, md5(coalesce(text, '')) AS hx FROM documents
+), px_t AS (
+  SELECT media_id,
+         list_transform(range(64), i ->
+           CAST(round(xor(('0x' || substr(hx, 2 * (i % 16) + 1, 2))::BIGINT,
+                          i) / 255.0, 6) AS FLOAT)) AS pixels
+  FROM h_t
+), rz AS (
+  SELECT media_id,
+         list_transform(range(16), i ->
+           pixels[((i // 4) * 2) * 8 + (i % 4) * 2 + 1]) AS rpx
+  FROM px_t
+)
+SELECT media_id,
+       round(list_sum(list_transform(rpx, v -> v::DOUBLE)), 4) AS px_sum
+FROM rz
+""")
+def q_mm_resize(spark, sf):
+    from nifi_extracttext_processor_spark.operators.multimodal import (
+        decode_image, resize_image,
+    )
+    media = _fake_media(spark, sf, "image", "image/png")
+    small = resize_image(decode_image(media, width=8, height=8),
+                         src_w=8, src_h=8, dst_w=4, dst_h=4)
+    return small.select(
+        "media_id",
+        F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 4)
+         .alias("px_sum"))
+
+
 # ---- extension: language id ----
 
 @_q("lang_id",
