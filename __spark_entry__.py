@@ -699,6 +699,23 @@ def q_mm_resize(spark, sf):
          .alias("px_sum"))
 
 
+# ---- extension: sentence split ----
+
+@_q("sentence_split", f"""
+SELECT doc_id,
+       unnest(range(len(string_split_regex(text, '{ta.SENTENCE_RE}'))))
+         AS sent_no,
+       unnest(string_split_regex(text, '{ta.SENTENCE_RE}')) AS sentence
+FROM documents
+""")
+def q_sentence_split(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = ta.sentence_split(d.select("doc_id", "text"))
+    return out.select("doc_id",
+                      F.col("sent_no").cast("long").alias("sent_no"),
+                      "sentence")
+
+
 # ---- extension: language id ----
 
 @_q("lang_id",

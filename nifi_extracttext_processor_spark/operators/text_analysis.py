@@ -44,6 +44,26 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                                                     0))))
 
 
+SENTENCE_RE = r"[.!?]\s+"  # re2-safe (no lookbehind) → portable to DuckDB
+
+
+def sentence_split(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sentence",
+    pos_col: str = "sent_no",
+) -> DataFrame:
+    """One row per sentence with 0-based position — narrow generate,
+    no shuffle. Terminator punctuation between sentences is consumed
+    by the split (kept only on the final sentence), identically in the
+    DuckDB twin."""
+    keep = [c for c in df.columns if c != text_col]
+    return df.select(
+        *keep,
+        F.posexplode(F.split(F.col(text_col), SENTENCE_RE))
+         .alias(pos_col, out_col))
+
+
 def quality_score(
     df: DataFrame,
     text_col: str = "text",

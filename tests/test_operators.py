@@ -515,3 +515,24 @@ class TestSkew:
         got_l = salted_join(big, small2, "k", how="left")
         assert got_l.count() == 300
         assert got_l.filter("label IS NULL").count() == 100
+
+
+class TestSentenceSplit:
+    def test_sentence_split_positions(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            sentence_split,
+        )
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="One two. Three? Four! Five ends.")])
+        out = sentence_split(df).collect()
+        assert [(r["sent_no"], r["sentence"]) for r in out] == [
+            (0, "One two"), (1, "Three"), (2, "Four"), (3, "Five ends.")]
+
+    def test_sentence_split_is_narrow(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            sentence_split,
+        )
+        df = spark.createDataFrame([Row(doc_id=1, text="a. b")])
+        plan = (sentence_split(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan  # generate only, no shuffle
