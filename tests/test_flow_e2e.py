@@ -69,3 +69,21 @@ def test_flow_single_scan_fanout(spark, corpus_dir):
     plan = (result.routes["good"]._jdf.queryExecution()
             .optimizedPlan().toString())
     assert "InMemoryRelation" in plan
+
+
+def test_flow_handles_all_formats(spark, tmp_path):
+    """The full DAG over a mixed corpus: PDF, DOCX, PPTX, legacy PPT,
+    RTF — every format extracts and routes; none on the failure route."""
+    from tests.fixtures.builders import build_ppt, build_pptx, build_rtf
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(build_pdf(["love this great engine"]))
+    (d / "b.docx").write_bytes(build_docx(["terrible awful results"]))
+    (d / "c.pptx").write_bytes(build_pptx([["the table has rows"]]))
+    (d / "e.ppt").write_bytes(build_ppt(["spark is fast and great"]))
+    (d / "f.rtf").write_bytes(build_rtf(["plain neutral words here"]))
+    result = document_flow(spark, str(d))
+    assert result.failures.count() == 0
+    assert sum(v.count() for v in result.routes.values()) == \
+        result.records.count()
+    assert result.records.count() >= 5

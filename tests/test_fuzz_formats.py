@@ -66,3 +66,17 @@ def test_rtf_tokenizer_total(body):
     )
     data = ("{\\rtf1" + body + "}").encode("latin-1", "replace")
     assert isinstance(extract_rtf_text(data), str)
+
+
+@_FAST
+@given(st.text(max_size=200))
+def test_el_parser_total(expr):
+    """el_column either compiles or raises ValueError — never crashes
+    with an unrelated exception."""
+    from nifi_extracttext_processor_spark.operators.expression_language import (
+        el_column,
+    )
+    try:
+        el_column(expr)
+    except ValueError:
+        pass
