@@ -66,6 +66,8 @@ def _zip_kind(data: bytes, filename: str | None) -> str:
             return MIME_DOCX
         if low.endswith(".xlsx"):
             return MIME_XLSX
+        if low.endswith(".pptx"):
+            return MIME_PPTX
     return MIME_ZIP
 
 

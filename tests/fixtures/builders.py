@@ -289,3 +289,20 @@ def build_rtf(paragraphs: list[str]) -> bytes:
            r"{\colortbl;\red0\green0\blue0;}"
            r"\f0\fs24 " + body + r"\par}")
     return rtf.encode("cp1252")
+
+
+def build_xls(strings: list[str]) -> bytes:
+    """Minimal BIFF8 workbook: BOF + SST (compressed 8-bit strings) +
+    EOF inside an OLE2 'Workbook' stream."""
+    def rec(rtype: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", rtype, len(payload)) + payload
+
+    bof = rec(0x0809, struct.pack("<HHHHIi", 0x0600, 0x0005, 0x0DBB,
+                                  0x07CC, 0, 0))
+    sst_body = struct.pack("<II", len(strings), len(strings))
+    for s in strings:
+        raw = s.encode("cp1252")
+        sst_body += struct.pack("<HB", len(raw), 0) + raw
+    sst = rec(0x00FC, sst_body)
+    eof = rec(0x000A, b"")
+    return _build_ole2({"Workbook": bof + sst + eof})

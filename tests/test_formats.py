@@ -181,3 +181,31 @@ class TestPresentationAndRtf:
         data = build_pptx([["A Simple PPTX Deck"]])
         text, _, err = extract_any(data, "d.pptx", max_text_length=8)
         assert err is None and text == "A Simple"
+
+
+class TestLegacyXls:
+    def test_xls_golden(self):
+        from nifi_extracttext_processor_spark.formats import (
+            detect_mime, extract_any, extract_xls_text,
+        )
+        from nifi_extracttext_processor_spark.formats import mime as m
+        from tests.fixtures.builders import build_xls
+        data = build_xls(["A Simple XLS File", "Second cell"])
+        assert detect_mime(data, "book.xls") == m.MIME_XLS
+        assert extract_xls_text(data) == "A Simple XLS File\nSecond cell\n"
+        text, mime, err = extract_any(data, "book.xls")
+        assert err is None and mime == m.MIME_XLS
+        assert text.startswith("A Simple XLS File")
+
+    def test_pptx_filename_fallback(self):
+        """A zip without recognizable parts but a .pptx name maps to the
+        PPTX mime (Tika filename-hint behavior)."""
+        import io
+        import zipfile
+
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats import mime as m
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("unknown.xml", "<x/>")
+        assert detect_mime(buf.getvalue(), "deck.pptx") == m.MIME_PPTX
