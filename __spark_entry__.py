@@ -699,6 +699,34 @@ def q_mm_resize(spark, sf):
          .alias("px_sum"))
 
 
+# ---- composed training-data prep (lang → quality → dedup → stats) ----
+
+@_q("training_data_prep", f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {ta.language_id_sql('text')} AS lang_pred,
+         {ta.quality_score_sql('text')} AS quality
+  FROM documents
+), filtered AS (
+  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5
+), keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM filtered GROUP BY {ta.fingerprint_sql('text')}
+)
+SELECT f.doc_id, f.lang_pred, f.quality,
+       len(string_split_regex(f.text, '\\s+')) AS n_ws_tokens
+FROM filtered f JOIN keep k USING (doc_id)
+""")
+def q_training_prep(spark, sf):
+    from nifi_extracttext_processor_spark.plans.training_data import (
+        prepare_training_data,
+    )
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = prepare_training_data(d, langs=("en",), min_quality=0.5)
+    return out.select("doc_id", "lang_pred", "quality",
+                      F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"))
+
+
 # ---- extension: sentence split ----
 
 @_q("sentence_split", f"""

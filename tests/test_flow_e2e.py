@@ -87,3 +87,30 @@ def test_flow_handles_all_formats(spark, tmp_path):
     assert sum(v.count() for v in result.routes.values()) == \
         result.records.count()
     assert result.records.count() >= 5
+
+
+def test_training_data_prep_pipeline(spark):
+    """Composed pipeline: language + quality filters run before the
+    dedup shuffle; duplicates collapse to the min-id representative."""
+    from pyspark.sql import Row
+
+    from nifi_extracttext_processor_spark.plans.training_data import (
+        prepare_training_data,
+    )
+    good = ("the quick brown fox jumps over the lazy dog and says "
+            "hello to the other animals in the big green forest today")
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text=good),                # exact duplicate → dropped
+        Row(doc_id=3, text="der schnelle braune fuchs springt und der "
+                           "hund ist mude und die katze schlaft jetzt"),
+        Row(doc_id=4, text="!!!! ???? ,,,, ...."),  # junk → low quality
+        Row(doc_id=5, text=good.upper()),        # dup after normalization
+    ])
+    out = prepare_training_data(df).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert 1 in ids            # representative of the duplicate group
+    assert 2 not in ids and 5 not in ids
+    assert 4 not in ids        # junk filtered
+    for r in out:
+        assert r["quality"] >= 0.5 and r["n_ws_tokens"] > 0
