@@ -191,6 +191,10 @@ def minhash_lsh_pairs(
     persisted as (id, sh); the band self-join moves only (id, band_key)
     — candidate discovery shuffles ~40 bytes/row, not shingle arrays.
     Shingles travel only to verify surviving candidates.
+
+    The persisted intermediate is registered with
+    operators.lifecycle — long-running sessions call
+    lifecycle.release_all() between jobs to free the block manager.
     """
     from .lifecycle import track_persist
 

@@ -73,8 +73,11 @@ def lsh_topk(
     bands: int = 4,
 ) -> DataFrame:
     """ANN: score only vectors sharing ≥1 hyperplane-sign band with the
-    query. Approximate (recall < 1 possible) — no SQL oracle; validated
-    in tests by recall against brute force."""
+    query. Approximate (recall < 1 possible) but fully deterministic —
+    lsh_topk_sql is its exact DuckDB twin (hyperplanes are md5-seeded
+    literals). This form re-hashes the table per query; at corpus scale
+    use build_lsh_index + lsh_topk_indexed (partition-pruned lookups,
+    identical results)."""
     dim = len(query_vec)
     hps = random_hyperplanes(dim, planes)
 
@@ -365,11 +368,13 @@ def ivf_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """IVF-lite: centroids = deterministic sample rows; assign each
-    vector to its nearest centroid (one narrow pass), search only the
-    nprobe cells nearest the query.
+    vector to its nearest centroid (one narrow pass, round-6 sims so
+    the ivf_topk_sql DuckDB twin reproduces assignment exactly),
+    search only the nprobe cells nearest the query.
 
-    At scale: write the assigned table partitioned by cell_id once,
-    then every query prunes partitions instead of scanning."""
+    At scale use build_ivf_index + ivf_topk_indexed: the assigned
+    table is written partitioned by cell once, and every query prunes
+    to nprobe partitions instead of scanning (identical results)."""
     sample = (df.orderBy(F.col(id_col))
               .limit(n_cells)
               .select(_as_double(vec_col).alias("c"), F.col(id_col))
