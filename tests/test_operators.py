@@ -536,3 +536,40 @@ class TestSentenceSplit:
         plan = (sentence_split(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "Exchange" not in plan  # generate only, no shuffle
+
+
+class TestRoutingConcurrency:
+    def test_concurrent_query_routes_no_cross_talk(self, spark):
+        """Two threads routing different DataFrames through the shared
+        FLOWFILE view must each get their own rows (the module lock
+        makes register+analyze atomic)."""
+        import threading
+
+        from nifi_extracttext_processor_spark.operators.routing import (
+            query_routes,
+        )
+        results: dict[int, int] = {}
+        errors: list[Exception] = []
+
+        def run(tag: int):
+            try:
+                df = spark.createDataFrame(
+                    [(i, tag) for i in range(tag)], "id long, tag long")
+                for _ in range(20):
+                    routes = query_routes(
+                        df, {"all": f"SELECT * FROM FLOWFILE "
+                                    f"WHERE tag = {tag}"}, cache=False)
+                    n = routes["all"].count()
+                    assert n == tag, f"thread {tag} saw {n} rows"
+                results[tag] = n
+            except Exception as ex:  # noqa: BLE001
+                errors.append(ex)
+
+        threads = [threading.Thread(target=run, args=(t,))
+                   for t in (3, 7)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert results == {3: 3, 7: 7}
