@@ -422,6 +422,14 @@ def q_simhash_pairs(spark, sf):
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+# ---- extension: duplicate clusters (connected components) ----
+
+@_q("dedup_clusters", dd.duplicate_clusters_sql(threshold=0.2))
+def q_dedup_clusters(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dd.duplicate_clusters(d, threshold=0.2)
+
+
 # ---- extension: n-gram Jaccard (wide-band LSH + exact verify) ----
 
 @_q("dedup_ngram", dd.minhash_lsh_pairs_sql(rows=2, threshold=0.15))
@@ -697,6 +705,30 @@ def q_mm_resize(spark, sf):
         "media_id",
         F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 4)
          .alias("px_sum"))
+
+
+# ---- corpus summary statistics (one aggregation pass) ----
+
+@_q("corpus_stats", f"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT {ta.fingerprint_sql('text')}) AS n_distinct,
+       CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         AS total_tokens,
+       round(avg(length(text)), 2) AS avg_chars,
+       count(*) FILTER (WHERE {ta.language_id_sql('text')} = 'en')
+         AS n_english
+FROM documents
+""")
+def q_corpus_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    enriched = ta.language_id(ta.fingerprint(d, "text"), "text")
+    return enriched.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct"),
+        F.sum(F.size(F.split("text", r"\s+")).cast("long"))
+         .alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        F.count(F.when(F.col("lang_pred") == "en", 1)).alias("n_english"))
 
 
 # ---- composed training-data prep (lang → quality → dedup → stats) ----

@@ -390,6 +390,81 @@ def simhash_pairs(
             .select("id1", "id2", "hamming"))
 
 
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-duplicate edges: every doc gets
+    cluster_id = min id reachable through minhash_lsh_pairs edges
+    (docs with no near-dups are their own singleton cluster).
+
+    Iterative min-label propagation — converges in O(cluster diameter)
+    rounds (near-dup clusters are shallow; max_iter is a backstop).
+    Each round is one keyed join + partial-agg min; labels are
+    localCheckpoint'ed so the plan doesn't grow with iterations. The
+    fixpoint test is the label sum (strictly decreasing until stable —
+    one cheap aggregate per round, no full compare).
+
+    DuckDB twin: duplicate_clusters_sql (recursive CTE reachability) —
+    the fixpoint of min-label propagation IS min reachable id, so both
+    engines agree exactly.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col,
+                              threshold=threshold).select("id1", "id2")
+    edges = pairs.unionAll(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
+    edges = edges.localCheckpoint()
+    labels = df.select(F.col(id_col).alias("id"),
+                       F.col(id_col).cast("long").alias("label"))
+    labels = labels.localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["id2"] == labels["id"])
+               .groupBy("id1").agg(F.min("label").alias("nbr")))
+        labels = (labels.join(nbr, labels["id"] == nbr["id1"], "left")
+                  .select(labels["id"],
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nbr"), F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break  # fixpoint: labels can only decrease
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of duplicate_clusters: recursive reachability, then
+    min reachable id per node."""
+    pairs_sql = minhash_lsh_pairs_sql(
+        table, id_col, text_expr, threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2, id1 FROM pairs
+),
+reach(id, r) AS (
+  SELECT {id_col}, {id_col} FROM {table}
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+)
+SELECT id AS {id_col}, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
 def simhash_pairs_sql(
     table: str = "documents",
     id_col: str = "doc_id",

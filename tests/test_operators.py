@@ -573,3 +573,26 @@ class TestRoutingConcurrency:
             t.join()
         assert not errors, errors
         assert results == {3: 3, 7: 7}
+
+
+class TestDuplicateClusters:
+    def test_transitive_closure(self, spark):
+        """A~B and B~C near-dup edges must place A,B,C in ONE cluster
+        even when A and C are not directly similar."""
+        from pyspark.sql import Row
+
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+        base = "the quick brown fox jumps over the lazy sleeping dog today"
+        df = spark.createDataFrame([
+            Row(doc_id=1, text=base + " alpha beta gamma delta"),
+            Row(doc_id=2, text=base + " alpha beta gamma zeta"),
+            Row(doc_id=3, text=base + " alpha beta eta zeta"),
+            Row(doc_id=9, text="completely different words about boats "
+                               "sailing across the wide open ocean water"),
+        ])
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in duplicate_clusters(df, threshold=0.3).collect()}
+        assert out[1] == out[2] == out[3] == 1
+        assert out[9] == 9  # singleton stays its own representative
