@@ -13,18 +13,22 @@ empty-content-on-failure quirk preserved.
 from __future__ import annotations
 
 from . import mime as m
+from .email_msg import extract_eml_text
 from .html import html_to_text, render_xhtml
 from .legacy_doc import extract_doc_text, extract_xls_text
 from .legacy_ppt import extract_ppt_text
 from .mime import detect_mime
 from .ooxml import extract_docx_text, extract_pptx_text, extract_xlsx_text
+from .opendoc import extract_odf_text
 from .pdf import extract_pdf_text
+from .plain_xml import extract_xml_text
 from .rtf import extract_rtf_text
 
 __all__ = [
     "detect_mime", "extract_any", "extract_pdf_text", "extract_docx_text",
     "extract_xlsx_text", "extract_doc_text", "extract_xls_text",
     "extract_pptx_text", "extract_ppt_text", "extract_rtf_text",
+    "extract_odf_text", "extract_eml_text", "extract_xml_text",
     "html_to_text", "render_xhtml",
 ]
 
@@ -66,7 +70,22 @@ def extract_any(
             text = extract_rtf_text(data)
         elif detected == m.MIME_HTML:
             text = html_to_text(data)
-        elif detected in (m.MIME_TEXT, m.MIME_JSON):
+        elif detected in (m.MIME_ODT, m.MIME_ODS, m.MIME_ODP):
+            text = extract_odf_text(data)
+        elif detected == m.MIME_XML:
+            text = extract_xml_text(data)
+        elif detected == m.MIME_EML:
+            text = extract_eml_text(data)
+        elif detected == m.MIME_GZIP:
+            # Tika's CompressorParser: transparently extract the wrapped
+            # entry; the reported type stays application/gzip.
+            import gzip
+            inner_name = (filename or "").removesuffix(".gz") or None
+            text, _, inner_err = extract_any(
+                gzip.decompress(data), inner_name, -1, "text")
+            if inner_err:
+                raise ValueError(f"gzip inner content failed: {inner_err}")
+        elif detected in (m.MIME_TEXT, m.MIME_CSV, m.MIME_JSON):
             text = data.decode("utf-8", "replace")
         else:
             raise ValueError(f"unsupported content type: {detected}")

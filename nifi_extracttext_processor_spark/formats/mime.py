@@ -28,6 +28,17 @@ MIME_JSON = "application/json"
 MIME_ZIP = "application/zip"
 MIME_OLE = "application/x-tika-msoffice"
 MIME_BIN = "application/octet-stream"
+MIME_ODT = "application/vnd.oasis.opendocument.text"
+MIME_ODS = "application/vnd.oasis.opendocument.spreadsheet"
+MIME_ODP = "application/vnd.oasis.opendocument.presentation"
+MIME_XML = "application/xml"
+MIME_EML = "message/rfc822"
+MIME_GZIP = "application/gzip"
+MIME_CSV = "text/csv"
+
+_EML_HEADS = (b"Received:", b"Return-Path:", b"From:", b"Subject:",
+              b"Date:", b"To:", b"Message-ID:", b"MIME-Version:",
+              b"Delivered-To:")
 
 _OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
@@ -60,6 +71,14 @@ def _zip_kind(data: bytes, filename: str | None) -> str:
         return MIME_XLSX
     if any(n.startswith("ppt/") for n in names):
         return MIME_PPTX
+    if "mimetype" in names and "content.xml" in names:
+        try:
+            with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                declared = zf.read("mimetype").decode("ascii", "replace")
+        except Exception:
+            declared = ""
+        if declared in (MIME_ODT, MIME_ODS, MIME_ODP):
+            return declared
     if filename:
         low = filename.lower()
         if low.endswith(".docx"):
@@ -87,11 +106,18 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
         return _ole_kind(data)
     if head.startswith(b"PK\x03\x04"):
         return _zip_kind(data, filename)
+    if head.startswith(b"\x1f\x8b"):
+        return MIME_GZIP
     if head.startswith(b"{\\rtf"):
         return MIME_RTF
     if _looks_html(head):
         return MIME_HTML
     stripped = head.lstrip()
+    if stripped.startswith(b"<?xml") or (
+            stripped[:1] == b"<" and (filename or "").lower().endswith(".xml")):
+        return MIME_XML
+    if head.startswith(_EML_HEADS) or (filename or "").lower().endswith(".eml"):
+        return MIME_EML
     if stripped[:1] in (b"{", b"[") and (filename or "").lower().endswith(".json"):
         return MIME_JSON
     # printable-ratio heuristic for text
@@ -103,5 +129,7 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
     except UnicodeDecodeError:
         utf8_ok = False
     if sample and (printable / len(sample) > 0.9 or utf8_ok):
+        if (filename or "").lower().endswith(".csv"):
+            return MIME_CSV
         return MIME_TEXT
     return MIME_BIN

@@ -306,3 +306,65 @@ def build_xls(strings: list[str]) -> bytes:
     sst = rec(0x00FC, sst_body)
     eof = rec(0x000A, b"")
     return _build_ole2({"Workbook": bof + sst + eof})
+
+
+def _build_odf(mimetype: str, body_inner: str) -> bytes:
+    o = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    tb = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    content = (f'<?xml version="1.0" encoding="UTF-8"?>'
+               f'<office:document-content xmlns:office="{o}" '
+               f'xmlns:text="{t}" xmlns:table="{tb}">'
+               f'<office:body>{body_inner}</office:body>'
+               f'</office:document-content>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        # per ODF spec the mimetype entry comes first, stored uncompressed
+        zf.writestr(zipfile.ZipInfo("mimetype"), mimetype)
+        zf.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def build_odt(paragraphs: list[str]) -> bytes:
+    inner = "".join(f"<text:p>{p}</text:p>" for p in paragraphs)
+    return _build_odf("application/vnd.oasis.opendocument.text",
+                      f"<office:text>{inner}</office:text>")
+
+
+def build_ods(rows: list[list[str]]) -> bytes:
+    xml_rows = "".join(
+        "<table:table-row>"
+        + "".join(f"<table:table-cell><text:p>{v}</text:p>"
+                  "</table:table-cell>" for v in row)
+        + "</table:table-row>"
+        for row in rows)
+    return _build_odf(
+        "application/vnd.oasis.opendocument.spreadsheet",
+        f"<office:spreadsheet><table:table>{xml_rows}</table:table>"
+        f"</office:spreadsheet>")
+
+
+def build_odp(slides: list[list[str]]) -> bytes:
+    inner = "".join(
+        "<draw-page>" + "".join(f"<text:p>{line}</text:p>" for line in s)
+        + "</draw-page>"
+        for s in slides)
+    return _build_odf("application/vnd.oasis.opendocument.presentation",
+                      f"<office:presentation>{inner}</office:presentation>")
+
+
+def build_eml(subject: str, sender: str, to: str, body: str,
+              html_body: str | None = None,
+              attachment: bytes | None = None) -> bytes:
+    from email.message import EmailMessage
+    msg = EmailMessage()
+    msg["Subject"] = subject
+    msg["From"] = sender
+    msg["To"] = to
+    msg.set_content(body)
+    if html_body is not None:
+        msg.add_alternative(html_body, subtype="html")
+    if attachment is not None:
+        msg.add_attachment(attachment, maintype="application",
+                           subtype="octet-stream", filename="blob.bin")
+    return msg.as_bytes()

@@ -209,3 +209,104 @@ class TestLegacyXls:
         with zipfile.ZipFile(buf, "w") as zf:
             zf.writestr("unknown.xml", "<x/>")
         assert detect_mime(buf.getvalue(), "deck.pptx") == m.MIME_PPTX
+
+
+class TestOpenDocumentEmailXml:
+    """Round-2 widening: ODT/ODS/ODP, EML, XML, gzip, CSV — the rest of
+    the AutoDetectParser surface (ExtractTextProcessor.java:158,173)."""
+
+    def test_odt(self):
+        from tests.fixtures.builders import build_odt
+        data = build_odt(["A Simple ODT File", "second paragraph"])
+        assert detect_mime(data) == "application/vnd.oasis.opendocument.text"
+        text, mime, err = extract_any(data, "simple.odt")
+        assert err is None
+        assert text == "A Simple ODT File\nsecond paragraph\n"
+
+    def test_ods(self):
+        from tests.fixtures.builders import build_ods
+        data = build_ods([["h1", "h2"], ["v1", "v2"]])
+        assert detect_mime(data) == (
+            "application/vnd.oasis.opendocument.spreadsheet")
+        text, _, err = extract_any(data, "t.ods")
+        assert err is None
+        assert text == "h1\th2\nv1\tv2\n"
+
+    def test_odp(self):
+        from tests.fixtures.builders import build_odp
+        data = build_odp([["Slide One Title", "bullet"], ["Slide Two"]])
+        assert detect_mime(data) == (
+            "application/vnd.oasis.opendocument.presentation")
+        text, _, err = extract_any(data, "deck.odp")
+        assert err is None
+        assert text == "Slide One Title\nbullet\nSlide Two\n"
+
+    def test_eml_plain(self):
+        from tests.fixtures.builders import build_eml
+        data = build_eml("Hi there", "a@example.com", "b@example.com",
+                         "body line one\nbody line two\n")
+        assert detect_mime(data, "m.eml") == "message/rfc822"
+        # header-based detection works without the filename hint too
+        assert detect_mime(data) == "message/rfc822"
+        text, _, err = extract_any(data, "m.eml")
+        assert err is None
+        assert text.startswith("Subject: Hi there\nFrom: a@example.com\n"
+                               "To: b@example.com\n\nbody line one")
+
+    def test_eml_multipart_skips_attachment(self):
+        from tests.fixtures.builders import build_eml
+        data = build_eml("S", "a@x.com", "b@x.com", "plain part",
+                         html_body="<html><body><p>html part</p></body></html>",
+                         attachment=b"\x00\x01binary")
+        text, _, err = extract_any(data, "m.eml")
+        assert err is None
+        assert "plain part" in text
+        assert "html part" in text
+        assert "binary" not in text
+
+    def test_xml(self):
+        data = b'<?xml version="1.0"?><root><a>alpha</a><b>beta <i>i</i></b></root>'
+        assert detect_mime(data) == "application/xml"
+        text, _, err = extract_any(data, "d.xml")
+        assert err is None
+        assert text == "alpha beta i\n"
+
+    def test_gzip_transparent(self):
+        import gzip
+        inner = b"gzipped plain text content"
+        data = gzip.compress(inner)
+        assert detect_mime(data, "t.txt.gz") == "application/gzip"
+        text, mime, err = extract_any(data, "t.txt.gz")
+        assert err is None
+        assert mime == "application/gzip"
+        assert text == "gzipped plain text content"
+
+    def test_gzip_wrapped_html(self):
+        import gzip
+        data = gzip.compress(b"<html><body><p>hello gz html</p></body></html>")
+        text, _, err = extract_any(data, "page.html.gz")
+        assert err is None
+        assert "hello gz html" in text
+
+    def test_csv(self):
+        data = b"a,b\n1,2\n"
+        assert detect_mime(data, "t.csv") == "text/csv"
+        text, _, err = extract_any(data, "t.csv")
+        assert err is None
+        assert text == "a,b\n1,2\n"
+
+    def test_corrupt_odf_routes_to_failure(self):
+        import io as _io
+        import zipfile as _zip
+        buf = _io.BytesIO()
+        with _zip.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+            zf.writestr("content.xml", "<broken")
+        text, _, err = extract_any(buf.getvalue(), "bad.odt")
+        assert text == "" and err is not None
+
+    def test_truncation_applies(self):
+        from tests.fixtures.builders import build_odt
+        data = build_odt(["y" * 500])
+        text, _, err = extract_any(data, "t.odt", max_text_length=7)
+        assert err is None and text == "y" * 7

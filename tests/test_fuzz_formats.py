@@ -70,9 +70,10 @@ def test_rtf_tokenizer_total(body):
 
 @_FAST
 @given(st.text(max_size=200))
-def test_el_parser_total(expr):
+def test_el_parser_total(spark, expr):
     """el_column either compiles or raises ValueError — never crashes
-    with an unrelated exception."""
+    with an unrelated exception. (Column construction needs an active
+    SparkContext, hence the session fixture.)"""
     from nifi_extracttext_processor_spark.operators.expression_language import (
         el_column,
     )
