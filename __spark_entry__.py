@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from nifi_extracttext_processor_spark.operators import dedup as dd
 from nifi_extracttext_processor_spark.operators import nlp
+from nifi_extracttext_processor_spark.operators import sessions as sess
 from nifi_extracttext_processor_spark.operators import text_analysis as ta
 from nifi_extracttext_processor_spark.operators.routing import (
     SENTIMENT_ROUTES, query_routes, route_column,
@@ -705,6 +706,75 @@ def q_mm_resize(spark, sf):
         "media_id",
         F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 4)
          .alias("px_sum"))
+
+
+# ---- extension: near-dedup selection (keep best doc per cluster) ----
+
+@_q("dedup_keep_best", dd.keep_best_per_cluster_sql(threshold=0.2))
+def q_dedup_keep_best(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dd.keep_best_per_cluster(d, threshold=0.2)
+
+
+# ---- extension: PII scrubbing (deterministic synthetic PII) ----
+
+def _pii_seeded_sql() -> str:
+    exprs = ta.scrub_pii_sql("seeded")
+    return f"""
+WITH seeded_t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or https://example.com/d/' || doc_id ||
+         ' ip 10.0.' || doc_id % 256 || '.7 tel 555-867-530' || doc_id % 10
+           AS seeded
+  FROM documents
+)
+SELECT doc_id, {exprs['n_url']} AS n_url, {exprs['n_email']} AS n_email,
+       {exprs['n_ipv4']} AS n_ipv4, {exprs['n_phone']} AS n_phone,
+       md5({exprs['scrubbed']}) AS scrubbed_md5
+FROM seeded_t
+"""
+
+
+@_q("scrub_pii", _pii_seeded_sql())
+def q_scrub_pii(spark, sf):
+    d = _t(spark, sf, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.lit(" or https://example.com/d/"), F.col("doc_id"),
+            F.lit(" ip 10.0."), F.col("doc_id") % 256, F.lit(".7"),
+            F.lit(" tel 555-867-530"), F.col("doc_id") % 10,
+        ).alias("seeded"))
+    return (ta.scrub_pii(seeded, "seeded")
+            .select("doc_id", "n_url", "n_email", "n_ipv4", "n_phone",
+                    F.md5("scrubbed").alias("scrubbed_md5")))
+
+
+# ---- extension: corpus top-k terms ----
+
+@_q("top_terms", ta.top_terms_sql("documents", "text", k=20))
+def q_top_terms(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.top_terms(d, "text", k=20)
+
+
+# ---- extension: document length histogram ----
+
+@_q("length_histogram", ta.length_histogram_sql("documents", "text"))
+def q_length_histogram(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.length_histogram(d, "text")
+
+
+# ---- extension: batch sessionization (gaps-and-islands) ----
+
+@_q("events_sessionize", sess.sessionize_sql("events"))
+def q_events_sessionize(spark, sf):
+    e = _t(spark, sf, "events")
+    return sess.sessionize(e)
 
 
 # ---- corpus summary statistics (one aggregation pass) ----

@@ -465,6 +465,71 @@ FROM reach GROUP BY id
 """
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dedup selection policy: resolve duplicate_clusters, score
+    every doc with quality_score, keep the best doc per cluster
+    (quality desc, id asc tie-break). This is the operator a training
+    pipeline actually runs — pairs/clusters are diagnostics; this emits
+    the surviving corpus.
+
+    Scale: the rank window is partitioned by cluster_id (keyed, no
+    global sort); the clusters join is id-keyed. Returns
+    (id, cluster_id, quality, cluster_size).
+    """
+    from pyspark.sql import Window
+
+    from .text_analysis import quality_score
+
+    clusters = duplicate_clusters(df, id_col, text_col,
+                                  threshold=threshold)
+    scored = (quality_score(df.select(id_col, text_col), text_col)
+              .select(id_col, "quality")
+              .join(clusters, id_col))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc(id_col))
+    return (scored
+            .withColumn("__rk", F.row_number().over(w))
+            .withColumn("cluster_size",
+                        F.count("*").over(
+                            Window.partitionBy("cluster_id")).cast("long"))
+            .filter(F.col("__rk") == 1)
+            .select(id_col, "cluster_id", "quality", "cluster_size"))
+
+
+def keep_best_per_cluster_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin: duplicate_clusters_sql CTE + quality window rank."""
+    from .text_analysis import quality_score_sql
+
+    clusters = duplicate_clusters_sql(table, id_col, text_expr, threshold)
+    quality = quality_score_sql(text_expr)
+    return f"""
+WITH clusters AS ({clusters}),
+scored AS (
+  SELECT d.{id_col}, c.cluster_id, {quality} AS quality
+  FROM {table} d JOIN clusters c USING ({id_col})
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, {id_col}) AS rk,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+  FROM scored
+)
+SELECT {id_col}, cluster_id, quality, cluster_size
+FROM ranked WHERE rk = 1
+"""
+
+
 def simhash_pairs_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -1,0 +1,83 @@
+"""Batch sessionization over the events table.
+
+The streaming sessionizer (streaming/pipeline.py, applyInPandasWithState)
+handles the unbounded case; this is the batch/backfill twin expressed as
+keyed window functions — the classic gaps-and-islands shape.
+
+Scale: both windows and the final aggregate are partitioned by the user
+key, so the only shuffle is one hash-exchange on user_id that all three
+steps reuse (Catalyst collapses the window sorts into a single sort per
+partition). No global sort, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_SECONDS = 1800  # 30 min, the industry-default session gap
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+) -> DataFrame:
+    """One row per (user, session): session_no is 0-based per user, a new
+    session starts when the gap to the previous event exceeds
+    gap_seconds. Timestamps are compared at whole-second resolution
+    (truncate-then-diff) so any engine agrees on boundary cases.
+
+    order_col breaks ordering ties (same-user same-timestamp events)
+    deterministically.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    secs = F.col(ts_col).cast("long")  # truncates to whole seconds
+    new_sess = F.when(
+        secs - F.lag(secs).over(w) > gap_seconds, 1).otherwise(0)
+    sessioned = (df
+                 .withColumn("__new", new_sess)
+                 .withColumn("session_no",
+                             F.sum("__new").over(w).cast("long")))
+    return (sessioned
+            .groupBy(user_col, "session_no")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum(value_col), 2).alias("total_value")))
+
+
+def sessionize_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+) -> str:
+    """DuckDB twin of sessionize (same truncate-then-diff gap test; the
+    tie-broken ORDER BY makes RANGE/ROWS frames equivalent)."""
+    secs = f"CAST(floor(epoch({ts_col})) AS BIGINT)"
+    return f"""
+WITH flagged AS (
+  SELECT {user_col}, {ts_col}, {order_col}, {value_col},
+         CASE WHEN {secs} - lag({secs}) OVER w > {gap_seconds}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {table}
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {order_col})
+), sessioned AS (
+  SELECT *, CAST(sum(new_sess) OVER
+         (PARTITION BY {user_col} ORDER BY {ts_col}, {order_col})
+         AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT {user_col}, session_no,
+       min({ts_col}) AS session_start,
+       max({ts_col}) AS session_end,
+       count(*) AS n_events,
+       round(sum({value_col}), 2) AS total_value
+FROM sessioned GROUP BY 1, 2
+"""

@@ -161,3 +161,105 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 def fingerprint_sql(text_expr: str) -> str:
     return (f"md5(regexp_replace(lower(trim({text_expr})), "
             f"'\\s+', ' ', 'g'))")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene: redact before anything ships)
+# ---------------------------------------------------------------------------
+
+# Applied in this order (URL first so its userinfo@host part is not
+# half-eaten by the email pass). Every pattern is RE2-safe (no
+# lookaround) so Spark's Java regex and DuckDB agree byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str = "scrubbed") -> DataFrame:
+    """Redact URLs/emails/IPv4s/phone numbers, with one count column per
+    category (n_url, n_email, n_ipv4, n_phone). Pure regexp projection:
+    narrow, zero-shuffle, whole-stage codegen."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(scrubbed, F.lit(pat)).cast("long"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(out_col, scrubbed)
+
+
+def scrub_pii_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB twins: {'scrubbed': expr, 'n_url': expr, ...}. Counts are
+    evaluated against the same partially-scrubbed input as the Spark
+    side (each category counts AFTER the previous replacements ran)."""
+    exprs: dict[str, str] = {}
+    cur = text_expr
+    for name, pat, repl in PII_PATTERNS:
+        exprs[f"n_{name}"] = (
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    exprs["scrubbed"] = cur
+    return exprs
+
+
+# ---------------------------------------------------------------------------
+# corpus-level term statistics
+# ---------------------------------------------------------------------------
+
+def top_terms(df: DataFrame, text_col: str = "text",
+              k: int = 20) -> DataFrame:
+    """Global top-k terms by frequency (ties broken by term asc, so the
+    result set is deterministic).
+
+    Scale shape: explode is narrow; the groupBy partial-aggregates
+    map-side so only distinct (term, partial_count) pairs shuffle; the
+    final orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-k, no global sort)."""
+    return (df
+            .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("term"))
+            .filter(F.length("term") > 0)
+            .groupBy("term").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("term"))
+            .limit(k))
+
+
+def top_terms_sql(table: str = "documents", text_expr: str = "text",
+                  k: int = 20) -> str:
+    return f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(lower({text_expr})), '\\s+'))
+        AS term FROM {table})
+WHERE len(term) > 0
+GROUP BY term ORDER BY n DESC, term LIMIT {k}
+"""
+
+
+def length_histogram(df: DataFrame, text_col: str = "text",
+                     bucket_chars: int = 100,
+                     max_bucket: int = 20) -> DataFrame:
+    """Document-length histogram: bucket b covers
+    [b*bucket_chars, (b+1)*bucket_chars), overflow clamped to
+    max_bucket. One partial-agg shuffle of ≤ max_bucket+1 groups."""
+    b = F.least(F.floor(F.length(F.col(text_col)) / bucket_chars),
+                F.lit(max_bucket)).cast("long")
+    return (df.groupBy(b.alias("bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg(F.length(F.col(text_col))), 2)
+                  .alias("avg_chars")))
+
+
+def length_histogram_sql(table: str = "documents", text_expr: str = "text",
+                         bucket_chars: int = 100,
+                         max_bucket: int = 20) -> str:
+    b = f"least(length({text_expr}) // {bucket_chars}, {max_bucket})"
+    return f"""
+SELECT CAST({b} AS BIGINT) AS bucket, count(*) AS n_docs,
+       round(avg(length({text_expr})), 2) AS avg_chars
+FROM {table} GROUP BY 1
+"""

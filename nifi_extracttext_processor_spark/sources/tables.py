@@ -27,8 +27,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass  # pre-3.2 Sparks lack the conf; the read will surface any issue
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, not `/1000` — epoch-nanos exceed double's 53-bit
+        # mantissa, so float division can be off by ±1 µs vs the exact
+        # truncation DuckDB applies when it reads TIMESTAMP(NANOS)
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

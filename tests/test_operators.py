@@ -596,3 +596,120 @@ class TestDuplicateClusters:
                for r in duplicate_clusters(df, threshold=0.3).collect()}
         assert out[1] == out[2] == out[3] == 1
         assert out[9] == 9  # singleton stays its own representative
+
+
+class TestScrubPii:
+    def test_counts_and_redaction(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            scrub_pii,
+        )
+        df = spark.createDataFrame([Row(
+            doc_id=1,
+            text="mail a.b+c@x-corp.io or see https://x.io/p?q=1 "
+                 "from 192.168.1.10 call 555-123-4567 twice 555.123.4567")])
+        r = scrub_pii(df).collect()[0]
+        assert (r["n_url"], r["n_email"], r["n_ipv4"], r["n_phone"]) == (
+            1, 1, 1, 2)
+        assert r["scrubbed"] == ("mail <EMAIL> or see <URL> from <IP> "
+                                 "call <PHONE> twice <PHONE>")
+
+    def test_clean_text_untouched(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            scrub_pii,
+        )
+        r = scrub_pii(spark.createDataFrame(
+            [Row(doc_id=1, text="no pii here at all")])).collect()[0]
+        assert r["scrubbed"] == "no pii here at all"
+        assert r["n_url"] == r["n_email"] == r["n_ipv4"] == r["n_phone"] == 0
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        import datetime as dt
+
+        from nifi_extracttext_processor_spark.operators.sessions import (
+            sessionize,
+        )
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            Row(event_id=1, user_id=7, ts=t0, value=1.0),
+            Row(event_id=2, user_id=7,
+                ts=t0 + dt.timedelta(minutes=10), value=2.0),
+            # 31-min gap → new session
+            Row(event_id=3, user_id=7,
+                ts=t0 + dt.timedelta(minutes=41), value=4.0),
+            # other user: never merged with user 7
+            Row(event_id=4, user_id=8, ts=t0, value=8.0),
+        ]
+        out = {(r["user_id"], r["session_no"]): r
+               for r in sessionize(spark.createDataFrame(rows)).collect()}
+        assert set(out) == {(7, 0), (7, 1), (8, 0)}
+        assert out[(7, 0)]["n_events"] == 2
+        assert out[(7, 0)]["total_value"] == 3.0
+        assert out[(7, 1)]["n_events"] == 1
+        assert out[(7, 1)]["session_start"] == t0 + dt.timedelta(minutes=41)
+
+    def test_boundary_gap_exactly_30min_stays(self, spark):
+        import datetime as dt
+
+        from nifi_extracttext_processor_spark.operators.sessions import (
+            sessionize,
+        )
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [Row(event_id=1, user_id=1, ts=t0, value=0.0),
+                Row(event_id=2, user_id=1,
+                    ts=t0 + dt.timedelta(seconds=1800), value=0.0)]
+        out = sessionize(spark.createDataFrame(rows)).collect()
+        assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+class TestKeepBestPerCluster:
+    def test_highest_quality_survives(self, spark):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "sits down beside the quiet river bank to rest a while")
+        df = spark.createDataFrame([
+            # near-dup pair: doc 2 is longer/richer → higher quality
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " with some further pleasant words"),
+            # singleton survives untouched
+            Row(doc_id=9, text="completely different words about boats "
+                               "sailing across the wide open ocean water"),
+        ])
+        out = {r["doc_id"]: r
+               for r in keep_best_per_cluster(df, threshold=0.3).collect()}
+        assert set(out) == {2, 9}
+        assert out[2]["cluster_size"] == 2
+        assert out[9]["cluster_size"] == 1
+
+
+class TestCorpusStats:
+    def test_top_terms_deterministic_ties(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            top_terms,
+        )
+        df = spark.createDataFrame(
+            [Row(text="b a"), Row(text="a c b")])
+        rows = top_terms(df, k=2).collect()
+        # a and b both have 2; c excluded; tie broken term-asc
+        assert [(r["term"], r["n"]) for r in rows] == [("a", 2), ("b", 2)]
+
+    def test_top_terms_plan_is_take_ordered(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            top_terms,
+        )
+        df = spark.createDataFrame([Row(text="x y z")])
+        plan = top_terms(df, k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # no global sort at scale
+
+    def test_length_histogram_buckets(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            length_histogram,
+        )
+        df = spark.createDataFrame(
+            [Row(text="x" * 10), Row(text="y" * 150), Row(text="z" * 5000)])
+        out = {r["bucket"]: r["n_docs"]
+               for r in length_histogram(df, max_bucket=20).collect()}
+        assert out == {0: 1, 1: 1, 20: 1}
