@@ -116,23 +116,41 @@ def shingles_sql(text_expr: str, n: int = DEFAULT_SHINGLE_N) -> str:
 _M32 = 4294967296  # 2^32
 
 
-def minhash_signature(sh: Column, k: int = DEFAULT_NUM_HASHES) -> Column:
-    """k MinHashes from ONE md5 per shingle (Kirsch-Mitzenmacher:
-    h_i = (h1 + i·h2) mod 2^32 from the two 32-bit halves of md5).
+def minhash_halves(sh: Column) -> Column:
+    """Per-shingle (h1, h2) = the two 32-bit halves of md5(shingle) —
+    the ONE real hash pass. md5 + hex→int is the portable hash family:
+    DuckDB reproduces every value exactly.
 
-    One hash pass instead of k, and signatures are longs, not 32-char
-    strings — 8× less signature/shuffle payload. md5 + hex→int is the
-    portable hash family: DuckDB reproduces every value exactly.
+    IMPORTANT: materialize this into a persisted intermediate before
+    fanning out to the k signature slots. Referencing it as an inline
+    subexpression re-inlines the md5 fold into every slot (Catalyst
+    collapses projections, and codegen subexpression elimination does
+    not fire across higher-order-function lambdas), turning one hash
+    pass into k.
     """
-    halves = F.transform(
-        F.transform(sh, F.md5),  # inner: md5 once per shingle
+    return F.transform(
+        F.transform(sh, F.md5),
         lambda h: F.struct(
             F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
             F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2")))
+
+
+def minhash_signature_from_halves(halves: Column,
+                                  k: int = DEFAULT_NUM_HASHES) -> Column:
+    """k MinHashes by Kirsch-Mitzenmacher double hashing:
+    h_i = (h1 + i·h2) mod 2^32 — arithmetic only, no re-hashing.
+    Signatures are longs, not 32-char strings — 8× less shuffle
+    payload than hex signatures."""
     return F.array(*[
         F.array_min(F.transform(
             halves, lambda e: (e["h1"] + i * e["h2"]) % _M32))
         for i in range(k)])
+
+
+def minhash_signature(sh: Column, k: int = DEFAULT_NUM_HASHES) -> Column:
+    """One-shot composition for single-use contexts. Inside pipelines,
+    persist minhash_halves first (see its docstring)."""
+    return minhash_signature_from_halves(minhash_halves(sh), k)
 
 
 def minhash_halves_sql(sh_expr: str) -> str:
@@ -199,10 +217,17 @@ def minhash_lsh_pairs(
     from .lifecycle import track_persist
 
     sh = shingles(text_col, n)
+    # Persist (id, sh, halves): the cache boundary materializes the md5
+    # halves ONCE, so the k signature slots and both self-join sides do
+    # arithmetic over stored longs instead of re-hashing every shingle
+    # (k× + 2× otherwise — verified via .explain: without the boundary,
+    # projection collapse inlines the md5 fold into every array_min).
     base = track_persist(
-        _spread(df).select(F.col(id_col), sh.alias("sh")))
+        _spread(df).select(F.col(id_col), sh.alias("sh"))
+        .withColumn("halves", minhash_halves(F.col("sh"))))
     banded = (base
-              .withColumn("sig", minhash_signature(F.col("sh"), k))
+              .withColumn("sig", minhash_signature_from_halves(
+                  F.col("halves"), k))
               .select(id_col, F.posexplode(F.array(
                   *minhash_bands(F.col("sig"), k, rows)))
                   .alias("band_id", "band_key")))
