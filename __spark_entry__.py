@@ -761,6 +761,14 @@ def q_top_terms(spark, sf):
     return ta.top_terms(d, "text", k=20)
 
 
+# ---- extension: TF-IDF characteristic terms per doc ----
+
+@_q("tfidf_top_terms", ta.tfidf_top_terms_sql("documents", k=3))
+def q_tfidf_top_terms(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.tfidf_top_terms(d, k=3)
+
+
 # ---- extension: document length histogram ----
 
 @_q("length_histogram", ta.length_histogram_sql("documents", "text"))

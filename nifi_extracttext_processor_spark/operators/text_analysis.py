@@ -263,3 +263,73 @@ SELECT CAST({b} AS BIGINT) AS bucket, count(*) AS n_docs,
        round(avg(length({text_expr})), 2) AS avg_chars
 FROM {table} GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (score = tf · ln((N+1)/(df+1)), ties → term asc).
+
+    Scale shape: term counts partial-aggregate map-side before the
+    (doc, term) shuffle; the document-frequency table derives from the
+    same aggregate (no second text scan); N is a 1-row broadcast; the
+    per-doc rank window is keyed by doc_id. No global sort anywhere.
+    Skewed hot terms only affect the df-table join — AQE skew handling
+    applies there.
+    """
+    from pyspark.sql import Window
+
+    terms = (df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("term"))
+        .filter(F.length("term") > 0))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").alias("df"))  # rows in tf are distinct (doc, term)
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("n_docs"))  # 1 row → broadcast
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log((F.col("n_docs") + 1)
+                                      / (F.col("df") + 1)), 4)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(id_col, "term", "tf", "df",
+                    "tfidf", F.col("rk").cast("long").alias("rk")))
+
+
+def tfidf_top_terms_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_expr: str = "text", k: int = 3) -> str:
+    """DuckDB twin (same log base e, same rounding, same tie-break)."""
+    return f"""
+WITH terms AS (
+  SELECT {id_col},
+         unnest(string_split_regex(trim(lower({text_expr})), '\\s+')) AS term
+  FROM {table}
+), tf_t AS (
+  SELECT {id_col}, term, count(*) AS tf FROM terms
+  WHERE len(term) > 0 GROUP BY 1, 2
+), df_t AS (
+  SELECT term, count(*) AS df FROM tf_t GROUP BY 1
+), n_t AS (
+  SELECT count(DISTINCT {id_col}) AS n_docs FROM {table}
+), scored AS (
+  SELECT tf_t.{id_col}, tf_t.term, tf, df,
+         round(tf * ln((n_docs + 1) / (df + 1)), 4) AS tfidf
+  FROM tf_t JOIN df_t USING (term) CROSS JOIN n_t
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+             ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT {id_col}, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {k}
+"""

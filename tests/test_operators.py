@@ -713,3 +713,23 @@ class TestCorpusStats:
         out = {r["bucket"]: r["n_docs"]
                for r in length_histogram(df, max_bucket=20).collect()}
         assert out == {0: 1, 1: 1, 20: 1}
+
+
+class TestTfidf:
+    def test_rare_term_wins(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            tfidf_top_terms,
+        )
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="common common zebra"),
+            Row(doc_id=2, text="common common common"),
+            Row(doc_id=3, text="common words here"),
+        ])
+        out = tfidf_top_terms(df, k=1).collect()
+        top = {r["doc_id"]: r["term"] for r in out}
+        # zebra appears only in doc 1 → highest idf there; 'common' is
+        # in every doc → idf ln(4/4)=0, so any doc with a rarer term
+        # ranks that term first (doc 2 has ONLY 'common', so it stays)
+        assert top[1] == "zebra"
+        assert top[2] == "common"
+        assert top[3] in ("here", "words")
