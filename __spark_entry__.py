@@ -777,6 +777,14 @@ def q_length_histogram(spark, sf):
     return ta.length_histogram(d, "text")
 
 
+# ---- extension: exact length percentiles ----
+
+@_q("length_percentiles", ta.length_percentiles_sql("documents"))
+def q_length_percentiles(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.length_percentiles(d)
+
+
 # ---- extension: batch sessionization (gaps-and-islands) ----
 
 @_q("events_sessionize", sess.sessionize_sql("events"))

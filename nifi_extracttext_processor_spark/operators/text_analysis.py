@@ -333,3 +333,33 @@ WITH terms AS (
 SELECT {id_col}, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {k}
 """
+
+
+def length_percentiles(df: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Exact p50/p90/p99 of document length (1 output row).
+
+    Exact percentile is a sort-based aggregate — fine into the tens of
+    millions of rows it would see per partition-pruned slice, and it is
+    what the DuckDB oracle can reproduce bit-for-bit. At full 100 TB
+    corpus scope swap in percentile_approx (t-digest, mergeable sketch,
+    single pass) and accept approximate answers; the histogram operator
+    above is the exact-and-scalable alternative.
+    """
+    ln = F.length(F.col(text_col))
+    pct = F.percentile(ln, F.lit([0.5, 0.9, 0.99]))
+    return df.agg(
+        F.round(pct.getItem(0), 2).alias("p50"),
+        F.round(pct.getItem(1), 2).alias("p90"),
+        F.round(pct.getItem(2), 2).alias("p99"),
+        F.count("*").alias("n_docs"))
+
+
+def length_percentiles_sql(table: str = "documents",
+                           text_expr: str = "text") -> str:
+    q = f"quantile_cont(length({text_expr}), [0.5, 0.9, 0.99])"
+    return f"""
+SELECT round({q}[1], 2) AS p50, round({q}[2], 2) AS p90,
+       round({q}[3], 2) AS p99, count(*) AS n_docs
+FROM {table}
+"""

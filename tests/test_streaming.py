@@ -107,3 +107,34 @@ def test_stream_dedup_exact(spark, tmp_path):
     # 3 "unique i" docs survive; the 6 same-text docs collapse to 1
     assert len(got) == 4
     assert texts.count("same text") == 1
+
+
+def test_streaming_scrub_and_quality(spark, tmp_path):
+    """The round-2 text operators are pure narrow projections, so they
+    compose with Structured Streaming unchanged: stream PDFs in, scrub
+    PII + score quality, drain with availableNow."""
+    from nifi_extracttext_processor_spark.operators.text_analysis import (
+        quality_score, scrub_pii,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.pdf").write_bytes(build_pdf(
+        ["reach me at jane.doe@corp.example or https://corp.example/x"]))
+    (src / "b.pdf").write_bytes(build_pdf(["nothing sensitive here"]))
+
+    stream = read_document_stream(spark, str(src))
+    extracted = extract_text(stream)
+    enriched = quality_score(scrub_pii(extracted, "text"), "text")
+    out = str(tmp_path / "out")
+    (enriched.writeStream.format("parquet")
+     .option("path", out)
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    got = {r["filename"]: r for r in spark.read.parquet(out).collect()}
+    assert got["a.pdf"]["n_email"] == 1 and got["a.pdf"]["n_url"] == 1
+    assert "<EMAIL>" in got["a.pdf"]["scrubbed"]
+    assert "jane.doe" not in got["a.pdf"]["scrubbed"]
+    assert got["b.pdf"]["n_email"] == 0
+    assert 0.0 <= got["b.pdf"]["quality"] <= 1.0
