@@ -34,6 +34,12 @@ HEADLINE = [
     "dedup_simhash_sig",   # 64-bit higher-order fold
     "ann_topk",            # brute-force cosine top-k
     "quality_score",       # mixed regex/array scoring
+    # round-2 additions
+    "tfidf_top_terms",     # (doc,term) agg + df join + keyed rank
+    "events_sessionize",   # gaps-and-islands keyed windows
+    "dedup_clusters",      # iterative min-label propagation
+    "scrub_pii",           # 4-pattern regex projection
+    "top_terms",           # TakeOrdered corpus top-k
 ]
 
 
