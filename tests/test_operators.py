@@ -733,3 +733,19 @@ class TestTfidf:
         assert top[1] == "zebra"
         assert top[2] == "common"
         assert top[3] in ("here", "words")
+
+
+class TestSimhashPreAggregate:
+    def test_identical_output(self, spark):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            simhash64_table,
+        )
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="alpha beta alpha beta alpha gamma"),
+            Row(doc_id=2, text="one two three four five six seven"),
+        ])
+        a = {r["doc_id"]: r["simhash"]
+             for r in simhash64_table(df).collect()}
+        b = {r["doc_id"]: r["simhash"]
+             for r in simhash64_table(df, pre_aggregate=True).collect()}
+        assert a == b
