@@ -777,6 +777,28 @@ def q_length_histogram(spark, sf):
     return ta.length_histogram(d, "text")
 
 
+# ---- extension: set-to-set k-NN join (exact + LSH-banded) ----
+
+from nifi_extracttext_processor_spark.operators import similarity as sim  # noqa: E402
+
+
+def _knn_split(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return emb.filter(F.col("vec_id") < 8), emb.filter(F.col("vec_id") >= 8)
+
+
+@_q("knn_join", sim.knn_join_sql(k=5, query_pred="vec_id < 8"))
+def q_knn_join(spark, sf):
+    q, c = _knn_split(spark, sf)
+    return sim.knn_join(q, c, k=5)
+
+
+@_q("knn_join_lsh", sim.knn_join_lsh_sql(k=5, query_pred="vec_id < 8"))
+def q_knn_join_lsh(spark, sf):
+    q, c = _knn_split(spark, sf)
+    return sim.knn_join_lsh(q, c, k=5)
+
+
 # ---- extension: exact length percentiles ----
 
 @_q("length_percentiles", ta.length_percentiles_sql("documents"))

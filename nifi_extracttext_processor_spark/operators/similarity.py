@@ -419,3 +419,162 @@ def ivf_topk(
                     F.round(cosine(F.col("v"), qv), 4).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# set-to-set k-NN join
+# ---------------------------------------------------------------------------
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid_col: str = "vec_id",
+    cid_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join: for every query row, its top-k corpus rows by
+    cosine (ties → match_id asc). Returns
+    (query_id, match_id, cosine, rk).
+
+    Scale shape: the query side is broadcast (a query/probe set is
+    small by construction — if it isn't, use knn_join_lsh); scoring is
+    a broadcast nested-loop that never shuffles the corpus, and the
+    rank window is keyed by query_id. The corpus is scanned exactly
+    once regardless of query count.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       _as_double(vec_col).alias("qv"))
+    c = corpus.select(F.col(cid_col).alias("match_id"),
+                      _as_double(vec_col).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("query_id", "match_id",
+                      F.round(cosine(F.col("cv"), F.col("qv")), 4)
+                       .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id"))
+    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k))
+
+
+def knn_join_sql(
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 8",
+) -> str:
+    """DuckDB twin of knn_join where queries/corpus split one table by
+    `query_pred` (queries = rows matching it, corpus = the rest)."""
+    from ..functions.portable import cosine_sql
+
+    cos = cosine_sql("cv", "qv")
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, {vec_col}::DOUBLE[] AS qv
+  FROM {table} WHERE {query_pred}
+), c AS (
+  SELECT {id_col} AS match_id, {vec_col}::DOUBLE[] AS cv
+  FROM {table} WHERE NOT ({query_pred})
+), scored AS (
+  SELECT query_id, match_id, round({cos}, 4) AS cosine
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, match_id) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rk FROM ranked WHERE rk <= {k}
+"""
+
+
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid_col: str = "vec_id",
+    cid_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate k-NN join for LARGE query sets: band both sides with
+    the shared md5-seeded hyperplanes and join on (band_id, band_key),
+    so each query only scores corpus vectors sharing ≥1 band. Both
+    sides shuffle by band key — no broadcast requirement, no O(|Q|·|C|)
+    blow-up; skewed hot bands fall to AQE skew handling. Deterministic
+    (literal hyperplanes), so recall is reproducible and the DuckDB
+    twin hash-matches.
+    """
+    from pyspark.sql import Window
+
+    qb = (_lsh_banded(queries, qid_col, vec_col, planes, bands)
+          .select(F.col(qid_col).alias("query_id"),
+                  F.col("v").alias("qv"), "band_id", "band_key"))
+    cb = (_lsh_banded(corpus, cid_col, vec_col, planes, bands)
+          .select(F.col(cid_col).alias("match_id"),
+                  F.col("v").alias("cv"), "band_id", "band_key"))
+    cand = (qb.join(cb, ["band_id", "band_key"])
+            .dropDuplicates(["query_id", "match_id"]))
+    scored = cand.select(
+        "query_id", "match_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id"))
+    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k))
+
+
+def knn_join_lsh_sql(
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 8",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of knn_join_lsh (same hyperplanes, same band join)."""
+    from ..functions.portable import band_keys_sql, cosine_sql
+    from .dedup import random_hyperplanes
+
+    hps = random_hyperplanes(dim, planes)
+    keys = band_keys_sql("v", hps, bands)
+
+    def banded(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {id_col}, v, {b} AS band_id, ({key}) AS band_key "
+            f"FROM {src}" for b, key in enumerate(keys))
+
+    cos = cosine_sql("cv", "qv")
+    return f"""
+WITH qbase AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+  WHERE {query_pred}
+), cbase AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+  WHERE NOT ({query_pred})
+), qbanded AS ({banded('qbase')}),
+cbanded AS ({banded('cbase')}),
+cand AS (
+  SELECT DISTINCT q.{id_col} AS query_id, c.{id_col} AS match_id
+  FROM qbanded q JOIN cbanded c
+    ON q.band_id = c.band_id AND q.band_key = c.band_key
+), scored AS (
+  SELECT cand.query_id, cand.match_id,
+         round({cos}, 4) AS cosine
+  FROM cand
+  JOIN (SELECT {id_col}, v AS qv FROM qbase) bq
+    ON bq.{id_col} = cand.query_id
+  JOIN (SELECT {id_col}, v AS cv FROM cbase) bc
+    ON bc.{id_col} = cand.match_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, match_id) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rk FROM ranked WHERE rk <= {k}
+"""

@@ -749,3 +749,52 @@ class TestSimhashPreAggregate:
         b = {r["doc_id"]: r["simhash"]
              for r in simhash64_table(df, pre_aggregate=True).collect()}
         assert a == b
+
+
+class TestKnnJoin:
+    def _emb(self, spark):
+        import hashlib
+        rows = []
+        for i in range(24):
+            h = hashlib.md5(f"v{i}".encode()).digest()
+            rows.append(Row(vec_id=i,
+                            embedding=[(b - 128) / 128.0 for b in h[:8]]))
+        return spark.createDataFrame(rows)
+
+    def test_every_query_gets_k(self, spark):
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            knn_join,
+        )
+        e = self._emb(spark)
+        q, c = e.filter("vec_id < 4"), e.filter("vec_id >= 4")
+        out = knn_join(q, c, k=3).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert set(per_q) == {0, 1, 2, 3}
+        assert all(len(v) == 3 for v in per_q.values())
+        for v in per_q.values():
+            cosines = [r["cosine"] for r in sorted(v, key=lambda r: r["rk"])]
+            assert cosines == sorted(cosines, reverse=True)
+
+    def test_query_side_is_broadcast(self, spark):
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            knn_join,
+        )
+        e = self._emb(spark)
+        plan = (knn_join(e.filter("vec_id < 4"), e.filter("vec_id >= 4"))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastNestedLoopJoin" in plan  # corpus never shuffles
+
+    def test_lsh_is_subset_of_brute_candidates(self, spark):
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            knn_join, knn_join_lsh,
+        )
+        e = self._emb(spark)
+        q, c = e.filter("vec_id < 4"), e.filter("vec_id >= 4")
+        brute = {(r["query_id"], r["match_id"], r["cosine"])
+                 for r in knn_join(q, c, k=20).collect()}
+        lsh = [(r["query_id"], r["match_id"], r["cosine"])
+               for r in knn_join_lsh(q, c, k=3).collect()]
+        # every LSH result is a real pair with the exact same cosine
+        assert all(t in brute for t in lsh)
