@@ -121,3 +121,54 @@ def html_title(data: bytes) -> str | None:
     title = _html.unescape(
         m.group(1).decode("utf-8", "replace")).strip()
     return title or None
+
+
+_ODF_META_TAGS = {
+    "{http://purl.org/dc/elements/1.1/}title": "dc:title",
+    "{http://purl.org/dc/elements/1.1/}creator": "dc:creator",
+    "{http://purl.org/dc/elements/1.1/}subject": "dc:subject",
+    "{http://purl.org/dc/elements/1.1/}date": "dcterms:modified",
+    ("{urn:oasis:names:tc:opendocument:xmlns:meta:1.0}"
+     "generator"): "meta:generator",
+    ("{urn:oasis:names:tc:opendocument:xmlns:meta:1.0}"
+     "initial-creator"): "meta:initial-author",
+}
+
+
+def odf_meta(data: bytes) -> dict[str, str]:
+    """meta.xml properties of an OpenDocument package (Tika key names)."""
+    out: dict[str, str] = {}
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            if "meta.xml" not in zf.namelist():
+                return out
+            root = ET.fromstring(zf.read("meta.xml"))
+        for el in root.iter():
+            name = _ODF_META_TAGS.get(el.tag)
+            if name and el.text:
+                out[name] = el.text
+    except Exception:
+        pass  # malformed package → no props, not an error
+    return out
+
+
+def eml_headers(data: bytes) -> dict[str, str]:
+    """RFC-822 header metadata (Tika's RFC822Parser key names)."""
+    import email
+    import email.policy
+
+    out: dict[str, str] = {}
+    try:
+        msg = email.message_from_bytes(data, policy=email.policy.default)
+        for header, key in (("Subject", "dc:title"),
+                            ("From", "Message-From"),
+                            ("To", "Message-To"),
+                            ("Cc", "Message-Cc"),
+                            ("Date", "dcterms:created"),
+                            ("Message-ID", "Message-ID")):
+            v = msg[header]
+            if v:
+                out[key] = str(v)
+    except Exception:
+        pass
+    return out

@@ -155,7 +155,7 @@ def media_metadata(
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nifi_extracttext_processor_spark.formats import detect_mime
         from nifi_extracttext_processor_spark.formats.metadata import (
-            html_title, ooxml_core_props, pdf_info,
+            eml_headers, html_title, odf_meta, ooxml_core_props, pdf_info,
         )
         from nifi_extracttext_processor_spark.formats.oleps import (
             summary_info,
@@ -181,9 +181,12 @@ def media_metadata(
                             md.update(pdf_info(data))
                         elif data.startswith(b"PK\x03\x04"):
                             md.update(ooxml_core_props(data))
+                            md.update(odf_meta(data))
                         elif data.startswith(
                                 b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
                             md.update(summary_info(data))
+                        elif mime == "message/rfc822":
+                            md.update(eml_headers(data))
                         elif mime == "text/html":
                             title = html_title(data)
                             if title:

@@ -162,3 +162,48 @@ def test_media_metadata_legacy_summary_info(spark, reference_fixture):
     assert md["extended-properties:Application"] == \
         "Microsoft Macintosh Word"
     assert md["dcterms:modified"] == "2018-02-21T20:00:00Z"
+
+
+def test_media_metadata_odf_and_eml(spark):
+    """Round-2 metadata widening: ODF meta.xml and RFC-822 headers."""
+    import io
+    import zipfile
+
+    from tests.fixtures.builders import build_eml
+
+    buf = io.BytesIO()
+    meta = (
+        '<?xml version="1.0"?>'
+        '<office:document-meta'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:meta="urn:oasis:names:tc:opendocument:xmlns:meta:1.0"'
+        ' xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        '<office:meta><dc:title>Deck Title</dc:title>'
+        '<dc:creator>Alex Writer</dc:creator>'
+        '<meta:generator>TestSuite/1.0</meta:generator>'
+        '</office:meta></office:document-meta>')
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        '<office:body><office:text><text:p>hi</text:p></office:text>'
+        '</office:body></office:document-content>')
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("mimetype"),
+                    "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", content)
+        zf.writestr("meta.xml", meta)
+    eml = build_eml("Quarterly Report", "alice@example.com",
+                    "bob@example.com", "body text")
+    df = spark.createDataFrame([
+        Row(doc_id=0, filename="t.odt", content=bytearray(buf.getvalue())),
+        Row(doc_id=1, filename="m.eml", content=bytearray(eml)),
+    ], DOC_SCHEMA)
+    md = {r["filename"]: r["metadata"] for r in media_metadata(df).collect()}
+    assert md["t.odt"]["dc:title"] == "Deck Title"
+    assert md["t.odt"]["dc:creator"] == "Alex Writer"
+    assert md["t.odt"]["meta:generator"] == "TestSuite/1.0"
+    assert md["m.eml"]["dc:title"] == "Quarterly Report"
+    assert md["m.eml"]["Message-From"] == "alice@example.com"
+    assert md["m.eml"]["Content-Type"] == "message/rfc822"
