@@ -761,6 +761,46 @@ def q_top_terms(spark, sf):
     return ta.top_terms(d, "text", k=20)
 
 
+# ---- extension: document chunking (token windows + overlap) ----
+
+@_q("chunk_documents", f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+chunks AS ({ta.chunk_documents_sql('src', 'text',
+                                   max_tokens=64, overlap=8)})
+SELECT doc_id, chunk_no, md5(chunk) AS chunk_md5, n_chunk_tokens
+FROM chunks
+""")
+def q_chunk_documents(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return (ta.chunk_documents(d, max_tokens=64, overlap=8)
+            .select("doc_id", "chunk_no",
+                    F.md5("chunk").alias("chunk_md5"), "n_chunk_tokens"))
+
+
+# ---- extension: incremental exact dedup against a catalog ----
+
+@_q("dedup_incremental", f"""
+WITH catalog AS (
+  SELECT DISTINCT {ta.fingerprint_sql('text')} AS fingerprint
+  FROM documents WHERE doc_id % 3 = 0
+), fp AS (
+  SELECT doc_id, {ta.fingerprint_sql('text')} AS fingerprint
+  FROM documents
+), fresh AS (
+  SELECT fp.* FROM fp LEFT JOIN catalog USING (fingerprint)
+  WHERE catalog.fingerprint IS NULL
+)
+SELECT min(doc_id) AS doc_id, fingerprint
+FROM fresh GROUP BY fingerprint
+""")
+def q_dedup_incremental(spark, sf):
+    d = _t(spark, sf, "documents")
+    catalog = (ta.fingerprint(d.filter(F.col("doc_id") % 3 == 0), "text")
+               .select("fingerprint").distinct())
+    survivors = dd.dedup_exact_incremental(d, catalog)
+    return ta.fingerprint(survivors, "text").select("doc_id", "fingerprint")
+
+
 # ---- extension: TF-IDF characteristic terms per doc ----
 
 @_q("tfidf_top_terms", ta.tfidf_top_terms_sql("documents", k=3))

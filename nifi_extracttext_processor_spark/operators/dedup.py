@@ -761,3 +761,46 @@ def embedding_dup_pairs_lsh(
                 cosine(F.col("v1"), F.col("v2")), 4))
             .filter(F.col("cosine") >= threshold)
             .select("id1", "id2", "cosine"))
+
+
+def dedup_exact_incremental(
+    new_df: DataFrame,
+    catalog_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against a historical fingerprint catalog, then
+    within itself — the shape an always-on ingest pipeline needs: at
+    100 TB you dedup the delta against a persisted catalog, never the
+    whole corpus again.
+
+    catalog_df needs one `fingerprint` column (md5 of normalized text —
+    what update_fingerprint_catalog writes). Survivors = rows whose
+    fingerprint is absent from the catalog, minus in-batch duplicates
+    (min id wins). Both steps are fingerprint-keyed (32-byte keys):
+    anti-join + semi-join; document text never shuffles.
+    """
+    from .text_analysis import fingerprint
+
+    fp = fingerprint(new_df.select(id_col, text_col), text_col)
+    fresh = fp.join(catalog_df.select("fingerprint"),
+                    "fingerprint", "left_anti")
+    keep = (fresh.groupBy("fingerprint")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return new_df.join(keep, id_col, "left_semi")
+
+
+def update_fingerprint_catalog(
+    new_df: DataFrame,
+    catalog_path: str,
+    text_col: str = "text",
+) -> None:
+    """Append the batch's distinct fingerprints to the parquet catalog
+    (idempotent consumers dedup on read via dedup_exact_incremental's
+    anti-join, so duplicate catalog rows only cost space)."""
+    from .text_analysis import fingerprint
+
+    (fingerprint(new_df.select(text_col), text_col)
+     .select("fingerprint").distinct()
+     .write.mode("append").parquet(catalog_path))

@@ -363,3 +363,66 @@ SELECT round({q}[1], 2) AS p50, round({q}[2], 2) AS p90,
        round({q}[3], 2) AS p99, count(*) AS n_docs
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training-data prep: fixed-token windows + overlap)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    max_tokens: int = 64,
+                    overlap: int = 8) -> DataFrame:
+    """Split each document into whitespace-token windows of max_tokens
+    with `overlap` tokens of context carried between consecutive
+    chunks; emits (…, chunk_no, chunk, n_chunk_tokens). Zero-UDF
+    narrow generate — chunking never shuffles, so it composes with the
+    extraction scan at any scale.
+
+    chunk i covers tokens [i·step, i·step+max_tokens) with
+    step = max_tokens − overlap; every token lands in ≥1 chunk; empty
+    docs yield no rows.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    keep = [c for c in df.columns if c != text_col]
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = (F.floor((F.greatest(n - overlap, F.lit(1)) - 1) / step)
+                + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, max_tokens)))
+    out = (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+           .select(*keep,
+                   F.posexplode(chunks).alias("chunk_no", "chunk")))
+    return (out
+            .withColumn("chunk_no", F.col("chunk_no").cast("long"))
+            .withColumn("n_chunk_tokens",
+                        F.size(F.split(F.col("chunk"), " ")).cast("long")))
+
+
+def chunk_documents_sql(table: str = "documents", text_expr: str = "text",
+                        max_tokens: int = 64, overlap: int = 8) -> str:
+    """DuckDB twin (zipped unnest of range + transformed slices)."""
+    step = max_tokens - overlap
+    toks = f"string_split_regex(trim({text_expr}), '\\s+')"
+    n = f"len(toks)"
+    nc = f"((greatest({n} - {overlap}, 1) - 1) // {step} + 1)"
+    return f"""
+WITH t AS (
+  SELECT *, {toks} AS toks FROM {table}
+  WHERE length(trim({text_expr})) > 0
+), chunked AS (
+  SELECT * EXCLUDE (toks),
+         unnest(range({nc})) AS chunk_no,
+         unnest(list_transform(range({nc}),
+                i -> array_to_string(list_slice(
+                     toks, i * {step} + 1, i * {step} + {max_tokens}), ' ')))
+           AS chunk
+  FROM t
+)
+SELECT * REPLACE (CAST(chunk_no AS BIGINT) AS chunk_no),
+       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
+FROM chunked
+"""

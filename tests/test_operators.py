@@ -798,3 +798,78 @@ class TestKnnJoin:
                for r in knn_join_lsh(q, c, k=3).collect()]
         # every LSH result is a real pair with the exact same cosine
         assert all(t in brute for t in lsh)
+
+
+class TestChunking:
+    def test_windows_and_overlap(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            chunk_documents,
+        )
+        words = [f"w{i}" for i in range(10)]
+        df = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+        out = sorted(chunk_documents(df, max_tokens=4, overlap=1).collect(),
+                     key=lambda r: r["chunk_no"])
+        chunks = [r["chunk"].split(" ") for r in out]
+        # step=3: starts at 0,3,6,9 → all 10 tokens covered, 1 overlap
+        assert chunks[0] == ["w0", "w1", "w2", "w3"]
+        assert chunks[1] == ["w3", "w4", "w5", "w6"]
+        assert chunks[-1][-1] == "w9"
+        covered = {w for c in chunks for w in c}
+        assert covered == set(words)
+
+    def test_short_and_empty_docs(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            chunk_documents,
+        )
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="just three words"),
+            Row(doc_id=2, text="   "),
+        ])
+        out = chunk_documents(df, max_tokens=64, overlap=8).collect()
+        assert len(out) == 1  # one short chunk; blank doc dropped
+        assert out[0]["chunk"] == "just three words"
+        assert out[0]["n_chunk_tokens"] == 3
+
+    def test_overlap_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            chunk_documents,
+        )
+        df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+        with pytest.raises(ValueError):
+            chunk_documents(df, max_tokens=4, overlap=4)
+
+
+class TestIncrementalDedup:
+    def test_catalog_and_in_batch(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            dedup_exact_incremental, update_fingerprint_catalog,
+        )
+        old = spark.createDataFrame([Row(doc_id=0, text="seen before")])
+        cat = str(tmp_path / "catalog")
+        update_fingerprint_catalog(old, cat)
+        new = spark.createDataFrame([
+            Row(doc_id=10, text="Seen   BEFORE"),   # catalog dup (normalized)
+            Row(doc_id=11, text="brand new text"),
+            Row(doc_id=12, text="brand new text"),  # in-batch dup
+            Row(doc_id=13, text="also new"),
+        ])
+        survivors = sorted(
+            r["doc_id"] for r in dedup_exact_incremental(
+                new, spark.read.parquet(cat)).collect())
+        assert survivors == [11, 13]
+
+    def test_catalog_append_is_cumulative(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            dedup_exact_incremental, update_fingerprint_catalog,
+        )
+        cat = str(tmp_path / "catalog")
+        update_fingerprint_catalog(
+            spark.createDataFrame([Row(doc_id=0, text="alpha")]), cat)
+        update_fingerprint_catalog(
+            spark.createDataFrame([Row(doc_id=1, text="beta")]), cat)
+        new = spark.createDataFrame([
+            Row(doc_id=2, text="alpha"), Row(doc_id=3, text="beta"),
+            Row(doc_id=4, text="gamma")])
+        out = dedup_exact_incremental(
+            new, spark.read.parquet(cat)).collect()
+        assert [r["doc_id"] for r in out] == [4]
