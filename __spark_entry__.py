@@ -974,6 +974,74 @@ def q_fingerprint(spark, sf):
     return ta.fingerprint(d, "text").select("doc_id", "fingerprint")
 
 
+# ---- extension: benchmark decontamination ----
+
+from nifi_extracttext_processor_spark.operators import corpus as cx  # noqa: E402
+
+
+@_q("decontaminate", cx.decontaminate_sql(
+    "documents", bench_pred="doc_id % 97 = 0", n=8))
+def q_decontaminate(spark, sf):
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return cx.decontaminate(d, bench, n=8)
+
+
+# ---- extension: Gopher-style repetition quality signals ----
+
+_REP = ta.repetition_stats_sql("text")
+
+
+@_q("repetition_stats", f"""
+SELECT doc_id,
+       {_REP['dup_sent_frac']} AS dup_sent_frac,
+       {_REP['max_bigram_count']} AS max_bigram_count,
+       {_REP['top_bigram_char_frac']} AS top_bigram_char_frac
+FROM documents
+""")
+def q_repetition(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return ta.repetition_stats(d).drop("text")
+
+
+# ---- extension: corpus-wide line dedup (CCNet-style) ----
+
+@_q("dedup_lines", f"""
+WITH out AS ({cx.dedup_lines_sql('documents')})
+SELECT doc_id, n_kept, md5(clean_text) AS clean_md5 FROM out
+""")
+def q_dedup_lines(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = cx.dedup_lines(d)
+    return out.select("doc_id", "n_kept",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+# ---- extension: fixed-token-budget sequence packing ----
+
+@_q("pack_sequences",
+    cx.pack_sequences_sql("documents", budget=256, n_buckets=8))
+def q_pack_sequences(spark, sf):
+    d = _t(spark, sf, "documents")
+    return cx.pack_sequences(d, budget=256, n_buckets=8)
+
+
+# ---- extension: deterministic stratified sampling / corpus mixing ----
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.75}
+
+
+@_q("stratified_sample", f"""
+WITH s AS ({cx.stratified_sample_sql('documents', _MIX_RATES,
+                                     default_rate=0.1)})
+SELECT doc_id, source FROM s
+""")
+def q_stratified_sample(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (cx.stratified_sample(d, _MIX_RATES, default_rate=0.1)
+            .select("doc_id", "source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

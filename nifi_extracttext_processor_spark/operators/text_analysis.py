@@ -113,6 +113,80 @@ def quality_score_sql(text_expr: str,
     return f"round(greatest(0.0, {score}), 4)"
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals per document (the quality rules
+    that kill boilerplate / SEO-spam pages):
+
+    - dup_sent_frac: fraction of sentences that are repeats of an
+      earlier sentence in the SAME doc,
+    - max_bigram_count: occurrences of the most frequent word bigram,
+    - top_bigram_char_frac: characters covered by that bigram's
+      occurrences / total characters (the Gopher "fraction of characters
+      in the most common 2-gram" rule, made tie-proof by maximizing
+      count*len directly).
+
+    Zero-UDF, zero-shuffle: everything is higher-order array functions
+    over per-doc token arrays — a single narrow projection pass at
+    100 TB. The O(distinct x total) inner count is bounded by document
+    length, not corpus size.
+    """
+    c = F.col(text_col)
+    toks = _tokens(c)
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    sents = F.split(c, SENTENCE_RE)
+    dup_sent = F.round(
+        1.0 - F.size(F.array_distinct(sents)) / F.size(sents), 6)
+    counts = F.transform(
+        F.array_distinct(bg),
+        lambda d: F.size(F.filter(bg, lambda x: x == d)))
+    char_cover = F.transform(
+        F.array_distinct(bg),
+        lambda d: F.size(F.filter(bg, lambda x: x == d)) * F.length(d))
+    return (df
+            .withColumn("dup_sent_frac", dup_sent)
+            .withColumn("max_bigram_count",
+                        F.coalesce(F.array_max(counts), F.lit(0))
+                         .cast("long"))
+            .withColumn(
+                "top_bigram_char_frac",
+                F.when(F.length(c) > 0, F.round(
+                    F.coalesce(F.array_max(char_cover), F.lit(0))
+                    / F.length(c), 6)).otherwise(F.lit(0.0))))
+
+
+def repetition_stats_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB twins of the three repetition_stats columns."""
+    toks = f"string_split(lower({text_expr}), ' ')"
+    bg = (f"CASE WHEN len({toks}) >= 2 THEN list_transform("
+          f"range(1, len({toks})), i -> "
+          f"{toks}[i] || ' ' || {toks}[i + 1]) "
+          f"ELSE [] END")
+    sents = f"regexp_split_to_array({text_expr}, '[.!?]\\s+')"
+    counts = (f"list_transform(list_distinct({bg}), "
+              f"d -> len(list_filter({bg}, x -> x = d)))")
+    cover = (f"list_transform(list_distinct({bg}), "
+             f"d -> len(list_filter({bg}, x -> x = d)) * length(d))")
+    return {
+        "dup_sent_frac": (
+            f"round(1.0 - len(list_distinct({sents})) * 1.0"
+            f" / len({sents}), 6)"),
+        "max_bigram_count": f"coalesce(list_max({counts}), 0)::BIGINT",
+        "top_bigram_char_frac": (
+            f"CASE WHEN length({text_expr}) > 0 THEN "
+            f"round(coalesce(list_max({cover}), 0) * 1.0"
+            f" / length({text_expr}), 6) ELSE 0.0 END"),
+    }
+
+
 def language_id(
     df: DataFrame,
     text_col: str = "text",
