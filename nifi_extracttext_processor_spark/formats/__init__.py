@@ -33,11 +33,20 @@ __all__ = [
 ]
 
 
+# Bounds on transparent decompression (Tika's CompressorParser has the
+# same class of guard: memory-limit on expanded entries). A small .gz can
+# expand ~1000x; without a cap a decompression bomb OOMs the Arrow
+# extraction task.
+MAX_DECOMPRESSED_BYTES = 1 << 30  # 1 GiB of expanded content
+MAX_COMPRESS_DEPTH = 2            # .gz-of-.gz allowed, no deeper
+
+
 def extract_any(
     data: bytes | None,
     filename: str | None = None,
     max_text_length: int = -1,
     output_mode: str = "text",
+    _depth: int = 0,
 ) -> tuple[str, str, str | None]:
     """Detect + extract. Returns (text, detected_mime, error).
 
@@ -78,11 +87,21 @@ def extract_any(
             text = extract_eml_text(data)
         elif detected == m.MIME_GZIP:
             # Tika's CompressorParser: transparently extract the wrapped
-            # entry; the reported type stays application/gzip.
-            import gzip
+            # entry; the reported type stays application/gzip. Expansion
+            # is capped (decompression-bomb guard) and nesting bounded.
+            import zlib
+            if _depth >= MAX_COMPRESS_DEPTH:
+                raise ValueError(
+                    f"compressed nesting deeper than {MAX_COMPRESS_DEPTH}")
+            dec = zlib.decompressobj(wbits=31)  # gzip wrapper
+            inner = dec.decompress(data, MAX_DECOMPRESSED_BYTES + 1)
+            if len(inner) > MAX_DECOMPRESSED_BYTES:
+                raise ValueError(
+                    "gzip content exceeds "
+                    f"{MAX_DECOMPRESSED_BYTES} decompressed bytes")
             inner_name = (filename or "").removesuffix(".gz") or None
             text, _, inner_err = extract_any(
-                gzip.decompress(data), inner_name, -1, "text")
+                inner, inner_name, -1, "text", _depth=_depth + 1)
             if inner_err:
                 raise ValueError(f"gzip inner content failed: {inner_err}")
         elif detected in (m.MIME_TEXT, m.MIME_CSV, m.MIME_JSON):

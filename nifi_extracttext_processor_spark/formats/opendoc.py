@@ -22,26 +22,38 @@ ODF_SPREADSHEET = "application/vnd.oasis.opendocument.spreadsheet"
 ODF_PRESENTATION = "application/vnd.oasis.opendocument.presentation"
 
 
+def _emit(node: ET.Element, parts: list[str]) -> None:
+    """Depth-first flatten of one inline element: its own text, then each
+    child in document order with the child's tail AFTER returning from it
+    (a flat iter() walk misorders nested runs: tails of outer elements
+    would land before inner descendants)."""
+    tag = node.tag
+    if tag == f"{_TEXT}tab":
+        parts.append("\t")
+        return
+    if tag == f"{_TEXT}line-break":
+        parts.append("\n")
+        return
+    if tag == f"{_TEXT}s":
+        parts.append(" " * int(node.get(f"{_TEXT}c", "1")))
+        return
+    if node.text:
+        parts.append(node.text)
+    for child in node:
+        _emit(child, parts)
+        if child.tail:
+            parts.append(child.tail)
+
+
 def _para_text(p: ET.Element) -> str:
     """Flatten one text:p / text:h, honoring tab/line-break/space elems."""
     parts: list[str] = []
     if p.text:
         parts.append(p.text)
-    for node in p.iter():
-        if node is p:
-            continue
-        tag = node.tag
-        if tag == f"{_TEXT}tab":
-            parts.append("\t")
-        elif tag == f"{_TEXT}line-break":
-            parts.append("\n")
-        elif tag == f"{_TEXT}s":
-            parts.append(" " * int(node.get(f"{_TEXT}c", "1")))
-        if node.text and node is not p and tag not in (
-                f"{_TEXT}tab", f"{_TEXT}line-break", f"{_TEXT}s"):
-            parts.append(node.text)
-        if node.tail:
-            parts.append(node.tail)
+    for child in p:
+        _emit(child, parts)
+        if child.tail:
+            parts.append(child.tail)
     return "".join(parts)
 
 

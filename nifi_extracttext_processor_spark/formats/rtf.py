@@ -49,19 +49,27 @@ def extract_rtf_text(data: bytes) -> str:
     stack: list[tuple[bool, int]] = []
     ignorable, ucskip = False, 1
     pending_skip = 0  # fallback chars to swallow after \uN
+    just_opened = False  # previous token was '{' (for \* destination marker)
 
     for m in _TOKEN.finditer(s):
         word, num, hexb, sym, brace, text = m.groups()
         if brace == "{":
             stack.append((ignorable, ucskip))
+            just_opened = True
             continue
+        opened = just_opened
+        just_opened = False
         if brace == "}":
             if stack:
                 ignorable, ucskip = stack.pop()
             continue
         if sym is not None:
             if sym == "*":
-                ignorable = True        # \*\dest — ignorable destination
+                # \* marks an ignorable destination ONLY as the first
+                # token of a group ({\*\dest …}); a stray \* in running
+                # text is a no-op (Tika keeps the following text)
+                if opened:
+                    ignorable = True
             elif sym in "\\{}":
                 if not ignorable:
                     out.append(sym)

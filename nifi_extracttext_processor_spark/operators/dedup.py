@@ -437,23 +437,28 @@ def duplicate_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    max_iter: int = 15,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over near-duplicate edges: every doc gets
     cluster_id = min id reachable through minhash_lsh_pairs edges
     (docs with no near-dups are their own singleton cluster).
 
     Iterative min-label propagation — converges in O(cluster diameter)
-    rounds (near-dup clusters are shallow; max_iter is a backstop).
-    Each round is one keyed join + partial-agg min; labels are
-    localCheckpoint'ed so the plan doesn't grow with iterations. The
-    fixpoint test is the label sum (strictly decreasing until stable —
-    one cheap aggregate per round, no full compare).
+    rounds (near-dup clusters are shallow). Each round is one keyed
+    join + partial-agg min; labels are localCheckpoint'ed so the plan
+    doesn't grow with iterations. The fixpoint test is the label sum
+    (strictly decreasing until stable — one cheap aggregate per round,
+    no full compare). The loop ALWAYS runs to the fixpoint; max_iter is
+    a safety valve only, and exhausting it warns loudly because a
+    non-converged result diverges from the connected-components
+    contract (and from the recursive-CTE DuckDB twin).
 
     DuckDB twin: duplicate_clusters_sql (recursive CTE reachability) —
     the fixpoint of min-label propagation IS min reachable id, so both
     engines agree exactly.
     """
+    import warnings
+
     pairs = minhash_lsh_pairs(df, id_col, text_col,
                               threshold=threshold).select("id1", "id2")
     edges = pairs.unionAll(
@@ -463,6 +468,7 @@ def duplicate_clusters(
                        F.col(id_col).cast("long").alias("label"))
     labels = labels.localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges["id2"] == labels["id"])
                .groupBy("id1").agg(F.min("label").alias("nbr")))
@@ -474,8 +480,16 @@ def duplicate_clusters(
                   .localCheckpoint())
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break  # fixpoint: labels can only decrease
         prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"duplicate_clusters: no fixpoint after max_iter={max_iter} "
+            "rounds — a duplicate chain has graph diameter beyond the "
+            "safety valve and cluster ids are NOT fully converged; raise "
+            "max_iter for this corpus",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("cluster_id"))
 

@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 
 _VIEW_LOCK = threading.Lock()
 
+# single-quoted SQL string literal, '' = escaped quote (ANSI)
+_SQL_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl: str, sql: str) -> str:
+    """Apply pattern.sub only OUTSIDE single-quoted string literals, so a
+    predicate like `note = 'FLOWFILE'` keeps its literal intact."""
+    out: list[str] = []
+    last = 0
+    for m in _SQL_LITERAL.finditer(sql):
+        out.append(pattern.sub(repl, sql[last:m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(pattern.sub(repl, sql[last:]))
+    return "".join(out)
+
 
 def query_routes(
     df: DataFrame,
@@ -54,13 +70,14 @@ def query_routes(
         df = df.cache()
     name = f"__graft_{view_name.lower()}"
     # word-boundary + case-insensitive so FROM(FLOWFILE), lowercase
-    # flowfile, and columns like X_FLOWFILE all behave correctly
+    # flowfile, and columns like X_FLOWFILE all behave correctly; string
+    # literals are left untouched (WHERE note = 'FLOWFILE')
     pattern = re.compile(rf"\b{re.escape(view_name)}\b", re.IGNORECASE)
     out: dict[str, DataFrame] = {}
     with _VIEW_LOCK:
         df.createOrReplaceTempView(name)
         for route, sql in routes.items():
-            q = pattern.sub(name, sql)
+            q = _sub_outside_literals(pattern, name, sql)
             routed = spark.sql(q)  # analyzes eagerly: view binding is done
             if drop_empty and routed.isEmpty():
                 continue

@@ -310,3 +310,96 @@ class TestOpenDocumentEmailXml:
         data = build_odt(["y" * 500])
         text, _, err = extract_any(data, "t.odt", max_text_length=7)
         assert err is None and text == "y" * 7
+
+
+class TestRound3AdvisoryFixes:
+    """Regression tests for the r2 ADVICE findings (formats layer)."""
+
+    def test_odf_nested_span_order(self):
+        """Nested inline runs with children AND trailing text must flatten
+        in document order: a<span>c<span>d</span>e</span>f → acdef (the
+        old flat iter() walk yielded acfde)."""
+        import io as _io
+        import zipfile as _zip
+
+        from nifi_extracttext_processor_spark.formats.opendoc import (
+            extract_odf_text,
+        )
+        content = (
+            '<?xml version="1.0"?>'
+            '<office:document-content'
+            ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+            ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+            "<office:body><office:text>"
+            "<text:p>a<text:span>c<text:span>d</text:span>e</text:span>f"
+            "</text:p>"
+            "</office:text></office:body></office:document-content>")
+        buf = _io.BytesIO()
+        with _zip.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype",
+                        "application/vnd.oasis.opendocument.text")
+            zf.writestr("content.xml", content)
+        assert extract_odf_text(buf.getvalue()) == "acdef\n"
+
+    def test_odf_tab_tail_order(self):
+        """Tail text after a tab element lands after the tab."""
+        import io as _io
+        import zipfile as _zip
+
+        from nifi_extracttext_processor_spark.formats.opendoc import (
+            extract_odf_text,
+        )
+        content = (
+            '<?xml version="1.0"?>'
+            '<office:document-content'
+            ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+            ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+            "<office:body><office:text>"
+            "<text:p>x<text:span><text:tab/>y</text:span>z</text:p>"
+            "</office:text></office:body></office:document-content>")
+        buf = _io.BytesIO()
+        with _zip.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype",
+                        "application/vnd.oasis.opendocument.text")
+            zf.writestr("content.xml", content)
+        assert extract_odf_text(buf.getvalue()) == "x\tyz\n"
+
+    def test_rtf_stray_star_keeps_text(self):
+        r"""\* outside a group-open position is a no-op, not an
+        ignorable-destination marker — Tika keeps the following text."""
+        from nifi_extracttext_processor_spark.formats.rtf import (
+            extract_rtf_text,
+        )
+        assert extract_rtf_text(rb"{\rtf1 a\*b c\par}") == "ab c\n"
+
+    def test_rtf_star_destination_still_skipped(self):
+        r"""{\*\dest …} groups remain ignorable."""
+        from nifi_extracttext_processor_spark.formats.rtf import (
+            extract_rtf_text,
+        )
+        rtf = rb"{\rtf1 before{\*\themedata junkdata}after\par}"
+        assert extract_rtf_text(rtf) == "beforeafter\n"
+
+    def test_gzip_nesting_bounded(self):
+        """gz-of-gz is allowed; a third level errors instead of recursing
+        unboundedly."""
+        import gzip
+
+        inner = gzip.compress(gzip.compress(b"deep text"))
+        text, _, err = extract_any(inner, "t.txt.gz.gz")
+        assert err is None and text == "deep text"
+        triple = gzip.compress(inner)
+        text, _, err = extract_any(triple, "t.txt.gz.gz.gz")
+        assert text == "" and err is not None and "nesting" in err
+
+    def test_gzip_bomb_capped(self, monkeypatch):
+        """Expansion beyond the cap routes to failure instead of
+        materializing the bomb."""
+        import gzip
+
+        import nifi_extracttext_processor_spark.formats as fmts
+
+        monkeypatch.setattr(fmts, "MAX_DECOMPRESSED_BYTES", 1024)
+        data = gzip.compress(b"x" * 100_000)
+        text, _, err = extract_any(data, "bomb.txt.gz")
+        assert text == "" and err is not None and "decompressed" in err

@@ -873,3 +873,68 @@ class TestIncrementalDedup:
         out = dedup_exact_incremental(
             new, spark.read.parquet(cat)).collect()
         assert [r["doc_id"] for r in out] == [4]
+
+
+class TestRound3AdvisoryFixes:
+    """Regression tests for the r2 ADVICE findings (operator layer)."""
+
+    def test_flowfile_rewrite_skips_string_literals(self, spark):
+        from nifi_extracttext_processor_spark.operators.routing import (
+            query_routes,
+        )
+        df = spark.createDataFrame(
+            [("FLOWFILE",), ("other",)], "note string")
+        routes = query_routes(
+            df,
+            {"hit": "SELECT note FROM FLOWFILE WHERE note = 'FLOWFILE'"},
+            cache=False)
+        rows = [r["note"] for r in routes["hit"].collect()]
+        assert rows == ["FLOWFILE"]
+
+    def test_flowfile_rewrite_escaped_quote_literal(self, spark):
+        from nifi_extracttext_processor_spark.operators.routing import (
+            query_routes,
+        )
+        df = spark.createDataFrame(
+            [("it''s FLOWFILE", 1)], "note string, v int")
+        routes = query_routes(
+            df,
+            {"hit": "SELECT v FROM FLOWFILE "
+                    "WHERE note = 'it''''s FLOWFILE'"},
+            cache=False)
+        assert [r["v"] for r in routes["hit"].collect()] == [1]
+
+    def test_duplicate_clusters_warns_when_not_converged(self, spark):
+        import warnings
+
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+        base = ("the quick brown fox jumps over the lazy dog again and "
+                "again with more words to shingle properly")
+        df = spark.createDataFrame(
+            [(0, base), (1, base)], "doc_id long, text string")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = duplicate_clusters(df, max_iter=0)
+            out.collect()
+        assert any("fixpoint" in str(w.message) for w in caught)
+
+    def test_duplicate_clusters_converges_silently(self, spark):
+        import warnings
+
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+        base = ("the quick brown fox jumps over the lazy dog again and "
+                "again with more words to shingle properly")
+        df = spark.createDataFrame(
+            [(0, base), (1, base), (2, "totally different text here "
+                                       "about completely other topics")],
+            "doc_id long, text string")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            rows = {r["doc_id"]: r["cluster_id"]
+                    for r in duplicate_clusters(df).collect()}
+        assert not [w for w in caught if "fixpoint" in str(w.message)]
+        assert rows[0] == rows[1] == 0 and rows[2] == 2
