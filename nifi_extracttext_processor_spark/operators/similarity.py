@@ -119,9 +119,17 @@ def lsh_topk(
 
 
 def _lsh_banded(df: DataFrame, id_col: str, vec_col: str,
-                planes: int, bands: int) -> DataFrame:
-    """(id, v, band_id, band_key) — one row per vector per band."""
-    dim = len(df.select(vec_col).first()[0])
+                planes: int, bands: int, dim: int | None = None,
+                keep_vec: bool = True) -> DataFrame:
+    """(id[, v], band_id, band_key) — one row per vector per band.
+
+    `dim` should be passed by the caller (the vector dimensionality);
+    the `first()` fallback costs one driver action per call, which is
+    an extra Spark job in composed pipelines. keep_vec=False projects
+    the vector away after the band keys are computed, so downstream
+    band joins exchange only (id, band_id, band_key)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     hps = random_hyperplanes(dim, planes)
     v = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
 
@@ -138,8 +146,9 @@ def _lsh_banded(df: DataFrame, id_col: str, vec_col: str,
     per_band = planes // bands
     band_cols = [F.concat(*bits[b * per_band:(b + 1) * per_band])
                  for b in range(bands)]
+    keep = [id_col, "v"] if keep_vec else [id_col]
     return v.select(
-        id_col, "v",
+        *keep,
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"))
 
 
@@ -164,14 +173,16 @@ def build_lsh_index(
     planes: int = 16,
     bands: int = 4,
     mode: str = "overwrite",
+    dim: int | None = None,
 ) -> None:
     """Materialize the banded table partitioned by (band_id, band_key).
 
     The 100 TB shape: ONE signature pass over the corpus at build time;
     every subsequent lsh_topk_indexed query partition-prunes down to the
     ≤`bands` directories matching the query's band keys instead of
-    re-hashing the full table per lookup (the VERDICT r1 scale gap)."""
-    banded = _lsh_banded(df, id_col, vec_col, planes, bands)
+    re-hashing the full table per lookup (the VERDICT r1 scale gap).
+    Pass `dim` to skip the one-job dimensionality probe."""
+    banded = _lsh_banded(df, id_col, vec_col, planes, bands, dim)
     (banded.write.mode(mode)
      .partitionBy("band_id", "band_key")
      .parquet(f"{path}/data"))
@@ -490,6 +501,34 @@ SELECT query_id, match_id, cosine, rk FROM ranked WHERE rk <= {k}
 """
 
 
+def knn_join_lsh_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    qid_col: str = "vec_id",
+    cid_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Candidate (query_id, match_id) pairs sharing ≥1 LSH band.
+
+    Candidates-FIRST shape (mirrors minhash_lsh_pairs): both banded
+    sides project the vector away before the band join, so the shuffle
+    moves (id, band_id, band_key) only — never dim×8-byte arrays — and
+    the dropDuplicates de-dup runs on bare id pairs. Payload vectors
+    are joined back by the caller only for surviving candidates."""
+    qb = (_lsh_banded(queries, qid_col, vec_col, planes, bands, dim,
+                      keep_vec=False)
+          .select(F.col(qid_col).alias("query_id"), "band_id", "band_key"))
+    cb = (_lsh_banded(corpus, cid_col, vec_col, planes, bands, dim,
+                      keep_vec=False)
+          .select(F.col(cid_col).alias("match_id"), "band_id", "band_key"))
+    return (qb.join(cb, ["band_id", "band_key"])
+            .select("query_id", "match_id")
+            .dropDuplicates(["query_id", "match_id"]))
+
+
 def knn_join_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -499,6 +538,7 @@ def knn_join_lsh(
     vec_col: str = "embedding",
     planes: int = 16,
     bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN join for LARGE query sets: band both sides with
     the shared md5-seeded hyperplanes and join on (band_id, band_key),
@@ -507,20 +547,24 @@ def knn_join_lsh(
     blow-up; skewed hot bands fall to AQE skew handling. Deterministic
     (literal hyperplanes), so recall is reproducible and the DuckDB
     twin hash-matches.
+
+    The band join is candidates-first: only (id, band_id, band_key)
+    rows shuffle; full vectors re-join on the surviving id pairs for
+    scoring (keyed joins on query_id / match_id). Pass `dim` to avoid
+    the one-job `first()` dimensionality probe.
     """
     from pyspark.sql import Window
 
-    qb = (_lsh_banded(queries, qid_col, vec_col, planes, bands)
-          .select(F.col(qid_col).alias("query_id"),
-                  F.col("v").alias("qv"), "band_id", "band_key"))
-    cb = (_lsh_banded(corpus, cid_col, vec_col, planes, bands)
-          .select(F.col(cid_col).alias("match_id"),
-                  F.col("v").alias("cv"), "band_id", "band_key"))
-    cand = (qb.join(cb, ["band_id", "band_key"])
-            .dropDuplicates(["query_id", "match_id"]))
-    scored = cand.select(
-        "query_id", "match_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cosine"))
+    cand = knn_join_lsh_candidates(
+        queries, corpus, qid_col, cid_col, vec_col, planes, bands, dim)
+    qv_t = queries.select(F.col(qid_col).alias("query_id"),
+                          _as_double(vec_col).alias("qv"))
+    cv_t = corpus.select(F.col(cid_col).alias("match_id"),
+                         _as_double(vec_col).alias("cv"))
+    scored = (cand.join(qv_t, "query_id").join(cv_t, "match_id")
+              .select("query_id", "match_id",
+                      F.round(cosine(F.col("cv"), F.col("qv")), 4)
+                       .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("match_id"))
     return (scored.withColumn("rk", F.row_number().over(w).cast("long"))

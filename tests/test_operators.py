@@ -799,6 +799,58 @@ class TestKnnJoin:
         # every LSH result is a real pair with the exact same cosine
         assert all(t in brute for t in lsh)
 
+    def test_lsh_band_join_exchanges_no_vectors(self, spark):
+        """Candidates-first contract: the band-join candidate plan never
+        carries an embedding array — at 100 TB of embeddings a
+        vector-carrying band shuffle multiplies bytes by dim*8/row."""
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            knn_join_lsh_candidates,
+        )
+        e = self._emb(spark)
+        q, c = e.filter("vec_id < 4"), e.filter("vec_id >= 4")
+        cand = knn_join_lsh_candidates(q, c, dim=8)
+        assert cand.columns == ["query_id", "match_id"]
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        # no exchange in the candidate plan moves an array payload:
+        # vectors exist only inside the band-key Project expressions
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "qv" not in line and "cv" not in line
+        # the post-band projections are bare ids + band columns
+        assert "Project [query_id" in plan or "query_id#" in plan
+
+    def test_lsh_plan_build_runs_zero_jobs(self, spark):
+        """With dim provided, building the knn_join_lsh plan must not
+        trigger any driver action (the r2 first()-per-call nit)."""
+        from unittest import mock
+
+        from pyspark.sql import DataFrame
+
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            knn_join_lsh,
+        )
+        e = self._emb(spark)
+        q, c = e.filter("vec_id < 4"), e.filter("vec_id >= 4")
+        with mock.patch.object(
+                DataFrame, "first",
+                side_effect=AssertionError("driver action during plan "
+                                           "build")):
+            df = knn_join_lsh(q, c, k=3, dim=8)
+        assert df.columns == ["query_id", "match_id", "cosine", "rk"]
+
+    def test_lsh_dim_param_matches_probe(self, spark):
+        """dim passed explicitly returns the identical result as the
+        first() fallback."""
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            knn_join_lsh,
+        )
+        e = self._emb(spark)
+        q, c = e.filter("vec_id < 4"), e.filter("vec_id >= 4")
+        with_dim = sorted(map(tuple, knn_join_lsh(q, c, k=3, dim=8)
+                              .collect()))
+        probed = sorted(map(tuple, knn_join_lsh(q, c, k=3).collect()))
+        assert with_dim == probed
+
 
 class TestChunking:
     def test_windows_and_overlap(self, spark):
