@@ -27,13 +27,15 @@ HEADLINE = [
     "events_window_agg",   # time-bucketed agg
     "record_roundtrip",    # JSON path extraction
     "sentiment",           # higher-order array expressions
-    "token_stats",         # regex-heavy projections
-    "fingerprint",         # hash projection
+    "token_fingerprint",   # regex-heavy projections + hash (r2:
+                           # token_stats + fingerprint, merged)
     "dedup_exact",         # hash group-by on doubled corpus
-    "dedup_minhash",       # shingle→minhash→band join→verify
+    "dedup_near_pairs",    # shingle→minhash→band join→verify, both
+                           # band configs (r2: dedup_minhash + ngram)
     "dedup_simhash_sig",   # 64-bit higher-order fold
     "ann_topk",            # brute-force cosine top-k
-    "quality_score",       # mixed regex/array scoring
+    "lang_quality",        # mixed regex/array scoring (r2:
+                           # quality_score + lang_id, merged)
     # round-2 additions
     "tfidf_top_terms",     # (doc,term) agg + df join + keyed rank
     "events_sessionize",   # gaps-and-islands keyed windows

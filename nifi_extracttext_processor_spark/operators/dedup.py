@@ -760,17 +760,23 @@ def embedding_dup_pairs_lsh(
     per_band = planes // bands
     band_cols = [F.concat(*bits[b * per_band:(b + 1) * per_band])
                  for b in range(bands)]
+    # candidates-first: the band self-join and the pair de-dup move
+    # (id, band_id, band_key) only; vectors re-join keyed on surviving
+    # candidate ids for the exact verify (same shape as
+    # minhash_lsh_pairs / knn_join_lsh_candidates)
     banded = v.select(
-        id_col, "v",
+        id_col,
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"))
     l, r = banded.alias("l"), banded.alias("r")
-    return (l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
+    cand = (l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
                    & (F.col("l.band_key") == F.col("r.band_key"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias("id1"),
-                    F.col(f"r.{id_col}").alias("id2"),
-                    F.col("l.v").alias("v1"), F.col("r.v").alias("v2"))
-            .dropDuplicates(["id1", "id2"])
+                    F.col(f"r.{id_col}").alias("id2"))
+            .dropDuplicates(["id1", "id2"]))
+    v1 = v.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"))
+    v2 = v.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"))
+    return (cand.join(v1, "id1").join(v2, "id2")
             .withColumn("cosine", F.round(
                 cosine(F.col("v1"), F.col("v2")), 4))
             .filter(F.col("cosine") >= threshold)

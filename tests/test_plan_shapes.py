@@ -25,7 +25,7 @@ def test_listfile_filter_pushes_predicates(spark):
 
 
 def test_token_stats_prunes_columns(spark):
-    df = entry.queries()["token_stats"](spark, SF)
+    df = entry.queries()["token_fingerprint"](spark, SF)
     plan = _plan(df)
     schema = plan.split("ReadSchema")[1][:200]
     assert "text" in schema and "doc_id" in schema
@@ -40,7 +40,7 @@ def test_join_revenue_broadcasts_dimension(spark):
 
 
 def test_extraction_whole_stage_codegen_everywhere_relational(spark):
-    df = entry.queries()["quality_score"](spark, SF)
+    df = entry.queries()["lang_quality"](spark, SF)
     plan = _plan(df)
     # zero-UDF text analysis: no Python eval nodes in the plan
     # (the scoring Project uses higher-order lambdas, which stay JVM
