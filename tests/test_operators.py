@@ -990,3 +990,137 @@ class TestRound3AdvisoryFixes:
                     for r in duplicate_clusters(df).collect()}
         assert not [w for w in caught if "fixpoint" in str(w.message)]
         assert rows[0] == rows[1] == 0 and rows[2] == 2
+
+
+class TestCorpusOps:
+    """Dedicated unit tests for operators/corpus.py — edge cases the
+    oracle-parity sweep cannot see (VERDICT r2 item 2)."""
+
+    def test_decontaminate_empty_benchmark(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            decontaminate,
+        )
+        docs = spark.createDataFrame(
+            [(1, "one two three four five"), (2, "six seven eight nine")],
+            "doc_id long, text string")
+        bench = docs.filter("doc_id < 0")  # empty, same schema
+        out = {r["doc_id"]: r for r in
+               decontaminate(docs, bench, n=3).collect()}
+        assert set(out) == {1, 2}
+        assert all(r["n_contaminated"] == 0 and not r["contaminated"]
+                   for r in out.values())
+
+    def test_decontaminate_flags_overlap(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            decontaminate, decontaminate_filter,
+        )
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),
+             (2, "zeta eta theta iota kappa")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "beta gamma delta")], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               decontaminate(docs, bench, n=3).collect()}
+        assert out[1]["contaminated"] and out[1]["n_contaminated"] >= 1
+        assert not out[2]["contaminated"]
+        survivors = [r["doc_id"] for r in
+                     decontaminate_filter(docs, bench, n=3).collect()]
+        assert survivors == [2]
+
+    def test_dedup_lines_single_sentence_docs(self, spark):
+        """A doc whose ONLY sentence was seen earlier drops out
+        entirely; first occurrence and distinct docs survive."""
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            dedup_lines,
+        )
+        docs = spark.createDataFrame(
+            [(1, "same sentence here"),
+             (2, "same sentence here"),
+             (3, "a different sentence")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+        assert set(out) == {1, 3}
+        assert out[1]["n_kept"] == 1
+        assert out[1]["clean_text"] == "same sentence here"
+        assert out[3]["clean_text"] == "a different sentence"
+
+    def test_dedup_lines_preserves_order_and_normalizes(self, spark):
+        """Surviving sentences reassemble in original order; dedup keys
+        are whitespace/case-normalized."""
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            dedup_lines,
+        )
+        docs = spark.createDataFrame(
+            [(1, "first point. second point. third point"),
+             (2, "SECOND   Point. brand new point")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+        assert out[1]["clean_text"] == (
+            "first point. second point. third point")
+        # doc 2's first sentence is a normalized dup of doc 1's second
+        assert out[2]["n_kept"] == 1
+        assert out[2]["clean_text"] == "brand new point"
+
+    def test_pack_sequences_budget_smaller_than_doc(self, spark):
+        """budget smaller than any single doc: every doc still lands in
+        exactly one sequence and seq_no stays non-decreasing per bucket
+        (each oversized doc occupies its own sequence)."""
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            pack_sequences,
+        )
+        docs = spark.createDataFrame(
+            [(i, "w " * 10) for i in range(8)], "doc_id long, text string")
+        out = pack_sequences(docs, budget=3, n_buckets=2).collect()
+        assert len(out) == 8
+        per_bucket = {}
+        for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+            per_bucket.setdefault(r["bucket"], []).append(r["seq_no"])
+        for seqs in per_bucket.values():
+            assert seqs == sorted(seqs)          # non-decreasing
+            assert len(set(seqs)) == len(seqs)   # oversized docs: own seq
+
+    def test_pack_sequences_matches_python_model(self, spark):
+        """seq_no equals the reference running-sum model, per bucket."""
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            pack_sequences,
+        )
+        docs = spark.createDataFrame(
+            [(i, " ".join(["t"] * (1 + i % 5))) for i in range(40)],
+            "doc_id long, text string")
+        budget = 7
+        out = pack_sequences(docs, budget=budget, n_buckets=4).collect()
+        by_bucket = {}
+        for r in sorted(out, key=lambda r: r["doc_id"]):
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        for rows in by_bucket.values():
+            cum = 0
+            for r in rows:
+                assert r["seq_no"] == cum // budget
+                cum += r["n_tokens"]
+
+    def test_stratified_sample_rate_zero_and_one(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            stratified_sample,
+        )
+        docs = spark.createDataFrame(
+            [(i, "s0" if i % 2 == 0 else "s1", "txt") for i in range(50)],
+            "doc_id long, source string, text string")
+        out = stratified_sample(
+            docs, {"s0": 1.0, "s1": 0.0}, default_rate=0.0).collect()
+        ids = {r["doc_id"] for r in out}
+        assert ids == {i for i in range(50) if i % 2 == 0}  # all s0, no s1
+
+    def test_stratified_sample_deterministic(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            stratified_sample,
+        )
+        docs = spark.createDataFrame(
+            [(i, "src", "txt") for i in range(200)],
+            "doc_id long, source string, text string")
+        a = {r["doc_id"] for r in
+             stratified_sample(docs, {"src": 0.3}).collect()}
+        b = {r["doc_id"] for r in
+             stratified_sample(docs, {"src": 0.3}).collect()}
+        assert a == b
+        assert 20 <= len(a) <= 100  # ~60 expected of 200 at 0.3
