@@ -48,6 +48,91 @@ def _fake_pixels(data: bytes, w: int, h: int) -> list[float]:
     return out
 
 
+def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
+    """Pure-stdlib REAL decode of uncompressed 24/32-bit BMP and binary
+    PPM (P6) / PGM (P5) into (width, height, row-major grayscale floats
+    in [0, 1], ITU-R 601 luma, round-6).
+
+    Formats needing codec libraries (PNG/JPEG/...) raise
+    NotImplementedError — the container ships no Pillow; see
+    decode_image.
+    """
+    import struct
+
+    if data[:2] == b"BM":
+        if len(data) < 54:
+            raise ValueError("truncated BMP header")
+        px_off = struct.unpack_from("<I", data, 10)[0]
+        width = struct.unpack_from("<i", data, 18)[0]
+        height = struct.unpack_from("<i", data, 22)[0]
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        compression = struct.unpack_from("<I", data, 30)[0]
+        if compression != 0:
+            raise NotImplementedError(
+                f"compressed BMP (method {compression}) unsupported")
+        if bpp not in (24, 32):
+            raise NotImplementedError(f"{bpp}-bit BMP unsupported "
+                                      "(24/32-bit only)")
+        if width <= 0 or height == 0:
+            raise ValueError("bad BMP dimensions")
+        top_down = height < 0
+        height = abs(height)
+        nbytes = bpp // 8
+        stride = ((bpp * width + 31) // 32) * 4
+        px: list[float] = []
+        for row in range(height):
+            src_row = row if top_down else height - 1 - row
+            base = px_off + src_row * stride
+            if base + width * nbytes > len(data):
+                raise ValueError("truncated BMP pixel data")
+            for x in range(width):
+                o = base + x * nbytes
+                b, g, r = data[o], data[o + 1], data[o + 2]
+                px.append(round((0.299 * r + 0.587 * g + 0.114 * b)
+                                / 255.0, 6))
+        return width, height, px
+
+    if data[:2] in (b"P5", b"P6"):
+        # netpbm header: magic, width, height, maxval — '#' comments
+        # allowed between tokens; a single whitespace ends the header
+        toks: list[int] = []
+        i = 2
+        while len(toks) < 3:
+            while i < len(data) and data[i:i + 1].isspace():
+                i += 1
+            if data[i:i + 1] == b"#":
+                while i < len(data) and data[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(data) and not data[j:j + 1].isspace():
+                j += 1
+            toks.append(int(data[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        width, height, maxval = toks
+        if not (0 < maxval < 256):
+            raise NotImplementedError("16-bit netpbm unsupported")
+        nch = 3 if data[:2] == b"P6" else 1
+        need = width * height * nch
+        body = data[i:i + need]
+        if len(body) < need:
+            raise ValueError("truncated netpbm pixel data")
+        px = []
+        for p in range(0, need, nch):
+            if nch == 3:
+                r, g, b = body[p], body[p + 1], body[p + 2]
+                lum = 0.299 * r + 0.587 * g + 0.114 * b
+            else:
+                lum = float(body[p])
+            px.append(round(lum / maxval, 6))
+        return width, height, px
+
+    raise NotImplementedError(
+        "real decode supports uncompressed BMP and binary PPM/PGM only; "
+        "other formats need Pillow, which this container does not ship")
+
+
 def decode_image(
     df: DataFrame,
     content_col: str = "content",
@@ -55,26 +140,36 @@ def decode_image(
     height: int = 8,
     fake: bool = True,
 ) -> DataFrame:
-    """content → pixels array<float> (w*h grayscale) + width/height.
+    """content → pixels array<float> (grayscale) + width/height.
 
-    Real implementation would be `PIL.Image.open(io.BytesIO(b))` inside
-    the same batch loop — identical schema and plan.
+    fake=True (default): deterministic md5-seeded pixels at the given
+    (width, height) — the oracle-checkable stand-in for codec formats
+    the container cannot decode.
+
+    fake=False: REAL decode via decode_raster_gray (pure-stdlib
+    uncompressed BMP / binary PPM / PGM); width/height parameters are
+    ignored and each row carries its image's true dimensions. Formats
+    that need Pillow raise NotImplementedError, honestly.
     """
     schema = (_passthrough_fields(df)
               + ", pixels ARRAY<FLOAT>, width INT, height INT")
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode needs Pillow; container ships none "
-                    "— run with fake=True")
             pdf = pdf.copy()
-            pdf["pixels"] = [
-                _fake_pixels(bytes(b) if b is not None else b"", width, height)
-                for b in pdf[content_col]]
-            pdf["width"] = width
-            pdf["height"] = height
+            if fake:
+                pdf["pixels"] = [
+                    _fake_pixels(bytes(b) if b is not None else b"",
+                                 width, height)
+                    for b in pdf[content_col]]
+                pdf["width"] = width
+                pdf["height"] = height
+            else:
+                decoded = [decode_raster_gray(bytes(b or b""))
+                           for b in pdf[content_col]]
+                pdf["pixels"] = [d[2] for d in decoded]
+                pdf["width"] = [d[0] for d in decoded]
+                pdf["height"] = [d[1] for d in decoded]
             yield pdf
 
     return df.mapInPandas(_run, schema=schema)

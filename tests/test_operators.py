@@ -1124,3 +1124,101 @@ class TestCorpusOps:
              stratified_sample(docs, {"src": 0.3}).collect()}
         assert a == b
         assert 20 <= len(a) <= 100  # ~60 expected of 200 at 0.3
+
+
+def _bmp24(pixels_rgb, w, h, top_down=False):
+    """Minimal uncompressed 24-bit BMP from row-major top-down RGB."""
+    import struct
+    stride = (3 * w + 3) // 4 * 4
+    row_order = range(h) if top_down else range(h - 1, -1, -1)
+    body = b""
+    for row in row_order:
+        rb = b"".join(bytes((b, g, r))
+                      for (r, g, b) in pixels_rgb[row * w:(row + 1) * w])
+        body += rb + b"\x00" * (stride - 3 * w)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h if not top_down else -h,
+                      1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + dib + body
+
+
+class TestRealRasterDecode:
+    """Golden tests for the REAL (pure-stdlib) image decode kernel —
+    uncompressed BMP + binary PPM/PGM behind decode_image(fake=False)."""
+
+    RGBW = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    LUMA = [0.299, 0.587, 0.114, 1.0]
+
+    def test_bmp_bottom_up_golden(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        w, h, px = decode_raster_gray(_bmp24(self.RGBW, 2, 2))
+        assert (w, h) == (2, 2)
+        assert px == self.LUMA
+
+    def test_bmp_top_down_golden(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        w, h, px = decode_raster_gray(_bmp24(self.RGBW, 2, 2,
+                                             top_down=True))
+        assert (w, h) == (2, 2)
+        assert px == self.LUMA
+
+    def test_ppm_p6_golden(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        body = b"".join(bytes(p) for p in self.RGBW)
+        w, h, px = decode_raster_gray(b"P6\n2 2\n255\n" + body)
+        assert (w, h) == (2, 2)
+        assert px == self.LUMA
+
+    def test_pgm_p5_comment_golden(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        data = b"P5\n# a comment\n2 2\n255\n" + bytes([0, 64, 128, 255])
+        w, h, px = decode_raster_gray(data)
+        assert (w, h) == (2, 2)
+        assert px == [0.0, round(64 / 255, 6), round(128 / 255, 6), 1.0]
+
+    def test_spark_real_decode_pipeline(self, spark):
+        """fake=False decodes real BMP bytes through the same
+        mapInPandas plumbing, carrying true per-image dimensions, and
+        composes with image_features downstream."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_image, image_features,
+        )
+        bmp = _bmp24(self.RGBW, 2, 2)
+        df = spark.createDataFrame(
+            [Row(media_id=1, content=bytearray(bmp), mime_type="image/bmp"),
+             Row(media_id=2, content=bytearray(_bmp24(self.RGBW * 2, 4, 2)),
+                 mime_type="image/bmp")])
+        rows = {r["media_id"]: r
+                for r in decode_image(df, fake=False).collect()}
+        assert rows[1]["pixels"] == pytest.approx(self.LUMA)
+        assert (rows[1]["width"], rows[1]["height"]) == (2, 2)
+        assert (rows[2]["width"], rows[2]["height"]) == (4, 2)
+        feats = image_features(decode_image(df, fake=False),
+                               n_features=4).collect()
+        assert all(len(r["features"]) == 4 for r in feats)
+
+    def test_truncated_bmp_raises(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            decode_raster_gray(_bmp24(self.RGBW, 2, 2)[:40])
+
+    def test_compressed_bmp_honestly_unsupported(self):
+        import struct
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        data = bytearray(_bmp24(self.RGBW, 2, 2))
+        struct.pack_into("<I", data, 30, 1)  # BI_RLE8
+        with pytest.raises(NotImplementedError, match="compressed"):
+            decode_raster_gray(bytes(data))
