@@ -120,6 +120,129 @@ def stream_dedup_exact(
             .dropDuplicatesWithinWatermark(["fingerprint"]))
 
 
+def stream_dedup_near(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    n: int | None = None,
+    k: int | None = None,
+    rows: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-band near-dedup: per-band first-claim verdicts
+    with watermark-bounded per-band state — the always-on ingest twin of
+    the batch minhash_lsh_pairs / dedup_exact_incremental shape.
+
+    Each doc explodes to its LSH band keys (same shingle→minhash→band
+    constants as the batch path); a custom stateful operator
+    (applyInPandasWithState, keyed by band key) marks whether the band
+    was already claimed by an earlier doc — in a previous micro-batch
+    (cross-batch state) or earlier in this one. Output is one verdict
+    row per (doc, band): ``(doc_id, bkey, new_band)``.
+
+    A doc is a near-dup candidate iff ANY of its bands was already
+    claimed (LSH collision semantics, no exact-verify stage — same
+    recall/precision contract as the batch band join's candidate set).
+    All of a doc's bands land in the same micro-batch, so the doc-level
+    collapse is per-batch-correct: apply `near_dup_survivors` inside
+    foreachBatch (or over the drained output).
+
+    100 TB posture: state is one tiny tuple per distinct band key inside
+    the watermark horizon — no text, no shingles, no signatures in
+    state; event-time timeout evicts bands `watermark` past the max
+    observed event time, so state is bounded by the dedup window, not
+    the corpus.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BooleanType
+
+    from ..operators.dedup import (
+        DEFAULT_BAND_ROWS, DEFAULT_NUM_HASHES, DEFAULT_SHINGLE_N,
+        minhash_bands, minhash_halves, minhash_signature_from_halves,
+        shingles,
+    )
+
+    n = n or DEFAULT_SHINGLE_N
+    k = k or DEFAULT_NUM_HASHES
+    rows = rows or DEFAULT_BAND_ROWS
+
+    horizon_ms = _duration_ms(watermark)
+
+    banded = (docs
+              .withWatermark(ts_col, watermark)
+              .withColumn("sh", shingles(text_col, n))
+              .withColumn("halves", minhash_halves(F.col("sh")))
+              .withColumn("sig", minhash_signature_from_halves(
+                  F.col("halves"), k))
+              .select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(ts_col).alias("ts"),
+                      F.posexplode(F.array(*minhash_bands(
+                          F.col("sig"), k, rows)))
+                      .alias("band_id", "band_key"))
+              .select("doc_id", "ts",
+                      F.concat_ws(":", "band_id", "band_key")
+                      .alias("bkey")))
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("bkey", StringType()),
+        StructField("new_band", BooleanType()),
+    ])
+    state_schema = StructType([StructField("claimed", LongType())])
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["doc_id", "bkey", "new_band"])
+            return
+        seen = state.exists
+        out = []
+        max_ts_ms = None
+        for pdf in pdf_iter:
+            for doc_id, ts in sorted(
+                    zip(pdf["doc_id"], pdf["ts"]),
+                    key=lambda t: (t[1], t[0])):
+                out.append({"doc_id": int(doc_id), "bkey": key[0],
+                            "new_band": not seen})
+                seen = True
+                ts_ms = int(ts.timestamp() * 1000)
+                max_ts_ms = (ts_ms if max_ts_ms is None
+                             else max(max_ts_ms, ts_ms))
+        state.update((1,))
+        if max_ts_ms is not None:
+            # evict this band's claim `watermark` past the max event
+            # time seen for it — dropDuplicatesWithinWatermark semantics
+            state.setTimeoutTimestamp(max_ts_ms + horizon_ms)
+        yield pd.DataFrame(out, columns=["doc_id", "bkey", "new_band"])
+
+    return (banded.groupBy("bkey").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout))
+
+
+def near_dup_survivors(verdicts: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Collapse stream_dedup_near band verdicts to surviving doc ids:
+    a doc survives iff EVERY band it carries was new (shares no band
+    with any earlier doc). Batch helper — run inside foreachBatch or
+    over the drained verdict output."""
+    return (verdicts.groupBy(id_col)
+            .agg(F.min("new_band").alias("all_new"))
+            .filter(F.col("all_new"))
+            .select(id_col))
+
+
+def _duration_ms(s: str) -> int:
+    """'10 minutes' / '1 hour' / '30 seconds' → milliseconds."""
+    qty, unit = s.strip().split()
+    unit = unit.rstrip("s")
+    factor = {"millisecond": 1, "second": 1000, "minute": 60_000,
+              "hour": 3_600_000, "day": 86_400_000}[unit]
+    return int(float(qty) * factor)
+
+
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),

@@ -138,3 +138,55 @@ def test_streaming_scrub_and_quality(spark, tmp_path):
     assert "jane.doe" not in got["a.pdf"]["scrubbed"]
     assert got["b.pdf"]["n_email"] == 0
     assert 0.0 <= got["b.pdf"]["quality"] <= 1.0
+
+
+def test_stream_dedup_near_cross_batch(spark, tmp_path):
+    """MinHash-band streaming near-dedup: two micro-batches
+    (maxFilesPerTrigger=1, one parquet file each), with a batch-2 doc
+    that is a near-dup of a batch-1 doc — its bands are already claimed
+    in state, so it is suppressed across the batch boundary."""
+    import datetime as dt
+
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        near_dup_survivors, stream_dedup_near,
+    )
+
+    base_text = ("the quick brown fox jumps over the lazy dog while "
+                 "seventeen sleepy cats watch from the warm windowsill")
+    near_text = ("the quick brown fox jumps over the lazy dog while "
+                 "seventeen sleepy cats watch from the cold windowsill")
+    other = ("completely unrelated content about spark structured "
+             "streaming state stores and watermark based eviction")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "doc_id long, text string, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [(1, base_text, t0), (2, other, t0)], schema)
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    batch2 = spark.createDataFrame(
+        [(3, near_text, t0 + dt.timedelta(minutes=5))], schema)
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    verdicts = stream_dedup_near(stream, watermark="1 hour")
+    q = (verdicts.writeStream.format("memory").queryName("near_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    all_verdicts = spark.sql("SELECT * FROM near_t")
+    survivors = {r["doc_id"]
+                 for r in near_dup_survivors(all_verdicts).collect()}
+    # doc 3 shares ≥1 minhash band with doc 1 (one word differs) and
+    # must be suppressed even though it arrived in a later micro-batch
+    assert 1 in survivors and 2 in survivors
+    assert 3 not in survivors
+
+    # sanity: doc 3 produced verdicts, at least one on a claimed band
+    v3 = [r["new_band"] for r in
+          all_verdicts.filter("doc_id = 3").collect()]
+    assert v3 and not all(v3)
