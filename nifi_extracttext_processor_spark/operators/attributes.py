@@ -86,20 +86,69 @@ def set_attrs(df: DataFrame, attrs: dict[str, str]) -> DataFrame:
 
 
 class SchemaRegistry:
-    """Named-schema dict standing in for HortonworksSchemaRegistry (B17,
-    56409-tika.xml:529): resolve-by-name at the record-parse stage."""
+    """Versioned named-schema registry standing in for
+    HortonworksSchemaRegistry (B17, 56409-tika.xml:529): the flow
+    resolves schemas by name (`schema-access-strategy=schema-name`,
+    `schema-name=${schema.name}`); real registries add monotonically
+    increasing versions per name.
+
+    Resolution (`get`):
+      * version=None  → the latest registered version (the reader
+        default — what `cache-schema=true` consumers see)
+      * exact version → that schema
+      * missing exact → NEAREST version ≤ the requested one (a reader
+        pinned to v5 of a name whose registry holds v1,v3 reads v3 —
+        version-forward compatibility for rolling upgrades); below the
+        oldest version is an error.
+    """
 
     def __init__(self) -> None:
-        self._schemas: dict[str, StructType] = {}
+        self._schemas: dict[str, dict[int, StructType]] = {}
 
-    def register(self, name: str, schema: StructType) -> None:
-        self._schemas[name] = schema
+    def register(self, name: str, schema: StructType,
+                 version: int | None = None) -> int:
+        """Register a schema version; auto-increments when version is
+        omitted. Returns the version registered."""
+        versions = self._schemas.setdefault(name, {})
+        if version is None:
+            version = max(versions, default=0) + 1
+        if version < 1:
+            raise ValueError("schema versions start at 1")
+        versions[version] = schema
+        return version
 
-    def get(self, name: str) -> StructType:
-        return self._schemas[name]
+    def get(self, name: str, version: int | None = None) -> StructType:
+        versions = self._schemas[name]
+        if version is None:
+            return versions[max(versions)]
+        if version in versions:
+            return versions[version]
+        older = [v for v in versions if v < version]
+        if not older:
+            raise KeyError(
+                f"schema {name!r} has no version <= {version} "
+                f"(available: {sorted(versions)})")
+        return versions[max(older)]
+
+    def versions(self, name: str) -> list[int]:
+        return sorted(self._schemas.get(name, {}))
 
     def names(self) -> list[str]:
         return sorted(self._schemas)
+
+
+def read_records_by_name(
+    df: DataFrame,
+    registry: SchemaRegistry,
+    name: str,
+    version: int | None = None,
+    json_col: str = "json",
+    out_col: str = "record",
+) -> DataFrame:
+    """B17 JsonTreeReader with registry resolution: the streaming/flow
+    form where `${schema.name}` picks the schema — parse `json_col`
+    against the registry's (name, version) resolution."""
+    return read_records(df, registry.get(name, version), json_col, out_col)
 
 
 def read_records(

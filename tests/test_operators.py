@@ -1222,3 +1222,54 @@ class TestRealRasterDecode:
         struct.pack_into("<I", data, 30, 1)  # BI_RLE8
         with pytest.raises(NotImplementedError, match="compressed"):
             decode_raster_gray(bytes(data))
+
+
+class TestVersionedSchemaRegistry:
+    """B17 registry semantics: name → version → schema with
+    nearest-match (version-forward) resolution."""
+
+    def _reg(self):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+        v1 = StructType([StructField("s", StringType())])
+        v3 = StructType([StructField("s", StringType()),
+                         StructField("extra", LongType())])
+        reg = SchemaRegistry()
+        assert reg.register("PDF", v1) == 1
+        assert reg.register("PDF", v3, version=3) == 3
+        return reg, v1, v3
+
+    def test_latest_and_exact(self):
+        reg, v1, v3 = self._reg()
+        assert reg.get("PDF") is v3          # latest by default
+        assert reg.get("PDF", 1) is v1
+        assert reg.get("PDF", 3) is v3
+        assert reg.versions("PDF") == [1, 3]
+
+    def test_version_forward_nearest_match(self):
+        reg, v1, v3 = self._reg()
+        assert reg.get("PDF", 2) is v1       # nearest <= 2
+        assert reg.get("PDF", 9) is v3       # nearest <= 9
+        with pytest.raises(KeyError):
+            reg.get("PDF", 0)                # below oldest
+        with pytest.raises(KeyError):
+            reg.get("XLS")                   # unknown name
+
+    def test_registry_resolved_record_read(self, spark):
+        """A reader pinned to a later version parses with the nearest
+        registered schema (version-forward read)."""
+        from nifi_extracttext_processor_spark.operators.attributes import (
+            read_records_by_name,
+        )
+        reg, v1, v3 = self._reg()
+        df = spark.createDataFrame(
+            [Row(json='{"s":"a","extra":7}')])
+        old = flatten_record(
+            read_records_by_name(df, reg, "PDF", version=2))
+        # v1 resolved → record struct has only "s"; extra dropped
+        assert "s" in old.columns and "extra" not in old.columns
+        new = flatten_record(
+            read_records_by_name(df, reg, "PDF"))
+        r = new.collect()[0]
+        assert (r["s"], r["extra"]) == ("a", 7)
