@@ -65,3 +65,77 @@ def write_files(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def write_avro_portable(
+    df: DataFrame,
+    path: str,
+    record_name: str = "PDF",
+    max_records_per_file: int = 15_000,
+) -> dict:
+    """B13's `Merge Format=Avro` WITHOUT the spark-avro jar: each
+    partition serializes its rows to a spec-compliant Avro object
+    container file (formats.avro_codec, null codec) and writes
+    `part-<pid>.avro` — executor-side I/O, no driver collect, one file
+    per partition (MergeContent bin ≈ partition). Readable by any Avro
+    implementation, including spark-avro where it exists.
+
+    Python-side serialization is the slow path next to the jar-backed
+    writer — use it for parity/portability, and write_files(fmt='avro')
+    wherever SPARK_GRAFT_PACKAGES supplies the connector. Returns the
+    Avro schema used.
+    """
+    import os
+
+    from ..formats.avro_codec import avro_schema_of, write_container
+
+    schema = avro_schema_of(df, record_name)
+    cols = [f.name for f in df.schema.fields]
+    os.makedirs(path, exist_ok=True)
+
+    def _write(rows_iter):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        rows = [dict(zip(cols, r)) for r in rows_iter]
+        if not rows:
+            return
+        data = write_container(schema, rows,
+                               records_per_block=max_records_per_file)
+        with open(os.path.join(path, f"part-{pid:05d}.avro"), "wb") as f:
+            f.write(data)
+
+    df.foreachPartition(_write)
+    return schema
+
+
+def read_avro_portable(spark, path: str) -> DataFrame:
+    """Read back files written by write_avro_portable (driver-light:
+    binaryFile scan + per-file container parse in executors)."""
+    from ..formats.avro_codec import read_container
+
+    files = spark.read.format("binaryFile").load(f"{path}/*.avro")
+
+    def _parse(iterator):
+        for pdf in iterator:
+            import pandas as pd
+            out = []
+            for content in pdf["content"]:
+                _, rows = read_container(bytes(content))
+                out.extend(rows)
+            yield pd.DataFrame(out) if out else pd.DataFrame()
+
+    # schema discovered from the first file (driver reads 1 header)
+    first = files.select("content").first()
+    schema, _ = read_container(bytes(first["content"]))
+    _AVRO_TO_SPARK = {"long": "long", "int": "int", "double": "double",
+                      "float": "float", "string": "string",
+                      "boolean": "boolean", "bytes": "binary"}
+
+    def _ftype(t):
+        if isinstance(t, list):  # nullable union
+            t = next(b for b in t if b != "null")
+        return _AVRO_TO_SPARK[t if isinstance(t, str) else t["type"]]
+
+    ddl = ", ".join(f"`{f['name']}` {_ftype(f['type'])}"
+                    for f in schema["fields"])
+    return files.select("content").mapInPandas(_parse, schema=ddl)

@@ -9,6 +9,18 @@ code runs the real Avro/Kafka paths wherever the jars are available:
 
     SPARK_GRAFT_PACKAGES=org.apache.spark:spark-avro_2.13:4.0.0,\
 org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0
+
+Proof obligations wired to these probes (no jar → honest skip, jar →
+must pass):
+  * tests/test_operators.py::TestAvroCodec::
+    test_jar_backed_avro_roundtrip_when_available — to_avro/from_avro
+    record round-trip, runs green wherever avro_available() is true.
+  * The jar-FREE Avro path needs no probe at all: formats.avro_codec
+    implements the Avro spec (binary encoding + object container files)
+    stdlib-only, and operators.batch.write_avro_portable /
+    read_avro_portable + sinks.kafka_sink.serialize_records_avro run
+    the B13/B15 Avro shapes in this container, spec-conformance
+    golden-tested.
 """
 
 from __future__ import annotations

@@ -29,6 +29,43 @@ def serialize_records(
     return out
 
 
+def serialize_records_avro(
+    df: DataFrame,
+    value_cols: list[str] | None = None,
+    key_col: str | None = None,
+    record_name: str = "PDF",
+) -> DataFrame:
+    """B15's record shape with AVRO-serialized values (the template's
+    AvroRecordSetWriter), jar-free: each value is the spec-compliant
+    Avro binary encoding of the record (formats.avro_codec) produced in
+    an Arrow-batched mapInPandas stage. Where spark-avro is on the
+    classpath, prefer `F.to_avro` (JVM-side) — both produce
+    interchangeable bytes for the supported types."""
+    from ..formats.avro_codec import avro_schema_of, encode_value
+
+    value_cols = value_cols or df.columns
+    proj = df.select(*(
+        ([F.col(key_col).cast("string").alias("__key")] if key_col else [])
+        + [F.col(c) for c in value_cols]))
+    schema = avro_schema_of(proj.select(*value_cols), record_name)
+    out_ddl = ("key string, " if key_col else "") + "value binary"
+
+    def _run(batches):
+        import pandas as pd
+        for pdf in batches:
+            values = [
+                encode_value(schema,
+                             {c: (None if pd.isna(row[c]) else row[c])
+                              for c in value_cols})
+                for _, row in pdf.iterrows()]
+            out = {"value": values}
+            if key_col:
+                out = {"key": list(pdf["__key"]), "value": values}
+            yield pd.DataFrame(out)
+
+    return proj.mapInPandas(_run, schema=out_ddl)
+
+
 def write_kafka(
     df: DataFrame,
     topic: str,

@@ -1273,3 +1273,138 @@ class TestVersionedSchemaRegistry:
             read_records_by_name(df, reg, "PDF"))
         r = new.collect()[0]
         assert (r["s"], r["extra"]) == ("a", 7)
+
+
+class TestAvroCodec:
+    """Spec-conformance goldens + round-trips for the pure-stdlib Avro
+    layer (B13 Merge Format=Avro / B15 AvroRecordSetWriter without the
+    spark-avro jar)."""
+
+    def test_long_zigzag_varint_goldens(self):
+        """Values straight from the Avro spec's encoding table."""
+        from nifi_extracttext_processor_spark.formats.avro_codec import (
+            encode_long,
+        )
+        assert encode_long(0) == b"\x00"
+        assert encode_long(-1) == b"\x01"
+        assert encode_long(1) == b"\x02"
+        assert encode_long(-2) == b"\x03"
+        assert encode_long(2) == b"\x04"
+        assert encode_long(-64) == b"\x7f"
+        assert encode_long(64) == b"\x80\x01"
+
+    def test_record_encoding_golden(self):
+        from nifi_extracttext_processor_spark.formats.avro_codec import (
+            encode_value,
+        )
+        schema = {"type": "record", "name": "PDF", "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": "string"}]}
+        # long 1 → \x02 ; string "x" → len 1 (\x02) + b"x"
+        assert encode_value(schema, {"doc_id": 1, "text": "x"}) == \
+            b"\x02\x02x"
+
+    def test_nullable_union_golden(self):
+        from nifi_extracttext_processor_spark.formats.avro_codec import (
+            encode_value,
+        )
+        u = ["null", "string"]
+        assert encode_value(u, None) == b"\x00"          # branch 0
+        # branch 1 (\x02) + string len 2 zigzag (\x04) + bytes
+        assert encode_value(u, "hi") == b"\x02\x04hi"
+
+    def test_value_roundtrip_all_types(self):
+        import io
+
+        from nifi_extracttext_processor_spark.formats.avro_codec import (
+            decode_value, encode_value,
+        )
+        schema = {"type": "record", "name": "R", "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "n", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "raw", "type": "bytes"}]}
+        row = {"l": -123456789, "s": "héllo", "d": 2.5, "b": True,
+               "n": None, "arr": [1, -2, 3], "m": {"k": "v"},
+               "raw": b"\x00\xff"}
+        enc = encode_value(schema, row)
+        assert decode_value(schema, io.BytesIO(enc)) == row
+
+    def test_container_roundtrip_and_header(self):
+        from nifi_extracttext_processor_spark.formats.avro_codec import (
+            MAGIC, read_container, write_container,
+        )
+        schema = {"type": "record", "name": "PDF", "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]}]}
+        rows = [{"doc_id": i, "text": None if i % 3 == 0 else f"t{i}"}
+                for i in range(10)]
+        data = write_container(schema, rows, records_per_block=4)
+        assert data.startswith(MAGIC)
+        back_schema, back_rows = read_container(data)
+        assert back_schema == schema
+        assert back_rows == rows
+
+    def test_spark_portable_avro_roundtrip(self, spark, tmp_path):
+        """Distributed write (one container file per partition,
+        executor-side) → distributed read → same rows. The B13 Avro
+        merge path, runnable with zero extra jars."""
+        from nifi_extracttext_processor_spark.operators.batch import (
+            read_avro_portable, write_avro_portable,
+        )
+        df = spark.createDataFrame(
+            [(i, f"text {i}", i / 4.0) for i in range(100)],
+            "doc_id long, text string, score double").repartition(4)
+        out = str(tmp_path / "avro_out")
+        schema = write_avro_portable(df, out, record_name="PDF")
+        assert schema["name"] == "PDF"
+        import glob
+        files = glob.glob(f"{out}/part-*.avro")
+        assert len(files) >= 1
+        back = read_avro_portable(spark, out)
+        got = sorted((r["doc_id"], r["text"], r["score"])
+                     for r in back.collect())
+        assert got == [(i, f"text {i}", i / 4.0) for i in range(100)]
+
+    def test_kafka_avro_value_shape(self, spark):
+        """B15 AvroRecordSetWriter: values are raw Avro record bytes."""
+        import io
+
+        from nifi_extracttext_processor_spark.formats.avro_codec import (
+            avro_schema_of, decode_value,
+        )
+        from nifi_extracttext_processor_spark.sinks.kafka_sink import (
+            serialize_records_avro,
+        )
+        df = spark.createDataFrame([Row(doc_id=1, text="t")])
+        out = serialize_records_avro(df, key_col="doc_id").collect()
+        assert out[0]["key"] == "1"
+        schema = avro_schema_of(df, "PDF")
+        rec = decode_value(schema, io.BytesIO(bytes(out[0]["value"])))
+        assert rec == {"doc_id": 1, "text": "t"}
+
+    def test_jar_backed_avro_roundtrip_when_available(self, spark):
+        """Conditional green: wherever spark-avro IS on the classpath
+        (SPARK_GRAFT_PACKAGES=org.apache.spark:spark-avro_2.13:<ver>),
+        to_avro/from_avro must round-trip the same record shape."""
+        from nifi_extracttext_processor_spark.sinks.connectors import (
+            avro_available,
+        )
+        if not avro_available(spark):
+            pytest.skip("spark-avro not on classpath (set "
+                        "SPARK_GRAFT_PACKAGES to enable)")
+        import json
+
+        from pyspark.sql.avro.functions import from_avro, to_avro
+        df = spark.createDataFrame([Row(doc_id=1, text="t")])
+        enc = df.select(to_avro(F.struct("doc_id", "text")).alias("v"))
+        schema = json.dumps({
+            "type": "record", "name": "PDF", "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "text", "type": "string"}]})
+        dec = enc.select(from_avro("v", schema).alias("r")).select("r.*")
+        assert [tuple(r) for r in dec.collect()] == [(1, "t")]
