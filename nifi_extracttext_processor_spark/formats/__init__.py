@@ -38,7 +38,8 @@ __all__ = [
 # expand ~1000x; without a cap a decompression bomb OOMs the Arrow
 # extraction task.
 MAX_DECOMPRESSED_BYTES = 1 << 30  # 1 GiB of expanded content
-MAX_COMPRESS_DEPTH = 2            # .gz-of-.gz allowed, no deeper
+MAX_COMPRESS_DEPTH = 2            # .gz-of-.gz / zip-in-zip, no deeper
+MAX_ARCHIVE_ENTRIES = 1000        # entries visited per zip/tar
 
 
 def extract_any(
@@ -104,6 +105,13 @@ def extract_any(
                 inner, inner_name, -1, "text", _depth=_depth + 1)
             if inner_err:
                 raise ValueError(f"gzip inner content failed: {inner_err}")
+        elif detected in (m.MIME_ZIP, m.MIME_TAR):
+            text = _extract_archive(data, detected, _depth)
+        elif detected.startswith("image/"):
+            # Tika's ImageParser emits metadata but no text content
+            # (OCR explicitly out of scope — SURVEY §7); dimensions are
+            # surfaced by the B3 media_metadata operator instead
+            text = ""
         elif detected in (m.MIME_TEXT, m.MIME_CSV, m.MIME_JSON):
             text = data.decode("utf-8", "replace")
         else:
@@ -115,3 +123,62 @@ def extract_any(
         return text, detected, None
     except Exception as exc:  # noqa: BLE001 — route-to-failure semantics
         return "", detected, f"{type(exc).__name__}: {exc}"
+
+
+def _extract_archive(data: bytes, detected: str, depth: int) -> str:
+    """Tika PackageParser behavior: recurse into zip/tar entries and
+    concatenate the extracted text of each parseable member in archive
+    order (unparseable members are skipped, like Tika's best-effort
+    embedded-document extraction). Bounded: entry count, total expanded
+    bytes, and nesting depth.
+    """
+    import io
+    import tarfile
+    import zipfile
+
+    if depth >= MAX_COMPRESS_DEPTH:
+        raise ValueError(
+            f"compressed nesting deeper than {MAX_COMPRESS_DEPTH}")
+    parts: list[str] = []
+    budget = MAX_DECOMPRESSED_BYTES
+    seen = 0
+    if detected == m.MIME_ZIP:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                seen += 1
+                if seen > MAX_ARCHIVE_ENTRIES:
+                    break
+                if info.file_size > budget:
+                    raise ValueError(
+                        "archive content exceeds "
+                        f"{MAX_DECOMPRESSED_BYTES} expanded bytes")
+                budget -= info.file_size
+                inner = zf.read(info)
+                text, _, err = extract_any(inner, info.filename, -1,
+                                           "text", _depth=depth + 1)
+                if err is None and text.strip():
+                    parts.append(text.rstrip("\n"))
+    else:  # tar
+        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                seen += 1
+                if seen > MAX_ARCHIVE_ENTRIES:
+                    break
+                if member.size > budget:
+                    raise ValueError(
+                        "archive content exceeds "
+                        f"{MAX_DECOMPRESSED_BYTES} expanded bytes")
+                budget -= member.size
+                f = tf.extractfile(member)
+                if f is None:
+                    continue
+                inner = f.read()
+                text, _, err = extract_any(inner, member.name, -1,
+                                           "text", _depth=depth + 1)
+                if err is None and text.strip():
+                    parts.append(text.rstrip("\n"))
+    return "\n".join(parts) + ("\n" if parts else "")

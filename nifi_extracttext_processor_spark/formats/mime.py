@@ -35,6 +35,13 @@ MIME_XML = "application/xml"
 MIME_EML = "message/rfc822"
 MIME_GZIP = "application/gzip"
 MIME_CSV = "text/csv"
+MIME_TAR = "application/x-tar"
+MIME_PNG = "image/png"
+MIME_GIF = "image/gif"
+MIME_JPEG = "image/jpeg"
+MIME_BMP = "image/bmp"
+MIME_PGM = "image/x-portable-graymap"
+MIME_PPM = "image/x-portable-pixmap"
 
 _EML_HEADS = (b"Received:", b"Return-Path:", b"From:", b"Subject:",
               b"Date:", b"To:", b"Message-ID:", b"MIME-Version:",
@@ -108,6 +115,21 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
         return _zip_kind(data, filename)
     if head.startswith(b"\x1f\x8b"):
         return MIME_GZIP
+    if head.startswith(b"\x89PNG\r\n\x1a\n"):
+        return MIME_PNG
+    if head.startswith((b"GIF87a", b"GIF89a")):
+        return MIME_GIF
+    if head.startswith(b"\xff\xd8\xff"):
+        return MIME_JPEG
+    if head.startswith(b"BM") and len(data) >= 54:
+        import struct
+        if struct.unpack_from("<I", data, 14)[0] in (12, 40, 52, 56, 64,
+                                                     108, 124):
+            return MIME_BMP
+    if head[:2] in (b"P5", b"P6") and head[2:3].isspace():
+        return MIME_PGM if head[:2] == b"P5" else MIME_PPM
+    if data[257:262] == b"ustar":
+        return MIME_TAR
     if head.startswith(b"{\\rtf"):
         return MIME_RTF
     if _looks_html(head):

@@ -154,6 +154,9 @@ def media_metadata(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
         from nifi_extracttext_processor_spark.formats.metadata import (
             eml_headers, html_title, odf_meta, ooxml_core_props, pdf_info,
         )
@@ -187,6 +190,10 @@ def media_metadata(
                             md.update(summary_info(data))
                         elif mime == "message/rfc822":
                             md.update(eml_headers(data))
+                        elif mime.startswith("image/"):
+                            # Tika ImageParser surface: dimensions/depth
+                            # from the header (tiff:* property names)
+                            md.update(image_dimensions(data))
                         elif mime == "text/html":
                             title = html_title(data)
                             if title:

@@ -403,3 +403,119 @@ class TestRound3AdvisoryFixes:
         data = gzip.compress(b"x" * 100_000)
         text, _, err = extract_any(data, "bomb.txt.gz")
         assert text == "" and err is not None and "decompressed" in err
+
+
+def _png_header(w, h, depth=8):
+    import struct
+    import zlib as _z
+    ihdr = struct.pack(">II", w, h) + bytes([depth, 2, 0, 0, 0])
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr))
+            + chunk + struct.pack(">I", _z.crc32(chunk)))
+
+
+class TestArchiveRecursion:
+    """Tika PackageParser parity: zip/tar members extracted and
+    concatenated, with entry/size/depth bounds."""
+
+    def _zip(self, entries):
+        import io as _io
+        import zipfile as _zip
+        buf = _io.BytesIO()
+        with _zip.ZipFile(buf, "w") as zf:
+            for name, payload in entries:
+                zf.writestr(name, payload)
+        return buf.getvalue()
+
+    def test_zip_mixed_members(self):
+        data = self._zip([
+            ("a.txt", b"alpha text"),
+            ("sub/b.html", b"<html><body><p>beta html</p></body></html>"),
+            ("junk.bin", b"\x00\x01\x02\x03"),  # unparseable: skipped
+        ])
+        assert detect_mime(data, "arch.zip") == "application/zip"
+        text, mime, err = extract_any(data, "arch.zip")
+        assert err is None and mime == "application/zip"
+        assert "alpha text" in text and "beta html" in text
+
+    def test_zip_in_zip_bounded(self):
+        inner = self._zip([("x.txt", b"deep entry")])
+        outer = self._zip([("inner.zip", inner)])
+        text, _, err = extract_any(outer, "o.zip")
+        assert err is None and "deep entry" in text
+        # a third level is skipped (per-entry best effort), not fatal
+        outer2 = self._zip([("o.zip", outer), ("ok.txt", b"shallow")])
+        text, _, err = extract_any(outer2, "o2.zip")
+        assert err is None and "shallow" in text and "deep entry" not in text
+
+    def test_tar_members(self):
+        import io as _io
+        import tarfile as _tar
+        buf = _io.BytesIO()
+        with _tar.open(fileobj=buf, mode="w") as tf:
+            payload = b"tar member text"
+            info = _tar.TarInfo("t.txt")
+            info.size = len(payload)
+            tf.addfile(info, _io.BytesIO(payload))
+        data = buf.getvalue()
+        assert detect_mime(data, "a.tar") == "application/x-tar"
+        text, _, err = extract_any(data, "a.tar")
+        assert err is None and "tar member text" in text
+
+    def test_zip_entry_size_cap(self, monkeypatch):
+        import nifi_extracttext_processor_spark.formats as fmts
+        monkeypatch.setattr(fmts, "MAX_DECOMPRESSED_BYTES", 16)
+        data = self._zip([("big.txt", b"x" * 1000)])
+        text, _, err = extract_any(data, "b.zip")
+        assert text == "" and err is not None and "expanded" in err
+
+
+class TestImageMetadata:
+    """B3 widening: image dimensions from headers (Tika tiff:* keys)."""
+
+    def test_png_gif_jpeg_bmp_netpbm_dims(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        assert image_dimensions(_png_header(640, 480)) == {
+            "tiff:ImageWidth": "640", "tiff:ImageLength": "480",
+            "tiff:BitsPerSample": "8"}
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+        assert image_dimensions(gif) == {
+            "tiff:ImageWidth": "320", "tiff:ImageLength": "200"}
+        jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF"
+                + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+                + struct.pack(">HH", 600, 800) + b"\x03")
+        assert image_dimensions(jpeg) == {
+            "tiff:ImageWidth": "800", "tiff:ImageLength": "600",
+            "tiff:BitsPerSample": "8"}
+        ppm = b"P6\n# c\n12 34\n255\n" + b"\x00" * (12 * 34 * 3)
+        assert image_dimensions(ppm) == {
+            "tiff:ImageWidth": "12", "tiff:ImageLength": "34"}
+
+    def test_mime_detection_images(self):
+        assert detect_mime(_png_header(2, 2), "i.png") == "image/png"
+        assert detect_mime(b"GIF87a" + b"\x02\x00\x02\x00\x00") == (
+            "image/gif")
+        assert detect_mime(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
+        assert detect_mime(b"P6\n1 1\n255\n\x00\x00\x00") == (
+            "image/x-portable-pixmap")
+
+    def test_image_extracts_empty_text_success(self):
+        """Tika ImageParser: no text content (no OCR), no error."""
+        text, mime, err = extract_any(_png_header(4, 4), "i.png")
+        assert err is None and text == "" and mime == "image/png"
+
+    def test_media_metadata_surfaces_image_dims(self, spark):
+        from pyspark.sql import Row, functions as F
+        from nifi_extracttext_processor_spark.operators.extract import (
+            media_metadata,
+        )
+        df = spark.createDataFrame(
+            [Row(doc_id=1, filename="i.png",
+                 content=bytearray(_png_header(99, 77)))])
+        meta = media_metadata(df).collect()[0]["metadata"]
+        assert meta["Content-Type"] == "image/png"
+        assert meta["tiff:ImageWidth"] == "99"
+        assert meta["tiff:ImageLength"] == "77"
