@@ -86,6 +86,9 @@ def extract_any(
             text = extract_xml_text(data)
         elif detected == m.MIME_EML:
             text = extract_eml_text(data)
+        elif detected == m.MIME_MSG:
+            from .msg import extract_msg_text
+            text = extract_msg_text(data)
         elif detected == m.MIME_GZIP:
             # Tika's CompressorParser: transparently extract the wrapped
             # entry; the reported type stays application/gzip. Expansion

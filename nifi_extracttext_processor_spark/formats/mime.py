@@ -42,6 +42,7 @@ MIME_JPEG = "image/jpeg"
 MIME_BMP = "image/bmp"
 MIME_PGM = "image/x-portable-graymap"
 MIME_PPM = "image/x-portable-pixmap"
+MIME_MSG = "application/vnd.ms-outlook"
 
 _EML_HEADS = (b"Received:", b"Return-Path:", b"From:", b"Subject:",
               b"Date:", b"To:", b"Message-ID:", b"MIME-Version:",
@@ -63,6 +64,9 @@ def _ole_kind(data: bytes) -> str:
         return MIME_XLS
     if "PowerPoint Document" in streams:
         return MIME_PPT
+    if any(s.startswith(("__substg1.0_", "__properties_version1.0"))
+           for s in streams):
+        return MIME_MSG
     return MIME_OLE
 
 

@@ -188,6 +188,10 @@ def media_metadata(
                         elif data.startswith(
                                 b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
                             md.update(summary_info(data))
+                            if mime == "application/vnd.ms-outlook":
+                                from nifi_extracttext_processor_spark \
+                                    .formats.msg import msg_headers
+                                md.update(msg_headers(data))
                         elif mime == "message/rfc822":
                             md.update(eml_headers(data))
                         elif mime.startswith("image/"):

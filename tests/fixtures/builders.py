@@ -184,9 +184,13 @@ def _build_ole2(streams: dict[str, bytes]) -> bytes:
         return bytes(e)
 
     names = list(streams)
-    # sector ids: 0 = FAT, 1 = directory, then stream data
-    next_sid = 2
-    fat: list[int] = [0xFFFFFFFD, 0xFFFFFFFE]  # FAT sector, dir chain end
+    # sector ids: 0 = FAT, then the directory chain, then stream data
+    n_dirent = 1 + len(names)
+    ndirsec = max(1, -(-(n_dirent * 128) // sector))
+    next_sid = 1 + ndirsec
+    fat: list[int] = [0xFFFFFFFD]  # FAT sector
+    for k in range(ndirsec):       # directory chain
+        fat.append(2 + k if k < ndirsec - 1 else 0xFFFFFFFE)
     for name in names:
         data = pad(streams[name])
         nsec = len(data) // sector
@@ -204,7 +208,7 @@ def _build_ole2(streams: dict[str, bytes]) -> bytes:
         ents.append(dirent(name, 2, start_sids[name], len(streams[name]),
                            right=right))
     dir_raw = pad(b"".join(ents))
-    assert len(dir_raw) == sector, "directory must fit one sector for this writer"
+    assert len(dir_raw) == ndirsec * sector
 
     while len(fat) < sector // 4:
         fat.append(0xFFFFFFFF)
@@ -368,3 +372,19 @@ def build_eml(subject: str, sender: str, to: str, body: str,
         msg.add_attachment(attachment, maintype="application",
                            subtype="octet-stream", filename="blob.bin")
     return msg.as_bytes()
+
+
+def build_msg(subject: str, sender: str, to: str, body: str,
+              ansi: bool = False) -> bytes:
+    """Minimal Outlook .msg: OLE2 container with MAPI string-property
+    streams (__substg1.0_<tag><type>, [MS-OXMSG])."""
+    suffix = "001E" if ansi else "001F"
+    enc = "cp1252" if ansi else "utf-16-le"
+    streams = {
+        f"__substg1.0_0037{suffix}": subject.encode(enc),
+        f"__substg1.0_0C1A{suffix}": sender.encode(enc),
+        f"__substg1.0_0E04{suffix}": to.encode(enc),
+        f"__substg1.0_1000{suffix}": body.encode(enc),
+        "__properties_version1.0": b"\x00" * 32,
+    }
+    return _build_ole2(streams)

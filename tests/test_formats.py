@@ -519,3 +519,50 @@ class TestImageMetadata:
         assert meta["Content-Type"] == "image/png"
         assert meta["tiff:ImageWidth"] == "99"
         assert meta["tiff:ImageLength"] == "77"
+
+
+class TestOutlookMsg:
+    """Outlook .msg ([MS-OXMSG]) — Tika OutlookExtractor parity."""
+
+    def test_detect_and_extract(self):
+        from tests.fixtures.builders import build_msg
+        data = build_msg("Quarterly report", "Alice Sender",
+                         "Bob Recipient", "Please find the numbers "
+                         "attached.\nRegards, Alice")
+        assert detect_mime(data, "mail.msg") == "application/vnd.ms-outlook"
+        text, mime, err = extract_any(data, "mail.msg")
+        assert err is None and mime == "application/vnd.ms-outlook"
+        assert text.startswith("Subject: Quarterly report\n"
+                               "From: Alice Sender\nTo: Bob Recipient\n\n")
+        assert "Please find the numbers attached." in text
+        assert text.endswith("Regards, Alice\n")
+
+    def test_ansi_properties(self):
+        from tests.fixtures.builders import build_msg
+        data = build_msg("Héllo", "a@x.com", "b@x.com", "ansi body",
+                         ansi=True)
+        text, _, err = extract_any(data, "m.msg")
+        assert err is None
+        assert "Subject: Héllo" in text and "ansi body" in text
+
+    def test_msg_metadata_surface(self, spark):
+        from pyspark.sql import Row
+        from nifi_extracttext_processor_spark.operators.extract import (
+            media_metadata,
+        )
+        from tests.fixtures.builders import build_msg
+        data = build_msg("Subj", "From Person", "To Person", "b")
+        df = spark.createDataFrame(
+            [Row(doc_id=1, filename="m.msg", content=bytearray(data))])
+        meta = media_metadata(df).collect()[0]["metadata"]
+        assert meta["Content-Type"] == "application/vnd.ms-outlook"
+        assert meta["dc:title"] == "Subj"
+        assert meta["Message-From"] == "From Person"
+        assert meta["Message-To"] == "To Person"
+
+    def test_plain_ole_still_unsupported(self):
+        from tests.fixtures.builders import _build_ole2
+        data = _build_ole2({"SomeStream": b"\x01\x02"})
+        text, mime, err = extract_any(data, "x.bin")
+        assert mime == "application/x-tika-msoffice"
+        assert text == "" and err is not None
