@@ -235,6 +235,50 @@ def q_stratified_sample(spark, sf):
             .select("doc_id", "source"))
 
 
+# ---- extension (r3): top URL domains (seeded deterministic URLs) ----
+
+_DOMAIN_SEED_SQL = """
+SELECT doc_id,
+       text || ' see https://site' || (doc_id % 7) ||
+       '.example.com/p/' || doc_id ||
+       CASE WHEN doc_id % 3 = 0
+            THEN ' and http://Mirror' || (doc_id % 2) || '.example.org/x'
+            ELSE '' END AS text
+FROM documents
+"""
+
+
+@_q("top_domains",
+    ta.top_domains_sql(f"({_DOMAIN_SEED_SQL}) seeded_t", "text", k=20))
+def q_top_domains(spark, sf):
+    d = _t(spark, sf, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"), F.col("doc_id") % 7,
+            F.lit(".example.com/p/"), F.col("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" and http://Mirror"),
+                            F.col("doc_id") % 2,
+                            F.lit(".example.org/x")))
+             .otherwise(F.lit(""))).alias("text"))
+    return ta.top_domains(seeded, "text", k=20)
+
+
+# ---- extension (r3): ANN index-quality gate — recall@k of the LSH
+# k-NN join against the exact join ----
+
+from nifi_extracttext_processor_spark.operators import similarity as _sim  # noqa: E402
+
+
+@_q("knn_recall", _sim.knn_recall_sql(k=5, query_pred="vec_id < 8"))
+def q_knn_recall(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 8), emb.filter(F.col("vec_id") >= 8)
+    return _sim.knn_recall(q, c, k=5, dim=64)
+
+
 # ===========================================================================
 # previously driver-verified queries (green in CORRECTNESS_r02)
 # ===========================================================================

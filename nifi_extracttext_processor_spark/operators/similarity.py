@@ -622,3 +622,74 @@ cand AS (
 )
 SELECT query_id, match_id, cosine, rk FROM ranked WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH join vs the exact join
+# ---------------------------------------------------------------------------
+
+def knn_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid_col: str = "vec_id",
+    cid_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-query recall@k of knn_join_lsh against exact knn_join —
+    the index-quality gate a production ANN deployment runs before
+    trusting an approximate path (tune planes/bands until recall
+    clears the bar, then ship the banded plan).
+
+    Returns (query_id, n_exact, n_hit, recall). Both sides are top-k
+    joins; the comparison is two keyed joins + per-query counts — at
+    evaluation scale (a sampled query set) this is cheap next to the
+    joins themselves, and nothing here shuffles vectors.
+    """
+    exact = knn_join(queries, corpus, k, qid_col, cid_col, vec_col) \
+        .select("query_id", "match_id")
+    approx = knn_join_lsh(queries, corpus, k, qid_col, cid_col, vec_col,
+                          planes, bands, dim) \
+        .select("query_id", "match_id")
+    hits = (exact.join(approx, ["query_id", "match_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (base.join(hits, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0))
+                            / F.col("n_exact"), 4).alias("recall")))
+
+
+def knn_recall_sql(
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 8",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin: exact and banded joins as CTEs, recall per query."""
+    exact = knn_join_sql(k, table, id_col, vec_col, query_pred)
+    approx = knn_join_lsh_sql(k, table, id_col, vec_col, query_pred,
+                              planes, bands, dim)
+    return f"""
+WITH exact_t AS ({exact}), approx_t AS ({approx}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM exact_t e JOIN approx_t a
+    ON e.query_id = a.query_id AND e.match_id = a.match_id
+  GROUP BY e.query_id
+), base AS (
+  SELECT query_id, count(*) AS n_exact FROM exact_t GROUP BY query_id
+)
+SELECT base.query_id, base.n_exact,
+       coalesce(hits.n_hit, 0) AS n_hit,
+       round(coalesce(hits.n_hit, 0)::DOUBLE / base.n_exact, 4) AS recall
+FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+"""

@@ -500,3 +500,48 @@ SELECT * REPLACE (CAST(chunk_no AS BIGINT) AS chunk_no),
        CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
 FROM chunked
 """
+
+
+# ---------------------------------------------------------------------------
+# URL / domain analytics
+# ---------------------------------------------------------------------------
+
+URL_RE = r"https?://[^\s]+"          # same re2-safe pattern scrub_pii uses
+DOMAIN_RE = r"^https?://([^/:?#\s]+)"
+
+
+def top_domains(df: DataFrame, text_col: str = "text",
+                k: int = 20) -> DataFrame:
+    """Top-k URL domains across the corpus — the provenance/source-mix
+    report every crawl-derived training set needs (and the input to
+    per-domain sampling policies, cf. stratified_sample).
+
+    Plan: regexp_extract_all + explode (narrow), lowercase host parse,
+    hash aggregate with map-side combine on the ~domain-cardinality
+    key space, TakeOrdered top-k — no global sort, no text shuffle.
+    Deterministic ties: count desc, domain asc.
+    """
+    urls = df.select(
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0))
+        .alias("url"))
+    dom = F.lower(F.regexp_extract(F.col("url"), DOMAIN_RE, 1))
+    return (urls.select(dom.alias("domain"))
+            .filter(F.col("domain") != "")
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_urls"))
+            .orderBy(F.desc("n_urls"), F.asc("domain"))
+            .limit(k))
+
+
+def top_domains_sql(table: str = "documents", text_expr: str = "text",
+                    k: int = 20) -> str:
+    return f"""
+WITH urls AS (
+  SELECT unnest(regexp_extract_all({text_expr}, '{URL_RE}')) AS url
+  FROM {table}
+), doms AS (
+  SELECT lower(regexp_extract(url, '{DOMAIN_RE}', 1)) AS domain FROM urls
+)
+SELECT domain, count(*) AS n_urls FROM doms WHERE domain <> ''
+GROUP BY domain ORDER BY n_urls DESC, domain ASC LIMIT {k}
+"""

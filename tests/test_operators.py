@@ -1408,3 +1408,58 @@ class TestAvroCodec:
                 {"name": "text", "type": "string"}]})
         dec = enc.select(from_avro("v", schema).alias("r")).select("r.*")
         assert [tuple(r) for r in dec.collect()] == [(1, "t")]
+
+
+class TestTopDomains:
+    def test_counts_case_fold_and_ties(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            top_domains,
+        )
+        df = spark.createDataFrame(
+            [(1, "see https://A.example/x and https://b.example/y"),
+             (2, "again https://a.example/z plus http://b.example/w"),
+             (3, "no urls here at all")],
+            "doc_id long, text string")
+        rows = [(r["domain"], r["n_urls"])
+                for r in top_domains(df, k=10).collect()]
+        # hosts lowercase-folded; ties broken domain-asc
+        assert rows == [("a.example", 2), ("b.example", 2)]
+
+    def test_k_limits(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            top_domains,
+        )
+        df = spark.createDataFrame(
+            [(i, f"https://host{i}.example/") for i in range(10)],
+            "doc_id long, text string")
+        assert top_domains(df, k=3).count() == 3
+
+
+class TestKnnRecall:
+    def test_recall_bounds_and_perfect_case(self, spark):
+        import hashlib
+
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            knn_join, knn_join_lsh, knn_recall,
+        )
+        rows = []
+        for i in range(24):
+            h = hashlib.md5(f"v{i}".encode()).digest()
+            rows.append((i, [(b - 128) / 128.0 for b in h[:8]]))
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q, c = e.filter("vec_id < 4"), e.filter("vec_id >= 4")
+        out = {r["query_id"]: r for r in
+               knn_recall(q, c, k=3, dim=8).collect()}
+        assert set(out) == {0, 1, 2, 3}
+        for r in out.values():
+            assert r["n_exact"] == 3
+            assert 0 <= r["n_hit"] <= 3
+            assert 0.0 <= r["recall"] <= 1.0
+        # recall is exactly |exact ∩ approx| / k, recomputed directly
+        exact = {(r["query_id"], r["match_id"])
+                 for r in knn_join(q, c, k=3).collect()}
+        approx = {(r["query_id"], r["match_id"])
+                  for r in knn_join_lsh(q, c, k=3, dim=8).collect()}
+        for qid, r in out.items():
+            expect = len({p for p in exact & approx if p[0] == qid})
+            assert r["n_hit"] == expect
