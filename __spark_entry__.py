@@ -591,9 +591,12 @@ def q_dedup_exact(spark, sf):
     + dd.minhash_lsh_pairs_sql(rows=2, threshold=0.15) + ")")
 def q_dedup_near_pairs(spark, sf):
     d = _t(spark, sf, "documents")
-    mh = (dd.minhash_lsh_pairs(d, threshold=0.2)
+    # ONE shingle+md5 pass feeds both band configs (the 100 TB shape:
+    # hash the corpus once, derive every LSH variant from the halves)
+    base = dd.minhash_base(d)
+    mh = (dd.minhash_lsh_pairs(d, threshold=0.2, base=base)
           .select(F.lit("minhash").alias("method"), "*"))
-    ng = (dd.ngram_jaccard_pairs(d, threshold=0.15)
+    ng = (dd.ngram_jaccard_pairs(d, threshold=0.15, base=base)
           .select(F.lit("ngram").alias("method"), "*"))
     return mh.unionAll(ng)
 

@@ -190,6 +190,33 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def minhash_base(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Persisted (id, sh, halves) — the ONE expensive shingle+md5 pass.
+
+    Build it once and pass it to several minhash_lsh_pairs /
+    ngram_jaccard_pairs calls with different band configs or
+    thresholds: at 100 TB the corpus is hashed a single time and every
+    LSH variant reuses the stored halves (band keys and signatures are
+    cheap arithmetic over them). Registered with operators.lifecycle —
+    release_all() frees it."""
+    from .lifecycle import track_persist
+
+    sh = shingles(text_col, n)
+    # Persist (id, sh, halves): the cache boundary materializes the md5
+    # halves ONCE, so the k signature slots and both self-join sides do
+    # arithmetic over stored longs instead of re-hashing every shingle
+    # (k× + 2× otherwise — verified via .explain: without the boundary,
+    # projection collapse inlines the md5 fold into every array_min).
+    return track_persist(
+        _spread(df).select(F.col(id_col), sh.alias("sh"))
+        .withColumn("halves", minhash_halves(F.col("sh"))))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -198,6 +225,7 @@ def minhash_lsh_pairs(
     k: int = DEFAULT_NUM_HASHES,
     rows: int = DEFAULT_BAND_ROWS,
     threshold: float = 0.5,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id1 < id2, jaccard ≥ threshold).
 
@@ -213,18 +241,11 @@ def minhash_lsh_pairs(
     The persisted intermediate is registered with
     operators.lifecycle — long-running sessions call
     lifecycle.release_all() between jobs to free the block manager.
+    Pass `base` (a minhash_base result) to share the hash pass across
+    several band configs/thresholds.
     """
-    from .lifecycle import track_persist
-
-    sh = shingles(text_col, n)
-    # Persist (id, sh, halves): the cache boundary materializes the md5
-    # halves ONCE, so the k signature slots and both self-join sides do
-    # arithmetic over stored longs instead of re-hashing every shingle
-    # (k× + 2× otherwise — verified via .explain: without the boundary,
-    # projection collapse inlines the md5 fold into every array_min).
-    base = track_persist(
-        _spread(df).select(F.col(id_col), sh.alias("sh"))
-        .withColumn("halves", minhash_halves(F.col("sh"))))
+    if base is None:
+        base = minhash_base(df, id_col, text_col, n)
     banded = (base
               .withColumn("sig", minhash_signature_from_halves(
                   F.col("halves"), k))
@@ -672,12 +693,13 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = DEFAULT_SHINGLE_N,
     threshold: float = 0.3,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidate pairs (wide-net band
     config so the exact filter dominates)."""
     return minhash_lsh_pairs(df, id_col, text_col, n=n,
                              k=DEFAULT_NUM_HASHES, rows=2,
-                             threshold=threshold)
+                             threshold=threshold, base=base)
 
 
 # ---------------------------------------------------------------------------
