@@ -279,6 +279,28 @@ def q_knn_recall(spark, sf):
     return _sim.knn_recall(q, c, k=5, dim=64)
 
 
+# ---- extension (r3): Gopher-rule quality gate ----
+
+_GOPHER = ta.gopher_quality_flags_sql("text")
+
+
+@_q("gopher_flags", f"""
+SELECT doc_id,
+       {_GOPHER['ok_word_count']} AS ok_word_count,
+       {_GOPHER['ok_mean_word_len']} AS ok_mean_word_len,
+       {_GOPHER['ok_symbol_ratio']} AS ok_symbol_ratio,
+       {_GOPHER['ok_bullet_lines']} AS ok_bullet_lines,
+       {_GOPHER['ok_ellipsis_lines']} AS ok_ellipsis_lines,
+       {_GOPHER['ok_alpha_words']} AS ok_alpha_words,
+       {_GOPHER['ok_stopwords']} AS ok_stopwords,
+       {_GOPHER['passes']} AS passes
+FROM documents
+""")
+def q_gopher_flags(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return ta.gopher_quality_flags(d).drop("text")
+
+
 # ===========================================================================
 # previously driver-verified queries (green in CORRECTNESS_r02)
 # ===========================================================================

@@ -545,3 +545,101 @@ WITH urls AS (
 SELECT domain, count(*) AS n_urls FROM doms WHERE domain <> ''
 GROUP BY domain ORDER BY n_urls DESC, domain ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule gate (Rae et al. 2021, public filter set)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule booleans + overall gate — the published
+    heuristic filter battery for web-scale pretraining corpora:
+
+      ok_word_count     50 ≤ #whitespace words ≤ 100 000
+      ok_mean_word_len  3 ≤ mean word length ≤ 10
+      ok_symbol_ratio   (# '#' + '...') / words < 0.1
+      ok_bullet_lines   ≤ 90% of lines start with a bullet
+      ok_ellipsis_lines ≤ 30% of lines end with '...'
+      ok_alpha_words    ≥ 80% of words contain a letter
+      ok_stopwords      ≥ 2 distinct common stopwords present
+      passes            AND of all rules
+
+    Pure Catalyst (split + higher-order filters + regexp counts): one
+    narrow projection, zero shuffle, composes with the extraction scan
+    at any scale. Boolean outputs → engine-exact oracle parity (floats
+    stay intermediate).
+    """
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+")
+    n_words = F.size(toks)
+    mean_len = (F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda a, x: a + F.length(x))
+                / F.greatest(n_words, F.lit(1)))
+    symbols = (F.regexp_count(c, F.lit("#"))
+               + F.regexp_count(c, F.lit(r"\.\.\.")))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(F.filter(lines,
+                             lambda line: line.rlike(r"^\s*[-*•]")))
+    ell = F.size(F.filter(lines, lambda line: line.rlike(r"\.\.\.\s*$")))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    low = F.transform(toks, F.lower)
+    n_stop = sum((F.array_contains(low, w).cast("int")
+                  for w in GOPHER_STOPWORDS), F.lit(0))
+    out = df.select(
+        "*",
+        (n_words.between(50, 100_000)).alias("ok_word_count"),
+        ((mean_len >= 3) & (mean_len <= 10)).alias("ok_mean_word_len"),
+        ((symbols / F.greatest(n_words, F.lit(1))) < 0.1)
+        .alias("ok_symbol_ratio"),
+        ((bullet / n_lines) <= 0.9).alias("ok_bullet_lines"),
+        ((ell / n_lines) <= 0.3).alias("ok_ellipsis_lines"),
+        ((alpha / F.greatest(n_words, F.lit(1))) >= 0.8)
+        .alias("ok_alpha_words"),
+        (n_stop >= 2).alias("ok_stopwords"))
+    flags = ["ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+             "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+             "ok_stopwords"]
+    passes = F.lit(True)
+    for f in flags:
+        passes = passes & F.col(f)
+    return out.withColumn("passes", passes)
+
+
+def gopher_quality_flags_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB twins keyed by output column (same tokenization, same
+    guards, same fold order)."""
+    toks = f"string_split_regex(trim({text_expr}), '\\s+')"
+    n_words = f"len({toks})"
+    g = f"greatest({n_words}, 1)"
+    mean_len = (f"(list_sum(list_transform({toks}, w -> length(w)))"
+                f"::DOUBLE / {g})")
+    symbols = (f"(len(regexp_extract_all({text_expr}, '#')) + "
+               f"len(regexp_extract_all({text_expr}, '\\.\\.\\.')))")
+    lines = f"string_split({text_expr}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)"
+    bullet = (f"len(list_filter({lines}, "
+              f"l -> regexp_matches(l, '^\\s*[-*•]')))")
+    ell = (f"len(list_filter({lines}, "
+           f"l -> regexp_matches(l, '\\.\\.\\.\\s*$')))")
+    alpha = (f"len(list_filter({toks}, "
+             f"w -> regexp_matches(w, '[A-Za-z]')))")
+    low = f"list_transform({toks}, w -> lower(w))"
+    n_stop = " + ".join(
+        f"CAST(list_contains({low}, '{w}') AS INT)"
+        for w in GOPHER_STOPWORDS)
+    exprs = {
+        "ok_word_count": f"({n_words} BETWEEN 50 AND 100000)",
+        "ok_mean_word_len": f"({mean_len} >= 3 AND {mean_len} <= 10)",
+        "ok_symbol_ratio": f"(({symbols}::DOUBLE / {g}) < 0.1)",
+        "ok_bullet_lines": f"(({bullet}::DOUBLE / {n_lines}) <= 0.9)",
+        "ok_ellipsis_lines": f"(({ell}::DOUBLE / {n_lines}) <= 0.3)",
+        "ok_alpha_words": f"(({alpha}::DOUBLE / {g}) >= 0.8)",
+        "ok_stopwords": f"(({n_stop}) >= 2)",
+    }
+    exprs["passes"] = "(" + " AND ".join(exprs.values()) + ")"
+    return exprs

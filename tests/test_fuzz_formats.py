@@ -81,3 +81,47 @@ def test_el_parser_total(spark, expr):
         el_column(expr)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Avro codec property tests: encode/decode round-trip for arbitrary values
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1))
+def test_avro_long_roundtrip(n):
+    import io
+
+    from nifi_extracttext_processor_spark.formats.avro_codec import (
+        decode_long, encode_long,
+    )
+    assert decode_long(io.BytesIO(encode_long(n))) == n
+
+
+@given(st.lists(
+    st.fixed_dictionaries({
+        "l": st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+        "s": st.text(max_size=40),
+        "d": st.floats(allow_nan=False, allow_infinity=False,
+                       width=64),
+        "b": st.booleans(),
+        "n": st.one_of(st.none(),
+                       st.integers(min_value=-1000, max_value=1000)),
+        "arr": st.lists(st.integers(min_value=0, max_value=9),
+                        max_size=5),
+        "raw": st.binary(max_size=16),
+    }), max_size=8))
+def test_avro_container_roundtrip_property(rows):
+    from nifi_extracttext_processor_spark.formats.avro_codec import (
+        read_container, write_container,
+    )
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "raw", "type": "bytes"}]}
+    _, back = read_container(write_container(schema, rows,
+                                             records_per_block=3))
+    assert back == rows

@@ -1463,3 +1463,46 @@ class TestKnnRecall:
         for qid, r in out.items():
             expect = len({p for p in exact & approx if p[0] == qid})
             assert r["n_hit"] == expect
+
+
+class TestGopherFlags:
+    def test_each_rule_fires(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            gopher_quality_flags,
+        )
+        good = ("the quick brown fox and the lazy dog have been seen "
+                "with many other animals that wander to the river of "
+                "green hills every single morning before the sun rises "
+                "over the eastern ridge and children walk to school "
+                "while farmers tend to their fields and the village "
+                "bakery fills the morning air with the warm smell of "
+                "fresh bread for everyone")
+        rows = [
+            (1, good),                                   # passes all
+            (2, "too short to count"),                   # word count
+            (3, " ".join(["a"] * 60)),                   # mean len < 3
+            (4, " ".join(["the of and to that have with be"] * 8
+                         ) + " " + "#" * 0 + " ".join(["#"] * 20)),
+            (5, "\n".join(["- bullet item " + str(i)
+                           for i in range(10)])),        # all bullets
+            (6, " ".join(["123"] * 60)),                 # alpha words
+            (7, " ".join(["zzz"] * 60)),                 # no stopwords
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               gopher_quality_flags(df).collect()}
+        assert out[1]["passes"]
+        assert not out[2]["ok_word_count"] and not out[2]["passes"]
+        assert not out[3]["ok_mean_word_len"]
+        assert not out[4]["ok_symbol_ratio"]
+        assert not out[5]["ok_bullet_lines"]  # 10/10 lines > 0.9
+        assert not out[6]["ok_alpha_words"]
+        assert not out[7]["ok_stopwords"]
+
+    def test_empty_doc_safe(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            gopher_quality_flags,
+        )
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        r = gopher_quality_flags(df).collect()[0]
+        assert not r["passes"] and not r["ok_word_count"]
