@@ -110,10 +110,10 @@ def extract_any(
                 raise ValueError(f"gzip inner content failed: {inner_err}")
         elif detected in (m.MIME_ZIP, m.MIME_TAR):
             text = _extract_archive(data, detected, _depth)
-        elif detected.startswith("image/"):
-            # Tika's ImageParser emits metadata but no text content
-            # (OCR explicitly out of scope — SURVEY §7); dimensions are
-            # surfaced by the B3 media_metadata operator instead
+        elif detected.startswith(("image/", "audio/")):
+            # Tika's Image/Audio parsers emit metadata but no text
+            # content (OCR/ASR explicitly out of scope — SURVEY §7);
+            # header attributes surface via B3 media_metadata instead
             text = ""
         elif detected in (m.MIME_TEXT, m.MIME_CSV, m.MIME_JSON):
             text = data.decode("utf-8", "replace")

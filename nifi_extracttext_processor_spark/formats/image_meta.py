@@ -58,6 +58,32 @@ def image_dimensions(data: bytes) -> dict[str, str]:
         bpp = struct.unpack_from("<H", data, 28)[0]
         return {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h),
                 "tiff:BitsPerSample": str(bpp)}
+    if data[:4] in (b"II*\x00", b"MM\x00*") and len(data) >= 8:
+        # TIFF: walk the first IFD for ImageWidth(256)/ImageLength(257)
+        big = data[:2] == b"MM"
+        e = ">" if big else "<"
+        (ifd_off,) = struct.unpack_from(f"{e}I", data, 4)
+        out: dict[str, str] = {}
+        if ifd_off + 2 <= len(data):
+            (n_tags,) = struct.unpack_from(f"{e}H", data, ifd_off)
+            for t in range(min(n_tags, 64)):
+                off = ifd_off + 2 + t * 12
+                if off + 12 > len(data):
+                    break
+                tag, typ = struct.unpack_from(f"{e}HH", data, off)
+                if typ == 3:    # SHORT
+                    (val,) = struct.unpack_from(f"{e}H", data, off + 8)
+                elif typ == 4:  # LONG
+                    (val,) = struct.unpack_from(f"{e}I", data, off + 8)
+                else:
+                    continue
+                if tag == 256:
+                    out["tiff:ImageWidth"] = str(val)
+                elif tag == 257:
+                    out["tiff:ImageLength"] = str(val)
+                elif tag == 258:
+                    out["tiff:BitsPerSample"] = str(val)
+        return out
     if data[:2] in (b"P5", b"P6") and data[2:3].isspace():
         toks: list[int] = []
         i = 2
@@ -80,3 +106,30 @@ def image_dimensions(data: bytes) -> dict[str, str]:
             return {"tiff:ImageWidth": str(toks[0]),
                     "tiff:ImageLength": str(toks[1])}
     return {}
+
+
+def wav_metadata(data: bytes) -> dict[str, str]:
+    """RIFF/WAVE fmt-chunk metadata under Tika's xmpDM property names
+    (sample rate, channels, bits, and duration where computable)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return {}
+    out: dict[str, str] = {}
+    i = 12
+    byte_rate = 0
+    data_size = None
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        (size,) = struct.unpack_from("<I", data, i + 4)
+        if cid == b"fmt " and i + 24 <= len(data):
+            _, channels, rate = struct.unpack_from("<HHI", data, i + 8)
+            (byte_rate,) = struct.unpack_from("<I", data, i + 16)
+            (bits,) = struct.unpack_from("<H", data, i + 22)
+            out["xmpDM:audioSampleRate"] = str(rate)
+            out["channels"] = str(channels)
+            out["bits"] = str(bits)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)
+    if data_size is not None and byte_rate:
+        out["xmpDM:duration"] = str(round(data_size / byte_rate, 3))
+    return out

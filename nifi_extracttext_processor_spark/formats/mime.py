@@ -43,6 +43,8 @@ MIME_BMP = "image/bmp"
 MIME_PGM = "image/x-portable-graymap"
 MIME_PPM = "image/x-portable-pixmap"
 MIME_MSG = "application/vnd.ms-outlook"
+MIME_TIFF = "image/tiff"
+MIME_WAV = "audio/x-wav"
 
 _EML_HEADS = (b"Received:", b"Return-Path:", b"From:", b"Subject:",
               b"Date:", b"To:", b"Message-ID:", b"MIME-Version:",
@@ -132,6 +134,10 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
             return MIME_BMP
     if head[:2] in (b"P5", b"P6") and head[2:3].isspace():
         return MIME_PGM if head[:2] == b"P5" else MIME_PPM
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return MIME_TIFF
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return MIME_WAV
     if data[257:262] == b"ustar":
         return MIME_TAR
     if head.startswith(b"{\\rtf"):

@@ -566,3 +566,67 @@ class TestOutlookMsg:
         text, mime, err = extract_any(data, "x.bin")
         assert mime == "application/x-tika-msoffice"
         assert text == "" and err is not None
+
+
+class TestTiffWavMetadata:
+    def test_tiff_dims_both_endians(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+
+        def tiff(le=True, w=321, h=123):
+            e = "<" if le else ">"
+            magic = b"II*\x00" if le else b"MM\x00*"
+            hdr = magic + struct.pack(f"{e}I", 8)
+            tags = [(256, 3, w), (257, 4, h), (258, 3, 16)]
+            body = struct.pack(f"{e}H", len(tags))
+            for tag, typ, val in tags:
+                body += struct.pack(f"{e}HHI", tag, typ, 1)
+                body += (struct.pack(f"{e}HH", val, 0) if typ == 3
+                         else struct.pack(f"{e}I", val))
+            return hdr + body + struct.pack(f"{e}I", 0)
+
+        for le in (True, False):
+            md = image_dimensions(tiff(le))
+            assert md["tiff:ImageWidth"] == "321"
+            assert md["tiff:ImageLength"] == "123"
+            assert md["tiff:BitsPerSample"] == "16"
+        assert detect_mime(tiff(True), "x.tif") == "image/tiff"
+
+    def _wav(self, rate=16000, channels=2, bits=16, seconds=2):
+        import struct
+        byte_rate = rate * channels * bits // 8
+        frames = b"\x00" * (byte_rate * seconds)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                          channels * bits // 8, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(frames)) + frames)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def test_wav_metadata_and_mime(self):
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            wav_metadata,
+        )
+        data = self._wav()
+        assert detect_mime(data, "a.wav") == "audio/x-wav"
+        md = wav_metadata(data)
+        assert md["xmpDM:audioSampleRate"] == "16000"
+        assert md["channels"] == "2"
+        assert md["bits"] == "16"
+        assert md["xmpDM:duration"] == "2.0"
+        text, mime, err = extract_any(data, "a.wav")
+        assert err is None and text == "" and mime == "audio/x-wav"
+
+    def test_media_metadata_surfaces_wav(self, spark):
+        from pyspark.sql import Row
+        from nifi_extracttext_processor_spark.operators.extract import (
+            media_metadata,
+        )
+        df = spark.createDataFrame(
+            [Row(doc_id=1, filename="a.wav",
+                 content=bytearray(self._wav(rate=8000, channels=1)))])
+        meta = media_metadata(df).collect()[0]["metadata"]
+        assert meta["Content-Type"] == "audio/x-wav"
+        assert meta["xmpDM:audioSampleRate"] == "8000"
+        assert meta["channels"] == "1"
