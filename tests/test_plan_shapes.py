@@ -92,3 +92,31 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_scores")
+
+
+def test_top_domains_is_takeordered_no_udf(spark):
+    """Corpus top-k must be TakeOrdered (no global sort) and pure
+    Catalyst (no Python eval in the plan)."""
+    df = entry.queries()["top_domains"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_flags_narrow_zero_shuffle(spark):
+    """The Gopher rule battery is one narrow projection: no Exchange at
+    all in the plan, no Python eval."""
+    df = entry.queries()["gopher_flags"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_recall_band_exchanges_carry_no_vectors(spark):
+    """knn_recall inherits candidates-first: no Exchange partitioned by
+    band keys may carry an embedding array."""
+    df = entry.queries()["knn_recall"](spark, SF)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(band_id" in line:
+            assert "qv" not in line and "cv" not in line
