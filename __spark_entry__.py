@@ -25,9 +25,6 @@ from nifi_extracttext_processor_spark.operators import text_analysis as ta
 from nifi_extracttext_processor_spark.operators.routing import (
     SENTIMENT_ROUTES, query_routes, route_column,
 )
-from nifi_extracttext_processor_spark.operators.similarity import (
-    brute_force_topk_sql,
-)
 from nifi_extracttext_processor_spark.operators.split import (
     extract_regex, split_lines,
 )
