@@ -459,6 +459,7 @@ def duplicate_clusters(
     text_col: str = "text",
     threshold: float = 0.5,
     max_iter: int = 50,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate edges: every doc gets
     cluster_id = min id reachable through minhash_lsh_pairs edges
@@ -480,8 +481,8 @@ def duplicate_clusters(
     """
     import warnings
 
-    pairs = minhash_lsh_pairs(df, id_col, text_col,
-                              threshold=threshold).select("id1", "id2")
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold,
+                              base=base).select("id1", "id2")
     edges = pairs.unionAll(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
     edges = edges.localCheckpoint()
@@ -547,6 +548,7 @@ def keep_best_per_cluster(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dedup selection policy: resolve duplicate_clusters, score
     every doc with quality_score, keep the best doc per cluster
@@ -563,7 +565,7 @@ def keep_best_per_cluster(
     from .text_analysis import quality_score
 
     clusters = duplicate_clusters(df, id_col, text_col,
-                                  threshold=threshold)
+                                  threshold=threshold, base=base)
     scored = (quality_score(df.select(id_col, text_col), text_col)
               .select(id_col, "quality")
               .join(clusters, id_col))
