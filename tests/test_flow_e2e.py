@@ -114,3 +114,67 @@ def test_training_data_prep_pipeline(spark):
     assert 4 not in ids        # junk filtered
     for r in out:
         assert r["quality"] >= 0.5 and r["n_ws_tokens"] > 0
+
+
+def test_mixed_format_corpus_extraction(spark, tmp_path):
+    """Round-3 breadth integration: one binaryFile scan over every
+    format family added since r1 — OOXML, RTF, ODT, EML, Outlook .msg,
+    zip archive, gzip, PNG image, WAV audio — through extract_text +
+    media_metadata, asserting per-format text/route/metadata."""
+    import gzip
+    import struct
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from nifi_extracttext_processor_spark.operators.extract import (
+        extract_text, media_metadata, route_by_error,
+    )
+    from nifi_extracttext_processor_spark.sources.binary_files import (
+        read_documents,
+    )
+    from tests.fixtures.builders import build_msg, build_odt, build_rtf
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.rtf").write_bytes(build_rtf(["rtf body text"]))
+    (d / "b.odt").write_bytes(build_odt(["odt body text"]))
+    (d / "c.msg").write_bytes(
+        build_msg("Subject line", "s@x.com", "r@x.com", "msg body text"))
+    import io as _io
+    zbuf = _io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("inner.txt", "zip member text")
+    (d / "d.zip").write_bytes(zbuf.getvalue())
+    (d / "e.txt.gz").write_bytes(gzip.compress(b"gz member text"))
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 31, 17) + bytes([8, 2, 0, 0, 0])
+           + b"\x00" * 4)
+    (d / "f.png").write_bytes(png)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 8000) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 8000) + b"\x00" * 8000)
+    (d / "g.wav").write_bytes(wav)
+
+    # flow order (SURVEY §3): ExtractMediaMetadata BEFORE the text
+    # extractor — extraction replaces content with text (A5)
+    scanned = extract_text(media_metadata(read_documents(spark, str(d))))
+    ok, fail = route_by_error(scanned.cache())
+    assert fail.count() == 0
+    rows = {r["filename"]: r for r in ok.collect()}
+    assert rows["a.rtf"]["text"].startswith("rtf body text")
+    assert rows["b.odt"]["text"].startswith("odt body text")
+    assert "msg body text" in rows["c.msg"]["text"]
+    assert rows["c.msg"]["text"].startswith("Subject: Subject line")
+    assert "zip member text" in rows["d.zip"]["text"]
+    assert "gz member text" in rows["e.txt.gz"]["text"]
+    assert rows["f.png"]["text"] == ""   # image: metadata-only
+    assert rows["g.wav"]["text"] == ""   # audio: metadata-only
+    assert rows["f.png"]["metadata"]["tiff:ImageWidth"] == "31"
+    assert rows["g.wav"]["metadata"]["xmpDM:audioSampleRate"] == "8000"
+    assert rows["c.msg"]["metadata"]["dc:title"] == "Subject line"
+    mimes = {n: r["orig_mime_type"] for n, r in rows.items()}
+    assert mimes["c.msg"] == "application/vnd.ms-outlook"
+    assert mimes["d.zip"] == "application/zip"
+    assert mimes["f.png"] == "image/png"
