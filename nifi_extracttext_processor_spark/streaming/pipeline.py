@@ -190,14 +190,23 @@ def stream_dedup_near(
         StructField("bkey", StringType()),
         StructField("new_band", BooleanType()),
     ])
-    state_schema = StructType([StructField("claimed", LongType())])
+    # the claim's expiry (event-time ms) lives IN the state: a group
+    # that receives data in the very batch its timeout lapsed is
+    # invoked with hasTimedOut=False, so eviction must also be checked
+    # against the current watermark on the data path
+    state_schema = StructType([StructField("expiry_ms", LongType())])
 
     def update(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             yield pd.DataFrame([], columns=["doc_id", "bkey", "new_band"])
             return
-        seen = state.exists
+        wm = state.getCurrentWatermarkMs()
+        seen = False
+        old_expiry = None
+        if state.exists:
+            (old_expiry,) = state.get
+            seen = old_expiry is None or wm < old_expiry  # claim valid?
         out = []
         max_ts_ms = None
         for pdf in pdf_iter:
@@ -210,11 +219,12 @@ def stream_dedup_near(
                 ts_ms = int(ts.timestamp() * 1000)
                 max_ts_ms = (ts_ms if max_ts_ms is None
                              else max(max_ts_ms, ts_ms))
-        state.update((1,))
-        if max_ts_ms is not None:
-            # evict this band's claim `watermark` past the max event
-            # time seen for it — dropDuplicatesWithinWatermark semantics
-            state.setTimeoutTimestamp(max_ts_ms + horizon_ms)
+        # evict this band's claim `watermark` past the max event time
+        # seen for it — dropDuplicatesWithinWatermark semantics
+        expiry = max(filter(None, [old_expiry,
+                                   (max_ts_ms or 0) + horizon_ms]))
+        state.update((expiry,))
+        state.setTimeoutTimestamp(expiry)
         yield pd.DataFrame(out, columns=["doc_id", "bkey", "new_band"])
 
     return (banded.groupBy("bkey").applyInPandasWithState(

@@ -190,3 +190,49 @@ def test_stream_dedup_near_cross_batch(spark, tmp_path):
     v3 = [r["new_band"] for r in
           all_verdicts.filter("doc_id = 3").collect()]
     assert v3 and not all(v3)
+
+
+def test_stream_dedup_near_state_evicts_past_horizon(spark, tmp_path):
+    """Watermark-bounded state: a band claimed at t0 with a 10-minute
+    horizon is evicted once event time moves far past it — the same
+    text arriving hours later is treated as fresh (state is bounded by
+    the dedup window, not the corpus)."""
+    import datetime as dt
+
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        near_dup_survivors, stream_dedup_near,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen sleepy cats watch from the warm windowsill")
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame([(1, text, t0)], schema) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    # advance the watermark far past t0 + horizon with an unrelated doc
+    spark.createDataFrame(
+        [(2, "completely different filler content to push the "
+             "watermark forward well beyond the horizon boundary",
+          t0 + dt.timedelta(hours=3))], schema) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    # same text again, hours later: its bands were evicted
+    spark.createDataFrame(
+        [(3, text, t0 + dt.timedelta(hours=4))], schema) \
+        .coalesce(1).write.parquet(str(src / "b3"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    verdicts = stream_dedup_near(stream, watermark="10 minutes")
+    q = (verdicts.writeStream.format("memory").queryName("evict_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    survivors = {r["doc_id"] for r in near_dup_survivors(
+        spark.sql("SELECT * FROM evict_t")).collect()}
+    # doc 3 is textually identical to doc 1 but beyond the horizon:
+    # state evicted, so it survives as fresh
+    assert {1, 2, 3} <= survivors
