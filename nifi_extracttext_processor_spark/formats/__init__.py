@@ -89,25 +89,36 @@ def extract_any(
         elif detected == m.MIME_MSG:
             from .msg import extract_msg_text
             text = extract_msg_text(data)
-        elif detected == m.MIME_GZIP:
+        elif detected in (m.MIME_GZIP, m.MIME_BZIP2, m.MIME_XZ):
             # Tika's CompressorParser: transparently extract the wrapped
-            # entry; the reported type stays application/gzip. Expansion
+            # entry; the reported type stays the compressor's. Expansion
             # is capped (decompression-bomb guard) and nesting bounded.
-            import zlib
             if _depth >= MAX_COMPRESS_DEPTH:
                 raise ValueError(
                     f"compressed nesting deeper than {MAX_COMPRESS_DEPTH}")
-            dec = zlib.decompressobj(wbits=31)  # gzip wrapper
+            if detected == m.MIME_GZIP:
+                import zlib
+                dec = zlib.decompressobj(wbits=31)  # gzip wrapper
+                suffix = ".gz"
+            elif detected == m.MIME_BZIP2:
+                import bz2
+                dec = bz2.BZ2Decompressor()
+                suffix = ".bz2"
+            else:
+                import lzma
+                dec = lzma.LZMADecompressor()
+                suffix = ".xz"
             inner = dec.decompress(data, MAX_DECOMPRESSED_BYTES + 1)
             if len(inner) > MAX_DECOMPRESSED_BYTES:
                 raise ValueError(
-                    "gzip content exceeds "
+                    "compressed content exceeds "
                     f"{MAX_DECOMPRESSED_BYTES} decompressed bytes")
-            inner_name = (filename or "").removesuffix(".gz") or None
+            inner_name = (filename or "").removesuffix(suffix) or None
             text, _, inner_err = extract_any(
                 inner, inner_name, -1, "text", _depth=_depth + 1)
             if inner_err:
-                raise ValueError(f"gzip inner content failed: {inner_err}")
+                raise ValueError(
+                    f"compressed inner content failed: {inner_err}")
         elif detected in (m.MIME_ZIP, m.MIME_TAR):
             text = _extract_archive(data, detected, _depth)
         elif detected.startswith(("image/", "audio/")):

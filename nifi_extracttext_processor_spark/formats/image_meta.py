@@ -133,3 +133,52 @@ def wav_metadata(data: bytes) -> dict[str, str]:
     if data_size is not None and byte_rate:
         out["xmpDM:duration"] = str(round(data_size / byte_rate, 3))
     return out
+
+
+def _id3_text(payload: bytes) -> str:
+    if not payload:
+        return ""
+    enc = payload[0]
+    body = payload[1:]
+    if enc == 0:
+        return body.decode("latin-1", "replace").rstrip("\x00")
+    if enc == 1:
+        return body.decode("utf-16", "replace").rstrip("\x00")
+    if enc == 2:
+        return body.decode("utf-16-be", "replace").rstrip("\x00")
+    return body.decode("utf-8", "replace").rstrip("\x00")
+
+
+_ID3_KEYS = {b"TIT2": "dc:title", b"TPE1": "xmpDM:artist",
+             b"TALB": "xmpDM:album"}
+
+
+def mp3_metadata(data: bytes) -> dict[str, str]:
+    """ID3v2.3/2.4 text frames under Tika property names (dc:title,
+    xmpDM:artist, xmpDM:album). Frame walk only — no audio decode."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}
+    ver = data[3]
+    syncsafe_frames = ver >= 4
+    tag_size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+    out: dict[str, str] = {}
+    i = 10
+    end = min(10 + tag_size, len(data))
+    while i + 10 <= end:
+        fid = data[i:i + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        if syncsafe_frames:
+            size = ((data[i + 4] & 0x7F) << 21 | (data[i + 5] & 0x7F) << 14
+                    | (data[i + 6] & 0x7F) << 7 | (data[i + 7] & 0x7F))
+        else:
+            (size,) = struct.unpack_from(">I", data, i + 4)
+        if size <= 0 or i + 10 + size > end:
+            break
+        if fid in _ID3_KEYS:
+            val = _id3_text(data[i + 10:i + 10 + size])
+            if val:
+                out[_ID3_KEYS[fid]] = val
+        i += 10 + size
+    return out

@@ -45,6 +45,9 @@ MIME_PPM = "image/x-portable-pixmap"
 MIME_MSG = "application/vnd.ms-outlook"
 MIME_TIFF = "image/tiff"
 MIME_WAV = "audio/x-wav"
+MIME_BZIP2 = "application/x-bzip2"
+MIME_XZ = "application/x-xz"
+MIME_MP3 = "audio/mpeg"
 
 _EML_HEADS = (b"Received:", b"Return-Path:", b"From:", b"Subject:",
               b"Date:", b"To:", b"Message-ID:", b"MIME-Version:",
@@ -121,6 +124,13 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
         return _zip_kind(data, filename)
     if head.startswith(b"\x1f\x8b"):
         return MIME_GZIP
+    if head[:3] == b"BZh" and head[3:4].isdigit():
+        return MIME_BZIP2
+    if head.startswith(b"\xfd7zXZ\x00"):
+        return MIME_XZ
+    if head.startswith(b"ID3") or head[:2] in (b"\xff\xfb", b"\xff\xf3",
+                                               b"\xff\xf2"):
+        return MIME_MP3
     if head.startswith(b"\x89PNG\r\n\x1a\n"):
         return MIME_PNG
     if head.startswith((b"GIF87a", b"GIF89a")):

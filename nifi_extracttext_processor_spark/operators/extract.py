@@ -155,7 +155,7 @@ def media_metadata(
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nifi_extracttext_processor_spark.formats import detect_mime
         from nifi_extracttext_processor_spark.formats.image_meta import (
-            image_dimensions, wav_metadata,
+            image_dimensions, mp3_metadata, wav_metadata,
         )
         from nifi_extracttext_processor_spark.formats.metadata import (
             eml_headers, html_title, odf_meta, ooxml_core_props, pdf_info,
@@ -200,6 +200,7 @@ def media_metadata(
                             md.update(image_dimensions(data))
                         elif mime.startswith("audio/"):
                             md.update(wav_metadata(data))
+                            md.update(mp3_metadata(data))
                         elif mime == "text/html":
                             title = html_title(data)
                             if title:

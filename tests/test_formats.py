@@ -630,3 +630,67 @@ class TestTiffWavMetadata:
         assert meta["Content-Type"] == "audio/x-wav"
         assert meta["xmpDM:audioSampleRate"] == "8000"
         assert meta["channels"] == "1"
+
+
+class TestCompressorsAndMp3:
+    def test_bz2_transparent(self):
+        import bz2
+        data = bz2.compress(b"bzipped plain text")
+        assert detect_mime(data, "t.txt.bz2") == "application/x-bzip2"
+        text, mime, err = extract_any(data, "t.txt.bz2")
+        assert err is None and text == "bzipped plain text"
+        assert mime == "application/x-bzip2"
+
+    def test_xz_transparent(self):
+        import lzma
+        data = lzma.compress(b"xz plain text")
+        assert detect_mime(data, "t.txt.xz") == "application/x-xz"
+        text, _, err = extract_any(data, "t.txt.xz")
+        assert err is None and text == "xz plain text"
+
+    def test_bz2_nesting_bounded(self):
+        import bz2
+        triple = bz2.compress(bz2.compress(bz2.compress(b"deep")))
+        text, _, err = extract_any(triple, "t.bz2.bz2.bz2")
+        assert text == "" and err is not None and "nesting" in err
+
+    def _id3(self, frames, ver=3):
+        import struct
+        body = b""
+        for fid, val in frames:
+            payload = b"\x03" + val.encode("utf-8") if ver >= 4 \
+                else b"\x00" + val.encode("latin-1")
+            if ver >= 4:
+                n = len(payload)
+                size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                              (n >> 7) & 0x7F, n & 0x7F])
+            else:
+                size = struct.pack(">I", len(payload))
+            body += fid + size + b"\x00\x00" + payload
+        n = len(body)
+        ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F])
+        return b"ID3" + bytes([ver, 0, 0]) + ss + body
+
+    def test_mp3_id3_metadata(self, spark):
+        from pyspark.sql import Row
+
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            mp3_metadata,
+        )
+        from nifi_extracttext_processor_spark.operators.extract import (
+            media_metadata,
+        )
+        for ver in (3, 4):
+            data = self._id3([(b"TIT2", "Song Title"),
+                              (b"TPE1", "The Artist")], ver=ver)
+            assert detect_mime(data, "a.mp3") == "audio/mpeg"
+            md = mp3_metadata(data)
+            assert md["dc:title"] == "Song Title"
+            assert md["xmpDM:artist"] == "The Artist"
+        df = spark.createDataFrame(
+            [Row(doc_id=1, filename="a.mp3",
+                 content=bytearray(self._id3([(b"TIT2", "T")])))])
+        meta = media_metadata(df).collect()[0]["metadata"]
+        assert meta["Content-Type"] == "audio/mpeg"
+        assert meta["dc:title"] == "T"

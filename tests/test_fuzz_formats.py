@@ -125,3 +125,64 @@ def test_avro_container_roundtrip_property(rows):
     _, back = read_container(write_container(schema, rows,
                                              records_per_block=3))
     assert back == rows
+
+
+# ---------------------------------------------------------------------------
+# Truncation fuzzing for the r3 binary formats: a malformed/truncated doc
+# must route to failure (or best-effort metadata), never raise — an
+# exception inside the Arrow extraction task would fail the whole batch.
+# ---------------------------------------------------------------------------
+
+
+def _r3_fixtures():
+    import bz2
+    import gzip
+    import io
+    import lzma
+    import struct
+    import zipfile
+
+    from tests.fixtures.builders import build_msg
+
+    out = []
+    out.append(build_msg("S", "a@x", "b@x", "body"))
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("a.txt", "text")
+    out.append(zbuf.getvalue())
+    out.append(gzip.compress(b"text"))
+    out.append(bz2.compress(b"text"))
+    out.append(lzma.compress(b"text"))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    out.append(b"RIFF" + struct.pack("<I", 36 + 32) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + fmt
+               + b"data" + struct.pack("<I", 32) + b"\x00" * 32)
+    out.append(b"ID3\x03\x00\x00\x00\x00\x00\x10"
+               + b"TIT2" + struct.pack(">I", 2) + b"\x00\x00\x00T")
+    out.append(b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+               + struct.pack("<HHIHH", 256, 3, 1, 9, 0)
+               + struct.pack("<I", 0))
+    return out
+
+
+@given(st.integers(min_value=0, max_value=200), st.integers(0, 7))
+@_FAST
+def test_truncated_r3_formats_never_raise(cut, idx):
+    fixtures = _r3_fixtures()
+    data = fixtures[idx % len(fixtures)]
+    truncated = data[:cut] if cut < len(data) else data
+    text, mime, err = extract_any(truncated, None)
+    assert isinstance(text, str) and isinstance(mime, str)
+
+
+@given(st.integers(min_value=0, max_value=200), st.integers(0, 7))
+@_FAST
+def test_truncated_r3_metadata_never_raises(cut, idx):
+    from nifi_extracttext_processor_spark.formats.image_meta import (
+        image_dimensions, mp3_metadata, wav_metadata,
+    )
+    fixtures = _r3_fixtures()
+    data = fixtures[idx % len(fixtures)]
+    truncated = data[:cut] if cut < len(data) else data
+    for fn in (image_dimensions, wav_metadata, mp3_metadata):
+        assert isinstance(fn(truncated), dict)
