@@ -1506,3 +1506,87 @@ class TestGopherFlags:
         df = spark.createDataFrame([(1, "")], "doc_id long, text string")
         r = gopher_quality_flags(df).collect()[0]
         assert not r["passes"] and not r["ok_word_count"]
+
+
+class TestAsofJoin:
+    """Point-in-time as-of join: union + keyed forward-fill (one
+    shuffle, no range-join candidate blow-up)."""
+
+    def _frames(self, spark):
+        import datetime as dt
+        t = lambda m: dt.datetime(2026, 1, 1, 12, m,
+                                  tzinfo=dt.timezone.utc)
+        quotes = spark.createDataFrame(
+            [(1, t(0), 10.0), (1, t(10), 11.0), (1, t(20), 12.0),
+             (2, t(5), 100.0)],
+            "user_id long, ts timestamp, px double")
+        trades = spark.createDataFrame(
+            [(1, t(0), "a"), (1, t(9), "b"), (1, t(10), "c"),
+             (1, t(25), "d"), (2, t(4), "e"), (2, t(6), "f"),
+             (3, t(7), "g")],
+            "user_id long, ts timestamp, tag string")
+        return trades, quotes
+
+    def test_backward_match_semantics(self, spark):
+        from nifi_extracttext_processor_spark.operators.temporal import (
+            asof_join,
+        )
+        trades, quotes = self._frames(spark)
+        out = {r["tag"]: r["px"] for r in
+               asof_join(trades, quotes, by="user_id").collect()}
+        assert out == {"a": 10.0,   # exact-ts match wins
+                       "b": 10.0,   # most recent prior quote
+                       "c": 11.0,   # boundary: quote at same ts
+                       "d": 12.0,
+                       "e": None,   # before any quote for user 2
+                       "f": 100.0,
+                       "g": None}   # key with no right rows at all
+
+    def test_tolerance_drops_stale(self, spark):
+        from nifi_extracttext_processor_spark.operators.temporal import (
+            asof_join,
+        )
+        trades, quotes = self._frames(spark)
+        out = {r["tag"]: r["px"] for r in
+               asof_join(trades, quotes, by="user_id",
+                         tolerance="5 minutes").collect()}
+        assert out["b"] is None      # quote 9 min old > 5 min tolerance
+        assert out["c"] == 11.0      # fresh at 0 min
+        assert out["d"] == 12.0      # exactly 5 min old: kept (>=)
+        assert out["a"] == 10.0      # exact-ts match, age 0
+
+    def test_matches_duckdb_asof(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.temporal import (
+            asof_join, asof_join_sql,
+        )
+        trades, quotes = self._frames(spark)
+        got = sorted((r["user_id"], r["ts"], r["tag"], r["px"])
+                     for r in asof_join(trades, quotes, by="user_id",
+                                        right_cols=["px"]).collect())
+        con = duckdb.connect()
+        con.register("trades", trades.toPandas())
+        con.register("quotes", quotes.toPandas())
+        odf = con.execute(asof_join_sql(
+            "trades", "quotes", right_cols=("px",))).df()
+        want = sorted(
+            (int(r["user_id"]), r["ts"].to_pydatetime(), r["tag"],
+             None if r.isna()["px_right"] else float(r["px_right"]))
+            for _, r in odf.iterrows())
+        got_cmp = [(u, ts.replace(tzinfo=None), tag, px)
+                   for u, ts, tag, px in got]
+        assert got_cmp == want
+
+    def test_single_shuffle_plan(self, spark):
+        from nifi_extracttext_processor_spark.operators.temporal import (
+            asof_join,
+        )
+        trades, quotes = self._frames(spark)
+        plan = (asof_join(trades, quotes, by="user_id")
+                ._jdf.queryExecution().executedPlan().toString())
+        # exactly one hash-partition exchange (the keyed window); no
+        # join node at all — the as-of is a union + window
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan and "BroadcastHash" not in plan
