@@ -463,20 +463,12 @@ def q_batch_roundtrip(spark, sf):
     return spark.read.parquet(path).agg(F.count("*").alias("n_rows"))
 
 
-# ---- B7 sentiment ----
+# ---- B6 entities + B7 sentiment (both doc-keyed NLP projections over
+# the same scan — chained into one driver slot) ----
 
-@_q("sentiment",
-    "SELECT doc_id, "
-    + nlp.sentiment_sql("text") + " AS sentiment FROM documents")
-def q_sentiment(spark, sf):
-    d = _t(spark, sf, "documents")
-    return nlp.sentiment(d, "text").select("doc_id", "sentiment")
-
-
-# ---- B6 entities ----
-
-@_q("entities", f"""
+@_q("nlp_enrich", f"""
 SELECT doc_id,
+       {nlp.sentiment_sql('text')} AS sentiment,
        coalesce(array_to_string(
            {nlp.entities_sql('text', nlp.NAME_GAZETTEER)}, ','), '')
            AS names,
@@ -485,13 +477,46 @@ SELECT doc_id,
            AS locations
 FROM documents
 """)
-def q_entities(spark, sf):
+def q_nlp_enrich(spark, sf):
     # arrays serialized to csv so the value-hash is engine-independent
     d = _t(spark, sf, "documents")
-    return (nlp.entities(d, "text")
-            .select("doc_id",
+    return (nlp.entities(nlp.sentiment(d, "text"), "text")
+            .select("doc_id", "sentiment",
                     F.array_join("names", ",").alias("names"),
                     F.array_join("locations", ",").alias("locations")))
+
+
+# ---- extension (r3): as-of join on events (point-in-time lookup) ----
+
+@_q("events_asof", """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, round(value, 2) AS purchase_value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT l.user_id, l.ts, l.event_id,
+       coalesce(r.purchase_value, -1.0) AS purchase_value
+FROM clicks l
+ASOF LEFT JOIN purchases r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def q_events_asof(spark, sf):
+    from nifi_extracttext_processor_spark.operators.temporal import (
+        asof_join,
+    )
+    e = _t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.round("value", 2).alias("purchase_value")))
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    right_cols=["purchase_value"])
+    # no-match rows → sentinel, not NULL: nullable doubles round-trip
+    # as NaN through pandas and break value-hash comparison
+    return out.withColumn("purchase_value",
+                          F.coalesce("purchase_value", F.lit(-1.0)))
 
 
 # ---- B12 QueryRecord: the three template routes, verbatim, as one

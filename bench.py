@@ -26,7 +26,8 @@ HEADLINE = [
     "split_lines",         # explode fan-out
     "events_window_agg",   # time-bucketed agg
     "record_roundtrip",    # JSON path extraction
-    "sentiment",           # higher-order array expressions
+    "nlp_enrich",          # higher-order array expressions (r2:
+                           # sentiment, now + entities in one slot)
     "token_fingerprint",   # regex-heavy projections + hash (r2:
                            # token_stats + fingerprint, merged)
     "dedup_exact",         # hash group-by on doubled corpus
