@@ -44,6 +44,11 @@ def asof_join(
     except the key/time columns). tolerance: an INTERVAL string (e.g.
     '10 minutes') — matches older than ``left.on - tolerance`` become
     NULL, pandas merge_asof semantics.
+
+    Tie caveat: if MULTIPLE right rows share the exact same (key, on)
+    pair, which one wins is not defined (same as DuckDB ASOF JOIN /
+    pandas merge_asof) — deduplicate the right side first when that
+    matters.
     """
     by_cols = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
