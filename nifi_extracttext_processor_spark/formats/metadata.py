@@ -102,9 +102,18 @@ def ooxml_core_props(data: bytes) -> dict[str, str]:
                         out[name] = el.text
             if "docProps/app.xml" in names:
                 root = ET.fromstring(zf.read("docProps/app.xml"))
+                app_tags = {"Application": "extended-properties:Application",
+                            "Words": "meta:word-count",
+                            "Pages": "meta:page-count",
+                            "Lines": "meta:line-count",
+                            "Characters": "meta:character-count",
+                            "Company": "extended-properties:Company",
+                            "TotalTime": "extended-properties:TotalTime"}
                 for el in root.iter():
-                    if el.tag.endswith("}Application") and el.text:
-                        out["extended-properties:Application"] = el.text
+                    local = el.tag.rsplit("}", 1)[-1]
+                    key = app_tags.get(local)
+                    if key and el.text:
+                        out[key] = el.text
     except Exception:
         pass  # malformed package → no props, not an error
     return out

@@ -694,3 +694,28 @@ class TestCompressorsAndMp3:
         meta = media_metadata(df).collect()[0]["metadata"]
         assert meta["Content-Type"] == "audio/mpeg"
         assert meta["dc:title"] == "T"
+
+
+def test_ooxml_app_xml_statistics():
+    """docProps/app.xml statistics surface under Tika meta:* keys."""
+    import io as _io
+    import zipfile as _zip
+
+    from nifi_extracttext_processor_spark.formats.metadata import (
+        ooxml_core_props,
+    )
+    app = (b'<?xml version="1.0"?>'
+           b'<Properties xmlns="http://schemas.openxmlformats.org/'
+           b'officeDocument/2006/extended-properties">'
+           b'<Application>LibreOffice</Application>'
+           b'<Pages>3</Pages><Words>1250</Words>'
+           b'<Company>ACME</Company></Properties>')
+    buf = _io.BytesIO()
+    with _zip.ZipFile(buf, "w") as zf:
+        zf.writestr("docProps/app.xml", app)
+        zf.writestr("word/document.xml", "<d/>")
+    md = ooxml_core_props(buf.getvalue())
+    assert md["extended-properties:Application"] == "LibreOffice"
+    assert md["meta:page-count"] == "3"
+    assert md["meta:word-count"] == "1250"
+    assert md["extended-properties:Company"] == "ACME"
