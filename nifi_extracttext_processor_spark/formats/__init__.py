@@ -42,6 +42,28 @@ MAX_COMPRESS_DEPTH = 2            # .gz-of-.gz / zip-in-zip, no deeper
 MAX_ARCHIVE_ENTRIES = 1000        # entries visited per zip/tar
 
 
+def _decompress_capped(data: bytes, make_dec, magic: bytes) -> bytes:
+    """Decompress ALL members of a (possibly concatenated) stream under
+    one shared byte cap. gzip/bz2/xz files may hold multiple members
+    (``cat a.gz b.gz``, pigz, pbzip2, multi-stream xz); the stdlib
+    *Decompressor objects stop at the first member boundary, so loop on
+    ``unused_data`` until the trailer isn't another member header."""
+    out = b""
+    remaining = data
+    while remaining.startswith(magic):
+        dec = make_dec()
+        out += dec.decompress(remaining,
+                              MAX_DECOMPRESSED_BYTES + 1 - len(out))
+        if len(out) > MAX_DECOMPRESSED_BYTES:
+            raise ValueError(
+                "compressed content exceeds "
+                f"{MAX_DECOMPRESSED_BYTES} decompressed bytes")
+        if not dec.eof:
+            break  # truncated final member: keep the partial content
+        remaining = dec.unused_data
+    return out
+
+
 def extract_any(
     data: bytes | None,
     filename: str | None = None,
@@ -98,21 +120,17 @@ def extract_any(
                     f"compressed nesting deeper than {MAX_COMPRESS_DEPTH}")
             if detected == m.MIME_GZIP:
                 import zlib
-                dec = zlib.decompressobj(wbits=31)  # gzip wrapper
-                suffix = ".gz"
+                make_dec = lambda: zlib.decompressobj(wbits=31)  # gzip
+                magic, suffix = b"\x1f\x8b", ".gz"
             elif detected == m.MIME_BZIP2:
                 import bz2
-                dec = bz2.BZ2Decompressor()
-                suffix = ".bz2"
+                make_dec = bz2.BZ2Decompressor
+                magic, suffix = b"BZh", ".bz2"
             else:
                 import lzma
-                dec = lzma.LZMADecompressor()
-                suffix = ".xz"
-            inner = dec.decompress(data, MAX_DECOMPRESSED_BYTES + 1)
-            if len(inner) > MAX_DECOMPRESSED_BYTES:
-                raise ValueError(
-                    "compressed content exceeds "
-                    f"{MAX_DECOMPRESSED_BYTES} decompressed bytes")
+                make_dec = lzma.LZMADecompressor
+                magic, suffix = b"\xfd7zXZ\x00", ".xz"
+            inner = _decompress_capped(data, make_dec, magic)
             inner_name = (filename or "").removesuffix(suffix) or None
             text, _, inner_err = extract_any(
                 inner, inner_name, -1, "text", _depth=_depth + 1)

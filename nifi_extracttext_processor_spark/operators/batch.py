@@ -115,18 +115,26 @@ def read_avro_portable(spark, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(f"{path}/*.avro")
 
+    # schema discovered from the first file (driver reads 1 header)
+    first = files.select("content").first()
+    if first is None:
+        raise FileNotFoundError(
+            f"no .avro files found under {path!r} — nothing to read "
+            "(was write_avro_portable pointed elsewhere, or the write "
+            "empty?)")
+    schema, _ = read_container(bytes(first["content"]))
+    col_names = [f["name"] for f in schema["fields"]]
+
     def _parse(iterator):
+        import pandas as pd
         for pdf in iterator:
-            import pandas as pd
             out = []
             for content in pdf["content"]:
                 _, rows = read_container(bytes(content))
                 out.extend(rows)
-            yield pd.DataFrame(out) if out else pd.DataFrame()
-
-    # schema discovered from the first file (driver reads 1 header)
-    first = files.select("content").first()
-    schema, _ = read_container(bytes(first["content"]))
+            # empty parses still need the output columns, or Arrow
+            # conversion fails against the declared non-empty schema
+            yield pd.DataFrame(out, columns=col_names)
     _AVRO_TO_SPARK = {"long": "long", "int": "int", "double": "double",
                       "float": "float", "string": "string",
                       "boolean": "boolean", "bytes": "binary"}

@@ -212,9 +212,29 @@ def minhash_base(
     # arithmetic over stored longs instead of re-hashing every shingle
     # (k× + 2× otherwise — verified via .explain: without the boundary,
     # projection collapse inlines the md5 fold into every array_min).
-    return track_persist(
+    base = track_persist(
         _spread(df).select(F.col(id_col), sh.alias("sh"))
         .withColumn("halves", minhash_halves(F.col("sh"))))
+    # tag the build parameters so consumers can reject a base built
+    # with a different shingle n / text column (silently wrong pairs
+    # otherwise)
+    base._minhash_params = (id_col, text_col, n)
+    return base
+
+
+def _check_base_params(base: DataFrame, id_col: str, text_col: str,
+                       n: int) -> None:
+    """Reject a prebuilt minhash_base whose build parameters differ
+    from the call's — the base's shingles win, so a mismatch would
+    silently produce pairs for the WRONG n/text_col. A base without
+    the tag (hand-built) is accepted as-is."""
+    params = getattr(base, "_minhash_params", None)
+    if params is not None and params != (id_col, text_col, n):
+        raise ValueError(
+            f"minhash_base was built with (id_col, text_col, n)="
+            f"{params} but this call asked for "
+            f"{(id_col, text_col, n)}; rebuild the base or align the "
+            "call's parameters")
 
 
 def minhash_lsh_pairs(
@@ -246,6 +266,8 @@ def minhash_lsh_pairs(
     """
     if base is None:
         base = minhash_base(df, id_col, text_col, n)
+    else:
+        _check_base_params(base, id_col, text_col, n)
     banded = (base
               .withColumn("sig", minhash_signature_from_halves(
                   F.col("halves"), k))
@@ -767,6 +789,10 @@ def embedding_dup_pairs_lsh(
     `planes` sign bits split into `bands` band keys; high-cosine pairs
     collide in ≥1 band with high probability. Join is keyed (shuffle on
     band keys), verification only touches candidates.
+
+    Pass `dim` (the vector dimensionality): the `first()` fallback
+    costs one driver action — an extra Spark job — per call in
+    composed pipelines (same contract as similarity._lsh_banded).
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])

@@ -220,9 +220,15 @@ def stream_dedup_near(
                 max_ts_ms = (ts_ms if max_ts_ms is None
                              else max(max_ts_ms, ts_ms))
         # evict this band's claim `watermark` past the max event time
-        # seen for it — dropDuplicatesWithinWatermark semantics
-        expiry = max(filter(None, [old_expiry,
-                                   (max_ts_ms or 0) + horizon_ms]))
+        # seen for it — dropDuplicatesWithinWatermark semantics.
+        # `is not None` (not truthiness): a legitimate 0-ms
+        # expiry/timestamp (epoch boundary, synthetic test clocks)
+        # must not be dropped from the max
+        new_expiry = (None if max_ts_ms is None
+                      else max_ts_ms + horizon_ms)
+        candidates = [v for v in (old_expiry, new_expiry)
+                      if v is not None]
+        expiry = max(candidates) if candidates else horizon_ms
         state.update((expiry,))
         state.setTimeoutTimestamp(expiry)
         yield pd.DataFrame(out, columns=["doc_id", "bkey", "new_band"])

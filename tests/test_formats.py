@@ -288,6 +288,30 @@ class TestOpenDocumentEmailXml:
         assert err is None
         assert "hello gz html" in text
 
+    def test_gzip_multi_member(self):
+        """Concatenated .gz members (cat a.gz b.gz / pigz output) must
+        ALL decode — single-member decompressobj silently truncates."""
+        import gzip
+        data = gzip.compress(b"first member ") + gzip.compress(
+            b"+ second member")
+        text, _, err = extract_any(data, "t.txt.gz")
+        assert err is None
+        assert text == "first member + second member"
+
+    def test_bzip2_multi_stream(self):
+        import bz2
+        data = bz2.compress(b"one ") + bz2.compress(b"two")
+        text, _, err = extract_any(data, "t.txt.bz2")
+        assert err is None
+        assert text == "one two"
+
+    def test_xz_multi_stream(self):
+        import lzma
+        data = lzma.compress(b"alpha ") + lzma.compress(b"beta")
+        text, _, err = extract_any(data, "t.txt.xz")
+        assert err is None
+        assert text == "alpha beta"
+
     def test_csv(self):
         data = b"a,b\n1,2\n"
         assert detect_mime(data, "t.csv") == "text/csv"

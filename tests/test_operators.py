@@ -204,6 +204,26 @@ class TestDedupEdges:
             Row(doc_id=2, text="one two")])
         assert dd.minhash_lsh_pairs(df).count() == 0  # null bands drop
 
+    def test_prebuilt_base_param_mismatch_raises(self, spark):
+        """A minhash_base built with one shingle n must be rejected by
+        a pairs call asking for a different n (the base's shingles
+        would silently win otherwise)."""
+        import pytest as _pytest
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta")])
+        base = dd.minhash_base(df, n=3)
+        with _pytest.raises(ValueError, match="minhash_base was built"):
+            dd.minhash_lsh_pairs(df, n=4, base=base)
+        with _pytest.raises(ValueError, match="minhash_base was built"):
+            dd.ngram_jaccard_pairs(df, text_col="other", base=base)
+        # matching params: accepted, same answer as the no-base path
+        got = dd.minhash_lsh_pairs(df, n=3, threshold=0.9, base=base)
+        assert [(p["id1"], p["id2"]) for p in got.collect()] == [(1, 2)]
+        # an untagged, hand-built base passes through unchecked
+        plain = base.select("doc_id", "sh", "halves")
+        assert dd.minhash_lsh_pairs(df, n=4, base=plain).count() >= 0
+
     def test_simhash_stability_and_similarity(self, spark):
         df = spark.createDataFrame([
             Row(doc_id=1, text="spark engine fast query plan"),
@@ -851,6 +871,24 @@ class TestKnnJoin:
         probed = sorted(map(tuple, knn_join_lsh(q, c, k=3).collect()))
         assert with_dim == probed
 
+    def test_embedding_dup_lsh_plan_build_runs_zero_jobs(self, spark):
+        """Same contract for the dedup-side LSH: dim given → zero
+        driver actions while the plan is constructed."""
+        from unittest import mock
+
+        from pyspark.sql import DataFrame
+
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            embedding_dup_pairs_lsh,
+        )
+        e = self._emb(spark)
+        with mock.patch.object(
+                DataFrame, "first",
+                side_effect=AssertionError("driver action during plan "
+                                           "build")):
+            df = embedding_dup_pairs_lsh(e, threshold=0.5, dim=8)
+        assert df.columns == ["id1", "id2", "cosine"]
+
 
 class TestChunking:
     def test_windows_and_overlap(self, spark):
@@ -1370,6 +1408,40 @@ class TestAvroCodec:
                      for r in back.collect())
         assert got == [(i, f"text {i}", i / 4.0) for i in range(100)]
 
+    def test_read_avro_missing_path_clear_error(self, spark, tmp_path):
+        """No .avro files → a clear FileNotFoundError, not an opaque
+        TypeError from first() returning None."""
+        import pytest as _pytest
+
+        from nifi_extracttext_processor_spark.operators.batch import (
+            read_avro_portable,
+        )
+        empty = tmp_path / "nothing_here"
+        empty.mkdir()
+        with _pytest.raises((FileNotFoundError, Exception)) as ei:
+            read_avro_portable(spark, str(empty))
+        assert "TypeError" not in repr(ei.value)
+
+    def test_read_avro_zero_row_container(self, spark, tmp_path):
+        """A container file with a header but no record blocks parses
+        to an EMPTY frame with the declared columns (Arrow conversion
+        must not see a zero-column frame)."""
+        from nifi_extracttext_processor_spark.formats.avro_codec import (
+            write_container,
+        )
+        from nifi_extracttext_processor_spark.operators.batch import (
+            read_avro_portable,
+        )
+        schema = {"type": "record", "name": "R", "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]}]}
+        d = tmp_path / "avro_empty"
+        d.mkdir()
+        (d / "part-00000.avro").write_bytes(write_container(schema, []))
+        back = read_avro_portable(spark, str(d))
+        assert back.columns == ["doc_id", "text"]
+        assert back.count() == 0
+
     def test_kafka_avro_value_shape(self, spark):
         """B15 AvroRecordSetWriter: values are raw Avro record bytes."""
         import io
@@ -1590,3 +1662,102 @@ class TestAsofJoin:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan and "BroadcastHash" not in plan
+
+    def test_null_payload_is_row_level(self, spark):
+        """A NULL in the most recent right row must stay NULL — not be
+        filled through from an older right row — and multi-column
+        payloads must come from ONE right row (pandas merge_asof /
+        DuckDB ASOF row-level semantics)."""
+        import datetime as dt
+
+        from nifi_extracttext_processor_spark.operators.temporal import (
+            asof_join,
+        )
+        t = lambda m: dt.datetime(2026, 1, 1, 12, m,
+                                  tzinfo=dt.timezone.utc)
+        quotes = spark.createDataFrame(
+            [(1, t(0), 10.0, "mA"), (1, t(10), None, "mB")],
+            "user_id long, ts timestamp, px double, mkt string")
+        trades = spark.createDataFrame(
+            [(1, t(15), "x")], "user_id long, ts timestamp, tag string")
+        r = asof_join(trades, quotes, by="user_id").collect()[0]
+        assert r["px"] is None          # NOT 10.0 filled from t(0)
+        assert r["mkt"] == "mB"         # both cols from the t(10) row
+
+    def _skewed_frames(self, spark):
+        """One hot key (90% of rows) + a long tail, minutes-spaced so
+        a '1 hour' bucket splits the hot key across many buckets —
+        including buckets with left rows but no right rows (exercises
+        the cross-bucket carry-in)."""
+        import datetime as dt
+        t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        t = lambda m: t0 + dt.timedelta(minutes=m)
+        quotes = [(1, t(m), float(m)) for m in range(0, 600, 47)]
+        quotes += [(k, t(k), float(-k)) for k in range(2, 8)]
+        trades = [(1, t(m), f"h{m}") for m in range(0, 600, 13)]
+        trades += [(k, t(k + 1), f"t{k}") for k in range(2, 10)]
+        return (spark.createDataFrame(
+                    trades, "user_id long, ts timestamp, tag string"),
+                spark.createDataFrame(
+                    quotes, "user_id long, ts timestamp, px double"))
+
+    def test_bucketed_matches_plain_on_skewed_keys(self, spark):
+        from nifi_extracttext_processor_spark.operators.temporal import (
+            asof_join, asof_join_bucketed,
+        )
+        trades, quotes = self._skewed_frames(spark)
+        key = lambda r: (r["user_id"], r["ts"], r["tag"], r["px"])
+        plain = sorted(map(key, asof_join(
+            trades, quotes, by="user_id").collect()))
+        bucketed = sorted(map(key, asof_join_bucketed(
+            trades, quotes, by="user_id", bucket="1 hour").collect()))
+        assert bucketed == plain and len(plain) == len(trades.collect())
+
+    def test_bucketed_tolerance_and_numeric_bucket(self, spark):
+        from nifi_extracttext_processor_spark.operators.temporal import (
+            asof_join, asof_join_bucketed,
+        )
+        trades, quotes = self._skewed_frames(spark)
+        key = lambda r: (r["user_id"], r["ts"], r["tag"], r["px"])
+        plain = sorted(map(key, asof_join(
+            trades, quotes, by="user_id",
+            tolerance="90 minutes").collect()))
+        bucketed = sorted(map(key, asof_join_bucketed(
+            trades, quotes, by="user_id", tolerance="90 minutes",
+            bucket="2 hours").collect()))
+        assert bucketed == plain
+        # numeric on-column + numeric bucket width
+        lnum = trades.withColumn(
+            "ts", F.col("ts").cast("double")).select(
+            "user_id", "ts", "tag")
+        rnum = quotes.withColumn("ts", F.col("ts").cast("double"))
+        pn = sorted(map(key, asof_join(
+            lnum, rnum, by="user_id").collect()))
+        bn = sorted(map(key, asof_join_bucketed(
+            lnum, rnum, by="user_id", bucket=3600.0).collect()))
+        assert bn == pn
+
+    def test_bucketed_window_partitions_are_bucket_scoped(self, spark):
+        """The scale contract: the full-data window partitions on
+        (key, bucket) — a hot key splits across buckets — and the only
+        per-key-partitioned window runs over bucket SUMMARIES, after
+        an aggregation."""
+        from nifi_extracttext_processor_spark.operators.temporal import (
+            asof_join_bucketed,
+        )
+        trades, quotes = self._skewed_frames(spark)
+        import re
+
+        plan = (asof_join_bucketed(trades, quotes, by="user_id")
+                ._jdf.queryExecution().executedPlan().toString())
+        # Window node renders as: Window [fns], [partition spec], [order]
+        wins = re.findall(
+            r"Window \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", plan)
+        assert wins, f"no Window nodes found in plan:\n{plan}"
+        # the per-event forward-fill window must be (key, bucket)-scoped
+        assert any("__bucket" in spec and "user_id" in spec
+                   for spec in wins), wins
+        # the only per-key-only window is the one over bucket summaries,
+        # which sits downstream of the per-bucket aggregation (struct
+        # max → SortAggregate; either aggregate flavor is fine)
+        assert "Aggregate" in plan
