@@ -19,6 +19,140 @@ import struct
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
+# TIFF IFD0 tags → Tika property names (TiffParser/ImageMetadataExtractor
+# surface; reference routes photos through ExtractMediaMetadata,
+# 56409-tika.xml:1761 region)
+_TIFF_TAG_KEYS = {
+    256: "tiff:ImageWidth", 257: "tiff:ImageLength",
+    258: "tiff:BitsPerSample", 271: "tiff:Make", 272: "tiff:Model",
+    274: "tiff:Orientation", 282: "tiff:XResolution",
+    283: "tiff:YResolution", 296: "tiff:ResolutionUnit",
+    305: "tiff:Software", 306: "tiff:DateTime",
+}
+# EXIF sub-IFD tags → Tika exif:* property names
+_EXIF_TAG_KEYS = {
+    0x829A: "exif:ExposureTime", 0x829D: "exif:FNumber",
+    0x8827: "exif:IsoSpeedRatings", 0x9003: "exif:DateTimeOriginal",
+    0x9209: "exif:Flash", 0x920A: "exif:FocalLength",
+    0xA002: "exif:PixelXDimension", 0xA003: "exif:PixelYDimension",
+}
+_EXIF_IFD_POINTER = 0x8769
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _tiff_values(data: bytes, entry_off: int, typ: int, count: int,
+                 e: str):
+    """Decode one IFD entry's value list. Values longer than 4 bytes
+    live at an offset (relative to the TIFF header = data[0])."""
+    size = _TIFF_TYPE_SIZES.get(typ)
+    if size is None or count <= 0 or count > 4096:
+        return None
+    total = size * count
+    if total <= 4:
+        base = entry_off + 8
+    else:
+        (base,) = struct.unpack_from(f"{e}I", data, entry_off + 8)
+    if base + total > len(data):
+        return None
+    if typ == 2:    # ASCII: NUL-terminated string
+        raw = data[base:base + count]
+        return [raw.split(b"\x00", 1)[0]
+                .decode("ascii", "replace").strip()]
+    vals = []
+    for i in range(count):
+        o = base + size * i
+        if typ == 1 or typ == 7:
+            vals.append(data[o])
+        elif typ == 3:
+            vals.append(struct.unpack_from(f"{e}H", data, o)[0])
+        elif typ == 4:
+            vals.append(struct.unpack_from(f"{e}I", data, o)[0])
+        elif typ == 9:
+            vals.append(struct.unpack_from(f"{e}i", data, o)[0])
+        else:       # RATIONAL / SRATIONAL
+            fmt = f"{e}II" if typ == 5 else f"{e}ii"
+            num, den = struct.unpack_from(fmt, data, o)
+            if den == 0:
+                return None
+            vals.append(num / den)
+    return vals
+
+
+def _fmt_tag(vals) -> str:
+    parts = []
+    for v in vals:
+        if isinstance(v, float):
+            parts.append(f"{v:g}")
+        else:
+            parts.append(str(v))
+    return " ".join(parts)
+
+
+def _walk_ifd(data: bytes, ifd_off: int, e: str,
+              keymap: dict[int, str]) -> tuple[dict[str, str], int | None]:
+    """One IFD pass: surface keymap'd tags, return (attrs, exif_ptr)."""
+    out: dict[str, str] = {}
+    exif_ptr: int | None = None
+    if ifd_off < 0 or ifd_off + 2 > len(data):
+        return out, None
+    (n_tags,) = struct.unpack_from(f"{e}H", data, ifd_off)
+    for t in range(min(n_tags, 256)):
+        off = ifd_off + 2 + t * 12
+        if off + 12 > len(data):
+            break
+        tag, typ = struct.unpack_from(f"{e}HH", data, off)
+        (count,) = struct.unpack_from(f"{e}I", data, off + 4)
+        if tag == _EXIF_IFD_POINTER and typ in (3, 4):
+            vals = _tiff_values(data, off, typ, count, e)
+            if vals:
+                exif_ptr = int(vals[0])
+            continue
+        if tag not in keymap:
+            continue
+        vals = _tiff_values(data, off, typ, count, e)
+        if vals:
+            out[keymap[tag]] = _fmt_tag(vals)
+    return out, exif_ptr
+
+
+def tiff_metadata(data: bytes) -> dict[str, str]:
+    """TIFF header (standalone .tif or a JPEG APP1 Exif payload) →
+    Tika-keyed attributes: IFD0 tiff:* tags plus the EXIF sub-IFD's
+    exif:* tags when the 0x8769 pointer is present."""
+    if data[:4] not in (b"II*\x00", b"MM\x00*") or len(data) < 8:
+        return {}
+    e = ">" if data[:2] == b"MM" else "<"
+    (ifd_off,) = struct.unpack_from(f"{e}I", data, 4)
+    out, exif_ptr = _walk_ifd(data, ifd_off, e, _TIFF_TAG_KEYS)
+    if exif_ptr is not None:
+        exif, _ = _walk_ifd(data, exif_ptr, e, _EXIF_TAG_KEYS)
+        out.update(exif)
+    return out
+
+
+def exif_metadata(data: bytes) -> dict[str, str]:
+    """JPEG APP1 'Exif' segment → tiff:*/exif:* attributes (empty dict
+    when absent). The TIFF blob inside APP1 is self-relative, so the
+    shared IFD walker runs on the slice unchanged."""
+    if not data.startswith(b"\xff\xd8\xff"):
+        return {}
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # start of scan: no more metadata segments
+            break
+        seg_len = struct.unpack_from(">H", data, i + 2)[0]
+        if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+            return tiff_metadata(data[i + 10:i + 2 + seg_len])
+        i += 2 + seg_len
+    return {}
+
 
 def image_dimensions(data: bytes) -> dict[str, str]:
     """(width, height[, bit depth]) from the image header, as Tika-keyed
@@ -32,6 +166,9 @@ def image_dimensions(data: bytes) -> dict[str, str]:
         w, h = struct.unpack_from("<HH", data, 6)
         return {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h)}
     if data.startswith(b"\xff\xd8\xff"):
+        # EXIF (APP1) first; actual frame dimensions from the SOF
+        # segment override any EXIF-claimed tiff:* dims
+        out = exif_metadata(data)
         i = 2
         while i + 9 < len(data):
             if data[i] != 0xFF:
@@ -47,11 +184,12 @@ def image_dimensions(data: bytes) -> dict[str, str]:
             if marker in _JPEG_SOF and i + 9 <= len(data):
                 precision = data[i + 4]
                 h, w = struct.unpack_from(">HH", data, i + 5)
-                return {"tiff:ImageWidth": str(w),
-                        "tiff:ImageLength": str(h),
-                        "tiff:BitsPerSample": str(precision)}
+                out.update({"tiff:ImageWidth": str(w),
+                            "tiff:ImageLength": str(h),
+                            "tiff:BitsPerSample": str(precision)})
+                return out
             i += 2 + seg_len
-        return {}
+        return out
     if data.startswith(b"BM") and len(data) >= 54:
         w = struct.unpack_from("<i", data, 18)[0]
         h = abs(struct.unpack_from("<i", data, 22)[0])
@@ -59,31 +197,8 @@ def image_dimensions(data: bytes) -> dict[str, str]:
         return {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h),
                 "tiff:BitsPerSample": str(bpp)}
     if data[:4] in (b"II*\x00", b"MM\x00*") and len(data) >= 8:
-        # TIFF: walk the first IFD for ImageWidth(256)/ImageLength(257)
-        big = data[:2] == b"MM"
-        e = ">" if big else "<"
-        (ifd_off,) = struct.unpack_from(f"{e}I", data, 4)
-        out: dict[str, str] = {}
-        if ifd_off + 2 <= len(data):
-            (n_tags,) = struct.unpack_from(f"{e}H", data, ifd_off)
-            for t in range(min(n_tags, 64)):
-                off = ifd_off + 2 + t * 12
-                if off + 12 > len(data):
-                    break
-                tag, typ = struct.unpack_from(f"{e}HH", data, off)
-                if typ == 3:    # SHORT
-                    (val,) = struct.unpack_from(f"{e}H", data, off + 8)
-                elif typ == 4:  # LONG
-                    (val,) = struct.unpack_from(f"{e}I", data, off + 8)
-                else:
-                    continue
-                if tag == 256:
-                    out["tiff:ImageWidth"] = str(val)
-                elif tag == 257:
-                    out["tiff:ImageLength"] = str(val)
-                elif tag == 258:
-                    out["tiff:BitsPerSample"] = str(val)
-        return out
+        # TIFF: full IFD0 walk (typed values, EXIF sub-IFD included)
+        return tiff_metadata(data)
     if data[:2] in (b"P5", b"P6") and data[2:3].isspace():
         toks: list[int] = []
         i = 2

@@ -48,16 +48,114 @@ def _fake_pixels(data: bytes, w: int, h: int) -> list[float]:
     return out
 
 
-def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
-    """Pure-stdlib REAL decode of uncompressed 24/32-bit BMP and binary
-    PPM (P6) / PGM (P5) into (width, height, row-major grayscale floats
-    in [0, 1], ITU-R 601 luma, round-6).
+def _png_unfilter(raw: bytes, w: int, h: int, nch: int) -> bytearray:
+    """Undo PNG per-scanline filtering (types 0-4: None/Sub/Up/Average/
+    Paeth, RFC 2083 §6) over `raw` = h scanlines of (1 filter byte +
+    w*nch sample bytes). Returns the flat unfiltered sample bytes."""
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for row in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if f == 1:    # Sub: + left
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 0xFF
+        elif f == 2:  # Up: + above
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average: + floor((left + above) / 2)
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                       else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[row * stride:(row + 1) * stride] = line
+        prev = line
+    return out
 
-    Formats needing codec libraries (PNG/JPEG/...) raise
+
+def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
+    """Pure-stdlib PNG decode: chunk walk → zlib inflate → per-scanline
+    unfilter → ITU-R 601 luma (alpha ignored). 8-bit depth, color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlace, no
+    palette — those raise NotImplementedError honestly."""
+    import struct
+    import zlib
+
+    i = 8
+    w = h = None
+    depth = ctype = interlace = None
+    idat: list[bytes] = []
+    while i + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, i)
+        cid = data[i + 4:i + 8]
+        body = data[i + 8:i + 8 + clen]
+        if cid == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated PNG IHDR")
+            w, h = struct.unpack_from(">II", body, 0)
+            depth, ctype, _, _, interlace = body[8:13]
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        i += 12 + clen  # len + type + body + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG unsupported "
+                                  "(8-bit only)")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise NotImplementedError(
+            f"PNG color type {ctype} unsupported (palette needs PLTE "
+            "indexing; gray/RGB/alpha variants only)")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    samples = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, nch)
+    px: list[float] = []
+    for p in range(0, w * h * nch, nch):
+        if nch >= 3:
+            r, g, b = samples[p], samples[p + 1], samples[p + 2]
+            lum = 0.299 * r + 0.587 * g + 0.114 * b
+        else:
+            lum = float(samples[p])
+        px.append(round(lum / 255.0, 6))
+    return w, h, px
+
+
+def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
+    """Pure-stdlib REAL decode of PNG (8-bit, non-interlaced),
+    uncompressed 24/32-bit BMP, and binary PPM (P6) / PGM (P5) into
+    (width, height, row-major grayscale floats in [0, 1], ITU-R 601
+    luma, round-6).
+
+    Formats needing codec libraries (JPEG/GIF/...) raise
     NotImplementedError — the container ships no Pillow; see
     decode_image.
     """
     import struct
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_gray(data)
 
     if data[:2] == b"BM":
         if len(data) < 54:
@@ -129,8 +227,9 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
         return width, height, px
 
     raise NotImplementedError(
-        "real decode supports uncompressed BMP and binary PPM/PGM only; "
-        "other formats need Pillow, which this container does not ship")
+        "real decode supports PNG, uncompressed BMP and binary PPM/PGM "
+        "only; other formats need Pillow, which this container does "
+        "not ship")
 
 
 def decode_image(
@@ -146,7 +245,7 @@ def decode_image(
     (width, height) — the oracle-checkable stand-in for codec formats
     the container cannot decode.
 
-    fake=False: REAL decode via decode_raster_gray (pure-stdlib
+    fake=False: REAL decode via decode_raster_gray (pure-stdlib PNG /
     uncompressed BMP / binary PPM / PGM); width/height parameters are
     ignored and each row carries its image's true dimensions. Formats
     that need Pillow raise NotImplementedError, honestly.

@@ -12,8 +12,27 @@ partition). No global sort, no driver-side state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def epoch_seconds(df: DataFrame, ts_col: str) -> Column:
+    """Whole-second epoch value of a timestamp column, tolerant of both
+    TIMESTAMP (LTZ) and TIMESTAMP_NTZ inputs.
+
+    Parquet timestamps without isAdjustedToUTC load as TIMESTAMP_NTZ,
+    which Spark refuses to CAST to BIGINT; diff the second-truncated
+    value against the NTZ epoch instead (timezone never enters, so the
+    result equals DuckDB's floor(epoch(ts)) on the same naive data).
+    Truncation happens BEFORE the diff so gap tests agree with oracles
+    that compare per-row floor(epoch(..)) values.
+    """
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"date_trunc('second', `{ts_col}`))")
+    return F.col(ts_col).cast("long")  # truncates to whole seconds
 
 DEFAULT_GAP_SECONDS = 1800  # 30 min, the industry-default session gap
 
@@ -35,7 +54,7 @@ def sessionize(
     deterministically.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
-    secs = F.col(ts_col).cast("long")  # truncates to whole seconds
+    secs = epoch_seconds(df, ts_col)
     new_sess = F.when(
         secs - F.lag(secs).over(w) > gap_seconds, 1).otherwise(0)
     sessioned = (df

@@ -618,6 +618,139 @@ class TestTiffWavMetadata:
             assert md["tiff:BitsPerSample"] == "16"
         assert detect_mime(tiff(True), "x.tif") == "image/tiff"
 
+    @staticmethod
+    def _exif_tiff(e="<"):
+        """TIFF blob with IFD0 (Make/Model/Orientation/XResolution +
+        EXIF pointer) and an EXIF sub-IFD, out-of-line ASCII/RATIONAL
+        values in a trailing data area — the real layout cameras
+        write."""
+        import struct
+
+        sizes = {2: 1, 3: 2, 4: 4, 5: 8}
+
+        def vbytes(typ, values):
+            if typ == 2:
+                return values  # bytes incl. NUL
+            out = b""
+            for v in values:
+                if typ == 3:
+                    out += struct.pack(e + "H", v)
+                elif typ == 4:
+                    out += struct.pack(e + "I", v)
+                else:  # RATIONAL
+                    out += struct.pack(e + "II", *v)
+            return out
+
+        ifd0 = [
+            (271, 2, b"TestCam Inc\x00"),
+            (272, 2, b"Model X\x00"),
+            (274, 3, [6]),
+            (282, 5, [(72, 1)]),
+        ]
+        exif = [
+            (0x829A, 5, [(1, 125)]),
+            (0x829D, 5, [(28, 10)]),
+            (0x8827, 3, [200]),
+            (0x9003, 2, b"2024:01:02 03:04:05\x00"),
+            (0x920A, 5, [(50, 1)]),
+            (0xA002, 4, [640]),
+        ]
+        ifd0_len = 2 + 12 * (len(ifd0) + 1) + 4  # +1: EXIF pointer
+        exif_off = 8 + ifd0_len
+        data_off = exif_off + 2 + 12 * len(exif) + 4
+        data_area = b""
+
+        def render(entries, extra=b""):
+            nonlocal data_off, data_area
+            body = struct.pack(e + "H",
+                               len(entries) + (1 if extra else 0))
+            for tag, typ, values in entries:
+                vb = vbytes(typ, values)
+                count = len(vb) // sizes[typ]
+                body += struct.pack(e + "HHI", tag, typ, count)
+                if len(vb) <= 4:
+                    body += vb + b"\x00" * (4 - len(vb))
+                else:
+                    body += struct.pack(e + "I", data_off)
+                    data_area += vb
+                    data_off += len(vb)
+            return body + extra + struct.pack(e + "I", 0)
+
+        exif_ptr = struct.pack(e + "HHI", 0x8769, 4, 1) + struct.pack(
+            e + "I", exif_off)
+        ifd0_body = render(ifd0, extra=exif_ptr)
+        exif_body = render(exif)
+        magic = b"II*\x00" if e == "<" else b"MM\x00*"
+        return (magic + struct.pack(e + "I", 8) + ifd0_body + exif_body
+                + data_area)
+
+    @classmethod
+    def _exif_jpeg(cls):
+        import struct
+        tiff = cls._exif_tiff()
+        app1 = b"Exif\x00\x00" + tiff
+        return (b"\xff\xd8"
+                + b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+                + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+                + struct.pack(">HH", 600, 800) + b"\x03"
+                + b"\xff\xd9")
+
+    EXIF_WANT = {
+        "tiff:Make": "TestCam Inc", "tiff:Model": "Model X",
+        "tiff:Orientation": "6", "tiff:XResolution": "72",
+        "exif:ExposureTime": "0.008", "exif:FNumber": "2.8",
+        "exif:IsoSpeedRatings": "200",
+        "exif:DateTimeOriginal": "2024:01:02 03:04:05",
+        "exif:FocalLength": "50", "exif:PixelXDimension": "640",
+    }
+
+    def test_jpeg_exif_golden(self):
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        md = image_dimensions(self._exif_jpeg())
+        for k, v in self.EXIF_WANT.items():
+            assert md[k] == v, k
+        # SOF frame dims override EXIF-claimed dimensions
+        assert md["tiff:ImageWidth"] == "800"
+        assert md["tiff:ImageLength"] == "600"
+        assert md["tiff:BitsPerSample"] == "8"
+
+    def test_standalone_tiff_exif_both_endians(self):
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            tiff_metadata,
+        )
+        for e in ("<", ">"):
+            md = tiff_metadata(self._exif_tiff(e))
+            for k, v in self.EXIF_WANT.items():
+                assert md[k] == v, (e, k)
+
+    def test_jpeg_without_exif_unchanged(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF"
+                + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+                + struct.pack(">HH", 600, 800) + b"\x03")
+        assert image_dimensions(jpeg) == {
+            "tiff:ImageWidth": "800", "tiff:ImageLength": "600",
+            "tiff:BitsPerSample": "8"}
+
+    def test_exif_metadata_surface(self, spark):
+        from pyspark.sql import Row
+        from nifi_extracttext_processor_spark.operators.extract import (
+            media_metadata,
+        )
+        df = spark.createDataFrame(
+            [Row(doc_id=1, filename="photo.jpg",
+                 content=bytearray(self._exif_jpeg()))])
+        meta = media_metadata(df).collect()[0]["metadata"]
+        assert meta["Content-Type"] == "image/jpeg"
+        assert meta["tiff:Make"] == "TestCam Inc"
+        assert meta["exif:DateTimeOriginal"] == "2024:01:02 03:04:05"
+        assert meta["tiff:ImageWidth"] == "800"
+
     def _wav(self, rate=16000, channels=2, bits=16, seconds=2):
         import struct
         byte_rate = rate * channels * bits // 8

@@ -1261,6 +1261,133 @@ class TestRealRasterDecode:
         with pytest.raises(NotImplementedError, match="compressed"):
             decode_raster_gray(bytes(data))
 
+    # --- PNG (pure-stdlib zlib inflate + unfilter) ---
+
+    @staticmethod
+    def _png(samples, w, h, nch, filters, ctype=None, depth=8,
+             interlace=0):
+        """Minimal PNG encoder applying the FORWARD filter per row so
+        the decoder's unfilter path (None/Sub/Up/Average/Paeth) is
+        exercised against known pixel bytes."""
+        import struct
+        import zlib
+
+        if ctype is None:
+            ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+        stride = w * nch
+        raw = bytearray()
+        prev = bytes(stride)
+        for row in range(h):
+            line = bytes(samples[row * stride:(row + 1) * stride])
+            f = filters[row % len(filters)]
+            raw.append(f)
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] - a
+                elif f == 2:
+                    v = line[x] - b
+                elif f == 3:
+                    v = line[x] - ((a + b) >> 1)
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    v = line[x] - pr
+                raw.append(v & 0xFF)
+            prev = line
+
+        def chunk(cid, body):
+            return (struct.pack(">I", len(body)) + cid + body
+                    + struct.pack(">I", zlib.crc32(cid + body)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                           interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    def test_png_rgb_all_filters_golden(self):
+        """4x5 RGB PNG with one row per filter type round-trips to the
+        exact luma values of the source pixels."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        rgb = [(13 * i % 256, (7 * i + 50) % 256, (29 * i + 3) % 256)
+               for i in range(20)]
+        samples = [v for p in rgb for v in p]
+        data = self._png(samples, 4, 5, 3, filters=[0, 1, 2, 3, 4])
+        w, h, px = decode_raster_gray(data)
+        assert (w, h) == (4, 5)
+        want = [round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+                for (r, g, b) in rgb]
+        assert px == want
+
+    def test_png_gray_and_alpha_variants(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        gray = [0, 64, 128, 255]
+        _, _, px = decode_raster_gray(
+            self._png(gray, 2, 2, 1, filters=[0, 4]))
+        assert px == [0.0, round(64 / 255, 6), round(128 / 255, 6), 1.0]
+        # RGBA: alpha byte ignored, luma from RGB
+        rgba = [255, 0, 0, 10, 0, 255, 0, 200]
+        _, _, px = decode_raster_gray(
+            self._png(rgba, 2, 1, 4, filters=[1]))
+        assert px == [0.299, 0.587]
+        # gray+alpha
+        ga = [100, 7, 200, 9]
+        _, _, px = decode_raster_gray(
+            self._png(ga, 2, 1, 2, filters=[2]))
+        assert px == [round(100 / 255, 6), round(200 / 255, 6)]
+
+    def test_png_unsupported_variants_honest(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        gray = [0, 64, 128, 255]
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            decode_raster_gray(
+                self._png(gray, 2, 2, 1, filters=[0], interlace=1))
+        with pytest.raises(NotImplementedError, match="color type"):
+            decode_raster_gray(
+                self._png(gray, 2, 2, 1, filters=[0], ctype=3))
+        with pytest.raises(ValueError, match="missing"):
+            # signature only → no IHDR/IDAT chunks
+            decode_raster_gray(b"\x89PNG\r\n\x1a\n")
+        import struct
+        import zlib
+
+        def chunk(cid, body):
+            return (struct.pack(">I", len(body)) + cid + body
+                    + struct.pack(">I", zlib.crc32(cid + body)))
+        short = (b"\x89PNG\r\n\x1a\n"
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0,
+                                              0, 0, 0))
+                 + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                 + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_raster_gray(short)
+
+    def test_png_through_spark_real_decode(self, spark):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_image,
+        )
+        rgb = [v for p in self.RGBW for v in p]
+        png = self._png(rgb, 2, 2, 3, filters=[4, 3])
+        df = spark.createDataFrame(
+            [Row(media_id=1, content=bytearray(png),
+                 mime_type="image/png")])
+        row = decode_image(df, fake=False).collect()[0]
+        assert (row["width"], row["height"]) == (2, 2)
+        assert row["pixels"] == pytest.approx(self.LUMA)
+
 
 class TestVersionedSchemaRegistry:
     """B17 registry semantics: name → version → schema with
