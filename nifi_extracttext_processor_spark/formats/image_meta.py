@@ -93,7 +93,10 @@ def _walk_ifd(data: bytes, ifd_off: int, e: str,
     """One IFD pass: surface keymap'd tags, return (attrs, exif_ptr)."""
     out: dict[str, str] = {}
     exif_ptr: int | None = None
-    if ifd_off < 0 or ifd_off + 2 > len(data):
+    # a valid IFD can never overlap the 8-byte TIFF header, so offsets
+    # < 8 (e.g. a malformed IFD0 pointer of 0) would reinterpret the
+    # header magic as an entry count and walk garbage — reject them
+    if ifd_off < 8 or ifd_off + 2 > len(data):
         return out, None
     (n_tags,) = struct.unpack_from(f"{e}H", data, ifd_off)
     for t in range(min(n_tags, 256)):
@@ -166,11 +169,14 @@ def image_dimensions(data: bytes) -> dict[str, str]:
         w, h = struct.unpack_from("<HH", data, 6)
         return {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h)}
     if data.startswith(b"\xff\xd8\xff"):
-        # EXIF (APP1) first; actual frame dimensions from the SOF
-        # segment override any EXIF-claimed tiff:* dims
-        out = exif_metadata(data)
+        # Single segment walk capturing both the APP1 Exif payload and
+        # the SOF frame header; SOF's actual frame dimensions override
+        # any EXIF-claimed tiff:* dims. (One pass, not exif_metadata +
+        # a second SOF scan — this runs per row in media_metadata.)
+        exif_slice: bytes | None = None
+        sof: tuple[int, int, int] | None = None
         i = 2
-        while i + 9 < len(data):
+        while i + 4 <= len(data):
             if data[i] != 0xFF:
                 i += 1
                 continue
@@ -178,17 +184,26 @@ def image_dimensions(data: bytes) -> dict[str, str]:
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
-            if i + 4 > len(data):
+            if marker == 0xDA:  # start of scan: no more metadata
                 break
             seg_len = struct.unpack_from(">H", data, i + 2)[0]
-            if marker in _JPEG_SOF and i + 9 <= len(data):
+            if (marker == 0xE1 and exif_slice is None
+                    and data[i + 4:i + 10] == b"Exif\x00\x00"):
+                exif_slice = data[i + 10:i + 2 + seg_len]
+            elif (marker in _JPEG_SOF and sof is None
+                    and i + 9 <= len(data)):
                 precision = data[i + 4]
                 h, w = struct.unpack_from(">HH", data, i + 5)
-                out.update({"tiff:ImageWidth": str(w),
-                            "tiff:ImageLength": str(h),
-                            "tiff:BitsPerSample": str(precision)})
-                return out
+                sof = (w, h, precision)
+            if exif_slice is not None and sof is not None:
+                break
             i += 2 + seg_len
+        out = tiff_metadata(exif_slice) if exif_slice is not None else {}
+        if sof is not None:
+            w, h, precision = sof
+            out.update({"tiff:ImageWidth": str(w),
+                        "tiff:ImageLength": str(h),
+                        "tiff:BitsPerSample": str(precision)})
         return out
     if data.startswith(b"BM") and len(data) >= 54:
         w = struct.unpack_from("<i", data, 18)[0]

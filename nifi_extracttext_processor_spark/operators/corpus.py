@@ -53,8 +53,12 @@ def decontaminate(
     text_col: str = "text",
     n: int = 8,
 ) -> DataFrame:
-    """Per-document benchmark contamination: how many distinct word
-    n-grams the doc shares with the eval set, plus a boolean flag.
+    """Per-document benchmark contamination: how many word n-gram
+    *occurrences* in the doc match the (distinct) eval-set n-grams,
+    plus a boolean flag. Doc-side n-grams are intentionally NOT
+    deduplicated — a doc repeating one eval n-gram k times counts k —
+    so the number doubles as a severity signal; the boolean flag is
+    what filtering uses.
 
     The standard LLM training-data decontamination shape (n-gram overlap
     against held-out benchmarks, as popularized by the GPT-3 appendix):
@@ -228,6 +232,15 @@ def pack_sequences(
     there is no global sort and no single-partition window. Bucket
     assignment is md5-deterministic, so reruns and the DuckDB twin
     produce identical packings.
+
+    Skew contract: unlike keyed windows (sessionize, asof_join), the
+    partition key here is a HASH of the id, not a data attribute — no
+    input distribution can produce a hot partition. Per-window row
+    count is Binomial(n_docs, 1/n_buckets): tightly concentrated at
+    n_docs/n_buckets (±a few σ = sqrt(n_docs/n_buckets)), so the
+    per-task bound is set directly by choosing n_buckets ≈
+    n_docs/target_partition_rows. Tested in
+    tests/test_operators.py (TestPackSequencesSkew).
     """
     toks = df.select(
         F.col(id_col),

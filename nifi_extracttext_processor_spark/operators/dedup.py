@@ -217,7 +217,12 @@ def minhash_base(
         .withColumn("halves", minhash_halves(F.col("sh"))))
     # tag the build parameters so consumers can reject a base built
     # with a different shingle n / text column (silently wrong pairs
-    # otherwise)
+    # otherwise). CAVEAT: the tag is a plain Python attribute on the
+    # DataFrame object — ANY transformation of the base (even
+    # .repartition() or .alias()) returns a new DataFrame without it,
+    # silently degrading _check_base_params to the hand-built-base
+    # no-validation behavior. Pass the returned object through
+    # unmodified.
     base._minhash_params = (id_col, text_col, n)
     return base
 

@@ -100,3 +100,78 @@ SELECT {user_col}, session_no,
        round(sum({value_col}), 2) AS total_value
 FROM sessioned GROUP BY 1, 2
 """
+
+
+def sessionize_bucketed(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Hot-key-safe sessionize: same output as ``sessionize`` (one
+    float caveat below), but the per-event windows are per-(user,
+    TIME-BUCKET), so a bot/service account with 10^8 events splits
+    across as many tasks as it spans buckets instead of serializing
+    into one window task — the same two-pass shape as
+    ``temporal.asof_join_bucketed``.
+
+    Two passes:
+      1. local gaps-and-islands within each (user, bucket) window —
+         partition size bounded by the key's events per
+         ``bucket_seconds``, not its total events;
+      2. boundary merge over ISLAND SUMMARIES: consecutive islands of
+         a user merge when the truncated-second gap between them is
+         <= gap_seconds — the identical per-event split condition,
+         since cross-bucket-adjacent events are exactly (last event of
+         island i, first event of island i+1). The per-user summary
+         partition is bounded by span/bucket_seconds +
+         span/gap_seconds rows (each extra island needs a > gap gap),
+         INDEPENDENT of event count — a year of data at the default
+         parameters is <= ~18k summary rows per user.
+
+    Equivalence is exact for session boundaries, numbering, counts and
+    timestamps. total_value sums per-island partials before rounding,
+    so the pre-round float can differ from sessionize's by ~1 ulp
+    (same caveat as any two-level float aggregation; Spark's own
+    partial aggregation already makes event-level sums
+    order-dependent).
+    """
+    ev = df.withColumn("__secs", epoch_seconds(df, ts_col)).withColumn(
+        "__bucket", F.floor(F.col("__secs") / F.lit(bucket_seconds)))
+    w = (Window.partitionBy(user_col, "__bucket")
+         .orderBy(ts_col, order_col))
+    new_isl = F.when(
+        F.col("__secs") - F.lag("__secs").over(w) > gap_seconds,
+        1).otherwise(0)
+    islands = (ev
+               .withColumn("__new", new_isl)
+               .withColumn("__isl", F.sum("__new").over(w)))
+    summaries = (islands
+                 .groupBy(user_col, "__bucket", "__isl")
+                 .agg(F.min(ts_col).alias("__start_ts"),
+                      F.max(ts_col).alias("__end_ts"),
+                      F.min(F.struct(ts_col, order_col)).alias("__first"),
+                      F.min("__secs").alias("__start_secs"),
+                      F.max("__secs").alias("__end_secs"),
+                      F.count("*").alias("__n"),
+                      F.sum(value_col).alias("__sum_value")))
+    # islands never interleave across buckets (bucket is monotone in
+    # event time), so per-user (first event ts, order) ordering is the
+    # global event ordering restricted to island boundaries
+    w2 = Window.partitionBy(user_col).orderBy("__first")
+    new_sess = F.when(
+        F.col("__start_secs") - F.lag("__end_secs").over(w2)
+        > gap_seconds, 1).otherwise(0)
+    merged = (summaries
+              .withColumn("__news", new_sess)
+              .withColumn("session_no",
+                          F.sum("__news").over(w2).cast("long")))
+    return (merged
+            .groupBy(user_col, "session_no")
+            .agg(F.min("__start_ts").alias("session_start"),
+                 F.max("__end_ts").alias("session_end"),
+                 F.sum("__n").alias("n_events"),
+                 F.round(F.sum("__sum_value"), 2).alias("total_value")))

@@ -683,6 +683,130 @@ class TestSessionize:
         assert len(out) == 1 and out[0]["n_events"] == 2
 
 
+class TestSessionizeBucketed:
+    def _skewed_events(self, spark):
+        """One hot user (90% of events) whose sessions span many 1-hour
+        buckets, plus a tail of small users. Every 7th hot-user gap is
+        > 30 min (session split); the rest are 20 min (island merges
+        across bucket boundaries — exercises the boundary-merge pass).
+        """
+        import datetime as dt
+        t0 = dt.datetime(2024, 3, 1)
+        rows, eid, m = [], 0, 0
+        for i in range(300):
+            m += 200 if i % 7 == 0 else 20
+            rows.append(Row(event_id=eid, user_id=1,
+                            ts=t0 + dt.timedelta(minutes=m),
+                            value=float(i % 10)))
+            eid += 1
+        for k in range(2, 12):
+            for j in range(3):
+                rows.append(Row(event_id=eid, user_id=k,
+                                ts=t0 + dt.timedelta(minutes=k * 7 + j * 25),
+                                value=1.5))
+                eid += 1
+        return spark.createDataFrame(rows)
+
+    @staticmethod
+    def _norm(df):
+        return sorted(
+            (r["user_id"], r["session_no"], r["session_start"],
+             r["session_end"], r["n_events"], r["total_value"])
+            for r in df.collect())
+
+    def test_bucketed_matches_plain_on_skewed_keys(self, spark):
+        from nifi_extracttext_processor_spark.operators.sessions import (
+            sessionize, sessionize_bucketed,
+        )
+        ev = self._skewed_events(spark)
+        plain = self._norm(sessionize(ev))
+        bucketed = self._norm(sessionize_bucketed(ev, bucket_seconds=3600))
+        assert bucketed == plain
+        # sanity: the fixture really does split sessions and span buckets
+        assert len({s for u, s, *_ in plain if u == 1}) > 10
+
+    def test_bucketed_window_partitions_are_bucket_scoped(self, spark):
+        """Scale contract: the per-event window partitions on
+        (user, time-bucket) — a hot user splits across buckets — and
+        the only per-user-only window runs over island SUMMARIES,
+        downstream of the per-(user,bucket) aggregation."""
+        import re
+
+        from nifi_extracttext_processor_spark.operators.sessions import (
+            sessionize_bucketed,
+        )
+        plan = (sessionize_bucketed(self._skewed_events(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        wins = re.findall(
+            r"Window \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", plan)
+        assert wins, f"no Window nodes found in plan:\n{plan}"
+        assert any("__bucket" in spec and "user_id" in spec
+                   for spec in wins), wins
+        assert "Aggregate" in plan
+
+    def test_ntz_timestamps_match_duckdb_oracle(self, spark):
+        """TIMESTAMP_NTZ branch of epoch_seconds (sub-second + pre-1970
+        flooring) against the DuckDB floor(epoch(ts)) oracle, for both
+        sessionize and sessionize_bucketed."""
+        import datetime as dt
+
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.sessions import (
+            sessionize, sessionize_bucketed, sessionize_sql,
+        )
+        rows = [
+            # pre-epoch with sub-second fraction: floor(-0.5) = -1
+            (1, 10, dt.datetime(1969, 12, 31, 23, 59, 59, 500000), 1.0),
+            # 29m59.9s later at whole-second resolution → same session
+            (2, 10, dt.datetime(1970, 1, 1, 0, 29, 59, 400000), 2.0),
+            # 30m01s gap from the truncated previous second → splits
+            (3, 10, dt.datetime(1970, 1, 1, 1, 0, 0, 900000), 4.0),
+            (4, 11, dt.datetime(2024, 6, 1, 8, 0, 0, 250000), 8.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp_ntz, value double")
+        assert "timestamp_ntz" in dict(df.dtypes)["ts"]
+        con = duckdb.connect()
+        con.register("events", df.toPandas())
+        odf = con.execute(sessionize_sql("events")).df()
+        want = sorted(
+            (int(r["user_id"]), int(r["session_no"]),
+             r["session_start"].to_pydatetime(),
+             r["session_end"].to_pydatetime(),
+             int(r["n_events"]), float(r["total_value"]))
+            for _, r in odf.iterrows())
+        norm = TestSessionizeBucketed._norm
+        assert norm(sessionize(df)) == want
+        assert norm(sessionize_bucketed(df, bucket_seconds=1200)) == want
+        # the fixture's intent holds: user 10 has exactly 2 sessions
+        assert [s for u, s, *_ in want if u == 10] == [0, 1]
+
+
+class TestPackSequencesSkew:
+    def test_hash_buckets_are_balanced(self, spark):
+        """The pack_sequences skew contract: partitioning is by md5
+        hash bucket, so no input distribution produces a hot window.
+        On 2000 docs over 16 buckets, every bucket must hold within
+        4 standard deviations of the binomial mean."""
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            pack_sequences,
+        )
+        df = spark.createDataFrame(
+            [Row(doc_id=f"doc-{i:05d}", text="w " * (i % 37 + 3))
+             for i in range(2000)])
+        out = pack_sequences(df, budget=64, n_buckets=16)
+        sizes = {r["bucket"]: r["n"] for r in
+                 out.groupBy("bucket").agg(
+                     F.count("*").alias("n")).collect()}
+        assert len(sizes) == 16
+        mean = 2000 / 16
+        sigma = (2000 * (1 / 16) * (15 / 16)) ** 0.5
+        for b, n in sizes.items():
+            assert abs(n - mean) < 4 * sigma, (b, n)
+
+
 class TestKeepBestPerCluster:
     def test_highest_quality_survives(self, spark):
         from nifi_extracttext_processor_spark.operators.dedup import (
