@@ -91,10 +91,13 @@ def _png_unfilter(raw: bytes, w: int, h: int, nch: int) -> bytearray:
 
 
 def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
-    """Pure-stdlib PNG decode: chunk walk → zlib inflate → per-scanline
-    unfilter → ITU-R 601 luma (alpha ignored). 8-bit depth, color types
-    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no interlace, no
-    palette — those raise NotImplementedError honestly."""
+    """Pure-stdlib PNG decode: chunk walk → bounded zlib inflate →
+    per-scanline unfilter → ITU-R 601 luma (alpha ignored). 8-bit
+    depth, color types 0 (gray), 2 (RGB), 3 (palette, via PLTE
+    lookup), 4 (gray+alpha), 6 (RGBA); interlaced (Adam7) and
+    non-8-bit depths raise NotImplementedError honestly; corrupt
+    structure (bad IDAT stream, missing/short PLTE, out-of-range
+    palette index) raises ValueError."""
     import struct
     import zlib
 
@@ -102,6 +105,7 @@ def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
     w = h = None
     depth = ctype = interlace = None
     idat: list[bytes] = []
+    plte: bytes | None = None
     while i + 8 <= len(data):
         (clen,) = struct.unpack_from(">I", data, i)
         cid = data[i + 4:i + 8]
@@ -111,6 +115,8 @@ def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
                 raise ValueError("truncated PNG IHDR")
             w, h = struct.unpack_from(">II", body, 0)
             depth, ctype, _, _, interlace = body[8:13]
+        elif cid == b"PLTE":
+            plte = bytes(body)
         elif cid == b"IDAT":
             idat.append(body)
         elif cid == b"IEND":
@@ -123,15 +129,33 @@ def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG unsupported "
                                   "(8-bit only)")
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
-        raise NotImplementedError(
-            f"PNG color type {ctype} unsupported (palette needs PLTE "
-            "indexing; gray/RGB/alpha variants only)")
+        raise ValueError(f"invalid PNG color type {ctype}")
+    if ctype == 3 and (plte is None or len(plte) < 3 or len(plte) % 3):
+        raise ValueError("paletted PNG missing or malformed PLTE")
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
-    samples = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, nch)
+    # Bounded inflate: cap output at exactly the pixel-data size so a
+    # crafted high-ratio IDAT (zlib reaches ~1000:1) cannot balloon
+    # memory before _png_unfilter's own size check; trailing
+    # decompressed bytes beyond the cap are ignored per the cap.
+    try:
+        raw = zlib.decompressobj().decompress(
+            b"".join(idat), h * (w * nch + 1))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT: {exc}") from None
+    samples = _png_unfilter(raw, w, h, nch)
     px: list[float] = []
+    if ctype == 3:
+        for p in range(w * h):
+            o = samples[p] * 3
+            if o + 3 > len(plte):
+                raise ValueError("PNG palette index out of range")
+            r, g, b = plte[o], plte[o + 1], plte[o + 2]
+            px.append(round((0.299 * r + 0.587 * g + 0.114 * b)
+                            / 255.0, 6))
+        return w, h, px
     for p in range(0, w * h * nch, nch):
         if nch >= 3:
             r, g, b = samples[p], samples[p + 1], samples[p + 2]
@@ -143,7 +167,8 @@ def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
 
 
 def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
-    """Pure-stdlib REAL decode of PNG (8-bit, non-interlaced),
+    """Pure-stdlib REAL decode of PNG (8-bit, non-interlaced; gray/
+    RGB/palette/alpha color types),
     uncompressed 24/32-bit BMP, and binary PPM (P6) / PGM (P5) into
     (width, height, row-major grayscale floats in [0, 1], ITU-R 601
     luma, round-6).

@@ -1389,7 +1389,7 @@ class TestRealRasterDecode:
 
     @staticmethod
     def _png(samples, w, h, nch, filters, ctype=None, depth=8,
-             interlace=0):
+             interlace=0, plte=None):
         """Minimal PNG encoder applying the FORWARD filter per row so
         the decoder's unfilter path (None/Sub/Up/Average/Paeth) is
         exercised against known pixel bytes."""
@@ -1432,8 +1432,10 @@ class TestRealRasterDecode:
 
         ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
                            interlace)
-        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", bytes(plte))
+        return (out + chunk(b"IDAT", zlib.compress(bytes(raw)))
                 + chunk(b"IEND", b""))
 
     def test_png_rgb_all_filters_golden(self):
@@ -1479,9 +1481,9 @@ class TestRealRasterDecode:
         with pytest.raises(NotImplementedError, match="interlaced"):
             decode_raster_gray(
                 self._png(gray, 2, 2, 1, filters=[0], interlace=1))
-        with pytest.raises(NotImplementedError, match="color type"):
+        with pytest.raises(ValueError, match="invalid PNG color type"):
             decode_raster_gray(
-                self._png(gray, 2, 2, 1, filters=[0], ctype=3))
+                self._png(gray, 2, 2, 1, filters=[0], ctype=7))
         with pytest.raises(ValueError, match="missing"):
             # signature only → no IHDR/IDAT chunks
             decode_raster_gray(b"\x89PNG\r\n\x1a\n")
@@ -1498,6 +1500,67 @@ class TestRealRasterDecode:
                  + chunk(b"IEND", b""))
         with pytest.raises(ValueError, match="truncated"):
             decode_raster_gray(short)
+
+    def test_png_palette_golden(self):
+        """Color type 3: index bytes go through the PLTE lookup, then
+        the standard luma; filters still apply to the index bytes."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        plte = [255, 0, 0,  0, 255, 0,  0, 0, 255,  17, 34, 51]
+        idx = [0, 1, 2, 3, 3, 0]  # 3x2 image of palette indices
+        w, h, px = decode_raster_gray(
+            self._png(idx, 3, 2, 1, filters=[1, 4], ctype=3, plte=plte))
+        assert (w, h) == (3, 2)
+        want = [round((0.299 * plte[3 * i] + 0.587 * plte[3 * i + 1]
+                       + 0.114 * plte[3 * i + 2]) / 255.0, 6)
+                for i in idx]
+        assert px == want
+
+    def test_png_palette_errors(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        # no PLTE chunk at all
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_raster_gray(
+                self._png([0, 1, 1, 0], 2, 2, 1, filters=[0], ctype=3))
+        # index beyond the palette
+        with pytest.raises(ValueError, match="palette index"):
+            decode_raster_gray(
+                self._png([0, 5, 0, 0], 2, 2, 1, filters=[0], ctype=3,
+                          plte=[10, 20, 30, 40, 50, 60]))
+
+    def test_png_corrupt_idat_and_bounded_inflate(self):
+        """Garbage IDAT bytes surface as ValueError (the module's
+        documented contract, not zlib.error), and a high-ratio IDAT
+        that inflates far past the pixel-data size is capped at
+        h*(w*nch+1) bytes instead of ballooning memory."""
+        import struct
+        import zlib
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+
+        def chunk(cid, body):
+            return (struct.pack(">I", len(body)) + cid + body
+                    + struct.pack(">I", zlib.crc32(cid + body)))
+
+        ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0,
+                                          0, 0, 0))
+        bad = (b"\x89PNG\r\n\x1a\n" + ihdr
+               + chunk(b"IDAT", b"\x99not-a-zlib-stream")
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+            decode_raster_gray(bad)
+        # 2x2 gray needs 2*(2+1)=6 bytes; hand it 64 MiB of zeros
+        # (compresses ~1000:1) — valid prefix decodes, cap holds
+        bomb = (b"\x89PNG\r\n\x1a\n" + ihdr
+                + chunk(b"IDAT", zlib.compress(bytes(64 * 1024 * 1024)))
+                + chunk(b"IEND", b""))
+        w, h, px = decode_raster_gray(bomb)
+        assert (w, h) == (2, 2) and px == [0.0, 0.0, 0.0, 0.0]
 
     def test_png_through_spark_real_decode(self, spark):
         from nifi_extracttext_processor_spark.operators.multimodal import (
