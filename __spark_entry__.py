@@ -494,16 +494,23 @@ WITH clicks AS (
 ), purchases AS (
   SELECT user_id, ts, round(value, 2) AS purchase_value FROM events
   WHERE event_type = 'purchase'
+), asof_matched AS (
+  SELECT l.user_id, l.ts, l.event_id,
+         coalesce(r.purchase_value, -1.0) AS purchase_value
+  FROM clicks l
+  ASOF LEFT JOIN purchases r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
 )
-SELECT l.user_id, l.ts, l.event_id,
-       coalesce(r.purchase_value, -1.0) AS purchase_value
-FROM clicks l
-ASOF LEFT JOIN purchases r
-  ON l.user_id = r.user_id AND l.ts >= r.ts
+SELECT 'plain' AS method, * FROM asof_matched
+UNION ALL
+SELECT 'bucketed' AS method, * FROM asof_matched
 """)
 def q_events_asof(spark, sf):
+    # Both as-of implementations against the SAME DuckDB ASOF twin:
+    # the plain keyed-window path and the skew-safe bucketed two-pass
+    # path, method-tagged so each row proves which plan produced it.
     from nifi_extracttext_processor_spark.operators.temporal import (
-        asof_join,
+        asof_join, asof_join_bucketed,
     )
     e = _t(spark, sf, "events")
     clicks = (e.filter(F.col("event_type") == "click")
@@ -511,12 +518,21 @@ def q_events_asof(spark, sf):
     purchases = (e.filter(F.col("event_type") == "purchase")
                  .select("user_id", "ts",
                          F.round("value", 2).alias("purchase_value")))
-    out = asof_join(clicks, purchases, on="ts", by="user_id",
-                    right_cols=["purchase_value"])
-    # no-match rows → sentinel, not NULL: nullable doubles round-trip
-    # as NaN through pandas and break value-hash comparison
-    return out.withColumn("purchase_value",
-                          F.coalesce("purchase_value", F.lit(-1.0)))
+
+    def run(fn, method, **kw):
+        out = fn(clicks, purchases, on="ts", by="user_id",
+                 right_cols=["purchase_value"], **kw)
+        # no-match rows → sentinel, not NULL: nullable doubles
+        # round-trip as NaN through pandas and break value-hash
+        # comparison
+        return (out
+                .withColumn("purchase_value",
+                            F.coalesce("purchase_value", F.lit(-1.0)))
+                .select(F.lit(method).alias("method"), "user_id", "ts",
+                        "event_id", "purchase_value"))
+
+    return run(asof_join, "plain").unionByName(
+        run(asof_join_bucketed, "bucketed", bucket="1 hour"))
 
 
 # ---- B12 QueryRecord: the three template routes, verbatim, as one
