@@ -7,6 +7,11 @@ without it, so the sink degrades to a clear error unless a caller
 injects a running broker + package. The record serialization itself
 (to JSON bytes; to_avro when the avro package is present) is pure
 DataFrame code and fully tested.
+
+Environment determination (README "B15 Kafka write path"): this
+container has no connector jar, no network to fetch one, and no
+broker — the write path can never execute here. The degradation
+contract is what's testable in-container and IS tested.
 """
 
 from __future__ import annotations
