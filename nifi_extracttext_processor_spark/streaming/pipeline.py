@@ -238,6 +238,134 @@ def stream_dedup_near(
         GroupStateTimeout.EventTimeTimeout))
 
 
+def dedup_near_bands_batch(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    n: int | None = None,
+    k: int | None = None,
+    rows: int | None = None,
+) -> DataFrame:
+    """Deterministic BATCH twin of ``stream_dedup_near``'s band-claim
+    verdicts — the oracle-checkable statement of that operator's
+    contract. Same shingle→minhash→band constants, same output shape
+    ``(doc_id, bkey, new_band)``.
+
+    Semantics: ``new_band`` is true iff NO event carrying the same
+    band key occurred within ``watermark`` before this event in
+    (ts, id) order — i.e. a band claim expires ``watermark`` after the
+    last event carrying it, evaluated per event. This is the
+    continuous (per-event watermark) limit of the streaming operator:
+    stream_dedup_near GUARANTEES suppression for within-horizon
+    repeats and, like dropDuplicatesWithinWatermark, may additionally
+    suppress repeats somewhat past the horizon because a claim's
+    expiry is checked against the micro-batch watermark, which trails
+    the max observed event time by ``watermark``. Where the stream's
+    watermark has advanced past a claim before the repeat arrives, the
+    two agree exactly (equivalence-tested in tests/test_streaming.py).
+
+    Scale: one hash pass, then the verdict is a lag() over a window
+    partitioned by band key — partition size = the band's collision
+    group (duplicate cluster), the same bound as the batch LSH band
+    join's bucket size.
+
+    Why this has no __spark_entry__ slot: the driver's correctness
+    window records exactly 50 queries and all 50 are occupied, so this
+    twin carries its DuckDB oracle in pytest
+    (test_batch_twin_matches_duckdb_oracle) instead — same
+    side-by-side value check, run per round by the suite.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import (
+        DEFAULT_BAND_ROWS, DEFAULT_NUM_HASHES, DEFAULT_SHINGLE_N,
+        minhash_bands, minhash_halves, minhash_signature_from_halves,
+        shingles,
+    )
+
+    n = n or DEFAULT_SHINGLE_N
+    k = k or DEFAULT_NUM_HASHES
+    rows = rows or DEFAULT_BAND_ROWS
+    horizon_ms = _duration_ms(watermark)
+
+    banded = (docs
+              .withColumn("sh", shingles(text_col, n))
+              .withColumn("halves", minhash_halves(F.col("sh")))
+              .withColumn("sig", minhash_signature_from_halves(
+                  F.col("halves"), k))
+              .select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.col(ts_col).alias("ts"),
+                      F.posexplode(F.array(*minhash_bands(
+                          F.col("sig"), k, rows)))
+                      .alias("band_id", "band_key"))
+              .select("doc_id", "ts",
+                      F.concat_ws(":", "band_id", "band_key")
+                      .alias("bkey")))
+    w = Window.partitionBy("bkey").orderBy("ts", "doc_id")
+    ms = F.unix_millis(F.col("ts"))
+    prev_ms = F.lag(ms).over(w)
+    return (banded
+            .withColumn("new_band",
+                        prev_ms.isNull()
+                        | (ms - prev_ms > F.lit(horizon_ms)))
+            .select("doc_id", "bkey", "new_band"))
+
+
+def dedup_near_bands_batch_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    ts_expr: str = "ts",
+    watermark_ms: int = 3_600_000,
+    n: int | None = None,
+    k: int | None = None,
+    rows: int | None = None,
+) -> str:
+    """DuckDB twin of dedup_near_bands_batch (same hash constants)."""
+    from ..operators.dedup import (
+        DEFAULT_BAND_ROWS, DEFAULT_NUM_HASHES, DEFAULT_SHINGLE_N,
+        minhash_halves_sql, minhash_signature_sql, shingles_sql,
+    )
+
+    n = n or DEFAULT_SHINGLE_N
+    k = k or DEFAULT_NUM_HASHES
+    rows = rows or DEFAULT_BAND_ROWS
+    sh = shingles_sql(text_expr, n)
+    halves = minhash_halves_sql("sh")
+    sig = minhash_signature_sql("halves", k)
+    band_exprs = []
+    for b in range(k // rows):
+        slots = [f"sig[{b * rows + r + 1}]" for r in range(rows)]
+        band_exprs.append(" || '|' || ".join(slots))
+    bands_list = ", ".join(band_exprs)
+    # concat_ws-compatible: a NULL band key (empty doc) drops the ':'
+    return f"""
+WITH sh_t AS (
+  SELECT {id_col}::BIGINT AS doc_id, {ts_expr} AS ts, {sh} AS sh
+  FROM {table}
+), sig_t AS (
+  SELECT doc_id, ts, {sig} AS sig
+  FROM (SELECT doc_id, ts, {halves} AS halves FROM sh_t)
+), keyed AS (
+  SELECT doc_id, ts,
+         band_id::VARCHAR
+           || CASE WHEN band_key IS NULL THEN '' ELSE ':' || band_key
+              END AS bkey
+  FROM (SELECT doc_id, ts,
+               unnest(range({k // rows})) AS band_id,
+               unnest([{bands_list}]) AS band_key
+        FROM sig_t)
+)
+SELECT doc_id, bkey,
+       coalesce(epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                  (PARTITION BY bkey ORDER BY ts, doc_id)
+                > {watermark_ms}, TRUE) AS new_band
+FROM keyed
+"""
+
+
 def near_dup_survivors(verdicts: DataFrame,
                        id_col: str = "doc_id") -> DataFrame:
     """Collapse stream_dedup_near band verdicts to surviving doc ids:

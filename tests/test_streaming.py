@@ -236,3 +236,114 @@ def test_stream_dedup_near_state_evicts_past_horizon(spark, tmp_path):
     # doc 3 is textually identical to doc 1 but beyond the horizon:
     # state evicted, so it survives as fresh
     assert {1, 2, 3} <= survivors
+
+
+def test_batch_twin_matches_duckdb_oracle(spark):
+    """dedup_near_bands_batch against its DuckDB SQL twin, value for
+    value — the oracle check for the band-claim contract that the
+    streaming operator's state machine implements. (No __spark_entry__
+    slot: the driver's 50-query correctness window is full; this test
+    carries the same side-by-side comparison.)"""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        dedup_near_bands_batch, dedup_near_bands_batch_sql,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen sleepy cats watch from the %s windowsill")
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, base % "warm", t0),
+        (2, base % "cold", t0 + dt.timedelta(minutes=5)),    # near-dup
+        (3, "completely unrelated words about sailing boats "
+            "across the wide open ocean water today", t0),
+        (4, base % "warm", t0 + dt.timedelta(hours=5)),      # far repeat
+        (5, base % "warm", t0 + dt.timedelta(hours=5, minutes=1)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    df = spark.createDataFrame(
+        pdf, "doc_id long, text string, ts timestamp")
+    got = sorted(
+        (r["doc_id"], r["bkey"], r["new_band"])
+        for r in dedup_near_bands_batch(df, watermark="1 hour").collect())
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        (int(r["doc_id"]), r["bkey"], bool(r["new_band"]))
+        for _, r in con.execute(dedup_near_bands_batch_sql(
+            "docs", watermark_ms=3_600_000)).df().iterrows())
+    assert got == want
+    # semantic spot checks: doc 2 shares >=1 claimed band with doc 1;
+    # doc 4 (5h later) is past the 1h horizon -> all bands fresh; doc 5
+    # repeats doc 4 within the horizon -> all bands suppressed
+    by_doc = {}
+    for d, _, nb in got:
+        by_doc.setdefault(d, []).append(nb)
+    assert not all(by_doc[2])
+    assert all(by_doc[4])
+    assert not any(by_doc[5])
+
+
+def test_batch_twin_agrees_with_stream(spark, tmp_path):
+    """Where the stream's watermark has advanced past a claim before a
+    repeat arrives (the deterministic regime), stream_dedup_near and
+    dedup_near_bands_batch emit IDENTICAL verdict rows — both on a
+    cross-batch suppression fixture and on an eviction fixture."""
+    import datetime as dt
+
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        dedup_near_bands_batch, stream_dedup_near,
+    )
+
+    base_text = ("the quick brown fox jumps over the lazy dog while "
+                 "seventeen sleepy cats watch from the warm windowsill")
+    near_text = ("the quick brown fox jumps over the lazy dog while "
+                 "seventeen sleepy cats watch from the cold windowsill")
+    filler = ("completely different filler content to push the "
+              "watermark forward well beyond the horizon boundary")
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "doc_id long, text string, ts timestamp"
+
+    scenarios = [
+        # suppression: near-dup 5 min later, 1h horizon
+        ("1 hour", [
+            [(1, base_text, t0), (2, filler, t0)],
+            [(3, near_text, t0 + dt.timedelta(minutes=5))],
+        ]),
+        # eviction: same text 4h later, 10 min horizon, watermark
+        # advanced in between by an unrelated middle batch
+        ("10 minutes", [
+            [(1, base_text, t0)],
+            [(2, filler, t0 + dt.timedelta(hours=3))],
+            [(3, base_text, t0 + dt.timedelta(hours=4))],
+        ]),
+    ]
+    for i, (wm, batches) in enumerate(scenarios):
+        src = tmp_path / f"src{i}"
+        src.mkdir()
+        all_rows = []
+        for j, batch in enumerate(batches):
+            spark.createDataFrame(batch, schema) \
+                .coalesce(1).write.parquet(str(src / f"b{j}"))
+            all_rows += batch
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(str(src)))
+        q = (stream_dedup_near(stream, watermark=wm)
+             .writeStream.format("memory").queryName(f"twin_eq_{i}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        streamed = sorted(
+            (r["doc_id"], r["bkey"], r["new_band"])
+            for r in spark.sql(f"SELECT * FROM twin_eq_{i}").collect())
+        batch_df = spark.createDataFrame(all_rows, schema)
+        twin = sorted(
+            (r["doc_id"], r["bkey"], r["new_band"])
+            for r in dedup_near_bands_batch(
+                batch_df, watermark=wm).collect())
+        assert twin == streamed, f"scenario {i} diverged"
