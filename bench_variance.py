@@ -1,0 +1,114 @@
+"""Bench variance protocol (VERDICT r3 task 1 / r4 task 1): run
+bench.py N times in FRESH processes, aggregate per-query median /
+min / max, and write BENCH_NOTES.md so per-round comparisons can
+distinguish regression from run-to-run noise.
+
+Usage:  python bench_variance.py [n_runs]   (default 3)
+Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like bench.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+
+def main() -> None:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                            "/root/testdata/sf0.1")
+    runs: list[dict] = []
+    for i in range(n_runs):
+        print(f"=== run {i + 1}/{n_runs} (fresh process) ===",
+              file=sys.stderr)
+        out = subprocess.run(
+            [sys.executable, "bench.py"],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+
+    names = list(runs[0]["queries"])
+    stats = {}
+    for q in names:
+        vals = sorted(r["queries"][q] for r in runs)
+        med = statistics.median(vals)
+        spread_pct = (100.0 * (vals[-1] - vals[0]) / med) if med else 0.0
+        stats[q] = {"median": round(med, 3), "min": vals[0],
+                    "max": vals[-1], "spread_pct": round(spread_pct, 1)}
+    totals = sorted(r["value"] for r in runs)
+    med_total = statistics.median(totals)
+
+    today = datetime.date.today().isoformat()
+    lines = [
+        "# BENCH_NOTES — run-to-run variance protocol",
+        "",
+        f"Last measured: {today}, {n_runs} fresh-process runs of "
+        f"`bench.py` at `{sf_dir}` "
+        f"(local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]).",
+        "",
+        "**Protocol**: each run is a separate `python bench.py` process"
+        " (cold JVM, cold Spark session; OS page cache shared across"
+        " runs). Per-query spread% = (max-min)/median over the runs. A"
+        " cross-round delta on any query is NOISE, not"
+        " regression/improvement, unless it exceeds that query's"
+        " spread band.",
+        "",
+        f"**Total wall**: median {round(med_total, 2)} s, min "
+        f"{totals[0]} s, max {totals[-1]} s "
+        f"(spread {round(100 * (totals[-1] - totals[0]) / med_total, 1)}"
+        "% of median).",
+        "",
+        "| query | median s | min | max | spread % |",
+        "|---|---|---|---|---|",
+    ]
+    for q in names:
+        s = stats[q]
+        lines.append(f"| {q} | {s['median']} | {s['min']} | {s['max']} "
+                     f"| {s['spread_pct']} |")
+    worst = max(stats.values(), key=lambda s: s["spread_pct"])
+    worst_q = [q for q, s in stats.items() if s is worst][0]
+    lines += [
+        "",
+        f"Worst per-query spread this measurement: `{worst_q}` at "
+        f"{worst['spread_pct']}%. Queries under ~1 s are dominated by "
+        "fixed per-query overhead (job scheduling, first-touch scan) "
+        "and swing the most in relative terms.",
+        "",
+        "Raw per-run JSON:",
+        "",
+        "```json",
+        *[json.dumps(r) for r in runs],
+        "```",
+        "",
+    ]
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_NOTES.md")
+    # preserve any manually-maintained analysis below the marker
+    marker = "<!-- manual notes below: preserved across regeneration -->"
+    manual = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            manual = prev[prev.index(marker):]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+        if manual:
+            f.write("\n" + manual)
+    print(f"wrote {path}", file=sys.stderr)
+    # machine-readable single line (same contract style as bench.py)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_median",
+        "value": round(med_total, 3), "unit": "sec",
+        "n_runs": n_runs,
+        "queries": {q: s["median"] for q, s in stats.items()},
+        "spread_pct": {q: s["spread_pct"] for q, s in stats.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
