@@ -48,11 +48,16 @@ def _fake_pixels(data: bytes, w: int, h: int) -> list[float]:
     return out
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, nch: int) -> bytearray:
+def _png_unfilter(raw: bytes, w: int, h: int, nch: int,
+                  depth: int = 8) -> bytearray:
     """Undo PNG per-scanline filtering (types 0-4: None/Sub/Up/Average/
     Paeth, RFC 2083 §6) over `raw` = h scanlines of (1 filter byte +
-    w*nch sample bytes). Returns the flat unfiltered sample bytes."""
-    stride = w * nch
+    ceil(w*nch*depth/8) packed sample bytes). The filter's "left"
+    distance is bpp = max(1, nch*depth//8) bytes (RFC 2083: sub-byte
+    depths filter at 1-byte distance over the packed stream). Returns
+    the flat unfiltered packed bytes."""
+    stride = (w * nch * depth + 7) // 8
+    bpp = max(1, (nch * depth) // 8)
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
     out = bytearray(h * stride)
@@ -64,20 +69,20 @@ def _png_unfilter(raw: bytes, w: int, h: int, nch: int) -> bytearray:
         line = bytearray(raw[pos:pos + stride])
         pos += stride
         if f == 1:    # Sub: + left
-            for x in range(nch, stride):
-                line[x] = (line[x] + line[x - nch]) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
         elif f == 2:  # Up: + above
             for x in range(stride):
                 line[x] = (line[x] + prev[x]) & 0xFF
         elif f == 3:  # Average: + floor((left + above) / 2)
             for x in range(stride):
-                a = line[x - nch] if x >= nch else 0
+                a = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth predictor
             for x in range(stride):
-                a = line[x - nch] if x >= nch else 0
+                a = line[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - nch] if x >= nch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc
@@ -90,14 +95,35 @@ def _png_unfilter(raw: bytes, w: int, h: int, nch: int) -> bytearray:
     return out
 
 
+def _png_unpack_row(packed: bytes, w: int, nch: int,
+                    depth: int) -> list[int]:
+    """One packed scanline → w*nch sample values in their native range
+    (0..2^depth-1 for sub-byte; 0..65535 for 16-bit)."""
+    n = w * nch
+    if depth == 8:
+        return list(packed[:n])
+    if depth == 16:
+        return [(packed[2 * i] << 8) | packed[2 * i + 1]
+                for i in range(n)]
+    vals = []
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    for i in range(n):
+        byte = packed[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        vals.append((byte >> shift) & mask)
+    return vals
+
+
 def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
     """Pure-stdlib PNG decode: chunk walk → bounded zlib inflate →
-    per-scanline unfilter → ITU-R 601 luma (alpha ignored). 8-bit
-    depth, color types 0 (gray), 2 (RGB), 3 (palette, via PLTE
-    lookup), 4 (gray+alpha), 6 (RGBA); interlaced (Adam7) and
-    non-8-bit depths raise NotImplementedError honestly; corrupt
-    structure (bad IDAT stream, missing/short PLTE, out-of-range
-    palette index) raises ValueError."""
+    per-scanline unfilter → bit-unpack → ITU-R 601 luma (alpha
+    ignored). Every legal (depth, color type) pair of RFC 2083 §4.1.1
+    decodes: gray 1/2/4/8/16-bit, RGB 8/16-bit, palette 1/2/4/8-bit
+    (PLTE lookup), gray+alpha and RGBA 8/16-bit, both progressive
+    scan orders (none / Adam7 interlace). Corrupt structure (bad
+    IDAT stream, illegal depth/type combo, missing/short PLTE,
+    out-of-range palette index) raises ValueError."""
     import struct
     import zlib
 
@@ -124,51 +150,83 @@ def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
         i += 12 + clen  # len + type + body + crc
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG unsupported "
-                                  "(8-bit only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"invalid PNG color type {ctype}")
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if depth not in legal_depths[ctype]:
+        raise ValueError(
+            f"invalid PNG depth {depth} for color type {ctype}")
     if ctype == 3 and (plte is None or len(plte) < 3 or len(plte) % 3):
         raise ValueError("paletted PNG missing or malformed PLTE")
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
+    # Geometry: non-interlaced = ONE pass covering the image; Adam7 =
+    # up to 7 sub-images (RFC 2083 §2.6 pixel grid), each filtered
+    # independently and concatenated in the same zlib stream.
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8),
+                               (0, 4, 4, 8), (2, 0, 4, 4),
+                               (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
+    total = sum(ph * ((pw * nch * depth + 7) // 8 + 1)
+                for *_, pw, ph in passes)
     # Bounded inflate: cap output at exactly the pixel-data size so a
     # crafted high-ratio IDAT (zlib reaches ~1000:1) cannot balloon
     # memory before _png_unfilter's own size check; trailing
     # decompressed bytes beyond the cap are ignored per the cap.
     try:
-        raw = zlib.decompressobj().decompress(
-            b"".join(idat), h * (w * nch + 1))
+        raw = zlib.decompressobj().decompress(b"".join(idat), total)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT: {exc}") from None
-    samples = _png_unfilter(raw, w, h, nch)
-    px: list[float] = []
-    if ctype == 3:
-        for p in range(w * h):
-            o = samples[p] * 3
-            if o + 3 > len(plte):
-                raise ValueError("PNG palette index out of range")
-            r, g, b = plte[o], plte[o + 1], plte[o + 2]
-            px.append(round((0.299 * r + 0.587 * g + 0.114 * b)
-                            / 255.0, 6))
-        return w, h, px
-    for p in range(0, w * h * nch, nch):
-        if nch >= 3:
-            r, g, b = samples[p], samples[p + 1], samples[p + 2]
-            lum = 0.299 * r + 0.587 * g + 0.114 * b
-        else:
-            lum = float(samples[p])
-        px.append(round(lum / 255.0, 6))
+    maxv = (1 << depth) - 1
+    px: list[float] = [0.0] * (w * h)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        stride = (pw * nch * depth + 7) // 8
+        seg = raw[pos:pos + ph * (stride + 1)]
+        pos += ph * (stride + 1)
+        packed = _png_unfilter(seg, pw, ph, nch, depth)
+        for row in range(ph):
+            vals = _png_unpack_row(
+                packed[row * stride:(row + 1) * stride], pw, nch,
+                depth)
+            base = (y0 + row * dy) * w + x0
+            if ctype == 3:
+                for i in range(pw):
+                    o = vals[i] * 3
+                    if o + 3 > len(plte):
+                        raise ValueError(
+                            "PNG palette index out of range")
+                    r, g, b = plte[o], plte[o + 1], plte[o + 2]
+                    px[base + i * dx] = round(
+                        (0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+            elif nch >= 3:
+                for i in range(pw):
+                    r, g, b = vals[i * nch], vals[i * nch + 1], \
+                        vals[i * nch + 2]
+                    px[base + i * dx] = round(
+                        (0.299 * r + 0.587 * g + 0.114 * b) / maxv, 6)
+            else:
+                for i in range(pw):
+                    px[base + i * dx] = round(vals[i * nch] / maxv, 6)
     return w, h, px
 
 
 def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
-    """Pure-stdlib REAL decode of PNG (8-bit, non-interlaced; gray/
-    RGB/palette/alpha color types),
+    """Pure-stdlib REAL decode of PNG (every legal depth/color-type
+    combo — gray 1-16 bit, RGB, palette, alpha — plain or Adam7
+    interlaced),
     uncompressed 24/32-bit BMP, and binary PPM (P6) / PGM (P5) into
     (width, height, row-major grayscale floats in [0, 1], ITU-R 601
     luma, round-6).

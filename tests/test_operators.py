@@ -1390,41 +1390,86 @@ class TestRealRasterDecode:
     @staticmethod
     def _png(samples, w, h, nch, filters, ctype=None, depth=8,
              interlace=0, plte=None):
-        """Minimal PNG encoder applying the FORWARD filter per row so
+        """Minimal PNG encoder applying the FORWARD filter per row
+        (over the PACKED scanline bytes, bpp-distance per RFC 2083) so
         the decoder's unfilter path (None/Sub/Up/Average/Paeth) is
-        exercised against known pixel bytes."""
+        exercised against known samples at any depth (1/2/4/8/16)."""
         import struct
         import zlib
 
         if ctype is None:
             ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-        stride = w * nch
-        raw = bytearray()
-        prev = bytes(stride)
-        for row in range(h):
-            line = bytes(samples[row * stride:(row + 1) * stride])
-            f = filters[row % len(filters)]
-            raw.append(f)
-            for x in range(stride):
-                a = line[x - nch] if x >= nch else 0
-                b = prev[x]
-                c = prev[x - nch] if x >= nch else 0
-                if f == 0:
-                    v = line[x]
-                elif f == 1:
-                    v = line[x] - a
-                elif f == 2:
-                    v = line[x] - b
-                elif f == 3:
-                    v = line[x] - ((a + b) >> 1)
-                else:  # Paeth
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pr = a if (pa <= pb and pa <= pc) else (
-                        b if pb <= pc else c)
-                    v = line[x] - pr
-                raw.append(v & 0xFF)
-            prev = line
+
+        def pack_row(vals):
+            if depth == 8:
+                return bytes(vals)
+            if depth == 16:
+                return b"".join(struct.pack(">H", v) for v in vals)
+            per_byte = 8 // depth
+            out = bytearray((len(vals) * depth + 7) // 8)
+            for i, v in enumerate(vals):
+                shift = 8 - depth * (i % per_byte + 1)
+                out[i // per_byte] |= (v & ((1 << depth) - 1)) << shift
+            return bytes(out)
+
+        bpp = max(1, (nch * depth) // 8)
+
+        def encode_sub(rows_of_vals):
+            """Filter one (sub-)image: list of per-row native-range
+            sample lists → filter-byte-prefixed packed scanlines."""
+            out = bytearray()
+            prev = bytes(len(pack_row(rows_of_vals[0])))
+            for row, vals in enumerate(rows_of_vals):
+                line = pack_row(vals)
+                f = filters[row % len(filters)]
+                out.append(f)
+                for x in range(len(line)):
+                    a = line[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    if f == 0:
+                        v = line[x]
+                    elif f == 1:
+                        v = line[x] - a
+                    elif f == 2:
+                        v = line[x] - b
+                    elif f == 3:
+                        v = line[x] - ((a + b) >> 1)
+                    else:  # Paeth
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c)
+                        v = line[x] - pr
+                    out.append(v & 0xFF)
+                prev = line
+            return out
+
+        n_vals = w * nch
+        if interlace == 0:
+            raw = encode_sub(
+                [samples[r * n_vals:(r + 1) * n_vals]
+                 for r in range(h)])
+        else:  # Adam7: 7 independently filtered sub-images
+            raw = bytearray()
+            for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8),
+                                   (0, 4, 4, 8), (2, 0, 4, 4),
+                                   (0, 2, 2, 4), (1, 0, 2, 2),
+                                   (0, 1, 1, 2)):
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                rows = []
+                for r in range(ph):
+                    y = y0 + r * dy
+                    vals = []
+                    for i in range(pw):
+                        x = x0 + i * dx
+                        vals += samples[(y * w + x) * nch:
+                                        (y * w + x) * nch + nch]
+                    rows.append(vals)
+                raw += encode_sub(rows)
 
         def chunk(cid, body):
             return (struct.pack(">I", len(body)) + cid + body
@@ -1478,9 +1523,6 @@ class TestRealRasterDecode:
             decode_raster_gray,
         )
         gray = [0, 64, 128, 255]
-        with pytest.raises(NotImplementedError, match="interlaced"):
-            decode_raster_gray(
-                self._png(gray, 2, 2, 1, filters=[0], interlace=1))
         with pytest.raises(ValueError, match="invalid PNG color type"):
             decode_raster_gray(
                 self._png(gray, 2, 2, 1, filters=[0], ctype=7))
@@ -1530,6 +1572,99 @@ class TestRealRasterDecode:
             decode_raster_gray(
                 self._png([0, 5, 0, 0], 2, 2, 1, filters=[0], ctype=3,
                           plte=[10, 20, 30, 40, 50, 60]))
+
+    def test_png_subbyte_depths_golden(self):
+        """1/2/4-bit gray and 4-bit palette: packed-bit unpacking plus
+        the bpp=1 filter distance, against hand-computed values."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        # 1-bit gray, 5x2 (stride has 3 padding bits per row)
+        bits = [1, 0, 1, 1, 0,
+                0, 1, 0, 0, 1]
+        w, h, px = decode_raster_gray(
+            self._png(bits, 5, 2, 1, filters=[0, 2], depth=1))
+        assert (w, h) == (5, 2)
+        assert px == [float(b) for b in bits]
+        # 2-bit gray: values scale by /3
+        q = [0, 1, 2, 3]
+        _, _, px = decode_raster_gray(
+            self._png(q, 4, 1, 1, filters=[1], depth=2))
+        assert px == [round(v / 3, 6) for v in q]
+        # 4-bit gray across filtered rows
+        nib = [0, 5, 10, 15, 15, 10, 5, 0]
+        _, _, px = decode_raster_gray(
+            self._png(nib, 4, 2, 1, filters=[3, 4], depth=4))
+        assert px == [round(v / 15, 6) for v in nib]
+        # 4-bit palette
+        plte = [255, 0, 0,  0, 255, 0,  0, 0, 255]
+        idx = [0, 1, 2, 2, 1, 0]
+        _, _, px = decode_raster_gray(
+            self._png(idx, 3, 2, 1, filters=[0, 1], ctype=3, depth=4,
+                      plte=plte))
+        want = [round((0.299 * plte[3 * i] + 0.587 * plte[3 * i + 1]
+                       + 0.114 * plte[3 * i + 2]) / 255.0, 6)
+                for i in idx]
+        assert px == want
+
+    def test_png_16bit_golden(self):
+        """16-bit gray and RGB: big-endian sample pairs, /65535
+        normalization, 2- and 6-byte filter distances."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        gray = [0, 257, 32768, 65535]
+        _, _, px = decode_raster_gray(
+            self._png(gray, 2, 2, 1, filters=[0, 4], depth=16))
+        assert px == [round(v / 65535, 6) for v in gray]
+        rgb = [65535, 0, 0,   0, 65535, 0,
+               0, 0, 65535,   30000, 40000, 50000]
+        _, _, px = decode_raster_gray(
+            self._png(rgb, 2, 2, 3, filters=[1, 3], depth=16))
+        want = [round((0.299 * rgb[3 * i] + 0.587 * rgb[3 * i + 1]
+                       + 0.114 * rgb[3 * i + 2]) / 65535, 6)
+                for i in range(4)]
+        assert px == want
+
+    def test_png_adam7_interlaced_golden(self):
+        """Adam7: 7 independently-filtered sub-images scatter back to
+        the exact same pixels as the progressive-order decode — RGB
+        9x9 (every pass non-empty) and 1-bit gray 5x5."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        rgb = [(13 * i % 256, (7 * i + 50) % 256, (29 * i + 3) % 256)
+               for i in range(81)]
+        samples = [v for p in rgb for v in p]
+        plain = decode_raster_gray(
+            self._png(samples, 9, 9, 3, filters=[0, 1, 2, 3, 4]))
+        inter = decode_raster_gray(
+            self._png(samples, 9, 9, 3, filters=[0, 1, 2, 3, 4],
+                      interlace=1))
+        assert inter == plain
+        want = [round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+                for (r, g, b) in rgb]
+        assert inter[2] == want
+        bits = [(i * 7 + 3) % 2 for i in range(25)]
+        _, _, px = decode_raster_gray(
+            self._png(bits, 5, 5, 1, filters=[4, 2], depth=1,
+                      interlace=1))
+        assert px == [float(b) for b in bits]
+
+    def test_png_illegal_depth_combo_is_valueerror(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        # 2-bit RGB is not a legal RFC 2083 combination
+        with pytest.raises(ValueError, match="invalid PNG depth"):
+            decode_raster_gray(
+                self._png([0, 1, 2, 3, 0, 1], 2, 1, 3, filters=[0],
+                          depth=2))
+        # 16-bit palette likewise
+        with pytest.raises(ValueError, match="invalid PNG depth"):
+            decode_raster_gray(
+                self._png([0, 1], 2, 1, 1, filters=[0], ctype=3,
+                          depth=16, plte=[1, 2, 3, 4, 5, 6]))
 
     def test_png_corrupt_idat_and_bounded_inflate(self):
         """Garbage IDAT bytes surface as ValueError (the module's
