@@ -223,15 +223,143 @@ def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
     return w, h, px
 
 
+def _gif_lzw_decode(data: bytes, mcs: int, max_out: int) -> bytes:
+    """GIF-variant LZW (GIF89a spec appendix F): LSB-first variable
+    code width starting at mcs+1 bits, CLEAR/END control codes, table
+    capped at 4096 entries (deferred-clear tolerated). Output is
+    bounded at `max_out` indices — same memory posture as the PNG
+    bounded inflate."""
+    clear = 1 << mcs
+    end = clear + 1
+    code_size = mcs + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    prev: bytes | None = None
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < max_out:
+        code = 0
+        for k in range(code_size):
+            code |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7))
+                     & 1) << k
+        bitpos += code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            code_size = mcs + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("corrupt GIF LZW stream")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:max_out])
+
+
+def _decode_gif_gray(data: bytes) -> tuple[int, int, list[float]]:
+    """Pure-stdlib GIF decode (GIF87a/89a): global/local color table,
+    LZW index stream, optional 4-pass row interlace — of the FIRST
+    image frame, at the frame's own dimensions (animation frames after
+    the first, disposal/transparency compositing are out of scope for
+    grayscale feature extraction). Extension blocks are skipped."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise ValueError("not a GIF")
+    packed = data[10]
+    i = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[i:i + 3 * n]
+        i += 3 * n
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:  # extension: label byte then sub-blocks
+            i += 2
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(data):
+                raise ValueError("truncated GIF image descriptor")
+            _, _, fw, fh = struct.unpack_from("<HHHH", data, i + 1)
+            p = data[i + 9]
+            interlaced = bool(p & 0x40)
+            i += 10
+            ct = gct
+            if p & 0x80:  # local color table wins
+                n = 2 << (p & 0x07)
+                ct = data[i:i + 3 * n]
+                i += 3 * n
+            if not ct:
+                raise ValueError("GIF image has no color table")
+            if fw <= 0 or fh <= 0:
+                raise ValueError("bad GIF dimensions")
+            mcs = data[i]
+            i += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"bad GIF LZW min code size {mcs}")
+            comp = bytearray()
+            while i < len(data) and data[i] != 0:
+                n = data[i]
+                comp += data[i + 1:i + 1 + n]
+                i += 1 + n
+            idx = _gif_lzw_decode(bytes(comp), mcs, fw * fh)
+            if len(idx) < fw * fh:
+                raise ValueError("truncated GIF pixel data")
+            # row order: sequential, or the 4 interlace passes
+            if interlaced:
+                order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                         + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+            else:
+                order = list(range(fh))
+            px: list[float] = [0.0] * (fw * fh)
+            n_colors = len(ct) // 3
+            for src_row, y in enumerate(order):
+                for x in range(fw):
+                    c = idx[src_row * fw + x]
+                    if c >= n_colors:
+                        raise ValueError(
+                            "GIF color index out of range")
+                    r, g, bl = ct[3 * c], ct[3 * c + 1], ct[3 * c + 2]
+                    px[y * fw + x] = round(
+                        (0.299 * r + 0.587 * g + 0.114 * bl) / 255.0,
+                        6)
+            return fw, fh, px
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block type 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
     """Pure-stdlib REAL decode of PNG (every legal depth/color-type
     combo — gray 1-16 bit, RGB, palette, alpha — plain or Adam7
     interlaced),
-    uncompressed 24/32-bit BMP, and binary PPM (P6) / PGM (P5) into
+    GIF (LZW, first frame, plain or interlaced), uncompressed
+    24/32-bit BMP, and binary PPM (P6) / PGM (P5) into
     (width, height, row-major grayscale floats in [0, 1], ITU-R 601
     luma, round-6).
 
-    Formats needing codec libraries (JPEG/GIF/...) raise
+    Formats needing codec libraries (JPEG/video/...) raise
     NotImplementedError — the container ships no Pillow; see
     decode_image.
     """
@@ -239,6 +367,9 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
 
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_gray(data)
+
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_gray(data)
 
     if data[:2] == b"BM":
         if len(data) < 54:
@@ -310,9 +441,9 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
         return width, height, px
 
     raise NotImplementedError(
-        "real decode supports PNG, uncompressed BMP and binary PPM/PGM "
-        "only; other formats need Pillow, which this container does "
-        "not ship")
+        "real decode supports PNG, GIF, uncompressed BMP and binary "
+        "PPM/PGM only; other formats need Pillow, which this "
+        "container does not ship")
 
 
 def decode_image(
@@ -329,7 +460,7 @@ def decode_image(
     the container cannot decode.
 
     fake=False: REAL decode via decode_raster_gray (pure-stdlib PNG /
-    uncompressed BMP / binary PPM / PGM); width/height parameters are
+    GIF / uncompressed BMP / binary PPM / PGM); width/height parameters are
     ignored and each row carries its image's true dimensions. Formats
     that need Pillow raise NotImplementedError, honestly.
     """

@@ -1697,6 +1697,114 @@ class TestRealRasterDecode:
         w, h, px = decode_raster_gray(bomb)
         assert (w, h) == (2, 2) and px == [0.0, 0.0, 0.0, 0.0]
 
+    # --- GIF (pure-stdlib LZW) ---
+
+    @staticmethod
+    def _pack_codes(codes):
+        """[(code, bit_width)] → LSB-first packed bytes (GIF order)."""
+        buf = nbits = 0
+        out = bytearray()
+        for code, size in codes:
+            buf |= code << nbits
+            nbits += size
+            while nbits >= 8:
+                out.append(buf & 0xFF)
+                buf >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(buf & 0xFF)
+        return bytes(out)
+
+    PALETTE4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+
+    @classmethod
+    def _gif(cls, indices, w, h, interlaced=False, with_ext=False,
+             gct=True):
+        """Minimal GIF89a encoder: clear-code-per-literal LZW (valid,
+        never grows the table) so decoded indices are known exactly."""
+        import struct
+        mcs = 2
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        cs = mcs + 1
+        codes = [(clear, cs)]
+        for idx in indices:
+            codes += [(idx, cs), (clear, cs)]
+        codes.append((end, cs))
+        comp = cls._pack_codes(codes)
+        blocks = b""
+        for o in range(0, len(comp), 255):
+            ch = comp[o:o + 255]
+            blocks += bytes([len(ch)]) + ch
+        out = (b"GIF89a" + struct.pack("<HH", w, h)
+               + bytes([0x81 if gct else 0x00, 0, 0]))
+        if gct:
+            out += b"".join(bytes(c) for c in cls.PALETTE4)
+        if with_ext:  # graphic control extension must be skipped
+            out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+                + bytes([0x40 if interlaced else 0x00])
+                + bytes([mcs]) + blocks + b"\x00" + b"\x3b")
+        return out
+
+    def _palette_luma(self, indices):
+        return [round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+                for (r, g, b) in (self.PALETTE4[i] for i in indices)]
+
+    def test_gif_golden_plain_and_extension_skip(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        idx = [0, 1, 2, 3, 3, 0]
+        w, h, px = decode_raster_gray(self._gif(idx, 3, 2))
+        assert (w, h) == (3, 2)
+        assert px == self._palette_luma(idx)
+        # graphic control extension before the frame is skipped
+        _, _, px2 = decode_raster_gray(
+            self._gif(idx, 3, 2, with_ext=True))
+        assert px2 == px
+
+    def test_gif_interlaced_rows_reorder(self):
+        """4-pass interlace: the encoder writes rows in pass order
+        (0,8.. / 4.. / 2,6.. / 1,3..); the decoder must scatter them
+        back to sequential order."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        h, w = 5, 2
+        rows = [[(r + c) % 4 for c in range(w)] for r in range(h)]
+        pass_order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                      + [*range(2, h, 4)] + [*range(1, h, 2)])
+        stream = [v for r in pass_order for v in rows[r]]
+        _, _, px = decode_raster_gray(
+            self._gif(stream, w, h, interlaced=True))
+        want = self._palette_luma([v for r in rows for v in r])
+        assert px == want
+
+    def test_gif_lzw_growth_and_kwkwk(self):
+        """Hand-packed stream exercising real table growth, the
+        code==next_code (KwKwK) case, and the width bump at
+        next_code == 1<<code_size: decodes to five 1-indices."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            _gif_lzw_decode,
+        )
+        data = self._pack_codes(
+            [(4, 3), (1, 3), (6, 3), (6, 3), (5, 4)])
+        assert _gif_lzw_decode(data, 2, 100) == b"\x01" * 5
+        # output cap: same stream truncated at 3 indices
+        assert _gif_lzw_decode(data, 2, 3) == b"\x01" * 3
+
+    def test_gif_errors(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        with pytest.raises(ValueError, match="no color table"):
+            decode_raster_gray(self._gif([0, 1], 2, 1, gct=False))
+        with pytest.raises(ValueError, match="truncated GIF pixel"):
+            decode_raster_gray(self._gif([0], 2, 2))  # 1 index for 4 px
+        with pytest.raises(ValueError, match="no image data"):
+            decode_raster_gray(
+                b"GIF89a\x02\x00\x01\x00\x00\x00\x00\x3b")
+
     def test_png_through_spark_real_decode(self, spark):
         from nifi_extracttext_processor_spark.operators.multimodal import (
             decode_image,
