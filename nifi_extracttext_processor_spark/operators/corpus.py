@@ -332,3 +332,179 @@ SELECT * FROM {table}
 WHERE ('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT
       < (CASE {strata_col} {cases} ELSE {int(default_rate * _M32)} END)
 """
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated-span removal, Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every duplicated token span of >= ``min_len`` tokens from
+    all but its first occurrence across the corpus — the exact-substring
+    dedup of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022), re-expressed relationally: instead of one giant
+    suffix array, duplicated substrings are found as duplicated
+    ``min_len``-token WINDOW hashes (a span of length >= min_len is
+    duplicated iff all its length-min_len windows are), then merged into
+    maximal spans per doc with gaps-and-islands, and the surviving
+    tokens are reassembled in order.
+
+    Returns ``(doc_id, clean_text, n_removed)`` for EVERY input doc —
+    ``clean_text`` is the whitespace-tokenized text with removed spans
+    excised (single-space rejoined), ``n_removed`` the count of removed
+    tokens. The canonical first occurrence of a duplicated window is
+    the minimum ``(doc_id, pos)`` — it always survives, so shared
+    content is kept exactly once, like the reference algorithm.
+
+    Plan shape / 100 TB posture:
+    1. one pass hashes every token window — the explode carries
+       ``(doc_id, pos, h)`` rows only, never the text;
+    2. a map-side-combinable agg per hash finds cnt + the canonical
+       owner key; ONLY hashes with cnt > 1 (the duplicated fraction,
+       typically a few %) join back;
+    3. span merge is a keyed window per doc over that doc's DUP
+       windows (bounded by its duplicated content, not its length);
+    4. reassembly anti-joins removed positions and rebuilds with an
+       in-group sort — shuffles reuse the doc_id partitioning.
+    md5 strings keep the hash portable for the DuckDB twin; a
+    production run would swap xxhash64 (8-byte shuffle keys, not
+    oracle-reproducible).
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    d = df.select(F.col(id_col), toks.alias("toks"))
+    # window hashes: pos i covers tokens [i, i+min_len)
+    wins = F.when(
+        F.size("toks") >= min_len,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {min_len}), "
+            f"i -> struct(i AS pos, "
+            f"md5(concat_ws(' ', slice(toks, i + 1, {min_len}))) "
+            "AS h))")).otherwise(F.expr(
+                "array()").cast(
+                "array<struct<pos:int,h:string>>"))
+    occ = (d.select(F.col(id_col), F.explode(wins).alias("w"))
+           .select(F.col(id_col), F.col("w.pos").alias("pos"),
+                   F.col("w.h").alias("h")))
+    okey = F.col(id_col).cast("long") * F.lit(_M32) + F.col("pos")
+    agg = (occ.select("h", okey.alias("okey"))
+           .groupBy("h")
+           .agg(F.count("*").alias("cnt"),
+                F.min("okey").alias("own")))
+    dup_pos = (occ.join(agg.filter(F.col("cnt") > 1), "h")
+               .filter(okey != F.col("own"))
+               .select(F.col(id_col), "pos"))
+    # gaps-and-islands over [pos, pos+min_len) intervals per doc
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + min_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    spans = (dup_pos
+             .withColumn("__new",
+                         F.when(prev_max_end.isNull()
+                                | (F.col("pos") > prev_max_end),
+                                1).otherwise(0))
+             .withColumn("__span", F.sum("__new").over(w))
+             .groupBy(id_col, "__span")
+             .agg(F.min("pos").alias("start"),
+                  F.max(F.col("pos") + min_len).alias("end")))
+    removed = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("start"),
+                             F.col("end") - 1)).alias("pos"))
+    tokpos = d.select(
+        F.col(id_col),
+        F.posexplode("toks").alias("pos", "tok"))
+    kept = tokpos.join(removed, [id_col, "pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "tok"))),
+                       lambda s: s["tok"]), " ").alias("clean_text"),
+                   F.count("*").alias("n_kept")))
+    return (d.select(F.col(id_col), F.size("toks").alias("__n"))
+            .join(rebuilt, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                (F.col("__n") - F.coalesce("n_kept", F.lit(0)))
+                .cast("long").alias("n_removed")))
+
+
+def exact_substring_dedup_sql(
+    table: str = "documents",
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of exact_substring_dedup (same md5 window hashes,
+    same canonical-owner and span-merge rules)."""
+    return f"""
+WITH d AS (
+  SELECT {id_col}, string_split_regex({text_expr}, '\\s+') AS toks
+  FROM {table}
+), occ AS (
+  SELECT {id_col},
+         unnest(range(0, greatest(len(toks) - {min_len} + 1, 0)))
+           AS pos,
+         unnest(list_transform(
+             range(0, greatest(len(toks) - {min_len} + 1, 0)),
+             i -> md5(array_to_string(
+                 list_slice(toks, i + 1, i + {min_len}), ' '))))
+           AS h
+  FROM d
+), agg AS (
+  SELECT h, count(*) AS cnt,
+         min({id_col}::BIGINT * {_M32} + pos) AS own
+  FROM occ GROUP BY h
+), dup_pos AS (
+  SELECT o.{id_col}, o.pos
+  FROM occ o JOIN agg a USING (h)
+  WHERE a.cnt > 1 AND o.{id_col}::BIGINT * {_M32} + o.pos <> a.own
+), flagged AS (
+  SELECT {id_col}, pos,
+         CASE WHEN max(pos + {min_len}) OVER
+                (PARTITION BY {id_col} ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+           OR pos > max(pos + {min_len}) OVER
+                (PARTITION BY {id_col} ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_span
+  FROM dup_pos
+), spans AS (
+  SELECT {id_col}, min(pos) AS sstart, max(pos + {min_len}) AS send
+  FROM (SELECT {id_col}, pos,
+               sum(new_span) OVER
+                 (PARTITION BY {id_col} ORDER BY pos) AS span_id
+        FROM flagged)
+  GROUP BY {id_col}, span_id
+), removed AS (
+  SELECT {id_col}, unnest(range(sstart, send)) AS pos FROM spans
+), tokpos AS (
+  SELECT {id_col},
+         unnest(range(0, len(toks))) AS pos,
+         unnest(toks) AS tok
+  FROM d
+), kept AS (
+  SELECT t.{id_col}, t.pos, t.tok
+  FROM tokpos t
+  WHERE NOT EXISTS (SELECT 1 FROM removed r
+                    WHERE r.{id_col} = t.{id_col} AND r.pos = t.pos)
+), rebuilt AS (
+  SELECT {id_col},
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       coalesce(r.clean_text, '') AS clean_text,
+       (len(d.toks) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM d LEFT JOIN rebuilt r USING ({id_col})
+"""

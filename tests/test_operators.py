@@ -2318,3 +2318,87 @@ class TestAsofJoin:
         # which sits downstream of the per-bucket aggregation (struct
         # max → SortAggregate; either aggregate flavor is fine)
         assert "Aggregate" in plan
+
+
+class TestExactSubstringDedup:
+    """Lee-et-al-style duplicated-span removal (operators/corpus.py):
+    driver correctness window is full (50/50), so the DuckDB oracle
+    rides in pytest here, same as the streaming batch twin."""
+
+    def _fixture(self, spark):
+        import pandas as pd
+        shared = " ".join(f"w{i}" for i in range(12))
+        rows = [
+            (1, "alpha " + shared + " omega"),
+            (2, "start " + shared + " finish line here"),
+            (3, "totally unique content with no overlap at all beyond"),
+            (4, shared),
+            (5, "tiny doc"),  # shorter than min_len: no windows at all
+        ]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        return pdf, spark.createDataFrame(pdf)
+
+    def test_first_occurrence_survives_repeats_excised(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            exact_substring_dedup,
+        )
+        _, df = self._fixture(spark)
+        out = {r["doc_id"]: r for r in
+               exact_substring_dedup(df, min_len=8).collect()}
+        assert out[1]["n_removed"] == 0          # canonical owner
+        assert "w0" in out[1]["clean_text"]
+        assert out[2]["clean_text"] == "start finish line here"
+        assert out[2]["n_removed"] == 12
+        assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 12
+        assert out[3]["n_removed"] == 0          # unique doc untouched
+        assert out[5]["clean_text"] == "tiny doc"  # sub-min_len: kept
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            exact_substring_dedup, exact_substring_dedup_sql,
+        )
+        pdf, df = self._fixture(spark)
+        got = sorted(
+            (r["doc_id"], r["clean_text"], r["n_removed"])
+            for r in exact_substring_dedup(df, min_len=8).collect())
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = sorted(
+            (int(r["doc_id"]), r["clean_text"], int(r["n_removed"]))
+            for _, r in con.execute(exact_substring_dedup_sql(
+                "documents", min_len=8)).df().iterrows())
+        assert got == want
+
+    def test_overlapping_spans_merge(self, spark):
+        """Two duplicated regions overlapping inside one doc excise as
+        ONE merged span (gaps-and-islands), not double-counted."""
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            exact_substring_dedup,
+        )
+        a = " ".join(f"a{i}" for i in range(10))
+        b = " ".join(f"b{i}" for i in range(10))
+        df = spark.createDataFrame([
+            (1, a),                       # owner of region A
+            (2, b),                       # owner of region B
+            (3, a + " " + b),             # A and B adjacent: one cut
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               exact_substring_dedup(df, min_len=6).collect()}
+        assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 20
+        assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+
+    def test_no_cartesian_and_keyed_windows(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            exact_substring_dedup,
+        )
+        _, df = self._fixture(spark)
+        plan = (exact_substring_dedup(df, min_len=8)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        # span-merge window is keyed by doc, never a global sort
+        import re
+        wins = re.findall(
+            r"Window \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", plan)
+        assert wins and all("doc_id" in spec for spec in wins)
