@@ -2402,3 +2402,105 @@ class TestExactSubstringDedup:
         wins = re.findall(
             r"Window \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", plan)
         assert wins and all("doc_id" in spec for spec in wins)
+
+
+class TestAudioPcmDecode:
+    @staticmethod
+    def _wav(samples, rate=8000, nch=1, bits=16, audio_fmt=1,
+             extra_chunk=False):
+        """Minimal RIFF/WAVE encoder for interleaved float samples in
+        [-1, 1]."""
+        import struct
+        if audio_fmt == 1 and bits == 8:
+            raw = bytes(int(round(v * 127)) + 128 for v in samples)
+        elif audio_fmt == 1 and bits == 16:
+            raw = b"".join(struct.pack(
+                "<h", max(-32768, min(32767, int(round(v * 32767)))))
+                for v in samples)
+        elif audio_fmt == 1 and bits == 24:
+            raw = b""
+            for v in samples:
+                iv = max(-(1 << 23), min((1 << 23) - 1,
+                                         int(round(v * ((1 << 23) - 1)))))
+                raw += struct.pack("<i", iv)[:3]
+        elif audio_fmt == 3 and bits == 32:
+            raw = b"".join(struct.pack("<f", v) for v in samples)
+        else:
+            raise AssertionError("unsupported test combo")
+        block = nch * bits // 8
+        fmt = struct.pack("<HHIIHH", audio_fmt, nch, rate,
+                          rate * block, block, bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:  # LIST chunk with odd size: pad byte honored
+            chunks += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        chunks += b"data" + struct.pack("<I", len(raw)) + raw
+        return (b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks)
+
+    def test_sine_stats_16bit(self):
+        import math
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_audio_pcm,
+        )
+        rate, freq, dur = 8000, 440, 1.0
+        sine = [math.sin(2 * math.pi * freq * t / rate)
+                for t in range(int(rate * dur))]
+        r, nch, mono = decode_audio_pcm(self._wav(sine, rate=rate))
+        assert (r, nch, len(mono)) == (rate, 1, 8000)
+        rms = (sum(v * v for v in mono) / len(mono)) ** 0.5
+        assert abs(rms - 1 / math.sqrt(2)) < 0.01
+        zc = sum(1 for i in range(1, len(mono))
+                 if (mono[i - 1] < 0) != (mono[i] < 0))
+        assert abs(zc / dur - 2 * freq) <= 2  # 2 crossings per cycle
+
+    def test_stereo_downmix_and_formats(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_audio_pcm,
+        )
+        # L = +0.5, R = -0.5 -> mono 0.0; interleaved
+        stereo = [0.5, -0.5] * 100
+        r, nch, mono = decode_audio_pcm(
+            self._wav(stereo, nch=2, extra_chunk=True))
+        assert nch == 2 and len(mono) == 100
+        assert max(abs(v) for v in mono) < 1e-4
+        # 8-bit / 24-bit / float32 round-trip a constant level
+        for bits, afmt in ((8, 1), (24, 1), (32, 3)):
+            _, _, m = decode_audio_pcm(
+                self._wav([0.25] * 50, bits=bits, audio_fmt=afmt))
+            assert len(m) == 50 and abs(m[0] - 0.25) < 0.01, (bits, afmt)
+
+    def test_errors_and_unsupported(self):
+        import pytest as _pytest
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_audio_pcm,
+        )
+        with _pytest.raises(ValueError, match="not a RIFF"):
+            decode_audio_pcm(b"ID3\x04rest-of-an-mp3-file")
+        with _pytest.raises(ValueError, match="missing fmt"):
+            decode_audio_pcm(b"RIFF\x04\x00\x00\x00WAVE")
+        bad = bytearray(self._wav([0.1] * 4))
+        import struct
+        struct.pack_into("<H", bad, bad.index(b"fmt ") + 8, 2)  # ADPCM
+        with _pytest.raises(NotImplementedError, match="codec"):
+            decode_audio_pcm(bytes(bad))
+
+    def test_waveform_stats_through_spark(self, spark):
+        import math
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            audio_waveform_stats,
+        )
+        rate = 4000
+        sine = [math.sin(2 * math.pi * 100 * t / rate)
+                for t in range(rate // 2)]
+        df = spark.createDataFrame(
+            [Row(media_id=1, content=bytearray(self._wav(sine,
+                                                         rate=rate)))])
+        r = audio_waveform_stats(df).collect()[0]
+        assert r["sample_rate"] == rate and r["n_channels"] == 1
+        assert r["n_samples"] == rate // 2
+        assert abs(r["duration_s"] - 0.5) < 1e-6
+        assert abs(r["rms"] - 1 / math.sqrt(2)) < 0.01
+        assert abs(r["zero_crossing_rate"] - 2 * 100 / rate) < 0.01
