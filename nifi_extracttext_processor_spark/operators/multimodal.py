@@ -312,6 +312,8 @@ def _decode_gif_gray(data: bytes) -> tuple[int, int, list[float]]:
                 raise ValueError("GIF image has no color table")
             if fw <= 0 or fh <= 0:
                 raise ValueError("bad GIF dimensions")
+            if i >= len(data):
+                raise ValueError("truncated GIF image data")
             mcs = data[i]
             i += 1
             if not 2 <= mcs <= 11:

@@ -186,3 +186,58 @@ def test_truncated_r3_metadata_never_raises(cut, idx):
     truncated = data[:cut] if cut < len(data) else data
     for fn in (image_dimensions, wav_metadata, mp3_metadata):
         assert isinstance(fn(truncated), dict)
+
+
+# ---- media decoders (multimodal.py): decode must fail CLOSED — only
+# ValueError / NotImplementedError, never IndexError/KeyError/zlib
+# errors/hangs — mirroring the extract_any contract for binary docs.
+
+from nifi_extracttext_processor_spark.operators.multimodal import (  # noqa: E402
+    decode_audio_pcm, decode_raster_gray,
+)
+
+
+def _decode_contract(fn, data):
+    try:
+        fn(data)
+    except (ValueError, NotImplementedError):
+        pass  # the documented failure modes
+
+
+@_FAST
+@given(st.binary(max_size=4096))
+def test_raster_decode_fails_closed(data):
+    _decode_contract(decode_raster_gray, data)
+
+
+@_FAST
+@given(st.sampled_from([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
+                        b"BM", b"P5\n", b"P6\n"]),
+       st.binary(max_size=2048))
+def test_raster_decode_survives_corrupt_tails(prefix, tail):
+    _decode_contract(decode_raster_gray, prefix + tail)
+
+
+@_FAST
+@given(st.binary(max_size=4096))
+def test_audio_decode_fails_closed(data):
+    _decode_contract(decode_audio_pcm, data)
+
+
+@_FAST
+@given(st.binary(max_size=2048))
+def test_audio_decode_survives_corrupt_wav(tail):
+    _decode_contract(decode_audio_pcm, b"RIFF\xff\xff\x00\x00WAVE" + tail)
+
+
+def test_gif_truncated_after_lct_is_valueerror():
+    """Regression: a GIF cut right after the local color table must be
+    ValueError, not IndexError."""
+    import struct
+
+    import pytest
+    gif = (b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x00, 0, 0])
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2)
+           + bytes([0x80]) + b"\x01\x02\x03" * 2)  # LCT then EOF
+    with pytest.raises(ValueError):
+        decode_raster_gray(gif)
