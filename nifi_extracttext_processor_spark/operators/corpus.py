@@ -392,15 +392,18 @@ def exact_substring_dedup(
            .select(F.col(id_col), F.col("w.pos").alias("pos"),
                    F.col("w.h").alias("h")))
     okey = F.col(id_col).cast("long") * F.lit(_M32) + F.col("pos")
-    agg = (occ.select("h", okey.alias("okey"))
-           .groupBy("h")
-           .agg(F.count("*").alias("cnt"),
-                F.min("okey").alias("own")))
-    dup_pos = (occ.join(agg.filter(F.col("cnt") > 1), "h")
-               .filter(okey != F.col("own"))
+    # cnt/owner as analytic functions over h: ONE shuffle of the
+    # (id, pos, h) rows and the expensive window-hash explode runs
+    # exactly once — a groupBy+join-back would recompute the explode
+    # for the join probe side
+    from pyspark.sql.window import Window
+    wh = Window.partitionBy("h")
+    dup_pos = (occ
+               .withColumn("cnt", F.count("*").over(wh))
+               .withColumn("own", F.min(okey).over(wh))
+               .filter((F.col("cnt") > 1) & (okey != F.col("own")))
                .select(F.col(id_col), "pos"))
     # gaps-and-islands over [pos, pos+min_len) intervals per doc
-    from pyspark.sql.window import Window
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(F.col("pos") + min_len).over(
         w.rowsBetween(Window.unboundedPreceding, -1))

@@ -2397,11 +2397,14 @@ class TestExactSubstringDedup:
         plan = (exact_substring_dedup(df, min_len=8)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
-        # span-merge window is keyed by doc, never a global sort
+        # every window is keyed (hash-partition on h or doc_id) —
+        # no global single-partition window anywhere
         import re
         wins = re.findall(
             r"Window \[[^\]]*\], \[([^\]]*)\], \[[^\]]*\]", plan)
-        assert wins and all("doc_id" in spec for spec in wins)
+        assert wins
+        assert all("doc_id" in spec or "h#" in spec for spec in wins)
+        assert any("doc_id" in spec for spec in wins)
 
 
 class TestAudioPcmDecode:
