@@ -534,19 +534,32 @@ def resize_image(
     src_w: int = 8, src_h: int = 8,
     dst_w: int = 4, dst_h: int = 4,
 ) -> DataFrame:
-    """Nearest-neighbor resize on the decoded pixel array (numpy)."""
+    """Nearest-neighbor resize on the decoded pixel array (numpy).
+
+    Source dimensions: when the frame carries ``width``/``height``
+    columns (both decode_image paths emit them), each row resizes from
+    its OWN dimensions — this is what makes the operator compose with
+    real decode of variable-size images. Without those columns the
+    fixed ``src_w``/``src_h`` apply to every row. A row whose pixel
+    count does not match its dimensions raises ValueError."""
     schema = (_passthrough_fields(df, drop=("width", "height", pixels_col))
               + f", {pixels_col} ARRAY<FLOAT>, width INT, height INT")
+    has_dims = "width" in df.columns and "height" in df.columns
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        ys = (np.arange(dst_h) * src_h // dst_h)
-        xs = (np.arange(dst_w) * src_w // dst_w)
         for pdf in batches:
             out = []
-            for px in pdf[pixels_col]:
-                arr = np.asarray(px, dtype=np.float32).reshape(src_h, src_w)
+            for j, px in enumerate(pdf[pixels_col]):
+                sw = int(pdf["width"].iloc[j]) if has_dims else src_w
+                sh = int(pdf["height"].iloc[j]) if has_dims else src_h
+                if len(px) != sw * sh:
+                    raise ValueError(
+                        f"pixel count {len(px)} != {sw}x{sh}")
+                arr = np.asarray(px, dtype=np.float32).reshape(sh, sw)
+                ys = np.arange(dst_h) * sh // dst_h
+                xs = np.arange(dst_w) * sw // dst_w
                 out.append([float(v) for v in arr[np.ix_(ys, xs)].ravel()])
             res = pdf.drop(columns=[pixels_col, "width", "height"],
                            errors="ignore").copy()

@@ -2507,3 +2507,40 @@ class TestAudioPcmDecode:
         assert abs(r["duration_s"] - 0.5) < 1e-6
         assert abs(r["rms"] - 1 / math.sqrt(2)) < 0.01
         assert abs(r["zero_crossing_rate"] - 2 * 100 / rate) < 0.01
+
+
+class TestResizeVariableDims:
+    def test_real_decode_then_resize_mixed_sizes(self, spark):
+        """decode_image(fake=False) → resize_image composes across rows
+        of DIFFERENT source dimensions (per-row width/height)."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_image, resize_image,
+        )
+        mk = TestRealRasterDecode._png  # reuse the PNG fixture encoder
+        # 4x2 gradient and 2x4 gradient, both 8-bit gray
+        a = mk(list(range(0, 255, 32)), 4, 2, 1, filters=[0, 2])
+        b = mk(list(range(255, 0, -32)), 2, 4, 1, filters=[1])
+        df = spark.createDataFrame(
+            [Row(media_id=1, content=bytearray(a)),
+             Row(media_id=2, content=bytearray(b))])
+        out = {r["media_id"]: r for r in resize_image(
+            decode_image(df, fake=False), dst_w=2, dst_h=2).collect()}
+        assert out[1]["width"] == out[1]["height"] == 2
+        # nearest-neighbor from the 4x2 source: rows 0,1 cols 0,2
+        src = [round(v / 255, 6) for v in range(0, 255, 32)]
+        assert out[1]["pixels"] == pytest.approx(
+            [src[0], src[2], src[4], src[6]])
+        src_b = [round(v / 255, 6) for v in range(255, 0, -32)]
+        # 2x4 source -> rows 0,2 cols 0,1
+        assert out[2]["pixels"] == pytest.approx(
+            [src_b[0], src_b[1], src_b[4], src_b[5]])
+
+    def test_dim_mismatch_is_valueerror(self, spark):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            resize_image,
+        )
+        df = spark.createDataFrame(
+            [Row(media_id=1, pixels=[0.0] * 5, width=2, height=2)])
+        import py4j.protocol
+        with pytest.raises(Exception, match="pixel count"):
+            resize_image(df, dst_w=1, dst_h=1).collect()
