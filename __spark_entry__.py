@@ -1079,6 +1079,20 @@ def q_events_sessionize(spark, sf):
     return sess.sessionize(e)
 
 
+# ---- extension (r5): exact substring dedup (Lee et al. 2022
+# duplicated-span removal). Registered as slot 50: it takes the
+# driver-window seat previously held by corpus_summary (now 51st) —
+# a first-class dedup family outranks a 1-row stats slot that
+# overlaps length_histogram; corpus_summary keeps full pytest oracle
+# coverage (test_oracle_parity runs every registered query). ----
+
+@_q("exact_substring_dedup", cx.exact_substring_dedup_sql(
+    "documents", min_len=30))
+def q_exact_substring_dedup(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return cx.exact_substring_dedup(d, min_len=30)
+
+
 # ---- corpus summary statistics + exact length percentiles (1 row;
 # both are single-row full-corpus aggregates → one driver slot) ----
 
