@@ -51,6 +51,7 @@ HEADLINE = [
     "decontaminate",       # broadcast bench n-grams + matched-key agg
     "pack_sequences",      # hash-bucketed running-sum packing
     "top_domains",         # URL extract + TakeOrdered top-k
+    "exact_substring_dedup",  # window hashes + span merge + surgery
 ]
 
 

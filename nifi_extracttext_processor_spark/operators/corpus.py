@@ -376,8 +376,13 @@ def exact_substring_dedup(
     production run would swap xxhash64 (8-byte shuffle keys, not
     oracle-reproducible).
     """
+    from nifi_extracttext_processor_spark.operators.dedup import _spread
+
     toks = F.split(F.col(text_col), r"\s+")
-    d = df.select(F.col(id_col), toks.alias("toks"))
+    # window hashing cost tracks rows × min_len, not input bytes —
+    # spread a narrow scan across the cluster first (same rationale as
+    # minhash_base)
+    d = _spread(df).select(F.col(id_col), toks.alias("toks"))
     # window hashes: pos i covers tokens [i, i+min_len)
     wins = F.when(
         F.size("toks") >= min_len,
@@ -420,9 +425,15 @@ def exact_substring_dedup(
         F.col(id_col),
         F.explode(F.sequence(F.col("start"),
                              F.col("end") - 1)).alias("pos"))
-    tokpos = d.select(
-        F.col(id_col),
-        F.posexplode("toks").alias("pos", "tok"))
+    # Token-level surgery ONLY for docs that actually carry removals
+    # (typically a few % of the corpus): untouched docs pass through
+    # as a narrow projection — their tokens never explode, never
+    # shuffle. At 100 TB this is the difference between re-shuffling
+    # the whole corpus and re-shuffling its duplicated fraction.
+    affected = spans.select(id_col).distinct()
+    tokpos = (d.join(affected, id_col, "left_semi")
+              .select(F.col(id_col),
+                      F.posexplode("toks").alias("pos", "tok")))
     kept = tokpos.join(removed, [id_col, "pos"], "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
@@ -431,13 +442,20 @@ def exact_substring_dedup(
                            F.struct("pos", "tok"))),
                        lambda s: s["tok"]), " ").alias("clean_text"),
                    F.count("*").alias("n_kept")))
-    return (d.select(F.col(id_col), F.size("toks").alias("__n"))
-            .join(rebuilt, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                (F.col("__n") - F.coalesce("n_kept", F.lit(0)))
-                .cast("long").alias("n_removed")))
+    surgically = (d.join(affected, id_col, "left_semi")
+                  .select(F.col(id_col), F.size("toks").alias("__n"))
+                  .join(rebuilt, id_col, "left")
+                  .select(
+                      F.col(id_col),
+                      F.coalesce("clean_text", F.lit(""))
+                      .alias("clean_text"),
+                      (F.col("__n") - F.coalesce("n_kept", F.lit(0)))
+                      .cast("long").alias("n_removed")))
+    untouched = (d.join(affected, id_col, "left_anti")
+                 .select(F.col(id_col),
+                         F.array_join("toks", " ").alias("clean_text"),
+                         F.lit(0).cast("long").alias("n_removed")))
+    return untouched.unionByName(surgically)
 
 
 def exact_substring_dedup_sql(
