@@ -693,3 +693,104 @@ SELECT base.query_id, base.n_exact,
        round(coalesce(hits.n_hit, 0)::DOUBLE / base.n_exact, 4) AS recall
 FROM base LEFT JOIN hits ON base.query_id = hits.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (4x smaller vectors in shuffles/storage)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
+    ``q_i = clamp(floor(v_i/scale + 0.5), -127, 127)`` — the standard
+    embedding-compression step before a 100 TB ANN build (4× smaller
+    vectors in every shuffle, bucket file and index; reconstruction
+    error ≤ scale/2 per component).
+
+    Returns ``(id, scale, qemb array<tinyint>)``. Zero vectors carry
+    scale 0 and all-zero codes. ``floor(x + 0.5)`` rather than
+    ``round()`` so Spark and DuckDB agree on every half-way case
+    (both engines' round() differ in half-even/half-away corners);
+    all math in double, so the twin reproduces codes exactly.
+    """
+    v = _as_double(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    qi = lambda x: (F.greatest(
+        F.lit(-127.0),
+        F.least(F.lit(127.0),
+                F.floor(x / scale + F.lit(0.5)).cast("double")))
+        .cast("tinyint"))
+    qemb = F.when(mx > 0, F.transform(v, qi)).otherwise(
+        F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.select(F.col(id_col), scale.alias("scale"),
+                     qemb.alias("qemb"))
+
+
+def quantize_embeddings_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of quantize_embeddings (identical double math)."""
+    v = f"{vec_col}::DOUBLE[]"
+    mx = f"list_max(list_transform({v}, x -> abs(x)))"
+    return f"""
+SELECT {id_col},
+       {mx} / 127.0 AS scale,
+       CASE WHEN {mx} > 0 THEN
+         list_transform({v}, x -> greatest(-127.0, least(127.0,
+             floor(x / ({mx} / 127.0) + 0.5)))::TINYINT)
+       ELSE list_transform({v}, x -> 0::TINYINT) END AS qemb
+FROM {table}
+"""
+
+
+def brute_force_topk_quantized(
+    df_q: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k over DEQUANTIZED int8 vectors (the output of
+    quantize_embeddings): same shape as brute_force_topk, scoring
+    ``q_i * scale`` reconstructions. Pair with brute_force_topk in a
+    recall gate to validate a chosen quantization before shipping it.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    deq = F.transform(F.col("qemb"),
+                      lambda c: c.cast("double") * F.col("scale"))
+    scored = df_q.select(
+        F.col(id_col),
+        F.round(cosine(deq, qv), 4).alias("cosine"))
+    return (scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def brute_force_topk_quantized_sql(
+    query_vec: list[float],
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin: quantize inline (same codes), dequantize, score."""
+    q = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    quant = quantize_embeddings_sql(table, id_col, vec_col)
+    deq = "list_transform(qemb, x -> x::DOUBLE * scale)"
+    dot = (f"list_sum(list_transform(list_zip({deq}, {q}), "
+           f"p -> p[1] * p[2]))")
+    na = f"sqrt(list_sum(list_transform({deq}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({q}::DOUBLE[], x -> x * x)))"
+    cos = (f"CASE WHEN {na} > 0 AND {nb} > 0 "
+           f"THEN round({dot} / ({na} * {nb}), 4) ELSE 0.0 END")
+    return f"""
+WITH quant AS ({quant})
+SELECT {id_col}, {cos} AS cosine
+FROM quant
+ORDER BY cosine DESC, {id_col} ASC
+LIMIT {k}
+"""

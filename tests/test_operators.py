@@ -2544,3 +2544,71 @@ class TestResizeVariableDims:
         import py4j.protocol
         with pytest.raises(Exception, match="pixel count"):
             resize_image(df, dst_w=1, dst_h=1).collect()
+
+
+class TestQuantizedEmbeddings:
+    def _emb(self, spark, sf="/root/testdata/sf0.001"):
+        return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def test_reconstruction_error_bound(self, spark):
+        """|dequant - original| <= scale/2 per component (plus float
+        noise), the symmetric-quantization guarantee."""
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+        df = self._emb(spark).limit(50)
+        q = quantize_embeddings(df)
+        joined = df.join(q, "vec_id").collect()
+        assert joined
+        for r in joined:
+            s = r["scale"]
+            for orig, code in zip(r["embedding"], r["qemb"]):
+                assert abs(code * s - float(orig)) <= s / 2 + 1e-9
+
+    def test_quantize_matches_duckdb(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            quantize_embeddings, quantize_embeddings_sql,
+        )
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            (r["vec_id"], round(r["scale"], 9), list(r["qemb"]))
+            for r in quantize_embeddings(self._emb(spark)).collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"'{sf}/embeddings.parquet'")
+        want = sorted(
+            (int(r["vec_id"]), round(float(r["scale"]), 9),
+             [int(x) for x in r["qemb"]])
+            for _, r in con.execute(
+                quantize_embeddings_sql()).df().iterrows())
+        assert got == want
+
+    def test_quantized_topk_oracle_and_recall(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            brute_force_topk, brute_force_topk_quantized,
+            brute_force_topk_quantized_sql, quantize_embeddings,
+        )
+        sf = "/root/testdata/sf0.001"
+        df = self._emb(spark)
+        dim = len(df.select("embedding").first()[0])
+        qv = [(i % 7 - 3) / 3.0 for i in range(dim)]
+        qdf = quantize_embeddings(df)
+        got = [(r["vec_id"], r["cosine"]) for r in
+               brute_force_topk_quantized(qdf, qv, k=10).collect()]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"'{sf}/embeddings.parquet'")
+        want = [(int(r["vec_id"]), float(r["cosine"])) for _, r in
+                con.execute(brute_force_topk_quantized_sql(
+                    qv, k=10)).df().iterrows()]
+        assert got == want
+        # recall vs the full-precision exact top-10: int8 on unit-ish
+        # embeddings should agree on most of the neighborhood
+        exact = {r["vec_id"] for r in
+                 brute_force_topk(df, qv, k=10).collect()}
+        approx = {i for i, _ in got}
+        assert len(exact & approx) >= 8
