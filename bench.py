@@ -52,6 +52,7 @@ HEADLINE = [
     "pack_sequences",      # hash-bucketed running-sum packing
     "top_domains",         # URL extract + TakeOrdered top-k
     "exact_substring_dedup",  # window hashes + span merge + surgery
+    "sessionize_bucketed",    # skew-insurance twin of events_sessionize
 ]
 
 
@@ -83,12 +84,22 @@ def _q_asof_bucketed(spark, sf_dir):
                               bucket="1 hour")
 
 
+def _q_sessionize_bucketed(spark, sf_dir):
+    from nifi_extracttext_processor_spark.operators.sessions import (
+        sessionize_bucketed,
+    )
+    from nifi_extracttext_processor_spark.sources.tables import load_table
+    return sessionize_bucketed(load_table(spark, sf_dir, "events"))
+
+
 # bench-local callables: the driver slot `events_asof` is a
-# method-tagged UNION of both as-of paths (one oracle covers both), so
-# the per-method timings live here instead
+# method-tagged UNION of both as-of paths (one oracle covers both) and
+# sessionize_bucketed is pytest-equivalence-covered, so the
+# per-method timings live here instead
 LOCAL = {
     "asof_plain": _q_asof_plain,
     "asof_bucketed": _q_asof_bucketed,
+    "sessionize_bucketed": _q_sessionize_bucketed,
 }
 
 

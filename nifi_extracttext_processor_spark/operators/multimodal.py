@@ -425,20 +425,26 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
             i = j
         i += 1  # the single whitespace after maxval
         width, height, maxval = toks
-        if not (0 < maxval < 256):
-            raise NotImplementedError("16-bit netpbm unsupported")
+        if not (0 < maxval < 65536):
+            raise ValueError(f"bad netpbm maxval {maxval}")
         nch = 3 if data[:2] == b"P6" else 1
-        need = width * height * nch
+        wide = maxval > 255  # 2-byte big-endian samples per the spec
+        need = width * height * nch * (2 if wide else 1)
         body = data[i:i + need]
         if len(body) < need:
             raise ValueError("truncated netpbm pixel data")
+        if wide:
+            samples = [(body[o] << 8) | body[o + 1]
+                       for o in range(0, need, 2)]
+        else:
+            samples = body
         px = []
-        for p in range(0, need, nch):
+        for p in range(0, width * height * nch, nch):
             if nch == 3:
-                r, g, b = body[p], body[p + 1], body[p + 2]
+                r, g, b = samples[p], samples[p + 1], samples[p + 2]
                 lum = 0.299 * r + 0.587 * g + 0.114 * b
             else:
-                lum = float(body[p])
+                lum = float(samples[p])
             px.append(round(lum / maxval, 6))
         return width, height, px
 

@@ -2612,3 +2612,30 @@ class TestQuantizedEmbeddings:
                  brute_force_topk(df, qv, k=10).collect()}
         approx = {i for i, _ in got}
         assert len(exact & approx) >= 8
+
+
+class TestNetpbm16Bit:
+    def test_pgm_and_ppm_16bit_golden(self):
+        import struct
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        vals = [0, 1000, 33000, 65535]
+        body = b"".join(struct.pack(">H", v) for v in vals)
+        w, h, px = decode_raster_gray(b"P5\n2 2\n65535\n" + body)
+        assert (w, h) == (2, 2)
+        assert px == [round(v / 65535, 6) for v in vals]
+        rgb = [65535, 0, 0, 0, 65535, 0]
+        body = b"".join(struct.pack(">H", v) for v in rgb)
+        _, _, px = decode_raster_gray(b"P6\n2 1\n65535\n" + body)
+        assert px == [round(0.299, 6), round(0.587, 6)]
+
+    def test_bad_maxval_is_valueerror(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        with pytest.raises(ValueError, match="maxval"):
+            decode_raster_gray(b"P5\n1 1\n70000\n\x00\x00")
+        with pytest.raises(ValueError, match="truncated"):
+            decode_raster_gray(b"P5\n2 2\n65535\n\x00\x01")
