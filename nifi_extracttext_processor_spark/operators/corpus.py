@@ -359,15 +359,25 @@ def exact_substring_dedup(
     ``clean_text`` is the whitespace-tokenized text with removed spans
     excised (single-space rejoined), ``n_removed`` the count of removed
     tokens. The canonical first occurrence of a duplicated window is
-    the minimum ``(doc_id, pos)`` — it always survives, so shared
-    content is kept exactly once, like the reference algorithm.
+    the minimum ``(doc_id, pos)`` (lexicographic struct min — any
+    orderable id type works, string ids included) and is never removed
+    FOR THAT window. Caveat, shared with any one-pass span remover: an
+    owner occurrence can still lose tokens to an OVERLAPPING span it
+    does not own (doc A owns "x y", doc B owns "y z", B's "y" sat
+    inside A's removed region), so in cascaded-overlap corners shared
+    content may survive in fewer than one full copy; the single-pass
+    verdict is what both engines compute, so the oracle still agrees.
 
     Plan shape / 100 TB posture:
-    1. one pass hashes every token window — the explode carries
-       ``(doc_id, pos, h)`` rows only, never the text;
-    2. a map-side-combinable agg per hash finds cnt + the canonical
-       owner key; ONLY hashes with cnt > 1 (the duplicated fraction,
-       typically a few %) join back;
+    1. one pass hashes every token window — the persisted explode
+       carries ``(doc_id, pos, h)`` rows only, never the text, and
+       materializes once for both consumers;
+    2. a map-side-combinable groupBy per hash finds cnt + the
+       struct-min owner (a boilerplate hash repeated 10^7 times
+       partial-aggregates on the mappers — no per-hash window sort);
+       ONLY hashes with cnt > 1 (the duplicated fraction, typically a
+       few %) join back, and a hot hash on the probe side is
+       AQE-skew-splittable;
     3. span merge is a keyed window per doc over that doc's DUP
        windows (bounded by its duplicated content, not its length);
     4. reassembly anti-joins removed positions and rebuilds with an
@@ -393,20 +403,28 @@ def exact_substring_dedup(
             "AS h))")).otherwise(F.expr(
                 "array()").cast(
                 "array<struct<pos:int,h:string>>"))
-    occ = (d.select(F.col(id_col), F.explode(wins).alias("w"))
-           .select(F.col(id_col), F.col("w.pos").alias("pos"),
-                   F.col("w.h").alias("h")))
-    okey = F.col(id_col).cast("long") * F.lit(_M32) + F.col("pos")
-    # cnt/owner as analytic functions over h: ONE shuffle of the
-    # (id, pos, h) rows and the expensive window-hash explode runs
-    # exactly once — a groupBy+join-back would recompute the explode
-    # for the join probe side
     from pyspark.sql.window import Window
-    wh = Window.partitionBy("h")
-    dup_pos = (occ
-               .withColumn("cnt", F.count("*").over(wh))
-               .withColumn("own", F.min(okey).over(wh))
-               .filter((F.col("cnt") > 1) & (okey != F.col("own")))
+
+    from .lifecycle import track_persist
+
+    # Persist the occurrence set: the expensive window-hash explode
+    # materializes ONCE and feeds both the per-hash aggregate and the
+    # join-back probe. The aggregate is map-side combinable (count +
+    # struct-min), so a boilerplate hash repeated 10^7 times partial-
+    # aggregates on the mappers instead of sorting one giant window
+    # partition, and the join-back on a hot h is AQE-skew-splittable.
+    # Owner = min(struct(id, pos)) — lexicographic, works for ANY
+    # orderable id type (string ids included), no packed-key overflow.
+    occ = track_persist(
+        d.select(F.col(id_col), F.explode(wins).alias("w"))
+        .select(F.col(id_col), F.col("w.pos").alias("pos"),
+                F.col("w.h").alias("h")))
+    agg = (occ.groupBy("h")
+           .agg(F.count("*").alias("cnt"),
+                F.min(F.struct(id_col, "pos")).alias("own")))
+    dup_pos = (occ.join(agg.filter(F.col("cnt") > 1), "h")
+               .filter(~((F.col(id_col) == F.col("own." + id_col))
+                         & (F.col("pos") == F.col("own.pos"))))
                .select(F.col(id_col), "pos"))
     # gaps-and-islands over [pos, pos+min_len) intervals per doc
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -482,12 +500,13 @@ WITH d AS (
   FROM d
 ), agg AS (
   SELECT h, count(*) AS cnt,
-         min({id_col}::BIGINT * {_M32} + pos) AS own
+         min({{'id': {id_col}, 'pos': pos}}) AS own
   FROM occ GROUP BY h
 ), dup_pos AS (
   SELECT o.{id_col}, o.pos
   FROM occ o JOIN agg a USING (h)
-  WHERE a.cnt > 1 AND o.{id_col}::BIGINT * {_M32} + o.pos <> a.own
+  WHERE a.cnt > 1
+    AND NOT (o.{id_col} = a.own.id AND o.pos = a.own.pos)
 ), flagged AS (
   SELECT {id_col}, pos,
          CASE WHEN max(pos + {min_len}) OVER

@@ -2639,3 +2639,38 @@ class TestNetpbm16Bit:
             decode_raster_gray(b"P5\n1 1\n70000\n\x00\x00")
         with pytest.raises(ValueError, match="truncated"):
             decode_raster_gray(b"P5\n2 2\n65535\n\x00\x01")
+
+
+class TestExactSubstringDedupStringIds:
+    def test_string_ids_work_and_match_oracle(self, spark):
+        """Regression (round-5 review): string doc ids must dedup
+        identically to numeric ids — the owner key is a lexicographic
+        struct min, not a numeric pack (which silently NULLed string
+        ids and no-opped the whole operator)."""
+        import duckdb
+        import pandas as pd
+
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            exact_substring_dedup, exact_substring_dedup_sql,
+        )
+        shared = " ".join(f"w{i}" for i in range(12))
+        pdf = pd.DataFrame(
+            [("doc-a", "alpha " + shared + " omega"),
+             ("doc-b", "start " + shared + " finish line here"),
+             ("doc-c", "totally unique words all the way through here")],
+            columns=["doc_id", "text"])
+        df = spark.createDataFrame(pdf)
+        out = {r["doc_id"]: r for r in
+               exact_substring_dedup(df, min_len=8).collect()}
+        assert out["doc-a"]["n_removed"] == 0      # owner (min id)
+        assert out["doc-b"]["n_removed"] == 12     # excised
+        assert out["doc-b"]["clean_text"] == "start finish line here"
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = sorted(
+            (r["doc_id"], r["clean_text"], int(r["n_removed"]))
+            for _, r in con.execute(exact_substring_dedup_sql(
+                "documents", min_len=8)).df().iterrows())
+        got = sorted((r["doc_id"], r["clean_text"], r["n_removed"])
+                     for r in out.values())
+        assert got == want
