@@ -643,3 +643,122 @@ def gopher_quality_flags_sql(text_expr: str) -> dict[str, str]:
     }
     exprs["passes"] = "(" + " AND ".join(exprs.values()) + ")"
     return exprs
+
+
+# ---------------------------------------------------------------------------
+# canonical URL normalization + URL-keyed dedup (CC-pipeline first line)
+# ---------------------------------------------------------------------------
+
+# tracking params stripped during canonicalization (the usual
+# analytics/click-id suspects; extend per deployment)
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)=")
+_URL_HEAD_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical dedup key for a URL: trim, strip ``#fragment``,
+    lowercase the ``scheme://host[:port]`` head (path/query case
+    preserved), drop default ports (http :80 / https :443), remove
+    tracking query params (TRACKING_PARAM_RE) and an emptied ``?``,
+    strip trailing slashes from the path. Strings without a scheme
+    head only get fragment/trailing-slash cleanup.
+
+    The first-line dedup stage of web-crawl pipelines (CCNet /
+    RefinedWeb-style URL dedup): exact-duplicate page detection at
+    string-projection cost before any content hashing. Pure
+    built-ins; canonical_url_sql reproduces every value.
+    """
+    u = F.regexp_replace(
+        F.trim(F.col(url) if isinstance(url, str) else url),
+        "#.*$", "")
+    raw_head = F.regexp_extract(u, _URL_HEAD_RE, 0)
+    head = F.lower(raw_head)
+    head = F.regexp_replace(head, "^(http://[^:/]*):80$", "$1")
+    head = F.regexp_replace(head, "^(https://[^:/]*):443$", "$1")
+    tail = F.substr(u, F.length(raw_head) + F.lit(1))
+    path = F.regexp_replace(
+        F.regexp_extract(tail, "^[^?]*", 0), "/+$", "")
+    query = F.substr(tail, F.length(F.regexp_extract(tail, "^[^?]*", 0))
+                     + F.lit(2))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.rlike(TRACKING_PARAM_RE)) & (p != F.lit("")))
+    q2 = F.array_join(kept, "&")
+    return F.when(
+        raw_head == "", F.regexp_replace(u, "/+$", "")).otherwise(
+        F.concat(head, path,
+                 F.when(q2 != "", F.concat(F.lit("?"), q2))
+                 .otherwise(F.lit(""))))
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB twin of canonical_url (same regexes, \\1 backrefs)."""
+    u = f"regexp_replace(trim({url_expr}), '#.*$', '')"
+    raw_head = f"regexp_extract({u}, '{_URL_HEAD_RE}')"
+    head = (f"regexp_replace(regexp_replace(lower({raw_head}), "
+            f"'^(http://[^:/]*):80$', '\\1'), "
+            f"'^(https://[^:/]*):443$', '\\1')")
+    tail = f"substr({u}, length({raw_head}) + 1)"
+    path0 = f"regexp_extract({tail}, '^[^?]*')"
+    path = f"regexp_replace({path0}, '/+$', '')"
+    query = f"substr({tail}, length({path0}) + 2)"
+    kept = (f"list_filter(string_split({query}, '&'), "
+            f"p -> NOT regexp_matches(p, '{TRACKING_PARAM_RE}') "
+            f"AND p <> '')")
+    q2 = f"array_to_string({kept}, '&')"
+    return (f"CASE WHEN {raw_head} = '' "
+            f"THEN regexp_replace({u}, '/+$', '') "
+            f"ELSE {head} || {path} || "
+            f"(CASE WHEN {q2} <> '' THEN '?' || {q2} ELSE '' END) END")
+
+
+def dedup_by_url(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep the first row (min id) per canonical URL; rows with NULL
+    or empty URLs are never merged (each passes through). Returns the
+    input columns plus the ``canonical_url`` key column.
+
+    Plan: one narrow canonicalization projection, a min-id agg per
+    key (map-side combinable, only (curl, id) pairs shuffle) and a
+    join-back — the row payload moves once, like dedup_exact.
+    """
+    keyed = df.withColumn("canonical_url", canonical_url(url_col))
+    has_url = (F.col("canonical_url").isNotNull()
+               & (F.col("canonical_url") != ""))
+    winners = (keyed.filter(has_url)
+               .groupBy("canonical_url")
+               .agg(F.min(id_col).alias("__keep")))
+    deduped = (keyed.filter(has_url)
+               .join(winners, "canonical_url")
+               .filter(F.col(id_col) == F.col("__keep"))
+               .drop("__keep"))
+    passthrough = keyed.filter(~has_url | F.col("canonical_url").isNull())
+    return deduped.unionByName(passthrough)
+
+
+def dedup_by_url_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    url_expr: str = "url",
+) -> str:
+    """DuckDB twin of dedup_by_url (same key expression)."""
+    canon = canonical_url_sql(url_expr)
+    return f"""
+WITH keyed AS (
+  SELECT *, {canon} AS canonical_url FROM {table}
+), winners AS (
+  SELECT canonical_url, min({id_col}) AS keep_id
+  FROM keyed
+  WHERE canonical_url IS NOT NULL AND canonical_url <> ''
+  GROUP BY canonical_url
+)
+SELECT k.* FROM keyed k JOIN winners w
+  ON k.canonical_url = w.canonical_url AND k.{id_col} = w.keep_id
+UNION ALL
+SELECT * FROM keyed
+WHERE canonical_url IS NULL OR canonical_url = ''
+"""

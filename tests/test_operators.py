@@ -2674,3 +2674,68 @@ class TestExactSubstringDedupStringIds:
         got = sorted((r["doc_id"], r["clean_text"], r["n_removed"])
                      for r in out.values())
         assert got == want
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # (input, expected canonical)
+        ("HTTP://Example.COM/Path/?utm_source=x&q=1#frag",
+         "http://example.com/Path?q=1"),
+        ("https://example.com:443/a/b/", "https://example.com/a/b"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://Site.org/p?fbclid=abc&gclid=d&ref=tw",
+         "https://site.org/p"),
+        ("https://a.b/path?keep=1&utm_campaign=z&also=2",
+         "https://a.b/path?keep=1&also=2"),
+        ("no-scheme/trailing/", "no-scheme/trailing"),
+        ("  https://pad.ded/x  ", "https://pad.ded/x"),
+    ]
+
+    def test_golden_cases_and_duckdb_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            canonical_url, canonical_url_sql,
+        )
+        pdf = pd.DataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.CASES)],
+            columns=["doc_id", "url"])
+        got = [r["c"] for r in
+               spark.createDataFrame(pdf)
+               .select("doc_id", canonical_url("url").alias("c"))
+               .orderBy("doc_id").collect()]
+        want = [w for _, w in self.CASES]
+        assert got == want
+        con = duckdb.connect()
+        con.register("t", pdf)
+        duck = [r[0] for r in con.execute(
+            f"SELECT {canonical_url_sql('url')} FROM t "
+            "ORDER BY doc_id").fetchall()]
+        assert duck == want
+
+    def test_dedup_by_url_keeps_min_id(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            dedup_by_url, dedup_by_url_sql,
+        )
+        pdf = pd.DataFrame([
+            (3, "https://example.com/a?utm_source=x"),
+            (1, "HTTPS://EXAMPLE.com/a#section"),   # same canonical
+            (2, "https://example.com/b"),
+            (4, ""),                                 # empty: passes
+            (5, None),                               # null: passes
+        ], columns=["doc_id", "url"])
+        out = dedup_by_url(spark.createDataFrame(
+            pdf, "doc_id long, url string"))
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [1, 2, 4, 5]                 # 3 merged into 1
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = sorted(int(r[0]) for r in con.execute(
+            "SELECT doc_id FROM (" + dedup_by_url_sql() + ")"
+        ).fetchall())
+        assert kept == want
