@@ -17,6 +17,7 @@ import sys
 import time
 
 import __spark_entry__ as entry
+from nifi_extracttext_processor_spark.operators import lifecycle
 from nifi_extracttext_processor_spark.session import get_spark
 from pyspark.sql import functions as F
 
@@ -125,6 +126,10 @@ def main() -> None:
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        # free tracked persists (minhash_base, substring-dedup occ, …)
+        # between queries so block-manager residue from one query
+        # never skews the next; outside the timed window
+        lifecycle.release_all()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
