@@ -212,12 +212,26 @@ def _u32(col: Column) -> Column:
             .cast("long")
 
 
+def _token_count(text_col: str, token_mode: str):
+    """Token-count column for pack_sequences: whitespace or BPE-regex."""
+    from nifi_extracttext_processor_spark.operators.text_analysis import (
+        BPE_TOKEN_RE,
+    )
+    if token_mode == "ws":
+        return F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    if token_mode == "bpe":
+        return F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long")
+    raise ValueError(f"unknown token_mode {token_mode!r} (ws|bpe)")
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_mode: str = "ws",
 ) -> DataFrame:
     """Assign each doc to a training sequence of ~`budget` tokens:
     docs are hash-bucketed, ordered by id within their bucket, and a
@@ -226,6 +240,10 @@ def pack_sequences(
 
     Returns (doc_id, bucket, seq_no, n_tokens). seq_no is the sequence
     index WITHIN the bucket that the doc's first token lands in.
+    token_mode: "ws" counts whitespace tokens; "bpe" counts
+    BPE-regex tokens (text_analysis.BPE_TOKEN_RE) — the house
+    approximation of a real tokenizer's count, for budget-faithful
+    packing.
 
     Scale: the window is partitioned by bucket — with n_buckets sized to
     the cluster (e.g. 16k at 100 TB) every bucket packs independently;
@@ -242,11 +260,11 @@ def pack_sequences(
     n_docs/target_partition_rows. Tested in
     tests/test_operators.py (TestPackSequencesSkew).
     """
+    n_tok = _token_count(text_col, token_mode)
     toks = df.select(
         F.col(id_col),
         _u32(F.col(id_col)).alias("u"),
-        F.size(F.split(F.col(text_col), r"\s+")).cast("long")
-         .alias("n_tokens"))
+        n_tok.alias("n_tokens"))
     toks = toks.withColumn("bucket", F.col("u") % n_buckets).drop("u")
     from pyspark.sql.window import Window
     w = (Window.partitionBy("bucket").orderBy(id_col)
@@ -265,13 +283,25 @@ def pack_sequences_sql(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_expr: str = "text",
+    token_mode: str = "ws",
 ) -> str:
+    from nifi_extracttext_processor_spark.operators.text_analysis import (
+        BPE_TOKEN_RE,
+    )
+    if token_mode == "ws":
+        n_tok = (f"len(string_split_regex({text_expr}, "
+                 "'\\s+'))::BIGINT")
+    elif token_mode == "bpe":
+        n_tok = (f"len(regexp_extract_all({text_expr}, "
+                 f"'{BPE_TOKEN_RE}'))::BIGINT")
+    else:
+        raise ValueError(f"unknown token_mode {token_mode!r} (ws|bpe)")
     return f"""
 WITH toks AS (
   SELECT {id_col},
          ('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT
            % {n_buckets} AS bucket,
-         len(string_split_regex({text_expr}, '\\s+'))::BIGINT AS n_tokens
+         {n_tok} AS n_tokens
   FROM {table}
 )
 SELECT {id_col}, bucket,
