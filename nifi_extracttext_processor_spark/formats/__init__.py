@@ -104,6 +104,9 @@ def extract_any(
             text = html_to_text(data)
         elif detected in (m.MIME_ODT, m.MIME_ODS, m.MIME_ODP):
             text = extract_odf_text(data)
+        elif detected == m.MIME_EPUB:
+            from .epub import extract_epub_text
+            text = extract_epub_text(data)
         elif detected == m.MIME_XML:
             text = extract_xml_text(data)
         elif detected == m.MIME_EML:

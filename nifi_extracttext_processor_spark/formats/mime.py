@@ -26,6 +26,7 @@ MIME_HTML = "text/html"
 MIME_TEXT = "text/plain"
 MIME_JSON = "application/json"
 MIME_ZIP = "application/zip"
+MIME_EPUB = "application/epub+zip"
 MIME_OLE = "application/x-tika-msoffice"
 MIME_BIN = "application/octet-stream"
 MIME_ODT = "application/vnd.oasis.opendocument.text"
@@ -87,14 +88,20 @@ def _zip_kind(data: bytes, filename: str | None) -> str:
         return MIME_XLSX
     if any(n.startswith("ppt/") for n in names):
         return MIME_PPTX
-    if "mimetype" in names and "content.xml" in names:
+    if "mimetype" in names:
         try:
             with zipfile.ZipFile(io.BytesIO(data)) as zf:
                 declared = zf.read("mimetype").decode("ascii", "replace")
         except Exception:
             declared = ""
-        if declared in (MIME_ODT, MIME_ODS, MIME_ODP):
+        if declared == MIME_EPUB:
+            return MIME_EPUB
+        if declared in (MIME_ODT, MIME_ODS, MIME_ODP) \
+                and "content.xml" in names:
             return declared
+    if "META-INF/container.xml" in names and (
+            filename or "").lower().endswith(".epub"):
+        return MIME_EPUB  # OCF container missing its mimetype entry
     if filename:
         low = filename.lower()
         if low.endswith(".docx"):

@@ -388,3 +388,48 @@ def build_msg(subject: str, sender: str, to: str, body: str,
         "__properties_version1.0": b"\x00" * 32,
     }
     return _build_ole2(streams)
+
+
+def build_epub(chapters: list[str], title: str = "Test Book",
+               creator: str = "A. Author",
+               mimetype_entry: bool = True) -> bytes:
+    """Minimal valid EPUB: OCF mimetype entry (stored, first),
+    container.xml → OPF with manifest/spine, one XHTML per chapter."""
+    import io
+    import zipfile
+
+    items = "".join(
+        f'<item id="c{i}" href="ch{i}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters)))
+    refs = "".join(f'<itemref idref="c{i}"/>'
+                   for i in range(len(chapters)))
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f'<metadata><dc:title>{title}</dc:title>'
+        f'<dc:creator>{creator}</dc:creator>'
+        '<dc:language>en</dc:language></metadata>'
+        f'<manifest>{items}</manifest><spine>{refs}</spine></package>')
+    container = (
+        '<?xml version="1.0"?>'
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:'
+        'container" version="1.0"><rootfiles>'
+        '<rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/>'
+        '</rootfiles></container>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        if mimetype_entry:
+            zf.writestr(zipfile.ZipInfo("mimetype"),
+                        "application/epub+zip",
+                        compress_type=zipfile.ZIP_STORED)
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("OEBPS/content.opf", opf)
+        for i, ch in enumerate(chapters):
+            zf.writestr(
+                f"OEBPS/ch{i}.xhtml",
+                "<html><head><title>c</title></head>"
+                f"<body><p>{ch}</p></body></html>")
+    return buf.getvalue()

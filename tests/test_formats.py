@@ -876,3 +876,52 @@ def test_ooxml_app_xml_statistics():
     assert md["meta:page-count"] == "3"
     assert md["meta:word-count"] == "1250"
     assert md["extended-properties:Company"] == "ACME"
+
+
+class TestEpub:
+    def test_detect_and_extract_spine_order(self):
+        from nifi_extracttext_processor_spark.formats import (
+            detect_mime, extract_any,
+        )
+        from tests.fixtures.builders import build_epub
+        data = build_epub(["First chapter text.", "Second chapter text."])
+        assert detect_mime(data, "book.epub") == "application/epub+zip"
+        text, mime, err = extract_any(data, "book.epub")
+        assert err is None and mime == "application/epub+zip"
+        assert text.index("First chapter") < text.index("Second chapter")
+
+    def test_detect_without_mimetype_entry_by_extension(self):
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from tests.fixtures.builders import build_epub
+        data = build_epub(["x"], mimetype_entry=False)
+        assert detect_mime(data, "book.epub") == "application/epub+zip"
+        # without the extension hint it stays a plain zip (archive path)
+        assert detect_mime(data, None) == "application/zip"
+
+    def test_metadata_dc_fields(self):
+        from nifi_extracttext_processor_spark.formats.epub import (
+            epub_metadata,
+        )
+        from tests.fixtures.builders import build_epub
+        md = epub_metadata(build_epub(["x"], title="Moby",
+                                      creator="H. M."))
+        assert md["dc:title"] == "Moby"
+        assert md["dc:creator"] == "H. M."
+        assert md["dc:language"] == "en"
+        # non-EPUB zip: empty, never raises
+        from tests.fixtures.builders import build_docx
+        assert epub_metadata(build_docx(["hi"])) == {}
+
+    def test_corrupt_epub_routes_to_failure(self):
+        from nifi_extracttext_processor_spark.formats import extract_any
+        from tests.fixtures.builders import build_epub
+        import io
+        import zipfile
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(zipfile.ZipInfo("mimetype"),
+                        "application/epub+zip",
+                        compress_type=zipfile.ZIP_STORED)
+            zf.writestr("META-INF/container.xml", "<not-xml")
+        text, mime, err = extract_any(buf.getvalue(), "bad.epub")
+        assert text == "" and err is not None
