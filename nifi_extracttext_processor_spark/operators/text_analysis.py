@@ -762,3 +762,35 @@ UNION ALL
 SELECT * FROM keyed
 WHERE canonical_url IS NULL OR canonical_url = ''
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus cardinality: exact vs HLL-sketched distincts
+# ---------------------------------------------------------------------------
+
+def cardinality_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """One-row corpus cardinality report: exact distinct content
+    fingerprints next to the HyperLogLog++ estimate
+    (``approx_count_distinct`` at relative standard deviation
+    ``rsd``).
+
+    Scale rationale: exact distinct-of-text is a full shuffle of every
+    fingerprint; the HLL sketch is a few KB per partition, combined
+    map-side — at 100 TB the sketch is the ONLY viable first answer,
+    and this operator measures what the approximation costs on real
+    data before a pipeline commits to it. Estimates are
+    implementation-specific (Spark's HLL++ != DuckDB's approx), so the
+    driver-style value oracle only covers the exact columns; the
+    estimate is bound-checked in pytest instead.
+    """
+    fp = F.md5(F.col(text_col).cast("string"))
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.col(id_col)).alias("n_ids"),
+        F.countDistinct(fp).alias("n_distinct_exact"),
+        F.approx_count_distinct(fp, rsd).alias("n_distinct_approx"))

@@ -2783,3 +2783,28 @@ class TestPackSequencesBpeMode:
             pack_sequences(df, token_mode="chars")
         with pytest.raises(ValueError, match="token_mode"):
             pack_sequences_sql(token_mode="chars")
+
+
+class TestCardinalityStats:
+    def test_exact_and_approx_within_rsd(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            cardinality_stats,
+        )
+        # 600 distinct texts + 400 repeats of 100 templates
+        rows = [(i, f"unique text number {i}") for i in range(600)]
+        rows += [(600 + j, f"template {j % 100}") for j in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = cardinality_stats(df, rsd=0.02).collect()[0]
+        assert r["n_rows"] == 1000 and r["n_ids"] == 1000
+        assert r["n_distinct_exact"] == 700
+        # HLL++ at 2% rsd: allow 4 sigma
+        assert abs(r["n_distinct_approx"] - 700) <= 700 * 0.08
+
+    def test_plan_is_single_aggregate_no_joins(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            cardinality_stats,
+        )
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        plan = (cardinality_stats(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Join" not in plan and "CartesianProduct" not in plan
