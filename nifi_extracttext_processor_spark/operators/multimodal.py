@@ -377,33 +377,101 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
         if len(data) < 54:
             raise ValueError("truncated BMP header")
         px_off = struct.unpack_from("<I", data, 10)[0]
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
         width = struct.unpack_from("<i", data, 18)[0]
         height = struct.unpack_from("<i", data, 22)[0]
         bpp = struct.unpack_from("<H", data, 28)[0]
         compression = struct.unpack_from("<I", data, 30)[0]
-        if compression != 0:
+        clr_used = struct.unpack_from("<I", data, 46)[0]
+        if compression not in (0, 1):
             raise NotImplementedError(
-                f"compressed BMP (method {compression}) unsupported")
-        if bpp not in (24, 32):
-            raise NotImplementedError(f"{bpp}-bit BMP unsupported "
-                                      "(24/32-bit only)")
+                f"compressed BMP (method {compression}) unsupported "
+                "(uncompressed and RLE8 only)")
+        if bpp not in (1, 4, 8, 24, 32):
+            raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+        if compression == 1 and bpp != 8:
+            raise ValueError("RLE8 compression requires 8-bit BMP")
         if width <= 0 or height == 0:
             raise ValueError("bad BMP dimensions")
         top_down = height < 0
         height = abs(height)
-        nbytes = bpp // 8
+
+        def _luma255(r: int, g: int, b: int) -> float:
+            return round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+
+        palette: list[float] | None = None
+        if bpp <= 8:
+            n_colors = clr_used or (1 << bpp)
+            pal_off = 14 + hdr_size
+            if pal_off + 4 * n_colors > len(data):
+                raise ValueError("truncated BMP color table")
+            palette = [
+                _luma255(data[pal_off + 4 * c + 2],
+                         data[pal_off + 4 * c + 1],
+                         data[pal_off + 4 * c])
+                for c in range(n_colors)]
+
+        if compression == 1:  # RLE8: runs + escapes, bottom-up rows
+            grid = [[0.0] * width for _ in range(height)]
+            x, y, i = 0, 0, px_off
+            while i + 1 < len(data):
+                n, v = data[i], data[i + 1]
+                i += 2
+                if n > 0:  # encoded run
+                    if v >= len(palette):
+                        raise ValueError("BMP color index out of range")
+                    for _ in range(n):
+                        if x < width and y < height:
+                            grid[y][x] = palette[v]
+                        x += 1
+                elif v == 0:    # end of line
+                    x, y = 0, y + 1
+                elif v == 1:    # end of bitmap
+                    break
+                elif v == 2:    # delta
+                    if i + 1 >= len(data):
+                        raise ValueError("truncated BMP RLE delta")
+                    x += data[i]
+                    y += data[i + 1]
+                    i += 2
+                else:           # absolute mode: v literal indices
+                    if i + v > len(data):
+                        raise ValueError("truncated BMP RLE literals")
+                    for k in range(v):
+                        c = data[i + k]
+                        if c >= len(palette):
+                            raise ValueError(
+                                "BMP color index out of range")
+                        if x < width and y < height:
+                            grid[y][x] = palette[c]
+                        x += 1
+                    i += v + (v & 1)  # literals pad to word boundary
+            rows = grid if top_down else grid[::-1]
+            return width, height, [v for row in rows for v in row]
+
         stride = ((bpp * width + 31) // 32) * 4
         px: list[float] = []
         for row in range(height):
             src_row = row if top_down else height - 1 - row
             base = px_off + src_row * stride
-            if base + width * nbytes > len(data):
+            if base + (bpp * width + 7) // 8 > len(data):
                 raise ValueError("truncated BMP pixel data")
-            for x in range(width):
-                o = base + x * nbytes
-                b, g, r = data[o], data[o + 1], data[o + 2]
-                px.append(round((0.299 * r + 0.587 * g + 0.114 * b)
-                                / 255.0, 6))
+            if bpp >= 24:
+                nbytes = bpp // 8
+                for x in range(width):
+                    o = base + x * nbytes
+                    px.append(_luma255(data[o + 2], data[o + 1],
+                                       data[o]))
+            else:
+                per_byte = 8 // bpp
+                mask = (1 << bpp) - 1
+                for x in range(width):
+                    byte = data[base + x // per_byte]
+                    shift = 8 - bpp * (x % per_byte + 1)
+                    c = (byte >> shift) & mask
+                    if c >= len(palette):
+                        raise ValueError("BMP color index out of range")
+                    px.append(palette[c])
         return width, height, px
 
     if data[:2] in (b"P5", b"P6"):

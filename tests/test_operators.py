@@ -1381,8 +1381,13 @@ class TestRealRasterDecode:
             decode_raster_gray,
         )
         data = bytearray(_bmp24(self.RGBW, 2, 2))
-        struct.pack_into("<I", data, 30, 1)  # BI_RLE8
+        struct.pack_into("<I", data, 30, 4)  # BI_JPEG: still honest NIE
         with pytest.raises(NotImplementedError, match="compressed"):
+            decode_raster_gray(bytes(data))
+        # RLE8 now decodes, but only makes sense at 8 bpp: declaring it
+        # on a 24-bit BMP is corrupt, not unsupported
+        struct.pack_into("<I", data, 30, 1)  # BI_RLE8 on 24-bit
+        with pytest.raises(ValueError, match="RLE8"):
             decode_raster_gray(bytes(data))
 
     # --- PNG (pure-stdlib zlib inflate + unfilter) ---
@@ -2808,3 +2813,102 @@ class TestCardinalityStats:
         plan = (cardinality_stats(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+class TestBmpPaletteAndRle:
+    @staticmethod
+    def _bmp_pal(indices, w, h, palette, bpp=8, compression=0,
+                 rle: bytes | None = None):
+        """Paletted BMP builder (bottom-up rows, BITMAPINFOHEADER)."""
+        import struct
+        pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+        if compression == 1:
+            body = rle
+        else:
+            per_byte = 8 // bpp
+            stride = ((bpp * w + 31) // 32) * 4
+            body = bytearray()
+            for row in range(h - 1, -1, -1):  # bottom-up
+                line = bytearray(stride)
+                for x in range(w):
+                    c = indices[row * w + x]
+                    shift = 8 - bpp * (x % per_byte + 1)
+                    line[x // per_byte] |= (c & ((1 << bpp) - 1)) << shift
+                body += line
+            body = bytes(body)
+        px_off = 14 + 40 + len(pal)
+        hdr = (b"BM" + struct.pack("<IHHI", px_off + len(body), 0, 0,
+                                   px_off)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp,
+                             compression, len(body), 0, 0,
+                             len(palette), 0))
+        return hdr + pal + body
+
+    PAL = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+
+    def _luma(self, indices):
+        return [round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+                for (r, g, b) in (self.PAL[i] for i in indices)]
+
+    def test_8bit_palette_golden(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        idx = [0, 1, 2, 3, 3, 2]
+        w, h, px = decode_raster_gray(
+            self._bmp_pal(idx, 3, 2, self.PAL))
+        assert (w, h) == (3, 2)
+        assert px == self._luma(idx)
+
+    def test_4bit_and_1bit_palette(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        idx = [0, 1, 2, 3, 1, 0]
+        _, _, px = decode_raster_gray(
+            self._bmp_pal(idx, 3, 2, self.PAL, bpp=4))
+        assert px == self._luma(idx)
+        bits = [0, 1, 1, 0, 1, 0]
+        _, _, px = decode_raster_gray(
+            self._bmp_pal(bits, 3, 2, self.PAL[:2], bpp=1))
+        want = [round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+                for (r, g, b) in (self.PAL[i] for i in bits)]
+        assert px == want
+
+    def test_rle8_runs_absolute_eol(self):
+        """RLE8 with an encoded run, an absolute block (padded), EOL
+        and EOF escapes. RLE coordinates are bottom-up: y=0 is the
+        BOTTOM row."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        # 4x2 image. Bottom row: run of 3 zeros + literal 1.
+        # Top row: absolute block [2,3,1] + run of 1 two.
+        rle = bytes([
+            3, 0,          # run: 3 x index 0
+            1, 1,          # run: 1 x index 1
+            0, 0,          # end of line
+            0, 3, 2, 3, 1, 0,  # absolute: 3 literals + pad byte
+            1, 2,          # run: 1 x index 2
+            0, 1,          # end of bitmap
+        ])
+        w, h, px = decode_raster_gray(
+            self._bmp_pal([], 4, 2, self.PAL, compression=1, rle=rle))
+        assert (w, h) == (4, 2)
+        top, bottom = [2, 3, 1, 2], [0, 0, 0, 1]
+        assert px == self._luma(top + bottom)
+
+    def test_rle8_bad_index_and_truncation(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        with pytest.raises(ValueError, match="index out of range"):
+            decode_raster_gray(self._bmp_pal(
+                [], 2, 1, self.PAL, compression=1,
+                rle=bytes([2, 9, 0, 1])))
+        with pytest.raises(ValueError, match="color table"):
+            # palette claims 300 entries but file ends
+            import struct
+            bad = bytearray(self._bmp_pal([0], 1, 1, self.PAL))
+            struct.pack_into("<I", bad, 46, 300)
+            decode_raster_gray(bytes(bad))
