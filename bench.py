@@ -128,8 +128,9 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
         # free tracked persists (minhash_base, substring-dedup occ, …)
         # between queries so block-manager residue from one query
-        # never skews the next; outside the timed window
-        lifecycle.release_all()
+        # never skews the next; blocking so eviction work cannot
+        # overlap the next query's timed window
+        lifecycle.release_all(blocking=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -17,8 +17,7 @@ import xml.etree.ElementTree as ET
 import zipfile
 
 from .html import html_to_text
-
-MIME_EPUB = "application/epub+zip"
+from .mime import MIME_EPUB  # single definition, re-exported here
 
 
 def _local(tag: str) -> str:

@@ -91,9 +91,14 @@ def _zip_kind(data: bytes, filename: str | None) -> str:
     if "mimetype" in names:
         try:
             with zipfile.ZipFile(io.BytesIO(data)) as zf:
-                declared = zf.read("mimetype").decode("ascii", "replace")
+                # bounded read: the member is attacker-supplied and
+                # detect_mime runs before any bomb guard — 128 bytes
+                # covers every real declaration
+                with zf.open("mimetype") as f:
+                    declared = f.read(128).decode("ascii", "replace")
         except Exception:
             declared = ""
+        declared = declared.strip()  # trailing \n/\r\n in real EPUBs
         if declared == MIME_EPUB:
             return MIME_EPUB
         if declared in (MIME_ODT, MIME_ODS, MIME_ODP) \

@@ -213,15 +213,16 @@ def _u32(col: Column) -> Column:
 
 
 def _token_count(text_col: str, token_mode: str):
-    """Token-count column for pack_sequences: whitespace or BPE-regex."""
+    """Token-count column for pack_sequences: whitespace or BPE-regex
+    (the latter via text_analysis.bpe_token_count — one definition,
+    so packing budgets can never diverge from token_stats counts)."""
     from nifi_extracttext_processor_spark.operators.text_analysis import (
-        BPE_TOKEN_RE,
+        bpe_token_count,
     )
     if token_mode == "ws":
         return F.size(F.split(F.col(text_col), r"\s+")).cast("long")
     if token_mode == "bpe":
-        return F.size(F.regexp_extract_all(
-            F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long")
+        return bpe_token_count(F.col(text_col)).cast("long")
     raise ValueError(f"unknown token_mode {token_mode!r} (ws|bpe)")
 
 

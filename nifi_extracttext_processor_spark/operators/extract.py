@@ -183,11 +183,13 @@ def media_metadata(
                                 "ascii", "replace")
                             md.update(pdf_info(data))
                         elif data.startswith(b"PK\x03\x04"):
-                            md.update(ooxml_core_props(data))
-                            md.update(odf_meta(data))
-                            from nifi_extracttext_processor_spark \
-                                .formats.epub import epub_metadata
-                            md.update(epub_metadata(data))
+                            if mime == "application/epub+zip":
+                                from nifi_extracttext_processor_spark \
+                                    .formats.epub import epub_metadata
+                                md.update(epub_metadata(data))
+                            else:
+                                md.update(ooxml_core_props(data))
+                                md.update(odf_meta(data))
                         elif data.startswith(
                                 b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
                             md.update(summary_info(data))

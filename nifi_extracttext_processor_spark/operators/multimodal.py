@@ -356,8 +356,9 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
     """Pure-stdlib REAL decode of PNG (every legal depth/color-type
     combo — gray 1-16 bit, RGB, palette, alpha — plain or Adam7
     interlaced),
-    GIF (LZW, first frame, plain or interlaced), uncompressed
-    24/32-bit BMP, and binary PPM (P6) / PGM (P5) into
+    GIF (LZW, first frame, plain or interlaced), BMP (24/32-bit
+    truecolor, 1/4/8-bit paletted, RLE8-compressed), and binary
+    PPM (P6) / PGM (P5) incl. 16-bit into
     (width, height, row-major grayscale floats in [0, 1], ITU-R 601
     luma, round-6).
 
@@ -412,8 +413,11 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
                 for c in range(n_colors)]
 
         if compression == 1:  # RLE8: runs + escapes, bottom-up rows
+            if px_off >= len(data):
+                raise ValueError("truncated BMP pixel data")
             grid = [[0.0] * width for _ in range(height)]
             x, y, i = 0, 0, px_off
+            eof = False
             while i + 1 < len(data):
                 n, v = data[i], data[i + 1]
                 i += 2
@@ -427,6 +431,7 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
                 elif v == 0:    # end of line
                     x, y = 0, y + 1
                 elif v == 1:    # end of bitmap
+                    eof = True
                     break
                 elif v == 2:    # delta
                     if i + 1 >= len(data):
@@ -446,6 +451,11 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
                             grid[y][x] = palette[c]
                         x += 1
                     i += v + (v & 1)  # literals pad to word boundary
+            if not eof:
+                # fail CLOSED like the uncompressed path — a stream
+                # that never reaches the end-of-bitmap escape would
+                # otherwise fabricate a black image from corrupt input
+                raise ValueError("truncated BMP pixel data")
             rows = grid if top_down else grid[::-1]
             return width, height, [v for row in rows for v in row]
 

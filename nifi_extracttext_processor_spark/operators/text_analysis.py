@@ -33,15 +33,19 @@ def _tokens(col: Column) -> Column:
     return F.split(F.lower(col), " ")
 
 
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count of a text column — the ONE definition shared
+    by token_stats and pack_sequences(token_mode='bpe')."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count, BPE-ish token count, char count."""
     c = F.col(text_col)
     return (df
             .withColumn("n_chars_computed", F.length(c))
             .withColumn("n_ws_tokens", F.size(F.split(c, r"\s+")))
-            .withColumn("n_bpe_tokens",
-                        F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE),
-                                                    0))))
+            .withColumn("n_bpe_tokens", bpe_token_count(c)))
 
 
 SENTENCE_RE = r"[.!?]\s+"  # re2-safe (no lookbehind) → portable to DuckDB
@@ -650,9 +654,11 @@ def gopher_quality_flags_sql(text_expr: str) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 # tracking params stripped during canonicalization (the usual
-# analytics/click-id suspects; extend per deployment)
+# analytics/click-id suspects; extend per deployment). Case-insensitive
+# and value-optional: '?UTM_Source=x' and a bare '?gclid' both match.
 TRACKING_PARAM_RE = (
-    r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)=")
+    r"(?i)^(utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)"
+    r"(=|$)")
 _URL_HEAD_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
 
 

@@ -925,3 +925,26 @@ class TestEpub:
             zf.writestr("META-INF/container.xml", "<not-xml")
         text, mime, err = extract_any(buf.getvalue(), "bad.epub")
         assert text == "" and err is not None
+
+
+class TestEpubMimetypeVariants:
+    def test_trailing_newline_in_mimetype_entry(self):
+        """Real-world EPUBs often write 'application/epub+zip\\n' —
+        detection must strip before comparing (review fix)."""
+        import io
+        import zipfile
+
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from tests.fixtures.builders import build_epub
+        base = build_epub(["x"])
+        # rebuild with a newline-suffixed mimetype entry
+        src = zipfile.ZipFile(io.BytesIO(base))
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(zipfile.ZipInfo("mimetype"),
+                        "application/epub+zip\r\n",
+                        compress_type=zipfile.ZIP_STORED)
+            for n in src.namelist():
+                if n != "mimetype":
+                    zf.writestr(n, src.read(n))
+        assert detect_mime(buf.getvalue(), None) == "application/epub+zip"

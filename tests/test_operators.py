@@ -2912,3 +2912,50 @@ class TestBmpPaletteAndRle:
             bad = bytearray(self._bmp_pal([0], 1, 1, self.PAL))
             struct.pack_into("<I", bad, 46, 300)
             decode_raster_gray(bytes(bad))
+
+
+class TestReviewRound2Fixes:
+    def test_rle8_truncated_stream_fails_closed(self):
+        """RLE8 stream that never reaches the end-of-bitmap escape (or
+        whose px_off is out of range) must raise, not fabricate a
+        black image."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        mk = TestBmpPaletteAndRle._bmp_pal
+        pal = TestBmpPaletteAndRle.PAL
+        with pytest.raises(ValueError, match="truncated BMP pixel"):
+            decode_raster_gray(mk([], 4, 2, pal, compression=1,
+                                  rle=bytes([3, 0])))
+        import struct
+        bad = bytearray(mk([], 2, 1, pal, compression=1,
+                           rle=bytes([2, 0, 0, 1])))
+        struct.pack_into("<I", bad, 10, len(bad) + 50)  # px_off beyond
+        with pytest.raises(ValueError, match="truncated BMP pixel"):
+            decode_raster_gray(bytes(bad))
+
+    def test_tracking_params_case_insensitive_and_valueless(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            canonical_url, canonical_url_sql,
+        )
+        cases = [
+            ("https://a.b/p?UTM_Source=x&keep=1", "https://a.b/p?keep=1"),
+            ("https://a.b/p?gclid", "https://a.b/p"),
+            ("https://a.b/p?Fbclid=9&REF=tw", "https://a.b/p"),
+        ]
+        pdf = pd.DataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                           columns=["doc_id", "url"])
+        got = [r["c"] for r in spark.createDataFrame(pdf)
+               .select("doc_id", canonical_url("url").alias("c"))
+               .orderBy("doc_id").collect()]
+        want = [w for _, w in cases]
+        assert got == want
+        con = duckdb.connect()
+        con.register("t", pdf)
+        duck = [r[0] for r in con.execute(
+            f"SELECT {canonical_url_sql('url')} FROM t "
+            "ORDER BY doc_id").fetchall()]
+        assert duck == want
