@@ -352,6 +352,93 @@ def _decode_gif_gray(data: bytes) -> tuple[int, int, list[float]]:
     raise ValueError("GIF contains no image data")
 
 
+def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
+    """Baseline TIFF decode, pure stdlib: uncompressed (Compression=1)
+    chunky strips, 8-bit grayscale (PhotometricInterpretation 0/1,
+    WhiteIsZero inverted) or RGB(A) (extra samples ignored), IFD0
+    only. LZW/PackBits/JPEG-in-TIFF, planar, palette and non-8-bit
+    depths raise NotImplementedError; structural damage ValueError."""
+    import struct
+
+    if data[:4] not in (b"II*\x00", b"MM\x00*") or len(data) < 8:
+        raise ValueError("not a TIFF")
+    e = ">" if data[:2] == b"MM" else "<"
+    (ifd_off,) = struct.unpack_from(f"{e}I", data, 4)
+    if ifd_off < 8 or ifd_off + 2 > len(data):
+        raise ValueError("bad TIFF IFD offset")
+    (n_tags,) = struct.unpack_from(f"{e}H", data, ifd_off)
+    sizes = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for t in range(min(n_tags, 256)):
+        off = ifd_off + 2 + t * 12
+        if off + 12 > len(data):
+            raise ValueError("truncated TIFF IFD")
+        tag, typ = struct.unpack_from(f"{e}HH", data, off)
+        (cnt,) = struct.unpack_from(f"{e}I", data, off + 4)
+        if typ not in sizes or cnt > 65536:
+            continue
+        total = sizes[typ] * cnt
+        if total <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(f"{e}I", data, off + 8)
+        vals = []
+        for k in range(cnt):
+            o = voff + k * sizes[typ]
+            if o + sizes[typ] > len(data):
+                raise ValueError("truncated TIFF tag values")
+            if typ == 1:
+                vals.append(data[o])
+            elif typ == 3:
+                vals.append(struct.unpack_from(f"{e}H", data, o)[0])
+            else:
+                vals.append(struct.unpack_from(f"{e}I", data, o)[0])
+        tags[tag] = vals
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (uncompressed only)")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF unsupported")
+    if 256 not in tags or 257 not in tags or 273 not in tags:
+        raise ValueError("TIFF missing required tags")
+    w, h = tags[256][0], tags[257][0]
+    if w <= 0 or h <= 0:
+        raise ValueError("bad TIFF dimensions")
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1] * spp)
+    photo = tags.get(262, [1])[0]
+    if any(b != 8 for b in bps):
+        raise NotImplementedError("non-8-bit TIFF unsupported")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} unsupported (gray/RGB only)")
+    if photo == 2 and spp < 3:
+        raise ValueError("RGB TIFF with fewer than 3 samples")
+    strips = tags[273]
+    counts = tags.get(279, [len(data) - strips[0]])
+    buf = bytearray()
+    for so, sc in zip(strips, counts):
+        if so + sc > len(data):
+            raise ValueError("truncated TIFF strip data")
+        buf += data[so:so + sc]
+    need = w * h * spp
+    if len(buf) < need:
+        raise ValueError("truncated TIFF pixel data")
+    px: list[float] = []
+    for p in range(0, need, spp):
+        if photo == 2:
+            r, g, b = buf[p], buf[p + 1], buf[p + 2]
+            lum = 0.299 * r + 0.587 * g + 0.114 * b
+        else:
+            v = buf[p]
+            if photo == 0:  # WhiteIsZero
+                v = 255 - v
+            lum = float(v)
+        px.append(round(lum / 255.0, 6))
+    return w, h, px
+
+
 def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
     """Pure-stdlib REAL decode of PNG (every legal depth/color-type
     combo — gray 1-16 bit, RGB, palette, alpha — plain or Adam7
@@ -373,6 +460,9 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
 
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif_gray(data)
+
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff_gray(data)
 
     if data[:2] == b"BM":
         if len(data) < 54:

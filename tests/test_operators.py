@@ -2959,3 +2959,109 @@ class TestReviewRound2Fixes:
             f"SELECT {canonical_url_sql('url')} FROM t "
             "ORDER BY doc_id").fetchall()]
         assert duck == want
+
+
+class TestTiffDecode:
+    @staticmethod
+    def _tiff(pixels, w, h, spp=1, photo=1, endian="<", n_strips=1,
+              compression=1):
+        """Minimal baseline TIFF: header, IFD0, strip data."""
+        import struct
+        e = endian
+        body = bytes(pixels)
+        rows_per = (h + n_strips - 1) // n_strips
+        strip_rows = [min(rows_per, h - i * rows_per)
+                      for i in range(n_strips)]
+        strip_lens = [r * w * spp for r in strip_rows]
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h),
+            (259, 3, 1, compression), (262, 3, 1, photo),
+            (277, 3, 1, spp), (278, 3, 1, rows_per),
+        ]
+        if spp == 1:
+            entries.append((258, 3, 1, 8))
+        n_extra = 0
+        extra = b""
+        if spp > 1:  # BitsPerSample array lives out-of-line
+            pass  # appended below
+        # layout: header(8) + IFD + [bps array] + strips
+        n_ent = len(entries) + (1 if spp > 1 else 0) + 2  # +273 +279
+        ifd_off = 8
+        after_ifd = ifd_off + 2 + n_ent * 12 + 4
+        bps_off = after_ifd
+        if spp > 1:
+            extra = b"".join(struct.pack(f"{e}H", 8)
+                             for _ in range(spp))
+            entries.append((258, 3, spp, bps_off))
+        data_off = after_ifd + len(extra)
+        offs, pos = [], data_off
+        for ln in strip_lens:
+            offs.append(pos)
+            pos += ln
+        if n_strips == 1:
+            entries.append((273, 4, 1, offs[0]))
+            entries.append((279, 4, 1, strip_lens[0]))
+        else:  # offset arrays out-of-line after strips
+            arr_off = pos
+            entries.append((273, 4, n_strips, arr_off))
+            entries.append((279, 4, n_strips,
+                            arr_off + 4 * n_strips))
+        entries.sort()
+        out = bytearray(b"II*\x00" if e == "<" else b"MM\x00*")
+        out += struct.pack(f"{e}I", ifd_off)
+        out += struct.pack(f"{e}H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack(f"{e}HHI", tag, typ, cnt)
+            if typ == 3 and cnt == 1:
+                # inline SHORT values are LEFT-justified in the 4-byte
+                # field (TIFF 6.0 spec) — packing as a 4-byte int only
+                # happens to work in little-endian
+                out += struct.pack(f"{e}H", val) + b"\x00\x00"
+            else:
+                out += struct.pack(f"{e}I", val)
+        out += struct.pack(f"{e}I", 0)  # next-IFD pointer
+        out += extra
+        out += body
+        if n_strips > 1:
+            for o in offs:
+                out += struct.pack(f"{e}I", o)
+            for ln in strip_lens:
+                out += struct.pack(f"{e}I", ln)
+        return bytes(out)
+
+    def test_gray_multi_strip_both_endians(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        vals = [0, 64, 128, 255, 10, 200]
+        for e in ("<", ">"):
+            w, h, px = decode_raster_gray(
+                self._tiff(vals, 2, 3, endian=e, n_strips=2))
+            assert (w, h) == (2, 3)
+            assert px == [round(v / 255, 6) for v in vals], e
+
+    def test_white_is_zero_inverts(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        _, _, px = decode_raster_gray(self._tiff([0, 255], 2, 1, photo=0))
+        assert px == [1.0, 0.0]
+
+    def test_rgb_luma(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        rgb = [255, 0, 0, 0, 255, 0]
+        _, _, px = decode_raster_gray(
+            self._tiff(rgb, 2, 1, spp=3, photo=2))
+        assert px == [0.299, 0.587]
+
+    def test_unsupported_and_corrupt(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        with pytest.raises(NotImplementedError, match="compression"):
+            decode_raster_gray(
+                self._tiff([0], 1, 1, compression=5))  # LZW
+        with pytest.raises(ValueError, match="truncated TIFF strip"):
+            decode_raster_gray(self._tiff([0, 0], 2, 2))  # too few px
