@@ -395,9 +395,10 @@ def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
                 vals.append(struct.unpack_from(f"{e}I", data, o)[0])
         tags[tag] = vals
     comp = tags.get(259, [1])[0]
-    if comp != 1:
+    if comp not in (1, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (uncompressed only)")
+            f"TIFF compression {comp} unsupported (uncompressed and "
+            "PackBits only)")
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF unsupported")
     if 256 not in tags or 257 not in tags or 273 not in tags:
@@ -417,12 +418,30 @@ def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
         raise ValueError("RGB TIFF with fewer than 3 samples")
     strips = tags[273]
     counts = tags.get(279, [len(data) - strips[0]])
+    need = w * h * spp
     buf = bytearray()
     for so, sc in zip(strips, counts):
         if so + sc > len(data):
             raise ValueError("truncated TIFF strip data")
-        buf += data[so:so + sc]
-    need = w * h * spp
+        if comp == 32773:  # PackBits (TIFF 6.0 §9): per-strip byte RLE
+            i = so
+            end = so + sc
+            while i < end and len(buf) < need:
+                n = data[i]
+                i += 1
+                if n < 128:      # literal run of n+1 bytes
+                    if i + n + 1 > end:
+                        raise ValueError("truncated TIFF PackBits")
+                    buf += data[i:i + n + 1]
+                    i += n + 1
+                elif n > 128:    # repeat next byte 257-n times
+                    if i >= end:
+                        raise ValueError("truncated TIFF PackBits")
+                    buf += bytes([data[i]]) * (257 - n)
+                    i += 1
+                # n == 128: no-op per spec
+        else:
+            buf += data[so:so + sc]
     if len(buf) < need:
         raise ValueError("truncated TIFF pixel data")
     px: list[float] = []

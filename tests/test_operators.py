@@ -3065,3 +3065,47 @@ class TestTiffDecode:
                 self._tiff([0], 1, 1, compression=5))  # LZW
         with pytest.raises(ValueError, match="truncated TIFF strip"):
             decode_raster_gray(self._tiff([0, 0], 2, 2))  # too few px
+
+
+class TestTiffPackBits:
+    def test_packbits_strip_golden(self):
+        """PackBits strip: repeat run + literal run decode to the same
+        pixels as the uncompressed twin; output is capped at the pixel
+        count (bomb posture)."""
+        import struct
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        # 4x2 gray: row0 = 200 x4 (repeat run), row1 = 10,20,30,40
+        packed = bytes([0x100 - 3, 200,      # -3 -> repeat 4x
+                        3, 10, 20, 30, 40])  # literal of 4
+        plain = TestTiffDecode._tiff([200] * 4 + [10, 20, 30, 40], 4, 2)
+        # rebuild as PackBits: swap compression + body
+        pb = bytearray(TestTiffDecode._tiff(list(packed), 4, 2))
+        # the builder wrote len(packed) bytes as the strip; patch the
+        # compression tag (259) from 1 to 32773
+        i = pb.index(struct.pack("<HHI", 259, 3, 1))
+        struct.pack_into("<H", pb, i + 8, 32773)
+        j = pb.index(struct.pack("<HHI", 279, 4, 1))
+        struct.pack_into("<I", pb, j + 8, len(packed))
+        got = decode_raster_gray(bytes(pb))
+        want = decode_raster_gray(plain)
+        # dims differ path: builder set 279 to len(packed)=7 which is
+        # fine (PackBits consumes exactly the strip bytes)
+        assert got == want
+
+    def test_packbits_truncated_fails_closed(self):
+        import struct
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        packed = bytes([3, 10, 20])  # literal header promises 4 bytes
+        pb = bytearray(TestTiffDecode._tiff(list(packed), 4, 1))
+        i = pb.index(struct.pack("<HHI", 259, 3, 1))
+        struct.pack_into("<H", pb, i + 8, 32773)
+        j = pb.index(struct.pack("<HHI", 279, 4, 1))
+        struct.pack_into("<I", pb, j + 8, len(packed))
+        with pytest.raises(ValueError, match="PackBits|truncated"):
+            decode_raster_gray(bytes(pb))
