@@ -16,6 +16,7 @@ import posixpath
 import xml.etree.ElementTree as ET
 import zipfile
 
+from . import MAX_DECOMPRESSED_BYTES
 from .html import html_to_text
 from .mime import MIME_EPUB  # single definition, re-exported here
 
@@ -24,8 +25,26 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+def _read_capped(zf: zipfile.ZipFile, path: str, budget: int) -> bytes:
+    """Read a zip member through a streaming handle, never expanding
+    more than `budget` bytes — zf.read() trusts the member's declared
+    size, so an EPUB-flagged DEFLATE bomb (~1000:1) would otherwise
+    bypass the MAX_DECOMPRESSED_BYTES guard the generic archive path
+    enforces."""
+    with zf.open(path) as f:
+        out = f.read(budget + 1)
+    if len(out) > budget:
+        raise ValueError(
+            f"EPUB member {path!r} exceeds the remaining "
+            f"{budget}-byte share of the {MAX_DECOMPRESSED_BYTES} "
+            "expanded-bytes budget")
+    return out
+
+
 def _opf_path(zf: zipfile.ZipFile) -> str:
-    root = ET.fromstring(zf.read("META-INF/container.xml"))
+    root = ET.fromstring(
+        _read_capped(zf, "META-INF/container.xml",
+                     MAX_DECOMPRESSED_BYTES))
     for el in root.iter():
         if _local(el.tag) == "rootfile":
             p = el.get("full-path")
@@ -36,7 +55,8 @@ def _opf_path(zf: zipfile.ZipFile) -> str:
 
 def _package(zf: zipfile.ZipFile) -> tuple[str, ET.Element]:
     opf = _opf_path(zf)
-    return opf, ET.fromstring(zf.read(opf))
+    return opf, ET.fromstring(
+        _read_capped(zf, opf, MAX_DECOMPRESSED_BYTES))
 
 
 def extract_epub_text(data: bytes) -> str:
@@ -55,6 +75,7 @@ def extract_epub_text(data: bytes) -> str:
                 spine.append(el.get("idref"))
         names = set(zf.namelist())
         parts: list[str] = []
+        budget = MAX_DECOMPRESSED_BYTES  # shared across all chapters
         for idref in spine:
             href = manifest.get(idref)
             if not href:
@@ -63,7 +84,9 @@ def extract_epub_text(data: bytes) -> str:
                     if base else href)
             if path not in names:
                 continue
-            text = html_to_text(zf.read(path))
+            chapter = _read_capped(zf, path, budget)
+            budget -= len(chapter)
+            text = html_to_text(chapter)
             if text:
                 parts.append(text)
         if not parts:

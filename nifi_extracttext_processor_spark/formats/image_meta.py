@@ -144,6 +144,11 @@ def exif_metadata(data: bytes) -> dict[str, str]:
         if data[i] != 0xFF:
             i += 1
             continue
+        # consume 0xFF fill bytes before the marker (T.81 B.1.1.2)
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(data):
+            break
         marker = data[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
@@ -180,6 +185,11 @@ def image_dimensions(data: bytes) -> dict[str, str]:
             if data[i] != 0xFF:
                 i += 1
                 continue
+            # consume 0xFF fill bytes before the marker (T.81 B.1.1.2)
+            while i + 1 < len(data) and data[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(data):
+                break
             marker = data[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2

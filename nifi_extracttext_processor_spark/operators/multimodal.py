@@ -48,6 +48,21 @@ def _fake_pixels(data: bytes, w: int, h: int) -> list[float]:
     return out
 
 
+# Hard ceiling on declared decode geometry (64 Mpx ≈ a 8192x8192
+# frame). Python-list pixel output costs ~30 bytes/px, so header-
+# declared dimensions must be budget-checked BEFORE any output buffer
+# is allocated — otherwise a 68-byte file claiming 40000x40000 commits
+# ~12 GB on an executor before the truncation check ever runs.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_pixel_budget(w: int, h: int, fmt: str) -> None:
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{fmt} declared dimensions {w}x{h} exceed the "
+            f"{MAX_DECODE_PIXELS}-pixel decode budget")
+
+
 def _png_unfilter(raw: bytes, w: int, h: int, nch: int,
                   depth: int = 8) -> bytearray:
     """Undo PNG per-scanline filtering (types 0-4: None/Sub/Up/Average/
@@ -164,6 +179,7 @@ def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
         raise ValueError("paletted PNG missing or malformed PLTE")
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
+    _check_pixel_budget(w, h, "PNG")
     # Geometry: non-interlaced = ONE pass covering the image; Adam7 =
     # up to 7 sub-images (RFC 2083 §2.6 pixel grid), each filtered
     # independently and concatenated in the same zlib stream.
@@ -189,6 +205,11 @@ def _decode_png_gray(data: bytes) -> tuple[int, int, list[float]]:
         raw = zlib.decompressobj().decompress(b"".join(idat), total)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT: {exc}") from None
+    # The inflated stream must cover every pass BEFORE the w*h output
+    # list is allocated — the truncation check cannot live only in
+    # _png_unfilter, which runs after the allocation.
+    if len(raw) < total:
+        raise ValueError("truncated PNG pixel data")
     maxv = (1 << depth) - 1
     px: list[float] = [0.0] * (w * h)
     pos = 0
@@ -312,6 +333,7 @@ def _decode_gif_gray(data: bytes) -> tuple[int, int, list[float]]:
                 raise ValueError("GIF image has no color table")
             if fw <= 0 or fh <= 0:
                 raise ValueError("bad GIF dimensions")
+            _check_pixel_budget(fw, fh, "GIF")
             if i >= len(data):
                 raise ValueError("truncated GIF image data")
             mcs = data[i]
@@ -406,6 +428,7 @@ def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
     w, h = tags[256][0], tags[257][0]
     if w <= 0 or h <= 0:
         raise ValueError("bad TIFF dimensions")
+    _check_pixel_budget(w, h, "TIFF")
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [1] * spp)
     photo = tags.get(262, [1])[0]
@@ -505,6 +528,7 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
             raise ValueError("bad BMP dimensions")
         top_down = height < 0
         height = abs(height)
+        _check_pixel_budget(width, height, "BMP")
 
         def _luma255(r: int, g: int, b: int) -> float:
             return round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
@@ -614,6 +638,9 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
         width, height, maxval = toks
         if not (0 < maxval < 65536):
             raise ValueError(f"bad netpbm maxval {maxval}")
+        if width <= 0 or height <= 0:
+            raise ValueError("bad netpbm dimensions")
+        _check_pixel_budget(width, height, "netpbm")
         nch = 3 if data[:2] == b"P6" else 1
         wide = maxval > 255  # 2-byte big-endian samples per the spec
         need = width * height * nch * (2 if wide else 1)

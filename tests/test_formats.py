@@ -737,6 +737,25 @@ class TestTiffWavMetadata:
             "tiff:ImageWidth": "800", "tiff:ImageLength": "600",
             "tiff:BitsPerSample": "8"}
 
+    def test_jpeg_fill_bytes_before_marker(self):
+        """0xFF padding before a marker is legal (T.81 B.1.1.2): the
+        walk must consume fill bytes instead of reading marker=0xFF
+        and a garbage segment length that jumps past the real SOF."""
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            exif_metadata, image_dimensions,
+        )
+        sof = (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+               + struct.pack(">HH", 600, 800) + bytes([1, 0x11, 0]))
+        jpeg = b"\xff\xd8" + b"\xff\xff\xff" + sof[1:] + b"\xff\xd9"
+        assert image_dimensions(jpeg) == {
+            "tiff:ImageWidth": "800", "tiff:ImageLength": "600",
+            "tiff:BitsPerSample": "8"}
+        # same padding in front of APP1 on the exif_metadata walk
+        exif = self._exif_jpeg()
+        padded = exif[:2] + b"\xff\xff" + exif[3:]
+        assert exif_metadata(padded)  # still finds the APP1 payload
+
     def test_exif_metadata_surface(self, spark):
         from pyspark.sql import Row
         from nifi_extracttext_processor_spark.operators.extract import (
@@ -911,6 +930,29 @@ class TestEpub:
         # non-EPUB zip: empty, never raises
         from tests.fixtures.builders import build_docx
         assert epub_metadata(build_docx(["hi"])) == {}
+
+    def test_member_reads_are_budget_capped(self, monkeypatch):
+        """An EPUB-flagged DEFLATE bomb must hit the expanded-bytes
+        budget via the streaming capped read, not expand via
+        zf.read() (which trusts the member's declared size)."""
+        import io
+        import zipfile
+        import pytest
+        from nifi_extracttext_processor_spark.formats import epub as ep
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("big.xhtml", b"A" * 10000)
+        with zipfile.ZipFile(io.BytesIO(buf.getvalue())) as zf:
+            with pytest.raises(ValueError, match="budget"):
+                ep._read_capped(zf, "big.xhtml", 999)
+            assert (ep._read_capped(zf, "big.xhtml", 10000)
+                    == b"A" * 10000)
+        # functional: the chapter path enforces the running budget
+        from tests.fixtures.builders import build_epub
+        monkeypatch.setattr(ep, "MAX_DECOMPRESSED_BYTES", 16)
+        with pytest.raises(ValueError, match="budget"):
+            ep.extract_epub_text(
+                build_epub(["chapter far larger than sixteen bytes"]))
 
     def test_corrupt_epub_routes_to_failure(self):
         from nifi_extracttext_processor_spark.formats import extract_any

@@ -3109,3 +3109,97 @@ class TestTiffPackBits:
         struct.pack_into("<I", pb, j + 8, len(packed))
         with pytest.raises(ValueError, match="PackBits|truncated"):
             decode_raster_gray(bytes(pb))
+
+
+class TestDecodeBudget:
+    """Header-declared geometry must be budget-checked BEFORE any
+    output buffer is allocated: a tiny crafted file claiming 40000x40000
+    would otherwise commit ~12 GB on an executor (ADVICE r5)."""
+
+    @staticmethod
+    def _chunk(cid, body):
+        import struct
+        import zlib
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    def test_png_huge_declared_dims_rejected_fast(self):
+        import struct
+        import zlib
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        ihdr = struct.pack(">IIBBBBB", 40000, 40000, 8, 0, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+               + self._chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="decode budget"):
+            decode_raster_gray(png)
+
+    def test_png_truncated_idat_rejected_before_alloc(self):
+        import struct
+        import zlib
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        # in-budget dims, but the inflated stream covers ~10 of the
+        # required 100*101 bytes: must fail before the w*h pixel list
+        ihdr = struct.pack(">IIBBBBB", 100, 100, 8, 0, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+               + self._chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="truncated PNG"):
+            decode_raster_gray(png)
+
+    def test_gif_huge_declared_frame_rejected(self):
+        import struct
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        gif = (b"GIF89a" + struct.pack("<HH", 4, 4)
+               + bytes([0x80, 0, 0]) + bytes(6)  # 2-color GCT
+               + b"\x2c" + struct.pack("<HHHH", 0, 0, 50000, 50000)
+               + b"\x00" + bytes([2]) + b"\x00" + b"\x3b")
+        with pytest.raises(ValueError, match="decode budget"):
+            decode_raster_gray(gif)
+
+    def test_bmp_rle8_huge_declared_dims_rejected(self):
+        import struct
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        hdr = bytearray(54)
+        hdr[0:2] = b"BM"
+        struct.pack_into("<I", hdr, 10, 54)     # px_off
+        struct.pack_into("<I", hdr, 14, 40)     # header size
+        struct.pack_into("<i", hdr, 18, 50000)  # width
+        struct.pack_into("<i", hdr, 22, 50000)  # height
+        struct.pack_into("<H", hdr, 26, 1)      # planes
+        struct.pack_into("<H", hdr, 28, 8)      # bpp
+        struct.pack_into("<I", hdr, 30, 1)      # RLE8
+        struct.pack_into("<I", hdr, 46, 1)      # clr_used
+        with pytest.raises(ValueError, match="decode budget"):
+            decode_raster_gray(bytes(hdr) + b"\x00\x01")
+
+    def test_tiff_huge_declared_dims_rejected(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        tiff = TestTiffDecode._tiff([0], 50000, 50000)
+        with pytest.raises(ValueError, match="decode budget"):
+            decode_raster_gray(tiff)
+
+    def test_netpbm_huge_declared_dims_rejected(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        with pytest.raises(ValueError, match="decode budget"):
+            decode_raster_gray(b"P5\n50000 50000\n255\n\x00")
+
+    def test_budget_boundary_is_inclusive(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            MAX_DECODE_PIXELS, _check_pixel_budget,
+        )
+        _check_pixel_budget(MAX_DECODE_PIXELS, 1, "x")  # exactly at cap
+        with pytest.raises(ValueError, match="decode budget"):
+            _check_pixel_budget(MAX_DECODE_PIXELS, 2, "x")
