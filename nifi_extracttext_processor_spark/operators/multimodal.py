@@ -485,20 +485,26 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
     """Pure-stdlib REAL decode of PNG (every legal depth/color-type
     combo — gray 1-16 bit, RGB, palette, alpha — plain or Adam7
     interlaced),
+    baseline JPEG (sequential huffman 8-bit, gray/YCbCr, any
+    sampling, restart markers — the Y plane IS the 601 luma),
     GIF (LZW, first frame, plain or interlaced), BMP (24/32-bit
     truecolor, 1/4/8-bit paletted, RLE8-compressed), and binary
     PPM (P6) / PGM (P5) incl. 16-bit into
     (width, height, row-major grayscale floats in [0, 1], ITU-R 601
     luma, round-6).
 
-    Formats needing codec libraries (JPEG/video/...) raise
-    NotImplementedError — the container ships no Pillow; see
-    decode_image.
+    Formats needing codec libraries (video/...) and JPEG variants
+    beyond baseline (progressive, arithmetic, 12-bit) raise
+    NotImplementedError — honestly; see decode_image.
     """
     import struct
 
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_gray(data)
+
+    if data[:3] == b"\xff\xd8\xff":
+        from ..formats.jpeg_decode import decode_jpeg_gray
+        return decode_jpeg_gray(data, max_pixels=MAX_DECODE_PIXELS)
 
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif_gray(data)
@@ -663,8 +669,8 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
         return width, height, px
 
     raise NotImplementedError(
-        "real decode supports PNG, GIF, uncompressed BMP and binary "
-        "PPM/PGM only; other formats need Pillow, which this "
+        "real decode supports PNG, baseline JPEG, GIF, TIFF, BMP and "
+        "binary PPM/PGM only; other formats need codec libraries this "
         "container does not ship")
 
 
@@ -682,9 +688,10 @@ def decode_image(
     the container cannot decode.
 
     fake=False: REAL decode via decode_raster_gray (pure-stdlib PNG /
-    GIF / uncompressed BMP / binary PPM / PGM); width/height parameters are
-    ignored and each row carries its image's true dimensions. Formats
-    that need Pillow raise NotImplementedError, honestly.
+    baseline JPEG / GIF / TIFF / BMP / binary PPM / PGM);
+    width/height parameters are ignored and each row carries its
+    image's true dimensions. Formats that need codec libraries raise
+    NotImplementedError, honestly.
     """
     schema = (_passthrough_fields(df)
               + ", pixels ARRAY<FLOAT>, width INT, height INT")

@@ -212,7 +212,7 @@ def test_raster_decode_fails_closed(data):
 
 @_FAST
 @given(st.sampled_from([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
-                        b"BM", b"P5\n", b"P6\n",
+                        b"BM", b"P5\n", b"P6\n", b"\xff\xd8\xff",
                         b"II*\x00", b"MM\x00*"]),
        st.binary(max_size=2048))
 def test_raster_decode_survives_corrupt_tails(prefix, tail):

@@ -3203,3 +3203,354 @@ class TestDecodeBudget:
         _check_pixel_budget(MAX_DECODE_PIXELS, 1, "x")  # exactly at cap
         with pytest.raises(ValueError, match="decode budget"):
             _check_pixel_budget(MAX_DECODE_PIXELS, 2, "x")
+
+
+class TestJpegDecode:
+    """Golden tests for the pure-stdlib baseline JPEG decoder, driven
+    by a forward encoder built here in the test: spatial -> level
+    shift -> float fDCT (numpy, orthogonal basis) -> quantize ->
+    huffman bitstream. Expected pixels come from the test's own
+    independent dequant+IDCT of the SAME quantized coefficients, so
+    huffman/DC-prediction/placement/IDCT are all cross-checked."""
+
+    L_DC = 4   # canonical single-length huffman codes (see _make_huff)
+    L_AC = 8
+
+    @staticmethod
+    def _basis():
+        import math
+
+        import numpy as np
+        return np.array(
+            [[(1 / math.sqrt(2) if u == 0 else 1.0) / 2
+              * math.cos((2 * x + 1) * u * math.pi / 16)
+              for x in range(8)] for u in range(8)])
+
+    @classmethod
+    def _quantize_planes(cls, plane, w, h, qt):
+        """Pad to 8-multiples (edge-replicate), fDCT+quantize each 8x8
+        block. Returns {(by, bx): zigzag coeff list}."""
+        import numpy as np
+        from nifi_extracttext_processor_spark.formats.jpeg_decode import (
+            _ZZ,
+        )
+        M = cls._basis()
+        arr = np.asarray(plane, dtype=np.float64).reshape(h, w)
+        pw, ph = -(-w // 8) * 8, -(-h // 8) * 8
+        pad = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+        out = {}
+        qtr = np.empty((8, 8))
+        for k in range(64):
+            qtr[_ZZ[k] >> 3, _ZZ[k] & 7] = qt[k]
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                s = pad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                F = M @ s @ M.T
+                Fq = np.round(F / qtr).astype(int)
+                out[(by, bx)] = [int(Fq[_ZZ[k] >> 3, _ZZ[k] & 7])
+                                 for k in range(64)]
+        return out
+
+    @classmethod
+    def _reference_pixels(cls, blocks, w, h, qt, bw):
+        """Independent dequant + IDCT + level shift + clamp of the
+        quantized coefficients (numpy matrix form)."""
+        import numpy as np
+        from nifi_extracttext_processor_spark.formats.jpeg_decode import (
+            _ZZ,
+        )
+        M = cls._basis()
+        ph = (max(b[0] for b in blocks) + 1) * 8
+        pw = (max(b[1] for b in blocks) + 1) * 8
+        img = np.zeros((ph, pw))
+        qtr = np.empty((8, 8))
+        for k in range(64):
+            qtr[_ZZ[k] >> 3, _ZZ[k] & 7] = qt[k]
+        for (by, bx), zz in blocks.items():
+            F = np.zeros((8, 8))
+            for k in range(64):
+                F[_ZZ[k] >> 3, _ZZ[k] & 7] = zz[k]
+            s = M.T @ (F * qtr) @ M + 128.0
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = s
+        out = np.clip(np.round(img), 0, 255).astype(int)[:h, :w]
+        return [round(v / 255.0, 6) for v in out.ravel()]
+
+    @staticmethod
+    def _make_huff(symbols, length):
+        """Canonical table: all `symbols` at code length `length`
+        (codes 0..n-1). Returns (DHT bits+vals bytes, {sym: code})."""
+        syms = sorted(set(symbols))
+        assert len(syms) < (1 << length), "too many symbols for length"
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        enc = {s: (i, length) for i, s in enumerate(syms)}
+        return bytes(counts) + bytes(syms), enc
+
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code, length):
+            for k in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> k) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)  # byte stuffing
+                    self.acc = 0
+                    self.n = 0
+
+        def flush(self):
+            if self.n:
+                self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+
+    @classmethod
+    def _encode_block(cls, bw, zz, pred, dc_enc, ac_enc):
+        diff = zz[0] - pred
+        t = abs(diff).bit_length()
+        code, ln = dc_enc[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if zz[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            size = abs(zz[k]).bit_length()
+            code, ln = ac_enc[(run << 4) | size]
+            bw.put(code, ln)
+            v = zz[k]
+            bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_enc[0x00]  # EOB
+            bw.put(code, ln)
+        return zz[0]
+
+    @classmethod
+    def _collect_symbols(cls, all_blocks_per_pred_chain):
+        """DC categories + AC (run,size) symbols the encoder will
+        emit, per prediction chain (list of zigzag block lists)."""
+        dc, ac = set(), set()
+        for chain in all_blocks_per_pred_chain:
+            pred = 0
+            for zz in chain:
+                diff = zz[0] - pred
+                pred = zz[0]
+                dc.add(abs(diff).bit_length())
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if zz[k]:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ac.add(0xF0)
+                        run -= 16
+                    ac.add((run << 4) | abs(zz[k]).bit_length())
+                    run = 0
+                if last_nz < 63:
+                    ac.add(0x00)
+        return dc, ac
+
+    @classmethod
+    def _jpeg(cls, w, h, y_plane, qt=None, sampling=(1, 1),
+              chroma=False, dri=0):
+        """Assemble a baseline JPEG. y_plane: w*h luma samples.
+        sampling: luma (H, V); chroma components (if any) are flat 128
+        (all-zero coefficients) at (1, 1). Returns (bytes, expected
+        luma floats) where expected comes from the independent
+        reference IDCT."""
+        import struct
+        qt = qt or [1] * 64
+        hs, vs = sampling
+        blocks = cls._quantize_planes(y_plane, w, h, qt)
+        # pad the luma block grid to MCU multiples (replicate zeros)
+        mcux = -(-w // (8 * hs))
+        mcuy = -(-h // (8 * vs))
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                blocks.setdefault((by, bx), [0] * 64)
+        expected = cls._reference_pixels(blocks, w, h, qt, mcux * hs)
+        zero_block = [0] * 64
+        # MCU-ordered luma chain (the DC prediction order), with
+        # restart-interval resets modeled by splitting chains
+        n_chroma = 2 if chroma else 0
+        mcus = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                units = []
+                for by in range(vs):
+                    for bx in range(hs):
+                        units.append(blocks[(my * vs + by,
+                                             mx * hs + bx)])
+                mcus.append(units)
+        # DC prediction chains break at restart markers
+        step = dri if dri else len(mcus)
+        chains = [[u for m in mcus[s:s + step] for u in m]
+                  for s in range(0, len(mcus), step)]
+        dc_syms, ac_syms = cls._collect_symbols(chains)
+        if chroma:
+            dc_syms.add(0)
+            ac_syms.add(0x00)
+        dht_dc, dc_enc = cls._make_huff(dc_syms, cls.L_DC)
+        dht_ac, ac_enc = cls._make_huff(ac_syms, cls.L_AC)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(body) + 2) + body
+
+        out = b"\xff\xd8"
+        out += seg(0xDB, bytes([0x00]) + bytes(qt))
+        out += seg(0xC4, bytes([0x00]) + dht_dc)
+        out += seg(0xC4, bytes([0x10]) + dht_ac)
+        ncomp = 3 if chroma else 1
+        sof = struct.pack(">BHHB", 8, h, w, ncomp)
+        sof += bytes([1, (hs << 4) | vs, 0])
+        if chroma:
+            sof += bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+        out += seg(0xC0, sof)
+        if dri:
+            out += seg(0xDD, struct.pack(">H", dri))
+        sos = bytes([ncomp, 1, 0x00])
+        if chroma:
+            sos += bytes([2, 0x00, 3, 0x00])
+        sos += bytes([0, 63, 0])  # Ss/Se/AhAl (ignored in baseline)
+        out += seg(0xDA, sos)
+        bw = cls._BitWriter()
+        preds = [0] * (1 + n_chroma)
+        rst = 0
+        for mi, units in enumerate(mcus):
+            if dri and mi and mi % dri == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * (1 + n_chroma)
+            for u in units:
+                preds[0] = cls._encode_block(bw, u, preds[0],
+                                             dc_enc, ac_enc)
+            for c in range(n_chroma):
+                preds[1 + c] = cls._encode_block(
+                    bw, zero_block, preds[1 + c], dc_enc, ac_enc)
+        bw.flush()
+        return out + bytes(bw.out) + b"\xff\xd9", expected
+
+    def _decode(self, data):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        return decode_raster_gray(data)
+
+    def test_flat_gray_exact(self):
+        data, want = self._jpeg(8, 8, [200] * 64)
+        w, h, px = self._decode(data)
+        assert (w, h) == (8, 8)
+        assert px == [round(200 / 255, 6)] * 64
+        assert px == want
+
+    def test_gradient_multiblock_golden(self):
+        plane = [(x * 7 + y * 11) % 256
+                 for y in range(8) for x in range(16)]
+        data, want = self._jpeg(16, 8, plane)
+        w, h, px = self._decode(data)
+        assert (w, h) == (16, 8)
+        assert px == want
+
+    def test_non_multiple_of_8_dims_cropped(self):
+        plane = [(x * 13 + y * 5) % 256
+                 for y in range(10) for x in range(12)]
+        data, want = self._jpeg(12, 10, plane)
+        w, h, px = self._decode(data)
+        assert (w, h) == (12, 10)
+        assert len(px) == 120
+        assert px == want
+
+    def test_quant_table_applied(self):
+        qt = [16, 11, 12, 14] + [10] * 60
+        plane = [(x * 31 + y * 3) % 256
+                 for y in range(8) for x in range(8)]
+        data, want = self._jpeg(8, 8, plane, qt=qt)
+        _, _, px = self._decode(data)
+        assert px == want
+
+    def test_ycbcr_444_luma_out(self):
+        plane = [(x * 9 + y * 17) % 256
+                 for y in range(8) for x in range(8)]
+        data, want = self._jpeg(8, 8, plane, chroma=True)
+        w, h, px = self._decode(data)
+        assert (w, h) == (8, 8)
+        assert px == want
+
+    def test_ycbcr_420_four_luma_blocks_per_mcu(self):
+        # 16x16 4:2:0 = ONE MCU holding 4 Y blocks: quadrants with
+        # distinct flat values prove Y-block placement inside the MCU
+        plane = [0] * 256
+        for y in range(16):
+            for x in range(16):
+                plane[y * 16 + x] = (50 if (y < 8 and x < 8) else
+                                     100 if y < 8 else
+                                     150 if x < 8 else 220)
+        data, want = self._jpeg(16, 16, plane, sampling=(2, 2),
+                                chroma=True)
+        w, h, px = self._decode(data)
+        assert (w, h) == (16, 16)
+        assert px == want
+        assert px[0] == round(50 / 255, 6)
+        assert px[15] == round(100 / 255, 6)
+        assert px[8 * 16] == round(150 / 255, 6)
+        assert px[8 * 16 + 15] == round(220 / 255, 6)
+
+    def test_restart_markers_reset_dc_prediction(self):
+        plane = [(x * 7 + y * 11) % 256
+                 for y in range(8) for x in range(24)]
+        data, want = self._jpeg(24, 8, plane, dri=1)
+        assert b"\xff\xd0" in data or b"\xff\xd1" in data
+        w, h, px = self._decode(data)
+        assert (w, h) == (24, 8)
+        assert px == want
+
+    def test_progressive_is_honest_nie(self):
+        import struct
+        data, _ = self._jpeg(8, 8, [128] * 64)
+        i = data.index(b"\xff\xc0")
+        with pytest.raises(NotImplementedError, match="progressive"):
+            self._decode(data[:i] + b"\xff\xc2" + data[i + 2:])
+
+    def test_truncated_entropy_fails_closed(self):
+        data, _ = self._jpeg(16, 8, [(x * 7 + y) % 256
+                                     for y in range(8)
+                                     for x in range(16)])
+        with pytest.raises(ValueError):
+            self._decode(data[:len(data) - 12])
+
+    def test_declared_dims_budget_checked(self):
+        import struct
+        data, _ = self._jpeg(8, 8, [128] * 64)
+        i = data.index(b"\xff\xc0")
+        patched = (data[:i + 5]
+                   + struct.pack(">HH", 40000, 40000)
+                   + data[i + 9:])
+        with pytest.raises(ValueError, match="decode budget"):
+            self._decode(patched)
+
+    def test_fill_bytes_between_segments(self):
+        data, want = self._jpeg(8, 8, [90] * 64)
+        i = data.index(b"\xff\xc0")
+        padded = data[:i] + b"\xff\xff" + data[i:]
+        _, _, px = self._decode(padded)
+        assert px == want
