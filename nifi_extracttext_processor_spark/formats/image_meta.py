@@ -293,10 +293,85 @@ _ID3_KEYS = {b"TIT2": "dc:title", b"TPE1": "xmpDM:artist",
              b"TALB": "xmpDM:album"}
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3).
+# Bitrates in kbps, indexed [layer][bitrate_index]; layer_bits:
+# 3 = Layer I, 2 = Layer II, 1 = Layer III.
+_MP3_BR_V1 = {
+    3: (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+        416, 448),
+    2: (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+        384),
+    1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+        320),
+}
+_MP3_BR_V2 = {
+    3: (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224,
+        256),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    1: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_SR_BASE = (44100, 48000, 32000)
+
+
+def _mp3_frame_walk(data: bytes, i: int) -> dict[str, str]:
+    """Duration/bitrate/samplerate estimate from a CBR/VBR MPEG audio
+    frame-header walk — header arithmetic only, no audio decode.
+    Returns {} if no valid frame starts at `i`."""
+    n = len(data)
+    frames = 0
+    dur = 0.0
+    kbps_sum = 0
+    sr_out = None
+    mode_out = None
+    while i + 4 <= n and frames < 200_000:
+        if data[i] != 0xFF or (data[i + 1] & 0xE0) != 0xE0:
+            break  # lost sync (trailing tags, truncation)
+        b1, b2, b3 = data[i + 1], data[i + 2], data[i + 3]
+        ver_bits = (b1 >> 3) & 3    # 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        layer_bits = (b1 >> 1) & 3  # 1=III, 2=II, 3=I
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        if (ver_bits == 1 or layer_bits == 0 or sr_idx == 3
+                or br_idx in (0, 15)):  # reserved / free-format
+            break
+        v1 = ver_bits == 3
+        kbps = (_MP3_BR_V1 if v1 else _MP3_BR_V2)[layer_bits][br_idx]
+        sr = _MP3_SR_BASE[sr_idx] >> (0 if v1 else
+                                      (1 if ver_bits == 2 else 2))
+        if layer_bits == 3:        # Layer I: 384 samples, slot = 4 B
+            spf = 384
+            flen = (12 * kbps * 1000 // sr + pad) * 4
+        else:
+            spf = 1152 if (layer_bits == 2 or v1) else 576
+            flen = spf // 8 * kbps * 1000 // sr + pad
+        if flen <= 4 or i + flen > n:
+            break  # malformed, or frame body truncated: don't count
+        dur += spf / sr
+        kbps_sum += kbps
+        sr_out = sr
+        mode_out = "Mono" if (b3 >> 6) == 3 else "Stereo"
+        frames += 1
+        i += flen
+    if not frames:
+        return {}
+    return {
+        "xmpDM:duration": str(round(dur, 3)),
+        "xmpDM:audioSampleRate": str(sr_out),
+        "xmpDM:audioChannelType": mode_out,
+        "xmpDM:audioCompressor": "MP3",
+        "xmpDM:fileDataRate": str(round(kbps_sum / frames, 1)),
+    }
+
+
 def mp3_metadata(data: bytes) -> dict[str, str]:
     """ID3v2.3/2.4 text frames under Tika property names (dc:title,
-    xmpDM:artist, xmpDM:album). Frame walk only — no audio decode."""
+    xmpDM:artist, xmpDM:album), plus duration/bitrate/samplerate from
+    an MPEG frame-header walk (no audio decode)."""
     if data[:3] != b"ID3" or len(data) < 10:
+        # raw MPEG stream without an ID3v2 tag: frame walk only
+        if len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+            return _mp3_frame_walk(data, 0)
         return {}
     ver = data[3]
     syncsafe_frames = ver >= 4
@@ -321,4 +396,10 @@ def mp3_metadata(data: bytes) -> dict[str, str]:
             if val:
                 out[_ID3_KEYS[fid]] = val
         i += 10 + size
+    # audio frames follow the tag (a bounded scan tolerates padding)
+    j = 10 + tag_size
+    for j in range(j, min(j + 4096, len(data) - 3)):
+        if data[j] == 0xFF and (data[j + 1] & 0xE0) == 0xE0:
+            out.update(_mp3_frame_walk(data, j))
+            break
     return out

@@ -11,8 +11,13 @@ Supported subset — enough for real-world "text PDFs":
   * object streams (ObjStm, PDF 1.5+) holding page/content objects
   * BT/ET text blocks with Tj / TJ / ' / " show operators
   * paren strings with escapes + octal, and hex strings
-  * per-font ToUnicode CMaps are NOT parsed; bytes are decoded via
-    PDFDocEncoding-ish latin-1 fallback (adequate for ASCII corpora)
+  * per-font ToUnicode CMaps ARE parsed (bfchar, bfrange with both
+    contiguous-base and array destinations, codespace-derived 1- or
+    2-byte code width — see _parse_tounicode_cmap below) and applied
+    per Tf-selected font; PREDEFINED CMaps (e.g. /UniJIS-UCS2-H) and
+    per-page font namespaces are not — fonts resolve in one global
+    namespace, and codes missing from a 1-byte CMap fall back to
+    latin-1
 
 This is intentionally not a full PDF parser: malformed input raises
 (caught upstream and routed to the failure port, matching the

@@ -374,12 +374,63 @@ def _decode_gif_gray(data: bytes) -> tuple[int, int, list[float]]:
     raise ValueError("GIF contains no image data")
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing,
+    CLEAR=256/EOI=257, table grows from 258, and the "early change"
+    quirk — code width bumps when the NEXT code would be 2^width - 1,
+    one code earlier than GIF. Output bounded at `max_out` bytes, same
+    memory posture as the GIF LZW and PNG bounded inflate."""
+    CLEAR, EOI = 256, 257
+    code_size = 9
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    next_code = 258
+    prev: bytes | None = None
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < max_out:
+        code = 0
+        for k in range(code_size):
+            p = bitpos + k
+            code = (code << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1)
+        bitpos += code_size
+        if code == CLEAR:
+            table = dict(base)
+            code_size = 9
+            next_code = 258
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("corrupt TIFF LZW stream")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1  # early change
+        out += entry
+        prev = entry
+    return bytes(out[:max_out])
+
+
 def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
-    """Baseline TIFF decode, pure stdlib: uncompressed (Compression=1)
-    chunky strips, 8-bit grayscale (PhotometricInterpretation 0/1,
-    WhiteIsZero inverted) or RGB(A) (extra samples ignored), IFD0
-    only. LZW/PackBits/JPEG-in-TIFF, planar, palette and non-8-bit
-    depths raise NotImplementedError; structural damage ValueError."""
+    """Baseline TIFF decode, pure stdlib: uncompressed (1), LZW (5,
+    incl. the early-change width quirk and horizontal-differencing
+    Predictor=2) and PackBits (32773) chunky strips, 8-bit grayscale
+    (PhotometricInterpretation 0/1, WhiteIsZero inverted) or RGB(A)
+    (extra samples ignored), IFD0 only. JPEG-in-TIFF/deflate, planar,
+    palette and non-8-bit depths raise NotImplementedError; structural
+    damage ValueError."""
     import struct
 
     if data[:4] not in (b"II*\x00", b"MM\x00*") or len(data) < 8:
@@ -417,10 +468,14 @@ def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
                 vals.append(struct.unpack_from(f"{e}I", data, o)[0])
         tags[tag] = vals
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (uncompressed and "
-            "PackBits only)")
+            f"TIFF compression {comp} unsupported (uncompressed, "
+            "LZW and PackBits only)")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} unsupported")
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF unsupported")
     if 256 not in tags or 257 not in tags or 273 not in tags:
@@ -446,7 +501,10 @@ def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
     for so, sc in zip(strips, counts):
         if so + sc > len(data):
             raise ValueError("truncated TIFF strip data")
-        if comp == 32773:  # PackBits (TIFF 6.0 §9): per-strip byte RLE
+        if comp == 5:      # LZW: each strip is its own stream
+            buf += _tiff_lzw_decode(data[so:so + sc],
+                                    need - len(buf))
+        elif comp == 32773:  # PackBits (TIFF 6.0 §9): per-strip byte RLE
             i = so
             end = so + sc
             while i < end and len(buf) < need:
@@ -467,6 +525,11 @@ def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
             buf += data[so:so + sc]
     if len(buf) < need:
         raise ValueError("truncated TIFF pixel data")
+    if predictor == 2:  # horizontal differencing: undo per row/channel
+        row_bytes = w * spp
+        for r0 in range(0, need, row_bytes):
+            for x in range(spp, row_bytes):
+                buf[r0 + x] = (buf[r0 + x] + buf[r0 + x - spp]) & 0xFF
     px: list[float] = []
     for p in range(0, need, spp):
         if photo == 2:

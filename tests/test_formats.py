@@ -871,6 +871,50 @@ class TestCompressorsAndMp3:
         assert meta["Content-Type"] == "audio/mpeg"
         assert meta["dc:title"] == "T"
 
+    @staticmethod
+    def _cbr_frames(n_frames=10, kbps_idx=5, stereo=True):
+        """MPEG1 Layer III 44.1 kHz CBR frames (64 kbps at idx 5):
+        frame length 144*64000//44100 = 208 bytes, no padding."""
+        hdr = bytes([0xFF, 0xFB, (kbps_idx << 4),
+                     0x00 if stereo else 0xC0])
+        flen = 144 * 64000 // 44100
+        return (hdr + bytes(flen - 4)) * n_frames
+
+    def test_mp3_duration_bitrate_estimate(self):
+        """VERDICT r5 item 7: xmpDM:duration from a frame-header walk,
+        exact on a tiny CBR file (10 frames * 1152 / 44100 s)."""
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            mp3_metadata,
+        )
+        audio = self._cbr_frames(10)
+        want_dur = str(round(10 * 1152 / 44100, 3))
+        # raw MPEG stream, no ID3 tag
+        md = mp3_metadata(audio)
+        assert md["xmpDM:duration"] == want_dur
+        assert md["xmpDM:audioSampleRate"] == "44100"
+        assert md["xmpDM:audioChannelType"] == "Stereo"
+        assert md["xmpDM:fileDataRate"] == "64.0"
+        assert md["xmpDM:audioCompressor"] == "MP3"
+        # ID3v2-tagged: text frames AND the audio estimate together
+        md = mp3_metadata(self._id3([(b"TIT2", "Song")]) + audio)
+        assert md["dc:title"] == "Song"
+        assert md["xmpDM:duration"] == want_dur
+        # mono flag
+        md = mp3_metadata(self._cbr_frames(3, stereo=False))
+        assert md["xmpDM:audioChannelType"] == "Mono"
+
+    def test_mp3_frame_walk_fails_soft(self):
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            mp3_metadata,
+        )
+        # free-format / reserved headers: no crash, no duration key
+        assert "xmpDM:duration" not in mp3_metadata(
+            bytes([0xFF, 0xFB, 0x00, 0x00]) + bytes(100))
+        assert mp3_metadata(b"\xff\xe0\xff\xff") in ({},)
+        # truncated mid-frame: the completed frames still count
+        md = mp3_metadata(self._cbr_frames(5)[:-100])
+        assert md["xmpDM:duration"] == str(round(4 * 1152 / 44100, 3))
+
 
 def test_ooxml_app_xml_statistics():
     """docProps/app.xml statistics surface under Tika meta:* keys."""
@@ -990,3 +1034,75 @@ class TestEpubMimetypeVariants:
                 if n != "mimetype":
                     zf.writestr(n, src.read(n))
         assert detect_mime(buf.getvalue(), None) == "application/epub+zip"
+
+
+class TestPdfToUnicodeCid:
+    """Locks in _parse_tounicode_cmap breadth (pdf.py): a subsetted
+    Type0/CID font with 2-byte codes, bfchar incl. a surrogate-pair
+    destination, and bfrange in BOTH contiguous-base and array-dst
+    forms."""
+
+    @staticmethod
+    def _cid_pdf() -> bytes:
+        import io
+        cmap = (b"/CIDInit /ProcSet findresource begin\n"
+                b"begincmap\n"
+                b"1 begincodespacerange\n<0000> <FFFF>\n"
+                b"endcodespacerange\n"
+                b"2 beginbfchar\n"
+                b"<0041> <0048>\n"            # 0x0041 -> 'H'
+                b"<0042> <D835DC9C>\n"        # 0x0042 -> U+1D49C (pair)
+                b"endbfchar\n"
+                b"2 beginbfrange\n"
+                b"<0100> <0102> <0065>\n"     # -> e, f, g
+                b"<0200> <0202> [<0058> <0059> <005A>]\n"  # -> X, Y, Z
+                b"endbfrange\nendcmap\nend\n")
+        content = (b"BT /F1 12 Tf "
+                   b"<0041 0042 0100 0101 0102 0200 0201 0202> Tj ET")
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (
+                len(content), content),
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Foo "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (
+                len(cmap), cmap),
+        ]
+        out = io.BytesIO()
+        out.write(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, start=1):
+            offsets.append(out.tell())
+            out.write(b"%d 0 obj\n" % i)
+            out.write(body)
+            out.write(b"\nendobj\n")
+        xref_at = out.tell()
+        out.write(b"xref\n0 %d\n" % (len(objs) + 1))
+        out.write(b"0000000000 65535 f \n")
+        for off in offsets:
+            out.write(b"%010d 00000 n \n" % off)
+        out.write(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                  b"%d\n%%%%EOF\n" % (len(objs) + 1, xref_at))
+        return out.getvalue()
+
+    def test_type0_two_byte_codes_and_surrogate_pair(self):
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        text = extract_pdf_text(self._cid_pdf())
+        assert "H\U0001D49Cefg" in text  # bfchar + surrogate + range
+        assert "XYZ" in text             # bfrange with array dst
+
+    def test_codes_missing_from_two_byte_cmap_dropped(self):
+        """A 2-byte code with no CMap entry must vanish, not emit the
+        latin-1 fallback bytes (that fallback is 1-byte-CMap only)."""
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        data = self._cid_pdf().replace(b"<0041 0042", b"<0999 0041 0042")
+        text = extract_pdf_text(data)
+        assert "H\U0001D49Cefg" in text
+        assert "\x09" not in text and "\x99" not in text

@@ -2964,20 +2964,30 @@ class TestReviewRound2Fixes:
 class TestTiffDecode:
     @staticmethod
     def _tiff(pixels, w, h, spp=1, photo=1, endian="<", n_strips=1,
-              compression=1):
-        """Minimal baseline TIFF: header, IFD0, strip data."""
+              compression=1, strip_payloads=None, predictor=None):
+        """Minimal baseline TIFF: header, IFD0, strip data. When
+        `strip_payloads` is given (pre-compressed strips, e.g. LZW),
+        it wins over `pixels` and sets the strip byte counts."""
         import struct
         e = endian
-        body = bytes(pixels)
-        rows_per = (h + n_strips - 1) // n_strips
-        strip_rows = [min(rows_per, h - i * rows_per)
-                      for i in range(n_strips)]
-        strip_lens = [r * w * spp for r in strip_rows]
+        if strip_payloads is not None:
+            n_strips = len(strip_payloads)
+            body = b"".join(strip_payloads)
+            strip_lens = [len(p) for p in strip_payloads]
+            rows_per = (h + n_strips - 1) // n_strips
+        else:
+            body = bytes(pixels)
+            rows_per = (h + n_strips - 1) // n_strips
+            strip_rows = [min(rows_per, h - i * rows_per)
+                          for i in range(n_strips)]
+            strip_lens = [r * w * spp for r in strip_rows]
         entries = [
             (256, 3, 1, w), (257, 3, 1, h),
             (259, 3, 1, compression), (262, 3, 1, photo),
             (277, 3, 1, spp), (278, 3, 1, rows_per),
         ]
+        if predictor is not None:
+            entries.append((317, 3, 1, predictor))
         if spp == 1:
             entries.append((258, 3, 1, 8))
         n_extra = 0
@@ -3062,7 +3072,7 @@ class TestTiffDecode:
         )
         with pytest.raises(NotImplementedError, match="compression"):
             decode_raster_gray(
-                self._tiff([0], 1, 1, compression=5))  # LZW
+                self._tiff([0], 1, 1, compression=7))  # JPEG-in-TIFF
         with pytest.raises(ValueError, match="truncated TIFF strip"):
             decode_raster_gray(self._tiff([0, 0], 2, 2))  # too few px
 
@@ -3554,3 +3564,161 @@ class TestJpegDecode:
         padded = data[:i] + b"\xff\xff" + data[i:]
         _, _, px = self._decode(padded)
         assert px == want
+
+
+class TestTiffLzw:
+    """TIFF LZW (compression 5) goldens. The forward encoder here
+    emits literal codes only, but tracks the decoder's table growth so
+    the code-width schedule (incl. the early-change quirk at
+    2^width - 1) must match exactly."""
+
+    @staticmethod
+    def _lzw_literals(data: bytes) -> bytes:
+        bits = []
+
+        def emit(code, size):
+            for k in range(size - 1, -1, -1):
+                bits.append((code >> k) & 1)
+
+        code_size = 9
+        next_code = 258
+        emit(256, code_size)  # CLEAR
+        for i, b in enumerate(data):
+            emit(b, code_size)
+            if i >= 1:  # decoder adds a table entry from the 2nd code on
+                next_code += 1
+                if next_code == (1 << code_size) - 1 and code_size < 12:
+                    code_size += 1
+        emit(257, code_size)  # EOI
+        out = bytearray()
+        for o in range(0, len(bits), 8):
+            byte = 0
+            for k in range(8):
+                bit = bits[o + k] if o + k < len(bits) else 0
+                byte = (byte << 1) | bit
+            out.append(byte)
+        return bytes(out)
+
+    def test_lzw_gray_crosses_width_bump_both_endians(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        # 16x20 = 320 literal codes: table reaches 511 mid-stream, so
+        # the 9->10 bit early change is exercised
+        vals = [(i * 37 + 11) % 256 for i in range(320)]
+        payload = self._lzw_literals(bytes(vals))
+        for e in ("<", ">"):
+            data = TestTiffDecode._tiff(
+                None, 16, 20, endian=e, compression=5,
+                strip_payloads=[payload])
+            w, h, px = decode_raster_gray(data)
+            assert (w, h) == (16, 20), e
+            assert px == [round(v / 255, 6) for v in vals], e
+
+    def test_lzw_multi_strip_independent_streams(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        vals = [(i * 7) % 256 for i in range(64)]
+        half = len(vals) // 2
+        data = TestTiffDecode._tiff(
+            None, 8, 8, compression=5,
+            strip_payloads=[self._lzw_literals(bytes(vals[:half])),
+                            self._lzw_literals(bytes(vals[half:]))])
+        w, h, px = decode_raster_gray(data)
+        assert (w, h) == (8, 8)
+        assert px == [round(v / 255, 6) for v in vals]
+
+    def test_lzw_rgb_with_predictor2(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        rgb = [(i * 13 % 256, i * 7 % 256, i * 29 % 256)
+               for i in range(12)]  # 4x3 RGB
+        flat = [v for p in rgb for v in p]
+        # forward horizontal differencing per row (w=4, spp=3)
+        diffed = list(flat)
+        for r0 in range(0, len(flat), 12):
+            for x in range(11, 2, -1):
+                diffed[r0 + x] = (flat[r0 + x] - flat[r0 + x - 3]) % 256
+        data = TestTiffDecode._tiff(
+            None, 4, 3, spp=3, photo=2, compression=5, predictor=2,
+            strip_payloads=[self._lzw_literals(bytes(diffed))])
+        w, h, px = decode_raster_gray(data)
+        assert (w, h) == (4, 3)
+        want = [round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+                for (r, g, b) in rgb]
+        assert px == want
+
+    def test_lzw_kwkwk_and_table_reuse(self):
+        """A real compressed stream (not literals): encode with a
+        correct forward LZW so table-hit codes and the KwKwK case are
+        both decoded."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            _tiff_lzw_decode,
+        )
+        src = b"ABABABABA" + b"AAAA"  # forces repeats + KwKwK pattern
+        # forward TIFF-LZW with a real string table
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        code_size = 9
+        bits = []
+
+        def emit(code, size):
+            for k in range(size - 1, -1, -1):
+                bits.append((code >> k) & 1)
+
+        emit(256, code_size)
+        s = b""
+        for ch in src:
+            s2 = s + bytes([ch])
+            if s2 in table:
+                s = s2
+                continue
+            emit(table[s], code_size)
+            table[s2] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+            s = bytes([ch])
+        if s:
+            emit(table[s], code_size)
+        emit(257, code_size)
+        out = bytearray()
+        for o in range(0, len(bits), 8):
+            byte = 0
+            for k in range(8):
+                bit = bits[o + k] if o + k < len(bits) else 0
+                byte = (byte << 1) | bit
+            out.append(byte)
+        assert _tiff_lzw_decode(bytes(out), 1000) == src
+
+    def test_lzw_corrupt_fails_closed(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            _tiff_lzw_decode,
+        )
+        with pytest.raises(ValueError, match="TIFF LZW"):
+            # first real code references an undefined table slot
+            bits = bytearray()
+            # 256 (CLEAR) then 300 (undefined) in 9-bit MSB packing
+            val = (256 << 9) | 300
+            for k in range(17, -1, -1):
+                bits.append((val >> k) & 1)
+            by = bytearray()
+            for o in range(0, len(bits), 8):
+                b = 0
+                for k in range(8):
+                    bit = bits[o + k] if o + k < len(bits) else 0
+                    b = (b << 1) | bit
+                by.append(b)
+            _tiff_lzw_decode(bytes(by), 100)
+
+    def test_unsupported_predictor_honest(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        data = TestTiffDecode._tiff(
+            None, 2, 1, compression=5, predictor=3,
+            strip_payloads=[self._lzw_literals(b"\x00\x01")])
+        with pytest.raises(NotImplementedError, match="predictor"):
+            decode_raster_gray(data)
