@@ -293,26 +293,39 @@ def _gif_lzw_decode(data: bytes, mcs: int, max_out: int) -> bytes:
     return bytes(out[:max_out])
 
 
-def _decode_gif_gray(data: bytes) -> tuple[int, int, list[float]]:
-    """Pure-stdlib GIF decode (GIF87a/89a): global/local color table,
-    LZW index stream, optional 4-pass row interlace — of the FIRST
-    image frame, at the frame's own dimensions (animation frames after
-    the first, disposal/transparency compositing are out of scope for
-    grayscale feature extraction). Extension blocks are skipped."""
+def _gif_frames_raw(data: bytes):
+    """Parse a GIF87a/89a container and yield, per image frame:
+    (left, top, fw, fh, ct, idx, disposal, transparent) where `idx` is
+    the deinterlaced fw*fh index stream in display row order and `ct`
+    the effective (local-wins) color table. Also returns the logical
+    screen via the generator's first yield being preceded by a
+    (sw, sh, bg_idx, gct) header tuple tagged with None frame."""
     import struct
 
     if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
         raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", data, 6)
     packed = data[10]
+    bg_idx = data[11]
     i = 13
     gct: bytes | None = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = data[i:i + 3 * n]
         i += 3 * n
+    yield (sw, sh, bg_idx, gct)
+    disposal = 0
+    transparent: int | None = None
+    found = False
     while i < len(data):
         b = data[i]
         if b == 0x21:  # extension: label byte then sub-blocks
+            if (data[i + 1:i + 2] == b"\xf9"
+                    and i + 4 <= len(data) and data[i + 2] >= 4
+                    and i + 3 + data[i + 2] <= len(data)):
+                flags = data[i + 3]  # graphic control (89a §23)
+                disposal = (flags >> 2) & 0x07
+                transparent = data[i + 6] if flags & 1 else None
             i += 2
             while i < len(data) and data[i] != 0:
                 i += 1 + data[i]
@@ -320,7 +333,8 @@ def _decode_gif_gray(data: bytes) -> tuple[int, int, list[float]]:
         elif b == 0x2C:  # image descriptor
             if i + 10 > len(data):
                 raise ValueError("truncated GIF image descriptor")
-            _, _, fw, fh = struct.unpack_from("<HHHH", data, i + 1)
+            left, top, fw, fh = struct.unpack_from("<HHHH", data,
+                                                   i + 1)
             p = data[i + 9]
             interlaced = bool(p & 0x40)
             i += 10
@@ -345,33 +359,111 @@ def _decode_gif_gray(data: bytes) -> tuple[int, int, list[float]]:
                 n = data[i]
                 comp += data[i + 1:i + 1 + n]
                 i += 1 + n
-            idx = _gif_lzw_decode(bytes(comp), mcs, fw * fh)
-            if len(idx) < fw * fh:
+            i += 1  # block terminator
+            raw = _gif_lzw_decode(bytes(comp), mcs, fw * fh)
+            if len(raw) < fw * fh:
                 raise ValueError("truncated GIF pixel data")
-            # row order: sequential, or the 4 interlace passes
-            if interlaced:
+            if interlaced:  # the 4 interlace passes -> row order
                 order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
                          + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+                idx = bytearray(fw * fh)
+                for src_row, y in enumerate(order):
+                    idx[y * fw:(y + 1) * fw] = raw[src_row * fw:
+                                                   (src_row + 1) * fw]
+                idx = bytes(idx)
             else:
-                order = list(range(fh))
-            px: list[float] = [0.0] * (fw * fh)
-            n_colors = len(ct) // 3
-            for src_row, y in enumerate(order):
-                for x in range(fw):
-                    c = idx[src_row * fw + x]
-                    if c >= n_colors:
-                        raise ValueError(
-                            "GIF color index out of range")
-                    r, g, bl = ct[3 * c], ct[3 * c + 1], ct[3 * c + 2]
-                    px[y * fw + x] = round(
-                        (0.299 * r + 0.587 * g + 0.114 * bl) / 255.0,
-                        6)
-            return fw, fh, px
+                idx = raw
+            found = True
+            yield (left, top, fw, fh, ct, idx, disposal, transparent)
+            disposal = 0
+            transparent = None
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"bad GIF block type 0x{b:02x}")
+    if not found:
+        raise ValueError("GIF contains no image data")
+
+
+def _ct_luma255(ct: bytes, c: int) -> int:
+    if 3 * c + 3 > len(ct):
+        raise ValueError("GIF color index out of range")
+    return int(round(0.299 * ct[3 * c] + 0.587 * ct[3 * c + 1]
+                     + 0.114 * ct[3 * c + 2]))
+
+
+def _decode_gif_gray(data: bytes) -> tuple[int, int, list[float]]:
+    """Pure-stdlib GIF decode (GIF87a/89a): global/local color table,
+    LZW index stream, optional 4-pass row interlace — of the FIRST
+    image frame, at the frame's own dimensions (transparency ignored:
+    feature extraction wants the drawn colors). For animation-aware
+    full-canvas frames see decode_gif_frames."""
+    it = _gif_frames_raw(data)
+    next(it)  # logical-screen header
+    for (_, _, fw, fh, ct, idx, _, _) in it:
+        n_colors = len(ct) // 3
+        px: list[float] = [0.0] * (fw * fh)
+        for k in range(fw * fh):
+            c = idx[k]
+            if c >= n_colors:
+                raise ValueError("GIF color index out of range")
+            r, g, bl = ct[3 * c], ct[3 * c + 1], ct[3 * c + 2]
+            px[k] = round(
+                (0.299 * r + 0.587 * g + 0.114 * bl) / 255.0, 6)
+        return fw, fh, px
     raise ValueError("GIF contains no image data")
+
+
+def decode_gif_frames(data: bytes,
+                      max_frames: int | None = None,
+                      ) -> tuple[int, int, list[bytes]]:
+    """Animated-GIF keyframe decode: composite each image frame onto
+    the logical-screen canvas honoring the Graphic Control Extension —
+    transparent-index pixels leave the canvas unchanged, disposal 2
+    restores the frame rect to background after the frame shows,
+    disposal 3 restores the pre-frame canvas (snapshot), 0/1 leave the
+    canvas. Returns (screen_w, screen_h, [one luma-bytes canvas per
+    frame, 0-255 row-major]), at most `max_frames` frames."""
+    it = _gif_frames_raw(data)
+    sw, sh, bg_idx, gct = next(it)
+    if sw <= 0 or sh <= 0:
+        raise ValueError("bad GIF dimensions")
+    _check_pixel_budget(sw, sh, "GIF")
+    bg = 0
+    if gct is not None and 3 * bg_idx + 3 <= len(gct):
+        bg = _ct_luma255(gct, bg_idx)
+    canvas = bytearray([bg]) * (sw * sh)
+    frames: list[bytes] = []
+    for (left, top, fw, fh, ct, idx, disposal, transparent) in it:
+        n_colors = len(ct) // 3
+        snapshot = bytes(canvas) if disposal == 3 else None
+        for y in range(fh):
+            cy = top + y
+            if cy >= sh:
+                break
+            row = cy * sw
+            src = y * fw
+            for x in range(min(fw, sw - left)):
+                c = idx[src + x]
+                if c == transparent:
+                    continue
+                if c >= n_colors:
+                    raise ValueError("GIF color index out of range")
+                canvas[row + left + x] = _ct_luma255(ct, c)
+        frames.append(bytes(canvas))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        if disposal == 2:    # restore rect to background
+            for y in range(fh):
+                cy = top + y
+                if cy >= sh:
+                    break
+                row = cy * sw
+                for x in range(min(fw, sw - left)):
+                    canvas[row + left + x] = bg
+        elif disposal == 3 and snapshot is not None:
+            canvas[:] = snapshot
+    return sw, sh, frames
 
 
 def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
@@ -868,22 +960,51 @@ def sample_frames(
     max_frames: int = 3,
     fake: bool = True,
 ) -> DataFrame:
-    """video content → exploded (frame_no, frame binary) rows.
+    """video/animation content → exploded (frame_no, frame binary)
+    rows.
 
-    Real implementation: ffmpeg/pyav demux in the same loop. The fake
-    emits deterministic md5-derived frame payloads so downstream
-    plumbing (explode cardinality, binary transport) is fully exercised.
+    fake=True (default): deterministic md5-derived frame payloads so
+    downstream plumbing (explode cardinality, binary transport) is
+    fully exercised — the oracle-checkable stand-in.
+
+    fake=False: REAL sampling for animated GIF content — every
+    `every_n`-th composed full-canvas frame (disposal/transparency
+    honored, see decode_gif_frames), at most `max_frames`, each
+    emitted as a self-describing binary PGM (P5) so downstream
+    decode_image(fake=False) can decode the sampled frames. Non-GIF
+    content (real video containers) raises NotImplementedError — the
+    container ships no ffmpeg/pyav.
     """
     schema = (_passthrough_fields(df)
               + ", frame_no INT, frame BINARY")
+
+    def _run_real(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for j in range(len(pdf)):
+                data = bytes(pdf[content_col].iloc[j] or b"")
+                if data[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise NotImplementedError(
+                        "real frame sampling supports animated GIF "
+                        "only; video needs ffmpeg/pyav, which this "
+                        "container does not ship")
+                need = (max_frames - 1) * every_n + 1
+                w, h, frames = decode_gif_frames(data, max_frames=need)
+                hdr = b"P5\n%d %d\n255\n" % (w, h)
+                for fi in range(0, len(frames), every_n):
+                    rec = pdf.iloc[j].to_dict()
+                    rec["frame_no"] = fi
+                    rec["frame"] = hdr + frames[fi]
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=list(pdf.columns) + ["frame_no",
+                                                   "frame"])
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame sampling needs ffmpeg/pyav; run fake=True")
             n = len(pdf)
             # vectorized explode: repeat every input row max_frames times
             # (no per-row dict building — index-repeat + tiled frame_no)
@@ -896,7 +1017,7 @@ def sample_frames(
                 for c, fn in zip(rep[content_col], frame_nos)]
             yield rep
 
-    return df.mapInPandas(_run, schema=schema)
+    return df.mapInPandas(_run if fake else _run_real, schema=schema)
 
 
 def fake_image_feat_sum_sql(

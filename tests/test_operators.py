@@ -3722,3 +3722,157 @@ class TestTiffLzw:
             strip_payloads=[self._lzw_literals(b"\x00\x01")])
         with pytest.raises(NotImplementedError, match="predictor"):
             decode_raster_gray(data)
+
+
+class TestGifAnimation:
+    """Multi-frame GIF composition (decode_gif_frames) and the real
+    sample_frames kernel: disposal modes, transparency, sub-rectangle
+    frames, PGM payload round-trip."""
+
+    PAL = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+
+    @classmethod
+    def _lzw(cls, indices):
+        mcs = 2
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        cs = mcs + 1
+        codes = [(clear, cs)]
+        for idx in indices:
+            codes += [(idx, cs), (clear, cs)]
+        codes.append((end, cs))
+        comp = TestRealRasterDecode._pack_codes(codes)
+        blocks = b""
+        for o in range(0, len(comp), 255):
+            ch = comp[o:o + 255]
+            blocks += bytes([len(ch)]) + ch
+        return bytes([mcs]) + blocks + b"\x00"
+
+    @classmethod
+    def _agif(cls, sw, sh, frames, bg=0):
+        """frames: list of (left, top, fw, fh, indices, disposal,
+        transparent_idx_or_None)."""
+        import struct
+        out = (b"GIF89a" + struct.pack("<HH", sw, sh)
+               + bytes([0x81, bg, 0]))
+        out += b"".join(bytes(c) for c in cls.PAL)
+        for (left, top, fw, fh, idx, disp, trans) in frames:
+            flags = (disp & 7) << 2 | (1 if trans is not None else 0)
+            out += bytes([0x21, 0xF9, 4, flags, 0, 0,
+                          trans if trans is not None else 0, 0])
+            out += (b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
+                    + b"\x00" + cls._lzw(idx))
+        return out + b"\x3b"
+
+    def _luma(self, i):
+        r, g, b = self.PAL[i]
+        return int(round(0.299 * r + 0.587 * g + 0.114 * b))
+
+    def test_three_frames_composed(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_gif_frames,
+        )
+        # 4x2 screen; frame 1 fills with color 0; frame 2 paints the
+        # right 2x2 with color 1; frame 3 paints top-left pixel color 2
+        gif = self._agif(4, 2, [
+            (0, 0, 4, 2, [0] * 8, 0, None),
+            (2, 0, 2, 2, [1] * 4, 0, None),
+            (0, 0, 1, 1, [2], 0, None),
+        ])
+        w, h, frames = decode_gif_frames(gif)
+        assert (w, h) == (4, 2) and len(frames) == 3
+        l0, l1, l2 = (self._luma(i) for i in range(3))
+        assert list(frames[0]) == [l0] * 8
+        assert list(frames[1]) == [l0, l0, l1, l1, l0, l0, l1, l1]
+        assert list(frames[2]) == [l2, l0, l1, l1, l0, l0, l1, l1]
+
+    def test_transparent_pixels_leave_canvas(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_gif_frames,
+        )
+        gif = self._agif(2, 1, [
+            (0, 0, 2, 1, [0, 1], 0, None),
+            (0, 0, 2, 1, [3, 2], 0, 3),  # index 3 transparent
+        ])
+        _, _, frames = decode_gif_frames(gif)
+        assert list(frames[1]) == [self._luma(0), self._luma(2)]
+
+    def test_disposal_2_restores_background(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_gif_frames,
+        )
+        # bg color index 1; frame 1 (disposal 2) paints color 2 over
+        # the left pixel; frame 2 paints the right pixel color 0 — by
+        # then the left pixel must be BACK to background
+        gif = self._agif(2, 1, [
+            (0, 0, 1, 1, [2], 2, None),
+            (1, 0, 1, 1, [0], 0, None),
+        ], bg=1)
+        _, _, frames = decode_gif_frames(gif)
+        assert list(frames[0]) == [self._luma(2), self._luma(1)]
+        assert list(frames[1]) == [self._luma(1), self._luma(0)]
+
+    def test_disposal_3_restores_previous(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_gif_frames,
+        )
+        gif = self._agif(2, 1, [
+            (0, 0, 2, 1, [0, 0], 0, None),
+            (0, 0, 2, 1, [1, 1], 3, None),  # restore-to-previous
+            (1, 0, 1, 1, [2], 0, None),
+        ])
+        _, _, frames = decode_gif_frames(gif)
+        assert list(frames[1]) == [self._luma(1)] * 2
+        # frame 3 draws on the RESTORED frame-1 canvas, not frame 2's
+        assert list(frames[2]) == [self._luma(0), self._luma(2)]
+
+    def test_max_frames_stops_early(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_gif_frames,
+        )
+        gif = self._agif(1, 1, [(0, 0, 1, 1, [i % 4], 0, None)
+                                for i in range(6)])
+        _, _, frames = decode_gif_frames(gif, max_frames=2)
+        assert len(frames) == 2
+
+    def test_single_frame_decode_unchanged(self):
+        """The refactor must preserve _decode_gif_gray first-frame
+        behavior (frame dims, no transparency)."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        gif = self._agif(2, 1, [(0, 0, 2, 1, [0, 3], 0, 3)])
+        w, h, px = decode_raster_gray(gif)
+        assert (w, h) == (2, 1)
+        want = [round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+                for (r, g, b) in (self.PAL[0], self.PAL[3])]
+        assert px == want
+
+    def test_sample_frames_real_gif_kernel(self, spark):
+        from pyspark.sql import Row
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray, sample_frames,
+        )
+        gif = self._agif(2, 2, [(0, 0, 2, 2, [i % 4] * 4, 0, None)
+                                for i in range(5)])
+        df = spark.createDataFrame(
+            [Row(doc_id=1, content=bytearray(gif))])
+        rows = sample_frames(df, every_n=2, max_frames=3,
+                             fake=False).collect()
+        assert [r["frame_no"] for r in rows] == [0, 2, 4]
+        # each frame payload is a decodable P5 PGM of the canvas
+        for r, fi in zip(rows, (0, 2, 4)):
+            w, h, px = decode_raster_gray(bytes(r["frame"]))
+            assert (w, h) == (2, 2)
+            want = round(self._luma(fi % 4) / 255.0, 6)
+            assert px == [want] * 4
+
+    def test_sample_frames_real_non_gif_is_nie(self, spark):
+        from pyspark.sql import Row
+        from pyspark.errors import PythonException
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            sample_frames,
+        )
+        df = spark.createDataFrame(
+            [Row(doc_id=1, content=bytearray(b"\x00\x01video"))])
+        with pytest.raises(PythonException, match="ffmpeg"):
+            sample_frames(df, fake=False).collect()
