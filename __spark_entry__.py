@@ -84,7 +84,28 @@ def _q(name: str, oracle: str | None = None):
 # first ~50 queries in registration order (r2 registered 61 and got exactly
 # 50 rows). Queries that have never had a driver row register FIRST; the
 # rest follow, with redundant entries merged so the full surface fits the
-# window (47 total).
+# window.
+#
+# SLOT-ROTATION POLICY (round 6): the 50-slot window splits into
+# PERMANENT ANCHORS and ROTATABLE slots.
+#  - Anchors (never rotate): every reference-surface op (the A*/B*
+#    rows — null_guard, route_routes, attributes_surface, infer_schema,
+#    record_roundtrip, el_interpolation, batch_roundtrip, split_lines,
+#    extract_regex, nlp_enrich, listfile_filter, extract_html_mode,
+#    media_metadata_surface, sql_agg_pricing, sql_join_revenue,
+#    multimodal_image, multimodal_av) plus one representative per
+#    extension family. These are the cross-round comparability spine.
+#  - Rotatable: family variants whose computation stays end-to-end
+#    exercised by a sibling driver row AND whose own oracle parity is
+#    kept in pytest (test_oracle_parity runs every registered query,
+#    windowed or not).
+#  - Rule: a new operator earns a driver round by evicting ONE
+#    rotatable slot; the eviction is recorded in SURVEY.md's round
+#    table (old -> new mapping) and the evicted query re-registers
+#    BELOW the window so its DuckDB check lives on in pytest. A
+#    rotation may revert after its green round or persist — either
+#    way the mapping stays recorded, so cross-round comparisons of a
+#    rotated key always have a documented gap.
 # ===========================================================================
 
 from nifi_extracttext_processor_spark.operators import corpus as cx  # noqa: E402
@@ -663,12 +684,39 @@ def q_dedup_near_pairs(spark, sf):
 
 # ---- extension: SimHash signatures ----
 
-@_q("dedup_simhash_sig",
-    "SELECT doc_id, " + dd.simhash64_sql("text")
-    + " AS simhash FROM documents")
-def q_simhash(spark, sf):
-    d = _t(spark, sf, "documents")
-    return dd.simhash64_table(d.select("doc_id", "text"))
+# ---- extension: canonical-URL dedup (rotated IN round 6 under the
+# slot-rotation policy above; it took dedup_simhash_sig's slot — the
+# sig computation stays end-to-end exercised by dedup_simhash_pairs
+# and keeps its own full oracle row in pytest via registration below
+# the window). documents has no url column, so the query synthesizes
+# one deterministically with canonicalization-relevant variety:
+# uppercase scheme/host, tracking params + fragment, trailing
+# slash. ----
+
+_URL_SYNTH_SQL = ("'HTTP://WWW.Example.com/' || source || '/p/' || "
+                  "CAST(doc_id % 37 AS VARCHAR) || "
+                  "CASE WHEN doc_id % 3 = 0 "
+                  "THEN '?utm_source=x&id=7#frag' "
+                  "WHEN doc_id % 3 = 1 THEN '/' ELSE '' END")
+
+
+@_q("dedup_by_url", f"""
+SELECT doc_id, canonical_url FROM (
+  {ta.dedup_by_url_sql(table="(SELECT doc_id, " + _URL_SYNTH_SQL
+                       + " AS url FROM documents)", url_expr="url")}
+)
+""")
+def q_dedup_by_url(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("HTTP://WWW.Example.com/"), F.col("source"),
+        F.lit("/p/"), (F.col("doc_id") % 37).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("?utm_source=x&id=7#frag"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")))
+    out = ta.dedup_by_url(d.withColumn("url", url).drop("source"))
+    return out.select("doc_id", "canonical_url")
 
 
 # ---- extension: SimHash near-dup pairs (banded hamming) ----
@@ -1122,6 +1170,22 @@ def q_corpus_summary(spark, sf):
         F.count(F.when(F.col("lang_pred") == "en", 1)).alias("n_english"))
     pct = ta.length_percentiles(d).drop("n_docs")
     return stats.crossJoin(pct)
+
+
+# ===========================================================================
+# BELOW THE 50-SLOT WINDOW: registered for pytest oracle parity
+# (test_oracle_parity runs EVERY registered query), not for a driver
+# row. dedup_simhash_sig was rotated out in round 6 (see the policy
+# note above) — its oracle check continues here.
+# ===========================================================================
+
+
+@_q("dedup_simhash_sig",
+    "SELECT doc_id, " + dd.simhash64_sql("text")
+    + " AS simhash FROM documents")
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dd.simhash64_table(d.select("doc_id", "text"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
