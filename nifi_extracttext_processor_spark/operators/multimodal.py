@@ -518,7 +518,8 @@ def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
 def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
     """Baseline TIFF decode, pure stdlib: uncompressed (1), LZW (5,
     incl. the early-change width quirk and horizontal-differencing
-    Predictor=2) and PackBits (32773) chunky strips, 8-bit grayscale
+    Predictor=2), Deflate (8/32946, bounded per-strip inflate) and
+    PackBits (32773) chunky strips, 8-bit grayscale
     (PhotometricInterpretation 0/1, WhiteIsZero inverted) or RGB(A)
     (extra samples ignored), IFD0 only. JPEG-in-TIFF/deflate, planar,
     palette and non-8-bit depths raise NotImplementedError; structural
@@ -560,10 +561,10 @@ def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
                 vals.append(struct.unpack_from(f"{e}I", data, o)[0])
         tags[tag] = vals
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported (uncompressed, "
-            "LZW and PackBits only)")
+            "LZW, Deflate and PackBits only)")
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(
@@ -596,6 +597,14 @@ def _decode_tiff_gray(data: bytes) -> tuple[int, int, list[float]]:
         if comp == 5:      # LZW: each strip is its own stream
             buf += _tiff_lzw_decode(data[so:so + sc],
                                     need - len(buf))
+        elif comp in (8, 32946):  # Deflate (Adobe 8 / legacy 32946):
+            import zlib     # per-strip zlib stream, bounded inflate
+            try:
+                buf += zlib.decompressobj().decompress(
+                    data[so:so + sc], need - len(buf))
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt TIFF deflate strip: {exc}") from None
         elif comp == 32773:  # PackBits (TIFF 6.0 §9): per-strip byte RLE
             i = so
             end = so + sc

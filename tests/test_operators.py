@@ -3876,3 +3876,63 @@ class TestGifAnimation:
             [Row(doc_id=1, content=bytearray(b"\x00\x01video"))])
         with pytest.raises(PythonException, match="ffmpeg"):
             sample_frames(df, fake=False).collect()
+
+
+class TestTiffDeflate:
+    def test_deflate_gray_and_rgb_predictor_both_codes(self):
+        import zlib
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        vals = [(i * 41 + 3) % 256 for i in range(48)]  # 8x6 gray
+        for code in (8, 32946):
+            data = TestTiffDecode._tiff(
+                None, 8, 6, compression=code,
+                strip_payloads=[zlib.compress(bytes(vals))])
+            w, h, px = decode_raster_gray(data)
+            assert (w, h) == (8, 6), code
+            assert px == [round(v / 255, 6) for v in vals], code
+        # RGB + predictor 2 through the deflate path
+        rgb = [(i * 3 % 256, i * 11 % 256, i * 23 % 256)
+               for i in range(8)]  # 4x2
+        flat = [v for p in rgb for v in p]
+        diffed = list(flat)
+        for r0 in range(0, len(flat), 12):
+            for x in range(11, 2, -1):
+                diffed[r0 + x] = (flat[r0 + x] - flat[r0 + x - 3]) % 256
+        data = TestTiffDecode._tiff(
+            None, 4, 2, spp=3, photo=2, compression=8, predictor=2,
+            strip_payloads=[zlib.compress(bytes(diffed))])
+        _, _, px = decode_raster_gray(data)
+        assert px == [round((0.299 * r + 0.587 * g + 0.114 * b) / 255.0,
+                            6) for (r, g, b) in rgb]
+
+    def test_deflate_corrupt_and_truncated_fail_closed(self):
+        import zlib
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        data = TestTiffDecode._tiff(
+            None, 8, 6, compression=8,
+            strip_payloads=[b"\x00not-zlib\xff"])
+        with pytest.raises(ValueError, match="deflate|truncated"):
+            decode_raster_gray(data)
+        short = TestTiffDecode._tiff(
+            None, 8, 6, compression=8,
+            strip_payloads=[zlib.compress(bytes(10))])
+        with pytest.raises(ValueError, match="truncated TIFF pixel"):
+            decode_raster_gray(short)
+
+    def test_deflate_bomb_bounded(self):
+        """A strip inflating to far more than the declared geometry is
+        capped at `need` — no memory balloon, valid prefix decodes."""
+        import zlib
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        data = TestTiffDecode._tiff(
+            None, 2, 2, compression=8,
+            strip_payloads=[zlib.compress(bytes([7]) * (1 << 22))])
+        w, h, px = decode_raster_gray(data)
+        assert (w, h) == (2, 2)
+        assert px == [round(7 / 255, 6)] * 4
