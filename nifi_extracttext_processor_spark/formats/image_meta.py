@@ -162,6 +162,59 @@ def exif_metadata(data: bytes) -> dict[str, str]:
     return {}
 
 
+def _gif_animation_meta(data: bytes) -> dict[str, str]:
+    """Animation surface from a structural block walk (no LZW decode):
+    frame count, NETSCAPE2.0 loop count (0 = infinite), and total
+    duration from per-frame GCE delays. Damaged containers return
+    whatever was countable before the damage — metadata is
+    best-effort, unlike decode."""
+    i = 13
+    packed = data[10] if len(data) > 10 else 0
+    if packed & 0x80:
+        i += 3 * (2 << (packed & 0x07))
+    frames = 0
+    loop: int | None = None
+    delay_cs = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:  # extension
+            if (data[i + 1:i + 2] == b"\xf9" and i + 5 < len(data)
+                    and data[i + 2] >= 4):
+                delay_cs += struct.unpack_from("<H", data, i + 4)[0]
+            elif (data[i + 1:i + 2] == b"\xff"
+                  and data[i + 3:i + 14] == b"NETSCAPE2.0"
+                  and i + 17 < len(data) and data[i + 14] == 3):
+                loop = struct.unpack_from("<H", data, i + 16)[0]
+            i += 2
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor: skip table + LZW blocks
+            if i + 10 > len(data):
+                break
+            p = data[i + 9]
+            i += 10
+            if p & 0x80:
+                i += 3 * (2 << (p & 0x07))
+            i += 1  # LZW min code size
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+            frames += 1
+        elif b == 0x3B:
+            break
+        else:
+            break  # structural damage: stop counting
+    if frames == 0:
+        return {}
+    out = {"gif:FrameCount": str(frames)}
+    if frames > 1:
+        out["gif:AnimationDuration"] = str(round(delay_cs / 100.0, 2))
+        if loop is not None:
+            out["gif:LoopCount"] = str(loop)
+    return out
+
+
 def image_dimensions(data: bytes) -> dict[str, str]:
     """(width, height[, bit depth]) from the image header, as Tika-keyed
     string attributes. Empty dict when the format isn't recognized."""
@@ -172,7 +225,9 @@ def image_dimensions(data: bytes) -> dict[str, str]:
                 "tiff:BitsPerSample": str(depth)}
     if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
         w, h = struct.unpack_from("<HH", data, 6)
-        return {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h)}
+        out = {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h)}
+        out.update(_gif_animation_meta(data))
+        return out
     if data.startswith(b"\xff\xd8\xff"):
         # Single segment walk capturing both the APP1 Exif payload and
         # the SOF frame header; SOF's actual frame dimensions override
@@ -180,6 +235,7 @@ def image_dimensions(data: bytes) -> dict[str, str]:
         # a second SOF scan — this runs per row in media_metadata.)
         exif_slice: bytes | None = None
         sof: tuple[int, int, int] | None = None
+        jfif_dpi: tuple[int, int] | None = None
         i = 2
         while i + 4 <= len(data):
             if data[i] != 0xFF:
@@ -200,6 +256,11 @@ def image_dimensions(data: bytes) -> dict[str, str]:
             if (marker == 0xE1 and exif_slice is None
                     and data[i + 4:i + 10] == b"Exif\x00\x00"):
                 exif_slice = data[i + 10:i + 2 + seg_len]
+            elif (marker == 0xE0 and jfif_dpi is None
+                    and data[i + 4:i + 9] == b"JFIF\x00"
+                    and seg_len >= 14 and i + 16 <= len(data)
+                    and data[i + 11] == 1):  # units 1 = dots/inch
+                jfif_dpi = struct.unpack_from(">HH", data, i + 12)
             elif (marker in _JPEG_SOF and sof is None
                     and i + 9 <= len(data)):
                 precision = data[i + 4]
@@ -209,6 +270,9 @@ def image_dimensions(data: bytes) -> dict[str, str]:
                 break
             i += 2 + seg_len
         out = tiff_metadata(exif_slice) if exif_slice is not None else {}
+        if jfif_dpi is not None:
+            out.setdefault("tiff:XResolution", str(jfif_dpi[0]))
+            out.setdefault("tiff:YResolution", str(jfif_dpi[1]))
         if sof is not None:
             w, h, precision = sof
             out.update({"tiff:ImageWidth": str(w),

@@ -1106,3 +1106,53 @@ class TestPdfToUnicodeCid:
         text = extract_pdf_text(data)
         assert "H\U0001D49Cefg" in text
         assert "\x09" not in text and "\x99" not in text
+
+
+class TestAnimationAndDensityMeta:
+    def test_gif_animation_surface(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        from tests.test_operators import TestGifAnimation as GA
+        # 3 frames, 25cs delay each, NETSCAPE loop block (infinite)
+        frames = [(0, 0, 1, 1, [i % 4], 0, None) for i in range(3)]
+        base = GA._agif(1, 1, frames)
+        gif = bytearray(base)
+        # splice a NETSCAPE2.0 app-extension right after the GCT and
+        # rewrite GCE delay fields to 25cs
+        netscape = (b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+        insert_at = 13 + 3 * 4  # header + 4-entry GCT
+        gif[insert_at:insert_at] = netscape
+        out = bytes(gif)
+        out = out.replace(b"\x21\xf9\x04\x00\x00\x00\x00\x00",
+                          b"\x21\xf9\x04\x00\x19\x00\x00\x00")
+        md = image_dimensions(out)
+        assert md["gif:FrameCount"] == "3"
+        assert md["gif:LoopCount"] == "0"
+        assert md["gif:AnimationDuration"] == "0.75"
+        # single-frame GIF: no animation keys
+        md1 = image_dimensions(GA._agif(1, 1, frames[:1]))
+        assert md1["gif:FrameCount"] == "1"
+        assert "gif:LoopCount" not in md1
+        assert "gif:AnimationDuration" not in md1
+
+    def test_jfif_density_surface(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                + bytes([1, 2]) + bytes([1])        # version, units=dpi
+                + struct.pack(">HH", 300, 150) + bytes([0, 0]))
+        sof = (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+               + struct.pack(">HH", 4, 6) + bytes([1, 0x11, 0]))
+        md = image_dimensions(b"\xff\xd8" + app0 + sof + b"\xff\xd9")
+        assert md["tiff:XResolution"] == "300"
+        assert md["tiff:YResolution"] == "150"
+        assert md["tiff:ImageWidth"] == "6"
+        # units=0 (aspect ratio only): no resolution keys
+        app0_ar = app0.replace(bytes([1]) + struct.pack(">HH", 300, 150),
+                               bytes([0]) + struct.pack(">HH", 300, 150))
+        md0 = image_dimensions(b"\xff\xd8" + app0_ar + sof + b"\xff\xd9")
+        assert "tiff:XResolution" not in md0
