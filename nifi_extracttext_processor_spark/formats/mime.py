@@ -49,6 +49,7 @@ MIME_WAV = "audio/x-wav"
 MIME_BZIP2 = "application/x-bzip2"
 MIME_XZ = "application/x-xz"
 MIME_MP3 = "audio/mpeg"
+MIME_FLAC = "audio/x-flac"
 
 _EML_HEADS = (b"Received:", b"Return-Path:", b"From:", b"Subject:",
               b"Date:", b"To:", b"Message-ID:", b"MIME-Version:",
@@ -160,6 +161,14 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
         return MIME_TIFF
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return MIME_WAV
+    if head[:4] == b"fLaC":
+        return MIME_FLAC
+    if head[:4] == b"OggS":
+        from .av_meta import ogg_mime
+        return ogg_mime(data) or MIME_BIN
+    if len(head) >= 12 and head[4:8] == b"ftyp":
+        from .av_meta import mp4_mime
+        return mp4_mime(data) or MIME_BIN
     if data[257:262] == b"ustar":
         return MIME_TAR
     if head.startswith(b"{\\rtf"):

@@ -203,9 +203,22 @@ def media_metadata(
                             # Tika ImageParser surface: dimensions/depth
                             # from the header (tiff:* property names)
                             md.update(image_dimensions(data))
-                        elif mime.startswith("audio/"):
+                        elif mime.startswith("audio/") \
+                                or mime == "application/ogg":
+                            from nifi_extracttext_processor_spark \
+                                .formats.av_meta import (
+                                    flac_metadata, mp4_metadata,
+                                    ogg_metadata,
+                                )
                             md.update(wav_metadata(data))
                             md.update(mp3_metadata(data))
+                            md.update(flac_metadata(data))
+                            md.update(ogg_metadata(data))
+                            md.update(mp4_metadata(data))  # audio/mp4
+                        elif mime.startswith("video/"):
+                            from nifi_extracttext_processor_spark \
+                                .formats.av_meta import mp4_metadata
+                            md.update(mp4_metadata(data))
                         elif mime == "text/html":
                             title = html_title(data)
                             if title:

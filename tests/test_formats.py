@@ -1156,3 +1156,242 @@ class TestAnimationAndDensityMeta:
                                bytes([0]) + struct.pack(">HH", 300, 150))
         md0 = image_dimensions(b"\xff\xd8" + app0_ar + sof + b"\xff\xd9")
         assert "tiff:XResolution" not in md0
+
+
+class TestAvContainerMeta:
+    """Golden tests for the MP4/FLAC/Ogg container metadata walks
+    (formats/av_meta.py) over hand-built minimal-but-valid files."""
+
+    # ---------------------------------------------------------- MP4
+
+    @staticmethod
+    def _box(typ: bytes, body: bytes) -> bytes:
+        import struct
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    @classmethod
+    def _mp4(cls, brand=b"isom", timescale=1000, duration=2500,
+             w=320, h=240, handler=b"vide", codec=b"avc1",
+             tkhd_ver=0):
+        import struct
+        box = cls._box
+        ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + b"isomiso2")
+        mvhd = box(b"mvhd", bytes(4) + bytes(8)
+                   + struct.pack(">II", timescale, duration)
+                   + bytes(80))
+        if tkhd_ver:
+            tk = (bytes([1]) + bytes(3) + bytes(16)
+                  + struct.pack(">I", 1) + bytes(4)
+                  + struct.pack(">Q", duration) + bytes(16)
+                  + bytes(36) + struct.pack(">II", w << 16, h << 16))
+        else:
+            tk = (bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+                  + struct.pack(">I", duration) + bytes(16)
+                  + bytes(36) + struct.pack(">II", w << 16, h << 16))
+        tkhd = box(b"tkhd", tk)
+        hdlr = box(b"hdlr", bytes(8) + handler + bytes(12) + b"\x00")
+        if handler == b"soun":
+            entry = box(codec, bytes(8) + bytes(8)
+                        + struct.pack(">HH", 2, 16) + bytes(4)
+                        + struct.pack(">I", 44100 << 16))
+        else:
+            entry = box(codec, bytes(78))
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        return ftyp + moov
+
+    def test_mp4_video_golden(self):
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            mp4_metadata,
+        )
+        md = mp4_metadata(self._mp4())
+        assert md["xmpDM:duration"] == "2.5"
+        assert md["tiff:ImageWidth"] == "320"
+        assert md["tiff:ImageLength"] == "240"
+        assert md["xmpDM:videoCompressor"] == "avc1"
+        assert md["xmpDM:majorBrand"] == "isom"
+
+    def test_mp4_tkhd_v1_dims(self):
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            mp4_metadata,
+        )
+        md = mp4_metadata(self._mp4(w=1920, h=1080, tkhd_ver=1))
+        assert md["tiff:ImageWidth"] == "1920"
+        assert md["tiff:ImageLength"] == "1080"
+
+    def test_m4a_audio_golden(self):
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            mp4_metadata, mp4_mime,
+        )
+        m4a = self._mp4(brand=b"M4A ", handler=b"soun", codec=b"mp4a",
+                        w=0, h=0)
+        assert mp4_mime(m4a) == "audio/mp4"
+        md = mp4_metadata(m4a)
+        assert md["xmpDM:audioCompressor"] == "mp4a"
+        assert md["xmpDM:audioSampleRate"] == "44100"
+        assert md["channels"] == "2"
+        assert "tiff:ImageWidth" not in md
+
+    def test_mp4_mime_detection(self):
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        assert detect_mime(self._mp4()) == "video/mp4"
+        assert detect_mime(self._mp4(brand=b"qt  ")) == "video/quicktime"
+
+    def test_mp4_malformed_fails_closed(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            mp4_metadata,
+        )
+        # box size overruns the file: walk stops, partial (brand) kept
+        bad = (self._box(b"ftyp", b"isom" + bytes(4))
+               + struct.pack(">I", 999) + b"moov" + bytes(8))
+        md = mp4_metadata(bad)
+        assert md == {"xmpDM:majorBrand": "isom"}
+        assert mp4_metadata(b"") == {}
+        assert mp4_metadata(b"\x00" * 32) == {}
+
+    def test_media_metadata_operator_mp4(self, spark):
+        from nifi_extracttext_processor_spark.operators.extract import (
+            media_metadata,
+        )
+        df = spark.createDataFrame(
+            [("a.mp4", bytearray(self._mp4()))], "filename string, content binary")
+        row = media_metadata(df).collect()[0]
+        assert row.metadata["Content-Type"] == "video/mp4"
+        assert row.metadata["xmpDM:duration"] == "2.5"
+        assert row.metadata["tiff:ImageWidth"] == "320"
+
+    # --------------------------------------------------------- FLAC
+
+    @staticmethod
+    def _flac(rate=44100, nch=2, bps=16, total=441000, tags=None):
+        import struct
+        si = struct.pack(">HH", 1024, 1024) + bytes(6)
+        bits = (rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | total
+        si += bits.to_bytes(8, "big") + bytes(16)
+        blocks = bytes([0x00]) + len(si).to_bytes(3, "big") + si
+        if tags is not None:
+            vendor = b"t"
+            body = struct.pack("<I", len(vendor)) + vendor
+            body += struct.pack("<I", len(tags))
+            for kv in tags:
+                body += struct.pack("<I", len(kv)) + kv
+            blocks += bytes([0x84]) + len(body).to_bytes(3, "big") + body
+        else:
+            blocks = bytes([0x80]) + blocks[1:]  # mark STREAMINFO last
+        return b"fLaC" + blocks
+
+    def test_flac_golden(self):
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            flac_metadata,
+        )
+        f = self._flac(tags=[b"TITLE=Song", b"ARTIST=Band",
+                             b"ALBUM=LP", b"ignored=x"])
+        assert detect_mime(f) == "audio/x-flac"
+        md = flac_metadata(f)
+        assert md["xmpDM:audioSampleRate"] == "44100"
+        assert md["channels"] == "2"
+        assert md["bits"] == "16"
+        assert md["xmpDM:duration"] == "10.0"
+        assert md["dc:title"] == "Song"
+        assert md["xmpDM:artist"] == "Band"
+        assert md["xmpDM:album"] == "LP"
+
+    def test_flac_96k_24bit(self):
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            flac_metadata,
+        )
+        md = flac_metadata(self._flac(rate=96000, nch=1, bps=24,
+                                      total=96000 * 3))
+        assert md["xmpDM:audioSampleRate"] == "96000"
+        assert md["bits"] == "24"
+        assert md["xmpDM:duration"] == "3.0"
+
+    def test_flac_truncated_fails_closed(self):
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            flac_metadata,
+        )
+        f = self._flac()
+        assert flac_metadata(f[:20]) == {}   # STREAMINFO cut short
+        assert flac_metadata(b"fLaC") == {}
+        assert flac_metadata(b"nope") == {}
+
+    # ---------------------------------------------------------- Ogg
+
+    @staticmethod
+    def _ogg_page(serial, seq, granule, packets, htype=0):
+        import struct
+        segs = b""
+        body = b""
+        for p in packets:
+            n = len(p)
+            while n >= 255:
+                segs += bytes([255])
+                n -= 255
+            segs += bytes([n])
+            body += p
+        return (b"OggS" + bytes([0, htype])
+                + struct.pack("<q", granule)
+                + struct.pack("<III", serial, seq, 0)
+                + bytes([len(segs)]) + segs + body)
+
+    @classmethod
+    def _ogg_vorbis(cls, rate=44100, nch=2, granule=441000, tags=None):
+        import struct
+        ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([nch])
+                 + struct.pack("<I", rate) + bytes(12) + bytes([0x2C, 1]))
+        vendor = b"t"
+        cm = struct.pack("<I", len(vendor)) + vendor
+        tags = tags or []
+        cm += struct.pack("<I", len(tags))
+        for kv in tags:
+            cm += struct.pack("<I", len(kv)) + kv
+        comment = b"\x03vorbis" + cm + b"\x01"
+        return (cls._ogg_page(7, 0, 0, [ident], htype=2)
+                + cls._ogg_page(7, 1, 0, [comment])
+                + cls._ogg_page(7, 2, granule, [b"\x00" * 10], htype=4))
+
+    def test_ogg_vorbis_golden(self):
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            ogg_metadata,
+        )
+        o = self._ogg_vorbis(tags=[b"TITLE=OggSong"])
+        assert detect_mime(o) == "audio/vorbis"
+        md = ogg_metadata(o)
+        assert md["xmpDM:audioCompressor"] == "Vorbis"
+        assert md["xmpDM:audioSampleRate"] == "44100"
+        assert md["channels"] == "2"
+        assert md["xmpDM:duration"] == "10.0"
+        assert md["dc:title"] == "OggSong"
+
+    def test_ogg_opus_golden(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            ogg_metadata,
+        )
+        head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+                + struct.pack("<I", 48000) + bytes(3))
+        tags = b"OpusTags" + struct.pack("<I", 1) + b"t" + struct.pack("<I", 0)
+        o = (self._ogg_page(9, 0, 0, [head], htype=2)
+             + self._ogg_page(9, 1, 0, [tags])
+             + self._ogg_page(9, 2, 96000, [b"\x00"], htype=4))
+        assert detect_mime(o) == "audio/opus"
+        md = ogg_metadata(o)
+        assert md["xmpDM:audioCompressor"] == "Opus"
+        assert md["xmpDM:audioSampleRate"] == "48000"
+        assert md["xmpDM:duration"] == "2.0"
+
+    def test_ogg_malformed_fails_closed(self):
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            ogg_metadata, ogg_mime,
+        )
+        assert ogg_metadata(b"OggS") == {}
+        assert ogg_mime(b"OggS\x00" + bytes(40)) == "application/ogg"
+        assert ogg_metadata(b"notogg") == {}

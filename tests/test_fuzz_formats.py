@@ -242,3 +242,21 @@ def test_gif_truncated_after_lct_is_valueerror():
            + bytes([0x80]) + b"\x01\x02\x03" * 2)  # LCT then EOF
     with pytest.raises(ValueError):
         decode_raster_gray(gif)
+
+
+@_FAST
+@given(st.binary(max_size=2048))
+def test_av_container_meta_total(data):
+    """MP4/FLAC/Ogg metadata walks are total functions: adversarial
+    bytes yield a dict (possibly partial), never an exception, and
+    never a large allocation (header arithmetic only)."""
+    from nifi_extracttext_processor_spark.formats.av_meta import (
+        flac_metadata, mp4_metadata, ogg_metadata, ogg_mime,
+    )
+    for fn, magic in ((mp4_metadata, bytes(4) + b"ftyp"),
+                      (flac_metadata, b"fLaC"),
+                      (ogg_metadata, b"OggS")):
+        assert isinstance(fn(data), dict)
+        assert isinstance(fn(magic + data), dict)
+    m = ogg_mime(b"OggS" + data)
+    assert m is None or isinstance(m, str)
