@@ -649,8 +649,8 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
     """Pure-stdlib REAL decode of PNG (every legal depth/color-type
     combo — gray 1-16 bit, RGB, palette, alpha — plain or Adam7
     interlaced),
-    baseline JPEG (sequential huffman 8-bit, gray/YCbCr, any
-    sampling, restart markers — the Y plane IS the 601 luma),
+    JPEG (huffman 8-bit, baseline AND progressive/SOF2, gray/YCbCr,
+    any sampling, restart markers — the Y plane IS the 601 luma),
     GIF (LZW, first frame, plain or interlaced), BMP (24/32-bit
     truecolor, 1/4/8-bit paletted, RLE8-compressed), and binary
     PPM (P6) / PGM (P5) incl. 16-bit into
@@ -658,8 +658,9 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
     luma, round-6).
 
     Formats needing codec libraries (video/...) and JPEG variants
-    beyond baseline (progressive, arithmetic, 12-bit) raise
-    NotImplementedError — honestly; see decode_image.
+    beyond huffman 8-bit (arithmetic-coded, 12-bit, lossless) raise
+    NotImplementedError — honestly; see decode_image. Baseline AND
+    progressive (SOF2) huffman JPEGs decode for real.
     """
     import struct
 
@@ -833,7 +834,7 @@ def decode_raster_gray(data: bytes) -> tuple[int, int, list[float]]:
         return width, height, px
 
     raise NotImplementedError(
-        "real decode supports PNG, baseline JPEG, GIF, TIFF, BMP and "
+        "real decode supports PNG, JPEG (baseline+progressive), GIF, TIFF, BMP and "
         "binary PPM/PGM only; other formats need codec libraries this "
         "container does not ship")
 
@@ -852,7 +853,7 @@ def decode_image(
     the container cannot decode.
 
     fake=False: REAL decode via decode_raster_gray (pure-stdlib PNG /
-    baseline JPEG / GIF / TIFF / BMP / binary PPM / PGM);
+    baseline+progressive JPEG / GIF / TIFF / BMP / binary PPM / PGM);
     width/height parameters are ignored and each row carries its
     image's true dimensions. Formats that need codec libraries raise
     NotImplementedError, honestly.

@@ -260,3 +260,27 @@ def test_av_container_meta_total(data):
         assert isinstance(fn(magic + data), dict)
     m = ogg_mime(b"OggS" + data)
     assert m is None or isinstance(m, str)
+
+
+@_FAST
+@given(st.integers(min_value=2, max_value=4096),
+       st.binary(min_size=1, max_size=16))
+def test_progressive_jpeg_corruption_fails_closed(cut, junk):
+    """Splice junk into / truncate a valid progressive JPEG at an
+    arbitrary offset: decode must return pixels or raise ValueError /
+    NotImplementedError — never crash, hang, or over-allocate."""
+    from nifi_extracttext_processor_spark.formats.jpeg_decode import (
+        decode_jpeg_gray,
+    )
+    from tests.test_operators import TestJpegProgressive
+    base, _ = TestJpegProgressive._jpeg_prog(
+        16, 16, [(i * 37) % 256 for i in range(256)],
+        sampling=(2, 2), chroma=True)
+    cut = cut % len(base)
+    for mutated in (base[:cut], base[:cut] + junk + base[cut:],
+                    base[:cut] + junk):
+        try:
+            w, h, px = decode_jpeg_gray(mutated, max_pixels=1 << 26)
+            assert len(px) == w * h
+        except (ValueError, NotImplementedError):
+            pass

@@ -3534,11 +3534,12 @@ class TestJpegDecode:
         assert (w, h) == (24, 8)
         assert px == want
 
-    def test_progressive_is_honest_nie(self):
-        import struct
+    def test_baseline_scan_under_sof2_rejected(self):
+        # flipping SOF0->SOF2 over a baseline full-band interleaved
+        # scan (Ss=0, Se=63) is structurally invalid progressive data
         data, _ = self._jpeg(8, 8, [128] * 64)
         i = data.index(b"\xff\xc0")
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="mixes DC and AC"):
             self._decode(data[:i] + b"\xff\xc2" + data[i + 2:])
 
     def test_truncated_entropy_fails_closed(self):
@@ -3564,6 +3565,372 @@ class TestJpegDecode:
         padded = data[:i] + b"\xff\xff" + data[i:]
         _, _, px = self._decode(padded)
         assert px == want
+
+
+class TestJpegProgressive:
+    """Golden tests for progressive (SOF2) decode, driven by a
+    forward progressive encoder built here: the SAME quantized
+    coefficients as the baseline path, split into DC first +
+    refinement and AC spectral-selection + refinement scans (T.81
+    Annex G, libjpeg encode_mcu_*_first/_refine emission order).
+    Because every successive-approximation pass runs down to Al=0,
+    the decoder must reconstruct coefficients EXACTLY — expected
+    pixels are the same independent reference IDCT the baseline
+    tests use."""
+
+    class _Collector:
+        def __init__(self):
+            self.dc, self.ac = set(), set()
+
+        def sym_dc(self, s):
+            self.dc.add(s)
+
+        def sym_ac(self, s):
+            self.ac.add(s)
+
+        def bits(self, v, n):
+            pass
+
+        def restart(self):
+            pass
+
+    class _Emitter:
+        def __init__(self, dc_enc, ac_enc):
+            self.bw = TestJpegDecode._BitWriter()
+            self.dc_enc, self.ac_enc = dc_enc, ac_enc
+            self.rst = 0
+
+        def sym_dc(self, s):
+            c, ln = self.dc_enc[s]
+            self.bw.put(c, ln)
+
+        def sym_ac(self, s):
+            c, ln = self.ac_enc[s]
+            self.bw.put(c, ln)
+
+        def bits(self, v, n):
+            if n:
+                self.bw.put(v, n)
+
+        def restart(self):
+            self.bw.flush()
+            self.bw.out += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) & 7
+
+        def done(self):
+            self.bw.flush()
+            return bytes(self.bw.out)
+
+    # ---- scan encoders (emission order mirrors libjpeg cjpeg) ----
+
+    @staticmethod
+    def _enc_dc_scan(e, mcus, al, ah, dri):
+        preds = {}
+        for mi, mcu in enumerate(mcus):
+            if dri and mi and mi % dri == 0:
+                e.restart()
+                preds = {}
+            for ci, zz in mcu:
+                if ah == 0:
+                    v = zz[0] >> al
+                    diff = v - preds.get(ci, 0)
+                    preds[ci] = v
+                    t = abs(diff).bit_length()
+                    e.sym_dc(t)
+                    e.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                else:
+                    e.bits((zz[0] >> al) & 1, 1)
+
+    @staticmethod
+    def _enc_ac_first(e, blocks, ss, se, al, dri):
+        eob = 0
+
+        def flush():
+            nonlocal eob
+            while eob:
+                c = min(eob, 32767)
+                r = c.bit_length() - 1
+                e.sym_ac(r << 4)
+                e.bits(c - (1 << r), r)
+                eob -= c
+
+        for bi, zz in enumerate(blocks):
+            if dri and bi and bi % dri == 0:
+                flush()
+                e.restart()
+            vis = [0] * 64
+            last = ss - 1
+            for k in range(ss, se + 1):
+                a = abs(zz[k]) >> al
+                vis[k] = a if zz[k] >= 0 else -a
+                if a:
+                    last = k
+            if last < ss:
+                eob += 1
+                continue
+            flush()
+            run = 0
+            for k in range(ss, last + 1):
+                v = vis[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    e.sym_ac(0xF0)
+                    run -= 16
+                sz = abs(v).bit_length()
+                e.sym_ac((run << 4) | sz)
+                e.bits(v if v >= 0 else v + (1 << sz) - 1, sz)
+                run = 0
+            if last < se:
+                eob += 1
+        flush()
+
+    @staticmethod
+    def _enc_ac_refine(e, blocks, ss, se, al, dri):
+        eob = 0
+        pend = []
+
+        def flush():
+            nonlocal eob, pend
+            if eob:
+                r = eob.bit_length() - 1
+                e.sym_ac(r << 4)
+                e.bits(eob - (1 << r), r)
+                eob = 0
+            for b in pend:
+                e.bits(b, 1)
+            pend = []
+
+        for bi, zz in enumerate(blocks):
+            if dri and bi and bi % dri == 0:
+                flush()
+                e.restart()
+            absv = [0] * 64
+            last_new = ss - 1
+            for k in range(ss, se + 1):
+                a = abs(zz[k]) >> al
+                absv[k] = a
+                if a == 1:
+                    last_new = k
+            run = 0
+            br = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= last_new:
+                    flush()
+                    e.sym_ac(0xF0)
+                    run -= 16
+                    for b in br:
+                        e.bits(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush()
+                e.sym_ac((run << 4) | 1)
+                e.bits(1 if zz[k] >= 0 else 0, 1)
+                for b in br:
+                    e.bits(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eob += 1
+                pend.extend(br)
+        flush()
+
+    # ---- assembly ----
+
+    @classmethod
+    def _jpeg_prog(cls, w, h, y_plane, qt=None, sampling=(1, 1),
+                   chroma=False, dri=0, al_dc=1, split=5, al_ac=1):
+        """Progressive JPEG: interleaved DC(Al=al_dc) + DC refine,
+        luma AC bands [1..split] and [split+1..63] at Al=al_ac, chroma
+        AC scans (flat-128 chroma = all-zero = pure EOB runs), then
+        AC refinement passes down to Al=0."""
+        import struct
+        TD = TestJpegDecode
+        qt = qt or [1] * 64
+        hs, vs = sampling
+        blocks = TD._quantize_planes(y_plane, w, h, qt)
+        mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                blocks.setdefault((by, bx), [0] * 64)
+        expected = TD._reference_pixels(blocks, w, h, qt, mcux * hs)
+        zero = [0] * 64
+        mcus = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                mcu = [(0, blocks[(my * vs + by, mx * hs + bx)])
+                       for by in range(vs) for bx in range(hs)]
+                if chroma:
+                    mcu += [(1, zero), (2, zero)]
+                mcus.append(mcu)
+        bw_ni, bh_ni = -(-w // 8), -(-h // 8)
+        ybl = [blocks[(by, bx)] for by in range(bh_ni)
+               for bx in range(bw_ni)]
+        if chroma:
+            cw, ch = -(-w // hs), -(-h // vs)
+            cbl = [zero] * (-(-cw // 8) * (-(-ch // 8)))
+        all_ids = [1, 2, 3] if chroma else [1]
+
+        def hdr(ids, ss, se, ah, al):
+            b = bytes([len(ids)])
+            for cid in ids:
+                b += bytes([cid, 0x00])
+            return b + bytes([ss, se, (ah << 4) | al])
+
+        scans = [
+            (hdr(all_ids, 0, 0, 0, al_dc),
+             lambda e: cls._enc_dc_scan(e, mcus, al_dc, 0, dri)),
+            (hdr([1], 1, split, 0, al_ac),
+             lambda e: cls._enc_ac_first(e, ybl, 1, split, al_ac, dri)),
+        ]
+        if chroma:
+            scans += [
+                (hdr([2], 1, 63, 0, 0),
+                 lambda e: cls._enc_ac_first(e, cbl, 1, 63, 0, dri)),
+                (hdr([3], 1, 63, 0, 0),
+                 lambda e: cls._enc_ac_first(e, cbl, 1, 63, 0, dri)),
+            ]
+        scans.append(
+            (hdr([1], split + 1, 63, 0, al_ac),
+             lambda e: cls._enc_ac_first(e, ybl, split + 1, 63,
+                                         al_ac, dri)))
+        if al_dc:
+            scans.append(
+                (hdr(all_ids, 0, 0, al_dc, al_dc - 1),
+                 lambda e: cls._enc_dc_scan(e, mcus, al_dc - 1,
+                                            al_dc, dri)))
+        for a in range(al_ac - 1, -1, -1):
+            scans.append(
+                (hdr([1], 1, 63, a + 1, a),
+                 lambda e, a=a: cls._enc_ac_refine(e, ybl, 1, 63,
+                                                   a, dri)))
+        col = cls._Collector()
+        for _, enc in scans:
+            enc(col)
+        col.dc.add(0)
+        col.ac.add(0x00)
+        dht_dc, dc_enc = TD._make_huff(col.dc, TD.L_DC)
+        dht_ac, ac_enc = TD._make_huff(col.ac, TD.L_AC)
+
+        def seg(marker, b):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(b) + 2) + b
+
+        out = b"\xff\xd8"
+        out += seg(0xDB, bytes([0x00]) + bytes(qt))
+        out += seg(0xC4, bytes([0x00]) + dht_dc)
+        out += seg(0xC4, bytes([0x10]) + dht_ac)
+        ncomp = 3 if chroma else 1
+        sof = struct.pack(">BHHB", 8, h, w, ncomp)
+        sof += bytes([1, (hs << 4) | vs, 0])
+        if chroma:
+            sof += bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+        out += seg(0xC2, sof)
+        if dri:
+            out += seg(0xDD, struct.pack(">H", dri))
+        for shdr, enc in scans:
+            out += seg(0xDA, shdr)
+            em = cls._Emitter(dc_enc, ac_enc)
+            enc(em)
+            out += em.done()
+        return out + b"\xff\xd9", expected
+
+    def _decode(self, data):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        return decode_raster_gray(data)
+
+    def test_flat_gray_exact(self):
+        data, want = self._jpeg_prog(8, 8, [200] * 64)
+        w, h, px = self._decode(data)
+        assert (w, h) == (8, 8)
+        assert px == want
+        assert px == [round(200 / 255, 6)] * 64
+
+    def test_gradient_matches_baseline_decode(self):
+        plane = [(x * 7 + y * 11) % 256
+                 for y in range(8) for x in range(16)]
+        prog, want = self._jpeg_prog(16, 8, plane)
+        base, want_b = TestJpegDecode._jpeg(16, 8, plane)
+        assert want == want_b  # same coefficients either path
+        assert self._decode(prog)[2] == want
+        assert self._decode(base)[2] == want
+
+    def test_non_multiple_of_8_dims(self):
+        plane = [(x * 13 + y * 5) % 256
+                 for y in range(13) for x in range(20)]
+        data, want = self._jpeg_prog(20, 13, plane)
+        w, h, px = self._decode(data)
+        assert (w, h) == (20, 13)
+        assert px == want
+
+    def test_ycbcr_420_chroma_scans_skipped(self):
+        plane = [0] * 256
+        for y in range(16):
+            for x in range(16):
+                plane[y * 16 + x] = (50 if (y < 8 and x < 8) else
+                                     100 if y < 8 else
+                                     150 if x < 8 else 220)
+        data, want = self._jpeg_prog(16, 16, plane, sampling=(2, 2),
+                                     chroma=True)
+        w, h, px = self._decode(data)
+        assert (w, h) == (16, 16)
+        assert px == want
+
+    def test_420_nonsquare_padded_grid(self):
+        # 20x13 at 4:2:0: interleaved DC grid (2x1 MCUs -> 4x2 Y
+        # blocks) is larger than the AC scans' raster grid (3x2) —
+        # placement must agree between the two orders
+        plane = [(x * 3 + y * 29) % 256
+                 for y in range(13) for x in range(20)]
+        data, want = self._jpeg_prog(20, 13, plane, sampling=(2, 2),
+                                     chroma=True)
+        w, h, px = self._decode(data)
+        assert (w, h) == (20, 13)
+        assert px == want
+
+    def test_deeper_successive_approximation(self):
+        plane = [(x * 37 + y * 53) % 256
+                 for y in range(16) for x in range(16)]
+        data, want = self._jpeg_prog(16, 16, plane, al_dc=2, al_ac=2,
+                                     split=9)
+        w, h, px = self._decode(data)
+        assert px == want
+
+    def test_restart_intervals_in_progressive_scans(self):
+        plane = [(x * 7 + y * 11) % 256
+                 for y in range(8) for x in range(32)]
+        data, want = self._jpeg_prog(32, 8, plane, dri=2)
+        assert any(bytes([0xFF, 0xD0 + k]) in data for k in range(8))
+        w, h, px = self._decode(data)
+        assert (w, h) == (32, 8)
+        assert px == want
+
+    def test_quant_table_applied(self):
+        qt = [16, 11, 12, 14] + [10] * 60
+        plane = [(x * 31 + y * 3) % 256
+                 for y in range(8) for x in range(8)]
+        data, want = self._jpeg_prog(8, 8, plane, qt=qt)
+        assert self._decode(data)[2] == want
+
+    def test_truncated_scan_fails_closed(self):
+        plane = [(x * 7 + y) % 256 for y in range(8) for x in range(16)]
+        data, _ = self._jpeg_prog(16, 8, plane)
+        with pytest.raises(ValueError):
+            self._decode(data[:len(data) - 12])
+
+    def test_missing_eoi_fails_closed(self):
+        data, _ = self._jpeg_prog(8, 8, [128] * 64)
+        with pytest.raises(ValueError):
+            self._decode(data[:len(data) - 2])
 
 
 class TestTiffLzw:
