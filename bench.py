@@ -54,6 +54,8 @@ HEADLINE = [
     "top_domains",         # URL extract + TakeOrdered top-k
     "exact_substring_dedup",  # window hashes + span merge + surgery
     "sessionize_bucketed",    # skew-insurance twin of events_sessionize
+    # round-6 addition (appended, legacy order preserved)
+    "semantic_dedup",      # Lloyd iterations + per-cluster pair prune
 ]
 
 

@@ -1,0 +1,239 @@
+"""DataFrame-native k-means + SemDeDup-style semantic deduplication.
+
+Extends the dedup family (SURVEY §2 extension block) with the
+cluster-then-prune pipeline of SemDeDup (Abbas et al. 2023,
+arXiv:2303.09540): Lloyd k-means over embedding vectors, then
+intra-cluster cosine pruning that keeps one representative per
+near-duplicate neighborhood.
+
+Everything is deterministic so a DuckDB oracle can replay it
+value-for-value (the driver's correctness gate hash-compares):
+
+  * init centroids = the k lowest-id vectors (same convention as
+    build_ivf_index in operators/similarity.py);
+  * assignment = first-max of round(cosine, 6) — ties break to the
+    lowest centroid index on both engines;
+  * centroid update = round(avg, 6) per dimension; empty clusters
+    keep their previous centroid;
+  * fixed iteration count (no convergence test — cross-engine float
+    drift could disagree about "converged").
+
+100 TB design:
+  * centroids live on the driver (k*dim doubles) and are broadcast
+    into a narrow projection — assignment itself shuffles NOTHING;
+  * the per-iteration shuffle is the (cluster, pos) partial-mean
+    aggregation: map-side combinable, k*dim rows per partition
+    regardless of corpus size;
+  * semantic_dedup's pairwise stage joins co-partitioned on the
+    cluster key (SemDeDup's point: k is chosen large, so clusters are
+    small and the quadratic stays per-cluster local); only dominated
+    ids shuffle back for the anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import cosine_sql
+from .dedup import cosine
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Lloyd iterations; returns the final centroids (driver-side
+    k*dim list). Deterministic as described in the module docstring."""
+    v = df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    cents = [list(r["v"]) for r in
+             v.orderBy("_id").limit(k).select("v").collect()]
+    if not cents:
+        raise ValueError("kmeans_fit: empty input")
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = _assign(v, cents)
+        rows = (assigned
+                .select("cluster", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("m"))
+                .collect())
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [[by_cluster[ci][p] for p in range(dim)]
+                 if ci in by_cluster else cents[ci]
+                 for ci in range(len(cents))]
+    return cents
+
+
+def _assign(v: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(_id, v) + broadcast centroid literals -> (_id, v, cluster).
+    Narrow (no shuffle, no join): one round-6 cosine per centroid,
+    first-max wins so ties take the lowest centroid index."""
+    sims = F.array(*[
+        F.round(cosine(F.col("v"),
+                       F.array(*[F.lit(float(x)) for x in cv])), 6)
+        for cv in cents])
+    return (v.withColumn("_sims", sims)
+             .withColumn("cluster",
+                         (F.array_position(F.col("_sims"),
+                                           F.array_max(F.col("_sims")))
+                          - F.lit(1)).cast("int"))
+             .drop("_sims"))
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(id_col, cluster int) for every row — fit + final assignment.
+    Pass precomputed `centroids` (from kmeans_fit) to share one fit
+    across several downstream stages."""
+    cents = centroids if centroids is not None else kmeans_fit(
+        df, id_col, vec_col, k, iters)
+    v = df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    return (_assign(v, cents)
+            .select(F.col("_id").alias(id_col), "cluster"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup: k-means cluster, then drop every row that has a
+    LOWER-id row in the same cluster with round(cosine, 6) >=
+    threshold. Returns the kept (id_col, cluster) rows.
+
+    The min-id survivor rule is the same convention as the exact /
+    MinHash / SimHash dedup keep rules in operators/dedup.py, and it
+    makes the prune order-free and oracle-replayable (the paper keeps
+    an arbitrary representative per neighborhood)."""
+    cents = centroids if centroids is not None else kmeans_fit(
+        df, id_col, vec_col, k, iters)
+    v = df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    # pre-normalize ONCE per row so the quadratic stage pays one
+    # zip_with fold per pair instead of three (dot + both norms);
+    # cosine == dot of the normalized vectors, and the DuckDB twin
+    # normalizes with the same per-element division so values stay
+    # bit-replayable. Zero-norm rows normalize to the zero vector
+    # (sim 0.0 — same semantics as cosine()).
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    af = (_assign(v, cents)
+          .withColumn("nv", F.when(
+              norm > 0,
+              F.transform(F.col("v"), lambda x: x / norm))
+              .otherwise(F.transform(F.col("v"), lambda x: x * 0.0))))
+    a = af.select("cluster", F.col("_id").alias("ka"),
+                  F.col("nv").alias("na"))
+    b = af.select("cluster", F.col("_id").alias("kb"),
+                  F.col("nv").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    dominated = (a.join(b, "cluster")
+                 .where(F.col("ka") < F.col("kb"))
+                 .where(F.round(dot, 6) >= F.lit(threshold))
+                 .select(F.col("kb").alias("_id"))
+                 .distinct())
+    return (af.join(dominated, "_id", "left_anti")
+            .select(F.col("_id").alias(id_col), "cluster"))
+
+
+# ------------------------------------------------------------ oracles
+
+
+def _kmeans_ctes(table: str, id_col: str, vec_col: str, k: int,
+                 iters: int, dim: int) -> tuple[str, str]:
+    """WITH-chain replaying kmeans_fit + final assignment in DuckDB.
+    Returns (cte_sql, final_assignment_name)."""
+    cos = cosine_sql("t.v", "t.c")
+    parts = [
+        f"v AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v "
+        f"FROM {table})",
+        f"c0 AS (SELECT (row_number() OVER (ORDER BY vid)) - 1 AS ci, "
+        f"v AS c FROM (SELECT vid, v FROM v ORDER BY vid LIMIT {k}))",
+    ]
+
+    def assign(name: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT vid, v, CAST(cluster AS INTEGER) AS "
+            f"cluster FROM (SELECT t.vid, t.v, t.ci AS cluster, "
+            f"row_number() OVER (PARTITION BY t.vid ORDER BY "
+            f"round({cos}, 6) DESC, t.ci ASC) AS rn "
+            f"FROM (SELECT v.vid, v.v, {cents}.ci, {cents}.c "
+            f"FROM v CROSS JOIN {cents}) t) WHERE rn = 1)")
+
+    cents = "c0"
+    for it in range(iters):
+        parts.append(assign(f"a{it}", cents))
+        parts.append(
+            f"cm{it + 1} AS (SELECT cluster, p.pos AS pos, "
+            f"round(avg(v[p.pos]), 6) AS m FROM a{it} CROSS JOIN "
+            f"(SELECT unnest(range(1, {dim + 1})) AS pos) p "
+            f"GROUP BY cluster, p.pos)")
+        parts.append(
+            f"c{it + 1} AS (SELECT cluster AS ci, list(m ORDER BY pos) "
+            f"AS c FROM cm{it + 1} GROUP BY cluster UNION ALL "
+            f"SELECT ci, c FROM {cents} WHERE ci NOT IN "
+            f"(SELECT DISTINCT cluster FROM a{it}))")
+        cents = f"c{it + 1}"
+    parts.append(assign("af", cents))
+    return "WITH " + ",\n".join(parts), "af"
+
+
+def kmeans_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of kmeans_embeddings."""
+    ctes, af = _kmeans_ctes(table, id_col, vec_col, k, iters, dim)
+    return (f"{ctes}\nSELECT vid AS {id_col}, cluster FROM {af} "
+            f"ORDER BY {id_col}")
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.95,
+) -> str:
+    """DuckDB twin of semantic_dedup (same pre-normalized dot)."""
+    ctes, af = _kmeans_ctes(table, id_col, vec_col, k, iters, dim)
+    na = "sqrt(list_sum(list_transform(v, x -> x * x)))"
+    ndot = ("list_sum(list_transform(list_zip(a.nv, b.nv), "
+            "p -> p[1] * p[2]))")
+    return (
+        f"{ctes},\n"
+        f"afn AS (SELECT vid, cluster, CASE WHEN {na} > 0 THEN "
+        f"list_transform(v, x -> x / {na}) ELSE "
+        f"list_transform(v, x -> x * 0.0) END AS nv FROM {af}),\n"
+        f"dom AS (SELECT DISTINCT b.vid AS vid FROM afn a "
+        f"JOIN afn b ON a.cluster = b.cluster AND a.vid < b.vid "
+        f"WHERE round({ndot}, 6) >= {threshold!r})\n"
+        f"SELECT vid AS {id_col}, cluster FROM {af} "
+        f"WHERE vid NOT IN (SELECT vid FROM dom) ORDER BY {id_col}")

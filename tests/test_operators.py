@@ -4303,3 +4303,107 @@ class TestTiffDeflate:
         w, h, px = decode_raster_gray(data)
         assert (w, h) == (2, 2)
         assert px == [round(7 / 255, 6)] * 4
+
+
+class TestKmeansSemanticDedup:
+    """k-means + SemDeDup (operators/clustering.py): geometry
+    fixtures with known cluster structure, determinism, and the
+    min-id survivor rule."""
+
+    @staticmethod
+    def _df(spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>")
+
+    def test_separable_clusters_recovered(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_embeddings,
+        )
+        # two tight direction bundles in 3d; init picks one seed from
+        # each (ids 0 and 1), so 2-means separates them exactly
+        a = [[1.0, 0.05 * i, 0.0] for i in range(5)]
+        b = [[0.0, 0.05 * i, 1.0] for i in range(5)]
+        vecs = [a[0], b[0]] + a[1:] + b[1:]
+        out = {r["vec_id"]: r["cluster"] for r in
+               kmeans_embeddings(self._df(spark, vecs), k=2,
+                                 iters=2).collect()}
+        a_ids = {0} | set(range(2, 6))
+        b_ids = {1} | set(range(6, 10))
+        assert len({out[i] for i in a_ids}) == 1
+        assert len({out[i] for i in b_ids}) == 1
+        assert out[0] != out[1]
+
+    def test_assignment_is_deterministic_across_runs(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_fit,
+        )
+        vecs = [[((i * 7 + j * 13) % 17) / 17.0 for j in range(8)]
+                for i in range(40)]
+        df = self._df(spark, vecs)
+        c1 = kmeans_fit(df, k=4, iters=2)
+        c2 = kmeans_fit(df, k=4, iters=2)
+        assert c1 == c2
+
+    def test_semantic_dedup_min_id_survivor(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            semantic_dedup,
+        )
+        # ids 0/3/7 are near-copies of one direction (cosine ~1), id 1
+        # is orthogonal: min-id 0 survives its neighborhood, 1 is
+        # untouched
+        vecs = [[1.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0],
+                [0.0, 0.9, 0.1],
+                [1.0, 0.01, 0.0],
+                [0.0, 0.0, 1.0],
+                [0.1, 0.0, 1.0],
+                [0.5, 0.5, 0.0],
+                [1.0, 0.0, 0.02]]
+        kept = {r["vec_id"] for r in
+                semantic_dedup(self._df(spark, vecs), k=2, iters=1,
+                               threshold=0.99).collect()}
+        assert 0 in kept
+        assert 3 not in kept and 7 not in kept
+        assert 1 in kept
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_embeddings, kmeans_fit,
+        )
+        # k=3 but only two real directions: one centroid goes hungry
+        # after iteration 1 and must persist unchanged (both engines)
+        vecs = [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0], [0.01, 1.0],
+                [1.0, 0.02], [0.02, 1.0]]
+        df = self._df(spark, vecs)
+        cents = kmeans_fit(df, k=3, iters=3)
+        assert len(cents) == 3
+        out = kmeans_embeddings(df, k=3, iters=3).collect()
+        assert len(out) == 6
+
+    def test_duckdb_parity_small_fixture(self, spark):
+        import duckdb
+        import pandas as pd
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_embeddings, kmeans_sql, semantic_dedup,
+            semantic_dedup_sql,
+        )
+        vecs = [[((i * 11 + j * 5) % 23) / 23.0 - 0.4 for j in range(6)]
+                for i in range(30)]
+        df = self._df(spark, vecs)
+        con = duckdb.connect()
+        con.register("embeddings", pd.DataFrame(
+            {"vec_id": range(30), "embedding": vecs}))
+        got = sorted((r["vec_id"], r["cluster"]) for r in
+                     kmeans_embeddings(df, k=4, iters=2).collect())
+        want = [tuple(t) for t in con.execute(
+            kmeans_sql(k=4, iters=2, dim=6)).fetchall()]
+        assert got == want
+        got_sd = sorted((r["vec_id"], r["cluster"]) for r in
+                        semantic_dedup(df, k=4, iters=2,
+                                       threshold=0.9).collect())
+        want_sd = [tuple(t) for t in con.execute(
+            semantic_dedup_sql(k=4, iters=2, dim=6,
+                               threshold=0.9)).fetchall()]
+        assert got_sd == want_sd
+        assert len(got_sd) < 30  # the prune actually removed rows

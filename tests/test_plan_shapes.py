@@ -120,3 +120,33 @@ def test_knn_recall_band_exchanges_carry_no_vectors(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning(band_id" in line:
             assert "qv" not in line and "cv" not in line
+
+
+def test_kmeans_assignment_is_exchange_free(spark):
+    """The per-iteration k-means assignment is a broadcast-literal
+    projection: NO shuffle, NO join — the 100 TB contract is that only
+    the (cluster, pos) partial-mean agg ever exchanges data."""
+    from nifi_extracttext_processor_spark.operators.clustering import (
+        _assign,
+    )
+    from pyspark.sql import functions as F
+    v = (spark.read.parquet(f"{SF}/embeddings.parquet")
+         .select(F.col("vec_id").alias("_id"),
+                 F.col("embedding").cast("array<double>").alias("v")))
+    plan = _plan(_assign(v, [[0.1] * 64, [0.2] * 64]))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_pair_join_copartitioned_on_cluster(spark):
+    """semantic_dedup's quadratic stage must run per-cluster: the
+    pairwise join keys on the cluster id (SortMergeJoin/ShuffledHashJoin
+    on cluster, or a broadcast at test scale), never a cartesian
+    product over the corpus."""
+    from nifi_extracttext_processor_spark.operators.clustering import (
+        semantic_dedup,
+    )
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(semantic_dedup(df, k=4, iters=1, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "cluster" in plan
