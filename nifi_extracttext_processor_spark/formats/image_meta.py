@@ -215,14 +215,159 @@ def _gif_animation_meta(data: bytes) -> dict[str, str]:
     return out
 
 
+_PNG_TEXT_KEYS = {"title": "dc:title", "author": "dc:creator",
+                  "description": "dc:description",
+                  "copyright": "dc:rights", "software": "png:Software",
+                  "comment": "png:Comment"}
+
+
+def _png_text_meta(data: bytes, max_val: int = 4096) -> dict[str, str]:
+    """tEXt / zTXt / iTXt chunks -> Tika-style keys (PNG 1.2 §4.2.3).
+    zTXt/compressed-iTXt inflate is BOUNDED at max_val bytes."""
+    import zlib
+
+    out: dict[str, str] = {}
+    i = 8
+    while i + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, i)
+        cid = data[i + 4:i + 8]
+        if cid == b"IEND" or clen > len(data) - i - 8:
+            break
+        body = data[i + 8:i + 8 + clen]
+        try:
+            if cid == b"tEXt":
+                key, _, val = body.partition(b"\x00")
+                txt = val[:max_val].decode("latin-1", "replace")
+            elif cid == b"zTXt":
+                key, _, rest = body.partition(b"\x00")
+                if not rest or rest[0] != 0:   # method 0 = deflate
+                    raise ValueError
+                d = zlib.decompressobj()
+                txt = d.decompress(rest[1:], max_val).decode(
+                    "latin-1", "replace")
+            elif cid == b"iTXt":
+                key, _, rest = body.partition(b"\x00")
+                if len(rest) < 2:
+                    raise ValueError
+                comp_flag, comp_method = rest[0], rest[1]
+                rest = rest[2:]
+                _lang, _, rest = rest.partition(b"\x00")
+                _trans, _, text = rest.partition(b"\x00")
+                if comp_flag:
+                    if comp_method != 0:
+                        raise ValueError
+                    d = zlib.decompressobj()
+                    text = d.decompress(text, max_val)
+                txt = text[:max_val].decode("utf-8", "replace")
+            else:
+                i += 12 + clen
+                continue
+            k = key.decode("latin-1", "replace")
+            if k and txt:
+                out.setdefault(
+                    _PNG_TEXT_KEYS.get(k.lower(), f"png:{k}"), txt)
+        except Exception:
+            pass            # malformed text chunk: skip, keep walking
+        i += 12 + clen
+    return out
+
+
+def _webp_dimensions(data: bytes) -> dict[str, str]:
+    """WebP dims from the first VP8 / VP8L / VP8X chunk (RIFF walk).
+    Pixel decode is out of scope (VP8 codec); this is the Tika
+    metadata surface only."""
+    out: dict[str, str] = {}
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        (sz,) = struct.unpack_from("<I", data, i + 4)
+        body = data[i + 8:i + 8 + sz]
+        if cid == b"VP8X" and len(body) >= 10:
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            out = {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h)}
+            if body[0] & 0x02:
+                out["webp:Animation"] = "true"
+            break
+        if cid == b"VP8 " and len(body) >= 10:
+            # lossy: 3-byte frame tag, 0x9D012A sync, 14-bit dims
+            if body[3:6] == b"\x9d\x01\x2a":
+                w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+                h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+                out = {"tiff:ImageWidth": str(w),
+                       "tiff:ImageLength": str(h)}
+            break
+        if cid == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            bits = struct.unpack_from("<I", body, 1)[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            out = {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h)}
+            break
+        i += 8 + sz + (sz & 1)
+    return out
+
+
+_XMP_SIG = b"http://ns.adobe.com/xap/1.0/\x00"
+
+# XMP property localnames -> Tika keys; values live either as element
+# text inside rdf:Alt/Seq/Bag li items or as attributes on
+# rdf:Description
+_XMP_KEYS = {"title": "dc:title", "creator": "dc:creator",
+             "description": "dc:description", "rights": "dc:rights",
+             "CreatorTool": "xmp:CreatorTool",
+             "CreateDate": "xmp:CreateDate"}
+
+
+def _xmp_properties(xml_bytes: bytes) -> dict[str, str]:
+    """Best-effort XMP packet parse (stdlib ElementTree): dc:* and
+    xmp:* simple properties, first rdf:li of Alt/Seq/Bag containers.
+    Returns {} on any malformation."""
+    import xml.etree.ElementTree as ET
+
+    out: dict[str, str] = {}
+    try:
+        root = ET.fromstring(xml_bytes.decode("utf-8", "replace"))
+    except ET.ParseError:
+        return out
+    for el in root.iter():
+        local = el.tag.rsplit("}", 1)[-1]
+        key = _XMP_KEYS.get(local)
+        if key is None or key in out:
+            continue
+        # simple element text, or the first rdf:li descendant
+        txt = (el.text or "").strip()
+        if not txt:
+            for li in el.iter():
+                if li.tag.endswith("}li") and (li.text or "").strip():
+                    txt = li.text.strip()
+                    break
+        if txt:
+            out[key] = txt
+    # attribute-form properties on rdf:Description
+    for el in root.iter():
+        if not el.tag.endswith("}Description"):
+            continue
+        for attr, val in el.attrib.items():
+            local = attr.rsplit("}", 1)[-1]
+            key = _XMP_KEYS.get(local)
+            if key and key not in out and val.strip():
+                out[key] = val.strip()
+    return out
+
+
 def image_dimensions(data: bytes) -> dict[str, str]:
     """(width, height[, bit depth]) from the image header, as Tika-keyed
     string attributes. Empty dict when the format isn't recognized."""
     if data.startswith(b"\x89PNG\r\n\x1a\n") and len(data) >= 26:
         w, h = struct.unpack_from(">II", data, 16)
         depth = data[24]
-        return {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h),
-                "tiff:BitsPerSample": str(depth)}
+        out = {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h),
+               "tiff:BitsPerSample": str(depth)}
+        out.update(_png_text_meta(data))
+        return out
+    if (data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+            and len(data) >= 30):
+        return _webp_dimensions(data)
     if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
         w, h = struct.unpack_from("<HH", data, 6)
         out = {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h)}
@@ -234,6 +379,7 @@ def image_dimensions(data: bytes) -> dict[str, str]:
         # any EXIF-claimed tiff:* dims. (One pass, not exif_metadata +
         # a second SOF scan — this runs per row in media_metadata.)
         exif_slice: bytes | None = None
+        xmp_slice: bytes | None = None
         sof: tuple[int, int, int] | None = None
         jfif_dpi: tuple[int, int] | None = None
         i = 2
@@ -256,6 +402,9 @@ def image_dimensions(data: bytes) -> dict[str, str]:
             if (marker == 0xE1 and exif_slice is None
                     and data[i + 4:i + 10] == b"Exif\x00\x00"):
                 exif_slice = data[i + 10:i + 2 + seg_len]
+            elif (marker == 0xE1 and xmp_slice is None
+                    and data[i + 4:i + 4 + len(_XMP_SIG)] == _XMP_SIG):
+                xmp_slice = data[i + 4 + len(_XMP_SIG):i + 2 + seg_len]
             elif (marker == 0xE0 and jfif_dpi is None
                     and data[i + 4:i + 9] == b"JFIF\x00"
                     and seg_len >= 14 and i + 16 <= len(data)
@@ -270,6 +419,9 @@ def image_dimensions(data: bytes) -> dict[str, str]:
                 break
             i += 2 + seg_len
         out = tiff_metadata(exif_slice) if exif_slice is not None else {}
+        if xmp_slice is not None:
+            for k, v in _xmp_properties(xmp_slice).items():
+                out.setdefault(k, v)
         if jfif_dpi is not None:
             out.setdefault("tiff:XResolution", str(jfif_dpi[0]))
             out.setdefault("tiff:YResolution", str(jfif_dpi[1]))

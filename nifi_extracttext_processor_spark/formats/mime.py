@@ -50,6 +50,7 @@ MIME_BZIP2 = "application/x-bzip2"
 MIME_XZ = "application/x-xz"
 MIME_MP3 = "audio/mpeg"
 MIME_FLAC = "audio/x-flac"
+MIME_WEBP = "image/webp"
 
 _EML_HEADS = (b"Received:", b"Return-Path:", b"From:", b"Subject:",
               b"Date:", b"To:", b"Message-ID:", b"MIME-Version:",
@@ -161,6 +162,8 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
         return MIME_TIFF
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return MIME_WAV
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return MIME_WEBP
     if head[:4] == b"fLaC":
         return MIME_FLAC
     if head[:4] == b"OggS":

@@ -1395,3 +1395,143 @@ class TestAvContainerMeta:
         assert ogg_metadata(b"OggS") == {}
         assert ogg_mime(b"OggS\x00" + bytes(40)) == "application/ogg"
         assert ogg_metadata(b"notogg") == {}
+
+
+class TestWebpPngTextXmp:
+    """Round-6 metadata breadth: WebP dims (3 bitstream flavors), PNG
+    text chunks (tEXt/zTXt/iTXt incl. bounded inflate), JPEG APP1 XMP
+    packets."""
+
+    @staticmethod
+    def _riff(chunks):
+        import struct
+        body = b"WEBP"
+        for cid, payload in chunks:
+            body += cid + struct.pack("<I", len(payload)) + payload
+            if len(payload) % 2:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_webp_lossy_vp8(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        p = (bytes(3) + b"\x9d\x01\x2a"
+             + struct.pack("<HH", 320, 240) + bytes(4))
+        webp = self._riff([(b"VP8 ", p)])
+        assert detect_mime(webp) == "image/webp"
+        assert image_dimensions(webp) == {"tiff:ImageWidth": "320",
+                                          "tiff:ImageLength": "240"}
+
+    def test_webp_lossless_vp8l(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        w, h = 100, 60
+        bits = (w - 1) | ((h - 1) << 14)
+        p = b"\x2f" + struct.pack("<I", bits) + bytes(4)
+        md = image_dimensions(self._riff([(b"VP8L", p)]))
+        assert md == {"tiff:ImageWidth": "100", "tiff:ImageLength": "60"}
+
+    def test_webp_extended_vp8x_animated(self):
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        p = (bytes([0x02]) + bytes(3)
+             + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little"))
+        md = image_dimensions(self._riff([(b"VP8X", p)]))
+        assert md["tiff:ImageWidth"] == "1920"
+        assert md["tiff:ImageLength"] == "1080"
+        assert md["webp:Animation"] == "true"
+
+    @staticmethod
+    def _png_with(chunks_after_ihdr):
+        import struct
+        import zlib
+
+        def chunk(cid, body):
+            return (struct.pack(">I", len(body)) + cid + body
+                    + struct.pack(">I", zlib.crc32(cid + body)))
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + b"".join(chunk(c, b) for c, b in chunks_after_ihdr)
+                + chunk(b"IEND", b""))
+
+    def test_png_text_chunks(self):
+        import zlib
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        itxt = (b"Description\x00" + bytes([0, 0]) + b"en\x00"
+                + b"Desc\x00" + "café ☕".encode("utf-8"))
+        png = self._png_with([
+            (b"tEXt", b"Title\x00My Chart"),
+            (b"zTXt", b"Software\x00\x00" + zlib.compress(b"plotlib 1.0")),
+            (b"iTXt", itxt),
+            (b"tEXt", b"CustomKey\x00v"),
+        ])
+        md = image_dimensions(png)
+        assert md["dc:title"] == "My Chart"
+        assert md["png:Software"] == "plotlib 1.0"
+        assert md["dc:description"] == "café ☕"
+        assert md["png:CustomKey"] == "v"
+        assert md["tiff:ImageWidth"] == "4"
+
+    def test_png_ztxt_bomb_bounded(self):
+        import zlib
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        bomb = zlib.compress(b"A" * 50_000_000)  # ~48 KB compressed
+        png = self._png_with([(b"zTXt", b"Comment\x00\x00" + bomb)])
+        md = image_dimensions(png)
+        # inflate is capped at 4096: value present but bounded
+        assert len(md.get("png:Comment", "")) <= 4096
+
+    def test_jpeg_xmp_packet(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        xml = b"""<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>
+<x:xmpmeta xmlns:x="adobe:ns:meta/">
+ <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+  <rdf:Description rdf:about=""
+      xmlns:dc="http://purl.org/dc/elements/1.1/"
+      xmlns:xmp="http://ns.adobe.com/xap/1.0/"
+      xmp:CreatorTool="shotwell 0.30">
+   <dc:title><rdf:Alt><rdf:li xml:lang="x-default">Sunset</rdf:li>
+   </rdf:Alt></dc:title>
+   <dc:creator><rdf:Seq><rdf:li>A. Artist</rdf:li></rdf:Seq></dc:creator>
+  </rdf:Description>
+ </rdf:RDF>
+</x:xmpmeta>
+<?xpacket end="w"?>"""
+        sig = b"http://ns.adobe.com/xap/1.0/\x00"
+        app1 = (b"\xff\xe1"
+                + struct.pack(">H", 2 + len(sig) + len(xml)) + sig + xml)
+        sof = (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+               + struct.pack(">HH", 4, 6) + bytes([1, 0x11, 0]))
+        md = image_dimensions(b"\xff\xd8" + app1 + sof + b"\xff\xd9")
+        assert md["dc:title"] == "Sunset"
+        assert md["dc:creator"] == "A. Artist"
+        assert md["xmp:CreatorTool"] == "shotwell 0.30"
+        assert md["tiff:ImageWidth"] == "6"
+
+    def test_jpeg_xmp_malformed_xml_ignored(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        sig = b"http://ns.adobe.com/xap/1.0/\x00"
+        bad = b"<unclosed"
+        app1 = (b"\xff\xe1"
+                + struct.pack(">H", 2 + len(sig) + len(bad)) + sig + bad)
+        sof = (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+               + struct.pack(">HH", 4, 6) + bytes([1, 0x11, 0]))
+        md = image_dimensions(b"\xff\xd8" + app1 + sof + b"\xff\xd9")
+        assert md["tiff:ImageWidth"] == "6"
+        assert "dc:title" not in md

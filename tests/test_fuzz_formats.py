@@ -284,3 +284,18 @@ def test_progressive_jpeg_corruption_fails_closed(cut, junk):
             assert len(px) == w * h
         except (ValueError, NotImplementedError):
             pass
+
+
+@_FAST
+@given(st.binary(max_size=1024))
+def test_webp_pngtext_xmp_meta_total(data):
+    """The round-6 metadata additions are total functions under
+    adversarial bytes behind their magic prefixes."""
+    from nifi_extracttext_processor_spark.formats.image_meta import (
+        _xmp_properties, image_dimensions,
+    )
+    for prefix in (b"RIFF\x00\x00\x00\x00WEBP",
+                   b"\x89PNG\r\n\x1a\n" + b"\x00" * 18,
+                   b"\xff\xd8\xff"):
+        assert isinstance(image_dimensions(prefix + data), dict)
+    assert isinstance(_xmp_properties(data), dict)
