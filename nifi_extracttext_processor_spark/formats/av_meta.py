@@ -22,7 +22,9 @@ import struct
 # --------------------------------------------------------------- MP4
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
-                   b"edts", b"udta"}
+                   b"edts", b"udta", b"iprp", b"ipco", b"ilst"}
+# FullBox containers: 4 bytes of version/flags precede the children
+_MP4_FULL_CONTAINERS = {b"meta"}
 
 _BRAND_MIME = {
     b"M4A ": "audio/mp4",
@@ -31,7 +33,16 @@ _BRAND_MIME = {
     b"M4V ": "video/x-m4v",
     b"3gp4": "video/3gpp", b"3gp5": "video/3gpp", b"3gp6": "video/3gpp",
     b"3g2a": "video/3gpp2",
+    b"avif": "image/avif", b"avis": "image/avif",
+    b"heic": "image/heic", b"heix": "image/heic",
+    b"mif1": "image/heif", b"msf1": "image/heif-sequence",
 }
+
+# iTunes-style ilst atoms -> Tika keys (value lives in a child `data`
+# box: 8-byte header + 4-byte type + 4-byte locale + payload)
+_ILST_KEYS = {b"\xa9nam": "dc:title", b"\xa9ART": "xmpDM:artist",
+              b"\xa9alb": "xmpDM:album", b"\xa9gen": "xmpDM:genre",
+              b"\xa9day": "xmpDM:releaseDate"}
 
 
 def mp4_mime(data: bytes) -> str | None:
@@ -118,10 +129,24 @@ def mp4_metadata(data: bytes) -> dict[str, str]:
                             out.setdefault("channels", str(nch))
                 elif handler == "vide":
                     out.setdefault("xmpDM:videoCompressor", fourcc)
+            elif typ == b"ispe" and e - b >= 12:
+                # HEIF/AVIF image spatial extents (FullBox)
+                iw, ih = struct.unpack_from(">II", data, b + 4)
+                if iw and ih:
+                    out.setdefault("tiff:ImageWidth", str(iw))
+                    out.setdefault("tiff:ImageLength", str(ih))
+            elif typ in _ILST_KEYS and e - b >= 16:
+                # child `data` box holds the tag value
+                if data[b + 4:b + 8] == b"data":
+                    val = data[b + 16:e].decode("utf-8", "replace")
+                    if val:
+                        out.setdefault(_ILST_KEYS[typ], val)
             elif typ in _MP4_CONTAINERS:
                 handler = walk(b, e, depth + 1, handler)
                 if typ == b"trak":
                     handler = None   # handler type is per-track
+            elif typ in _MP4_FULL_CONTAINERS and e - b >= 4:
+                handler = walk(b + 4, e, depth + 1, handler)
         return handler
 
     walk(0, len(data), 0, None)

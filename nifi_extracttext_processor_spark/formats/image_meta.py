@@ -507,6 +507,9 @@ def _id3_text(payload: bytes) -> str:
 
 _ID3_KEYS = {b"TIT2": "dc:title", b"TPE1": "xmpDM:artist",
              b"TALB": "xmpDM:album"}
+# ID3v2.2: 3-char frame ids, 3-byte big-endian sizes
+_ID3V22_KEYS = {b"TT2": "dc:title", b"TP1": "xmpDM:artist",
+                b"TAL": "xmpDM:album"}
 
 
 # MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3).
@@ -596,6 +599,20 @@ def mp3_metadata(data: bytes) -> dict[str, str]:
     out: dict[str, str] = {}
     i = 10
     end = min(10 + tag_size, len(data))
+    if ver == 2:            # ID3v2.2: 6-byte frame headers
+        while i + 6 <= end:
+            fid = data[i:i + 3]
+            if fid == b"\x00\x00\x00":
+                break
+            size = int.from_bytes(data[i + 3:i + 6], "big")
+            if size <= 0 or i + 6 + size > end:
+                break
+            if fid in _ID3V22_KEYS:
+                val = _id3_text(data[i + 6:i + 6 + size])
+                if val:
+                    out[_ID3V22_KEYS[fid]] = val
+            i += 6 + size
+        i = end
     while i + 10 <= end:
         fid = data[i:i + 4]
         if fid == b"\x00\x00\x00\x00":

@@ -201,8 +201,14 @@ def media_metadata(
                             md.update(eml_headers(data))
                         elif mime.startswith("image/"):
                             # Tika ImageParser surface: dimensions/depth
-                            # from the header (tiff:* property names)
-                            md.update(image_dimensions(data))
+                            # from the header (tiff:* property names);
+                            # HEIF/AVIF dims come from the ISO-BMFF walk
+                            if len(data) >= 12 and data[4:8] == b"ftyp":
+                                from nifi_extracttext_processor_spark \
+                                    .formats.av_meta import mp4_metadata
+                                md.update(mp4_metadata(data))
+                            else:
+                                md.update(image_dimensions(data))
                         elif mime.startswith("audio/") \
                                 or mime == "application/ogg":
                             from nifi_extracttext_processor_spark \

@@ -1535,3 +1535,79 @@ class TestWebpPngTextXmp:
         md = image_dimensions(b"\xff\xd8" + app1 + sof + b"\xff\xd9")
         assert md["tiff:ImageWidth"] == "6"
         assert "dc:title" not in md
+
+
+class TestAvifIlstId3v22:
+    """Round-6 metadata breadth 2: HEIF/AVIF dims (ispe), iTunes ilst
+    tags, ID3v2.2 frames."""
+
+    def test_avif_dims_and_mime(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            mp4_metadata,
+        )
+        box = TestAvContainerMeta._box
+        ispe = box(b"ispe", bytes(4) + struct.pack(">II", 1024, 768))
+        meta = box(b"meta", bytes(4) + box(b"iprp", box(b"ipco", ispe)))
+        avif = box(b"ftyp", b"avif" + bytes(4) + b"mif1") + meta
+        assert detect_mime(avif) == "image/avif"
+        md = mp4_metadata(avif)
+        assert md["tiff:ImageWidth"] == "1024"
+        assert md["tiff:ImageLength"] == "768"
+
+    def test_avif_through_media_metadata_operator(self, spark):
+        import struct
+        from nifi_extracttext_processor_spark.operators.extract import (
+            media_metadata,
+        )
+        box = TestAvContainerMeta._box
+        ispe = box(b"ispe", bytes(4) + struct.pack(">II", 64, 32))
+        meta = box(b"meta", bytes(4) + box(b"iprp", box(b"ipco", ispe)))
+        avif = box(b"ftyp", b"heic" + bytes(4) + b"mif1") + meta
+        df = spark.createDataFrame([("p.heic", bytearray(avif))],
+                                   "filename string, content binary")
+        row = media_metadata(df).collect()[0]
+        assert row.metadata["Content-Type"] == "image/heic"
+        assert row.metadata["tiff:ImageWidth"] == "64"
+
+    def test_m4a_ilst_tags(self):
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            mp4_metadata,
+        )
+        box = TestAvContainerMeta._box
+
+        def tag(atom, text):
+            payload = (bytes(4) + bytes(4) + text.encode("utf-8"))
+            return box(atom, box(b"data", payload))
+
+        ilst = box(b"ilst", tag(b"\xa9nam", "Track Title")
+                   + tag(b"\xa9ART", "Artist") + tag(b"\xa9alb", "LP"))
+        meta = box(b"meta", bytes(4) + ilst)
+        udta = box(b"udta", meta)
+        moov = box(b"moov", udta)
+        m4a = box(b"ftyp", b"M4A " + bytes(4) + b"isom") + moov
+        md = mp4_metadata(m4a)
+        assert md["dc:title"] == "Track Title"
+        assert md["xmpDM:artist"] == "Artist"
+        assert md["xmpDM:album"] == "LP"
+
+    def test_id3v22_frames(self):
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            mp3_metadata,
+        )
+
+        def frame(fid, text):
+            payload = b"\x00" + text.encode("latin-1")
+            return fid + len(payload).to_bytes(3, "big") + payload
+
+        body = (frame(b"TT2", "Old Song") + frame(b"TP1", "Old Band")
+                + frame(b"TAL", "Old LP"))
+        size = len(body)
+        hdr = (b"ID3" + bytes([2, 0, 0])
+               + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                        (size >> 7) & 0x7F, size & 0x7F]))
+        md = mp3_metadata(hdr + body)
+        assert md["dc:title"] == "Old Song"
+        assert md["xmpDM:artist"] == "Old Band"
+        assert md["xmpDM:album"] == "Old LP"
