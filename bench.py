@@ -54,8 +54,9 @@ HEADLINE = [
     "top_domains",         # URL extract + TakeOrdered top-k
     "exact_substring_dedup",  # window hashes + span merge + surgery
     "sessionize_bucketed",    # skew-insurance twin of events_sessionize
-    # round-6 addition (appended, legacy order preserved)
-    "semantic_dedup",      # Lloyd iterations + per-cluster pair prune
+    # round-6 additions (appended, legacy order preserved)
+    "semantic_dedup",      # Lloyd iterations + oracle-exact pair prune
+    "semantic_dedup_gemm",  # scale-path twin: per-cluster numpy matmul
 ]
 
 
@@ -99,10 +100,19 @@ def _q_sessionize_bucketed(spark, sf_dir):
 # method-tagged UNION of both as-of paths (one oracle covers both) and
 # sessionize_bucketed is pytest-equivalence-covered, so the
 # per-method timings live here instead
+def _q_semantic_dedup_gemm(spark, sf_dir):
+    from nifi_extracttext_processor_spark.operators.clustering import (
+        semantic_dedup,
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(e, threshold=0.4, method="gemm")
+
+
 LOCAL = {
     "asof_plain": _q_asof_plain,
     "asof_bucketed": _q_asof_bucketed,
     "sessionize_bucketed": _q_sessionize_bucketed,
+    "semantic_dedup_gemm": _q_semantic_dedup_gemm,
 }
 
 

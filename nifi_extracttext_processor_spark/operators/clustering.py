@@ -114,6 +114,7 @@ def semantic_dedup(
     iters: int = 2,
     threshold: float = 0.95,
     centroids: list[list[float]] | None = None,
+    method: str = "exact",
 ) -> DataFrame:
     """SemDeDup: k-means cluster, then drop every row that has a
     LOWER-id row in the same cluster with round(cosine, 6) >=
@@ -122,11 +123,47 @@ def semantic_dedup(
     The min-id survivor rule is the same convention as the exact /
     MinHash / SimHash dedup keep rules in operators/dedup.py, and it
     makes the prune order-free and oracle-replayable (the paper keeps
-    an arbitrary representative per neighborhood)."""
+    an arbitrary representative per neighborhood).
+
+    method:
+      * "exact" — Catalyst pair join on the cluster key with fold-left
+        dot products: every arithmetic step is replayed by
+        semantic_dedup_sql, so this is the driver/oracle path.
+      * "gemm"  — the 100 TB path: one Arrow batch per cluster through
+        applyInPandas, similarity matrix as a single numpy matmul; no
+        pair rows ever materialize in the plan, the shuffle moves each
+        vector ONCE (to its cluster) instead of once per candidate
+        pair. Same min-id rule; differs from "exact" only where a
+        similarity sits within float-summation distance of the
+        round-6 threshold boundary (numpy pairwise summation vs
+        fold-left; equivalence-tested on the repo fixtures)."""
+    if method not in ("exact", "gemm"):
+        raise ValueError(f"unknown semantic_dedup method {method!r}")
     cents = centroids if centroids is not None else kmeans_fit(
         df, id_col, vec_col, k, iters)
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
+    if method == "gemm":
+        af = _assign(v, cents)
+        out_schema = f"`{id_col}` long, cluster int"
+
+        def prune(pdf):
+            import numpy as np
+            import pandas as pd
+            pdf = pdf.sort_values("_id", kind="stable")
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            norms = np.sqrt((X * X).sum(axis=1))
+            nz = norms > 0
+            X[nz] = X[nz] / norms[nz, None]
+            X[~nz] = 0.0
+            S = np.round(X @ X.T, 6) >= threshold
+            np.fill_diagonal(S, False)
+            dominated = np.triu(S, 1).any(axis=0)
+            kept = pdf.loc[~dominated]
+            return pd.DataFrame({id_col: kept["_id"].values,
+                                 "cluster": kept["cluster"].values})
+
+        return af.groupBy("cluster").applyInPandas(prune, out_schema)
     # pre-normalize ONCE per row so the quadratic stage pays one
     # zip_with fold per pair instead of three (dot + both norms);
     # cosine == dot of the normalized vectors, and the DuckDB twin

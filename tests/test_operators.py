@@ -4407,3 +4407,32 @@ class TestKmeansSemanticDedup:
                                threshold=0.9)).fetchall()]
         assert got_sd == want_sd
         assert len(got_sd) < 30  # the prune actually removed rows
+
+    def test_gemm_path_matches_exact(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_fit, semantic_dedup,
+        )
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = kmeans_fit(df)
+        exact = sorted((r["vec_id"], r["cluster"]) for r in
+                       semantic_dedup(df, threshold=0.4,
+                                      centroids=cents).collect())
+        gemm = sorted((r["vec_id"], r["cluster"]) for r in
+                      semantic_dedup(df, threshold=0.4, centroids=cents,
+                                     method="gemm").collect())
+        assert exact == gemm
+        assert len(exact) < df.count()  # prune removed rows
+
+    def test_gemm_zero_norm_rows_survive(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            semantic_dedup,
+        )
+        vecs = [[0.0, 0.0], [0.0, 0.0], [1.0, 0.0], [1.0, 0.001]]
+        for method in ("exact", "gemm"):
+            kept = {r["vec_id"] for r in
+                    semantic_dedup(self._df(spark, vecs), k=2, iters=1,
+                                   threshold=0.9,
+                                   method=method).collect()}
+            # zero vectors have sim 0.0 to everything: all survive
+            assert {0, 1} <= kept, method
+            assert 3 not in kept, method
