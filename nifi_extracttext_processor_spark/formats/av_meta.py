@@ -90,9 +90,13 @@ def mp4_metadata(data: bytes) -> dict[str, str]:
         for typ, b, e in _walk_boxes(data, start, end):
             if typ == b"mvhd" and e - b >= 20:
                 ver = data[b]
-                if ver == 1 and e - b >= 28:
-                    ts, dur = struct.unpack_from(">IQ", data, b + 20)
-                else:
+                ts = dur = 0
+                if ver == 1:
+                    # v1: 4 ver/flags + 8+8 times, then ts u32 + dur
+                    # u64 at b+20 -> full read needs 32 bytes
+                    if e - b >= 32:
+                        ts, dur = struct.unpack_from(">IQ", data, b + 20)
+                elif ver == 0:
                     ts, dur = struct.unpack_from(">II", data, b + 12)
                 if ts:
                     out["xmpDM:duration"] = str(round(dur / ts, 3))
@@ -136,9 +140,13 @@ def mp4_metadata(data: bytes) -> dict[str, str]:
                     out.setdefault("tiff:ImageWidth", str(iw))
                     out.setdefault("tiff:ImageLength", str(ih))
             elif typ in _ILST_KEYS and e - b >= 16:
-                # child `data` box holds the tag value
+                # first child `data` box holds the tag value; slice to
+                # ITS declared end, not the parent atom's (multi-value
+                # tags carry sibling boxes after it)
                 if data[b + 4:b + 8] == b"data":
-                    val = data[b + 16:e].decode("utf-8", "replace")
+                    (dsz,) = struct.unpack_from(">I", data, b)
+                    dend = min(b + dsz, e) if dsz >= 16 else e
+                    val = data[b + 16:dend].decode("utf-8", "replace")
                     if val:
                         out.setdefault(_ILST_KEYS[typ], val)
             elif typ in _MP4_CONTAINERS:
@@ -160,8 +168,7 @@ _VC_KEYS = {"title": "dc:title", "artist": "xmpDM:artist",
             "date": "xmpDM:releaseDate"}
 
 
-def _vorbis_comments(body: bytes, with_framing: bool = False
-                     ) -> dict[str, str]:
+def _vorbis_comments(body: bytes) -> dict[str, str]:
     """Parse a Vorbis comment block (little-endian length-prefixed
     vendor + key=value list) into Tika property names."""
     out: dict[str, str] = {}
@@ -193,9 +200,21 @@ def _vorbis_comments(body: bytes, with_framing: bool = False
     return out
 
 
+def _skip_id3v2(data: bytes) -> int:
+    """Byte offset past a leading ID3v2 tag (0 when none)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    return 10 + ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                 | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+
+
 def flac_metadata(data: bytes) -> dict[str, str]:
     """FLAC STREAMINFO (rate/channels/bits/duration) + VORBIS_COMMENT
-    tags under the same property names as WAV/MP3 metadata."""
+    tags under the same property names as WAV/MP3 metadata. A leading
+    ID3v2 tag (older taggers wrap FLAC in one) is skipped."""
+    off = _skip_id3v2(data)
+    if off:
+        data = data[off:]
     if data[:4] != b"fLaC":
         return {}
     out: dict[str, str] = {}
@@ -285,6 +304,7 @@ def ogg_metadata(data: bytes) -> dict[str, str]:
     out: dict[str, str] = {}
     packets = _ogg_packets(data)
     rate = 0
+    preskip = 0
     if packets and packets[0].startswith(b"\x01vorbis"):
         p = packets[0]
         if len(p) >= 16:
@@ -303,6 +323,8 @@ def ogg_metadata(data: bytes) -> dict[str, str]:
             out["channels"] = str(nch)
             out["xmpDM:audioSampleRate"] = "48000"
             rate = 48000  # granule positions are 48 kHz (RFC 7845)
+            # granule includes the decoder pre-skip (RFC 7845 §4.2)
+            (preskip,) = struct.unpack_from("<H", p, 10)
         if len(packets) > 1 and packets[1].startswith(b"OpusTags"):
             out.update(_vorbis_comments(packets[1][8:]))
     if rate:
@@ -311,6 +333,7 @@ def ogg_metadata(data: bytes) -> dict[str, str]:
         k = tail.rfind(b"OggS")
         if k >= 0 and k + 14 <= len(tail):
             (granule,) = struct.unpack_from("<q", tail, k + 6)
+            granule -= preskip
             if granule > 0:
                 out["xmpDM:duration"] = str(round(granule / rate, 3))
     return out

@@ -415,8 +415,8 @@ def image_dimensions(data: bytes) -> dict[str, str]:
                 precision = data[i + 4]
                 h, w = struct.unpack_from(">HH", data, i + 5)
                 sof = (w, h, precision)
-            if exif_slice is not None and sof is not None:
-                break
+            # no early exit: XMP APP1 may legally follow SOF, and the
+            # walk stops at SOS anyway (segment-level hops are cheap)
             i += 2 + seg_len
         out = tiff_metadata(exif_slice) if exif_slice is not None else {}
         if xmp_slice is not None:

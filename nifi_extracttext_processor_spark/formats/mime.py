@@ -144,6 +144,12 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
         return MIME_XZ
     if head.startswith(b"ID3") or head[:2] in (b"\xff\xfb", b"\xff\xf3",
                                                b"\xff\xf2"):
+        if head.startswith(b"ID3") and len(data) >= 10:
+            # older taggers wrap FLAC in an ID3v2 tag — peek past it
+            from .av_meta import _skip_id3v2
+            off = _skip_id3v2(data)
+            if data[off:off + 4] == b"fLaC":
+                return MIME_FLAC
         return MIME_MP3
     if head.startswith(b"\x89PNG\r\n\x1a\n"):
         return MIME_PNG

@@ -145,7 +145,9 @@ def semantic_dedup(
                   F.col(vec_col).cast("array<double>").alias("v"))
     if method == "gemm":
         af = _assign(v, cents)
-        out_schema = f"`{id_col}` long, cluster int"
+        id_type = dict((f.name, f.dataType.simpleString())
+                       for f in df.schema.fields)[id_col]
+        out_schema = f"`{id_col}` {id_type}, cluster int"
 
         def prune(pdf):
             import numpy as np

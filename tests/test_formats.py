@@ -1386,7 +1386,8 @@ class TestAvContainerMeta:
         md = ogg_metadata(o)
         assert md["xmpDM:audioCompressor"] == "Opus"
         assert md["xmpDM:audioSampleRate"] == "48000"
-        assert md["xmpDM:duration"] == "2.0"
+        # granule includes the 312-sample pre-skip (RFC 7845 §4.2)
+        assert md["xmpDM:duration"] == "1.994"
 
     def test_ogg_malformed_fails_closed(self):
         from nifi_extracttext_processor_spark.formats.av_meta import (
@@ -1611,3 +1612,108 @@ class TestAvifIlstId3v22:
         assert md["dc:title"] == "Old Song"
         assert md["xmpDM:artist"] == "Old Band"
         assert md["xmpDM:album"] == "Old LP"
+
+
+class TestAvMetaReviewFixes:
+    """Regression tests for the round-6 self-review findings on the
+    container-metadata additions."""
+
+    def test_mvhd_v1_truncated_body_fails_soft(self):
+        import struct
+        box = TestAvContainerMeta._box
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            mp4_metadata,
+        )
+        # v1 mvhd with only 28 body bytes: the ts/dur read needs 32 —
+        # must yield no duration, never raise, and keep walking
+        mvhd = box(b"mvhd", bytes([1]) + bytes(3) + bytes(24))
+        tkhd_body = (bytes(4) + bytes(8) + struct.pack(">I", 1)
+                     + bytes(4) + struct.pack(">I", 5) + bytes(16)
+                     + bytes(36) + struct.pack(">II", 8 << 16, 4 << 16))
+        trak = box(b"trak", box(b"tkhd", tkhd_body))
+        mp4 = (box(b"ftyp", b"isom" + bytes(4))
+               + box(b"moov", mvhd + trak))
+        md = mp4_metadata(mp4)
+        assert "xmpDM:duration" not in md
+        assert md["tiff:ImageWidth"] == "8"   # walk continued
+
+    def test_mvhd_v1_short_body_not_parsed_as_v0(self):
+        box = TestAvContainerMeta._box
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            mp4_metadata,
+        )
+        # 24-byte v1 body: v0-offset bytes are modification time, not
+        # timescale/duration — must NOT produce a garbage duration
+        mvhd = box(b"mvhd", bytes([1]) + bytes(3)
+                   + b"\x00\x00\x03\xe8" * 5)
+        mp4 = box(b"ftyp", b"isom" + bytes(4)) + box(b"moov", mvhd)
+        assert "xmpDM:duration" not in mp4_metadata(mp4)
+
+    def test_ilst_multivalue_data_box_bounded(self):
+        import struct
+        box = TestAvContainerMeta._box
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            mp4_metadata,
+        )
+        d1 = box(b"data", bytes(8) + b"First")
+        d2 = box(b"data", bytes(8) + b"Second")
+        ilst = box(b"ilst", box(b"\xa9nam", d1 + d2))
+        m4a = (box(b"ftyp", b"M4A " + bytes(4))
+               + box(b"moov", box(b"udta", box(
+                   b"meta", bytes(4) + ilst))))
+        md = mp4_metadata(m4a)
+        assert md["dc:title"] == "First"   # second box must not leak
+
+    def test_flac_with_id3v2_prefix(self):
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            flac_metadata,
+        )
+        flac = TestAvContainerMeta._flac()
+        pad = b"\x00" * 20
+        id3 = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, len(pad)]) + pad
+        tagged = id3 + flac
+        assert detect_mime(tagged) == "audio/x-flac"
+        md = flac_metadata(tagged)
+        assert md["xmpDM:audioSampleRate"] == "44100"
+
+    def test_opus_duration_subtracts_preskip(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            ogg_metadata,
+        )
+        T = TestAvContainerMeta
+        head = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+                + struct.pack("<I", 48000) + bytes(3))
+        tags = (b"OpusTags" + struct.pack("<I", 1) + b"t"
+                + struct.pack("<I", 0))
+        o = (T._ogg_page(9, 0, 0, [head], htype=2)
+             + T._ogg_page(9, 1, 0, [tags])
+             + T._ogg_page(9, 2, 96000 + 312, [b"\x00"], htype=4))
+        assert ogg_metadata(o)["xmpDM:duration"] == "2.0"
+
+    def test_jpeg_xmp_after_sof_still_captured(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        from tests.test_formats import TestWebpPngTextXmp
+        sig = b"http://ns.adobe.com/xap/1.0/\x00"
+        xml = (b'<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+               b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+               b'22-rdf-syntax-ns#"><rdf:Description rdf:about=""'
+               b' xmlns:xmp="http://ns.adobe.com/xap/1.0/"'
+               b' xmp:CreatorTool="late-writer"/></rdf:RDF></x:xmpmeta>')
+        exif = TestImageMetadata._exif_jpeg() if hasattr(
+            TestImageMetadata, "_exif_jpeg") else None
+        app1_xmp = (b"\xff\xe1"
+                    + struct.pack(">H", 2 + len(sig) + len(xml))
+                    + sig + xml)
+        sof_body = (bytes([8]) + struct.pack(">HH", 4, 6)
+                    + bytes([1, 0x11, 0]))
+        sof = (b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body))
+               + sof_body)
+        # XMP AFTER the frame header: the walk must not early-exit
+        md = image_dimensions(b"\xff\xd8" + sof + app1_xmp + b"\xff\xd9")
+        assert md["xmp:CreatorTool"] == "late-writer"
+        assert md["tiff:ImageWidth"] == "6"
