@@ -1218,6 +1218,23 @@ def q_tfidf_top_terms(spark, sf):
     return ta.tfidf_top_terms(d, k=3)
 
 
+# hashed-TF text embedding (north-star "HashingTF" similarity input):
+# registered below the window — full DuckDB parity runs in pytest; the
+# vector ops it feeds (ann_topk*, knn_join, semantic_dedup) hold the
+# driver slots.
+
+@_q("hashed_tf_embedding",
+    "SELECT doc_id, CAST(p.pos AS INTEGER) AS pos, "
+    "e.embedding[p.pos + 1] AS val FROM ("
+    + ta.hashed_tf_embedding_sql(dim=16)
+    + ") e CROSS JOIN (SELECT unnest(range(0, 16)) AS pos) p")
+def q_hashed_tf(spark, sf):
+    d = _t(spark, sf, "documents")
+    e = ta.hashed_tf_embedding(d, dim=16)
+    return e.select("doc_id",
+                    F.posexplode("embedding").alias("pos", "val"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

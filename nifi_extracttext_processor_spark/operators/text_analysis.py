@@ -800,3 +800,102 @@ def cardinality_stats(
         F.countDistinct(F.col(id_col)).alias("n_ids"),
         F.countDistinct(fp).alias("n_distinct_exact"),
         F.approx_count_distinct(fp, rsd).alias("n_distinct_approx"))
+
+
+# ---------------------------------------------------------------------------
+# hashed-TF text embedding (the north-star "HashingTF" similarity input)
+# ---------------------------------------------------------------------------
+
+
+def hashed_tf_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """HashingTF-style bag-of-words embedding, Catalyst-native: tokens
+    (same split-lower-trim convention as top_terms) md5-bucketed into
+    `dim` counts, optionally l2-normalized. Output
+    (id_col, embedding array<double>) feeds every vector op in the repo
+    (ANN, knn_join, semantic_dedup) when no model embeddings exist —
+    the north-star's HashingTF+LSH similarity path re-expressed without
+    MLlib.
+
+    100 TB shape: explode is narrow; the (id, bucket) count
+    partial-aggregates map-side, so at most `dim` rows per doc shuffle;
+    array assembly is map_from_entries + a transform over a constant
+    sequence — no UDF anywhere. Docs with no tokens get the zero
+    vector (left join back, never dropped).
+    """
+    toks = (df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("term"))
+        .filter(F.length("term") > 0))
+    bucket = (F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+              .cast("long") % dim).cast("int")
+    counts = (toks.withColumn("bucket", bucket)
+              .groupBy(id_col, "bucket")
+              .agg(F.count("*").cast("double").alias("cnt")))
+    maps = (counts.groupBy(id_col)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("bucket", "cnt"))).alias("m")))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")),
+                             F.lit(0.0)))
+    out = (df.select(id_col)
+           .join(maps, id_col, "left")
+           .withColumn("embedding", vec)
+           .drop("m"))
+    if normalize:
+        norm = F.sqrt(F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x))
+        out = out.withColumn(
+            "embedding",
+            F.when(norm > 0, F.transform(F.col("embedding"),
+                                         lambda x: x / norm))
+            .otherwise(F.col("embedding")))
+    return out
+
+
+def hashed_tf_embedding_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    normalize: bool = True,
+) -> str:
+    """DuckDB twin of hashed_tf_embedding (same md5-substr bucket, same
+    fold arithmetic via list_transform/list_sum)."""
+    bucket = (f"CAST(('0x' || substr(md5(term), 1, 8))::BIGINT "
+              f"% {dim} AS INTEGER)")
+    norm = "sqrt(list_sum(list_transform(v, x -> x * x)))"
+    vec = (f"list_transform(range(0, {dim}), "
+           f"i -> coalesce(m[i][1], 0.0))")  # map_extract yields a list
+    base = f"""
+WITH toks AS (
+  SELECT {id_col}, t.term AS term
+  FROM {table}, unnest(string_split_regex(lower(trim({text_col})),
+                                          '\\s+')) AS t(term)
+  WHERE len(t.term) > 0),
+counts AS (
+  SELECT {id_col}, {bucket} AS bucket,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks GROUP BY 1, 2),
+maps AS (
+  SELECT {id_col}, map(list(bucket), list(cnt)) AS m
+  FROM counts GROUP BY {id_col}),
+vecs AS (
+  SELECT d.{id_col}, {vec} AS v
+  FROM (SELECT {id_col} FROM {table}) d
+  LEFT JOIN maps USING ({id_col}))
+"""
+    if normalize:
+        return base + (
+            f"SELECT {id_col}, CASE WHEN {norm} > 0 THEN "
+            f"list_transform(v, x -> x / {norm}) ELSE v END "
+            f"AS embedding FROM vecs")
+    return base + f"SELECT {id_col}, v AS embedding FROM vecs"

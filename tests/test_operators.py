@@ -4436,3 +4436,37 @@ class TestKmeansSemanticDedup:
             # zero vectors have sim 0.0 to everything: all survive
             assert {0, 1} <= kept, method
             assert 3 not in kept, method
+
+
+class TestHashedTfEmbedding:
+    def test_zero_token_doc_gets_zero_vector(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            hashed_tf_embedding,
+        )
+        df = spark.createDataFrame(
+            [(1, "hello world hello"), (2, "   "), (3, "")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: list(r["embedding"]) for r in
+               hashed_tf_embedding(df, dim=8).collect()}
+        assert len(out) == 3
+        assert out[2] == [0.0] * 8
+        assert out[3] == [0.0] * 8
+        # l2-normalized non-empty doc
+        assert abs(sum(x * x for x in out[1]) - 1.0) < 1e-9
+
+    def test_feeds_semantic_dedup(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            semantic_dedup,
+        )
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            hashed_tf_embedding,
+        )
+        rows = [(i, "common words shared by every doc") for i in range(6)]
+        rows += [(10, "completely different vocabulary here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        emb = hashed_tf_embedding(df, dim=32)
+        kept = {r["doc_id"] for r in
+                semantic_dedup(emb, id_col="doc_id", k=2, iters=1,
+                               threshold=0.99).collect()}
+        assert 0 in kept and 10 in kept
+        assert kept.isdisjoint(set(range(1, 6)))  # exact dupes pruned
