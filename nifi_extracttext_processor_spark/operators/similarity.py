@@ -222,16 +222,25 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_cells: int = 16,
     mode: str = "overwrite",
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Materialize cell assignments partitioned by cell + a centroid
     sidecar table. Same deterministic centroids (n_cells lowest-id
     rows) and round-6 first-max assignment as ivf_topk, so indexed and
-    unindexed paths return identical results."""
-    sample = (df.orderBy(F.col(id_col))
-              .limit(n_cells)
-              .select(_as_double(vec_col).alias("c"), F.col(id_col))
-              .collect())
-    cents = [list(r["c"]) for r in sample]
+    unindexed paths return identical results.
+
+    Pass `centroids` (e.g. from operators.clustering.kmeans_fit) for
+    better-balanced cells — the lookup side (ivf_topk_indexed) reads
+    whatever the sidecar holds, so nothing else changes; probing ALL
+    cells still returns exactly the brute-force answer."""
+    if centroids is not None:
+        cents = [list(map(float, c)) for c in centroids]
+    else:
+        sample = (df.orderBy(F.col(id_col))
+                  .limit(n_cells)
+                  .select(_as_double(vec_col).alias("c"), F.col(id_col))
+                  .collect())
+        cents = [list(r["c"]) for r in sample]
     v = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
     sims = F.array(*[
         F.round(cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])), 6)

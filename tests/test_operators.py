@@ -4470,3 +4470,46 @@ class TestHashedTfEmbedding:
                                threshold=0.99).collect()}
         assert 0 in kept and 10 in kept
         assert kept.isdisjoint(set(range(1, 6)))  # exact dupes pruned
+
+
+class TestIvfKmeansCentroids:
+    def test_full_probe_equals_brute_force_with_kmeans_centroids(
+            self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_fit,
+        )
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            brute_force_topk, build_ivf_index, ivf_topk_indexed,
+        )
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = kmeans_fit(df, k=4, iters=2)
+        path = str(tmp_path / "ivf_kmeans")
+        build_ivf_index(df, path, n_cells=4, centroids=cents)
+        q = list(df.filter("vec_id = 0").collect()[0]["embedding"])
+        q = [float(x) for x in q]
+        # probing EVERY cell must reproduce brute force exactly,
+        # whatever the centroids are
+        got = [(r["vec_id"], r["cosine"]) for r in
+               ivf_topk_indexed(spark, path, q, k=5, nprobe=4).collect()]
+        want = [(r["vec_id"], r["cosine"]) for r in
+                brute_force_topk(df, q, k=5).collect()]
+        assert got == want
+
+    def test_kmeans_centroids_balance_cells(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_fit,
+        )
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            build_ivf_index,
+        )
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        path = str(tmp_path / "ivf_bal")
+        build_ivf_index(df, path, n_cells=4,
+                        centroids=kmeans_fit(df, k=4, iters=2))
+        sizes = {r["cell"]: r["n"] for r in
+                 spark.read.parquet(f"{path}/data")
+                 .groupBy("cell").count().withColumnRenamed("count", "n")
+                 .collect()}
+        assert len(sizes) == 4          # no empty cell on this data
+        n = df.count()
+        assert max(sizes.values()) < 0.6 * n   # no degenerate mega-cell
