@@ -45,11 +45,25 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    sample_fraction: float | None = None,
+    seed: int = 13,
 ) -> list[list[float]]:
     """Lloyd iterations; returns the final centroids (driver-side
-    k*dim list). Deterministic as described in the module docstring."""
+    k*dim list). Deterministic as described in the module docstring.
+
+    `sample_fraction` is the 100 TB pattern: fit the centroids on a
+    Bernoulli sample (each iteration scans only the sample), then
+    assign the FULL corpus once with the returned centroids — Lloyd
+    converges to near-identical centroids on a large-enough sample at
+    a fraction of the scan cost. The sampled path is seed-stable for
+    a fixed partitioning but is NOT the oracle-replayable path; the
+    driver/oracle queries use the default full-fit."""
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError("sample_fraction must be in (0, 1]")
+        v = v.sample(fraction=sample_fraction, seed=seed)
     cents = [list(r["v"]) for r in
              v.orderBy("_id").limit(k).select("v").collect()]
     if not cents:

@@ -4513,3 +4513,25 @@ class TestIvfKmeansCentroids:
         assert len(sizes) == 4          # no empty cell on this data
         n = df.count()
         assert max(sizes.values()) < 0.6 * n   # no degenerate mega-cell
+
+    def test_sampled_fit_produces_usable_centroids(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_embeddings, kmeans_fit,
+        )
+        df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        cents = kmeans_fit(df, k=4, iters=2, sample_fraction=0.5)
+        assert len(cents) == 4 and len(cents[0]) == 64
+        out = kmeans_embeddings(df, k=4, centroids=cents)
+        counts = {r["cluster"]: r["n"] for r in
+                  out.groupBy("cluster").count()
+                  .withColumnRenamed("count", "n").collect()}
+        assert sum(counts.values()) == 500
+        assert len(counts) >= 2      # sample fit still separates
+
+    def test_sample_fraction_validated(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_fit,
+        )
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with pytest.raises(ValueError, match="sample_fraction"):
+            kmeans_fit(df, sample_fraction=1.5)
