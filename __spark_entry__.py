@@ -1223,6 +1223,20 @@ def q_tfidf_top_terms(spark, sf):
 # vector ops it feeds (ann_topk*, knn_join, semantic_dedup) hold the
 # driver slots.
 
+# incremental SemDeDup (below window, pytest parity): batch rows prune
+# against an already-kept catalog (catalog-first rule) + min-id within
+# batch; centroids fit on the catalog so cluster geometry is stable
+# across appended batches.
+
+@_q("semantic_dedup_incremental",
+    cl.semantic_dedup_incremental_sql(threshold=0.4))
+def q_semantic_dedup_incremental(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return cl.semantic_dedup_incremental(
+        e.filter("vec_id % 2 = 1"), e.filter("vec_id % 2 = 0"),
+        threshold=0.4)
+
+
 @_q("hashed_tf_embedding",
     "SELECT doc_id, CAST(p.pos AS INTEGER) AS pos, "
     "e.embedding[p.pos + 1] AS val FROM ("

@@ -290,3 +290,119 @@ def semantic_dedup_sql(
         f"WHERE round({ndot}, 6) >= {threshold!r})\n"
         f"SELECT vid AS {id_col}, cluster FROM {af} "
         f"WHERE vid NOT IN (SELECT vid FROM dom) ORDER BY {id_col}")
+
+
+def _with_normalized(af: DataFrame) -> DataFrame:
+    """Add `nv` = l2-normalized copy of `v` (zero vector when the norm
+    is zero — sim 0.0 semantics, same as cosine())."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return af.withColumn("nv", F.when(
+        norm > 0, F.transform(F.col("v"), lambda x: x / norm))
+        .otherwise(F.transform(F.col("v"), lambda x: x * 0.0)))
+
+
+_NDOT = None  # (docs) pair similarity = round(dot(nv_a, nv_b), 6)
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    catalog: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Incremental SemDeDup: prune a NEW batch against the already-kept
+    catalog. A batch row is dropped when a catalog row in its cluster
+    sits at round(cosine, 6) >= threshold (catalog rows always win —
+    they were kept first), or when a lower-id batch row does (the
+    within-batch min-id rule of semantic_dedup). Returns the kept
+    batch rows (id_col, cluster).
+
+    Centroids default to kmeans_fit on the CATALOG: the catalog owns
+    the cluster geometry, so assignment stays stable as batches stream
+    in (the append-only twin of operators/dedup.py's
+    dedup_exact_incremental, and the batch form of what a foreachBatch
+    streaming sink would run per micro-batch)."""
+    cents = centroids if centroids is not None else kmeans_fit(
+        catalog, id_col, vec_col, k, iters)
+
+    def prep(df: DataFrame) -> DataFrame:
+        v = df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+        return _with_normalized(_assign(v, cents))
+
+    ab = prep(batch)
+    ac = prep(catalog)
+    dot = F.aggregate(
+        F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    a_side = ab.select("cluster", F.col("_id").alias("ka"),
+                       F.col("nv").alias("na"))
+    cat_side = ac.select("cluster", F.col("nv").alias("nb"))
+    dom_cat = (a_side.join(cat_side, "cluster")
+               .where(F.round(dot, 6) >= F.lit(threshold))
+               .select(F.col("ka").alias("_id")).distinct())
+    b_side = ab.select("cluster", F.col("_id").alias("kb"),
+                       F.col("nv").alias("nb"))
+    dom_batch = (a_side.join(b_side, "cluster")
+                 .where(F.col("ka") < F.col("kb"))
+                 .where(F.round(dot, 6) >= F.lit(threshold))
+                 .select(F.col("kb").alias("_id")).distinct())
+    dominated = dom_cat.unionByName(dom_batch).distinct()
+    return (ab.join(dominated, "_id", "left_anti")
+            .select(F.col("_id").alias(id_col), "cluster"))
+
+
+def semantic_dedup_incremental_sql(
+    table: str = "embeddings",
+    catalog_where: str = "vec_id % 2 = 0",
+    batch_where: str = "vec_id % 2 = 1",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.95,
+) -> str:
+    """DuckDB twin: kmeans over the catalog subset, assign both sides,
+    prune the batch against catalog-first + min-id-within-batch."""
+    ctes, af = _kmeans_ctes(
+        f"(SELECT * FROM {table} WHERE {catalog_where})",
+        id_col, vec_col, k, iters, dim)
+    na = "sqrt(list_sum(list_transform(v, x -> x * x)))"
+    ndot = ("list_sum(list_transform(list_zip(a.nv, b.nv), "
+            "p -> p[1] * p[2]))")
+    cents = f"c{iters}"
+    cos = cosine_sql("t.v", "t.c")
+    # assign an arbitrary side with the final centroids (mirrors
+    # _kmeans_ctes' assign() but over a caller-chosen source)
+    assign = (
+        "SELECT vid, v, CAST(cluster AS INTEGER) AS cluster FROM ("
+        "SELECT t.vid, t.v, t.ci AS cluster, row_number() OVER ("
+        f"PARTITION BY t.vid ORDER BY round({cos}, 6) DESC, t.ci ASC"
+        ") AS rn FROM (SELECT s.vid, s.v, c.ci, c.c FROM {src} s "
+        f"CROSS JOIN {cents} c) t) WHERE rn = 1")
+    normed = ("SELECT vid, cluster, CASE WHEN {na} > 0 THEN "
+              "list_transform(v, x -> x / {na}) ELSE "
+              "list_transform(v, x -> x * 0.0) END AS nv FROM {src}"
+              ).replace("{na}", na)
+    return (
+        f"{ctes},\n"
+        f"bv AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v "
+        f"FROM {table} WHERE {batch_where}),\n"
+        f"ba AS ({assign.replace('{src}', 'bv')}),\n"
+        f"bn AS ({normed.replace('{src}', 'ba')}),\n"
+        f"cn AS ({normed.replace('{src}', af)}),\n"
+        f"dom AS (\n"
+        f"  SELECT a.vid FROM bn a JOIN cn b USING (cluster) "
+        f"WHERE round({ndot}, 6) >= {threshold!r}\n"
+        f"  UNION\n"
+        f"  SELECT b.vid FROM bn a JOIN bn b ON a.cluster = b.cluster "
+        f"AND a.vid < b.vid WHERE round({ndot}, 6) >= {threshold!r})\n"
+        f"SELECT vid AS {id_col}, cluster FROM ba "
+        f"WHERE vid NOT IN (SELECT vid FROM dom) ORDER BY {id_col}")

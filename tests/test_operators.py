@@ -4535,3 +4535,33 @@ class TestIvfKmeansCentroids:
         df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         with pytest.raises(ValueError, match="sample_fraction"):
             kmeans_fit(df, sample_fraction=1.5)
+
+
+class TestSemanticDedupIncremental:
+    @staticmethod
+    def _df(spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<double>")
+
+    def test_catalog_always_wins(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            semantic_dedup_incremental,
+        )
+        catalog = self._df(spark, [(100, [1.0, 0.0]), (101, [0.0, 1.0])])
+        # batch id 1 < catalog ids, but catalog still dominates
+        batch = self._df(spark, [(1, [1.0, 0.001]), (2, [0.5, 0.5])])
+        kept = {r["vec_id"] for r in semantic_dedup_incremental(
+            batch, catalog, k=2, iters=1, threshold=0.99).collect()}
+        assert 1 not in kept     # near-dup of catalog 100
+        assert 2 in kept
+
+    def test_min_id_within_batch(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            semantic_dedup_incremental,
+        )
+        catalog = self._df(spark, [(100, [1.0, 0.0]), (101, [0.0, 1.0])])
+        batch = self._df(spark, [(5, [0.9, 0.1]), (6, [0.9, 0.101])])
+        kept = {r["vec_id"] for r in semantic_dedup_incremental(
+            batch, catalog, k=2, iters=1, threshold=0.9999).collect()}
+        assert 5 in kept and 6 not in kept
