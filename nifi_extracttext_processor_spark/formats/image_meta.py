@@ -355,6 +355,107 @@ def _xmp_properties(xml_bytes: bytes) -> dict[str, str]:
     return out
 
 
+_JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+
+def _jp2_dimensions(data: bytes) -> dict[str, str]:
+    """JPEG 2000: jp2 container (jp2h/ihdr box walk) or raw J2K
+    codestream (SOC + SIZ marker segment, ISO 15444-1 A.5.1)."""
+    if data[:4] == b"\xff\x4f\xff\x51" and len(data) >= 22:
+        xsiz, ysiz, xosiz, yosiz = struct.unpack_from(">IIII", data, 6)
+        if xsiz > xosiz and ysiz > yosiz:
+            return {"tiff:ImageWidth": str(xsiz - xosiz),
+                    "tiff:ImageLength": str(ysiz - yosiz)}
+        return {}
+    if not data.startswith(_JP2_SIG):
+        return {}
+    i = 12
+    depth = 0
+    while i + 8 <= len(data) and depth < 8:
+        (sz,) = struct.unpack_from(">I", data, i)
+        typ = data[i + 4:i + 8]
+        if sz == 0:
+            sz = len(data) - i
+        if sz < 8 or i + sz > len(data):
+            break
+        if typ == b"jp2h":          # superbox: descend
+            i += 8
+            depth += 1
+            continue
+        if typ == b"ihdr" and sz >= 22:
+            h, w = struct.unpack_from(">II", data, i + 8)
+            nc, = struct.unpack_from(">H", data, i + 16)
+            bpc = data[i + 18]
+            out = {"tiff:ImageWidth": str(w),
+                   "tiff:ImageLength": str(h)}
+            if bpc != 255:          # 255 = per-component, skip
+                out["tiff:BitsPerSample"] = str((bpc & 0x7F) + 1)
+            return out
+        i += sz
+    return {}
+
+
+def _ico_dimensions(data: bytes) -> dict[str, str]:
+    """ICO/CUR: largest ICONDIRENTRY (0 byte means 256)."""
+    count = struct.unpack_from("<H", data, 4)[0]
+    best = None
+    for e in range(min(count, 64)):
+        off = 6 + 16 * e
+        if off + 16 > len(data):
+            break
+        w = data[off] or 256
+        h = data[off + 1] or 256
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h)
+    if best is None:
+        return {}
+    return {"tiff:ImageWidth": str(best[0]),
+            "tiff:ImageLength": str(best[1])}
+
+
+def _svg_dimensions(data: bytes) -> dict[str, str]:
+    """SVG root width/height attributes (unit suffixes stripped) or
+    the viewBox fallback; dc:title from the first <title>."""
+    import re
+    head = data[:4096].decode("utf-8", "replace")
+    m = re.search(r"<svg\b[^>]*>", head, re.S)
+    out: dict[str, str] = {}
+    if m:
+        tag = m.group(0)
+
+        def attr(name):
+            a = re.search(name + r'\s*=\s*["\']([^"\']+)["\']', tag)
+            return a.group(1).strip() if a else None
+
+        w, h = attr("width"), attr("height")
+
+        def px(v):
+            n = re.match(r"([0-9.]+)\s*(px)?$", v or "")
+            if not n:
+                return None
+            f = float(n.group(1))
+            return str(int(f)) if f.is_integer() else str(f)
+
+        pw, ph = px(w), px(h)
+        if pw and ph:
+            out = {"tiff:ImageWidth": pw, "tiff:ImageLength": ph}
+        else:
+            vb = attr("viewBox")
+            parts = (vb or "").replace(",", " ").split()
+            if len(parts) == 4:
+                try:
+                    out = {"tiff:ImageWidth":
+                           str(int(float(parts[2]))),
+                           "tiff:ImageLength":
+                           str(int(float(parts[3])))}
+                except ValueError:
+                    pass
+    t = re.search(r"<title[^>]*>([^<]{1,256})</title>", head)
+    if t and t.group(1).strip():
+        out["dc:title"] = t.group(1).strip()
+    return out
+
+
 def image_dimensions(data: bytes) -> dict[str, str]:
     """(width, height[, bit depth]) from the image header, as Tika-keyed
     string attributes. Empty dict when the format isn't recognized."""
@@ -368,6 +469,15 @@ def image_dimensions(data: bytes) -> dict[str, str]:
     if (data[:4] == b"RIFF" and data[8:12] == b"WEBP"
             and len(data) >= 30):
         return _webp_dimensions(data)
+    if (data.startswith(_JP2_SIG)
+            or data[:4] == b"\xff\x4f\xff\x51"):
+        return _jp2_dimensions(data)
+    if (data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+            and len(data) >= 22
+            and struct.unpack_from("<H", data, 4)[0] >= 1):
+        return _ico_dimensions(data)
+    if b"<svg" in data[:1024]:
+        return _svg_dimensions(data)
     if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
         w, h = struct.unpack_from("<HH", data, 6)
         out = {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h)}

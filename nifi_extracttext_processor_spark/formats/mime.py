@@ -51,6 +51,9 @@ MIME_XZ = "application/x-xz"
 MIME_MP3 = "audio/mpeg"
 MIME_FLAC = "audio/x-flac"
 MIME_WEBP = "image/webp"
+MIME_JP2 = "image/jp2"
+MIME_ICO = "image/vnd.microsoft.icon"
+MIME_SVG = "image/svg+xml"
 
 _EML_HEADS = (b"Received:", b"Return-Path:", b"From:", b"Subject:",
               b"Date:", b"To:", b"Message-ID:", b"MIME-Version:",
@@ -166,6 +169,14 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
         return MIME_PGM if head[:2] == b"P5" else MIME_PPM
     if head[:4] in (b"II*\x00", b"MM\x00*"):
         return MIME_TIFF
+    if head.startswith(b"\x00\x00\x00\x0cjP  \r\n\x87\n") \
+            or head[:4] == b"\xff\x4f\xff\x51":
+        return MIME_JP2
+    if (head[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+            and len(data) >= 22):
+        import struct
+        if struct.unpack_from("<H", data, 4)[0] >= 1:
+            return MIME_ICO
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return MIME_WAV
     if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
@@ -185,6 +196,8 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
     if _looks_html(head):
         return MIME_HTML
     stripped = head.lstrip()
+    if stripped[:1] == b"<" and b"<svg" in head:
+        return MIME_SVG
     if stripped.startswith(b"<?xml") or (
             stripped[:1] == b"<" and (filename or "").lower().endswith(".xml")):
         return MIME_XML

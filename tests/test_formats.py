@@ -1717,3 +1717,80 @@ class TestAvMetaReviewFixes:
         md = image_dimensions(b"\xff\xd8" + sof + app1_xmp + b"\xff\xd9")
         assert md["xmp:CreatorTool"] == "late-writer"
         assert md["tiff:ImageWidth"] == "6"
+
+
+class TestJp2IcoSvg:
+    """Round-6 metadata breadth 3: JPEG 2000 (container + raw
+    codestream), ICO, SVG."""
+
+    def test_jp2_container_dims(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+        ftyp = struct.pack(">I", 20) + b"ftypjp2 " + bytes(8)
+        ihdr = (struct.pack(">I", 22) + b"ihdr"
+                + struct.pack(">II", 480, 640)   # height, width
+                + struct.pack(">H", 3) + bytes([7, 7, 0, 0]))
+        jp2h = struct.pack(">I", 8 + len(ihdr)) + b"jp2h" + ihdr
+        jp2 = sig + ftyp + jp2h
+        assert detect_mime(jp2) == "image/jp2"
+        md = image_dimensions(jp2)
+        assert md["tiff:ImageWidth"] == "640"
+        assert md["tiff:ImageLength"] == "480"
+        assert md["tiff:BitsPerSample"] == "8"
+
+    def test_j2k_codestream_dims(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        j2k = (b"\xff\x4f\xff\x51"
+               + struct.pack(">H", 47)      # lsiz
+               + struct.pack(">IIII", 800, 600, 0, 0))
+        assert detect_mime(j2k + bytes(40)) == "image/jp2"
+        md = image_dimensions(j2k + bytes(40))
+        assert md == {"tiff:ImageWidth": "800",
+                      "tiff:ImageLength": "600"}
+
+    def test_ico_largest_entry(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        hdr = struct.pack("<HHH", 0, 1, 2)
+        e1 = bytes([16, 16]) + bytes(6) + struct.pack("<II", 100, 38)
+        e2 = bytes([0, 0]) + bytes(6) + struct.pack("<II", 100, 138)
+        ico = hdr + e1 + e2 + bytes(16)
+        assert detect_mime(ico) == "image/vnd.microsoft.icon"
+        md = image_dimensions(ico)
+        assert md["tiff:ImageWidth"] == "256"   # 0 byte means 256
+        assert md["tiff:ImageLength"] == "256"
+
+    def test_svg_dims_and_title(self):
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        svg = (b'<?xml version="1.0"?>\n'
+               b'<svg xmlns="http://www.w3.org/2000/svg" width="120px"'
+               b' height="80">\n<title>Logo</title><rect/></svg>')
+        assert detect_mime(svg) == "image/svg+xml"
+        md = image_dimensions(svg)
+        assert md["tiff:ImageWidth"] == "120"
+        assert md["tiff:ImageLength"] == "80"
+        assert md["dc:title"] == "Logo"
+
+    def test_svg_viewbox_fallback(self):
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        svg = (b'<svg xmlns="http://www.w3.org/2000/svg" width="100%"'
+               b' viewBox="0 0 512 256"><rect/></svg>')
+        md = image_dimensions(svg)
+        assert md["tiff:ImageWidth"] == "512"
+        assert md["tiff:ImageLength"] == "256"

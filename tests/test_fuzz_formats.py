@@ -296,6 +296,10 @@ def test_webp_pngtext_xmp_meta_total(data):
     )
     for prefix in (b"RIFF\x00\x00\x00\x00WEBP",
                    b"\x89PNG\r\n\x1a\n" + b"\x00" * 18,
-                   b"\xff\xd8\xff"):
+                   b"\xff\xd8\xff",
+                   b"\x00\x00\x00\x0cjP  \r\n\x87\n",
+                   b"\xff\x4f\xff\x51",
+                   b"\x00\x00\x01\x00\x02\x00" + b"\x00" * 16,
+                   b"<svg "):
         assert isinstance(image_dimensions(prefix + data), dict)
     assert isinstance(_xmp_properties(data), dict)
