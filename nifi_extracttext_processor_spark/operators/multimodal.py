@@ -1218,21 +1218,79 @@ def audio_waveform_stats(
     return df.mapInPandas(_run, schema=schema)
 
 
+def mfcc_features(mono: list[float], rate: int, n_mfcc: int = 8,
+                  frame_len: float = 0.025, hop: float = 0.010,
+                  n_mels: int = 26, n_fft: int = 512) -> list[float]:
+    """REAL MFCC from a mono waveform, numpy-only (textbook pipeline:
+    25 ms hamming frames at 10 ms hop → |rfft|² power spectrum →
+    triangular mel filterbank (Stevens-Volkmann 2595·log10(1+f/700))
+    → log → orthonormal DCT-II), averaged over frames into one
+    n_mfcc-coefficient descriptor per clip."""
+    import numpy as np
+
+    x = np.asarray(mono, dtype=np.float64)
+    fl = max(1, int(rate * frame_len))
+    hp = max(1, int(rate * hop))
+    if len(x) < fl:
+        x = np.pad(x, (0, fl - len(x)))
+    n_frames = 1 + (len(x) - fl) // hp
+    idx = (np.arange(fl)[None, :]
+           + hp * np.arange(n_frames)[:, None])
+    frames = x[idx] * np.hamming(fl)
+    power = np.abs(np.fft.rfft(frames, n_fft)) ** 2 / n_fft
+    # mel filterbank over 0..rate/2
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    mel_pts = np.linspace(0.0, hz_to_mel(rate / 2.0), n_mels + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    bins = np.floor((n_fft + 1) * hz_pts / rate).astype(int)
+    bins = np.clip(bins, 0, n_fft // 2)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        if c > lo:
+            fb[m - 1, lo:c] = (np.arange(lo, c) - lo) / (c - lo)
+        if hi > c:
+            fb[m - 1, c:hi] = (hi - np.arange(c, hi)) / (hi - c)
+    loge = np.log(power @ fb.T + 1e-10)       # (frames, mels)
+    # orthonormal DCT-II over the mel axis
+    n = np.arange(n_mels)
+    basis = np.cos(np.pi * (n[None, :] + 0.5)
+                   * np.arange(n_mfcc)[:, None] / n_mels)
+    basis *= np.sqrt(2.0 / n_mels)
+    basis[0] /= np.sqrt(2.0)
+    mfcc = loge @ basis.T                      # (frames, n_mfcc)
+    return [round(float(v), 6) for v in mfcc.mean(axis=0)]
+
+
 def audio_features(
     df: DataFrame,
     content_col: str = "content",
     n_mfcc: int = 8,
     fake: bool = True,
 ) -> DataFrame:
-    """audio content → fake-MFCC vector (deterministic md5-derived)."""
+    """audio content → MFCC vector.
+
+    fake=True (default): deterministic md5-derived stand-in — the
+    oracle-checkable path.
+    fake=False: REAL MFCCs for PCM WAV content (decode_audio_pcm +
+    mfcc_features, numpy-only — no torchaudio/librosa needed);
+    compressed audio raises NotImplementedError (no codec libs)."""
     schema = _passthrough_fields(df) + ", mfcc ARRAY<FLOAT>"
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real audio features need torchaudio/librosa; "
-                    "run fake=True")
+                pdf = pdf.copy()
+                vecs = []
+                for b in pdf[content_col]:
+                    rate, _nch, mono = decode_audio_pcm(
+                        bytes(b or b""))
+                    vecs.append(mfcc_features(mono, rate,
+                                              n_mfcc=n_mfcc))
+                pdf["mfcc"] = vecs
+                yield pdf
+                continue
             pdf = pdf.copy()
             # coefficient index appended as ASCII ("#0".."#7") so the
             # digest input never contains NUL bytes and the DuckDB

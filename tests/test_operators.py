@@ -4565,3 +4565,59 @@ class TestSemanticDedupIncremental:
         kept = {r["vec_id"] for r in semantic_dedup_incremental(
             batch, catalog, k=2, iters=1, threshold=0.9999).collect()}
         assert 5 in kept and 6 not in kept
+
+
+class TestRealMfcc:
+    """audio_features(fake=False): real numpy MFCC over PCM WAV."""
+
+    @staticmethod
+    def _wav(freq=440.0, rate=8000, secs=0.5, amp=0.5):
+        import math
+        import struct
+        n = int(rate * secs)
+        pcm = b"".join(
+            struct.pack("<h", int(amp * 32767
+                                  * math.sin(2 * math.pi * freq * t / rate)))
+            for t in range(n))
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+    def test_shape_determinism_and_discrimination(self, spark):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            audio_features,
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(self._wav(440.0))),
+             (2, bytearray(self._wav(440.0))),
+             (3, bytearray(self._wav(1800.0)))],
+            "media_id long, content binary")
+        rows = {r["media_id"]: list(r["mfcc"]) for r in
+                audio_features(df, fake=False).collect()}
+        assert all(len(v) == 8 for v in rows.values())
+        assert rows[1] == rows[2]          # deterministic
+        assert rows[1] != rows[3]          # different tones differ
+        import math
+        assert all(math.isfinite(x) for v in rows.values() for x in v)
+
+    def test_c0_tracks_energy(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_audio_pcm, mfcc_features,
+        )
+        loud = decode_audio_pcm(self._wav(amp=0.9))
+        quiet = decode_audio_pcm(self._wav(amp=0.05))
+        m_loud = mfcc_features(loud[2], loud[0])
+        m_quiet = mfcc_features(quiet[2], quiet[0])
+        assert m_loud[0] > m_quiet[0]      # c0 ~ log energy
+
+    def test_compressed_audio_still_nie(self, spark):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            audio_features,
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xfb" + bytes(64)))],
+            "media_id long, content binary")
+        import pytest as _pt
+        with _pt.raises(Exception):        # surfaces from the executor
+            audio_features(df, fake=False).collect()
