@@ -337,3 +337,82 @@ def ogg_metadata(data: bytes) -> dict[str, str]:
             if granule > 0:
                 out["xmpDM:duration"] = str(round(granule / rate, 3))
     return out
+
+
+# --------------------------------------------------------------- AVI
+
+
+def avi_metadata(data: bytes) -> dict[str, str]:
+    """AVI (RIFF) main header: duration/frame-rate/dims from avih,
+    video codec fourcc from the first video strh. Best-effort, header
+    walk only — MJPEG frame extraction lives in
+    operators/multimodal.sample_frames(fake=False)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return {}
+    out: dict[str, str] = {}
+
+    def walk(start: int, end: int, depth: int) -> None:
+        i = start
+        while i + 8 <= end and depth < 6:
+            cid = data[i:i + 4]
+            (sz,) = struct.unpack_from("<I", data, i + 4)
+            body_start = i + 8
+            if sz > end - body_start:
+                return
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + sz, depth + 1)
+            elif cid == b"avih" and sz >= 40:
+                (us_per_frame, _, _, _, total_frames) = \
+                    struct.unpack_from("<IIIII", data, body_start)
+                w, h = struct.unpack_from("<II", data, body_start + 32)
+                if w and h:
+                    out.setdefault("tiff:ImageWidth", str(w))
+                    out.setdefault("tiff:ImageLength", str(h))
+                if us_per_frame:
+                    out.setdefault(
+                        "xmpDM:videoFrameRate",
+                        str(round(1e6 / us_per_frame, 3)))
+                    if total_frames:
+                        out.setdefault(
+                            "xmpDM:duration",
+                            str(round(total_frames * us_per_frame
+                                      / 1e6, 3)))
+            elif cid == b"strh" and sz >= 8:
+                typ = data[body_start:body_start + 4]
+                fcc = data[body_start + 4:body_start + 8]
+                if typ == b"vids":
+                    out.setdefault(
+                        "xmpDM:videoCompressor",
+                        fcc.decode("ascii", "replace").strip("\x00 "))
+            i = body_start + sz + (sz & 1)
+
+    walk(12, len(data), 0)
+    return out
+
+
+def avi_mjpeg_frames(data: bytes, max_frames: int = 1 << 10
+                     ) -> list[bytes]:
+    """JPEG frame payloads from an AVI's movi list (##dc/##db chunks
+    that start with the JPEG SOI marker), in stream order. Bounded by
+    max_frames; non-MJPEG chunks are skipped."""
+    frames: list[bytes] = []
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return frames
+
+    def walk(start: int, end: int, depth: int) -> None:
+        i = start
+        while i + 8 <= end and depth < 6 and len(frames) < max_frames:
+            cid = data[i:i + 4]
+            (sz,) = struct.unpack_from("<I", data, i + 4)
+            body = i + 8
+            if sz > end - body:
+                return
+            if cid == b"LIST":
+                walk(body + 4, body + sz, depth + 1)
+            elif (len(cid) == 4 and cid[2:4] in (b"dc", b"db")
+                    and data[body:body + 2] == b"\xff\xd8"):
+                frames.append(data[body:body + sz])
+            i = body + sz + (sz & 1)
+
+    walk(12, len(data), 0)
+    return frames

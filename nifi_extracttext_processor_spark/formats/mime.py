@@ -54,6 +54,7 @@ MIME_WEBP = "image/webp"
 MIME_JP2 = "image/jp2"
 MIME_ICO = "image/vnd.microsoft.icon"
 MIME_SVG = "image/svg+xml"
+MIME_AVI = "video/x-msvideo"
 
 _EML_HEADS = (b"Received:", b"Return-Path:", b"From:", b"Subject:",
               b"Date:", b"To:", b"Message-ID:", b"MIME-Version:",
@@ -181,6 +182,8 @@ def detect_mime(data: bytes | None, filename: str | None = None) -> str:
         return MIME_WAV
     if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
         return MIME_WEBP
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        return MIME_AVI
     if head[:4] == b"fLaC":
         return MIME_FLAC
     if head[:4] == b"OggS":

@@ -223,8 +223,11 @@ def media_metadata(
                             md.update(mp4_metadata(data))  # audio/mp4
                         elif mime.startswith("video/"):
                             from nifi_extracttext_processor_spark \
-                                .formats.av_meta import mp4_metadata
+                                .formats.av_meta import (
+                                    avi_metadata, mp4_metadata,
+                                )
                             md.update(mp4_metadata(data))
+                            md.update(avi_metadata(data))
                         elif mime == "text/html":
                             title = html_title(data)
                             if title:

@@ -981,9 +981,12 @@ def sample_frames(
     `every_n`-th composed full-canvas frame (disposal/transparency
     honored, see decode_gif_frames), at most `max_frames`, each
     emitted as a self-describing binary PGM (P5) so downstream
-    decode_image(fake=False) can decode the sampled frames. Non-GIF
-    content (real video containers) raises NotImplementedError — the
-    container ships no ffmpeg/pyav.
+    decode_image(fake=False) can decode the sampled frames — AND for
+    MJPEG AVI (RIFF movi walk; frames are JPEG payloads, decodable by
+    decode_image(fake=False) incl. the DHT-less MJPEG quirk via the
+    Annex K default tables in formats/jpeg_decode.py). Other video
+    containers raise NotImplementedError — the container ships no
+    ffmpeg/pyav.
     """
     schema = (_passthrough_fields(df)
               + ", frame_no INT, frame BINARY")
@@ -994,11 +997,26 @@ def sample_frames(
             rows = []
             for j in range(len(pdf)):
                 data = bytes(pdf[content_col].iloc[j] or b"")
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    from ..formats.av_meta import avi_mjpeg_frames
+                    need = (max_frames - 1) * every_n + 1
+                    frames = avi_mjpeg_frames(data, max_frames=need)
+                    if not frames:
+                        raise NotImplementedError(
+                            "AVI stream is not MJPEG; other codecs "
+                            "need ffmpeg/pyav")
+                    for fi in range(0, len(frames), every_n):
+                        rec = pdf.iloc[j].to_dict()
+                        rec["frame_no"] = fi
+                        rec["frame"] = frames[fi]
+                        rows.append(rec)
+                    continue
                 if data[:6] not in (b"GIF87a", b"GIF89a"):
                     raise NotImplementedError(
                         "real frame sampling supports animated GIF "
-                        "only; video needs ffmpeg/pyav, which this "
-                        "container does not ship")
+                        "and MJPEG AVI only; other video needs "
+                        "ffmpeg/pyav, which this container does not "
+                        "ship")
                 need = (max_frames - 1) * every_n + 1
                 w, h, frames = decode_gif_frames(data, max_frames=need)
                 hdr = b"P5\n%d %d\n255\n" % (w, h)

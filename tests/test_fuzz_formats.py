@@ -303,3 +303,15 @@ def test_webp_pngtext_xmp_meta_total(data):
                    b"<svg "):
         assert isinstance(image_dimensions(prefix + data), dict)
     assert isinstance(_xmp_properties(data), dict)
+
+
+@_FAST
+@given(st.binary(max_size=1024))
+def test_avi_walks_total(data):
+    from nifi_extracttext_processor_spark.formats.av_meta import (
+        avi_metadata, avi_mjpeg_frames,
+    )
+    prefix = b"RIFF\x00\x04\x00\x00AVI "
+    assert isinstance(avi_metadata(prefix + data), dict)
+    assert isinstance(avi_mjpeg_frames(prefix + data), list)
+    assert avi_metadata(data[:12]) == {} or data[:4] == b"RIFF"

@@ -4621,3 +4621,163 @@ class TestRealMfcc:
         import pytest as _pt
         with _pt.raises(Exception):        # surfaces from the executor
             audio_features(df, fake=False).collect()
+
+
+class TestMjpegAvi:
+    """MJPEG AVI: the one video container decodable without codec
+    libs — RIFF movi walk + the repo JPEG decoder, including the
+    DHT-less MJPEG quirk (OpenDML: decoders assume the T.81 Annex K
+    typical tables)."""
+
+    @staticmethod
+    def _strip_dht(jpeg: bytes) -> bytes:
+        """Remove DHT segments (what MJPEG encoders emit)."""
+        import struct
+        out = bytearray(jpeg[:2])
+        i = 2
+        while i + 4 <= len(jpeg):
+            marker = jpeg[i + 1]
+            if marker == 0xDA:
+                out += jpeg[i:]
+                break
+            seg_len = struct.unpack_from(">H", jpeg, i + 2)[0]
+            if marker != 0xC4:
+                out += jpeg[i:i + 2 + seg_len]
+            i += 2 + seg_len
+        return bytes(out)
+
+    @staticmethod
+    def _avi(frames, w=16, h=8, us_per_frame=40000):
+        import struct
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        def lst(kind, body):
+            return chunk(b"LIST", kind + body)
+
+        avih = chunk(b"avih", struct.pack(
+            "<IIIII", us_per_frame, 0, 0, 0, len(frames))
+            + bytes(12) + struct.pack("<II", w, h) + bytes(16))
+        strh = chunk(b"strh", b"vids" + b"MJPG" + bytes(48))
+        hdrl = lst(b"hdrl", avih + lst(b"strl", strh))
+        movi = lst(b"movi", b"".join(chunk(b"00dc", f)
+                                     for f in frames))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _tone_jpegs(self, n=4):
+        out = []
+        wants = []
+        for k in range(n):
+            plane = [(x * 7 + y * 11 + 40 * k) % 256
+                     for y in range(8) for x in range(16)]
+            data, want = TestJpegDecode._jpeg(16, 8, plane)
+            out.append(data)
+            wants.append(want)
+        return out, wants
+
+    def test_avi_metadata(self):
+        from nifi_extracttext_processor_spark.formats import detect_mime
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            avi_metadata,
+        )
+        frames, _ = self._tone_jpegs(5)
+        avi = self._avi(frames, us_per_frame=40000)
+        assert detect_mime(avi) == "video/x-msvideo"
+        md = avi_metadata(avi)
+        assert md["tiff:ImageWidth"] == "16"
+        assert md["xmpDM:videoFrameRate"] == "25.0"
+        assert md["xmpDM:duration"] == "0.2"
+        assert md["xmpDM:videoCompressor"] == "MJPG"
+
+    def test_mjpeg_frames_sampled_and_decodable(self, spark):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray, sample_frames,
+        )
+        frames, wants = self._tone_jpegs(4)
+        avi = self._avi(frames)
+        df = spark.createDataFrame(
+            [(1, "video", bytearray(avi), "video/x-msvideo", {})],
+            "media_id long, kind string, content binary, "
+            "mime_type string, meta map<string,string>")
+        rows = sorted(
+            sample_frames(df, every_n=2, max_frames=2,
+                          fake=False).collect(),
+            key=lambda r: r["frame_no"])
+        assert [r["frame_no"] for r in rows] == [0, 2]
+        got0 = decode_raster_gray(bytes(rows[0]["frame"]))
+        assert got0[2] == wants[0]
+        got2 = decode_raster_gray(bytes(rows[1]["frame"]))
+        assert got2[2] == wants[2]
+
+    def test_dhtless_mjpeg_frame_decodes_via_annex_k(self):
+        """An MJPEG frame with its DHT stripped must decode using the
+        Annex K default tables — requires the encoder to USE those
+        tables, so re-encode with them."""
+        import struct
+        from nifi_extracttext_processor_spark.formats.jpeg_decode import (
+            _K_AC_LUMA, _K_DC_LUMA, decode_jpeg_gray,
+        )
+        TD = TestJpegDecode
+        plane = [(x * 5 + y * 3) % 200 for y in range(8)
+                 for x in range(16)]
+        qt = [1] * 64
+        blocks = TD._quantize_planes(plane, 16, 8, qt)
+        for by in range(1):
+            for bx in range(2):
+                blocks.setdefault((by, bx), [0] * 64)
+        want = TD._reference_pixels(blocks, 16, 8, qt, 2)
+
+        def canonical_enc(counts, vals):
+            enc = {}
+            code = 0
+            k = 0
+            for length in range(1, 17):
+                for _ in range(counts[length - 1]):
+                    enc[vals[k]] = (code, length)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return enc
+        dc_enc = canonical_enc(*_K_DC_LUMA)
+        ac_enc = canonical_enc(*_K_AC_LUMA)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(body) + 2) + body
+        out = b"\xff\xd8"
+        out += seg(0xDB, bytes([0x00]) + bytes(qt))
+        # NO DHT segment — the MJPEG quirk under test
+        sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+        out += seg(0xC0, sof)
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        bw = TD._BitWriter()
+        pred = 0
+        for bx in range(2):
+            pred = TD._encode_block(bw, blocks[(0, bx)], pred,
+                                    dc_enc, ac_enc)
+        bw.flush()
+        jpeg = out + bytes(bw.out) + b"\xff\xd9"
+        w, h, px = decode_jpeg_gray(jpeg)
+        assert (w, h) == (16, 8)
+        assert px == want
+
+    def test_non_mjpeg_avi_still_nie(self, spark):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            sample_frames,
+        )
+        import struct
+
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body
+        movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x00" * 16))
+        body = b"AVI " + movi
+        avi = b"RIFF" + struct.pack("<I", len(body)) + body
+        df = spark.createDataFrame(
+            [(1, "video", bytearray(avi), "video/x-msvideo", {})],
+            "media_id long, kind string, content binary, "
+            "mime_type string, meta map<string,string>")
+        with pytest.raises(Exception):
+            sample_frames(df, fake=False).collect()
