@@ -390,11 +390,47 @@ def avi_metadata(data: bytes) -> dict[str, str]:
     return out
 
 
+def _ensure_dht(frame: bytes) -> bytes:
+    """MJPEG/OpenDML quirk: AVI-embedded JPEG frames routinely omit
+    their DHT segments (decoders shall assume the T.81 Annex K typical
+    tables). Resolve it HERE, at the container layer, by splicing the
+    Annex K DHT before SOS when the frame defines no tables — the
+    standalone JPEG decoder stays strict."""
+    i = 2
+    n = len(frame)
+    sos_at = None
+    while i + 4 <= n:
+        if frame[i] != 0xFF:
+            break
+        while i + 1 < n and frame[i + 1] == 0xFF:
+            i += 1
+        marker = frame[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xC4:
+            return frame            # has its own tables
+        if marker == 0xDA:
+            sos_at = i
+            break
+        if i + 4 > n:
+            break
+        seg_len = struct.unpack_from(">H", frame, i + 2)[0]
+        if seg_len < 2:
+            break
+        i += 2 + seg_len
+    if sos_at is None:
+        return frame                # malformed: pass through as-is
+    from .jpeg_decode import annexk_dht_segment
+    return frame[:sos_at] + annexk_dht_segment() + frame[sos_at:]
+
+
 def avi_mjpeg_frames(data: bytes, max_frames: int = 1 << 10
                      ) -> list[bytes]:
     """JPEG frame payloads from an AVI's movi list (##dc/##db chunks
-    that start with the JPEG SOI marker), in stream order. Bounded by
-    max_frames; non-MJPEG chunks are skipped."""
+    that start with the JPEG SOI marker), in stream order, with the
+    Annex K DHT spliced into DHT-less frames (see _ensure_dht).
+    Bounded by max_frames; non-MJPEG chunks are skipped."""
     frames: list[bytes] = []
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         return frames
@@ -411,7 +447,7 @@ def avi_mjpeg_frames(data: bytes, max_frames: int = 1 << 10
                 walk(body + 4, body + sz, depth + 1)
             elif (len(cid) == 4 and cid[2:4] in (b"dc", b"db")
                     and data[body:body + 2] == b"\xff\xd8"):
-                frames.append(data[body:body + sz])
+                frames.append(_ensure_dht(data[body:body + sz]))
             i = body + sz + (sz & 1)
 
     walk(12, len(data), 0)

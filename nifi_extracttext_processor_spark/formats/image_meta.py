@@ -361,8 +361,9 @@ _JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 def _jp2_dimensions(data: bytes) -> dict[str, str]:
     """JPEG 2000: jp2 container (jp2h/ihdr box walk) or raw J2K
     codestream (SOC + SIZ marker segment, ISO 15444-1 A.5.1)."""
-    if data[:4] == b"\xff\x4f\xff\x51" and len(data) >= 22:
-        xsiz, ysiz, xosiz, yosiz = struct.unpack_from(">IIII", data, 6)
+    if data[:4] == b"\xff\x4f\xff\x51" and len(data) >= 24:
+        # SOC(2) SIZ(2) Lsiz(2) Rsiz(2) then Xsiz/Ysiz/XOsiz/YOsiz
+        xsiz, ysiz, xosiz, yosiz = struct.unpack_from(">IIII", data, 8)
         if xsiz > xosiz and ysiz > yosiz:
             return {"tiff:ImageWidth": str(xsiz - xosiz),
                     "tiff:ImageLength": str(ysiz - yosiz)}
@@ -424,16 +425,23 @@ def _svg_dimensions(data: bytes) -> dict[str, str]:
         tag = m.group(0)
 
         def attr(name):
-            a = re.search(name + r'\s*=\s*["\']([^"\']+)["\']', tag)
+            # (?<![-\w]) so stroke-width never matches as width
+            a = re.search(r'(?<![-\w])' + name
+                          + r'\s*=\s*["\']([^"\']+)["\']', tag)
             return a.group(1).strip() if a else None
 
         w, h = attr("width"), attr("height")
 
         def px(v):
-            n = re.match(r"([0-9.]+)\s*(px)?$", v or "")
+            n = re.match(r"(\d+(?:\.\d+)?)\s*(px)?$", v or "")
             if not n:
                 return None
-            f = float(n.group(1))
+            try:
+                f = float(n.group(1))
+            except ValueError:
+                return None
+            if not (0 < f < 1e9):
+                return None
             return str(int(f)) if f.is_integer() else str(f)
 
         pw, ph = px(w), px(h)
@@ -444,11 +452,11 @@ def _svg_dimensions(data: bytes) -> dict[str, str]:
             parts = (vb or "").replace(",", " ").split()
             if len(parts) == 4:
                 try:
-                    out = {"tiff:ImageWidth":
-                           str(int(float(parts[2]))),
-                           "tiff:ImageLength":
-                           str(int(float(parts[3])))}
-                except ValueError:
+                    vw, vh = float(parts[2]), float(parts[3])
+                    if 0 < vw < 1e9 and 0 < vh < 1e9:
+                        out = {"tiff:ImageWidth": str(int(vw)),
+                               "tiff:ImageLength": str(int(vh))}
+                except (ValueError, OverflowError):
                     pass
     t = re.search(r"<title[^>]*>([^<]{1,256})</title>", head)
     if t and t.group(1).strip():
@@ -476,8 +484,6 @@ def image_dimensions(data: bytes) -> dict[str, str]:
             and len(data) >= 22
             and struct.unpack_from("<H", data, 4)[0] >= 1):
         return _ico_dimensions(data)
-    if b"<svg" in data[:1024]:
-        return _svg_dimensions(data)
     if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
         w, h = struct.unpack_from("<HH", data, 6)
         out = {"tiff:ImageWidth": str(w), "tiff:ImageLength": str(h)}
@@ -571,6 +577,14 @@ def image_dimensions(data: bytes) -> dict[str, str]:
         if len(toks) == 2:
             return {"tiff:ImageWidth": str(toks[0]),
                     "tiff:ImageLength": str(toks[1])}
+    # SVG LAST: text sniff only after every magic-number format missed
+    # (binary payloads can contain "<svg" by chance), and only for
+    # markup-looking content (optional BOM, leading whitespace, '<')
+    head = data[:1024]
+    if head[:3] == b"\xef\xbb\xbf":
+        head = head[3:]
+    if head.lstrip()[:1] == b"<" and b"<svg" in head:
+        return _svg_dimensions(data)
     return {}
 
 

@@ -24,6 +24,15 @@ def cosine_sql(a_expr: str, b_expr: str) -> str:
             f"THEN {dot} / ({na} * {nb}) ELSE 0.0 END")
 
 
+def l2_normalize_sql(vec_expr: str) -> str:
+    """DuckDB twin of operators.dedup.l2_normalize (zero vector stays
+    zero)."""
+    n = f"sqrt(list_sum(list_transform({vec_expr}, x -> x * x)))"
+    return (f"CASE WHEN {n} > 0 THEN "
+            f"list_transform({vec_expr}, x -> x / {n}) "
+            f"ELSE list_transform({vec_expr}, x -> x * 0.0) END")
+
+
 def double_array_sql(vec: list[float]) -> str:
     """Exact DOUBLE[] literal (repr round-trips IEEE doubles)."""
     return "[" + ", ".join(repr(float(x)) for x in vec) + "]"

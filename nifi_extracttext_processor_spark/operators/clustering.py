@@ -35,8 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable import cosine_sql
-from .dedup import cosine
+from ..functions.portable import cosine_sql, l2_normalize_sql
+from .dedup import cosine, l2_normalize
 
 
 def kmeans_fit(
@@ -184,16 +184,9 @@ def semantic_dedup(
     # zip_with fold per pair instead of three (dot + both norms);
     # cosine == dot of the normalized vectors, and the DuckDB twin
     # normalizes with the same per-element division so values stay
-    # bit-replayable. Zero-norm rows normalize to the zero vector
-    # (sim 0.0 — same semantics as cosine()).
-    norm = F.sqrt(F.aggregate(
-        F.transform(F.col("v"), lambda x: x * x),
-        F.lit(0.0), lambda acc, x: acc + x))
+    # bit-replayable.
     af = (_assign(v, cents)
-          .withColumn("nv", F.when(
-              norm > 0,
-              F.transform(F.col("v"), lambda x: x / norm))
-              .otherwise(F.transform(F.col("v"), lambda x: x * 0.0))))
+          .withColumn("nv", l2_normalize(F.col("v"))))
     a = af.select("cluster", F.col("_id").alias("ka"),
                   F.col("nv").alias("na"))
     b = af.select("cluster", F.col("_id").alias("kb"),
@@ -277,14 +270,12 @@ def semantic_dedup_sql(
 ) -> str:
     """DuckDB twin of semantic_dedup (same pre-normalized dot)."""
     ctes, af = _kmeans_ctes(table, id_col, vec_col, k, iters, dim)
-    na = "sqrt(list_sum(list_transform(v, x -> x * x)))"
     ndot = ("list_sum(list_transform(list_zip(a.nv, b.nv), "
             "p -> p[1] * p[2]))")
     return (
         f"{ctes},\n"
-        f"afn AS (SELECT vid, cluster, CASE WHEN {na} > 0 THEN "
-        f"list_transform(v, x -> x / {na}) ELSE "
-        f"list_transform(v, x -> x * 0.0) END AS nv FROM {af}),\n"
+        f"afn AS (SELECT vid, cluster, {l2_normalize_sql('v')} "
+        f"AS nv FROM {af}),\n"
         f"dom AS (SELECT DISTINCT b.vid AS vid FROM afn a "
         f"JOIN afn b ON a.cluster = b.cluster AND a.vid < b.vid "
         f"WHERE round({ndot}, 6) >= {threshold!r})\n"
@@ -293,17 +284,9 @@ def semantic_dedup_sql(
 
 
 def _with_normalized(af: DataFrame) -> DataFrame:
-    """Add `nv` = l2-normalized copy of `v` (zero vector when the norm
-    is zero — sim 0.0 semantics, same as cosine())."""
-    norm = F.sqrt(F.aggregate(
-        F.transform(F.col("v"), lambda x: x * x),
-        F.lit(0.0), lambda acc, x: acc + x))
-    return af.withColumn("nv", F.when(
-        norm > 0, F.transform(F.col("v"), lambda x: x / norm))
-        .otherwise(F.transform(F.col("v"), lambda x: x * 0.0)))
-
-
-_NDOT = None  # (docs) pair similarity = round(dot(nv_a, nv_b), 6)
+    """Add `nv` = l2-normalized copy of `v` (shared dedup.l2_normalize
+    semantics)."""
+    return af.withColumn("nv", l2_normalize(F.col("v")))
 
 
 def semantic_dedup_incremental(
@@ -327,9 +310,15 @@ def semantic_dedup_incremental(
     the cluster geometry, so assignment stays stable as batches stream
     in (the append-only twin of operators/dedup.py's
     dedup_exact_incremental, and the batch form of what a foreachBatch
-    streaming sink would run per micro-batch)."""
-    cents = centroids if centroids is not None else kmeans_fit(
-        catalog, id_col, vec_col, k, iters)
+    streaming sink would run per micro-batch). Bootstrap: an EMPTY
+    catalog (the first micro-batch) fits centroids on the batch
+    itself and degrades to plain within-batch semantic_dedup."""
+    if centroids is not None:
+        cents = centroids
+    elif catalog.limit(1).count() == 0:
+        cents = kmeans_fit(batch, id_col, vec_col, k, iters)
+    else:
+        cents = kmeans_fit(catalog, id_col, vec_col, k, iters)
 
     def prep(df: DataFrame) -> DataFrame:
         v = df.select(F.col(id_col).alias("_id"),
@@ -374,7 +363,6 @@ def semantic_dedup_incremental_sql(
     ctes, af = _kmeans_ctes(
         f"(SELECT * FROM {table} WHERE {catalog_where})",
         id_col, vec_col, k, iters, dim)
-    na = "sqrt(list_sum(list_transform(v, x -> x * x)))"
     ndot = ("list_sum(list_transform(list_zip(a.nv, b.nv), "
             "p -> p[1] * p[2]))")
     cents = f"c{iters}"
@@ -387,10 +375,8 @@ def semantic_dedup_incremental_sql(
         f"PARTITION BY t.vid ORDER BY round({cos}, 6) DESC, t.ci ASC"
         ") AS rn FROM (SELECT s.vid, s.v, c.ci, c.c FROM {src} s "
         f"CROSS JOIN {cents} c) t) WHERE rn = 1")
-    normed = ("SELECT vid, cluster, CASE WHEN {na} > 0 THEN "
-              "list_transform(v, x -> x / {na}) ELSE "
-              "list_transform(v, x -> x * 0.0) END AS nv FROM {src}"
-              ).replace("{na}", na)
+    normed = (f"SELECT vid, cluster, {l2_normalize_sql('v')} "
+              "AS nv FROM {src}")
     return (
         f"{ctes},\n"
         f"bv AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v "

@@ -736,6 +736,17 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def l2_normalize(v: Column) -> Column:
+    """v / ||v||2 (zero vector stays the zero vector — sim 0.0
+    semantics, matching cosine()). The ONE definition shared by
+    clustering.semantic_dedup* and text_analysis.hashed_tf_embedding;
+    its SQL twin is functions.portable.l2_normalize_sql."""
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    return F.when(norm > 0, F.transform(v, lambda x: x / norm)) \
+            .otherwise(F.transform(v, lambda x: x * 0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)

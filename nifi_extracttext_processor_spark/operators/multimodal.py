@@ -1249,6 +1249,11 @@ def mfcc_features(mono: list[float], rate: int, n_mfcc: int = 8,
     x = np.asarray(mono, dtype=np.float64)
     fl = max(1, int(rate * frame_len))
     hp = max(1, int(rate * hop))
+    # n_fft must cover the frame (rfft would TRUNCATE longer frames —
+    # at 44.1 kHz a 25 ms frame is 1102 samples, above the 512
+    # default): grow to the next power of two >= fl
+    while n_fft < fl:
+        n_fft <<= 1
     if len(x) < fl:
         x = np.pad(x, (0, fl - len(x)))
     n_frames = 1 + (len(x) - fl) // hp

@@ -234,6 +234,11 @@ def build_ivf_index(
     whatever the sidecar holds, so nothing else changes; probing ALL
     cells still returns exactly the brute-force answer."""
     if centroids is not None:
+        if len(centroids) != n_cells:
+            raise ValueError(
+                f"{len(centroids)} centroids but n_cells={n_cells} — "
+                "callers size nprobe against n_cells, so the mismatch "
+                "must be explicit")
         cents = [list(map(float, c)) for c in centroids]
     else:
         sample = (df.orderBy(F.col(id_col))

@@ -850,14 +850,9 @@ def hashed_tf_embedding(
            .withColumn("embedding", vec)
            .drop("m"))
     if normalize:
-        norm = F.sqrt(F.aggregate(
-            F.transform(F.col("embedding"), lambda x: x * x),
-            F.lit(0.0), lambda acc, x: acc + x))
-        out = out.withColumn(
-            "embedding",
-            F.when(norm > 0, F.transform(F.col("embedding"),
-                                         lambda x: x / norm))
-            .otherwise(F.col("embedding")))
+        from .dedup import l2_normalize
+        out = out.withColumn("embedding",
+                             l2_normalize(F.col("embedding")))
     return out
 
 
@@ -872,7 +867,6 @@ def hashed_tf_embedding_sql(
     fold arithmetic via list_transform/list_sum)."""
     bucket = (f"CAST(('0x' || substr(md5(term), 1, 8))::BIGINT "
               f"% {dim} AS INTEGER)")
-    norm = "sqrt(list_sum(list_transform(v, x -> x * x)))"
     vec = (f"list_transform(range(0, {dim}), "
            f"i -> coalesce(m[i][1], 0.0))")  # map_extract yields a list
     base = f"""
@@ -894,8 +888,7 @@ vecs AS (
   LEFT JOIN maps USING ({id_col}))
 """
     if normalize:
-        return base + (
-            f"SELECT {id_col}, CASE WHEN {norm} > 0 THEN "
-            f"list_transform(v, x -> x / {norm}) ELSE v END "
-            f"AS embedding FROM vecs")
+        from ..functions.portable import l2_normalize_sql
+        return base + (f"SELECT {id_col}, {l2_normalize_sql('v')} "
+                       f"AS embedding FROM vecs")
     return base + f"SELECT {id_col}, v AS embedding FROM vecs"

@@ -1748,8 +1748,10 @@ class TestJp2IcoSvg:
         from nifi_extracttext_processor_spark.formats.image_meta import (
             image_dimensions,
         )
+        # SOC + SIZ marker + Lsiz + Rsiz(0) + Xsiz/Ysiz/XOsiz/YOsiz
+        # (ISO 15444-1 A.5.1 — Rsiz precedes the sizes)
         j2k = (b"\xff\x4f\xff\x51"
-               + struct.pack(">H", 47)      # lsiz
+               + struct.pack(">HH", 47, 0)
                + struct.pack(">IIII", 800, 600, 0, 0))
         assert detect_mime(j2k + bytes(40)) == "image/jp2"
         md = image_dimensions(j2k + bytes(40))
@@ -1794,3 +1796,80 @@ class TestJp2IcoSvg:
         md = image_dimensions(svg)
         assert md["tiff:ImageWidth"] == "512"
         assert md["tiff:ImageLength"] == "256"
+
+
+class TestImageMetaReview2Fixes:
+    """Regression tests for the second self-review pass."""
+
+    def test_svg_stroke_width_not_matched_as_width(self):
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        svg = (b'<svg xmlns="http://www.w3.org/2000/svg" '
+               b'stroke-width="3" width="100" height="50"><rect/></svg>')
+        md = image_dimensions(svg)
+        assert md["tiff:ImageWidth"] == "100"
+
+    def test_svg_malformed_numbers_fail_soft(self):
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        for w in (b".", b"12.3.4", b"1e999"):
+            svg = (b'<svg width="' + w + b'" height="10" '
+                   b'viewBox="0 0 1e999 5"><rect/></svg>')
+            assert isinstance(image_dimensions(svg), dict)
+
+    def test_gif_with_embedded_svg_bytes_stays_gif(self):
+        import struct
+        from nifi_extracttext_processor_spark.formats.image_meta import (
+            image_dimensions,
+        )
+        gif = (b"GIF89a" + struct.pack("<HH", 9, 7) + bytes([0, 0, 0])
+               + b"\x21\xfe\x05<svg \x00"      # comment block w/ "<svg "
+               + b"\x3b")
+        md = image_dimensions(gif)
+        assert md["tiff:ImageWidth"] == "9"    # GIF wins, not SVG
+
+    def test_incremental_empty_catalog_bootstraps(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            semantic_dedup_incremental,
+        )
+        batch = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        empty = batch.filter("vec_id < 0")
+        kept = {r["vec_id"] for r in semantic_dedup_incremental(
+            batch, empty, k=2, iters=1, threshold=0.99).collect()}
+        assert kept == {1, 3}   # within-batch min-id rule only
+
+    def test_ivf_centroid_count_mismatch_raises(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            build_ivf_index,
+        )
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "vec_id long, embedding array<double>")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="n_cells"):
+            build_ivf_index(df, str(tmp_path / "x"), n_cells=16,
+                            centroids=[[1.0, 0.0]])
+
+    def test_mfcc_high_rate_frames_not_truncated(self):
+        import math
+        import struct
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_audio_pcm, mfcc_features,
+        )
+        rate = 44100
+        n = int(rate * 0.3)
+        pcm = b"".join(struct.pack(
+            "<h", int(0.5 * 32767 * math.sin(2 * math.pi * 440 * t / rate)))
+            for t in range(n))
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + fmt
+               + b"data" + struct.pack("<I", len(pcm)) + pcm)
+        r, _, mono = decode_audio_pcm(wav)
+        m = mfcc_features(mono, r)
+        assert len(m) == 8
+        assert all(math.isfinite(v) for v in m)

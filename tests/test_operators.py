@@ -4713,10 +4713,14 @@ class TestMjpegAvi:
         assert got2[2] == wants[2]
 
     def test_dhtless_mjpeg_frame_decodes_via_annex_k(self):
-        """An MJPEG frame with its DHT stripped must decode using the
-        Annex K default tables — requires the encoder to USE those
-        tables, so re-encode with them."""
+        """A DHT-less MJPEG frame must FAIL strict standalone decode
+        but decode exactly after the container layer splices the
+        Annex K tables (_ensure_dht) — requires the encoder to USE
+        those tables, so re-encode with them."""
         import struct
+        from nifi_extracttext_processor_spark.formats.av_meta import (
+            _ensure_dht,
+        )
         from nifi_extracttext_processor_spark.formats.jpeg_decode import (
             _K_AC_LUMA, _K_DC_LUMA, decode_jpeg_gray,
         )
@@ -4760,9 +4764,16 @@ class TestMjpegAvi:
                                     dc_enc, ac_enc)
         bw.flush()
         jpeg = out + bytes(bw.out) + b"\xff\xd9"
-        w, h, px = decode_jpeg_gray(jpeg)
+        # strict standalone decode stays honest: missing tables raise
+        with pytest.raises(ValueError, match="missing huffman"):
+            decode_jpeg_gray(jpeg)
+        # the container layer resolves the quirk
+        w, h, px = decode_jpeg_gray(_ensure_dht(jpeg))
         assert (w, h) == (16, 8)
         assert px == want
+        # frames that carry their own DHT pass through untouched
+        full, _ = TestJpegDecode._jpeg(8, 8, [90] * 64)
+        assert _ensure_dht(full) == full
 
     def test_non_mjpeg_avi_still_nie(self, spark):
         from nifi_extracttext_processor_spark.operators.multimodal import (
