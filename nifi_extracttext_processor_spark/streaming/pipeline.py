@@ -435,3 +435,49 @@ def sessionize_events(events: DataFrame,
     return (events.groupBy("user_id").applyInPandasWithState(
         update, SESSION_SCHEMA, _SESSION_STATE, "update",
         GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def stream_semantic_dedup(
+    vectors: DataFrame,
+    catalog_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k: int = 8,
+    iters: int = 2,
+):
+    """foreachBatch wiring for operators.clustering.
+    semantic_dedup_incremental: each micro-batch prunes against the
+    parquet kept-catalog at `catalog_dir` and APPENDS its survivors
+    (id + embedding) there. The first batch bootstraps an empty
+    catalog (centroids fit on the batch itself — the operator's
+    documented bootstrap path).
+
+    Returns the foreachBatch callable — attach with
+    ``stream.writeStream.foreachBatch(...)``.
+
+    100 TB posture: the catalog is an append-only parquet table (no
+    state store growth inside Spark); each batch reads it once,
+    shuffles only on the cluster key, and appends only survivors.
+    For stable geometry across many batches, freeze centroids after
+    the catalog is large enough and pass them via functools.partial
+    (re-fitting each batch re-clusters the WHOLE catalog)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.clustering import semantic_dedup_incremental
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vec = batch_df.select(id_col, vec_col)
+        try:
+            catalog = spark.read.parquet(catalog_dir) \
+                .select(id_col, vec_col)
+        except AnalysisException:   # first batch: no catalog yet
+            catalog = vec.limit(0)
+        kept = semantic_dedup_incremental(
+            vec, catalog, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, k=k, iters=iters)
+        (vec.join(kept.select(id_col), id_col)
+         .write.mode("append").parquet(catalog_dir))
+
+    return _batch

@@ -150,3 +150,17 @@ def test_semantic_dedup_pair_join_copartitioned_on_cluster(spark):
     plan = _plan(semantic_dedup(df, k=4, iters=1, threshold=0.4))
     assert "CartesianProduct" not in plan
     assert "cluster" in plan
+
+
+def test_hashed_tf_no_udf_mapside_agg(spark):
+    """hashed_tf_embedding stays Catalyst-native: no Python UDF /
+    Arrow eval in the plan, and the (id, bucket) count partial-
+    aggregates (HashAggregate before the exchange)."""
+    from nifi_extracttext_processor_spark.operators.text_analysis import (
+        hashed_tf_embedding,
+    )
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(hashed_tf_embedding(df, dim=16))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan

@@ -347,3 +347,44 @@ def test_batch_twin_agrees_with_stream(spark, tmp_path):
             for r in dedup_near_bands_batch(
                 batch_df, watermark=wm).collect())
         assert twin == streamed, f"scenario {i} diverged"
+
+
+def test_stream_semantic_dedup_cross_batch(spark, tmp_path):
+    """Two micro-batches through the foreachBatch semantic-dedup
+    catalog: batch 1 bootstraps (empty catalog), batch 2's near-dup of
+    a cataloged vector is pruned while its novel vector survives."""
+    import time
+
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        stream_semantic_dedup,
+    )
+
+    src = tmp_path / "src"
+    cat = str(tmp_path / "catalog")
+    src.mkdir()
+    schema = "vec_id long, embedding array<double>"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(src / name))
+
+    # batch 1: one direction + an exact near-dup + an orthogonal one
+    write_batch("b1", [(1, [1.0, 0.0, 0.0]),
+                       (2, [1.0, 0.001, 0.0]),
+                       (3, [0.0, 0.0, 1.0])])
+    fb = stream_semantic_dedup(None, cat, threshold=0.99, k=2, iters=1)
+    b1 = spark.read.parquet(str(src / "b1"))
+    fb(b1, 0)
+    kept1 = {r["vec_id"] for r in spark.read.parquet(cat).collect()}
+    assert kept1 == {1, 3}      # bootstrap: within-batch min-id rule
+
+    # batch 2: near-dup of cataloged id 1 + a genuinely new direction
+    write_batch("b2", [(10, [1.0, 0.002, 0.0]),
+                       (11, [0.0, 1.0, 0.0])])
+    b2 = spark.read.parquet(str(src / "b2"))
+    fb(b2, 1)
+    kept2 = {r["vec_id"] for r in spark.read.parquet(cat).collect()}
+    assert 10 not in kept2      # pruned against the catalog
+    assert 11 in kept2
+    assert kept1 <= kept2       # catalog is append-only
