@@ -6,6 +6,10 @@ reference's Tika `parseToString` path for PDFs
 text out of page content streams.
 
 Supported subset — enough for real-world "text PDFs":
+  * standard-security ENCRYPTED documents with an empty user password
+    (RC4-40/128, R4 /AESV2, R6 /AESV3 AES-256 — see pdf_crypt.py);
+    password-protected / public-key-encrypted documents raise (the
+    failure route, matching Tika's EncryptedDocumentException)
   * classic xref / object syntax, incremental updates
   * FlateDecode-compressed and raw content streams
   * object streams (ObjStm, PDF 1.5+) holding page/content objects
@@ -71,6 +75,50 @@ def _apply_png_predictor(dict_bytes: bytes, data: bytes) -> bytes:
         out += row
         prev = row
     return bytes(out)
+
+
+_OBJHDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _decrypt_all_streams(data: bytes, dec) -> bytes:
+    """Standard-security documents: one pass replacing every stream
+    payload with its decrypted bytes (per-object keys derived from the
+    `N G obj` header preceding each stream dict), so the rest of the
+    scan-based pipeline runs unchanged. XRef streams are never
+    encrypted per spec — they are skipped. Stale /Length values are
+    harmless (stream ends are located by `endstream`)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        m = _STREAM_RE.search(data, pos)
+        if not m:
+            out += data[pos:]
+            return bytes(out)
+        dict_end = m.start()
+        dstart = data.rfind(b"<<", max(0, dict_end - 2048), dict_end)
+        dict_bytes = data[dstart:dict_end] if dstart != -1 else b""
+        data_start = m.end()
+        end = data.find(b"endstream", data_start)
+        if end == -1:
+            out += data[pos:]
+            return bytes(out)
+        raw = data[data_start:end]
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
+        plain = raw
+        if b"/XRef" not in dict_bytes and dstart != -1:
+            hdr = None
+            for hdr in _OBJHDR_RE.finditer(
+                    data, max(0, dstart - 256), dstart):
+                pass
+            if hdr is not None:
+                plain = dec(int(hdr.group(1)), int(hdr.group(2)), raw)
+        out += data[pos:data_start]
+        out += plain + b"\n"
+        out += data[end:end + len(b"endstream")]
+        pos = end + len(b"endstream")
 
 
 def _iter_streams(buf: bytes):
@@ -402,6 +450,10 @@ def extract_pdf_text(data: bytes, max_length: int = -1) -> str:
         # parity with Tika: structurally-empty/truncated PDFs throw
         # (TikaException → failure route, ExtractTextProcessor.java:178)
         raise ValueError("corrupt PDF: no indirect objects found")
+    from .pdf_crypt import decryptor_for
+    dec = decryptor_for(data)   # ValueError (→ failure route) when a
+    if dec is not None:         # real password / unsupported handler
+        data = _decrypt_all_streams(data, dec)
     buffers = [data]
     buffers += _expand_object_streams(data)
     fontmap = _build_fontmap(buffers)

@@ -433,3 +433,96 @@ def build_epub(chapters: list[str], title: str = "Test Book",
                 "<html><head><title>c</title></head>"
                 f"<body><p>{ch}</p></body></html>")
     return buf.getvalue()
+
+
+def build_encrypted_pdf(lines: list[str], mode: str = "rc4-128",
+                        user_password: bytes = b"") -> bytes:
+    """build_pdf output re-encrypted under the PDF standard security
+    handler (empty user password unless overridden): the content
+    stream payload is replaced with ciphertext and an /Encrypt object
+    + trailer with /ID is appended. Modes: 'rc4-40' (R2), 'rc4-128'
+    (R3), 'aes-128' (R4 /AESV2), 'aes-256' (R6 /AESV3)."""
+    import hashlib
+    import re as _re
+    import struct
+
+    from nifi_extracttext_processor_spark.formats.crypto import (
+        aes_cbc_encrypt, rc4,
+    )
+    from nifi_extracttext_processor_spark.formats.pdf_crypt import (
+        PAD, _r6_hash,
+    )
+
+    pdf = build_pdf(lines)
+    id0 = bytes(range(16))
+    o_entry = bytes(range(0x20, 0x40))     # opaque input to Algorithm 2
+    p = (-44) & 0xFFFFFFFF
+    m = _re.search(rb"(\d+) 0 obj\n<< /Length \d+ >>\nstream\n", pdf)
+    objnum = int(m.group(1))
+    body_start = m.end()
+    body_end = pdf.find(b"\nendstream", body_start)
+    plain = pdf[body_start:body_end]
+
+    if mode == "aes-256":
+        vsalt, ksalt = bytes(range(8)), bytes(range(8, 16))
+        upwd = user_password
+        u = _r6_hash(upwd, vsalt) + vsalt + ksalt
+        file_key = bytes(range(64, 96))
+        ue = aes_cbc_encrypt(_r6_hash(upwd, ksalt), bytes(16),
+                             file_key, add_padding=False)
+        ct = aes_cbc_encrypt(file_key, bytes(range(100, 116)), plain)
+        new_stream = bytes(range(100, 116)) + ct
+        enc_dict = (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                    b" /O <" + o_entry.hex().encode() + b">"
+                    b" /U <" + u.hex().encode() + b">"
+                    b" /UE <" + ue.hex().encode() + b"> >>")
+    else:
+        r, n, aes = {"rc4-40": (2, 5, False),
+                     "rc4-128": (3, 16, False),
+                     "aes-128": (4, 16, True)}[mode]
+        pwd = (user_password + PAD)[:32]
+        h = hashlib.md5()
+        h.update(pwd)
+        h.update(o_entry)
+        h.update(struct.pack("<I", p))
+        h.update(id0)
+        key = h.digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        key = key[:n]
+        if r == 2:
+            u = rc4(key, PAD)
+        else:
+            h2 = hashlib.md5(PAD + id0).digest()
+            eu = rc4(key, h2)
+            for i in range(1, 20):
+                eu = rc4(bytes(b ^ i for b in key), eu)
+            u = eu + bytes(16)
+        ext = struct.pack("<I", objnum)[:3] + struct.pack("<H", 0)
+        if aes:
+            ext += b"sAlT"
+        okey = hashlib.md5(key + ext).digest()[:min(n + 5, 16)]
+        if aes:
+            iv = bytes(range(116, 132))
+            new_stream = iv + aes_cbc_encrypt(okey, iv, plain)
+        else:
+            new_stream = rc4(okey, plain)
+        cf = (b" /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF "
+              if aes else
+              (b" /CF << /StdCF << /CFM /V2 >> >> /StmF /StdCF "
+               if r == 4 else b""))
+        enc_dict = (b"<< /Filter /Standard /V "
+                    + str(4 if r == 4 else (2 if r == 3 else 1)).encode()
+                    + b" /R " + str(r).encode()
+                    + b" /Length " + str(n * 8).encode() + cf
+                    + b" /O <" + o_entry.hex().encode() + b">"
+                    + b" /U <" + u.hex().encode() + b">"
+                    + b" /P -44 >>")
+
+    out = pdf[:body_start] + new_stream + pdf[body_end:]
+    out += (b"\n9 0 obj\n" + enc_dict + b"\nendobj\n"
+            b"trailer\n<< /Encrypt 9 0 R /ID [<"
+            + id0.hex().encode() + b"> <" + id0.hex().encode()
+            + b">] >>\n%%EOF\n")
+    return out

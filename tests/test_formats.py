@@ -4,6 +4,8 @@ Spark-level ports live in test_extract_spark.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from nifi_extracttext_processor_spark.formats import (
     detect_mime, extract_any, extract_doc_text, extract_docx_text,
     extract_pdf_text, html_to_text, render_xhtml,
@@ -1873,3 +1875,111 @@ class TestImageMetaReview2Fixes:
         m = mfcc_features(mono, r)
         assert len(m) == 8
         assert all(math.isfinite(v) for v in m)
+
+
+class TestCryptoPrimitives:
+    """FIPS-197 Appendix C and classic RC4 vectors — external ground
+    truth for the pure-stdlib primitives behind PDF decryption."""
+
+    def test_aes_fips197_vectors(self):
+        from nifi_extracttext_processor_spark.formats.crypto import AES
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        cases = [
+            (bytes(range(16)), "69c4e0d86a7b0430d8cdb78070b4c55a"),
+            (bytes(range(24)), "dda97ca4864cdfe06eaf70a0ec0d7191"),
+            (bytes(range(32)), "8ea2b7ca516745bfeafc49904b496089"),
+        ]
+        for key, ct_hex in cases:
+            ct = AES(key).encrypt_block(pt)
+            assert ct.hex() == ct_hex
+            assert AES(key).decrypt_block(ct) == pt
+
+    def test_rc4_vector(self):
+        from nifi_extracttext_processor_spark.formats.crypto import rc4
+        assert rc4(b"Key", b"Plaintext").hex().upper() == \
+            "BBF316E8D940AF0AD3"
+        assert rc4(b"Key", rc4(b"Key", b"abc")) == b"abc"
+
+    def test_cbc_roundtrip_and_padding(self):
+        from nifi_extracttext_processor_spark.formats.crypto import (
+            aes_cbc_decrypt, aes_cbc_encrypt,
+        )
+        key, iv = bytes(16), bytes(range(16))
+        for msg in (b"", b"x", b"16-bytes-block!!", b"y" * 100):
+            enc = aes_cbc_encrypt(key, iv, msg)
+            assert aes_cbc_decrypt(key, iv + enc) == msg
+
+
+class TestEncryptedPdf:
+    """Standard-security PDF decryption with an empty user password —
+    the Tika/PDFBox transparent-open behavior (most 'protected' PDFs
+    restrict editing, not reading)."""
+
+    LINES = ["Classified hello", "second secret line"]
+
+    def _want(self):
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        from tests.fixtures.builders import build_pdf
+        return extract_pdf_text(build_pdf(self.LINES))
+
+    @pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128",
+                                      "aes-256"])
+    def test_all_modes_decrypt_to_plaintext(self, mode):
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        from tests.fixtures.builders import build_encrypted_pdf
+        enc = build_encrypted_pdf(self.LINES, mode)
+        assert b"Classified" not in enc        # actually encrypted
+        assert extract_pdf_text(enc) == self._want()
+
+    @pytest.mark.parametrize("mode", ["rc4-128", "aes-256"])
+    def test_real_password_routes_to_failure(self, mode):
+        from nifi_extracttext_processor_spark.formats import extract_any
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        from tests.fixtures.builders import build_encrypted_pdf
+        enc = build_encrypted_pdf(self.LINES, mode,
+                                  user_password=b"hunter2")
+        with pytest.raises(ValueError, match="password"):
+            extract_pdf_text(enc)
+        text, _mime, err = extract_any(enc, "locked.pdf")
+        assert err is not None and text == ""  # A6 failure route
+
+    def test_unencrypted_pdf_unaffected(self):
+        from nifi_extracttext_processor_spark.formats.pdf_crypt import (
+            decryptor_for,
+        )
+        from tests.fixtures.builders import build_pdf
+        assert decryptor_for(build_pdf(self.LINES)) is None
+
+    def test_pubkey_handler_rejected(self):
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        from tests.fixtures.builders import build_encrypted_pdf
+        enc = build_encrypted_pdf(self.LINES, "rc4-128")
+        enc = enc.replace(b"/Filter /Standard",
+                          b"/Filter /Adobe.PubSec")
+        with pytest.raises(ValueError, match="security handler"):
+            extract_pdf_text(enc)
+
+    def test_spark_e2e_encrypted_doc(self, spark):
+        from nifi_extracttext_processor_spark.operators.extract import (
+            extract_text, route_by_error,
+        )
+        from tests.fixtures.builders import build_encrypted_pdf
+        enc = build_encrypted_pdf(self.LINES, "aes-128")
+        locked = build_encrypted_pdf(self.LINES, "aes-128",
+                                     user_password=b"x")
+        df = spark.createDataFrame(
+            [("open.pdf", bytearray(enc)),
+             ("locked.pdf", bytearray(locked))],
+            "filename string, content binary")
+        ok, fail = route_by_error(extract_text(df))
+        ok_rows = {r["filename"]: r["text"] for r in ok.collect()}
+        assert "Classified hello" in ok_rows["open.pdf"]
+        assert [r["filename"] for r in fail.collect()] == ["locked.pdf"]

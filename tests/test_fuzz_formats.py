@@ -315,3 +315,24 @@ def test_avi_walks_total(data):
     assert isinstance(avi_metadata(prefix + data), dict)
     assert isinstance(avi_mjpeg_frames(prefix + data), list)
     assert avi_metadata(data[:12]) == {} or data[:4] == b"RIFF"
+
+
+@_FAST
+@given(st.integers(min_value=0, max_value=4096), st.binary(max_size=16))
+def test_encrypted_pdf_corruption_fails_closed(cut, junk):
+    """Truncate/splice a valid encrypted PDF: extract routes to
+    failure or succeeds — never crashes; decryptor_for is total up to
+    ValueError."""
+    from nifi_extracttext_processor_spark.formats.pdf_crypt import (
+        decryptor_for,
+    )
+    from tests.fixtures.builders import build_encrypted_pdf
+    base = build_encrypted_pdf(["fuzz"], "aes-128")
+    cut = cut % len(base)
+    for mutated in (base[:cut], base[:cut] + junk + base[cut:]):
+        text, mime, err = extract_any(mutated, "f.pdf")
+        assert isinstance(text, str)
+        try:
+            decryptor_for(mutated)
+        except ValueError:
+            pass
