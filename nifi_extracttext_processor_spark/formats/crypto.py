@@ -165,12 +165,51 @@ class AES:
         return bytes(s)
 
 
+def _ecb_decrypt_many_numpy(aes: "AES", data: bytes):
+    """Inverse cipher over ALL 16-byte blocks at once (numpy): each
+    round is a handful of whole-array table lookups / XORs, ~1000x the
+    scalar path on megabyte streams. Returns an (n, 16) uint8 array.
+    CBC decryption parallelizes this way because each block's cipher
+    input is independent (only the final XOR chains)."""
+    import numpy as np
+
+    inv_s = np.frombuffer(_INV_SBOX, dtype=np.uint8)
+    m9 = np.array([_mul(v, 9) for v in range(256)], dtype=np.uint8)
+    m11 = np.array([_mul(v, 11) for v in range(256)], dtype=np.uint8)
+    m13 = np.array([_mul(v, 13) for v in range(256)], dtype=np.uint8)
+    m14 = np.array([_mul(v, 14) for v in range(256)], dtype=np.uint8)
+    inv_shift = np.array([(4 * ((i // 4) - (i % 4)) + i % 4) % 16
+                          for i in range(16)])
+    s = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16).copy()
+    rk = [np.array(r, dtype=np.uint8) for r in aes.rk]
+    s ^= rk[aes.nr]
+    for rnd in range(aes.nr - 1, 0, -1):
+        s = inv_s[s[:, inv_shift]]
+        s ^= rk[rnd]
+        ns = np.empty_like(s)
+        for c in range(4):
+            a0, a1, a2, a3 = (s[:, 4 * c], s[:, 4 * c + 1],
+                              s[:, 4 * c + 2], s[:, 4 * c + 3])
+            ns[:, 4 * c] = m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3]
+            ns[:, 4 * c + 1] = m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3]
+            ns[:, 4 * c + 2] = m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3]
+            ns[:, 4 * c + 3] = m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3]
+        s = ns
+    s = inv_s[s[:, inv_shift]]
+    s ^= rk[0]
+    return s
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes,
                     iv: bytes | None = None,
                     strip_padding: bool = True) -> bytes:
     """AES-CBC. iv=None means the IV is the first 16 bytes of `data`
     (the PDF stream convention). PKCS#7 padding stripped unless
-    strip_padding=False (PDF key-wrapping uses no padding)."""
+    strip_padding=False (PDF key-wrapping uses no padding).
+
+    Blocks are decrypted in PARALLEL via numpy (CBC's chain is only
+    the post-XOR with the previous ciphertext block, a vector shift);
+    pure-python scalar fallback when numpy is absent."""
     if iv is None:
         if len(data) < 16:
             raise ValueError("AES-CBC data shorter than its IV")
@@ -178,13 +217,23 @@ def aes_cbc_decrypt(key: bytes, data: bytes,
     if len(data) % 16:
         raise ValueError("AES-CBC data not block-aligned")
     aes = AES(key)
-    out = bytearray()
-    prev = iv
-    for o in range(0, len(data), 16):
-        blk = data[o:o + 16]
-        dec = aes.decrypt_block(blk)
-        out += bytes(a ^ b for a, b in zip(dec, prev))
-        prev = blk
+    try:
+        import numpy as np
+    except ImportError:
+        np = None
+    if np is not None and data:
+        dec = _ecb_decrypt_many_numpy(aes, data)
+        prev = np.frombuffer(iv + data[:-16], dtype=np.uint8) \
+            .reshape(-1, 16)
+        out = bytearray((dec ^ prev).tobytes())
+    else:
+        out = bytearray()
+        prev = iv
+        for o in range(0, len(data), 16):
+            blk = data[o:o + 16]
+            d = aes.decrypt_block(blk)
+            out += bytes(a ^ b for a, b in zip(d, prev))
+            prev = blk
     if strip_padding and out:
         pad = out[-1]
         if 1 <= pad <= 16 and len(out) >= pad:

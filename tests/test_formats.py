@@ -1983,3 +1983,24 @@ class TestEncryptedPdf:
         ok_rows = {r["filename"]: r["text"] for r in ok.collect()}
         assert "Classified hello" in ok_rows["open.pdf"]
         assert [r["filename"] for r in fail.collect()] == ["locked.pdf"]
+
+    def test_vectorized_cbc_matches_scalar_blocks(self):
+        """The numpy-parallel CBC decrypt must agree byte-for-byte
+        with the scalar block cipher (the 100 TB throughput path vs
+        the definitional one)."""
+        from nifi_extracttext_processor_spark.formats.crypto import (
+            AES, aes_cbc_decrypt, aes_cbc_encrypt,
+        )
+        key, iv = bytes(range(32)), bytes(range(16))
+        msg = bytes((i * 37 + 11) % 256 for i in range(1600))
+        enc = aes_cbc_encrypt(key, iv, msg, add_padding=False)
+        vec = aes_cbc_decrypt(key, iv + enc, strip_padding=False)
+        a = AES(key)
+        out = bytearray()
+        prev = iv
+        for o in range(0, len(enc), 16):
+            blk = enc[o:o + 16]
+            d = a.decrypt_block(blk)
+            out += bytes(x ^ y for x, y in zip(d, prev))
+            prev = blk
+        assert vec == bytes(out) == msg
