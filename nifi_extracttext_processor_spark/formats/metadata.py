@@ -50,6 +50,11 @@ def pdf_info(data: bytes) -> dict[str, str]:
     om = re.search(rb"(?<![0-9])%d\s+0\s+obj\b" % obj_no, data)
     if om is None:
         return out
+    try:  # standard-security docs: Info strings are encrypted too
+        from .pdf_crypt import decryptor_for
+        dec = decryptor_for(data)
+    except ValueError:
+        return out          # passworded/unsupported: no metadata
     end = data.find(b"endobj", om.end())
     body = data[om.end(): end if end != -1 else len(data)]
     for km in re.finditer(rb"/(\w+)\s*(\(|<(?!<))", body):
@@ -62,6 +67,13 @@ def pdf_info(data: bytes) -> dict[str, str]:
                 val, _ = _parse_string(body, km.end() - 1)
             except Exception:
                 continue
+            if dec is not None:
+                try:
+                    raw = dec(obj_no, 0, val.encode("latin-1",
+                                                    "replace"))
+                except Exception:
+                    continue
+                val = raw.decode("latin-1", "replace")
             if val[:2] == "\xfe\xff":  # UTF-16BE literal string
                 val = val.encode("latin-1", "replace") \
                          .decode("utf-16-be", "replace")[1:]
@@ -69,7 +81,16 @@ def pdf_info(data: bytes) -> dict[str, str]:
             hm = re.match(rb"<([0-9a-fA-F\s]*)>", body[km.end() - 1:])
             if not hm:
                 continue
-            val = _decode_hex_string(re.sub(rb"\s", b"", hm.group(1)))
+            h = re.sub(rb"\s", b"", hm.group(1))
+            if dec is not None:
+                try:
+                    raw = dec(obj_no, 0, bytes.fromhex(
+                        h.decode("ascii")))
+                except Exception:
+                    continue
+                val = _decode_hex_string(raw.hex().encode())
+            else:
+                val = _decode_hex_string(h)
         if val:
             out[name] = val
     return out

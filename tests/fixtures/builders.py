@@ -436,7 +436,8 @@ def build_epub(chapters: list[str], title: str = "Test Book",
 
 
 def build_encrypted_pdf(lines: list[str], mode: str = "rc4-128",
-                        user_password: bytes = b"") -> bytes:
+                        user_password: bytes = b"",
+                        info_title: str | None = None) -> bytes:
     """build_pdf output re-encrypted under the PDF standard security
     handler (empty user password unless overridden): the content
     stream payload is replaced with ciphertext and an /Encrypt object
@@ -472,6 +473,10 @@ def build_encrypted_pdf(lines: list[str], mode: str = "rc4-128",
                              file_key, add_padding=False)
         ct = aes_cbc_encrypt(file_key, bytes(range(100, 116)), plain)
         new_stream = bytes(range(100, 116)) + ct
+
+        def enc_obj(num, gen, raw):
+            iv = bytes(range(116, 132))
+            return iv + aes_cbc_encrypt(file_key, iv, raw)
         enc_dict = (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
                     b" /O <" + o_entry.hex().encode() + b">"
                     b" /U <" + u.hex().encode() + b">"
@@ -499,15 +504,17 @@ def build_encrypted_pdf(lines: list[str], mode: str = "rc4-128",
             for i in range(1, 20):
                 eu = rc4(bytes(b ^ i for b in key), eu)
             u = eu + bytes(16)
-        ext = struct.pack("<I", objnum)[:3] + struct.pack("<H", 0)
-        if aes:
-            ext += b"sAlT"
-        okey = hashlib.md5(key + ext).digest()[:min(n + 5, 16)]
-        if aes:
-            iv = bytes(range(116, 132))
-            new_stream = iv + aes_cbc_encrypt(okey, iv, plain)
-        else:
-            new_stream = rc4(okey, plain)
+        def enc_obj(num, gen, raw):
+            ext = struct.pack("<I", num)[:3] + struct.pack("<H", gen)
+            if aes:
+                ext += b"sAlT"
+            okey = hashlib.md5(key + ext).digest()[:min(n + 5, 16)]
+            if aes:
+                iv = bytes(range(116, 132))
+                return iv + aes_cbc_encrypt(okey, iv, raw)
+            return rc4(okey, raw)
+
+        new_stream = enc_obj(objnum, 0, plain)
         cf = (b" /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF "
               if aes else
               (b" /CF << /StdCF << /CFM /V2 >> >> /StmF /StdCF "
@@ -521,8 +528,15 @@ def build_encrypted_pdf(lines: list[str], mode: str = "rc4-128",
                     + b" /P -44 >>")
 
     out = pdf[:body_start] + new_stream + pdf[body_end:]
-    out += (b"\n9 0 obj\n" + enc_dict + b"\nendobj\n"
-            b"trailer\n<< /Encrypt 9 0 R /ID [<"
-            + id0.hex().encode() + b"> <" + id0.hex().encode()
-            + b">] >>\n%%EOF\n")
+    info = b""
+    info_ref = b""
+    if info_title is not None:
+        ct = enc_obj(10, 0, info_title.encode("latin-1"))
+        info = (b"10 0 obj\n<< /Title <" + ct.hex().encode()
+                + b"> >>\nendobj\n")
+        info_ref = b" /Info 10 0 R"
+    out += (b"\n9 0 obj\n" + enc_dict + b"\nendobj\n" + info
+            + b"trailer\n<< /Encrypt 9 0 R" + info_ref
+            + b" /ID [<" + id0.hex().encode() + b"> <"
+            + id0.hex().encode() + b">] >>\n%%EOF\n")
     return out

@@ -2004,3 +2004,39 @@ class TestEncryptedPdf:
             out += bytes(x ^ y for x, y in zip(d, prev))
             prev = blk
         assert vec == bytes(out) == msg
+
+
+class TestEncryptedPdfInfo:
+    @pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128",
+                                      "aes-256"])
+    def test_info_title_decrypts(self, mode):
+        from nifi_extracttext_processor_spark.formats.metadata import (
+            pdf_info,
+        )
+        from tests.fixtures.builders import build_encrypted_pdf
+        enc = build_encrypted_pdf(["body"], mode,
+                                  info_title="Top Secret Title")
+        assert b"Top Secret Title" not in enc
+        assert pdf_info(enc)["dc:title"] == "Top Secret Title"
+
+    def test_locked_doc_yields_no_metadata(self):
+        from nifi_extracttext_processor_spark.formats.metadata import (
+            pdf_info,
+        )
+        from tests.fixtures.builders import build_encrypted_pdf
+        enc = build_encrypted_pdf(["x"], "rc4-128",
+                                  user_password=b"pw", info_title="T")
+        assert pdf_info(enc) == {}
+
+    def test_plain_doc_info_still_works(self):
+        # the unencrypted path through the same code must not regress
+        from nifi_extracttext_processor_spark.formats.metadata import (
+            pdf_info,
+        )
+        from tests.fixtures.builders import build_pdf
+        pdf = build_pdf(["x"])
+        pdf = pdf.replace(
+            b"trailer\n<<",
+            b"8 0 obj\n<< /Title (Open Title) >>\nendobj\n"
+            b"trailer\n<< /Info 8 0 R")
+        assert pdf_info(pdf)["dc:title"] == "Open Title"
