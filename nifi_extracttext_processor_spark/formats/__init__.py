@@ -140,6 +140,17 @@ def extract_any(
             if inner_err:
                 raise ValueError(
                     f"compressed inner content failed: {inner_err}")
+        elif detected == m.MIME_OOXML_PROTECTED:
+            # MS-OFFCRYPTO agile/standard encryption with the default
+            # password list (Excel's "VelvetSweatshop" auto-open);
+            # wrong-password docs raise -> failure route
+            from .ooxml_crypt import decrypt_ooxml
+            inner = decrypt_ooxml(data)
+            text, _, inner_err = extract_any(
+                inner, filename, -1, "text", _depth=_depth + 1)
+            if inner_err:
+                raise ValueError(
+                    f"decrypted package failed: {inner_err}")
         elif detected in (m.MIME_ZIP, m.MIME_TAR):
             text = _extract_archive(data, detected, _depth)
         elif detected.startswith(("image/", "audio/")):

@@ -257,3 +257,29 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes,
         prev = aes.encrypt_block(blk)
         out += prev
     return bytes(out)
+
+
+def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    """AES-ECB (OOXML standard encryption uses it for the package)."""
+    if len(data) % 16:
+        raise ValueError("AES-ECB data not block-aligned")
+    if not data:
+        return b""
+    aes = AES(key)
+    try:
+        import numpy as np
+    except ImportError:
+        np = None
+    if np is not None:
+        return _ecb_decrypt_many_numpy(aes, data).tobytes()
+    return b"".join(aes.decrypt_block(data[o:o + 16])
+                    for o in range(0, len(data), 16))
+
+
+def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    """Forward ECB (fixture building)."""
+    if len(data) % 16:
+        raise ValueError("AES-ECB data not block-aligned")
+    aes = AES(key)
+    return b"".join(aes.encrypt_block(data[o:o + 16])
+                    for o in range(0, len(data), 16))

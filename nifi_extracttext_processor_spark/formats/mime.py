@@ -28,6 +28,7 @@ MIME_JSON = "application/json"
 MIME_ZIP = "application/zip"
 MIME_EPUB = "application/epub+zip"
 MIME_OLE = "application/x-tika-msoffice"
+MIME_OOXML_PROTECTED = "application/x-tika-ooxml-protected"
 MIME_BIN = "application/octet-stream"
 MIME_ODT = "application/vnd.oasis.opendocument.text"
 MIME_ODS = "application/vnd.oasis.opendocument.spreadsheet"
@@ -70,6 +71,8 @@ def _ole_kind(data: bytes) -> str:
         streams = set(Ole2File(data).list_streams())
     except Exception:
         streams = set()
+    if "EncryptionInfo" in streams and "EncryptedPackage" in streams:
+        return MIME_OOXML_PROTECTED
     if "WordDocument" in streams:
         return MIME_DOC
     if "Workbook" in streams or "Book" in streams:

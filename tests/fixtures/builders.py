@@ -540,3 +540,110 @@ def build_encrypted_pdf(lines: list[str], mode: str = "rc4-128",
             + b" /ID [<" + id0.hex().encode() + b"> <"
             + id0.hex().encode() + b">] >>\n%%EOF\n")
     return out
+
+
+def build_encrypted_docx(paragraphs: list[str], scheme: str = "agile",
+                         password: str = "VelvetSweatshop",
+                         spin: int = 1000) -> bytes:
+    """build_docx output wrapped in MS-OFFCRYPTO encryption (agile or
+    standard) inside an OLE2 container — what Excel/Word produce for
+    password-protected OOXML. Default password is Excel's well-known
+    write-protection default."""
+    import hashlib
+    import struct
+    from base64 import b64encode
+
+    from nifi_extracttext_processor_spark.formats.crypto import (
+        AES, aes_ecb_encrypt,
+    )
+    from nifi_extracttext_processor_spark.formats.ooxml_crypt import (
+        BK_KEY_VALUE, BK_VERIFIER_INPUT, BK_VERIFIER_VALUE, _pad36,
+    )
+
+    def cbc_enc(key, iv, plain):
+        if len(plain) % 16:
+            plain += b"\x00" * (16 - len(plain) % 16)
+        aes = AES(key)
+        out = bytearray()
+        prev = iv
+        for o in range(0, len(plain), 16):
+            blk = bytes(a ^ b for a, b in zip(plain[o:o + 16], prev))
+            prev = aes.encrypt_block(blk)
+            out += prev
+        return bytes(out)
+
+    pkg_plain = build_docx(paragraphs)
+
+    if scheme == "agile":
+        kd_salt = bytes(range(16))
+        ek_salt = bytes(range(16, 32))
+        key_value = bytes(range(32, 64))
+        h = hashlib.sha512(ek_salt
+                           + password.encode("utf-16-le")).digest()
+        for i in range(spin):
+            h = hashlib.sha512(struct.pack("<I", i) + h).digest()
+
+        def dk(bk):
+            return _pad36(hashlib.sha512(h + bk).digest(), 32)
+
+        iv = _pad36(ek_salt, 16)
+        vin = bytes(range(64, 80))
+        evhi = cbc_enc(dk(BK_VERIFIER_INPUT), iv, vin)
+        evhv = cbc_enc(dk(BK_VERIFIER_VALUE), iv,
+                       hashlib.sha512(vin).digest())
+        ekv = cbc_enc(dk(BK_KEY_VALUE), iv, key_value)
+        enc_pkg = struct.pack("<Q", len(pkg_plain))
+        body = pkg_plain
+        if len(body) % 16:
+            body += b"\x00" * (16 - len(body) % 16)
+        for i in range(0, len(body), 4096):
+            seg_iv = _pad36(hashlib.sha512(
+                kd_salt + struct.pack("<I", i // 4096)).digest(), 16)
+            enc_pkg += cbc_enc(key_value, seg_iv, body[i:i + 4096])
+        b64 = lambda b: b64encode(b).decode()
+        xml = f'''<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<encryption xmlns="http://schemas.microsoft.com/office/2006/encryption"
+ xmlns:p="http://schemas.microsoft.com/office/2006/keyEncryptor/password">
+ <keyData saltSize="16" blockSize="16" keyBits="256" hashSize="64"
+  cipherAlgorithm="AES" cipherChaining="ChainingModeCBC"
+  hashAlgorithm="SHA512" saltValue="{b64(kd_salt)}"/>
+ <keyEncryptors><keyEncryptor
+  uri="http://schemas.microsoft.com/office/2006/keyEncryptor/password">
+ <p:encryptedKey spinCount="{spin}" saltSize="16" blockSize="16"
+  keyBits="256" hashSize="64" cipherAlgorithm="AES"
+  cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512"
+  saltValue="{b64(ek_salt)}"
+  encryptedVerifierHashInput="{b64(evhi)}"
+  encryptedVerifierHashValue="{b64(evhv)}"
+  encryptedKeyValue="{b64(ekv)}"/>
+ </keyEncryptor></keyEncryptors></encryption>'''
+        info = struct.pack("<HHI", 4, 4, 0x40) + xml.encode()
+    else:
+        salt = bytes(range(16))
+        h = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+        for i in range(50000):
+            h = hashlib.sha1(struct.pack("<I", i) + h).digest()
+        h = hashlib.sha1(h + struct.pack("<I", 0)).digest()
+        x1 = hashlib.sha1(bytes(0x36 ^ b
+                                for b in h.ljust(64, b"\0"))).digest()
+        x2 = hashlib.sha1(bytes(0x5C ^ b
+                                for b in h.ljust(64, b"\0"))).digest()
+        key = (x1 + x2)[:16]
+        verifier = bytes(range(16, 32))
+        enc_verifier = aes_ecb_encrypt(key, verifier)
+        vh = hashlib.sha1(verifier).digest().ljust(32, b"\0")
+        enc_vh = aes_ecb_encrypt(key, vh)
+        csp = "Microsoft Enhanced RSA and AES Cryptographic Provider"
+        hdr = struct.pack("<IIIIIIII", 0x24, 0, 0x660E, 0x8004, 128,
+                          0x18, 0, 0) + csp.encode("utf-16-le") + b"\0\0"
+        info = (struct.pack("<HHII", 4, 2, 0x24, len(hdr)) + hdr
+                + struct.pack("<I", 16) + salt + enc_verifier
+                + struct.pack("<I", 20) + enc_vh)
+        body = pkg_plain
+        if len(body) % 16:
+            body += b"\x00" * (16 - len(body) % 16)
+        enc_pkg = struct.pack("<Q", len(pkg_plain)) \
+            + aes_ecb_encrypt(key, body)
+
+    return _build_ole2({"EncryptionInfo": info,
+                        "EncryptedPackage": enc_pkg})

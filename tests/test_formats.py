@@ -2040,3 +2040,70 @@ class TestEncryptedPdfInfo:
             b"8 0 obj\n<< /Title (Open Title) >>\nendobj\n"
             b"trailer\n<< /Info 8 0 R")
         assert pdf_info(pdf)["dc:title"] == "Open Title"
+
+
+class TestEncryptedOoxml:
+    """MS-OFFCRYPTO agile + standard encryption with the default
+    password list (Excel's 'VelvetSweatshop' write-protection) — the
+    Tika/POI transparent-open behavior."""
+
+    PARAS = ["Hidden paragraph one", "and a second secret"]
+
+    @pytest.mark.parametrize("scheme", ["agile", "standard"])
+    def test_decrypts_and_extracts(self, scheme):
+        from nifi_extracttext_processor_spark.formats import (
+            detect_mime, extract_any,
+        )
+        from tests.fixtures.builders import build_encrypted_docx
+        enc = build_encrypted_docx(self.PARAS, scheme)
+        assert b"Hidden paragraph" not in enc
+        assert detect_mime(enc) == "application/x-tika-ooxml-protected"
+        text, _mime, err = extract_any(enc, "prot.docx")
+        assert err is None
+        assert "Hidden paragraph one" in text
+        assert "second secret" in text
+
+    @pytest.mark.parametrize("scheme", ["agile", "standard"])
+    def test_real_password_routes_to_failure(self, scheme):
+        from nifi_extracttext_processor_spark.formats import extract_any
+        from tests.fixtures.builders import build_encrypted_docx
+        enc = build_encrypted_docx(self.PARAS, scheme,
+                                   password="actual-secret")
+        text, _mime, err = extract_any(enc, "locked.docx")
+        assert text == "" and err is not None
+        assert "password" in err
+
+    def test_empty_password_in_default_list(self):
+        from nifi_extracttext_processor_spark.formats import extract_any
+        from tests.fixtures.builders import build_encrypted_docx
+        enc = build_encrypted_docx(self.PARAS, "agile", password="")
+        text, _mime, err = extract_any(enc, "p.docx")
+        assert err is None and "Hidden paragraph one" in text
+
+    def test_sha1_agile_variant(self):
+        # hashAlgorithm dispatch beyond the SHA512 default: build an
+        # agile doc whose XML declares SHA1 by patching the builder's
+        # output is fragile — instead verify the hash registry accepts
+        # the documented names
+        from nifi_extracttext_processor_spark.formats.ooxml_crypt import (
+            _HASHES,
+        )
+        for name in ("SHA1", "SHA256", "SHA384", "SHA512", "SHA-512"):
+            assert _HASHES[name] is not None
+
+    def test_spark_e2e_mixed_batch(self, spark):
+        from nifi_extracttext_processor_spark.operators.extract import (
+            extract_text, route_by_error,
+        )
+        from tests.fixtures.builders import build_encrypted_docx
+        ok_doc = build_encrypted_docx(self.PARAS, "agile")
+        locked = build_encrypted_docx(self.PARAS, "standard",
+                                      password="x")
+        df = spark.createDataFrame(
+            [("open.docx", bytearray(ok_doc)),
+             ("locked.docx", bytearray(locked))],
+            "filename string, content binary")
+        ok, fail = route_by_error(extract_text(df))
+        ok_rows = {r["filename"]: r["text"] for r in ok.collect()}
+        assert "Hidden paragraph one" in ok_rows["open.docx"]
+        assert [r["filename"] for r in fail.collect()] == ["locked.docx"]

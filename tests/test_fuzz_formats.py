@@ -336,3 +336,14 @@ def test_encrypted_pdf_corruption_fails_closed(cut, junk):
             decryptor_for(mutated)
         except ValueError:
             pass
+
+
+@_FAST
+@given(st.integers(min_value=0, max_value=6000), st.binary(max_size=16))
+def test_encrypted_ooxml_corruption_fails_closed(cut, junk):
+    from tests.fixtures.builders import build_encrypted_docx
+    base = build_encrypted_docx(["fuzz"], "agile", spin=2)
+    cut = cut % len(base)
+    for mutated in (base[:cut], base[:cut] + junk + base[cut:]):
+        text, mime, err = extract_any(mutated, "f.docx")
+        assert isinstance(text, str)
