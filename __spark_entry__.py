@@ -1249,6 +1249,43 @@ def q_hashed_tf(spark, sf):
                     F.posexplode("embedding").alias("pos", "val"))
 
 
+# ---- extension (r6): WARC/WET web-archive source (Common Crawl
+# ingestion shape) — distributed build → gzip-member parse roundtrip
+# through the production reader kernel; registers below the driver
+# window, full DuckDB parity lives in test_oracle_parity ----
+
+@_q("warc_roundtrip", """
+SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS url,
+       length(coalesce(text, '')) AS n_chars,
+       md5(coalesce(text, '')) AS text_md5
+FROM documents
+""")
+def q_warc_roundtrip(spark, sf):
+    import pandas as pd
+
+    from nifi_extracttext_processor_spark.sources import warc as wsrc
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def _build(batches):
+        # one WET archive (gzip member per record) per Arrow batch —
+        # the write side of a WARC sink, exercised distributed
+        for pdf in batches:
+            blob = wsrc.build_wet(
+                [(f"urn:doc:{i}", t if t is not None else "")
+                 for i, t in zip(pdf["doc_id"], pdf["text"])])
+            yield pd.DataFrame({"path": ["mem://wet"],
+                                "content": [blob]})
+
+    files = d.mapInPandas(_build, "path STRING, content BINARY")
+    parsed = wsrc.parse_warc_df(files)
+    return (wsrc.warc_to_documents(parsed)
+            .select("url",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.md5(F.col("text").cast("binary"))
+                    .alias("text_md5")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1,0 +1,331 @@
+"""WARC / WET web-archive source (ISO 28500) — the Common Crawl
+ingestion path a 100 TB training-data pipeline starts from.
+
+Reference parity: the NiFi flow's acquisition step is ListFile +
+FetchFile over a documents directory (56409-tika.xml:2305-2342); a
+web-corpus deployment of the same flow would list/fetch `.warc.gz`
+segments instead. This module reads those segments distributed and
+projects them into the same (id, url, text) document shape the rest of
+the engine consumes.
+
+Format notes (all public — ISO 28500 / WARC 1.1 spec, Common Crawl
+docs):
+  * A WARC file is a sequence of records: a `WARC/1.0` (or 1.1)
+    version line, CRLF-separated named headers, a blank line, exactly
+    `Content-Length` bytes of block, then CRLF CRLF.
+  * Common Crawl `.warc.gz` / `.wet.gz` files are MULTI-MEMBER gzip
+    streams — one gzip member per record — so a reader can resume at
+    any member boundary. Python's `gzip.decompress` handles member
+    concatenation natively; the parser here walks members with
+    `zlib.decompressobj(wbits=31)` so each member is size-bounded as
+    it inflates (same fail-closed posture as the PNG/TIFF bounded
+    inflate in operators/multimodal.py).
+  * `response` records carry an HTTP/1.1 message as their block:
+    status line, headers, CRLF CRLF, payload.  `conversion` records
+    (WET) carry extracted UTF-8 text directly.
+
+100 TB design: a gzip stream is not splittable without an external
+index, so the unit of parallelism is the FILE — exactly Common
+Crawl's layout (~1 GiB per segment, ~80k segments per crawl), and
+exactly what Spark's `binaryFile` source provides (one row per file,
+one task per row after the scan's own partitioning). At 1000
+executors the segment list fans out evenly with no shuffle; the parse
+kernel streams each member and emits rows incrementally, so executor
+memory is bounded by the largest single record (capped below), not
+the file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Hard ceiling on a single record block (default 100 MiB — generous:
+# Common Crawl truncates response payloads at 1 MiB). A crafted
+# Content-Length cannot commit more than this per record, and the
+# per-member inflate is bounded to the declared length + header slack.
+MAX_RECORD_BYTES = 100 << 20
+# Header section ceiling (spec-ish: headers are small; 1 MiB is paranoid)
+_MAX_HEADER_BYTES = 1 << 20
+
+
+def _split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Inflate a (possibly multi-member) gzip stream, yielding one
+    bytes object per member. Each member's output is bounded at
+    MAX_RECORD_BYTES + header slack; a member exceeding it raises
+    ValueError (fail closed — no unbounded allocation from crafted
+    high-ratio input)."""
+    pos = 0
+    n = len(data)
+    bound = MAX_RECORD_BYTES + _MAX_HEADER_BYTES
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data[pos:], bound + 1)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member: {exc}") from None
+        if len(out) > bound:
+            raise ValueError("gzip member exceeds WARC record budget")
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        yield out
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:  # zero-progress guard
+            raise ValueError("corrupt gzip stream")
+        pos += consumed
+
+
+def _parse_records(stream: bytes) -> Iterator[dict]:
+    """Walk concatenated WARC records in an inflated byte stream.
+    Yields one dict per record: {headers: {lower_name: value},
+    block: bytes}. Structural damage (missing version line, absent or
+    oversize Content-Length, truncated block) raises ValueError."""
+    pos = 0
+    n = len(stream)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while pos < n and stream[pos:pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2 if stream[pos:pos + 2] == b"\r\n" else 1
+        if pos >= n:
+            return
+        hdr_end = stream.find(b"\r\n\r\n", pos, pos + _MAX_HEADER_BYTES)
+        if hdr_end < 0:
+            raise ValueError("WARC record missing header terminator")
+        head = stream[pos:hdr_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(
+                f"bad WARC version line: {lines[0][:40]!r}")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            if ":" not in ln:
+                continue  # tolerate stray continuation junk
+            k, v = ln.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing Content-Length") \
+                from None
+        if clen < 0 or clen > MAX_RECORD_BYTES:
+            raise ValueError(
+                f"WARC Content-Length {clen} outside [0, "
+                f"{MAX_RECORD_BYTES}]")
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError("truncated WARC record block")
+        yield {"headers": headers,
+               "block": stream[body_start:body_start + clen]}
+        pos = body_start + clen
+
+
+def _parse_http_response(block: bytes) -> tuple[int | None, dict, bytes]:
+    """Split an HTTP/1.x response message into (status, lower-cased
+    headers, payload). A block that is not an HTTP message returns
+    (None, {}, block) — some crawlers store raw payloads."""
+    if not block.startswith(b"HTTP/"):
+        return None, {}, block
+    hdr_end = block.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        return None, {}, block
+    head = block[:hdr_end].decode("latin-1")
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, {}, block
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        if ":" in ln:
+            k, v = ln.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return status, headers, block[hdr_end + 4:]
+
+
+def _decode_charset(payload: bytes, content_type: str | None) -> str:
+    """Decode text payload honoring a `charset=` parameter when present
+    (default UTF-8, errors replaced — crawl data is dirty)."""
+    enc = "utf-8"
+    if content_type and "charset=" in content_type:
+        cand = (content_type.split("charset=", 1)[1]
+                .split(";")[0].strip().strip('"').strip("'"))
+        try:
+            io.TextIOWrapper(io.BytesIO(b""), encoding=cand)
+            enc = cand
+        except LookupError:
+            pass
+    return payload.decode(enc, "replace")
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Parse WARC bytes — gzip multi-member, single-member, or plain —
+    into flat record dicts:
+
+      record_id, warc_type, target_uri, warc_date, content_type,
+      http_status (response records, else None),
+      payload (bytes: HTTP payload for responses, raw block otherwise),
+      text (str: decoded payload for conversion/WET and text/* response
+            records, else None)
+    """
+    if data[:2] == b"\x1f\x8b":
+        members: Iterator[bytes] = _split_gzip_members(data)
+    else:
+        members = iter((data,))
+    for member in members:
+        for rec in _parse_records(member):
+            h = rec["headers"]
+            wtype = h.get("warc-type", "")
+            ctype = h.get("content-type")
+            block = rec["block"]
+            status: int | None = None
+            payload = block
+            text = None
+            if wtype == "response" and ctype and \
+                    ctype.startswith("application/http"):
+                status, http_h, payload = _parse_http_response(block)
+                pt = http_h.get("content-type", "")
+                if pt.startswith("text/"):
+                    text = _decode_charset(payload, pt)
+            elif wtype == "conversion":
+                text = _decode_charset(payload, ctype)
+            yield {
+                "record_id": h.get("warc-record-id", ""),
+                "warc_type": wtype,
+                "target_uri": h.get("warc-target-uri"),
+                "warc_date": h.get("warc-date"),
+                "content_type": ctype,
+                "http_status": status,
+                "payload": payload,
+                "text": text,
+            }
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures + roundtrip + MergeContent-style WARC sink)
+# ---------------------------------------------------------------------------
+
+def build_warc_record(
+    warc_type: str,
+    block: bytes,
+    target_uri: str | None = None,
+    record_id: str | None = None,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "application/octet-stream",
+) -> bytes:
+    """Serialize one WARC/1.0 record (spec §4): version line, named
+    headers, blank line, block, record terminator."""
+    rid = record_id or ("<urn:uuid:"
+                        + hashlib.md5(block + warc_type.encode())
+                        .hexdigest() + ">")
+    lines = [b"WARC/1.0",
+             b"WARC-Type: " + warc_type.encode(),
+             b"WARC-Record-ID: " + rid.encode(),
+             b"WARC-Date: " + warc_date.encode(),
+             b"Content-Type: " + content_type.encode(),
+             b"Content-Length: " + str(len(block)).encode()]
+    if target_uri is not None:
+        lines.insert(3, b"WARC-Target-URI: " + target_uri.encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def build_wet(docs: list[tuple[str, str]], gzip_members: bool = True,
+              ) -> bytes:
+    """Build a WET-style archive: one `conversion` record per (uri,
+    text) pair, each its own gzip member when gzip_members (the Common
+    Crawl framing), else plain concatenation."""
+    import gzip as _gzip
+
+    out = bytearray()
+    for uri, text in docs:
+        rec = build_warc_record(
+            "conversion", text.encode("utf-8"), target_uri=uri,
+            content_type="text/plain")
+        out += _gzip.compress(rec, mtime=0) if gzip_members else rec
+    return bytes(out)
+
+
+def build_response_record(
+    target_uri: str,
+    payload: bytes,
+    status: int = 200,
+    http_content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """Serialize a `response` record wrapping an HTTP/1.1 message."""
+    http = (f"HTTP/1.1 {status} OK\r\n"
+            f"Content-Type: {http_content_type}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("latin-1") + payload
+    return build_warc_record(
+        "response", http, target_uri=target_uri,
+        content_type="application/http; msgtype=response")
+
+
+# ---------------------------------------------------------------------------
+# distributed reader
+# ---------------------------------------------------------------------------
+
+WARC_SCHEMA = ("path STRING, record_id STRING, warc_type STRING, "
+               "target_uri STRING, warc_date STRING, "
+               "content_type STRING, http_status INT, "
+               "payload BINARY, text STRING")
+
+
+def read_warc(spark: SparkSession, path: str,
+              glob: str | None = None) -> DataFrame:
+    """Distributed WARC/WET scan: `binaryFile` over the segment files
+    (one task per segment — the gzip-member framing is walked inside
+    the task), `mapInPandas` parse kernel, one output row per record.
+
+    At Common Crawl scale the input listing is ~80k × ~1 GiB files per
+    crawl; `binaryFile` partitions the listing across the cluster and
+    no shuffle occurs — the parse is map-only. Follow with
+    `warc_to_documents` to land in the engine's documents shape."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+    return parse_warc_df(files)
+
+
+def parse_warc_df(files: DataFrame, path_col: str = "path",
+                  content_col: str = "content") -> DataFrame:
+    """The parse kernel over an existing (path, content) frame —
+    factored out so tests and in-memory roundtrips reuse the exact
+    production code path."""
+    import pandas as pd
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "record_id", "warc_type", "target_uri",
+                "warc_date", "content_type", "http_status", "payload",
+                "text"]
+        for pdf in batches:
+            rows = []
+            for p, c in zip(pdf[path_col], pdf[content_col]):
+                for rec in parse_warc(bytes(c or b"")):
+                    rec["path"] = p
+                    rows.append([rec[k] for k in cols])
+            out = pd.DataFrame(rows, columns=cols)
+            out["http_status"] = out["http_status"].astype("Int32") \
+                if len(out) else out["http_status"]
+            yield out
+
+    return files.mapInPandas(_run, schema=WARC_SCHEMA)
+
+
+def warc_to_documents(df: DataFrame) -> DataFrame:
+    """Project parsed WARC records into the engine's documents shape:
+    (doc_id BIGINT from the record-id hash — xxhash64, zero-shuffle,
+    collision odds ~n²/2⁶⁴ — url, text, n_chars). Keeps only records
+    that carry text (WET conversion + text/* responses)."""
+    from pyspark.sql import functions as F
+
+    return (df.filter(F.col("text").isNotNull())
+            .select(F.xxhash64("record_id").alias("doc_id"),
+                    F.col("target_uri").alias("url"),
+                    "text",
+                    F.length("text").alias("n_chars")))

@@ -1,0 +1,175 @@
+"""WARC/WET source: pure-Python parser units, fail-closed fuzz, and
+the distributed read path."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from nifi_extracttext_processor_spark.sources import warc as W
+
+
+def _sample_wet() -> bytes:
+    return W.build_wet([
+        ("http://a.example/1", "hello world"),
+        ("http://b.example/2", "κόσμε unicode"),
+        ("http://c.example/3", ""),
+    ])
+
+
+class TestParser:
+    def test_wet_gzip_members(self):
+        recs = list(W.parse_warc(_sample_wet()))
+        assert [r["warc_type"] for r in recs] == ["conversion"] * 3
+        assert recs[0]["target_uri"] == "http://a.example/1"
+        assert recs[0]["text"] == "hello world"
+        assert recs[1]["text"] == "κόσμε unicode"
+        assert recs[2]["text"] == ""
+        assert all(r["http_status"] is None for r in recs)
+
+    def test_plain_concatenation(self):
+        data = W.build_wet([("u:1", "x"), ("u:2", "y")],
+                           gzip_members=False)
+        recs = list(W.parse_warc(data))
+        assert [r["text"] for r in recs] == ["x", "y"]
+
+    def test_single_member_gzip_of_many_records(self):
+        # some writers gzip the whole file as ONE member
+        plain = W.build_wet([("u:1", "x"), ("u:2", "y")],
+                            gzip_members=False)
+        recs = list(W.parse_warc(gzip.compress(plain, mtime=0)))
+        assert [r["text"] for r in recs] == ["x", "y"]
+
+    def test_response_record_http_split(self):
+        body = "<html><body>Hi é</body></html>".encode()
+        rec = W.build_response_record("http://e.example/", body)
+        (r,) = W.parse_warc(rec)
+        assert r["warc_type"] == "response"
+        assert r["http_status"] == 200
+        assert r["payload"] == body
+        assert "Hi é" in r["text"]
+
+    def test_response_non_text_payload_has_no_text(self):
+        rec = W.build_response_record(
+            "http://e.example/img", b"\x89PNG....",
+            http_content_type="image/png")
+        (r,) = W.parse_warc(rec)
+        assert r["text"] is None
+        assert r["payload"] == b"\x89PNG...."
+
+    def test_charset_parameter_honored(self):
+        body = "café".encode("latin-1")
+        rec = W.build_response_record(
+            "u:cs", body, http_content_type="text/html; charset=latin-1")
+        (r,) = W.parse_warc(rec)
+        assert r["text"] == "café"
+
+    def test_unknown_charset_falls_back_utf8(self):
+        rec = W.build_response_record(
+            "u:cs", b"abc",
+            http_content_type="text/html; charset=no-such-enc")
+        (r,) = W.parse_warc(rec)
+        assert r["text"] == "abc"
+
+    def test_warcinfo_record_payload_passthrough(self):
+        rec = W.build_warc_record(
+            "warcinfo", b"software: test\r\n",
+            content_type="application/warc-fields")
+        (r,) = W.parse_warc(rec)
+        assert r["warc_type"] == "warcinfo"
+        assert r["payload"] == b"software: test\r\n"
+        assert r["text"] is None
+
+
+class TestFailClosed:
+    def test_truncated_block(self):
+        rec = W.build_warc_record("conversion", b"full payload")
+        with pytest.raises(ValueError, match="truncated WARC"):
+            list(W.parse_warc(rec[:-10]))
+
+    def test_missing_content_length(self):
+        bad = (b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\n"
+               b"body\r\n\r\n")
+        with pytest.raises(ValueError, match="Content-Length"):
+            list(W.parse_warc(bad))
+
+    def test_bad_version_line(self):
+        with pytest.raises(ValueError, match="version"):
+            list(W.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n"))
+
+    def test_oversize_content_length_rejected_before_alloc(self):
+        bad = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+               b"Content-Length: 99999999999999\r\n\r\n")
+        with pytest.raises(ValueError, match="Content-Length"):
+            list(W.parse_warc(bad))
+
+    def test_corrupt_gzip(self):
+        data = bytearray(gzip.compress(b"x" * 100, mtime=0))
+        data[15] ^= 0xFF
+        with pytest.raises(ValueError):
+            list(W.parse_warc(bytes(data)))
+
+    def test_truncated_gzip_member(self):
+        data = gzip.compress(
+            W.build_warc_record("conversion", b"abc"), mtime=0)
+        with pytest.raises(ValueError):
+            list(W.parse_warc(data[: len(data) // 2]))
+
+    def test_zip_bomb_bounded(self):
+        # a ~100 KiB gzip member inflating past the record budget must
+        # raise, not allocate the full expansion
+        old = W.MAX_RECORD_BYTES
+        W.MAX_RECORD_BYTES = 1 << 20
+        try:
+            bomb = gzip.compress(b"\0" * (4 << 20), mtime=0)
+            with pytest.raises(ValueError, match="budget"):
+                list(W.parse_warc(bomb))
+        finally:
+            W.MAX_RECORD_BYTES = old
+
+    def test_fuzz_never_hangs_or_leaks(self):
+        import hashlib
+        seed = _sample_wet()
+        for i in range(60):
+            b = bytearray(seed)
+            h = hashlib.md5(str(i).encode()).digest()
+            for k in range(4):
+                b[h[k] % len(b)] ^= h[4 + k] or 1
+            try:
+                list(W.parse_warc(bytes(b)))
+            except (ValueError, EOFError):
+                pass
+
+
+class TestSparkPath:
+    def test_read_warc_distributed(self, spark, tmp_path):
+        for i in range(3):
+            (tmp_path / f"seg{i}.warc.gz").write_bytes(W.build_wet(
+                [(f"http://s{i}.example/{j}", f"doc {i}-{j}")
+                 for j in range(4)]))
+        df = W.read_warc(spark, str(tmp_path), glob="*.warc.gz")
+        rows = df.collect()
+        assert len(rows) == 12
+        assert {r["warc_type"] for r in rows} == {"conversion"}
+        docs = W.warc_to_documents(df).collect()
+        assert len(docs) == 12
+        assert all(r["n_chars"] == len(r["text"]) for r in docs)
+        assert len({r["doc_id"] for r in docs}) == 12
+
+    def test_mixed_response_and_wet(self, spark, tmp_path):
+        seg = (gzip.compress(W.build_response_record(
+                   "http://h.example/", b"<p>hello</p>"), mtime=0)
+               + gzip.compress(W.build_warc_record(
+                   "request", b"GET / HTTP/1.1\r\n\r\n",
+                   content_type="application/http; msgtype=request"),
+                   mtime=0)
+               + W.build_wet([("u:w", "wet text")]))
+        (tmp_path / "mix.warc.gz").write_bytes(seg)
+        df = W.read_warc(spark, str(tmp_path))
+        got = {r["warc_type"]: r for r in df.collect()}
+        assert set(got) == {"response", "request", "conversion"}
+        docs = W.warc_to_documents(df).collect()
+        # request record has no text and is dropped
+        assert sorted(d["text"] for d in docs) == \
+            ["<p>hello</p>", "wet text"]
