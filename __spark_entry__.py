@@ -1286,6 +1286,19 @@ def q_warc_roundtrip(spark, sf):
                     .alias("text_md5")))
 
 
+# ---- extension (r6): char n-gram LM quality scoring (the CCNet
+# perplexity-filter shape, corpus-trained, zero-UDF) — below-window,
+# full DuckDB parity in test_oracle_parity ----
+
+from nifi_extracttext_processor_spark.operators import lm as lmod  # noqa: E402
+
+
+@_q("char_lm_score", lmod.char_lm_score_sql(n=3))
+def q_char_lm_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return lmod.char_lm_self_score(d, n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1,0 +1,185 @@
+"""Character n-gram language-model quality scoring — the CCNet-style
+perplexity filter (Wenzek et al. 2020 trains a KenLM on Wikipedia and
+buckets Common Crawl by perplexity; the same shape here with a
+corpus-trained char-level add-k model, zero external models).
+
+Everything is Catalyst-native — no UDFs anywhere:
+
+  * `train_char_lm`: one explode over the reference corpus → two
+    map-side-combinable counts (n-gram, context prefix) + a scalar
+    vocabulary size. The result is SMALL (≤ |charset|^n rows, and
+    `top_k`-capped for the 100 TB path) — it broadcasts.
+  * `lm_score`: per-document average negative log-likelihood under the
+    trained model. Plan: one narrow n-gram explode over the corpus,
+    two BROADCAST left joins against the model (the corpus never
+    shuffles for the lookup), then a map-side-combinable
+    sum/count agg keyed by doc id — the only exchange carries
+    (doc_id, partial sums), never text.
+
+Smoothing: add-k (Lidstone), p(g | ctx) = (c(g) + k) / (c(ctx) + k·V)
+with V = distinct characters in the training corpus; unseen n-grams
+and unseen contexts fall out of the same formula with c = 0, so the
+score is total over arbitrary input. Scores are deterministic
+(round-6 after the average) and replayed exactly by the DuckDB twin
+`char_lm_score_sql`.
+
+100 TB notes: training is one shuffle on short strings (the n-gram
+key); `top_k` bounds the broadcast table when the charset is large
+(CJK corpora) — dropped tail n-grams score through the smoothing
+floor, a documented approximation the default `top_k=None` disables.
+Scoring adds no joins wider than the broadcast and one partial agg;
+a 1000-executor run is scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _char_ngrams(text_col: str, n: int) -> Column:
+    """All character n-grams of `text_col` as an array (empty when the
+    text is shorter than n; NULL text treated as empty). Pure Catalyst:
+    sequence + transform + substring."""
+    c = f"coalesce({text_col}, '')"
+    return F.expr(
+        f"CASE WHEN length({c}) >= {n} THEN "
+        f"transform(sequence(0, length({c}) - {n}), "
+        f"i -> substring({c}, i + 1, {n})) "
+        f"ELSE array() END")
+
+
+def train_char_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count char n-grams and their (n-1)-char context prefixes over a
+    reference corpus. Returns (ngram_counts(ngram, cnt),
+    context_counts(ctx, ctx_cnt), vocab_size).
+
+    `top_k` keeps only the most frequent n-grams (ties broken by
+    n-gram value for determinism) — the bounded-broadcast scale path;
+    context counts stay complete (they are ≤ |charset|^(n-1))."""
+    grams = df.select(
+        F.explode(_char_ngrams(text_col, n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+    if top_k is not None:
+        counts = (counts
+                  .orderBy(F.desc("cnt"), F.asc("ngram"))
+                  .limit(top_k))
+    ctx = (df.select(F.explode(_char_ngrams(text_col, n - 1))
+                     .alias("ctx"))
+           .groupBy("ctx").agg(F.count("*").alias("ctx_cnt")))
+    vocab = (df.select(F.explode(_char_ngrams(text_col, 1))
+                       .alias("ch"))
+             .agg(F.countDistinct("ch").alias("v"))
+             .collect()[0]["v"])
+    return counts, ctx, int(vocab)
+
+
+def lm_score(
+    df: DataFrame,
+    ngram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document average negative log-likelihood (natural log) under
+    the add-k char n-gram model → (id_col, n_ngrams, nll). Lower nll =
+    more in-distribution; documents shorter than n chars score NULL
+    (no evidence). Filter with e.g. `.filter("nll <= 6.0")` — the
+    CCNet head/middle/tail cut is a quantile on this column."""
+    v = int(vocab_size)
+    # explode_OUTER keeps documents shorter than n as a single
+    # NULL-ngram row, so they surface with a NULL score from the SAME
+    # aggregation — no join-back, no second shuffle
+    exploded = (df
+                .select(id_col,
+                        F.explode_outer(_char_ngrams(text_col, n))
+                        .alias("ngram"))
+                .withColumn("ctx", F.expr(f"substring(ngram, 1, {n - 1})")))
+    joined = (exploded
+              .join(F.broadcast(ngram_counts), "ngram", "left")
+              .join(F.broadcast(context_counts), "ctx", "left"))
+    logp = F.when(
+        F.col("ngram").isNotNull(),
+        F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+             + F.lit(k))
+            / (F.coalesce(F.col("ctx_cnt"), F.lit(0)).cast("double")
+               + F.lit(k * v))))
+    return (joined
+            .groupBy(id_col)
+            .agg(F.count("ngram").alias("n_ngrams"),
+                 F.round(-F.sum(logp) / F.count("ngram"), 6)
+                 .alias("nll")))
+
+
+def char_lm_self_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: float = 1.0,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Train on the corpus and score every document against it — the
+    outlier-detection usage (high nll = text unlike the corpus:
+    boilerplate, foreign-language, mojibake). One pass composition of
+    train_char_lm + lm_score."""
+    counts, ctx, vocab = train_char_lm(df, text_col, n=n, top_k=top_k)
+    return lm_score(df, counts, ctx, vocab, id_col=id_col,
+                    text_col=text_col, n=n, k=k)
+
+
+def char_lm_score_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    n: int = 3,
+    k: float = 1.0,
+) -> str:
+    """DuckDB twin of char_lm_self_score (top_k=None): identical
+    n-gram enumeration, add-k arithmetic and round-6 average."""
+    c = f"coalesce({text_expr}, '')"
+
+    def grams(m: int) -> str:
+        return (f"CASE WHEN length({c}) >= {m} THEN "
+                f"list_transform(range(0, length({c}) - {m} + 1), "
+                f"i -> substr({c}, i + 1, {m})) "
+                f"ELSE [] END")
+
+    return f"""
+WITH grams AS (
+  SELECT {id_col}, unnest({grams(n)}) AS ngram FROM {table}
+), counts AS (
+  SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram
+), ctxs AS (
+  SELECT ctx, count(*) AS ctx_cnt FROM (
+    SELECT unnest({grams(n - 1)}) AS ctx FROM {table}
+  ) GROUP BY ctx
+), vocab AS (
+  SELECT count(DISTINCT ch) AS v FROM (
+    SELECT unnest({grams(1)}) AS ch FROM {table}
+  )
+), scored AS (
+  SELECT g.{id_col},
+         count(*) AS n_ngrams,
+         sum(ln((coalesce(c.cnt, 0) + {k}) /
+                (coalesce(x.ctx_cnt, 0) + {k} * v.v))) AS sum_logp
+  FROM grams g
+  LEFT JOIN counts c USING (ngram)
+  LEFT JOIN ctxs x ON x.ctx = substr(g.ngram, 1, {n - 1})
+  CROSS JOIN vocab v
+  GROUP BY g.{id_col}
+)
+SELECT d.{id_col},
+       coalesce(s.n_ngrams, 0) AS n_ngrams,
+       round(-s.sum_logp / s.n_ngrams, 6) AS nll
+FROM {table} d LEFT JOIN scored s USING ({id_col})
+"""

@@ -1,0 +1,108 @@
+"""Char n-gram LM quality scoring: hand-computed goldens, DuckDB
+parity on a dirty fixture, outlier behavior, and plan shape
+(broadcast joins, no UDF)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from nifi_extracttext_processor_spark.operators import lm
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [(1, "ababab"), (2, "abab"), (3, "zzzz"),
+            (4, "a"), (5, None), (6, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTrain:
+    def test_counts_contexts_vocab(self, spark, tiny):
+        counts, ctx, v = lm.train_char_lm(tiny, n=2)
+        got = {r["ngram"]: r["cnt"] for r in counts.collect()}
+        # "ababab": ab*3 ba*2; "abab": ab*2 ba*1; "zzzz": zz*3
+        assert got == {"ab": 5, "ba": 3, "zz": 3}
+        cgot = {r["ctx"]: r["ctx_cnt"] for r in ctx.collect()}
+        # 1-char contexts = all chars: a*6 b*5 z*4  ("a" adds one a)
+        assert cgot == {"a": 6, "b": 5, "z": 4}
+        assert v == 3
+
+    def test_top_k_cap(self, spark, tiny):
+        counts, _, _ = lm.train_char_lm(tiny, n=2, top_k=1)
+        rows = counts.collect()
+        assert len(rows) == 1 and rows[0]["ngram"] == "ab"
+
+
+class TestScore:
+    def test_hand_computed_nll(self, spark, tiny):
+        out = {r["doc_id"]: r for r in
+               lm.char_lm_self_score(tiny, n=2, k=1.0).collect()}
+        # model: c(ab)=5 c(ba)=3 c(zz)=3; ctx a=6 b=5 z=4; V=3
+        p_ab = (5 + 1) / (6 + 3)
+        p_ba = (3 + 1) / (5 + 3)
+        p_zz = (3 + 1) / (4 + 3)
+        nll_1 = -(3 * math.log(p_ab) + 2 * math.log(p_ba)) / 5
+        nll_3 = -math.log(p_zz)
+        assert out[1]["nll"] == pytest.approx(round(nll_1, 6), abs=2e-6)
+        assert out[3]["nll"] == pytest.approx(round(nll_3, 6), abs=2e-6)
+        assert out[1]["n_ngrams"] == 5 and out[3]["n_ngrams"] == 3
+
+    def test_short_and_null_docs_score_null(self, spark, tiny):
+        out = {r["doc_id"]: r for r in
+               lm.char_lm_self_score(tiny, n=2).collect()}
+        for d in (4, 5, 6):
+            assert out[d]["nll"] is None
+            assert out[d]["n_ngrams"] == 0
+        assert len(out) == 6  # nothing vanishes
+
+    def test_outlier_scores_higher(self, spark):
+        rows = [(i, "the quick brown fox jumps over the lazy dog")
+                for i in range(20)]
+        rows.append((99, "zqxjkvwpyg mzxqjw vvkkpp"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["nll"] for r in
+               lm.char_lm_self_score(df, n=3).collect()}
+        assert out[99] > out[0] + 1.0
+
+    def test_unseen_ngrams_still_score(self, spark, tiny):
+        counts, ctx, v = lm.train_char_lm(tiny, n=2)
+        probe = spark.createDataFrame([(7, "qq")],
+                                      "doc_id long, text string")
+        (row,) = lm.lm_score(probe, counts, ctx, v, n=2).collect()
+        # c=0, ctx unseen: p = 1 / (0 + 3) with k=1, V=3
+        assert row["nll"] == pytest.approx(round(-math.log(1 / 3), 6),
+                                           abs=2e-6)
+
+
+class TestParityAndPlan:
+    def test_duckdb_parity_dirty_fixture(self, spark):
+        rows = [(1, "hello world"), (2, "hello there world"),
+                (3, "héllo wörld ünicode"), (4, "aaa"), (5, ""),
+                (6, None), (7, "x"), (8, "the the the the"),
+                (9, "punct!!! ??? ..."), (10, "MiXeD CaSe TeXt")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_ngrams"], r["nll"]) for r in
+               lm.char_lm_self_score(df, n=3).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = {int(r[0]): (int(r[1]), r[2]) for r in con.execute(
+            lm.char_lm_score_sql(n=3)).fetchall()}
+        assert set(got) == set(want)
+        for d in got:
+            assert got[d][0] == want[d][0], d
+            if want[d][1] is None:
+                assert got[d][1] is None, d
+            else:
+                assert got[d][1] == pytest.approx(want[d][1],
+                                                  abs=2e-6), d
+
+    def test_plan_broadcast_no_udf(self, spark, tiny):
+        out = lm.char_lm_self_score(tiny, n=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+            assert bad not in plan, bad
