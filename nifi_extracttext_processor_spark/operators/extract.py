@@ -251,3 +251,44 @@ def repartition_for_docs(df: DataFrame, target_partitions: int) -> DataFrame:
     repartition decouples the two (SURVEY §4 'Parallelism').
     """
     return df.repartition(target_partitions)
+
+
+def extract_main_content(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "main_text",
+) -> DataFrame:
+    """Boilerplate removal: jusText-style main-content extraction from
+    HTML content columns (formats/boilerplate.py) — the training-data
+    counterpart to extract_text's flatten-everything Tika parity.
+    Adds `out_col` (the GOOD-block text, '' when nothing survives)
+    and `{out_col}_ratio` (main/total text fraction — a per-document
+    boilerplate metric worth filtering on). Map-only, no shuffle."""
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields]
+        + [f"{out_col} STRING", f"{out_col}_ratio DOUBLE"])
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nifi_extracttext_processor_spark.formats.boilerplate import (
+            html_main_content,
+        )
+        from nifi_extracttext_processor_spark.formats.html import (
+            html_to_text,
+        )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            mains, ratios = [], []
+            for b in pdf[content_col]:
+                raw = bytes(b) if b is not None else b""
+                main = html_main_content(raw)
+                full = html_to_text(raw)
+                mains.append(main)
+                ratios.append(round(len(main) / len(full), 6)
+                              if full else 0.0)
+            pdf[out_col] = mains
+            pdf[f"{out_col}_ratio"] = ratios
+            yield pdf
+
+    return df.mapInPandas(_run, schema=schema)

@@ -1,0 +1,111 @@
+"""Boilerplate removal (jusText-style main-content extraction)."""
+
+from __future__ import annotations
+
+from nifi_extracttext_processor_spark.formats.boilerplate import (
+    html_main_content, segment_blocks,
+)
+
+ARTICLE_P1 = ("The committee announced on Tuesday that the new policy "
+              "would take effect at the start of the next fiscal year, "
+              "and officials said they expect it to have a measurable "
+              "impact on the region's economy within a decade.")
+ARTICLE_P2 = ("Analysts were quick to point out that the plan depends "
+              "on funding that has not yet been approved, and that "
+              "similar efforts in the past have stalled when political "
+              "support faded after the first budget cycle.")
+
+PAGE = f"""
+<html><head><title>News</title>
+<script>var x = 1; if (x) {{ track("nav"); }}</script>
+<style>.nav {{ color: red }}</style>
+</head><body>
+<nav><ul>
+  <li><a href="/">Home</a></li>
+  <li><a href="/sports">Sports</a></li>
+  <li><a href="/weather">Weather</a></li>
+</ul></nav>
+<div class="cookie">Accept cookies? <a href="/yes">Yes</a> <a href="/no">No</a></div>
+<article>
+  <h2>Policy shift announced</h2>
+  <p>{ARTICLE_P1}</p>
+  <p>{ARTICLE_P2}</p>
+  <p>Officials declined further comment.</p>
+</article>
+<aside><h3>Related</h3>
+  <ul><li><a href="/a">Story one</a></li><li><a href="/b">Story two</a></li></ul>
+</aside>
+<footer><a href="/terms">Terms</a> | <a href="/privacy">Privacy</a> | © 2026</footer>
+</body></html>
+"""
+
+
+class TestMainContent:
+    def test_keeps_article_drops_chrome(self):
+        out = html_main_content(PAGE)
+        assert ARTICLE_P1 in out
+        assert ARTICLE_P2 in out
+        assert "Home" not in out
+        assert "Accept cookies" not in out
+        assert "Story one" not in out
+        assert "Privacy" not in out
+        assert "track(" not in out
+
+    def test_short_block_between_good_is_kept(self):
+        out = html_main_content(PAGE)
+        assert "Officials declined further comment." in out
+
+    def test_heading_ahead_of_good_is_kept(self):
+        out = html_main_content(PAGE)
+        assert "Policy shift announced" in out
+
+    def test_all_boilerplate_page_yields_empty(self):
+        nav = ("<html><body><nav>" +
+               "".join(f'<li><a href="/{i}">Link {i}</a></li>'
+                       for i in range(30)) +
+               "</nav></body></html>")
+        assert html_main_content(nav) == ""
+
+    def test_plain_text_without_tags(self):
+        # one long clean block → good
+        assert ARTICLE_P1 in html_main_content(
+            f"<p>{ARTICLE_P1}</p>")
+
+    def test_total_on_garbage(self):
+        for junk in (b"", b"\x00\xff\xfe", b"<<<<not html",
+                     "caf\xe9".encode("latin-1"),
+                     b"<p>" * 1000, b"</div>" * 50 + b"<a href='"):
+            html_main_content(junk)  # must not raise
+
+    def test_link_density_classification(self):
+        blocks = segment_blocks(
+            '<p><a href="/x">all of this text is one link here</a></p>'
+            f"<p>{ARTICLE_P1}</p>")
+        labels = {b["text"][:10]: b["label"] for b in blocks}
+        assert labels["all of thi"] == "bad"
+        assert labels[ARTICLE_P1[:10]] == "good"
+
+    def test_entities_unescaped(self):
+        out = html_main_content(
+            "<p>Research &amp; development teams said the effort was "
+            "the largest that they had ever funded, and that results "
+            "would be published in the coming year.</p>")
+        assert "Research & development" in out
+
+
+class TestSparkOperator:
+    def test_extract_main_content_e2e(self, spark):
+        from nifi_extracttext_processor_spark.operators.extract import (
+            extract_main_content,
+        )
+        df = spark.createDataFrame(
+            [(1, PAGE.encode()), (2, b"<nav><a href='/'>Home</a></nav>"),
+             (3, None)],
+            "doc_id long, content binary")
+        rows = {r["doc_id"]: r for r in
+                extract_main_content(df).collect()}
+        assert ARTICLE_P1 in rows[1]["main_text"]
+        assert 0.0 < rows[1]["main_text_ratio"] < 1.0
+        assert rows[2]["main_text"] == ""
+        assert rows[2]["main_text_ratio"] == 0.0
+        assert rows[3]["main_text"] == ""
