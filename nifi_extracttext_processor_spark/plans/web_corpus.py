@@ -1,0 +1,106 @@
+"""Web-corpus preparation: the end-to-end Common Crawl shape — WARC
+segments in, training-ready documents out.
+
+Stage order is the 100 TB-correct one (cheapest, most selective,
+narrowest first; every shuffle sees only survivors):
+
+  1. WARC/WET parse (`sources/warc.py`) — map-only, one task per
+     segment file.
+  2. Boilerplate removal (`extract_main_content`) for `response`
+     HTML records; WET `conversion` records are already extracted
+     text — map-only Arrow kernel.
+  3. URL canonical dedup (`dedup_by_url`) — (canonical_url, id)-only
+     shuffle, the cheapest dedup signal, applied before any
+     content-based work.
+  4. Language ID + quality + Gopher rules + char-LM score — all
+     narrow zero-UDF projections; the LM lookup is two broadcast
+     joins and one partial agg.
+  5. Exact content dedup — (fingerprint, id)-only shuffle over the
+     (already thinned) survivors.
+  6. Token stats for the packer.
+
+Near/semantic dedup (MinHash-LSH, SemDeDup) intentionally stay OUT of
+the default plan: they are corpus-level batch jobs with their own cost
+envelope — run them on the OUTPUT of this plan (see
+operators/dedup.py, operators/clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text_analysis as ta
+from ..operators.dedup import dedup_exact
+from ..operators.extract import extract_main_content
+from ..operators.lm import lm_score, train_char_lm
+from ..sources.warc import parse_warc_df, read_warc, warc_to_documents
+
+
+def warc_segments_to_documents(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.warc.gz",
+    remove_boilerplate: bool = True,
+) -> DataFrame:
+    """WARC/WET segments → (doc_id, url, text, n_chars) documents.
+    `response` HTML records go through jusText main-content extraction
+    (their flattened full text is the fallback when the classifier
+    keeps nothing); WET `conversion` records pass through as-is."""
+    parsed = read_warc(spark, path, glob=glob)
+    return _records_to_documents(parsed, remove_boilerplate)
+
+
+def _records_to_documents(parsed: DataFrame,
+                          remove_boilerplate: bool) -> DataFrame:
+    if remove_boilerplate:
+        is_html = (
+            (F.col("warc_type") == "response")
+            & F.col("text").isNotNull())
+        html = extract_main_content(
+            parsed.filter(is_html), content_col="payload")
+        html = html.withColumn(
+            "text",
+            F.when(F.length("main_text") > 0, F.col("main_text"))
+            .otherwise(F.col("text"))).drop("main_text",
+                                            "main_text_ratio")
+        rest = parsed.filter(~(
+            (F.col("warc_type") == "response")
+            & F.col("text").isNotNull()))
+        parsed = html.unionByName(rest)
+    return warc_to_documents(parsed)
+
+
+def prepare_web_corpus(
+    docs: DataFrame,
+    lm_reference: DataFrame | None = None,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    max_nll: float | None = None,
+    lm_n: int = 3,
+) -> DataFrame:
+    """documents (doc_id, url, text) → filtered, deduped, scored rows.
+
+    `lm_reference`: high-quality corpus to train the char-LM on (the
+    CCNet pattern: train on Wikipedia-like text, score the crawl);
+    defaults to the input corpus itself (self-scoring, outlier cut).
+    `max_nll=None` keeps the score column without filtering on it."""
+    from ..operators.text_analysis import dedup_by_url
+
+    out = docs
+    if "url" in docs.columns:
+        out = dedup_by_url(out, url_col="url", id_col="doc_id")
+    out = ta.language_id(out, "text")
+    out = ta.quality_score(out, "text")
+    out = out.filter(F.col("lang_pred").isin(list(langs))
+                     & (F.col("quality") >= min_quality))
+    counts, ctx, vocab = train_char_lm(
+        lm_reference if lm_reference is not None else out,
+        "text", n=lm_n)
+    scores = lm_score(out, counts, ctx, vocab,
+                      id_col="doc_id", text_col="text", n=lm_n)
+    out = out.join(scores, "doc_id")
+    if max_nll is not None:
+        out = out.filter(F.col("nll") <= max_nll)
+    out = dedup_exact(out, id_col="doc_id", text_col="text")
+    return ta.token_stats(out, "text")

@@ -219,9 +219,12 @@ def build_warc_record(
 ) -> bytes:
     """Serialize one WARC/1.0 record (spec §4): version line, named
     headers, blank line, block, record terminator."""
-    rid = record_id or ("<urn:uuid:"
-                        + hashlib.md5(block + warc_type.encode())
-                        .hexdigest() + ">")
+    # deterministic id over (type, uri, date, block) — two records
+    # with identical payloads but different URIs must NOT collide
+    rid = record_id or ("<urn:uuid:" + hashlib.md5(
+        b"\x00".join((warc_type.encode(),
+                      (target_uri or "").encode(),
+                      warc_date.encode(), block))).hexdigest() + ">")
     lines = [b"WARC/1.0",
              b"WARC-Type: " + warc_type.encode(),
              b"WARC-Record-ID: " + rid.encode(),

@@ -1,0 +1,90 @@
+"""End-to-end web-corpus plan: WARC segments → boilerplate removal →
+URL dedup → lang/quality/LM filters → exact dedup → token stats."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from nifi_extracttext_processor_spark.plans import web_corpus as wc
+from nifi_extracttext_processor_spark.sources import warc as W
+
+ARTICLE = ("The committee announced on Tuesday that the new policy "
+           "would take effect at the start of the next fiscal year "
+           "and officials said they expect the measure to reduce "
+           "costs across the region for the next decade.")
+
+PAGE = f"""<html><body>
+<nav><a href="/">Home</a> <a href="/a">News</a> <a href="/b">More</a></nav>
+<article><p>{ARTICLE}</p></article>
+<footer><a href="/t">Terms</a> | © 2026</footer>
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def segments(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    seg1 = (gzip.compress(W.build_response_record(
+                "http://site.example/story?utm_source=feed", PAGE.encode()),
+                mtime=0)
+            + gzip.compress(W.build_response_record(
+                "http://site.example/story", PAGE.encode()), mtime=0))
+    (d / "seg1.warc.gz").write_bytes(seg1)
+    (d / "seg2.warc.gz").write_bytes(W.build_wet([
+        ("http://wet.example/good",
+         "This is a clean and useful document that has the right "
+         "length and the words that a quality filter wants to see "
+         "in a sentence with enough substance to pass the gates."),
+        ("http://wet.example/junk", "zzzz"),
+    ]))
+    return str(d)
+
+
+class TestWarcToDocuments:
+    def test_boilerplate_removed_from_responses(self, spark, segments):
+        docs = wc.warc_segments_to_documents(spark, segments).collect()
+        by_url = {}
+        for r in docs:
+            by_url.setdefault(r["url"], []).append(r)
+        story = by_url["http://site.example/story"][0]
+        assert ARTICLE in story["text"]
+        assert "Home" not in story["text"]
+        assert "Terms" not in story["text"]
+        # WET records pass through untouched
+        assert by_url["http://wet.example/junk"][0]["text"] == "zzzz"
+        assert len(docs) == 4
+
+    def test_no_boilerplate_mode_keeps_chrome(self, spark, segments):
+        docs = wc.warc_segments_to_documents(
+            spark, segments, remove_boilerplate=False).collect()
+        story = [r for r in docs
+                 if r["url"] == "http://site.example/story"][0]
+        assert "Home" in story["text"]
+
+
+class TestPrepare:
+    def test_full_pipeline(self, spark, segments):
+        docs = wc.warc_segments_to_documents(spark, segments)
+        out = wc.prepare_web_corpus(docs, min_quality=0.3).collect()
+        urls = sorted(r["url"].split("?")[0] for r in out)
+        # utm duplicate collapsed by URL dedup; junk doc filtered by
+        # quality; both surviving docs carry scores + token stats
+        assert "http://wet.example/junk" not in urls
+        assert len([u for u in urls if u.endswith("/story")]) == 1
+        for r in out:
+            assert r["nll"] is not None and r["nll"] > 0
+            assert r["n_ws_tokens"] > 0 and r["n_bpe_tokens"] > 0
+
+    def test_reference_lm_and_nll_cut(self, spark, segments):
+        docs = wc.warc_segments_to_documents(spark, segments)
+        ref = spark.createDataFrame(
+            [(1, ARTICLE)], "doc_id long, text string")
+        out = wc.prepare_web_corpus(
+            docs, lm_reference=ref, min_quality=0.0, max_nll=3.2)
+        rows = out.collect()
+        # the article page scores well under its own reference model;
+        # the unrelated WET doc scores worse (may or may not pass);
+        # everything kept respects the cut
+        assert all(r["nll"] <= 3.2 for r in rows)
+        assert any("story" in r["url"] for r in rows)
