@@ -481,3 +481,86 @@ def stream_semantic_dedup(
          .write.mode("append").parquet(catalog_dir))
 
     return _batch
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.warc.gz",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming WARC/WET ingestion: the always-on twin of
+    sources.warc.read_warc — a binaryFile file-source stream (segments
+    land in a directory, e.g. a crawler's output bucket) through the
+    SAME parse kernel, one record per row. `maxFilesPerTrigger`
+    bounds a micro-batch to N segments (~N GiB at Common Crawl
+    granularity) — the back-pressure knob (B19)."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path STRING, modificationTime TIMESTAMP, "
+                      "length LONG, content BINARY")
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    from ..sources.warc import parse_warc_df
+    return parse_warc_df(reader.load(path))
+
+
+def stream_web_corpus(
+    output_dir: str,
+    catalog_dir: str,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    remove_boilerplate: bool = True,
+):
+    """foreachBatch wiring of the web-corpus plan for streaming WARC
+    ingestion: per micro-batch — boilerplate removal → within-batch
+    canonical-URL dedup → lang/quality filters → exact-content dedup
+    against the persisted fingerprint catalog (plans/web_corpus.py
+    stage order) — then append survivors to `output_dir` and their
+    fingerprints to `catalog_dir`.
+
+    Cross-batch contracts: content dups are caught across ALL batches
+    via the append-only fingerprint catalog (the same no-state-store
+    posture as stream_dedup_exact/stream_semantic_dedup); URL dups are
+    collapsed within a batch only (a URL re-crawled later usually
+    carries changed content — when it does not, the fingerprint
+    catalog catches it anyway). The char-LM score stage is left out of
+    the per-batch path: training a fresh LM per micro-batch would make
+    scores batch-dependent — train once on a reference corpus and add
+    `lm_score` into the transform if needed.
+
+    Returns the foreachBatch callable — attach with
+    ``read_warc_stream(...).writeStream.foreachBatch(...)``.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import dedup_exact_incremental
+    from ..operators.text_analysis import (
+        dedup_by_url, fingerprint, language_id, quality_score,
+        token_stats,
+    )
+    from ..plans.web_corpus import _records_to_documents
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = _records_to_documents(batch_df, remove_boilerplate)
+        docs = dedup_by_url(docs, id_col="doc_id", url_col="url")
+        docs = quality_score(language_id(docs, "text"), "text")
+        docs = docs.filter(F.col("lang_pred").isin(list(langs))
+                           & (F.col("quality") >= min_quality))
+        try:
+            catalog = spark.read.parquet(catalog_dir) \
+                .select("fingerprint")
+        except AnalysisException:   # first batch bootstraps
+            catalog = (docs.select(F.md5("text").alias("fingerprint"))
+                       .limit(0))
+        kept = dedup_exact_incremental(docs, catalog,
+                                       id_col="doc_id",
+                                       text_col="text")
+        kept = token_stats(kept, "text").localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(output_dir)
+        (fingerprint(kept.select("doc_id", "text"), "text")
+         .select("fingerprint")
+         .write.mode("append").parquet(catalog_dir))
+
+    return _batch

@@ -173,3 +173,56 @@ class TestSparkPath:
         # request record has no text and is dropped
         assert sorted(d["text"] for d in docs) == \
             ["<p>hello</p>", "wet text"]
+
+
+class TestStreamingIngest:
+    def test_stream_web_corpus_cross_batch(self, spark, tmp_path):
+        """Two availableNow drains: batch 2 re-delivers one duplicate
+        text (different URL) — the fingerprint catalog must drop it —
+        plus one genuinely new document that must land."""
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            read_warc_stream, stream_web_corpus,
+        )
+
+        good = ("This is a clean and useful document that has the "
+                "right length and the words that a quality filter "
+                "wants to see in a sentence with enough substance "
+                "to pass all of the configured gates.")
+        other = ("Another perfectly reasonable article of adequate "
+                 "length that the filters should keep, with the "
+                 "usual mix of common words that the quality and "
+                 "language checks are looking for in real prose.")
+        seg_dir = tmp_path / "segments"
+        seg_dir.mkdir()
+        out_dir = str(tmp_path / "out")
+        cat_dir = str(tmp_path / "catalog")
+
+        from nifi_extracttext_processor_spark.sources import warc as W
+
+        def drain():
+            stream = read_warc_stream(spark, str(seg_dir))
+            q = (stream.writeStream
+                 .foreachBatch(stream_web_corpus(out_dir, cat_dir,
+                                                 min_quality=0.3))
+                 .option("checkpointLocation",
+                         str(tmp_path / "chk"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        (seg_dir / "b1.warc.gz").write_bytes(
+            W.build_wet([("http://a.example/1", good)]))
+        drain()
+        rows1 = spark.read.parquet(out_dir).collect()
+        assert [r["text"] for r in rows1] == [good]
+
+        (seg_dir / "b2.warc.gz").write_bytes(W.build_wet([
+            ("http://b.example/dup", good),      # content dup
+            ("http://b.example/new", other),     # genuinely new
+            ("http://b.example/junk", "zzzz"),   # quality-filtered
+        ]))
+        drain()
+        rows2 = spark.read.parquet(out_dir).collect()
+        texts = sorted(r["text"] for r in rows2)
+        assert texts == sorted([good, other])
+        # catalog carries exactly the two kept fingerprints
+        assert spark.read.parquet(cat_dir).count() == 2
