@@ -1299,6 +1299,42 @@ def q_char_lm_score(spark, sf):
     return lmod.char_lm_self_score(d, n=3)
 
 
+# ---- extension (r6): domain blocklist filter (UT1/RefinedWeb-style
+# crawl safety filter; URLs synthesized deterministically from doc_id
+# like the dedup_by_url driver row) — below-window, DuckDB parity in
+# test_oracle_parity ----
+
+_BLOCK_URL_SQL = ("'http://' || CASE doc_id % 7 "
+                  "WHEN 0 THEN 'ads.tracker.example' "
+                  "WHEN 1 THEN 'sub.spam.test' "
+                  "ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) "
+                  "|| '.example.org' END "
+                  "|| '/page/' || CAST(doc_id AS VARCHAR)")
+_BLOCK_DOMAINS = ["tracker.example", "spam.test"]
+
+
+@_q("blocklist_filter", f"""
+WITH t AS (SELECT doc_id, {_BLOCK_URL_SQL} AS url FROM documents)
+SELECT doc_id, url FROM (
+{ta.filter_blocked_domains_sql('t', _BLOCK_DOMAINS)}
+)
+""")
+def q_blocklist_filter(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("ads.tracker.example"))
+         .when(F.col("doc_id") % 7 == 1, F.lit("sub.spam.test"))
+         .otherwise(F.concat(F.lit("site"),
+                             (F.col("doc_id") % 5).cast("string"),
+                             F.lit(".example.org"))),
+        F.lit("/page/"), F.col("doc_id").cast("string"))
+    t = d.withColumn("url", url)
+    blocked = t.sparkSession.createDataFrame(
+        [(x,) for x in _BLOCK_DOMAINS], "domain string")
+    return ta.filter_blocked_domains(t, blocked)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

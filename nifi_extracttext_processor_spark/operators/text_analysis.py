@@ -892,3 +892,86 @@ vecs AS (
         return base + (f"SELECT {id_col}, {l2_normalize_sql('v')} "
                        f"AS embedding FROM vecs")
     return base + f"SELECT {id_col}, v AS embedding FROM vecs"
+
+
+# ---------------------------------------------------------------------------
+# domain extraction + blocklist filtering (the crawl safety filter)
+# ---------------------------------------------------------------------------
+
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#@]*@)?([^/?#:]*)"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of a URL ('' for scheme-less strings);
+    userinfo and port stripped. Pure built-ins."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    return F.lower(F.regexp_extract(u, _URL_HOST_RE, 2))
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop rows whose URL host matches a blocklisted domain OR any of
+    its subdomains (UT1/RefinedWeb-style category blocking: blocking
+    ``spam.test`` also blocks ``a.b.spam.test``).
+
+    `blocked` is a one-column DataFrame ``domain`` (lowercase,
+    registrable-domain granularity). Matching is done by exploding
+    each host into its dot-suffixes (``a.b.spam.test`` → 4 suffixes)
+    and semi-joining the BROADCAST blocklist on exact suffix equality
+    — no regex scan, no cross join; the corpus moves through one
+    narrow generate + one broadcast probe, and only blocked ids flow
+    into the final anti semi-join. `keep_blocked=True` inverts
+    (audit mode: what WOULD be dropped).
+    """
+    host = url_host(url_col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    suffixes = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n), "."))
+    sfx = (df
+           .select(F.col(id_col),
+                   F.explode(F.when(host != "", suffixes)
+                             .otherwise(F.array())).alias("domain")))
+    blocked_ids = sfx.join(F.broadcast(blocked.select("domain")),
+                           "domain", "left_semi").select(id_col)
+    how = "left_semi" if keep_blocked else "left_anti"
+    return df.join(blocked_ids, id_col, how)
+
+
+def filter_blocked_domains_sql(
+    table: str,
+    blocked_values: "list[str]",
+    id_col: str = "doc_id",
+    url_expr: str = "url",
+    keep_blocked: bool = False,
+) -> str:
+    """DuckDB twin of filter_blocked_domains over an inline blocklist."""
+    host = (f"lower(regexp_extract(trim({url_expr}), "
+            f"'{_URL_HOST_RE}', 2))")
+    vals = ", ".join("('" + d.replace("'", "''") + "')"
+                     for d in blocked_values)
+    op = "IN" if keep_blocked else "NOT IN"
+    return f"""
+WITH blocked(domain) AS (VALUES {vals}),
+hosts AS (
+  SELECT {id_col}, {host} AS host FROM {table}
+),
+sfx AS (
+  SELECT {id_col},
+         array_to_string(parts[i + 1:len(parts)], '.') AS domain
+  FROM (SELECT {id_col}, string_split(host, '.') AS parts
+        FROM hosts WHERE host <> ''),
+       unnest(range(0, len(parts))) AS r(i)
+),
+blocked_ids AS (
+  SELECT DISTINCT s.{id_col} FROM sfx s JOIN blocked b USING (domain)
+)
+SELECT t.* FROM {table} t
+WHERE t.{id_col} {op} (SELECT {id_col} FROM blocked_ids)
+"""
