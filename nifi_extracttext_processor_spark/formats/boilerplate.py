@@ -28,7 +28,6 @@ embarrassingly parallel next to the other extraction kernels.
 
 from __future__ import annotations
 
-from html import unescape
 from html.parser import HTMLParser
 
 # thresholds (jusText defaults, shortened block scale for web prose)

@@ -34,7 +34,7 @@ from ..operators import text_analysis as ta
 from ..operators.dedup import dedup_exact
 from ..operators.extract import extract_main_content
 from ..operators.lm import lm_score, train_char_lm
-from ..sources.warc import parse_warc_df, read_warc, warc_to_documents
+from ..sources.warc import read_warc, warc_to_documents
 
 
 def warc_segments_to_documents(

@@ -322,13 +322,17 @@ def parse_warc_df(files: DataFrame, path_col: str = "path",
 
 def warc_to_documents(df: DataFrame) -> DataFrame:
     """Project parsed WARC records into the engine's documents shape:
-    (doc_id BIGINT from the record-id hash — xxhash64, zero-shuffle,
-    collision odds ~n²/2⁶⁴ — url, text, n_chars). Keeps only records
-    that carry text (WET conversion + text/* responses)."""
+    (doc_id BIGINT — xxhash64 over (record_id, target_uri, text):
+    zero-shuffle, collision odds ~n²/2⁶⁴, and robust against
+    non-conformant archives whose records all lack WARC-Record-ID
+    (record_id '' alone would collide them) — url, text, n_chars).
+    Keeps only records that carry text (WET conversion + text/*
+    responses)."""
     from pyspark.sql import functions as F
 
     return (df.filter(F.col("text").isNotNull())
-            .select(F.xxhash64("record_id").alias("doc_id"),
+            .select(F.xxhash64("record_id", "target_uri", "text")
+                    .alias("doc_id"),
                     F.col("target_uri").alias("url"),
                     "text",
                     F.length("text").alias("n_chars")))
