@@ -57,6 +57,7 @@ HEADLINE = [
     # round-6 additions (appended, legacy order preserved)
     "semantic_dedup",      # Lloyd iterations + oracle-exact pair prune
     "semantic_dedup_gemm",  # scale-path twin: per-cluster numpy matmul
+    "char_lm_score",       # n-gram explode + broadcast LM + partial agg
 ]
 
 
