@@ -1335,6 +1335,27 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): text normalization (NFC kernel + Catalyst
+# cleanup) — below-window, DuckDB parity in test_oracle_parity; the
+# mojibake-repair half is pytest-golden-covered (no SQL twin exists)
+# and disabled here so the oracle replays exactly ----
+
+from nifi_extracttext_processor_spark.operators import normalize as nrm  # noqa: E402
+
+
+@_q("normalize_clean", f"""
+SELECT doc_id, {nrm.clean_text_sql('nfc_normalize(text)')} AS clean_text
+FROM documents
+""")
+def q_normalize_clean(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = nrm.normalize_unicode(d, "text", repair_mojibake=False)
+    return out.select(
+        "doc_id",
+        nrm.clean_text_col(F.coalesce(F.col("text"), F.lit("")))
+        .alias("clean_text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
