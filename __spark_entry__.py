@@ -1335,6 +1335,17 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): CCNet head/middle/tail bucketing on the LM
+# score (exact percent_rank mode for oracle replay; the approx
+# quantile-sketch scale path is pytest-equivalence-covered) ----
+
+@_q("lm_buckets", lmod.lm_buckets_sql(n=3))
+def q_lm_buckets(spark, sf):
+    d = _t(spark, sf, "documents")
+    return lmod.lm_buckets(lmod.char_lm_self_score(d, n=3),
+                           mode="exact")
+
+
 # ---- extension (r6): text normalization (NFC kernel + Catalyst
 # cleanup) — below-window, DuckDB parity in test_oracle_parity; the
 # mojibake-repair half is pytest-golden-covered (no SQL twin exists)

@@ -183,3 +183,76 @@ SELECT d.{id_col},
        round(-s.sum_logp / s.n_ngrams, 6) AS nll
 FROM {table} d LEFT JOIN scored s USING ({id_col})
 """
+
+
+def lm_buckets(
+    scored: DataFrame,
+    nll_col: str = "nll",
+    mode: str = "approx",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing on the LM score: the
+    best-scoring third of documents is `head`, then `middle`, `tail`
+    (Wenzek et al. 2020 split Common Crawl exactly this way and train
+    preferentially on head+middle). Rows with NULL score (sub-n-char
+    docs) get a NULL bucket.
+
+    mode='exact': percent_rank over a global sort — replayable
+    row-for-row by the DuckDB twin, but the sort funnels through one
+    task; use for oracle checks and small corpora.
+    mode='approx' (default): two thresholds from approxQuantile
+    (Greenwald-Khanna sketch, one pass, driver gets 2 doubles) then a
+    narrow comparison projection — the 100 TB path, no global sort,
+    bucket boundaries within `relative_error` of exact.
+    """
+    nn = scored.filter(F.col(nll_col).isNotNull())
+    nulls = (scored.filter(F.col(nll_col).isNull())
+             .withColumn("lm_bucket", F.lit(None).cast("string")))
+    if mode == "exact":
+        from pyspark.sql import Window
+
+        pr = F.percent_rank().over(Window.orderBy(nll_col))
+        bucketed = nn.withColumn(
+            "lm_bucket",
+            F.when(pr * 3 < 1, F.lit("head"))
+             .when(pr * 3 < 2, F.lit("middle"))
+             .otherwise(F.lit("tail")))
+    elif mode == "approx":
+        lo, hi = nn.approxQuantile(nll_col, [1 / 3, 2 / 3],
+                                   relative_error)
+        bucketed = nn.withColumn(
+            "lm_bucket",
+            F.when(F.col(nll_col) <= lo, F.lit("head"))
+             .when(F.col(nll_col) <= hi, F.lit("middle"))
+             .otherwise(F.lit("tail")))
+    else:
+        raise ValueError(f"bad mode {mode}")
+    return bucketed.unionByName(nulls)
+
+
+def lm_buckets_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    n: int = 3,
+    k: float = 1.0,
+) -> str:
+    """DuckDB twin of char_lm_self_score → lm_buckets(mode='exact'):
+    same ranking (percent_rank over non-null scores only) and the
+    same integer-safe third-cut comparisons."""
+    inner = char_lm_score_sql(table, id_col, text_expr, n=n, k=k)
+    return f"""
+WITH scored AS ({inner}),
+ranked AS (
+  SELECT *, percent_rank() OVER (ORDER BY nll) AS pr
+  FROM scored WHERE nll IS NOT NULL
+)
+SELECT {id_col}, n_ngrams, nll,
+       CASE WHEN pr * 3 < 1 THEN 'head'
+            WHEN pr * 3 < 2 THEN 'middle'
+            ELSE 'tail' END AS lm_bucket
+FROM ranked
+UNION ALL
+SELECT {id_col}, n_ngrams, nll, NULL AS lm_bucket
+FROM scored WHERE nll IS NULL
+"""

@@ -106,3 +106,55 @@ class TestParityAndPlan:
         assert "BroadcastHashJoin" in plan
         for bad in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
             assert bad not in plan, bad
+
+
+class TestBuckets:
+    def test_exact_thirds_and_duckdb_parity(self, spark):
+        # increasing amounts of rare bigrams → strictly distinct nll
+        rows = ([(i, "the quick brown fox jumps " + "zq" * i)
+                 for i in range(9)] + [(90, "x"), (91, None)])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from nifi_extracttext_processor_spark.operators.lm import (
+            char_lm_self_score, lm_buckets, lm_buckets_sql,
+        )
+        out = lm_buckets(char_lm_self_score(df, n=3), mode="exact")
+        got = {r["doc_id"]: r["lm_bucket"] for r in out.collect()}
+        assert got[90] is None and got[91] is None
+        import duckdb
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = {int(r[0]): r[3] for r in
+                con.execute(lm_buckets_sql(n=3)).fetchall()}
+        want = {k: (None if v is None else v) for k, v in want.items()}
+        assert got == want
+        from collections import Counter
+        c = Counter(v for v in got.values() if v)
+        assert c["head"] == 3 and c["middle"] == 3 and c["tail"] == 3
+
+    def test_approx_matches_exact_on_separated_scores(self, spark):
+        rows = ([(i, "common english text the and of a %d" % i)
+                 for i in range(20)]
+                + [(100 + i, "zzqx jjww vvkk %d" % i)
+                   for i in range(10)])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from nifi_extracttext_processor_spark.operators.lm import (
+            char_lm_self_score, lm_buckets,
+        )
+        scored = char_lm_self_score(df, n=3).cache()
+        exact = {r["doc_id"]: r["lm_bucket"] for r in
+                 lm_buckets(scored, mode="exact").collect()}
+        approx = {r["doc_id"]: r["lm_bucket"] for r in
+                  lm_buckets(scored, mode="approx").collect()}
+        agree = sum(1 for k in exact if exact[k] == approx[k])
+        assert agree >= len(exact) - 2  # boundary ties may differ
+        # the gibberish cluster must be tail in both modes
+        assert all(exact[100 + i] == "tail" for i in range(10))
+        assert all(approx[100 + i] == "tail" for i in range(10))
+
+    def test_bad_mode(self, spark):
+        from nifi_extracttext_processor_spark.operators.lm import lm_buckets
+        df = spark.createDataFrame([(1, 0.5)], "doc_id long, nll double")
+        import pytest as pt
+        with pt.raises(ValueError, match="mode"):
+            lm_buckets(df, mode="nope")
