@@ -1335,6 +1335,16 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): deterministic train/val/test split (md5
+# oracle twin of the xxhash64 scale path) ----
+
+@_q("split_by_hash", "SELECT doc_id, split FROM ("
+    + cx.split_by_hash_md5_sql("documents") + ")")
+def q_split_by_hash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return cx.split_by_hash_md5(d).select("doc_id", "split")
+
+
 # ---- extension (r6): CCNet head/middle/tail bucketing on the LM
 # score (exact percent_rank mode for oracle replay; the approx
 # quantile-sketch scale path is pytest-equivalence-covered) ----

@@ -579,3 +579,109 @@ SELECT d.{id_col},
        (len(d.toks) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
 FROM d LEFT JOIN rebuilt r USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split + reproducible shuffle order
+# ---------------------------------------------------------------------------
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: "dict[str, int] | None" = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every row a stable split label (train/val/test by
+    default, 98/1/1) from a hash of its id: membership is a pure
+    function of (id, seed, weights), so re-running the pipeline — or
+    running it on a different cluster, or on the next crawl snapshot —
+    never migrates a document across splits (the leakage-safe property
+    hand-rolled random splits lose). `weights` maps label → integer
+    weight; buckets are pmod(xxhash64(id, seed), total) carved in the
+    dict's insertion order. Zero-shuffle narrow projection."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    total = sum(weights.values())
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative, sum > 0")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                    F.lit(total))
+    expr = None
+    lo = 0
+    for label, w in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, label) if expr is None \
+            else expr.when(cond, label)
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def split_by_hash_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: "dict[str, int] | None" = None,
+) -> DataFrame:
+    """Oracle-checkable variant: bucket = first 8 md5 hex digits of
+    the id string, mod total — engine-portable (DuckDB md5 produces
+    identical digests), at ~2× the hash cost of xxhash64. Use
+    split_by_hash (xxhash64) at scale; this twin exists so the split
+    CONTRACT is driver-verified."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    total = sum(weights.values())
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative, sum > 0")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")
+                                 .cast("binary")), 1, 8), 16, 10)
+        .cast("long"), F.lit(total))
+    expr = None
+    lo = 0
+    for label, w in weights.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, label) if expr is None \
+            else expr.when(cond, label)
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def split_by_hash_md5_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    weights: "dict[str, int] | None" = None,
+) -> str:
+    """DuckDB twin of split_by_hash_md5 (same md5-hex bucket)."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    total = sum(weights.values())
+    bucket = (f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))"
+              f"::BIGINT % {total} + {total}) % {total}")
+    cases = []
+    lo = 0
+    for label, w in weights.items():
+        cases.append(f"WHEN {bucket} >= {lo} AND {bucket} < {lo + w} "
+                     f"THEN '{label}'")
+        lo += w
+    case = "CASE " + " ".join(cases) + " END"
+    return f"SELECT *, {case} AS split FROM {table}"
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Reproducible pseudo-random training order: sort by
+    xxhash64(id, seed) — same rows, same seed → byte-identical order
+    on any cluster (rand()-based shuffles are not reproducible across
+    partitionings). With `num_shards`, repartitionByRange on the hash
+    gives globally sorted shards WITHOUT a single-task sort — each
+    output file is one contiguous hash range (the 100 TB shape:
+    training shards that concatenate into the full deterministic
+    order)."""
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    out = df.withColumn("__shuffle_key", key)
+    if num_shards is not None:
+        out = out.repartitionByRange(num_shards, "__shuffle_key")
+    return (out.sortWithinPartitions("__shuffle_key")
+            .drop("__shuffle_key")
+            if num_shards is not None
+            else out.orderBy("__shuffle_key").drop("__shuffle_key"))

@@ -78,16 +78,22 @@ def prepare_web_corpus(
     min_quality: float = 0.5,
     max_nll: float | None = None,
     lm_n: int = 3,
+    normalize: bool = True,
 ) -> DataFrame:
     """documents (doc_id, url, text) → filtered, deduped, scored rows.
 
     `lm_reference`: high-quality corpus to train the char-LM on (the
     CCNet pattern: train on Wikipedia-like text, score the crawl);
     defaults to the input corpus itself (self-scoring, outlier cut).
-    `max_nll=None` keeps the score column without filtering on it."""
+    `max_nll=None` keeps the score column without filtering on it.
+    `normalize` runs mojibake repair + NFC + whitespace cleanup FIRST
+    so every downstream hash (URL canon excepted) sees stable bytes."""
+    from ..operators.normalize import normalize_and_clean
     from ..operators.text_analysis import dedup_by_url
 
     out = docs
+    if normalize:
+        out = normalize_and_clean(out, "text")
     if "url" in docs.columns:
         out = dedup_by_url(out, url_col="url", id_col="doc_id")
     out = ta.language_id(out, "text")

@@ -4792,3 +4792,90 @@ class TestMjpegAvi:
             "mime_type string, meta map<string,string>")
         with pytest.raises(Exception):
             sample_frames(df, fake=False).collect()
+
+
+class TestSplitAndShuffle:
+    """Deterministic train/val/test split + reproducible shuffle."""
+
+    def test_split_stable_and_proportioned(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            split_by_hash,
+        )
+        df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in
+             split_by_hash(df, weights={"train": 8, "val": 1,
+                                        "test": 1}).collect()}
+        b = {r["doc_id"]: r["split"] for r in
+             split_by_hash(df, weights={"train": 8, "val": 1,
+                                        "test": 1}).collect()}
+        assert a == b  # pure function of (id, seed)
+        from collections import Counter
+        c = Counter(a.values())
+        assert 0.75 < c["train"] / 5000 < 0.85
+        assert 0.05 < c["val"] / 5000 < 0.15
+        # different seed reshuffles membership
+        c2 = {r["doc_id"]: r["split"] for r in
+              split_by_hash(df, seed=7, weights={"train": 8, "val": 1,
+                                                 "test": 1}).collect()}
+        assert c2 != a
+
+    def test_split_subset_stability(self, spark):
+        """The leakage-safe property: membership survives corpus
+        growth — a doc's split never changes when rows are added."""
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            split_by_hash,
+        )
+        small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in
+             split_by_hash(small).collect()}
+        b = {r["doc_id"]: r["split"] for r in
+             split_by_hash(big).collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_split_md5_duckdb_parity(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            split_by_hash_md5, split_by_hash_md5_sql,
+        )
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        got = {r["doc_id"]: r["split"] for r in
+               split_by_hash_md5(df).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT range AS doc_id "
+                    "FROM range(0, 500)")
+        want = {r[0]: r[1] for r in con.execute(
+            split_by_hash_md5_sql("t")).fetchall()}
+        assert got == want
+
+    def test_bad_weights(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            split_by_hash,
+        )
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        import pytest as pt
+        with pt.raises(ValueError):
+            split_by_hash(df, weights={"a": 0})
+        with pt.raises(ValueError):
+            split_by_hash(df, weights={"a": -1, "b": 2})
+
+    def test_shuffle_deterministic_and_sharded(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            shuffle_deterministic,
+        )
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        o1 = [r["doc_id"] for r in
+              shuffle_deterministic(df, seed=1).collect()]
+        o2 = [r["doc_id"] for r in
+              shuffle_deterministic(df, seed=1).collect()]
+        assert o1 == o2
+        assert o1 != sorted(o1)  # actually shuffled
+        o3 = [r["doc_id"] for r in
+              shuffle_deterministic(df, seed=2).collect()]
+        assert o3 != o1
+        # sharded mode: concatenating shards in partition order yields
+        # the same global order (toLocalIterator preserves partition
+        # ranges; repartitionByRange sorts ranges ascending)
+        sharded = shuffle_deterministic(df, seed=1, num_shards=8)
+        o4 = [r["doc_id"] for r in sharded.toLocalIterator()]
+        assert o4 == o1
