@@ -52,7 +52,7 @@ _BLOCK_TAGS = frozenset((
     "ul", "ol", "dl", "dt", "dd", "br", "form",
 ))
 _SKIP_TAGS = frozenset(("script", "style", "noscript", "template",
-                        "svg", "head", "iframe", "object"))
+                        "svg", "iframe", "object"))
 _HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 
 
@@ -66,6 +66,7 @@ class _BlockCollector(HTMLParser):
         self._buf: list[str] = []
         self._link_chars = 0
         self._skip_depth = 0
+        self._in_head = False
         self._a_depth = 0
         self._heading = False
 
@@ -82,17 +83,33 @@ class _BlockCollector(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
+        # <head> is NOT in _SKIP_TAGS: HTML5 allows omitting </head>
+        # (common on real/minified pages) and stdlib HTMLParser never
+        # implicitly closes it — a depth counter would then skip the
+        # entire body. A flag cleared by </head> OR the first
+        # body-level tag keeps the loss bounded to actual head content.
+        if tag == "head":
+            self._in_head = True
+            return
+        if tag == "body":
+            self._in_head = False
+            self._skip_depth = 0  # unclosed script/style can't span body
+            return
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
             return
         if tag == "a":
             self._a_depth += 1
         if tag in _BLOCK_TAGS:
+            self._in_head = False  # block content implies head is over
             self._flush()
             self._heading = tag in _HEADING_TAGS
 
     def handle_endtag(self, tag):
         tag = tag.lower()
+        if tag == "head":
+            self._in_head = False
+            return
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
@@ -103,7 +120,7 @@ class _BlockCollector(HTMLParser):
             self._heading = False
 
     def handle_data(self, data):
-        if self._skip_depth:
+        if self._skip_depth or self._in_head:
             return
         self._buf.append(data)
         if self._a_depth:

@@ -257,17 +257,23 @@ def extract_main_content(
     df: DataFrame,
     content_col: str = "content",
     out_col: str = "main_text",
+    compute_ratio: bool = True,
 ) -> DataFrame:
     """Boilerplate removal: jusText-style main-content extraction from
     HTML content columns (formats/boilerplate.py) — the training-data
     counterpart to extract_text's flatten-everything Tika parity.
     Adds `out_col` (the GOOD-block text, '' when nothing survives)
-    and `{out_col}_ratio` (main/total text fraction — a per-document
-    boilerplate metric worth filtering on). Map-only, no shuffle."""
-    schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}"
-         for f in df.schema.fields]
-        + [f"{out_col} STRING", f"{out_col}_ratio DOUBLE"])
+    and, when `compute_ratio`, `{out_col}_ratio` (main/total text
+    fraction — a per-document boilerplate metric worth filtering on).
+    The ratio costs a SECOND full HTML parse per document
+    (html_to_text for the denominator) — pass compute_ratio=False
+    when the column would be dropped (plans/web_corpus.py does).
+    Map-only, no shuffle."""
+    schema_fields = [f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in df.schema.fields] + [f"{out_col} STRING"]
+    if compute_ratio:
+        schema_fields.append(f"{out_col}_ratio DOUBLE")
+    schema = ", ".join(schema_fields)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nifi_extracttext_processor_spark.formats.boilerplate import (
@@ -283,12 +289,14 @@ def extract_main_content(
             for b in pdf[content_col]:
                 raw = bytes(b) if b is not None else b""
                 main = html_main_content(raw)
-                full = html_to_text(raw)
                 mains.append(main)
-                ratios.append(round(len(main) / len(full), 6)
-                              if full else 0.0)
+                if compute_ratio:
+                    full = html_to_text(raw)
+                    ratios.append(round(len(main) / len(full), 6)
+                                  if full else 0.0)
             pdf[out_col] = mains
-            pdf[f"{out_col}_ratio"] = ratios
+            if compute_ratio:
+                pdf[f"{out_col}_ratio"] = ratios
             yield pdf
 
     return df.mapInPandas(_run, schema=schema)

@@ -218,13 +218,18 @@ def lm_buckets(
              .when(pr * 3 < 2, F.lit("middle"))
              .otherwise(F.lit("tail")))
     elif mode == "approx":
-        lo, hi = nn.approxQuantile(nll_col, [1 / 3, 2 / 3],
-                                   relative_error)
-        bucketed = nn.withColumn(
-            "lm_bucket",
-            F.when(F.col(nll_col) <= lo, F.lit("head"))
-             .when(F.col(nll_col) <= hi, F.lit("middle"))
-             .otherwise(F.lit("tail")))
+        q = nn.approxQuantile(nll_col, [1 / 3, 2 / 3],
+                              relative_error)
+        if len(q) < 2:  # zero non-null scores: approxQuantile -> []
+            bucketed = nn.withColumn(
+                "lm_bucket", F.lit(None).cast("string"))
+        else:
+            lo, hi = q
+            bucketed = nn.withColumn(
+                "lm_bucket",
+                F.when(F.col(nll_col) <= lo, F.lit("head"))
+                 .when(F.col(nll_col) <= hi, F.lit("middle"))
+                 .otherwise(F.lit("tail")))
     else:
         raise ValueError(f"bad mode {mode}")
     return bucketed.unionByName(nulls)

@@ -44,11 +44,17 @@ ZERO_WIDTH_RE = r"[\x{200b}\x{200c}\x{200d}\x{feff}\x{ad}]"
 
 def clean_text_col(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
+    # line endings FIRST: CRLF/CR → LF, else stray \r defeats every
+    # newline-anchored rule below (CRLF vs LF copies of a page must
+    # clean to identical bytes — that's the point of this stage)
+    c = F.regexp_replace(c, r"\r\n?", "\n")
     c = F.regexp_replace(c, CONTROL_RE, "")
     c = F.regexp_replace(c, ZERO_WIDTH_RE, "")
     c = F.regexp_replace(c, "[ \t]+", " ")
     c = F.regexp_replace(c, " ?\n ?", "\n")
     c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    # trim() strips spaces only — boundary newlines need their own rule
+    c = F.regexp_replace(c, r"^\n+|\n+$", "")
     return F.trim(c)
 
 
@@ -63,9 +69,10 @@ def clean_text_sql(text_expr: str) -> str:
     """DuckDB twin of clean_text_col — identical patterns; the 'g'
     flag matches Spark's replace-all semantics."""
     c = f"coalesce({text_expr}, '')"
-    for pat, rep in ((CONTROL_RE, ""), (ZERO_WIDTH_RE, ""),
+    for pat, rep in ((r"\r\n?", "\n"),
+                     (CONTROL_RE, ""), (ZERO_WIDTH_RE, ""),
                      ("[ \t]+", " "), (" ?\n ?", "\n"),
-                     ("\n{3,}", "\n\n")):
+                     ("\n{3,}", "\n\n"), (r"^\n+|\n+$", "")):
         p = pat.replace("'", "''")
         c = f"regexp_replace({c}, '{p}', '{rep}', 'g')"
     return f"trim({c})"
@@ -106,6 +113,11 @@ for _b in range(0x80, 0xA0):
     except UnicodeDecodeError:
         pass
 _CAND_RE = _re.compile("[" + _re.escape("".join(sorted(_HIGH))) + "]{2,}")
+# fast pre-gate: a misread UTF-8 sequence always CONTAINS a char whose
+# single-byte value is a UTF-8 lead byte (0xC2-0xF4) — as latin-1/
+# cp1252 chars that's Â..ô. Covers every script (Polish Å‚, CJK æ—,
+# Cyrillic Ð..), unlike a hardcoded Western-European signature list.
+_SIG_RE = _re.compile("[Â-ô]")
 
 
 def _fix_mojibake_once(s: str) -> str:
@@ -118,9 +130,8 @@ def _fix_mojibake_once(s: str) -> str:
     sequence that happens to spell valid UTF-8 (e.g. the string
     "Ãœ" meant verbatim) is indistinguishable from mojibake and gets
     folded — the same trade every misread-repair heuristic makes."""
-    if not any(ch in s for ch in ("Ã", "Â", "â",
-                                  "Ð", "Ñ")):
-        return s  # no lead-byte signature — skip the codec dance
+    if not _SIG_RE.search(s):
+        return s  # no lead-byte signature anywhere — skip the scan
 
     def _repair_run(m: "_re.Match[str]") -> str:
         seg = m.group(0)

@@ -58,12 +58,13 @@ def _records_to_documents(parsed: DataFrame,
             (F.col("warc_type") == "response")
             & F.col("text").isNotNull())
         html = extract_main_content(
-            parsed.filter(is_html), content_col="payload")
+            parsed.filter(is_html), content_col="payload",
+            compute_ratio=False)  # ratio would be dropped; skip its
+        # second full HTML parse in the hottest kernel
         html = html.withColumn(
             "text",
             F.when(F.length("main_text") > 0, F.col("main_text"))
-            .otherwise(F.col("text"))).drop("main_text",
-                                            "main_text_ratio")
+            .otherwise(F.col("text"))).drop("main_text")
         rest = parsed.filter(~(
             (F.col("warc_type") == "response")
             & F.col("text").isNotNull()))
@@ -100,6 +101,12 @@ def prepare_web_corpus(
     out = ta.quality_score(out, "text")
     out = out.filter(F.col("lang_pred").isin(list(langs))
                      & (F.col("quality") >= min_quality))
+    # the lineage above (WARC parse → boilerplate kernel → normalize
+    # kernel → filters) feeds FIVE traversals below (ngram agg, ctx
+    # agg, vocab collect, score explode, join/dedup branch) — without
+    # a cache every document would be re-parsed and re-normalized per
+    # traversal
+    out = out.cache()
     counts, ctx, vocab = train_char_lm(
         lm_reference if lm_reference is not None else out,
         "text", n=lm_n)

@@ -62,10 +62,13 @@ def _split_gzip_members(data: bytes) -> Iterator[bytes]:
     pos = 0
     n = len(data)
     bound = MAX_RECORD_BYTES + _MAX_HEADER_BYTES
+    view = memoryview(data)  # zero-copy slicing: a 1 GiB segment has
+    # tens of thousands of members, and data[pos:] would memcpy the
+    # whole remaining buffer once per member (quadratic)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            out = d.decompress(data[pos:], bound + 1)
+            out = d.decompress(view[pos:], bound + 1)
         except zlib.error as exc:
             raise ValueError(f"corrupt gzip member: {exc}") from None
         if len(out) > bound:
@@ -162,6 +165,18 @@ def _decode_charset(payload: bytes, content_type: str | None) -> str:
     return payload.decode(enc, "replace")
 
 
+def _is_textual(content_type: str) -> bool:
+    """HTTP payload types whose bytes are document text: text/*, XML
+    applications incl. application/xhtml+xml (a real, non-rare way
+    HTML is served — dropping it would silently lose a whole content
+    class), any +xml vocabulary, and JSON."""
+    mt = content_type.split(";")[0].strip().lower()
+    return (mt.startswith("text/")
+            or mt in ("application/xhtml+xml", "application/xml",
+                      "application/json")
+            or mt.endswith("+xml") or mt.endswith("+json"))
+
+
 def parse_warc(data: bytes) -> Iterator[dict]:
     """Parse WARC bytes — gzip multi-member, single-member, or plain —
     into flat record dicts:
@@ -189,7 +204,7 @@ def parse_warc(data: bytes) -> Iterator[dict]:
                     ctype.startswith("application/http"):
                 status, http_h, payload = _parse_http_response(block)
                 pt = http_h.get("content-type", "")
-                if pt.startswith("text/"):
+                if _is_textual(pt):
                     text = _decode_charset(payload, pt)
             elif wtype == "conversion":
                 text = _decode_charset(payload, ctype)

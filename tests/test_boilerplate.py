@@ -109,3 +109,29 @@ class TestSparkOperator:
         assert rows[2]["main_text"] == ""
         assert rows[2]["main_text_ratio"] == 0.0
         assert rows[3]["main_text"] == ""
+
+
+class TestReviewFixes:
+    def test_omitted_head_close_still_extracts(self):
+        # HTML5 allows omitting </head>; the body must not be skipped
+        page = ("<html><head><title>t</title><meta charset='utf-8'>"
+                f"<body><p>{ARTICLE_P1}</p></body></html>")
+        out = html_main_content(page)
+        assert ARTICLE_P1 in out
+        assert "t" != out.strip()  # head content stays out
+
+    def test_head_content_excluded_without_close(self):
+        page = ("<head><title>SHOULD NOT APPEAR</title>"
+                f"<p>{ARTICLE_P1}</p>")
+        out = html_main_content(page)
+        assert "SHOULD NOT APPEAR" not in out
+        assert ARTICLE_P1 in out
+
+    def test_unclosed_object_does_not_swallow_body(self):
+        # <body> resets skip state when a non-CDATA skip tag (object/
+        # iframe/noscript) never closes. Unclosed <script>/<style> are
+        # CDATA-mode in HTMLParser AND real browsers — they legitimately
+        # swallow to EOF, so they are not recoverable here either.
+        page = ("<html><head><object data='x'></head>"
+                f"<body><p>{ARTICLE_P1}</p></body>")
+        assert ARTICLE_P1 in html_main_content(page)

@@ -158,3 +158,16 @@ class TestBuckets:
         import pytest as pt
         with pt.raises(ValueError, match="mode"):
             lm_buckets(df, mode="nope")
+
+
+class TestBucketReviewFixes:
+    def test_approx_mode_total_on_all_null_scores(self, spark):
+        from nifi_extracttext_processor_spark.operators.lm import lm_buckets
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, nll double")
+        rows = lm_buckets(df, mode="approx").collect()
+        assert len(rows) == 2
+        assert all(r["lm_bucket"] is None for r in rows)
+        # and on a fully empty frame
+        empty = df.limit(0)
+        assert lm_buckets(empty, mode="approx").count() == 0

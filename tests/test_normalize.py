@@ -112,3 +112,46 @@ class TestNormalizeUnicode:
         (r2,) = N.normalize_unicode(df, "t", out_col="norm").collect()
         assert r2["t"].strip().startswith("caf")  # original kept
         assert "café" in r2["norm"]
+
+
+class TestReviewFixes:
+    def test_non_western_mojibake_repaired(self):
+        # Polish (lead 0xC5), CJK (lead 0xE6..), Greek (0xCE) — the
+        # old hardcoded Western-European signature list missed all of
+        # these; fixtures constructed programmatically (hand-typing
+        # mojibake silently loses its control-range characters)
+        def mangle(s, codec):
+            return s.encode("utf-8").decode(codec)
+        for word in ("Gdańsk", "日本", "Ελλάδα", "Čeština"):
+            for codec in ("latin-1", "cp1252"):
+                try:
+                    bad = mangle(word, codec)
+                except UnicodeDecodeError:
+                    continue
+                assert N.fix_mojibake(bad) == word, (word, codec)
+
+    def test_crlf_normalized_in_clean(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+        rows = [(1, "a \r\n\r\n\r\n b"), (2, "mac\rline"),
+                (3, "mixed\r\nand\nunix\n")]
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = {r["i"]: r["c"] for r in df.select(
+            "i", N.clean_text_col("t").alias("c")).collect()}
+        assert got[1] == "a\n\nb"
+        assert got[2] == "mac\nline"
+        assert got[3] == "mixed\nand\nunix"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(i BIGINT, t VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = {r[0]: r[1] for r in con.execute(
+            f"SELECT i, {N.clean_text_sql('t')} FROM t").fetchall()}
+        assert got == want
+
+    def test_crlf_and_lf_copies_clean_identically(self, spark):
+        doc = "para one\ncontinues\n\npara two\n"
+        rows = [(1, doc), (2, doc.replace("\n", "\r\n"))]
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = [r["c"] for r in df.select(
+            N.clean_text_col("t").alias("c")).collect()]
+        assert got[0] == got[1]
