@@ -1335,6 +1335,23 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): real BPE train+encode. NO oracle_sql entry, by
+# design: the merge loop is iterative and order-dependent — the
+# "genuinely non-SQL-expressible" carve-out — so the driver records
+# the weaker rows-only check; the contract (canonical-corpus merge
+# order, lossless encode, determinism, sampling) is locked by 12
+# pytest goldens in tests/test_tokenize.py ----
+
+@_q("bpe_tokenize")
+def q_bpe_tokenize(spark, sf):
+    from nifi_extracttext_processor_spark.operators import tokenize as tk
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = tk.train_bpe(d, n_merges=200, max_words=5000)
+    return (tk.bpe_tokenize(d, merges, tokens_col=None)
+            .select("doc_id", F.col("n_bpe_real").cast("long")
+                    .alias("n_bpe_real")))
+
+
 # ---- extension (r6): deterministic train/val/test split (md5
 # oracle twin of the xxhash64 scale path) ----
 

@@ -1,0 +1,176 @@
+"""Real BPE tokenizer training + encoding (Sennrich et al. 2016) —
+the token counter a training-data pipeline actually budgets with,
+next to the regex approximation in text_analysis.bpe_token_count.
+
+Training uses the WORD-HISTOGRAM formulation every practical BPE
+trainer uses (subword-nmt, HF tokenizers): merges depend only on the
+word-frequency table, not the raw corpus, so
+
+  1. Spark aggregates (pre-token, count) — one map-side-combinable
+     shuffle of short strings, optionally Bernoulli-sampled first
+     (the kmeans_fit sample-fit pattern) — and takes the top
+     `max_words` by count (TakeOrdered; Zipf makes the tail
+     irrelevant to merge ranks);
+  2. the driver runs the classic merge loop over that bounded
+     histogram (pure Python, seconds for tens of thousands of words);
+  3. encoding broadcasts the merge ranks and applies them in an
+     Arrow kernel with a per-word LRU cache (Zipf again: the cache
+     hit rate on real text is ~99%). Map-only, no shuffle.
+
+Pre-tokenization reuses text_analysis.BPE_TOKEN_RE — the ONE word
+convention shared with the regex counter — plus the standard
+end-of-word sentinel so merges cannot cross word boundaries.
+
+No DuckDB twin exists for the merge loop (iterative, order-dependent
+— exactly the "genuinely non-SQL-expressible" carve-out); the
+contract is locked by hand-computed goldens on the canonical
+low/lower/newest corpus and determinism/round-trip tests.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterator
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import BPE_TOKEN_RE
+
+END_OF_WORD = "</w>"
+_PRETOKEN = re.compile(BPE_TOKEN_RE)
+
+
+def _merge_word(sym: tuple[str, ...], pair: tuple[str, str],
+                merged: str) -> tuple[str, ...]:
+    out = []
+    i = 0
+    while i < len(sym):
+        if (i + 1 < len(sym) and sym[i] == pair[0]
+                and sym[i + 1] == pair[1]):
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train_from_counts(
+    word_counts: "dict[str, int]",
+    n_merges: int,
+) -> list[tuple[str, str]]:
+    """Classic BPE merge loop over a word histogram: `n_merges`
+    iterations of merge-the-most-frequent-adjacent-pair (ties broken
+    by pair value for determinism). Returns the ordered merge list —
+    the entire tokenizer state."""
+    words: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        sym = tuple(w) + (END_OF_WORD,)
+        words[sym] = words.get(sym, 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = max(pairs, key=lambda p: (pairs[p], p))
+        merges.append(best)
+        merged = best[0] + best[1]
+        words = {_merge_word(sym, best, merged): c
+                 for sym, c in words.items()}
+    return merges
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 1000,
+    max_words: int = 50000,
+    sample_fraction: float | None = None,
+    seed: int = 0,
+) -> list[tuple[str, str]]:
+    """Distributed word histogram → driver merge loop. `max_words`
+    bounds driver memory (top-N by count, ties by word — TakeOrdered,
+    no full sort); `sample_fraction` Bernoulli-samples the corpus
+    first (at 100 TB even 0.1% yields a histogram whose top-50k
+    counts are rank-stable)."""
+    src = df if sample_fraction is None else \
+        df.sample(fraction=sample_fraction, seed=seed)
+    counts = (src
+              .select(F.explode(
+                  F.expr(f"regexp_extract_all(coalesce({text_col}, '')"
+                         f", '{BPE_TOKEN_RE}', 0)")).alias("w"))
+              .groupBy("w").agg(F.count("*").alias("c"))
+              .orderBy(F.desc("c"), F.asc("w"))
+              .limit(max_words)
+              .collect())
+    return bpe_train_from_counts({r["w"]: r["c"] for r in counts},
+                                 n_merges)
+
+
+def bpe_encode_word(word: str, ranks: "dict[tuple[str, str], int]",
+                    ) -> list[str]:
+    """Greedy lowest-rank merging of one pre-token (the standard BPE
+    inference loop)."""
+    sym = list(word) + [END_OF_WORD]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    tokens_col: str | None = "bpe_tokens",
+    count_col: str = "n_bpe_real",
+) -> DataFrame:
+    """Apply a trained merge list: adds `count_col` (true token count)
+    and, unless tokens_col is None, the token array itself. Arrow
+    kernel, map-only; the merge ranks ride the closure (KBs) and a
+    per-word LRU cache skips re-encoding repeated words (~99% hits on
+    Zipfian text)."""
+    import pandas as pd
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    fields = [f"`{f.name}` {f.dataType.simpleString()}"
+              for f in df.schema.fields]
+    if tokens_col:
+        fields.append(f"{tokens_col} ARRAY<STRING>")
+    fields.append(f"{count_col} INT")
+    schema = ", ".join(fields)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @lru_cache(maxsize=65536)
+        def enc(word: str) -> tuple[str, ...]:
+            return tuple(bpe_encode_word(word, ranks))
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            toks_out, counts_out = [], []
+            for t in pdf[text_col]:
+                toks: list[str] = []
+                for w in _PRETOKEN.findall(t or ""):
+                    toks.extend(enc(w))
+                counts_out.append(len(toks))
+                if tokens_col:
+                    toks_out.append(toks)
+            if tokens_col:
+                pdf[tokens_col] = toks_out
+            pdf[count_col] = counts_out
+            yield pdf
+
+    return df.mapInPandas(_run, schema=schema)
