@@ -1335,6 +1335,15 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): char-entropy quality signal (gibberish /
+# repetition detector) — below-window, DuckDB parity in pytest ----
+
+@_q("char_entropy", ta.char_entropy_sql())
+def q_char_entropy(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.char_entropy(d)
+
+
 # ---- extension (r6): real BPE train+encode. NO oracle_sql entry, by
 # design: the merge loop is iterative and order-dependent — the
 # "genuinely non-SQL-expressible" carve-out — so the driver records

@@ -975,3 +975,104 @@ blocked_ids AS (
 SELECT t.* FROM {table} t
 WHERE t.{id_col} {op} (SELECT {id_col} FROM blocked_ids)
 """
+
+
+# ---------------------------------------------------------------------------
+# information-theoretic quality signals: char entropy + compression ratio
+# ---------------------------------------------------------------------------
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy (nats) of the character distribution per
+    document — the classic gibberish/repetition detector: natural
+    prose sits ~2.8-3.2, 'aaaa...' near 0, keyboard mashing and
+    base64 blobs well above 3.5. Empty/NULL text → NULL.
+
+    Plan: explode chars → (id, ch) partial-count agg → (id) partial
+    agg of -Σ p ln p — both shuffles carry (id, ch|partials) only,
+    map-side combinable; no UDF. Round-6, DuckDB-replayed by
+    char_entropy_sql."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), ""))
+        .alias("ch")).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(
+        F.count("*").alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+        .alias("sum_clnc"))
+    # -Σ (c/n) ln(c/n) = ln n - (Σ c ln c) / n
+    ent = (per_doc.select(
+        id_col,
+        F.round(F.log(F.col("n").cast("double"))
+                - F.col("sum_clnc") / F.col("n"), 6).alias("entropy")))
+    ids = df.select(id_col)
+    return ids.join(ent, id_col, "left")
+
+
+def char_entropy_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of char_entropy (same ln-n − Σc·ln(c)/n form)."""
+    return f"""
+WITH chars AS (
+  SELECT {id_col},
+         unnest(string_split(coalesce({text_expr}, ''), '')) AS ch
+  FROM {table}
+), counts AS (
+  SELECT {id_col}, ch, count(*) AS c FROM chars
+  WHERE ch <> '' GROUP BY 1, 2
+), per_doc AS (
+  SELECT {id_col}, sum(c) AS n,
+         sum(c * ln(c::DOUBLE)) AS sum_clnc
+  FROM counts GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       round(ln(p.n::DOUBLE) - p.sum_clnc / p.n, 6) AS entropy
+FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+"""
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compressed/raw byte ratio per document — the quality
+    signal Gopher-class pipelines use for templated/repetitive text
+    that char-level stats miss (a page of repeated PARAGRAPHS has
+    normal char entropy but compresses to almost nothing). Low ratio
+    (≲0.3) → repetitive; ≳1.0 → already-compressed/binary noise.
+    Empty/NULL → NULL. Arrow kernel (zlib is not expressible in SQL —
+    pytest-golden covered, no driver oracle), map-only."""
+    import pandas as pd
+    from collections.abc import Iterator as _It
+
+    fields = [f"`{f.name}` {f.dataType.simpleString()}"
+              for f in df.schema.fields]
+    schema = ", ".join(fields + ["compression_ratio DOUBLE"])
+
+    def _run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import zlib
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for t in pdf[text_col]:
+                if t is None or t == "":
+                    out.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                out.append(round(len(zlib.compress(raw, level))
+                                 / len(raw), 6))
+            pdf["compression_ratio"] = out
+            yield pdf
+
+    return df.mapInPandas(_run, schema=schema)

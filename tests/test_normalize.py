@@ -155,3 +155,61 @@ class TestReviewFixes:
         got = [r["c"] for r in df.select(
             N.clean_text_col("t").alias("c")).collect()]
         assert got[0] == got[1]
+
+
+class TestEntropySignals:
+    ROWS = [
+        (1, "aaaaaaaaaaaaaaaa"),            # ~0 entropy
+        (2, "the quick brown fox jumps over the lazy dog repeatedly"),
+        (3, "abcdefghijklmnopqrstuvwxyz"),  # max for 26 uniform chars
+        (4, ""), (5, None),
+        (6, "héllo wörld"),                 # non-ascii parity
+    ]
+
+    def test_char_entropy_values_and_parity(self, spark):
+        import duckdb
+        import math
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            char_entropy, char_entropy_sql,
+        )
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {r["doc_id"]: r["entropy"] for r in
+               char_entropy(df).collect()}
+        assert got[1] == 0.0
+        assert got[3] == round(math.log(26), 6)
+        assert got[2] > 2.0
+        assert got[4] is None and got[5] is None
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", self.ROWS)
+        want = {r[0]: r[1] for r in con.execute(
+            char_entropy_sql()).fetchall()}
+        for k in got:
+            if got[k] is None:
+                assert want[k] is None, k
+            else:
+                assert abs(got[k] - want[k]) < 2e-6, k
+
+    def test_compression_ratio_orders_texts(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            compression_ratio,
+        )
+        import hashlib
+        noise = "".join(
+            hashlib.md5(str(i).encode()).hexdigest() for i in range(40))
+        rows = [(1, "spam " * 400), (2, noise), (3, None), (4, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["compression_ratio"] for r in
+               compression_ratio(df).collect()}
+        assert got[1] < 0.05          # pure repetition collapses
+        assert got[2] > 0.5           # hex noise barely compresses
+        assert got[3] is None and got[4] is None
+
+    def test_entropy_plan_no_udf(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            char_entropy,
+        )
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        plan = char_entropy(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
