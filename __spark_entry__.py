@@ -1335,6 +1335,15 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): deterministic hash sampling (nested-sample
+# property) — md5 oracle twin of the xxhash64 scale path ----
+
+@_q("sample_by_hash", cx.sample_by_hash_sql("documents", 0.2, seed=3))
+def q_sample_by_hash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return cx.sample_by_hash(d, 0.2, md5=True, seed=3)
+
+
 # ---- extension (r6): char-entropy quality signal (gibberish /
 # repetition detector) — below-window, DuckDB parity in pytest ----
 

@@ -685,3 +685,83 @@ def shuffle_deterministic(
             .drop("__shuffle_key")
             if num_shards is not None
             else out.orderBy("__shuffle_key").drop("__shuffle_key"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling + data mixing (training-mixture construction)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_BUCKETS = 1_000_000
+
+
+def _hash_bucket(id_col: str, seed: int, md5: bool) -> Column:
+    if md5:
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+            .cast("binary")), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    return F.pmod(h, F.lit(_SAMPLE_BUCKETS))
+
+
+def sample_by_hash(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    md5: bool = False,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its id's hash
+    bucket falls below rate·10⁶. Unlike df.sample(), membership is a
+    pure function of (id, seed, rate) — reruns, retries, and other
+    clusters select the SAME rows, and raising the rate strictly
+    grows the previous sample (nested samples for scaling-law runs:
+    the 1% set is a subset of the 10% set). Zero-shuffle narrow
+    filter. `md5=True` switches to the engine-portable bucket
+    (DuckDB-replayable twin, ~2× hash cost) — same contract."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    return df.filter(
+        _hash_bucket(id_col, seed, md5) < int(rate * _SAMPLE_BUCKETS))
+
+
+def sample_by_hash_sql(
+    table: str,
+    rate: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of sample_by_hash(md5=True)."""
+    h = (f"('0x' || substr(md5(CAST({id_col} AS VARCHAR) || '#{seed}'),"
+         f" 1, 8))::BIGINT")
+    b = (f"(({h}) % {_SAMPLE_BUCKETS} + {_SAMPLE_BUCKETS})"
+         f" % {_SAMPLE_BUCKETS}")
+    return (f"SELECT * FROM {table} "
+            f"WHERE {b} < {int(rate * _SAMPLE_BUCKETS)}")
+
+
+def mix_corpora(
+    sources: "list[tuple[DataFrame, float]]",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    md5: bool = False,
+) -> DataFrame:
+    """Build a training mixture (the RedPajama/Dolma 'data mixture'
+    stage): each (frame, rate) source is hash-sampled at its rate —
+    per-source seeds, so the same id appearing in two sources draws
+    independently — tagged with a `mix_source` index, and unioned.
+    All narrow: no shuffle anywhere; the mixture materializes at scan
+    cost. Schemas must match (unionByName, missing columns
+    disallowed — mixture sources should be in the common documents
+    shape already)."""
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    parts = []
+    for i, (df, rate) in enumerate(sources):
+        part = sample_by_hash(df, rate, id_col=id_col,
+                              seed=seed + i, md5=md5)
+        parts.append(part.withColumn("mix_source", F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

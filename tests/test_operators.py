@@ -4879,3 +4879,75 @@ class TestSplitAndShuffle:
         sharded = shuffle_deterministic(df, seed=1, num_shards=8)
         o4 = [r["doc_id"] for r in sharded.toLocalIterator()]
         assert o4 == o1
+
+
+class TestSampleAndMix:
+    def test_sample_deterministic_and_nested(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            sample_by_hash,
+        )
+        df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        s10a = {r["doc_id"] for r in
+                sample_by_hash(df, 0.10).collect()}
+        s10b = {r["doc_id"] for r in
+                sample_by_hash(df, 0.10).collect()}
+        assert s10a == s10b
+        assert 0.07 < len(s10a) / 5000 < 0.13
+        # nested-sample property: 1% set is a subset of the 10% set
+        s01 = {r["doc_id"] for r in sample_by_hash(df, 0.01).collect()}
+        assert s01 <= s10a
+        # seed changes membership
+        s10c = {r["doc_id"] for r in
+                sample_by_hash(df, 0.10, seed=9).collect()}
+        assert s10c != s10a
+        # rate bounds
+        assert sample_by_hash(df, 0.0).count() == 0
+        assert sample_by_hash(df, 1.0).count() == 5000
+        import pytest as pt
+        with pt.raises(ValueError):
+            sample_by_hash(df, 1.5)
+
+    def test_sample_md5_duckdb_parity(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            sample_by_hash, sample_by_hash_sql,
+        )
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        got = sorted(r["doc_id"] for r in
+                     sample_by_hash(df, 0.2, md5=True, seed=3)
+                     .collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT range AS doc_id "
+                    "FROM range(0, 1000)")
+        want = sorted(r[0] for r in con.execute(
+            sample_by_hash_sql("t", 0.2, seed=3)).fetchall())
+        assert got == want
+        assert 120 < len(got) < 280
+
+    def test_mix_corpora(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            mix_corpora,
+        )
+        a = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        b = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        mixed = mix_corpora([(a, 0.5), (b, 0.1)]).collect()
+        by_src = {}
+        for r in mixed:
+            by_src.setdefault(r["mix_source"], set()).add(r["doc_id"])
+        assert 0.4 < len(by_src[0]) / 2000 < 0.6
+        assert 0.05 < len(by_src[1]) / 2000 < 0.16
+        # per-source seeds: same ids draw independently per source
+        assert by_src[0] != by_src[1]
+        import pytest as pt
+        with pt.raises(ValueError):
+            mix_corpora([])
+
+    def test_mix_plan_no_shuffle(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            mix_corpora,
+        )
+        a = spark.range(100).withColumnRenamed("id", "doc_id")
+        plan = mix_corpora([(a, 0.5), (a, 0.2)])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
