@@ -1335,6 +1335,77 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): B12 SQL-surface breadth — the QueryRecord
+# shapes beyond plain agg/join: window ranking, HAVING, correlated
+# (decorrelated-by-Catalyst) subquery. Below-window, DuckDB parity
+# in pytest ----
+
+@_q("sql_window_rank", """
+SELECT * FROM (
+  SELECT o_custkey,
+         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         round(o_totalprice, 2) AS o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders
+) WHERE rk <= 3
+""")
+def q_sql_window_rank(spark, sf):
+    from pyspark.sql import Window
+    o = _t(spark, sf, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (o.select("o_custkey",
+                     F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                     F.round("o_totalprice", 2).alias("o_totalprice"),
+                     F.row_number().over(w).cast("long").alias("rk"))
+            .filter(F.col("rk") <= 3))
+
+
+@_q("sql_having_bigspenders", """
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 5 AND sum(o_totalprice) > 100000
+""")
+def q_sql_having(spark, sf):
+    # HAVING filters on the UNROUNDED aggregate (same as the oracle);
+    # rounding happens only in the projection
+    o = _t(spark, sf, "orders")
+    return (o.groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum("o_totalprice").alias("_raw"))
+            .filter((F.col("n_orders") >= 5) & (F.col("_raw") > 100000))
+            .select("o_custkey", "n_orders",
+                    F.round("_raw", 2).alias("total_spend")))
+
+
+@_q("sql_above_avg_orders", """
+SELECT o.o_custkey, CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+""")
+def q_sql_above_avg(spark, sf):
+    # expressed through spark.sql so Catalyst's subquery decorrelation
+    # (rewrite to aggregate + join) is what executes — the QueryRecord
+    # contract is SQL-in, DataFrame-out
+    o = _t(spark, sf, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return o.sparkSession.sql("""
+        SELECT o.o_custkey, CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM orders_v o
+        WHERE o.o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                    FROM orders_v o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
 # ---- extension (r6): deterministic hash sampling (nested-sample
 # property) — md5 oracle twin of the xxhash64 scale path ----
 
