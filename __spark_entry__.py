@@ -1335,6 +1335,17 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): shard manifest (stable training-shard
+# assignment + per-shard accounting) — md5 oracle twin ----
+
+@_q("shard_manifest",
+    cx.shard_manifest_sql("documents", 16, token_expr="n_chars"))
+def q_shard_manifest(spark, sf):
+    d = _t(spark, sf, "documents")
+    return cx.shard_manifest(cx.assign_shards(d, 16, md5=True),
+                             token_col="n_chars")
+
+
 # ---- extension (r6): B12 SQL-surface breadth — the QueryRecord
 # shapes beyond plain agg/join: window ranking, HAVING, correlated
 # (decorrelated-by-Catalyst) subquery. Below-window, DuckDB parity

@@ -765,3 +765,93 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# sharded corpus output + manifest (the training-data landing stage)
+# ---------------------------------------------------------------------------
+
+def assign_shards(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    md5: bool = False,
+) -> DataFrame:
+    """Stable shard assignment: shard = hash-bucket(id, seed) mod N —
+    a pure function of the id, so re-runs and incremental appends land
+    a document in the SAME shard (what makes shard-level resume /
+    diffing possible). Narrow projection; `md5=True` is the
+    engine-portable twin."""
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    return df.withColumn(
+        "shard",
+        F.pmod(_hash_bucket(id_col, seed, md5), F.lit(num_shards))
+        .cast("int"))
+
+
+def shard_manifest(
+    sharded: DataFrame,
+    token_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard manifest: (shard, n_docs, min/max id, total tokens
+    when `token_col` given) — one map-side-combinable agg on the tiny
+    shard key."""
+    aggs = [F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    return sharded.groupBy("shard").agg(*aggs).orderBy("shard")
+
+
+def shard_manifest_sql(
+    table: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    token_expr: str | None = None,
+) -> str:
+    """DuckDB twin of assign_shards(md5=True) → shard_manifest."""
+    h = (f"('0x' || substr(md5(CAST({id_col} AS VARCHAR) || '#{seed}'),"
+         f" 1, 8))::BIGINT")
+    b = (f"(({h}) % {_SAMPLE_BUCKETS} + {_SAMPLE_BUCKETS})"
+         f" % {_SAMPLE_BUCKETS}")
+    tok = (f", sum({token_expr}) AS n_tokens"
+           if token_expr is not None else "")
+    return f"""
+SELECT CAST({b} % {num_shards} AS INTEGER) AS shard,
+       count(*) AS n_docs,
+       min({id_col}) AS min_id, max({id_col}) AS max_id{tok}
+FROM {table}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    token_col: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Land the corpus as N stable shards + a `_manifest` table:
+    shard directories via partitionBy (underscore-prefixed manifest
+    dir is invisible to Spark/parquet readers of `path`), rows sorted
+    by id within each shard (deterministic file contents). One
+    repartition on the shard key is the only shuffle. Returns the
+    manifest DataFrame."""
+    sharded = assign_shards(df, num_shards, id_col=id_col, seed=seed)
+    out = (sharded.repartition(num_shards, "shard")
+           .sortWithinPartitions("shard", id_col))
+    (out.write.partitionBy("shard").mode(mode).format(fmt).save(path))
+    manifest = shard_manifest(sharded, token_col=token_col,
+                              id_col=id_col)
+    (manifest.write.mode(mode).format(fmt)
+     .save(path.rstrip("/") + "/_manifest"))
+    return manifest

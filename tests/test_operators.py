@@ -4951,3 +4951,71 @@ class TestSampleAndMix:
             .queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestCorpusShards:
+    def test_assignment_stable_and_balanced(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards,
+        )
+        df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["shard"] for r in
+             assign_shards(df, 16).collect()}
+        b = {r["doc_id"]: r["shard"] for r in
+             assign_shards(df, 16).collect()}
+        assert a == b
+        from collections import Counter
+        sizes = Counter(a.values())
+        assert len(sizes) == 16
+        assert max(sizes.values()) < 2 * min(sizes.values())
+        # append-stability: a doc keeps its shard when the corpus grows
+        small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        s = {r["doc_id"]: r["shard"] for r in
+             assign_shards(small, 16).collect()}
+        assert all(a[k] == v for k, v in s.items())
+        import pytest as pt
+        with pt.raises(ValueError):
+            assign_shards(df, 0)
+
+    def test_manifest_md5_duckdb_parity(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards, shard_manifest, shard_manifest_sql,
+        )
+        from pyspark.sql import functions as F
+        df = (spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+              .withColumn("n_tok", (F.col("doc_id") % 7 + 1)))
+        got = [(r["shard"], r["n_docs"], r["min_id"], r["max_id"],
+                r["n_tokens"]) for r in
+               shard_manifest(assign_shards(df, 8, md5=True),
+                              token_col="n_tok").collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT range AS doc_id, "
+                    "range % 7 + 1 AS n_tok FROM range(0, 1000)")
+        want = [tuple(r) for r in con.execute(
+            shard_manifest_sql("t", 8, token_expr="n_tok")).fetchall()]
+        assert got == want
+
+    def test_write_roundtrip_with_manifest(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            write_corpus_shards,
+        )
+        from pyspark.sql import functions as F
+        df = (spark.range(0, 500).withColumnRenamed("id", "doc_id")
+              .withColumn("text", F.concat(F.lit("doc "),
+                                           F.col("doc_id")))
+              .withColumn("n_tok", F.lit(3)))
+        path = str(tmp_path / "shards")
+        manifest = write_corpus_shards(df, path, 8,
+                                       token_col="n_tok").collect()
+        assert sum(r["n_docs"] for r in manifest) == 500
+        assert all(r["n_tokens"] == 3 * r["n_docs"] for r in manifest)
+        back = spark.read.parquet(path)
+        assert back.count() == 500  # _manifest dir invisible to reader
+        # per-shard re-read counts match the manifest
+        got = {r["shard"]: r["cnt"] for r in
+               back.groupBy("shard").agg(F.count("*").alias("cnt"))
+               .collect()}
+        assert got == {r["shard"]: r["n_docs"] for r in manifest}
+        mf = spark.read.parquet(path + "/_manifest")
+        assert mf.count() == len(manifest)
