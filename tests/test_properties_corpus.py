@@ -1,0 +1,105 @@
+"""Hypothesis properties for the web-corpus additions — pure-Python
+layers only (no SparkSession per example)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FAST = settings(max_examples=120, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+_uri = st.text(
+    alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+    min_size=1, max_size=40)
+_text = st.text(max_size=300)
+
+
+class TestWarcProperties:
+    @_FAST
+    @given(st.lists(st.tuples(_uri, _text), min_size=0, max_size=8),
+           st.booleans())
+    def test_wet_roundtrip_lossless(self, docs, gz):
+        from nifi_extracttext_processor_spark.sources.warc import (
+            build_wet, parse_warc,
+        )
+        data = build_wet(docs, gzip_members=gz)
+        recs = list(parse_warc(data)) if docs else \
+            (list(parse_warc(data)) if data else [])
+        assert [(r["target_uri"], r["text"]) for r in recs] == docs
+
+    @_FAST
+    @given(_uri, st.binary(max_size=400),
+           st.integers(min_value=100, max_value=599))
+    def test_response_roundtrip(self, uri, payload, status):
+        from nifi_extracttext_processor_spark.sources.warc import (
+            build_response_record, parse_warc,
+        )
+        rec = build_response_record(uri, payload, status=status,
+                                    http_content_type="image/png")
+        (r,) = parse_warc(rec)
+        assert r["payload"] == payload
+        assert r["http_status"] == status
+        assert r["target_uri"] == uri
+
+
+class TestNormalizeProperties:
+    @_FAST
+    @given(st.text(max_size=400))
+    def test_mojibake_repair_total_and_never_longer(self, s):
+        from nifi_extracttext_processor_spark.operators.normalize import (
+            fix_mojibake,
+        )
+        out = fix_mojibake(s)
+        assert isinstance(out, str)
+        assert len(out) <= len(s)
+
+    @_FAST
+    @given(st.text(max_size=400))
+    def test_repair_roundtrips_clean_utf8_mangling(self, s):
+        """For any text whose UTF-8 bytes all decode via latin-1
+        (always true), mangling then repairing returns the original
+        UNLESS the original itself already looks mojibake-ish (repair
+        is then allowed to fold it further) — assert the common case:
+        texts with no high-byte chars at all repair exactly."""
+        from nifi_extracttext_processor_spark.operators.normalize import (
+            fix_mojibake,
+        )
+        if any(ord(c) > 0x7F for c in s):
+            return  # mixed case handled by the golden tests
+        mangled = s.encode("utf-8").decode("latin-1")
+        assert fix_mojibake(mangled) == s
+
+
+class TestBpeProperties:
+    @_FAST
+    @given(st.lists(
+        st.tuples(st.text(
+            alphabet=st.characters(min_codepoint=0x61,
+                                   max_codepoint=0x7A),
+            min_size=1, max_size=12),
+            st.integers(min_value=1, max_value=50)),
+        min_size=1, max_size=12),
+        st.integers(min_value=0, max_value=40))
+    def test_encode_lossless_for_any_training(self, items, n_merges):
+        from nifi_extracttext_processor_spark.operators.tokenize import (
+            bpe_encode_word, bpe_train_from_counts,
+        )
+        counts = dict(items)
+        merges = bpe_train_from_counts(counts, n_merges)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        for w in list(counts) + ["unseen", "zzz"]:
+            toks = bpe_encode_word(w, ranks)
+            assert "".join(toks).replace("</w>", "") == w
+            assert toks[-1].endswith("</w>")
+
+
+class TestBlockClassifierProperties:
+    @_FAST
+    @given(st.text(max_size=2000))
+    def test_main_content_total(self, s):
+        from nifi_extracttext_processor_spark.formats.boilerplate import (
+            html_main_content,
+        )
+        out = html_main_content(s)
+        assert isinstance(out, str)
