@@ -1335,6 +1335,38 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): structured HTML table extraction — HTML
+# synthesized deterministically from document fields (fake-kernel
+# oracle pattern: the parser runs in Spark; DuckDB computes the known
+# expected rows directly) ----
+
+@_q("html_tables", """
+SELECT doc_id, 0 AS table_no, 0 AS row_no,
+       CAST(doc_id AS VARCHAR) || '|' || lang AS cells
+FROM documents
+UNION ALL
+SELECT doc_id, 0 AS table_no, 1 AS row_no,
+       CAST(n_chars AS VARCHAR) || '|x' AS cells
+FROM documents
+""")
+def q_html_tables(spark, sf):
+    from nifi_extracttext_processor_spark.operators.extract import (
+        extract_tables,
+    )
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<table><tr><td>"), F.col("doc_id").cast("string"),
+        F.lit("</td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td><td>x</td></tr></table>"))
+    src = d.select("doc_id", html.cast("binary").alias("content"))
+    out = extract_tables(src)
+    return out.select("doc_id",
+                      F.col("table_no").cast("long").alias("table_no"),
+                      F.col("row_no").cast("long").alias("row_no"),
+                      F.array_join("cells", "|").alias("cells"))
+
+
 # ---- extension (r6): shard manifest (stable training-shard
 # assignment + per-shard accounting) — md5 oracle twin ----
 

@@ -40,3 +40,93 @@ def render_xhtml(text: str, title: str = "") -> str:
         f"<head><meta charset=\"UTF-8\"/><title>{escape(title)}</title></head>\n"
         f"<body>\n{body}\n</body>\n</html>\n"
     )
+
+
+class _TableCollector(__import__("html.parser", fromlist=["HTMLParser"]).HTMLParser):
+    """Collect <table> contents as nested [table][row][cell] text.
+    Nested tables are flattened into their own top-level entries (the
+    inner table's cells stop contributing to the outer row — layout
+    tables nest arbitrarily in real pages)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.tables: list[list[list[str]]] = []
+        self._stack: list[list[list[str]]] = []  # open tables
+        self._ctx: list[list[str] | None] = []   # outer rows, saved
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in ("script", "style"):
+            self._skip += 1
+        elif tag == "table":
+            # entering a (possibly nested) table: land any open outer
+            # cell text first, save the outer row for restoration
+            self._flush_cell()
+            self._ctx.append(self._row)
+            t: list[list[str]] = []
+            self.tables.append(t)
+            self._stack.append(t)
+            self._row = None
+            self._cell = None
+        elif self._stack and tag == "tr":
+            self._row = []
+            self._stack[-1].append(self._row)
+            self._cell = None
+        elif self._stack and tag in ("td", "th"):
+            if self._row is None:  # tr omitted (legal in the wild)
+                self._row = []
+                self._stack[-1].append(self._row)
+            self._cell = []
+            self._row.append("")  # reserve slot; filled at close
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in ("script", "style"):
+            self._skip = max(0, self._skip - 1)
+        elif tag == "table":
+            if self._stack:
+                self._stack.pop()
+            self._flush_cell()
+            self._row = self._ctx.pop() if self._ctx else None
+            self._cell = None
+        elif tag in ("td", "th"):
+            self._flush_cell()
+        elif tag == "tr":
+            self._flush_cell()
+            self._row = None
+
+    def _flush_cell(self):
+        if self._cell is not None and self._row:
+            self._row[-1] = " ".join("".join(self._cell).split())
+            self._cell = None
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        if self._cell is not None:
+            self._cell.append(data)
+
+
+def extract_html_tables(data: bytes | str) -> list[list[list[str]]]:
+    """Structured <table> extraction: [table][row][cell-text]. Total
+    function — damaged markup degrades to fewer/partial tables, never
+    raises. Rows of zero cells are dropped; empty tables kept out."""
+    if isinstance(data, bytes):
+        try:
+            s = data.decode("utf-8")
+        except UnicodeDecodeError:
+            s = data.decode("latin-1")
+    else:
+        s = data
+    p = _TableCollector()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        pass
+    p._flush_cell()
+    return [[row for row in t if row] for t in p.tables
+            if any(row for row in t)]

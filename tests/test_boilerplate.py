@@ -135,3 +135,60 @@ class TestReviewFixes:
         page = ("<html><head><object data='x'></head>"
                 f"<body><p>{ARTICLE_P1}</p></body>")
         assert ARTICLE_P1 in html_main_content(page)
+
+
+class TestHtmlTables:
+    def test_basic_and_multiple(self):
+        from nifi_extracttext_processor_spark.formats.html import (
+            extract_html_tables,
+        )
+        h = ("<table><tr><th>Name</th><th>Age</th></tr>"
+             "<tr><td>Ada</td><td>36</td></tr></table>"
+             "<p>between</p><table><tr><td>solo</td></tr></table>")
+        assert extract_html_tables(h) == [
+            [["Name", "Age"], ["Ada", "36"]], [["solo"]]]
+
+    def test_nested_table_flattened(self):
+        from nifi_extracttext_processor_spark.formats.html import (
+            extract_html_tables,
+        )
+        h = ("<table><tr><td>a<table><tr><td>inner</td></tr></table>"
+             "</td><td>b</td></tr></table>")
+        assert extract_html_tables(h) == [[["a", "b"]], [["inner"]]]
+
+    def test_omitted_tr_and_entities(self):
+        from nifi_extracttext_processor_spark.formats.html import (
+            extract_html_tables,
+        )
+        h = "<table><td>R&amp;D</td><td>x  y</td></table>"
+        assert extract_html_tables(h) == [[["R&D", "x y"]]]
+
+    def test_script_inside_cell_skipped(self):
+        from nifi_extracttext_processor_spark.formats.html import (
+            extract_html_tables,
+        )
+        h = ("<table><tr><td>ok<script>var t='<td>no</td>'</script>"
+             "</td></tr></table>")
+        assert extract_html_tables(h) == [[["ok"]]]
+
+    def test_total_on_garbage(self):
+        from nifi_extracttext_processor_spark.formats.html import (
+            extract_html_tables,
+        )
+        for junk in (b"", b"\x00\xff", "<table><tr><td>unclosed",
+                     "</td></tr></table>" * 10, "<table>" * 100):
+            extract_html_tables(junk)  # never raises
+
+    def test_spark_operator(self, spark):
+        from nifi_extracttext_processor_spark.operators.extract import (
+            extract_tables,
+        )
+        h1 = ("<table><tr><td>a</td><td>b</td></tr>"
+              "<tr><td>c</td><td>d</td></tr></table>").encode()
+        df = spark.createDataFrame(
+            [(1, h1), (2, b"<p>no tables</p>"), (3, None)],
+            "doc_id long, content binary")
+        rows = extract_tables(df).collect()
+        assert len(rows) == 2
+        assert [r["cells"] for r in rows] == [["a", "b"], ["c", "d"]]
+        assert {r["doc_id"] for r in rows} == {1}
