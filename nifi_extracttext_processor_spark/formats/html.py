@@ -13,15 +13,22 @@ from __future__ import annotations
 
 import re
 from html import escape, unescape
+from html.parser import HTMLParser
 
 _BLOCK_TAGS = r"p|div|br|li|tr|h[1-6]|table|ul|ol|section|article|header|footer"
 
 
-def html_to_text(data: bytes) -> str:
+def _to_str(data: "bytes | str") -> str:
+    if isinstance(data, str):
+        return data
     try:
-        s = data.decode("utf-8")
+        return data.decode("utf-8")
     except UnicodeDecodeError:
-        s = data.decode("latin-1")
+        return data.decode("latin-1")
+
+
+def html_to_text(data: bytes) -> str:
+    s = _to_str(data)
     s = re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", "", s)
     s = re.sub(rf"(?i)</?(?:{_BLOCK_TAGS})[^>]*>", "\n", s)
     s = re.sub(r"(?s)<[^>]+>", "", s)
@@ -42,17 +49,20 @@ def render_xhtml(text: str, title: str = "") -> str:
     )
 
 
-class _TableCollector(__import__("html.parser", fromlist=["HTMLParser"]).HTMLParser):
+class _TableCollector(HTMLParser):
     """Collect <table> contents as nested [table][row][cell] text.
-    Nested tables are flattened into their own top-level entries (the
-    inner table's cells stop contributing to the outer row — layout
-    tables nest arbitrarily in real pages)."""
+    Nested tables are flattened into their own top-level entries; the
+    OUTER cell stays open across an embedded table, so text after the
+    inner </table> lands back in it (layout tables nest arbitrarily
+    in real pages). Omitted </td>/</tr> close tags (spec-legal and
+    pervasive in crawl data) implicitly flush the open cell."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.tables: list[list[list[str]]] = []
         self._stack: list[list[list[str]]] = []  # open tables
-        self._ctx: list[list[str] | None] = []   # outer rows, saved
+        # saved (outer row, cell-was-open) per nested table
+        self._ctx: list[tuple[list[str] | None, bool]] = []
         self._row: list[str] | None = None
         self._cell: list[str] | None = None
         self._skip = 0
@@ -63,19 +73,22 @@ class _TableCollector(__import__("html.parser", fromlist=["HTMLParser"]).HTMLPar
             self._skip += 1
         elif tag == "table":
             # entering a (possibly nested) table: land any open outer
-            # cell text first, save the outer row for restoration
+            # cell text so far, save (row, was a cell open) so the
+            # cell can reopen after the inner table closes
+            cell_open = self._cell is not None
             self._flush_cell()
-            self._ctx.append(self._row)
+            self._ctx.append((self._row, cell_open))
             t: list[list[str]] = []
             self.tables.append(t)
             self._stack.append(t)
             self._row = None
             self._cell = None
         elif self._stack and tag == "tr":
+            self._flush_cell()  # omitted </td> before a new row
             self._row = []
             self._stack[-1].append(self._row)
-            self._cell = None
         elif self._stack and tag in ("td", "th"):
+            self._flush_cell()  # omitted </td> before a new cell
             if self._row is None:  # tr omitted (legal in the wild)
                 self._row = []
                 self._stack[-1].append(self._row)
@@ -90,8 +103,15 @@ class _TableCollector(__import__("html.parser", fromlist=["HTMLParser"]).HTMLPar
             if self._stack:
                 self._stack.pop()
             self._flush_cell()
-            self._row = self._ctx.pop() if self._ctx else None
-            self._cell = None
+            row, cell_open = self._ctx.pop() if self._ctx \
+                else (None, False)
+            self._row = row
+            # the outer cell was open across the inner table: reopen
+            # it seeded with its earlier text so trailing data appends
+            if cell_open and row:
+                self._cell = [row[-1], " "]
+            else:
+                self._cell = None
         elif tag in ("td", "th"):
             self._flush_cell()
         elif tag == "tr":
@@ -114,13 +134,7 @@ def extract_html_tables(data: bytes | str) -> list[list[list[str]]]:
     """Structured <table> extraction: [table][row][cell-text]. Total
     function — damaged markup degrades to fewer/partial tables, never
     raises. Rows of zero cells are dropped; empty tables kept out."""
-    if isinstance(data, bytes):
-        try:
-            s = data.decode("utf-8")
-        except UnicodeDecodeError:
-            s = data.decode("latin-1")
-    else:
-        s = data
+    s = _to_str(data)
     p = _TableCollector()
     try:
         p.feed(s)

@@ -696,9 +696,11 @@ _SAMPLE_BUCKETS = 1_000_000
 
 def _hash_bucket(id_col: str, seed: int, md5: bool) -> Column:
     if md5:
-        h = F.conv(F.substring(F.md5(F.concat(
-            F.col(id_col).cast("string"), F.lit(f"#{seed}"))
-            .cast("binary")), 1, 8), 16, 10).cast("long")
+        # _u32 is the ONE md5-bucket definition every DuckDB-twin op
+        # shares — a second inline copy would silently break parity
+        # the moment either diverged
+        h = _u32(F.concat(F.col(id_col).cast("string"),
+                          F.lit(f"#{seed}")))
     else:
         h = F.xxhash64(F.col(id_col), F.lit(seed))
     return F.pmod(h, F.lit(_SAMPLE_BUCKETS))
@@ -843,15 +845,24 @@ def write_corpus_shards(
     """Land the corpus as N stable shards + a `_manifest` table:
     shard directories via partitionBy (underscore-prefixed manifest
     dir is invisible to Spark/parquet readers of `path`), rows sorted
-    by id within each shard (deterministic file contents). One
-    repartition on the shard key is the only shuffle. Returns the
-    manifest DataFrame."""
+    by id within each shard (deterministic file contents). The data
+    write costs one repartition shuffle; the manifest is computed by
+    READING BACK the written files — not by re-executing the input
+    lineage — so it always describes exactly the bytes on disk (a
+    lineage recompute could both double a multi-hour upstream job and,
+    with any nondeterministic stage, describe a DIFFERENT dataset),
+    and under mode='append' it is rebuilt over ALL shards at the path
+    (manifest dir is always overwritten — per-batch partial manifests
+    would leave duplicate shard rows that reconcile with nothing).
+    Returns the manifest DataFrame (reading the written files)."""
     sharded = assign_shards(df, num_shards, id_col=id_col, seed=seed)
     out = (sharded.repartition(num_shards, "shard")
            .sortWithinPartitions("shard", id_col))
     (out.write.partitionBy("shard").mode(mode).format(fmt).save(path))
-    manifest = shard_manifest(sharded, token_col=token_col,
+    spark = df.sparkSession
+    written = spark.read.format(fmt).load(path)
+    manifest = shard_manifest(written, token_col=token_col,
                               id_col=id_col)
-    (manifest.write.mode(mode).format(fmt)
+    (manifest.write.mode("overwrite").format(fmt)
      .save(path.rstrip("/") + "/_manifest"))
     return manifest

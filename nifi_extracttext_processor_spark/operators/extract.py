@@ -312,10 +312,15 @@ def extract_tables(
     damaged markup degrades, never raises; documents without tables
     emit nothing). The structured counterpart to extract_text's flat
     text for table-heavy sources (wikis, financial filings). Map-only
-    Arrow kernel, no shuffle."""
+    Arrow kernel, no shuffle. The content column is DROPPED from the
+    output — replicating the raw page bytes into every emitted table
+    row would multiply them by the table row count. Accepts BINARY or
+    STRING content."""
+    pass_cols = [f.name for f in df.schema.fields
+                 if f.name != content_col]
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}"
-         for f in df.schema.fields]
+         for f in df.schema.fields if f.name != content_col]
         + ["table_no INT", "row_no INT", "cells ARRAY<STRING>"])
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -327,9 +332,12 @@ def extract_tables(
             rows = []
             for j in range(len(pdf)):
                 raw = pdf[content_col].iloc[j]
-                tables = extract_html_tables(
-                    bytes(raw) if raw is not None else b"")
-                base = pdf.iloc[j]
+                if raw is None:
+                    raw = b""
+                elif not isinstance(raw, (bytes, str)):
+                    raw = bytes(raw)
+                tables = extract_html_tables(raw)
+                base = pdf.iloc[j][pass_cols]
                 for ti, t in enumerate(tables):
                     for ri, r in enumerate(t):
                         rec = base.to_dict()
@@ -338,7 +346,7 @@ def extract_tables(
                         rec["cells"] = r
                         rows.append(rec)
             yield pd.DataFrame(
-                rows, columns=list(pdf.columns)
+                rows, columns=pass_cols
                 + ["table_no", "row_no", "cells"])
 
     return df.mapInPandas(_run, schema=schema)

@@ -192,3 +192,39 @@ class TestHtmlTables:
         assert len(rows) == 2
         assert [r["cells"] for r in rows] == [["a", "b"], ["c", "d"]]
         assert {r["doc_id"] for r in rows} == {1}
+
+
+class TestTableReviewFixes:
+    def test_omitted_td_close_keeps_cell(self):
+        from nifi_extracttext_processor_spark.formats.html import (
+            extract_html_tables,
+        )
+        assert extract_html_tables(
+            "<table><tr><td>a<td>b</td></tr></table>") == [[["a", "b"]]]
+
+    def test_omitted_tr_close_keeps_cell(self):
+        from nifi_extracttext_processor_spark.formats.html import (
+            extract_html_tables,
+        )
+        assert extract_html_tables(
+            "<table><tr><td>a<tr><td>c</td></tr></table>") == \
+            [[["a"], ["c"]]]
+
+    def test_text_after_nested_table_kept(self):
+        from nifi_extracttext_processor_spark.formats.html import (
+            extract_html_tables,
+        )
+        h = ("<table><tr><td>a<table><tr><td>i</td></tr></table>z"
+             "</td><td>b</td></tr></table>")
+        assert extract_html_tables(h) == [[["a z", "b"]], [["i"]]]
+
+    def test_string_content_operator(self, spark):
+        from nifi_extracttext_processor_spark.operators.extract import (
+            extract_tables,
+        )
+        df = spark.createDataFrame(
+            [(1, "<table><tr><td>s</td></tr></table>")],
+            "doc_id long, content string")
+        rows = extract_tables(df).collect()
+        assert [r["cells"] for r in rows] == [["s"]]
+        assert "content" not in rows[0].asDict()  # no page-bytes fanout

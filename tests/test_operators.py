@@ -5019,3 +5019,29 @@ class TestCorpusShards:
         assert got == {r["shard"]: r["n_docs"] for r in manifest}
         mf = spark.read.parquet(path + "/_manifest")
         assert mf.count() == len(manifest)
+
+
+class TestShardReviewFixes:
+    def test_append_mode_manifest_covers_all_batches(self, spark,
+                                                     tmp_path):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            write_corpus_shards,
+        )
+        from pyspark.sql import functions as F
+        path = str(tmp_path / "s")
+        b1 = (spark.range(0, 200).withColumnRenamed("id", "doc_id")
+              .withColumn("n_tok", F.lit(2)))
+        b2 = (spark.range(200, 300).withColumnRenamed("id", "doc_id")
+              .withColumn("n_tok", F.lit(2)))
+        write_corpus_shards(b1, path, 4, token_col="n_tok")
+        m2 = write_corpus_shards(b2, path, 4, token_col="n_tok",
+                                 mode="append").collect()
+        # manifest read-back covers BOTH batches, one row per shard
+        assert sum(r["n_docs"] for r in m2) == 300
+        assert len(m2) == 4
+        mf = spark.read.parquet(path + "/_manifest")
+        assert mf.count() == 4
+        assert mf.agg(F.sum("n_docs")).collect()[0][0] == 300
+        # and a doc's shard is the same in both batches' layout
+        back = spark.read.parquet(path)
+        assert back.count() == 300

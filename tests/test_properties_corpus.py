@@ -103,3 +103,46 @@ class TestBlockClassifierProperties:
         )
         out = html_main_content(s)
         assert isinstance(out, str)
+
+
+class TestBpeIncrementalEquivalence:
+    @_FAST
+    @given(st.lists(
+        st.tuples(st.text(
+            alphabet=st.characters(min_codepoint=0x61,
+                                   max_codepoint=0x66),
+            min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=20)),
+        min_size=1, max_size=10),
+        st.integers(min_value=0, max_value=25))
+    def test_matches_naive_recount_trainer(self, items, n_merges):
+        """The incremental pair-count update must produce EXACTLY the
+        merge list of the textbook full-recount loop."""
+        from collections import Counter
+        from nifi_extracttext_processor_spark.operators.tokenize import (
+            END_OF_WORD, _merge_word, bpe_train_from_counts,
+        )
+        counts = dict(items)
+
+        def naive(word_counts, n):
+            words = {}
+            for w, c in word_counts.items():
+                sym = tuple(w) + (END_OF_WORD,)
+                words[sym] = words.get(sym, 0) + c
+            merges = []
+            for _ in range(n):
+                pairs = Counter()
+                for sym, c in words.items():
+                    for a, b in zip(sym, sym[1:]):
+                        pairs[(a, b)] += c
+                if not pairs:
+                    break
+                best = max(pairs, key=lambda p: (pairs[p], p))
+                merges.append(best)
+                m = best[0] + best[1]
+                words = {_merge_word(s, best, m): c
+                         for s, c in words.items()}
+            return merges
+
+        assert bpe_train_from_counts(counts, n_merges) == \
+            naive(counts, n_merges)
