@@ -1335,6 +1335,38 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): robots.txt filtering (RFC 9309 longest-match
+# evaluator) — fake-kernel oracle: rules synthesized so the verdict
+# is directly computable in SQL; the evaluator itself is locked by
+# 15 pytest goldens incl. the longest-match/wildcard/anchor cases
+# stdlib robotparser gets wrong ----
+
+@_q("robots_filter", f"""
+WITH t AS (SELECT doc_id, {_BLOCK_URL_SQL} AS url FROM documents)
+SELECT doc_id, url FROM t
+WHERE NOT (doc_id % 7 NOT IN (0, 1) AND (doc_id % 5) IN (1, 3))
+""")
+def q_robots_filter(spark, sf):
+    from nifi_extracttext_processor_spark.operators.robots import (
+        filter_by_robots,
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("ads.tracker.example"))
+         .when(F.col("doc_id") % 7 == 1, F.lit("sub.spam.test"))
+         .otherwise(F.concat(F.lit("site"),
+                             (F.col("doc_id") % 5).cast("string"),
+                             F.lit(".example.org"))),
+        F.lit("/page/"), F.col("doc_id").cast("string"))
+    t = d.withColumn("url", url)
+    robots = t.sparkSession.createDataFrame(
+        [(f"site{k}.example.org", "User-agent: *\nDisallow: /page/")
+         for k in (1, 3)],
+        "domain string, robots_txt string")
+    return filter_by_robots(t, robots)
+
+
 # ---- extension (r6): structured HTML table extraction — HTML
 # synthesized deterministically from document fields (fake-kernel
 # oracle pattern: the parser runs in Spark; DuckDB computes the known
