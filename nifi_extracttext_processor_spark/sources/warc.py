@@ -351,3 +351,82 @@ def warc_to_documents(df: DataFrame) -> DataFrame:
                     F.col("target_uri").alias("url"),
                     "text",
                     F.length("text").alias("n_chars")))
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing (crawl URL discovery — sitemaps.org protocol)
+# ---------------------------------------------------------------------------
+
+def parse_sitemap(data: bytes) -> "list[dict]":
+    """Parse a sitemaps.org XML document (urlset OR sitemapindex;
+    gzip-transparent — sitemaps ship as .xml.gz) into
+    [{loc, lastmod, kind}] where kind ∈ {url, sitemap}. Namespace-
+    agnostic (matches on local tag names): real-world sitemaps mix
+    default and prefixed namespaces freely. Structural damage raises
+    ValueError (fail-closed like the WARC parser)."""
+    import gzip as _gzip
+    import xml.etree.ElementTree as ET
+
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = _gzip.decompress(data)
+        except (OSError, EOFError) as exc:
+            raise ValueError(f"corrupt sitemap gzip: {exc}") from None
+    if len(data) > MAX_RECORD_BYTES:
+        raise ValueError("sitemap exceeds record budget")
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed sitemap XML: {exc}") from None
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    rt = local(root.tag)
+    if rt == "urlset":
+        kind, entry_tag = "url", "url"
+    elif rt == "sitemapindex":
+        kind, entry_tag = "sitemap", "sitemap"
+    else:
+        raise ValueError(f"not a sitemap document: root <{rt}>")
+    out = []
+    for el in root:
+        if local(el.tag) != entry_tag:
+            continue
+        loc = lastmod = None
+        for ch in el:
+            t = local(ch.tag)
+            if t == "loc":
+                loc = (ch.text or "").strip()
+            elif t == "lastmod":
+                lastmod = (ch.text or "").strip()
+        if loc:
+            out.append({"loc": loc, "lastmod": lastmod, "kind": kind})
+    return out
+
+
+def read_sitemaps(spark: SparkSession, path: str,
+                  glob: str | None = "*.xml*") -> DataFrame:
+    """Distributed sitemap scan → (path, loc, lastmod, kind) — the
+    URL-frontier feed next to read_warc. Map-only; unparseable files
+    fail the task (surface the damage) — pre-filter with a tolerant
+    kernel if the input is untrusted bulk."""
+    import pandas as pd
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+
+    def _run(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            rows = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                for rec in parse_sitemap(bytes(c or b"")):
+                    rows.append([p, rec["loc"], rec["lastmod"],
+                                 rec["kind"]])
+            yield pd.DataFrame(
+                rows, columns=["path", "loc", "lastmod", "kind"])
+
+    return files.mapInPandas(
+        _run, "path STRING, loc STRING, lastmod STRING, kind STRING")

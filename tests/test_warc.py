@@ -263,3 +263,51 @@ class TestReviewFixes:
         dt = time.perf_counter() - t0
         assert n == 4000
         assert dt < 2.0, f"gzip member walk too slow: {dt:.2f}s"
+
+
+class TestSitemaps:
+    URLSET = (b'<?xml version="1.0"?>'
+              b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              b'<url><loc>http://e.x/a</loc>'
+              b'<lastmod>2026-01-02</lastmod></url>'
+              b'<url><loc> http://e.x/b </loc></url>'
+              b'<url><priority>0.5</priority></url>'  # no loc: dropped
+              b'</urlset>')
+
+    def test_urlset(self):
+        recs = W.parse_sitemap(self.URLSET)
+        assert [(r["loc"], r["lastmod"]) for r in recs] == [
+            ("http://e.x/a", "2026-01-02"), ("http://e.x/b", None)]
+        assert all(r["kind"] == "url" for r in recs)
+
+    def test_sitemapindex_and_gzip(self):
+        idx = (b'<sitemapindex><sitemap>'
+               b'<loc>http://e.x/s1.xml.gz</loc></sitemap>'
+               b'</sitemapindex>')
+        recs = W.parse_sitemap(gzip.compress(idx, mtime=0))
+        assert recs == [{"loc": "http://e.x/s1.xml.gz",
+                         "lastmod": None, "kind": "sitemap"}]
+
+    def test_namespace_prefixed(self):
+        ns = (b'<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/'
+              b'sitemap/0.9"><sm:url><sm:loc>http://e.x/n</sm:loc>'
+              b'</sm:url></sm:urlset>')
+        assert W.parse_sitemap(ns)[0]["loc"] == "http://e.x/n"
+
+    def test_fail_closed(self):
+        for bad in (b"", b"<html></html>", b"<urlset><url>",
+                    b"\x1f\x8bgarbage"):
+            try:
+                W.parse_sitemap(bad)
+                raise AssertionError(f"{bad!r} should have raised")
+            except ValueError:
+                pass
+
+    def test_spark_read(self, spark, tmp_path):
+        (tmp_path / "s1.xml").write_bytes(self.URLSET)
+        (tmp_path / "s2.xml.gz").write_bytes(
+            gzip.compress(self.URLSET, mtime=0))
+        rows = W.read_sitemaps(spark, str(tmp_path)).collect()
+        assert len(rows) == 4
+        assert {r["loc"] for r in rows} == {"http://e.x/a",
+                                            "http://e.x/b"}
