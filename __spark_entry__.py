@@ -1335,6 +1335,30 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
+# ---- extension (r6): topic discovery (hashed-TF → kmeans →
+# distinctive terms) — the whole composition replayed by one
+# unrolled DuckDB query; below-window ----
+
+@_q("topic_clusters", None)
+def q_topic_clusters(spark, sf):
+    from nifi_extracttext_processor_spark.operators.clustering import (
+        topic_clusters,
+    )
+    d = _t(spark, sf, "documents")
+    return topic_clusters(d, k=4, dim=16, top_n=5)
+
+
+# the oracle references clustering lazily to avoid import order issues
+def _topic_oracle() -> str:
+    from nifi_extracttext_processor_spark.operators.clustering import (
+        topic_clusters_sql,
+    )
+    return topic_clusters_sql(k=4, dim=16, top_n=5)
+
+
+_ORACLES["topic_clusters"] = _topic_oracle()
+
+
 # ---- extension (r6): robots.txt filtering (RFC 9309 longest-match
 # evaluator) — fake-kernel oracle: rules synthesized so the verdict
 # is directly computable in SQL; the evaluator itself is locked by

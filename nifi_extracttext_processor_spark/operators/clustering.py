@@ -392,3 +392,103 @@ def semantic_dedup_incremental_sql(
         f"AND a.vid < b.vid WHERE round({ndot}, 6) >= {threshold!r})\n"
         f"SELECT vid AS {id_col}, cluster FROM ba "
         f"WHERE vid NOT IN (SELECT vid FROM dom) ORDER BY {id_col}")
+
+
+# ---------------------------------------------------------------------------
+# topic discovery: hashed-TF -> k-means -> distinctive terms per cluster
+# ---------------------------------------------------------------------------
+
+def topic_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    top_n: int = 5,
+) -> DataFrame:
+    """Corpus topic discovery with zero external models: hashed-TF
+    vectors (text_analysis.hashed_tf_embedding) → deterministic
+    k-means assignment (kmeans_embeddings) → the `top_n` most
+    DISTINCTIVE terms per cluster, scored cluster-level TF-IDF style:
+    score = count_in_cluster · ln(k / n_clusters_containing_term),
+    round-6 (terms present in every cluster score 0 and fall away —
+    stopwords eliminate themselves). Output (cluster, term, cnt,
+    score, rk).
+
+    Plan: one fit (driver-side centroids, broadcast back as
+    literals), assignment is a narrow projection; term counting is
+    one explode + two map-side-combinable aggs; the final rank is a
+    per-cluster window over ≤ |vocab| rows. Every stage reuses the
+    exact conventions of its standalone op, so the DuckDB twin
+    (topic_clusters_sql) replays the whole composition."""
+    from .text_analysis import hashed_tf_embedding
+
+    tf = hashed_tf_embedding(docs, id_col=id_col, text_col=text_col,
+                             dim=dim)
+    assigned = kmeans_embeddings(tf, id_col=id_col,
+                                 vec_col="embedding", k=k,
+                                 iters=iters)
+    toks = (docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("term"))
+        .filter(F.length("term") > 0))
+    ct = (toks.join(assigned, id_col)
+          .groupBy("cluster", "term")
+          .agg(F.count("*").alias("cnt")))
+    df_t = ct.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = (ct.join(df_t, "term")
+              .withColumn("score", F.round(
+                  F.col("cnt")
+                  * F.log(F.lit(float(k)) / F.col("df_t")), 6)))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("cluster")
+         .orderBy(F.desc("score"), F.asc("term")))
+    return (scored
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= top_n)
+            .select("cluster", "term", "cnt", "score",
+                    F.col("rk").cast("long").alias("rk")))
+
+
+def topic_clusters_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    top_n: int = 5,
+) -> str:
+    """DuckDB twin of topic_clusters: the hashed-TF query feeds the
+    unrolled kmeans replay as a FROM-subquery, then the same
+    count/df/score/rank chain."""
+    from .text_analysis import hashed_tf_embedding_sql
+
+    tf = hashed_tf_embedding_sql(table=table, id_col=id_col,
+                                 text_col=text_expr, dim=dim)
+    ctes, af = _kmeans_ctes(f"({tf})", id_col, "embedding", k,
+                            iters, dim)
+    return f"""
+{ctes},
+toks AS (
+  SELECT {id_col}, t.term AS term
+  FROM {table}, unnest(string_split_regex(lower(trim({text_expr})),
+                                          '\\s+')) AS t(term)
+  WHERE len(t.term) > 0),
+ct AS (
+  SELECT a.cluster, t.term, count(*) AS cnt
+  FROM toks t JOIN {af} a ON a.vid = t.{id_col}
+  GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df_t FROM ct GROUP BY term),
+scored AS (
+  SELECT c.cluster, c.term, c.cnt,
+         round(c.cnt * ln({k}.0 / d.df_t), 6) AS score
+  FROM ct c JOIN dft d USING (term)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+            ORDER BY score DESC, term ASC) AS rk
+  FROM scored)
+SELECT cluster, term, cnt, score, rk FROM ranked WHERE rk <= {top_n}
+"""

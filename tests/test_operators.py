@@ -5045,3 +5045,59 @@ class TestShardReviewFixes:
         # and a doc's shard is the same in both batches' layout
         back = spark.read.parquet(path)
         assert back.count() == 300
+
+
+class TestTopicClusters:
+    def test_separable_corpora_and_duckdb_parity(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            topic_clusters, topic_clusters_sql,
+        )
+        rows = []
+        for i in range(12):
+            rows.append((i, "football match goal striker keeper pitch"))
+        for i in range(12, 24):
+            rows.append((i, "tensor gradient training epoch loss model"))
+        rows.append((99, None))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = topic_clusters(df, k=2, dim=16, top_n=3).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster"], []).append(r["term"])
+        # two clusters, each dominated by its own vocabulary
+        assert len(by_cluster) == 2
+        vocab = {frozenset(v) for v in by_cluster.values()}
+        sports = {"football", "match", "goal", "striker",
+                  "keeper", "pitch"}
+        ml = {"tensor", "gradient", "training", "epoch",
+              "loss", "model"}
+        for terms in vocab:
+            assert terms <= sports or terms <= ml
+        # full DuckDB replay of the composition
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            topic_clusters_sql(k=2, dim=16, top_n=3)).fetchall())
+        got = sorted((r["cluster"], r["term"], r["cnt"],
+                      r["score"], r["rk"]) for r in out)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:3] == (int(w[0]), w[1], int(w[2]))
+            assert g[3] == __import__("pytest").approx(w[3], abs=2e-6)
+            assert g[4] == int(w[4])
+
+    def test_ubiquitous_terms_score_zero(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            topic_clusters,
+        )
+        rows = ([(i, "common alpha alpha") for i in range(6)]
+                + [(10 + i, "common beta beta") for i in range(6)])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = topic_clusters(df, k=2, dim=8, top_n=2).collect()
+        scores = {r["term"]: r["score"] for r in out}
+        # 'common' appears in both clusters: ln(2/2)=0
+        assert all(s > 0 for t, s in scores.items() if t != "common")
+        assert all(r["term"] != "common" or r["score"] == 0.0
+                   for r in out)
