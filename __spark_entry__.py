@@ -1348,15 +1348,11 @@ def q_topic_clusters(spark, sf):
     return topic_clusters(d, k=4, dim=16, top_n=5)
 
 
-# the oracle references clustering lazily to avoid import order issues
-def _topic_oracle() -> str:
-    from nifi_extracttext_processor_spark.operators.clustering import (
-        topic_clusters_sql,
-    )
-    return topic_clusters_sql(k=4, dim=16, top_n=5)
+from nifi_extracttext_processor_spark.operators.clustering import (  # noqa: E402
+    topic_clusters_sql as _topic_clusters_sql,
+)
 
-
-_ORACLES["topic_clusters"] = _topic_oracle()
+_ORACLES["topic_clusters"] = _topic_clusters_sql(k=4, dim=16, top_n=5)
 
 
 # ---- extension (r6): robots.txt filtering (RFC 9309 longest-match

@@ -411,10 +411,12 @@ def topic_clusters(
     vectors (text_analysis.hashed_tf_embedding) → deterministic
     k-means assignment (kmeans_embeddings) → the `top_n` most
     DISTINCTIVE terms per cluster, scored cluster-level TF-IDF style:
-    score = count_in_cluster · ln(k / n_clusters_containing_term),
-    round-6 (terms present in every cluster score 0 and fall away —
-    stopwords eliminate themselves). Output (cluster, term, cnt,
-    score, rk).
+    score = count_in_cluster · ln(k_eff / n_clusters_containing_term)
+    with k_eff = the number of NON-EMPTY clusters (nominal k would
+    leave a true stopword scoring ln(k/k_eff) > 0 whenever Lloyd
+    leaves clusters empty), round-6 — terms present in every
+    populated cluster score 0 and fall away: stopwords eliminate
+    themselves. Output (cluster, term, cnt, score, rk).
 
     Plan: one fit (driver-side centroids, broadcast back as
     literals), assignment is a narrow projection; term counting is
@@ -438,10 +440,14 @@ def topic_clusters(
           .groupBy("cluster", "term")
           .agg(F.count("*").alias("cnt")))
     df_t = ct.groupBy("term").agg(F.count("*").alias("df_t"))
+    k_eff = ct.select(F.countDistinct("cluster").alias("k_eff"))
     scored = (ct.join(df_t, "term")
+              .crossJoin(F.broadcast(k_eff))
               .withColumn("score", F.round(
                   F.col("cnt")
-                  * F.log(F.lit(float(k)) / F.col("df_t")), 6)))
+                  * F.log(F.col("k_eff").cast("double")
+                          / F.col("df_t")), 6))
+              .drop("k_eff"))
     from pyspark.sql import Window
     w = (Window.partitionBy("cluster")
          .orderBy(F.desc("score"), F.asc("term")))
@@ -482,10 +488,11 @@ ct AS (
   FROM toks t JOIN {af} a ON a.vid = t.{id_col}
   GROUP BY 1, 2),
 dft AS (SELECT term, count(*) AS df_t FROM ct GROUP BY term),
+keff AS (SELECT count(DISTINCT cluster) AS k_eff FROM ct),
 scored AS (
   SELECT c.cluster, c.term, c.cnt,
-         round(c.cnt * ln({k}.0 / d.df_t), 6) AS score
-  FROM ct c JOIN dft d USING (term)),
+         round(c.cnt * ln(e.k_eff::DOUBLE / d.df_t), 6) AS score
+  FROM ct c JOIN dft d USING (term) CROSS JOIN keff e),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY cluster
             ORDER BY score DESC, term ASC) AS rk

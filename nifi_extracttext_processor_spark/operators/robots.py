@@ -71,25 +71,30 @@ class RobotsPolicy:
                     groups.append((cur_agents, cur_rules))
                     cur_agents, cur_rules = [], []
                     seen_rule = False
-                cur_agents.append(value.lower())
+                if value:  # an empty token would match EVERY agent
+                    cur_agents.append(value.lower())
             elif field in ("allow", "disallow"):
                 cur_rules.append((field == "allow", value))
                 seen_rule = True
         if cur_agents or cur_rules:
             groups.append((cur_agents, cur_rules))
-        # group selection: longest user-agent token that is a prefix
-        # of (or contained in) our agent name; '*' as fallback
-        best_len = -1
-        chosen: list[tuple[bool, str]] = []
+        # RFC 9309 §2.2.1: rules of groups sharing a user-agent token
+        # MERGE (plugins append their own '*' blocks); selection takes
+        # the LONGEST token that prefixes our agent name (a robots
+        # token matches the crawler product name, never the reverse —
+        # 'googlebot' must not capture agent 'bot'), '*' as fallback.
+        by_token: dict[str, list[tuple[bool, str]]] = {}
         for agents, rules in groups:
             for a in agents:
-                if a == "*":
-                    if best_len < 0:
-                        chosen = rules
-                elif a in agent or agent in a:
-                    if len(a) > best_len:
-                        best_len = len(a)
-                        chosen = rules
+                by_token.setdefault(a, []).extend(rules)
+        best_tok = None
+        for tok in by_token:
+            if tok != "*" and agent.startswith(tok):
+                if best_tok is None or len(tok) > len(best_tok):
+                    best_tok = tok
+        if best_tok is None and "*" in by_token:
+            best_tok = "*"
+        chosen = by_token.get(best_tok, []) if best_tok else []
         self._rules = [(allow, len(pat), _compile_rule(pat))
                        for allow, pat in chosen]
 
@@ -170,15 +175,18 @@ def filter_by_robots(
 
         for pdf in batches:
             allowed = []
-            for j in range(len(pdf)):
-                pol = policy_for(pdf["__dom"].iloc[j],
-                                 pdf["__robots"].iloc[j])
+            # zip over materialized lists, not per-row .iloc — pandas
+            # scalar indexing costs µs/access and this is the
+            # corpus-sized hot path
+            for dom, txt, u in zip(pdf["__dom"].tolist(),
+                                   pdf["__robots"].tolist(),
+                                   pdf[url_col].tolist()):
+                pol = policy_for(dom, txt)
                 if pol is None:
                     allowed.append(True)
                     continue
                 try:
-                    allowed.append(pol.allows(
-                        pdf[url_col].iloc[j] or ""))
+                    allowed.append(pol.allows(u or ""))
                 except Exception:
                     allowed.append(True)
             out = pdf[out_cols].copy()

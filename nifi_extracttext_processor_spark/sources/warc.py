@@ -364,14 +364,22 @@ def parse_sitemap(data: bytes) -> "list[dict]":
     agnostic (matches on local tag names): real-world sitemaps mix
     default and prefixed namespaces freely. Structural damage raises
     ValueError (fail-closed like the WARC parser)."""
-    import gzip as _gzip
     import xml.etree.ElementTree as ET
 
     if data[:2] == b"\x1f\x8b":
+        # BOUNDED inflate (same posture as _split_gzip_members): the
+        # budget must bind BEFORE the output materializes, or a
+        # crafted ~100 KB bomb expanding to GBs OOMs the task ahead
+        # of any length check
+        d = zlib.decompressobj(wbits=31)
         try:
-            data = _gzip.decompress(data)
-        except (OSError, EOFError) as exc:
+            data = d.decompress(data, MAX_RECORD_BYTES + 1)
+        except zlib.error as exc:
             raise ValueError(f"corrupt sitemap gzip: {exc}") from None
+        if len(data) > MAX_RECORD_BYTES:
+            raise ValueError("sitemap exceeds record budget")
+        if not d.eof:
+            raise ValueError("truncated sitemap gzip")
     if len(data) > MAX_RECORD_BYTES:
         raise ValueError("sitemap exceeds record budget")
     try:

@@ -5101,3 +5101,21 @@ class TestTopicClusters:
         assert all(s > 0 for t, s in scores.items() if t != "common")
         assert all(r["term"] != "common" or r["score"] == 0.0
                    for r in out)
+
+
+class TestTopicClusterReviewFix:
+    def test_stopword_zero_even_with_empty_clusters(self, spark):
+        """k=6 over a 2-topic corpus: Lloyd leaves clusters empty;
+        the ubiquitous term must STILL score 0 (k_eff, not k)."""
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            topic_clusters,
+        )
+        rows = ([(i, "common alpha alpha alpha") for i in range(8)]
+                + [(50 + i, "common beta beta beta")
+                   for i in range(8)])
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = topic_clusters(df, k=6, dim=8, top_n=3).collect()
+        n_clusters = len({r["cluster"] for r in out})
+        for r in out:
+            if r["term"] == "common" and n_clusters > 1:
+                assert r["score"] == 0.0

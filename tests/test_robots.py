@@ -140,3 +140,34 @@ class TestRfc9309Semantics:
                "random garbage line\nDisallow: /x # trail\n")
         assert not robots_allows(txt, "http://x/x1")
         assert robots_allows(txt, "http://x/y")
+
+
+class TestRfc9309ReviewFixes:
+    def test_same_agent_groups_merge(self):
+        # RFC 9309 §2.2.1: two '*' groups combine (plugin-appended
+        # blocks); BOTH Disallow rules must be enforced
+        txt = ("User-agent: *\nDisallow: /a\n\n"
+               "User-agent: *\nDisallow: /b\n")
+        assert not robots_allows(txt, "http://x/a/1")
+        assert not robots_allows(txt, "http://x/b/1")
+        assert robots_allows(txt, "http://x/c")
+        # same-named specific groups merge too
+        txt2 = ("User-agent: goodbot\nDisallow: /a\n\n"
+                "User-agent: goodbot\nDisallow: /b\n")
+        assert not robots_allows(txt2, "http://x/a", agent="goodbot")
+        assert not robots_allows(txt2, "http://x/b", agent="goodbot")
+
+    def test_empty_user_agent_token_skipped(self):
+        txt = ("User-agent:\nDisallow: /\n\n"
+               "User-agent: *\nAllow: /\n")
+        assert robots_allows(txt, "http://x/anything")
+
+    def test_prefix_not_containment_matching(self):
+        # 'googlebot' group must NOT capture agent 'bot'
+        txt = ("User-agent: bot\nAllow: /\n\n"
+               "User-agent: googlebot\nDisallow: /\n")
+        assert robots_allows(txt, "http://x/p", agent="bot")
+        assert not robots_allows(txt, "http://x/p", agent="googlebot")
+        # prefix match: agent 'googlebot-news' selects 'googlebot'
+        assert not robots_allows(txt, "http://x/p",
+                                 agent="googlebot-news")

@@ -311,3 +311,19 @@ class TestSitemaps:
         assert len(rows) == 4
         assert {r["loc"] for r in rows} == {"http://e.x/a",
                                             "http://e.x/b"}
+
+
+class TestSitemapBomb:
+    def test_gzip_bomb_bounded(self):
+        old = W.MAX_RECORD_BYTES
+        W.MAX_RECORD_BYTES = 1 << 20
+        try:
+            bomb = gzip.compress(
+                b"<urlset>" + b"\0" * (8 << 20), mtime=0)
+            try:
+                W.parse_sitemap(bomb)
+                raise AssertionError("bomb should have raised")
+            except ValueError as e:
+                assert "budget" in str(e)
+        finally:
+            W.MAX_RECORD_BYTES = old
