@@ -327,3 +327,45 @@ class TestSitemapBomb:
                 assert "budget" in str(e)
         finally:
             W.MAX_RECORD_BYTES = old
+
+
+class TestIncrementalIngest:
+    def test_second_run_skips_processed_segments(self, spark, tmp_path):
+        seg_dir = tmp_path / "segs"
+        seg_dir.mkdir()
+        out = str(tmp_path / "docs")
+        cat = str(tmp_path / "catalog")
+        (seg_dir / "s1.warc.gz").write_bytes(
+            W.build_wet([("u:1", "first segment doc")]))
+        n1 = W.ingest_warc_incremental(spark, str(seg_dir), out, cat)
+        assert n1 == 1
+        assert spark.read.parquet(out).count() == 1
+        # re-run with nothing new: no-op, no duplicates
+        assert W.ingest_warc_incremental(spark, str(seg_dir), out,
+                                         cat) == 0
+        assert spark.read.parquet(out).count() == 1
+        # add a segment: only it is processed
+        (seg_dir / "s2.warc.gz").write_bytes(
+            W.build_wet([("u:2", "second segment doc"),
+                         ("u:3", "third doc")]))
+        n3 = W.ingest_warc_incremental(spark, str(seg_dir), out, cat)
+        assert n3 == 1
+        texts = sorted(r["text"] for r in
+                       spark.read.parquet(out).collect())
+        assert texts == ["first segment doc", "second segment doc",
+                         "third doc"]
+        assert spark.read.parquet(cat).count() == 2
+
+    def test_transform_hook(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        seg_dir = tmp_path / "s2"
+        seg_dir.mkdir()
+        (seg_dir / "a.warc.gz").write_bytes(W.build_wet(
+            [("u:keep", "kept"), ("u:drop", "dropped")]))
+        out = str(tmp_path / "o2")
+        W.ingest_warc_incremental(
+            spark, str(seg_dir), out, str(tmp_path / "c2"),
+            transform=lambda df: df.filter(
+                F.col("target_uri") == "u:keep"))
+        rows = spark.read.parquet(out).collect()
+        assert [r["text"] for r in rows] == ["kept"]
