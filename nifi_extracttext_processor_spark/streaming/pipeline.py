@@ -511,13 +511,17 @@ def stream_web_corpus(
     langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.5,
     remove_boilerplate: bool = True,
+    normalize: bool = True,
 ):
     """foreachBatch wiring of the web-corpus plan for streaming WARC
-    ingestion: per micro-batch — boilerplate removal → within-batch
-    canonical-URL dedup → lang/quality filters → exact-content dedup
-    against the persisted fingerprint catalog (plans/web_corpus.py
-    stage order) — then append survivors to `output_dir` and their
-    fingerprints to `catalog_dir`.
+    ingestion: per micro-batch — boilerplate removal → normalization
+    (mojibake repair + NFC + cleanup; MUST match the batch plan, or
+    batch and streaming runs fingerprint the SAME content differently
+    and the cross-batch catalog stops deduplicating across the two) →
+    within-batch canonical-URL dedup → lang/quality filters →
+    exact-content dedup against the persisted fingerprint catalog
+    (plans/web_corpus.py stage order) — then append survivors to
+    `output_dir` and their fingerprints to `catalog_dir`.
 
     Cross-batch contracts: content dups are caught across ALL batches
     via the append-only fingerprint catalog (the same no-state-store
@@ -544,6 +548,9 @@ def stream_web_corpus(
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = _records_to_documents(batch_df, remove_boilerplate)
+        if normalize:
+            from ..operators.normalize import normalize_and_clean
+            docs = normalize_and_clean(docs, "text")
         docs = dedup_by_url(docs, id_col="doc_id", url_col="url")
         docs = quality_score(language_id(docs, "text"), "text")
         docs = docs.filter(F.col("lang_pred").isin(list(langs))

@@ -369,3 +369,39 @@ class TestIncrementalIngest:
                 F.col("target_uri") == "u:keep"))
         rows = spark.read.parquet(out).collect()
         assert [r["text"] for r in rows] == ["kept"]
+
+
+class TestStreamNormalizationParity:
+    def test_batch_and_stream_fingerprint_identically(self, spark,
+                                                      tmp_path):
+        """A CRLF copy of a doc already ingested with LF endings must
+        be caught by the fingerprint catalog — only true if streaming
+        normalizes exactly like the batch plan."""
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            read_warc_stream, stream_web_corpus,
+        )
+        doc_lf = ("A clean and useful document that has the right\n"
+                  "length and the words that a quality filter wants\n"
+                  "to see in sentences with enough substance to pass.")
+        doc_crlf = doc_lf.replace("\n", "\r\n")
+        seg_dir = tmp_path / "segs"
+        seg_dir.mkdir()
+        out = str(tmp_path / "o")
+        cat = str(tmp_path / "c")
+
+        def drain():
+            q = (read_warc_stream(spark, str(seg_dir)).writeStream
+                 .foreachBatch(stream_web_corpus(out, cat,
+                                                 min_quality=0.3))
+                 .option("checkpointLocation", str(tmp_path / "chk"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        (seg_dir / "b1.warc.gz").write_bytes(
+            W.build_wet([("u:lf", doc_lf)]))
+        drain()
+        (seg_dir / "b2.warc.gz").write_bytes(
+            W.build_wet([("u:crlf", doc_crlf)]))
+        drain()
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1  # CRLF copy deduped against LF original
