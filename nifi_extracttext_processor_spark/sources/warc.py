@@ -483,7 +483,13 @@ def ingest_warc_incremental(
     new_paths = [r["path"] for r in files.select("path").collect()]
     if not new_paths:
         return 0
-    parsed = parse_warc_df(files)
+    # pin the EXACT file set: re-reading the directory at parse time
+    # could pick up segments that landed after the listing — they
+    # would be ingested but not recorded, and re-ingested (duplicated)
+    # on the next run
+    pinned = (spark.read.format("binaryFile").load(new_paths)
+              .select("path", "content"))
+    parsed = parse_warc_df(pinned)
     if transform is not None:
         parsed = transform(parsed)
     docs = warc_to_documents(parsed)
