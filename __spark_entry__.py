@@ -1036,20 +1036,45 @@ def q_top_terms(spark, sf):
     return ta.top_terms(d, "text", k=20)
 
 
-# ---- extension: document chunking (token windows + overlap) ----
+# Rotation r6-s3 (policy above): warc_roundtrip IN, slot
+# previously chunk_documents (explode-family computation stays
+# driver-exercised via split_lines/sentence_split; its own
+# oracle parity continues in pytest below the window).
+# ---- extension (r6): WARC/WET web-archive source (Common Crawl
+# ingestion shape) — distributed build → gzip-member parse roundtrip
+# through the production reader kernel; registers below the driver
+# window, full DuckDB parity lives in test_oracle_parity ----
 
-@_q("chunk_documents", f"""
-WITH src AS (SELECT doc_id, text FROM documents),
-chunks AS ({ta.chunk_documents_sql('src', 'text',
-                                   max_tokens=64, overlap=8)})
-SELECT doc_id, chunk_no, md5(chunk) AS chunk_md5, n_chunk_tokens
-FROM chunks
+@_q("warc_roundtrip", """
+SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS url,
+       length(coalesce(text, '')) AS n_chars,
+       md5(coalesce(text, '')) AS text_md5
+FROM documents
 """)
-def q_chunk_documents(spark, sf):
+def q_warc_roundtrip(spark, sf):
+    import pandas as pd
+
+    from nifi_extracttext_processor_spark.sources import warc as wsrc
+
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    return (ta.chunk_documents(d, max_tokens=64, overlap=8)
-            .select("doc_id", "chunk_no",
-                    F.md5("chunk").alias("chunk_md5"), "n_chunk_tokens"))
+
+    def _build(batches):
+        # one WET archive (gzip member per record) per Arrow batch —
+        # the write side of a WARC sink, exercised distributed
+        for pdf in batches:
+            blob = wsrc.build_wet(
+                [(f"urn:doc:{i}", t if t is not None else "")
+                 for i, t in zip(pdf["doc_id"], pdf["text"])])
+            yield pd.DataFrame({"path": ["mem://wet"],
+                                "content": [blob]})
+
+    files = d.mapInPandas(_build, "path STRING, content BINARY")
+    parsed = wsrc.parse_warc_df(files)
+    return (wsrc.warc_to_documents(parsed)
+            .select("url",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.md5(F.col("text").cast("binary"))
+                    .alias("text_md5")))
 
 
 # ---- extension: incremental exact dedup against a catalog ----
@@ -1103,12 +1128,20 @@ def q_semantic_dedup(spark, sf):
     return km.unionAll(sd)
 
 
-# ---- extension: document length histogram ----
+# Rotation r6-s3 (second): char_lm_score IN, slot previously
+# length_histogram (group-agg family stays driver-exercised via
+# sql_agg_pricing/top_terms; pytest parity continues below).
+# ---- extension (r6): char n-gram LM quality scoring (the CCNet
+# perplexity-filter shape, corpus-trained, zero-UDF) — below-window,
+# full DuckDB parity in test_oracle_parity ----
 
-@_q("length_histogram", ta.length_histogram_sql("documents", "text"))
-def q_length_histogram(spark, sf):
+from nifi_extracttext_processor_spark.operators import lm as lmod  # noqa: E402
+
+
+@_q("char_lm_score", lmod.char_lm_score_sql(n=3))
+def q_char_lm_score(spark, sf):
     d = _t(spark, sf, "documents")
-    return ta.length_histogram(d, "text")
+    return lmod.char_lm_self_score(d, n=3)
 
 
 # ---- extension: set-to-set k-NN join (exact + LSH-banded) ----
@@ -1247,56 +1280,6 @@ def q_hashed_tf(spark, sf):
     e = ta.hashed_tf_embedding(d, dim=16)
     return e.select("doc_id",
                     F.posexplode("embedding").alias("pos", "val"))
-
-
-# ---- extension (r6): WARC/WET web-archive source (Common Crawl
-# ingestion shape) — distributed build → gzip-member parse roundtrip
-# through the production reader kernel; registers below the driver
-# window, full DuckDB parity lives in test_oracle_parity ----
-
-@_q("warc_roundtrip", """
-SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS url,
-       length(coalesce(text, '')) AS n_chars,
-       md5(coalesce(text, '')) AS text_md5
-FROM documents
-""")
-def q_warc_roundtrip(spark, sf):
-    import pandas as pd
-
-    from nifi_extracttext_processor_spark.sources import warc as wsrc
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-
-    def _build(batches):
-        # one WET archive (gzip member per record) per Arrow batch —
-        # the write side of a WARC sink, exercised distributed
-        for pdf in batches:
-            blob = wsrc.build_wet(
-                [(f"urn:doc:{i}", t if t is not None else "")
-                 for i, t in zip(pdf["doc_id"], pdf["text"])])
-            yield pd.DataFrame({"path": ["mem://wet"],
-                                "content": [blob]})
-
-    files = d.mapInPandas(_build, "path STRING, content BINARY")
-    parsed = wsrc.parse_warc_df(files)
-    return (wsrc.warc_to_documents(parsed)
-            .select("url",
-                    F.col("n_chars").cast("long").alias("n_chars"),
-                    F.md5(F.col("text").cast("binary"))
-                    .alias("text_md5")))
-
-
-# ---- extension (r6): char n-gram LM quality scoring (the CCNet
-# perplexity-filter shape, corpus-trained, zero-UDF) — below-window,
-# full DuckDB parity in test_oracle_parity ----
-
-from nifi_extracttext_processor_spark.operators import lm as lmod  # noqa: E402
-
-
-@_q("char_lm_score", lmod.char_lm_score_sql(n=3))
-def q_char_lm_score(spark, sf):
-    d = _t(spark, sf, "documents")
-    return lmod.char_lm_self_score(d, n=3)
 
 
 # ---- extension (r6): domain blocklist filter (UT1/RefinedWeb-style
@@ -1576,6 +1559,33 @@ def q_normalize_clean(spark, sf):
         "doc_id",
         nrm.clean_text_col(F.coalesce(F.col("text"), F.lit("")))
         .alias("clean_text"))
+
+
+# ---- rotated OUT of the window r6-s3 (mapping recorded in
+# SURVEY); DuckDB parity continues here via test_oracle_parity ----
+
+# ---- extension: document chunking (token windows + overlap) ----
+
+@_q("chunk_documents", f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+chunks AS ({ta.chunk_documents_sql('src', 'text',
+                                   max_tokens=64, overlap=8)})
+SELECT doc_id, chunk_no, md5(chunk) AS chunk_md5, n_chunk_tokens
+FROM chunks
+""")
+def q_chunk_documents(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return (ta.chunk_documents(d, max_tokens=64, overlap=8)
+            .select("doc_id", "chunk_no",
+                    F.md5("chunk").alias("chunk_md5"), "n_chunk_tokens"))
+
+
+# ---- extension: document length histogram ----
+
+@_q("length_histogram", ta.length_histogram_sql("documents", "text"))
+def q_length_histogram(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.length_histogram(d, "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
