@@ -58,6 +58,8 @@ HEADLINE = [
     "semantic_dedup",      # Lloyd iterations + oracle-exact pair prune
     "semantic_dedup_gemm",  # scale-path twin: per-cluster numpy matmul
     "char_lm_score",       # n-gram explode + broadcast LM + partial agg
+    "web_corpus_prep",     # composed pipeline: normalize kernel +
+                           # filters + LM + exact dedup + token stats
 ]
 
 
@@ -109,11 +111,21 @@ def _q_semantic_dedup_gemm(spark, sf_dir):
     return semantic_dedup(e, threshold=0.4, method="gemm")
 
 
+def _q_web_corpus_prep(spark, sf_dir):
+    from nifi_extracttext_processor_spark.plans.web_corpus import (
+        prepare_web_corpus,
+    )
+    from nifi_extracttext_processor_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_web_corpus(docs, min_quality=0.3)
+
+
 LOCAL = {
     "asof_plain": _q_asof_plain,
     "asof_bucketed": _q_asof_bucketed,
     "sessionize_bucketed": _q_sessionize_bucketed,
     "semantic_dedup_gemm": _q_semantic_dedup_gemm,
+    "web_corpus_prep": _q_web_corpus_prep,
 }
 
 
