@@ -106,7 +106,9 @@ def prepare_web_corpus(
     # agg, vocab collect, score explode, join/dedup branch) — without
     # a cache every document would be re-parsed and re-normalized per
     # traversal
-    out = out.cache()
+    from ..operators.lifecycle import track_persist
+    out = track_persist(out)  # lifecycle-tracked so bench/driver
+    # release_all() can free it between queries
     counts, ctx, vocab = train_char_lm(
         lm_reference if lm_reference is not None else out,
         "text", n=lm_n)

@@ -38,3 +38,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_catalog(spark: SparkSession, path: str,
+                 cols: "tuple[str, ...] | None" = None):
+    """Read an append-only parquet catalog, or return None when the
+    path does not exist (first run). Existence is checked through the
+    Hadoop FileSystem API — works for local paths, HDFS and object
+    stores alike — so that ONLY genuine absence bootstraps: a broad
+    `except AnalysisException` would also swallow a corrupt or
+    mis-schemaed catalog and silently re-process the whole corpus.
+    Corruption therefore propagates as an error, which is the safe
+    behavior for a dedup/progress catalog."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    df = spark.read.parquet(path)
+    return df.select(*cols) if cols else df

@@ -453,33 +453,33 @@ def ingest_warc_incremental(
     transform=None,
 ) -> int:
     """Idempotent batch ingestion: parse only segments whose path is
-    NOT in the processed-path catalog, append their documents to
-    `output_dir`, then record the paths. Returns the number of NEW
+    NOT in the processed-path catalog, land their documents under
+    `output_dir` PARTITIONED BY SEGMENT with dynamic partition
+    overwrite, then record the paths. Returns the number of NEW
     segments processed.
 
-    The restart/backfill story batch crawls need: a failed or
-    repeated run never double-ingests a segment (the same append-only
-    catalog posture as the dedup fingerprint catalogs — no state
-    inside Spark). `transform` (DataFrame → DataFrame) runs over the
-    parsed records of the new segments before the document
-    projection — plug prepare-web-corpus stages here or post-process
-    the output dir.
-
-    Scale: the catalog holds one row per segment (~80k/crawl — tiny);
-    the anti-join is a broadcast against the file listing, and
-    everything downstream touches only new segments."""
-    from pyspark.errors import AnalysisException
+    Idempotency does NOT rest on the two writes being atomic (they
+    are not): documents are written to a per-segment partition
+    (`segment=<xxhash64(path)>`) in dynamic-overwrite mode, so a
+    failure between the docs write and the catalog append makes the
+    next run RE-OVERWRITE exactly those partitions instead of
+    appending duplicates. The catalog (one row per segment —
+    ~80k/crawl, tiny) is read through tables.read_catalog, which
+    bootstraps ONLY on genuine absence; a corrupt catalog raises
+    instead of silently re-ingesting the corpus. `transform`
+    (DataFrame → DataFrame over the parsed records) plugs pipeline
+    stages in before the document projection."""
     from pyspark.sql import functions as F
+
+    from .tables import read_catalog
 
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(segments_path).select("path", "content")
-    try:
-        done = spark.read.parquet(catalog_dir).select("path")
+    done = read_catalog(spark, catalog_dir, ("path",))
+    if done is not None:
         files = files.join(F.broadcast(done), "path", "left_anti")
-    except AnalysisException:
-        pass  # first run: no catalog yet
     new_paths = [r["path"] for r in files.select("path").collect()]
     if not new_paths:
         return 0
@@ -489,11 +489,21 @@ def ingest_warc_incremental(
     # on the next run
     pinned = (spark.read.format("binaryFile").load(new_paths)
               .select("path", "content"))
-    parsed = parse_warc_df(pinned)
+    parsed = parse_warc_df(pinned).withColumn(
+        "segment", F.hex(F.xxhash64("path")))
     if transform is not None:
         parsed = transform(parsed)
-    docs = warc_to_documents(parsed)
-    docs.write.mode("append").parquet(output_dir)
+    docs = (parsed
+            .filter(F.col("text").isNotNull())
+            .select(F.xxhash64("record_id", "target_uri", "text")
+                    .alias("doc_id"),
+                    F.col("target_uri").alias("url"),
+                    "text",
+                    F.length("text").alias("n_chars"),
+                    "segment"))
+    (docs.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("segment").parquet(output_dir))
     (spark.createDataFrame([(p,) for p in new_paths], "path string")
      .write.mode("append").parquet(catalog_dir))
     return len(new_paths)

@@ -462,17 +462,14 @@ def stream_semantic_dedup(
     For stable geometry across many batches, freeze centroids after
     the catalog is large enough and pass them via functools.partial
     (re-fitting each batch re-clusters the WHOLE catalog)."""
-    from pyspark.errors import AnalysisException
-
     from ..operators.clustering import semantic_dedup_incremental
+    from ..sources.tables import read_catalog
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         vec = batch_df.select(id_col, vec_col)
-        try:
-            catalog = spark.read.parquet(catalog_dir) \
-                .select(id_col, vec_col)
-        except AnalysisException:   # first batch: no catalog yet
+        catalog = read_catalog(spark, catalog_dir, (id_col, vec_col))
+        if catalog is None:   # first batch: no catalog yet
             catalog = vec.limit(0)
         kept = semantic_dedup_incremental(
             vec, catalog, id_col=id_col, vec_col=vec_col,
@@ -533,17 +530,22 @@ def stream_web_corpus(
     scores batch-dependent — train once on a reference corpus and add
     `lm_score` into the transform if needed.
 
+    MIGRATION: fingerprints are computed over the NORMALIZED text,
+    so changing `normalize` (or upgrading from a version that did not
+    normalize) invalidates an existing fingerprint catalog — rebuild
+    it (re-fingerprint output_dir) or pass normalize=False to stay
+    byte-compatible with a legacy catalog.
+
     Returns the foreachBatch callable — attach with
     ``read_warc_stream(...).writeStream.foreachBatch(...)``.
     """
-    from pyspark.errors import AnalysisException
-
     from ..operators.dedup import dedup_exact_incremental
     from ..operators.text_analysis import (
         dedup_by_url, fingerprint, language_id, quality_score,
         token_stats,
     )
     from ..plans.web_corpus import _records_to_documents
+    from ..sources.tables import read_catalog
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -555,10 +557,8 @@ def stream_web_corpus(
         docs = quality_score(language_id(docs, "text"), "text")
         docs = docs.filter(F.col("lang_pred").isin(list(langs))
                            & (F.col("quality") >= min_quality))
-        try:
-            catalog = spark.read.parquet(catalog_dir) \
-                .select("fingerprint")
-        except AnalysisException:   # first batch bootstraps
+        catalog = read_catalog(spark, catalog_dir, ("fingerprint",))
+        if catalog is None:   # first batch bootstraps; corrupt raises
             catalog = (docs.select(F.md5("text").alias("fingerprint"))
                        .limit(0))
         kept = dedup_exact_incremental(docs, catalog,

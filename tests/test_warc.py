@@ -405,3 +405,51 @@ class TestStreamNormalizationParity:
         drain()
         rows = spark.read.parquet(out).collect()
         assert len(rows) == 1  # CRLF copy deduped against LF original
+        # CROSS-PATH assertion: the batch plan must normalize the
+        # CRLF copy to the exact text the streaming path landed —
+        # this is what keeps batch and streaming fingerprints equal
+        from nifi_extracttext_processor_spark.plans.web_corpus import (
+            prepare_web_corpus,
+        )
+        batch_docs = spark.createDataFrame(
+            [(1, "u:crlf", doc_crlf)],
+            "doc_id long, url string, text string")
+        (b,) = (prepare_web_corpus(batch_docs, min_quality=0.3)
+                .select("text").collect())
+        assert b["text"] == rows[0]["text"]
+
+
+class TestIngestReviewFixes:
+    def test_crash_between_writes_is_idempotent(self, spark, tmp_path):
+        """Simulate a failure AFTER the docs write but BEFORE the
+        catalog append (delete the catalog): the re-run must
+        re-overwrite the segment partition, not append duplicates."""
+        import shutil
+        seg_dir = tmp_path / "segs"
+        seg_dir.mkdir()
+        out = str(tmp_path / "o")
+        cat = str(tmp_path / "c")
+        (seg_dir / "s1.warc.gz").write_bytes(
+            W.build_wet([("u:1", "doc one"), ("u:2", "doc two")]))
+        assert W.ingest_warc_incremental(spark, str(seg_dir), out,
+                                         cat) == 1
+        shutil.rmtree(cat)  # catalog write "failed"
+        assert W.ingest_warc_incremental(spark, str(seg_dir), out,
+                                         cat) == 1
+        texts = sorted(r["text"] for r in
+                       spark.read.parquet(out).collect())
+        assert texts == ["doc one", "doc two"]  # no duplicates
+
+    def test_corrupt_catalog_raises_not_reingests(self, spark,
+                                                  tmp_path):
+        seg_dir = tmp_path / "segs2"
+        seg_dir.mkdir()
+        (seg_dir / "s.warc.gz").write_bytes(
+            W.build_wet([("u:x", "a doc")]))
+        cat = tmp_path / "cat2"
+        cat.mkdir()
+        (cat / "part-00000.parquet").write_bytes(b"not parquet")
+        import pytest as pt
+        with pt.raises(Exception):
+            W.ingest_warc_incremental(
+                spark, str(seg_dir), str(tmp_path / "o2"), str(cat))
