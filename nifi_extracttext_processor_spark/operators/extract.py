@@ -265,6 +265,11 @@ def extract_main_content(
     Adds `out_col` (the GOOD-block text, '' when nothing survives)
     and, when `compute_ratio`, `{out_col}_ratio` (main/total text
     fraction — a per-document boilerplate metric worth filtering on).
+    `content_col` may be BINARY (raw bytes, decoded utf-8→latin-1
+    fallback) or STRING (already-decoded HTML — preferred when an
+    upstream parser honored the page's declared charset, e.g. the
+    WARC reader's `text` column; re-decoding payload bytes here
+    would mojibake Shift_JIS/cp1251 pages).
     The ratio costs a SECOND full HTML parse per document
     (html_to_text for the denominator) — pass compute_ratio=False
     when the column would be dropped (plans/web_corpus.py does).
@@ -287,7 +292,12 @@ def extract_main_content(
             pdf = pdf.copy()
             mains, ratios = [], []
             for b in pdf[content_col]:
-                raw = bytes(b) if b is not None else b""
+                if b is None:
+                    raw: bytes | str = b""
+                elif isinstance(b, str):
+                    raw = b  # pre-decoded text — trust it
+                else:
+                    raw = bytes(b)
                 main = html_main_content(raw)
                 mains.append(main)
                 if compute_ratio:

@@ -903,9 +903,13 @@ _URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#@]*@)?([^/?#:]*)"
 
 def url_host(url: Column | str) -> Column:
     """Lowercased host of a URL ('' for scheme-less strings);
-    userinfo and port stripped. Pure built-ins."""
+    userinfo and port stripped. Leading/trailing dots are stripped
+    too: a fully-qualified 'sub.spam.test.' is the same DNS host as
+    'sub.spam.test', and keeping the dot would let that spelling slip
+    past suffix-equality blocklist/robots joins. Pure built-ins."""
     u = F.trim(F.col(url) if isinstance(url, str) else url)
-    return F.lower(F.regexp_extract(u, _URL_HOST_RE, 2))
+    h = F.lower(F.regexp_extract(u, _URL_HOST_RE, 2))
+    return F.regexp_replace(h, r"^\.+|\.+$", "")
 
 
 def filter_blocked_domains(
@@ -952,8 +956,8 @@ def filter_blocked_domains_sql(
     keep_blocked: bool = False,
 ) -> str:
     """DuckDB twin of filter_blocked_domains over an inline blocklist."""
-    host = (f"lower(regexp_extract(trim({url_expr}), "
-            f"'{_URL_HOST_RE}', 2))")
+    host = (f"regexp_replace(lower(regexp_extract(trim({url_expr}), "
+            f"'{_URL_HOST_RE}', 2)), '^\\.+|\\.+$', '', 'g')")
     vals = ", ".join("('" + d.replace("'", "''") + "')"
                      for d in blocked_values)
     op = "IN" if keep_blocked else "NOT IN"

@@ -57,8 +57,13 @@ def _records_to_documents(parsed: DataFrame,
         is_html = (
             (F.col("warc_type") == "response")
             & F.col("text").isNotNull())
+        # classify the ALREADY-DECODED text, not the raw payload: the
+        # WARC parser honored the page's charset= (Shift_JIS, cp1251,
+        # ...) when producing `text`; re-decoding payload bytes with a
+        # utf-8→latin-1 fallback would classify mojibake and replace
+        # correct text with garbled main_text
         html = extract_main_content(
-            parsed.filter(is_html), content_col="payload",
+            parsed.filter(is_html), content_col="text",
             compute_ratio=False)  # ratio would be dropped; skip its
         # second full HTML parse in the hottest kernel
         html = html.withColumn(

@@ -147,7 +147,65 @@ def _parse_http_response(block: bytes) -> tuple[int | None, dict, bytes]:
         if ":" in ln:
             k, v = ln.split(":", 1)
             headers[k.strip().lower()] = v.strip()
-    return status, headers, block[hdr_end + 4:]
+    payload = _decode_transfer(block[hdr_end + 4:], headers)
+    return status, headers, payload
+
+
+def _dechunk(payload: bytes) -> bytes:
+    """Reassemble a chunked Transfer-Encoding body (RFC 9112 §7.1):
+    hex-size line, chunk bytes, CRLF, ... until a 0-size chunk.
+    Raises ValueError on malformed framing (caller falls back to the
+    raw bytes) and bounds total output at MAX_RECORD_BYTES."""
+    out = bytearray()
+    pos = 0
+    n = len(payload)
+    while True:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing size line")
+        size_tok = payload[pos:eol].split(b";", 1)[0].strip()
+        size = int(size_tok, 16)  # ValueError on junk → fallback
+        if size < 0 or len(out) + size > MAX_RECORD_BYTES:
+            raise ValueError("chunked body exceeds record bound")
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers, if any, are discarded
+        if pos + size > n:
+            raise ValueError("chunked body truncated")
+        out += payload[pos:pos + size]
+        pos += size
+        if payload[pos:pos + 2] != b"\r\n":
+            raise ValueError("chunked body: missing chunk CRLF")
+        pos += 2
+
+
+def _decode_transfer(payload: bytes, headers: dict[str, str]) -> bytes:
+    """Undo transfer/content codings real Common Crawl response
+    records carry: chunked Transfer-Encoding framing, then
+    gzip/x-gzip/deflate Content-Encoding (bounded inflate). Anything
+    we cannot decode (br, malformed streams) falls back to the bytes
+    we have — crawl data is dirty; never fail the task over one
+    page."""
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        try:
+            payload = _dechunk(payload)
+        except ValueError:
+            pass
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip", "deflate"):
+        # wbits: 47 auto-detects zlib or gzip wrapping; raw deflate
+        # (some servers send it despite the RFC) needs -15 — try both.
+        for wbits in (47, -15):
+            d = zlib.decompressobj(wbits=wbits)
+            try:
+                out = d.decompress(payload, MAX_RECORD_BYTES + 1)
+                if len(out) > MAX_RECORD_BYTES:
+                    break  # bomb — keep compressed bytes, fail closed
+                return out
+            except zlib.error:
+                continue
+    return payload
 
 
 def _decode_charset(payload: bytes, content_type: str | None) -> str:
@@ -160,7 +218,12 @@ def _decode_charset(payload: bytes, content_type: str | None) -> str:
         try:
             io.TextIOWrapper(io.BytesIO(b""), encoding=cand)
             enc = cand
-        except LookupError:
+        except (LookupError, ValueError):
+            # LookupError: unknown codec name. ValueError: names the
+            # codec machinery rejects outright, e.g. an embedded NUL
+            # ("utf-8\x00") — reachable because HTTP headers are
+            # latin-1-decoded crawl bytes. Either way one hostile page
+            # must not fail the task (errors-replace posture).
             pass
     return payload.decode(enc, "replace")
 
@@ -272,10 +335,16 @@ def build_response_record(
     payload: bytes,
     status: int = 200,
     http_content_type: str = "text/html; charset=utf-8",
+    extra_http_headers: "dict[str, str] | None" = None,
 ) -> bytes:
-    """Serialize a `response` record wrapping an HTTP/1.1 message."""
+    """Serialize a `response` record wrapping an HTTP/1.1 message.
+    `extra_http_headers` lets fixtures carry transfer/content codings
+    (Content-Encoding, Transfer-Encoding, ...)."""
+    extras = "".join(f"{k}: {v}\r\n"
+                     for k, v in (extra_http_headers or {}).items())
     http = (f"HTTP/1.1 {status} OK\r\n"
             f"Content-Type: {http_content_type}\r\n"
+            f"{extras}"
             f"Content-Length: {len(payload)}\r\n\r\n"
             ).encode("latin-1") + payload
     return build_warc_record(

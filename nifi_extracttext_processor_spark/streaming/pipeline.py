@@ -517,8 +517,21 @@ def stream_web_corpus(
     and the cross-batch catalog stops deduplicating across the two) →
     within-batch canonical-URL dedup → lang/quality filters →
     exact-content dedup against the persisted fingerprint catalog
-    (plans/web_corpus.py stage order) — then append survivors to
-    `output_dir` and their fingerprints to `catalog_dir`.
+    (plans/web_corpus.py stage order) — then land survivors under
+    `output_dir` and their fingerprints under `catalog_dir`, BOTH
+    partitioned by `batch=<batch_id>` in dynamic-partition-overwrite
+    mode (the same crash-idempotency construction as
+    ingest_warc_incremental): foreachBatch is at-least-once, so a
+    replayed batch must overwrite its own partition instead of
+    appending the same documents twice. The two replay windows both
+    converge — output committed but fingerprints not: the replay
+    recomputes the identical survivor set (file-source batches are
+    deterministic per batch_id) and re-overwrites both partitions;
+    output AND fingerprints committed but the checkpoint not: the
+    replayed rows all dedup out against their own fingerprints, the
+    empty write touches no partitions, and the first run's data
+    stands. Downstream readers see `batch` as an extra partition
+    column (as the batch path sees `segment`).
 
     Cross-batch contracts: content dups are caught across ALL batches
     via the append-only fingerprint catalog (the same no-state-store
@@ -565,9 +578,15 @@ def stream_web_corpus(
                                        id_col="doc_id",
                                        text_col="text")
         kept = token_stats(kept, "text").localCheckpoint(eager=True)
-        kept.write.mode("append").parquet(output_dir)
+        kept = kept.withColumn("batch", F.lit(int(batch_id)))
+        (kept.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(output_dir))
         (fingerprint(kept.select("doc_id", "text"), "text")
          .select("fingerprint")
-         .write.mode("append").parquet(catalog_dir))
+         .withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(catalog_dir))
 
     return _batch

@@ -20,6 +20,8 @@ ROWS = [
     (6, "not a url at all"),
     (7, "http://user:pw@spam.test:8080/auth"),  # userinfo + port
     (8, None),
+    (9, "http://sub.spam.test./page"),  # FQDN trailing dot — same
+    # DNS host as sub.spam.test; must NOT bypass the blocklist
 ]
 BLOCKED = ["spam.test", "ads.example"]
 
@@ -45,13 +47,24 @@ class TestFilter:
         hit = {r["doc_id"] for r in
                filter_blocked_domains(frame, blocklist,
                                       keep_blocked=True).collect()}
-        assert hit == {1, 2, 7}
+        assert hit == {1, 2, 7, 9}
 
     def test_url_host(self, spark):
         df = spark.createDataFrame(
             [(1, "HTTPS://User@Ex.ORG:443/Path")], "i long, u string")
         (r,) = df.select(url_host("u").alias("h")).collect()
         assert r["h"] == "ex.org"
+
+    def test_url_host_strips_trailing_dot(self, spark):
+        # 'ex.org.' is the same DNS host as 'ex.org' — a kept dot
+        # would bypass every suffix-equality governance join
+        df = spark.createDataFrame(
+            [(1, "http://Ex.ORG./p"), (2, "http://.ex.org/p")],
+            "i long, u string")
+        got = [r["h"] for r in
+               df.select(url_host("u").alias("h"))
+                 .orderBy("i").collect()]
+        assert got == ["ex.org", "ex.org"]
 
     def test_plan_broadcast_no_udf(self, frame, blocklist):
         out = filter_blocked_domains(frame, blocklist)

@@ -49,6 +49,8 @@ def frames(spark):
         (4, "http://b.example/anything"),
         (5, "http://norobots.example/page"),
         (6, None),
+        (7, "http://a.example./private/dot.html"),  # FQDN trailing
+        # dot — same DNS host as a.example; must hit its robots too
     ], "doc_id long, url string")
     robots = spark.createDataFrame([
         ("a.example", ROBOTS_A),
@@ -64,7 +66,7 @@ class TestFilter:
                 filter_by_robots(docs, robots).collect()}
         # 2 disallowed, 4 disallowed-for-*, others kept (incl. no
         # robots entry and NULL url)
-        assert kept == {1, 3, 5, 6}
+        assert kept == {1, 3, 5, 6}  # 7: trailing-dot host disallowed
 
     def test_agent_override(self, frames):
         docs, robots = frames
@@ -78,7 +80,7 @@ class TestFilter:
         hit = {r["doc_id"] for r in
                filter_by_robots(docs, robots,
                                 keep_disallowed=True).collect()}
-        assert hit == {2, 4}
+        assert hit == {2, 4, 7}
 
     def test_schema_passthrough(self, frames):
         docs, robots = frames

@@ -228,6 +228,87 @@ class TestStreamingIngest:
         assert spark.read.parquet(cat_dir).count() == 2
 
 
+class TestStreamReplayIdempotent:
+    """Round-7 review fix: foreachBatch is at-least-once — replaying
+    a batch (same batch_id) must overwrite its own `batch=` partition
+    in both output and fingerprint catalog, not append duplicates."""
+
+    GOOD = ("This is a clean and useful document that has the right "
+            "length and the words that a quality filter wants to see "
+            "in a sentence with enough substance to pass the gates.")
+
+    def _batch_df(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.sources.warc import (
+            parse_warc_df,
+        )
+        seg = tmp_path / "seg.warc.gz"
+        seg.write_bytes(W.build_wet([("http://a.example/1",
+                                      self.GOOD)]))
+        files = (spark.read.format("binaryFile")
+                 .load(str(seg)).select("path", "modificationTime",
+                                        "length", "content"))
+        return parse_warc_df(files)
+
+    def test_full_replay_no_duplicates(self, spark, tmp_path):
+        # replay window 2: output AND fingerprints committed, but the
+        # checkpoint was not — the rerun's rows all dedup out and the
+        # first run's data stands
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_web_corpus,
+        )
+        out, cat = str(tmp_path / "o"), str(tmp_path / "c")
+        fn = stream_web_corpus(out, cat, min_quality=0.3)
+        bdf = self._batch_df(spark, tmp_path)
+        fn(bdf, 0)
+        fn(bdf, 0)  # at-least-once replay
+        rows = spark.read.parquet(out).collect()
+        assert [r["text"] for r in rows] == [self.GOOD]
+        assert spark.read.parquet(cat).count() == 1
+
+    def test_crash_between_writes_replay(self, spark, tmp_path):
+        # replay window 1: output committed, fingerprint write lost —
+        # the rerun recomputes the same survivors and re-overwrites
+        # the batch partition instead of appending
+        import shutil
+
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_web_corpus,
+        )
+        out, cat = str(tmp_path / "o"), str(tmp_path / "c")
+        fn = stream_web_corpus(out, cat, min_quality=0.3)
+        bdf = self._batch_df(spark, tmp_path)
+        fn(bdf, 0)
+        shutil.rmtree(cat)  # simulate the crash window
+        fn(bdf, 0)
+        rows = spark.read.parquet(out).collect()
+        assert [r["text"] for r in rows] == [self.GOOD]
+        assert spark.read.parquet(cat).count() == 1
+
+    def test_distinct_batches_still_accumulate(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_web_corpus,
+        )
+        other = ("Another perfectly reasonable article of adequate "
+                 "length that the filters should keep, with the "
+                 "usual mix of common words that the quality and "
+                 "language checks look for in real prose.")
+        out, cat = str(tmp_path / "o"), str(tmp_path / "c")
+        fn = stream_web_corpus(out, cat, min_quality=0.3)
+        fn(self._batch_df(spark, tmp_path), 0)
+        from nifi_extracttext_processor_spark.sources.warc import (
+            parse_warc_df,
+        )
+        seg2 = tmp_path / "seg2.warc.gz"
+        seg2.write_bytes(W.build_wet([("http://b.example/2", other)]))
+        files2 = (spark.read.format("binaryFile").load(str(seg2))
+                  .select("path", "modificationTime", "length",
+                          "content"))
+        fn(parse_warc_df(files2), 1)
+        texts = sorted(r["text"]
+                       for r in spark.read.parquet(out).collect())
+        assert texts == sorted([self.GOOD, other])
+
+
 class TestReviewFixes:
     def test_xhtml_response_gets_text(self):
         rec = W.build_response_record(
@@ -263,6 +344,84 @@ class TestReviewFixes:
         dt = time.perf_counter() - t0
         assert n == 4000
         assert dt < 2.0, f"gzip member walk too slow: {dt:.2f}s"
+
+
+class TestTransferCodings:
+    """Round-7 review fixes: hostile charset values and HTTP
+    transfer/content codings real Common Crawl records carry."""
+
+    def test_charset_with_embedded_nul_does_not_raise(self):
+        # codec names with a NUL make io.TextIOWrapper raise
+        # ValueError (not LookupError); one hostile page must not
+        # fail the task — fall back to utf-8
+        rec = W.build_response_record(
+            "u:evil", b"hello world",
+            http_content_type="text/html; charset=utf-8\x00")
+        (r,) = W.parse_warc(rec)
+        assert r["text"] == "hello world"
+
+    def test_content_encoding_gzip_inflated(self):
+        body = "<p>compressed café</p>".encode()
+        rec = W.build_response_record(
+            "u:gz", gzip.compress(body, mtime=0),
+            extra_http_headers={"Content-Encoding": "gzip"})
+        (r,) = W.parse_warc(rec)
+        assert "compressed café" in r["text"]
+
+    def test_content_encoding_deflate_both_wrappings(self):
+        import zlib
+        for enc in (zlib.compress(b"deflate text"),       # zlib-wrapped
+                    zlib.compress(b"deflate text")[2:-4]):  # raw
+            rec = W.build_response_record(
+                "u:df", enc, http_content_type="text/plain",
+                extra_http_headers={"Content-Encoding": "deflate"})
+            (r,) = W.parse_warc(rec)
+            assert r["text"] == "deflate text"
+
+    def test_chunked_transfer_encoding_reassembled(self):
+        chunks = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+        rec = W.build_response_record(
+            "u:ch", chunks, http_content_type="text/plain",
+            extra_http_headers={"Transfer-Encoding": "chunked"})
+        (r,) = W.parse_warc(rec)
+        assert r["text"] == "hello world"
+
+    def test_chunked_then_gzip(self):
+        inner = gzip.compress(b"both codings", mtime=0)
+        chunks = (hex(len(inner))[2:].encode() + b"\r\n" + inner
+                  + b"\r\n0\r\n\r\n")
+        rec = W.build_response_record(
+            "u:cg", chunks, http_content_type="text/plain",
+            extra_http_headers={"Transfer-Encoding": "chunked",
+                                "Content-Encoding": "gzip"})
+        (r,) = W.parse_warc(rec)
+        assert r["text"] == "both codings"
+
+    def test_malformed_codings_fall_back_to_raw(self):
+        # broken chunk framing / unknown coding (br) / corrupt gzip:
+        # keep the bytes we have, never raise
+        cases = [
+            (b"not chunked", {"Transfer-Encoding": "chunked"}),
+            (b"brotli bytes", {"Content-Encoding": "br"}),
+            (b"\x1f\x8bcorrupt", {"Content-Encoding": "gzip"}),
+        ]
+        for payload, hdrs in cases:
+            rec = W.build_response_record(
+                "u:bad", payload, http_content_type="text/plain",
+                extra_http_headers=hdrs)
+            (r,) = W.parse_warc(rec)
+            assert r["payload"] == payload, hdrs
+
+    def test_gzip_bomb_in_content_encoding_fails_closed(self):
+        # a tiny gzip member inflating past MAX_RECORD_BYTES must not
+        # be materialized — the compressed bytes are kept as-is
+        bomb = gzip.compress(b"\x00" * (W.MAX_RECORD_BYTES + 100))
+        assert len(bomb) < 1 << 20
+        rec = W.build_response_record(
+            "u:bomb", bomb, http_content_type="text/plain",
+            extra_http_headers={"Content-Encoding": "gzip"})
+        (r,) = W.parse_warc(rec)
+        assert r["payload"] == bomb
 
 
 class TestSitemaps:

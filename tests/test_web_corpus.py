@@ -62,6 +62,26 @@ class TestWarcToDocuments:
                  if r["url"] == "http://site.example/story"][0]
         assert "Home" in story["text"]
 
+    def test_non_utf8_charset_survives_boilerplate(self, spark,
+                                                   tmp_path):
+        """Round-7 review fix: the boilerplate classifier must run on
+        the charset-decoded text the WARC parser produced, NOT on a
+        utf-8/latin-1 re-decode of the raw payload — a Shift_JIS page
+        would otherwise land mojibake main_text."""
+        jp = ("日本語の記事本文です。" * 8
+              + "この段落は十分に長く、本文として分類されます。")
+        page = (f"<html><body><nav><a href='/'>ホーム</a></nav>"
+                f"<article><p>{jp}</p></article></body></html>")
+        rec = W.build_response_record(
+            "http://jp.example/story", page.encode("shift_jis"),
+            http_content_type="text/html; charset=shift_jis")
+        d = tmp_path / "segs"
+        d.mkdir()
+        (d / "jp.warc.gz").write_bytes(gzip.compress(rec, mtime=0))
+        (r,) = wc.warc_segments_to_documents(spark, str(d)).collect()
+        assert jp in r["text"]
+        assert "�" not in r["text"]
+
 
 class TestPrepare:
     def test_full_pipeline(self, spark, segments):
