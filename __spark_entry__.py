@@ -756,20 +756,27 @@ SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.5
 """
 
 
-# brute-force (exact baseline, verify-scale-only) and hyperplane-LSH
-# (the 100 TB path) union under a method tag — identical schemas, and
-# the driver slot verifies both plans
-@_q("dedup_embedding",
-    "SELECT 'brute' AS method, * FROM (" + _EMB_COS
-    + ") UNION ALL SELECT 'lsh' AS method, * FROM ("
-    + dd.embedding_dup_pairs_lsh_sql(threshold=0.5) + ")")
-def q_emb_dedup(spark, sf):
-    e = _t(spark, sf, "embeddings")
-    brute = (dd.embedding_dup_pairs(e, threshold=0.5)
-             .select(F.lit("brute").alias("method"), "*"))
-    lsh = (dd.embedding_dup_pairs_lsh(e, threshold=0.5, dim=64)
-           .select(F.lit("lsh").alias("method"), "*"))
-    return brute.unionAll(lsh)
+# ---- extension (r6, ROTATED IN r7): topic discovery (hashed-TF →
+# kmeans → distinctive terms) — the whole composition replayed by one
+# unrolled DuckDB query. Slot previously `dedup_embedding`
+# (rotation r7: embedding-cosine pair pruning stays driver-exercised
+# via semantic_dedup's normalized-dot prune and knn_join;
+# dedup_embedding re-registers below the window) ----
+
+@_q("topic_clusters", None)
+def q_topic_clusters(spark, sf):
+    from nifi_extracttext_processor_spark.operators.clustering import (
+        topic_clusters,
+    )
+    d = _t(spark, sf, "documents")
+    return topic_clusters(d, k=4, dim=16, top_n=5)
+
+
+from nifi_extracttext_processor_spark.operators.clustering import (  # noqa: E402
+    topic_clusters_sql as _topic_clusters_sql,
+)
+
+_ORACLES["topic_clusters"] = _topic_clusters_sql(k=4, dim=16, top_n=5)
 
 
 # ---- extension: ANN top-k (query = vec_id 0, via self-join → static SQL) --
@@ -811,19 +818,48 @@ from nifi_extracttext_processor_spark.operators.similarity import (  # noqa: E40
 # share these oracles (asserted in tests/test_operators.py), so only
 # the indexed entries — the 100 TB path — hold driver slots ----
 
-@_q("ann_topk_lsh_indexed", lsh_topk_sql(k=10, query_id=0))
-def q_ann_lsh_indexed(spark, sf):
-    import tempfile
+# ---- extension (r6, ROTATED IN r7): robots.txt filtering (RFC 9309
+# longest-match evaluator) — fake-kernel oracle: rules synthesized so
+# the verdict is directly computable in SQL; the evaluator itself is
+# locked by 15 pytest goldens incl. the longest-match/wildcard/anchor
+# cases stdlib robotparser gets wrong. Slot previously
+# `ann_topk_lsh_indexed` (rotation r7: indexed-ANN partition-pruned
+# reads stay driver-exercised via ann_topk_ivf_indexed, LSH banding
+# via dedup_near_pairs; the evicted query re-registers below) ----
 
-    from nifi_extracttext_processor_spark.operators.similarity import (
-        build_lsh_index, lsh_topk_indexed,
+_BLOCK_URL_SQL = ("'http://' || CASE doc_id % 7 "
+                  "WHEN 0 THEN 'ads.tracker.example' "
+                  "WHEN 1 THEN 'sub.spam.test' "
+                  "ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) "
+                  "|| '.example.org' END "
+                  "|| '/page/' || CAST(doc_id AS VARCHAR)")
+_BLOCK_DOMAINS = ["tracker.example", "spam.test"]
+
+
+@_q("robots_filter", f"""
+WITH t AS (SELECT doc_id, {_BLOCK_URL_SQL} AS url FROM documents)
+SELECT doc_id, url FROM t
+WHERE NOT (doc_id % 7 NOT IN (0, 1) AND (doc_id % 5) IN (1, 3))
+""")
+def q_robots_filter(spark, sf):
+    from nifi_extracttext_processor_spark.operators.robots import (
+        filter_by_robots,
     )
-    e = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in
-            e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    path = tempfile.mkdtemp(prefix="lsh_idx_") + "/idx"
-    build_lsh_index(e, path)
-    return lsh_topk_indexed(spark, path, qvec, k=10)
+    d = _t(spark, sf, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("ads.tracker.example"))
+         .when(F.col("doc_id") % 7 == 1, F.lit("sub.spam.test"))
+         .otherwise(F.concat(F.lit("site"),
+                             (F.col("doc_id") % 5).cast("string"),
+                             F.lit(".example.org"))),
+        F.lit("/page/"), F.col("doc_id").cast("string"))
+    t = d.withColumn("url", url)
+    robots = t.sparkSession.createDataFrame(
+        [(f"site{k}.example.org", "User-agent: *\nDisallow: /page/")
+         for k in (1, 3)],
+        "domain string, robots_txt string")
+    return filter_by_robots(t, robots)
 
 
 @_q("ann_topk_ivf_indexed", ivf_topk_sql(k=10, query_id=0))
@@ -1285,16 +1321,8 @@ def q_hashed_tf(spark, sf):
 # ---- extension (r6): domain blocklist filter (UT1/RefinedWeb-style
 # crawl safety filter; URLs synthesized deterministically from doc_id
 # like the dedup_by_url driver row) — below-window, DuckDB parity in
-# test_oracle_parity ----
-
-_BLOCK_URL_SQL = ("'http://' || CASE doc_id % 7 "
-                  "WHEN 0 THEN 'ads.tracker.example' "
-                  "WHEN 1 THEN 'sub.spam.test' "
-                  "ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) "
-                  "|| '.example.org' END "
-                  "|| '/page/' || CAST(doc_id AS VARCHAR)")
-_BLOCK_DOMAINS = ["tracker.example", "spam.test"]
-
+# test_oracle_parity. (_BLOCK_URL_SQL/_BLOCK_DOMAINS moved up with
+# the r7 robots_filter rotation.) ----
 
 @_q("blocklist_filter", f"""
 WITH t AS (SELECT doc_id, {_BLOCK_URL_SQL} AS url FROM documents)
@@ -1318,56 +1346,42 @@ def q_blocklist_filter(spark, sf):
     return ta.filter_blocked_domains(t, blocked)
 
 
-# ---- extension (r6): topic discovery (hashed-TF → kmeans →
-# distinctive terms) — the whole composition replayed by one
-# unrolled DuckDB query; below-window ----
+# ---- ROTATED OUT r7 (slots given to topic_clusters/robots_filter):
+# both re-register below the window so their DuckDB parity lives on
+# in tests/test_oracle_parity.py ----
 
-@_q("topic_clusters", None)
-def q_topic_clusters(spark, sf):
-    from nifi_extracttext_processor_spark.operators.clustering import (
-        topic_clusters,
+# brute-force (exact baseline, verify-scale-only) and hyperplane-LSH
+# (the 100 TB path) union under a method tag — identical schemas;
+# embedding-cosine pruning stays driver-exercised via semantic_dedup
+# and knn_join
+@_q("dedup_embedding",
+    "SELECT 'brute' AS method, * FROM (" + _EMB_COS
+    + ") UNION ALL SELECT 'lsh' AS method, * FROM ("
+    + dd.embedding_dup_pairs_lsh_sql(threshold=0.5) + ")")
+def q_emb_dedup(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    brute = (dd.embedding_dup_pairs(e, threshold=0.5)
+             .select(F.lit("brute").alias("method"), "*"))
+    lsh = (dd.embedding_dup_pairs_lsh(e, threshold=0.5, dim=64)
+           .select(F.lit("lsh").alias("method"), "*"))
+    return brute.unionAll(lsh)
+
+
+# indexed-ANN partition-pruned reads stay driver-exercised via
+# ann_topk_ivf_indexed; LSH banding via dedup_near_pairs
+@_q("ann_topk_lsh_indexed", lsh_topk_sql(k=10, query_id=0))
+def q_ann_lsh_indexed(spark, sf):
+    import tempfile
+
+    from nifi_extracttext_processor_spark.operators.similarity import (
+        build_lsh_index, lsh_topk_indexed,
     )
-    d = _t(spark, sf, "documents")
-    return topic_clusters(d, k=4, dim=16, top_n=5)
-
-
-from nifi_extracttext_processor_spark.operators.clustering import (  # noqa: E402
-    topic_clusters_sql as _topic_clusters_sql,
-)
-
-_ORACLES["topic_clusters"] = _topic_clusters_sql(k=4, dim=16, top_n=5)
-
-
-# ---- extension (r6): robots.txt filtering (RFC 9309 longest-match
-# evaluator) — fake-kernel oracle: rules synthesized so the verdict
-# is directly computable in SQL; the evaluator itself is locked by
-# 15 pytest goldens incl. the longest-match/wildcard/anchor cases
-# stdlib robotparser gets wrong ----
-
-@_q("robots_filter", f"""
-WITH t AS (SELECT doc_id, {_BLOCK_URL_SQL} AS url FROM documents)
-SELECT doc_id, url FROM t
-WHERE NOT (doc_id % 7 NOT IN (0, 1) AND (doc_id % 5) IN (1, 3))
-""")
-def q_robots_filter(spark, sf):
-    from nifi_extracttext_processor_spark.operators.robots import (
-        filter_by_robots,
-    )
-    d = _t(spark, sf, "documents").select("doc_id")
-    url = F.concat(
-        F.lit("http://"),
-        F.when(F.col("doc_id") % 7 == 0, F.lit("ads.tracker.example"))
-         .when(F.col("doc_id") % 7 == 1, F.lit("sub.spam.test"))
-         .otherwise(F.concat(F.lit("site"),
-                             (F.col("doc_id") % 5).cast("string"),
-                             F.lit(".example.org"))),
-        F.lit("/page/"), F.col("doc_id").cast("string"))
-    t = d.withColumn("url", url)
-    robots = t.sparkSession.createDataFrame(
-        [(f"site{k}.example.org", "User-agent: *\nDisallow: /page/")
-         for k in (1, 3)],
-        "domain string, robots_txt string")
-    return filter_by_robots(t, robots)
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = tempfile.mkdtemp(prefix="lsh_idx_") + "/idx"
+    build_lsh_index(e, path)
+    return lsh_topk_indexed(spark, path, qvec, k=10)
 
 
 # ---- extension (r6): structured HTML table extraction — HTML

@@ -60,6 +60,10 @@ HEADLINE = [
     "char_lm_score",       # n-gram explode + broadcast LM + partial agg
     "web_corpus_prep",     # composed pipeline: normalize kernel +
                            # filters + LM + exact dedup + token stats
+    # round-7 additions (appended, legacy order preserved)
+    "semantic_dedup_k256",  # SemDeDup at production-shaped k: Arrow
+                            # matmul assignment + scatter-add update
+                            # + gemm prune (the large-k scale path)
 ]
 
 
@@ -111,6 +115,18 @@ def _q_semantic_dedup_gemm(spark, sf_dir):
     return semantic_dedup(e, threshold=0.4, method="gemm")
 
 
+def _q_semantic_dedup_k256(spark, sf_dir):
+    # k=256 forces the Arrow assignment + scatter-add centroid update
+    # (k*dim = 16384 stays under the literal ceiling only for dim<=
+    # 128; force "arrow" so the bench measures the scale kernel)
+    from nifi_extracttext_processor_spark.operators.clustering import (
+        semantic_dedup,
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(e, k=256, iters=2, threshold=0.4,
+                          method="gemm", assign="arrow")
+
+
 def _q_web_corpus_prep(spark, sf_dir):
     from nifi_extracttext_processor_spark.plans.web_corpus import (
         prepare_web_corpus,
@@ -125,6 +141,7 @@ LOCAL = {
     "asof_bucketed": _q_asof_bucketed,
     "sessionize_bucketed": _q_sessionize_bucketed,
     "semantic_dedup_gemm": _q_semantic_dedup_gemm,
+    "semantic_dedup_k256": _q_semantic_dedup_k256,
     "web_corpus_prep": _q_web_corpus_prep,
 }
 

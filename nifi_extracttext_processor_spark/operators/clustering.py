@@ -21,9 +21,31 @@ value-for-value (the driver's correctness gate hash-compares):
 100 TB design:
   * centroids live on the driver (k*dim doubles) and are broadcast
     into a narrow projection — assignment itself shuffles NOTHING;
-  * the per-iteration shuffle is the (cluster, pos) partial-mean
-    aggregation: map-side combinable, k*dim rows per partition
-    regardless of corpus size;
+  * TWO assignment kernels behind one `_assign` dispatcher:
+      - "literal" (small k): one Catalyst expression per centroid —
+        whole-stage-codegen'd, UDF-free, and replayable term-for-term
+        by the DuckDB oracle. Dies at large k: the plan carries k*dim
+        literal nodes, and SemDeDup prescribes k ~ n/100 (10^4-10^5
+        at corpus scale), i.e. 10^6-10^8 literals — Catalyst
+        analysis/codegen falls over before any data moves.
+      - "arrow" (large k): the centroid matrix is one numpy array in
+        a SparkContext broadcast; each Arrow batch assigns via a
+        single matmul against the pre-normalized centroid matrix.
+        Still a narrow map-only projection — no shuffle, no join —
+        and the plan size is O(1) in k. Differs from "literal" only
+        where an unrounded cosine sits within float-summation
+        distance of a round-6 tie boundary (numpy pairwise/BLAS
+        summation vs Catalyst fold-left; equivalence-tested on the
+        repo fixtures).
+    "auto" switches on k*dim > _LITERAL_ASSIGN_MAX_TERMS, so the
+    small-k driver/oracle queries keep the replayable plan and
+    SemDeDup-scale k gets the O(1)-plan kernel.
+  * the per-iteration centroid update has the same two regimes:
+    small k = the oracle-replayable (cluster, pos) partial-mean agg
+    (map-side combinable, k*dim rows per partition); large k = an
+    Arrow scatter-add of per-batch (cluster, sum, count) partials
+    combined per cluster — the driver receives k rows of dim-length
+    arrays instead of k*dim scalar rows.
   * semantic_dedup's pairwise stage joins co-partitioned on the
     cluster key (SemDeDup's point: k is chosen large, so clusters are
     small and the quadratic stays per-cluster local); only dominated
@@ -39,6 +61,13 @@ from ..functions.portable import cosine_sql, l2_normalize_sql
 from .dedup import cosine, l2_normalize
 
 
+# Above this many k*dim expression terms the literal assignment plan
+# stops being viable (Catalyst analysis/codegen cost grows with plan
+# size; SemDeDup-scale k would put 10^6-10^8 literal nodes in the
+# plan) — "auto" switches to the Arrow matmul kernel.
+_LITERAL_ASSIGN_MAX_TERMS = 1 << 15
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -47,6 +76,7 @@ def kmeans_fit(
     iters: int = 2,
     sample_fraction: float | None = None,
     seed: int = 13,
+    assign: str = "auto",
 ) -> list[list[float]]:
     """Lloyd iterations; returns the final centroids (driver-side
     k*dim list). Deterministic as described in the module docstring.
@@ -57,7 +87,13 @@ def kmeans_fit(
     converges to near-identical centroids on a large-enough sample at
     a fraction of the scan cost. The sampled path is seed-stable for
     a fixed partitioning but is NOT the oracle-replayable path; the
-    driver/oracle queries use the default full-fit."""
+    driver/oracle queries use the default full-fit.
+
+    `assign` in {"auto", "literal", "arrow"} picks the assignment
+    kernel (module docstring); it also selects the matching centroid
+    update — the literal regime's (cluster, pos) scalar agg is
+    oracle-replayable, the arrow regime's scatter-add partials keep
+    the driver transfer at k rows instead of k*dim."""
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:
@@ -69,8 +105,12 @@ def kmeans_fit(
     if not cents:
         raise ValueError("kmeans_fit: empty input")
     dim = len(cents[0])
+    method = _resolve_assign(assign, len(cents), dim)
     for _ in range(iters):
-        assigned = _assign(v, cents)
+        assigned = _assign(v, cents, method)
+        if method == "arrow":
+            cents = _centroid_means_arrow(assigned, cents, dim)
+            continue
         rows = (assigned
                 .select("cluster", F.posexplode("v").alias("pos", "val"))
                 .groupBy("cluster", "pos")
@@ -85,10 +125,24 @@ def kmeans_fit(
     return cents
 
 
-def _assign(v: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """(_id, v) + broadcast centroid literals -> (_id, v, cluster).
-    Narrow (no shuffle, no join): one round-6 cosine per centroid,
-    first-max wins so ties take the lowest centroid index."""
+def _resolve_assign(assign: str, k: int, dim: int) -> str:
+    if assign not in ("auto", "literal", "arrow"):
+        raise ValueError(f"unknown assignment method {assign!r}")
+    if assign != "auto":
+        return assign
+    return "literal" if k * dim <= _LITERAL_ASSIGN_MAX_TERMS \
+        else "arrow"
+
+
+def _assign(v: DataFrame, cents: list[list[float]],
+            method: str = "auto") -> DataFrame:
+    """(..., v) + broadcast centroids -> (..., v, cluster). Narrow (no
+    shuffle, no join) in BOTH kernels: one round-6 cosine per
+    centroid, first-max wins so ties take the lowest centroid
+    index."""
+    method = _resolve_assign(method, len(cents), len(cents[0]))
+    if method == "arrow":
+        return _assign_arrow(v, cents)
     sims = F.array(*[
         F.round(cosine(F.col("v"),
                        F.array(*[F.lit(float(x)) for x in cv])), 6)
@@ -101,6 +155,93 @@ def _assign(v: DataFrame, cents: list[list[float]]) -> DataFrame:
              .drop("_sims"))
 
 
+def _assign_arrow(v: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Large-k assignment: the k*dim centroid matrix travels ONCE per
+    executor as a SparkContext broadcast (not as plan literals, not in
+    every task closure); each Arrow batch is one matmul against the
+    pre-normalized centroid matrix. Cosine/tie semantics mirror the
+    literal kernel: zero-norm rows/centroids get similarity 0.0,
+    round-6, argmax takes the first (lowest-index) maximum."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    Cn = np.divide(C, cn[:, None], out=np.zeros_like(C),
+                   where=cn[:, None] > 0)
+    bc = v.sparkSession.sparkContext.broadcast(Cn.T.copy())
+
+    fields = [f"`{f.name}` {f.dataType.simpleString()}"
+              for f in v.schema.fields]
+    schema = ", ".join(fields + ["cluster int"])
+
+    def run(batches):
+        import pandas as pd  # noqa: F401  (arrow batches are pandas)
+        CnT = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.copy()
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            Xn = np.divide(X, xn[:, None], out=np.zeros_like(X),
+                           where=xn[:, None] > 0)
+            S = np.round(Xn @ CnT, 6)
+            pdf["cluster"] = S.argmax(axis=1).astype("int32")
+            yield pdf
+
+    return v.mapInPandas(run, schema=schema)
+
+
+def _centroid_means_arrow(
+    assigned: DataFrame,
+    prev: list[list[float]],
+    dim: int,
+) -> list[list[float]]:
+    """Large-k Lloyd update: per-Arrow-batch scatter-add partials
+    (cluster, sum-vector, count) — at most |clusters-in-batch| rows
+    per batch, each dim-wide — combined per cluster, so the shuffle
+    and the driver transfer are O(k) ARRAY rows, never the k*dim
+    scalar rows of the literal regime. round(mean, 6) matches the
+    literal update; empty clusters keep their previous centroid."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cl = pdf["cluster"].to_numpy()
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            uniq, inv = np.unique(cl, return_inverse=True)
+            sums = np.zeros((len(uniq), X.shape[1]))
+            np.add.at(sums, inv, X)
+            counts = np.bincount(inv, minlength=len(uniq))
+            yield pd.DataFrame({
+                "cluster": uniq.astype("int32"),
+                "s": list(sums),
+                "n": counts.astype("int64"),
+            })
+
+    def combine(pdf):
+        import pandas as pd
+        S = np.asarray(pdf["s"].tolist(), dtype=np.float64).sum(axis=0)
+        n = int(pdf["n"].sum())
+        return pd.DataFrame({
+            "cluster": pdf["cluster"].iloc[:1],
+            "m": [list(np.round(S / n, 6))],
+        })
+
+    part = assigned.select("cluster", "v").mapInPandas(
+        partials, "cluster int, s array<double>, n long")
+    got = (part.groupBy("cluster")
+           .applyInPandas(combine, "cluster int, m array<double>")
+           .toPandas())
+    cents = [list(c) for c in prev]
+    for ci, m in zip(got["cluster"], got["m"]):
+        cents[int(ci)] = list(m)
+    return cents
+
+
 def kmeans_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -108,15 +249,18 @@ def kmeans_embeddings(
     k: int = 8,
     iters: int = 2,
     centroids: list[list[float]] | None = None,
+    assign: str = "auto",
 ) -> DataFrame:
     """(id_col, cluster int) for every row — fit + final assignment.
     Pass precomputed `centroids` (from kmeans_fit) to share one fit
-    across several downstream stages."""
+    across several downstream stages. `assign` picks the assignment
+    kernel (module docstring; "auto" = literal below
+    _LITERAL_ASSIGN_MAX_TERMS expression terms, Arrow matmul above)."""
     cents = centroids if centroids is not None else kmeans_fit(
-        df, id_col, vec_col, k, iters)
+        df, id_col, vec_col, k, iters, assign=assign)
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
-    return (_assign(v, cents)
+    return (_assign(v, cents, assign)
             .select(F.col("_id").alias(id_col), "cluster"))
 
 
@@ -129,6 +273,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     centroids: list[list[float]] | None = None,
     method: str = "exact",
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup: k-means cluster, then drop every row that has a
     LOWER-id row in the same cluster with round(cosine, 6) >=
@@ -150,15 +295,20 @@ def semantic_dedup(
         pair. Same min-id rule; differs from "exact" only where a
         similarity sits within float-summation distance of the
         round-6 threshold boundary (numpy pairwise summation vs
-        fold-left; equivalence-tested on the repo fixtures)."""
+        fold-left; equivalence-tested on the repo fixtures).
+
+    `assign` picks the cluster-assignment kernel (module docstring) —
+    at SemDeDup-prescribed k (~n/100) pair "gemm" with the automatic
+    Arrow assignment: the whole pipeline is then one broadcast matmul
+    projection plus one vectors-move-once shuffle."""
     if method not in ("exact", "gemm"):
         raise ValueError(f"unknown semantic_dedup method {method!r}")
     cents = centroids if centroids is not None else kmeans_fit(
-        df, id_col, vec_col, k, iters)
+        df, id_col, vec_col, k, iters, assign=assign)
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     if method == "gemm":
-        af = _assign(v, cents)
+        af = _assign(v, cents, assign)
         id_type = dict((f.name, f.dataType.simpleString())
                        for f in df.schema.fields)[id_col]
         out_schema = f"`{id_col}` {id_type}, cluster int"
@@ -185,7 +335,7 @@ def semantic_dedup(
     # cosine == dot of the normalized vectors, and the DuckDB twin
     # normalizes with the same per-element division so values stay
     # bit-replayable.
-    af = (_assign(v, cents)
+    af = (_assign(v, cents, assign)
           .withColumn("nv", l2_normalize(F.col("v"))))
     a = af.select("cluster", F.col("_id").alias("ka"),
                   F.col("nv").alias("na"))
@@ -298,6 +448,7 @@ def semantic_dedup_incremental(
     centroids: list[list[float]] | None = None,
     k: int = 8,
     iters: int = 2,
+    assign: str = "auto",
 ) -> DataFrame:
     """Incremental SemDeDup: prune a NEW batch against the already-kept
     catalog. A batch row is dropped when a catalog row in its cluster
@@ -316,14 +467,16 @@ def semantic_dedup_incremental(
     if centroids is not None:
         cents = centroids
     elif catalog.limit(1).count() == 0:
-        cents = kmeans_fit(batch, id_col, vec_col, k, iters)
+        cents = kmeans_fit(batch, id_col, vec_col, k, iters,
+                           assign=assign)
     else:
-        cents = kmeans_fit(catalog, id_col, vec_col, k, iters)
+        cents = kmeans_fit(catalog, id_col, vec_col, k, iters,
+                           assign=assign)
 
     def prep(df: DataFrame) -> DataFrame:
         v = df.select(F.col(id_col).alias("_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-        return _with_normalized(_assign(v, cents))
+        return _with_normalized(_assign(v, cents, assign))
 
     ab = prep(batch)
     ac = prep(catalog)
@@ -406,6 +559,7 @@ def topic_clusters(
     dim: int = 64,
     iters: int = 2,
     top_n: int = 5,
+    assign: str = "auto",
 ) -> DataFrame:
     """Corpus topic discovery with zero external models: hashed-TF
     vectors (text_analysis.hashed_tf_embedding) → deterministic
@@ -430,7 +584,7 @@ def topic_clusters(
                              dim=dim)
     assigned = kmeans_embeddings(tf, id_col=id_col,
                                  vec_col="embedding", k=k,
-                                 iters=iters)
+                                 iters=iters, assign=assign)
     toks = (docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))),

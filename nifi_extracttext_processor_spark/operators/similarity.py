@@ -223,6 +223,7 @@ def build_ivf_index(
     n_cells: int = 16,
     mode: str = "overwrite",
     centroids: list[list[float]] | None = None,
+    assign: str = "auto",
 ) -> None:
     """Materialize cell assignments partitioned by cell + a centroid
     sidecar table. Same deterministic centroids (n_cells lowest-id
@@ -232,7 +233,13 @@ def build_ivf_index(
     Pass `centroids` (e.g. from operators.clustering.kmeans_fit) for
     better-balanced cells — the lookup side (ivf_topk_indexed) reads
     whatever the sidecar holds, so nothing else changes; probing ALL
-    cells still returns exactly the brute-force answer."""
+    cells still returns exactly the brute-force answer.
+
+    `assign` is the shared clustering._assign dispatcher: "auto"
+    keeps the oracle-replayable literal plan at small n_cells and
+    switches to the broadcast-matrix Arrow matmul kernel when
+    n_cells*dim outgrows the literal plan (IVF sizing at corpus scale
+    is n_cells ~ sqrt(n) — 10^4+ cells at 100 TB)."""
     if centroids is not None:
         if len(centroids) != n_cells:
             raise ValueError(
@@ -246,15 +253,10 @@ def build_ivf_index(
                   .select(_as_double(vec_col).alias("c"), F.col(id_col))
                   .collect())
         cents = [list(r["c"]) for r in sample]
+    from .clustering import _assign
     v = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    sims = F.array(*[
-        F.round(cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])), 6)
-        for cv in cents])
-    assigned = (v.withColumn("sims", sims)
-                .withColumn("cell", (F.array_position(
-                    F.col("sims"), F.array_max(F.col("sims"))) - F.lit(1))
-                    .cast("int"))
-                .drop("sims"))
+    assigned = (_assign(v, cents, assign)
+                .withColumnRenamed("cluster", "cell"))
     assigned.write.mode(mode).partitionBy("cell").parquet(f"{path}/data")
     spark = df.sparkSession
     cent_rows = [(i, cv) for i, cv in enumerate(cents)]

@@ -4438,6 +4438,142 @@ class TestKmeansSemanticDedup:
             assert 3 not in kept, method
 
 
+class TestLargeKAssignment:
+    """Round-7 scale fix: the Arrow matmul assignment kernel that
+    survives SemDeDup-prescribed k (~n/100 → 10^4-10^5), where the
+    literal plan would carry k*dim ≈ 10^6-10^8 expression nodes."""
+
+    @staticmethod
+    def _df(spark, vecs, ids=None):
+        ids = ids if ids is not None else range(len(vecs))
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+            "vec_id long, embedding array<double>")
+
+    def test_auto_dispatch_threshold(self):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            _LITERAL_ASSIGN_MAX_TERMS, _resolve_assign,
+        )
+        assert _resolve_assign("auto", 8, 64) == "literal"
+        assert _resolve_assign("auto", 4096, 256) == "arrow"
+        # the boundary itself stays literal (replayable)
+        k = _LITERAL_ASSIGN_MAX_TERMS // 64
+        assert _resolve_assign("auto", k, 64) == "literal"
+        assert _resolve_assign("auto", k + 1, 64) == "arrow"
+        assert _resolve_assign("literal", 10**6, 256) == "literal"
+        assert _resolve_assign("arrow", 2, 2) == "arrow"
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unknown assignment"):
+            _resolve_assign("bogus", 8, 64)
+
+    def test_arrow_fit_and_assign_match_literal(self, spark):
+        """Full-fit equivalence on the real fixture table: centroids
+        (arrow scatter-add update vs literal scalar agg) AND final
+        assignments agree at small k."""
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_embeddings, kmeans_fit,
+        )
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        cl = kmeans_fit(df, k=8, iters=2, assign="literal")
+        ca = kmeans_fit(df, k=8, iters=2, assign="arrow")
+        assert len(cl) == len(ca) == 8
+        for a, b in zip(cl, ca):
+            assert a == pytest.approx(b, abs=2e-6)
+        lit = sorted((r["vec_id"], r["cluster"]) for r in
+                     kmeans_embeddings(df, k=8, iters=2,
+                                       assign="literal").collect())
+        arr = sorted((r["vec_id"], r["cluster"]) for r in
+                     kmeans_embeddings(df, k=8, iters=2,
+                                       assign="arrow").collect())
+        assert lit == arr
+
+    def test_arrow_semantic_dedup_matches_exact(self, spark):
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            kmeans_fit, semantic_dedup,
+        )
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        cents = kmeans_fit(df)
+        exact = sorted((r["vec_id"], r["cluster"]) for r in
+                       semantic_dedup(df, threshold=0.4,
+                                      centroids=cents).collect())
+        scale = sorted((r["vec_id"], r["cluster"]) for r in
+                       semantic_dedup(df, threshold=0.4,
+                                      centroids=cents, method="gemm",
+                                      assign="arrow").collect())
+        assert exact == scale
+
+    def test_arrow_zero_norm_semantics(self, spark):
+        # zero vectors: sim 0.0 to every centroid -> first-max is
+        # cluster 0 in both kernels
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            _assign,
+        )
+        from pyspark.sql import functions as F
+        vecs = [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]
+        v = self._df(spark, vecs).select(
+            F.col("vec_id").alias("_id"),
+            F.col("embedding").cast("array<double>").alias("v"))
+        cents = [[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]]
+        # zero vec: sim 0.0 everywhere -> first-max = cluster 0;
+        # [0,-1,0]: sims (-1, 0) -> cluster 1
+        for method in ("literal", "arrow"):
+            got = {r["_id"]: r["cluster"] for r in
+                   _assign(v, cents, method).collect()}
+            assert got == {0: 0, 1: 1, 2: 1}, method
+
+    def test_large_k_runs_where_literal_cannot(self, spark):
+        """k=4096, dim=256 (k*dim > 10^6 terms): the arrow plan stays
+        O(1)-sized and executes; a literal plan at this k would embed
+        a million literal nodes (plan-size asserted, not risked)."""
+        from nifi_extracttext_processor_spark.operators.clustering import (
+            _assign, _resolve_assign,
+        )
+        from pyspark.sql import functions as F
+        k, dim = 4096, 256
+        assert _resolve_assign("auto", k, dim) == "arrow"
+        # deterministic pseudo-random centroids + a few probe vectors
+        cents = [[((i * 2654435761 + j * 40503) % 1000) / 1000.0 - 0.5
+                  for j in range(dim)] for i in range(k)]
+        probes = [[1.0 if j == (i * 37) % dim else 0.0
+                   for j in range(dim)] for i in range(6)]
+        v = self._df(spark, probes).select(
+            F.col("vec_id").alias("_id"),
+            F.col("embedding").cast("array<double>").alias("v"))
+        out = _assign(v, cents, "auto")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # plan carries the kernel, not the matrix: constant size in k
+        assert len(plan) < 20_000
+        got = {r["_id"]: r["cluster"] for r in out.collect()}
+        # independent numpy reference
+        import numpy as np
+        C = np.asarray(cents)
+        Cn = C / np.sqrt((C * C).sum(1))[:, None]
+        for i, p in enumerate(probes):
+            x = np.asarray(p)
+            xn = x / np.sqrt((x * x).sum())
+            want = int(np.round(Cn @ xn, 6).argmax())
+            assert got[i] == want
+
+    def test_ivf_index_arrow_assignment_identical(self, spark,
+                                                  tmp_path):
+        from nifi_extracttext_processor_spark.operators.similarity import (
+            build_ivf_index, ivf_topk_indexed,
+        )
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        q = [r["embedding"] for r in df.limit(1).collect()][0]
+        res = {}
+        for method in ("literal", "arrow"):
+            p = str(tmp_path / method)
+            build_ivf_index(df, p, n_cells=4, assign=method)
+            res[method] = [(r["vec_id"], r["cosine"]) for r in
+                           ivf_topk_indexed(spark, p, list(q), k=5,
+                                            nprobe=4).collect()]
+        assert res["literal"] == res["arrow"]
+
+
 class TestHashedTfEmbedding:
     def test_zero_token_doc_gets_zero_vector(self, spark):
         from nifi_extracttext_processor_spark.operators.text_analysis import (
