@@ -3,8 +3,14 @@ bench.py N times in FRESH processes, aggregate per-query median /
 min / max, and write BENCH_NOTES.md so per-round comparisons can
 distinguish regression from run-to-run noise.
 
-Usage:  python bench_variance.py [n_runs]   (default 3)
+Usage:  python bench_variance.py [n_runs] [--round N]   (default 3)
 Honors SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like bench.py.
+
+Each run ALSO archives the notes to BENCH_NOTES_r{NN}.md (round
+number from --round, else inferred as max(BENCH_r*.json) + 1): the
+protocol's decision rule compares MEDIANS across rounds, which only
+works if prior-round medians survive — regenerating BENCH_NOTES.md
+in place destroyed them through r6 (VERDICT r6 "What's wrong" #2).
 """
 
 from __future__ import annotations
@@ -17,8 +23,24 @@ import subprocess
 import sys
 
 
+def _infer_round(repo_dir: str) -> int:
+    """Current round = highest driver-recorded BENCH_r{N}.json + 1."""
+    import glob
+    import re
+    rounds = [int(m.group(1)) for p in
+              glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def main() -> None:
-    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    argv = list(sys.argv[1:])
+    round_no = None
+    if "--round" in argv:
+        i = argv.index("--round")
+        round_no = int(argv[i + 1])
+        del argv[i:i + 2]
+    n_runs = int(argv[0]) if argv else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.1")
     runs: list[dict] = []
@@ -100,6 +122,13 @@ def main() -> None:
         if manual:
             f.write("\n" + manual)
     print(f"wrote {path}", file=sys.stderr)
+    # per-round archive so cross-round median comparisons stay possible
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    rn = round_no if round_no is not None else _infer_round(repo_dir)
+    rpath = os.path.join(repo_dir, f"BENCH_NOTES_r{rn:02d}.md")
+    with open(rpath, "w") as f:
+        f.write("\n".join(lines))
+    print(f"archived {rpath}", file=sys.stderr)
     # machine-readable single line (same contract style as bench.py)
     print(json.dumps({
         "metric": "headline_queries_total_wall_median",

@@ -18,10 +18,20 @@ Supported subset — enough for real-world "text PDFs":
   * per-font ToUnicode CMaps ARE parsed (bfchar, bfrange with both
     contiguous-base and array destinations, codespace-derived 1- or
     2-byte code width — see _parse_tounicode_cmap below) and applied
-    per Tf-selected font; PREDEFINED CMaps (e.g. /UniJIS-UCS2-H) and
-    per-page font namespaces are not — fonts resolve in one global
-    namespace, and codes missing from a 1-byte CMap fall back to
-    latin-1
+    per Tf-selected font
+  * Type0 fonts WITHOUT a ToUnicode CMap: the Unicode-valued
+    predefined encodings (/UniJIS-UCS2-H, /UniGB-UTF16-V, ... — their
+    source code space IS UCS-2/UTF-16BE, so show-string bytes decode
+    directly) are decoded as UTF-16BE; every OTHER predefined CMap
+    (/Identity-H with no ToUnicode, /90ms-RKSJ-H, ...) names a
+    code→CID table we do not ship, so SHOWING text with such a font
+    raises (→ failure route, A6 semantics — Tika/PDFBox extracts
+    these via bundled CMap tables; silently emitting latin-1 mojibake
+    into a corpus would be worse than routing to failure). Fonts
+    merely declared but never used do not raise.
+  * per-page font namespaces are not tracked — fonts resolve in one
+    global namespace, and codes missing from a 1-byte CMap fall back
+    to latin-1
 
 This is intentionally not a full PDF parser: malformed input raises
 (caught upstream and routed to the failure port, matching the
@@ -278,10 +288,22 @@ def _parse_tounicode_cmap(data: bytes) -> tuple[int, dict[int, str]]:
     return code_len, cmap
 
 
-def _apply_cmap(s: str, font: tuple[int, dict[int, str]] | None) -> str:
-    """Map raw string-object code units through the current font's CMap."""
+def _apply_cmap(s: str, font: "FontEntry | None") -> str:
+    """Map raw string-object code units through the current font's
+    CMap / predefined-encoding handler (see module docstring for the
+    FontEntry variants)."""
     if not font:
         return s
+    if font == "utf16be":
+        # Unicode-valued predefined CMap: the code space IS UTF-16BE
+        return s.encode("latin-1", "replace").decode("utf-16-be",
+                                                     "replace")
+    if isinstance(font, tuple) and font[0] == "raise":
+        # A6 semantics: route to failure instead of emitting mojibake
+        raise ValueError(
+            f"unsupported predefined CMap /{font[1]}: character "
+            "codes cannot be mapped to text without its code->CID "
+            "table")
     code_len, cmap = font
     if not cmap:
         return s
@@ -297,8 +319,24 @@ def _apply_cmap(s: str, font: tuple[int, dict[int, str]] | None) -> str:
     return "".join(out)
 
 
-def _build_fontmap(buffers: list[bytes]) -> dict[bytes, tuple[int, dict[int, str]]]:
-    """Resolve /Font resource dicts → ToUnicode CMaps, keyed by resource name.
+# FontEntry — a fontmap value is one of:
+#   (code_len, {code: str})  parsed ToUnicode CMap (the good case)
+#   "utf16be"                Unicode-valued predefined CMap: decode
+#                            show strings as UTF-16BE directly
+#   ("raise", name)          any other predefined CMap without a
+#                            ToUnicode — showing text with it raises
+#                            (failure route) instead of mojibaking
+FontEntry = "tuple[int, dict[int, str]] | str | tuple[str, str]"
+
+# predefined CMaps whose SOURCE code space is UCS-2 / UTF-16BE
+# (ISO 32000-2 §9.7.5.2 predefined CMap names: UniJIS-UCS2-H,
+# Uni{GB,CNS,KS,JIS,JIS2004,...}-{UCS2,UTF16}-{H,V})
+_UNICODE_CMAP_RE = re.compile(rb"^Uni[A-Za-z0-9]+-(UCS2|UTF16)-[HV]$")
+
+
+def _build_fontmap(buffers: list[bytes]) -> "dict[bytes, FontEntry]":
+    """Resolve /Font resource dicts → per-font decode handlers (see
+    FontEntry above), keyed by resource name.
 
     Heuristic single global namespace: page-level resource names (/F1, /TT0…)
     rarely collide with different meanings inside one document.
@@ -318,8 +356,8 @@ def _build_fontmap(buffers: list[bytes]) -> dict[bytes, tuple[int, dict[int, str
                 dec = _decompress_if_flate(body[: sm.start()], raw)
                 if dec is not None:
                     objstreams[num] = dec
-    # 2. font objects with /ToUnicode N 0 R
-    font_cmaps: dict[int, tuple[int, dict[int, str]]] = {}
+    # 2. font objects: ToUnicode wins; else Type0 predefined CMaps
+    font_cmaps: "dict[int, FontEntry]" = {}
     for num, body in objbodies.items():
         if b"/Font" not in body and b"/BaseFont" not in body:
             continue
@@ -328,8 +366,21 @@ def _build_fontmap(buffers: list[bytes]) -> dict[bytes, tuple[int, dict[int, str
             ref = int(m.group(1))
             if ref in objstreams:
                 font_cmaps[num] = _parse_tounicode_cmap(objstreams[ref])
+            continue
+        if re.search(rb"/Subtype\s*/Type0\b", body):
+            e = re.search(rb"/Encoding\s*/([^\s/<>\[\]()]+)", body)
+            if e is None:
+                continue
+            enc = e.group(1)
+            if _UNICODE_CMAP_RE.match(enc):
+                font_cmaps[num] = "utf16be"
+            else:
+                # Identity-H/V without ToUnicode, 90ms-RKSJ-H, ... —
+                # raising is deferred to first USE so documents that
+                # merely embed the font still extract
+                font_cmaps[num] = ("raise", enc.decode("latin-1"))
     # 3. /Font << /Name N 0 R ... >> resource dicts anywhere
-    fontmap: dict[bytes, tuple[int, dict[int, str]]] = {}
+    fontmap: "dict[bytes, FontEntry]" = {}
     for body in objbodies.values():
         for m in re.finditer(rb"/Font\s*<<(.*?)>>", body, re.S):
             for e in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
@@ -342,7 +393,7 @@ def _build_fontmap(buffers: list[bytes]) -> dict[bytes, tuple[int, dict[int, str
 
 def _extract_text_ops(
     content: bytes,
-    fontmap: dict[bytes, tuple[int, dict[int, str]]] | None = None,
+    fontmap: "dict[bytes, FontEntry] | None" = None,
 ) -> str:
     """Walk a content stream, collecting show-text operators into lines."""
     fontmap = fontmap or {}
@@ -351,7 +402,7 @@ def _extract_text_ops(
     i, n = 0, len(content)
     pending: str | None = None  # last parsed string awaiting its operator
     last_name: bytes | None = None
-    cur_font: tuple[int, dict[int, str]] | None = None
+    cur_font: "FontEntry | None" = None
     in_array = False
 
     def flush_line():

@@ -509,6 +509,9 @@ def stream_web_corpus(
     min_quality: float = 0.5,
     remove_boilerplate: bool = True,
     normalize: bool = True,
+    lm_model: "tuple | None" = None,
+    lm_n: int = 3,
+    max_nll: float | None = None,
 ):
     """foreachBatch wiring of the web-corpus plan for streaming WARC
     ingestion: per micro-batch — boilerplate removal → normalization
@@ -538,10 +541,15 @@ def stream_web_corpus(
     posture as stream_dedup_exact/stream_semantic_dedup); URL dups are
     collapsed within a batch only (a URL re-crawled later usually
     carries changed content — when it does not, the fingerprint
-    catalog catches it anyway). The char-LM score stage is left out of
-    the per-batch path: training a fresh LM per micro-batch would make
-    scores batch-dependent — train once on a reference corpus and add
-    `lm_score` into the transform if needed.
+    catalog catches it anyway). Char-LM scoring: pass `lm_model` =
+    the (ngram_counts, context_counts, vocab_size) triple from
+    operators.lm.train_char_lm, PRE-TRAINED on a reference corpus
+    (the CCNet pattern) — each batch is then scored against the SAME
+    broadcast model, so scores are batch-independent: two drains
+    score identically to one (pytest-asserted). `max_nll` filters on
+    the score; None keeps the nll column without filtering. Training
+    a fresh LM per micro-batch would make scores depend on batch
+    composition, which is why no self-training default exists here.
 
     MIGRATION: fingerprints are computed over the NORMALIZED text,
     so changing `normalize` (or upgrading from a version that did not
@@ -570,6 +578,17 @@ def stream_web_corpus(
         docs = quality_score(language_id(docs, "text"), "text")
         docs = docs.filter(F.col("lang_pred").isin(list(langs))
                            & (F.col("quality") >= min_quality))
+        if lm_model is not None:
+            # same stage position as prepare_web_corpus: score after
+            # the cheap filters, before the exact-dedup anti-join
+            from ..operators.lm import lm_score
+            counts, ctx, vocab = lm_model
+            scores = lm_score(docs, counts, ctx, vocab,
+                              id_col="doc_id", text_col="text",
+                              n=lm_n)
+            docs = docs.join(scores, "doc_id")
+            if max_nll is not None:
+                docs = docs.filter(F.col("nll") <= max_nll)
         catalog = read_catalog(spark, catalog_dir, ("fingerprint",))
         if catalog is None:   # first batch bootstraps; corrupt raises
             catalog = (docs.select(F.md5("text").alias("fingerprint"))

@@ -1038,6 +1038,123 @@ class TestEpubMimetypeVariants:
         assert detect_mime(buf.getvalue(), None) == "application/epub+zip"
 
 
+class TestPdfPredefinedCmaps:
+    """Round-7 A6 honesty fix: Type0 fonts with a PREDEFINED CMap and
+    no ToUnicode. Unicode-valued encodings (Uni*-UCS2/UTF16-H/V)
+    decode as UTF-16BE; any other predefined CMap raises at first USE
+    (failure route) instead of silently mojibaking a CJK crawl."""
+
+    @staticmethod
+    def _pdf(font_body: bytes, content: bytes,
+             extra_objs: "list[bytes] | None" = None) -> bytes:
+        import io
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> "
+            b"/Contents 4 0 R >>",
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (
+                len(content), content),
+            font_body,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+        ] + (extra_objs or [])
+        out = io.BytesIO()
+        out.write(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, start=1):
+            offsets.append(out.tell())
+            out.write(b"%d 0 obj\n" % i)
+            out.write(body)
+            out.write(b"\nendobj\n")
+        xref_at = out.tell()
+        out.write(b"xref\n0 %d\n" % (len(objs) + 1))
+        out.write(b"0000000000 65535 f \n")
+        for off in offsets:
+            out.write(b"%010d 00000 n \n" % off)
+        out.write(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                  b"%d\n%%%%EOF\n" % (len(objs) + 1, xref_at))
+        return out.getvalue()
+
+    def test_ucs2_cmap_decodes_utf16be(self):
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        jp = "日本語テキスト"
+        hexs = jp.encode("utf-16-be").hex().encode("ascii")
+        pdf = self._pdf(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Mincho "
+            b"/Encoding /UniJIS-UCS2-H >>",
+            b"BT /F1 12 Tf <" + hexs + b"> Tj ET")
+        assert jp in extract_pdf_text(pdf)
+
+    def test_utf16_cmap_variant_decodes(self):
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        kr = "한국어"
+        hexs = kr.encode("utf-16-be").hex().encode("ascii")
+        pdf = self._pdf(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /BBBBBB+Batang "
+            b"/Encoding /UniKS-UTF16-V >>",
+            b"BT /F1 12 Tf <" + hexs + b"> Tj ET")
+        assert kr in extract_pdf_text(pdf)
+
+    def test_non_unicode_predefined_cmap_raises(self):
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        for enc in (b"/90ms-RKSJ-H", b"/GBK-EUC-H", b"/Identity-H"):
+            pdf = self._pdf(
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /X+CJK "
+                b"/Encoding " + enc + b" >>",
+                b"BT /F1 12 Tf <82A082A2> Tj ET")
+            with pytest.raises(ValueError,
+                               match="unsupported predefined CMap"):
+                extract_pdf_text(pdf)
+
+    def test_declared_but_unused_font_does_not_raise(self):
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        pdf = self._pdf(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /X+CJK "
+            b"/Encoding /90ms-RKSJ-H >>",
+            b"BT /F2 12 Tf (plain western text) Tj ET")
+        assert "plain western text" in extract_pdf_text(pdf)
+
+    def test_spark_routes_cjk_failure(self, spark, tmp_path):
+        """End-to-end A6: the unsupported-CMap doc lands on the
+        failure route with empty text, others on success."""
+        from nifi_extracttext_processor_spark.operators.extract import (
+            extract_text, route_by_error,
+        )
+        from nifi_extracttext_processor_spark.sources.binary_files import (
+            read_documents,
+        )
+        bad = self._pdf(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /X+CJK "
+            b"/Encoding /90ms-RKSJ-H >>",
+            b"BT /F1 12 Tf <82A082A2> Tj ET")
+        good = self._pdf(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+M "
+            b"/Encoding /UniJIS-UCS2-H >>",
+            b"BT /F1 12 Tf <"
+            + "良い".encode("utf-16-be").hex().encode() + b"> Tj ET")
+        d = tmp_path / "docs"
+        d.mkdir()
+        (d / "bad.pdf").write_bytes(bad)
+        (d / "good.pdf").write_bytes(good)
+        ok, fail = route_by_error(
+            extract_text(read_documents(spark, str(d))))
+        ok_rows = {r["filename"]: r["text"] for r in ok.collect()}
+        fail_rows = {r["filename"]: r["error"] for r in fail.collect()}
+        assert "good.pdf" in ok_rows and "良い" in ok_rows["good.pdf"]
+        assert "bad.pdf" in fail_rows
+        assert "unsupported predefined CMap" in fail_rows["bad.pdf"]
+
+
 class TestPdfToUnicodeCid:
     """Locks in _parse_tounicode_cmap breadth (pdf.py): a subsetted
     Type0/CID font with 2-byte codes, bfchar incl. a surrogate-pair

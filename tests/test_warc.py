@@ -309,6 +309,89 @@ class TestStreamReplayIdempotent:
         assert texts == sorted([self.GOOD, other])
 
 
+class TestStreamLmScoring:
+    """Round-7: stream_web_corpus with a PRE-TRAINED char-LM — the
+    broadcast model makes scores batch-independent: two drains must
+    score identically to one batch run over the same documents."""
+
+    DOC_A = ("The committee announced on Tuesday that the new policy "
+             "would take effect at the start of the fiscal year and "
+             "officials said they expect the measure to reduce costs "
+             "across the region for the coming decade.")
+    DOC_B = ("Analysts responded that the proposal would require "
+             "careful review before the council could act, noting "
+             "that the timeline and the budget both remain open "
+             "questions for the committee this year.")
+    REF = [("r:1", "The committee said the policy and the budget "
+                   "would require careful review before officials "
+                   "act on the proposal for the region this year."),
+           ("r:2", "Officials expect the measure to reduce costs "
+                   "and the council noted the timeline remains an "
+                   "open question for the coming fiscal year.")]
+
+    def _model(self, spark):
+        from nifi_extracttext_processor_spark.operators.lm import (
+            train_char_lm,
+        )
+        ref = spark.createDataFrame(self.REF, "url string, text string")
+        return train_char_lm(ref, "text", n=3)
+
+    def _run(self, spark, tmp_path, name, batches):
+        from nifi_extracttext_processor_spark.sources.warc import (
+            parse_warc_df,
+        )
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_web_corpus,
+        )
+        out = str(tmp_path / f"{name}_o")
+        cat = str(tmp_path / f"{name}_c")
+        fn = stream_web_corpus(out, cat, min_quality=0.3,
+                               lm_model=self._model(spark))
+        for bid, docs in enumerate(batches):
+            seg = tmp_path / f"{name}_{bid}.warc.gz"
+            seg.write_bytes(W.build_wet(docs))
+            files = (spark.read.format("binaryFile").load(str(seg))
+                     .select("path", "modificationTime", "length",
+                             "content"))
+            fn(parse_warc_df(files), bid)
+        return {r["url"]: (r["n_ngrams"], r["nll"]) for r in
+                spark.read.parquet(out).collect()}
+
+    def test_two_drains_score_like_one(self, spark, tmp_path):
+        split = self._run(spark, tmp_path, "split",
+                          [[("http://a/1", self.DOC_A)],
+                           [("http://b/2", self.DOC_B)]])
+        onego = self._run(spark, tmp_path, "one",
+                          [[("http://a/1", self.DOC_A),
+                            ("http://b/2", self.DOC_B)]])
+        assert split == onego
+        assert all(v[1] is not None for v in split.values())
+
+    def test_max_nll_filters(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.sources.warc import (
+            parse_warc_df,
+        )
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_web_corpus,
+        )
+        # mojibake-ish junk scores far off the reference model
+        junk = ("qqxzv wkjq zzqx vkjw qqzx wvkj xqqz " * 6).strip()
+        out = str(tmp_path / "o")
+        fn = stream_web_corpus(out, str(tmp_path / "c"),
+                               min_quality=0.0,
+                               lm_model=self._model(spark),
+                               max_nll=4.5)
+        seg = tmp_path / "s.warc.gz"
+        seg.write_bytes(W.build_wet([("u:good", self.DOC_A),
+                                     ("u:junk", junk)]))
+        files = (spark.read.format("binaryFile").load(str(seg))
+                 .select("path", "modificationTime", "length",
+                         "content"))
+        fn(parse_warc_df(files), 0)
+        urls = {r["url"] for r in spark.read.parquet(out).collect()}
+        assert urls == {"u:good"}
+
+
 class TestReviewFixes:
     def test_xhtml_response_gets_text(self):
         rec = W.build_response_record(
