@@ -226,8 +226,10 @@ def _centroid_means_arrow(
         import pandas as pd
         S = np.asarray(pdf["s"].tolist(), dtype=np.float64).sum(axis=0)
         n = int(pdf["n"].sum())
+        # scalars, not sliced Series — a Series with a non-zero index
+        # would misalign against the fresh-index list column
         return pd.DataFrame({
-            "cluster": pdf["cluster"].iloc[:1],
+            "cluster": [int(pdf["cluster"].iloc[0])],
             "m": [list(np.round(S / n, 6))],
         })
 

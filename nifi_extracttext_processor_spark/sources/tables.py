@@ -120,14 +120,15 @@ def compact_catalog(spark: SparkSession, path: str) -> int:
     n_out = max(1, -(-total // _COMPACT_TARGET_BYTES))
 
     df = spark.read.parquet(path)
-    partitioned = any(st.isDirectory()
-                      and "=" in st.getPath().getName()
-                      for st in fs.listStatus(root))
-    part_col = None
-    if partitioned:
-        # single partition level is what our catalogs use
-        part_col = fs.listStatus(root)[0].getPath().getName() \
-            .split("=", 1)[0]
+    # single partition level is what our catalogs use; detect it from
+    # the first partition-style DIRECTORY (a stray _SUCCESS file at
+    # the root must not be mistaken for the partition scheme)
+    part_col = next(
+        (st.getPath().getName().split("=", 1)[0]
+         for st in fs.listStatus(root)
+         if st.isDirectory() and "=" in st.getPath().getName()),
+        None)
+    if part_col is not None:
         df = df.drop(part_col)
 
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
