@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from nifi_extracttext_processor_spark.operators import dedup as dd
 from nifi_extracttext_processor_spark.operators import nlp
 from nifi_extracttext_processor_spark.operators import sessions as sess
+from nifi_extracttext_processor_spark.operators import classifier as clf
+from nifi_extracttext_processor_spark.operators import search as srch
 from nifi_extracttext_processor_spark.operators import text_analysis as ta
 from nifi_extracttext_processor_spark.operators.routing import (
     SENTIMENT_ROUTES, query_routes, route_column,
@@ -1600,6 +1602,47 @@ def q_chunk_documents(spark, sf):
 def q_length_histogram(spark, sf):
     d = _t(spark, sf, "documents")
     return ta.length_histogram(d, "text")
+
+
+# ---- extension (r7): BM25 full-text retrieval (operators/search.py)
+# — the text-side counterpart to the embedding ANN family; Lucene idf
+# variant, single token scan, TakeOrdered top-k. Below-window, DuckDB
+# parity in test_oracle_parity; goldens vs an independent pure-Python
+# BM25 in tests/test_search.py ----
+
+_BM25_QUERY = "customer final accounts"
+
+
+@_q("bm25_topk", srch.bm25_topk_sql(_BM25_QUERY, k=20))
+def q_bm25_topk(spark, sf):
+    d = _t(spark, sf, "documents")
+    return srch.bm25_topk(d, _BM25_QUERY, k=20)
+
+
+_BM25_PAIRS = [("q1", "customer accounts"), ("q2", "final deposits"),
+               ("q3", "quick silent theodolites")]
+
+
+@_q("bm25_pairs", srch.bm25_score_pairs_sql(_BM25_PAIRS, k=5))
+def q_bm25_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    qdf = spark.createDataFrame(_BM25_PAIRS,
+                                "query_id string, query string")
+    return srch.bm25_score_pairs(d, qdf, k=5)
+
+
+# ---- extension (r7): linear quality-classifier scoring
+# (operators/classifier.py — the fastText/CCNet filter shape). The
+# iterative TRAINING loop is pytest-verified against an independent
+# numpy LR (the non-SQL-expressible half); the driver row replays the
+# full SCORING plan — explode, md5 bucket, weight lookup, L1
+# normalization — with integer-arithmetic pseudo-weights so DuckDB
+# computes bit-identical logits with no literal weight payload ----
+
+@_q("quality_score", clf.score_pseudo_sql("documents"))
+def q_quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return clf.score_pseudo(d)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,348 @@
+"""Distributed BM25 full-text retrieval over the documents corpus.
+
+The missing sibling of tfidf_top_terms: given a free-text query, rank
+documents by Okapi BM25 (the Lucene/Elasticsearch default scoring
+function, Robertson & Zaragoza 2009) and return the global top-k.
+A 100 TB corpus-diagnostics staple: "show me what the crawl says
+about X" without standing up a search cluster, and the retrieval
+half of contamination/audit checks (find training docs that match a
+benchmark prompt).
+
+Reference parity note: the NiFi flow (56409-tika.xml) has no search
+surface; this is a north-star extension on the `documents` table
+(BASELINE.json similarity-search family), text-side counterpart to
+the embedding ANN ops in operators/similarity.py.
+
+Scale shape (what survives 100×):
+- ONE token scan. Tokens explode narrowly; the per-row doc length is
+  computed BEFORE the explode and carried through, so no second scan
+  and no dl join.
+- The query-term filter runs BEFORE the (doc, term) aggregation, so
+  the only shuffle carries matched (doc, term) rows — for a q-term
+  query that is <= q rows per matching doc, not the whole posting
+  space.
+- df (document frequency) derives from that same matched aggregate;
+  corpus scalars (N, avgdl) are 1-row aggregates broadcast via
+  crossJoin, the house pattern from tfidf_top_terms.
+- Global top-k is orderBy().limit(k) = TakeOrdered (per-partition
+  heap + driver merge of k·parts rows), never a full sort.
+
+Everything is Catalyst expressions — zero UDF — and every arithmetic
+step has a DuckDB twin (bm25_topk_sql) rounded to 4 dp for the
+oracle hash gate.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the house whitespace-token convention (top_terms / tfidf_top_terms /
+# hashed_tf_embedding all share it) — keep BM25 on the same one so a
+# term means the same thing across the text-analysis family
+_TOKEN_SPLIT_RE = r"\s+"
+
+
+def _query_terms(query: str) -> list[str]:
+    """Lower-cased unique query terms, first-occurrence order."""
+    seen: dict[str, None] = {}
+    for t in re.split(r"\s+", query.strip().lower()):
+        if t:
+            seen.setdefault(t, None)
+    if not seen:
+        raise ValueError("BM25 query has no terms")
+    return list(seen)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Global top-k documents for `query` under Okapi BM25.
+
+    score(d) = sum over query terms t present in d of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with the Lucene idf variant  idf(t) = ln(1 + (N - df + 0.5) /
+    (df + 0.5))  (always positive, robust to df > N/2).
+
+    Returns (id_col, n_terms_matched, score) with score rounded to
+    4 dp; ties break on id_col ascending so top-k is deterministic.
+    Documents matching no query term never appear.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    terms = _query_terms(query)
+
+    base = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))),
+                _TOKEN_SPLIT_RE).alias("toks"))
+    # doc length BEFORE the explode: one narrow projection, carried
+    # through so no dl join-back shuffle is ever needed
+    base = base.withColumn(
+        "dl", F.size(F.filter("toks", lambda t: F.length(t) > 0)))
+
+    # corpus scalars: 1 row each, broadcast
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"))
+
+    matched = (base
+               .select(id_col, "dl", F.explode("toks").alias("term"))
+               .filter(F.col("term").isin(terms)))
+    tf = (matched.groupBy(id_col, "term")
+          .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = (F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)
+                     / (F.col("tf") + norm))
+    per_doc = (scored.withColumn("contrib", contrib)
+               .groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_terms_matched"),
+                    F.round(F.sum("contrib"), 4).alias("score")))
+    return (per_doc
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def bm25_topk_sql(
+    query: str,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of bm25_topk — same tokens, same idf variant, same
+    rounding, same tie-break."""
+    terms = _query_terms(query)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower(trim({text_col})),
+                                        '{_TOKEN_SPLIT_RE}'),
+                     t -> len(t) > 0) AS toks
+  FROM {table}
+), base_dl AS (
+  SELECT {id_col}, toks, len(toks) AS dl FROM base
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base_dl
+), matched AS (
+  SELECT {id_col}, dl, t.term AS term
+  FROM base_dl, unnest(toks) AS t(term)
+  WHERE t.term IN ({in_list})
+), tf_t AS (
+  SELECT {id_col}, term, count(*) AS tf, min(dl) AS dl
+  FROM matched GROUP BY 1, 2
+), df_t AS (
+  SELECT term, count(*) AS df FROM tf_t GROUP BY 1
+), contribs AS (
+  SELECT tf_t.{id_col},
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {k1 + 1.0!r}
+              / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))
+           AS contrib
+  FROM tf_t JOIN df_t USING (term) CROSS JOIN stats
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_terms_matched,
+       round(sum(contrib), 4) AS score
+FROM contribs
+GROUP BY {id_col}
+ORDER BY score DESC, {id_col} ASC
+LIMIT {k}
+"""
+
+
+def bm25_score_pairs(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch retrieval: top-k docs for EACH query in `queries_df`
+    (query_id_col, query_col), one corpus scan for all queries.
+
+    The query table is assumed small (it broadcasts); the corpus side
+    still filters to the union of all query terms before any shuffle,
+    and per-query top-k uses a row_number window keyed by query —
+    partition-parallel, never a global sort. Used for benchmark
+    decontamination audits: queries = benchmark prompts, hits = docs
+    to inspect.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    qterms = (queries_df.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(query_col))), _TOKEN_SPLIT_RE),
+                lambda t: F.length(t) > 0))).alias("term"))
+        .distinct())
+
+    base = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))),
+                _TOKEN_SPLIT_RE).alias("toks"))
+    base = base.withColumn(
+        "dl", F.size(F.filter("toks", lambda t: F.length(t) > 0)))
+    stats = base.agg(F.count("*").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+
+    # semi-join style: corpus terms meet the broadcast query-term set;
+    # a term shared by several queries fans out only at join time
+    corpus_terms = (base
+                    .select(id_col, "dl", F.explode("toks").alias("term"))
+                    .join(F.broadcast(qterms.select("term").distinct()),
+                          "term"))
+    tf = (corpus_terms.groupBy(id_col, "term")
+          .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(qterms), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = (F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)
+                     / (F.col("tf") + norm))
+    per_pair = (scored.withColumn("contrib", contrib)
+                .groupBy(query_id_col, id_col)
+                .agg(F.count("*").cast("long").alias("n_terms_matched"),
+                     F.round(F.sum("contrib"), 4).alias("score")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (per_pair.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(query_id_col, id_col, "n_terms_matched", "score",
+                    F.col("rk").cast("long").alias("rk")))
+
+
+def bm25_score_pairs_sql(
+    queries: list[tuple[str, str]],
+    k: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of bm25_score_pairs for a literal query list
+    [(query_id, query_text), ...]."""
+    if not queries:
+        raise ValueError("empty query list")
+    vals = ", ".join(
+        "('" + qid.replace("'", "''") + "', '"
+        + q.replace("'", "''") + "')" for qid, q in queries)
+    return f"""
+WITH qraw AS (
+  SELECT * FROM (VALUES {vals}) AS q(query_id, query)
+), qterms AS (
+  SELECT DISTINCT query_id, t.term AS term
+  FROM qraw, unnest(list_filter(
+         string_split_regex(lower(trim(query)), '{_TOKEN_SPLIT_RE}'),
+         x -> len(x) > 0)) AS t(term)
+), base_dl AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower(trim({text_col})),
+                                        '{_TOKEN_SPLIT_RE}'),
+                     t -> len(t) > 0) AS toks
+  FROM {table}
+), base2 AS (
+  SELECT {id_col}, toks, len(toks) AS dl FROM base_dl
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base2
+), corpus_terms AS (
+  SELECT {id_col}, dl, t.term AS term
+  FROM base2, unnest(toks) AS t(term)
+  WHERE t.term IN (SELECT term FROM qterms)
+), tf_t AS (
+  SELECT {id_col}, term, count(*) AS tf, min(dl) AS dl
+  FROM corpus_terms GROUP BY 1, 2
+), df_t AS (
+  SELECT term, count(*) AS df FROM tf_t GROUP BY 1
+), contribs AS (
+  SELECT qterms.query_id, tf_t.{id_col},
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {k1 + 1.0!r}
+              / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))
+           AS contrib
+  FROM tf_t JOIN df_t USING (term) JOIN qterms USING (term)
+  CROSS JOIN stats
+), per_pair AS (
+  SELECT query_id, {id_col},
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         round(sum(contrib), 4) AS score
+  FROM contribs GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, {id_col} ASC) AS rk
+  FROM per_pair
+)
+SELECT query_id, {id_col}, n_terms_matched, score,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
+def bm25_reference(
+    docs: list[tuple[str, str]],
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict[str, float]:
+    """Pure-Python BM25 for test goldens: {doc_id: score} over every
+    doc matching >= 1 query term. Independent of the Spark path (plain
+    loops, no shared helpers beyond the token convention)."""
+    terms = _query_terms(query)
+    toks = {
+        d: [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        for d, text in docs
+    }
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n if n else 0.0
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    out: dict[str, float] = {}
+    for d, v in toks.items():
+        s = 0.0
+        hit = False
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(v) / avgdl))
+        if hit:
+            out[d] = round(s, 4)
+    return out

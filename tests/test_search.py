@@ -1,0 +1,169 @@
+"""BM25 retrieval (operators/search.py): golden vs an independent
+pure-Python reference, DuckDB twin parity, ranking semantics, and the
+plan-shape guarantees (zero UDF, TakeOrdered top-k, broadcast stats).
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.search import (
+    bm25_reference,
+    bm25_score_pairs,
+    bm25_score_pairs_sql,
+    bm25_topk,
+    bm25_topk_sql,
+)
+
+CORPUS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the quick fox"),
+    ("d3", "a slow green turtle crawls under the energetic dog"),
+    ("d4", "quick quick quick brown fox fox"),
+    ("d5", "completely unrelated text about spark clusters"),
+    ("d6", "dog dog dog dog dog dog dog dog dog dog dog dog"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id string, text string")
+
+
+class TestBM25Golden:
+    def test_matches_independent_reference(self, spark):
+        q = "quick fox dog"
+        want = bm25_reference(CORPUS, q)
+        got = {r["doc_id"]: r["score"]
+               for r in bm25_topk(_df(spark), q, k=10).collect()}
+        assert got == want
+
+    def test_topk_order_and_truncation(self, spark):
+        q = "quick fox"
+        ref = bm25_reference(CORPUS, q)
+        order = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = bm25_topk(_df(spark), q, k=2).collect()
+        assert [(r["doc_id"], r["score"]) for r in rows] == order[:2]
+
+    def test_n_terms_matched(self, spark):
+        rows = {r["doc_id"]: r["n_terms_matched"]
+                for r in bm25_topk(_df(spark), "quick dog", k=10).collect()}
+        assert rows["d1"] == 2           # has both terms
+        assert rows["d2"] == 1 and rows["d6"] == 1
+
+    def test_length_normalization(self, spark):
+        # same tf=1 for 'fox': the shorter d2 must outrank the longer d1
+        rows = {r["doc_id"]: r["score"]
+                for r in bm25_topk(_df(spark), "fox", k=10).collect()}
+        assert rows["d2"] > rows["d1"]
+
+    def test_tf_saturation(self, spark):
+        # d6 has tf=12 for 'dog' but scores < (k1+1)*idf — bounded
+        ref = bm25_reference(CORPUS, "dog")
+        import math
+        n, dfreq = len(CORPUS), 3
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        assert ref["d6"] < (1.2 + 1.0) * idf
+
+    def test_no_match_empty_and_bad_query(self, spark):
+        assert bm25_topk(_df(spark), "zzz qqq", k=5).count() == 0
+        with pytest.raises(ValueError):
+            bm25_topk(_df(spark), "   ", k=5)
+        with pytest.raises(ValueError):
+            bm25_topk(_df(spark), "fox", k=0)
+
+    def test_case_and_duplicate_query_terms(self, spark):
+        # query casing folds; repeated query terms count once
+        a = bm25_topk(_df(spark), "QUICK Fox", k=10).collect()
+        b = bm25_topk(_df(spark), "quick fox quick", k=10).collect()
+        assert sorted((r["doc_id"], r["score"]) for r in a) == \
+            sorted((r["doc_id"], r["score"]) for r in b)
+
+
+class TestBM25DuckDBParity:
+    def _parity(self, spark, q, k):
+        import duckdb
+        import pandas as pd
+        pdf = pd.DataFrame(CORPUS, columns=["doc_id", "text"])
+        got = [(r["doc_id"], r["n_terms_matched"], r["score"])
+               for r in bm25_topk(_df(spark), q, k=k).collect()]
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        want = [(r["doc_id"], int(r["n_terms_matched"]), r["score"])
+                for _, r in con.execute(
+                    bm25_topk_sql(q, k=k)).df().iterrows()]
+        assert got == want
+
+    def test_parity_multi_term(self, spark):
+        self._parity(spark, "quick fox dog", 10)
+
+    def test_parity_single_term_small_k(self, spark):
+        self._parity(spark, "dog", 2)
+
+    def test_pairs_parity(self, spark):
+        import duckdb
+        import pandas as pd
+        queries = [("q1", "quick fox"), ("q2", "dog"),
+                   ("q3", "turtle clusters")]
+        qdf = spark.createDataFrame(queries,
+                                    "query_id string, query string")
+        got = sorted(
+            (r["query_id"], r["doc_id"], r["n_terms_matched"],
+             r["score"], r["rk"])
+            for r in bm25_score_pairs(_df(spark), qdf, k=3).collect())
+        con = duckdb.connect()
+        con.register("documents",
+                     pd.DataFrame(CORPUS, columns=["doc_id", "text"]))
+        want = sorted(
+            (r["query_id"], r["doc_id"], int(r["n_terms_matched"]),
+             r["score"], int(r["rk"]))
+            for _, r in con.execute(
+                bm25_score_pairs_sql(queries, k=3)).df().iterrows())
+        assert got == want
+
+    def test_pairs_matches_single_query_path(self, spark):
+        # per-query results from the batch path == the single-query op
+        qdf = spark.createDataFrame([("q1", "quick fox dog")],
+                                    "query_id string, query string")
+        batch = sorted(
+            (r["doc_id"], r["score"])
+            for r in bm25_score_pairs(_df(spark), qdf, k=10).collect())
+        single = sorted(
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(_df(spark), "quick fox dog", k=10).collect())
+        assert batch == single
+
+
+class TestBM25PlanShape:
+    def test_no_udf_takeordered_broadcast(self, spark):
+        plan = bm25_topk(_df(spark), "quick fox", k=5)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan     # top-k, not full sort
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastExchange" in plan            # 1-row stats broadcast
+        # the only joins are broadcast ones: no SortMergeJoin on the
+        # matched-terms path
+        assert "SortMergeJoin" not in plan
+
+    def test_pairs_no_global_sort(self, spark):
+        qdf = spark.createDataFrame([("q1", "quick"), ("q2", "dog")],
+                                    "query_id string, query string")
+        plan = bm25_score_pairs(_df(spark), qdf, k=3)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # window sort is partition-local (keyed by query_id): the only
+        # Exchanges are hash/broadcast, never rangepartitioning
+        assert "rangepartitioning" not in plan.lower()
+
+
+class TestBM25EmptyEdge:
+    def test_docs_with_empty_text(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "fox"), ("d2", ""), ("d3", "   ")],
+            "doc_id string, text string")
+        rows = bm25_topk(df, "fox", k=5).collect()
+        assert [r["doc_id"] for r in rows] == ["d1"]
+        # avgdl denominators stay finite with empty docs present
+        assert rows[0]["score"] > 0
