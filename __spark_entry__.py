@@ -22,6 +22,7 @@ from nifi_extracttext_processor_spark.operators import dedup as dd
 from nifi_extracttext_processor_spark.operators import nlp
 from nifi_extracttext_processor_spark.operators import sessions as sess
 from nifi_extracttext_processor_spark.operators import classifier as clf
+from nifi_extracttext_processor_spark.operators import layout as layt
 from nifi_extracttext_processor_spark.operators import search as srch
 from nifi_extracttext_processor_spark.operators import text_analysis as ta
 from nifi_extracttext_processor_spark.operators.routing import (
@@ -1643,6 +1644,19 @@ def q_bm25_pairs(spark, sf):
 def q_quality_score(spark, sf):
     d = _t(spark, sf, "documents")
     return clf.score_pseudo(d)
+
+
+# ---- extension (r7): Z-order layout key (operators/layout.py) — the
+# Morton-curve clustering key behind cluster_by_zorder's min/max
+# data-skipping story; pure integer/bit Catalyst arithmetic, DuckDB
+# replays the scaling + interleave bit-for-bit ----
+
+@_q("zorder_key", layt.zorder_value_sql(
+    "events", ["user_id", "value"], bits=16, id_cols="event_id"))
+def q_zorder_key(spark, sf):
+    d = _t(spark, sf, "events")
+    return (layt.zorder_value(d, ["user_id", "value"], bits=16)
+            .select("event_id", "z"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,154 @@
+"""Z-order layout (operators/layout.py): Morton-curve goldens vs an
+independent reference, DuckDB twin parity, the measured data-skipping
+win over a random layout, and plan shape (narrow, zero UDF).
+"""
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.layout import (
+    cluster_by_zorder,
+    file_stats_overlap,
+    pruned_file_fraction,
+    zorder_reference,
+    zorder_value,
+    zorder_value_sql,
+)
+
+
+def _grid_df(spark, n=32):
+    rows = [(i * n + j, float(i), float(j))
+            for i in range(n) for j in range(n)]
+    return spark.createDataFrame(rows, "id long, x double, y double")
+
+
+class TestZValue:
+    def test_matches_independent_reference(self, spark):
+        df = _grid_df(spark, 8)
+        rows = sorted(df.collect(), key=lambda r: r["id"])
+        want = zorder_reference([(r["x"], r["y"]) for r in rows], bits=8)
+        got = {r["id"]: r["z"] for r in
+               zorder_value(df, ["x", "y"], bits=8).collect()}
+        assert [got[r["id"]] for r in rows] == want
+
+    def test_known_interleave(self, spark):
+        # 2 dims, 2 bits: corners of a 4x4 grid have textbook Morton
+        df = spark.createDataFrame(
+            [(0, 0.0, 0.0), (1, 3.0, 0.0), (2, 0.0, 3.0),
+             (3, 3.0, 3.0), (4, 1.0, 2.0)],
+            "id long, x double, y double")
+        got = {r["id"]: r["z"] for r in
+               zorder_value(df, ["x", "y"], bits=2).collect()}
+        # x is dim 0 (even bit positions), y dim 1 (odd)
+        assert got[0] == 0b0000 and got[1] == 0b0101
+        assert got[2] == 0b1010 and got[3] == 0b1111
+        assert got[4] == 0b1001  # x=1 -> 01 even bits, y=2 -> 10 odd
+
+    def test_locality_beats_linear_sort(self, spark):
+        # neighbors on the z-curve are near in BOTH dims: the max y-gap
+        # within any consecutive z window is bounded, unlike x-sort
+        df = _grid_df(spark, 16)
+        rows = sorted(zorder_value(df, ["x", "y"], bits=4).collect(),
+                      key=lambda r: r["z"])
+        window = 16
+        worst = 0.0
+        for s in range(0, len(rows), window):
+            w = rows[s:s + window]
+            worst = max(worst,
+                        max(r["y"] for r in w) - min(r["y"] for r in w),
+                        max(r["x"] for r in w) - min(r["x"] for r in w))
+        assert worst <= 4.0  # a 16-cell z window spans <= 4 in each dim
+
+    def test_constant_and_null_columns(self, spark):
+        df = spark.createDataFrame(
+            [(0, 5.0, None), (1, 5.0, 2.0), (2, 5.0, 5.0),
+             (3, 5.0, 8.0)],
+            "id long, x double, y double")
+        got = {r["id"]: r["z"] for r in
+               zorder_value(df, ["x", "y"], bits=4).collect()}
+        # null y -> lo -> scaled 0; constant x -> scaled 0 everywhere;
+        # y=2 IS the min -> 0; y=5 mid-range and y=8 top are ordered
+        assert got[0] == 0 and got[1] == 0
+        assert got[3] > got[2] > 0
+
+    def test_pinned_ranges_stable_under_append(self, spark):
+        # with pinned ranges the z of existing rows never changes when
+        # new data widens the observed min/max
+        df1 = spark.createDataFrame([(0, 1.0, 1.0)],
+                                    "id long, x double, y double")
+        df2 = spark.createDataFrame([(0, 1.0, 1.0), (1, 100.0, -5.0)],
+                                    "id long, x double, y double")
+        rng = {"x": (0.0, 10.0), "y": (0.0, 10.0)}
+        z1 = zorder_value(df1, ["x", "y"], bits=8,
+                          ranges=rng).collect()[0]["z"]
+        z2 = {r["id"]: r["z"] for r in
+              zorder_value(df2, ["x", "y"], bits=8, ranges=rng).collect()}
+        assert z2[0] == z1
+
+    def test_bad_args(self, spark):
+        df = _grid_df(spark, 2)
+        with pytest.raises(ValueError):
+            zorder_value(df, [])
+        with pytest.raises(ValueError):
+            zorder_value(df, ["x", "y"], bits=32)  # 64 > 62
+        with pytest.raises(ValueError):
+            zorder_value(df, ["x", "y"], ranges={"x": (0, 1)})
+
+    def test_plan_narrow_no_udf(self, spark):
+        df = _grid_df(spark, 4)
+        plan = zorder_value(df, ["x", "y"], bits=8)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # only the 1-row stats broadcast, no data-sized exchange
+        assert "hashpartitioning" not in plan.lower()
+        assert "rangepartitioning" not in plan.lower()
+
+
+class TestZValueDuckDB:
+    def test_parity(self, spark):
+        import duckdb
+        df = _grid_df(spark, 8)
+        got = sorted((r["id"], r["z"]) for r in
+                     zorder_value(df, ["x", "y"], bits=8)
+                     .select("id", "z").collect())
+        con = duckdb.connect()
+        con.register("grid", df.toPandas())
+        want = sorted(
+            (int(r["id"]), int(r["z"])) for _, r in con.execute(
+                zorder_value_sql("grid", ["x", "y"], bits=8,
+                                 id_cols="id")).df().iterrows())
+        assert got == want
+
+
+class TestClusterByZorder:
+    def test_skipping_beats_random_layout(self, spark):
+        import random
+        rnd = random.Random(7)
+        rows = [(i, float(rnd.uniform(0, 100)),
+                 float(rnd.uniform(0, 100))) for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        zdir = tempfile.mkdtemp(prefix="zord_")
+        rdir = tempfile.mkdtemp(prefix="rand_")
+        cluster_by_zorder(df, ["x", "y"], num_partitions=16) \
+            .write.mode("overwrite").parquet(zdir)
+        df.repartition(16, "id").write.mode("overwrite").parquet(rdir)
+        preds = {"x": (10.0, 20.0), "y": (60.0, 70.0)}
+        z_skip = pruned_file_fraction(
+            file_stats_overlap(zdir, ["x", "y"]), preds)
+        r_skip = pruned_file_fraction(
+            file_stats_overlap(rdir, ["x", "y"]), preds)
+        # random layout prunes ~nothing; z-order prunes most files
+        assert r_skip <= 0.25
+        assert z_skip >= 0.5
+        assert z_skip > r_skip
+
+    def test_row_preservation_and_schema(self, spark):
+        df = _grid_df(spark, 8)
+        out = cluster_by_zorder(df, ["x", "y"], num_partitions=4)
+        assert out.columns == ["id", "x", "y"]
+        assert sorted(r["id"] for r in out.collect()) == \
+            sorted(r["id"] for r in df.collect())
