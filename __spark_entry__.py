@@ -269,9 +269,22 @@ FROM documents
 """
 
 
-@_q("top_domains",
-    ta.top_domains_sql(f"({_DOMAIN_SEED_SQL}) seeded_t", "text", k=20))
-def q_top_domains(spark, sf):
+# r7 rotation: top_domains OUT (url-host analysis stays
+# driver-exercised via robots_filter, slot 35, and blocklist_filter's
+# below-window parity) -> zorder_key IN (operators/layout.py — the
+# Morton-curve clustering key behind cluster_by_zorder's min/max
+# data-skipping; pure integer/bit Catalyst arithmetic DuckDB replays
+# bit-for-bit). top_domains re-registers below the window.
+
+@_q("zorder_key", layt.zorder_value_sql(
+    "events", ["user_id", "value"], bits=16, id_cols="event_id"))
+def q_zorder_key(spark, sf):
+    d = _t(spark, sf, "events")
+    return (layt.zorder_value(d, ["user_id", "value"], bits=16)
+            .select("event_id", "z"))
+
+
+def _top_domains_impl(spark, sf):
     d = _t(spark, sf, "documents")
     seeded = d.select(
         "doc_id",
@@ -293,8 +306,22 @@ def q_top_domains(spark, sf):
 from nifi_extracttext_processor_spark.operators import similarity as _sim  # noqa: E402
 
 
-@_q("knn_recall", _sim.knn_recall_sql(k=5, query_pred="vec_id < 8"))
-def q_knn_recall(spark, sf):
+# r7 rotation: knn_recall OUT (the ANN family stays driver-exercised
+# via ann_topk, ann_topk_ivf_indexed and knn_join; the recall-gate
+# arithmetic keeps below-window parity) -> quality_score IN
+# (operators/classifier.py — the fastText/CCNet linear-filter scoring
+# plan: explode, md5 bucket, weight lookup, L1 normalization, with
+# integer-arithmetic pseudo-weights so DuckDB replays the logits
+# bit-for-bit; the iterative TRAINING half is pytest-verified against
+# an independent numpy LR). knn_recall re-registers below the window.
+
+@_q("quality_score", clf.score_pseudo_sql("documents"))
+def q_quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return clf.score_pseudo(d)
+
+
+def _knn_recall_impl(spark, sf):
     emb = _t(spark, sf, "embeddings")
     q, c = emb.filter(F.col("vec_id") < 8), emb.filter(F.col("vec_id") >= 8)
     return _sim.knn_recall(q, c, k=5, dim=64)
@@ -722,10 +749,24 @@ def q_dedup_by_url(spark, sf):
     return out.select("doc_id", "canonical_url")
 
 
-# ---- extension: SimHash near-dup pairs (banded hamming) ----
+# r7 rotation: dedup_simhash_pairs OUT (candidates-first band joins
+# stay driver-exercised via dedup_near_pairs, slot 29; the simhash
+# arithmetic keeps below-window parity via dedup_simhash_sig and the
+# re-registered pairs row) -> bm25_topk IN (operators/search.py —
+# Okapi BM25 full-text retrieval, the text-side counterpart to the
+# embedding ANN family: single token scan, pre-aggregation query-term
+# filter, TakeOrdered top-k, Lucene idf variant).
 
-@_q("dedup_simhash_pairs", dd.simhash_pairs_sql(max_hamming=16))
-def q_simhash_pairs(spark, sf):
+_BM25_QUERY = "customer final accounts"
+
+
+@_q("bm25_topk", srch.bm25_topk_sql(_BM25_QUERY, k=20))
+def q_bm25_topk(spark, sf):
+    d = _t(spark, sf, "documents")
+    return srch.bm25_topk(d, _BM25_QUERY, k=20)
+
+
+def _simhash_pairs_impl(spark, sf):
     d = _t(spark, sf, "documents")
     return (dd.simhash_pairs(d, max_hamming=16)
             .select("id1", "id2",
@@ -1605,20 +1646,29 @@ def q_length_histogram(spark, sf):
     return ta.length_histogram(d, "text")
 
 
-# ---- extension (r7): BM25 full-text retrieval (operators/search.py)
-# — the text-side counterpart to the embedding ANN family; Lucene idf
-# variant, single token scan, TakeOrdered top-k. Below-window, DuckDB
-# parity in test_oracle_parity; goldens vs an independent pure-Python
-# BM25 in tests/test_search.py ----
+# ---- r7 rotation re-registrations: the three evicted queries keep
+# full DuckDB parity here (test_oracle_parity runs every registered
+# query, windowed or not) ----
 
-_BM25_QUERY = "customer final accounts"
+@_q("top_domains",
+    ta.top_domains_sql(f"({_DOMAIN_SEED_SQL}) seeded_t", "text", k=20))
+def q_top_domains_bw(spark, sf):
+    return _top_domains_impl(spark, sf)
 
 
-@_q("bm25_topk", srch.bm25_topk_sql(_BM25_QUERY, k=20))
-def q_bm25_topk(spark, sf):
-    d = _t(spark, sf, "documents")
-    return srch.bm25_topk(d, _BM25_QUERY, k=20)
+@_q("knn_recall", _sim.knn_recall_sql(k=5, query_pred="vec_id < 8"))
+def q_knn_recall_bw(spark, sf):
+    return _knn_recall_impl(spark, sf)
 
+
+@_q("dedup_simhash_pairs", dd.simhash_pairs_sql(max_hamming=16))
+def q_simhash_pairs_bw(spark, sf):
+    return _simhash_pairs_impl(spark, sf)
+
+
+# ---- extension (r7): BM25 batch multi-query retrieval — the
+# decontamination-audit shape (queries = benchmark prompts); the
+# single-query family row is in-window at the bm25_topk slot ----
 
 _BM25_PAIRS = [("q1", "customer accounts"), ("q2", "final deposits"),
                ("q3", "quick silent theodolites")]
@@ -1630,33 +1680,6 @@ def q_bm25_pairs(spark, sf):
     qdf = spark.createDataFrame(_BM25_PAIRS,
                                 "query_id string, query string")
     return srch.bm25_score_pairs(d, qdf, k=5)
-
-
-# ---- extension (r7): linear quality-classifier scoring
-# (operators/classifier.py — the fastText/CCNet filter shape). The
-# iterative TRAINING loop is pytest-verified against an independent
-# numpy LR (the non-SQL-expressible half); the driver row replays the
-# full SCORING plan — explode, md5 bucket, weight lookup, L1
-# normalization — with integer-arithmetic pseudo-weights so DuckDB
-# computes bit-identical logits with no literal weight payload ----
-
-@_q("quality_score", clf.score_pseudo_sql("documents"))
-def q_quality_score(spark, sf):
-    d = _t(spark, sf, "documents")
-    return clf.score_pseudo(d)
-
-
-# ---- extension (r7): Z-order layout key (operators/layout.py) — the
-# Morton-curve clustering key behind cluster_by_zorder's min/max
-# data-skipping story; pure integer/bit Catalyst arithmetic, DuckDB
-# replays the scaling + interleave bit-for-bit ----
-
-@_q("zorder_key", layt.zorder_value_sql(
-    "events", ["user_id", "value"], bits=16, id_cols="event_id"))
-def q_zorder_key(spark, sf):
-    d = _t(spark, sf, "events")
-    return (layt.zorder_value(d, ["user_id", "value"], bits=16)
-            .select("event_id", "z"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
