@@ -64,6 +64,11 @@ HEADLINE = [
     "semantic_dedup_k256",  # SemDeDup at production-shaped k: Arrow
                             # matmul assignment + scatter-add update
                             # + gemm prune (the large-k scale path)
+    "bm25_topk",           # token scan + matched-term agg + TakeOrdered
+    "quality_score",       # classifier scoring plan: explode + bucket
+                           # + weight lookup + per-doc sum
+    "zorder_cluster",      # z-value bit arithmetic + range shuffle +
+                           # partition-local sort (the layout write)
 ]
 
 
@@ -136,7 +141,18 @@ def _q_web_corpus_prep(spark, sf_dir):
     return prepare_web_corpus(docs, min_quality=0.3)
 
 
+def _q_zorder_cluster(spark, sf_dir):
+    from nifi_extracttext_processor_spark.operators.layout import (
+        cluster_by_zorder,
+    )
+    from nifi_extracttext_processor_spark.sources.tables import load_table
+    e = load_table(spark, sf_dir, "events")
+    return cluster_by_zorder(e.select("event_id", "user_id", "value"),
+                             ["user_id", "value"], num_partitions=32)
+
+
 LOCAL = {
+    "zorder_cluster": _q_zorder_cluster,
     "asof_plain": _q_asof_plain,
     "asof_bucketed": _q_asof_bucketed,
     "sessionize_bucketed": _q_sessionize_bucketed,
