@@ -1682,6 +1682,53 @@ def q_bm25_pairs(spark, sf):
     return srch.bm25_score_pairs(d, qdf, k=5)
 
 
+# ---- extension (r7): interval (range) join — the bin-strategy range
+# join (operators/temporal.py:interval_join): clicks landing inside a
+# 30-minute window after each purchase, keyed by user. The oracle is
+# the plain BETWEEN theta join the bin strategy is semantically equal
+# to; below-window, parity in pytest ----
+
+@_q("events_interval_join", """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT event_id AS purchase_id, user_id, ts AS s,
+             ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, r.purchase_id
+FROM l JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e
+     AND r.e >= r.s
+""")
+def q_events_interval_join(spark, sf):
+    from nifi_extracttext_processor_spark.operators.temporal import (
+        interval_join,
+    )
+    e = _t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"), "user_id",
+                     F.col("ts").alias("s"),
+                     (F.col("ts")
+                      + F.expr("INTERVAL 30 MINUTES")).alias("e")))
+    return interval_join(clicks, purch, ts_col="ts", start_col="s",
+                         end_col="e", by="user_id",
+                         bucket_seconds=1800.0,
+                         right_cols=("purchase_id",))
+
+
+# ---- extension (r7): exact-k quota sampling per group (md5 twin of
+# the xxhash64 scale path, like split_by_hash/sample_by_hash) —
+# below-window, DuckDB parity in pytest ----
+
+@_q("sample_k_per_group", "SELECT doc_id, source, sample_rank FROM ("
+    + cx.sample_k_per_group_sql("documents", "source", k=7) + ")")
+def q_sample_k_per_group(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (cx.sample_k_per_group(d, "source", k=7, md5=True)
+            .select("doc_id", "source", "sample_rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -742,6 +742,72 @@ def sample_by_hash_sql(
             f"WHERE {b} < {int(rate * _SAMPLE_BUCKETS)}")
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    md5: bool = False,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic EXACT-k uniform sample per group (per language,
+    per domain, per source): rank each group's rows by a keyed hash of
+    (id, seed) — a deterministic random permutation — and keep the
+    first k. The per-group counterpart of sample_by_hash's Bernoulli
+    global sample: quota sampling for balanced eval sets, per-domain
+    caps, and inspection samples, reproducible across reruns and
+    clusters. Groups smaller than k keep every row.
+
+    Scale shape: ONE shuffle — the rank window is keyed by
+    `group_col`, so it is partition-parallel; a hot group serializes
+    into one task (same posture as sessionize — pre-aggregate or
+    split pathological groups upstream). `md5=True` switches to the
+    engine-portable _u32 hash so DuckDB replays the selection
+    row-for-row; xxhash64 is the scale default.
+
+    Output adds `rank_col` (1-based position in the group's hash
+    order — stable tie-break on id), useful for nested quotas: the
+    rank<=10 sample is a subset of the rank<=100 sample by
+    construction."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if md5:
+        h = _u32(F.concat(F.col(id_col).cast("string"),
+                          F.lit(f"#{seed}")))
+    else:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(id_col).asc())
+    return (df.withColumn(rank_col,
+                          F.row_number().over(w).cast("long"))
+            .filter(F.col(rank_col) <= k))
+
+
+def sample_k_per_group_sql(
+    table: str,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    rank_col: str = "sample_rank",
+) -> str:
+    """DuckDB twin of sample_k_per_group(md5=True) — same _u32 hash,
+    same tie-break, same 1-based rank."""
+    h = (f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || "
+         f"'#{seed}'), 1, 8))::BIGINT)")
+    return f"""
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY {group_col}
+      ORDER BY {h} ASC, {id_col} ASC) AS BIGINT) AS {rank_col}
+  FROM {table}
+) WHERE {rank_col} <= {k}
+"""
+
+
 def mix_corpora(
     sources: "list[tuple[DataFrame, float]]",
     id_col: str = "doc_id",

@@ -248,3 +248,119 @@ FROM {left_table} l
 ASOF LEFT JOIN {right_table} r
   ON l.{by} = r.{by} AND l.{on} >= r.{on}
 """
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join — the bin-based range-join strategy
+# ---------------------------------------------------------------------------
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: str | None = None,
+    bucket_seconds: float = 3600.0,
+    how: str = "inner",
+    right_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Join every left row to the right intervals containing it:
+    right.start <= left.ts <= right.end (and left.by == right.by when
+    `by` is given). Inclusive on both ends — DuckDB BETWEEN semantics,
+    so the oracle twin is a plain theta join.
+
+    Spark's optimizer turns `ts BETWEEN s AND e` into a
+    BroadcastNestedLoopJoin (fine only when one side broadcasts) or an
+    O(|L|*|R|) cartesian — the classic range-join scale-killer. This
+    is the BIN strategy instead (the same one behind Databricks' range
+    join hints): quantize time into `bucket_seconds` bins, explode
+    each interval onto the bins it covers, equi-join on
+    (by?, bin) — ONE hash shuffle — then apply the exact BETWEEN
+    filter. Each left row lives in exactly one bin, so a (left, right)
+    pair can meet only once: no dedup pass needed.
+
+    Pick `bucket_seconds` near the typical interval length: the
+    interval fan-out is ceil(len/bucket)+1 rows, and a bin's join
+    fan-in is the number of intervals overlapping it. Hot bins are
+    ordinary join skew — AQE's skew-join splitting applies (it can't
+    help the nested-loop formulations).
+
+    `how`: "inner" or "left" (unmatched left rows kept with NULL right
+    payload). Intervals with end < start are dropped (not an error —
+    dirty data posture). `right_cols` projects the right payload
+    (default: every right column except the join metadata).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be > 0")
+    if right_cols is None:
+        drop = {start_col, end_col} | ({by} if by else set())
+        right_cols = tuple(c for c in right.columns if c not in drop)
+
+    def _secs(df_: DataFrame, c: str):
+        # numeric -> double; timestamp/timestamp_ntz/date -> epoch
+        # seconds. Only the BIN mapping uses this (any monotonic,
+        # side-consistent map works); the exact BETWEEN filter below
+        # compares the native types.
+        t = df_.schema[c].dataType.typeName()
+        if t in ("timestamp", "timestamp_ntz", "date"):
+            return (F.unix_micros(F.col(c).cast("timestamp"))
+                    .cast("double") / F.lit(1e6))
+        return F.col(c).cast("double")
+
+    w = float(bucket_seconds)
+    rs = _secs(right, start_col)
+    re_ = _secs(right, end_col)
+
+    l2 = left.withColumn(
+        "_bin", F.floor(_secs(left, ts_col) / F.lit(w)))
+
+    r2 = (right
+          .filter(F.col(end_col) >= F.col(start_col))
+          .withColumn("_bin", F.explode(F.sequence(
+              F.floor(rs / F.lit(w)).cast("long"),
+              F.floor(re_ / F.lit(w)).cast("long")))))
+
+    on = [l2["_bin"] == r2["_bin"]]
+    if by:
+        on.insert(0, l2[by] == r2[by])
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    exact = ((l2[ts_col] >= r2[start_col])
+             & (l2[ts_col] <= r2[end_col]))
+
+    # every left row lives in exactly ONE bin, so left-outer keeps
+    # unmatched rows (with NULL payload) at their original
+    # multiplicity — no dedup or row-handle pass needed either way
+    return (l2.join(r2, cond & exact, how)
+            .select(*[l2[c] for c in left.columns],
+                    *[r2[c] for c in right_cols]))
+
+
+def interval_join_sql(
+    left_table: str,
+    right_table: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: str | None = None,
+    how: str = "inner",
+    left_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin: the plain theta join the bin strategy is
+    semantically equal to."""
+    lc = ", ".join(f"l.{c}" for c in left_cols) or "l.*"
+    rc = ", ".join(f"r.{c}" for c in right_cols)
+    j = "JOIN" if how == "inner" else "LEFT JOIN"
+    key = f"l.{by} = r.{by} AND " if by else ""
+    return f"""
+SELECT {lc}, {rc}
+FROM {left_table} l
+{j} {right_table} r
+  ON {key}l.{ts_col} >= r.{start_col} AND l.{ts_col} <= r.{end_col}
+     AND r.{end_col} >= r.{start_col}
+"""
