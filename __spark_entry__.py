@@ -22,6 +22,7 @@ from nifi_extracttext_processor_spark.operators import dedup as dd
 from nifi_extracttext_processor_spark.operators import nlp
 from nifi_extracttext_processor_spark.operators import sessions as sess
 from nifi_extracttext_processor_spark.operators import classifier as clf
+from nifi_extracttext_processor_spark.operators import graph as gph
 from nifi_extracttext_processor_spark.operators import layout as layt
 from nifi_extracttext_processor_spark.operators import search as srch
 from nifi_extracttext_processor_spark.operators import text_analysis as ta
@@ -1727,6 +1728,60 @@ def q_sample_k_per_group(spark, sf):
     d = _t(spark, sf, "documents")
     return (cx.sample_k_per_group(d, "source", k=7, md5=True)
             .select("doc_id", "source", "sample_rank"))
+
+
+# ---- extension (r7): link-graph vertical (operators/graph.py).
+# host_pagerank runs the REAL power-iteration operator on a
+# deterministic synthetic host graph derived from doc_id; the oracle
+# replays the exact 3-iteration computation as an unrolled CTE chain
+# (the semantic_dedup Lloyd-unroll trick). extract_links shares the
+# house URL_RE/href conventions. Below-window, parity in pytest ----
+
+_EDGE_SEED_SQL = """
+SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+       'h' || CAST((doc_id * 7 + 3) % 37 AS VARCHAR) AS dst
+FROM documents
+WHERE doc_id % 37 <> (doc_id * 7 + 3) % 37
+"""
+
+
+@_q("host_pagerank", gph.pagerank_sql(_EDGE_SEED_SQL, iters=3))
+def q_host_pagerank(spark, sf):
+    d = _t(spark, sf, "documents")
+    edges = (d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"),
+                 ((F.col("doc_id") * 7 + 3) % 37).cast("string"))
+        .alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    return gph.pagerank(edges, iters=3)
+
+
+_LINK_SEED_SQL = """
+SELECT doc_id,
+       text || ' https://site' || CAST(doc_id % 7 AS VARCHAR)
+            || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+            || ' <a href="/local/' || CAST(doc_id % 5 AS VARCHAR)
+            || '">x</a>' AS text
+FROM documents
+"""
+
+
+@_q("extract_links", "WITH seeded AS (" + _LINK_SEED_SQL + ")\n"
+    + gph.extract_links_sql("seeded", mode="both"))
+def q_extract_links(spark, sf):
+    d = _t(spark, sf, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit(' <a href="/local/'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('">x</a>')).alias("text"))
+    return gph.extract_links(seeded, mode="both")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

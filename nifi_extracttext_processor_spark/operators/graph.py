@@ -1,0 +1,263 @@
+"""Link-graph analytics over a web corpus: outlink extraction, the
+host-level link graph, and PageRank.
+
+Crawl-scale corpora carry a quality prior in their link structure —
+Common Crawl publishes host/domain-level rank files (harmonic
+centrality / PageRank) exactly so pipelines can weight or filter
+documents by the standing of their host. This module closes that loop
+natively: extract outlinks (Catalyst regex — no HTML parse needed for
+absolute links), collapse to a host->host edge list, and run power-
+iteration PageRank (Page et al. 1999) as pure DataFrame ops.
+
+Scale design:
+- extract_links / host_edges are narrow regex projections + ONE
+  map-side-combinable (src, dst) count — the house URL conventions
+  (URL_RE, url_host) shared with top_domains/blocklist, so a "host"
+  means the same thing across the corpus ops.
+- pagerank is the canonical iterative-join workload: the edge list
+  (with out-weight totals pre-joined) is computed ONCE and persisted;
+  each iteration is one (src) hash join + one (dst) aggregation —
+  both map-side combinable — and the rank vector is persisted per
+  iteration with the previous one unpersisted, so the lineage stays
+  ONE iteration deep (no exponential plan growth, checkpoint-free
+  restartability at 100 TB comes from writing ranks between jobs).
+  Dangling mass is a 1-row aggregate broadcast, never a driver
+  collect inside the loop.
+- Convergence on web graphs takes ~50 iterations at damping 0.85;
+  the driver/oracle queries run 3 so DuckDB can replay the EXACT
+  computation as an unrolled CTE chain (pagerank_sql) — the same
+  fixed-iteration-unroll trick the semantic-dedup oracle uses for
+  Lloyd's algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import URL_RE, url_host
+
+# href capture: the attribute value up to the closing quote —
+# re2-safe (no backreferences), shared verbatim with the DuckDB twin
+HREF_RE = r"""href=["']([^"']+)["']"""
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "urls",
+) -> DataFrame:
+    """One row per outlink: (id_col, link). mode='urls' finds absolute
+    http(s) URLs anywhere in the text (works on extracted plain text —
+    no markup needed); mode='href' captures href="..." attribute
+    values from raw HTML (relative links included, NOT resolved
+    against a base — resolve downstream where the page URL lives);
+    mode='both' unions the two (distinct). Narrow regex projection +
+    explode; zero UDF."""
+    if mode not in ("urls", "href", "both"):
+        raise ValueError(f"unknown mode {mode!r}")
+    c = F.col(text_col)
+    urls = F.regexp_extract_all(c, F.lit(URL_RE), 0)
+    hrefs = F.regexp_extract_all(c, F.lit(HREF_RE), 1)
+    arr = {"urls": urls, "href": hrefs,
+           "both": F.array_distinct(F.concat(urls, hrefs))}[mode]
+    return (df.select(F.col(id_col), F.explode(arr).alias("link"))
+            .filter(F.length("link") > 0))
+
+
+def extract_links_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "urls",
+) -> str:
+    """DuckDB twin of extract_links (same regexes, same union)."""
+    href_re = HREF_RE.replace("'", "''")
+    urls = f"regexp_extract_all({text_col}, '{URL_RE}')"
+    hrefs = f"regexp_extract_all({text_col}, '{href_re}', 1)"
+    arr = {"urls": urls, "href": hrefs,
+           "both": f"list_distinct(list_concat({urls}, {hrefs}))"}[mode]
+    return f"""
+SELECT {id_col}, t.link AS link
+FROM {table}, unnest({arr}) AS t(link)
+WHERE len(t.link) > 0
+"""
+
+
+def host_edges(
+    links: DataFrame,
+    src_url_col: str = "url",
+    link_col: str = "link",
+    keep_self: bool = False,
+) -> DataFrame:
+    """Collapse (page url, outlink) rows to the host graph:
+    (src, dst, weight) with weight = link count. Scheme-less links
+    (relative hrefs) produce '' hosts and are dropped; self-loops are
+    dropped unless `keep_self` (they contribute nothing to PageRank
+    but matter for e.g. internal-link ratios). One map-side-
+    combinable aggregation."""
+    e = (links
+         .select(url_host(F.col(src_url_col)).alias("src"),
+                 url_host(F.col(link_col)).alias("dst"))
+         .filter((F.length("src") > 0) & (F.length("dst") > 0)))
+    if not keep_self:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("weight"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Weighted PageRank by power iteration. Returns (node, rank)
+    over every node appearing as src or dst; ranks sum to 1 (dangling
+    mass redistributed uniformly, the standard formulation):
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u) * w(u,v)/W_out(u)
+                                + dangling_mass / N)
+
+    Parallel edges combine by weight; `weight_col=None` counts each
+    edge once. Rounded to `round_dp` at the END only (the oracle
+    replays the full double-precision chain)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"),
+                      w.alias("w"))
+         .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    # pre-divide once: contribution fraction per edge is loop-invariant
+    ef = (e.join(out_w, "src")
+          .select("src", "dst", (F.col("w") / F.col("wout"))
+                  .alias("frac"))
+          .persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    try:
+        n = nodes.count()
+        if n == 0:
+            raise ValueError("pagerank: empty edge list")
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+        ranks.count()
+        srcs = out_w.select(F.col("src").alias("node"))
+        for _ in range(iters):
+            contribs = (ef.join(ranks, ef["src"] == ranks["node"])
+                        .groupBy("dst")
+                        .agg(F.sum(F.col("rank") * F.col("frac"))
+                             .alias("c")))
+            dangling = (ranks.join(srcs, "node", "left_anti")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                             .alias("dm")))
+            new_ranks = (nodes
+                         .join(contribs, nodes["node"] == contribs["dst"],
+                               "left")
+                         .crossJoin(F.broadcast(dangling))
+                         .select(
+                             nodes["node"],
+                             (F.lit((1.0 - damping) / n)
+                              + F.lit(damping)
+                              * (F.coalesce(F.col("c"), F.lit(0.0))
+                                 + F.col("dm") / F.lit(float(n))))
+                             .alias("rank"))
+                         .persist())
+            new_ranks.count()   # materialize: lineage stays 1 deep
+            ranks.unpersist()
+            ranks = new_ranks
+        return ranks.select("node", F.round("rank", round_dp)
+                            .alias("rank"))
+    finally:
+        ef.unpersist()
+        nodes.unpersist()
+
+
+def pagerank_sql(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin: the power iteration UNROLLED as one CTE chain per
+    iteration (contribs_i, dangling_i, ranks_i) — same arithmetic,
+    same end-only rounding. Usable for the driver-scale fixed-iters
+    runs; a convergence run would unroll too far (use the Spark op)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w = f"CAST({weight_col} AS DOUBLE)" if weight_col else "1.0"
+    d = repr(float(damping))
+    parts = [f"""
+_raw AS ({edges_sql}),
+_e AS (
+  SELECT {src_col} AS src, {dst_col} AS dst, sum({w}) AS w
+  FROM _raw GROUP BY 1, 2
+),
+_outw AS (SELECT src, sum(w) AS wout FROM _e GROUP BY 1),
+_ef AS (SELECT _e.src, _e.dst, _e.w / _outw.wout AS frac
+        FROM _e JOIN _outw USING (src)),
+_nodes AS (SELECT src AS node FROM _e
+           UNION SELECT dst FROM _e),
+_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM _nodes),
+ranks_0 AS (SELECT node, 1.0 / n AS rank FROM _nodes CROSS JOIN _n)"""]
+    for i in range(1, iters + 1):
+        p = f"ranks_{i - 1}"
+        parts.append(f"""
+contribs_{i} AS (
+  SELECT dst, sum(rank * frac) AS c
+  FROM _ef JOIN {p} ON _ef.src = {p}.node GROUP BY dst
+),
+dangling_{i} AS (
+  SELECT coalesce(sum(rank), 0.0) AS dm FROM {p}
+  WHERE node NOT IN (SELECT src FROM _outw)
+),
+ranks_{i} AS (
+  SELECT _nodes.node,
+         (1.0 - {d}) / n + {d} * (coalesce(c, 0.0) + dm / n) AS rank
+  FROM _nodes
+  LEFT JOIN contribs_{i} ON _nodes.node = contribs_{i}.dst
+  CROSS JOIN dangling_{i} CROSS JOIN _n
+)""")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT node, round(rank, {round_dp}) AS rank "
+              f"FROM ranks_{iters}")
+
+
+def pagerank_reference(
+    edges: list[tuple[str, str, float]],
+    iters: int = 3,
+    damping: float = 0.85,
+) -> dict[str, float]:
+    """Independent dense-numpy power iteration for test goldens."""
+    import numpy as np
+
+    agg: dict[tuple[str, str], float] = {}
+    for s, t, w in edges:
+        agg[(s, t)] = agg.get((s, t), 0.0) + w
+    nodes = sorted({s for s, _ in agg} | {t for _, t in agg})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for (s, t), w in agg.items():
+        M[idx[t], idx[s]] += w
+    col = M.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        nz = col > 0
+        contrib = M[:, nz] @ (r[nz] / col[nz])
+        dm = r[~nz].sum()
+        r = (1.0 - damping) / n + damping * (contrib + dm / n)
+    return {v: round(float(r[idx[v]]), 6) for v in nodes}

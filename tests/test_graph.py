@@ -1,0 +1,152 @@
+"""Link graph (operators/graph.py): extraction/host-edge parity,
+PageRank vs an independent numpy power iteration AND the unrolled
+DuckDB CTE oracle, dangling/weighted semantics, rank conservation.
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.graph import (
+    extract_links,
+    extract_links_sql,
+    host_edges,
+    pagerank,
+    pagerank_reference,
+    pagerank_sql,
+)
+
+
+class TestExtractLinks:
+    DOCS = [
+        (1, 'see https://a.test/x and <a href="https://b.test/y">b</a>'),
+        (2, "nothing here"),
+        (3, '<a href="/relative/path">r</a> http://c.test./z?q=1'),
+    ]
+
+    def test_modes(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        urls = sorted((r["doc_id"], r["link"]) for r in
+                      extract_links(df, mode="urls").collect())
+        assert (2, "nothing here") not in urls
+        assert any(l.startswith("https://a.test") for _, l in urls)
+        hrefs = {r["link"] for r in
+                 extract_links(df, mode="href").collect()}
+        assert "/relative/path" in hrefs and "https://b.test/y" in hrefs
+        both = {r["link"] for r in
+                extract_links(df, mode="both").collect()}
+        assert both >= hrefs
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+        import pandas as pd
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        for mode in ("urls", "href", "both"):
+            got = sorted((r["doc_id"], r["link"]) for r in
+                         extract_links(df, mode=mode).collect())
+            con = duckdb.connect()
+            con.register("documents", pd.DataFrame(
+                self.DOCS, columns=["doc_id", "text"]))
+            want = sorted(
+                (int(r["doc_id"]), r["link"]) for _, r in con.execute(
+                    extract_links_sql(mode=mode)).df().iterrows())
+            assert got == want, mode
+
+
+class TestHostEdges:
+    def test_host_graph(self, spark):
+        rows = [
+            ("https://a.test/p1", "https://b.test/x"),
+            ("https://a.test/p2", "https://b.test/y"),
+            ("https://A.test:8080/p3", "https://c.test./z"),
+            ("https://a.test/p4", "https://a.test/self"),  # self loop
+            ("https://a.test/p5", "/relative"),            # no host
+        ]
+        df = spark.createDataFrame(rows, "url string, link string")
+        got = {(r["src"], r["dst"]): r["weight"]
+               for r in host_edges(df).collect()}
+        assert got == {("a.test", "b.test"): 2, ("a.test", "c.test"): 1}
+        with_self = {(r["src"], r["dst"]): r["weight"]
+                     for r in host_edges(df, keep_self=True).collect()}
+        assert with_self[("a.test", "a.test")] == 1
+
+
+class TestPageRank:
+    EDGES = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+             ("a", "c", 1.0), ("d", "a", 1.0)]  # d dangles into a
+
+    def _spark_ranks(self, spark, edges, iters=3, weight=None):
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        return {r["node"]: r["rank"] for r in
+                pagerank(df, weight_col=weight, iters=iters).collect()}
+
+    def test_matches_numpy_reference(self, spark):
+        got = self._spark_ranks(spark, self.EDGES, iters=4)
+        want = pagerank_reference(self.EDGES, iters=4)
+        assert set(got) == set(want)
+        assert all(abs(got[k] - want[k]) < 2e-6 for k in got)
+
+    def test_ranks_sum_to_one(self, spark):
+        got = self._spark_ranks(spark, self.EDGES, iters=3)
+        assert abs(sum(got.values()) - 1.0) < 1e-4
+
+    def test_dangling_node_handled(self, spark):
+        # e has no outlinks: its mass must redistribute, not vanish
+        edges = [("a", "e", 1.0), ("b", "e", 1.0), ("e2", "a", 1.0),
+                 ("e2", "b", 1.0)]
+        got = self._spark_ranks(spark, edges, iters=5)
+        want = pagerank_reference(edges, iters=5)
+        assert all(abs(got[k] - want[k]) < 2e-6 for k in got)
+        assert abs(sum(got.values()) - 1.0) < 1e-4
+
+    def test_weighted_vs_unweighted(self, spark):
+        edges = [("a", "b", 10.0), ("a", "c", 1.0), ("b", "a", 1.0),
+                 ("c", "a", 1.0)]
+        wgt = self._spark_ranks(spark, edges, iters=3, weight="w")
+        unw = self._spark_ranks(spark, edges, iters=3, weight=None)
+        assert wgt["b"] > unw["b"]      # weight shifts mass toward b
+        want = pagerank_reference(edges, iters=3)
+        assert all(abs(wgt[k] - want[k]) < 2e-6 for k in wgt)
+
+    def test_matches_duckdb_unrolled(self, spark):
+        import duckdb
+        import pandas as pd
+        rnd = random.Random(5)
+        hosts = [f"h{i}" for i in range(20)]
+        edges = [(rnd.choice(hosts), rnd.choice(hosts), 1.0)
+                 for _ in range(80)]
+        edges = [(s, t, w) for s, t, w in edges if s != t]
+        df = spark.createDataFrame(edges,
+                                   "src string, dst string, w double")
+        got = sorted((r["node"], r["rank"]) for r in
+                     pagerank(df, weight_col="w", iters=3).collect())
+        con = duckdb.connect()
+        con.register("edges_t", pd.DataFrame(
+            edges, columns=["src", "dst", "w"]))
+        sql = pagerank_sql("SELECT src, dst, w FROM edges_t",
+                           weight_col="w", iters=3)
+        want = sorted((r["node"], r["rank"]) for _, r in
+                      con.execute(sql).df().iterrows())
+        assert got == want
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame([("a", "b", 1.0)],
+                                   "src string, dst string, w double")
+        with pytest.raises(ValueError):
+            pagerank(df, iters=0)
+        with pytest.raises(ValueError):
+            pagerank(df, damping=1.0)
+        empty = spark.createDataFrame([],
+                                      "src string, dst string, w double")
+        with pytest.raises(ValueError):
+            pagerank(empty)
+
+    def test_no_cartesian_on_data(self, spark):
+        # the only crossJoins are the 1-row dangling/N scalars
+        df = spark.createDataFrame(self.EDGES,
+                                   "src string, dst string, w double")
+        out = pagerank(df, iters=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
