@@ -1784,6 +1784,79 @@ def q_extract_links(spark, sf):
     return gph.extract_links(seeded, mode="both")
 
 
+# ---- extension (r7): approximate heavy hitters (Misra-Gries
+# summaries, text_analysis.approx_top_terms). NO oracle_sql entry BY
+# DESIGN: a sketch's estimates depend on arrival order inside the
+# allowed error band — the genuinely non-SQL-expressible carve-out
+# (same rationale as bpe_tokenize); the MG bounds (never
+# overestimates, upper bound holds, heavy-term membership) are locked
+# against the exact aggregate in tests/test_approx_top_terms.py ----
+
+@_q("approx_top_terms")
+def q_approx_top_terms(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ta.approx_top_terms(d, k=20, capacity=4096)
+
+
+# ---- extension (r7): SQL-surface breadth — ROLLUP grouping sets and
+# a per-key statistical anomaly window (both pure ANSI, below-window,
+# parity in pytest) ----
+
+@_q("sql_rollup_revenue", """
+SELECT n.n_name, o.o_orderpriority,
+       CAST(grouping(n.n_name) AS BIGINT) AS g_nation,
+       CAST(grouping(o.o_orderpriority) AS BIGINT) AS g_prio,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+""")
+def q_sql_rollup_revenue(spark, sf):
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql("""
+SELECT n.n_name, o.o_orderpriority,
+       CAST(grouping(n.n_name) AS BIGINT) AS g_nation,
+       CAST(grouping(o.o_orderpriority) AS BIGINT) AS g_prio,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+""")
+
+
+@_q("events_anomaly", """
+WITH stats AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT event_id, user_id,
+       round((value - mu) / sd, 4) AS zscore
+FROM stats
+WHERE n >= 3 AND sd > 0 AND abs((value - mu) / sd) > 2.0
+""")
+def q_events_anomaly(spark, sf):
+    from pyspark.sql import Window
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    s = (e.select("event_id", "user_id", "value")
+         .withColumn("mu", F.avg("value").over(w))
+         .withColumn("sd", F.stddev_samp("value").over(w))
+         .withColumn("n", F.count("*").over(w)))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (s.filter((F.col("n") >= 3) & (F.col("sd") > 0)
+                     & (F.abs(z) > 2.0))
+            .select("event_id", "user_id",
+                    F.round(z, 4).alias("zscore")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

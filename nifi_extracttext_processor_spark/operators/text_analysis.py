@@ -307,6 +307,78 @@ def top_terms(df: DataFrame, text_col: str = "text",
             .limit(k))
 
 
+def approx_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Heavy hitters with BOUNDED memory: Misra-Gries summaries
+    (Misra & Gries 1982; mergeable per Agarwal et al. 2012).
+
+    top_terms' exact (term, count) aggregate shuffles one row per
+    DISTINCT term — at 100 TB with n-gram vocabularies that
+    intermediate is itself enormous. This keeps at most `capacity`
+    counters per partition: tokens stay a narrow JVM-side explode
+    (house convention), one Arrow pass folds each partition into a
+    <=capacity-row sketch, and only capacity x n_partitions rows ever
+    shuffle. Summing partial counters preserves the MG guarantee
+
+        f(t) - n_tokens/capacity <= est(t) <= f(t)
+
+    so the output carries (est_count, max_count=est+n/capacity) and
+    every term with true frequency > n/capacity is guaranteed present
+    before the top-k cut. est values (not membership bounds) depend on
+    arrival order — this is a sketch, hence no SQL twin; the exact
+    operator remains the oracle at test scale.
+    """
+    if k < 1 or capacity < 1:
+        raise ValueError("k and capacity must be >= 1")
+    toks = (df
+            .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("term"))
+            .filter(F.length("term") > 0))
+    cap = int(capacity)
+
+    def sketch(batches):
+        import pandas as pd
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            for t in pdf["term"]:
+                n += 1
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < cap:
+                    counters[t] = 1
+                else:
+                    # subtract-min variant: one overflow event retires
+                    # >= capacity*m token mass, so total decrement work
+                    # amortizes to O(n)
+                    m = min(counters.values())
+                    counters = {w: c - m for w, c in counters.items()
+                                if c > m}
+                    if len(counters) < cap:
+                        counters[t] = 1
+        rows = list(counters.items())
+        rows.append((None, n))          # per-partition token total
+        yield pd.DataFrame(rows, columns=["term", "cnt"])
+
+    partials = toks.mapInPandas(sketch, "term string, cnt long")
+    merged = (partials.filter(F.col("term").isNotNull())
+              .groupBy("term").agg(F.sum("cnt").alias("est_count")))
+    total = (partials.filter(F.col("term").isNull())
+             .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_tokens")))
+    return (merged.crossJoin(F.broadcast(total))
+            .select("term",
+                    "est_count",
+                    (F.col("est_count")
+                     + F.ceil(F.col("n_tokens") / F.lit(cap)))
+                    .cast("long").alias("max_count"))
+            .orderBy(F.desc("est_count"), F.asc("term"))
+            .limit(k))
+
+
 def top_terms_sql(table: str = "documents", text_expr: str = "text",
                   k: int = 20) -> str:
     return f"""

@@ -1,0 +1,80 @@
+"""approx_top_terms (Misra-Gries heavy hitters): agreement with the
+exact aggregate at ample capacity, the MG error/membership guarantees
+at tight capacity, and the bounded-shuffle plan shape.
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.text_analysis import (
+    approx_top_terms,
+    top_terms,
+)
+
+
+def _zipf_docs(spark, n_docs=200, seed=3):
+    rnd = random.Random(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for d in range(n_docs):
+        words = [vocab[min(int(rnd.paretovariate(1.1)), 299)]
+                 for _ in range(40)]
+        docs.append((d, " ".join(words)))
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+class TestApproxTopTerms:
+    def test_ample_capacity_matches_exact(self, spark):
+        df = _zipf_docs(spark)
+        exact = [(r["term"], r["n"]) for r in
+                 top_terms(df, k=15).collect()]
+        approx = [(r["term"], r["est_count"]) for r in
+                  approx_top_terms(df, k=15, capacity=10000).collect()]
+        assert approx == exact  # capacity > vocab: sketch is exact
+
+    def test_tight_capacity_guarantees(self, spark):
+        df = _zipf_docs(spark)
+        truth = {r["term"]: r["n"] for r in
+                 top_terms(df, k=10000).collect()}
+        n_tokens = sum(truth.values())
+        cap = 64
+        rows = approx_top_terms(df, k=50, capacity=cap).collect()
+        for r in rows:
+            f = truth[r["term"]]
+            assert r["est_count"] <= f          # never overestimates
+            assert r["max_count"] >= f          # upper bound holds
+        # membership: every term with f > n/cap per partition-sum
+        # bound must appear among the sketch survivors
+        got_terms = {r["term"] for r in
+                     approx_top_terms(df, k=10000,
+                                      capacity=cap).collect()}
+        for t, f in truth.items():
+            if f > n_tokens / cap:
+                assert t in got_terms, (t, f, n_tokens / cap)
+
+    def test_deterministic_same_input(self, spark):
+        df = _zipf_docs(spark)
+        a = [(r["term"], r["est_count"]) for r in
+             approx_top_terms(df, k=20, capacity=128).collect()]
+        b = [(r["term"], r["est_count"]) for r in
+             approx_top_terms(df, k=20, capacity=128).collect()]
+        assert a == b
+
+    def test_bad_args(self, spark):
+        df = _zipf_docs(spark, n_docs=2)
+        with pytest.raises(ValueError):
+            approx_top_terms(df, k=0)
+        with pytest.raises(ValueError):
+            approx_top_terms(df, capacity=0)
+
+    def test_plan_bounded_shuffle(self, spark):
+        df = _zipf_docs(spark, n_docs=5)
+        plan = approx_top_terms(df, k=5, capacity=32)._jdf \
+            .queryExecution().executedPlan().toString()
+        # sketch runs BEFORE any exchange: the only wide ops are the
+        # <=cap-per-partition merge agg and the top-k
+        assert "TakeOrderedAndProject" in plan
+        assert "rangepartitioning" not in plan.lower()
