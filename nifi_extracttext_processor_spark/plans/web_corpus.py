@@ -85,6 +85,10 @@ def prepare_web_corpus(
     max_nll: float | None = None,
     lm_n: int = 3,
     normalize: bool = True,
+    classifier: "tuple[list[float], float] | None" = None,
+    min_classifier_prob: float | None = None,
+    host_ranks: DataFrame | None = None,
+    min_host_rank: float | None = None,
 ) -> DataFrame:
     """documents (doc_id, url, text) → filtered, deduped, scored rows.
 
@@ -93,9 +97,21 @@ def prepare_web_corpus(
     defaults to the input corpus itself (self-scoring, outlier cut).
     `max_nll=None` keeps the score column without filtering on it.
     `normalize` runs mojibake repair + NFC + whitespace cleanup FIRST
-    so every downstream hash (URL canon excepted) sees stable bytes."""
+    so every downstream hash (URL canon excepted) sees stable bytes.
+
+    `classifier`: optional (weights, bias) from
+    classifier.train_text_classifier — the GPT-3-style "quality
+    classifier" gate; adds `clf_prob`, and filters when
+    `min_classifier_prob` is set. Scoring is the broadcast-weight
+    Catalyst plan; runs AFTER the cheap narrow filters so only
+    survivors pay the token explode.
+    `host_ranks`: optional (node, rank) table (graph.pagerank over
+    the crawl's host graph — the Common Crawl host-rank prior);
+    BROADCAST-joined on url_host(url), adds `host_rank`, filters when
+    `min_host_rank` is set. Host tables are ~10^7 rows at full crawl
+    scale — still broadcastable; swap to a shuffle join above that."""
     from ..operators.normalize import normalize_and_clean
-    from ..operators.text_analysis import dedup_by_url
+    from ..operators.text_analysis import dedup_by_url, url_host
 
     out = docs
     if normalize:
@@ -106,14 +122,38 @@ def prepare_web_corpus(
     out = ta.quality_score(out, "text")
     out = out.filter(F.col("lang_pred").isin(list(langs))
                      & (F.col("quality") >= min_quality))
+    if host_ranks is not None:
+        if "url" not in docs.columns:
+            raise ValueError("host_ranks filtering needs a url column")
+        hr = host_ranks.select(F.col("node").alias("__host"),
+                               F.col("rank").alias("host_rank"))
+        out = (out.withColumn("__host", url_host(F.col("url")))
+               .join(F.broadcast(hr), "__host", "left")
+               .drop("__host"))
+        if min_host_rank is not None:
+            out = out.filter(F.col("host_rank") >= min_host_rank)
     # the lineage above (WARC parse → boilerplate kernel → normalize
-    # kernel → filters) feeds FIVE traversals below (ngram agg, ctx
-    # agg, vocab collect, score explode, join/dedup branch) — without
-    # a cache every document would be re-parsed and re-normalized per
-    # traversal
+    # kernel → filters → host prior) feeds every traversal below: the
+    # classifier branch fans out 2 ways (token scoring + join-back)
+    # and the LM stage 5 ways (ngram agg, ctx agg, vocab collect,
+    # score explode, join/dedup branch) — without a cache every
+    # document would be re-parsed and re-normalized per traversal
     from ..operators.lifecycle import track_persist
     out = track_persist(out)  # lifecycle-tracked so bench/driver
     # release_all() can free it between queries
+    if classifier is not None:
+        from ..operators.classifier import score_text
+        w, b = classifier
+        scored = score_text(out.select("doc_id", "text"), w, b) \
+            .select("doc_id", F.col("prob").alias("clf_prob"))
+        out = out.join(scored, "doc_id")
+        if min_classifier_prob is not None:
+            out = out.filter(F.col("clf_prob") >= min_classifier_prob)
+        # re-persist past the scoring join so the 5-way LM fan-out
+        # below replays neither the token-explode aggregation nor the
+        # join (the pre-classifier persist is released by the same
+        # lifecycle sweep; with classifier=None nothing changes)
+        out = track_persist(out)
     counts, ctx, vocab = train_char_lm(
         lm_reference if lm_reference is not None else out,
         "text", n=lm_n)

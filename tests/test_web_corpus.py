@@ -108,3 +108,48 @@ class TestPrepare:
         # everything kept respects the cut
         assert all(r["nll"] <= 3.2 for r in rows)
         assert any("story" in r["url"] for r in rows)
+
+
+class TestPrepareR7Stages:
+    def test_classifier_gate(self, spark, segments):
+        from nifi_extracttext_processor_spark.operators.classifier import (
+            train_text_classifier,
+        )
+        docs = wc.warc_segments_to_documents(spark, segments)
+        # train a tiny discriminator: article-like words = 1,
+        # junk tokens = 0
+        labeled = spark.createDataFrame(
+            [(1, ARTICLE, 1), (2, "zzzz zzzz zzzz zzzz", 0),
+             (3, "policy officials committee fiscal", 1),
+             (4, "zzzz qqqq zzzz qqqq", 0)],
+            "doc_id long, text string, label int")
+        w, b, _ = train_text_classifier(labeled, n_buckets=256,
+                                        n_iter=30, lr=5.0)
+        out = wc.prepare_web_corpus(
+            docs, min_quality=0.0, classifier=(w, b),
+            min_classifier_prob=0.5).collect()
+        urls = {r["url"] for r in out}
+        assert any("story" in u for u in urls)
+        assert not any("junk" in u for u in urls)
+        for r in out:
+            assert 0.0 <= r["clf_prob"] <= 1.0
+
+    def test_host_rank_prior(self, spark, segments):
+        docs = wc.warc_segments_to_documents(spark, segments)
+        ranks = spark.createDataFrame(
+            [("site.example", 0.8), ("wet.example", 0.01)],
+            "node string, rank double")
+        out = wc.prepare_web_corpus(
+            docs, min_quality=0.0, host_ranks=ranks,
+            min_host_rank=0.5).collect()
+        assert out and all("site.example" in r["url"] for r in out)
+        assert all(r["host_rank"] == 0.8 for r in out)
+
+    def test_host_rank_requires_url(self, spark):
+        import pytest as _pytest
+        docs = spark.createDataFrame(
+            [(1, "some text")], "doc_id long, text string")
+        ranks = spark.createDataFrame([("h", 0.5)],
+                                      "node string, rank double")
+        with _pytest.raises(ValueError):
+            wc.prepare_web_corpus(docs, host_ranks=ranks)
