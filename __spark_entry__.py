@@ -24,6 +24,7 @@ from nifi_extracttext_processor_spark.operators import sessions as sess
 from nifi_extracttext_processor_spark.operators import classifier as clf
 from nifi_extracttext_processor_spark.operators import graph as gph
 from nifi_extracttext_processor_spark.operators import layout as layt
+from nifi_extracttext_processor_spark.operators import profile as prof
 from nifi_extracttext_processor_spark.operators import search as srch
 from nifi_extracttext_processor_spark.operators import text_analysis as ta
 from nifi_extracttext_processor_spark.operators.routing import (
@@ -1855,6 +1856,21 @@ def q_events_anomaly(spark, sf):
                      & (F.abs(z) > 2.0))
             .select("event_id", "user_id",
                     F.round(z, 4).alias("zscore")))
+
+
+# ---- extension (r7): single-scan table profiler (operators/
+# profile.py — the Deequ-style data-quality pass). exact=True is the
+# oracle-replayable mode; production uses the HLL++ default.
+# Below-window, parity in pytest ----
+
+@_q("profile_events", prof.profile_table_sql(
+    "events", [("event_id", "bigint"), ("user_id", "bigint"),
+               ("event_type", "string"), ("value", "double")]))
+def q_profile_events(spark, sf):
+    d = _t(spark, sf, "events")
+    return prof.profile_table(
+        d, cols=["event_id", "user_id", "event_type", "value"],
+        exact=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,87 @@
+"""profile_table (operators/profile.py): single-scan per-column stats
+— golden values, null/complex-type handling, DuckDB twin parity, and
+the one-aggregation plan shape.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.profile import (
+    profile_table,
+    profile_table_sql,
+)
+
+
+def _df(spark):
+    rows = [
+        (1, "a", 1.5, ["x"]),
+        (2, "b", None, ["y", "z"]),
+        (3, None, 2.5, None),
+        (4, "b", 0.25, []),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, s string, v double, arr array<string>")
+
+
+class TestProfile:
+    def test_golden(self, spark):
+        out = {r["column"]: r for r in
+               profile_table(_df(spark), exact=True).collect()}
+        assert set(out) == {"id", "s", "v", "arr"}
+        assert out["id"]["n_rows"] == 4 and out["id"]["n_nulls"] == 0
+        assert out["id"]["n_distinct"] == 4
+        assert out["id"]["min_value"] == "1"
+        assert out["id"]["max_value"] == "4"
+        assert out["s"]["n_nulls"] == 1
+        assert out["s"]["null_frac"] == 0.25
+        assert out["s"]["n_distinct"] == 2
+        assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+        assert out["v"]["min_value"] == "0.25"
+        # arrays: no ordering — nulls/distinct only
+        assert out["arr"]["min_value"] is None
+        assert out["arr"]["n_nulls"] == 1
+        assert out["arr"]["n_distinct"] == 3
+        assert out["arr"]["dtype"] == "array<string>"
+
+    def test_subset_and_errors(self, spark):
+        df = _df(spark)
+        out = profile_table(df, cols=["id"]).collect()
+        assert len(out) == 1 and out[0]["column"] == "id"
+        with pytest.raises(ValueError):
+            profile_table(df, cols=["nope"])
+        with pytest.raises(ValueError):
+            profile_table(df, cols=[])
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+        df = _df(spark).select("id", "s", "v")
+        got = sorted(tuple(r) for r in
+                     profile_table(df, exact=True).collect())
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        sql = profile_table_sql(
+            "t", [("id", "bigint"), ("s", "string"), ("v", "double")])
+        want = sorted(
+            (r["column"], r["dtype"], int(r["n_rows"]),
+             int(r["n_nulls"]), r["null_frac"], int(r["n_distinct"]),
+             r["min_value"], r["max_value"])
+            for _, r in con.execute(sql).df().iterrows())
+        assert got == want
+
+    def test_single_scan_plan(self, spark):
+        df = _df(spark).select("id", "s", "v")
+        plan = profile_table(df)._jdf \
+            .queryExecution().executedPlan().toString()
+        # approx mode: ONE aggregate pass, no Expand, no per-column
+        # scans, no UDF
+        assert plan.count("Scan ") <= 1
+        assert "Expand" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_approx_close_to_exact(self, spark):
+        df = spark.range(0, 5000).select(
+            F.col("id"), (F.col("id") % 100).alias("m"))
+        out = {r["column"]: r for r in profile_table(df).collect()}
+        assert out["m"]["n_distinct"] == pytest.approx(100, rel=0.1)
+        assert out["id"]["n_distinct"] == pytest.approx(5000, rel=0.1)
