@@ -512,6 +512,8 @@ def stream_web_corpus(
     lm_model: "tuple | None" = None,
     lm_n: int = 3,
     max_nll: float | None = None,
+    classifier: "tuple | None" = None,
+    min_classifier_prob: float | None = None,
 ):
     """foreachBatch wiring of the web-corpus plan for streaming WARC
     ingestion: per micro-batch — boilerplate removal → normalization
@@ -550,6 +552,11 @@ def stream_web_corpus(
     the score; None keeps the nll column without filtering. Training
     a fresh LM per micro-batch would make scores depend on batch
     composition, which is why no self-training default exists here.
+    `classifier` = (weights, bias) from
+    classifier.train_text_classifier works the same way: the
+    PRE-TRAINED model broadcasts into every batch, so clf_prob is
+    batch-independent (two drains == one, pytest-asserted);
+    `min_classifier_prob` gates on it.
 
     MIGRATION: fingerprints are computed over the NORMALIZED text,
     so changing `normalize` (or upgrading from a version that did not
@@ -589,6 +596,15 @@ def stream_web_corpus(
             docs = docs.join(scores, "doc_id")
             if max_nll is not None:
                 docs = docs.filter(F.col("nll") <= max_nll)
+        if classifier is not None:
+            from ..operators.classifier import score_text
+            cw, cb = classifier
+            cs = (score_text(docs.select("doc_id", "text"), cw, cb)
+                  .select("doc_id", F.col("prob").alias("clf_prob")))
+            docs = docs.join(cs, "doc_id")
+            if min_classifier_prob is not None:
+                docs = docs.filter(
+                    F.col("clf_prob") >= min_classifier_prob)
         catalog = read_catalog(spark, catalog_dir, ("fingerprint",))
         if catalog is None:   # first batch bootstraps; corrupt raises
             catalog = (docs.select(F.md5("text").alias("fingerprint"))

@@ -392,6 +392,67 @@ class TestStreamLmScoring:
         assert urls == {"u:good"}
 
 
+class TestStreamClassifierGate:
+    GOOD = ("The committee announced that the new policy would take "
+            "effect next year and officials said they expect the "
+            "measure to reduce costs across the region for a decade.")
+    SPAM = ("winner winner click the free prize casino bonus click "
+            "free casino prize winner bonus click free prize casino "
+            "winner click bonus free prize casino winner click now.")
+
+    def _clf(self, spark):
+        from nifi_extracttext_processor_spark.operators.classifier import (
+            train_text_classifier,
+        )
+        labeled = spark.createDataFrame(
+            [(1, self.GOOD, 1),
+             (2, "policy officials committee measure region", 1),
+             (3, self.SPAM, 0),
+             (4, "click free prize casino winner bonus", 0)],
+            "doc_id long, text string, label int")
+        w, b, _ = train_text_classifier(labeled, n_buckets=256,
+                                        n_iter=30, lr=5.0)
+        return w, b
+
+    def _run(self, spark, tmp_path, name, batches, **kw):
+        from nifi_extracttext_processor_spark.sources.warc import (
+            parse_warc_df,
+        )
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_web_corpus,
+        )
+        out = str(tmp_path / f"{name}_o")
+        fn = stream_web_corpus(out, str(tmp_path / f"{name}_c"),
+                               min_quality=0.0, **kw)
+        for bid, docs in enumerate(batches):
+            seg = tmp_path / f"{name}_{bid}.warc.gz"
+            seg.write_bytes(W.build_wet(docs))
+            files = (spark.read.format("binaryFile").load(str(seg))
+                     .select("path", "modificationTime", "length",
+                             "content"))
+            fn(parse_warc_df(files), bid)
+        return {r["url"]: r["clf_prob"] for r in
+                spark.read.parquet(out).collect()}
+
+    def test_two_drains_score_like_one_and_gate(self, spark, tmp_path):
+        clf = self._clf(spark)
+        split = self._run(spark, tmp_path, "split",
+                          [[("u:good", self.GOOD)],
+                           [("u:spam", self.SPAM)]],
+                          classifier=clf)
+        onego = self._run(spark, tmp_path, "one",
+                          [[("u:good", self.GOOD),
+                            ("u:spam", self.SPAM)]],
+                          classifier=clf)
+        assert split == onego           # batch-independent scores
+        assert split["u:good"] > 0.5 > split["u:spam"]
+        gated = self._run(spark, tmp_path, "gated",
+                          [[("u:good", self.GOOD),
+                            ("u:spam", self.SPAM)]],
+                          classifier=clf, min_classifier_prob=0.5)
+        assert set(gated) == {"u:good"}
+
+
 class TestReviewFixes:
     def test_xhtml_response_gets_text(self):
         rec = W.build_response_record(
