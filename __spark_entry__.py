@@ -1873,6 +1873,20 @@ def q_profile_events(spark, sf):
         exact=True)
 
 
+# ---- extension (r7): Cavnar-Trenkle n-gram language ID — profiles
+# trained on the documents table's own lang labels, then the same
+# table classified (self-consistency); the stopword gazetteer
+# language_id stays the cheap pass (driver row lang_quality).
+# Below-window, parity in pytest ----
+
+@_q("lang_id_ngram", ta.language_id_ngram_sql(top_k=80))
+def q_lang_id_ngram(spark, sf):
+    d = _t(spark, sf, "documents")
+    profiles = ta.train_lang_profiles(d, top_k=80)
+    return (ta.language_id_ngram(d, profiles, top_k=80)
+            .select("doc_id", "lang_pred", "lang_dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -228,6 +228,169 @@ def language_id_sql(text_expr: str,
     return expr_best
 
 
+def train_lang_profiles(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 100,
+) -> DataFrame:
+    """Char-n-gram language profiles (Cavnar & Trenkle 1994 — the
+    textcat method): per language, the `top_k` most frequent n-grams
+    with their 1-based frequency rank (ties -> n-gram asc, so
+    profiles are deterministic). Train on any labeled seed corpus;
+    the result is tiny (|langs| x top_k rows) and broadcasts.
+
+    One map-side-combinable (lang, ngram) shuffle + a keyed rank
+    window; reuses the lm module's _char_ngrams Catalyst expression so
+    an "n-gram" means the same thing as in the char-LM family."""
+    from pyspark.sql import Window
+
+    from .lm import _char_ngrams
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_ngrams(text_col, n)).alias("ngram"))
+    counts = grams.groupBy("lang", "ngram").agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"),
+                                           F.asc("ngram"))
+    return (counts.withColumn("rank", F.row_number().over(w)
+                              .cast("long"))
+            .filter(F.col("rank") <= top_k)
+            .select("lang", "ngram", "rank"))
+
+
+def language_id_ngram(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 100,
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Profile-based language ID: rank the document's own top-k char
+    n-grams, compare against each trained language profile with the
+    Cavnar-Trenkle out-of-place distance (matched grams pay
+    |doc_rank - lang_rank|, unmatched pay `top_k`), and take the
+    argmin (ties -> lang asc). Far more robust than stopword hits on
+    short/strange text; `language_id` stays as the cheap gazetteer
+    pass. Docs with no n-grams (shorter than n) predict 'und'.
+
+    Scale: the (id, ngram) count partial-aggregates map-side; both
+    windows are keyed by doc; the profile and language list are
+    BROADCAST (|langs| x top_k rows); the corpus never shuffles
+    anything wider than (id, ngram) rows."""
+    from pyspark.sql import Window
+
+    from .lm import _char_ngrams
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    dg = (df.select(F.col(id_col),
+                    F.explode(_char_ngrams(text_col, n)).alias("ngram"))
+          .groupBy(id_col, "ngram").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"),
+                                           F.asc("ngram"))
+    dp = (dg.withColumn("drank", F.row_number().over(w).cast("long"))
+          .filter(F.col("drank") <= top_k))
+    g = dp.groupBy(id_col).agg(F.count("*").alias("g"))
+    langs = profiles.select("lang").distinct()
+    matched = (dp.join(F.broadcast(profiles), "ngram")
+               .groupBy(id_col, "lang")
+               .agg(F.sum(F.abs(F.col("drank") - F.col("rank")))
+                    .alias("mdist"),
+                    F.count("*").alias("mcnt")))
+    scored = (g.crossJoin(F.broadcast(langs))
+              .join(matched, [id_col, "lang"], "left")
+              .withColumn("dist",
+                          F.coalesce(F.col("mdist"), F.lit(0))
+                          + (F.col("g")
+                             - F.coalesce(F.col("mcnt"), F.lit(0)))
+                          * F.lit(top_k)))
+    w2 = Window.partitionBy(id_col).orderBy(F.asc("dist"),
+                                            F.asc("lang"))
+    pred = (scored.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(id_col), F.col("lang").alias(out_col),
+                    F.col("dist").cast("long").alias("lang_dist")))
+    return (df.join(pred, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col),
+                                            F.lit("und"))))
+
+
+def language_id_ngram_sql(
+    table: str = "documents",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    n: int = 3,
+    top_k: int = 100,
+    out_col: str = "lang_pred",
+) -> str:
+    """DuckDB twin: train profiles on `table`'s lang_col and classify
+    the same table (the self-consistency driver query) — identical
+    n-gram enumeration, ranks, out-of-place distance and tie-breaks."""
+    c = f"coalesce({text_expr}, '')"
+    grams = (f"CASE WHEN length({c}) >= {n} THEN "
+             f"list_transform(range(0, length({c}) - {n} + 1), "
+             f"i -> substr({c}, i + 1, {n})) "
+             f"ELSE [] END")
+    return f"""
+WITH lg AS (
+  SELECT {lang_col} AS lang, unnest({grams}) AS ngram FROM {table}
+), lc AS (
+  SELECT lang, ngram, count(*) AS cnt FROM lg GROUP BY 1, 2
+), profiles AS (
+  SELECT lang, ngram, rank FROM (
+    SELECT lang, ngram, CAST(row_number() OVER (
+        PARTITION BY lang ORDER BY cnt DESC, ngram ASC) AS BIGINT)
+        AS rank
+    FROM lc
+  ) WHERE rank <= {top_k}
+), dg AS (
+  SELECT {id_col}, ngram, count(*) AS cnt FROM (
+    SELECT {id_col}, unnest({grams}) AS ngram FROM {table}
+  ) GROUP BY 1, 2
+), dp AS (
+  SELECT {id_col}, ngram, drank FROM (
+    SELECT {id_col}, ngram, CAST(row_number() OVER (
+        PARTITION BY {id_col} ORDER BY cnt DESC, ngram ASC) AS BIGINT)
+        AS drank
+    FROM dg
+  ) WHERE drank <= {top_k}
+), gt AS (
+  SELECT {id_col}, count(*) AS g FROM dp GROUP BY 1
+), langs AS (SELECT DISTINCT lang FROM profiles),
+matched AS (
+  SELECT dp.{id_col}, profiles.lang,
+         sum(abs(drank - rank)) AS mdist, count(*) AS mcnt
+  FROM dp JOIN profiles USING (ngram)
+  GROUP BY 1, 2
+), scored AS (
+  SELECT gt.{id_col}, langs.lang,
+         coalesce(mdist, 0) + (g - coalesce(mcnt, 0)) * {top_k}
+           AS dist
+  FROM gt CROSS JOIN langs
+  LEFT JOIN matched ON matched.{id_col} = gt.{id_col}
+                   AND matched.lang = langs.lang
+), pred AS (
+  SELECT {id_col}, lang, dist FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY {id_col} ORDER BY dist ASC, lang ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT t.{id_col},
+       coalesce(pred.lang, 'und') AS {out_col},
+       CAST(pred.dist AS BIGINT) AS lang_dist
+FROM {table} t LEFT JOIN pred ON t.{id_col} = pred.{id_col}
+"""
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "fingerprint") -> DataFrame:
     """Deterministic doc fingerprint: md5 of whitespace-normalized,

@@ -1,0 +1,109 @@
+"""Cavnar-Trenkle n-gram language ID: held-out classification,
+und/edge semantics, DuckDB twin parity, broadcast plan shape.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.text_analysis import (
+    language_id_ngram,
+    language_id_ngram_sql,
+    train_lang_profiles,
+)
+
+SEED = [
+    ("en", "the quick brown fox jumps over the lazy dog while the "
+           "children watch the evening light fade over the hills"),
+    ("en", "there is nothing better than a long walk in the rain "
+           "with the sound of water and the smell of wet earth"),
+    ("de", "der schnelle braune fuchs springt über den faulen hund "
+           "während die kinder das abendlicht über den hügeln sehen"),
+    ("de", "es gibt nichts besseres als einen langen spaziergang im "
+           "regen mit dem geräusch des wassers und der feuchten erde"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux "
+           "pendant que les enfants regardent la lumière du soir"),
+    ("fr", "il n'y a rien de mieux qu'une longue promenade sous la "
+           "pluie avec le bruit de l'eau et l'odeur de la terre"),
+]
+
+HELD_OUT = [
+    (1, "the dog and the fox walk over the hills in the evening", "en"),
+    (2, "der hund und der fuchs gehen über die hügel am abend", "de"),
+    (3, "le chien et le renard marchent sur les collines le soir", "fr"),
+]
+
+
+class TestLangNgram:
+    def _profiles(self, spark):
+        seed = spark.createDataFrame(SEED, "lang string, text string")
+        return train_lang_profiles(seed, top_k=150)
+
+    def test_profiles_shape(self, spark):
+        p = self._profiles(spark).collect()
+        by_lang = {}
+        for r in p:
+            by_lang.setdefault(r["lang"], []).append(r["rank"])
+        assert set(by_lang) == {"en", "de", "fr"}
+        for ranks in by_lang.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_held_out_classification(self, spark):
+        profiles = self._profiles(spark)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t, _ in HELD_OUT], "doc_id long, text string")
+        got = {r["doc_id"]: r["lang_pred"] for r in
+               language_id_ngram(docs, profiles, top_k=150).collect()}
+        assert got == {i: lang for i, _, lang in HELD_OUT}
+
+    def test_short_and_empty_text_und(self, spark):
+        profiles = self._profiles(spark)
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "ab"), (3, None)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["lang_pred"], r["lang_dist"]) for r in
+               language_id_ngram(docs, profiles, n=3).collect()}
+        # no trigram can be formed -> no profile row -> und
+        assert got[1] == ("und", None)
+        assert got[2] == ("und", None)
+        assert got[3] == ("und", None)
+
+    def test_bad_args(self, spark):
+        seed = spark.createDataFrame(SEED, "lang string, text string")
+        with pytest.raises(ValueError):
+            train_lang_profiles(seed, top_k=0)
+        with pytest.raises(ValueError):
+            language_id_ngram(seed.withColumnRenamed("lang", "l")
+                              .withColumn("doc_id", F.lit(1)),
+                              self._profiles(spark), top_k=0)
+
+    def test_matches_duckdb_self_consistency(self, spark):
+        import duckdb
+        import pandas as pd
+        rows = [(i, t, lang) for i, (lang, t) in enumerate(SEED)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, lang string")
+        profiles = train_lang_profiles(df, top_k=80)
+        got = sorted(
+            (r["doc_id"], r["lang_pred"], r["lang_dist"]) for r in
+            language_id_ngram(df, profiles, top_k=80)
+            .select("doc_id", "lang_pred", "lang_dist").collect())
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang"]))
+        want = sorted(
+            (int(r["doc_id"]), r["lang_pred"],
+             None if pd.isna(r["lang_dist"]) else int(r["lang_dist"]))
+            for _, r in con.execute(
+                language_id_ngram_sql(top_k=80)).df().iterrows())
+        assert got == want
+
+    def test_plan_broadcast_profiles(self, spark):
+        profiles = self._profiles(spark)
+        docs = spark.createDataFrame([(1, "the fox")],
+                                     "doc_id long, text string")
+        plan = language_id_ngram(docs, profiles)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastExchange" in plan
+        assert "rangepartitioning" not in plan.lower()
