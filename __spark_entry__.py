@@ -1887,6 +1887,23 @@ def q_lang_id_ngram(spark, sf):
             .select("doc_id", "lang_pred", "lang_dist"))
 
 
+# ---- extension (r7): unigram-LM tokenizer (Kudo 2018 — the
+# SentencePiece "unigram" model next to BPE). NO oracle_sql entry BY
+# DESIGN: EM + prune training is iterative (the same documented
+# carve-out as bpe_tokenize); the contract — Viterbi optimality vs
+# brute-force enumeration, losslessness, char coverage, determinism —
+# is locked by tests/test_unigram.py ----
+
+@_q("unigram_tokenize")
+def q_unigram_tokenize(spark, sf):
+    from nifi_extracttext_processor_spark.operators import tokenize as tk
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    vocab = tk.train_unigram(d, vocab_size=400, max_words=5000)
+    return (tk.unigram_tokenize(d, vocab, tokens_col=None)
+            .select("doc_id", F.col("n_unigram_real").cast("long")
+                    .alias("n_unigram_real")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
