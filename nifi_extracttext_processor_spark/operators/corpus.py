@@ -907,6 +907,7 @@ def write_corpus_shards(
     token_col: str | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    options: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Land the corpus as N stable shards + a `_manifest` table:
     shard directories via partitionBy (underscore-prefixed manifest
@@ -924,9 +925,18 @@ def write_corpus_shards(
     sharded = assign_shards(df, num_shards, id_col=id_col, seed=seed)
     out = (sharded.repartition(num_shards, "shard")
            .sortWithinPartitions("shard", id_col))
-    (out.write.partitionBy("shard").mode(mode).format(fmt).save(path))
+    w = out.write.partitionBy("shard").mode(mode).format(fmt)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save(path)
     spark = df.sparkSession
     written = spark.read.format(fmt).load(path)
+    if fmt == "json":
+        # JSON readback is schema-inferred; align numeric widths so
+        # the manifest aggregation sees the written values as-is
+        written = written.select(
+            *[F.col(c).cast(dict(out.dtypes)[c]) for c in out.columns
+              if c in written.columns])
     manifest = shard_manifest(written, token_col=token_col,
                               id_col=id_col)
     (manifest.write.mode("overwrite").format(fmt)

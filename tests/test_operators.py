@@ -5183,6 +5183,41 @@ class TestShardReviewFixes:
         assert back.count() == 300
 
 
+class TestJsonlShardExport:
+    def test_gzip_jsonl_roundtrip(self, spark, tmp_path):
+        """The final-mile exporter: gzip JSONL shards (the format
+        training loaders consume) round-trip with a correct
+        manifest."""
+        import glob
+        import gzip
+        import json
+
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            write_corpus_shards,
+        )
+        from pyspark.sql import functions as F
+        df = (spark.range(0, 120).withColumnRenamed("id", "doc_id")
+              .withColumn("text", F.concat(F.lit("doc "),
+                                           F.col("doc_id")))
+              .withColumn("n_tok", F.lit(2)))
+        path = str(tmp_path / "jsonl")
+        manifest = write_corpus_shards(
+            df, path, 4, token_col="n_tok", fmt="json",
+            options={"compression": "gzip"}).collect()
+        assert sum(r["n_docs"] for r in manifest) == 120
+        # files are genuinely gzip JSONL a plain loader can read
+        files = glob.glob(path + "/shard=*/*.json.gz")
+        assert files
+        seen = set()
+        for f in files:
+            with gzip.open(f, "rt") as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    assert rec["text"] == f"doc {rec['doc_id']}"
+                    seen.add(rec["doc_id"])
+        assert seen == set(range(120))
+
+
 class TestTopicClusters:
     def test_separable_corpora_and_duckdb_parity(self, spark):
         import duckdb
