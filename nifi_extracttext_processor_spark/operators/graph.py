@@ -152,6 +152,7 @@ def pagerank(
         ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
         ranks.count()
         srcs = out_w.select(F.col("src").alias("node"))
+        last = None
         for _ in range(iters):
             contribs = (ef.join(ranks, ef["src"] == ranks["node"])
                         .groupBy("dst")
@@ -174,7 +175,13 @@ def pagerank(
                          .persist())
             new_ranks.count()   # materialize: lineage stays 1 deep
             ranks.unpersist()
-            ranks = new_ranks
+            ranks = last = new_ranks
+        if last is not None:
+            # hand the final vector to the lifecycle tracker (persist
+            # is an idempotent no-op here) so a long session's
+            # release_all() frees it
+            from .lifecycle import track_persist
+            track_persist(last)
         return ranks.select("node", F.round("rank", round_dp)
                             .alias("rank"))
     finally:
