@@ -1904,6 +1904,19 @@ def q_unigram_tokenize(spark, sf):
                     .alias("n_unigram_real")))
 
 
+# ---- extension (r7): semantic benchmark decontamination — the
+# embedding-level complement of the n-gram decontaminate row (catches
+# paraphrased eval items); benchmark = the vec_id % 97 slice, corpus =
+# the whole embeddings table. Below-window, parity in pytest ----
+
+@_q("decontaminate_semantic",
+    cx.decontaminate_semantic_sql("embeddings"))
+def q_decontaminate_semantic(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    bench = e.filter(F.col("vec_id") % 97 == 0)
+    return cx.decontaminate_semantic(e, bench)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -129,6 +129,72 @@ FROM {table} d LEFT JOIN hits h USING ({id_col})
 """
 
 
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-level benchmark leakage: flag corpus vectors whose
+    MAX cosine to ANY benchmark vector >= threshold — the semantic
+    complement of the n-gram `decontaminate` (catches paraphrased /
+    reformatted eval items verbatim n-grams miss; the same posture as
+    SemDeDup's cross-set prune).
+
+    Scale shape: the benchmark side (eval suites: 10^3-10^5 vectors)
+    BROADCASTS; the corpus side is ONE broadcast-NLJ pass + a per-id
+    max aggregation — the 100 TB of embeddings never shuffle. Rows
+    with a NULL/zero vector score 0.0 (never flagged), and every
+    corpus row keeps its output row (left join back).
+    """
+    from .dedup import cosine
+
+    cv = corpus.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    bv = benchmark.select(
+        F.col(vec_col).cast("array<double>").alias("bv"))
+    scores = (cv.crossJoin(F.broadcast(bv))
+              .groupBy(id_col)
+              .agg(F.max(F.round(cosine(F.col("v"), F.col("bv")), 4))
+                   .alias("mc")))
+    return (corpus.select(id_col)
+            .join(scores, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("mc", F.lit(0.0)).alias("max_bench_cosine"),
+                (F.coalesce("mc", F.lit(0.0)) >= threshold)
+                .alias("contaminated")))
+
+
+def decontaminate_semantic_sql(
+    table: str = "embeddings",
+    bench_pred: str = "vec_id % 97 = 0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB twin (same cosine fold, round-4, max, coalesce)."""
+    from ..functions.portable import cosine_sql
+
+    cos = cosine_sql("c.v", "b.bv")
+    return f"""
+WITH c AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+), b AS (
+  SELECT {vec_col}::DOUBLE[] AS bv FROM {table} WHERE {bench_pred}
+), s AS (
+  SELECT {id_col}, max(round({cos}, 4)) AS mc
+  FROM c CROSS JOIN b GROUP BY 1
+)
+SELECT t.{id_col},
+       coalesce(mc, 0.0) AS max_bench_cosine,
+       coalesce(mc, 0.0) >= {threshold!r} AS contaminated
+FROM (SELECT {id_col} FROM {table}) t
+LEFT JOIN s USING ({id_col})
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus-wide line (sentence) dedup — CCNet-style
 # ---------------------------------------------------------------------------

@@ -5290,3 +5290,45 @@ class TestTopicClusterReviewFix:
         for r in out:
             if r["term"] == "common" and n_clusters > 1:
                 assert r["score"] == 0.0
+
+
+class TestDecontaminateSemantic:
+    def test_flags_near_bench_vectors(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            decontaminate_semantic,
+        )
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0]),          # == bench vector
+             (2, [0.99, 0.1, 0.0]),         # near-paraphrase
+             (3, [0.0, 1.0, 0.0]),          # orthogonal
+             (4, None),                     # null vector: safe
+             (5, [0.0, 0.0, 0.0])],         # zero vector: safe
+            "vec_id long, embedding array<double>")
+        bench = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in
+               decontaminate_semantic(corpus, bench,
+                                      threshold=0.9).collect()}
+        assert len(out) == 5                # every row kept
+        assert out[1]["contaminated"] and out[1]["max_bench_cosine"] == 1.0
+        assert out[2]["contaminated"]       # 0.995 cosine
+        assert not out[3]["contaminated"]
+        assert out[4]["max_bench_cosine"] == 0.0
+        assert not out[5]["contaminated"]
+
+    def test_no_shuffle_of_vectors(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            decontaminate_semantic,
+        )
+        corpus = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(20)],
+            "vec_id long, embedding array<double>")
+        bench = corpus.limit(2)
+        plan = decontaminate_semantic(corpus, bench)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        # the only Exchanges carry (vec_id, mc) scalars, never arrays
+        import re
+        for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+            assert "array" not in m.group(0)
