@@ -17,10 +17,12 @@ Scale design:
 - pagerank is the canonical iterative-join workload: the edge list
   (with out-weight totals pre-joined) is computed ONCE and persisted;
   each iteration is one (src) hash join + one (dst) aggregation —
-  both map-side combinable — and the rank vector is persisted per
-  iteration with the previous one unpersisted, so the lineage stays
-  ONE iteration deep (no exponential plan growth, checkpoint-free
-  restartability at 100 TB comes from writing ranks between jobs).
+  both map-side combinable — and the rank vector is
+  localCheckpoint-ed per iteration, which TRUNCATES the logical plan
+  (persist alone caches data but the analyzed plan still triples per
+  iteration — Catalyst analysis OOMs near ~50 iterations; reproduced
+  in tests before switching). Durable restartability at 100 TB comes
+  from writing ranks to storage between jobs.
   Dangling mass is a 1-row aggregate broadcast, never a driver
   collect inside the loop.
 - Convergence on web graphs takes ~50 iterations at damping 0.85;
@@ -115,6 +117,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     round_dp: int = 6,
+    tol: float | None = None,
 ) -> DataFrame:
     """Weighted PageRank by power iteration. Returns (node, rank)
     over every node appearing as src or dst; ranks sum to 1 (dangling
@@ -125,9 +128,20 @@ def pagerank(
 
     Parallel edges combine by weight; `weight_col=None` counts each
     edge once. Rounded to `round_dp` at the END only (the oracle
-    replays the full double-precision chain)."""
+    replays the full double-precision chain).
+
+    `tol`: convergence mode — stop EARLY once the L1 delta
+    sum|r' - r| falls below tol (checked from iteration 2; `iters`
+    becomes the max). The delta is a 1-row aggregate over the already-
+    materialized old+new vectors — one scalar driver read per
+    iteration, the same k-bounded posture as kmeans_fit. The
+    fixed-iters default stays the oracle-replayable path (an early
+    stop is data-dependent, which an unrolled SQL chain can't
+    express)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if tol is not None and tol <= 0:
+        raise ValueError("tol must be > 0")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     w = (F.col(weight_col).cast("double") if weight_col
@@ -149,8 +163,8 @@ def pagerank(
         n = nodes.count()
         if n == 0:
             raise ValueError("pagerank: empty edge list")
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
-        ranks.count()
+        ranks = (nodes.withColumn("rank", F.lit(1.0 / n))
+                 .localCheckpoint(eager=True))
         srcs = out_w.select(F.col("src").alias("node"))
         last = None
         for _ in range(iters):
@@ -172,16 +186,20 @@ def pagerank(
                               * (F.coalesce(F.col("c"), F.lit(0.0))
                                  + F.col("dm") / F.lit(float(n))))
                              .alias("rank"))
-                         .persist())
-            new_ranks.count()   # materialize: lineage stays 1 deep
-            ranks.unpersist()
+                         .localCheckpoint(eager=True))
+            if tol is not None:
+                delta = (new_ranks
+                         .join(ranks.withColumnRenamed("rank", "_old"),
+                               "node")
+                         .agg(F.sum(F.abs(F.col("rank")
+                                          - F.col("_old"))))
+                         .collect()[0][0])
+            else:
+                delta = None
             ranks = last = new_ranks
-        if last is not None:
-            # hand the final vector to the lifecycle tracker (persist
-            # is an idempotent no-op here) so a long session's
-            # release_all() frees it
-            from .lifecycle import track_persist
-            track_persist(last)
+            if delta is not None and delta < tol:
+                break
+        del last  # checkpoint blocks are freed when the DF is GC'd
         return ranks.select("node", F.round("rank", round_dp)
                             .alias("rank"))
     finally:

@@ -150,3 +150,36 @@ class TestPageRank:
         out = pagerank(df, iters=2)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestPageRankConvergence:
+    def test_tol_stop_matches_full_run(self, spark):
+        edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+                 ("a", "c", 1.0), ("d", "a", 1.0)]
+        df = spark.createDataFrame(edges,
+                                   "src string, dst string, w double")
+        # generous max iters + tight tol: converged result must agree
+        # with a long fixed-iteration run to the rounding precision
+        conv = {r["node"]: r["rank"] for r in
+                pagerank(df, iters=100, tol=1e-9).collect()}
+        full = {r["node"]: r["rank"] for r in
+                pagerank(df, iters=60).collect()}
+        assert set(conv) == set(full)
+        assert all(abs(conv[k] - full[k]) <= 1e-5 for k in conv)
+
+    def test_tol_stops_early(self, spark):
+        # a symmetric 2-cycle converges immediately; with tol set the
+        # loop must exit long before the iteration cap (wall-clock
+        # proxy: the call completes with a tiny cap overshoot budget)
+        df = spark.createDataFrame([("a", "b", 1.0), ("b", "a", 1.0)],
+                                   "src string, dst string, w double")
+        out = {r["node"]: r["rank"] for r in
+               pagerank(df, iters=50, tol=1e-12).collect()}
+        assert out == {"a": 0.5, "b": 0.5}
+
+    def test_bad_tol(self, spark):
+        df = spark.createDataFrame([("a", "b", 1.0)],
+                                   "src string, dst string, w double")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            pagerank(df, tol=0.0)
