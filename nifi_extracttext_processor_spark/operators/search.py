@@ -346,3 +346,116 @@ def bm25_reference(
         if hit:
             out[d] = round(s, 4)
     return out
+
+
+# ---------------------------------------------------------------------------
+# persisted BM25 index — the repeated-query path
+# ---------------------------------------------------------------------------
+
+_INDEX_BUCKETS = 256   # term-hash partitions: a q-term query prunes to
+                       # <= q of these regardless of corpus size
+
+
+def _term_bucket(col):
+    return F.pmod(F.xxhash64(col), F.lit(_INDEX_BUCKETS)).cast("int")
+
+
+def build_bm25_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the BM25 posting list partitioned by term-hash
+    bucket, plus df (document-frequency) and corpus-stats sidecars —
+    the same persisted-index pattern as build_lsh_index /
+    build_ivf_index: pay the corpus scan ONCE, then every query reads
+    only the <= q partitions its terms hash into (partition pruning,
+    plan-asserted in tests) instead of re-tokenizing 100 TB.
+
+    Layout under `path`:
+      postings/  (term, doc_id, tf, dl) partitioned by bucket=pmod(
+                 xxhash64(term), 256)
+      dfreq/     (term, df) partitioned the same way
+      stats/     1 row (n_docs, avgdl)
+
+    Tokenization is the house convention, so bm25_topk over the raw
+    corpus and bm25_query_index over this index return IDENTICAL
+    results (equivalence-tested)."""
+    base = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))),
+                _TOKEN_SPLIT_RE).alias("toks"))
+    base = base.withColumn(
+        "dl", F.size(F.filter("toks", lambda t: F.length(t) > 0)))
+    stats = base.agg(F.count("*").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    postings = (base
+                .select(id_col, "dl", F.explode("toks").alias("term"))
+                .filter(F.length("term") > 0)
+                .groupBy(id_col, "term")
+                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+                .withColumn("bucket", _term_bucket(F.col("term"))))
+    (postings.repartition("bucket")
+     .write.mode(mode).partitionBy("bucket")
+     .parquet(path.rstrip("/") + "/postings"))
+    # df derives from the WRITTEN postings (describes bytes on disk,
+    # the write_corpus_shards read-back posture)
+    spark = df.sparkSession
+    written = spark.read.parquet(path.rstrip("/") + "/postings")
+    (written.groupBy("term").agg(F.count("*").alias("df"))
+     .withColumn("bucket", _term_bucket(F.col("term")))
+     .repartition("bucket")
+     .write.mode(mode).partitionBy("bucket")
+     .parquet(path.rstrip("/") + "/dfreq"))
+    stats.write.mode(mode).parquet(path.rstrip("/") + "/stats")
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k against a build_bm25_index layout. The bucket IN-filter
+    reaches the parquet scan as a partition filter, so only the
+    <= len(query terms) matching directories are read — query cost is
+    independent of corpus size (given bounded posting lists per
+    term)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    terms = _query_terms(query)
+    buckets = sorted({
+        r["b"] for r in spark.createDataFrame(
+            [(t,) for t in terms], "term string")
+        .select(_term_bucket(F.col("term")).alias("b")).collect()})
+    p = path.rstrip("/")
+    postings = (spark.read.parquet(p + "/postings")
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(terms)))
+    dfreq = (spark.read.parquet(p + "/dfreq")
+             .filter(F.col("bucket").isin(buckets))
+             .filter(F.col("term").isin(terms))
+             .select("term", "df"))
+    stats = spark.read.parquet(p + "/stats")
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = (F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)
+                     / (F.col("tf") + norm))
+    per_doc = (postings
+               .join(F.broadcast(dfreq), "term")
+               .crossJoin(F.broadcast(stats))
+               .withColumn("contrib", contrib)
+               .groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_terms_matched"),
+                    F.round(F.sum("contrib"), 4).alias("score")))
+    return (per_doc
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

@@ -167,3 +167,33 @@ class TestBM25EmptyEdge:
         assert [r["doc_id"] for r in rows] == ["d1"]
         # avgdl denominators stay finite with empty docs present
         assert rows[0]["score"] > 0
+
+
+class TestBM25Index:
+    def test_index_matches_scan_path(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.search import (
+            bm25_query_index, build_bm25_index,
+        )
+        df = _df(spark)
+        path = str(tmp_path / "idx")
+        build_bm25_index(df, path)
+        for q in ("quick fox dog", "dog", "turtle clusters"):
+            scan = [(r["doc_id"], r["n_terms_matched"], r["score"])
+                    for r in bm25_topk(df, q, k=10).collect()]
+            idx = [(r["doc_id"], r["n_terms_matched"], r["score"])
+                   for r in bm25_query_index(spark, path, q,
+                                             k=10).collect()]
+            assert idx == scan, q
+
+    def test_partition_pruning(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.search import (
+            bm25_query_index, build_bm25_index,
+        )
+        df = _df(spark)
+        path = str(tmp_path / "idx2")
+        build_bm25_index(df, path)
+        out = bm25_query_index(spark, path, "quick", k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the bucket filter must reach the scan as a partition filter
+        assert "PartitionFilters: [" in plan
+        assert "bucket" in plan.split("PartitionFilters:")[1][:200]
