@@ -78,6 +78,9 @@ def zorder_value(
         missing = [c for c in cols if c not in ranges]
         if missing:
             raise ValueError(f"ranges missing for {missing}")
+        bad = [c for c in cols if not ranges[c][1] >= ranges[c][0]]
+        if bad:
+            raise ValueError(f"ranges with hi < lo for {bad}")
         scaled = [
             _scaled(F.coalesce(F.col(c).cast("double"),
                                F.lit(float(ranges[c][0]))),

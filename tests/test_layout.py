@@ -96,6 +96,9 @@ class TestZValue:
             zorder_value(df, ["x", "y"], bits=32)  # 64 > 62
         with pytest.raises(ValueError):
             zorder_value(df, ["x", "y"], ranges={"x": (0, 1)})
+        with pytest.raises(ValueError):
+            zorder_value(df, ["x", "y"],
+                         ranges={"x": (5, 1), "y": (0, 1)})
 
     def test_plan_narrow_no_udf(self, spark):
         df = _grid_df(spark, 4)
