@@ -120,7 +120,8 @@ def train_text_classifier(
     """Binary logistic regression by full-batch gradient descent.
 
     Returns (weights[n_buckets], bias, loss_history). label_col must
-    be 0/1. Features are L1-normalized per doc (fastText convention:
+    be 0/1 and id_col unique per row (duplicate ids would double-join
+    their features). Features are L1-normalized per doc (fastText convention:
     mean of bucket one-hots) so document length doesn't dominate.
 
     Per iteration: broadcast dense w -> map-only Arrow pass emits

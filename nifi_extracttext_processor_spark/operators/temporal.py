@@ -298,6 +298,13 @@ def interval_join(
     if right_cols is None:
         drop = {start_col, end_col} | ({by} if by else set())
         right_cols = tuple(c for c in right.columns if c not in drop)
+    clash = [c for c in right_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"right_cols {clash} collide with left columns — alias "
+            "the right payload before joining")
+    if "_bin" in left.columns or "_bin" in right.columns:
+        raise ValueError("'_bin' is reserved by interval_join")
 
     def _secs(df_: DataFrame, c: str):
         # numeric -> double; timestamp/timestamp_ntz/date -> epoch

@@ -508,21 +508,21 @@ def approx_top_terms(
         counters: dict[str, int] = {}
         n = 0
         for pdf in batches:
-            for t in pdf["term"]:
-                n += 1
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < cap:
-                    counters[t] = 1
-                else:
-                    # subtract-min variant: one overflow event retires
-                    # >= capacity*m token mass, so total decrement work
-                    # amortizes to O(n)
-                    m = min(counters.values())
-                    counters = {w: c - m for w, c in counters.items()
-                                if c > m}
-                    if len(counters) < cap:
-                        counters[t] = 1
+            # vectorized: the batch's exact (term, count) summary via
+            # value_counts, then the Agarwal-et-al MERGE of two
+            # summaries — add counters, and if over capacity subtract
+            # the (capacity+1)-th largest value from all and drop the
+            # non-positive. Orders of magnitude faster than per-token
+            # Python, same f - n/cap <= est <= f guarantee.
+            vc = pdf["term"].value_counts()
+            n += int(vc.sum())
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > cap:
+                vals = sorted(counters.values(), reverse=True)
+                thresh = vals[cap]
+                counters = {t: c - thresh
+                            for t, c in counters.items() if c > thresh}
         rows = list(counters.items())
         rows.append((None, n))          # per-partition token total
         yield pd.DataFrame(rows, columns=["term", "cnt"])
