@@ -475,6 +475,7 @@ def approx_top_terms(
     text_col: str = "text",
     k: int = 20,
     capacity: int = 4096,
+    ngram: int = 1,
 ) -> DataFrame:
     """Heavy hitters with BOUNDED memory: Misra-Gries summaries
     (Misra & Gries 1982; mergeable per Agarwal et al. 2012).
@@ -491,16 +492,31 @@ def approx_top_terms(
 
     so the output carries (est_count, max_count=est+n/capacity) and
     every term with true frequency > n/capacity is guaranteed present
-    before the top-k cut. est values (not membership bounds) depend on
+    before the top-k cut. `ngram` > 1 switches to word n-gram heavy
+    hitters — the combinatorial-vocabulary case the sketch exists
+    for. est values (not membership bounds) depend on
     arrival order — this is a sketch, hence no SQL twin; the exact
     operator remains the oracle at test scale.
     """
     if k < 1 or capacity < 1:
         raise ValueError("k and capacity must be >= 1")
-    toks = (df
-            .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                                      r"\s+")).alias("term"))
-            .filter(F.length("term") > 0))
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    arr = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                   lambda t: F.length(t) > 0)
+    if ngram > 1:
+        # word n-grams: THE case for the sketch — the distinct-n-gram
+        # space explodes combinatorially, so the exact aggregate's
+        # intermediate outgrows memory long before unigrams do
+        arr = F.when(
+            F.size(arr) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - ngram),
+                lambda i: F.concat_ws(" ", *[
+                    F.element_at(arr, i + j + 1)
+                    for j in range(ngram)]))
+        ).otherwise(F.array().cast("array<string>"))
+    toks = df.select(F.explode(arr).alias("term"))
     cap = int(capacity)
 
     def sketch(batches):

@@ -78,3 +78,31 @@ class TestApproxTopTerms:
         # <=cap-per-partition merge agg and the top-k
         assert "TakeOrderedAndProject" in plan
         assert "rangepartitioning" not in plan.lower()
+
+
+class TestApproxTopNgrams:
+    def test_bigram_mode_matches_exact_at_ample_capacity(self, spark):
+        df = _zipf_docs(spark, n_docs=60)
+        # exact bigram counts computed independently
+        from collections import Counter
+        truth = Counter()
+        for r in df.collect():
+            ws = r["text"].split()
+            truth.update(" ".join(ws[i:i + 2])
+                         for i in range(len(ws) - 1))
+        got = [(r["term"], r["est_count"]) for r in
+               approx_top_terms(df, k=10, capacity=100000,
+                                ngram=2).collect()]
+        want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got == want
+
+    def test_short_docs_and_bad_ngram(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, "two words")],
+            "doc_id long, text string")
+        rows = approx_top_terms(df, k=10, capacity=100,
+                                ngram=2).collect()
+        assert [(r["term"], r["est_count"]) for r in rows] == \
+            [("two words", 1)]
+        with pytest.raises(ValueError):
+            approx_top_terms(df, ngram=0)
