@@ -625,3 +625,58 @@ def stream_web_corpus(
          .partitionBy("batch").parquet(catalog_dir))
 
     return _batch
+
+
+def stream_interval_join(
+    left,
+    right,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: str | None = None,
+    max_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    right_cols: "tuple[str, ...] | None" = None,
+):
+    """Stream-stream interval join: match every left event to the
+    right validity windows containing it (start <= ts <= end,
+    inclusive — the same semantics as the batch
+    operators.temporal.interval_join) with BOUNDED state.
+
+    Spark's stream-stream join evicts state only when the condition
+    bounds the two sides' event times against each other, so this
+    wrapper requires `max_duration` — the maximum interval length —
+    and adds `ts <= start + max_duration` to the condition (an
+    interval longer than max_duration matches only its first
+    max_duration; choose it >= the true maximum). Both sides carry
+    `watermark` on their event-time columns, so late rows beyond it
+    are dropped and join state for passed windows is freed — without
+    the bound + watermarks the state store grows forever.
+
+    Inner join only: Spark's outer stream-stream joins need both
+    sides' watermark semantics for NULL emission and arrive with
+    unbounded result latency — run the batch interval_join over the
+    landed data when left-outer completeness matters.
+    """
+    from pyspark.sql import functions as F
+
+    if right_cols is None:
+        drop = {start_col, end_col} | ({by} if by else set())
+        right_cols = tuple(c for c in right.columns if c not in drop)
+    clash = [c for c in right_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"right_cols {clash} collide with left columns — alias "
+            "the right payload before joining")
+    l2 = left.withWatermark(ts_col, watermark)
+    r2 = (right.filter(F.col(end_col) >= F.col(start_col))
+          .withWatermark(start_col, watermark))
+    cond = ((l2[ts_col] >= r2[start_col])
+            & (l2[ts_col] <= r2[end_col])
+            & (l2[ts_col] <= r2[start_col]
+               + F.expr(f"INTERVAL {max_duration}")))
+    if by:
+        cond = (l2[by] == r2[by]) & cond
+    return (l2.join(r2, cond, "inner")
+            .select(*[l2[c] for c in left.columns],
+                    *[r2[c] for c in right_cols]))

@@ -388,3 +388,71 @@ def test_stream_semantic_dedup_cross_batch(spark, tmp_path):
     assert 10 not in kept2      # pruned against the catalog
     assert 11 in kept2
     assert kept1 <= kept2       # catalog is append-only
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (bounded state via max_duration +
+    watermarks) produces exactly the batch interval_join's inner-join
+    result over the same data."""
+    import datetime as dt
+
+    from nifi_extracttext_processor_spark.operators.temporal import (
+        interval_join,
+    )
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def t(m):
+        return base + dt.timedelta(minutes=m)
+
+    clicks = [(i, i % 2, t(i * 3)) for i in range(20)]
+    windows = [(100, 0, t(0), t(10)), (101, 1, t(9), t(30)),
+               (102, 0, t(40), t(45)),
+               (103, 1, t(50), t(40))]   # degenerate: dropped
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf = spark.createDataFrame(clicks, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(
+        windows, "rid long, k long, start timestamp, end timestamp")
+    ldf.write.mode("overwrite").parquet(lsrc)
+    rdf.write.mode("overwrite").parquet(rsrc)
+
+    ls = (spark.readStream.schema("lid long, k long, ts timestamp")
+          .parquet(lsrc))
+    rs = (spark.readStream
+          .schema("rid long, k long, start timestamp, end timestamp")
+          .parquet(rsrc))
+    out = stream_interval_join(ls, rs, by="k", max_duration="30 minutes",
+                               right_cols=("rid",))
+    q = (out.writeStream.format("memory").queryName("sij")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["lid"], r["rid"]) for r in
+                 spark.sql("SELECT lid, rid FROM sij").collect())
+    want = sorted((r["lid"], r["rid"]) for r in
+                  interval_join(ldf, rdf, ts_col="ts", start_col="start",
+                                end_col="end", by="k",
+                                bucket_seconds=600.0,
+                                right_cols=("rid",)).collect())
+    assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_guards(spark, tmp_path):
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    spark.createDataFrame([(1, base)], "lid long, ts timestamp") \
+        .write.parquet(str(tmp_path / "x"))
+    spark.createDataFrame([(1, base, base)],
+                          "lid long, start timestamp, end timestamp") \
+        .write.parquet(str(tmp_path / "y"))
+    ls = (spark.readStream.schema("lid long, ts timestamp")
+          .parquet(str(tmp_path / "x")))
+    rs = (spark.readStream
+          .schema("lid long, start timestamp, end timestamp")
+          .parquet(str(tmp_path / "y")))
+    with pytest.raises(ValueError):
+        stream_interval_join(ls, rs)  # lid payload collides with lid
