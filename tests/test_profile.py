@@ -85,3 +85,73 @@ class TestProfile:
         out = {r["column"]: r for r in profile_table(df).collect()}
         assert out["m"]["n_distinct"] == pytest.approx(100, rel=0.1)
         assert out["id"]["n_distinct"] == pytest.approx(5000, rel=0.1)
+
+
+class TestDistinctSketches:
+    def test_merge_across_batches_estimates_union(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            build_distinct_sketch, merge_distinct_sketches,
+        )
+        b1 = spark.range(0, 3000).select(
+            (F.col("id") % 2000).alias("u"))       # 2000 distinct
+        b2 = spark.range(1000, 5000).select(
+            (F.col("id") % 4000).alias("u"))       # 4000 distinct
+        s1 = build_distinct_sketch(b1, "u")
+        s2 = build_distinct_sketch(b2, "u")
+        est = merge_distinct_sketches(s1.union(s2)).collect()[0]
+        # true union distinct = 4000 (b2's values cover b1's)
+        assert est["n_distinct_est"] == pytest.approx(4000, rel=0.08)
+        assert est["n_rows"] == 7000
+
+    def test_grouped_sketches(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            build_distinct_sketch, merge_distinct_sketches,
+        )
+        df = spark.createDataFrame(
+            [("a", i % 10) for i in range(100)]
+            + [("b", i % 50) for i in range(100)],
+            "g string, v long")
+        out = {r["g"]: r["n_distinct_est"] for r in
+               merge_distinct_sketches(
+                   build_distinct_sketch(df, "v", by="g"),
+                   by="g").collect()}
+        assert out["a"] == pytest.approx(10, abs=1)
+        assert out["b"] == pytest.approx(50, rel=0.08)
+
+
+class TestExpectations:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "x", 5.0), (2, "y", None), (3, None, 7.0),
+             (4, "y", 9.0)],
+            "id long, s string, v double")
+
+    def test_passing_gate(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            check_expectations,
+        )
+        ok, fails = check_expectations(self._df(spark), {
+            "id": {"min_distinct": 4, "max_null_frac": 0.0},
+            "s": {"max_null_frac": 0.5},
+        }, exact=True)
+        assert ok and fails.count() == 0
+
+    def test_failing_gate_reports_each_violation(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            check_expectations,
+        )
+        ok, fails = check_expectations(self._df(spark), {
+            "s": {"max_null_frac": 0.1, "min_distinct": 3},
+            "v": {"min_value": "6"},   # observed min "5.0" < "6"
+        }, exact=True)
+        assert not ok
+        got = {(r["column"], r["check"]) for r in fails.collect()}
+        assert got == {("s", "max_null_frac"), ("s", "min_distinct"),
+                       ("v", "min_value")}
+
+    def test_unknown_check_raises(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            check_expectations,
+        )
+        with pytest.raises(ValueError):
+            check_expectations(self._df(spark), {"id": {"nope": 1}})
