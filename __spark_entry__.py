@@ -1917,6 +1917,25 @@ def q_decontaminate_semantic(spark, sf):
     return cx.decontaminate_semantic(e, bench)
 
 
+# ---- extension (r7): ordered funnel + cohort retention (operators/
+# sessions.py) — the classic event-analytics pair; both pure keyed
+# aggregates/joins, below-window, parity in pytest ----
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+@_q("events_funnel", sess.funnel_sql(_FUNNEL_STEPS))
+def q_events_funnel(spark, sf):
+    e = _t(spark, sf, "events")
+    return sess.funnel(e, _FUNNEL_STEPS)
+
+
+@_q("events_retention", sess.cohort_retention_sql(period="week"))
+def q_events_retention(spark, sf):
+    e = _t(spark, sf, "events")
+    return sess.cohort_retention(e, period="week")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -175,3 +175,190 @@ def sessionize_bucketed(
                  F.max("__end_ts").alias("session_end"),
                  F.sum("__n").alias("n_events"),
                  F.round(F.sum("__sum_value"), 2).alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# ordered funnels + cohort retention — the classic event-analytics pair
+# ---------------------------------------------------------------------------
+
+def funnel(
+    df: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest time each step was
+    reached, where step k must occur AT OR AFTER the user's step-(k-1)
+    time (the standard strictly-ordered funnel; simultaneous events
+    count). Returns (user_col, step_1_ts..step_N_ts, n_steps) with
+    NULL timestamps past the user's drop-off point.
+
+    Plan shape: one per-(user, step-k) min-aggregate per step — each
+    stage's table only SHRINKS (users who reached step k), the joins
+    are keyed on user (AQE-skew-safe hash joins), and no per-user
+    event array is ever collected — the skew posture sessionize's
+    collect_list formulation can't offer. n_steps is typically 3-7,
+    so the plan stays shallow.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached = None
+    outs = []
+    for k, step in enumerate(steps, start=1):
+        ev = (df.filter(F.col(type_col) == step)
+              .select(F.col(user_col), F.col(ts_col).alias("__t")))
+        if reached is None:
+            cur = ev
+        else:
+            cur = (ev.join(reached.select(user_col, "__prev"), user_col)
+                   .filter(F.col("__t") >= F.col("__prev"))
+                   .select(user_col, "__t"))
+        stepped = (cur.groupBy(user_col)
+                   .agg(F.min("__t").alias(f"step_{k}_ts")))
+        outs.append(stepped)
+        reached = stepped.select(
+            user_col, F.col(f"step_{k}_ts").alias("__prev"))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.join(nxt, user_col, "left")
+    n_steps = None
+    for k in range(1, len(steps) + 1):
+        c = F.when(F.col(f"step_{k}_ts").isNotNull(), 1).otherwise(0)
+        n_steps = c if n_steps is None else n_steps + c
+    return out.withColumn("n_steps", n_steps.cast("long"))
+
+
+def funnel_sql(
+    steps: "list[str]",
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of funnel — the same per-step min-aggregate chain."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ctes = [f"""
+s1 AS (
+  SELECT {user_col}, min({ts_col}) AS step_1_ts
+  FROM {table} WHERE {type_col} = '{steps[0]}'
+  GROUP BY 1
+)"""]
+    for k in range(2, len(steps) + 1):
+        ctes.append(f"""
+s{k} AS (
+  SELECT e.{user_col}, min(e.{ts_col}) AS step_{k}_ts
+  FROM {table} e JOIN s{k - 1} p ON e.{user_col} = p.{user_col}
+  WHERE e.{type_col} = '{steps[k - 1]}'
+    AND e.{ts_col} >= p.step_{k - 1}_ts
+  GROUP BY 1
+)""")
+    cols = ", ".join(
+        f"s{k}.step_{k}_ts" for k in range(1, len(steps) + 1))
+    joins = " ".join(
+        f"LEFT JOIN s{k} ON s1.{user_col} = s{k}.{user_col}"
+        for k in range(2, len(steps) + 1))
+    n = " + ".join(
+        f"CASE WHEN s{k}.step_{k}_ts IS NOT NULL THEN 1 ELSE 0 END"
+        for k in range(1, len(steps) + 1))
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT s1.{user_col}, {cols}, CAST({n} AS BIGINT) "
+            f"AS n_steps FROM s1 {joins}")
+
+
+def funnel_counts(funneled: DataFrame,
+                  n_steps_total: int) -> DataFrame:
+    """Collapse funnel() output to the step-conversion table:
+    (step, n_users) where n_users = users whose n_steps >= step. One
+    tiny aggregate + a sequence explode of the per-user step count."""
+    return (funneled
+            .select(F.explode(F.sequence(
+                F.lit(1), F.col("n_steps").cast("int"))).alias("step"))
+            .groupBy("step")
+            .agg(F.count("*").cast("long").alias("n_users"))
+            .orderBy("step"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: group users by their FIRST-activity period
+    (the cohort), then count, for each later period offset, how many
+    of the cohort were active. Returns (cohort, period_offset,
+    n_active, retention) with retention = n_active / cohort size at offset 0.
+
+    Plan shape: one (user, period) distinct aggregate, one per-user
+    min (both map-side combinable, the second derived from the first
+    without a new scan), a keyed join back on user, and a final
+    (cohort, offset) count — no windows, no collects. `period` is any
+    date_trunc unit."""
+    up = (df.select(F.col(user_col),
+                    F.date_trunc(period, F.col(ts_col)).alias("__p"))
+          .distinct())
+    first = up.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
+    joined = up.join(first, user_col)
+    # offset in whole periods: exact for day/week (fixed length);
+    # calendar months vary, so use months_between there
+    if period in ("month", "quarter", "year"):
+        per_months = {"month": 1, "quarter": 3, "year": 12}[period]
+        off = (F.months_between("__p", "__cohort")
+               / per_months).cast("long")
+    else:
+        secs = {"day": 86400, "week": 604800, "hour": 3600}[period]
+        off = ((F.unix_timestamp("__p")
+                - F.unix_timestamp("__cohort"))
+               / secs).cast("long")
+    counts = (joined.withColumn("period_offset", off)
+              .groupBy("__cohort", "period_offset")
+              .agg(F.count("*").cast("long").alias("n_active")))
+    base = (counts.filter(F.col("period_offset") == 0)
+            .select(F.col("__cohort"), F.col("n_active").alias("__n0")))
+    return (counts.join(base, "__cohort")
+            .select(F.col("__cohort").alias("cohort"),
+                    "period_offset",
+                    "n_active",
+                    F.round(F.col("n_active") / F.col("__n0"), 4)
+                    .alias("retention"))
+            .orderBy("cohort", "period_offset"))
+
+
+def cohort_retention_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> str:
+    """DuckDB twin of cohort_retention (same trunc, same offset
+    arithmetic for fixed-length periods)."""
+    if period in ("month", "quarter", "year"):
+        per_months = {"month": 1, "quarter": 3, "year": 12}[period]
+        off = (f"CAST(datediff('month', __cohort, __p) / {per_months} "
+               f"AS BIGINT)")
+    else:
+        secs = {"day": 86400, "week": 604800, "hour": 3600}[period]
+        off = (f"CAST(floor((epoch(__p) - epoch(__cohort)) / {secs}) "
+               f"AS BIGINT)")
+    return f"""
+WITH up AS (
+  SELECT DISTINCT {user_col},
+         CAST(date_trunc('{period}', {ts_col}) AS TIMESTAMP) AS __p
+  FROM {table}
+), first_p AS (
+  SELECT {user_col}, min(__p) AS __cohort FROM up GROUP BY 1
+), counts AS (
+  SELECT __cohort, {off} AS period_offset, CAST(count(*) AS BIGINT)
+         AS n_active
+  FROM up JOIN first_p USING ({user_col})
+  GROUP BY 1, 2
+), base AS (
+  SELECT __cohort, n_active AS __n0 FROM counts WHERE period_offset = 0
+)
+SELECT counts.__cohort AS cohort, period_offset, n_active,
+       round(n_active / CAST(__n0 AS DOUBLE), 4) AS retention
+FROM counts JOIN base USING (__cohort)
+ORDER BY cohort, period_offset
+"""

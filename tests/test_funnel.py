@@ -1,0 +1,128 @@
+"""Funnel + cohort retention (operators/sessions.py): hand-built
+goldens, ordering semantics, DuckDB twin parity, plan shape.
+"""
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.sessions import (
+    cohort_retention,
+    cohort_retention_sql,
+    funnel,
+    funnel_counts,
+    funnel_sql,
+)
+
+BASE = dt.datetime(2026, 1, 5)  # a Monday
+
+
+def _t(m):
+    return BASE + dt.timedelta(minutes=m)
+
+
+EVENTS = [
+    # u1 completes signup -> click -> purchase in order
+    (1, "signup", _t(0)), (1, "click", _t(10)), (1, "purchase", _t(20)),
+    # u2 clicks BEFORE signup: click must not count until after signup
+    (2, "click", _t(0)), (2, "signup", _t(5)), (2, "click", _t(30)),
+    # u3 signs up only
+    (3, "signup", _t(1)),
+    # u4 purchases without ever signing up: reaches no step
+    (4, "purchase", _t(2)),
+    # u5 simultaneous signup+click at the same ts: >= lets it count
+    (5, "signup", _t(7)), (5, "click", _t(7)),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        EVENTS, "user_id long, event_type string, ts timestamp")
+
+
+class TestFunnel:
+    STEPS = ["signup", "click", "purchase"]
+
+    def test_golden(self, spark):
+        out = {r["user_id"]: r for r in
+               funnel(_df(spark), self.STEPS).collect()}
+        assert set(out) == {1, 2, 3, 5}          # u4 never starts
+        assert out[1]["n_steps"] == 3
+        assert out[1]["step_3_ts"] == _t(20)
+        # u2's pre-signup click is ignored; the later one counts
+        assert out[2]["n_steps"] == 2
+        assert out[2]["step_2_ts"] == _t(30)
+        assert out[3]["n_steps"] == 1 and out[3]["step_2_ts"] is None
+        assert out[5]["n_steps"] == 2            # simultaneous allowed
+        assert out[5]["step_2_ts"] == _t(7)
+
+    def test_counts(self, spark):
+        got = [(r["step"], r["n_users"]) for r in
+               funnel_counts(funnel(_df(spark), self.STEPS),
+                             3).collect()]
+        assert got == [(1, 4), (2, 3), (3, 1)]
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+        got = sorted(tuple(r) for r in
+                     funnel(_df(spark), self.STEPS).collect())
+        con = duckdb.connect()
+        con.register("events", _df(spark).toPandas())
+        want = sorted(
+            tuple(None if v != v else v for v in r)  # NaT -> None
+            for r in con.execute(funnel_sql(self.STEPS))
+            .fetchall())
+        assert got == want
+
+    def test_bad_args_and_plan(self, spark):
+        with pytest.raises(ValueError):
+            funnel(_df(spark), [])
+        plan = funnel(_df(spark), self.STEPS)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestCohortRetention:
+    def test_golden_weekly(self, spark):
+        wk = dt.timedelta(days=7)
+        rows = []
+        # cohort A: 3 users first seen week 0; 2 return week 1; 1 week 2
+        for u in (1, 2, 3):
+            rows.append((u, "click", BASE))
+        rows += [(1, "click", BASE + wk), (2, "click", BASE + wk),
+                 (1, "click", BASE + 2 * wk)]
+        # cohort B: 1 user first seen week 1
+        rows.append((9, "click", BASE + wk))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp")
+        got = {(r["cohort"], r["period_offset"]):
+               (r["n_active"], r["retention"])
+               for r in cohort_retention(df).collect()}
+        c0 = BASE  # Monday == week start
+        assert got[(c0, 0)] == (3, 1.0)
+        assert got[(c0, 1)] == (2, round(2 / 3, 4))
+        assert got[(c0, 2)] == (1, round(1 / 3, 4))
+        assert got[(BASE + wk, 0)] == (1, 1.0)
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+        df = _df(spark)
+        got = sorted(tuple(r) for r in cohort_retention(df).collect())
+        con = duckdb.connect()
+        con.register("events", df.toPandas())
+        want = sorted(tuple(r) for r in
+                      con.execute(cohort_retention_sql()).fetchall())
+        assert got == want
+
+    def test_monthly_offsets(self, spark):
+        rows = [(1, "x", dt.datetime(2026, 1, 10)),
+                (1, "x", dt.datetime(2026, 3, 2)),
+                (2, "x", dt.datetime(2026, 1, 20))]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp")
+        got = {(r["cohort"].month, r["period_offset"]): r["n_active"]
+               for r in cohort_retention(df, period="month").collect()}
+        assert got[(1, 0)] == 2 and got[(1, 2)] == 1
