@@ -1936,6 +1936,28 @@ def q_events_retention(spark, sf):
     return sess.cohort_retention(e, period="week")
 
 
+# ---- extension (r7): distributed PCA (operators/reduction.py). NO
+# oracle_sql entry BY DESIGN: the fit ends in a driver-side
+# eigendecomposition (the same non-SQL carve-out class as
+# bpe/unigram/approx_top_terms); the contract — equality with an
+# independent numpy SVD PCA, orthonormality, whitening — is locked in
+# tests/test_reduction.py ----
+
+@_q("pca_reduce")
+def q_pca_reduce(spark, sf):
+    from nifi_extracttext_processor_spark.operators.reduction import (
+        pca_fit, pca_transform,
+    )
+    e = _t(spark, sf, "embeddings")
+    mean, comps, ev = pca_fit(e, k=8)
+    out = pca_transform(e, mean, comps, out_col="reduced")
+    return out.select("vec_id",
+                      F.round(F.element_at("reduced", 1), 4)
+                      .alias("pc1"),
+                      F.round(F.element_at("reduced", 2), 4)
+                      .alias("pc2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
