@@ -1,0 +1,108 @@
+"""Archive unpacking (operators/unpack.py): zip/tar/gzip explosion,
+bomb/caps fail-closed behavior, passthrough, and e2e composition with
+extract_text.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+import pytest
+
+from nifi_extracttext_processor_spark.operators.unpack import (
+    unpack_archives,
+)
+
+
+def _zip_bytes(members):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members:
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tar_bytes(members):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(p, c, p.rsplit("/", 1)[-1]) for p, c in rows],
+        "path string, content binary, filename string")
+
+
+class TestUnpack:
+    def test_zip_and_tar_members(self, spark):
+        z = _zip_bytes([("a.txt", b"alpha"), ("sub/b.txt", b"beta")])
+        t = _tar_bytes([("x.txt", b"xray")])
+        out = unpack_archives(_df(spark, [("/d/a.zip", z),
+                                          ("/d/t.tar", t)])).collect()
+        got = {r["member_name"]: (r["path"], bytes(r["content"]),
+                                  r["filename"], r["member_index"])
+               for r in out}
+        assert got["a.txt"] == ("/d/a.zip!a.txt", b"alpha", "a.txt", 0)
+        assert got["sub/b.txt"][1] == b"beta"
+        assert got["sub/b.txt"][2] == "b.txt"
+        assert got["x.txt"] == ("/d/t.tar!x.txt", b"xray", "x.txt", 0)
+        assert all(r["unpack_error"] is None for r in out)
+
+    def test_gzip_and_passthrough(self, spark):
+        g = gzip.compress(b"plain body")
+        out = unpack_archives(_df(spark, [
+            ("/d/doc.txt.gz", g),
+            ("/d/plain.txt", b"not an archive")])).collect()
+        got = {r["path"]: r for r in out}
+        assert bytes(got["/d/doc.txt.gz!doc.txt"]["content"]) == \
+            b"plain body"
+        p = got["/d/plain.txt"]
+        assert p["member_name"] is None
+        assert bytes(p["content"]) == b"not an archive"
+
+    def test_member_cap_and_bomb(self, spark):
+        big = _zip_bytes([("big.bin", b"\0" * 5000),
+                          ("ok.txt", b"fine")])
+        out = unpack_archives(
+            _df(spark, [("/d/b.zip", big)]),
+            max_member_bytes=1000).collect()
+        got = {r["member_name"]: r for r in out}
+        assert "exceeds cap" in got["big.bin"]["unpack_error"]
+        assert bytes(got["big.bin"]["content"]) == b""
+        assert got["ok.txt"]["unpack_error"] is None
+        # member-count cap
+        many = _zip_bytes([(f"m{i}.txt", b"x") for i in range(10)])
+        out2 = unpack_archives(_df(spark, [("/d/m.zip", many)]),
+                               max_members=3).collect()
+        assert len(out2) == 3
+
+    def test_damaged_container_fails_closed(self, spark):
+        bad = b"PK\x03\x04" + b"\xff" * 40
+        out = unpack_archives(_df(spark, [("/d/bad.zip", bad)])).collect()
+        assert len(out) == 1
+        assert out[0]["unpack_error"] is not None
+        assert bytes(out[0]["content"]) == b""
+
+    def test_composes_with_extract(self, spark, tmp_path):
+        from tests.fixtures.builders import build_pdf
+        from nifi_extracttext_processor_spark.operators.extract import (
+            extract_text,
+        )
+        from nifi_extracttext_processor_spark.sources.binary_files import (
+            read_documents,
+        )
+        z = _zip_bytes([("inner.pdf", build_pdf(["Hello from zip"])),
+                        ("note.txt", b"plain note")])
+        (tmp_path / "bundle.zip").write_bytes(z)
+        docs = read_documents(spark, str(tmp_path))
+        out = {r["filename"]: r["text"] for r in
+               extract_text(unpack_archives(docs)).collect()}
+        assert out["inner.pdf"].startswith("Hello from zip")
+        assert out["note.txt"] == "plain note"
