@@ -106,3 +106,23 @@ class TestUnpack:
                extract_text(unpack_archives(docs)).collect()}
         assert out["inner.pdf"].startswith("Hello from zip")
         assert out["note.txt"] == "plain note"
+
+    def test_composes_with_streaming(self, spark, tmp_path):
+        """unpack_archives is map-only, so it composes with the file
+        stream source unchanged."""
+        src = tmp_path / "src"
+        src.mkdir()
+        z = _zip_bytes([("a.txt", b"streamed alpha")])
+        (src / "bundle.zip").write_bytes(z)
+        stream = (spark.readStream.format("binaryFile")
+                  .schema("path string, modificationTime timestamp, "
+                          "length long, content binary")
+                  .load(str(src)))
+        out = unpack_archives(stream)
+        q = (out.writeStream.format("memory").queryName("unpack_t")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT member_name, content FROM unpack_t").collect()
+        assert [(r["member_name"], bytes(r["content"]))
+                for r in rows] == [("a.txt", b"streamed alpha")]
