@@ -69,6 +69,11 @@ HEADLINE = [
                            # + weight lookup + per-doc sum
     "zorder_cluster",      # z-value bit arithmetic + range shuffle +
                            # partition-local sort (the layout write)
+    "host_pagerank",       # 3 power iterations: keyed join + agg per
+                           # iteration, localCheckpoint lineage
+    "events_funnel",       # per-step shrinking min-aggregate chain
+    "events_retention",    # distinct (user, period) + cohort join
+    "profile_events",      # single-scan multi-column profile
 ]
 
 
