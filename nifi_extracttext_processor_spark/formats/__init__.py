@@ -42,22 +42,22 @@ MAX_COMPRESS_DEPTH = 2            # .gz-of-.gz / zip-in-zip, no deeper
 MAX_ARCHIVE_ENTRIES = 1000        # entries visited per zip/tar
 
 
-def _decompress_capped(data: bytes, make_dec, magic: bytes) -> bytes:
+def _decompress_capped(data: bytes, make_dec, magic: bytes,
+                       cap: int | None = None) -> bytes:
     """Decompress ALL members of a (possibly concatenated) stream under
     one shared byte cap. gzip/bz2/xz files may hold multiple members
     (``cat a.gz b.gz``, pigz, pbzip2, multi-stream xz); the stdlib
     *Decompressor objects stop at the first member boundary, so loop on
     ``unused_data`` until the trailer isn't another member header."""
+    cap = MAX_DECOMPRESSED_BYTES if cap is None else int(cap)
     out = b""
     remaining = data
     while remaining.startswith(magic):
         dec = make_dec()
-        out += dec.decompress(remaining,
-                              MAX_DECOMPRESSED_BYTES + 1 - len(out))
-        if len(out) > MAX_DECOMPRESSED_BYTES:
+        out += dec.decompress(remaining, cap + 1 - len(out))
+        if len(out) > cap:
             raise ValueError(
-                "compressed content exceeds "
-                f"{MAX_DECOMPRESSED_BYTES} decompressed bytes")
+                f"compressed content exceeds {cap} decompressed bytes")
         if not dec.eof:
             break  # truncated final member: keep the partial content
         remaining = dec.unused_data

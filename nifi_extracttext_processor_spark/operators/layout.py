@@ -36,11 +36,17 @@ _DEFAULT_BITS = 16
 
 def _scaled(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Linear-scale col into [0, 2^bits - 1] as a BIGINT; a constant
-    column (hi == lo) maps to 0; NULLs map to 0 (sort first)."""
-    top = F.lit((1 << bits) - 1)
+    column (hi == lo) maps to 0; NULLs map to 0 (sort first). Values
+    outside [lo, hi] CLAMP to the ends — pinned ranges exist precisely
+    for incremental appends where out-of-range values arrive, and an
+    unclamped negative/overflow scaled int would sign-extend through
+    _interleave into a misordered z key."""
+    top = F.lit((1 << bits) - 1).cast("bigint")
     frac = (col.cast("double") - lo) / (hi - lo)
+    raw = F.floor(frac * top.cast("double")).cast("bigint")
     return (F.when(hi > lo,
-                   F.floor(frac * top.cast("double")).cast("bigint"))
+                   F.greatest(F.lit(0).cast("bigint"),
+                              F.least(top, raw)))
             .otherwise(F.lit(0))
             .cast("bigint"))
 
@@ -136,9 +142,10 @@ def zorder_value_sql(
         f"min(CAST({c} AS DOUBLE)) AS _lo_{c}, "
         f"max(CAST({c} AS DOUBLE)) AS _hi_{c}" for c in cols)
     scaled = ", ".join(
-        f"CASE WHEN _hi_{c} > _lo_{c} THEN CAST(floor("
-        f"(coalesce(CAST({c} AS DOUBLE), _lo_{c}) - _lo_{c})"
-        f" / (_hi_{c} - _lo_{c}) * {top}.0) AS BIGINT) "
+        f"CASE WHEN _hi_{c} > _lo_{c} THEN "
+        f"greatest(CAST(0 AS BIGINT), least(CAST({top} AS BIGINT), "
+        f"CAST(floor((coalesce(CAST({c} AS DOUBLE), _lo_{c}) - _lo_{c})"
+        f" / (_hi_{c} - _lo_{c}) * {top}.0) AS BIGINT))) "
         f"ELSE 0 END AS _s_{i}"
         for i, c in enumerate(cols))
     terms = []

@@ -309,9 +309,14 @@ def cohort_retention(
                / per_months).cast("long")
     else:
         secs = {"day": 86400, "week": 604800, "hour": 3600}[period]
-        off = ((F.unix_timestamp("__p")
-                - F.unix_timestamp("__cohort"))
-               / secs).cast("long")
+        # ROUND, not truncate: under a DST session timezone adjacent
+        # date_trunc day/week boundaries differ by +/-3600 s, so the
+        # raw ratio lands at 0.96/1.04 — truncation would collapse or
+        # split adjacent periods (retention > 1). Rounding recovers
+        # the integer offset for any |DST shift| < period/2.
+        off = F.round((F.unix_timestamp("__p")
+                       - F.unix_timestamp("__cohort"))
+                      / F.lit(secs)).cast("long")
     counts = (joined.withColumn("period_offset", off)
               .groupBy("__cohort", "period_offset")
               .agg(F.count("*").cast("long").alias("n_active")))
@@ -340,7 +345,7 @@ def cohort_retention_sql(
                f"AS BIGINT)")
     else:
         secs = {"day": 86400, "week": 604800, "hour": 3600}[period]
-        off = (f"CAST(floor((epoch(__p) - epoch(__cohort)) / {secs}) "
+        off = (f"CAST(round((epoch(__p) - epoch(__cohort)) / {secs}) "
                f"AS BIGINT)")
     return f"""
 WITH up AS (

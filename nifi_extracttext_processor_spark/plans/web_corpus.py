@@ -85,7 +85,7 @@ def prepare_web_corpus(
     max_nll: float | None = None,
     lm_n: int = 3,
     normalize: bool = True,
-    classifier: "tuple[list[float], float] | None" = None,
+    classifier: "tuple[list[float], float] | str | None" = None,
     min_classifier_prob: float | None = None,
     host_ranks: DataFrame | None = None,
     min_host_rank: float | None = None,
@@ -100,9 +100,10 @@ def prepare_web_corpus(
     so every downstream hash (URL canon excepted) sees stable bytes.
 
     `classifier`: optional (weights, bias) from
-    classifier.train_text_classifier — the GPT-3-style "quality
-    classifier" gate; adds `clf_prob`, and filters when
-    `min_classifier_prob` is set. Scoring is the broadcast-weight
+    classifier.train_text_classifier, or a str path to a model saved
+    with models.save_classifier (train once, score across jobs) —
+    the GPT-3-style "quality classifier" gate; adds `clf_prob`, and
+    filters when `min_classifier_prob` is set. Scoring is the broadcast-weight
     Catalyst plan; runs AFTER the cheap narrow filters so only
     survivors pay the token explode.
     `host_ranks`: optional (node, rank) table (graph.pagerank over
@@ -143,8 +144,15 @@ def prepare_web_corpus(
     # release_all() can free it between queries
     if classifier is not None:
         from ..operators.classifier import score_text
-        w, b = classifier
-        scored = score_text(out.select("doc_id", "text"), w, b) \
+        hash_method = "xxhash64"
+        if isinstance(classifier, str):
+            from ..operators.models import load_classifier
+            w, b, cfg = load_classifier(docs.sparkSession, classifier)
+            hash_method = cfg.get("hash_method", hash_method)
+        else:
+            w, b = classifier
+        scored = score_text(out.select("doc_id", "text"), w, b,
+                            hash_method=hash_method) \
             .select("doc_id", F.col("prob").alias("clf_prob"))
         out = out.join(scored, "doc_id")
         if min_classifier_prob is not None:

@@ -509,10 +509,10 @@ def stream_web_corpus(
     min_quality: float = 0.5,
     remove_boilerplate: bool = True,
     normalize: bool = True,
-    lm_model: "tuple | None" = None,
+    lm_model: "tuple | str | None" = None,
     lm_n: int = 3,
     max_nll: float | None = None,
-    classifier: "tuple | None" = None,
+    classifier: "tuple | str | None" = None,
     min_classifier_prob: float | None = None,
 ):
     """foreachBatch wiring of the web-corpus plan for streaming WARC
@@ -545,7 +545,9 @@ def stream_web_corpus(
     carries changed content — when it does not, the fingerprint
     catalog catches it anyway). Char-LM scoring: pass `lm_model` =
     the (ngram_counts, context_counts, vocab_size) triple from
-    operators.lm.train_char_lm, PRE-TRAINED on a reference corpus
+    operators.lm.train_char_lm — or a str path saved with
+    models.save_char_lm (resolved once, on the first batch) —
+    PRE-TRAINED on a reference corpus
     (the CCNet pattern) — each batch is then scored against the SAME
     broadcast model, so scores are batch-independent: two drains
     score identically to one (pytest-asserted). `max_nll` filters on
@@ -553,7 +555,8 @@ def stream_web_corpus(
     a fresh LM per micro-batch would make scores depend on batch
     composition, which is why no self-training default exists here.
     `classifier` = (weights, bias) from
-    classifier.train_text_classifier works the same way: the
+    classifier.train_text_classifier — or a str path saved with
+    models.save_classifier — works the same way: the
     PRE-TRAINED model broadcasts into every batch, so clf_prob is
     batch-independent (two drains == one, pytest-asserted);
     `min_classifier_prob` gates on it.
@@ -575,8 +578,28 @@ def stream_web_corpus(
     from ..plans.web_corpus import _records_to_documents
     from ..sources.tables import read_catalog
 
+    # path-form models resolve ONCE (first batch) and stay pinned for
+    # the stream's lifetime — the train-once/score-for-months contract
+    _resolved: dict = {}
+
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if lm_model is not None and "lm" not in _resolved:
+            if isinstance(lm_model, str):
+                from ..operators.models import load_char_lm
+                c_, x_, v_, _cfg = load_char_lm(spark, lm_model)
+                _resolved["lm"] = (c_, x_, v_)
+            else:
+                _resolved["lm"] = lm_model
+        if classifier is not None and "clf" not in _resolved:
+            if isinstance(classifier, str):
+                from ..operators.models import load_classifier
+                w_, b_, cfg_ = load_classifier(spark, classifier)
+                _resolved["clf"] = (w_, b_,
+                                    cfg_.get("hash_method", "xxhash64"))
+            else:
+                _resolved["clf"] = (classifier[0], classifier[1],
+                                    "xxhash64")
         docs = _records_to_documents(batch_df, remove_boilerplate)
         if normalize:
             from ..operators.normalize import normalize_and_clean
@@ -589,7 +612,7 @@ def stream_web_corpus(
             # same stage position as prepare_web_corpus: score after
             # the cheap filters, before the exact-dedup anti-join
             from ..operators.lm import lm_score
-            counts, ctx, vocab = lm_model
+            counts, ctx, vocab = _resolved["lm"]
             scores = lm_score(docs, counts, ctx, vocab,
                               id_col="doc_id", text_col="text",
                               n=lm_n)
@@ -598,8 +621,9 @@ def stream_web_corpus(
                 docs = docs.filter(F.col("nll") <= max_nll)
         if classifier is not None:
             from ..operators.classifier import score_text
-            cw, cb = classifier
-            cs = (score_text(docs.select("doc_id", "text"), cw, cb)
+            cw, cb, chm = _resolved["clf"]
+            cs = (score_text(docs.select("doc_id", "text"), cw, cb,
+                             hash_method=chm)
                   .select("doc_id", F.col("prob").alias("clf_prob")))
             docs = docs.join(cs, "doc_id")
             if min_classifier_prob is not None:

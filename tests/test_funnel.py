@@ -117,6 +117,29 @@ class TestCohortRetention:
                       con.execute(cohort_retention_sql()).fetchall())
         assert got == want
 
+    def test_dst_timezone_day_offsets(self, spark):
+        """r7 ADVICE: under a DST session timezone, adjacent date_trunc
+        days differ by 23/25 h; truncating the offset collapsed spring-
+        forward neighbors into offset 0 (retention > 1). Rounding must
+        recover exact day offsets across the 2025-03-09 US transition."""
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/New_York")
+        try:
+            rows = [(1, "x", dt.datetime(2025, 3, 8, 12)),
+                    (1, "x", dt.datetime(2025, 3, 9, 12)),   # 23 h day
+                    (1, "x", dt.datetime(2025, 3, 10, 12)),
+                    (2, "x", dt.datetime(2025, 3, 8, 9))]
+            df = spark.createDataFrame(
+                rows, "user_id long, event_type string, ts timestamp")
+            out = cohort_retention(df, period="day").collect()
+            got = {r["period_offset"]: (r["n_active"], r["retention"])
+                   for r in out}
+            assert got == {0: (2, 1.0), 1: (1, 0.5), 2: (1, 0.5)}
+            assert all(r["retention"] <= 1.0 for r in out)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+
     def test_monthly_offsets(self, spark):
         rows = [(1, "x", dt.datetime(2026, 1, 10)),
                 (1, "x", dt.datetime(2026, 3, 2)),

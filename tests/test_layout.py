@@ -88,6 +88,25 @@ class TestZValue:
               zorder_value(df2, ["x", "y"], bits=8, ranges=rng).collect()}
         assert z2[0] == z1
 
+    def test_out_of_range_values_clamp(self, spark):
+        # pinned ranges exist for appends where out-of-range values
+        # WILL arrive; they must clamp to the range ends, not
+        # sign-extend/wrap into misordered z keys (r7 ADVICE: with
+        # range (0,100), a=-20 used to get z=20721 > in-range rows)
+        rng = {"x": (0.0, 100.0), "y": (0.0, 100.0)}
+        df = spark.createDataFrame(
+            [(0, -20.0, 50.0), (1, 0.0, 50.0), (2, 100.0, 50.0),
+             (3, 250.0, 50.0), (4, 50.0, 50.0)],
+            "id long, x double, y double")
+        got = {r["id"]: r["z"] for r in
+               zorder_value(df, ["x", "y"], bits=8, ranges=rng).collect()}
+        assert 0 <= min(got.values()) and max(got.values()) < 1 << 16
+        # below-range clamps to lo's z, above-range to hi's z
+        assert got[0] == got[1]
+        assert got[3] == got[2]
+        # ordering along x holds: clamped-low < mid < clamped-high
+        assert got[0] < got[4] < got[2]
+
     def test_bad_args(self, spark):
         df = _grid_df(spark, 2)
         with pytest.raises(ValueError):

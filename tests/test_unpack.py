@@ -90,6 +90,71 @@ class TestUnpack:
         assert out[0]["unpack_error"] is not None
         assert bytes(out[0]["content"]) == b""
 
+    def test_total_bytes_cap(self, spark):
+        """Members individually under the member cap but collectively
+        over the archive cap: decoded-so-far members are kept, the
+        remainder is skipped, ONE marker row records why (r7 VERDICT
+        'What's wrong #1' — the 10,000 x 64 MB composite bomb)."""
+        many = _zip_bytes([(f"m{i}.bin", b"x" * 400) for i in range(10)])
+        out = unpack_archives(
+            _df(spark, [("/d/bomb.zip", many)]),
+            max_member_bytes=1000, max_total_bytes=1000).collect()
+        members = [r for r in out if r["member_name"] is not None]
+        markers = [r for r in out if r["member_name"] is None]
+        # 2 x 400 B fit; the 3rd would blow the 1000 B budget
+        assert [r["member_name"] for r in members] == ["m0.bin", "m1.bin"]
+        assert all(r["unpack_error"] is None for r in members)
+        assert len(markers) == 1
+        assert "archive total exceeds cap" in markers[0]["unpack_error"]
+        assert bytes(markers[0]["content"]) == b""
+        # tar path: declared sizes stop BEFORE inflating
+        many_t = _tar_bytes([(f"t{i}.bin", b"y" * 400) for i in range(10)])
+        out_t = unpack_archives(
+            _df(spark, [("/d/bomb.tar", many_t)]),
+            max_member_bytes=1000, max_total_bytes=1000).collect()
+        got = [r["member_name"] for r in out_t]
+        assert got == ["t0.bin", "t1.bin", None]
+        assert "archive total exceeds cap" in out_t[-1]["unpack_error"]
+
+    def test_multi_member_gzip(self, spark):
+        """cat a.gz b.gz is ONE logical stream (gunzip semantics); the
+        first-member-only r7 behavior silently dropped the rest."""
+        g = gzip.compress(b"first half ") + gzip.compress(b"second half")
+        out = unpack_archives(
+            _df(spark, [("/d/cat.txt.gz", g)])).collect()
+        assert len(out) == 1
+        assert bytes(out[0]["content"]) == b"first half second half"
+        assert out[0]["unpack_error"] is None
+
+    def test_partial_container_is_atomic(self, spark):
+        """A container that raises mid-iteration drops its decoded
+        members and emits ONE error row — downstream must never see a
+        partial member set that looks complete (r7 ADVICE)."""
+        full = _tar_bytes([("ok.txt", b"A" * 600),
+                           ("gone.txt", b"B" * 600)])
+        # cut inside the second member's data region: first member
+        # decodes, then tarfile raises on the truncated read
+        cut = full[: 512 + 1024 + 512 + 100]
+        out = unpack_archives(_df(spark, [("/d/trunc.tar", cut)])).collect()
+        assert len(out) == 1
+        assert out[0]["member_name"] is None
+        assert out[0]["unpack_error"] is not None
+        assert bytes(out[0]["content"]) == b""
+
+    def test_flush_chunks_preserve_rows(self, spark):
+        """Several archives whose combined payload exceeds the archive
+        budget exercise the chunked-yield path; rows must be complete
+        and identical to the unchunked result."""
+        rows = [(f"/d/a{i}.zip",
+                 _zip_bytes([(f"f{i}.txt", bytes([65 + i]) * 300)]))
+                for i in range(6)]
+        out = unpack_archives(_df(spark, rows), max_total_bytes=500,
+                              max_member_bytes=400).collect()
+        got = sorted((r["member_name"], bytes(r["content"]))
+                     for r in out)
+        assert got == [(f"f{i}.txt", bytes([65 + i]) * 300)
+                       for i in range(6)]
+
     def test_composes_with_extract(self, spark, tmp_path):
         from tests.fixtures.builders import build_pdf
         from nifi_extracttext_processor_spark.operators.extract import (

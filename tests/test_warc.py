@@ -367,6 +367,38 @@ class TestStreamLmScoring:
         assert split == onego
         assert all(v[1] is not None for v in split.values())
 
+    def test_lm_model_path_matches_in_memory(self, spark, tmp_path):
+        """stream_web_corpus(lm_model=<saved path>) must score
+        identically to the in-memory triple (models.py wiring)."""
+        from nifi_extracttext_processor_spark.operators.models import (
+            save_char_lm,
+        )
+        from nifi_extracttext_processor_spark.sources.warc import (
+            parse_warc_df,
+        )
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_web_corpus,
+        )
+        counts, ctx, vocab = self._model(spark)
+        mp = str(tmp_path / "lm_model")
+        save_char_lm(mp, counts, ctx, vocab, n=3)
+        mem = self._run(spark, tmp_path, "mem",
+                        [[("http://a/1", self.DOC_A),
+                          ("http://b/2", self.DOC_B)]])
+        out = str(tmp_path / "viapath_o")
+        fn = stream_web_corpus(out, str(tmp_path / "viapath_c"),
+                               min_quality=0.3, lm_model=mp)
+        seg = tmp_path / "viapath.warc.gz"
+        seg.write_bytes(W.build_wet([("http://a/1", self.DOC_A),
+                                     ("http://b/2", self.DOC_B)]))
+        files = (spark.read.format("binaryFile").load(str(seg))
+                 .select("path", "modificationTime", "length",
+                         "content"))
+        fn(parse_warc_df(files), 0)
+        via_path = {r["url"]: (r["n_ngrams"], r["nll"]) for r in
+                    spark.read.parquet(out).collect()}
+        assert via_path == mem
+
     def test_max_nll_filters(self, spark, tmp_path):
         from nifi_extracttext_processor_spark.sources.warc import (
             parse_warc_df,

@@ -134,6 +134,36 @@ class TestPrepareR7Stages:
         for r in out:
             assert 0.0 <= r["clf_prob"] <= 1.0
 
+    def test_classifier_path_matches_in_memory(self, spark, segments,
+                                               tmp_path):
+        """A saved-model path in place of the (weights, bias) tuple
+        must produce identical clf_prob rows (models.py wiring)."""
+        from nifi_extracttext_processor_spark.operators.classifier import (
+            train_text_classifier,
+        )
+        from nifi_extracttext_processor_spark.operators.models import (
+            save_classifier,
+        )
+        docs = wc.warc_segments_to_documents(spark, segments)
+        labeled = spark.createDataFrame(
+            [(1, ARTICLE, 1), (2, "zzzz zzzz zzzz zzzz", 0),
+             (3, "policy officials committee fiscal", 1),
+             (4, "zzzz qqqq zzzz qqqq", 0)],
+            "doc_id long, text string, label int")
+        w, b, _ = train_text_classifier(labeled, n_buckets=256,
+                                        n_iter=30, lr=5.0)
+        mp = str(tmp_path / "clf_model")
+        save_classifier(spark, mp, w, b)
+        mem = sorted((r["url"], r["clf_prob"]) for r in
+                     wc.prepare_web_corpus(
+                         docs, min_quality=0.0, classifier=(w, b),
+                         min_classifier_prob=0.5).collect())
+        via_path = sorted((r["url"], r["clf_prob"]) for r in
+                          wc.prepare_web_corpus(
+                              docs, min_quality=0.0, classifier=mp,
+                              min_classifier_prob=0.5).collect())
+        assert via_path == mem
+
     def test_host_rank_prior(self, spark, segments):
         docs = wc.warc_segments_to_documents(spark, segments)
         ranks = spark.createDataFrame(
