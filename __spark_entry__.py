@@ -247,15 +247,38 @@ def q_pack_sequences(spark, sf):
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.75}
 
 
-@_q("stratified_sample", f"""
-WITH s AS ({cx.stratified_sample_sql('documents', _MIX_RATES,
-                                     default_rate=0.1)})
-SELECT doc_id, source FROM s
+# r8 rotation: stratified_sample OUT -> events_interval_join IN
+# (operators/temporal.py — the bin-strategy range join; plan-asserted
+# hash equi-join, never NestedLoop/Cartesian; oracle = the plain
+# theta join). stratified_sample re-registers below the window.
+
+@_q("events_interval_join", """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT event_id AS purchase_id, user_id, ts AS s,
+             ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, r.purchase_id
+FROM l JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e
+     AND r.e >= r.s
 """)
-def q_stratified_sample(spark, sf):
-    d = _t(spark, sf, "documents")
-    return (cx.stratified_sample(d, _MIX_RATES, default_rate=0.1)
-            .select("doc_id", "source"))
+def q_events_interval_join(spark, sf):
+    from nifi_extracttext_processor_spark.operators.temporal import (
+        interval_join,
+    )
+    e = _t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"), "user_id",
+                     F.col("ts").alias("s"),
+                     (F.col("ts")
+                      + F.expr("INTERVAL 30 MINUTES")).alias("e")))
+    return interval_join(clicks, purch, ts_col="ts", start_col="s",
+                         end_col="e", by="user_id",
+                         bucket_seconds=1800.0,
+                         right_cols=("purchase_id",))
 
 
 # ---- extension (r3): top URL domains (seeded deterministic URLs) ----
@@ -732,23 +755,32 @@ _URL_SYNTH_SQL = ("'HTTP://WWW.Example.com/' || source || '/p/' || "
                   "WHEN doc_id % 3 = 1 THEN '/' ELSE '' END")
 
 
-@_q("dedup_by_url", f"""
-SELECT doc_id, canonical_url FROM (
-  {ta.dedup_by_url_sql(table="(SELECT doc_id, " + _URL_SYNTH_SQL
-                       + " AS url FROM documents)", url_expr="url")}
-)
-""")
-def q_dedup_by_url(spark, sf):
-    d = _t(spark, sf, "documents").select("doc_id", "source")
-    url = F.concat(
-        F.lit("HTTP://WWW.Example.com/"), F.col("source"),
-        F.lit("/p/"), (F.col("doc_id") % 37).cast("string"),
-        F.when(F.col("doc_id") % 3 == 0,
-               F.lit("?utm_source=x&id=7#frag"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
-        .otherwise(F.lit("")))
-    out = ta.dedup_by_url(d.withColumn("url", url).drop("source"))
-    return out.select("doc_id", "canonical_url")
+# r8 rotation: dedup_by_url OUT (URL-canonicalization stays
+# driver-exercised via robots_filter, slot 35, and blocklist_filter
+# parity; dedup_by_url re-registers below the window) ->
+# host_pagerank IN (operators/graph.py — power-iteration PageRank
+# with localCheckpoint-truncated lineage; oracle = the exact
+# 3-iteration computation unrolled as a DuckDB CTE chain).
+
+_EDGE_SEED_SQL = """
+SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
+       'h' || CAST((doc_id * 7 + 3) % 37 AS VARCHAR) AS dst
+FROM documents
+WHERE doc_id % 37 <> (doc_id * 7 + 3) % 37
+"""
+
+
+@_q("host_pagerank", gph.pagerank_sql(_EDGE_SEED_SQL, iters=3))
+def q_host_pagerank(spark, sf):
+    d = _t(spark, sf, "documents")
+    edges = (d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"),
+                 ((F.col("doc_id") * 7 + 3) % 37).cast("string"))
+        .alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    return gph.pagerank(edges, iters=3)
 
 
 # r7 rotation: dedup_simhash_pairs OUT (candidates-first band joins
@@ -775,12 +807,30 @@ def _simhash_pairs_impl(spark, sf):
                     F.col("hamming").cast("long").alias("hamming")))
 
 
-# ---- extension: duplicate clusters (connected components) ----
+# r8 rotation: dedup_clusters OUT (connected-components plumbing
+# stays driver-exercised via dedup_keep_best, slot 41, which composes
+# duplicate_clusters; dedup_clusters re-registers below the window) ->
+# image_phash_pairs IN (operators/image_dedup.py — perceptual image
+# dedup: pHash banding + hamming join; the driver row runs the FAKE
+# md5 kernel over low-entropy synthetic "images" (24-char text
+# prefixes, which collide) so DuckDB replays the banding/popcount
+# plumbing value-exactly; the real decode->DCT kernel is golden-
+# tested in tests/test_image_dedup.py against an independent DCT).
 
-@_q("dedup_clusters", dd.duplicate_clusters_sql(threshold=0.2))
-def q_dedup_clusters(spark, sf):
+from nifi_extracttext_processor_spark.operators import image_dedup as imgd  # noqa: E402
+
+
+@_q("image_phash_pairs", imgd.phash_pairs_sql(
+    table="(SELECT doc_id, substr(text, 1, 24) AS fakeimg "
+          "FROM documents)",
+    content_expr="fakeimg", max_hamming=6))
+def q_image_phash_pairs(spark, sf):
     d = _t(spark, sf, "documents")
-    return dd.duplicate_clusters(d, threshold=0.2)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 24), "UTF-8").alias("content"))
+    return imgd.phash_pairs(media, id_col="media_id",
+                            max_hamming=6, fake=True)
 
 
 # ---- extension: embedding cosine near-dup pairs (brute force) ----
@@ -1690,33 +1740,22 @@ def q_bm25_pairs(spark, sf):
 # the plain BETWEEN theta join the bin strategy is semantically equal
 # to; below-window, parity in pytest ----
 
-@_q("events_interval_join", """
-WITH l AS (SELECT event_id, user_id, ts FROM events
-           WHERE event_type = 'click'),
-r AS (SELECT event_id AS purchase_id, user_id, ts AS s,
-             ts + INTERVAL 30 MINUTE AS e
-      FROM events WHERE event_type = 'purchase')
-SELECT l.event_id, l.user_id, l.ts, r.purchase_id
-FROM l JOIN r
-  ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e
-     AND r.e >= r.s
+
+
+# r8 rotation: stratified_sample OUT (deterministic-hash sampling
+# stays driver-exercised via sample_by_hash/split_by_hash parity and
+# the sample_k_per_group sibling below; stratified_sample re-registers
+# here with full DuckDB parity in pytest).
+
+@_q("stratified_sample", f"""
+WITH s AS ({cx.stratified_sample_sql('documents', _MIX_RATES,
+                                     default_rate=0.1)})
+SELECT doc_id, source FROM s
 """)
-def q_events_interval_join(spark, sf):
-    from nifi_extracttext_processor_spark.operators.temporal import (
-        interval_join,
-    )
-    e = _t(spark, sf, "events")
-    clicks = (e.filter(F.col("event_type") == "click")
-              .select("event_id", "user_id", "ts"))
-    purch = (e.filter(F.col("event_type") == "purchase")
-             .select(F.col("event_id").alias("purchase_id"), "user_id",
-                     F.col("ts").alias("s"),
-                     (F.col("ts")
-                      + F.expr("INTERVAL 30 MINUTES")).alias("e")))
-    return interval_join(clicks, purch, ts_col="ts", start_col="s",
-                         end_col="e", by="user_id",
-                         bucket_seconds=1800.0,
-                         right_cols=("purchase_id",))
+def q_stratified_sample(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (cx.stratified_sample(d, _MIX_RATES, default_rate=0.1)
+            .select("doc_id", "source"))
 
 
 # ---- extension (r7): exact-k quota sampling per group (md5 twin of
@@ -1737,27 +1776,6 @@ def q_sample_k_per_group(spark, sf):
 # replays the exact 3-iteration computation as an unrolled CTE chain
 # (the semantic_dedup Lloyd-unroll trick). extract_links shares the
 # house URL_RE/href conventions. Below-window, parity in pytest ----
-
-_EDGE_SEED_SQL = """
-SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS src,
-       'h' || CAST((doc_id * 7 + 3) % 37 AS VARCHAR) AS dst
-FROM documents
-WHERE doc_id % 37 <> (doc_id * 7 + 3) % 37
-"""
-
-
-@_q("host_pagerank", gph.pagerank_sql(_EDGE_SEED_SQL, iters=3))
-def q_host_pagerank(spark, sf):
-    d = _t(spark, sf, "documents")
-    edges = (d.select(
-        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
-        .alias("src"),
-        F.concat(F.lit("h"),
-                 ((F.col("doc_id") * 7 + 3) % 37).cast("string"))
-        .alias("dst"))
-        .filter(F.col("src") != F.col("dst")))
-    return gph.pagerank(edges, iters=3)
-
 
 _LINK_SEED_SQL = """
 SELECT doc_id,
@@ -1783,6 +1801,37 @@ def q_extract_links(spark, sf):
             (F.col("doc_id") % 5).cast("string"),
             F.lit('">x</a>')).alias("text"))
     return gph.extract_links(seeded, mode="both")
+
+
+# r8 rotation: dedup_clusters re-registered below the window — full
+# DuckDB parity continues in pytest.
+
+@_q("dedup_clusters", dd.duplicate_clusters_sql(threshold=0.2))
+def q_dedup_clusters(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dd.duplicate_clusters(d, threshold=0.2)
+
+
+# r8 rotation: dedup_by_url re-registered below the window — full
+# DuckDB parity continues in pytest.
+
+@_q("dedup_by_url", f"""
+SELECT doc_id, canonical_url FROM (
+  {ta.dedup_by_url_sql(table="(SELECT doc_id, " + _URL_SYNTH_SQL
+                       + " AS url FROM documents)", url_expr="url")}
+)
+""")
+def q_dedup_by_url(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("HTTP://WWW.Example.com/"), F.col("source"),
+        F.lit("/p/"), (F.col("doc_id") % 37).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("?utm_source=x&id=7#frag"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")))
+    out = ta.dedup_by_url(d.withColumn("url", url).drop("source"))
+    return out.select("doc_id", "canonical_url")
 
 
 # ---- extension (r7): approximate heavy hitters (Misra-Gries

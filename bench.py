@@ -74,6 +74,13 @@ HEADLINE = [
     "events_funnel",       # per-step shrinking min-aggregate chain
     "events_retention",    # distinct (user, period) + cohort join
     "profile_events",      # single-scan multi-column profile
+    # round-8 additions (appended, legacy order preserved)
+    "events_interval_join",  # bin-strategy range join (hash equi-join
+                             # + exact BETWEEN post-filter)
+    "unpack_archives",     # map-only archive explode (post r8 memory
+                           # bounds); timed window INCLUDES the synth
+                           # zip-pack stage (same Arrow map shape, so
+                           # the ratio is stable round over round)
 ]
 
 
@@ -156,7 +163,36 @@ def _q_zorder_cluster(spark, sf_dir):
                              ["user_id", "value"], num_partitions=32)
 
 
+def _q_unpack_archives(spark, sf_dir):
+    from nifi_extracttext_processor_spark.operators.unpack import (
+        unpack_archives,
+    )
+    from nifi_extracttext_processor_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _pack(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+        for pdf in batches:
+            paths, blobs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w",
+                                     zipfile.ZIP_DEFLATED) as zf:
+                    for j in range(4):
+                        zf.writestr(f"m{j}.txt", (t or "")[j::4])
+                paths.append(f"/bench/{i}.zip")
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    packed = docs.mapInPandas(_pack, "path string, content binary")
+    return unpack_archives(packed)
+
+
 LOCAL = {
+    "unpack_archives": _q_unpack_archives,
     "zorder_cluster": _q_zorder_cluster,
     "asof_plain": _q_asof_plain,
     "asof_bucketed": _q_asof_bucketed,

@@ -22,13 +22,18 @@ Supported subset — enough for real-world "text PDFs":
   * Type0 fonts WITHOUT a ToUnicode CMap: the Unicode-valued
     predefined encodings (/UniJIS-UCS2-H, /UniGB-UTF16-V, ... — their
     source code space IS UCS-2/UTF-16BE, so show-string bytes decode
-    directly) are decoded as UTF-16BE; every OTHER predefined CMap
-    (/Identity-H with no ToUnicode, /90ms-RKSJ-H, ...) names a
-    code→CID table we do not ship, so SHOWING text with such a font
-    raises (→ failure route, A6 semantics — Tika/PDFBox extracts
-    these via bundled CMap tables; silently emitting latin-1 mojibake
-    into a corpus would be worse than routing to failure). Fonts
-    merely declared but never used do not raise.
+    directly) are decoded as UTF-16BE; the legacy-charset "encoding
+    CMaps" (/90ms-RKSJ-H → Shift-JIS, /GBK-EUC-H → GBK, /ETen-B5-H →
+    Big5, /KSCms-UHC-H → UHC, ... — ISO 32000-2 §9.7.5.2: the CMap
+    name states the national charset its SOURCE code space is, and
+    text extraction needs only source-bytes→Unicode, never the
+    code→CID leg) decode through the matching stdlib codec — no
+    Adobe CMap tables required; every OTHER predefined CMap
+    (/Identity-H with no ToUnicode: codes ARE font-internal CIDs
+    with no charset identity) still raises at first USE (→ failure
+    route, A6 semantics — silently emitting latin-1 mojibake into a
+    corpus would be worse than routing to failure). Fonts merely
+    declared but never used do not raise.
   * per-page font namespaces are not tracked — fonts resolve in one
     global namespace, and codes missing from a 1-byte CMap fall back
     to latin-1
@@ -298,6 +303,10 @@ def _apply_cmap(s: str, font: "FontEntry | None") -> str:
         # Unicode-valued predefined CMap: the code space IS UTF-16BE
         return s.encode("latin-1", "replace").decode("utf-16-be",
                                                      "replace")
+    if isinstance(font, tuple) and font[0] == "charset":
+        # legacy-charset encoding CMap: show-string bytes ARE bytes
+        # of the named national charset — stdlib codec, no CID leg
+        return s.encode("latin-1", "replace").decode(font[1], "replace")
     if isinstance(font, tuple) and font[0] == "raise":
         # A6 semantics: route to failure instead of emitting mojibake
         raise ValueError(
@@ -323,6 +332,9 @@ def _apply_cmap(s: str, font: "FontEntry | None") -> str:
 #   (code_len, {code: str})  parsed ToUnicode CMap (the good case)
 #   "utf16be"                Unicode-valued predefined CMap: decode
 #                            show strings as UTF-16BE directly
+#   ("charset", codec)       legacy-charset encoding CMap: decode
+#                            show-string bytes with the stdlib codec
+#                            the CMap name states (RKSJ=Shift-JIS, ...)
 #   ("raise", name)          any other predefined CMap without a
 #                            ToUnicode — showing text with it raises
 #                            (failure route) instead of mojibaking
@@ -332,6 +344,38 @@ FontEntry = "tuple[int, dict[int, str]] | str | tuple[str, str]"
 # (ISO 32000-2 §9.7.5.2 predefined CMap names: UniJIS-UCS2-H,
 # Uni{GB,CNS,KS,JIS,JIS2004,...}-{UCS2,UTF16}-{H,V})
 _UNICODE_CMAP_RE = re.compile(rb"^Uni[A-Za-z0-9]+-(UCS2|UTF16)-[HV]$")
+
+# Predefined "encoding CMaps" whose SOURCE code space is a national
+# charset the Python stdlib ships (ISO 32000-2 §9.7.5.2 name list;
+# the name itself states the charset: RKSJ = Shift-JIS with Roman/
+# Kana, EUC, GBK, B5 = Big5, UHC). Extraction needs only source
+# bytes → Unicode, which is exactly what the codec does — the
+# code→CID leg (the part that would need Adobe's tables) is a
+# glyph-selection concern extraction never touches. The -H/-V suffix
+# is writing direction only.
+_CHARSET_CMAP_BASES: "dict[bytes, str]" = {
+    # Japanese (Adobe-Japan1); cp932 = Microsoft Shift-JIS, the
+    # superset the 90ms* (Windows) collections denote; 83pv/90pv are
+    # Mac variants whose JIS core cp932 also covers
+    b"90ms-RKSJ": "cp932", b"90msp-RKSJ": "cp932",
+    b"Ext-RKSJ": "cp932", b"Add-RKSJ": "cp932",
+    b"90pv-RKSJ": "cp932", b"83pv-RKSJ": "cp932",
+    b"EUC": "euc_jp", b"Ext-EUC": "euc_jp", b"Add-EUC": "euc_jp",
+    # Simplified Chinese (Adobe-GB1)
+    b"GB-EUC": "gb2312", b"GBpc-EUC": "gb2312",
+    b"GBK-EUC": "gbk", b"GBKp-EUC": "gbk", b"GBK2K": "gb18030",
+    # Traditional Chinese (Adobe-CNS1)
+    b"B5pc": "big5", b"ETen-B5": "big5", b"ETenms-B5": "big5",
+    b"HKscs-B5": "big5hkscs",
+    # Korean (Adobe-Korea1)
+    b"KSC-EUC": "euc_kr",
+    b"KSCms-UHC": "cp949", b"KSCms-UHC-HW": "cp949",
+}
+_CHARSET_CMAPS: "dict[bytes, str]" = {
+    base + suffix: codec
+    for base, codec in _CHARSET_CMAP_BASES.items()
+    for suffix in (b"-H", b"-V")
+}
 
 
 def _build_fontmap(buffers: list[bytes]) -> "dict[bytes, FontEntry]":
@@ -374,8 +418,10 @@ def _build_fontmap(buffers: list[bytes]) -> "dict[bytes, FontEntry]":
             enc = e.group(1)
             if _UNICODE_CMAP_RE.match(enc):
                 font_cmaps[num] = "utf16be"
+            elif enc in _CHARSET_CMAPS:
+                font_cmaps[num] = ("charset", _CHARSET_CMAPS[enc])
             else:
-                # Identity-H/V without ToUnicode, 90ms-RKSJ-H, ... —
+                # Identity-H/V without ToUnicode and the rest —
                 # raising is deferred to first USE so documents that
                 # merely embed the font still extract
                 font_cmaps[num] = ("raise", enc.decode("latin-1"))

@@ -901,6 +901,81 @@ def mix_corpora(
     return out
 
 
+def mix_token_plan(
+    sources: "list[tuple[DataFrame, float]]",
+    text_col: str = "text",
+    token_budget: "int | None" = None,
+) -> "tuple[list[int], list[float], int]":
+    """Plan a TOKEN-share mixture: for each (frame, weight) source,
+    one tiny aggregate counts its total BPE-ish tokens (the house
+    bpe_token_count definition), then row-sampling rates are derived
+    so the sampled sources hit the weight proportions in TOKEN terms.
+
+    Real mixture specs (Dolma, RedPajama, The Pile) are stated as
+    token shares — "50% web, 30% code, 20% books" — not row shares;
+    mix_corpora's row rates misallocate whenever sources have
+    different document lengths (a 10× longer-doc source at the same
+    row rate contributes 10× the tokens).
+
+    token_budget=None uses the largest feasible budget: the one where
+    the scarcest source (smallest tokens/weight ratio) is taken
+    whole. An explicit larger budget caps every rate at 1.0 (sources
+    can't be oversampled — no replacement) and the achieved mix then
+    skews toward the scarce sources; pass a smaller budget to
+    subsample everything proportionally.
+
+    Returns (per-source token totals, per-source rates, budget)."""
+    if not sources:
+        raise ValueError("mix_token_plan needs at least one source")
+    weights = [w for _, w in sources]
+    if any(w <= 0 for w in weights):
+        raise ValueError("token weights must be positive")
+    wsum = float(sum(weights))
+    wn = [w / wsum for w in weights]
+    from .text_analysis import bpe_token_count
+    totals = [
+        int((df.agg(F.sum(bpe_token_count(F.coalesce(
+            F.col(text_col), F.lit("")))).alias("t"))
+             .collect()[0]["t"]) or 0)
+        for df, _ in sources]
+    if any(t == 0 for t in totals):
+        raise ValueError(
+            f"source(s) with zero tokens at {text_col!r}: "
+            f"{[i for i, t in enumerate(totals) if t == 0]}")
+    feasible = min(t / w for t, w in zip(totals, wn))
+    budget = int(feasible) if token_budget is None else int(token_budget)
+    rates = [min(1.0, budget * w / t) for t, w in zip(totals, wn)]
+    return totals, rates, budget
+
+
+def mix_corpora_tokens(
+    sources: "list[tuple[DataFrame, float]]",
+    text_col: str = "text",
+    token_budget: "int | None" = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    md5: bool = False,
+) -> DataFrame:
+    """mix_corpora with TOKEN-share weights (see mix_token_plan): one
+    scalar aggregate per source plans the rates, then the selection is
+    the SAME deterministic hash sampling — a pure function of
+    (id, seed, rate), so reruns reproduce the mixture, raising the
+    budget strictly grows it (nested mixtures for scaling-law runs),
+    and the DuckDB twin replays the md5 selection exactly. The
+    sampled union is zero-shuffle beyond the planning aggregates."""
+    _, rates, _ = mix_token_plan(sources, text_col=text_col,
+                                 token_budget=token_budget)
+    parts = []
+    for i, ((df, _w), rate) in enumerate(zip(sources, rates)):
+        part = sample_by_hash(df, rate, id_col=id_col,
+                              seed=seed + i, md5=md5)
+        parts.append(part.withColumn("mix_source", F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # sharded corpus output + manifest (the training-data landing stage)
 # ---------------------------------------------------------------------------

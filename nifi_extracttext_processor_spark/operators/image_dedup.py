@@ -1,0 +1,285 @@
+"""Perceptual image deduplication: pHash (DCT low-band fingerprints,
+Zauner 2010 / the classic imagehash algorithm) over the engine's real
+raster decoders, plus banded hamming-join pair generation — the image
+counterpart of SemDeDup/SimHash for image-text corpora (the one dedup
+modality r7 lacked: text had exact/near/substring/semantic, images had
+real decoders but nothing deduplicating them).
+
+Algorithm (real kernel): decode_raster_gray → index-sample to
+img_size² (32×32) → orthonormal 2-D DCT-II → top-left hash_size²
+(8×8) low-frequency block → bit i = coeff_i > median → 64-bit hash as
+16 hex chars. Robust to re-encoding (PNG↔JPEG), mild resizing, and
+small edits; NOT to crops/rotations (documented non-claim).
+
+Scale shape:
+- hashing is a map-only Arrow kernel (images are the parallel unit,
+  like archives in unpack); a failed decode yields a NULL hash with
+  `phash_error` set (the A6 skip-don't-fail posture), so one corrupt
+  image never kills a 100 TB job.
+- pair generation never goes O(n²): the 64-bit hash splits into
+  2^b-bit band chunks; pigeonhole guarantees hamming ≤ n_bands - 1
+  implies an identical chunk, so ONE hash equi-join on (chunk_id,
+  chunk) keyed by longs finds every candidate, then an exact popcount
+  filter — the simhash_pairs machinery (operators/dedup.py:442)
+  applied to image hashes. Only (id, 16-char hash) rows ever shuffle,
+  never pixels.
+- `fake=True` swaps the decode+DCT kernel for a deterministic
+  md5-prefix stand-in (the multimodal fake-kernel convention,
+  operators/multimodal.py:_fake_pixels): the banding/hamming/pair
+  plumbing — the part that matters at scale — runs identically and
+  replays value-exactly in DuckDB (phash_pairs_sql) for the driver
+  oracle gate; the real kernel is golden-tested in pytest against an
+  independent pure-Python DCT.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+DEFAULT_IMG_SIZE = 32
+DEFAULT_HASH_SIZE = 8
+
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+_DCT_CACHE: dict[int, "object"] = {}
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis: D[k,j] = c_k cos(pi (2j+1) k / 2n)."""
+    import numpy as np
+
+    m = _DCT_CACHE.get(n)
+    if m is None:
+        j = np.arange(n)
+        k = j.reshape(-1, 1)
+        m = np.cos(math.pi * (2 * j + 1) * k / (2 * n)) * math.sqrt(2 / n)
+        m[0] *= 1 / math.sqrt(2)
+        _DCT_CACHE[n] = m
+    return m
+
+
+def _phash_hex(w: int, h: int, px, img_size: int, hash_size: int) -> str:
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.float64).reshape(h, w)
+    ys = (np.arange(img_size) * h) // img_size
+    xs = (np.arange(img_size) * w) // img_size
+    small = a[np.ix_(ys, xs)]
+    d = _dct_matrix(img_size)
+    low = (d @ small @ d.T)[:hash_size, :hash_size].ravel()
+    med = float(np.median(low))
+    bits = (low > med)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, f"0{(hash_size * hash_size) // 4}x")
+
+
+def phash_reference(w: int, h: int, px: list[float],
+                    img_size: int = DEFAULT_IMG_SIZE,
+                    hash_size: int = DEFAULT_HASH_SIZE) -> str:
+    """Independent pure-Python pHash (plain loops, no numpy, no
+    shared helpers) for test goldens."""
+    small = [[px[((y * h) // img_size) * w + (x * w) // img_size]
+              for x in range(img_size)] for y in range(img_size)]
+    n = img_size
+
+    def c(k: int) -> float:
+        return math.sqrt(1 / n) if k == 0 else math.sqrt(2 / n)
+
+    low = []
+    for u in range(hash_size):
+        for v in range(hash_size):
+            s = 0.0
+            for y in range(n):
+                for x in range(n):
+                    s += (small[y][x]
+                          * math.cos(math.pi * (2 * y + 1) * u / (2 * n))
+                          * math.cos(math.pi * (2 * x + 1) * v / (2 * n)))
+            low.append(c(u) * c(v) * s)
+    srt = sorted(low)
+    m = len(srt)
+    med = (srt[m // 2] if m % 2 else
+           (srt[m // 2 - 1] + srt[m // 2]) / 2.0)
+    val = 0
+    for coeff in low:
+        val = (val << 1) | (1 if coeff > med else 0)
+    return format(val, f"0{(hash_size * hash_size) // 4}x")
+
+
+def phash64_table(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    out_col: str = "phash",
+    fake: bool = False,
+    img_size: int = DEFAULT_IMG_SIZE,
+    hash_size: int = DEFAULT_HASH_SIZE,
+) -> DataFrame:
+    """Per-image perceptual hash: (id_col, out_col 16-hex | NULL,
+    phash_error NULL | reason). fake=True = md5-prefix stand-in
+    (zero-UDF Catalyst, DuckDB-replayable); fake=False = the real
+    decode→DCT Arrow kernel."""
+    if hash_size * hash_size != 64:
+        raise ValueError("hash_size must be 8 (64-bit hashes)")
+    if fake:
+        return df.select(
+            F.col(id_col),
+            F.substring(F.md5(F.col(content_col)), 1, 16).alias(out_col),
+            F.lit(None).cast("string").alias("phash_error"))
+
+    import pandas as pd
+
+    from .multimodal import decode_raster_gray
+
+    src = df.select(id_col, content_col)
+    schema = (", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in src.schema.fields
+                        if f.name == id_col)
+              + f", {out_col} string, phash_error string")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, errs = [], []
+            for b in pdf[content_col]:
+                try:
+                    w, h, px = decode_raster_gray(bytes(b or b""))
+                    hashes.append(_phash_hex(w, h, px, img_size,
+                                             hash_size))
+                    errs.append(None)
+                except Exception as exc:
+                    hashes.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            out = pdf[[id_col]].copy()
+            out[out_col] = hashes
+            out["phash_error"] = errs
+            yield out
+
+    return src.mapInPandas(_run, schema=schema)
+
+
+def phash_table_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    content_expr: str = "text",
+) -> str:
+    """DuckDB twin of the FAKE kernel (md5 prefix over the same
+    bytes); `content_expr` should produce the same bytes the Spark
+    side hashed (e.g. a text column fed through encode())."""
+    return (f"SELECT {id_col} AS media_id, "
+            f"substr(md5({content_expr}), 1, 16) AS phash, "
+            f"CAST(NULL AS VARCHAR) AS phash_error FROM {table}")
+
+
+# ---------------------------------------------------------------------------
+# pair generation (banded hamming join)
+# ---------------------------------------------------------------------------
+
+def _n_bands(max_hamming: int) -> int:
+    """Smallest band count with the pigeonhole guarantee (an identical
+    chunk exists whenever hamming <= max_hamming) that still divides
+    the 16-hex hash evenly."""
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15]")
+    for b in (2, 4, 8, 16):
+        if b > max_hamming:
+            return b
+    raise AssertionError
+
+
+def _hex_hamming(a: Column, b: Column) -> Column:
+    """Popcount of XOR over two 16-hex-char hashes, per nibble."""
+    idx = F.sequence(F.lit(1), F.lit(16))
+    nib = lambda s, i: F.instr(F.lit(_HEX), F.substring(s, i, 1)) - 1
+    return F.aggregate(
+        idx, F.lit(0),
+        lambda acc, i: acc + F.bit_count(
+            nib(a, i).bitwiseXOR(nib(b, i))))
+
+
+def phash_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    fake: bool = False,
+    img_size: int = DEFAULT_IMG_SIZE,
+    hash_size: int = DEFAULT_HASH_SIZE,
+) -> DataFrame:
+    """Near-duplicate image pairs: (id1, id2, hamming) with
+    hamming <= max_hamming and id1 < id2. Undecodable images (NULL
+    hash) never pair. Feed the result to dedup.duplicate_clusters /
+    keep_best_per_cluster exactly like the text pair ops."""
+    sig = (phash64_table(df, content_col, id_col, out_col="ph",
+                         fake=fake, img_size=img_size,
+                         hash_size=hash_size)
+           .filter(F.col("ph").isNotNull()))
+    nb = _n_bands(max_hamming)
+    clen = 16 // nb
+    banded = sig.select(
+        id_col, "ph",
+        F.posexplode(F.array(*[
+            F.substring(F.col("ph"), b * clen + 1, clen)
+            for b in range(nb)
+        ])).alias("chunk_id", "chunk"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (l.join(r, (F.col("l.chunk_id") == F.col("r.chunk_id"))
+                   & (F.col("l.chunk") == F.col("r.chunk"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id1"),
+                    F.col(f"r.{id_col}").alias("id2"),
+                    F.col("l.ph").alias("h1"),
+                    F.col("r.ph").alias("h2"))
+            .dropDuplicates(["id1", "id2"])
+            .withColumn("hamming", _hex_hamming(F.col("h1"),
+                                                F.col("h2")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2",
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
+def phash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    content_expr: str = "text",
+    max_hamming: int = 6,
+) -> str:
+    """DuckDB twin of phash_pairs(fake=True): same md5-prefix hashes,
+    same banding, same per-nibble popcount, same threshold."""
+    nb = _n_bands(max_hamming)
+    clen = 16 // nb
+    chunks = " UNION ALL ".join(
+        f"SELECT media_id, phash, {b} AS chunk_id, "
+        f"substr(phash, {b * clen + 1}, {clen}) AS chunk FROM sig"
+        for b in range(nb))
+    ham = " + ".join(
+        "bit_count(xor("
+        f"(strpos('{_HEX}', substr(h1, {i}, 1)) - 1)::BIGINT, "
+        f"(strpos('{_HEX}', substr(h2, {i}, 1)) - 1)::BIGINT))"
+        for i in range(1, 17))
+    return f"""
+WITH sig AS (
+  SELECT {id_col} AS media_id,
+         substr(md5({content_expr}), 1, 16) AS phash
+  FROM {table}
+), banded AS ({chunks}),
+cand AS (
+  SELECT DISTINCT l.media_id AS id1, r.media_id AS id2,
+         l.phash AS h1, r.phash AS h2
+  FROM banded l JOIN banded r
+    ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+   AND l.media_id < r.media_id
+), scored AS (
+  SELECT id1, id2, CAST(({ham}) AS BIGINT) AS hamming FROM cand
+)
+SELECT id1, id2, hamming FROM scored WHERE hamming <= {max_hamming}
+"""

@@ -1101,11 +1101,36 @@ class TestPdfPredefinedCmaps:
             b"BT /F1 12 Tf <" + hexs + b"> Tj ET")
         assert kr in extract_pdf_text(pdf)
 
-    def test_non_unicode_predefined_cmap_raises(self):
+    def test_charset_encoding_cmaps_decode_via_stdlib(self):
+        """r8: encoding CMaps name a national charset as their source
+        code space (ISO 32000-2 §9.7.5.2) — show-string bytes decode
+        with the stdlib codec, no Adobe CMap tables needed."""
         from nifi_extracttext_processor_spark.formats.pdf import (
             extract_pdf_text,
         )
-        for enc in (b"/90ms-RKSJ-H", b"/GBK-EUC-H", b"/Identity-H"):
+        cases = [
+            (b"/90ms-RKSJ-H", "あい日本語", "cp932"),
+            (b"/EUC-H", "漢字かな", "euc_jp"),
+            (b"/GBK-EUC-H", "中文文本", "gbk"),
+            (b"/ETen-B5-V", "中文字", "big5"),
+            (b"/KSCms-UHC-H", "한국어", "cp949"),
+        ]
+        for enc, text, codec in cases:
+            hexs = text.encode(codec).hex().encode("ascii")
+            pdf = self._pdf(
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /X+CJK "
+                b"/Encoding " + enc + b" >>",
+                b"BT /F1 12 Tf <" + hexs + b"> Tj ET")
+            assert text in extract_pdf_text(pdf), (enc, codec)
+
+    def test_identity_without_tounicode_still_raises(self):
+        """Identity-H codes ARE font-internal CIDs — no charset
+        identity exists, so showing text still routes to failure."""
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            extract_pdf_text,
+        )
+        for enc in (b"/Identity-H", b"/Identity-V",
+                    b"/SomeFuture-CMap-H"):
             pdf = self._pdf(
                 b"<< /Type /Font /Subtype /Type0 /BaseFont /X+CJK "
                 b"/Encoding " + enc + b" >>",
@@ -1120,7 +1145,7 @@ class TestPdfPredefinedCmaps:
         )
         pdf = self._pdf(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /X+CJK "
-            b"/Encoding /90ms-RKSJ-H >>",
+            b"/Encoding /Identity-H >>",
             b"BT /F2 12 Tf (plain western text) Tj ET")
         assert "plain western text" in extract_pdf_text(pdf)
 
@@ -1135,7 +1160,7 @@ class TestPdfPredefinedCmaps:
         )
         bad = self._pdf(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /X+CJK "
-            b"/Encoding /90ms-RKSJ-H >>",
+            b"/Encoding /Identity-H >>",
             b"BT /F1 12 Tf <82A082A2> Tj ET")
         good = self._pdf(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+M "

@@ -1,0 +1,168 @@
+"""Perceptual image dedup (operators/image_dedup.py): real-kernel
+goldens vs an independent pure-Python DCT, PNG/JPEG re-encode
+collision, banded pair semantics, and DuckDB parity of the fake
+kernel + pair plumbing.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from nifi_extracttext_processor_spark.operators.image_dedup import (
+    _n_bands,
+    phash64_table,
+    phash_pairs,
+    phash_pairs_sql,
+    phash_reference,
+    phash_table_sql,
+)
+
+
+def _gray_png(w: int, h: int, samples: list[int]) -> bytes:
+    """Minimal 8-bit grayscale PNG, filter 0 rows."""
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(samples[y * w:(y + 1) * w])
+                   for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _scene_a(w=32, h=32):
+    """Structured image: diagonal gradient + a bright block."""
+    px = []
+    for y in range(h):
+        for x in range(w):
+            v = (x * 4 + y * 3) % 256
+            if 8 <= x < 20 and 10 <= y < 22:
+                v = min(255, v + 120)
+            px.append(v)
+    return px
+
+
+def _scene_b(w=32, h=32):
+    """A genuinely different image: vertical bars."""
+    return [(255 if (x // 4) % 2 else 20)
+            for y in range(h) for x in range(w)]
+
+
+def _hamming_hex(a: str, b: str) -> int:
+    return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
+class TestPhashKernel:
+    def test_matches_independent_reference(self, spark):
+        png = _gray_png(32, 32, _scene_a())
+        df = spark.createDataFrame([("i1", png)],
+                                   "media_id string, content binary")
+        got = phash64_table(df).collect()[0]
+        assert got["phash_error"] is None
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_raster_gray,
+        )
+        w, h, px = decode_raster_gray(png)
+        assert got["phash"] == phash_reference(w, h, px)
+        assert len(got["phash"]) == 16
+
+    def test_png_jpeg_reencode_collide_distinct_dont(self, spark):
+        from tests.test_operators import TestJpegDecode as TJ
+
+        png_a = _gray_png(32, 32, _scene_a())
+        jpg_a, _ = TJ._jpeg(32, 32, _scene_a(), qt=[1] * 64)
+        png_b = _gray_png(32, 32, _scene_b())
+        df = spark.createDataFrame(
+            [("a_png", png_a), ("a_jpg", jpg_a), ("b_png", png_b)],
+            "media_id string, content binary")
+        hashes = {r["media_id"]: r["phash"]
+                  for r in phash64_table(df).collect()}
+        assert _hamming_hex(hashes["a_png"], hashes["a_jpg"]) <= 4
+        assert _hamming_hex(hashes["a_png"], hashes["b_png"]) > 10
+        # and the pair op finds exactly the re-encode pair
+        pairs = [(r["id1"], r["id2"]) for r in
+                 phash_pairs(df, max_hamming=6).collect()]
+        assert pairs == [("a_jpg", "a_png")]
+
+    def test_resize_invariance(self, spark):
+        # the same scene at 2x resolution hashes close (the index-
+        # sampled 32x32 frame sees nearly the same picture)
+        big = [_scene_a()[(y // 2) * 32 + x // 2]
+               for y in range(64) for x in range(64)]
+        df = spark.createDataFrame(
+            [("small", _gray_png(32, 32, _scene_a())),
+             ("big", _gray_png(64, 64, big))],
+            "media_id string, content binary")
+        hs = {r["media_id"]: r["phash"]
+              for r in phash64_table(df).collect()}
+        assert _hamming_hex(hs["small"], hs["big"]) <= 4
+
+    def test_decode_failure_is_null_not_fatal(self, spark):
+        df = spark.createDataFrame(
+            [("ok", _gray_png(8, 8, list(range(64)))),
+             ("bad", b"\x89PNG\r\n\x1a\ngarbage")],
+            "media_id string, content binary")
+        rows = {r["media_id"]: r for r in phash64_table(df).collect()}
+        assert rows["ok"]["phash_error"] is None
+        assert rows["bad"]["phash"] is None
+        assert rows["bad"]["phash_error"]
+        # undecodable rows never pair
+        assert phash_pairs(df, max_hamming=15).collect() == []
+
+    def test_band_selection(self):
+        assert _n_bands(0) == 2 and _n_bands(1) == 2
+        assert _n_bands(3) == 4 and _n_bands(6) == 8
+        assert _n_bands(15) == 16
+        with pytest.raises(ValueError):
+            _n_bands(16)
+        with pytest.raises(ValueError):
+            _n_bands(-1)
+
+
+class TestFakeKernelParity:
+    ROWS = [("d1", "merge group part scan"),
+            ("d2", "merge group part scan"),      # exact dup
+            ("d3", "order filter query key"),
+            ("d4", "order filter query key"),     # exact dup
+            ("d5", "completely different text")]
+
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+        return (spark.createDataFrame(self.ROWS,
+                                      "doc_id string, text string")
+                .select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("content"),
+                        "text"))
+
+    def test_table_matches_duckdb(self, spark):
+        import duckdb
+        df = self._df(spark)
+        got = sorted((r["media_id"], r["phash"]) for r in
+                     phash64_table(df, fake=True).collect())
+        con = duckdb.connect()
+        con.register("documents", df.select(
+            df.media_id.alias("doc_id"), "text").toPandas())
+        want = sorted((r[0], r[1]) for r in con.execute(
+            phash_table_sql(content_expr="coalesce(text, '')")
+        ).fetchall())
+        assert got == want
+
+    def test_pairs_match_duckdb(self, spark):
+        import duckdb
+        df = self._df(spark)
+        got = sorted(tuple(r) for r in
+                     phash_pairs(df, fake=True, max_hamming=6).collect())
+        # exact dups (hamming 0) surface; unrelated md5s do not
+        assert [g[:2] for g in got] == [("d1", "d2"), ("d3", "d4")]
+        assert all(g[2] == 0 for g in got)
+        con = duckdb.connect()
+        con.register("documents", df.select(
+            df.media_id.alias("doc_id"), "text").toPandas())
+        want = sorted(tuple(r) for r in con.execute(
+            phash_pairs_sql(content_expr="coalesce(text, '')",
+                            max_hamming=6)).fetchall())
+        assert got == want

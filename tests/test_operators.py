@@ -5088,6 +5088,101 @@ class TestSampleAndMix:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
 
+    @staticmethod
+    def _token_sources(spark):
+        # source 0: 1000 docs x 10 tokens; source 1: 1000 docs x 40
+        # tokens — same row counts, 4x token mass
+        short = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"),
+            F.lit(" ".join(["tok"] * 10)).alias("text"))
+        long_ = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"),
+            F.lit(" ".join(["tok"] * 40)).alias("text"))
+        return short, long_
+
+    def test_mix_tokens_plan_and_proportions(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            mix_corpora_tokens, mix_token_plan,
+        )
+        short, long_ = self._token_sources(spark)
+        totals, rates, budget = mix_token_plan(
+            [(short, 0.5), (long_, 0.5)])
+        assert totals == [10000, 40000]
+        # scarce source (short) taken whole; equal token shares mean
+        # the long source samples at 1/4
+        assert budget == 20000
+        assert rates[0] == 1.0 and abs(rates[1] - 0.25) < 1e-9
+        mixed = mix_corpora_tokens([(short, 0.5), (long_, 0.5)])
+        tok = {r["mix_source"]: r["t"] for r in
+               mixed.groupBy("mix_source")
+               .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+               .collect()}
+        # achieved token shares within sampling tolerance of 50/50
+        share = tok[0] / (tok[0] + tok[1])
+        assert 0.42 < share < 0.58
+        # a row-rate mixture at the same weights would have given the
+        # long source ~4x the tokens — the failure this op fixes
+        assert tok[1] < 2 * tok[0]
+
+    def test_mix_tokens_nested_and_deterministic(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            mix_corpora_tokens,
+        )
+        short, long_ = self._token_sources(spark)
+        srcs = [(short, 0.5), (long_, 0.5)]
+        ids = lambda df: {(r["mix_source"], r["doc_id"])
+                          for r in df.select("mix_source",
+                                             "doc_id").collect()}
+        small = ids(mix_corpora_tokens(srcs, token_budget=10000))
+        big = ids(mix_corpora_tokens(srcs, token_budget=20000))
+        again = ids(mix_corpora_tokens(srcs, token_budget=10000))
+        assert small == again            # deterministic
+        assert small < big               # nested: budget up => superset
+        # budget larger than feasible caps rates at 1.0 (no
+        # oversampling) instead of failing
+        capped = ids(mix_corpora_tokens(srcs, token_budget=10 ** 9))
+        assert len(capped) == 2000
+
+    def test_mix_tokens_selection_matches_duckdb(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            mix_token_plan, sample_by_hash_sql,
+        )
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            mix_corpora_tokens,
+        )
+        short, long_ = self._token_sources(spark)
+        srcs = [(short, 0.5), (long_, 0.5)]
+        _, rates, _ = mix_token_plan(srcs)
+        got = sorted(
+            (r["mix_source"], r["doc_id"]) for r in
+            mix_corpora_tokens(srcs, md5=True, seed=3)
+            .select("mix_source", "doc_id").collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT range AS doc_id "
+                    "FROM range(0, 1000)")
+        want = []
+        for i, rate in enumerate(rates):
+            want += [(i, r[0]) for r in con.execute(
+                sample_by_hash_sql("t", rate, seed=3 + i)).fetchall()]
+        assert got == sorted(want)
+
+    def test_mix_tokens_bad_args(self, spark):
+        import pytest as pt
+
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            mix_token_plan,
+        )
+        short, _ = self._token_sources(spark)
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pt.raises(ValueError):
+            mix_token_plan([])
+        with pt.raises(ValueError):
+            mix_token_plan([(short, 0.0)])
+        with pt.raises(ValueError, match="zero tokens"):
+            mix_token_plan([(short, 0.5), (empty, 0.5)])
+
 
 class TestCorpusShards:
     def test_assignment_stable_and_balanced(self, spark):
