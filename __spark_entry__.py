@@ -2007,6 +2007,47 @@ def q_pca_reduce(spark, sf):
                       .alias("pc2"))
 
 
+# ---- extension (r8): C4 cleanup battery (Raffel 2020 §2.2 — the
+# line-level published rules Gopher's flags do not cover).
+# Below-window, DuckDB parity ----
+
+_C4_EXPRS = ta.c4_clean_sql("text")
+
+
+@_q("c4_clean", "SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in _C4_EXPRS.items()
+                if k != "clean_text")
+    + ", md5(" + _C4_EXPRS["clean_text"] + ") AS clean_md5"
+    + " FROM documents")
+def q_c4_clean(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = ta.c4_clean(d)
+    return out.select("doc_id", "n_kept_lines", "n_sentences",
+                      "has_lorem", "has_brace", "has_badword",
+                      "passes",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+# ---- extension (r8): DSIR data selection (operators/selection.py —
+# Xie 2023 importance resampling). Below-window, DuckDB parity: the
+# md5 bucket twin replays hashed unigram+bigram models, add-1
+# smoothing, and the per-doc log-weight sum exactly; target = the
+# 'src0' slice of documents (a deterministic in-table target) ----
+
+from nifi_extracttext_processor_spark.operators import selection as dsel  # noqa: E402
+
+
+@_q("dsir_weights", dsel.dsir_logweights_sql(
+    target_pred="source = 'src0'", n_buckets=4096))
+def q_dsir_weights(spark, sf):
+    d = _t(spark, sf, "documents")
+    target = d.filter(F.col("source") == "src0").select("doc_id",
+                                                        "text")
+    tm = dsel.fit_hash_ngram_model(target, n_buckets=4096, md5=True)
+    rm = dsel.fit_hash_ngram_model(d, n_buckets=4096, md5=True)
+    return dsel.dsir_logweights(d, tm, rm, n_buckets=4096, md5=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

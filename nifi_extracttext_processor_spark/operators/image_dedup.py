@@ -125,26 +125,26 @@ def phash64_table(
     img_size: int = DEFAULT_IMG_SIZE,
     hash_size: int = DEFAULT_HASH_SIZE,
 ) -> DataFrame:
-    """Per-image perceptual hash: (id_col, out_col 16-hex | NULL,
-    phash_error NULL | reason). fake=True = md5-prefix stand-in
-    (zero-UDF Catalyst, DuckDB-replayable); fake=False = the real
-    decode→DCT Arrow kernel."""
+    """Per-image perceptual hash: the input columns plus
+    (out_col 16-hex | NULL, phash_error NULL | reason) — all input
+    columns pass through (map-only, so the operator composes with
+    Structured Streaming sources unchanged, like unpack_archives).
+    fake=True = md5-prefix stand-in (zero-UDF Catalyst,
+    DuckDB-replayable); fake=False = the real decode→DCT Arrow
+    kernel."""
     if hash_size * hash_size != 64:
         raise ValueError("hash_size must be 8 (64-bit hashes)")
     if fake:
-        return df.select(
-            F.col(id_col),
-            F.substring(F.md5(F.col(content_col)), 1, 16).alias(out_col),
-            F.lit(None).cast("string").alias("phash_error"))
+        return (df.withColumn(
+            out_col, F.substring(F.md5(F.col(content_col)), 1, 16))
+            .withColumn("phash_error", F.lit(None).cast("string")))
 
     import pandas as pd
 
     from .multimodal import decode_raster_gray
 
-    src = df.select(id_col, content_col)
     schema = (", ".join(f"`{f.name}` {f.dataType.simpleString()}"
-                        for f in src.schema.fields
-                        if f.name == id_col)
+                        for f in df.schema.fields)
               + f", {out_col} string, phash_error string")
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,12 +159,12 @@ def phash64_table(
                 except Exception as exc:
                     hashes.append(None)
                     errs.append(f"{type(exc).__name__}: {exc}")
-            out = pdf[[id_col]].copy()
+            out = pdf.copy()
             out[out_col] = hashes
             out["phash_error"] = errs
             yield out
 
-    return src.mapInPandas(_run, schema=schema)
+    return df.mapInPandas(_run, schema=schema)
 
 
 def phash_table_sql(
@@ -219,9 +219,12 @@ def phash_pairs(
     hamming <= max_hamming and id1 < id2. Undecodable images (NULL
     hash) never pair. Feed the result to dedup.duplicate_clusters /
     keep_best_per_cluster exactly like the text pair ops."""
+    # project down to (id, hash) BEFORE any banding: the passthrough
+    # columns (pixels!) must never reach the shuffle
     sig = (phash64_table(df, content_col, id_col, out_col="ph",
                          fake=fake, img_size=img_size,
                          hash_size=hash_size)
+           .select(id_col, "ph")
            .filter(F.col("ph").isNotNull()))
     nb = _n_bands(max_hamming)
     clen = 16 // nb
@@ -245,6 +248,122 @@ def phash_pairs(
             .filter(F.col("hamming") <= max_hamming)
             .select("id1", "id2",
                     F.col("hamming").cast("long").alias("hamming")))
+
+
+def phash_dedup_incremental(
+    new_df: DataFrame,
+    catalog_df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    fake: bool = False,
+) -> DataFrame:
+    """Dedup a NEW image batch against a historical pHash catalog,
+    then within itself — the dedup_exact_incremental shape
+    (operators/dedup.py) for images: at 100 TB you hash the delta and
+    band-join it against the persisted catalog, never re-decode the
+    archive.
+
+    catalog_df needs one `phash` column (16 hex chars — what
+    update_phash_catalog writes). A new image is dropped when some
+    catalog hash is within max_hamming (band-join candidates →
+    popcount filter, hashes only — pixels never shuffle), or when a
+    SMALLER-id batch sibling is within max_hamming (min of each
+    near-dup chain survives, deterministic). Undecodable images pass
+    through (NULL hash — the A6 posture: extraction decides their
+    fate, dedup never silently drops them)."""
+    sig = phash64_table(new_df, content_col, id_col, out_col="ph",
+                        fake=fake).select(id_col, "ph")
+    hashed = sig.filter(F.col("ph").isNotNull())
+    nb = _n_bands(max_hamming)
+    clen = 16 // nb
+
+    def band(df, hcol):
+        return df.select(
+            *df.columns,
+            F.posexplode(F.array(*[
+                F.substring(F.col(hcol), b * clen + 1, clen)
+                for b in range(nb)])).alias("chunk_id", "chunk"))
+
+    new_b = band(hashed, "ph")
+    cat_b = band(catalog_df.select(F.col("phash").alias("cph"))
+                 .distinct(), "cph")
+    vs_cat = (new_b.join(cat_b, ["chunk_id", "chunk"])
+              .dropDuplicates([id_col, "cph"])
+              .withColumn("hd", _hex_hamming(F.col("ph"),
+                                             F.col("cph")))
+              .filter(F.col("hd") <= max_hamming)
+              .select(id_col).distinct())
+    fresh = hashed.join(vs_cat, id_col, "left_anti")
+    # within-batch: drop any row with a smaller near-identical sibling
+    fb = band(fresh, "ph")
+    l, r = fb.alias("l"), fb.alias("r")
+    losers = (l.join(r, (F.col("l.chunk_id") == F.col("r.chunk_id"))
+                     & (F.col("l.chunk") == F.col("r.chunk"))
+                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+              .select(F.col(f"l.{id_col}").alias("id1"),
+                      F.col(f"r.{id_col}").alias("id2"),
+                      F.col("l.ph").alias("h1"),
+                      F.col("r.ph").alias("h2"))
+              .dropDuplicates(["id1", "id2"])
+              .withColumn("hd", _hex_hamming(F.col("h1"),
+                                             F.col("h2")))
+              .filter(F.col("hd") <= max_hamming)
+              .select(F.col("id2").alias(id_col)).distinct())
+    keep = fresh.join(losers, id_col, "left_anti").select(id_col)
+    undecodable = sig.filter(F.col("ph").isNull()).select(id_col)
+    return new_df.join(keep.union(undecodable), id_col, "left_semi")
+
+
+def update_phash_catalog(
+    new_df: DataFrame,
+    catalog_path: str,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> None:
+    """Append the batch's distinct perceptual hashes to the parquet
+    catalog (append-only, same posture as update_fingerprint_catalog:
+    duplicate catalog rows only cost space — the incremental band
+    join's semantics don't change; compact with
+    sources.tables.compact_catalog)."""
+    (phash64_table(new_df, content_col, id_col, out_col="phash",
+                   fake=fake)
+     .select("phash")
+     .filter(F.col("phash").isNotNull())
+     .distinct()
+     .write.mode("append").parquet(catalog_path))
+
+
+def stream_phash_dedup(
+    docs: DataFrame,
+    content_col: str = "content",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Streaming EXACT-pHash dedup: first arrival of each perceptual
+    hash within the watermark horizon wins
+    (dropDuplicatesWithinWatermark — the stream_dedup_exact shape).
+    State holds only (hash, window) keys, 16 bytes/distinct image in
+    the horizon; pixels never enter state. Exact hash equality
+    catches byte-identical images AND most re-encodes (pHash is
+    frequently bit-identical across PNG/JPEG of the same picture);
+    for hamming > 0 matching, run phash_dedup_incremental per
+    micro-batch against a catalog via foreachBatch — banded joins
+    need a shuffle Structured Streaming's dedup operator cannot
+    express. Undecodable images pass through: a NULL hash coalesces
+    to a per-row unique key ('err:' + id), so failures never collide
+    with each other or with real hashes."""
+    return (phash64_table(docs, content_col, id_col, out_col="phash",
+                          fake=fake)
+            .withColumn("__dk", F.coalesce(
+                F.col("phash"),
+                F.concat(F.lit("err:"), F.col(id_col).cast("string"))))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__dk"])
+            .drop("phash", "phash_error", "__dk"))
 
 
 def phash_pairs_sql(

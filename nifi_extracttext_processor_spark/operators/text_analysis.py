@@ -1331,3 +1331,108 @@ def compression_ratio(
             yield pdf
 
     return df.mapInPandas(_run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# C4 cleanup battery (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning..." §2.2 — the published rule set the C4 corpus
+# was built with; the line-level half Gopher's flags do not cover)
+# ---------------------------------------------------------------------------
+
+# a small representative blocklist standing in for the paper's "List
+# of Dirty, Naughty..." wordlist (ship your own via the parameter)
+C4_DEFAULT_BADWORDS = ("fuck", "shit", "porn", "nigger")
+
+_C4_TERMINAL_RE = r'[.!?"’”]\s*$'
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    badwords: "tuple[str, ...]" = C4_DEFAULT_BADWORDS,
+) -> DataFrame:
+    """The C4 per-page cleanup: line-level retention + page-level
+    flags, pure Catalyst (split + higher-order filters), zero
+    shuffle.
+
+      clean_text     lines kept = end in terminal punctuation AND
+                     have >= min_line_words words AND don't contain
+                     'javascript' (case-insensitive); joined by \\n
+      n_kept_lines   lines surviving
+      n_sentences    terminal-punctuation sentences in clean_text
+      has_lorem      page contains 'lorem ipsum'
+      has_brace      page contains '{' (code/templating tell)
+      has_badword    page contains a blocklist word (word-bounded)
+      passes         n_sentences >= min_sentences AND none of the
+                     three page flags
+
+    The paper's remaining rule — drop repeated 3-sentence spans
+    corpus-wide — is the cross-document half and lives in
+    corpus.dedup_lines / corpus.exact_substring_dedup."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda line: line.rlike(_C4_TERMINAL_RE)
+        & (F.size(F.filter(F.split(F.trim(line), r"\s+"),
+                           lambda w: F.length(w) > 0))
+           >= F.lit(int(min_line_words)))
+        & ~F.lower(line).contains("javascript"))
+    clean = F.concat_ws("\n", kept)
+    # sentence count = terminal-punct runs followed by whitespace/end
+    # (lookbehind-free so the DuckDB RE2 twin replays it exactly)
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?](\s|$)"))
+    low = F.lower(c)
+    has_bad = F.lit(False)
+    for w in badwords:
+        has_bad = has_bad | low.rlike(rf"\b{w}\b")
+    out = df.withColumn("clean_text", clean) \
+        .withColumn("n_kept_lines",
+                    F.size(kept).cast("long")) \
+        .withColumn("n_sentences", n_sent.cast("long")) \
+        .withColumn("has_lorem", low.contains("lorem ipsum")) \
+        .withColumn("has_brace", c.contains("{")) \
+        .withColumn("has_badword", has_bad)
+    return out.withColumn(
+        "passes",
+        (F.col("n_sentences") >= F.lit(int(min_sentences)))
+        & ~F.col("has_lorem") & ~F.col("has_brace")
+        & ~F.col("has_badword"))
+
+
+def c4_clean_sql(
+    text_expr: str,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    badwords: "tuple[str, ...]" = C4_DEFAULT_BADWORDS,
+) -> "dict[str, str]":
+    """DuckDB twins keyed by output column (same regexes, same
+    guards)."""
+    c = f"coalesce({text_expr}, '')"
+    lines = f"string_split({c}, chr(10))"
+    kept = (f"list_filter({lines}, l -> "
+            f"regexp_matches(l, '[.!?\"’”]\\s*$') AND "
+            f"len(list_filter(string_split_regex(trim(l), '\\s+'), "
+            f"w -> len(w) > 0)) >= {int(min_line_words)} AND "
+            f"NOT contains(lower(l), 'javascript'))")
+    clean = f"coalesce(array_to_string({kept}, chr(10)), '')"
+    n_sent = (f"len(regexp_extract_all({clean}, "
+              f"'[.!?](\\s|$)'))")
+    low = f"lower({c})"
+    has_bad = " OR ".join(
+        f"regexp_matches({low}, '\\b{w}\\b')" for w in badwords)
+    exprs = {
+        "clean_text": clean,
+        "n_kept_lines": f"CAST(len({kept}) AS BIGINT)",
+        "n_sentences": f"CAST({n_sent} AS BIGINT)",
+        "has_lorem": f"contains({low}, 'lorem ipsum')",
+        "has_brace": f"contains({c}, '{{')",
+        "has_badword": f"({has_bad})",
+    }
+    exprs["passes"] = (
+        f"({exprs['n_sentences']} >= {int(min_sentences)} AND NOT "
+        f"{exprs['has_lorem']} AND NOT {exprs['has_brace']} AND NOT "
+        f"{exprs['has_badword']})")
+    return exprs

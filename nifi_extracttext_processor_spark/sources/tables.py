@@ -63,7 +63,8 @@ def read_catalog(spark: SparkSession, path: str,
 _COMPACT_TARGET_BYTES = 128 << 20
 
 
-def compact_catalog(spark: SparkSession, path: str) -> int:
+def compact_catalog(spark: SparkSession, path: str,
+                    preserve_partitions: bool = False) -> int:
     """Compact an append-only catalog directory (fingerprints,
     processed-segment paths, batch-partitioned streaming catalogs)
     that has accreted one small parquet file per micro-batch/run —
@@ -94,6 +95,15 @@ def compact_catalog(spark: SparkSession, path: str) -> int:
     already folded into the compacted copy would duplicate them
     (benign for verdicts, still churn). Checkpoint-committed batches
     never replay, so compacting after a graceful stream stop is safe.
+
+    `preserve_partitions=False` (default) folds a single-level
+    partitioned catalog into the reserved `<col>=-1` partition —
+    right when the partition value is bookkeeping (streaming
+    `batch=` ids). Pass `preserve_partitions=True` when the value is
+    SEMANTIC — a pruning key like the bucketed fingerprint catalog's
+    `bucket=` (dedup.update_fingerprint_catalog_bucketed) — to
+    compact each partition's files in place instead (one file per
+    partition value), keeping partition-pruned reads intact.
     """
     import uuid
 
@@ -128,10 +138,42 @@ def compact_catalog(spark: SparkSession, path: str) -> int:
          for st in fs.listStatus(root)
          if st.isDirectory() and "=" in st.getPath().getName()),
         None)
+    if preserve_partitions and part_col is None:
+        raise ValueError(
+            f"preserve_partitions=True but {path} is not partitioned")
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    if part_col is not None and preserve_partitions:
+        # one task per partition value -> one compacted file per value,
+        # landing under its ORIGINAL partition dir (pruning preserved)
+        (df.repartition(part_col)
+         .write.mode("overwrite").partitionBy(part_col).parquet(tmp))
+        moved = 0
+        for st in walk(tmp_path):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            part_dir = st.getPath().getParent().getName()  # col=value
+            dest = jvm.org.apache.hadoop.fs.Path(root, part_dir)
+            fs.mkdirs(dest)
+            dst = jvm.org.apache.hadoop.fs.Path(
+                dest, f"compact-{uuid.uuid4().hex[:8]}-{name}")
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(f"rename {st.getPath()} -> {dst} failed")
+            moved += 1
+        fs.delete(tmp_path, True)
+        removed = 0
+        for st in old:
+            if fs.delete(st.getPath(), False):
+                removed += 1
+        for st in fs.listStatus(root):
+            if (st.isDirectory()
+                    and len(fs.listStatus(st.getPath())) == 0):
+                fs.delete(st.getPath(), False)
+        return removed
     if part_col is not None:
         df = df.drop(part_col)
 
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
 
     dest_dir = root
@@ -141,7 +183,6 @@ def compact_catalog(spark: SparkSession, path: str) -> int:
         dest_dir = jvm.org.apache.hadoop.fs.Path(
             root, f"{part_col}=-1")
         fs.mkdirs(dest_dir)
-    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     moved = 0
     for st in walk(tmp_path):
         name = st.getPath().getName()

@@ -140,3 +140,110 @@ class TestPartitionedCatalog:
         (segs / "s2.warc.gz").write_bytes(
             W.build_wet([("u:2", "more text")]))
         assert ingest_warc_incremental(spark, str(segs), out, cat) == 1
+
+
+class TestBucketedFingerprintCatalog:
+    """r8: prefix-bucketed catalog layout — delta dedup reads only the
+    catalog partitions the batch's fingerprints touch."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_verdicts_match_unpruned_path(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            dedup_exact_incremental,
+            dedup_exact_incremental_pruned,
+            update_fingerprint_catalog_bucketed,
+        )
+        cat = str(tmp_path / "bcat")
+        hist = self._docs(spark, [(i, f"doc number {i}")
+                                  for i in range(50)])
+        update_fingerprint_catalog_bucketed(hist, cat)
+        # delta: 3 already-cataloged texts, 2 new, 1 in-batch dup pair
+        delta = self._docs(spark, [
+            (100, "doc number 1"), (101, "doc number 2"),
+            (102, "doc number 3"), (103, "brand new alpha"),
+            (104, "brand new beta"), (105, "brand new beta")])
+        got = sorted(r["doc_id"] for r in dedup_exact_incremental_pruned(
+            delta, cat).collect())
+        assert got == [103, 104]
+        # equivalence with the unpruned operator over the same catalog
+        from pyspark.sql import functions as F
+        flat = spark.read.parquet(cat).select("fingerprint")
+        want = sorted(r["doc_id"] for r in dedup_exact_incremental(
+            delta, flat).collect())
+        assert got == want
+
+    def test_partition_pruning_plan(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            dedup_exact_incremental_pruned,
+            update_fingerprint_catalog_bucketed,
+        )
+        cat = str(tmp_path / "bcat2")
+        hist = self._docs(spark, [(i, f"doc number {i}")
+                                  for i in range(200)])
+        update_fingerprint_catalog_bucketed(hist, cat)
+        delta = self._docs(spark, [(900, "doc number 7")])
+        out = dedup_exact_incremental_pruned(delta, cat)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "bucket" in plan.split("PartitionFilters:")[1][:200]
+        assert out.collect() == []   # the one delta doc is cataloged
+
+    def test_missing_catalog_bootstraps(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            dedup_exact_incremental_pruned,
+        )
+        delta = self._docs(spark, [(1, "a a"), (2, "a a"), (3, "b")])
+        got = sorted(r["doc_id"] for r in dedup_exact_incremental_pruned(
+            delta, str(tmp_path / "nope")).collect())
+        assert got == [1, 3]
+
+    def test_compaction_compatible(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            dedup_exact_incremental_pruned,
+            update_fingerprint_catalog_bucketed,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            compact_catalog,
+        )
+        cat = str(tmp_path / "bcat3")
+        for start in (0, 10, 20):   # three small appends
+            update_fingerprint_catalog_bucketed(
+                self._docs(spark, [(i, f"t {i}")
+                                   for i in range(start, start + 10)]),
+                cat)
+        before = sorted(r["doc_id"] for r in dedup_exact_incremental_pruned(
+            self._docs(spark, [(99, "t 5"), (98, "fresh")]),
+            cat).collect())
+        removed = compact_catalog(spark, cat,
+                                  preserve_partitions=True)
+        assert removed > 0
+        after = sorted(r["doc_id"] for r in dedup_exact_incremental_pruned(
+            self._docs(spark, [(99, "t 5"), (98, "fresh")]),
+            cat).collect())
+        assert before == after == [98]
+        # bucket dirs survive (no -1 fold), so pruning stays intact
+        import os
+        dirs = {d for d in os.listdir(cat) if d.startswith("bucket=")}
+        assert "bucket=-1" not in dirs and len(dirs) > 1
+
+    def test_default_compaction_fold_still_correct(self, spark,
+                                                   tmp_path):
+        """A default (fold-to--1) compaction of a bucketed catalog
+        must not lose verdicts: the pruned reader includes -1."""
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            dedup_exact_incremental_pruned,
+            update_fingerprint_catalog_bucketed,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            compact_catalog,
+        )
+        cat = str(tmp_path / "bcat4")
+        update_fingerprint_catalog_bucketed(
+            self._docs(spark, [(i, f"t {i}") for i in range(10)]), cat)
+        compact_catalog(spark, cat)   # folds into bucket=-1
+        got = sorted(r["doc_id"] for r in dedup_exact_incremental_pruned(
+            self._docs(spark, [(99, "t 5"), (98, "fresh")]),
+            cat).collect())
+        assert got == [98]

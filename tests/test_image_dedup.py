@@ -123,6 +123,97 @@ class TestPhashKernel:
             _n_bands(-1)
 
 
+class TestIncrementalAndStreaming:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(rows,
+                                     "media_id string, content binary")
+
+    def test_incremental_against_catalog(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.image_dedup import (
+            phash_dedup_incremental, update_phash_catalog,
+        )
+        from tests.test_operators import TestJpegDecode as TJ
+
+        png_a = _gray_png(32, 32, _scene_a())
+        jpg_a, _ = TJ._jpeg(32, 32, _scene_a(), qt=[1] * 64)
+        png_b = _gray_png(32, 32, _scene_b())
+        cat = str(tmp_path / "phash_cat")
+        batch1 = self._media(spark, [("m1", png_a)])
+        update_phash_catalog(batch1, cat)
+        catalog = spark.read.parquet(cat)
+        # batch 2: a JPEG re-encode of the cataloged image (drop), a
+        # genuinely new image (keep), an in-batch near-dup chain
+        # (min id survives), and a corrupt image (pass through)
+        batch2 = self._media(spark, [
+            ("m2", jpg_a),            # near-dup of cataloged m1
+            ("m3", png_b),            # new
+            ("m4", png_b),            # in-batch dup of m3 -> dropped
+            ("m5", b"\x89PNG\r\n\x1a\nbroken"),   # undecodable
+        ])
+        kept = sorted(r["media_id"] for r in phash_dedup_incremental(
+            batch2, catalog, max_hamming=6).collect())
+        assert kept == ["m3", "m5"]
+
+    def test_incremental_fake_mode(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from nifi_extracttext_processor_spark.operators.image_dedup import (
+            phash_dedup_incremental, update_phash_catalog,
+        )
+        mk = lambda rows: (spark.createDataFrame(
+            rows, "media_id string, text string")
+            .select("media_id",
+                    F.encode("text", "UTF-8").alias("content")))
+        cat = str(tmp_path / "cat_fake")
+        update_phash_catalog(mk([("a", "seen before")]), cat,
+                             fake=True)
+        catalog = spark.read.parquet(cat)
+        kept = sorted(r["media_id"] for r in phash_dedup_incremental(
+            mk([("b", "seen before"), ("c", "fresh"), ("d", "fresh")]),
+            catalog, max_hamming=0, fake=True).collect())
+        assert kept == ["c"]
+
+    def test_stream_dedup_matches_batch_semantics(self, spark,
+                                                  tmp_path):
+        """availableNow drain of stream_phash_dedup keeps the first
+        arrival per hash and passes undecodable rows through."""
+        import datetime as dt
+
+        from nifi_extracttext_processor_spark.operators.image_dedup import (
+            stream_phash_dedup,
+        )
+        src = tmp_path / "imgs"
+        src.mkdir()
+        png_a = _gray_png(32, 32, _scene_a())
+        png_b = _gray_png(32, 32, _scene_b())
+        rows = [("m1", png_a, dt.datetime(2026, 1, 1, 10, 0)),
+                ("m2", png_a, dt.datetime(2026, 1, 1, 10, 1)),  # dup
+                ("m3", png_b, dt.datetime(2026, 1, 1, 10, 2)),
+                ("m4", b"bad", dt.datetime(2026, 1, 1, 10, 3)),
+                ("m5", b"bad", dt.datetime(2026, 1, 1, 10, 4))]
+        spark.createDataFrame(
+            rows, "media_id string, content binary, ts timestamp"
+        ).write.parquet(str(src / "p"))
+        stream = (spark.readStream
+                  .schema("media_id string, content binary, "
+                          "ts timestamp")
+                  .parquet(str(src / "p")))
+        out = stream_phash_dedup(stream)
+        q = (out.writeStream.format("memory").queryName("phash_t")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(r["media_id"] for r in
+                     spark.sql("SELECT media_id FROM phash_t")
+                     .collect())
+        # exactly ONE of the m1/m2 pHash-dup pair survives (within a
+        # micro-batch the dedup operator picks an arbitrary member);
+        # both undecodables kept (unique err: keys — failures are
+        # not duplicates of each other)
+        assert len(got) == 4
+        assert len({"m1", "m2"} & set(got)) == 1
+        assert {"m3", "m4", "m5"} <= set(got)
+
+
 class TestFakeKernelParity:
     ROWS = [("d1", "merge group part scan"),
             ("d2", "merge group part scan"),      # exact dup

@@ -2142,6 +2142,91 @@ class TestGopherFlags:
         assert not r["passes"] and not r["ok_word_count"]
 
 
+class TestC4Clean:
+    """C4 cleanup battery (Raffel 2020 §2.2): line retention + page
+    flags, DuckDB parity."""
+
+    ROWS = [
+        (1, "This is a good sentence with enough words here.\n"
+            "short line\n"
+            "Another proper sentence that also has enough words.\n"
+            "Uses javascript for menus and other dynamic things.\n"
+            "A third full sentence completes the page nicely today."),
+        (2, "Lorem ipsum dolor sit amet something something here.\n"
+            "Good sentence with plenty of words to pass the filter."),
+        (3, "function() { return 1; } is code heavy content.\n"
+            "A good sentence with plenty of words to pass easily.\n"
+            "Another good sentence with plenty of words passes too.\n"
+            "A third proper sentence rounds out this page as well."),
+        (4, "no terminal punctuation here at all"),
+        (5, None),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS,
+                                     "doc_id long, text string")
+
+    def test_line_retention_and_page_flags(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            c4_clean,
+        )
+        out = {r["doc_id"]: r for r in c4_clean(self._df(spark)).collect()}
+        # doc 1: short line + javascript line dropped, 3 kept -> passes
+        assert out[1]["n_kept_lines"] == 3
+        assert out[1]["n_sentences"] == 3 and out[1]["passes"]
+        assert "javascript" not in out[1]["clean_text"]
+        assert "short line" not in out[1]["clean_text"]
+        # doc 2: lorem ipsum page flag kills it
+        assert out[2]["has_lorem"] and not out[2]["passes"]
+        # doc 3: '{' page flag kills it despite enough sentences
+        assert out[3]["has_brace"] and not out[3]["passes"]
+        assert out[3]["n_sentences"] >= 3
+        # doc 4/5: nothing kept, never passes, never crashes
+        assert out[4]["clean_text"] == "" and not out[4]["passes"]
+        assert out[5]["clean_text"] == "" and not out[5]["passes"]
+
+    def test_badword_flag(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            c4_clean,
+        )
+        df = spark.createDataFrame(
+            [(1, "This page mentions porn somewhere in the text body."),
+             (2, "This page is perfectly clean and rather wholesome.")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["has_badword"]
+               for r in c4_clean(df).collect()}
+        assert out[1] and not out[2]
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            c4_clean, c4_clean_sql,
+        )
+        df = self._df(spark)
+        cols = ["clean_text", "n_kept_lines", "n_sentences",
+                "has_lorem", "has_brace", "has_badword", "passes"]
+        got = sorted(tuple(r[c] for c in ["doc_id"] + cols)
+                     for r in c4_clean(df).collect())
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        sel = ", ".join(f"{v} AS {k}"
+                        for k, v in c4_clean_sql("text").items())
+        want = sorted(tuple(r) for r in con.execute(
+            f"SELECT doc_id, {sel} FROM t").fetchall())
+        assert got == want
+
+    def test_no_udf_no_shuffle(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            c4_clean,
+        )
+        plan = c4_clean(self._df(spark))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
+
+
 class TestAsofJoin:
     """Point-in-time as-of join: union + keyed forward-fill (one
     shuffle, no range-join candidate blow-up)."""
