@@ -2007,6 +2007,31 @@ def q_pca_reduce(spark, sf):
                       .alias("pc2"))
 
 
+# ---- extension (r8): product quantization (operators/quantization
+# .py — Jégou 2011 IVF-PQ storage path). Below-window; the driver row
+# uses DETERMINISTIC literal codebooks (grid centroids over the
+# embedding value range) so the SAME codebooks appear in the Spark
+# plan and the SQL twin — encode argmin + ADC fold replay value-
+# exactly; the kmeans training itself is pytest-covered (independent
+# numpy golden + literal≡arrow equivalence) ----
+
+from nifi_extracttext_processor_spark.operators import quantization as pqz  # noqa: E402
+
+_PQ_BOOKS = [
+    [[round(-0.5 + 0.14 * c + 0.003 * t + 0.01 * j, 6)
+      for t in range(16)]
+     for c in range(8)]
+    for j in range(4)]
+_PQ_QUERY = [round(0.02 * (t % 7) - 0.05, 6) for t in range(64)]
+
+
+@_q("pq_topk", pqz.pq_topk_sql(_PQ_BOOKS, _PQ_QUERY, k=15))
+def q_pq_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    codes = pqz.pq_encode(e, _PQ_BOOKS, encode="literal")
+    return pqz.pq_topk(codes, _PQ_BOOKS, _PQ_QUERY, k=15)
+
+
 # ---- extension (r8): C4 cleanup battery (Raffel 2020 §2.2 — the
 # line-level published rules Gopher's flags do not cover).
 # Below-window, DuckDB parity ----

@@ -1,0 +1,265 @@
+"""Product quantization (PQ — Jégou, Douze & Schmid 2011, "Product
+Quantization for Nearest Neighbor Search", TPAMI): compress each
+d-dim embedding into m sub-space codebook ids (m bytes at k ≤ 256)
+and answer top-k by Asymmetric Distance Computation (ADC) — the
+faiss-style IVF-PQ storage layout that makes 100 TB-scale vector
+search affordable: a 64-dim float32 vector (256 B) becomes an 8-byte
+code, so the index that had to stream 100 TB streams ~3 TB.
+
+Spark-first shape:
+- train: the d dims split into m contiguous sub-spaces; each runs the
+  existing deterministic Lloyd fit (operators/clustering.kmeans_fit)
+  on its slice — m small k-means problems, reusing the house
+  literal/arrow assignment dispatcher and its oracle story.
+- encode: per-subspace argmin over k centroids. Catalyst literal
+  expressions when m·k·dsub is small (oracle-replayable in DuckDB,
+  same first-min convention as clustering._assign), an Arrow numpy
+  kernel above the threshold (equivalence-tested) — the exact
+  dispatcher pattern of clustering._assign.
+- search (ADC): the query precomputes an m×k lookup table of
+  sub-distances on the driver (m·k doubles — tiny), broadcast as a
+  LITERAL array-of-arrays; each row's distance is a k-free fold
+  sum_j lut[j][code_j] — pure Catalyst, zero UDF, and the only wide
+  data touched are the m-byte codes. Global top-k is TakeOrdered.
+
+Everything deterministic: ties break first-min / lowest id, and the
+DuckDB twins replay codes and ADC distances exactly (round-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# literal-plan ceiling, same spirit as clustering's 32k expression
+# terms: m*k*dsub beyond this flips encode to the Arrow kernel
+_LITERAL_TERM_CEILING = 1 << 15
+
+
+def _check_dims(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    return dim // m
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    sample_fraction: float | None = None,
+    seed: int = 13,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: codebooks[j][c] is the c-th centroid of
+    sub-space j (dsub floats). m deterministic kmeans_fit runs over
+    sliced sub-vectors; `sample_fraction` is the 100 TB pattern (fit
+    on a Bernoulli sample, encode the full corpus)."""
+    from .clustering import kmeans_fit
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    dsub = _check_dims(int(first["d"]), m)
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    j * dsub + 1, dsub).alias("sub"))
+        books.append(kmeans_fit(sub, id_col=id_col, vec_col="sub",
+                                k=k, iters=iters,
+                                sample_fraction=sample_fraction,
+                                seed=seed))
+    return books
+
+
+def _resolve_encode(encode: str, m: int, k: int, dsub: int) -> str:
+    if encode in ("literal", "arrow"):
+        return encode
+    if encode != "auto":
+        raise ValueError(f"unknown encode method {encode!r}")
+    # the literal argmin's WHEN-chain re-nests earlier distances, so
+    # its plan grows ~ m*k^2*dsub — budget that, not m*k*dsub
+    return ("literal" if m * k * k * dsub <= _LITERAL_TERM_CEILING
+            else "arrow")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+    encode: str = "auto",
+) -> DataFrame:
+    """(id_col, out_col array<int>): per-subspace argmin centroid id
+    (first-min tie-break). Literal path = pure Catalyst (DuckDB
+    twin); Arrow path = one numpy argmin per batch, O(1) plan size."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    method = _resolve_encode(encode, m, k, dsub)
+    v = df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    if method == "arrow":
+        return _pq_encode_arrow(v, codebooks, id_col, out_col)
+    subcodes = []
+    for j in range(m):
+        dists = []
+        for c in range(k):
+            terms = [
+                (F.element_at("v", j * dsub + t + 1)
+                 - F.lit(float(codebooks[j][c][t]))) ** 2
+                for t in range(dsub)]
+            dists.append(sum(terms[1:], terms[0]))
+        best = F.lit(0)
+        bestd = dists[0]
+        for c in range(1, k):
+            cond = dists[c] < bestd
+            best = F.when(cond, F.lit(c)).otherwise(best)
+            bestd = F.when(cond, dists[c]).otherwise(bestd)
+        subcodes.append(best)
+    return v.select(id_col, F.array(*subcodes).alias(out_col))
+
+
+def _pq_encode_arrow(v, codebooks, id_col, out_col):
+    import pandas as pd
+
+    sc = v.sparkSession.sparkContext
+    bc = sc.broadcast([[list(map(float, c)) for c in book]
+                       for book in codebooks])
+    schema = (f"`{id_col}` "
+              f"{v.schema[id_col].dataType.simpleString()}, "
+              f"{out_col} array<int>")
+
+    def run(batches):
+        import numpy as np
+        books = np.asarray(bc.value)          # (m, k, dsub)
+        m, k, dsub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], out_col: []})
+                continue
+            x = np.stack(pdf["v"].to_numpy())  # (n, d)
+            xs = x.reshape(len(pdf), m, dsub)  # (n, m, dsub)
+            # (n, m, k): squared distance per subspace/centroid
+            d2 = ((xs[:, :, None, :] - books[None, :, :, :]) ** 2
+                  ).sum(axis=3)
+            codes = d2.argmin(axis=2)          # first-min, like np
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                out_col: [[int(c) for c in row] for row in codes]})
+
+    return v.mapInPandas(run, schema)
+
+
+def _adc_lut(codebooks, query_vec) -> list[list[float]]:
+    """m×k table: squared distance between each query sub-vector and
+    each centroid, round-6 so Spark and DuckDB agree bit-for-bit."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != m*dsub {m * dsub}")
+    lut = []
+    for j in range(m):
+        q = query_vec[j * dsub:(j + 1) * dsub]
+        lut.append([
+            round(sum((float(qt) - float(ct)) ** 2
+                      for qt, ct in zip(q, c)), 6)
+            for c in codebooks[j]])
+    return lut
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ADC top-k over encoded vectors: (id_col, adc_dist) ascending,
+    ties on id. The LUT is an m×k literal; the per-row work is m
+    array lookups + a sum — no vectors anywhere."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lut = _adc_lut(codebooks, query_vec)
+    lut_col = F.array(*[F.array(*[F.lit(x) for x in row])
+                        for row in lut])
+    m = len(lut)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.element_at(lut_col, j + 1),
+            F.element_at(F.col(codes_col), j + 1) + 1))
+    return (codes_df
+            .select(id_col, F.round(dist, 6).alias("adc_dist"))
+            .orderBy(F.asc("adc_dist"), F.asc(id_col))
+            .limit(k))
+
+
+def pq_codes_sql(
+    codebooks: list[list[list[float]]],
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of pq_encode(literal): same slicing, same squared
+    distances, same first-min argmin."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    # parenthesized: `x::DOUBLE[][1]` would parse the [1] as part of
+    # the TYPE (array-of-array cast), not as list indexing
+    v = f"({vec_col}::DOUBLE[])"
+    cols = []
+    for j in range(m):
+        dists = []
+        for c in range(k):
+            terms = " + ".join(
+                f"({v}[{j * dsub + t + 1}] - "
+                f"({float(codebooks[j][c][t])!r}))"
+                f" * ({v}[{j * dsub + t + 1}] - "
+                f"({float(codebooks[j][c][t])!r}))"
+                for t in range(dsub))
+            dists.append(f"({terms})")
+        expr = "0"
+        bestd = dists[0]
+        for c in range(1, k):
+            cond = f"({dists[c]}) < ({bestd})"
+            expr = f"CASE WHEN {cond} THEN {c} ELSE {expr} END"
+            bestd = f"CASE WHEN {cond} THEN {dists[c]} ELSE {bestd} END"
+        cols.append(expr)
+    codes = "[" + ", ".join(cols) + "]"
+    return f"SELECT {id_col}, {codes} AS codes FROM {table}"
+
+
+def pq_topk_sql(
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of pq_encode + pq_topk (codes computed inline from
+    the raw table, the same literal LUT fold, same rounding/ties)."""
+    lut = _adc_lut(codebooks, query_vec)
+    m = len(lut)
+    lut_lit = ("([" + ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in lut
+    ) + "]::DOUBLE[][])")
+    return f"""
+WITH codes_t AS ({pq_codes_sql(codebooks, table, id_col, vec_col)})
+SELECT {id_col},
+       round(list_sum(list_transform(range({m}),
+             j -> ({lut_lit})[j + 1][codes[j + 1] + 1])), 6)
+         AS adc_dist
+FROM codes_t
+ORDER BY adc_dist ASC, {id_col} ASC
+LIMIT {k}
+"""

@@ -1,0 +1,140 @@
+"""Product quantization (operators/quantization.py): encode goldens
+vs an independent numpy argmin, literal≡arrow equivalence, ADC recall
+against brute force, and DuckDB parity of codes + top-k.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.quantization import (
+    _adc_lut,
+    pq_codes_sql,
+    pq_encode,
+    pq_topk,
+    pq_topk_sql,
+    pq_train,
+)
+
+
+def _vecs(spark, n=60, dim=16, n_clusters=4):
+    """Clustered synthetic embeddings: cluster c centers at c*10 on
+    every dim, plus a small deterministic wiggle."""
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        rows.append((i, [float(c * 10 + ((i * 7 + j * 3) % 5) / 10.0)
+                         for j in range(dim)]))
+    return spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<double>")
+
+
+class TestPqEncode:
+    def test_matches_independent_numpy(self, spark):
+        import numpy as np
+        df = _vecs(spark)
+        books = pq_train(df, m=4, k=4, iters=2)
+        got = {r["vec_id"]: list(r["codes"]) for r in
+               pq_encode(df, books, encode="literal").collect()}
+        b = np.asarray(books)            # (m, k, dsub)
+        for row in df.collect():
+            x = np.asarray(row["embedding"]).reshape(4, -1)
+            want = list(((x[:, None, :] - b) ** 2).sum(2).argmin(1))
+            assert got[row["vec_id"]] == [int(w) for w in want], \
+                row["vec_id"]
+
+    def test_literal_equals_arrow(self, spark):
+        df = _vecs(spark)
+        books = pq_train(df, m=4, k=4)
+        lit = sorted((r["vec_id"], tuple(r["codes"])) for r in
+                     pq_encode(df, books, encode="literal").collect())
+        arw = sorted((r["vec_id"], tuple(r["codes"])) for r in
+                     pq_encode(df, books, encode="arrow").collect())
+        assert lit == arw
+
+    def test_auto_dispatch_and_bad_args(self, spark):
+        from nifi_extracttext_processor_spark.operators.quantization import (
+            _resolve_encode,
+        )
+        assert _resolve_encode("auto", 8, 16, 8) == "literal"
+        assert _resolve_encode("auto", 8, 256, 8) == "arrow"
+        with pytest.raises(ValueError):
+            _resolve_encode("banana", 1, 1, 1)
+        df = _vecs(spark, dim=10)
+        with pytest.raises(ValueError, match="divisible"):
+            pq_train(df, m=4)
+
+
+class TestPqSearch:
+    def test_adc_top1_recall_on_clustered_data(self, spark):
+        """On well-separated clusters PQ must rank a same-cluster
+        vector first for every probe."""
+        df = _vecs(spark, n=80, dim=16, n_clusters=4)
+        books = pq_train(df, m=4, k=8, iters=3)
+        codes = pq_encode(df, books)
+        probes = {r["vec_id"]: r["embedding"]
+                  for r in df.filter("vec_id < 4").collect()}
+        for qid, q in probes.items():
+            top = pq_topk(codes, books, q, k=3).collect()
+            # the probe itself is in the corpus: distance 0-ish first
+            assert top[0]["vec_id"] % 4 == qid % 4
+            assert top[0]["adc_dist"] <= top[-1]["adc_dist"]
+
+    def test_compression_vs_exact_distance(self, spark):
+        """ADC distance approximates the true squared distance —
+        within the quantization error bound on this data."""
+        import numpy as np
+        df = _vecs(spark, n=40, dim=16)
+        books = pq_train(df, m=8, k=8, iters=3)
+        codes = pq_encode(df, books)
+        q = [5.0] * 16
+        adc = {r["vec_id"]: r["adc_dist"] for r in
+               pq_topk(codes, books, q, k=40).collect()}
+        for row in df.collect():
+            true = float(np.sum((np.asarray(row["embedding"])
+                                 - np.asarray(q)) ** 2))
+            assert adc[row["vec_id"]] == pytest.approx(true, rel=0.3,
+                                                       abs=20.0)
+
+    def test_bad_query_dim(self, spark):
+        df = _vecs(spark)
+        books = pq_train(df, m=4, k=4)
+        with pytest.raises(ValueError, match="query dim"):
+            _adc_lut(books, [1.0] * 7)
+        with pytest.raises(ValueError):
+            pq_topk(pq_encode(df, books), books, [0.0] * 16, k=0)
+
+
+class TestPqParity:
+    def test_codes_and_topk_match_duckdb(self, spark):
+        import duckdb
+        df = _vecs(spark, n=50, dim=16)
+        books = pq_train(df, m=4, k=4, iters=2)
+        con = duckdb.connect()
+        con.register("embeddings", df.toPandas())
+        got_codes = sorted((r["vec_id"], tuple(r["codes"])) for r in
+                           pq_encode(df, books,
+                                     encode="literal").collect())
+        want_codes = sorted((r[0], tuple(r[1])) for r in con.execute(
+            pq_codes_sql(books)).fetchall())
+        assert got_codes == want_codes
+        q = [3.0] * 16
+        got = [(r["vec_id"], r["adc_dist"]) for r in
+               pq_topk(pq_encode(df, books, encode="literal"),
+                       books, q, k=7).collect()]
+        want = [tuple(r) for r in con.execute(
+            pq_topk_sql(books, q, k=7)).fetchall()]
+        assert got == want
+
+
+class TestPqPlanShape:
+    def test_zero_udf_takeordered(self, spark):
+        df = _vecs(spark)
+        books = pq_train(df, m=4, k=4)
+        plan = pq_topk(pq_encode(df, books, encode="literal"),
+                       books, [0.0] * 16, k=5)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan.replace("TakeOrdered", "")
