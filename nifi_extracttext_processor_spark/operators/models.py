@@ -219,6 +219,41 @@ def load_kmeans(spark: SparkSession, path: str) -> list[list[float]]:
 
 
 # ---------------------------------------------------------------------------
+# PQ codebooks — quantization.pq_train
+# ---------------------------------------------------------------------------
+
+def save_pq(
+    spark: SparkSession, path: str,
+    codebooks: list[list[list[float]]],
+) -> None:
+    if not codebooks or not codebooks[0]:
+        raise ValueError("empty PQ codebooks")
+    rows = [(j, c, [float(x) for x in codebooks[j][c]])
+            for j in range(len(codebooks))
+            for c in range(len(codebooks[0]))]
+    (spark.createDataFrame(rows, "j int, c int, centroid array<double>")
+     .write.mode("overwrite").parquet(path.rstrip("/") + "/codebooks"))
+    _write_manifest(spark, path, "pq",
+                    {"m": len(codebooks), "k": len(codebooks[0]),
+                     "dsub": len(codebooks[0][0])})
+
+
+def load_pq(spark: SparkSession, path: str) -> list[list[list[float]]]:
+    """codebooks[j][c] — drop-in for quantization.pq_encode /
+    pq_topk / build_ivfpq_index."""
+    cfg = _read_manifest(spark, path, "pq")
+    rows = (spark.read.parquet(path.rstrip("/") + "/codebooks")
+            .orderBy("j", "c").collect())
+    m, k = int(cfg["m"]), int(cfg["k"])
+    books: list[list] = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r["j"]][r["c"]] = list(r["centroid"])
+    if any(c is None for book in books for c in book):
+        raise ValueError(f"incomplete PQ codebooks at {path}")
+    return books
+
+
+# ---------------------------------------------------------------------------
 # language profiles — text_analysis.train_lang_profiles
 # ---------------------------------------------------------------------------
 

@@ -93,18 +93,22 @@ def pq_encode(
     vec_col: str = "embedding",
     out_col: str = "codes",
     encode: str = "auto",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """(id_col, out_col array<int>): per-subspace argmin centroid id
-    (first-min tie-break). Literal path = pure Catalyst (DuckDB
-    twin); Arrow path = one numpy argmin per batch, O(1) plan size."""
+    """(id_col, *keep_cols, out_col array<int>): per-subspace argmin
+    centroid id (first-min tie-break). Literal path = pure Catalyst
+    (DuckDB twin); Arrow path = one numpy argmin per batch, O(1) plan
+    size. `keep_cols` ride along so composers (build_ivfpq_index's
+    cell column) don't need a join-back."""
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
     method = _resolve_encode(encode, m, k, dsub)
-    v = df.select(F.col(id_col),
+    v = df.select(F.col(id_col), *keep_cols,
                   F.col(vec_col).cast("array<double>").alias("v"))
     if method == "arrow":
-        return _pq_encode_arrow(v, codebooks, id_col, out_col)
+        return _pq_encode_arrow(v, codebooks, id_col, out_col,
+                                keep_cols)
     subcodes = []
     for j in range(m):
         dists = []
@@ -121,18 +125,20 @@ def pq_encode(
             best = F.when(cond, F.lit(c)).otherwise(best)
             bestd = F.when(cond, dists[c]).otherwise(bestd)
         subcodes.append(best)
-    return v.select(id_col, F.array(*subcodes).alias(out_col))
+    return v.select(id_col, *keep_cols,
+                    F.array(*subcodes).alias(out_col))
 
 
-def _pq_encode_arrow(v, codebooks, id_col, out_col):
+def _pq_encode_arrow(v, codebooks, id_col, out_col, keep_cols=()):
     import pandas as pd
 
     sc = v.sparkSession.sparkContext
     bc = sc.broadcast([[list(map(float, c)) for c in book]
                        for book in codebooks])
-    schema = (f"`{id_col}` "
-              f"{v.schema[id_col].dataType.simpleString()}, "
-              f"{out_col} array<int>")
+    passthrough = [id_col, *keep_cols]
+    schema = (", ".join(
+        f"`{c}` {v.schema[c].dataType.simpleString()}"
+        for c in passthrough) + f", {out_col} array<int>")
 
     def run(batches):
         import numpy as np
@@ -140,7 +146,8 @@ def _pq_encode_arrow(v, codebooks, id_col, out_col):
         m, k, dsub = books.shape
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({id_col: [], out_col: []})
+                yield pd.DataFrame(
+                    {**{c: [] for c in passthrough}, out_col: []})
                 continue
             x = np.stack(pdf["v"].to_numpy())  # (n, d)
             xs = x.reshape(len(pdf), m, dsub)  # (n, m, dsub)
@@ -148,9 +155,9 @@ def _pq_encode_arrow(v, codebooks, id_col, out_col):
             d2 = ((xs[:, :, None, :] - books[None, :, :, :]) ** 2
                   ).sum(axis=3)
             codes = d2.argmin(axis=2)          # first-min, like np
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                out_col: [[int(c) for c in row] for row in codes]})
+            out = pdf[passthrough].copy()
+            out[out_col] = [[int(c) for c in row] for row in codes]
+            yield out
 
     return v.mapInPandas(run, schema)
 
@@ -263,3 +270,114 @@ FROM codes_t
 ORDER BY adc_dist ASC, {id_col} ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells (partition pruning) + PQ codes (byte storage)
+# ---------------------------------------------------------------------------
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    cell_centroids: list[list[float]] | None = None,
+    mode: str = "overwrite",
+    encode: str = "auto",
+) -> None:
+    """The full faiss-shape index: vectors assign to a coarse cell
+    (similarity.build_ivf_index semantics — partition pruning at
+    query time) but each cell stores PQ CODES, not vectors — the
+    layout where a 100 TB corpus's index is both partition-pruned
+    AND ~32× smaller on disk/scan.
+
+    Layout under `path`:
+      data/       (id, codes array<int>) partitioned by cell
+      centroids/  coarse cell centroids (ci, c)
+      codebooks/  PQ codebooks (j, c, centroid array<double>)
+    """
+    from .clustering import _assign
+
+    if cell_centroids is not None:
+        if len(cell_centroids) != n_cells:
+            raise ValueError(
+                f"{len(cell_centroids)} centroids but n_cells="
+                f"{n_cells}")
+        cents = [list(map(float, c)) for c in cell_centroids]
+    else:
+        sample = (df.orderBy(F.col(id_col)).limit(n_cells)
+                  .select(F.col(vec_col).cast("array<double>")
+                          .alias("c"))
+                  .collect())
+        cents = [list(r["c"]) for r in sample]
+    v = df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = (_assign(v, cents, "auto")
+                .withColumnRenamed("cluster", "cell"))
+    codes = pq_encode(assigned.select(id_col, F.col("v"), "cell"),
+                      codebooks, id_col=id_col, vec_col="v",
+                      encode=encode, keep_cols=("cell",))
+    p = path.rstrip("/")
+    (codes.write.mode(mode).partitionBy("cell").parquet(p + "/data"))
+    spark = df.sparkSession
+    (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
+                           "ci int, c array<double>")
+     .coalesce(1).write.mode(mode).parquet(p + "/centroids"))
+    book_rows = [(j, c, list(map(float, codebooks[j][c])))
+                 for j in range(len(codebooks))
+                 for c in range(len(codebooks[0]))]
+    (spark.createDataFrame(book_rows,
+                           "j int, c int, centroid array<double>")
+     .coalesce(1).write.mode(mode).parquet(p + "/codebooks"))
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = (spark.read.parquet(path.rstrip("/") + "/codebooks")
+            .orderBy("j", "c").collect())
+    m = max(r["j"] for r in rows) + 1
+    k = max(r["c"] for r in rows) + 1
+    books = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r["j"]][r["c"]] = list(r["centroid"])
+    if any(c is None for book in books for c in book):
+        raise ValueError(f"incomplete PQ codebooks at {path}")
+    return books
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k over a build_ivfpq_index artifact: probe-cell
+    selection against the tiny centroid table with the SAME metric
+    the build's _assign used (round-6 cosine, first-max ties — a
+    euclidean probe against a cosine-assigned layout reads the wrong
+    cells), then a partition-pruned read of the nprobe matching cell
+    dirs, then the pq_topk LUT fold over codes. nprobe = n_cells
+    reproduces pq_topk over the full corpus exactly
+    (equivalence-tested)."""
+    import math
+
+    p = path.rstrip("/")
+    books = load_pq_codebooks(spark, p)
+    cents = {r["ci"]: list(r["c"])
+             for r in spark.read.parquet(p + "/centroids").collect()}
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    sims = []
+    for ci in sorted(cents):
+        cv = cents[ci]
+        cn = math.sqrt(sum(x * x for x in cv))
+        dot = sum(float(a) * b for a, b in zip(query_vec, cv))
+        s_ = round(dot / (qn * cn), 6) if qn > 0 and cn > 0 else 0.0
+        sims.append((-s_, ci))
+    sims.sort()
+    probe = [ci for _, ci in sims[:nprobe]]
+    codes = (spark.read.parquet(p + "/data")
+             .filter(F.col("cell").isin(probe)))
+    return pq_topk(codes, books, query_vec, k=k, id_col=id_col)

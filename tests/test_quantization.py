@@ -138,3 +138,68 @@ class TestPqPlanShape:
         assert "ArrowEvalPython" not in plan
         assert "TakeOrderedAndProject" in plan
         assert "Exchange" not in plan.replace("TakeOrdered", "")
+
+
+class TestIvfPq:
+    def test_nprobe_all_equals_flat_pq(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.quantization import (
+            build_ivfpq_index, ivfpq_topk_indexed, pq_encode,
+        )
+        df = _vecs(spark, n=60, dim=16, n_clusters=4)
+        books = pq_train(df, m=4, k=4, iters=2)
+        path = str(tmp_path / "ivfpq")
+        build_ivfpq_index(df, path, books, n_cells=4)
+        q = [12.0] * 16
+        flat = [(r["vec_id"], r["adc_dist"]) for r in
+                pq_topk(pq_encode(df, books), books, q, k=10).collect()]
+        idx = [(r["vec_id"], r["adc_dist"]) for r in
+               ivfpq_topk_indexed(spark, path, q, k=10,
+                                  nprobe=4).collect()]
+        assert idx == flat
+
+    def test_partition_pruning_and_small_probe(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.quantization import (
+            build_ivfpq_index, ivfpq_topk_indexed,
+        )
+        # DIRECTION-separated clusters (the coarse stage is cosine):
+        # cluster c has mass on dims [4c, 4c+4)
+        rows = []
+        for i in range(80):
+            c = i % 4
+            v = [0.05] * 16
+            for j in range(4 * c, 4 * c + 4):
+                v[j] = 1.0 + ((i * 7 + j) % 5) / 20.0
+            rows.append((i, v))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        books = pq_train(df, m=4, k=8, iters=3)
+        cents = [[1.0 if 4 * c <= j < 4 * c + 4 else 0.0
+                  for j in range(16)] for c in range(4)]
+        path = str(tmp_path / "ivfpq2")
+        build_ivfpq_index(df, path, books, n_cells=4,
+                          cell_centroids=cents)
+        q = [1.0 if 8 <= j < 12 else 0.02 for j in range(16)]  # c=2
+        out = ivfpq_topk_indexed(spark, path, q, k=5, nprobe=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "cell" in plan.split("PartitionFilters:")[1][:200]
+        rows = out.collect()
+        assert rows and all(r["vec_id"] % 4 == 2 for r in rows)
+
+    def test_codebooks_save_load_roundtrip(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.models import (
+            load_pq, save_pq,
+        )
+        df = _vecs(spark, n=40, dim=16)
+        books = pq_train(df, m=4, k=4)
+        path = str(tmp_path / "pqmodel")
+        save_pq(spark, path, books)
+        fresh = spark.newSession()
+        b2 = load_pq(fresh, path)
+        assert b2 == books
+        df2 = _vecs(fresh, n=40, dim=16)
+        a = sorted((r["vec_id"], tuple(r["codes"])) for r in
+                   pq_encode(df, books).collect())
+        b = sorted((r["vec_id"], tuple(r["codes"])) for r in
+                   pq_encode(df2, b2).collect())
+        assert a == b
