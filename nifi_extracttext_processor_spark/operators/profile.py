@@ -215,3 +215,83 @@ def check_expectations(
         failures or [],
         "column string, check string, expected string, observed string")
     return (not failures), fdf
+
+
+# ---------------------------------------------------------------------------
+# quantile profiles — distribution shape, not just range
+# ---------------------------------------------------------------------------
+
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float",
+                  "double", "decimal"}
+
+
+def profile_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    probs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-column quantiles in ONE scan: (column, prob, quantile).
+
+    Default = approx_percentile (Greenwald-Khanna sketch: mergeable,
+    single-pass, error bounded by 1/accuracy) — the only sane mode at
+    100 TB, same posture as the HLL distinct counts above. `exact=
+    True` switches to the interpolating exact percentile (sort-based
+    per column — test-scale only) whose semantics DuckDB's
+    quantile_cont replays exactly, so the oracle gate covers the
+    unpivot plumbing and the interpolation arithmetic."""
+    if not cols:
+        raise ValueError("no columns to profile")
+    dtypes = dict(df.dtypes)
+    bad = [c for c in cols
+           if c not in dtypes
+           or dtypes[c].split("(")[0] not in _NUMERIC_TYPES]
+    if bad:
+        raise ValueError(f"non-numeric or unknown columns {bad}")
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError("probs must be within [0, 1]")
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    fn = "percentile" if exact else "approx_percentile"
+    aggs = []
+    for c in cols:
+        args = f"`{c}`, array({', '.join(repr(float(p)) for p in probs)})"
+        if not exact:
+            args += f", {int(accuracy)}"
+        # approx_percentile over an integral column yields
+        # ARRAY<BIGINT>; cast so stack sees one type across columns
+        aggs.append(F.expr(f"{fn}({args})").cast("array<double>")
+                    .alias(f"__q_{c}"))
+    one = df.agg(*aggs)
+    stacked = one.select(F.expr(
+        "stack(" + str(len(cols)) + ", "
+        + ", ".join(f"'{c}', `__q_{c}`" for c in cols)
+        + ") AS (column, __qs)"))
+    return (stacked
+            .select("column",
+                    F.posexplode(F.arrays_zip(
+                        parr.alias("p"), F.col("__qs").alias("q"))))
+            .select("column",
+                    F.col("col.p").alias("prob"),
+                    F.round(F.col("col.q").cast("double"), 6)
+                    .alias("quantile"))
+            .orderBy("column", "prob"))
+
+
+def profile_quantiles_sql(
+    table: str,
+    cols: list[str],
+    probs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of profile_quantiles(exact=True): quantile_cont
+    interpolation matches Spark's exact percentile."""
+    selects = []
+    for c in cols:
+        for p in probs:
+            selects.append(
+                f"SELECT '{c}' AS column, "
+                f"CAST({float(p)!r} AS DOUBLE) AS prob, "
+                f"round(quantile_cont({c}, {float(p)!r}), 6) "
+                f"AS quantile FROM {table}")
+    return (" UNION ALL ".join(selects)
+            + ' ORDER BY "column", prob')

@@ -704,3 +704,59 @@ def stream_interval_join(
     return (l2.join(r2, cond, "inner")
             .select(*[l2[c] for c in left.columns],
                     *[r2[c] for c in right_cols]))
+
+
+def stream_image_dedup(
+    output_dir: str,
+    catalog_dir: str,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    fake: bool = False,
+):
+    """foreachBatch wiring of perceptual image dedup with hamming > 0
+    matching — the banded catalog join Structured Streaming's
+    dropDuplicates operator cannot express (stream_phash_dedup covers
+    the exact-hash case with bounded state; this covers near-dups,
+    cross-batch, with an append-only hash catalog instead of state).
+
+    Per micro-batch: phash_dedup_incremental against the persisted
+    catalog (band join on hashes only) → survivors land under
+    `output_dir` and their hashes under `catalog_dir`, BOTH
+    partitioned by batch=<id> in dynamic-partition-overwrite mode —
+    the stream_web_corpus crash-idempotency construction: an
+    at-least-once replay overwrites its own partition, and a replay
+    after the catalog committed dedups out against its own hashes.
+    Compact the catalog with sources.tables.compact_catalog (the
+    default fold — the batch partition is bookkeeping, not a pruning
+    key).
+
+    Returns the foreachBatch callable — attach with
+    ``read_document_stream(...).writeStream.foreachBatch(...)``."""
+    from ..operators.image_dedup import (
+        phash64_table, phash_dedup_incremental,
+    )
+    from ..sources.tables import read_catalog
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        catalog = read_catalog(spark, catalog_dir, ("phash",))
+        if catalog is None:   # first batch bootstraps; corrupt raises
+            catalog = spark.createDataFrame([], "phash string")
+        kept = phash_dedup_incremental(
+            batch_df, catalog, content_col=content_col,
+            id_col=id_col, max_hamming=max_hamming, fake=fake)
+        kept = kept.localCheckpoint(eager=True)
+        (kept.withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(output_dir))
+        (phash64_table(kept, content_col, id_col, out_col="phash",
+                       fake=fake)
+         .select("phash").filter(F.col("phash").isNotNull()).distinct()
+         .withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(catalog_dir))
+
+    return _batch

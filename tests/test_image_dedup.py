@@ -214,6 +214,37 @@ class TestIncrementalAndStreaming:
         assert {"m3", "m4", "m5"} <= set(got)
 
 
+class TestStreamImageDedup:
+    def test_cross_batch_near_dup_and_replay(self, spark, tmp_path):
+        """Two drains: a re-encode in batch 2 dedups against batch 1's
+        catalog; replaying batch 2 is idempotent (dynamic partition
+        overwrite)."""
+        from tests.test_operators import TestJpegDecode as TJ
+
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_image_dedup,
+        )
+        png_a = _gray_png(32, 32, _scene_a())
+        jpg_a, _ = TJ._jpeg(32, 32, _scene_a(), qt=[1] * 64)
+        png_b = _gray_png(32, 32, _scene_b())
+        out = str(tmp_path / "out")
+        cat = str(tmp_path / "cat")
+        fn = stream_image_dedup(out, cat)
+        b0 = spark.createDataFrame([("m1", png_a)],
+                                   "media_id string, content binary")
+        b1 = spark.createDataFrame([("m2", jpg_a), ("m3", png_b)],
+                                   "media_id string, content binary")
+        fn(b0, 0)
+        fn(b1, 1)
+        kept = sorted(r["media_id"] for r in
+                      spark.read.parquet(out).collect())
+        assert kept == ["m1", "m3"]   # m2 = re-encode of m1, dropped
+        fn(b1, 1)                     # at-least-once replay
+        kept2 = sorted(r["media_id"] for r in
+                       spark.read.parquet(out).collect())
+        assert kept2 == kept
+
+
 class TestFakeKernelParity:
     ROWS = [("d1", "merge group part scan"),
             ("d2", "merge group part scan"),      # exact dup

@@ -155,3 +155,68 @@ class TestExpectations:
         )
         with pytest.raises(ValueError):
             check_expectations(self._df(spark), {"id": {"nope": 1}})
+
+
+class TestQuantileProfile:
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+        return (spark.range(0, 101)
+                .select(F.col("id").cast("double").alias("x"),
+                        (F.col("id") * 2).cast("long").alias("y")))
+
+    def test_exact_quantiles_golden(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            profile_quantiles,
+        )
+        got = {(r["column"], r["prob"]): r["quantile"] for r in
+               profile_quantiles(self._df(spark), ["x", "y"],
+                                 probs=(0.0, 0.5, 1.0),
+                                 exact=True).collect()}
+        assert got[("x", 0.0)] == 0.0
+        assert got[("x", 0.5)] == 50.0
+        assert got[("x", 1.0)] == 100.0
+        assert got[("y", 0.5)] == 100.0
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.profile import (
+            profile_quantiles, profile_quantiles_sql,
+        )
+        df = self._df(spark)
+        got = [tuple(r) for r in
+               profile_quantiles(df, ["x", "y"], exact=True).collect()]
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        want = [tuple(r) for r in con.execute(
+            profile_quantiles_sql("t", ["x", "y"])).fetchall()]
+        assert got == want
+
+    def test_approx_single_scan_and_close(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            profile_quantiles,
+        )
+        df = self._df(spark)
+        out = profile_quantiles(df, ["x", "y"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # ONE aggregation pass over the input, no per-column jobs
+        assert plan.count("Scan") <= 2
+        assert "BatchEvalPython" not in plan
+        got = {(r["column"], r["prob"]): r["quantile"]
+               for r in out.collect()}
+        assert abs(got[("x", 0.5)] - 50.0) <= 1.0
+
+    def test_bad_args(self, spark):
+        import pytest as pt
+
+        from nifi_extracttext_processor_spark.operators.profile import (
+            profile_quantiles,
+        )
+        df = self._df(spark).withColumn(
+            "s", F.lit("str"))
+        with pt.raises(ValueError, match="non-numeric"):
+            profile_quantiles(df, ["s"])
+        with pt.raises(ValueError):
+            profile_quantiles(df, [])
+        with pt.raises(ValueError):
+            profile_quantiles(df, ["x"], probs=(1.5,))
