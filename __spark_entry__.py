@@ -2032,6 +2032,45 @@ def q_pq_topk(spark, sf):
     return pqz.pq_topk(codes, _PQ_BOOKS, _PQ_QUERY, k=15)
 
 
+# ---- extension (r8): Luhn-validated credit-card PII. Below-window;
+# seeded deterministic numbers (one Luhn-valid card, one checksum-
+# failing decoy that must be LEFT ALONE — the false-positive the
+# validation exists for) ----
+
+_CCN_EXPRS = ta.detect_credit_cards_sql("seeded")
+
+
+@_q("detect_ccn", f"""
+WITH seeded_t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' pay 4539 1488 0343 6467 now'
+                      WHEN doc_id % 3 = 1
+                      THEN ' order 1234 5678 9012 3456 shipped'
+                      ELSE '' END AS seeded
+  FROM documents
+)
+SELECT doc_id, {_CCN_EXPRS['n_ccn']} AS n_ccn,
+       {_CCN_EXPRS['has_ccn']} AS has_ccn,
+       md5({_CCN_EXPRS['ccn_scrubbed']}) AS scrubbed_md5
+FROM seeded_t
+""")
+def q_detect_ccn(spark, sf):
+    d = _t(spark, sf, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" pay 4539 1488 0343 6467 now"))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.lit(" order 1234 5678 9012 3456 shipped"))
+            .otherwise(F.lit(""))).alias("seeded"))
+    return (ta.detect_credit_cards(seeded, "seeded")
+            .select("doc_id", "n_ccn", "has_ccn",
+                    F.md5("ccn_scrubbed").alias("scrubbed_md5")))
+
+
 # ---- extension (r8): C4 cleanup battery (Raffel 2020 §2.2 — the
 # line-level published rules Gopher's flags do not cover).
 # Below-window, DuckDB parity ----

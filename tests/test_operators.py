@@ -5512,3 +5512,84 @@ class TestDecontaminateSemantic:
         import re
         for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
             assert "array" not in m.group(0)
+
+
+class TestCreditCardPii:
+    ROWS = [
+        (1, "pay with 4539 1488 0343 6467 thanks"),       # valid Visa
+        (2, "order 1234 5678 9012 3456 shipped"),         # fails Luhn
+        (3, "card 4539-1488-0343-6467 and 371449635398431"),  # 2 valid
+        (4, "no numbers at all"),
+        (5, None),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS,
+                                     "doc_id long, text string")
+
+    def test_luhn_gates_the_replacement(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            detect_credit_cards,
+        )
+        got = {r["doc_id"]: r for r in
+               detect_credit_cards(self._df(spark)).collect()}
+        assert got[1]["n_ccn"] == 1
+        assert got[1]["ccn_scrubbed"] == "pay with <CCN> thanks"
+        # the checksum-failing decoy is an order id — left alone
+        assert got[2]["n_ccn"] == 0
+        assert "1234 5678 9012 3456" in got[2]["ccn_scrubbed"]
+        assert got[3]["n_ccn"] == 2
+        assert got[3]["ccn_scrubbed"] == "card <CCN> and <CCN>"
+        assert got[5]["n_ccn"] == 0 and got[5]["ccn_scrubbed"] == ""
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            detect_credit_cards, detect_credit_cards_sql,
+        )
+        df = self._df(spark)
+        cols = ["n_ccn", "has_ccn", "ccn_scrubbed"]
+        got = sorted(tuple(r[c] for c in ["doc_id"] + cols)
+                     for r in detect_credit_cards(df).collect())
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        sel = ", ".join(
+            f"{v} AS {k}"
+            for k, v in detect_credit_cards_sql("text").items())
+        want = sorted(tuple(r) for r in con.execute(
+            f"SELECT doc_id, {sel} FROM t").fetchall())
+        assert got == want
+
+    def test_no_udf_no_shuffle(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            detect_credit_cards,
+        )
+        plan = detect_credit_cards(self._df(spark))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
+
+
+class TestCompressionRatio:
+    def test_signal_and_independent_golden(self, spark):
+        import zlib
+
+        from nifi_extracttext_processor_spark.operators.text_analysis import (
+            compression_ratio,
+        )
+        rows = [(1, "spam " * 200),
+                (2, "The committee reviewed the annual budget "
+                    "proposal carefully and officials replied."),
+                (3, ""), (4, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["zlib_ratio"]
+               for r in compression_ratio(df).collect()}
+        # repetitive text compresses far below prose
+        assert got[1] < 0.1 < got[2]
+        for k, t in [(1, rows[0][1]), (2, rows[1][1])]:
+            raw = t.encode("utf-8")
+            assert got[k] == round(len(zlib.compress(raw, 6))
+                                   / len(raw), 4)
+        assert got[3] is None and got[4] is None
