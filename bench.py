@@ -81,6 +81,11 @@ HEADLINE = [
                            # bounds); timed window INCLUDES the synth
                            # zip-pack stage (same Arrow map shape, so
                            # the ratio is stable round over round)
+    "image_phash_pairs",   # banded hamming join plumbing (fake md5
+                           # kernel — the join/popcount cost, not the
+                           # DCT, is the 100 TB-relevant part)
+    "dsir_weights",        # hashed-ngram models + broadcast-join
+                           # scoring (two aggs + one score pass)
 ]
 
 

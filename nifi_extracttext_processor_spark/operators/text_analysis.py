@@ -1513,42 +1513,3 @@ def detect_credit_cards_sql(
         "has_ccn": f"(len({valid}) > 0)",
         "ccn_scrubbed": scrub,
     }
-
-
-def compression_ratio(
-    df: DataFrame,
-    text_col: str = "text",
-    out_col: str = "zlib_ratio",
-    level: int = 6,
-) -> DataFrame:
-    """Per-document zlib compression ratio (compressed/uncompressed
-    UTF-8 bytes, round-4) — the repetition/templating tell the Gopher
-    and RedPajama-v2 quality-signal batteries use: machine-generated
-    and heavily repeated pages compress far below prose (~0.3-0.45
-    for English text; <0.2 is almost always boilerplate or spam).
-    Deterministic (zlib at a fixed level) but not SQL-expressible —
-    Arrow map-only kernel, pytest-locked against an independent
-    computation. Empty/NULL text gets NULL (no evidence)."""
-    import pandas as pd
-
-    fields = [f"`{f.name}` {f.dataType.simpleString()}"
-              for f in df.schema.fields]
-    schema = ", ".join(fields + [f"{out_col} double"])
-    lv = int(level)
-
-    def run(batches):
-        import zlib
-        for pdf in batches:
-            out = pdf.copy()
-            vals = []
-            for t in pdf[text_col]:
-                if t is None or len(t) == 0:
-                    vals.append(None)
-                    continue
-                raw = t.encode("utf-8")
-                vals.append(round(len(zlib.compress(raw, lv))
-                                  / len(raw), 4))
-            out[out_col] = pd.array(vals, dtype="Float64")
-            yield out
-
-    return df.mapInPandas(run, schema)

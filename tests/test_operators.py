@@ -5572,24 +5572,3 @@ class TestCreditCardPii:
         assert "Exchange" not in plan
 
 
-class TestCompressionRatio:
-    def test_signal_and_independent_golden(self, spark):
-        import zlib
-
-        from nifi_extracttext_processor_spark.operators.text_analysis import (
-            compression_ratio,
-        )
-        rows = [(1, "spam " * 200),
-                (2, "The committee reviewed the annual budget "
-                    "proposal carefully and officials replied."),
-                (3, ""), (4, None)]
-        df = spark.createDataFrame(rows, "doc_id long, text string")
-        got = {r["doc_id"]: r["zlib_ratio"]
-               for r in compression_ratio(df).collect()}
-        # repetitive text compresses far below prose
-        assert got[1] < 0.1 < got[2]
-        for k, t in [(1, rows[0][1]), (2, rows[1][1])]:
-            raw = t.encode("utf-8")
-            assert got[k] == round(len(zlib.compress(raw, 6))
-                                   / len(raw), 4)
-        assert got[3] is None and got[4] is None
