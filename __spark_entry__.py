@@ -2032,6 +2032,19 @@ def q_pq_topk(spark, sf):
     return pqz.pq_topk(codes, _PQ_BOOKS, _PQ_QUERY, k=15)
 
 
+# ---- extension (r8): per-column quantile profiles. Below-window;
+# exact mode (Spark's interpolating percentile ≡ DuckDB
+# quantile_cont); the approx sketch is the 100 TB path and is
+# pytest-bounded against this exact twin ----
+
+@_q("profile_quantiles_events",
+    prof.profile_quantiles_sql("events", ["value", "user_id"]))
+def q_profile_quantiles_events(spark, sf):
+    d = _t(spark, sf, "events")
+    return prof.profile_quantiles(d, ["value", "user_id"],
+                                  exact=True)
+
+
 # ---- extension (r8): Luhn-validated credit-card PII. Below-window;
 # seeded deterministic numbers (one Luhn-valid card, one checksum-
 # failing decoy that must be LEFT ALONE — the false-positive the

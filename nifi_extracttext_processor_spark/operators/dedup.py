@@ -966,3 +966,53 @@ def dedup_exact_incremental_pruned(
             .agg(F.min(id_col).alias(id_col))
             .select(id_col))
     return new_df.join(keep, id_col, "left_semi")
+
+
+def components_from_pairs(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an ARBITRARY pair table (id1, id2) —
+    the duplicate_clusters label-propagation loop generalized to any
+    edge source (pHash pairs, simhash pairs, embedding pairs) and any
+    orderable id type: cluster_id = min id reachable (strings use
+    lexicographic min). Same shape: per round one keyed join +
+    partial-agg min, localCheckpoint so the plan stays one round
+    deep; fixpoint = zero labels changed (a 1-row aggregate per
+    round, type-agnostic where the numeric label-sum trick is not)."""
+    import warnings
+
+    edges = pairs.select("id1", "id2").unionAll(
+        pairs.select(F.col("id2").alias("id1"),
+                     F.col("id1").alias("id2")))
+    edges = edges.localCheckpoint()
+    labels = ids.select(F.col(id_col).alias("id"),
+                        F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint()
+    converged = False
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["id2"] == labels["id"])
+               .groupBy("id1").agg(F.min("label").alias("nbr")))
+        stepped = (labels.join(nbr, labels["id"] == nbr["id1"], "left")
+                   .select(labels["id"],
+                           F.col("label").alias("__old"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nbr"),
+                                              F.col("label")))
+                           .alias("label"))
+                   .localCheckpoint())
+        changed = (stepped.filter(F.col("label") != F.col("__old"))
+                   .count())
+        labels = stepped.drop("__old")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"components_from_pairs: no fixpoint after max_iter="
+            f"{max_iter} rounds — raise max_iter for this edge set",
+            RuntimeWarning, stacklevel=2)
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("cluster_id"))

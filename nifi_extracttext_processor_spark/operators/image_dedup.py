@@ -402,3 +402,56 @@ cand AS (
 )
 SELECT id1, id2, hamming FROM scored WHERE hamming <= {max_hamming}
 """
+
+
+def phash_clusters(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    fake: bool = False,
+) -> DataFrame:
+    """Connected components over phash_pairs edges: (id_col,
+    cluster_id = min reachable id; undecodable images are singleton
+    clusters of themselves). Feed to keep-best selection the same way
+    the text family feeds duplicate_clusters."""
+    from .dedup import components_from_pairs
+
+    pairs = phash_pairs(df, content_col, id_col,
+                        max_hamming=max_hamming, fake=fake)
+    return components_from_pairs(df.select(id_col), pairs,
+                                 id_col=id_col)
+
+
+def keep_best_image_per_cluster(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    fake: bool = False,
+    prefer: str = "largest",
+) -> DataFrame:
+    """One representative per near-duplicate image cluster:
+    prefer='largest' keeps the highest-byte-count member (the
+    least-recompressed copy — the keep-best-quality convention),
+    ties/prefer='min_id' keep the lowest id. Returns the surviving
+    rows of `df`."""
+    if prefer not in ("largest", "min_id"):
+        raise ValueError(f"unknown prefer {prefer!r}")
+    clusters = phash_clusters(df, content_col, id_col,
+                              max_hamming=max_hamming, fake=fake)
+    joined = df.join(clusters, id_col)
+    if prefer == "largest":
+        ranked = joined.withColumn(
+            "__sz", F.length(F.col(content_col)))
+        from pyspark.sql import Window
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("__sz"), F.asc(id_col))
+        keep = (ranked.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(id_col))
+    else:
+        keep = (joined.groupBy("cluster_id")
+                .agg(F.min(id_col).alias(id_col))
+                .select(id_col))
+    return df.join(keep, id_col, "left_semi")

@@ -288,3 +288,49 @@ class TestFakeKernelParity:
             phash_pairs_sql(content_expr="coalesce(text, '')",
                             max_hamming=6)).fetchall())
         assert got == want
+
+
+class TestPhashClusters:
+    def test_components_and_keep_best(self, spark):
+        from tests.test_operators import TestJpegDecode as TJ
+
+        from nifi_extracttext_processor_spark.operators.image_dedup import (
+            keep_best_image_per_cluster, phash_clusters,
+        )
+        png_a = _gray_png(32, 32, _scene_a())
+        jpg_a, _ = TJ._jpeg(32, 32, _scene_a(), qt=[1] * 64)
+        png_b = _gray_png(32, 32, _scene_b())
+        df = spark.createDataFrame(
+            [("m1", png_a), ("m2", jpg_a), ("m3", png_b),
+             ("m4", b"broken not an image")],
+            "media_id string, content binary")
+        cl = {r["media_id"]: r["cluster_id"]
+              for r in phash_clusters(df, max_hamming=6).collect()}
+        assert cl["m1"] == cl["m2"] == "m1"     # re-encode pair
+        assert cl["m3"] == "m3" and cl["m4"] == "m4"  # singletons
+        # keep-best (largest bytes) keeps ONE of the m1/m2 pair,
+        # specifically the bigger file, plus both singletons
+        sizes = {"m1": len(png_a), "m2": len(jpg_a)}
+        expect_kept = max(sizes, key=lambda k: (sizes[k], k))
+        kept = sorted(r["media_id"] for r in
+                      keep_best_image_per_cluster(df).collect())
+        assert kept == sorted([expect_kept, "m3", "m4"])
+        # min_id mode is deterministic on ids
+        kept2 = sorted(r["media_id"] for r in
+                       keep_best_image_per_cluster(
+                           df, prefer="min_id").collect())
+        assert kept2 == ["m1", "m3", "m4"]
+
+    def test_components_string_ids_chain(self, spark):
+        """A chain a~b, b~c must collapse to one component even when
+        no direct a~c pair exists (and ids are strings)."""
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            components_from_pairs,
+        )
+        ids = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("z",)], "doc_id string")
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "id1 string, id2 string")
+        got = {r["doc_id"]: r["cluster_id"] for r in
+               components_from_pairs(ids, pairs).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
