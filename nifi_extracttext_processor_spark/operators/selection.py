@@ -85,10 +85,16 @@ def fit_hash_ngram_model(
 ) -> DataFrame:
     """Bucket-count model: (bucket, cnt) over the corpus' hashed
     unigrams+bigrams — one map-side-combinable aggregation. The
-    result is ≤ n_buckets rows (broadcastable by construction)."""
+    result is ≤ n_buckets rows (broadcastable by construction).
+    Input is _spread first: n-gram hashing cost tracks rows, not
+    bytes, so a single-file local input must fan out (SURVEY §4
+    'Parallelism'; at scale the scan is already wide and _spread is
+    a no-op)."""
+    from .dedup import _spread
+
     src = df if sample_fraction is None else \
         df.sample(fraction=sample_fraction, seed=seed)
-    return (src.select(F.explode(
+    return (_spread(src).select(F.explode(
         _ngram_buckets(text_col, n_buckets, md5)).alias("bucket"))
         .groupBy("bucket").agg(F.count("*").alias("cnt")))
 
@@ -109,7 +115,9 @@ def dsir_logweights(
     t_tot = target_model.agg(
         F.sum("cnt").cast("double").alias("__tt"))
     r_tot = raw_model.agg(F.sum("cnt").cast("double").alias("__rt"))
-    exploded = raw.select(
+    from .dedup import _spread
+
+    exploded = _spread(raw).select(
         F.col(id_col),
         F.explode_outer(_ngram_buckets(text_col, n_buckets, md5))
         .alias("bucket"))
