@@ -299,12 +299,17 @@ def semantic_dedup(
         round-6 threshold boundary (numpy pairwise summation vs
         fold-left; equivalence-tested on the repo fixtures).
 
+    The input is _spread once up front (assignment/cosine cost tracks
+    rows, not file bytes; no-op on wide scans).
+
     `assign` picks the cluster-assignment kernel (module docstring) —
     at SemDeDup-prescribed k (~n/100) pair "gemm" with the automatic
     Arrow assignment: the whole pipeline is then one broadcast matmul
     projection plus one vectors-move-once shuffle."""
     if method not in ("exact", "gemm"):
         raise ValueError(f"unknown semantic_dedup method {method!r}")
+    from .dedup import _spread
+    df = _spread(df)
     cents = centroids if centroids is not None else kmeans_fit(
         df, id_col, vec_col, k, iters, assign=assign)
     v = df.select(F.col(id_col).alias("_id"),

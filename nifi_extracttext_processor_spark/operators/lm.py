@@ -131,7 +131,13 @@ def char_lm_self_score(
     """Train on the corpus and score every document against it — the
     outlier-detection usage (high nll = text unlike the corpus:
     boilerplate, foreign-language, mojibake). One pass composition of
-    train_char_lm + lm_score."""
+    train_char_lm + lm_score. The input is _spread once up front:
+    char-n-gram cost tracks rows, not file bytes, so a single-file
+    local input must fan out before the explodes (no-op on wide
+    scans)."""
+    from .dedup import _spread
+
+    df = _spread(df)
     counts, ctx, vocab = train_char_lm(df, text_col, n=n, top_k=top_k)
     return lm_score(df, counts, ctx, vocab, id_col=id_col,
                     text_col=text_col, n=n, k=k)
