@@ -300,7 +300,14 @@ def semantic_dedup(
         fold-left; equivalence-tested on the repo fixtures).
 
     The input is _spread once up front (assignment/cosine cost tracks
-    rows, not file bytes; no-op on wide scans).
+    rows, not file bytes; no-op on wide scans). When a spread actually
+    happens (tiny single-file input) the result is persisted via the
+    lifecycle tracker: kmeans_fit traverses the input once per
+    iteration, and separate DataFrame actions do NOT reuse exchange
+    output, so an unpersisted spread re-pays its shuffle per
+    traversal (measured: the k=256 arrow bench regressed 3.2 s ->
+    4.7 s at sf0.1 from exactly that). At scale _spread is a no-op
+    and nothing is cached.
 
     `assign` picks the cluster-assignment kernel (module docstring) —
     at SemDeDup-prescribed k (~n/100) pair "gemm" with the automatic
@@ -309,7 +316,11 @@ def semantic_dedup(
     if method not in ("exact", "gemm"):
         raise ValueError(f"unknown semantic_dedup method {method!r}")
     from .dedup import _spread
-    df = _spread(df)
+    from .lifecycle import track_persist
+    spread = _spread(df)
+    if spread is not df:
+        spread = track_persist(spread)
+    df = spread
     cents = centroids if centroids is not None else kmeans_fit(
         df, id_col, vec_col, k, iters, assign=assign)
     v = df.select(F.col(id_col).alias("_id"),

@@ -134,10 +134,16 @@ def char_lm_self_score(
     train_char_lm + lm_score. The input is _spread once up front:
     char-n-gram cost tracks rows, not file bytes, so a single-file
     local input must fan out before the explodes (no-op on wide
-    scans)."""
+    scans). A spread that actually happened is persisted (lifecycle-
+    tracked): train + score are two separate traversals and exchange
+    output is not reused across actions."""
     from .dedup import _spread
+    from .lifecycle import track_persist
 
-    df = _spread(df)
+    spread = _spread(df)
+    if spread is not df:
+        spread = track_persist(spread)
+    df = spread
     counts, ctx, vocab = train_char_lm(df, text_col, n=n, top_k=top_k)
     return lm_score(df, counts, ctx, vocab, id_col=id_col,
                     text_col=text_col, n=n, k=k)
