@@ -2125,6 +2125,40 @@ def q_dsir_weights(spark, sf):
     return dsel.dsir_logweights(d, tm, rm, n_buckets=4096, md5=True)
 
 
+# ---- extension (r8): string similarity joins (operators/fuzzy_join
+# .py — Chaudhuri 2006 / Bayardo 2007 / Xiao 2008 filter-verify).
+# Below-window, DuckDB parity: the signature stage is LOSSLESS, so
+# the blocked Spark join equals the quadratic all-pairs twin exactly
+# — that equality is the correctness argument for the filter. The
+# fuzzy key = the first 24/60 chars of text (documents has no short
+# name column; the derived prefix behaves like one) ----
+
+from nifi_extracttext_processor_spark.operators import fuzzy_join as fzj  # noqa: E402
+
+
+@_q("fuzzy_edit_join", fzj.edit_similarity_join_sql(
+    "(SELECT doc_id, lower(substr(text, 1, 24)) AS fk "
+    "FROM documents) keyed",
+    "doc_id", "fk", max_dist=3))
+def q_fuzzy_edit_join(spark, sf):
+    d = _t(spark, sf, "documents")
+    keyed = d.select("doc_id",
+                     F.lower(F.substring("text", 1, 24)).alias("fk"))
+    return fzj.edit_similarity_join(keyed, "doc_id", "fk", max_dist=3)
+
+
+@_q("fuzzy_jaccard_join", fzj.jaccard_similarity_join_sql(
+    "(SELECT doc_id, lower(substr(text, 1, 60)) AS fk "
+    "FROM documents) keyed",
+    "doc_id", "fk", threshold=0.6))
+def q_fuzzy_jaccard_join(spark, sf):
+    d = _t(spark, sf, "documents")
+    keyed = d.select("doc_id",
+                     F.lower(F.substring("text", 1, 60)).alias("fk"))
+    return fzj.jaccard_similarity_join(keyed, "doc_id", "fk",
+                                       threshold=0.6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

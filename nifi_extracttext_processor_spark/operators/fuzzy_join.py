@@ -1,0 +1,245 @@
+"""String similarity self-joins (fuzzy / entity-resolution joins):
+edit-distance pairs and token-Jaccard pairs over a short key column
+(names, titles, addresses — NOT document bodies; the near-dup family
+in operators/dedup.py owns long-text similarity).
+
+Both follow the filter-verify shape every scalable similarity join
+uses (Chaudhuri 2006 SSJoin; Bayardo 2007 All-Pairs; Xiao 2008
+PPJoin): a LOSSLESS signature join proposes candidates, an exact
+Catalyst predicate verifies them — never an O(n²) cross join.
+
+edit_similarity_join (ED ≤ d):
+  * signatures = the first 2·q·d + 1 distinct padded q-grams of each
+    string, ordered by GLOBAL gram frequency (rarest first). Lossless
+    by the q-gram destroy bound: one edit destroys ≤ q distinct
+    grams, so ED(x,y) ≤ d ⇒ |Gx ∩ Gy| ≥ |Gx| − q·d and
+    ||Gx| − |Gy|| ≤ q·d; the prefix-filter lemma then guarantees the
+    first |Gy| − (|Gx| − q·d) + 1 ≤ 2·q·d + 1 grams of each side
+    share at least one gram.
+  * rarest-first ordering doubles as the skew defense: the hot grams
+    ("th", "er") land at the END of the frequency order and never
+    enter a signature unless the string has almost no rare grams.
+  * the bound has no teeth when BOTH sides have ≤ q·d distinct grams
+    (super-short or highly repetitive keys: "a" vs "" at d=1 share
+    no gram at all) — those strings additionally block together in
+    one shared low-gram bucket, quadratic only in their own count.
+  * verify = levenshtein(s1, s2, threshold=d) — Spark's
+    bounded-band implementation, O(len·d) per candidate.
+
+jaccard_similarity_join (J ≥ t on distinct word tokens):
+  * per-string prefix of size m − ceil(t·m) + 1 over the
+    frequency-ordered distinct token array (All-Pairs prefix filter;
+    J ≥ t ⇒ overlap ≥ ceil(t·max(m1, m2)) ≥ each side's own bound,
+    and a larger prefix only widens the guarantee).
+  * size filter: J ≥ t ⇒ t·m1 ≤ m2 ≤ m1/t, applied inside the join.
+  * verify = |array_intersect| / |union| on the carried token arrays.
+
+Both joins shuffle (signature, id, key-string) rows — the key string
+travels with its signature because verification needs both operands;
+that is bounded by the key column's length (the contract: a short
+attribute, enforced by max_len), unlike the dedup family where text
+never enters an Exchange.
+
+At 100 TB the gram/token frequency table is corpus-sized, so it joins
+by shuffle on the gram key (broadcast only when tiny); everything
+downstream is keyed on signatures or id pairs — no O(n²) stage exists
+at any scale (plan-asserted in tests: no CartesianProduct /
+BroadcastNestedLoopJoin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# padding sentinels (C0 controls — cannot appear in sane key text;
+# rows whose key DOES contain one are still correct, the pad chars
+# merely stop being unique boundary markers and the filter stays
+# lossless because padding is applied uniformly to both sides)
+_PAD_L = "\x02"
+_PAD_R = "\x03"
+
+#: keys longer than this are rejected — the verify predicate carries
+#: both strings through a shuffle, which is only sane for short
+#: attribute-like columns
+MAX_KEY_LEN = 512
+
+
+def _padded_grams(col, q: int):
+    """Distinct q-grams of the sentinel-padded string (array<string>).
+    Padding (q−1 copies each side) gives every string, including the
+    empty one, at least one gram, and makes boundary characters
+    participate in exactly q grams like interior ones."""
+    padded = F.concat(F.lit(_PAD_L * (q - 1)), col, F.lit(_PAD_R * (q - 1)))
+    n = F.length(padded) - (q - 1)
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substr(padded, i, F.lit(q))))
+
+
+def _freq_ordered(exploded: DataFrame, unit_col: str,
+                  id_col: str) -> DataFrame:
+    """(id, unit) rows → (id, units array ordered by global frequency
+    ascending, ties by unit). One agg for the frequency table, one
+    shuffle join on the unit, one groupBy(id) to rebuild the ordered
+    array — the All-Pairs canonical ordering."""
+    freq = exploded.groupBy(unit_col).agg(F.count("*").alias("__f"))
+    return (exploded
+            .join(freq, unit_col)
+            .groupBy(id_col)
+            .agg(F.array_sort(
+                F.collect_list(F.struct(F.col("__f"),
+                                        F.col(unit_col)))).alias("__o"))
+            .select(id_col,
+                    F.transform("__o", lambda s: s[unit_col]).alias("units")))
+
+
+def _check_key(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    return (df
+            .select(F.col(id_col).alias("id"), F.col(key_col).alias("s"))
+            .filter(F.col("s").isNotNull()
+                    & (F.length("s") <= MAX_KEY_LEN)))
+
+
+def edit_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "text",
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """All pairs (id1 < id2) with levenshtein(key1, key2) ≤ max_dist.
+    Output: (id1, id2, dist). NULL keys and keys over MAX_KEY_LEN are
+    excluded (they cannot be meaningfully fuzzy-matched; route them
+    through exact dedup instead)."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    keys = _check_key(df, id_col, key_col)
+    grams = keys.select(
+        "id", "s", F.explode(_padded_grams(F.col("s"), q)).alias("g"))
+    sig_len = 2 * q * max_dist + 1
+    ordered = _freq_ordered(grams.select("id", "g"), "g", "id")
+    main = ordered.select(
+        "id", F.explode(F.slice("units", 1, sig_len)).alias("g"))
+    # low-gram side channel: the destroy bound only guarantees a
+    # shared gram when at least one side has > q·d distinct grams
+    # ("a" vs "" at d=1 shares none). Strings at or under that count
+    # (super-short or highly repetitive keys) also block together in
+    # one shared bucket — quadratic in THEIR count only, and \x00
+    # cannot collide with a real gram (keys never contain NUL after
+    # a sane extraction; grams always have length q ≥ 1 anyway)
+    low = (ordered.filter(F.size("units") <= q * max_dist)
+           .select("id", F.lit("\x00LOW").alias("g")))
+    sig = (main.unionAll(low)
+           .join(keys, "id")
+           .select("id", "s", "g"))
+    l, r = sig.alias("l"), sig.alias("r")
+    cand = (l.join(r, (F.col("l.g") == F.col("r.g"))
+                   & (F.col("l.id") < F.col("r.id"))
+                   & (F.abs(F.length("l.s") - F.length("r.s"))
+                      <= max_dist))
+            .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"),
+                    F.col("l.s").alias("s1"), F.col("r.s").alias("s2"))
+            .dropDuplicates(["id1", "id2"]))
+    dist = F.levenshtein("s1", "s2", max_dist)
+    return (cand.withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)
+            .select("id1", "id2", "dist"))
+
+
+def edit_similarity_join_sql(
+    table: str,
+    id_col: str = "doc_id",
+    key_expr: str = "text",
+    max_dist: int = 2,
+) -> str:
+    """DuckDB twin: the naive all-pairs formulation. The signature
+    stage is lossless, so the blocked Spark join and this quadratic
+    oracle agree EXACTLY — that equality is the whole correctness
+    argument for the filter."""
+    return f"""
+WITH k AS (
+  SELECT {id_col} AS id, {key_expr} AS s FROM {table}
+  WHERE {key_expr} IS NOT NULL AND length({key_expr}) <= {MAX_KEY_LEN}
+)
+SELECT a.id AS id1, b.id AS id2, levenshtein(a.s, b.s) AS dist
+FROM k a JOIN k b ON a.id < b.id
+WHERE levenshtein(a.s, b.s) <= {max_dist}
+"""
+
+
+_TOKEN_RE = r"\s+"
+
+
+def _token_sets(keys: DataFrame) -> DataFrame:
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.trim(F.col("s"))), _TOKEN_RE),
+        lambda t: F.length(t) > 0))
+    return keys.select("id", toks.alias("t")).filter(F.size("t") > 0)
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (id1 < id2) with Jaccard(tokens1, tokens2) ≥
+    threshold over distinct lowercase whitespace tokens of the key.
+    Output: (id1, id2, sim) with sim = round(jaccard, 6). Keys with
+    zero tokens are excluded (Jaccard undefined)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    keys = _check_key(df, id_col, key_col)
+    sets = _token_sets(keys)
+    ordered = _freq_ordered(
+        sets.select("id", F.explode("t").alias("tok")), "tok", "id")
+    # prefix size per string: m - ceil(t*m) + 1 (All-Pairs)
+    m = F.size("units")
+    p = m - F.ceil(F.lit(threshold) * m).cast("int") + F.lit(1)
+    sig = ordered.select(
+        "id", F.col("units").alias("t"), m.alias("m"),
+        F.explode(F.slice("units", 1, p)).alias("tok"))
+    l, r = sig.alias("l"), sig.alias("r")
+    cand = (l.join(r, (F.col("l.tok") == F.col("r.tok"))
+                   & (F.col("l.id") < F.col("r.id"))
+                   & (F.col("r.m") * threshold <= F.col("l.m"))
+                   & (F.col("l.m") * threshold <= F.col("r.m")))
+            .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"),
+                    F.col("l.t").alias("t1"), F.col("r.t").alias("t2"),
+                    F.col("l.m").alias("m1"), F.col("r.m").alias("m2"))
+            .dropDuplicates(["id1", "id2"]))
+    inter = F.size(F.array_intersect("t1", "t2"))
+    sim = F.round(inter / (F.col("m1") + F.col("m2") - inter), 6)
+    return (cand.withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("id1", "id2", "sim"))
+
+
+def jaccard_similarity_join_sql(
+    table: str,
+    id_col: str = "doc_id",
+    key_expr: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin (naive all-pairs; same tokenization, distinct
+    tokens, same round-6 similarity)."""
+    return f"""
+WITH k AS (
+  SELECT {id_col} AS id,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(trim({key_expr})), '{_TOKEN_RE}'),
+           x -> length(x) > 0)) AS t
+  FROM {table}
+  WHERE {key_expr} IS NOT NULL AND length({key_expr}) <= {MAX_KEY_LEN}
+),
+k2 AS (SELECT id, t, len(t) AS m FROM k WHERE len(t) > 0)
+SELECT id1, id2, sim FROM (
+  SELECT a.id AS id1, b.id AS id2,
+         round(len(list_intersect(a.t, b.t))::DOUBLE /
+               (a.m + b.m - len(list_intersect(a.t, b.t))), 6) AS sim
+  FROM k2 a JOIN k2 b ON a.id < b.id
+) WHERE sim >= {threshold}
+"""

@@ -1,0 +1,168 @@
+"""fuzzy_join (operators/fuzzy_join.py): losslessness of the
+filter-verify similarity joins vs brute-force all-pairs, adversarial
+inputs (repetitive strings, empties, nulls, oversize keys), DuckDB
+twin parity, and the plan guarantee that no O(n²) join strategy
+appears.
+"""
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.fuzzy_join import (
+    MAX_KEY_LEN,
+    edit_similarity_join,
+    edit_similarity_join_sql,
+    jaccard_similarity_join,
+    jaccard_similarity_join_sql,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    # independent reference implementation (classic DP)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _jac(a: str, b: str) -> float:
+    ta, tb = set(a.lower().split()), set(b.lower().split())
+    inter = len(ta & tb)
+    return round(inter / (len(ta) + len(tb) - inter), 6)
+
+
+def _mutate(rnd: random.Random, s: str, d: int) -> str:
+    for _ in range(d):
+        op = rnd.choice("ids")
+        i = rnd.randrange(max(1, len(s)))
+        c = rnd.choice(string.ascii_lowercase)
+        if op == "i":
+            s = s[:i] + c + s[i:]
+        elif op == "d" and s:
+            s = s[:i] + s[i + 1:]
+        else:
+            s = s[:i] + c + s[i + 1:] if s else c
+    return s
+
+
+@pytest.fixture(scope="module")
+def name_df(spark):
+    """60 base strings + mutated copies at distance 1-3 + adversarial
+    rows: repetitive strings (few distinct grams), near-empty strings,
+    a NULL, and an oversize key."""
+    rnd = random.Random(41)
+    rows, i = [], 0
+    for _ in range(60):
+        base = "".join(rnd.choice("abcdef ") for _ in range(rnd.randrange(4, 24)))
+        rows.append((i, base)); i += 1
+        if rnd.random() < 0.7:
+            rows.append((i, _mutate(rnd, base, rnd.randrange(1, 4)))); i += 1
+    rows += [(i, "ababababab"), (i + 1, "abababababab"), (i + 2, "a"),
+             (i + 3, ""), (i + 4, None), (i + 5, "z" * (MAX_KEY_LEN + 1))]
+    return spark.createDataFrame(rows, "doc_id long, name string")
+
+
+def test_edit_join_lossless_vs_bruteforce(spark, name_df):
+    for d in (0, 1, 2, 3):
+        got = sorted(tuple(r) for r in
+                     edit_similarity_join(name_df, "doc_id", "name",
+                                          max_dist=d).collect())
+        rows = [(r["doc_id"], r["name"]) for r in name_df.collect()
+                if r["name"] is not None and len(r["name"]) <= MAX_KEY_LEN]
+        want = sorted((a, b, _lev(sa, sb))
+                      for (a, sa) in rows for (b, sb) in rows
+                      if a < b and _lev(sa, sb) <= d)
+        assert got == want, f"max_dist={d}"
+
+
+def test_edit_join_q3_same_result(spark, name_df):
+    d2 = sorted(tuple(r) for r in
+                edit_similarity_join(name_df, "doc_id", "name",
+                                     max_dist=2, q=2).collect())
+    d3 = sorted(tuple(r) for r in
+                edit_similarity_join(name_df, "doc_id", "name",
+                                     max_dist=2, q=3).collect())
+    assert d2 == d3  # q changes the filter, never the answer
+
+
+def test_jaccard_join_lossless_vs_bruteforce(spark):
+    rnd = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randrange(1, 7))))
+            for i in range(120)]
+    rows += [(120, "   "), (121, None), (122, "alpha alpha alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    for t in (0.34, 0.5, 0.8, 1.0):
+        got = sorted(tuple(r) for r in
+                     jaccard_similarity_join(df, "doc_id", "name",
+                                             threshold=t).collect())
+        ok = [(i, s) for i, s in rows if s is not None and s.split()]
+        want = sorted((a, b, _jac(sa, sb))
+                      for (a, sa) in ok for (b, sb) in ok
+                      if a < b and _jac(sa, sb) >= t)
+        assert got == want, f"threshold={t}"
+
+
+def test_duckdb_twin_parity(spark, name_df):
+    pdf = name_df.toPandas()
+    con = duckdb.connect()
+    con.register("names", pdf)
+    got = sorted(tuple(r) for r in
+                 edit_similarity_join(name_df, "doc_id", "name",
+                                      max_dist=2).collect())
+    want = sorted(tuple(r) for r in con.sql(
+        edit_similarity_join_sql("names", "doc_id", "name", 2)).fetchall())
+    assert got == want
+    got = sorted(tuple(r) for r in
+                 jaccard_similarity_join(name_df, "doc_id", "name",
+                                         threshold=0.5).collect())
+    want = sorted(tuple(r) for r in con.sql(
+        jaccard_similarity_join_sql("names", "doc_id", "name",
+                                    0.5)).fetchall())
+    assert got == want
+
+
+def test_no_quadratic_join_in_plan(spark, name_df):
+    for out in (edit_similarity_join(name_df, "doc_id", "name", 2),
+                jaccard_similarity_join(name_df, "doc_id", "name", 0.5)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_null_and_oversize_keys_excluded(spark, name_df):
+    out = edit_similarity_join(name_df, "doc_id", "name", max_dist=1)
+    bad = {r["doc_id"] for r in name_df.collect()
+           if r["name"] is None or len(r["name"] or "") > MAX_KEY_LEN}
+    ids = {x for r in out.collect() for x in (r["id1"], r["id2"])}
+    assert not (ids & bad)
+
+
+def test_identical_and_empty_strings(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, ""), (4, "")],
+        "doc_id long, name string")
+    got = sorted(tuple(r) for r in
+                 edit_similarity_join(df, "doc_id", "name", 0).collect())
+    assert got == [(1, 2, 0), (3, 4, 0)]
+
+
+def test_validation_errors(spark, name_df):
+    with pytest.raises(ValueError):
+        edit_similarity_join(name_df, "doc_id", "name", max_dist=-1)
+    with pytest.raises(ValueError):
+        edit_similarity_join(name_df, "doc_id", "name", 1, q=0)
+    with pytest.raises(ValueError):
+        jaccard_similarity_join(name_df, "doc_id", "name", threshold=0.0)
+    with pytest.raises(ValueError):
+        jaccard_similarity_join(name_df, "doc_id", "name", threshold=1.5)
