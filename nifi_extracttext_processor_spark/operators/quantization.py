@@ -80,8 +80,11 @@ def _resolve_encode(encode: str, m: int, k: int, dsub: int) -> str:
         return encode
     if encode != "auto":
         raise ValueError(f"unknown encode method {encode!r}")
-    # the literal argmin's WHEN-chain re-nests earlier distances, so
-    # its plan grows ~ m*k^2*dsub — budget that, not m*k*dsub
+    # literal plan ~ 2*m*k*dsub terms (each distance appears twice in
+    # the array_position/array_min argmin); budget m*k^2*dsub anyway —
+    # the quadratic margin keeps Catalyst's constant-folding and
+    # codegen comfortably under their own limits before arrow takes
+    # over
     return ("literal" if m * k * k * dsub <= _LITERAL_TERM_CEILING
             else "arrow")
 
@@ -118,13 +121,17 @@ def pq_encode(
                  - F.lit(float(codebooks[j][c][t]))) ** 2
                 for t in range(dsub)]
             dists.append(sum(terms[1:], terms[0]))
-        best = F.lit(0)
-        bestd = dists[0]
-        for c in range(1, k):
-            cond = dists[c] < bestd
-            best = F.when(cond, F.lit(c)).otherwise(best)
-            bestd = F.when(cond, dists[c]).otherwise(bestd)
-        subcodes.append(best)
+        # first-min argmin via array_position(darr, array_min) — each
+        # distance appears exactly twice, so the plan really is
+        # O(k·dsub) per subspace. A nested WHEN-chain carrying the
+        # running best re-embeds the previous best TWICE per round
+        # (condition + otherwise) and grows ~2^k: k=16 OOMed an 8 GB
+        # driver at plan conversion before this was rewritten (the
+        # same shape _assign in clustering.py already uses).
+        darr = F.array(*dists)
+        subcodes.append(
+            (F.array_position(darr, F.array_min(darr)) - F.lit(1))
+            .cast("int"))
     return v.select(id_col, *keep_cols,
                     F.array(*subcodes).alias(out_col))
 
@@ -234,13 +241,13 @@ def pq_codes_sql(
                 f"({float(codebooks[j][c][t])!r}))"
                 for t in range(dsub))
             dists.append(f"({terms})")
-        expr = "0"
-        bestd = dists[0]
-        for c in range(1, k):
-            cond = f"({dists[c]}) < ({bestd})"
-            expr = f"CASE WHEN {cond} THEN {c} ELSE {expr} END"
-            bestd = f"CASE WHEN {cond} THEN {dists[c]} ELSE {bestd} END"
-        cols.append(expr)
+        # list_position(l, list_min(l)) - 1: first-min argmin, same
+        # linear shape as the Spark side (the nested-CASE carry of a
+        # running best doubles the TEXT per round — ~2^k characters
+        # of SQL at k=16)
+        darr = "[" + ", ".join(dists) + "]"
+        cols.append(
+            f"(list_position({darr}, list_min({darr})) - 1)")
     codes = "[" + ", ".join(cols) + "]"
     return f"SELECT {id_col}, {codes} AS codes FROM {table}"
 
