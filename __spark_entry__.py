@@ -2159,6 +2159,37 @@ def q_fuzzy_jaccard_join(spark, sf):
                                        threshold=0.6)
 
 
+# ---- extension (r8): time-series gap fill (operators/timeseries.py
+# — per-key spine + zero/LOCF/linear interpolation, the
+# resample-and-fill step between raw events and models). Below-
+# window, DuckDB parity: range()/unnest spine + IGNORE NULLS window
+# fills replay the Spark formulation value-exactly (incl. round-6
+# interpolation); bucketing uses the house floor(epoch) convention
+# (DuckDB's bare ::BIGINT cast ROUNDS and would flip boundary
+# events) ----
+
+from nifi_extracttext_processor_spark.operators import timeseries as tsr  # noqa: E402
+
+
+@_q("events_gap_fill", tsr.gap_fill_sql(
+    "(SELECT event_type, "
+    "make_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600 "
+    "* 1000000) AS bucket, "
+    "count(*) AS n_events, round(avg(value), 6) AS avg_value "
+    "FROM events GROUP BY 1, 2) bt",
+    "bucket", ["event_type"], 3600,
+    {"n_events": "zero", "avg_value": "linear"}))
+def q_events_gap_fill(spark, sf):
+    ev = _t(spark, sf, "events")
+    eb = (sess.epoch_seconds(ev, "ts") / 3600).cast("long") * 3600
+    b = (ev.groupBy("event_type",
+                    F.timestamp_seconds(eb).alias("bucket"))
+         .agg(F.count("*").alias("n_events"),
+              F.round(F.avg("value"), 6).alias("avg_value")))
+    return tsr.gap_fill(b, "bucket", ["event_type"], 3600,
+                        {"n_events": "zero", "avg_value": "linear"})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -1,0 +1,172 @@
+"""Regular-grid time-series repair: per-key time spine + gap fill
+(zero / LOCF / linear interpolation) — the resample-and-fill step
+every metrics pipeline runs between raw events and models or
+dashboards (pandas `resample().interpolate()`, TimescaleDB
+`time_bucket_gapfill`, InfluxDB `fill()`).
+
+Input contract: ONE row per (key, bucket) — i.e. the caller has
+already bucket-aggregated (a plain groupBy; this module deliberately
+does not wrap it). `gap_fill` then:
+
+  1. derives each key's observed [min, max] bucket range (one
+     partial-aggregatable groupBy),
+  2. explodes the per-key spine (`sequence` of epoch seconds — the
+     only row-generating stage, bounded by `max_buckets_per_key`
+     with a fail-closed raise_error: a single rogue key spanning
+     decades at 1 s step would otherwise detonate a billion-element
+     array inside one task),
+  3. left-joins observations onto the spine (keyed shuffle),
+  4. fills per column: "zero" (coalesce to a constant), "locf"
+     (last non-null over the key's time order), "linear"
+     (interpolate between the straddling observations, round-6).
+
+Because the spine is bounded by each key's OWN observed min/max
+(no extrapolation), every gap is interior: LOCF always has a
+predecessor and linear always has both neighbours — no edge-null
+semantics to special-case, in either engine.
+
+Cost at scale: one groupBy on the keys, one explode proportional to
+the OUTPUT row count, one keyed join, one window (single sort serves
+both the backward and forward fills). Skew note: a key's whole
+window sorts in one task — for a key × years × 1 s step regime,
+pre-split the time axis like sessionize_bucketed does; the guard
+makes that failure mode loud instead of mysterious.
+
+DuckDB twin (gap_fill_sql): range()/unnest spine, the same
+last_value/first_value IGNORE NULLS fills, make_timestamp buckets —
+replays value-exactly including the round-6 interpolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MODES = ("zero", "locf", "linear")
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str] | tuple[str, ...],
+    step: int,
+    fill: dict[str, str],
+    max_buckets_per_key: int = 10_000_000,
+) -> DataFrame:
+    """Insert missing (key, bucket) rows on a `step`-second grid
+    between each key's first and last observed bucket and fill the
+    columns named in `fill` ({column: "zero"|"locf"|"linear"}).
+    Returns (*key_cols, ts_col, *fill-columns); buckets already
+    observed keep their values. `ts_col` values must lie ON the grid
+    (be bucket starts); linear output is round-6 double."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("gap_fill needs at least one key column")
+    if step <= 0:
+        raise ValueError("step must be positive seconds")
+    bad = {m for m in fill.values()} - set(_MODES)
+    if bad:
+        raise ValueError(f"unknown fill mode(s) {sorted(bad)}; "
+                         f"pick from {_MODES}")
+    vals = list(fill)
+    from .sessions import epoch_seconds
+    d = df.select(*keys, epoch_seconds(df, ts_col).alias("__e"),
+                  *[F.col(c) for c in vals])
+    rng = d.groupBy(*keys).agg(F.min("__e").alias("__lo"),
+                               F.max("__e").alias("__hi"))
+    n = ((F.col("__hi") - F.col("__lo")) / step + 1).cast("long")
+    # the guard is folded INTO the sequence's lower bound (a pruned
+    # side-channel column would be optimized away and never evaluate)
+    lo_guarded = F.when(
+        n > max_buckets_per_key,
+        F.raise_error(F.concat(
+            F.lit(f"gap_fill: key would emit more than "
+                  f"{max_buckets_per_key} buckets at step={step}s "
+                  f"(range "),
+            F.col("__lo"), F.lit(".."), F.col("__hi"),
+            F.lit("); pre-split the time axis or raise "
+                  "max_buckets_per_key"))).cast("long")
+    ).otherwise(F.col("__lo"))
+    spine = rng.select(*keys, F.explode(
+        F.sequence(lo_guarded, F.col("__hi"), F.lit(step))).alias("__e"))
+    out = spine.join(d, keys + ["__e"], "left")
+    w = Window.partitionBy(*keys).orderBy("__e")
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols = []
+    for c in vals:
+        mode = fill[c]
+        if mode == "zero":
+            cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        elif mode == "locf":
+            cols.append(F.last(c, ignorenulls=True).over(w).alias(c))
+        else:  # linear
+            v = F.col(c).cast("double")
+            pv = F.last(F.when(v.isNotNull(), v), True).over(w)
+            pt = F.last(F.when(v.isNotNull(), F.col("__e")),
+                        True).over(w)
+            nv = F.first(F.when(v.isNotNull(), v), True).over(wf)
+            nt = F.first(F.when(v.isNotNull(), F.col("__e")),
+                         True).over(wf)
+            interp = pv + (nv - pv) * (F.col("__e") - pt) / (nt - pt)
+            cols.append(F.round(F.when(v.isNotNull(), v)
+                                .otherwise(interp), 6).alias(c))
+    return out.select(*keys,
+                      F.timestamp_seconds("__e").alias(ts_col),
+                      *cols)
+
+
+def gap_fill_sql(
+    table: str,
+    ts_col: str,
+    key_cols: list[str] | tuple[str, ...],
+    step: int,
+    fill: dict[str, str],
+) -> str:
+    """DuckDB twin of gap_fill (same spine, same fills, same round-6
+    interpolation; buckets come back as TIMESTAMP via
+    make_timestamp)."""
+    keys = ", ".join(key_cols)
+    vals = list(fill)
+    vsel = ", ".join(vals)
+    outs = []
+    for c in vals:
+        mode = fill[c]
+        if mode == "zero":
+            outs.append(f"coalesce({c}, 0) AS {c}")
+        elif mode == "locf":
+            outs.append(
+                f"last_value({c} IGNORE NULLS) OVER w_b AS {c}")
+        else:
+            pv = f"last_value({c}::DOUBLE IGNORE NULLS) OVER w_b"
+            pt = (f"last_value(CASE WHEN {c} IS NOT NULL THEN e END "
+                  f"IGNORE NULLS) OVER w_b")
+            nv = f"first_value({c}::DOUBLE IGNORE NULLS) OVER w_f"
+            nt = (f"first_value(CASE WHEN {c} IS NOT NULL THEN e END "
+                  f"IGNORE NULLS) OVER w_f")
+            outs.append(
+                f"round(CASE WHEN {c} IS NOT NULL THEN {c}::DOUBLE "
+                f"ELSE ({pv}) + (({nv}) - ({pv})) * (e - ({pt})) "
+                f"/ (({nt}) - ({pt})) END, 6) AS {c}")
+    osel = ", ".join(outs)
+    return f"""
+WITH b AS (
+  SELECT {keys}, (epoch({ts_col}))::BIGINT AS e, {vsel} FROM {table}
+),
+r AS (
+  SELECT {keys}, min(e) AS lo, max(e) AS hi FROM b GROUP BY {keys}
+),
+s AS (
+  SELECT {keys}, unnest(range(lo, hi + 1, {step})) AS e FROM r
+),
+j AS (
+  SELECT s.*, {', '.join(f'b.{c}' for c in vals)}
+  FROM s LEFT JOIN b USING ({keys}, e)
+)
+SELECT {keys}, make_timestamp(e * 1000000) AS {ts_col}, {osel}
+FROM j
+WINDOW
+  w_b AS (PARTITION BY {keys} ORDER BY e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_f AS (PARTITION BY {keys} ORDER BY e
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""

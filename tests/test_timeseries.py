@@ -1,0 +1,97 @@
+"""gap_fill (operators/timeseries.py): golden fill semantics per
+mode, per-key spine bounds (no extrapolation), the fail-closed spine
+guard, DuckDB twin parity, and validation."""
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.timeseries import (
+    gap_fill,
+    gap_fill_sql,
+)
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # key "a": hours 0,1,4,5 observed (gap at 2,3); key "b": 2,3 only
+    rows = [
+        ("a", _ts(0), 10, 1.0),
+        ("a", _ts(1), 20, 2.0),
+        ("a", _ts(4), 5, 8.0),
+        ("a", _ts(5), 7, 10.0),
+        ("b", _ts(2), 1, 100.0),
+        ("b", _ts(3), 2, 200.0),
+    ]
+    return spark.createDataFrame(
+        rows, "k string, bucket timestamp, n long, v double")
+
+
+def test_golden_fills(spark, series):
+    out = {(r["k"], r["bucket"].hour): (r["n"], r["v"])
+           for r in gap_fill(series, "bucket", ["k"], 3600,
+                             {"n": "zero", "v": "linear"}).collect()}
+    # observed rows untouched
+    assert out[("a", 0)] == (10, 1.0)
+    assert out[("a", 5)] == (7, 10.0)
+    # gap hours 2,3: n zero-filled, v linearly ramps 2.0 -> 8.0
+    assert out[("a", 2)] == (0, 4.0)
+    assert out[("a", 3)] == (0, 6.0)
+    # key b spine is its own [2, 3] — no extrapolation into 0..1 or 4+
+    assert ("b", 1) not in out and ("b", 4) not in out
+    assert out[("b", 2)] == (1, 100.0)
+    assert len(out) == 8  # a: 0..5 (6 rows), b: 2..3 (2 rows)
+
+
+def test_locf_mode(spark, series):
+    out = {(r["k"], r["bucket"].hour): r["v"]
+           for r in gap_fill(series, "bucket", ["k"], 3600,
+                             {"v": "locf"}).collect()}
+    assert out[("a", 2)] == 2.0 and out[("a", 3)] == 2.0
+    assert out[("a", 4)] == 8.0
+
+
+def test_multi_gap_linear_ramp(spark):
+    rows = [("x", _ts(0), 0.0), ("x", _ts(4), 8.0)]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    out = {r["bucket"].hour: r["v"]
+           for r in gap_fill(df, "bucket", ["k"], 3600,
+                             {"v": "linear"}).collect()}
+    assert out == {0: 0.0, 1: 2.0, 2: 4.0, 3: 6.0, 4: 8.0}
+
+
+def test_duckdb_twin_parity(spark, series):
+    pdf = series.toPandas()
+    con = duckdb.connect()
+    con.register("series", pdf)
+    fill = {"n": "zero", "v": "linear"}
+    got = sorted(tuple(r) for r in
+                 gap_fill(series, "bucket", ["k"], 3600, fill).collect())
+    want = sorted(tuple(r) for r in con.sql(
+        gap_fill_sql("series", "bucket", ["k"], 3600, fill)).fetchall())
+    assert got == want
+
+
+def test_spine_guard_raises(spark):
+    rows = [("x", _ts(0), 1.0),
+            ("x", dt.datetime(2024, 3, 1, 0, 0, 0), 2.0)]  # 60 days
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    with pytest.raises(Exception, match="gap_fill: key would emit"):
+        gap_fill(df, "bucket", ["k"], 60, {"v": "locf"},
+                 max_buckets_per_key=1000).collect()
+
+
+def test_validation(spark, series):
+    with pytest.raises(ValueError, match="key column"):
+        gap_fill(series, "bucket", [], 3600, {"v": "locf"})
+    with pytest.raises(ValueError, match="step"):
+        gap_fill(series, "bucket", ["k"], 0, {"v": "locf"})
+    with pytest.raises(ValueError, match="unknown fill mode"):
+        gap_fill(series, "bucket", ["k"], 3600, {"v": "cubic"})
