@@ -2190,6 +2190,26 @@ def q_events_gap_fill(spark, sf):
                         {"n_events": "zero", "avg_value": "linear"})
 
 
+# ---- extension (r8): audio fingerprint dedup (operators/audio_dedup
+# .py — Wang 2003 constellation hashes + offset-consistent match,
+# completing the text/image/AUDIO dedup triple). Below-window, DuckDB
+# parity via the fake md5-slice kernel (the image_phash_pairs
+# convention): the hash join + distinct offset histogram + threshold
+# — the scale plumbing — replays value-exactly; the real STFT kernel
+# is golden-tested in pytest (scaled copy at dt=0, delayed copy at
+# the right dt, disjoint melodies apart, silence empty) ----
+
+from nifi_extracttext_processor_spark.operators import audio_dedup as aud  # noqa: E402
+
+
+@_q("audio_match_pairs", aud.audio_match_pairs_sql(
+    "documents", "doc_id", "text", min_matches=4))
+def q_audio_match_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return aud.audio_dedup_pairs(d, "doc_id", "text",
+                                 min_matches=4, fake=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
