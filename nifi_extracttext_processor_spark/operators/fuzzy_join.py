@@ -101,6 +101,46 @@ def _check_key(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
                     & (F.length("s") <= MAX_KEY_LEN)))
 
 
+def _edit_signatures(keys: DataFrame, q: int, max_dist: int,
+                     freq: DataFrame) -> DataFrame:
+    """(id, s, g) signature rows of one table against a SHARED gram
+    frequency table (for a lookup both tables must sort grams by the
+    same global order or the prefix lemma does not apply).
+
+    Includes the low-gram side channel: the destroy bound only
+    guarantees a shared gram when at least one side has > q·d
+    distinct grams ("a" vs "" at d=1 shares none). Strings at or
+    under that count (super-short or highly repetitive keys) also
+    block together in one shared bucket — quadratic in THEIR count
+    only, and \\x00 cannot collide with a real gram (grams always
+    have length q ≥ 1)."""
+    grams = keys.select(
+        "id", F.explode(_padded_grams(F.col("s"), q)).alias("g"))
+    ordered = (grams
+               .join(freq, "g")
+               .groupBy("id")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct(F.col("__f"),
+                                           F.col("g")))).alias("__o"))
+               .select("id", F.transform(
+                   "__o", lambda s: s["g"]).alias("units")))
+    sig_len = 2 * q * max_dist + 1
+    main = ordered.select(
+        "id", F.explode(F.slice("units", 1, sig_len)).alias("g"))
+    low = (ordered.filter(F.size("units") <= q * max_dist)
+           .select("id", F.lit("\x00LOW").alias("g")))
+    return main.unionAll(low).join(keys, "id").select("id", "s", "g")
+
+
+def _gram_freq(*gram_frames: DataFrame) -> DataFrame:
+    """Global gram frequency over the union of the given (id, g)
+    explosions — ONE total order shared by every side of a join."""
+    u = gram_frames[0]
+    for f in gram_frames[1:]:
+        u = u.unionAll(f)
+    return u.groupBy("g").agg(F.count("*").alias("__f"))
+
+
 def edit_similarity_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -118,23 +158,8 @@ def edit_similarity_join(
         raise ValueError("q must be >= 1")
     keys = _check_key(df, id_col, key_col)
     grams = keys.select(
-        "id", "s", F.explode(_padded_grams(F.col("s"), q)).alias("g"))
-    sig_len = 2 * q * max_dist + 1
-    ordered = _freq_ordered(grams.select("id", "g"), "g", "id")
-    main = ordered.select(
-        "id", F.explode(F.slice("units", 1, sig_len)).alias("g"))
-    # low-gram side channel: the destroy bound only guarantees a
-    # shared gram when at least one side has > q·d distinct grams
-    # ("a" vs "" at d=1 shares none). Strings at or under that count
-    # (super-short or highly repetitive keys) also block together in
-    # one shared bucket — quadratic in THEIR count only, and \x00
-    # cannot collide with a real gram (keys never contain NUL after
-    # a sane extraction; grams always have length q ≥ 1 anyway)
-    low = (ordered.filter(F.size("units") <= q * max_dist)
-           .select("id", F.lit("\x00LOW").alias("g")))
-    sig = (main.unionAll(low)
-           .join(keys, "id")
-           .select("id", "s", "g"))
+        "id", F.explode(_padded_grams(F.col("s"), q)).alias("g"))
+    sig = _edit_signatures(keys, q, max_dist, _gram_freq(grams))
     l, r = sig.alias("l"), sig.alias("r")
     cand = (l.join(r, (F.col("l.g") == F.col("r.g"))
                    & (F.col("l.id") < F.col("r.id"))
@@ -147,6 +172,75 @@ def edit_similarity_join(
     return (cand.withColumn("dist", dist)
             .filter(F.col("dist") >= 0)
             .select("id1", "id2", "dist"))
+
+
+def edit_similarity_lookup(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "doc_id",
+    left_key: str = "text",
+    right_id: str = "doc_id",
+    right_key: str = "text",
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Record-linkage R×S variant: every (left_id, right_id, dist)
+    with levenshtein ≤ max_dist ACROSS the two tables (match a dirty
+    feed against a master list). Same lossless signature blocking as
+    the self-join; the gram frequency order is computed over the
+    UNION of both tables so both sides sort by one global order (the
+    prefix lemma requires it)."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    if left_id == right_id:
+        raise ValueError(
+            "left_id and right_id name the output columns and must "
+            "differ — alias one side (e.g. right.withColumnRenamed)")
+    lk = _check_key(left, left_id, left_key)
+    rk = _check_key(right, right_id, right_key)
+    lg = lk.select("id", F.explode(_padded_grams(F.col("s"), q)).alias("g"))
+    rg = rk.select("id", F.explode(_padded_grams(F.col("s"), q)).alias("g"))
+    freq = _gram_freq(lg, rg)
+    ls = _edit_signatures(lk, q, max_dist, freq).alias("l")
+    rs = _edit_signatures(rk, q, max_dist, freq).alias("r")
+    cand = (ls.join(rs, (F.col("l.g") == F.col("r.g"))
+                    & (F.abs(F.length("l.s") - F.length("r.s"))
+                       <= max_dist))
+            .select(F.col("l.id").alias(left_id),
+                    F.col("r.id").alias(right_id),
+                    F.col("l.s").alias("s1"), F.col("r.s").alias("s2"))
+            .dropDuplicates([left_id, right_id]))
+    dist = F.levenshtein("s1", "s2", max_dist)
+    return (cand.withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)
+            .select(left_id, right_id, "dist"))
+
+
+def edit_similarity_lookup_sql(
+    left_table: str,
+    right_table: str,
+    left_id: str = "doc_id",
+    left_key: str = "text",
+    right_id: str = "doc_id",
+    right_key: str = "text",
+    max_dist: int = 2,
+) -> str:
+    """DuckDB twin of edit_similarity_lookup (naive R×S)."""
+    return f"""
+WITH la AS (
+  SELECT {left_id} AS lid, {left_key} AS s FROM {left_table}
+  WHERE {left_key} IS NOT NULL AND length({left_key}) <= {MAX_KEY_LEN}
+), rb AS (
+  SELECT {right_id} AS rid, {right_key} AS s FROM {right_table}
+  WHERE {right_key} IS NOT NULL
+    AND length({right_key}) <= {MAX_KEY_LEN}
+)
+SELECT la.lid AS {left_id}, rb.rid AS {right_id},
+       levenshtein(la.s, rb.s) AS dist
+FROM la JOIN rb ON levenshtein(la.s, rb.s) <= {max_dist}
+"""
 
 
 def edit_similarity_join_sql(

@@ -157,6 +157,49 @@ def test_identical_and_empty_strings(spark):
     assert got == [(1, 2, 0), (3, 4, 0)]
 
 
+def test_lookup_lossless_vs_bruteforce(spark, name_df):
+    # split the fixture into two "tables" (dirty feed vs master) and
+    # check the R×S lookup against brute force at several distances
+    left = name_df.filter(F.col("doc_id") % 2 == 0) \
+        .withColumnRenamed("doc_id", "lid")
+    right = name_df.filter(F.col("doc_id") % 2 == 1) \
+        .withColumnRenamed("doc_id", "rid")
+    from nifi_extracttext_processor_spark.operators.fuzzy_join import (
+        edit_similarity_lookup,
+    )
+    lrows = [(r["lid"], r["name"]) for r in left.collect()
+             if r["name"] is not None and len(r["name"]) <= MAX_KEY_LEN]
+    rrows = [(r["rid"], r["name"]) for r in right.collect()
+             if r["name"] is not None and len(r["name"]) <= MAX_KEY_LEN]
+    for d in (0, 2):
+        got = sorted(tuple(r) for r in edit_similarity_lookup(
+            left, right, "lid", "name", "rid", "name",
+            max_dist=d).collect())
+        want = sorted((a, b, _lev(sa, sb))
+                      for (a, sa) in lrows for (b, sb) in rrows
+                      if _lev(sa, sb) <= d)
+        assert got == want, f"max_dist={d}"
+
+
+def test_lookup_duckdb_parity_and_same_name_guard(spark, name_df):
+    from nifi_extracttext_processor_spark.operators.fuzzy_join import (
+        edit_similarity_lookup,
+        edit_similarity_lookup_sql,
+    )
+    left = name_df.limit(40).withColumnRenamed("doc_id", "lid")
+    right = name_df.withColumnRenamed("doc_id", "rid")
+    con = duckdb.connect()
+    con.register("lt", left.toPandas())
+    con.register("rt", right.toPandas())
+    got = sorted(tuple(r) for r in edit_similarity_lookup(
+        left, right, "lid", "name", "rid", "name", max_dist=2).collect())
+    want = sorted(tuple(r) for r in con.sql(edit_similarity_lookup_sql(
+        "lt", "rt", "lid", "name", "rid", "name", max_dist=2)).fetchall())
+    assert got == want
+    with pytest.raises(ValueError, match="must differ"):
+        edit_similarity_lookup(left, right, "lid", "name", "lid", "name")
+
+
 def test_validation_errors(spark, name_df):
     with pytest.raises(ValueError):
         edit_similarity_join(name_df, "doc_id", "name", max_dist=-1)
