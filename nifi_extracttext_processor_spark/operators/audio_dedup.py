@@ -273,3 +273,84 @@ SELECT id1, id2, max(n) AS matches
 FROM hist GROUP BY id1, id2
 HAVING max(n) >= {min_matches}
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental (catalog) variant — the dedup_exact_incremental /
+# phash_dedup_incremental shape for audio
+# ---------------------------------------------------------------------------
+
+
+def audio_dedup_incremental(
+    new_df: DataFrame,
+    catalog_df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    min_matches: int = 5,
+    max_hash_freq: int | None = None,
+    fake: bool = False,
+) -> DataFrame:
+    """Dedup a NEW audio batch against a historical fingerprint
+    catalog, then within itself. At 100 TB you fingerprint the DELTA
+    and hash-join it against the persisted catalog — never re-decode
+    the archive.
+
+    catalog_df needs (cat_id, t, fp) columns — what
+    update_audio_catalog writes (recording identity must persist:
+    matching requires the offset histogram per catalog recording,
+    unlike the image catalog where a bare hash set suffices). A new
+    clip is dropped when some catalog recording aligns with ≥
+    min_matches distinct hashes at a consistent offset, or when a
+    SMALLER-id batch sibling does (min of each chain survives).
+    Undecodable clips pass through (the A6 posture: extraction
+    decides their fate, dedup never silently drops them)."""
+    fps = audio_fingerprints(new_df, id_col=id_col,
+                             content_col=content_col, fake=fake)
+    hashed = (fps.filter(F.col("fp").isNotNull())
+              .select(F.col(id_col).alias("__nid"), "t", "fp"))
+    cat = catalog_df.select(F.col("cat_id"),
+                            F.col("t").alias("ct"), "fp")
+    if max_hash_freq is not None:
+        rare = (cat.groupBy("fp")
+                .agg(F.count_distinct("cat_id").alias("__df"))
+                .filter(F.col("__df") <= max_hash_freq)
+                .select("fp"))
+        cat = cat.join(rare, "fp")
+    matched = (hashed.join(cat, "fp")
+               .select("__nid", "cat_id",
+                       (F.col("t") - F.col("ct")).alias("dt"), "fp")
+               .distinct()
+               .groupBy("__nid", "cat_id", "dt")
+               .agg(F.count("*").alias("__n"))
+               .filter(F.col("__n") >= min_matches)
+               .select(F.col("__nid").alias(id_col)).distinct())
+    fresh_fps = fps.join(matched, id_col, "left_anti")
+    losers = (audio_match_pairs(fresh_fps, id_col=id_col,
+                                min_matches=min_matches,
+                                max_hash_freq=max_hash_freq)
+              .select(F.col("id2").alias(id_col)).distinct())
+    # keep-set starts from ALL batch ids so clips with EMPTY
+    # fingerprints (silence) and undecodable clips (error row) pass
+    # through — no fingerprint evidence never means "duplicate"
+    return (new_df
+            .join(matched, id_col, "left_anti")
+            .join(losers, id_col, "left_anti"))
+
+
+def update_audio_catalog(
+    new_df: DataFrame,
+    catalog_path: str,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> None:
+    """Append the batch's fingerprints to the parquet catalog
+    (append-only; duplicate rows only cost space because the match
+    histogram DISTINCTs (pair, dt, fp) — compact with
+    sources.tables.compact_catalog). Anchor times persist: the
+    offset-consistency check needs them."""
+    (audio_fingerprints(new_df, id_col=id_col,
+                        content_col=content_col, fake=fake)
+     .filter(F.col("fp").isNotNull())
+     .select(F.col(id_col).cast("string").alias("cat_id"), "t", "fp")
+     .write.mode("append").parquet(catalog_path))

@@ -760,3 +760,59 @@ def stream_image_dedup(
          .partitionBy("batch").parquet(catalog_dir))
 
     return _batch
+
+
+def stream_audio_dedup(
+    output_dir: str,
+    catalog_dir: str,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    min_matches: int = 5,
+    max_hash_freq: "int | None" = None,
+    fake: bool = False,
+):
+    """foreachBatch wiring of audio fingerprint dedup — the
+    stream_image_dedup construction for the audio modality: per
+    micro-batch audio_dedup_incremental against the persisted
+    fingerprint catalog (hash join + offset histogram, never
+    waveforms in the join), survivors under `output_dir` and their
+    fingerprints under `catalog_dir`, BOTH batch=<id>-partitioned in
+    dynamic-overwrite mode so an at-least-once replay overwrites its
+    own partition and dedups against its own fingerprints
+    (crash-idempotent). Compact the catalog with
+    sources.tables.compact_catalog (default fold — the batch
+    partition is bookkeeping).
+
+    Returns the foreachBatch callable."""
+    from ..operators.audio_dedup import (
+        audio_dedup_incremental, audio_fingerprints,
+    )
+    from ..sources.tables import read_catalog
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        catalog = read_catalog(spark, catalog_dir,
+                               ("cat_id", "t", "fp"))
+        if catalog is None:   # first batch bootstraps; corrupt raises
+            catalog = spark.createDataFrame(
+                [], "cat_id string, t int, fp string")
+        kept = audio_dedup_incremental(
+            batch_df, catalog, content_col=content_col,
+            id_col=id_col, min_matches=min_matches,
+            max_hash_freq=max_hash_freq, fake=fake)
+        kept = kept.localCheckpoint(eager=True)
+        (kept.withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(output_dir))
+        (audio_fingerprints(kept, id_col=id_col,
+                            content_col=content_col, fake=fake)
+         .filter(F.col("fp").isNotNull())
+         .select(F.col(id_col).cast("string").alias("cat_id"),
+                 "t", "fp")
+         .withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(catalog_dir))
+
+    return _batch

@@ -171,3 +171,79 @@ def test_validation(spark, clips):
     with pytest.raises(ValueError):
         audio_match_pairs(audio_fingerprints(clips, fake=False),
                           min_matches=0)
+
+
+class TestIncrementalAndStreaming:
+    def _clips(self, spark, rows):
+        return spark.createDataFrame(rows,
+                                     "media_id string, content binary")
+
+    def test_incremental_against_catalog(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.audio_dedup import (
+            audio_dedup_incremental, update_audio_catalog,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            read_catalog,
+        )
+        a = _melody(1)
+        cat_path = str(tmp_path / "cat")
+        batch1 = self._clips(spark, [("a1", _wav(a))])
+        update_audio_catalog(batch1, cat_path)
+        catalog = read_catalog(spark, cat_path, ("cat_id", "t", "fp"))
+        # batch 2: a scaled re-record of a1 (drop), a delayed copy
+        # (drop), a new melody (keep), in-batch dup pair (keep min),
+        # silence + garbage (pass through untouched)
+        b = _melody(2)
+        batch2 = self._clips(spark, [
+            ("b1", _wav([0.5 * s for s in a])),
+            ("b2", _wav([0.0] * (DEFAULT_HOP * 4) + a)),
+            ("b3", _wav(b)),
+            ("b4", _wav([0.9 * s for s in b])),
+            ("b5", _wav([0.0] * RATE)),
+            ("b6", b"garbage bytes"),
+        ])
+        kept = sorted(r["media_id"] for r in audio_dedup_incremental(
+            batch2, catalog).collect())
+        assert kept == ["b3", "b5", "b6"]
+
+    def test_stream_cross_batch_and_replay(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_audio_dedup,
+        )
+        a, b = _melody(1), _melody(2)
+        out, cat = str(tmp_path / "out"), str(tmp_path / "cat")
+        fn = stream_audio_dedup(out, cat)
+        fn(self._clips(spark, [("m1", _wav(a))]), 0)
+        b1 = self._clips(spark, [
+            ("m2", _wav([0.7 * s for s in a])),   # re-record of m1
+            ("m3", _wav(b)),                       # new
+        ])
+        fn(b1, 1)
+        kept = sorted(r["media_id"] for r in
+                      spark.read.parquet(out).collect())
+        assert kept == ["m1", "m3"]
+        fn(b1, 1)   # at-least-once replay: idempotent
+        kept2 = sorted(r["media_id"] for r in
+                       spark.read.parquet(out).collect())
+        assert kept2 == kept
+
+    def test_incremental_fake_mode(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from nifi_extracttext_processor_spark.operators.audio_dedup import (
+            audio_dedup_incremental, update_audio_catalog,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            read_catalog,
+        )
+        base = "".join(f"chunk-{i:02d}-ABCDEFG." for i in range(8))
+        cat_path = str(tmp_path / "cat")
+        b1 = spark.createDataFrame([("c1", base)],
+                                   "media_id string, content string")
+        update_audio_catalog(b1, cat_path, fake=True)
+        catalog = read_catalog(spark, cat_path, ("cat_id", "t", "fp"))
+        b2 = spark.createDataFrame(
+            [("n1", base), ("n2", "something else entirely here ok")],
+            "media_id string, content string")
+        kept = sorted(r["media_id"] for r in audio_dedup_incremental(
+            b2, catalog, fake=True).collect())
+        assert kept == ["n2"]
