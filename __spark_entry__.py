@@ -2210,6 +2210,35 @@ def q_audio_match_pairs(spark, sf):
                                  min_matches=4, fake=True)
 
 
+# ---- extension (r8): user-journey path analytics (operators/paths
+# .py — Markov transition matrix + top opening paths, completing the
+# product-analytics family next to funnel/retention) and CUSUM
+# change detection (operators/timeseries.py — Page 1954 two-sided
+# chart as two window functions, no fold). Below-window, full DuckDB
+# parity: orders are (ts, event_id)-deterministic in both engines ----
+
+from nifi_extracttext_processor_spark.operators import paths as pth  # noqa: E402
+
+
+@_q("events_transitions", pth.event_transitions_sql("events"))
+def q_events_transitions(spark, sf):
+    return pth.event_transitions(_t(spark, sf, "events"))
+
+
+@_q("events_top_paths", pth.top_paths_sql("events", depth=3, k=20))
+def q_events_top_paths(spark, sf):
+    return pth.top_paths(_t(spark, sf, "events"), depth=3, k=20)
+
+
+@_q("events_changepoints", tsr.detect_changepoints_sql(
+    "events", "ts", ["event_type"], "value",
+    threshold=3.0, tiebreak_col="event_id", baseline_n=50))
+def q_events_changepoints(spark, sf):
+    return tsr.detect_changepoints(
+        _t(spark, sf, "events"), "ts", ["event_type"], "value",
+        threshold=3.0, tiebreak_col="event_id", baseline_n=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

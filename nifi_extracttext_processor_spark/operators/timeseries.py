@@ -170,3 +170,139 @@ WINDOW
   w_f AS (PARTITION BY {keys} ORDER BY e
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 """
+
+
+def detect_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str] | tuple[str, ...],
+    value_col: str,
+    threshold: float = 5.0,
+    drift: float = 0.5,
+    tiebreak_col: str | None = None,
+    baseline_n: int | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954) per key over a
+    time-ordered series: flags the points where the standardized
+    cumulative deviation from the key's mean exceeds `threshold`
+    (in σ units; `drift` is the usual slack that absorbs noise).
+
+    The textbook recursion S⁺ᵢ = max(0, S⁺ᵢ₋₁ + dᵢ) looks
+    iterative, but max-0-clamped cumulation equals
+    (running sum) − (running min of that sum) — so the whole chart
+    is TWO ordinary window functions over one sort, no UDF, no fold:
+    Catalyst and the DuckDB twin replay it exactly (round-6).
+
+    Output: (*key_cols, ts_col, value_col, cusum_pos, cusum_neg,
+    is_change). Reference μ/σ default to the key's own FULL-series
+    moments (offline CUSUM — note a step series then deviates from
+    the global mean on BOTH sides from t=0, which is the correct
+    reading of that reference); pass `baseline_n` to take the
+    reference from each key's first n points instead (the
+    monitoring setup: quiet during the baseline, fire after the
+    shift). Population σ (stddev_pop) so both engines agree.
+    Keys with σ = 0 (constant series) flag nothing. Pass
+    `tiebreak_col` when timestamps can repeat within a key — a ROWS
+    running sum over a tied sort is otherwise order-ambiguous and
+    the twin may disagree."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("detect_changepoints needs a key column")
+    ref = df
+    if baseline_n is not None:
+        if baseline_n < 2:
+            raise ValueError("baseline_n must be >= 2")
+        worder = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        wrn = Window.partitionBy(*keys).orderBy(*worder)
+        ref = (df.withColumn("__rn", F.row_number().over(wrn))
+               .filter(F.col("__rn") <= baseline_n))
+    stats = (ref.groupBy(*keys)
+             .agg(F.avg(value_col).alias("__mu"),
+                  F.stddev_pop(value_col).alias("__sd")))
+    d = df.join(stats, keys)
+    z = F.when(F.col("__sd") > 0,
+               (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+               ).otherwise(F.lit(0.0))
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # two projections: window functions cannot nest, so the running
+    # sums materialize as columns before the running min/max over
+    # them (same sort both times — one Window node after Catalyst
+    # collapses the projections)
+    tb = [tiebreak_col] if tiebreak_col else []
+    cums = d.select(*keys, ts_col, value_col, *tb,
+                    F.sum(z - drift).over(w).alias("__cp"),
+                    F.sum(z + drift).over(w).alias("__cn"))
+    pos = F.round(F.greatest(
+        F.col("__cp") - F.min("__cp").over(w), F.lit(0.0)), 6)
+    neg = F.round(F.greatest(
+        F.max("__cn").over(w) - F.col("__cn"), F.lit(0.0)), 6)
+    return (cums.select(*keys, ts_col, value_col,
+                        pos.alias("cusum_pos"), neg.alias("cusum_neg"))
+            .withColumn("is_change",
+                        (F.col("cusum_pos") > threshold)
+                        | (F.col("cusum_neg") > threshold)))
+
+
+def detect_changepoints_sql(
+    table: str,
+    ts_col: str,
+    key_cols: list[str] | tuple[str, ...],
+    value_col: str,
+    threshold: float = 5.0,
+    drift: float = 0.5,
+    tiebreak_col: str | None = None,
+    baseline_n: int | None = None,
+) -> str:
+    """DuckDB twin of detect_changepoints (same windows, same
+    round-6, same stddev_pop reference)."""
+    keys = ", ".join(key_cols)
+    order = ts_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    tb_sel = f" {tiebreak_col}," if tiebreak_col else ""
+    if baseline_n is None:
+        ref = table
+    else:
+        ref = (f"(SELECT * FROM (SELECT *, row_number() OVER "
+               f"(PARTITION BY {keys} ORDER BY {order}) AS __rn "
+               f"FROM {table}) WHERE __rn <= {baseline_n})")
+    return f"""
+WITH st AS (
+  SELECT {keys}, avg({value_col}) AS mu,
+         stddev_pop({value_col}) AS sd
+  FROM {ref} GROUP BY {keys}
+),
+s AS (
+  SELECT t.*, st.mu, st.sd
+  FROM {table} t JOIN st USING ({keys})
+),
+z AS (
+  SELECT {keys}, {ts_col}, {value_col},{tb_sel}
+         CASE WHEN sd > 0 THEN ({value_col} - mu) / sd
+              ELSE 0.0 END AS zv
+  FROM s
+),
+cs AS (
+  SELECT {keys}, {ts_col}, {value_col},{tb_sel}
+         sum(zv - {drift}) OVER w AS cp,
+         sum(zv + {drift}) OVER w AS cn
+  FROM z
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {order}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT {keys}, {ts_col}, {value_col}, cp, cn,
+         min(cp) OVER w AS mincp,
+         max(cn) OVER w AS maxcn
+  FROM cs
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {order}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT {keys}, {ts_col}, {value_col},
+       round(greatest(cp - mincp, 0.0), 6) AS cusum_pos,
+       round(greatest(maxcn - cn, 0.0), 6) AS cusum_neg,
+       (round(greatest(cp - mincp, 0.0), 6) > {threshold}
+        OR round(greatest(maxcn - cn, 0.0), 6) > {threshold})
+         AS is_change
+FROM c
+"""
