@@ -2239,6 +2239,25 @@ def q_events_changepoints(spark, sf):
         threshold=3.0, tiebreak_col="event_id", baseline_n=50)
 
 
+# ---- extension (r8): multinomial Naive Bayes domain classifier
+# (operators/nbayes.py — the multi-CLASS labeler next to the binary
+# LR quality gate; domain tagging for mixture construction). Train
+# AND score are pure aggregations, so the full pipeline replays in
+# DuckDB (the LR could only oracle its scoring half). Below-window ----
+
+from nifi_extracttext_processor_spark.operators import nbayes as nbay  # noqa: E402
+
+
+@_q("nbayes_predict", nbay.naive_bayes_sql(
+    "documents", label_col="lang", n_buckets=1024))
+def q_nbayes_predict(spark, sf):
+    docs = _t(spark, sf, "documents")
+    cond, cls = nbay.train_naive_bayes(
+        docs, label_col="lang", n_buckets=1024, hash_method="md5")
+    return nbay.score_naive_bayes(docs, cond, cls, n_buckets=1024,
+                                  hash_method="md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -278,3 +278,42 @@ def load_lang_profiles(
     top_k=cfg['top_k'] so scoring matches training)."""
     cfg = _read_manifest(spark, path, "lang_profiles")
     return spark.read.parquet(path.rstrip("/") + "/profiles"), cfg
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes — nbayes.train_naive_bayes
+# ---------------------------------------------------------------------------
+
+def save_nbayes(
+    spark: SparkSession,
+    path: str,
+    cond_df: DataFrame,
+    class_df: DataFrame,
+    n_buckets: int,
+    hash_method: str = "xxhash64",
+    alpha: float = 1.0,
+) -> None:
+    """Model = the two training DataFrames verbatim (conditional
+    log-probs for seen buckets + per-class prior/default), so load is
+    zero-recompute; n_buckets/hash_method/alpha travel in the
+    manifest so scoring can't silently hash differently than
+    training did."""
+    p = path.rstrip("/")
+    cond_df.write.mode("overwrite").parquet(p + "/cond")
+    class_df.write.mode("overwrite").parquet(p + "/classes")
+    _write_manifest(spark, path, "nbayes",
+                    {"n_buckets": int(n_buckets),
+                     "hash_method": hash_method,
+                     "alpha": float(alpha)})
+
+
+def load_nbayes(
+    spark: SparkSession, path: str,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Returns (cond_df, class_df, config) — the first two are
+    exactly nbayes.score_naive_bayes's model arguments; pass
+    n_buckets=cfg['n_buckets'], hash_method=cfg['hash_method']."""
+    cfg = _read_manifest(spark, path, "nbayes")
+    p = path.rstrip("/")
+    return (spark.read.parquet(p + "/cond"),
+            spark.read.parquet(p + "/classes"), cfg)
