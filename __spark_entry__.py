@@ -2258,6 +2258,22 @@ def q_nbayes_predict(spark, sf):
                                   hash_method="md5")
 
 
+# ---- extension (r8): PMI/LLR collocation extraction (operators/
+# collocations.py — bigram association mining for tokenizer vocab
+# curation and MWE discovery; Manning & Schütze ch.5, Dunning 1993).
+# Below-window, full DuckDB parity incl. the (llr desc, w1, w2)
+# deterministic top-k cut ----
+
+from nifi_extracttext_processor_spark.operators import collocations as colo  # noqa: E402
+
+
+@_q("collocations_top", colo.collocations_sql(
+    "documents", min_count=5, top_k=50))
+def q_collocations_top(spark, sf):
+    return colo.collocations(_t(spark, sf, "documents"),
+                             min_count=5, top_k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
