@@ -2274,6 +2274,35 @@ def q_collocations_top(spark, sf):
                              min_count=5, top_k=50)
 
 
+# ---- extension (r8): triangle counting + clustering coefficients
+# (operators/graph.py — degree-ordered compact-forward wedges, the
+# O(m^1.5) skew-safe scheme; twin enumerates id-ordered, same
+# triangle SET). Edge seed = the host_pagerank doc_id ring plus a
+# second generator so 3-cycles exist. Below-window ----
+
+_TRI_SEED_SQL = """SELECT CAST(doc_id % 37 AS VARCHAR) AS src,
+       CAST((doc_id*7+3) % 37 AS VARCHAR) AS dst FROM documents
+UNION ALL
+SELECT CAST(doc_id % 37 AS VARCHAR),
+       CAST((doc_id*3+11) % 37 AS VARCHAR) FROM documents"""
+
+
+def _tri_seed(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.select(
+        (F.col("doc_id") % 37).cast("string").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 37).cast("string").alias("dst"))
+        .unionAll(d.select(
+            (F.col("doc_id") % 37).cast("string").alias("src"),
+            ((F.col("doc_id") * 3 + 11) % 37).cast("string")
+            .alias("dst"))))
+
+
+@_q("triangle_counts", gph.triangle_counts_sql(_TRI_SEED_SQL))
+def q_triangle_counts(spark, sf):
+    return gph.triangle_counts(_tri_seed(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

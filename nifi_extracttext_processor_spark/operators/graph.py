@@ -286,3 +286,161 @@ def pagerank_reference(
         dm = r[~nz].sum()
         r = (1.0 - damping) / n + damping * (contrib + dm / n)
     return {v: round(float(r[idx[v]]), 6) for v in nodes}
+
+
+# ---------------------------------------------------------------------------
+# triangle counting + clustering coefficients
+# ---------------------------------------------------------------------------
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the UNDIRECTED simple graph induced by `edges` (direction,
+    duplicates and self-loops are normalized away first):
+    (node, degree, triangles, lcc) with lcc = 2T/(d(d-1)) for d >= 2
+    else 0.0, rounded to `round_dp`. Every node of the graph gets a
+    row, triangle-free ones with triangles=0.
+
+    Scale design — degree-ordered wedge enumeration (the
+    compact-forward scheme; Schank & Wagner 2005, Cohen 2009): each
+    undirected edge is oriented from its (degree, node)-smaller
+    endpoint to the larger, wedges are generated only at a vertex's
+    OUT-neighbors, and the closing edge is probed in the oriented
+    table. Work is O(m^1.5) regardless of degree skew — a star
+    hub with 10^7 followers generates ZERO wedges at the hub (all
+    its edges point inward), where the naive u-join-u scheme would
+    try 10^14 pairs. All joins are hash equi-joins on node keys;
+    each triangle is produced exactly once (at its lowest-ranked
+    vertex), so per-node counts need no dedup."""
+    a, b = "a", "b"
+    e = (edges
+         .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                 & (F.col(src) != F.col(dst)))
+         .select(F.least(src, dst).alias(a),
+                 F.greatest(src, dst).alias(b))
+         .distinct())
+    deg = (e.select(F.col(a).alias("node"))
+           .unionAll(e.select(F.col(b).alias("node")))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+    # orient by (degree, node): u -> v iff rank(u) < rank(v)
+    ranked = (e
+              .join(deg.select(F.col("node").alias(a),
+                               F.col("degree").alias("da")), a)
+              .join(deg.select(F.col("node").alias(b),
+                               F.col("degree").alias("db")), b))
+    fwd = F.struct(F.col("da").alias("d"), F.col(a).alias("n")) < \
+        F.struct(F.col("db").alias("d"), F.col(b).alias("n"))
+    oriented = (ranked.select(
+        F.when(fwd, F.col(a)).otherwise(F.col(b)).alias("u"),
+        F.when(fwd, F.col(b)).otherwise(F.col(a)).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"))
+        .persist())
+    # wedges at u between two out-neighbors, rank-ordered so each
+    # unordered pair appears once and the closing edge is (v -> w)
+    o1 = oriented.select("u", F.col("v").alias("v1"),
+                         F.col("dv").alias("d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"),
+                         F.col("dv").alias("d2"))
+    wedges = (o1.join(o2, "u")
+              .filter(F.struct(F.col("d1").alias("d"),
+                               F.col("v1").alias("n")) <
+                      F.struct(F.col("d2").alias("d"),
+                               F.col("v2").alias("n")))
+              .select("u", F.col("v1").alias("v"),
+                      F.col("v2").alias("w")))
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"])
+    per_node = (tris.select(F.explode(F.array("u", "v", "w"))
+                            .alias("node"))
+                .groupBy("node").agg(F.count("*").alias("triangles")))
+    out = (deg.join(per_node, "node", "left")
+           .select(
+               "node", "degree",
+               F.coalesce("triangles", F.lit(0)).alias("triangles"),
+               F.round(
+                   F.when(F.col("degree") >= 2,
+                          2.0 * F.coalesce("triangles", F.lit(0))
+                          / (F.col("degree")
+                             * (F.col("degree") - 1.0)))
+                   .otherwise(F.lit(0.0)), round_dp).alias("lcc")))
+    oriented.unpersist()
+    return out
+
+
+def triangle_counts_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin over an edge-producing SELECT: id-ordered triangle
+    enumeration (a<b<c needs edges ab, bc, ac) — a different join
+    order than the degree-ordered Spark plan, but the same triangle
+    SET, so per-node counts and lcc agree exactly."""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM raw
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT x AS node FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+  ) GROUP BY 1
+)
+SELECT deg.node, deg.degree,
+       coalesce(per_node.triangles, 0) AS triangles,
+       round(CASE WHEN degree >= 2
+                  THEN 2.0 * coalesce(per_node.triangles, 0)
+                       / (degree * (degree - 1.0))
+                  ELSE 0.0 END, {int(round_dp)}) AS lcc
+FROM deg LEFT JOIN per_node USING (node)
+"""
+
+
+def triangle_reference(
+    edges: list[tuple[str, str]],
+) -> dict[str, tuple[int, int, float]]:
+    """Independent brute-force triangle counter for test goldens:
+    {node: (degree, triangles, lcc)} via adjacency-set intersection
+    over all id-ordered triples."""
+    adj: dict[str, set[str]] = {}
+    for s, t in edges:
+        if s == t:
+            continue
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    tri = {v: 0 for v in adj}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in sorted(adj[x]):
+            if y <= x:
+                continue
+            for z in adj[x] & adj[y]:
+                if z > y:
+                    tri[x] += 1
+                    tri[y] += 1
+                    tri[z] += 1
+    return {v: (len(adj[v]), tri[v],
+                round(2.0 * tri[v] / (len(adj[v]) * (len(adj[v]) - 1)), 4)
+                if len(adj[v]) >= 2 else 0.0)
+            for v in adj}

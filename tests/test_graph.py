@@ -183,3 +183,78 @@ class TestPageRankConvergence:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             pagerank(df, tol=0.0)
+
+
+class TestTriangles:
+    def _tri(self):
+        from nifi_extracttext_processor_spark.operators.graph import (
+            triangle_counts,
+            triangle_counts_sql,
+            triangle_reference,
+        )
+        return triangle_counts, triangle_counts_sql, triangle_reference
+
+    def test_golden_k4_pendant_with_noise(self, spark):
+        tc, _, ref = self._tri()
+        # K4 + pendant, plus self-loop / reversed / duplicate edges
+        # that normalization must erase
+        edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                 ("b", "d"), ("c", "d"), ("d", "e"), ("b", "a"),
+                 ("a", "a"), ("a", "b")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: (r["degree"], r["triangles"], r["lcc"])
+               for r in tc(df).collect()}
+        assert got == ref(edges)
+        assert got["a"] == (3, 3, 1.0)   # K4 corner
+        assert got["d"] == (4, 3, 0.5)   # K4 corner + pendant
+        assert got["e"] == (1, 0, 0.0)   # pendant: lcc 0 under d<2
+
+    def test_matches_reference_on_random_graph(self, spark):
+        tc, _, ref = self._tri()
+        rng = random.Random(8)
+        edges = [(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+                 for _ in range(150)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: (r["degree"], r["triangles"], r["lcc"])
+               for r in tc(df).collect()}
+        assert got == ref(edges)
+
+    def test_triangle_free_graph(self, spark):
+        tc, _, _ = self._tri()
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")],
+            "src string, dst string")
+        rows = tc(df).collect()
+        assert all(r["triangles"] == 0 and r["lcc"] == 0.0
+                   for r in rows)
+        assert len(rows) == 4
+
+    def test_duckdb_parity(self, spark):
+        import duckdb
+
+        tc, tc_sql, _ = self._tri()
+        rng = random.Random(17)
+        edges = [(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}")
+                 for _ in range(120)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = sorted(map(tuple, tc(df).collect()))
+        con = duckdb.connect()
+        vals = ", ".join(f"('{s}', '{t}')" for s, t in edges)
+        seed = f"SELECT * FROM (VALUES {vals}) v(src, dst)"
+        want = sorted(map(tuple,
+                          con.execute(tc_sql(seed)).df()
+                          .itertuples(index=False)))
+        assert got == want
+
+    def test_star_hub_generates_no_wedges_plan(self, spark):
+        # the degree-orientation scale property: every hub edge points
+        # INTO the hub, so the skew-killer holds by construction; and
+        # the plan stays hash-join only
+        tc, _, _ = self._tri()
+        edges = [("hub", f"leaf{i}") for i in range(50)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        out = tc(df)
+        assert out.filter(F.col("triangles") > 0).count() == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
