@@ -77,6 +77,7 @@ def kmeans_fit(
     sample_fraction: float | None = None,
     seed: int = 13,
     assign: str = "auto",
+    metric: str = "cosine",
 ) -> list[list[float]]:
     """Lloyd iterations; returns the final centroids (driver-side
     k*dim list). Deterministic as described in the module docstring.
@@ -93,7 +94,13 @@ def kmeans_fit(
     kernel (module docstring); it also selects the matching centroid
     update — the literal regime's (cluster, pos) scalar agg is
     oracle-replayable, the arrow regime's scatter-add partials keep
-    the driver transfer at k rows instead of k*dim."""
+    the driver transfer at k rows instead of k*dim.
+
+    `metric`: "cosine" (the SemDeDup convention, first-max of
+    round-6 similarity) or "l2" (squared Euclidean, first-min —
+    the Lloyd objective PQ sub-space training needs so the training
+    metric agrees with pq_encode/ADC's Euclidean assignment, per
+    Jégou 2011)."""
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None:
@@ -107,7 +114,7 @@ def kmeans_fit(
     dim = len(cents[0])
     method = _resolve_assign(assign, len(cents), dim)
     for _ in range(iters):
-        assigned = _assign(v, cents, method)
+        assigned = _assign(v, cents, method, metric=metric)
         if method == "arrow":
             cents = _centroid_means_arrow(assigned, cents, dim)
             continue
@@ -135,14 +142,32 @@ def _resolve_assign(assign: str, k: int, dim: int) -> str:
 
 
 def _assign(v: DataFrame, cents: list[list[float]],
-            method: str = "auto") -> DataFrame:
+            method: str = "auto", metric: str = "cosine") -> DataFrame:
     """(..., v) + broadcast centroids -> (..., v, cluster). Narrow (no
-    shuffle, no join) in BOTH kernels: one round-6 cosine per
-    centroid, first-max wins so ties take the lowest centroid
-    index."""
+    shuffle, no join) in BOTH kernels. metric="cosine": one round-6
+    cosine per centroid, first-max wins so ties take the lowest
+    centroid index. metric="l2": round-6 squared Euclidean, first-MIN
+    wins — the Lloyd objective pq_train needs so training agrees with
+    the ADC search metric."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     method = _resolve_assign(method, len(cents), len(cents[0]))
     if method == "arrow":
-        return _assign_arrow(v, cents)
+        return _assign_arrow(v, cents, metric=metric)
+    if metric == "l2":
+        dists = F.array(*[
+            F.round(F.aggregate(
+                F.zip_with(F.col("v"),
+                           F.array(*[F.lit(float(x)) for x in cv]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x), 6)
+            for cv in cents])
+        return (v.withColumn("_d", dists)
+                 .withColumn("cluster",
+                             (F.array_position(F.col("_d"),
+                                               F.array_min(F.col("_d")))
+                              - F.lit(1)).cast("int"))
+                 .drop("_d"))
     sims = F.array(*[
         F.round(cosine(F.col("v"),
                        F.array(*[F.lit(float(x)) for x in cv])), 6)
@@ -155,20 +180,27 @@ def _assign(v: DataFrame, cents: list[list[float]],
              .drop("_sims"))
 
 
-def _assign_arrow(v: DataFrame, cents: list[list[float]]) -> DataFrame:
+def _assign_arrow(v: DataFrame, cents: list[list[float]],
+                  metric: str = "cosine") -> DataFrame:
     """Large-k assignment: the k*dim centroid matrix travels ONCE per
     executor as a SparkContext broadcast (not as plan literals, not in
     every task closure); each Arrow batch is one matmul against the
     pre-normalized centroid matrix. Cosine/tie semantics mirror the
     literal kernel: zero-norm rows/centroids get similarity 0.0,
-    round-6, argmax takes the first (lowest-index) maximum."""
+    round-6, argmax takes the first (lowest-index) maximum.
+    metric="l2" assigns by round-6 squared Euclidean (first-min),
+    computed exactly as pairwise differences so it matches the
+    literal zip_with fold term-for-term away from tie boundaries."""
     import numpy as np
 
     C = np.asarray(cents, dtype=np.float64)
-    cn = np.sqrt((C * C).sum(axis=1))
-    Cn = np.divide(C, cn[:, None], out=np.zeros_like(C),
-                   where=cn[:, None] > 0)
-    bc = v.sparkSession.sparkContext.broadcast(Cn.T.copy())
+    if metric == "l2":
+        bc = v.sparkSession.sparkContext.broadcast(C.copy())
+    else:
+        cn = np.sqrt((C * C).sum(axis=1))
+        Cn = np.divide(C, cn[:, None], out=np.zeros_like(C),
+                       where=cn[:, None] > 0)
+        bc = v.sparkSession.sparkContext.broadcast(Cn.T.copy())
 
     fields = [f"`{f.name}` {f.dataType.simpleString()}"
               for f in v.schema.fields]
@@ -176,17 +208,23 @@ def _assign_arrow(v: DataFrame, cents: list[list[float]]) -> DataFrame:
 
     def run(batches):
         import pandas as pd  # noqa: F401  (arrow batches are pandas)
-        CnT = bc.value
+        M = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pdf = pdf.copy()
             X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-            xn = np.sqrt((X * X).sum(axis=1))
-            Xn = np.divide(X, xn[:, None], out=np.zeros_like(X),
-                           where=xn[:, None] > 0)
-            S = np.round(Xn @ CnT, 6)
-            pdf["cluster"] = S.argmax(axis=1).astype("int32")
+            if metric == "l2":
+                D = np.round(
+                    ((X[:, None, :] - M[None, :, :]) ** 2).sum(axis=2),
+                    6)
+                pdf["cluster"] = D.argmin(axis=1).astype("int32")
+            else:
+                xn = np.sqrt((X * X).sum(axis=1))
+                Xn = np.divide(X, xn[:, None], out=np.zeros_like(X),
+                               where=xn[:, None] > 0)
+                S = np.round(Xn @ M, 6)
+                pdf["cluster"] = S.argmax(axis=1).astype("int32")
             yield pdf
 
     return v.mapInPandas(run, schema=schema)

@@ -70,9 +70,11 @@ def collocations(
                  .alias("bg"))
              .select(F.col("bg.w1").alias("w1"),
                      F.col("bg.w2").alias("w2")))
-    counts = (pairs.groupBy("w1", "w2")
-              .agg(F.count("*").cast("double").alias("n"))
-              .persist())
+    from .lifecycle import track_persist
+
+    counts = track_persist(
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("n")))
     left = counts.groupBy("w1").agg(F.sum("n").alias("cx"))
     right = counts.groupBy("w2").agg(F.sum("n").alias("cy"))
     total = counts.agg(F.sum("n").alias("nn"))

@@ -24,7 +24,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-def _spread(df: DataFrame) -> DataFrame:
+# logical-plan nodes whose presence means the frame has already been
+# through (or will introduce) a shuffle — its partitioning is the
+# shuffle width, not the input file count, so spreading again is a
+# pure extra Exchange
+_WIDE_NODES = ("Repartition", "Join", "Aggregate", "Window",
+               "Deduplicate", "Sort ", "Sort\n")
+
+
+def _spread(df: DataFrame, already_wide: bool = False) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input scan
     gave too few partitions (small files + heavy per-row compute —
     signature hashing cost tracks rows, not input bytes; SURVEY §4
@@ -34,15 +42,37 @@ def _spread(df: DataFrame) -> DataFrame:
     df.rdd.getNumPartitions() — building the RDD lineage costs a plan
     conversion per call and defeats AQE. At scale the scan has >> target
     files and this is a no-op (no shuffle of the wide input); only tiny
-    local inputs (one file / in-memory) get spread."""
+    local inputs (one file / driver-local) get spread.
+
+    A low file count is NOT sufficient evidence of a narrow frame: a
+    shuffle-derived intermediate (post-groupBy/join/repartition) still
+    reports its LEAF scan's files (or zero when driver-local) but is
+    already at shuffle width — repartitioning it again is a pure extra
+    Exchange (the r8 semantic_dedup_k256 +44% regression). So before
+    spreading, the ANALYZED logical plan (no physical planning cost,
+    no RDD conversion) is sniffed for shuffle-introducing nodes and
+    left alone when one is found. Callers that know their input is
+    wide pass `already_wide=True`."""
+    if already_wide:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < target:
-        return df.repartition(target)
-    return df
+    if n_files >= target:
+        return df
+    # few/zero leaf files — but inputFiles() traverses to the LEAF
+    # scan, so a shuffle-derived frame over one file still reports 1;
+    # the logical plan is the authority on whether a shuffle already
+    # widened it
+    try:
+        logical = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        logical = ""
+    if any(n in logical for n in _WIDE_NODES):
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------

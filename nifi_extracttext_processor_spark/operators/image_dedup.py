@@ -67,13 +67,34 @@ def _dct_matrix(n: int):
     return m
 
 
+def _pool_axis(a, n: int, size: int, axis: int):
+    """Area-average one axis down to `size` buckets (bucket b = mean
+    of input indices i with (i*size)//n == b). Upscales (n < size)
+    fall back to nearest-index sampling — every bucket would not be
+    populated."""
+    import numpy as np
+
+    if n < size:
+        idx = (np.arange(size) * n) // size
+        return np.take(a, idx, axis=axis)
+    buckets = (np.arange(n) * size) // n
+    starts = np.searchsorted(buckets, np.arange(size))
+    counts = np.bincount(buckets, minlength=size).astype(np.float64)
+    summed = np.add.reduceat(a, starts, axis=axis)
+    shape = [1, 1]
+    shape[axis] = size
+    return summed / counts.reshape(shape)
+
+
 def _phash_hex(w: int, h: int, px, img_size: int, hash_size: int) -> str:
     import numpy as np
 
     a = np.asarray(px, dtype=np.float64).reshape(h, w)
-    ys = (np.arange(img_size) * h) // img_size
-    xs = (np.arange(img_size) * w) // img_size
-    small = a[np.ix_(ys, xs)]
+    # area-average (box-filter) pre-pool, the imagehash/Zauner
+    # convention — index sampling alone leaves the hash sensitive to
+    # high-frequency content under heavy downscale (a 4000px image vs
+    # its 200px thumbnail; r8 VERDICT What's wrong #3)
+    small = _pool_axis(_pool_axis(a, h, img_size, 0), w, img_size, 1)
     d = _dct_matrix(img_size)
     low = (d @ small @ d.T)[:hash_size, :hash_size].ravel()
     med = float(np.median(low))
@@ -88,9 +109,32 @@ def phash_reference(w: int, h: int, px: list[float],
                     img_size: int = DEFAULT_IMG_SIZE,
                     hash_size: int = DEFAULT_HASH_SIZE) -> str:
     """Independent pure-Python pHash (plain loops, no numpy, no
-    shared helpers) for test goldens."""
-    small = [[px[((y * h) // img_size) * w + (x * w) // img_size]
-              for x in range(img_size)] for y in range(img_size)]
+    shared helpers) for test goldens — same area-average pre-pool
+    convention as the kernel: bucket (by,bx) = mean over input pixels
+    (y,x) with (y*img_size)//h == by and (x*img_size)//w == bx;
+    nearest-index on the upscale axis."""
+    if h >= img_size:
+        row_groups = [[] for _ in range(img_size)]
+        for y in range(h):
+            row_groups[(y * img_size) // h].append(y)
+    else:
+        row_groups = [[(by * h) // img_size] for by in range(img_size)]
+    if w >= img_size:
+        col_groups = [[] for _ in range(img_size)]
+        for x in range(w):
+            col_groups[(x * img_size) // w].append(x)
+    else:
+        col_groups = [[(bx * w) // img_size] for bx in range(img_size)]
+    small = []
+    for ys_ in row_groups:
+        row = []
+        for xs_ in col_groups:
+            acc = 0.0
+            for y in ys_:
+                for x in xs_:
+                    acc += px[y * w + x]
+            row.append(acc / (len(ys_) * len(xs_)))
+        small.append(row)
     n = img_size
 
     def c(k: int) -> float:

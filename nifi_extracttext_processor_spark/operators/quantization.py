@@ -21,6 +21,11 @@ Spark-first shape:
   LITERAL array-of-arrays; each row's distance is a k-free fold
   sum_j lut[j][code_j] — pure Catalyst, zero UDF, and the only wide
   data touched are the m-byte codes. Global top-k is TakeOrdered.
+- refine (re-rank): ADC top-(c·k) candidate ids broadcast-join an
+  original-vector sidecar; exact squared Euclidean re-ranks to the
+  final k. Lifts ADC's compression-bound recall back to
+  near-brute-force while the corpus-wide pass still reads only
+  codes (the faiss IndexRefineFlat pattern).
 
 Everything deterministic: ties break first-min / lowest id, and the
 DuckDB twins replay codes and ADC distances exactly (round-6).
@@ -54,8 +59,12 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks: codebooks[j][c] is the c-th centroid of
     sub-space j (dsub floats). m deterministic kmeans_fit runs over
-    sliced sub-vectors; `sample_fraction` is the 100 TB pattern (fit
-    on a Bernoulli sample, encode the full corpus)."""
+    sliced sub-vectors, each with metric="l2" — Lloyd assignment by
+    squared Euclidean distance, the objective pq_encode/ADC search
+    with (Jégou 2011 §II; a cosine-trained codebook would optimize a
+    different metric than the one encode and search use).
+    `sample_fraction` is the 100 TB pattern (fit on a Bernoulli
+    sample, encode the full corpus)."""
     from .clustering import kmeans_fit
 
     first = df.select(F.size(vec_col).alias("d")).first()
@@ -71,7 +80,7 @@ def pq_train(
         books.append(kmeans_fit(sub, id_col=id_col, vec_col="sub",
                                 k=k, iters=iters,
                                 sample_fraction=sample_fraction,
-                                seed=seed))
+                                seed=seed, metric="l2"))
     return books
 
 
@@ -194,10 +203,28 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    refine_mult: int | None = None,
+    vectors_df: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k over encoded vectors: (id_col, adc_dist) ascending,
     ties on id. The LUT is an m×k literal; the per-row work is m
-    array lookups + a sum — no vectors anywhere."""
+    array lookups + a sum — no vectors anywhere.
+
+    Refine (the faiss re-rank pattern, Jégou 2011 §V.C): pass
+    `refine_mult=c` and a `vectors_df` sidecar (id_col, vec_col of
+    the ORIGINAL vectors) — ADC selects the c·k best candidates,
+    their exact squared Euclidean distances are computed from the
+    sidecar, and the final top-k re-ranks on the exact distance
+    (ties on id). Output gains an `exact_dist` column and is ordered
+    by it. Cost shape at 100 TB: the candidate ids (c·k rows, ids +
+    one double) are BROADCAST to the sidecar join, so the original
+    vectors never shuffle and only c·k of them are ever materialized
+    past the scan — the corpus-wide pass still touches only m-byte
+    codes. Without refine, ADC recall degrades with compression
+    (measured 0.325 recall@10 at 32× on i.i.d. data,
+    BENCH_NOTES_r08); with a small c the exact re-rank restores
+    near-brute-force recall for the same corpus scan."""
     if k < 1:
         raise ValueError("k must be >= 1")
     lut = _adc_lut(codebooks, query_vec)
@@ -210,9 +237,25 @@ def pq_topk(
         lambda acc, j: acc + F.element_at(
             F.element_at(lut_col, j + 1),
             F.element_at(F.col(codes_col), j + 1) + 1))
-    return (codes_df
-            .select(id_col, F.round(dist, 6).alias("adc_dist"))
-            .orderBy(F.asc("adc_dist"), F.asc(id_col))
+    adc = (codes_df
+           .select(id_col, F.round(dist, 6).alias("adc_dist"))
+           .orderBy(F.asc("adc_dist"), F.asc(id_col)))
+    if refine_mult is None:
+        return adc.limit(k)
+    if refine_mult < 1:
+        raise ValueError("refine_mult must be >= 1")
+    if vectors_df is None:
+        raise ValueError("refine needs a vectors_df sidecar")
+    cand = adc.limit(refine_mult * k)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = F.round(F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), q,
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    return (vectors_df
+            .join(F.broadcast(cand), on=id_col)
+            .select(id_col, "adc_dist", exact.alias("exact_dist"))
+            .orderBy(F.asc("exact_dist"), F.asc(id_col))
             .limit(k))
 
 
@@ -279,6 +322,36 @@ LIMIT {k}
 """
 
 
+def pq_topk_refine_sql(
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    refine_mult: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of pq_topk(refine_mult=..., vectors_df=...): the
+    same ADC candidate cut (c·k by adc_dist, ties on id), then exact
+    squared Euclidean from the raw vectors, re-ranked round-6."""
+    adc = pq_topk_sql(codebooks, query_vec, k=refine_mult * k,
+                      table=table, id_col=id_col, vec_col=vec_col)
+    q = ("([" + ", ".join(repr(float(x)) for x in query_vec)
+         + "]::DOUBLE[])")
+    v = f"(t.{vec_col}::DOUBLE[])"
+    d = len(query_vec)
+    return f"""
+WITH cand AS ({adc})
+SELECT t.{id_col}, cand.adc_dist,
+       round(list_sum(list_transform(range(1, {d + 1}),
+             i -> ({v}[i] - {q}[i]) * ({v}[i] - {q}[i]))), 6)
+         AS exact_dist
+FROM {table} t JOIN cand ON t.{id_col} = cand.{id_col}
+ORDER BY exact_dist ASC, t.{id_col} ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ: coarse cells (partition pruning) + PQ codes (byte storage)
 # ---------------------------------------------------------------------------
@@ -293,6 +366,7 @@ def build_ivfpq_index(
     cell_centroids: list[list[float]] | None = None,
     mode: str = "overwrite",
     encode: str = "auto",
+    store_vectors: bool = False,
 ) -> None:
     """The full faiss-shape index: vectors assign to a coarse cell
     (similarity.build_ivf_index semantics — partition pruning at
@@ -304,6 +378,10 @@ def build_ivfpq_index(
       data/       (id, codes array<int>) partitioned by cell
       centroids/  coarse cell centroids (ci, c)
       codebooks/  PQ codebooks (j, c, centroid array<double>)
+      vectors/    (store_vectors=True) the ORIGINAL vectors
+                  partitioned by the same cell — the refine sidecar:
+                  a query's exact re-rank reads only the nprobe
+                  pruned cell dirs, never the whole corpus
     """
     from .clustering import _assign
 
@@ -328,6 +406,10 @@ def build_ivfpq_index(
                       encode=encode, keep_cols=("cell",))
     p = path.rstrip("/")
     (codes.write.mode(mode).partitionBy("cell").parquet(p + "/data"))
+    if store_vectors:
+        (assigned.select(id_col, F.col("v").alias(vec_col), "cell")
+         .write.mode(mode).partitionBy("cell")
+         .parquet(p + "/vectors"))
     spark = df.sparkSession
     (spark.createDataFrame([(i, c) for i, c in enumerate(cents)],
                            "ci int, c array<double>")
@@ -360,6 +442,8 @@ def ivfpq_topk_indexed(
     k: int = 10,
     id_col: str = "vec_id",
     nprobe: int = 4,
+    refine_mult: int | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """ADC top-k over a build_ivfpq_index artifact: probe-cell
     selection against the tiny centroid table with the SAME metric
@@ -368,7 +452,13 @@ def ivfpq_topk_indexed(
     cells), then a partition-pruned read of the nprobe matching cell
     dirs, then the pq_topk LUT fold over codes. nprobe = n_cells
     reproduces pq_topk over the full corpus exactly
-    (equivalence-tested)."""
+    (equivalence-tested).
+
+    `refine_mult=c` re-ranks the ADC top-(c·k) by exact distance
+    from the index's `vectors/` sidecar (build with
+    store_vectors=True) — the sidecar read is pruned to the SAME
+    nprobe cells, so refine adds one partition-pruned scan of c·k-ish
+    rows, not a corpus pass."""
     import math
 
     p = path.rstrip("/")
@@ -387,4 +477,10 @@ def ivfpq_topk_indexed(
     probe = [ci for _, ci in sims[:nprobe]]
     codes = (spark.read.parquet(p + "/data")
              .filter(F.col("cell").isin(probe)))
-    return pq_topk(codes, books, query_vec, k=k, id_col=id_col)
+    vectors = None
+    if refine_mult is not None:
+        vectors = (spark.read.parquet(p + "/vectors")
+                   .filter(F.col("cell").isin(probe)))
+    return pq_topk(codes, books, query_vec, k=k, id_col=id_col,
+                   refine_mult=refine_mult, vectors_df=vectors,
+                   vec_col=vec_col)

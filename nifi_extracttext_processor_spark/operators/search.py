@@ -201,6 +201,7 @@ def bm25_score_pairs(
     query_col: str = "query",
     k1: float = 1.2,
     b: float = 0.75,
+    max_literal_terms: int = 20_000,
 ) -> DataFrame:
     """Batch retrieval: top-k docs for EACH query in `queries_df`
     (query_id_col, query_col), one corpus scan for all queries.
@@ -211,6 +212,14 @@ def bm25_score_pairs(
     partition-parallel, never a global sort. Used for benchmark
     decontamination audits: queries = benchmark prompts, hits = docs
     to inspect.
+
+    Up to `max_literal_terms` distinct query terms, the union term
+    list is collected and inlined so the corpus side runs the same
+    single-tokenization slim scan as bm25_topk (the r7 double-scan
+    fix). Beyond the cap — where a driver collect and an isin()
+    literal of that size risk driver memory and Catalyst plan blowup
+    — it degrades gracefully to TWO corpus scans with the term
+    filter as a broadcast semi-join: slower, never fatal.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -223,22 +232,36 @@ def bm25_score_pairs(
                 F.split(F.lower(F.trim(F.col(query_col))), _TOKEN_SPLIT_RE),
                 lambda t: F.length(t) > 0))).alias("term"))
         .distinct())
-    # the query table is small by contract (it broadcasts), so the
-    # union term list is driver-safe; having it as a literal lets the
-    # corpus side run the same single-tokenization slim scan as
-    # bm25_topk instead of scanning once for stats and once for the
-    # explode+join (r7 VERDICT What's wrong #3)
-    all_terms = [r["term"] for r in
-                 qterms.select("term").distinct().collect()]
-    if not all_terms:
+    # probe with limit(cap + 1): the collect is bounded even when the
+    # "small by contract" query table turns out not to be
+    probe = (qterms.select("term").distinct()
+             .limit(max_literal_terms + 1).collect())
+    if not probe:
         raise ValueError("BM25 queries have no terms")
-    slim = _slim_scan(df, id_col, text_col, all_terms)
-    stats = slim.agg(F.count("*").alias("n_docs"),
-                     F.avg("dl").alias("avgdl"))
-
-    # a term shared by several queries fans out only at join time
-    corpus_terms = slim.select(id_col, "dl",
-                               F.explode("qtoks").alias("term"))
+    if len(probe) <= max_literal_terms:
+        all_terms = [r["term"] for r in probe]
+        slim = _slim_scan(df, id_col, text_col, all_terms)
+        stats = slim.agg(F.count("*").alias("n_docs"),
+                         F.avg("dl").alias("avgdl"))
+        # a term shared by several queries fans out only at join time
+        corpus_terms = slim.select(id_col, "dl",
+                                   F.explode("qtoks").alias("term"))
+    else:
+        base = df.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))),
+                        _TOKEN_SPLIT_RE),
+                lambda t: F.length(t) > 0).alias("toks"))
+        withdl = base.select(id_col,
+                             F.size("toks").alias("dl"), "toks")
+        stats = withdl.agg(F.count("*").alias("n_docs"),
+                           F.avg("dl").alias("avgdl"))
+        corpus_terms = (withdl
+                        .select(id_col, "dl",
+                                F.explode("toks").alias("term"))
+                        .join(F.broadcast(
+                            qterms.select("term").distinct()), "term"))
     tf = (corpus_terms.groupBy(id_col, "term")
           .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

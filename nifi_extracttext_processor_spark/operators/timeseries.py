@@ -189,9 +189,14 @@ def detect_changepoints(
 
     The textbook recursion S⁺ᵢ = max(0, S⁺ᵢ₋₁ + dᵢ) looks
     iterative, but max-0-clamped cumulation equals
-    (running sum) − (running min of that sum) — so the whole chart
-    is TWO ordinary window functions over one sort, no UDF, no fold:
-    Catalyst and the DuckDB twin replay it exactly (round-6).
+    Cᵢ − min(0, minⱼ≤ᵢ Cⱼ) over the running sum Cᵢ = Σdⱼ — the
+    min must include the EMPTY prefix C₀ = 0 (hence the min(0, ·)),
+    or a series that deviates from its reference from the very first
+    row under-reports by the first sample's deviation. So the whole
+    chart is TWO ordinary window functions over one sort, no UDF,
+    no fold: Catalyst and the DuckDB twin replay it exactly
+    (round-6), and a pure-Python textbook-recursion oracle test
+    pins the identity.
 
     Output: (*key_cols, ts_col, value_col, cusum_pos, cusum_neg,
     is_change). Reference μ/σ default to the key's own FULL-series
@@ -234,10 +239,12 @@ def detect_changepoints(
     cums = d.select(*keys, ts_col, value_col, *tb,
                     F.sum(z - drift).over(w).alias("__cp"),
                     F.sum(z + drift).over(w).alias("__cn"))
-    pos = F.round(F.greatest(
-        F.col("__cp") - F.min("__cp").over(w), F.lit(0.0)), 6)
-    neg = F.round(F.greatest(
-        F.max("__cn").over(w) - F.col("__cn"), F.lit(0.0)), 6)
+    # include the empty prefix C0 = 0 in the running extremum:
+    # S+ = C - min(0, min C), S- = max(0, max C) - C
+    pos = F.round(
+        F.col("__cp") - F.least(F.min("__cp").over(w), F.lit(0.0)), 6)
+    neg = F.round(
+        F.greatest(F.max("__cn").over(w), F.lit(0.0)) - F.col("__cn"), 6)
     return (cums.select(*keys, ts_col, value_col,
                         pos.alias("cusum_pos"), neg.alias("cusum_neg"))
             .withColumn("is_change",
@@ -299,10 +306,10 @@ c AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT {keys}, {ts_col}, {value_col},
-       round(greatest(cp - mincp, 0.0), 6) AS cusum_pos,
-       round(greatest(maxcn - cn, 0.0), 6) AS cusum_neg,
-       (round(greatest(cp - mincp, 0.0), 6) > {threshold}
-        OR round(greatest(maxcn - cn, 0.0), 6) > {threshold})
+       round(cp - least(mincp, 0.0), 6) AS cusum_pos,
+       round(greatest(maxcn, 0.0) - cn, 6) AS cusum_neg,
+       (round(cp - least(mincp, 0.0), 6) > {threshold}
+        OR round(greatest(maxcn, 0.0) - cn, 6) > {threshold})
          AS is_change
 FROM c
 """

@@ -101,6 +101,33 @@ class TestPhashKernel:
               for r in phash64_table(df).collect()}
         assert _hamming_hex(hs["small"], hs["big"]) <= 4
 
+    def test_8x_thumbnail_collides(self, spark):
+        # a 256px image with pixel-level noise vs its 32px thumbnail:
+        # only the area-average pre-pool (imagehash convention) keeps
+        # these together — nearest-index sampling reads individual
+        # noisy pixels and diverges
+        import hashlib
+        big = []
+        for y in range(256):
+            for x in range(256):
+                v = _scene_a()[(y // 8) * 32 + (x // 8)]
+                noise = (hashlib.md5(f"{x},{y}".encode())
+                         .digest()[0] % 97) - 48
+                big.append(max(0, min(255, v + noise)))
+        thumb = []
+        for by in range(32):
+            for bx in range(32):
+                acc = sum(big[(by * 8 + dy) * 256 + bx * 8 + dx]
+                          for dy in range(8) for dx in range(8))
+                thumb.append(acc // 64)
+        df = spark.createDataFrame(
+            [("big", _gray_png(256, 256, big)),
+             ("thumb", _gray_png(32, 32, thumb))],
+            "media_id string, content binary")
+        hs = {r["media_id"]: r["phash"]
+              for r in phash64_table(df).collect()}
+        assert _hamming_hex(hs["big"], hs["thumb"]) <= 6
+
     def test_decode_failure_is_null_not_fatal(self, spark):
         df = spark.createDataFrame(
             [("ok", _gray_png(8, 8, list(range(64)))),

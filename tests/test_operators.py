@@ -5253,6 +5253,27 @@ class TestSampleAndMix:
                 sample_by_hash_sql("t", rate, seed=3 + i)).fetchall()]
         assert got == sorted(want)
 
+    def test_mix_token_plan_single_action(self, spark, monkeypatch):
+        # N sources plan in ONE Spark action (a tagged union + one
+        # grouped agg), not one agg().collect() round trip per source
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            mix_token_plan,
+        )
+        short, long_ = self._token_sources(spark)
+        cls = type(short)          # the concrete DataFrame class
+        calls = []
+        orig = cls.collect
+
+        def counting(self_df):
+            calls.append(1)
+            return orig(self_df)
+
+        monkeypatch.setattr(cls, "collect", counting)
+        totals, rates, budget = mix_token_plan(
+            [(short, 0.5), (long_, 0.3), (short, 0.2)])
+        assert len(calls) == 1
+        assert totals == [10000, 40000, 10000]
+
     def test_mix_tokens_bad_args(self, spark):
         import pytest as pt
 

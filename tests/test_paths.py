@@ -140,6 +140,60 @@ class TestChangepoints:
             tiebreak_col="v")).fetchall())
         assert got == want
 
+    def test_textbook_recursion_oracle(self, spark):
+        # pure-Python Page (1954) recursion replayed point-for-point,
+        # on a series whose FIRST point already deviates from the
+        # reference — the case the window identity only matches when
+        # the empty prefix C0 = 0 enters the running extremum
+        vals = [10.0, 0.5, -0.2, 9.5, 11.0, 0.1, 10.2, -0.4, 9.9, 0.3]
+        df = spark.createDataFrame(
+            [("k", _t(i), v) for i, v in enumerate(vals)],
+            "k string, ts timestamp, v double")
+        mu = sum(vals) / len(vals)
+        sd = (sum((v - mu) ** 2 for v in vals) / len(vals)) ** 0.5
+        drift = 0.5
+        sp = sn = 0.0
+        want = []
+        for v in vals:
+            z = (v - mu) / sd
+            sp = max(0.0, sp + z - drift)
+            sn = max(0.0, sn - z - drift)
+            want.append((round(sp, 6), round(sn, 6)))
+        rows = sorted(detect_changepoints(
+            df, "ts", ["k"], "v", drift=drift).collect(),
+            key=lambda r: r["ts"])
+        got = [(r["cusum_pos"], r["cusum_neg"]) for r in rows]
+        assert [p for p, _ in got] == pytest.approx(
+            [p for p, _ in want], abs=1e-6)
+        assert [n for _, n in got] == pytest.approx(
+            [n for _, n in want], abs=1e-6)
+
+    def test_first_point_deviation_counted(self, spark):
+        # advisor scenario: every z ≈ 3σ above a baseline reference
+        # from the first post-baseline row; textbook S+ after m such
+        # points is m*(z - drift) — no under-report by the first
+        # sample's deviation
+        base = [(i % 2) * 2.0 for i in range(10)]       # mu=1, sd=1
+        after = [4.0 if i % 2 else 2.0 for i in range(10)]  # z in {1,3}
+        vals = base + after
+        df = spark.createDataFrame(
+            [("k", _t(i), v) for i, v in enumerate(vals)],
+            "k string, ts timestamp, v double")
+        rows = sorted(detect_changepoints(
+            df, "ts", ["k"], "v", drift=0.5,
+            baseline_n=10).collect(), key=lambda r: r["ts"])
+        sp = 0.0
+        want = []
+        for v in vals:
+            z = v - 1.0
+            sp = max(0.0, sp + z - 0.5)
+            want.append(round(sp, 6))
+        got = [r["cusum_pos"] for r in rows]
+        assert got == pytest.approx(want, abs=1e-6)
+        # the first post-shift point carries its own deviation on top
+        # of the baseline tail (S+=0.5 at i=9): z=1 at i=10 → S+=1.0
+        assert got[10] == pytest.approx(1.0, abs=1e-6)
+
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             detect_changepoints(self._series(spark), "ts", [], "v")

@@ -164,3 +164,54 @@ def test_hashed_tf_no_udf_mapside_agg(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+class TestSpreadGuard:
+    """_spread (operators/dedup.py) must widen narrow file scans but
+    NOT re-shuffle frames that are already at shuffle width (the r8
+    semantic_dedup_k256 regression)."""
+
+    def test_file_scan_still_spreads(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            _spread,
+        )
+        p = str(tmp_path / "one")
+        spark.range(100).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        plan = _plan(_spread(df))
+        assert "Exchange RoundRobinPartitioning" in plan
+
+    def test_shuffle_derived_not_respread(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            _spread,
+        )
+        p = str(tmp_path / "two")
+        spark.range(100).withColumn("k", F.col("id") % 5) \
+            .coalesce(1).write.parquet(p)
+        base = spark.read.parquet(p)
+        for derived in (
+            base.groupBy("k").agg(F.count("*").alias("n")),
+            base.repartition(8, "k"),
+            base.join(base.select("id"), "id"),
+        ):
+            plan = _plan(_spread(derived))
+            assert "RoundRobinPartitioning" not in plan
+
+    def test_already_wide_flag(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            _spread,
+        )
+        p = str(tmp_path / "three")
+        spark.range(10).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        assert _spread(df, already_wide=True) is df
+
+    def test_local_relation_still_spreads(self, spark):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            _spread,
+        )
+        df = spark.createDataFrame([(i,) for i in range(20)], "id long")
+        plan = _plan(_spread(df))
+        assert "RoundRobinPartitioning" in plan

@@ -120,6 +120,21 @@ class TestBM25DuckDBParity:
                 bm25_score_pairs_sql(queries, k=3)).df().iterrows())
         assert got == want
 
+    def test_pairs_semijoin_fallback_matches_literal(self, spark):
+        # above max_literal_terms the pairs path degrades to the
+        # broadcast semi-join double scan — same results, no driver
+        # term collect
+        queries = [("q1", "quick fox"), ("q2", "dog"),
+                   ("q3", "turtle clusters")]
+        qdf = spark.createDataFrame(queries,
+                                    "query_id string, query string")
+        lit = sorted(tuple(r) for r in
+                     bm25_score_pairs(_df(spark), qdf, k=3).collect())
+        semi = sorted(tuple(r) for r in
+                      bm25_score_pairs(_df(spark), qdf, k=3,
+                                       max_literal_terms=2).collect())
+        assert semi == lit
+
     def test_pairs_matches_single_query_path(self, spark):
         # per-query results from the batch path == the single-query op
         qdf = spark.createDataFrame([("q1", "quick fox dog")],
