@@ -86,6 +86,15 @@ HEADLINE = [
                            # DCT, is the 100 TB-relevant part)
     "dsir_weights",        # hashed-ngram models + broadcast-join
                            # scoring (two aggs + one score pass)
+    # round-9 additions (appended, legacy order preserved)
+    "audio_match_pairs",   # constellation-hash equi-join + offset
+                           # histogram (fake kernel: the join cost)
+    "fuzzy_edit_join",     # prefix-filtered edit-similarity self-join
+    "nbayes_predict",      # NB train (bounded aggs) + broadcast score
+    "events_gap_fill",     # per-key spine explode + keyed fill windows
+    "llm_pretrain",        # the capstone composition: 2-source clean
+                           # (near+semantic dedup, decontaminate) +
+                           # token mixing + split + BPE + packing
 ]
 
 
@@ -158,6 +167,44 @@ def _q_web_corpus_prep(spark, sf_dir):
     return prepare_web_corpus(docs, min_quality=0.3)
 
 
+def _q_llm_pretrain(spark, sf_dir):
+    """The composed pretraining pipeline over the documents table
+    split into two pseudo-sources (even/odd ids, 60/40 token
+    weights), with the embeddings sidecar for semantic dedup and a
+    benchmark slice for decontamination; BPE trains on the train
+    split, and the returned frame is the packed sequence assignment
+    (forced by the noop sink like every headliner)."""
+    from nifi_extracttext_processor_spark.operators.corpus import (
+        pack_sequences,
+    )
+    from nifi_extracttext_processor_spark.operators.tokenize import (
+        bpe_tokenize, train_bpe,
+    )
+    from nifi_extracttext_processor_spark.plans.llm_pretrain import (
+        build_pretrain_corpus, clean_source,
+    )
+    from nifi_extracttext_processor_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .withColumnRenamed("vec_id", "doc_id")
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    srcs = [(docs.filter(F.col("doc_id") % 2 == 0), 0.6),
+            (docs.filter(F.col("doc_id") % 2 == 1), 0.4)]
+    cleaned = [(clean_source(s, near_threshold=0.5, embeddings=emb,
+                             semantic_k=32, benchmark=bench_docs),
+                w) for s, w in srcs]
+    from nifi_extracttext_processor_spark.operators.lifecycle import (
+        track_persist,
+    )
+    cleaned = [(track_persist(c.select("doc_id", "text")), w)
+               for c, w in cleaned]
+    corpus = build_pretrain_corpus(cleaned)
+    merges = train_bpe(corpus.filter(F.col("split") == "train"),
+                       n_merges=200, max_words=20000)
+    toked = bpe_tokenize(corpus, merges, tokens_col=None)
+    return pack_sequences(toked, budget=2048, count_col="n_bpe_real")
+
+
 def _q_zorder_cluster(spark, sf_dir):
     from nifi_extracttext_processor_spark.operators.layout import (
         cluster_by_zorder,
@@ -205,6 +252,7 @@ LOCAL = {
     "semantic_dedup_gemm": _q_semantic_dedup_gemm,
     "semantic_dedup_k256": _q_semantic_dedup_k256,
     "web_corpus_prep": _q_web_corpus_prep,
+    "llm_pretrain": _q_llm_pretrain,
 }
 
 

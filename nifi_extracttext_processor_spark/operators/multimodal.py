@@ -1131,15 +1131,123 @@ FROM {table}
 """
 
 
+# IMA ADPCM step table (IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", 1992 — the standard 89-entry table
+# every IMA/DVI decoder shares, incl. CPython's audioop, which the
+# tests use as an independent reference) and index-adjust table.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ulaw_byte(u: int) -> int:
+    """G.711 µ-law byte → linear 16-bit sample (closed-form spec
+    expansion: bias 0x84, 3-bit exponent, 4-bit mantissa)."""
+    u = ~u & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def _alaw_byte(a: int) -> int:
+    """G.711 A-law byte → linear 16-bit sample (closed-form spec
+    expansion: XOR 0x55, exponent-0 special case)."""
+    a ^= 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    if exp == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (exp - 1)
+    return mag if a & 0x80 else -mag    # sign bit 1 = positive
+
+
+def _ima_decode_nibble(nib: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM step: nibble + (predictor, step index) → new
+    (predictor, index). The standard vpdiff expansion with int16
+    clamping — identical arithmetic to audioop.adpcm2lin."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+    return pred, index
+
+
+def _ima_adpcm_blocks(raw: bytes, nch: int,
+                      block_align: int) -> list[float]:
+    """WAV IMA ADPCM (format 0x11) block walk → interleaved float
+    samples in [-1, 1]. Per block and channel: a 4-byte header
+    (int16 predictor, uint8 step index, reserved) emitting the first
+    sample, then the data region in 4-byte words round-robin per
+    channel, LOW nibble first within each byte."""
+    import struct
+
+    if block_align < 4 * nch:
+        raise ValueError("IMA ADPCM block smaller than its headers")
+    out: list[list[float]] = [[] for _ in range(nch)]
+    for bo in range(0, len(raw) - (4 * nch) + 1, block_align):
+        block = raw[bo:bo + block_align]
+        preds, idxs = [], []
+        for c in range(nch):
+            pred, idx = struct.unpack_from("<hB", block, c * 4)[:2]
+            idx = min(88, idx)
+            preds.append(pred)
+            idxs.append(idx)
+            out[c].append(pred / 32768.0)
+        data = block[4 * nch:]
+        # 4-byte words alternate channels: ch0 word, ch1 word, ...
+        for wo in range(0, len(data) - 3, 4 * nch):
+            for c in range(nch):
+                word = data[wo + c * 4:wo + c * 4 + 4]
+                for b in word:
+                    for nib in (b & 0x0F, b >> 4):
+                        preds[c], idxs[c] = _ima_decode_nibble(
+                            nib, preds[c], idxs[c])
+                        out[c].append(preds[c] / 32768.0)
+    n = min(len(ch) for ch in out)
+    inter: list[float] = []
+    for f in range(n):
+        for c in range(nch):
+            inter.append(out[c][f])
+    return inter
+
+
 def decode_audio_pcm(data: bytes) -> tuple[int, int, list[float]]:
     """Pure-stdlib RIFF/WAVE decode → (sample_rate, n_channels,
     mono waveform floats in [-1, 1], channel-averaged).
 
-    Supports PCM (format 1) at 8 (unsigned) / 16 / 24 / 32-bit signed
-    and IEEE float (format 3) at 32/64-bit; chunk walk honors word
-    alignment and skips non-fmt/data chunks (LIST, cue, ...).
-    Compressed formats (MP3/AAC/ADPCM...) raise NotImplementedError —
-    no codec libraries in this container."""
+    Supports PCM (format 1) at 8 (unsigned) / 16 / 24 / 32-bit signed,
+    IEEE float (format 3) at 32/64-bit, G.711 A-law (format 6) and
+    µ-law (format 7) via their closed-form spec expansions, and IMA
+    ADPCM (format 0x11) via the standard 89-entry step table — the
+    telephony and speech-corpus encodings, all verifiable in-container
+    against stdlib audioop. Chunk walk honors word alignment and
+    skips non-fmt/data chunks (LIST, cue, ...).
+
+    Perceptual/transform codecs (MPEG Layer I-III, AAC, Vorbis...)
+    raise NotImplementedError — an environment determination, not a
+    gap: see README "MPEG audio decode" (their conformance depends on
+    large spec-tabulated data — the 512-coefficient synthesis window,
+    Layer III Huffman tables — that cannot be validated here without
+    a reference decoder or conformance bitstreams, and an unvalidated
+    decoder would produce plausible-but-WRONG waveforms that silently
+    corrupt fingerprints; the honest-failure A6 posture routes them
+    to the error side instead)."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -1182,10 +1290,18 @@ def decode_audio_pcm(data: bytes) -> tuple[int, int, list[float]]:
         vals = [float(v) for (v,) in
                 struct.iter_unpack(code, raw[:len(raw)
                                              - len(raw) % width])]
+    elif audio_fmt == 7 and bits == 8:      # G.711 µ-law
+        vals = [_ulaw_byte(b) / 32768.0 for b in raw]
+    elif audio_fmt == 6 and bits == 8:      # G.711 A-law
+        vals = [_alaw_byte(b) / 32768.0 for b in raw]
+    elif audio_fmt == 0x11 and bits == 4:   # IMA ADPCM
+        block_align = struct.unpack_from("<H", fmt, 12)[0]
+        vals = _ima_adpcm_blocks(raw, nch, block_align)
     else:
         raise NotImplementedError(
             f"WAV format {audio_fmt} at {bits}-bit needs a codec "
-            "library (PCM 8/16/24/32 and float 32/64 supported)")
+            "library (PCM 8/16/24/32, float 32/64, G.711 u/A-law, "
+            "IMA ADPCM supported)")
     n_frames = len(vals) // nch
     mono = [sum(vals[f * nch:(f + 1) * nch]) / nch
             for f in range(n_frames)]

@@ -1,0 +1,267 @@
+"""The composed LLM-pretraining data pipeline — the capstone that
+chains every stage this engine provides: multi-source documents in,
+tokenized / packed / sharded training corpus (with manifest) out.
+
+This is the end-to-end shape of a RedPajama / Dolma / FineWeb build:
+
+  per source:  prep (plans.web_corpus / plans.training_data)
+               → near dedup (MinHash-LSH keep-best)
+               → semantic dedup (SemDeDup, optional embedding sidecar)
+               → decontamination (n-gram; semantic optional)
+  across sources:
+               → token-share mixing (mix_corpora_tokens)
+               → cross-source exact dedup
+               → split assignment (split_by_hash)
+               → BPE train (train split) → tokenize → pack → shard
+
+Stage-order rationale — cheapest / narrowest / most-selective first,
+the 100 TB ordering where every expensive stage sees only survivors
+(same discipline as plans/web_corpus.py):
+
+1. **Per-source prep first.** Language/quality/Gopher filters are
+   narrow zero-UDF projections; URL + exact dedup shuffle only
+   (hash, id). They remove the bulk cheaply so the quadratic-ish
+   stages below never see it.
+2. **Near dedup per source, BEFORE mixing.** MinHash shuffles only
+   band hashes and ids. It must precede the mixture: duplicate mass
+   inflates a source's token total, and mix rates derived from
+   inflated totals over-sample exactly the duplicated content.
+3. **Semantic dedup after near dedup.** The most expensive dedup
+   (vector assignment + per-cluster pairwise) runs on the fewest
+   rows. Embeddings ride a sidecar keyed by doc id — text and
+   vectors never appear in the same shuffle.
+4. **Decontamination before mixing.** Benchmark n-grams broadcast;
+   only matched doc ids shuffle. Contaminated docs must not count
+   toward the token budget (and must never reach the tokenizer).
+5. **Token-share mixing.** One planning job for ALL sources' token
+   totals (tagged union + grouped agg), then deterministic hash
+   sampling — reruns reproduce the mixture bit-for-bit.
+6. **Cross-source exact dedup AFTER mixing.** The same page
+   syndicated into two sources is rare but real; a (fingerprint,
+   id)-only shuffle over the mixed survivors is cheap. Running it
+   after mixing perturbs achieved shares by at most the cross-source
+   duplicate rate (documented; the per-source near dedup already
+   removed the mass that would matter).
+7. **Split assignment is narrow** and runs on the final corpus so
+   membership is a pure function of (id, seed) — documents can never
+   migrate across train/val/test between reruns or snapshots.
+8. **Tokenizer trains on the train split only** (no val/test
+   leakage into the vocabulary), from a bounded sampled histogram;
+   encoding is a map-only Arrow kernel; packing windows are
+   hash-bucketed (no global sort, no hot key); the shard writer
+   costs exactly one repartition and manifests what it wrote.
+
+Reference scope: the NiFi reference (tspannhw/nifi-extracttext-
+processor) ends at extracted text + attributes; this plan is the
+SURVEY §2 extension block composed end-to-end (the "what a user
+would actually run" pipeline the per-stage operators exist for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_threshold: float | None = 0.5,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_k: int = 8,
+    benchmark: DataFrame | None = None,
+    benchmark_embeddings: DataFrame | None = None,
+    decontaminate_n: int = 8,
+    semantic_decon_threshold: float = 0.9,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One source through stages 2-4: near dedup → semantic dedup →
+    decontamination. Input should already be prepped (stage 1 —
+    plans.web_corpus.prepare_web_corpus or
+    plans.training_data.prepare_training_data); this function only
+    needs (id_col, text_col, ...passthrough).
+
+    Every stage here moves ids/hashes/vectors only — document text
+    stays put until the survivors are materialized."""
+    from ..operators.clustering import semantic_dedup
+    from ..operators.corpus import (
+        decontaminate_filter,
+        decontaminate_semantic,
+    )
+    from ..operators.dedup import keep_best_per_cluster
+
+    out = df
+    if near_threshold is not None:
+        kept = keep_best_per_cluster(
+            out.select(id_col, text_col), id_col=id_col,
+            text_col=text_col, threshold=near_threshold)
+        out = out.join(kept.select(id_col), id_col)
+    if embeddings is not None:
+        vecs = embeddings.select(F.col(id_col),
+                                 F.col(vec_col).alias("__v"))
+        # restrict the expensive stage to near-dedup survivors
+        vecs = vecs.join(out.select(id_col), id_col)
+        # sidecar coverage is rarely 100%: docs WITHOUT an embedding
+        # pass through unexamined (semantic dedup cannot judge them);
+        # only the covered-but-pruned ids are dropped. The isEmpty
+        # probe is one cheap action per source (it guards kmeans
+        # against a zero-coverage source, e.g. a code corpus mixed
+        # with an embedded web corpus).
+        if not vecs.isEmpty():
+            sem_kept = semantic_dedup(
+                vecs, id_col=id_col, vec_col="__v", k=semantic_k,
+                threshold=semantic_threshold,
+                method="gemm", assign="arrow")
+            pruned = vecs.select(id_col).join(
+                sem_kept.select(id_col), id_col, "left_anti")
+            out = out.join(pruned, id_col, "left_anti")
+    if benchmark is not None:
+        out = decontaminate_filter(out, benchmark, id_col=id_col,
+                                   text_col=text_col,
+                                   n=decontaminate_n)
+    if benchmark_embeddings is not None:
+        if embeddings is None:
+            raise ValueError(
+                "semantic decontamination needs the corpus embeddings "
+                "sidecar too")
+        flags = decontaminate_semantic(
+            embeddings.join(out.select(id_col), id_col),
+            benchmark_embeddings, id_col=id_col, vec_col=vec_col,
+            threshold=semantic_decon_threshold)
+        out = out.join(
+            flags.filter(~F.col("contaminated")).select(id_col),
+            id_col)
+    return out
+
+
+def build_pretrain_corpus(
+    sources: "list[tuple[DataFrame, float]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int | None = None,
+    split_weights: "dict[str, int] | None" = None,
+    seed: int = 0,
+    md5: bool = False,
+    cross_source_dedup: bool = True,
+) -> DataFrame:
+    """Stages 5-7 over CLEANED sources (clean_source output):
+    token-share mixing → cross-source exact dedup → split labels.
+    Returns (id_col, text_col, ...passthrough, mix_source, split)."""
+    from ..operators.corpus import (
+        mix_corpora_tokens,
+        split_by_hash,
+        split_by_hash_md5,
+    )
+    from ..operators.dedup import dedup_exact
+
+    mixed = mix_corpora_tokens(sources, text_col=text_col,
+                               token_budget=token_budget,
+                               id_col=id_col, seed=seed, md5=md5)
+    if cross_source_dedup:
+        mixed = dedup_exact(mixed, id_col=id_col, text_col=text_col)
+    if md5:
+        return split_by_hash_md5(mixed, id_col=id_col,
+                                 weights=split_weights)
+    return split_by_hash(mixed, id_col=id_col, weights=split_weights,
+                         seed=seed)
+
+
+def tokenize_pack_shard(
+    corpus: DataFrame,
+    path: str,
+    num_shards: int = 8,
+    seq_budget: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: "list[tuple[str, str]] | str | None" = None,
+    n_merges: int = 500,
+    bpe_sample_fraction: float | None = None,
+    train_split: str = "train",
+    seed: int = 0,
+    mode: str = "overwrite",
+) -> "tuple[DataFrame, list[tuple[str, str]]]":
+    """Stage 8: BPE (train on the train split unless `merges` is
+    given — a merge list, or a str path saved with models.save_bpe)
+    → tokenize (exact counts) → pack sequences on the REAL token
+    counts → land as stable shards + manifest.
+
+    Returns (manifest, merges). Packing uses bpe_tokenize's
+    n_bpe_real via pack_sequences(count_col=...) so sequence budgets
+    are measured in the tokens that will actually be emitted, not the
+    regex approximation."""
+    from ..operators.corpus import pack_sequences, write_corpus_shards
+    from ..operators.tokenize import bpe_tokenize, train_bpe
+
+    if merges is None:
+        train = corpus.filter(F.col("split") == train_split) \
+            if "split" in corpus.columns else corpus
+        merges = train_bpe(train, text_col=text_col,
+                           n_merges=n_merges,
+                           sample_fraction=bpe_sample_fraction,
+                           seed=seed)
+    elif isinstance(merges, str):
+        from ..operators.models import load_bpe
+        merges = load_bpe(corpus.sparkSession, merges)
+    toked = bpe_tokenize(corpus, merges, text_col=text_col,
+                         tokens_col=None, count_col="n_bpe_real")
+    packed = pack_sequences(toked, budget=seq_budget,
+                            n_buckets=n_buckets, id_col=id_col,
+                            count_col="n_bpe_real")
+    out = toked.join(packed.select(id_col, "bucket", "seq_no"),
+                     id_col)
+    manifest = write_corpus_shards(out, path, num_shards,
+                                   id_col=id_col, seed=seed,
+                                   token_col="n_bpe_real", mode=mode)
+    return manifest, merges
+
+
+def llm_pretrain_plan(
+    sources: "list[tuple[DataFrame, float]]",
+    path: str,
+    benchmark: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_threshold: float | None = 0.5,
+    semantic_threshold: float = 0.95,
+    decontaminate_n: int = 8,
+    token_budget: int | None = None,
+    split_weights: "dict[str, int] | None" = None,
+    num_shards: int = 8,
+    seq_budget: int = 2048,
+    n_merges: int = 500,
+    seed: int = 0,
+    md5: bool = False,
+) -> "tuple[DataFrame, list[tuple[str, str]]]":
+    """The full composition: clean each (already-prepped) source,
+    mix on token shares, split, tokenize, pack, shard. Returns
+    (manifest, merges). See the module docstring for why the stages
+    run in this order.
+
+    Lifecycle: each cleaned source is persisted (lifecycle-tracked)
+    at its fan-out boundary — the mixing planner aggregates token
+    totals over it AND the sampler re-reads it; without the persist
+    the near/semantic dedup would execute twice per source."""
+    from ..operators.lifecycle import track_persist
+
+    cleaned = []
+    for df, w in sources:
+        c = clean_source(df, id_col=id_col, text_col=text_col,
+                         near_threshold=near_threshold,
+                         embeddings=embeddings,
+                         semantic_threshold=semantic_threshold,
+                         benchmark=benchmark,
+                         decontaminate_n=decontaminate_n)
+        cleaned.append((track_persist(c.select(id_col, text_col)), w))
+    corpus = build_pretrain_corpus(cleaned, id_col=id_col,
+                                   text_col=text_col,
+                                   token_budget=token_budget,
+                                   split_weights=split_weights,
+                                   seed=seed, md5=md5)
+    return tokenize_pack_shard(corpus, path, num_shards=num_shards,
+                               seq_budget=seq_budget,
+                               n_merges=n_merges, id_col=id_col,
+                               text_col=text_col, seed=seed)

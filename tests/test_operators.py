@@ -2599,6 +2599,211 @@ class TestAudioPcmDecode:
         assert abs(r["zero_crossing_rate"] - 2 * 100 / rate) < 0.01
 
 
+class TestTelephonyCodecs:
+    """G.711 u-law/A-law + IMA ADPCM decode vs stdlib audioop — an
+    INDEPENDENT C implementation of the same public specs (audioop is
+    present through Python 3.12; tests skip gracefully after its
+    removal, the closed-form self-checks still run)."""
+
+    @staticmethod
+    def _audioop():
+        try:
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                import audioop
+            return audioop
+        except ImportError:
+            return None
+
+    def test_ulaw_all_bytes_vs_audioop(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            _ulaw_byte,
+        )
+        ao = self._audioop()
+        if ao is None:
+            pytest.skip("audioop removed from this Python")
+        import struct
+        for b in range(256):
+            want = struct.unpack("<h", ao.ulaw2lin(bytes([b]), 2))[0]
+            assert _ulaw_byte(b) == want, b
+
+    def test_alaw_all_bytes_vs_audioop(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            _alaw_byte,
+        )
+        ao = self._audioop()
+        if ao is None:
+            pytest.skip("audioop removed from this Python")
+        import struct
+        for b in range(256):
+            want = struct.unpack("<h", ao.alaw2lin(bytes([b]), 2))[0]
+            assert _alaw_byte(b) == want, b
+
+    def test_ulaw_closed_form_anchors(self):
+        # spec anchors independent of audioop: 0xFF decodes to +0,
+        # 0x7F to -0, full scale at 0x80 (+32124) / 0x00 (-32124)
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            _ulaw_byte,
+        )
+        assert _ulaw_byte(0xFF) == 0
+        assert _ulaw_byte(0x7F) == 0
+        assert _ulaw_byte(0x80) == 32124
+        assert _ulaw_byte(0x00) == -32124
+
+    def test_ima_nibble_stepping_vs_audioop(self):
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            _ima_decode_nibble,
+        )
+        ao = self._audioop()
+        if ao is None:
+            pytest.skip("audioop removed from this Python")
+        import hashlib
+        import struct
+        nibbles = [hashlib.md5(str(i).encode()).digest()[0] & 0xF
+                   for i in range(400)]
+        pred, idx = 0, 0
+        state = (0, 0)
+        for i in range(0, len(nibbles), 2):
+            a, b = nibbles[i], nibbles[i + 1]
+            # audioop consumes the HIGH nibble first
+            frag, state = ao.adpcm2lin(bytes([(a << 4) | b]), 2, state)
+            s0, s1 = struct.unpack("<hh", frag)
+            pred, idx = _ima_decode_nibble(a, pred, idx)
+            assert pred == s0, i
+            pred, idx = _ima_decode_nibble(b, pred, idx)
+            assert pred == s1, i + 1
+
+    @staticmethod
+    def _ima_encode_nibble(sample, pred, idx):
+        """Independent textbook IMA encoder step for the round-trip
+        test (sign + 3 magnitude bits against the current step)."""
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            _IMA_STEPS, _ima_decode_nibble,
+        )
+        step = _IMA_STEPS[idx]
+        diff = sample - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, idx = _ima_decode_nibble(nib, pred, idx)
+        return nib, pred, idx
+
+    def _ima_wav(self, samples, rate=8000):
+        """Mono IMA ADPCM WAV from int16 samples (one block)."""
+        import struct
+        pred, idx = samples[0], 0
+        nibs = []
+        for s in samples[1:]:
+            nib, pred, idx = self._ima_encode_nibble(s, pred, idx)
+            nibs.append(nib)
+        if len(nibs) % 8:
+            nibs += [0] * (8 - len(nibs) % 8)   # pad to whole words
+        data = bytes(nibs[i] | (nibs[i + 1] << 4)
+                     for i in range(0, len(nibs), 2))
+        block = struct.pack("<hBB", samples[0], 0, 0) + data
+        spb = 1 + len(nibs)
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                          rate * len(block) // spb, len(block), 4,
+                          2, spb)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(block)) + block)
+        return (b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks)
+
+    def test_ima_wav_roundtrip_tone(self):
+        import math
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_audio_pcm,
+        )
+        rate = 8000
+        orig = [int(12000 * math.sin(2 * math.pi * 440 * t / rate))
+                for t in range(800)]
+        r, nch, mono = decode_audio_pcm(self._ima_wav(orig, rate))
+        assert (r, nch) == (rate, 1)
+        assert len(mono) >= len(orig)
+        err = [abs(mono[i] * 32768.0 - orig[i])
+               for i in range(len(orig))]
+        # ADPCM is lossy; after the adaptive step settles the error
+        # stays a small fraction of the amplitude
+        tail = err[100:]
+        assert sum(tail) / len(tail) < 800
+
+    def test_g711_wav_end_to_end(self):
+        import math
+        import struct
+
+        from nifi_extracttext_processor_spark.operators.multimodal import (
+            decode_audio_pcm,
+        )
+        ao = self._audioop()
+        if ao is None:
+            pytest.skip("audioop removed from this Python")
+        rate = 8000
+        pcm = b"".join(struct.pack(
+            "<h", int(16000 * math.sin(2 * math.pi * 300 * t / rate)))
+            for t in range(1600))
+        for afmt, enc in ((7, ao.lin2ulaw), (6, ao.lin2alaw)):
+            raw = enc(pcm, 2)
+            fmt = struct.pack("<HHIIHH", afmt, 1, rate, rate, 1, 8)
+            chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                      + b"data" + struct.pack("<I", len(raw)) + raw)
+            wav = (b"RIFF" + struct.pack("<I", 4 + len(chunks))
+                   + b"WAVE" + chunks)
+            r, nch, mono = decode_audio_pcm(wav)
+            assert (r, nch, len(mono)) == (rate, 1, 1600)
+            ref = [struct.unpack_from("<h", pcm, 2 * i)[0] / 32768.0
+                   for i in range(1600)]
+            # G.711 is ~38 dB SNR: small error on a 0.5 FS tone
+            err = max(abs(a - b) for a, b in zip(mono, ref))
+            assert err < 0.02, afmt
+
+    def test_fingerprints_match_across_g711_reencode(self, spark):
+        """The audio-dedup e2e on a compressed-telephony input: a
+        PCM tone and its u-law re-encode fingerprint-match."""
+        import math
+        import struct
+
+        from nifi_extracttext_processor_spark.operators.audio_dedup import (
+            audio_dedup_pairs,
+        )
+        ao = self._audioop()
+        if ao is None:
+            pytest.skip("audioop removed from this Python")
+        rate = 8000
+        # a two-tone "melody" so the constellation has structure
+        samp = []
+        for t in range(rate):
+            f = 600 if t < rate // 2 else 900
+            samp.append(int(16000 * math.sin(2 * math.pi * f * t / rate)))
+        pcm = b"".join(struct.pack("<h", s) for s in samp)
+        fmt16 = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        wav16 = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 16) + fmt16
+                 + b"data" + struct.pack("<I", len(pcm)) + pcm)
+        ul = ao.lin2ulaw(pcm, 2)
+        fmt7 = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+        wav7 = (b"RIFF" + struct.pack("<I", 36 + len(ul)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt7
+                + b"data" + struct.pack("<I", len(ul)) + ul)
+        df = spark.createDataFrame(
+            [Row(media_id="pcm", content=bytearray(wav16)),
+             Row(media_id="ulaw", content=bytearray(wav7))])
+        pairs = [(r["id1"], r["id2"]) for r in
+                 audio_dedup_pairs(df, fake=False).collect()]
+        assert ("pcm", "ulaw") in pairs or ("ulaw", "pcm") in pairs
+
+
 class TestResizeVariableDims:
     def test_real_decode_then_resize_mixed_sizes(self, spark):
         """decode_image(fake=False) → resize_image composes across rows
