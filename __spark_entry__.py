@@ -2303,6 +2303,104 @@ def q_triangle_counts(spark, sf):
     return gph.triangle_counts(_tri_seed(spark, sf))
 
 
+# ---- extension (r9): interpolated Kneser-Ney bigram LM (operators/
+# kn_lm.py — the word-level CCNet perplexity filter next to the
+# char-level add-k model; Kneser & Ney 1995, Chen & Goodman 1998).
+# Train AND score are pure aggregations + broadcast joins, so the
+# full pipeline replays in DuckDB (the nbayes posture). The reference
+# predicate splits the documents table into a train half and the
+# whole table scores. Below-window ----
+
+from nifi_extracttext_processor_spark.operators import kn_lm as knl  # noqa: E402
+
+
+@_q("kn_perplexity", knl.kn_score_sql(
+    "documents", ref_pred="doc_id % 3 = 0"))
+def q_kn_perplexity(spark, sf):
+    docs = _t(spark, sf, "documents")
+    model = knl.train_kn_bigram(docs.filter(F.col("doc_id") % 3 == 0))
+    return knl.kn_score(docs, model)
+
+
+# ---- extension (r9): SCD Type-2 dimension history (operators/
+# scd.py — Kimball type-2: changelog → validity intervals with no-op
+# compaction; incremental snapshot merge is pytest-verified incl.
+# the merge≡rebuild invariant). Below-window; (ts, event_id)
+# tiebreak keeps both engines' window order total ----
+
+from nifi_extracttext_processor_spark.operators import scd as scd_  # noqa: E402
+
+
+@_q("events_scd2", scd_.scd2_from_changelog_sql(
+    "events", ["user_id"], ["event_type"], ts_col="ts",
+    tiebreak_col="event_id"))
+def q_events_scd2(spark, sf):
+    return scd_.scd2_from_changelog(
+        _t(spark, sf, "events"), ["user_id"], ["event_type"],
+        ts_col="ts", tiebreak_col="event_id")
+
+
+# ---- extension (r9): Bloom-filter join pruning (operators/bloom.py
+# — the hand-rolled runtime filter: dim keys -> bounded bitset ->
+# fact rows probed BEFORE the shuffle). The ORACLE IS THE PLAIN JOIN:
+# a Bloom filter has no false negatives, so the pruned join must
+# return exactly the un-pruned join's rows — the property the gate
+# hash-verifies. Below-window ----
+
+from nifi_extracttext_processor_spark.operators import bloom as blm  # noqa: E402
+
+
+@_q("bloom_pruned_join", """
+SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_brand
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_partkey % 17 = 0
+""")
+def q_bloom_pruned_join(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    pt = (_t(spark, sf, "part")
+          .filter(F.col("p_partkey") % 17 == 0)
+          .select(F.col("p_partkey"), "p_brand"))
+    out = blm.bloom_prune_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), pt,
+        "p_partkey")
+    return out.select("l_orderkey",
+                      F.col("p_partkey").alias("l_partkey"),
+                      "l_quantity", "p_brand")
+
+
+# ---- extension (r9): HITS hubs & authorities (operators/graph.py —
+# Kleinberg 1999, the crawl-frontier complement to pagerank: hubs =
+# pages good to crawl FROM, authorities = pages worth having).
+# Below-window, same seeded host graph as host_pagerank, 3-iteration
+# unrolled CTE twin ----
+
+@_q("host_hits", gph.hits_sql(_EDGE_SEED_SQL, iters=3))
+def q_host_hits(spark, sf):
+    d = _t(spark, sf, "documents")
+    edges = (d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"),
+                 ((F.col("doc_id") * 7 + 3) % 37).cast("string"))
+        .alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    return gph.hits(edges, iters=3)
+
+
+# ---- extension (r9): token-balanced sharding (operators/corpus.py
+# — sorted round-robin LPT: equal-token training shards where the
+# hash sharder optimizes append stability instead; only (id, count)
+# pairs ever sort). Below-window ----
+
+@_q("balanced_shards", "SELECT doc_id, shard FROM ("
+    + cx.assign_shards_balanced_sql("documents", 8) + ")")
+def q_balanced_shards(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (cx.assign_shards_balanced(d.select("doc_id", "text"), 8)
+            .select("doc_id", "shard"))
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

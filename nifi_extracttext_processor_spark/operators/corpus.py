@@ -1019,6 +1019,68 @@ def assign_shards(
         .cast("int"))
 
 
+def assign_shards_balanced(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+    text_col: str = "text",
+    token_mode: str = "ws",
+) -> DataFrame:
+    """TOKEN-balanced shard assignment: docs ranked by (token count
+    desc, id asc), shard = (rank − 1) mod N — the sorted round-robin
+    form of LPT scheduling (Graham 1969: placing items largest-first
+    bounds any shard's excess by ONE item). Use when downstream
+    consumers need equal-token shards (training files that stream at
+    the same rate); `assign_shards` (hash) remains the right default
+    when shard STABILITY across incremental appends matters more
+    than balance — a balanced rank is global, so appends reshuffle
+    membership by construction.
+
+    Cost: one global sort of (id, n_tokens) PAIRS — ids and counts
+    only, never text (at 10^11 docs that is a ~TB-scale range sort,
+    the floor for any exact global ranking; the payload never
+    moves). Deterministic and engine-portable: rank ties break on
+    id, so the DuckDB twin replays membership exactly.
+
+    Token source: `count_col` (an existing column, e.g.
+    bpe_tokenize's n_bpe_real), else `token_mode` over `text_col`
+    ("ws"|"bpe", the pack_sequences convention)."""
+    from pyspark.sql import Window
+
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    n_tok = (F.col(count_col).cast("long") if count_col
+             else _token_count(text_col, token_mode))
+    toks = df.withColumn("__nt", n_tok)
+    w = Window.orderBy(F.desc("__nt"), F.asc(id_col))
+    return (toks
+            .withColumn("shard",
+                        ((F.row_number().over(w) - 1)
+                         % num_shards).cast("int"))
+            .drop("__nt"))
+
+
+def assign_shards_balanced_sql(
+    table: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    token_expr: str = "len(string_split_regex(text, '\\s+'))",
+) -> str:
+    """DuckDB twin of assign_shards_balanced (same rank, same ties,
+    same round-robin)."""
+    return f"""
+SELECT * EXCLUDE (__nt, __rk),
+       CAST((__rk - 1) % {num_shards} AS INTEGER) AS shard
+FROM (
+  SELECT *, {token_expr}::BIGINT AS __nt,
+         row_number() OVER (ORDER BY {token_expr}::BIGINT DESC,
+                            {id_col} ASC) AS __rk
+  FROM {table}
+)
+"""
+
+
 def shard_manifest(
     sharded: DataFrame,
     token_col: str | None = None,

@@ -444,3 +444,123 @@ def triangle_reference(
                 round(2.0 * tri[v] / (len(adj[v]) * (len(adj[v]) - 1)), 4)
                 if len(adj[v]) >= 2 else 0.0)
             for v in adj}
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kleinberg's HITS (1999) by fixed-iteration power method:
+    authority(v) = Σ hub(u) over in-edges, hub(u) = Σ authority(v)
+    over out-edges, each vector L1-normalized after its half-step.
+    Returns (node, authority, hub) over every node appearing as src
+    or dst; nodes with no in-edges get authority 0, no out-edges hub
+    0. Parallel edges count once (DISTINCT — the usual adjacency-
+    matrix formulation). Rounded to `round_dp` at the END only, so
+    the unrolled DuckDB twin replays the full double chain.
+
+    The complement to pagerank for crawl-frontier curation: pagerank
+    scores global endorsement, HITS separates "pages good to crawl
+    FROM" (hubs — link lists, indexes) from "pages worth having"
+    (authorities). Same scale shape as pagerank: per-iteration one
+    keyed join + partial agg each direction, scores
+    localCheckpoint-ed so the plan doesn't grow with iterations; the
+    L1 norm is a 1-row aggregate broadcast back."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    try:
+        if e.isEmpty():
+            raise ValueError("hits: empty edge list")
+        hub = nodes.withColumn("h", F.lit(1.0)) \
+            .localCheckpoint(eager=True)
+        auth = None
+        for _ in range(iters):
+            araw = (e.join(hub, e["src"] == hub["node"])
+                    .groupBy("dst").agg(F.sum("h").alias("a")))
+            asum = araw.agg(F.sum("a").alias("s"))
+            auth = (nodes.join(araw, nodes["node"] == araw["dst"],
+                               "left")
+                    .crossJoin(F.broadcast(asum))
+                    .select(nodes["node"],
+                            (F.coalesce("a", F.lit(0.0))
+                             / F.col("s")).alias("a"))
+                    .localCheckpoint(eager=True))
+            hraw = (e.join(auth, e["dst"] == auth["node"])
+                    .groupBy("src").agg(F.sum("a").alias("h")))
+            hsum = hraw.agg(F.sum("h").alias("s"))
+            hub = (nodes.join(hraw, nodes["node"] == hraw["src"],
+                              "left")
+                   .crossJoin(F.broadcast(hsum))
+                   .select(nodes["node"],
+                           (F.coalesce("h", F.lit(0.0))
+                            / F.col("s")).alias("h"))
+                   .localCheckpoint(eager=True))
+        return (auth.join(hub, "node")
+                .select("node",
+                        F.round("a", round_dp).alias("authority"),
+                        F.round("h", round_dp).alias("hub")))
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+
+
+def hits_sql(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of hits: the power method unrolled one CTE pair
+    per iteration, same L1 normalization, same end-only rounding."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    parts = [f"""
+WITH e AS (
+  SELECT DISTINCT {src_col} AS src, {dst_col} AS dst
+  FROM ({edges_sql})
+),
+nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+h0 AS (SELECT node, 1.0 AS h FROM nodes)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i}r AS (
+  SELECT e.dst AS node, sum(p.h) AS a
+  FROM e JOIN {prev_h} p ON e.src = p.node GROUP BY e.dst
+),
+a{i} AS (
+  SELECT n.node,
+         coalesce(r.a, 0) / (SELECT sum(a) FROM a{i}r) AS a
+  FROM nodes n LEFT JOIN a{i}r r USING (node)
+),
+h{i}r AS (
+  SELECT e.src AS node, sum(p.a) AS h
+  FROM e JOIN a{i} p ON e.dst = p.node GROUP BY e.src
+),
+h{i} AS (
+  SELECT n.node,
+         coalesce(r.h, 0) / (SELECT sum(h) FROM h{i}r) AS h
+  FROM nodes n LEFT JOIN h{i}r r USING (node)
+)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+SELECT a.node, round(a.a, {round_dp}) AS authority,
+       round(h.h, {round_dp}) AS hub
+FROM a{iters} a JOIN h{iters} h USING (node)""")
+    return "".join(parts)

@@ -317,3 +317,36 @@ def load_nbayes(
     p = path.rstrip("/")
     return (spark.read.parquet(p + "/cond"),
             spark.read.parquet(p + "/classes"), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM — kn_lm.train_kn_bigram
+# ---------------------------------------------------------------------------
+
+def save_kn_bigram(path: str, model: "tuple") -> None:
+    """Persist a kn_lm.train_kn_bigram model: the three count tables
+    as parquet, scalars (B, V, discount) and the optional capped
+    vocab in the manifest."""
+    bigrams, contexts, conts, b, v, d, words = model
+    spark = bigrams.sparkSession
+    p = path.rstrip("/")
+    bigrams.write.mode("overwrite").parquet(p + "/bigrams")
+    contexts.write.mode("overwrite").parquet(p + "/contexts")
+    conts.write.mode("overwrite").parquet(p + "/conts")
+    _write_manifest(spark, path, "kn_bigram",
+                    {"b": int(b), "v": int(v),
+                     "discount": float(d),
+                     "vocab": list(words) if words is not None
+                     else None})
+
+
+def load_kn_bigram(spark: SparkSession, path: str) -> "tuple":
+    """Returns exactly kn_lm.kn_score's model tuple."""
+    cfg = _read_manifest(spark, path, "kn_bigram")
+    p = path.rstrip("/")
+    vocab = cfg["vocab"]
+    return (spark.read.parquet(p + "/bigrams"),
+            spark.read.parquet(p + "/contexts"),
+            spark.read.parquet(p + "/conts"),
+            int(cfg["b"]), int(cfg["v"]), float(cfg["discount"]),
+            list(vocab) if vocab is not None else None)

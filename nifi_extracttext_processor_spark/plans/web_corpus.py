@@ -89,6 +89,8 @@ def prepare_web_corpus(
     min_classifier_prob: float | None = None,
     host_ranks: DataFrame | None = None,
     min_host_rank: float | None = None,
+    kn_reference: "DataFrame | str | None" = None,
+    max_kn_nll: float | None = None,
 ) -> DataFrame:
     """documents (doc_id, url, text) → filtered, deduped, scored rows.
 
@@ -110,7 +112,16 @@ def prepare_web_corpus(
     the crawl's host graph — the Common Crawl host-rank prior);
     BROADCAST-joined on url_host(url), adds `host_rank`, filters when
     `min_host_rank` is set. Host tables are ~10^7 rows at full crawl
-    scale — still broadcastable; swap to a shuffle join above that."""
+    scale — still broadcastable; swap to a shuffle join above that.
+
+    `kn_reference`: optional word-level Kneser-Ney reference — a
+    high-quality corpus DataFrame to train on, or a str path saved
+    with models.save_kn_bigram. Adds `kn_nll` (the CCNet WORD-level
+    perplexity signal next to the char-LM `nll` — char statistics
+    catch encoding junk, word statistics catch fluent-looking
+    keyword stuffing / MT garbage); filters when `max_kn_nll` is
+    set. Runs after the cheap narrow filters like the other model
+    gates."""
     from ..operators.dedup import _spread
     from ..operators.normalize import normalize_and_clean
     from ..operators.text_analysis import dedup_by_url, url_host
@@ -167,6 +178,18 @@ def prepare_web_corpus(
         # join (the pre-classifier persist is released by the same
         # lifecycle sweep; with classifier=None nothing changes)
         out = track_persist(out)
+    if kn_reference is not None:
+        from ..operators.kn_lm import kn_score, train_kn_bigram
+        if isinstance(kn_reference, str):
+            from ..operators.models import load_kn_bigram
+            kn_model = load_kn_bigram(docs.sparkSession, kn_reference)
+        else:
+            kn_model = train_kn_bigram(kn_reference, "text")
+        kn = kn_score(out.select("doc_id", "text"), kn_model) \
+            .select("doc_id", "kn_nll")
+        out = out.join(kn, "doc_id")
+        if max_kn_nll is not None:
+            out = out.filter(F.col("kn_nll") <= max_kn_nll)
     counts, ctx, vocab = train_char_lm(
         lm_reference if lm_reference is not None else out,
         "text", n=lm_n)

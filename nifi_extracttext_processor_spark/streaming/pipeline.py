@@ -816,3 +816,83 @@ def stream_audio_dedup(
          .partitionBy("batch").parquet(catalog_dir))
 
     return _batch
+
+
+def stream_scd2(
+    history_dir: str,
+    key_cols: "list[str]",
+    attr_cols: "list[str]",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+):
+    """foreachBatch wiring of SCD Type-2 maintenance: each micro-batch
+    of change records merges into the dimension history — the
+    streaming leg of the scd family (scd2_from_changelog = batch
+    bootstrap, scd2_merge = nightly snapshot, this = continuous).
+
+    Per micro-batch:
+      1. reduce the batch to its LATEST record per key ((ts, tiebreak)
+         row_number — a batch can carry several changes for one key;
+         intermediate states inside one micro-batch collapse, the
+         documented granularity of micro-batched SCD),
+      2. scd2_merge against the latest committed history snapshot,
+      3. land the merged history as a FULL snapshot under
+         `history_dir/batch=<id>` (dynamic-partition-overwrite).
+
+    Crash idempotency (the stream_web_corpus construction, adapted to
+    an updating table): an at-least-once REPLAY reads the snapshot its
+    own previous attempt committed and re-merges the same updates —
+    scd2_merge is idempotent for identical updates (equal attributes
+    are "unchanged", nothing closes, nothing inserts), so the rewrite
+    is byte-identical to the committed partition. A crash BEFORE the
+    commit leaves the previous snapshot as latest, and the retry
+    merges cleanly. Old `batch=` snapshots are superseded bookkeeping
+    — prune them with sources.tables.compact_catalog(preserve=False)
+    or a retention sweep; readers always take max(batch).
+
+    Returns (foreachBatch callable, read_history callable)."""
+    from ..operators.scd import scd2_merge
+
+    def read_history(spark):
+        """Latest committed history snapshot, or None before the
+        first batch."""
+        from ..sources.tables import read_catalog
+        df = read_catalog(spark, history_dir)
+        if df is None:
+            return None
+        latest = df.agg(F.max("batch").alias("m")).first()["m"]
+        if latest is None:
+            return None
+        return df.filter(F.col("batch") == latest).drop("batch")
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        order = [F.col(ts_col).desc()] + (
+            [F.col(tiebreak_col).desc()] if tiebreak_col else [])
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        latest = (batch_df
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+        hist = read_history(spark)
+        if hist is None:
+            from pyspark.sql.types import (
+                BooleanType, StructField, StructType,
+            )
+            base = batch_df.select(*key_cols, *attr_cols).schema
+            ts_t = batch_df.schema[ts_col].dataType
+            hist = spark.createDataFrame([], StructType(
+                list(base.fields)
+                + [StructField("valid_from", ts_t),
+                   StructField("valid_to", ts_t),
+                   StructField("is_current", BooleanType())]))
+        merged = scd2_merge(hist, latest, key_cols, attr_cols,
+                            ts_col=ts_col)
+        (merged.localCheckpoint(eager=True)
+         .withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(history_dir))
+
+    return _batch, read_history

@@ -258,3 +258,80 @@ class TestTriangles:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestHits:
+    def _py_hits(self, edges, iters=3):
+        """Independent plain-loop HITS with the same L1 norms."""
+        e = sorted(set(edges))
+        nodes = sorted({s for s, _ in e} | {d for _, d in e})
+        h = {n: 1.0 for n in nodes}
+        a = {}
+        for _ in range(iters):
+            a = {n: 0.0 for n in nodes}
+            for s, d in e:
+                a[d] += h[s]
+            sa = sum(a.values())
+            a = {n: v / sa for n, v in a.items()}
+            h = {n: 0.0 for n in nodes}
+            for s, d in e:
+                h[s] += a[d]
+            sh = sum(h.values())
+            h = {n: v / sh for n, v in h.items()}
+        return {n: (round(a[n], 6), round(h[n], 6)) for n in nodes}
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_hub_and_authority_separate(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import hits
+        # hub H links to authorities A1..A3; a stray edge elsewhere
+        rows = [("H", "A1"), ("H", "A2"), ("H", "A3"),
+                ("x", "A1"), ("y", "A2"), ("H2", "A1"),
+                ("H2", "A2")]
+        got = {r["node"]: (r["authority"], r["hub"]) for r in
+               hits(self._edges(spark, rows)).collect()}
+        want = self._py_hits(rows)
+        for n, (wa, wh) in want.items():
+            assert got[n][0] == pytest.approx(wa, abs=2e-6), n
+            assert got[n][1] == pytest.approx(wh, abs=2e-6), n
+        # H is the best hub but no authority; A1 the best authority
+        assert got["H"][1] == max(v[1] for v in got.values())
+        assert got["H"][0] == 0.0
+        assert got["A1"][0] == max(v[0] for v in got.values())
+
+    def test_duckdb_parity(self, spark):
+        import duckdb
+        import pandas as pd
+        from nifi_extracttext_processor_spark.operators.graph import (
+            hits, hits_sql,
+        )
+        rows = [(f"n{i % 7}", f"n{(i * 3 + 1) % 7}")
+                for i in range(30) if i % 7 != (i * 3 + 1) % 7]
+        got = sorted(tuple(r) for r in
+                     hits(self._edges(spark, rows)).collect())
+        con = duckdb.connect()
+        con.register("ed", pd.DataFrame(rows, columns=["src", "dst"]))
+        want = sorted(tuple(r) for r in con.execute(
+            hits_sql("SELECT src, dst FROM ed")).fetchall())
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[0] == w[0]
+            assert g[1] == pytest.approx(w[1], abs=2e-6)
+            assert g[2] == pytest.approx(w[2], abs=2e-6)
+
+    def test_parallel_edges_count_once(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import hits
+        once = {r["node"]: (r["authority"], r["hub"]) for r in hits(
+            self._edges(spark, [("a", "b"), ("c", "b")])).collect()}
+        dup = {r["node"]: (r["authority"], r["hub"]) for r in hits(
+            self._edges(spark, [("a", "b"), ("a", "b"),
+                                ("c", "b")])).collect()}
+        assert once == dup
+
+    def test_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import hits
+        with pytest.raises(ValueError, match="iters"):
+            hits(self._edges(spark, [("a", "b")]), iters=0)
+        with pytest.raises(ValueError, match="empty"):
+            hits(self._edges(spark, []).filter("1=0"))

@@ -5798,3 +5798,80 @@ class TestCreditCardPii:
         assert "Exchange" not in plan
 
 
+
+
+class TestBalancedShards:
+    def _skewed(self, spark, n=400):
+        # heavy-tailed doc sizes: doc i has ~ (i % 40)^2 + 1 tokens
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 40)
+                           * (F.col("id") % 40) + 1),
+                lambda i: F.concat(F.lit("t"), i.cast("string"))))
+            .alias("text"))
+
+    def test_balance_beats_hash_on_skew(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards, assign_shards_balanced,
+        )
+        df = self._skewed(spark)
+        tok = F.size(F.split("text", r"\s+"))
+
+        def spread(sharded):
+            per = (sharded.groupBy("shard")
+                   .agg(F.sum(tok).alias("t")).collect())
+            vals = [r["t"] for r in per]
+            return max(vals) / min(vals)
+
+        bal = spread(assign_shards_balanced(df, 8))
+        hsh = spread(assign_shards(df, 8))
+        assert bal < 1.05          # near-perfect token balance
+        assert bal <= hsh          # and never worse than hash
+
+    def test_lpt_bound(self, spark):
+        # max shard excess over the mean is bounded by one item
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards_balanced,
+        )
+        df = self._skewed(spark, 100)
+        tok = F.size(F.split("text", r"\s+"))
+        per = (assign_shards_balanced(df, 4).groupBy("shard")
+               .agg(F.sum(tok).alias("t")).collect())
+        vals = [r["t"] for r in per]
+        total = sum(vals)
+        biggest_doc = df.select(F.max(tok)).first()[0]
+        assert max(vals) <= total / 4 + biggest_doc
+
+    def test_duckdb_parity_and_determinism(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards_balanced, assign_shards_balanced_sql,
+        )
+        df = self._skewed(spark, 120)
+        got = sorted((r["doc_id"], r["shard"]) for r in
+                     assign_shards_balanced(df, 5)
+                     .select("doc_id", "shard").collect())
+        again = sorted((r["doc_id"], r["shard"]) for r in
+                       assign_shards_balanced(df, 5)
+                       .select("doc_id", "shard").collect())
+        assert got == again
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        want = sorted((int(r[0]), int(r[1])) for r in con.execute(
+            "SELECT doc_id, shard FROM ("
+            + assign_shards_balanced_sql("t", 5) + ")").fetchall())
+        assert got == want
+
+    def test_count_col_and_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards_balanced,
+        )
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 100).alias("n_tok"))
+        out = assign_shards_balanced(df, 3, count_col="n_tok")
+        assert out.count() == 10 and "shard" in out.columns
+        import pytest as pt
+        with pt.raises(ValueError):
+            assign_shards_balanced(df, 0, count_col="n_tok")

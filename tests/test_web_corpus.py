@@ -183,3 +183,57 @@ class TestPrepareR7Stages:
                                       "node string, rank double")
         with _pytest.raises(ValueError):
             wc.prepare_web_corpus(docs, host_ranks=ranks)
+
+
+class TestKnGate:
+    def test_kn_reference_adds_column_and_filters(self, spark):
+        from nifi_extracttext_processor_spark.plans.web_corpus import (
+            prepare_web_corpus,
+        )
+        rows = [(i, f"http://a{i}.example.com/p",
+                 "the quick brown fox jumps over the lazy dog again "
+                 * 3) for i in range(8)]
+        rows.append((100, "http://junk.example.com/p",
+                     "dog the lazy over jumps fox zz qq ww ee rr tt "
+                     "yy uu ii oo pp aa ss dd ff gg hh jj kk ll"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, url string, text string")
+        ref = docs.filter("doc_id < 8")
+        scored = prepare_web_corpus(docs, min_quality=0.0,
+                                    langs=("en",),
+                                    kn_reference=ref)
+        assert "kn_nll" in scored.columns
+        vals = {r["doc_id"]: r["kn_nll"] for r in
+                scored.select("doc_id", "kn_nll").collect()}
+        if 100 in vals and vals:
+            ok = [v for k, v in vals.items() if k != 100]
+            if ok:
+                assert vals[100] > min(ok)
+
+    def test_saved_kn_path(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.kn_lm import (
+            train_kn_bigram,
+        )
+        from nifi_extracttext_processor_spark.operators.models import (
+            save_kn_bigram,
+        )
+        from nifi_extracttext_processor_spark.plans.web_corpus import (
+            prepare_web_corpus,
+        )
+        rows = [(i, f"http://a{i}.example.com/p",
+                 "a steady sentence about cats and dogs number "
+                 + str(i)) for i in range(6)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, url string, text string")
+        model = train_kn_bigram(docs)
+        p = str(tmp_path / "kn")
+        save_kn_bigram(p, model)
+        a = sorted((r["doc_id"], r["kn_nll"]) for r in
+                   prepare_web_corpus(docs, min_quality=0.0,
+                                      kn_reference=docs)
+                   .select("doc_id", "kn_nll").collect())
+        b = sorted((r["doc_id"], r["kn_nll"]) for r in
+                   prepare_web_corpus(docs, min_quality=0.0,
+                                      kn_reference=p)
+                   .select("doc_id", "kn_nll").collect())
+        assert a == b
