@@ -2401,6 +2401,73 @@ def q_balanced_shards(spark, sf):
             .select("doc_id", "shard"))
 
 
+# ---- extension (r9): keyed snapshot diffing (operators/diff.py —
+# the "what did this refresh do" audit/CDC primitive beside scd.py's
+# history: one full-outer join, null-safe verdicts). Seeded old/new
+# snapshots carved deterministically from orders. Below-window ----
+
+from nifi_extracttext_processor_spark.operators import diff as dff  # noqa: E402
+
+_DIFF_OLD_SQL = ("SELECT o_orderkey, o_orderstatus, o_totalprice "
+                 "FROM orders WHERE o_orderkey % 5 <> 0")
+_DIFF_NEW_SQL = ("SELECT o_orderkey, o_orderstatus, "
+                 "CASE WHEN o_orderkey % 3 = 0 "
+                 "THEN round(o_totalprice + 1.5, 2) "
+                 "ELSE o_totalprice END AS o_totalprice "
+                 "FROM orders WHERE o_orderkey % 7 <> 0")
+
+
+@_q("orders_diff", "SELECT * FROM ("
+    + dff.diff_snapshots_sql(f"({_DIFF_OLD_SQL})", f"({_DIFF_NEW_SQL})",
+                             ["o_orderkey"],
+                             ["o_orderstatus", "o_totalprice"])
+    + ")")
+def q_orders_diff(spark, sf):
+    o = _t(spark, sf, "orders")
+    old = (o.filter(F.col("o_orderkey") % 5 != 0)
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new = (o.filter(F.col("o_orderkey") % 7 != 0)
+           .select("o_orderkey", "o_orderstatus",
+                   F.when(F.col("o_orderkey") % 3 == 0,
+                          F.round(F.col("o_totalprice") + 1.5, 2))
+                   .otherwise(F.col("o_totalprice"))
+                   .alias("o_totalprice")))
+    return dff.diff_snapshots(old, new, ["o_orderkey"],
+                              ["o_orderstatus", "o_totalprice"])
+
+
+# ---- extension (r9): contrastive negative sampling (operators/
+# contrastive.py — k deterministic uniform negatives per anchor via
+# rank-ring jumps; self-pair impossible by construction).
+# Below-window ----
+
+from nifi_extracttext_processor_spark.operators import contrastive as ctr  # noqa: E402
+
+
+@_q("negative_pairs", ctr.sample_negative_pairs_sql(
+    "documents", k=4, seed=11))
+def q_negative_pairs(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id")
+    return ctr.sample_negative_pairs(d, k=4, seed=11, md5=True)
+
+
+# ---- extension (r9): winnowing fingerprints (operators/winnow.py —
+# Schleimer 2003 / MOSS: min-hash-per-window positional fingerprints,
+# the partial-copy/plagiarism detector between MinHash whole-doc
+# similarity and exact substring surgery). Below-window ----
+
+from nifi_extracttext_processor_spark.operators import winnow as wnw  # noqa: E402
+
+
+@_q("winnow_pairs", wnw.winnow_overlap_pairs_sql(
+    "documents", k=5, w=4, min_shared=2, max_hash_freq=50))
+def q_winnow_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    fps = wnw.winnow_fingerprints(d, k=5, w=4)
+    return wnw.winnow_overlap_pairs(fps, min_shared=2,
+                                    max_hash_freq=50)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

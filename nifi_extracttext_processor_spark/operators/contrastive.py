@@ -1,0 +1,118 @@
+"""Deterministic negative sampling for contrastive training pairs —
+the data-side half of embedding-model training (SimCLR/CLIP-style
+batches, sentence-transformer triplets, reranker training): every
+anchor document needs k "random other" documents, and at corpus
+scale the naive approach (crossJoin + sample) is both quadratic and
+nondeterministic.
+
+Construction: one global row_number over (id) gives every doc a
+dense rank in [0, N); draw j for anchor a jumps to rank
+(rank(a) + offset) mod N with offset = u32(hash(id#j#seed)) mod
+(N−1) + 1 — never 0, so a doc can never draw itself, and each draw
+is uniform over the other N−1 docs. Partner resolution is ONE keyed
+join on integer ranks.
+
+Determinism / oracle: rank order and offsets are pure functions of
+the ids and seed — reruns, other clusters, and the DuckDB twin
+produce the SAME pairs (md5 hash variant for the oracle; xxhash64
+default at scale).
+
+Scale shape: the global row_number sorts (id) PAIRS only (the
+balanced-shards posture — ids and hashes move, documents never);
+the explode is k rows per anchor of three longs; the partner join
+is an integer-keyed hash join. Optional `positives` exclusion
+anti-joins known-positive pairs in both orientations so a negative
+can never be a labeled positive (the standard contamination bug in
+contrastive sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _u32(col, md5: bool):
+    if md5:
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10) \
+            .cast("long")
+    return F.pmod(F.xxhash64(col), F.lit(1 << 32))
+
+
+def sample_negative_pairs(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    positives: DataFrame | None = None,
+    md5: bool = False,
+) -> DataFrame:
+    """(anchor_id, negative_id, draw) — k deterministic negatives per
+    anchor, uniform over the other documents, self-pair impossible.
+    `positives` (id1, id2) removes labeled-positive pairs in either
+    orientation (those draws are dropped, not re-drawn — the per-
+    anchor count then dips below k with probability ~k·|pos|/N, the
+    documented trade for keeping every draw a pure function of
+    (id, j, seed))."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ranked = df.select(F.col(id_col)).withColumn(
+        "__r", F.row_number().over(Window.orderBy(id_col)) - 1)
+    n = ranked.count()
+    if n < 2:
+        raise ValueError("need at least 2 rows to draw negatives")
+    draws = ranked.select(
+        F.col(id_col).alias("anchor_id"), "__r",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("draw"))
+    off = _u32(F.concat(F.col("anchor_id").cast("string"),
+                        F.lit("#"), F.col("draw").cast("string"),
+                        F.lit(f"#{seed}")), md5) % F.lit(n - 1) \
+        + F.lit(1)
+    draws = draws.withColumn(
+        "__tr", (F.col("__r") + off) % F.lit(n)).drop("__r")
+    partners = ranked.select(F.col(id_col).alias("negative_id"),
+                             F.col("__r").alias("__tr"))
+    out = (draws.join(partners, "__tr")
+           .select("anchor_id", "negative_id", "draw"))
+    if positives is not None:
+        p = positives.select(F.col(positives.columns[0]).alias("a"),
+                             F.col(positives.columns[1]).alias("b"))
+        both = p.unionAll(p.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        out = out.join(
+            both.withColumnRenamed("a", "anchor_id")
+                .withColumnRenamed("b", "negative_id"),
+            ["anchor_id", "negative_id"], "left_anti")
+    return out
+
+
+def sample_negative_pairs_sql(
+    table: str,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of sample_negative_pairs(md5=True, no positives):
+    same ranks, same offsets, same pairs."""
+    return f"""
+WITH ranked AS (
+  SELECT {id_col},
+         row_number() OVER (ORDER BY {id_col}) - 1 AS r
+  FROM {table}
+),
+n_t AS (SELECT count(*) AS n FROM ranked),
+draws AS (
+  SELECT ranked.{id_col} AS anchor_id, ranked.r, d.draw, n_t.n
+  FROM ranked CROSS JOIN n_t,
+       LATERAL (SELECT unnest(range(0, {k})) AS draw) d
+),
+jumped AS (
+  SELECT anchor_id, draw,
+         (r + (('0x' || substr(md5(anchor_id::VARCHAR || '#' ||
+                draw::VARCHAR || '#{seed}'), 1, 8))::BIGINT
+               % (n - 1)) + 1) % n AS tr
+  FROM draws
+)
+SELECT j.anchor_id, p.{id_col} AS negative_id, j.draw
+FROM jumped j JOIN ranked p ON p.r = j.tr
+"""
