@@ -2468,6 +2468,30 @@ def q_winnow_pairs(spark, sf):
                                     max_hash_freq=50)
 
 
+# ---- extension (r9): the composed pretrain SELECTION pipeline as a
+# single driver-oracle row (plans/llm_pretrain.py) — per-source
+# near-dup keep-best → n-gram decontamination → token-share mixing
+# (totals/budget/rates/cuts derived inside SQL with the planner's
+# exact double arithmetic) → cross-source exact dedup → split
+# labels. The strongest composition oracle in the repo: five stages
+# replayed end-to-end in one DuckDB query. Below-window ----
+
+from nifi_extracttext_processor_spark.plans import llm_pretrain as llmp  # noqa: E402
+
+
+@_q("pretrain_mix_select", llmp.pretrain_select_sql())
+def q_pretrain_mix_select(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    ca = llmp.clean_source(a, near_threshold=0.2, benchmark=bench)
+    cb = llmp.clean_source(b, near_threshold=0.2, benchmark=bench)
+    corpus = llmp.build_pretrain_corpus(
+        [(ca, 0.6), (cb, 0.4)], md5=True, seed=0)
+    return corpus.select("doc_id", "mix_source", "split")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

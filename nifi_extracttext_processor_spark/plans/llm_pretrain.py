@@ -265,3 +265,107 @@ def llm_pretrain_plan(
                                seq_budget=seq_budget,
                                n_merges=n_merges, id_col=id_col,
                                text_col=text_col, seed=seed)
+
+
+def pretrain_select_sql(
+    table: str = "documents",
+    src_preds: "tuple[str, str]" = ("doc_id % 2 = 0",
+                                    "doc_id % 2 = 1"),
+    weights: "tuple[float, float]" = (0.6, 0.4),
+    bench_pred: str = "doc_id % 97 = 0",
+    near_threshold: float = 0.2,
+    decontaminate_n: int = 8,
+    seed: int = 0,
+    split_weights: "dict[str, int] | None" = None,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of the composed selection pipeline (stages 2 + 4-7
+    of the module docstring, the SQL-expressible spine): per-source
+    near-dup keep-best → n-gram decontamination → token-share mixing
+    (totals, budget, rates and the md5 sample cut ALL derived inside
+    SQL with the same double arithmetic the Spark planner runs) →
+    cross-source exact dedup → split labels. Semantic dedup and
+    BPE/packing are excluded: the former needs the embeddings sidecar
+    and k-means (own driver rows), the latter is the rows-only
+    tokenizer carve-out. Output: (id_col, mix_source, split).
+
+    The mixing math mirrors mix_token_plan exactly: normalized
+    weights are Python-float literals embedded with repr() (the SAME
+    doubles the Spark planner uses), budget = trunc(min(tᵢ/wᵢ)),
+    rate = least(1.0, budget·wᵢ/tᵢ), cut = floor(rate·10⁶) compared
+    against the md5 bucket — every step is IEEE-double identical
+    across engines."""
+    from ..operators.corpus import shingles_sql
+    from ..operators.dedup import keep_best_per_cluster_sql
+    from ..operators.text_analysis import BPE_TOKEN_RE, fingerprint_sql
+
+    split_weights = split_weights or {"train": 98, "val": 1,
+                                      "test": 1}
+    wsum = float(weights[0]) + float(weights[1])
+    wn = [float(weights[0]) / wsum, float(weights[1]) / wsum]
+    ntok = (f"len(regexp_extract_all(coalesce({text_expr}, ''), "
+            f"'{BPE_TOKEN_RE}'))::BIGINT")
+    bucket = (f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR) "
+              "|| '#{s}'), 1, 8))::BIGINT % 1000000 + 1000000) "
+              "% 1000000")
+    total = sum(split_weights.values())
+    sbucket = (f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), "
+               f"1, 8))::BIGINT % {total} + {total}) % {total}")
+    cases, lo = [], 0
+    for label, w in split_weights.items():
+        cases.append(f"WHEN {sbucket} >= {lo} AND "
+                     f"{sbucket} < {lo + w} THEN '{label}'")
+        lo += w
+    split_case = "CASE " + " ".join(cases) + " END"
+    sh = shingles_sql(text_expr, decontaminate_n)
+    parts = [f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sh}) AS ng FROM {table}
+  WHERE {bench_pred}
+)"""]
+    for i, pred in enumerate(src_preds):
+        src = f"(SELECT {id_col}, {text_expr} FROM {table} WHERE {pred})"
+        kb = keep_best_per_cluster_sql(src, id_col, text_expr,
+                                       threshold=near_threshold)
+        parts.append(f""",
+src{i} AS (SELECT * FROM {src} s),
+kb{i} AS (SELECT {id_col} FROM ({kb})),
+dirty{i} AS (
+  SELECT DISTINCT d.{id_col}
+  FROM (SELECT s.* FROM src{i} s JOIN kb{i} USING ({id_col})) d,
+       LATERAL (SELECT unnest({sh.replace(text_expr,
+                                          'd.' + text_expr)}) AS ng) g
+  WHERE g.ng IN (SELECT ng FROM bench)
+),
+clean{i} AS (
+  SELECT s.* FROM src{i} s
+  JOIN kb{i} USING ({id_col})
+  WHERE s.{id_col} NOT IN (SELECT {id_col} FROM dirty{i})
+),
+tot{i} AS (SELECT sum({ntok}) AS t FROM clean{i})""")
+    parts.append(f""",
+budget AS (
+  -- trunc, not CAST: DuckDB's double->BIGINT cast ROUNDS while the
+  -- planner's Python int() truncates
+  SELECT CAST(trunc(least((SELECT t FROM tot0) / {wn[0]!r},
+                          (SELECT t FROM tot1) / {wn[1]!r}))
+              AS BIGINT) AS b
+)""")
+    sels = []
+    for i in range(2):
+        cut = (f"floor(least(1.0, (SELECT b FROM budget) * {wn[i]!r} "
+               f"/ (SELECT t FROM tot{i})) * 1000000)::BIGINT")
+        sels.append(
+            f"SELECT {id_col}, {text_expr}, {i} AS mix_source "
+            f"FROM clean{i} "
+            f"WHERE {bucket.replace('{s}', str(seed + i))} < ({cut})")
+    parts.append(f""",
+mixed AS ({sels[0]} UNION ALL {sels[1]}),
+keep AS (
+  SELECT min({id_col}) AS {id_col}
+  FROM mixed GROUP BY {fingerprint_sql(text_expr)}
+)
+SELECT m.{id_col}, m.mix_source, {split_case} AS split
+FROM mixed m JOIN keep USING ({id_col})""")
+    return "".join(parts)
