@@ -2492,6 +2492,42 @@ def q_pretrain_mix_select(spark, sf):
     return corpus.select("doc_id", "mix_source", "split")
 
 
+# ---- extension (r9): grouped OLS trend + Pearson correlation
+# (operators/regression.py) — closed-form six-sum fits, one groupBy
+# with map-side combine, zero joins/windows. x centered against a
+# constant epoch so |x| stays small (order-independent shift);
+# outputs rounded per house convention. Below-window ----
+
+from nifi_extracttext_processor_spark.operators import regression as reg  # noqa: E402
+
+_TREND_EPOCH = 1704067200.0  # 2024-01-01 UTC, constant x-frame
+
+
+@_q("events_trend", reg.grouped_ols_sql(
+    "events", ["event_type"],
+    "epoch(ts) / 86400.0", "value",
+    x_shift=_TREND_EPOCH / 86400.0, round_to=4))
+def q_events_trend(spark, sf):
+    e = _t(spark, sf, "events")
+    return reg.grouped_ols(
+        e, ["event_type"],
+        F.unix_timestamp("ts") / F.lit(86400.0), "value",
+        x_shift=_TREND_EPOCH / 86400.0, round_to=4) \
+        .orderBy("event_type")
+
+
+@_q("segment_corr", reg.grouped_corr_sql(
+    "(SELECT c.c_mktsegment, o.o_totalprice, c.c_acctbal "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) j",
+    ["c_mktsegment"], "c_acctbal", "o_totalprice", round_to=6))
+def q_segment_corr(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey) \
+         .select("c_mktsegment", "o_totalprice", "c_acctbal")
+    return reg.grouped_corr(j, ["c_mktsegment"], "c_acctbal",
+                            "o_totalprice", round_to=6)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps
