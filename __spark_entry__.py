@@ -2528,6 +2528,46 @@ def q_segment_corr(spark, sf):
                             "o_totalprice", round_to=6)
 
 
+# ---- extension (r9): χ² term–class feature selection
+# (operators/featsel.py) — Yang & Pedersen 1997 selection statistic
+# from three integer aggregates (term-class presence counts, df via
+# re-agg of those counts, broadcast class totals); the only
+# payload-width shuffle carries (term,label,count) triples.
+# Below-window ----
+
+from nifi_extracttext_processor_spark.operators import featsel as fs  # noqa: E402
+
+
+@_q("chi2_lang_terms", fs.chi2_terms_sql(
+    "documents", "lang", k=15, min_doc_freq=3))
+def q_chi2_lang_terms(spark, sf):
+    d = _t(spark, sf, "documents")
+    return fs.chi2_terms(d, "lang", k=15, min_doc_freq=3)
+
+
+# ---- extension (r9): distribution-drift monitoring — PSI + binned
+# KS between snapshot halves (operators/drift.py). Each snapshot
+# collapses to (group,bin) integer counts map-side; the generated
+# bin spine bounds everything after the first aggregation.
+# Below-window ----
+
+from nifi_extracttext_processor_spark.operators import drift as drf  # noqa: E402
+
+_DRIFT_SPLIT = "2024-01-16"
+
+
+@_q("events_psi_drift", drf.distribution_drift_sql(
+    f"(SELECT * FROM events WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}')",
+    f"(SELECT * FROM events WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}')",
+    "value", ["event_type"], lo=0.0, hi=500.0, bins=20))
+def q_events_psi_drift(spark, sf):
+    e = _t(spark, sf, "events")
+    ref = e.filter(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"))
+    cur = e.filter(F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp"))
+    return drf.distribution_drift(ref, cur, "value", ["event_type"],
+                                  lo=0.0, hi=500.0, bins=20)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

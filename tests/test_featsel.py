@@ -1,0 +1,138 @@
+"""chi2_terms (operators/featsel.py): χ² values vs an independent
+pure-Python contingency computation, positive-only filtering,
+min_doc_freq, tie-break determinism, DuckDB twin parity, and the
+no-text-after-tokenize plan shape."""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+from nifi_extracttext_processor_spark.operators.featsel import (
+    chi2_terms,
+    chi2_terms_sql,
+)
+
+DOCS = [
+    ("en", "the cat sat on the mat"),
+    ("en", "the dog ate the cat"),
+    ("en", "a cat and a dog"),
+    ("fr", "le chat et le chien"),
+    ("fr", "le chien mange"),
+    ("fr", "un chat dort the"),      # "the" crosses classes
+    ("de", "der hund und die katze"),
+    ("de", "die katze schläft"),
+]
+
+
+def _ref_chi2(min_df=1, positive_only=False):
+    """Independent reference: dict-of-dicts contingency walk."""
+    per_doc = [(lab, set(t for t in txt.lower().split() if t))
+               for lab, txt in DOCS]
+    n = len(per_doc)
+    classes = defaultdict(int)
+    for lab, _ in per_doc:
+        classes[lab] += 1
+    pair = defaultdict(int)
+    for lab, toks in per_doc:
+        for t in toks:
+            pair[(t, lab)] += 1
+    dft = defaultdict(int)
+    for (t, _), c in pair.items():
+        dft[t] += c
+    out = {}
+    for (t, lab), n11 in pair.items():
+        if dft[t] < min_df:
+            continue
+        if positive_only and not n11 * n > dft[t] * classes[lab]:
+            continue
+        n10 = dft[t] - n11
+        n01 = classes[lab] - n11
+        n00 = n - dft[t] - classes[lab] + n11
+        den = (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+        out[(lab, t)] = (n * (n11 * n00 - n10 * n01) ** 2 / den
+                         if den else 0.0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "lang string, text string")
+
+
+def test_chi2_values_match_reference(spark, docs):
+    ref = _ref_chi2(min_df=1, positive_only=False)
+    got = chi2_terms(docs, "lang", k=100, min_doc_freq=1,
+                     positive_only=False, round_to=9).collect()
+    for r in got:
+        assert r["chi2"] == pytest.approx(
+            ref[(r["label"], r["term"])], abs=1e-8), (r["label"], r["term"])
+    assert len(got) == len(ref)
+
+
+def test_positive_only_filter(spark, docs):
+    ref = _ref_chi2(min_df=1, positive_only=True)
+    got = chi2_terms(docs, "lang", k=100, min_doc_freq=1,
+                     positive_only=True).collect()
+    assert {(r["label"], r["term"]) for r in got} == set(ref)
+    # "the" appears in 3/4 en docs vs 1/4 fr: en-positive, fr-negative
+    keys = {(r["label"], r["term"]) for r in got}
+    assert ("en", "the") in keys and ("fr", "the") not in keys
+
+
+def test_min_doc_freq(spark, docs):
+    got = chi2_terms(docs, "lang", k=100, min_doc_freq=2,
+                     positive_only=False).collect()
+    assert all(r["df_t"] >= 2 for r in got)
+    terms = {r["term"] for r in got}
+    assert "mange" not in terms       # df 1
+    assert "chat" in terms            # df 2
+
+
+def test_topk_and_tiebreak(spark, docs):
+    got = chi2_terms(docs, "lang", k=3, min_doc_freq=1,
+                     positive_only=True).collect()
+    by_label = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["label"], r["rank"])):
+        by_label[r["label"]].append(r)
+    for rows in by_label.values():
+        assert len(rows) <= 3
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a["chi2"], b["term"]) >= (b["chi2"], a["term"]) or \
+                a["chi2"] > b["chi2"] or \
+                (a["chi2"] == b["chi2"] and a["term"] < b["term"])
+
+
+def test_duckdb_twin_parity(spark, docs, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    for kw in ({"positive_only": True}, {"positive_only": False},
+               {"min_doc_freq": 2, "k": 5}):
+        want = {tuple(r) for r in con.execute(
+            chi2_terms_sql("d", "lang", **kw)).fetchall()}
+        got = {tuple(r) for r in
+               chi2_terms(docs, "lang", **kw).collect()}
+        assert got == want, kw
+
+
+def test_null_labels_excluded(spark):
+    df = spark.createDataFrame(
+        [("en", "hello world"), (None, "hello world hello world")],
+        "lang string, text string")
+    got = chi2_terms(df, "lang", k=10, min_doc_freq=1,
+                     positive_only=False).collect()
+    # N must be 1 (null-label doc neither scored nor counted)
+    assert all(r["n11"] == 1 and r["df_t"] == 1 for r in got)
+
+
+def test_plan_no_text_after_tokenize(spark, docs):
+    plan = chi2_terms(docs, "lang")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the (term,label) shuffle carries triples; no sort-merge join of
+    # wide rows, class totals broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
