@@ -2568,6 +2568,62 @@ def q_events_psi_drift(spark, sf):
                                   lo=0.0, hi=500.0, bins=20)
 
 
+# ---- extension (r9): pointwise anomaly detection — trailing-window
+# z-score (one keyed sort, the strictly-prior frame keeps a spike out
+# of its own reference) and per-key MAD modified z-score (Iglewicz &
+# Hoaglin 1993; median/MAD survive the outliers a mean/stddev z-score
+# lets poison sigma — data never shuffles, stat frames broadcast).
+# Complements detect_changepoints' sustained-shift CUSUM.
+# Below-window ----
+
+from nifi_extracttext_processor_spark.operators import timeseries as tsm  # noqa: E402
+
+
+# NULL-double sentinel: the driver's pandas bridge reads oracle NULL
+# doubles as NaN (≠ Spark's None), so the REGISTERED surface coalesces
+# the warm-up/zero-σ NULLs to -1e9 identically in both engines; the
+# NULL semantics themselves are pinned by tests/test_anomaly.py.
+_ANOM_SENTINEL = -1e9
+
+
+@_q("events_rolling_anomaly",
+    "SELECT event_type, event_id, ts, value, "
+    f"coalesce(roll_mean, {_ANOM_SENTINEL}) AS roll_mean, "
+    f"coalesce(roll_std, {_ANOM_SENTINEL}) AS roll_std, "
+    f"coalesce(zscore, {_ANOM_SENTINEL}) AS zscore, is_anomaly "
+    "FROM (" + tsm.detect_anomalies_rolling_sql(
+        "events", "ts", ["event_type"], "value", n=20, threshold=3.0,
+        tiebreak_col="event_id") + ")")
+def q_events_rolling_anomaly(spark, sf):
+    e = _t(spark, sf, "events")
+    out = tsm.detect_anomalies_rolling(
+        e.select("event_type", "event_id", "ts", "value"),
+        "ts", ["event_type"], "value", n=20, threshold=3.0,
+        tiebreak_col="event_id")
+    return out.select(
+        "event_type", "event_id", "ts", "value",
+        *[F.coalesce(c, F.lit(_ANOM_SENTINEL)).alias(c)
+          for c in ("roll_mean", "roll_std", "zscore")],
+        "is_anomaly")
+
+
+@_q("events_mad_outliers",
+    "SELECT event_type, event_id, value, "
+    f"coalesce(mad_z, {_ANOM_SENTINEL}) AS mad_z, is_anomaly "
+    "FROM (" + tsm.detect_anomalies_mad_sql(
+        "(SELECT event_type, event_id, value FROM events)",
+        ["event_type"], "value", threshold=3.0) + ")")
+def q_events_mad_outliers(spark, sf):
+    e = _t(spark, sf, "events")
+    out = tsm.detect_anomalies_mad(
+        e.select("event_type", "event_id", "value"),
+        ["event_type"], "value", threshold=3.0)
+    return out.select(
+        "event_type", "event_id", "value",
+        F.coalesce("mad_z", F.lit(_ANOM_SENTINEL)).alias("mad_z"),
+        "is_anomaly")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -172,6 +172,202 @@ WINDOW
 """
 
 
+def detect_anomalies_rolling(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str] | tuple[str, ...],
+    value_col: str,
+    n: int,
+    threshold: float = 3.0,
+    min_periods: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection per key: each point
+    is standardized against the mean/stddev of the `n` rows strictly
+    BEFORE it (the point never contaminates its own reference — a
+    10σ spike would otherwise inflate the window stddev and halve
+    its own score). The pointwise complement to detect_changepoints:
+    CUSUM finds sustained LEVEL shifts, this flags individual
+    outliers against recent local behaviour.
+
+    Output: (*key_cols, [tiebreak_col], ts_col, value_col,
+    roll_mean, roll_std, zscore, is_anomaly). `zscore` is NULL (and
+    `is_anomaly` false) during warm-up (< `min_periods` non-null
+    predecessors, default n), when the trailing stddev is 0 (a
+    constant reference cannot standardize — the CUSUM σ=0 posture),
+    and for NULL values. Population stddev + round-6 so the DuckDB
+    twin replays bit-for-bit. Pass `tiebreak_col` when timestamps
+    can repeat within a key (a ROWS frame over a tied sort is
+    otherwise order-ambiguous between engines).
+
+    Cost at scale: ONE keyed sort serves every frame — all four
+    rolling aggregates share the identical (PARTITION BY keys ORDER
+    BY ts ROWS n PRECEDING..1 PRECEDING) window, so Catalyst plans a
+    single Window node after one Exchange+Sort; no join, no second
+    pass, output rows = input rows. Skew note: one key sorts in one
+    task — pre-split the time axis for a single-key firehose."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("detect_anomalies_rolling needs a key column")
+    if n < 2:
+        raise ValueError("window n must be >= 2")
+    mp = n if min_periods is None else min_periods
+    if not 2 <= mp <= n:
+        raise ValueError("min_periods must be in [2, n]")
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(-n, -1))
+    v = F.col(value_col).cast("double")
+    cnt = F.count(value_col).over(w)
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_pop(value_col).over(w)
+    z = F.when((cnt >= mp) & (sd > 0) & v.isNotNull(),
+               F.round((v - mean) / sd, 6))
+    tb = [tiebreak_col] if tiebreak_col else []
+    return df.select(
+        *keys, *tb, ts_col, value_col,
+        F.when(cnt >= mp, F.round(mean, 6)).alias("roll_mean"),
+        F.when(cnt >= mp, F.round(sd, 6)).alias("roll_std"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False))
+        .alias("is_anomaly"))
+
+
+def detect_anomalies_rolling_sql(
+    table: str,
+    ts_col: str,
+    key_cols: list[str] | tuple[str, ...],
+    value_col: str,
+    n: int,
+    threshold: float = 3.0,
+    min_periods: int | None = None,
+    tiebreak_col: str | None = None,
+) -> str:
+    """DuckDB twin of detect_anomalies_rolling (same strictly-prior
+    ROWS frame, population stddev, round-6, warm-up/zero-σ NULLs)."""
+    keys = ", ".join(key_cols)
+    mp = n if min_periods is None else min_periods
+    order = ts_col + (f", {tiebreak_col}" if tiebreak_col else "")
+    tb_sel = f"{tiebreak_col}, " if tiebreak_col else ""
+    return f"""
+WITH r AS (
+  SELECT {keys}, {tb_sel}{ts_col}, {value_col},
+         count({value_col}) OVER w AS c,
+         avg({value_col}) OVER w AS m,
+         stddev_pop({value_col}) OVER w AS sd
+  FROM {table}
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {order}
+               ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING)
+)
+SELECT {keys}, {tb_sel}{ts_col}, {value_col},
+       CASE WHEN c >= {mp} THEN round(m, 6) END AS roll_mean,
+       CASE WHEN c >= {mp} THEN round(sd, 6) END AS roll_std,
+       CASE WHEN c >= {mp} AND sd > 0 AND {value_col} IS NOT NULL
+            THEN round(({value_col}::DOUBLE - m) / sd, 6)
+       END AS zscore,
+       coalesce(abs(CASE WHEN c >= {mp} AND sd > 0
+                              AND {value_col} IS NOT NULL
+                         THEN round(({value_col}::DOUBLE - m) / sd, 6)
+                    END) > {threshold}, false) AS is_anomaly
+FROM r
+"""
+
+
+def detect_anomalies_mad(
+    df: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    value_col: str,
+    threshold: float = 3.5,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Robust per-key outlier detection via the modified z-score
+    (Iglewicz & Hoaglin 1993): M = 0.6745·(x − median) / MAD, where
+    MAD = median(|x − median|). Median/MAD shrug off the very
+    outliers they are hunting — a mean/stddev z-score lets one
+    10⁶-valued row inflate σ until nothing (including itself)
+    clears the threshold; the breakdown point of the median is 50%.
+    The batch whole-distribution complement to the rolling detector.
+
+    Output: (*input columns, mad_z, is_anomaly). `mad_z` is NULL
+    (not flagged) when MAD = 0 (≥half the key's mass sits on one
+    value — the σ=0 posture) or the value is NULL.
+
+    Two aggregation passes by necessity (MAD is a median OF
+    deviations from a median — not one-pass decomposable), but both
+    stats frames are ≤ #keys rows and join back BROADCAST: the data
+    never shuffles, each pass is a scan + tiny agg. `exact=True`
+    uses Spark's interpolating `percentile` (replayed exactly by
+    DuckDB's quantile_cont — the profile_quantiles precedent);
+    `exact=False` swaps in the mergeable Greenwald-Khanna
+    approx_percentile for the 100 TB path (no oracle twin — sketch
+    internals differ across engines)."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("detect_anomalies_mad needs a key column")
+    v = F.col(value_col).cast("double")
+    if exact:
+        med_agg = F.expr(f"percentile({value_col}, 0.5)")
+    else:
+        med_agg = F.expr(
+            f"approx_percentile({value_col}, 0.5, {accuracy})")
+    med = df.groupBy(*keys).agg(med_agg.alias("__med"))
+    d = df.join(F.broadcast(med), keys)
+    dev = F.abs(v - F.col("__med"))
+    if exact:
+        mad_agg = F.expr("percentile(__dev, 0.5)")
+    else:
+        mad_agg = F.expr(f"approx_percentile(__dev, 0.5, {accuracy})")
+    mad = (d.select(*keys, dev.alias("__dev"))
+           .groupBy(*keys).agg(mad_agg.alias("__mad")))
+    out = d.join(F.broadcast(mad), keys)
+    mz = F.when((F.col("__mad") > 0) & v.isNotNull(),
+                F.round(0.6745 * (v - F.col("__med"))
+                        / F.col("__mad"), 6))
+    return (out.withColumn("mad_z", mz)
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(mz) > threshold,
+                                   F.lit(False)))
+            .drop("__med", "__mad"))
+
+
+def detect_anomalies_mad_sql(
+    table: str,
+    key_cols: list[str] | tuple[str, ...],
+    value_col: str,
+    threshold: float = 3.5,
+) -> str:
+    """DuckDB twin of detect_anomalies_mad (exact path only:
+    quantile_cont ≡ Spark's interpolating percentile, round-6)."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH med AS (
+  SELECT {keys}, quantile_cont({value_col}, 0.5) AS md
+  FROM {table} GROUP BY {keys}
+),
+j AS (
+  SELECT t.*, med.md FROM {table} t JOIN med USING ({keys})
+),
+mad AS (
+  SELECT {keys},
+         quantile_cont(abs({value_col}::DOUBLE - md), 0.5) AS mad
+  FROM j GROUP BY {keys}
+),
+s AS (
+  SELECT j.*, mad.mad FROM j JOIN mad USING ({keys})
+)
+SELECT * EXCLUDE (md, mad),
+       CASE WHEN mad > 0 AND {value_col} IS NOT NULL
+            THEN round(0.6745 * ({value_col}::DOUBLE - md) / mad, 6)
+       END AS mad_z,
+       coalesce(abs(CASE WHEN mad > 0 AND {value_col} IS NOT NULL
+                         THEN round(0.6745 * ({value_col}::DOUBLE - md)
+                                    / mad, 6)
+                    END) > {threshold}, false) AS is_anomaly
+FROM s
+"""
+
+
 def detect_changepoints(
     df: DataFrame,
     ts_col: str,
