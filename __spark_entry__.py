@@ -2624,6 +2624,22 @@ def q_events_mad_outliers(spark, sf):
         "is_anomaly")
 
 
+# ---- extension (r9): TextRank keyword extraction — per-doc
+# co-occurrence graphs power-iterated ALL AT ONCE in one (doc, word)
+# keyed DataFrame (operators/textrank.py); no per-doc node count
+# needed (the (1-d) constant term), so the loop never touches the
+# driver. Below-window ----
+
+from nifi_extracttext_processor_spark.operators import textrank as txr  # noqa: E402
+
+
+@_q("textrank_keywords", txr.textrank_keywords_sql(
+    "documents", k=5, window=4, iters=3))
+def q_textrank_keywords(spark, sf):
+    d = _t(spark, sf, "documents")
+    return txr.textrank_keywords(d, k=5, window=4, iters=3)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps
