@@ -2640,6 +2640,30 @@ def q_textrank_keywords(spark, sf):
     return txr.textrank_keywords(d, k=5, window=4, iters=3)
 
 
+# ---- extension (r9): document chunking (operators/chunk.py) —
+# sliding token windows (fully narrow: transform-over-sequence, one
+# explode, zero shuffle) and sentence-atomic token-offset buckets
+# (one keyed sort + one keyed re-agg; sentences shuffle ONCE). The
+# RAG/context-window prep step pack_sequences deliberately is not.
+# Below-window ----
+
+from nifi_extracttext_processor_spark.operators import chunk as chk  # noqa: E402
+
+
+@_q("chunk_tokens_docs", chk.chunk_tokens_sql(
+    "documents", max_tokens=64, overlap=16))
+def q_chunk_tokens_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return chk.chunk_tokens(d, max_tokens=64, overlap=16)
+
+
+@_q("chunk_sentences_docs", chk.chunk_sentences_sql(
+    "documents", budget_tokens=48))
+def q_chunk_sentences_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return chk.chunk_sentences(d, budget_tokens=48)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps
