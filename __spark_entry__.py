@@ -2664,6 +2664,21 @@ def q_chunk_sentences_docs(spark, sf):
     return chk.chunk_sentences(d, budget_tokens=48)
 
 
+# ---- extension (r9): market-basket association rules
+# (operators/basket.py) — Apriori/SON over per-doc distinct-token
+# baskets: frequent-1 broadcast pruning, row-local pair generation
+# (no self-join), both-direction rules by lift. Below-window ----
+
+from nifi_extracttext_processor_spark.operators import basket as bsk  # noqa: E402
+
+
+@_q("association_rules", bsk.association_rules_sql(
+    "documents", min_support=50, top_k=40))
+def q_association_rules(spark, sf):
+    d = _t(spark, sf, "documents")
+    return bsk.association_rules(d, min_support=50, top_k=40)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps
