@@ -2679,6 +2679,58 @@ def q_association_rules(spark, sf):
     return bsk.association_rules(d, min_support=50, top_k=40)
 
 
+# ---- extension (r9): evaluation metrics (operators/evalmetrics.py)
+# — midrank Mann-Whitney AUC + confusion rates as ONE pair-reduction,
+# and per-query IR metrics (P@k/MRR/MAP/NDCG, one keyed window, no
+# join). The scored input is a deterministic md5-uniform draw blended
+# with the embeddings table's (binary) label — identical derivation
+# in both engines. Below-window ----
+
+from nifi_extracttext_processor_spark.operators import (  # noqa: E402
+    evalmetrics as evm,
+)
+
+_EVAL_SCORED_SQL = (
+    "(SELECT vec_id, label % 2 AS label, "
+    "round(0.55 * ((('0x' || substr(md5(vec_id::VARCHAR), 1, 8))"
+    "::BIGINT) / 4294967296.0) + 0.45 * (label % 2), 6) AS score "
+    "FROM embeddings)"
+)
+
+
+def _eval_scored(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    u = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
+                            1, 8), 16, 10).cast("long")
+         / F.lit(4294967296.0))
+    return e.select(
+        "vec_id", (F.col("label") % 2).alias("label"),
+        F.round(0.55 * u + 0.45 * (F.col("label") % 2), 6)
+        .alias("score"))
+
+
+@_q("binary_eval_metrics", evm.binary_metrics_sql(_EVAL_SCORED_SQL))
+def q_binary_eval_metrics(spark, sf):
+    return evm.binary_metrics(_eval_scored(spark, sf))
+
+
+@_q("ranking_eval_metrics", evm.ranking_metrics_sql(
+    "(SELECT vec_id % 16 AS query_id, vec_id AS doc_id, score, "
+    f"label AS relevant FROM {_EVAL_SCORED_SQL} s)", k=10))
+def q_ranking_eval_metrics(spark, sf):
+    s = _eval_scored(spark, sf)
+    return evm.ranking_metrics(s.select(
+        (F.col("vec_id") % 16).alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "score", F.col("label").alias("relevant")), k=10)
+
+
+@_q("calibration_ece", evm.expected_calibration_error_sql(
+    _EVAL_SCORED_SQL))
+def q_calibration_ece(spark, sf):
+    return evm.expected_calibration_error(_eval_scored(spark, sf))
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -1,0 +1,347 @@
+"""Model-evaluation metrics: binary-classifier quality (confusion
+matrix, precision/recall/F1, ties-averaged rank AUC), ranked-retrieval
+quality (P@k, R@k, MRR, MAP, NDCG@k — Järvelin & Kekäläinen 2002),
+and probability calibration (reliability bins + expected calibration
+error, Naeini 2015). The measurement half of the classifier/search
+families: `classifier.py`/`nbayes.py` produce scores, `search.py`/
+`similarity.py` produce rankings — these operators grade them, which
+is how a 100 TB pipeline decides whether a quality filter or retrieval
+index is good enough to gate data on.
+
+AUC is the Mann-Whitney rank statistic with midranks for ties
+(identical to the trapezoidal ROC area):
+
+    AUC = (Σ_{i: y_i=1} r_i  −  P(P+1)/2) / (P·N)
+
+where r_i is the AVERAGE rank of row i under ascending score (rank of
+the tie group's first member + (ties−1)/2), P/N = positive/negative
+counts. Degenerate inputs (P=0 or N=0) yield NULL, never a division
+error. NDCG uses binary relevance, so the ideal DCG has the closed
+form Σ_{i=1..min(k,R)} 1/log2(i+1) — no second sort.
+
+Scale design: `binary_metrics` reduces to ONE row via a single agg
+over (label, score) PAIRS — payloads never enter the plan; the rank
+windows need one global sort of those pairs, which is the exact-AUC
+floor (the sketch alternative — binned ROC over `calibration_bins` —
+is the documented 100 TB approximation; at a billion rows a sort of
+16-byte pairs is still a routine shuffle). `ranking_metrics` sorts
+each query's result list once (one keyed window) and reduces per
+query: shuffle carries (query, score, flag) triples, and every
+per-query output is a bounded aggregate. Calibration collapses to
+n_bins integer triples map-side before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binary_metrics(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One row: n, n_pos, n_neg, tp/fp/tn/fn at `threshold`
+    (score >= threshold predicts positive), accuracy, precision,
+    recall, f1, auc — ratios rounded to 6 dp, NULL where the
+    denominator is empty. NULL labels/scores are excluded."""
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    pairs = (df.select(y.alias("y"), s.alias("s"))
+             .filter(F.col("y").isNotNull() & F.col("s").isNotNull()))
+    ranked = (pairs
+              .withColumn("rmin", F.rank().over(Window.orderBy("s")))
+              .withColumn("ties",
+                          F.count("*").over(Window.partitionBy("s")))
+              .withColumn("ar", F.col("rmin")
+                          + (F.col("ties") - 1) / 2.0))
+    pred = (F.col("s") >= float(threshold)).cast("int")
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(1 - F.col("y")).alias("n_neg"),
+        F.sum(F.col("y") * pred).alias("tp"),
+        F.sum((1 - F.col("y")) * pred).alias("fp"),
+        F.sum((1 - F.col("y")) * (1 - pred)).alias("tn"),
+        F.sum(F.col("y") * (1 - pred)).alias("fn"),
+        F.sum(F.col("ar") * F.col("y")).alias("sum_rank_pos"))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.try_divide(tp, tp + fp)
+    rec = F.try_divide(tp, tp + fn)
+    auc = F.try_divide(
+        F.col("sum_rank_pos")
+        - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0,
+        F.col("n_pos").cast("double") * F.col("n_neg"))
+    return agg.select(
+        "n", "n_pos", "n_neg", "tp", "fp", "tn", "fn",
+        F.round(F.try_divide(tp + F.col("tn"), F.col("n")), 6)
+        .alias("accuracy"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.try_divide(2 * prec * rec, prec + rec), 6)
+        .alias("f1"),
+        F.round(auc, 6).alias("auc"))
+
+
+def binary_metrics_sql(
+    scored: str,
+    label_col: str = "label",
+    score_col: str = "score",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin over a CTE/table `scored(label, score)`: identical
+    midrank construction, confusion counts, 6 dp rounding."""
+    th = float(threshold)
+    return f"""
+WITH pairs AS (
+  SELECT CAST({label_col} AS INT) AS y,
+         CAST({score_col} AS DOUBLE) AS s
+  FROM {scored}
+  WHERE {label_col} IS NOT NULL AND {score_col} IS NOT NULL
+), ranked AS (
+  SELECT y, s,
+         rank() OVER (ORDER BY s)
+           + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS ar,
+         CAST(s >= {th!r} AS INT) AS pred
+  FROM pairs
+), agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         CAST(sum(y * pred) AS BIGINT) AS tp,
+         CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
+         CAST(sum((1 - y) * (1 - pred)) AS BIGINT) AS tn,
+         CAST(sum(y * (1 - pred)) AS BIGINT) AS fn,
+         sum(ar * y) AS sum_rank_pos
+  FROM ranked
+)
+SELECT n, n_pos, n_neg, tp, fp, tn, fn,
+       round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy,
+       round(tp / nullif(CAST(tp + fp AS DOUBLE), 0), 6)
+         AS precision,
+       round(tp / nullif(CAST(tp + fn AS DOUBLE), 0), 6) AS recall,
+       round(2.0 * (tp / nullif(CAST(tp + fp AS DOUBLE), 0))
+                 * (tp / nullif(CAST(tp + fn AS DOUBLE), 0))
+             / nullif(tp / nullif(CAST(tp + fp AS DOUBLE), 0)
+                      + tp / nullif(CAST(tp + fn AS DOUBLE), 0), 0),
+             6) AS f1,
+       round((sum_rank_pos - n_pos * (n_pos + 1) / 2.0)
+             / nullif(CAST(n_pos AS DOUBLE) * n_neg, 0), 6) AS auc
+FROM agg
+"""
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "relevant",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval metrics over ranked result lists (rank =
+    score desc, id asc as the deterministic tie-break): n_results,
+    n_rel, precision_at_k (denominator k, the fixed-cutoff
+    convention), recall_at_k, mrr (reciprocal rank of the FIRST
+    relevant result), ap (mean of precision@hit over all relevant
+    hits), ndcg_at_k (binary relevance, closed-form ideal). Queries
+    with no relevant results emit NULL recall/mrr/ap/ndcg. Ordered by
+    query id."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = F.col(query_col)
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.col(id_col))
+    rel = F.col(rel_col).cast("int")
+    rows = (df
+            .withColumn("pos", F.row_number().over(w))
+            .withColumn("relv", rel)
+            .withColumn("cum_rel", F.sum(rel).over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    in_k = F.col("pos") <= k
+    per_q = rows.groupBy(q.alias("query_id")).agg(
+        F.count("*").alias("n_results"),
+        F.sum("relv").alias("n_rel"),
+        F.sum(F.when(in_k, F.col("relv")).otherwise(0))
+        .alias("rel_at_k"),
+        F.min(F.when(F.col("relv") == 1, F.col("pos")))
+        .alias("first_rel_pos"),
+        F.sum(F.when(F.col("relv") == 1,
+                     F.col("cum_rel") / F.col("pos")))
+        .alias("sum_prec_at_hits"),
+        F.sum(F.when(in_k & (F.col("relv") == 1),
+                     1.0 / F.log2(F.col("pos") + 1)).otherwise(0.0))
+        .alias("dcg"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1),
+                   F.least(F.lit(k), F.col("n_rel")).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1))
+    return (per_q.select(
+        "query_id", "n_results", "n_rel",
+        F.round(F.col("rel_at_k") / float(k), 6)
+        .alias("precision_at_k"),
+        F.round(F.try_divide(F.col("rel_at_k"), F.col("n_rel")), 6)
+        .alias("recall_at_k"),
+        F.round(F.try_divide(F.lit(1.0), F.col("first_rel_pos")), 6)
+        .alias("mrr"),
+        F.round(F.try_divide(F.col("sum_prec_at_hits"),
+                             F.col("n_rel")), 6).alias("ap"),
+        F.round(F.when(F.col("n_rel") > 0,
+                       F.col("dcg") / idcg), 6).alias("ndcg_at_k"))
+        .orderBy("query_id"))
+
+
+def ranking_metrics_sql(
+    results: str,
+    query_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "relevant",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> str:
+    """DuckDB twin over `results(query, score, relevant, id)`: same
+    ranking tie-break, cutoffs, closed-form ideal DCG (correlated
+    generate_series sum), NULL semantics, 6 dp rounding."""
+    kk = int(k)
+    return f"""
+WITH ranked AS (
+  SELECT {query_col} AS query_id,
+         CAST({rel_col} AS INT) AS relv,
+         row_number() OVER (PARTITION BY {query_col}
+                            ORDER BY {score_col} DESC, {id_col})
+           AS pos,
+         sum(CAST({rel_col} AS INT)) OVER (
+             PARTITION BY {query_col}
+             ORDER BY {score_col} DESC, {id_col}
+             ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM {results}
+), per_q AS (
+  SELECT query_id, count(*) AS n_results,
+         CAST(sum(relv) AS BIGINT) AS n_rel,
+         CAST(sum(CASE WHEN pos <= {kk} THEN relv ELSE 0 END)
+              AS BIGINT) AS rel_at_k,
+         min(CASE WHEN relv = 1 THEN pos END) AS first_rel_pos,
+         sum(CASE WHEN relv = 1
+                  THEN cum_rel / CAST(pos AS DOUBLE) END)
+           AS sum_prec_at_hits,
+         sum(CASE WHEN pos <= {kk} AND relv = 1
+                  THEN 1.0 / log2(pos + 1.0) ELSE 0.0 END) AS dcg
+  FROM ranked GROUP BY 1
+), ideal AS (
+  -- closed-form ideal DCG, one row per possible cutoff 1..k
+  -- (generate_series must be uncorrelated in DuckDB)
+  SELECT i AS m, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS idcg
+  FROM generate_series(1, {kk}) AS t(i)
+)
+SELECT query_id, n_results, n_rel,
+       round(rel_at_k / {float(kk)!r}, 6) AS precision_at_k,
+       round(rel_at_k / nullif(CAST(n_rel AS DOUBLE), 0), 6)
+         AS recall_at_k,
+       round(1.0 / first_rel_pos, 6) AS mrr,
+       round(sum_prec_at_hits / nullif(CAST(n_rel AS DOUBLE), 0), 6)
+         AS ap,
+       round(CASE WHEN n_rel > 0 THEN dcg / ideal.idcg END, 6)
+         AS ndcg_at_k
+FROM per_q LEFT JOIN ideal ON ideal.m = least({kk}, per_q.n_rel)
+ORDER BY query_id
+"""
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram: per fixed-width score bin over [0,1)
+    (scores at exactly 1.0 clamp into the top bin), the row count,
+    mean predicted score (confidence), observed positive fraction
+    (accuracy), and |gap|; 6 dp. Empty bins are absent (no spine —
+    the diagram reads missing as no-mass)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (df.filter(y.isNotNull() & s.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(s), 6).alias("confidence"),
+                 F.round(F.avg(y), 6).alias("accuracy"),
+                 F.round(F.abs(F.avg(y) - F.avg(s)), 6).alias("gap"))
+            .orderBy("bin"))
+
+
+def calibration_bins_sql(
+    scored: str,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> str:
+    nb = int(n_bins)
+    return f"""
+WITH pairs AS (
+  SELECT CAST({label_col} AS INT) AS y,
+         CAST({score_col} AS DOUBLE) AS s
+  FROM {scored}
+  WHERE {label_col} IS NOT NULL AND {score_col} IS NOT NULL
+)
+SELECT CAST(least(floor(s * {nb}), {nb - 1}) AS INT) AS bin,
+       count(*) AS n,
+       round(avg(s), 6) AS confidence,
+       round(avg(y), 6) AS accuracy,
+       round(abs(avg(y) - avg(s)), 6) AS gap
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> DataFrame:
+    """One row: n, n_bins_used, ece = Σ (n_b/N)·|acc_b − conf_b|
+    (computed from UNROUNDED bin stats, result rounded to 6 dp)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    bins = (df.filter(y.isNotNull() & s.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count("*").alias("nb"),
+                 F.avg(s).alias("conf"), F.avg(y).alias("acc")))
+    return bins.agg(
+        F.sum("nb").alias("n"),
+        F.count("*").alias("n_bins_used"),
+        F.round(F.sum(F.col("nb") * F.abs(F.col("acc")
+                                          - F.col("conf")))
+                / F.sum("nb"), 6).alias("ece"))
+
+
+def expected_calibration_error_sql(
+    scored: str,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> str:
+    nb = int(n_bins)
+    return f"""
+WITH pairs AS (
+  SELECT CAST({label_col} AS INT) AS y,
+         CAST({score_col} AS DOUBLE) AS s
+  FROM {scored}
+  WHERE {label_col} IS NOT NULL AND {score_col} IS NOT NULL
+), bins AS (
+  SELECT CAST(least(floor(s * {nb}), {nb - 1}) AS INT) AS bin,
+         count(*) AS nb, avg(s) AS conf, avg(y) AS acc
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(sum(nb) AS BIGINT) AS n, count(*) AS n_bins_used,
+       round(sum(nb * abs(acc - conf)) / sum(nb), 6) AS ece
+FROM bins
+"""

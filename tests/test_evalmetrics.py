@@ -1,0 +1,283 @@
+"""Evaluation metrics (operators/evalmetrics.py): plain-Python
+reference parity for the midrank AUC / confusion counts, hand-computed
+ranking goldens (MRR/MAP/NDCG incl. the no-relevant NULL contract and
+the deterministic tie-break), calibration bin clamping + ECE from
+unrounded stats, degenerate-input NULL (never error) semantics, DuckDB
+twin parity on a deterministic scored derivation of the embeddings
+table, and plan shape (no Python eval, single-row reduction).
+"""
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from nifi_extracttext_processor_spark.operators.evalmetrics import (
+    binary_metrics,
+    binary_metrics_sql,
+    calibration_bins,
+    calibration_bins_sql,
+    expected_calibration_error,
+    expected_calibration_error_sql,
+    ranking_metrics,
+    ranking_metrics_sql,
+)
+
+# (label, score) with score ties crossing the class boundary
+PAIRS = [
+    (1, 0.9), (0, 0.9), (1, 0.8), (1, 0.7), (0, 0.7), (0, 0.7),
+    (1, 0.4), (0, 0.3), (0, 0.2), (1, 0.2), (0, 0.1), (1, 0.55),
+]
+
+
+def _ref_auc(pairs):
+    """Midrank Mann-Whitney AUC, plain Python."""
+    asc = sorted(range(len(pairs)), key=lambda i: pairs[i][1])
+    ranks = [0.0] * len(pairs)
+    i = 0
+    while i < len(asc):
+        j = i
+        while j < len(asc) and pairs[asc[j]][1] == pairs[asc[i]][1]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        for t in range(i, j):
+            ranks[asc[t]] = avg
+        i = j
+    pos = [ranks[i] for i, (y, _) in enumerate(pairs) if y == 1]
+    p, n = len(pos), len(pairs) - len(pos)
+    return (sum(pos) - p * (p + 1) / 2.0) / (p * n)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    return spark.createDataFrame(PAIRS, "label int, score double")
+
+
+class TestBinary:
+    def test_confusion_and_rates(self, scored):
+        r = binary_metrics(scored, threshold=0.5).collect()[0]
+        tp = sum(1 for y, s in PAIRS if y == 1 and s >= 0.5)
+        fp = sum(1 for y, s in PAIRS if y == 0 and s >= 0.5)
+        tn = sum(1 for y, s in PAIRS if y == 0 and s < 0.5)
+        fn = sum(1 for y, s in PAIRS if y == 1 and s < 0.5)
+        assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
+        assert r["accuracy"] == pytest.approx((tp + tn) / len(PAIRS))
+        assert r["precision"] == pytest.approx(tp / (tp + fp))
+        assert r["recall"] == pytest.approx(tp / (tp + fn))
+        p, q = tp / (tp + fp), tp / (tp + fn)
+        assert r["f1"] == pytest.approx(2 * p * q / (p + q))
+
+    def test_auc_matches_midrank_reference(self, scored):
+        r = binary_metrics(scored).collect()[0]
+        assert r["auc"] == pytest.approx(_ref_auc(PAIRS), abs=1e-6)
+
+    def test_auc_equals_trapezoid_roc(self, scored):
+        # independent second reference: trapezoidal area under the
+        # ROC curve swept over distinct thresholds
+        thr = sorted({s for _, s in PAIRS}, reverse=True)
+        p = sum(y for y, _ in PAIRS)
+        n = len(PAIRS) - p
+        pts = [(0.0, 0.0)]
+        for t in thr:
+            tp = sum(1 for y, s in PAIRS if y == 1 and s >= t)
+            fp = sum(1 for y, s in PAIRS if y == 0 and s >= t)
+            pts.append((fp / n, tp / p))
+        area = sum((x2 - x1) * (y1 + y2) / 2
+                   for (x1, y1), (x2, y2) in zip(pts, pts[1:]))
+        r = binary_metrics(scored).collect()[0]
+        assert r["auc"] == pytest.approx(area, abs=1e-6)
+
+    def test_degenerate_single_class_null_auc(self, spark):
+        one = spark.createDataFrame([(1, 0.9), (1, 0.2)],
+                                    "label int, score double")
+        r = binary_metrics(one).collect()[0]
+        assert r["auc"] is None
+        assert r["precision"] == 1.0
+        assert r["n_neg"] == 0
+
+    def test_null_rows_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.9), (None, 0.5), (0, None), (0, 0.1)],
+            "label int, score double")
+        r = binary_metrics(df).collect()[0]
+        assert r["n"] == 2 and r["tp"] == 1 and r["tn"] == 1
+
+
+RANKED = [
+    # query A: rel at pos 1 and 3 (by score desc, doc asc)
+    ("A", 101, 0.9, 1), ("A", 102, 0.8, 0), ("A", 103, 0.7, 1),
+    ("A", 104, 0.6, 0),
+    # query B: single rel at pos 2; tie broken by doc_id
+    ("B", 201, 0.5, 0), ("B", 202, 0.5, 1), ("B", 203, 0.1, 0),
+    # query C: nothing relevant
+    ("C", 301, 0.9, 0), ("C", 302, 0.8, 0),
+]
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    return spark.createDataFrame(
+        RANKED, "query_id string, doc_id long, score double, relevant int")
+
+
+class TestRanking:
+    def test_hand_computed_golden(self, results):
+        out = {r["query_id"]: r for r in
+               ranking_metrics(results, k=3).collect()}
+        a = out["A"]
+        assert a["n_rel"] == 2
+        assert a["precision_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+        assert a["recall_at_k"] == pytest.approx(1.0)
+        assert a["mrr"] == pytest.approx(1.0)
+        # AP = mean(prec@1, prec@3) = (1 + 2/3)/2
+        assert a["ap"] == pytest.approx((1 + 2 / 3) / 2, abs=1e-6)
+        dcg = 1 / math.log2(2) + 1 / math.log2(4)
+        idcg = 1 / math.log2(2) + 1 / math.log2(3)
+        assert a["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-6)
+
+    def test_tiebreak_doc_id_ascending(self, results):
+        # B's tie at 0.5: doc 201 (rel=0) ranks before 202 (rel=1)
+        b = {r["query_id"]: r for r in
+             ranking_metrics(results, k=3).collect()}["B"]
+        assert b["mrr"] == pytest.approx(0.5)
+        assert b["ap"] == pytest.approx(0.5)
+
+    def test_no_relevant_is_null_not_zero(self, results):
+        c = {r["query_id"]: r for r in
+             ranking_metrics(results, k=3).collect()}["C"]
+        assert c["precision_at_k"] == 0.0
+        assert c["recall_at_k"] is None
+        assert c["mrr"] is None and c["ap"] is None
+        assert c["ndcg_at_k"] is None
+
+    def test_k_larger_than_list(self, results):
+        a = {r["query_id"]: r for r in
+             ranking_metrics(results, k=100).collect()}["A"]
+        # fixed-cutoff convention: denominator stays k
+        assert a["precision_at_k"] == pytest.approx(2 / 100)
+        assert a["recall_at_k"] == pytest.approx(1.0)
+
+    def test_validation(self, results):
+        with pytest.raises(ValueError):
+            ranking_metrics(results, k=0)
+
+
+class TestCalibration:
+    def test_bins_and_top_clamp(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.05), (0, 0.05), (1, 1.0), (1, 0.95), (0, 0.51)],
+            "label int, score double")
+        bins = {r["bin"]: r for r in calibration_bins(df, n_bins=10)
+                .collect()}
+        assert set(bins) == {0, 5, 9}
+        assert bins[9]["n"] == 2          # 1.0 clamps into bin 9
+        assert bins[0]["accuracy"] == pytest.approx(0.5)
+        assert bins[0]["confidence"] == pytest.approx(0.05)
+        assert bins[0]["gap"] == pytest.approx(0.45)
+
+    def test_ece_weighted_sum(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.05), (0, 0.05), (1, 1.0), (1, 0.95), (0, 0.51)],
+            "label int, score double")
+        r = expected_calibration_error(df, n_bins=10).collect()[0]
+        # bin0: 2 rows gap .45; bin5: 1 row gap .51; bin9: 2 rows
+        # gap |1 - .975| = .025
+        want = (2 * 0.45 + 1 * 0.51 + 2 * 0.025) / 5
+        assert r["ece"] == pytest.approx(want, abs=1e-6)
+        assert r["n"] == 5 and r["n_bins_used"] == 3
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 0.5)], "label int, score double")
+        with pytest.raises(ValueError):
+            calibration_bins(df, n_bins=0)
+        with pytest.raises(ValueError):
+            expected_calibration_error(df, n_bins=0)
+
+
+def _scored_view(sf_dir):
+    """The driver derivation: deterministic md5-uniform score blended
+    with the (binary) embeddings label — identical in both engines."""
+    return (
+        "(SELECT vec_id, label % 2 AS label, "
+        "round(0.55 * ((('0x' || substr(md5(vec_id::VARCHAR), 1, 8))"
+        "::BIGINT) / 4294967296.0) + 0.45 * (label % 2), 6) AS score "
+        f"FROM '{sf_dir}/embeddings.parquet')")
+
+
+class TestParityAndPlan:
+    def _spark_scored(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        u = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
+                                1, 8), 16, 10).cast("long")
+             / F.lit(4294967296.0))
+        return e.select(
+            "vec_id", (F.col("label") % 2).alias("label"),
+            F.round(0.55 * u + 0.45 * (F.col("label") % 2), 6)
+            .alias("score"))
+
+    def test_binary_twin(self, spark, sf_dir):
+        import duckdb
+
+        got = binary_metrics(self._spark_scored(spark, sf_dir)).collect()
+        want = duckdb.sql(
+            binary_metrics_sql(_scored_view(sf_dir))).df()
+        assert len(got) == 1
+        g = got[0].asDict()
+        w = want.iloc[0].to_dict()
+        for c in g:
+            assert g[c] == pytest.approx(w[c], abs=1e-9), c
+
+    def test_ece_twin(self, spark, sf_dir):
+        import duckdb
+
+        got = expected_calibration_error(
+            self._spark_scored(spark, sf_dir)).collect()[0].asDict()
+        want = duckdb.sql(expected_calibration_error_sql(
+            _scored_view(sf_dir))).df().iloc[0].to_dict()
+        for c in got:
+            assert got[c] == pytest.approx(want[c], abs=1e-9), c
+
+    def test_bins_twin(self, spark, sf_dir):
+        import duckdb
+
+        got = [tuple(r) for r in calibration_bins(
+            self._spark_scored(spark, sf_dir)).collect()]
+        want = [tuple(r) for r in duckdb.sql(calibration_bins_sql(
+            _scored_view(sf_dir))).df().itertuples(index=False)]
+        assert got == pytest.approx(want)
+
+    def test_ranking_twin(self, spark, sf_dir):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        base = self._spark_scored(spark, sf_dir).select(
+            (F.col("vec_id") % 16).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "score", F.col("label").alias("relevant"))
+        got = [tuple(r) for r in ranking_metrics(base, k=10).collect()]
+        view = (
+            "(SELECT vec_id % 16 AS query_id, vec_id AS doc_id, score, "
+            f"label AS relevant FROM {_scored_view(sf_dir)} s)")
+        want = [tuple(r) for r in duckdb.sql(
+            ranking_metrics_sql(view, k=10)).df().itertuples(index=False)]
+        assert len(got) == 16
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, abs=1e-9)
+
+    def test_plan_no_python_single_reduction(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        plan = (binary_metrics(self._spark_scored(spark, sf_dir))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # ranking: one keyed window, no join
+        plan2 = (ranking_metrics(
+            self._spark_scored(spark, sf_dir).select(
+                (F.col("vec_id") % 16).alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                "score", F.col("label").alias("relevant")), k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+        assert "Join" not in plan2
+        assert "BatchEvalPython" not in plan2
