@@ -2731,6 +2731,58 @@ def q_calibration_ece(spark, sf):
     return evm.expected_calibration_error(_eval_scored(spark, sf))
 
 
+# ---- extension (r9): hybrid-retrieval fusion (operators/fusion.py)
+# — RRF + weighted min-max CombSUM over a deterministic two-source
+# ranking derivation of embeddings (different md5 salts per source,
+# each source covering a different subset so the absent-source
+# convention is exercised). Input is top-k-per-source sized by
+# construction; the plan is windows + one groupBy, no join.
+# Below-window ----
+
+from nifi_extracttext_processor_spark.operators import fusion as fus  # noqa: E402
+
+_FUSE_RANKINGS_SQL = (
+    "(SELECT vec_id % 16 AS query_id, vec_id AS doc_id, 'lex' AS "
+    "source, round((('0x' || substr(md5(vec_id::VARCHAR || ':l'), "
+    "1, 8))::BIGINT) / 4294967296.0, 6) AS score "
+    "FROM embeddings WHERE vec_id % 3 <> 0 "
+    "UNION ALL "
+    "SELECT vec_id % 16 AS query_id, vec_id AS doc_id, 'sem' AS "
+    "source, round((('0x' || substr(md5(vec_id::VARCHAR || ':s'), "
+    "1, 8))::BIGINT) / 4294967296.0, 6) AS score "
+    "FROM embeddings WHERE vec_id % 5 <> 0)"
+)
+
+
+def _fuse_rankings(spark, sf):
+    e = _t(spark, sf, "embeddings")
+
+    def src(tag, mod):
+        u = (F.conv(F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"),
+                           F.lit(":" + tag[0]))), 1, 8), 16, 10)
+            .cast("long") / F.lit(4294967296.0))
+        return (e.filter(F.col("vec_id") % mod != 0)
+                .select((F.col("vec_id") % 16).alias("query_id"),
+                        F.col("vec_id").alias("doc_id"),
+                        F.lit(tag).alias("source"),
+                        F.round(u, 6).alias("score")))
+
+    return src("lex", 3).unionAll(src("sem", 5))
+
+
+@_q("rrf_fuse_topk", fus.rrf_fuse_sql(_FUSE_RANKINGS_SQL, top_k=5))
+def q_rrf_fuse_topk(spark, sf):
+    return fus.rrf_fuse(_fuse_rankings(spark, sf), top_k=5)
+
+
+@_q("score_fuse_topk", fus.score_fuse_sql(
+    _FUSE_RANKINGS_SQL, weights={"sem": 1.5, "lex": 0.75}, top_k=5))
+def q_score_fuse_topk(spark, sf):
+    return fus.score_fuse(_fuse_rankings(spark, sf),
+                          weights={"sem": 1.5, "lex": 0.75}, top_k=5)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps
