@@ -2731,6 +2731,11 @@ def q_calibration_ece(spark, sf):
     return evm.expected_calibration_error(_eval_scored(spark, sf))
 
 
+@_q("best_f1_threshold", evm.best_threshold_sql(_EVAL_SCORED_SQL))
+def q_best_f1_threshold(spark, sf):
+    return evm.best_threshold(_eval_scored(spark, sf))
+
+
 # ---- extension (r9): hybrid-retrieval fusion (operators/fusion.py)
 # — RRF + weighted min-max CombSUM over a deterministic two-source
 # ranking derivation of embeddings (different md5 salts per source,

@@ -250,6 +250,118 @@ ORDER BY query_id
 """
 
 
+def pr_curve(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Precision-recall sweep: one row per DISTINCT score, treating
+    that score as the threshold (predict positive when score >=
+    threshold) — threshold, tp, fp, fn, precision, recall, f1 (6 dp,
+    NULL where the denominator is empty), ordered by threshold
+    descending. NULL labels/scores are excluded.
+
+    Scale: rows collapse to (score, n, n_pos) pairs in ONE
+    map-side-combinable agg, then one global window over DISTINCT
+    scores accumulates the confusion counts — the shuffle carries one
+    tuple per distinct score, not per row. For continuous scores at
+    100 TB, quantize upstream (round the score, or sweep
+    `calibration_bins` edges) to bound the distinct count; the sweep
+    itself is exact for whatever score set it is given."""
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    per_score = (df.filter(y.isNotNull() & s.isNotNull())
+                 .groupBy(s.alias("threshold"))
+                 .agg(F.count("*").alias("n_at"),
+                      F.sum(y).alias("pos_at")))
+    w = (Window.orderBy(F.desc("threshold"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum = (per_score
+           .withColumn("tp", F.sum("pos_at").over(w))
+           .withColumn("np", F.sum("n_at").over(w))
+           .withColumn("p_all", F.sum("pos_at").over(tot)))
+    tp = F.col("tp")
+    fp = F.col("np") - tp
+    fn = F.col("p_all") - tp
+    prec = F.try_divide(tp, tp + fp)
+    rec = F.try_divide(tp, tp + fn)
+    return (cum.select(
+        "threshold", tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(F.try_divide(2 * prec * rec, prec + rec), 6)
+        .alias("f1"))
+        .orderBy(F.desc("threshold")))
+
+
+def pr_curve_sql(
+    scored: str,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> str:
+    """DuckDB twin over `scored(label, score)`: identical distinct-
+    threshold sweep, cumulative confusion counts, 6 dp rounding."""
+    return f"""
+WITH pairs AS (
+  SELECT CAST({label_col} AS INT) AS y,
+         CAST({score_col} AS DOUBLE) AS s
+  FROM {scored}
+  WHERE {label_col} IS NOT NULL AND {score_col} IS NOT NULL
+), per_score AS (
+  SELECT s AS threshold, count(*) AS n_at,
+         CAST(sum(y) AS BIGINT) AS pos_at
+  FROM pairs GROUP BY 1
+), cum AS (
+  SELECT threshold,
+         sum(pos_at) OVER (ORDER BY threshold DESC
+                           ROWS UNBOUNDED PRECEDING) AS tp,
+         sum(n_at) OVER (ORDER BY threshold DESC
+                         ROWS UNBOUNDED PRECEDING) AS np,
+         sum(pos_at) OVER () AS p_all
+  FROM per_score
+)
+SELECT threshold, CAST(tp AS BIGINT) AS tp,
+       CAST(np - tp AS BIGINT) AS fp,
+       CAST(p_all - tp AS BIGINT) AS fn,
+       round(tp / nullif(CAST(np AS DOUBLE), 0), 6) AS precision,
+       round(tp / nullif(CAST(p_all AS DOUBLE), 0), 6) AS recall,
+       round(2.0 * (tp / nullif(CAST(np AS DOUBLE), 0))
+                 * (tp / nullif(CAST(p_all AS DOUBLE), 0))
+             / nullif(tp / nullif(CAST(np AS DOUBLE), 0)
+                      + tp / nullif(CAST(p_all AS DOUBLE), 0), 0), 6)
+         AS f1
+FROM cum ORDER BY threshold DESC
+"""
+
+
+def best_threshold(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """One row: the `pr_curve` operating point with the highest F1
+    (ties broken by the HIGHEST threshold — the stricter classifier).
+    F1 is a ratio of integers computed identically in both engines,
+    so exact ties are engine-independent. All-one-class inputs yield
+    NULL f1 rows; the sweep still returns the highest threshold."""
+    curve = pr_curve(df, label_col, score_col)
+    return (curve.orderBy(F.desc_nulls_last("f1"),
+                          F.desc("threshold"))
+            .limit(1))
+
+
+def best_threshold_sql(
+    scored: str,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> str:
+    return (pr_curve_sql(scored, label_col, score_col).rstrip()
+            .removesuffix("ORDER BY threshold DESC")
+            + "ORDER BY f1 DESC NULLS LAST, threshold DESC LIMIT 1\n")
+
+
 def calibration_bins(
     df: DataFrame,
     label_col: str = "label",

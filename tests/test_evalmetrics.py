@@ -13,12 +13,16 @@ import math
 import pytest
 
 from nifi_extracttext_processor_spark.operators.evalmetrics import (
+    best_threshold,
+    best_threshold_sql,
     binary_metrics,
     binary_metrics_sql,
     calibration_bins,
     calibration_bins_sql,
     expected_calibration_error,
     expected_calibration_error_sql,
+    pr_curve,
+    pr_curve_sql,
     ranking_metrics,
     ranking_metrics_sql,
 )
@@ -162,6 +166,62 @@ class TestRanking:
             ranking_metrics(results, k=0)
 
 
+def _ref_sweep(pairs):
+    """Plain-Python PR sweep: one point per distinct score threshold."""
+    p_all = sum(y for y, _ in pairs)
+    out = {}
+    for t in sorted({s for _, s in pairs}, reverse=True):
+        tp = sum(1 for y, s in pairs if y == 1 and s >= t)
+        fp = sum(1 for y, s in pairs if y == 0 and s >= t)
+        fn = p_all - tp
+        prec = tp / (tp + fp) if tp + fp else None
+        rec = tp / p_all if p_all else None
+        f1 = (None if prec is None or rec is None or prec + rec == 0
+              else 2 * prec * rec / (prec + rec))
+        out[t] = (tp, fp, fn, prec, rec, f1)
+    return out
+
+
+class TestPRCurve:
+    def test_matches_plain_python_sweep(self, scored):
+        ref = _ref_sweep(PAIRS)
+        rows = pr_curve(scored).collect()
+        assert len(rows) == len(ref)
+        for r in rows:
+            tp, fp, fn, prec, rec, f1 = ref[r["threshold"]]
+            assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+            assert r["precision"] == pytest.approx(prec, abs=1e-6)
+            assert r["recall"] == pytest.approx(rec, abs=1e-6)
+            assert r["f1"] == pytest.approx(f1, abs=1e-6)
+
+    def test_ordered_descending_and_monotone_recall(self, scored):
+        rows = pr_curve(scored).collect()
+        ths = [r["threshold"] for r in rows]
+        assert ths == sorted(ths, reverse=True)
+        recs = [r["recall"] for r in rows]
+        assert recs == sorted(recs)
+        assert recs[-1] == pytest.approx(1.0)
+
+    def test_best_threshold_maximizes_f1(self, scored):
+        ref = _ref_sweep(PAIRS)
+        want_f1 = max(v[5] for v in ref.values() if v[5] is not None)
+        want_t = max(t for t, v in ref.items()
+                     if v[5] is not None
+                     and abs(v[5] - want_f1) < 1e-12)
+        r = best_threshold(scored).collect()
+        assert len(r) == 1
+        assert r[0]["threshold"] == want_t
+        assert r[0]["f1"] == pytest.approx(want_f1, abs=1e-6)
+
+    def test_single_class_null_f1(self, spark):
+        neg = spark.createDataFrame([(0, 0.9), (0, 0.2)],
+                                    "label int, score double")
+        rows = pr_curve(neg).collect()
+        assert all(r["f1"] is None and r["tp"] == 0 for r in rows)
+        b = best_threshold(neg).collect()[0]
+        assert b["f1"] is None and b["threshold"] == 0.9
+
+
 class TestCalibration:
     def test_bins_and_top_clamp(self, spark):
         df = spark.createDataFrame(
@@ -264,6 +324,29 @@ class TestParityAndPlan:
         assert len(got) == 16
         for g, w in zip(got, want):
             assert g == pytest.approx(w, abs=1e-9)
+
+    def test_pr_curve_twin(self, spark, sf_dir):
+        import duckdb
+
+        got = [tuple(r) for r in pr_curve(
+            self._spark_scored(spark, sf_dir)).collect()]
+        want = [tuple(r) for r in duckdb.sql(pr_curve_sql(
+            _scored_view(sf_dir))).df().itertuples(index=False)]
+        assert len(got) == len(want) > 100
+        for g, w in zip(got, want):
+            assert g[:4] == w[:4]
+            for a, b in zip(g[4:], w[4:]):
+                assert a == pytest.approx(b, abs=1e-9, nan_ok=True)
+
+    def test_best_threshold_twin(self, spark, sf_dir):
+        import duckdb
+
+        got = best_threshold(
+            self._spark_scored(spark, sf_dir)).collect()[0].asDict()
+        want = duckdb.sql(best_threshold_sql(
+            _scored_view(sf_dir))).df().iloc[0].to_dict()
+        for c in got:
+            assert got[c] == pytest.approx(want[c], abs=1e-9), c
 
     def test_plan_no_python_single_reduction(self, spark, sf_dir):
         from pyspark.sql import functions as F
