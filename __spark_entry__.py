@@ -2788,6 +2788,25 @@ def q_score_fuse_topk(spark, sf):
                           weights={"sem": 1.5, "lex": 0.75}, top_k=5)
 
 
+# ---- extension (r9): k-anonymity / l-diversity privacy audit
+# (operators/privacy.py) — the release gate beside scrub_pii: one
+# groupBy on the quasi columns (rows collapse to one tuple per
+# equivalence class map-side), summary is a second tiny agg.
+# Below-window ----
+
+from nifi_extracttext_processor_spark.operators import privacy as prv  # noqa: E402
+
+
+@_q("k_anonymity_audit", prv.anonymity_summary_sql(
+    "customer", ["c_nationkey", "c_mktsegment"], "c_acctbal",
+    k_threshold=10))
+def q_k_anonymity_audit(spark, sf):
+    c = _t(spark, sf, "customer")
+    return prv.anonymity_summary(
+        c, ["c_nationkey", "c_mktsegment"], "c_acctbal",
+        k_threshold=10)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps
