@@ -2807,6 +2807,52 @@ def q_k_anonymity_audit(spark, sf):
         k_threshold=10)
 
 
+# ---- extension (r9): k-anonymity REPAIR — generalize the sensitive
+# numeric into width-2000 bins as a quasi column, suppress classes
+# below k=5, then re-audit: the one-row verdict proves min_k >= 5 by
+# construction (or NULLs on an empty survivor set). Below-window ----
+
+_REPAIR_INNER = (
+    "SELECT c_custkey, c_nationkey, "
+    + prv.generalize_numeric_sql("c_acctbal", 2000.0)
+    + " AS bal_band FROM customer")
+_REPAIR_SUPPRESSED = prv.suppress_small_classes_sql(
+    f"({_REPAIR_INNER})", ["c_nationkey", "bal_band"], k_threshold=5)
+# at tiny SFs every class can violate → empty survivor set → NULL
+# verdict columns; coalesce to -1 sentinels in BOTH engines (the
+# driver's pandas bridge reads oracle NULLs as NaN)
+_REPAIR_SQL = (
+    "SELECT coalesce(n_rows, -1) AS n_rows, n_classes, "
+    "coalesce(min_k, -1) AS min_k, "
+    "coalesce(n_violating_classes, -1) AS n_violating_classes, "
+    "coalesce(n_violating_rows, -1) AS n_violating_rows, "
+    "coalesce(pct_violating_rows, -1.0) AS pct_violating_rows "
+    "FROM (" + prv.anonymity_summary_sql(
+        f"({_REPAIR_SUPPRESSED})", ["c_nationkey", "bal_band"],
+        k_threshold=5) + ")")
+
+
+@_q("k_anonymize_repair", _REPAIR_SQL)
+def q_k_anonymize_repair(spark, sf):
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey",
+        prv.generalize_numeric("c_acctbal", 2000.0).alias("bal_band"))
+    kept = prv.suppress_small_classes(
+        c, ["c_nationkey", "bal_band"], k_threshold=5)
+    s = prv.anonymity_summary(
+        kept, ["c_nationkey", "bal_band"], k_threshold=5)
+    return s.select(
+        F.coalesce("n_rows", F.lit(-1)).alias("n_rows"),
+        "n_classes",
+        F.coalesce("min_k", F.lit(-1)).alias("min_k"),
+        F.coalesce("n_violating_classes", F.lit(-1))
+        .alias("n_violating_classes"),
+        F.coalesce("n_violating_rows", F.lit(-1))
+        .alias("n_violating_rows"),
+        F.coalesce("pct_violating_rows", F.lit(-1.0))
+        .alias("pct_violating_rows"))
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

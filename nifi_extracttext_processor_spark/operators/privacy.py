@@ -98,6 +98,107 @@ def anonymity_summary(
     return classes.agg(*aggs)
 
 
+def suppress_small_classes(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k_threshold: int = 5,
+) -> DataFrame:
+    """k-anonymity REPAIR by suppression: drop every row whose
+    equivalence class (see anonymity_classes) has k < `k_threshold`.
+    The surviving frame is k-anonymous at the threshold by
+    construction (anonymity_summary on the output reports
+    min_k >= k_threshold, or an empty frame).
+
+    Scale: the violating-class table (classes with k < threshold)
+    is computed by the same map-side-collapsing groupBy as the audit,
+    then removed with a LEFT ANTI join on the quasi keys. Violating
+    classes are small BY DEFINITION (each holds < k_threshold rows),
+    so the anti-join side is bounded by (#violating classes) tuples
+    — AQE broadcasts it in the common case where violations are the
+    tail, and the payload rows never shuffle. NULL quasi values
+    match as a bucket (null-safe equality), mirroring the audit's
+    NULL-groups-as-value semantics."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k_threshold < 1:
+        raise ValueError("k_threshold must be >= 1")
+    viol = (df.groupBy(*quasi_cols).agg(F.count("*").alias("k"))
+            .filter(F.col("k") < k_threshold)
+            .select(*[F.col(c).alias(f"__viol_{c}") for c in quasi_cols]))
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__viol_{c}"))
+        cond = eq if cond is None else cond & eq
+    return df.join(viol, on=cond, how="left_anti")
+
+
+def suppress_small_classes_sql(
+    table: str,
+    quasi_cols: list[str],
+    k_threshold: int = 5,
+) -> str:
+    """DuckDB twin of suppress_small_classes (COUNT(*) OVER the quasi
+    partition keeps k >= threshold; PARTITION BY groups NULLs
+    together exactly like the null-safe anti-join)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k_threshold < 1:
+        raise ValueError("k_threshold must be >= 1")
+    qc = ", ".join(quasi_cols)
+    return f"""
+SELECT * EXCLUDE (__k) FROM (
+  SELECT *, count(*) OVER (PARTITION BY {qc}) AS __k
+  FROM {table}
+) WHERE __k >= {int(k_threshold)}
+"""
+
+
+def generalize_numeric(col, width: float):
+    """Generalize a numeric quasi-identifier to its fixed-width bin
+    label: floor(x / width) * width, the bin's inclusive lower edge
+    (age 37 @ width 10 → 30.0; -3 @ 10 → -10.0 — floor, not
+    truncate). NULL stays NULL (still its own audit bucket). Coarser
+    width → bigger equivalence classes → higher k; compose with
+    anonymity_summary to pick the narrowest width that clears the
+    threshold. Pure narrow expression — usable in select/withColumn."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    return F.floor(F.col(col) / F.lit(width)) * F.lit(width)
+
+
+def generalize_numeric_sql(col: str, width: float) -> str:
+    """DuckDB twin expression for generalize_numeric."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    return f"floor({col} / {width}) * {width}"
+
+
+def generalize_prefix(col, keep: int, pad: str = "*"):
+    """Generalize a string quasi-identifier to its first `keep`
+    characters, padding the remainder with `pad` so the generalized
+    value keeps the original length ('02138' @ keep=3 → '021**' —
+    the classic ZIP-code hierarchy step). Strings at or under `keep`
+    chars pass through unchanged; NULL stays NULL."""
+    if keep < 0:
+        raise ValueError("keep must be >= 0")
+    c = F.col(col)
+    return F.when(
+        c.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(F.substring(c, 1, keep),
+                 F.repeat(F.lit(pad),
+                          F.greatest(F.length(c) - keep, F.lit(0)))))
+
+
+def generalize_prefix_sql(col: str, keep: int, pad: str = "*") -> str:
+    """DuckDB twin expression for generalize_prefix."""
+    if keep < 0:
+        raise ValueError("keep must be >= 0")
+    return (f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+            f"substr({col}, 1, {keep}) || "
+            f"repeat('{pad}', greatest(length({col}) - {keep}, 0)) END")
+
+
 def anonymity_summary_sql(
     table: str,
     quasi_cols: list[str],

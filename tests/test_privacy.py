@@ -12,6 +12,12 @@ from nifi_extracttext_processor_spark.operators.privacy import (
     anonymity_classes_sql,
     anonymity_summary,
     anonymity_summary_sql,
+    generalize_numeric,
+    generalize_numeric_sql,
+    generalize_prefix,
+    generalize_prefix_sql,
+    suppress_small_classes,
+    suppress_small_classes_sql,
 )
 
 # (zip, age_band, diagnosis)
@@ -83,6 +89,71 @@ class TestSummary:
             anonymity_summary(people, ["zip"], k_threshold=0)
 
 
+class TestSuppress:
+    def test_drops_exactly_violating_rows(self, people):
+        # k_threshold=3 violators: the 02139 singleton, the 02140
+        # covid pair, the NULL-zip pair → 5 of 8 rows drop
+        out = suppress_small_classes(
+            people, ["zip", "age_band"], k_threshold=3)
+        rows = [(r["zip"], r["age_band"]) for r in out.collect()]
+        assert len(rows) == 3
+        assert set(rows) == {("02138", "20s")}
+
+    def test_output_is_k_anonymous(self, people):
+        out = suppress_small_classes(
+            people, ["zip", "age_band"], k_threshold=2)
+        r = anonymity_summary(
+            out, ["zip", "age_band"], k_threshold=2).collect()[0]
+        assert r["min_k"] >= 2
+        assert r["n_violating_rows"] == 0
+
+    def test_null_bucket_suppressed_as_a_class(self, people):
+        # NULL-zip class has k=2: survives threshold 2, dies at 3
+        keep2 = suppress_small_classes(people, ["zip"], k_threshold=2)
+        assert any(r["zip"] is None for r in keep2.collect())
+        keep3 = suppress_small_classes(people, ["zip"], k_threshold=3)
+        assert all(r["zip"] is not None for r in keep3.collect())
+
+    def test_threshold_one_keeps_all(self, people):
+        assert suppress_small_classes(
+            people, ["zip", "age_band"], k_threshold=1).count() == 8
+
+    def test_validation(self, people):
+        with pytest.raises(ValueError):
+            suppress_small_classes(people, [], k_threshold=2)
+        with pytest.raises(ValueError):
+            suppress_small_classes(people, ["zip"], k_threshold=0)
+
+
+class TestGeneralize:
+    def test_numeric_floor_bins(self, spark):
+        df = spark.createDataFrame(
+            [(37.0,), (-3.0,), (30.0,), (None,)], "age double")
+        got = [r["g"] for r in df.select(
+            generalize_numeric("age", 10.0).alias("g")).collect()]
+        assert got == [30.0, -10.0, 30.0, None]
+
+    def test_prefix_pads_to_length(self, spark):
+        df = spark.createDataFrame(
+            [("02138",), ("02",), ("",), (None,)], "zip string")
+        got = [r["g"] for r in df.select(
+            generalize_prefix("zip", 3).alias("g")).collect()]
+        assert got == ["021**", "02", "", None]
+
+    def test_generalization_raises_k(self, people):
+        # full zip: min_k = 1 (the 02139 singleton); 3-digit prefix
+        # merges 02138/02139 (021**) so every class reaches k >= 2
+        gen = people.withColumn("zip", generalize_prefix("zip", 3))
+        r = anonymity_summary(gen, ["zip"], k_threshold=2).collect()[0]
+        assert r["min_k"] >= 2
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            generalize_numeric("x", 0)
+        with pytest.raises(ValueError):
+            generalize_prefix("x", -1)
+
+
 class TestParityAndPlan:
     QUASI = ["c_nationkey", "c_mktsegment"]
 
@@ -109,6 +180,59 @@ class TestParityAndPlan:
             k_threshold=10)).df().iloc[0].to_dict()
         for c in got:
             assert got[c] == pytest.approx(want[c]), c
+
+    def test_suppress_twin(self, spark, sf_dir):
+        import duckdb
+
+        # single quasi column + low threshold so survival is PARTIAL
+        # at sf0.001 (150 customers / 25 nations ≈ 6 per class)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        got = sorted(
+            r["c_custkey"] for r in suppress_small_classes(
+                cust, ["c_nationkey"], k_threshold=6)
+            .select("c_custkey").collect())
+        want = sorted(
+            r[0] for r in duckdb.sql(
+                "SELECT c_custkey FROM (" + suppress_small_classes_sql(
+                    f"'{sf_dir}/customer.parquet'", ["c_nationkey"],
+                    k_threshold=6) + ")").fetchall())
+        assert got == want
+        assert 0 < len(got) < cust.count()
+
+    def test_generalize_twin(self, spark, sf_dir):
+        import duckdb
+
+        pq = f"{sf_dir}/customer.parquet"
+        cust = spark.read.parquet(pq)
+        got = sorted(
+            (r["c_custkey"], r["g"]) for r in cust.select(
+                "c_custkey",
+                generalize_numeric("c_acctbal", 500.0).alias("g"))
+            .collect())
+        want = sorted(duckdb.sql(
+            f"SELECT c_custkey, "
+            f"{generalize_numeric_sql('c_acctbal', 500.0)} AS g "
+            f"FROM '{pq}'").fetchall())
+        assert got == want
+        gotp = sorted(
+            (r["c_custkey"], r["g"]) for r in cust.select(
+                "c_custkey",
+                generalize_prefix("c_mktsegment", 4).alias("g"))
+            .collect())
+        wantp = sorted(duckdb.sql(
+            f"SELECT c_custkey, "
+            f"{generalize_prefix_sql('c_mktsegment', 4)} AS g "
+            f"FROM '{pq}'").fetchall())
+        assert gotp == wantp
+
+    def test_suppress_plan_anti_join_no_python(self, spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        plan = (suppress_small_classes(cust, self.QUASI, 10)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "LeftAnti" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
     def test_plan_one_groupby_no_join(self, spark, sf_dir):
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
