@@ -75,6 +75,23 @@ def _pairs_in_row(col: str):
             lambda y: F.struct(x.alias("a"), y.alias("b")))))
 
 
+def _pairs_from_baskets(baskets: DataFrame,
+                        min_support: int) -> DataFrame:
+    """Frequent-pair mining over a pre-built (ideally persisted)
+    baskets frame — shared by `frequent_pairs` and
+    `frequent_triples` so level 3 never re-tokenizes the corpus."""
+    freq1 = (baskets.select(F.explode("items").alias("item"))
+             .groupBy("item").agg(F.count("*").alias("n1"))
+             .filter(F.col("n1") >= min_support))
+    keep = freq1.agg(F.sort_array(F.collect_list("item")).alias("ki"))
+    narrowed = _narrow_to(baskets, keep, 2)
+    return (narrowed
+            .select(F.explode(_pairs_in_row("fs")).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("n_pair"))
+            .filter(F.col("n_pair") >= min_support))
+
+
 def frequent_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -88,16 +105,7 @@ def frequent_pairs(
     from .lifecycle import track_persist
 
     baskets = track_persist(_baskets(df, text_col))
-    freq1 = (baskets.select(F.explode("items").alias("item"))
-             .groupBy("item").agg(F.count("*").alias("n1"))
-             .filter(F.col("n1") >= min_support))
-    keep = freq1.agg(F.sort_array(F.collect_list("item")).alias("ki"))
-    narrowed = _narrow_to(baskets, keep, 2)
-    return (narrowed
-            .select(F.explode(_pairs_in_row("fs")).alias("p"))
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .groupBy("a", "b").agg(F.count("*").alias("n_pair"))
-            .filter(F.col("n_pair") >= min_support))
+    return _pairs_from_baskets(baskets, min_support)
 
 
 def association_rules(
@@ -220,7 +228,7 @@ def frequent_triples(
     from .lifecycle import track_persist
 
     baskets = track_persist(_baskets(df, text_col))
-    pairs = frequent_pairs(df, text_col, min_support)
+    pairs = _pairs_from_baskets(baskets, min_support)
     pair_items = (pairs.select(F.col("a").alias("item"))
                   .unionAll(pairs.select(F.col("b").alias("item")))
                   .distinct())

@@ -17,8 +17,10 @@ the ids and seed — reruns, other clusters, and the DuckDB twin
 produce the SAME pairs (md5 hash variant for the oracle; xxhash64
 default at scale).
 
-Scale shape: the global row_number sorts (id) PAIRS only (the
-balanced-shards posture — ids and hashes move, documents never);
+Scale shape: the global rank comes from ranking.distributed_row_number
+over the id projection (range repartition + keyed local window +
+broadcast prefix offsets — no single-task sort; ids move, documents
+never);
 the explode is k rows per anchor of three longs; the partner join
 is an integer-keyed hash join. Optional `positives` exclusion
 anti-joins known-positive pairs in both orientations so a negative
@@ -28,7 +30,7 @@ contrastive sets).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -54,10 +56,12 @@ def sample_negative_pairs(
     anchor count then dips below k with probability ~k·|pos|/N, the
     documented trade for keeping every draw a pure function of
     (id, j, seed))."""
+    from .ranking import distributed_row_number
+
     if k < 1:
         raise ValueError("k must be >= 1")
-    ranked = df.select(F.col(id_col)).withColumn(
-        "__r", F.row_number().over(Window.orderBy(id_col)) - 1)
+    ranked = distributed_row_number(
+        df.select(F.col(id_col)), [F.asc(id_col)], "__r")
     n = ranked.count()
     if n < 2:
         raise ValueError("need at least 2 rows to draw negatives")

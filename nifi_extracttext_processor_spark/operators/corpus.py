@@ -1037,28 +1037,31 @@ def assign_shards_balanced(
     than balance — a balanced rank is global, so appends reshuffle
     membership by construction.
 
-    Cost: one global sort of (id, n_tokens) PAIRS — ids and counts
-    only, never text (at 10^11 docs that is a ~TB-scale range sort,
-    the floor for any exact global ranking; the payload never
-    moves). Deterministic and engine-portable: rank ties break on
-    id, so the DuckDB twin replays membership exactly.
+    Cost: one distributed range sort of (id, n_tokens) PAIRS — the
+    rank comes from ranking.distributed_row_number (range repartition
+    + keyed local window + broadcast prefix offsets), so no stage
+    funnels all rows through a single task; ids and counts shuffle,
+    the payload joins back by id afterwards. That is the floor for
+    any exact global ranking at 10^11 docs. Deterministic and
+    engine-portable: rank ties break on id, so the DuckDB twin
+    replays membership exactly.
 
     Token source: `count_col` (an existing column, e.g.
     bpe_tokenize's n_bpe_real), else `token_mode` over `text_col`
     ("ws"|"bpe", the pack_sequences convention)."""
-    from pyspark.sql import Window
+    from .ranking import distributed_row_number
 
     if num_shards <= 0:
         raise ValueError("num_shards must be positive")
     n_tok = (F.col(count_col).cast("long") if count_col
              else _token_count(text_col, token_mode))
-    toks = df.withColumn("__nt", n_tok)
-    w = Window.orderBy(F.desc("__nt"), F.asc(id_col))
-    return (toks
-            .withColumn("shard",
-                        ((F.row_number().over(w) - 1)
-                         % num_shards).cast("int"))
-            .drop("__nt"))
+    slim = df.select(F.col(id_col), n_tok.alias("__nt"))
+    ranked = distributed_row_number(
+        slim, [F.desc("__nt"), F.asc(id_col)], "__rk")
+    shard = ranked.select(
+        id_col,
+        (F.col("__rk") % num_shards).cast("int").alias("shard"))
+    return df.join(shard, id_col).select(*df.columns, "shard")
 
 
 def assign_shards_balanced_sql(

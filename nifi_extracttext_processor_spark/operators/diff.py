@@ -23,9 +23,11 @@ theoretical floor for a keyed diff (both sides must meet once); the
 change flag and per-column pairs are narrow projections on top.
 Columns compare null-safely (eqNullSafe) so NULL→NULL is unchanged
 and NULL↔value is a change. With `hash_compare=True` the change
-flag uses an md5 over the concatenated compared columns instead of
-N pairwise comparisons — same verdicts, one expression, the wide-
-table (hundreds of columns) form; the twin replays it exactly.
+flag uses a per-column md5+null-flag digest (fixed-width tokens, so
+neither NULL-vs-value nor embedded separator bytes can alias) folded
+into one md5, instead of N pairwise comparisons — same verdicts up
+to md5 collision, one expression, the wide-table (hundreds of
+columns) form.
 
 Determinism / oracle: pure set logic over a full-outer join — the
 DuckDB twin (diff_snapshots_sql) replays verdicts and values
@@ -38,13 +40,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SEP = "\x1f"  # unit separator: unlikely-in-data delimiter
-
-
 def _row_hash(cols: "list[str]", prefix: str = ""):
-    return F.md5(F.concat_ws(
-        _SEP, *[F.coalesce(F.col(prefix + c).cast("string"),
-                           F.lit("\x00")) for c in cols]))
+    """Unambiguous row digest: each column contributes a fixed-width
+    33-char token — a 0/1 null flag + md5 of the value ('' when NULL,
+    distinguished from a real '' by the flag) — so NULL can never
+    collide with any real value and no data byte can shift a column
+    boundary. Residual contract: md5 collisions only (~2^-64 per
+    pair)."""
+    parts = []
+    for c in cols:
+        v = F.col(prefix + c)
+        parts.append(F.concat(
+            F.when(v.isNull(), F.lit("1")).otherwise(F.lit("0")),
+            F.md5(F.coalesce(v.cast("string"), F.lit("")))))
+    return F.md5(F.concat(*parts))
 
 
 def diff_snapshots(

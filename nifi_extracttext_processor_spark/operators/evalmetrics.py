@@ -19,12 +19,15 @@ counts. Degenerate inputs (P=0 or N=0) yield NULL, never a division
 error. NDCG uses binary relevance, so the ideal DCG has the closed
 form Σ_{i=1..min(k,R)} 1/log2(i+1) — no second sort.
 
-Scale design: `binary_metrics` reduces to ONE row via a single agg
-over (label, score) PAIRS — payloads never enter the plan; the rank
-windows need one global sort of those pairs, which is the exact-AUC
-floor (the sketch alternative — binned ROC over `calibration_bins` —
-is the documented 100 TB approximation; at a billion rows a sort of
-16-byte pairs is still a routine shuffle). `ranking_metrics` sorts
+Scale design: `binary_metrics` first collapses to one row per
+DISTINCT score via groupBy (map-side partial aggregation), so the one
+global ordered window runs over the distinct-score domain — thousands
+of rows for any realistic score grid — never over the raw pairs; the
+midrank sum is reconstructed exactly from tie-group sizes and
+cumulative offsets. Payloads never enter the plan, and no stage moves
+all N rows through a single task (the sketch alternative — binned ROC
+over `calibration_bins` — remains the documented approximation for a
+continuous high-cardinality score at 100 TB). `ranking_metrics` sorts
 each query's result list once (one keyed window) and reduces per
 query: shuffle carries (query, score, flag) triples, and every
 per-query output is a bounded aggregate. Calibration collapses to
@@ -51,22 +54,31 @@ def binary_metrics(
     s = F.col(score_col).cast("double")
     pairs = (df.select(y.alias("y"), s.alias("s"))
              .filter(F.col("y").isNotNull() & F.col("s").isNotNull()))
-    ranked = (pairs
-              .withColumn("rmin", F.rank().over(Window.orderBy("s")))
-              .withColumn("ties",
-                          F.count("*").over(Window.partitionBy("s")))
-              .withColumn("ar", F.col("rmin")
-                          + (F.col("ties") - 1) / 2.0))
+    # Collapse to one row per DISTINCT score first (map-side combine),
+    # so the only global sort is over distinct scores — bounded by the
+    # score domain, not the row count. Each tie group's midrank is
+    # before + (c+1)/2 where `before` = rows with strictly smaller
+    # score, so Σ_{positives} midrank = Σ_s p(s)·(before(s)+(c(s)+1)/2)
+    # needs nothing finer than the grouped frame.
+    grp = pairs.groupBy("s").agg(
+        F.count("*").alias("c"), F.sum("y").alias("p"))
+    w_before = (Window.orderBy("s")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    cum = grp.withColumn(
+        "before", F.coalesce(F.sum("c").over(w_before), F.lit(0)))
     pred = (F.col("s") >= float(threshold)).cast("int")
-    agg = ranked.agg(
-        F.count("*").alias("n"),
-        F.sum("y").alias("n_pos"),
-        F.sum(1 - F.col("y")).alias("n_neg"),
-        F.sum(F.col("y") * pred).alias("tp"),
-        F.sum((1 - F.col("y")) * pred).alias("fp"),
-        F.sum((1 - F.col("y")) * (1 - pred)).alias("tn"),
-        F.sum(F.col("y") * (1 - pred)).alias("fn"),
-        F.sum(F.col("ar") * F.col("y")).alias("sum_rank_pos"))
+    neg = F.col("c") - F.col("p")
+    agg = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum("p").alias("n_pos"),
+        F.sum(neg).alias("n_neg"),
+        F.sum(F.col("p") * pred).alias("tp"),
+        F.sum(neg * pred).alias("fp"),
+        F.sum(neg * (1 - pred)).alias("tn"),
+        F.sum(F.col("p") * (1 - pred)).alias("fn"),
+        F.sum(F.col("p")
+              * (F.col("before") + (F.col("c") + 1) / 2.0))
+        .alias("sum_rank_pos"))
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
     prec = F.try_divide(tp, tp + fp)
     rec = F.try_divide(tp, tp + fn)

@@ -206,8 +206,12 @@ def scd2_merge_sql(
     key_cols: "list[str] | tuple[str, ...]",
     attr_cols: "list[str] | tuple[str, ...]",
     ts_col: str = "ts",
+    ts_type: str = "TIMESTAMP",
 ) -> str:
-    """DuckDB twin of scd2_merge."""
+    """DuckDB twin of scd2_merge. `ts_type` must name the history's
+    valid_to SQL type (TIMESTAMP/DATE/BIGINT...) so the inserts' NULL
+    leg unions cleanly — mirroring the Spark side's cast to
+    dict(history.dtypes)['valid_to']."""
     keys = ", ".join(key_cols)
     attrs = ", ".join(attr_cols)
     kj = " AND ".join(f"h.{k} = u.{k}" for k in key_cols)
@@ -234,7 +238,7 @@ inserts AS (
   SELECT {', '.join(f'u.{k}' for k in key_cols)},
          {', '.join(f'u.{a}' for a in attr_cols)},
          u.{ts_col} AS valid_from,
-         NULL::TIMESTAMP AS valid_to
+         NULL::{ts_type} AS valid_to
   FROM {updates_table} u
   LEFT JOIN (SELECT * FROM {history_table} WHERE is_current) h
     ON {kj}

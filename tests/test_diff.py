@@ -63,6 +63,21 @@ class TestVerdicts:
                                   hash_compare=True).collect())
         assert a == b
 
+    def test_hash_compare_null_and_separator_adversarial(self, spark):
+        # NULL vs a literal NUL byte, and separator bytes that would
+        # shift column boundaries under naive concat_ws hashing, must
+        # all read as CHANGED / UNCHANGED correctly.
+        old = spark.createDataFrame(
+            [(1, None, "x"), (2, "a\x1f", "b"), (3, "p", "q")],
+            "k int, s string, t string")
+        new = spark.createDataFrame(
+            [(1, "\x00", "x"), (2, "a", "\x1fb"), (3, "p", "q")],
+            "k int, s string, t string")
+        got = {r["k"]: r["change_type"] for r in
+               diff_snapshots(old, new, ["k"], hash_compare=True,
+                              include_unchanged=True).collect()}
+        assert got == {1: "changed", 2: "changed", 3: "unchanged"}
+
     def test_subset_compare_cols(self, spark):
         old, new = _pair(spark)
         # comparing only v: key 2 (s changed, v same) reads unchanged

@@ -4,9 +4,8 @@ order-insensitive values."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
@@ -25,14 +24,18 @@ def ddb(sf_dir):
 
 
 def _canon(v):
-    if v is None:
+    # Collections first: pd.isna() on them returns an array, not a bool.
+    if isinstance(v, (list, tuple)) or (hasattr(v, "__len__")
+                                        and not isinstance(v, str)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    # Unify every scalar NULL spelling: Python None (Spark), pandas NaT
+    # (NULL timestamp out of ddb .df()), and float nan (NULL double in a
+    # typed pandas column). Spark also hands NULL doubles back as None,
+    # so both sides land on the same token.
+    if v is None or pd.isna(v):
         return "∅"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
         return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
     return str(v)
 
 
