@@ -535,6 +535,56 @@ def _extract_text_ops(
     return "\n".join(lines)
 
 
+def pdf_has_images(data: bytes) -> bool:
+    """True when the document carries raster content: an image
+    XObject stream (`/Subtype /Image`) anywhere, or an inline image
+    (BI..ID..EI) inside a content stream. Cheap structural scan —
+    no pixel decode."""
+    if not data.startswith(b"%PDF"):
+        return False
+    try:
+        from .pdf_crypt import decryptor_for
+
+        dec = decryptor_for(data)
+        if dec is not None:
+            data = _decrypt_all_streams(data, dec)
+    except Exception:
+        return False
+    for buf in [data] + _expand_object_streams(data):
+        for dict_bytes, raw in _iter_streams(buf):
+            if b"/ObjStm" in dict_bytes or b"/XRef" in dict_bytes:
+                continue
+            if b"/Image" in dict_bytes:
+                return True
+            if b"/FontFile" in dict_bytes:
+                continue
+            decoded = _decompress_if_flate(dict_bytes, raw)
+            if decoded is None:
+                continue
+            # inline image: BI <dict> ID <bytes> EI
+            m = re.search(rb"(?:^|[\s>])BI[\s/]", decoded)
+            if m and decoded.find(b"ID", m.start()) != -1 \
+                    and decoded.find(b"EI", m.start()) != -1:
+                return True
+    return False
+
+
+def pdf_needs_ocr(data: bytes) -> bool:
+    """Scanned-document detector: True when the PDF yields NO
+    extractable text but DOES contain raster images — the image-only
+    signature Tika's stack hands to Tesseract (the OCRParser warning
+    visible in the reference's surefire test output). This engine has
+    no OCR (pure-stdlib determination, SURVEY §7); the flag exists so
+    such documents surface on a distinct route instead of passing
+    silently with empty text."""
+    try:
+        if extract_pdf_text(data).strip():
+            return False
+    except ValueError:
+        return False  # corrupt/encrypted-unreadable → failure route
+    return pdf_has_images(data)
+
+
 def extract_pdf_text(data: bytes, max_length: int = -1) -> str:
     """Extract plain text from PDF bytes.
 

@@ -93,11 +93,16 @@ def decontaminate_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    ngrams: DataFrame | None = None,
 ) -> DataFrame:
     """Remove contaminated docs (left_anti against the matched set) —
     the production form: the full rows of clean docs pass through
-    without their text ever shuffling."""
-    bench = F.broadcast(benchmark_ngrams(benchmark, text_col, n))
+    without their text ever shuffling. Pass a precomputed (ideally
+    persisted) `ngrams` table (column ``ng``) when filtering MANY
+    sources against the same benchmark, so the benchmark is tokenized
+    once, not once per source."""
+    bench = F.broadcast(ngrams if ngrams is not None
+                        else benchmark_ngrams(benchmark, text_col, n))
     dirty = (df.select(F.col(id_col),
                        F.explode(shingles(text_col, n)).alias("ng"))
              .join(bench, "ng")

@@ -124,6 +124,62 @@ def detect_mime_col(
     return df.mapInPandas(_run, schema=schema)
 
 
+def flag_needs_ocr(
+    df: DataFrame,
+    content_col: str = "content",
+    text_col: str = "text",
+    error_col: str = "error",
+) -> DataFrame:
+    """Scanned-PDF detector column: `needs_ocr` is True for rows that
+    extracted SUCCESSFULLY but produced blank text from a PDF that
+    carries raster images (image XObjects / inline images) — the
+    image-only signature the reference's Tika stack hands to
+    Tesseract (OCRParser warning in its surefire output). This engine
+    has no OCR, so the flag turns silent empty-text success into an
+    explicit routable state. Run on extract_text(keep_content=True)
+    output (needs the raw bytes); only blank-text success rows pay
+    the structural scan — everything else is a cheap False."""
+    if content_col not in df.columns:
+        raise ValueError(
+            f"flag_needs_ocr needs {content_col!r} — run "
+            "extract_text(keep_content=True)")
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields] + ["needs_ocr BOOLEAN"])
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nifi_extracttext_processor_spark.formats.pdf import (
+            pdf_has_images,
+        )
+
+        for pdf in batches:
+            flags = []
+            for i in range(len(pdf)):
+                err = pdf[error_col].iloc[i]
+                txt = pdf[text_col].iloc[i]
+                blob = pdf[content_col].iloc[i]
+                flag = False
+                if err is None and (txt is None or not txt.strip()) \
+                        and blob is not None:
+                    data = bytes(blob)
+                    if data.startswith(b"%PDF"):
+                        flag = pdf_has_images(data)
+                flags.append(flag)
+            out = pdf.copy()
+            out["needs_ocr"] = flags
+            yield out
+
+    return df.mapInPandas(_run, schema=schema)
+
+
+def route_needs_ocr(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ready, needs_ocr) split over flag_needs_ocr output — the
+    A9-style distinct route for image-only documents awaiting an
+    external OCR stage."""
+    return (df.filter(~F.col("needs_ocr")),
+            df.filter(F.col("needs_ocr")))
+
+
 def route_by_error(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """A9: (success, failure) pair — REL_SUCCESS / REL_FAILURE (:96-100).
 

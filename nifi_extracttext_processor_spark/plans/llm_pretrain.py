@@ -76,6 +76,7 @@ def clean_source(
     decontaminate_n: int = 8,
     semantic_decon_threshold: float = 0.9,
     vec_col: str = "embedding",
+    benchmark_ngram_table: DataFrame | None = None,
 ) -> DataFrame:
     """One source through stages 2-4: near dedup → semantic dedup →
     decontamination. Input should already be prepped (stage 1 —
@@ -106,9 +107,13 @@ def clean_source(
         # sidecar coverage is rarely 100%: docs WITHOUT an embedding
         # pass through unexamined (semantic dedup cannot judge them);
         # only the covered-but-pruned ids are dropped. The isEmpty
-        # probe is one cheap action per source (it guards kmeans
-        # against a zero-coverage source, e.g. a code corpus mixed
-        # with an embedded web corpus).
+        # probe guards kmeans against a zero-coverage source (e.g. a
+        # code corpus mixed with an embedded web corpus); persisting
+        # vecs first folds the probe's pass into the cache that
+        # semantic_dedup reads anyway, so it costs no extra scan.
+        from ..operators.lifecycle import track_persist
+
+        vecs = track_persist(vecs)
         if not vecs.isEmpty():
             sem_kept = semantic_dedup(
                 vecs, id_col=id_col, vec_col="__v", k=semantic_k,
@@ -117,10 +122,11 @@ def clean_source(
             pruned = vecs.select(id_col).join(
                 sem_kept.select(id_col), id_col, "left_anti")
             out = out.join(pruned, id_col, "left_anti")
-    if benchmark is not None:
+    if benchmark is not None or benchmark_ngram_table is not None:
         out = decontaminate_filter(out, benchmark, id_col=id_col,
                                    text_col=text_col,
-                                   n=decontaminate_n)
+                                   n=decontaminate_n,
+                                   ngrams=benchmark_ngram_table)
     if benchmark_embeddings is not None:
         if embeddings is None:
             raise ValueError(
@@ -245,8 +251,16 @@ def llm_pretrain_plan(
     at its fan-out boundary — the mixing planner aggregates token
     totals over it AND the sampler re-reads it; without the persist
     the near/semantic dedup would execute twice per source."""
+    from ..operators.corpus import benchmark_ngrams
     from ..operators.lifecycle import track_persist
 
+    # Hoist the benchmark tokenization out of the per-source loop:
+    # one distinct-n-gram table, persisted, broadcast into every
+    # source's decontamination (N sources, ONE benchmark scan).
+    bng = None
+    if benchmark is not None:
+        bng = track_persist(
+            benchmark_ngrams(benchmark, text_col, decontaminate_n))
     cleaned = []
     for df, w in sources:
         c = clean_source(df, id_col=id_col, text_col=text_col,
@@ -254,7 +268,8 @@ def llm_pretrain_plan(
                          embeddings=embeddings,
                          semantic_threshold=semantic_threshold,
                          benchmark=benchmark,
-                         decontaminate_n=decontaminate_n)
+                         decontaminate_n=decontaminate_n,
+                         benchmark_ngram_table=bng)
         cleaned.append((track_persist(c.select(id_col, text_col)), w))
     corpus = build_pretrain_corpus(cleaned, id_col=id_col,
                                    text_col=text_col,

@@ -58,6 +58,51 @@ def build_pdf(lines: list[str], compress: bool = False) -> bytes:
     return out.getvalue()
 
 
+def build_scanned_pdf(text_layer: list[str] | None = None) -> bytes:
+    """One-page PDF whose content is a drawn image XObject — the
+    scanned-document shape. With `text_layer` it gains an invisible-
+    OCR-style text stream too (then it does NOT need OCR)."""
+    content = ["q", "612 0 0 792 0 0 cm", "/Im1 Do", "Q"]
+    if text_layer:
+        content += ["BT", "/F1 12 Tf", "50 750 Td"]
+        for line in text_layer:
+            esc = (line.replace("\\", r"\\").replace("(", r"\(")
+                   .replace(")", r"\)"))
+            content.append(f"({esc}) Tj")
+        content.append("ET")
+    stream = "\n".join(content).encode("latin-1")
+    pixels = bytes([0, 255, 255, 0])  # 2x2 gray checker
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /Im1 5 0 R >> "
+        b"/Font << /F1 6 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (
+            len(stream), stream),
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>"
+        b"\nstream\n%s\nendstream" % (len(pixels), pixels),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xref_at = out.tell()
+    out.write(b"xref\n0 %d\n" % (len(objs) + 1))
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets:
+        out.write(b"%010d 00000 n \n" % off)
+    out.write(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+              % (len(objs) + 1, xref_at))
+    return out.getvalue()
+
+
 def build_docx(paragraphs: list[str]) -> bytes:
     w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
     body = "".join(

@@ -104,6 +104,36 @@ class TestCleanSource:
                          benchmark_embeddings=_embeddings(spark))
 
 
+class TestBenchmarkHoist:
+    def test_benchmark_tokenized_once_for_n_sources(self, spark,
+                                                    tmp_path,
+                                                    monkeypatch):
+        # The benchmark n-gram table must be built ONCE and shared
+        # across every source's decontamination, not re-derived per
+        # source.
+        import nifi_extracttext_processor_spark.plans.llm_pretrain \
+            as lp
+        calls = {"n": 0}
+        real = lp.__dict__.get("benchmark_ngrams")  # imported lazily
+        from nifi_extracttext_processor_spark.operators import corpus
+
+        orig = corpus.benchmark_ngrams
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(corpus, "benchmark_ngrams", counting)
+        a, b = _source_a(spark), _source_b(spark)
+        llm_pretrain_plan(
+            [(a, 0.4), (b, 0.3), (_source_b(spark), 0.3)],
+            str(tmp_path / "c"),
+            benchmark=_benchmark(spark),
+            near_threshold=0.5, n_merges=5, num_shards=2)
+        assert calls["n"] == 1
+        assert real is None  # plan must import it lazily, not bind
+
+
 class TestEndToEnd:
     def test_full_plan(self, spark, tmp_path):
         a, b = _source_a(spark), _source_b(spark)
