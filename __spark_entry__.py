@@ -2888,6 +2888,32 @@ _rotate_slot("dedup_incremental", "nbayes_predict")
 _rotate_slot("knn_join", "audio_match_pairs")
 _rotate_slot("events_asof", "events_gap_fill")
 
+# ===========================================================================
+# Driver-window rotation r10 — start retiring the r9 below-window
+# backlog with its three strongest full-pipeline oracles (mapping also
+# recorded in SURVEY.md's round-10 table):
+#   char_lm_score OUT -> kn_perplexity IN   (language-model family:
+#     the word-level Kneser-Ney LM is the stronger oracle — TRAIN and
+#     SCORE both replayed in DuckDB; the char-LM's perplexity-filter
+#     shape keeps full parity in pytest and the quality family stays
+#     driver-exercised via quality_score / nbayes_predict /
+#     gopher_flags)
+#   events_gap_fill OUT -> events_scd2 IN   (temporal family stays via
+#     events_interval_join + events_sessionize + events_window_agg;
+#     gap_fill had its green round in r9 and keeps pytest parity; SCD2
+#     is the NULL-bearing row the r10 parity-gate fix unblocked)
+#   dedup_keep_best OUT -> k_anonymity_audit IN   (near-dup keep-best
+#     stays exercised via dedup_near_pairs — same MinHash-LSH banding
+#     base — and the llm_pretrain e2e tests; the privacy family gets
+#     its first driver row beyond scrub_pii)
+# Evicted queries stay registered below the window; test_oracle_parity
+# keeps running their DuckDB checks.
+# ===========================================================================
+
+_rotate_slot("char_lm_score", "kn_perplexity")
+_rotate_slot("events_gap_fill", "events_scd2")
+_rotate_slot("dedup_keep_best", "k_anonymity_audit")
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
