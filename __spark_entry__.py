@@ -2853,6 +2853,54 @@ def q_k_anonymize_repair(spark, sf):
         .alias("pct_violating_rows"))
 
 
+# ---- extension (r10): HyperLogLog distinct sketches (operators/
+# sketch.py — Flajolet 2007, mergeable (group,bucket,rho) register
+# tables with an exact-integer estimator sum so both engines agree
+# bit-for-bit). Below-window; the estimate over per-language distinct
+# documents tokens exercises bucket/rho/small-range-correction paths ----
+
+from nifi_extracttext_processor_spark.operators import sketch as skx  # noqa: E402
+
+
+@_q("hll_token_distinct", skx.hll_distinct_sql(
+    "(SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) "
+    "AS tok FROM documents) toks", "tok", ["lang"]))
+def q_hll_token_distinct(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+"))
+        .alias("tok"))
+    return skx.hll_distinct(toks, "tok", ["lang"])
+
+
+# ---- extension (r10): Efraimidis-Spirakis weighted sampling
+# (operators/wsample.py — fixed-size quality-weighted draws without
+# replacement, deterministic top-k by ln(u)/w). Below-window ----
+
+from nifi_extracttext_processor_spark.operators import wsample as wsx  # noqa: E402
+
+
+@_q("weighted_sample_docs", wsx.weighted_sample_sql(
+    "documents", 200, "n_chars", seed=3,
+    select="doc_id, lang, n_chars"))
+def q_weighted_sample_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return wsx.weighted_sample(
+        d.select("doc_id", "lang", "n_chars"), 200, "n_chars",
+        seed=3, md5=True)
+
+
+@_q("weighted_sample_by_lang", wsx.weighted_sample_grouped_sql(
+    "documents", 25, "n_chars", ["lang"], seed=3,
+    select="doc_id, lang, n_chars"))
+def q_weighted_sample_by_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    return wsx.weighted_sample_grouped(
+        d.select("doc_id", "lang", "n_chars"), 25, "n_chars",
+        ["lang"], seed=3, md5=True)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -271,8 +271,17 @@ def main() -> None:
     # JVM/codegen warmup on a trivial action
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Per-query fresh-session mode (drift-adjudication protocol,
+    # VERDICT r9 task 2): SPARK_GRAFT_ONLY=a,b runs just those
+    # headliners so a query's standalone median can be separated
+    # from 45-query session-composition effects.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    selected = ([n for n in HEADLINE if n in
+                 {s.strip() for s in only.split(",")}]
+                if only else HEADLINE)
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in selected:
         fn = LOCAL.get(name) or qs[name]
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))

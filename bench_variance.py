@@ -36,9 +36,19 @@ def _infer_round(repo_dir: str) -> int:
 def main() -> None:
     argv = list(sys.argv[1:])
     round_no = None
+    only = None
     if "--round" in argv:
         i = argv.index("--round")
         round_no = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--only" in argv:
+        # Per-query fresh-session mode (drift adjudication, VERDICT r9
+        # task 2): each run executes ONLY the named headliners, so a
+        # query's standalone median is free of 45-query
+        # session-composition effects. Prints the stats JSON; does NOT
+        # touch BENCH_NOTES.md (the full-session protocol's file).
+        i = argv.index("--only")
+        only = argv[i + 1]
         del argv[i:i + 2]
     n_runs = int(argv[0]) if argv else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
@@ -47,10 +57,13 @@ def main() -> None:
     for i in range(n_runs):
         print(f"=== run {i + 1}/{n_runs} (fresh process) ===",
               file=sys.stderr)
+        env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
+        if only:
+            env["SPARK_GRAFT_ONLY"] = only
         out = subprocess.run(
             [sys.executable, "bench.py"],
             capture_output=True, text=True, check=True,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
 
@@ -108,6 +121,16 @@ def main() -> None:
         "```",
         "",
     ]
+    if only:
+        print(json.dumps({
+            "metric": "standalone_query_medians",
+            "only": only, "n_runs": n_runs,
+            "queries": {q: s["median"] for q, s in stats.items()},
+            "spread_pct": {q: s["spread_pct"]
+                           for q, s in stats.items()},
+        }))
+        return
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_NOTES.md")
     # preserve any manually-maintained analysis below the marker

@@ -1,0 +1,219 @@
+"""Deterministic HyperLogLog distinct-count sketches (Flajolet 2007;
+the Heule 2013 small-range correction) — the cardinality primitive a
+100 TB catalog needs: "how many distinct urls / tokens / users" as a
+few-KB MERGEABLE register table instead of a corpus-wide exact
+distinct. Spark's own approx_count_distinct is a black-box binary
+sketch you cannot persist portably or merge incrementally across
+engines; this one is a PLAIN (group, bucket, rho) DataFrame — land it
+in the dedup-catalog posture, union tomorrow's partial, groupBy-max,
+estimate. The DuckDB twin replays the md5 hash, the register build,
+and the estimator arithmetic exactly, so estimates are cross-engine
+value-identical (the house determinism bar — not just "close").
+
+Construction (b precision bits, m = 2^b registers, default b=12 →
+±~1.6%):
+  h        = md5(value || '#seed')          (128-bit hex, portable)
+  bucket   = first b bits   (b/4 hex chars, b multiple of 4)
+  w        = next 60 bits   (15 hex chars)
+  rho      = leading zeros of w + 1 ∈ [1, 61]  — computed via STRING
+             arithmetic (strip leading '0' hex chars + a nibble CASE),
+             never floating log, so both engines agree bit-for-bit
+  register = max rho per (group, bucket)
+Estimator: alpha_m·m² / Σ 2^−M_j with the Σ kept EXACT as the integer
+Σ 2^(61−M_j) (decimal/int128 sum — float summation order would be
+engine-dependent), one double division at the end; empty registers
+contribute 2^61; small-range correction E ≤ 2.5m ∧ V>0 → m·ln(m/V).
+The 60-bit register width makes the 2^32 large-range correction
+unreachable (documented omission).
+
+Scale shape: ONE map-side-combinable groupBy per sketch — rows
+collapse to ≤ groups·m (bucket, rho) pairs before any shuffle; the
+estimate is a second agg over that already-tiny table. Merging
+partials (days, sources, engines) is union + the same max — the
+definition of a mergeable summary. Payloads never move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_REG_BITS = 60  # hash bits feeding rho; rho ∈ [1, 61]
+
+
+def _alpha_mm(m: int) -> float:
+    # Flajolet's bias constant for m >= 128, times m^2. Embedded as a
+    # Python double in BOTH engines (repr round-trip) so the estimator
+    # arithmetic is IEEE-identical.
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+
+def _check_b(b: int) -> int:
+    if b < 8 or b > 16 or b % 4 != 0:
+        raise ValueError("b must be 8, 12, or 16 (hex-aligned, "
+                         "m >= 256 for the alpha constant)")
+    return b
+
+
+def hll_partials(
+    df: DataFrame,
+    col: str,
+    group_by: "list[str] | None" = None,
+    b: int = 12,
+    seed: int = 0,
+) -> DataFrame:
+    """(group..., bucket, rho) register table — the mergeable partial.
+    NULL values are excluded (COUNT DISTINCT semantics). One
+    map-side-combinable groupBy; output ≤ groups · 2^b rows."""
+    _check_b(b)
+    gb = list(group_by or [])
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"#{seed}")))
+    bucket = F.conv(F.substring(h, 1, b // 4), 16, 10).cast("int")
+    hex15 = F.substring(h, b // 4 + 1, _REG_BITS // 4)
+    stripped = F.regexp_replace(hex15, "^0*", "")
+    lead = F.lit(_REG_BITS // 4) - F.length(stripped)
+    nib = F.substring(stripped, 1, 1)
+    nib_lz = (F.when(nib.isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                     0)
+              .when(nib.isin("4", "5", "6", "7"), 1)
+              .when(nib.isin("2", "3"), 2)
+              .otherwise(3))
+    rho = (F.when(F.length(stripped) == 0, F.lit(_REG_BITS + 1))
+           .otherwise(lead * 4 + nib_lz + 1)).cast("int")
+    return (df.filter(F.col(col).isNotNull())
+            .select(*gb, bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(*gb, "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(*partials: DataFrame) -> DataFrame:
+    """Union register tables (same group columns + b) and re-max —
+    merging sketches over days/sources/engines."""
+    if not partials:
+        raise ValueError("nothing to merge")
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    gb = [c for c in out.columns if c not in ("bucket", "rho")]
+    return (out.groupBy(*gb, "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(
+    partials: DataFrame,
+    group_by: "list[str] | None" = None,
+    b: int = 12,
+) -> DataFrame:
+    """(group..., est_distinct) from a register table. The 2^−rho sum
+    stays an exact integer (decimal) until one final double divide —
+    float-sum ordering can never skew a bit."""
+    _check_b(b)
+    m = 1 << b
+    gb = list(group_by or [])
+    two61 = 1 << (_REG_BITS + 1)
+    # pyspark's shiftleft() wants a literal bit count; the per-row
+    # shift goes through expr()
+    term = F.expr(f"shiftleft(1L, {_REG_BITS + 1} - rho)")
+    agg = (partials.groupBy(*gb)
+           .agg(F.sum(term.cast("decimal(38,0)")).alias("s_present"),
+                F.count("*").alias("n_present")))
+    v = F.lit(m) - F.col("n_present")  # empty registers
+    s_total = (F.col("s_present")
+               + v.cast("decimal(38,0)") * F.lit(two61)
+               .cast("decimal(38,0)")).cast("double")
+    raw = F.lit(_alpha_mm(m) * float(two61)) / s_total
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m))
+                                         / v.cast("double"))) \
+        .otherwise(raw)
+    return agg.select(
+        *gb, F.round(est).cast("long").alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: "list[str] | None" = None,
+    b: int = 12,
+    seed: int = 0,
+) -> DataFrame:
+    """One-shot: sketch + estimate. (group..., est_distinct)."""
+    return hll_estimate(hll_partials(df, col, group_by, b, seed),
+                        group_by, b)
+
+
+def hll_partials_sql(
+    table: str,
+    expr: str,
+    group_by: "list[str] | None" = None,
+    b: int = 12,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of hll_partials (identical md5/bucket/rho)."""
+    _check_b(b)
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = (", ".join(gb) + ", ") if gb else ""
+    nh = _REG_BITS // 4
+    return f"""
+SELECT {gsel}bucket, max(rho) AS rho FROM (
+  SELECT {gsel}
+         ('0x' || substr(h, 1, {b // 4}))::BIGINT AS bucket,
+         CASE WHEN length(stripped) = 0 THEN {_REG_BITS + 1}
+              ELSE ({nh} - length(stripped)) * 4
+                   + CASE WHEN substr(stripped, 1, 1) IN
+                               ('8','9','a','b','c','d','e','f') THEN 0
+                          WHEN substr(stripped, 1, 1) IN
+                               ('4','5','6','7') THEN 1
+                          WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+                          ELSE 3 END + 1 END AS rho
+  FROM (
+    SELECT {gsel}h,
+           regexp_replace(substr(h, {b // 4 + 1}, {nh}),
+                          '^0*', '') AS stripped
+    FROM (
+      SELECT {gsel}
+             md5(CAST(({expr}) AS VARCHAR) || '#{seed}') AS h
+      FROM {table} WHERE ({expr}) IS NOT NULL
+    )
+  )
+)
+GROUP BY {gkey}bucket
+"""
+
+
+def hll_distinct_sql(
+    table: str,
+    expr: str,
+    group_by: "list[str] | None" = None,
+    b: int = 12,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of hll_distinct (identical registers, exact
+    integer 2^(61-rho) sum via int128, identical estimator doubles)."""
+    _check_b(b)
+    m = 1 << b
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    two61 = 1 << (_REG_BITS + 1)
+    parts = hll_partials_sql(table, expr, gb, b, seed)
+    return f"""
+SELECT {gsel}
+       CAST(round(
+         CASE WHEN raw <= {2.5 * m!r} AND v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / v)
+              ELSE raw END) AS BIGINT) AS est_distinct
+FROM (
+  SELECT {gsel}raw, v FROM (
+    SELECT {gsel}
+           {_alpha_mm(m) * float(two61)!r}
+             / CAST(sum((1::BIGINT << ({_REG_BITS + 1} - rho)))
+                    + ({m} - count(*)) * {two61}::HUGEINT AS DOUBLE)
+             AS raw,
+           CAST({m} - count(*) AS DOUBLE) AS v
+    FROM ({parts})
+    {gkey}
+  )
+)
+"""
