@@ -2874,6 +2874,18 @@ def q_hll_token_distinct(spark, sf):
     return skx.hll_distinct(toks, "tok", ["lang"])
 
 
+@_q("cms_event_counts", skx.cms_estimate_sql(
+    "events", "event_type",
+    "(SELECT DISTINCT event_type FROM events)", "event_type",
+    out_col="item"))
+def q_cms_event_counts(spark, sf):
+    ev = _t(spark, sf, "events")
+    sk = skx.cms_build(ev, "event_type", md5=True)
+    probes = ev.select("event_type").distinct()
+    return skx.cms_estimate(sk, probes, "event_type", md5=True) \
+        .select(F.col("event_type").alias("item"), "est_count")
+
+
 # ---- extension (r10): Efraimidis-Spirakis weighted sampling
 # (operators/wsample.py — fixed-size quality-weighted draws without
 # replacement, deterministic top-k by ln(u)/w). Below-window ----

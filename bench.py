@@ -95,6 +95,8 @@ HEADLINE = [
     "llm_pretrain",        # the capstone composition: 2-source clean
                            # (near+semantic dedup, decontaminate) +
                            # token mixing + split + BPE + packing
+    "hll_token_distinct",  # r10 sketch family: HLL registers over a
+                           # token explode (map-side-combinable agg)
 ]
 
 

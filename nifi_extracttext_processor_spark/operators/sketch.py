@@ -217,3 +217,168 @@ FROM (
   )
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the frequency
+# companion to the HLL cardinality sketch above: "roughly how often
+# does each url/token/user appear" as a d·w-cell MERGEABLE counter
+# table. Same catalog posture: the sketch is a plain
+# (group..., j, pos, cnt) DataFrame — land today's, union tomorrow's,
+# groupBy-sum, then answer point queries for any candidate set without
+# rescanning the corpus. Guarantees: estimates NEVER undercount, and
+# overcount by at most eps·N (eps = e/w) with probability 1 − delta
+# (delta = e^-d) — the classic one-sided bound.
+#
+# Scale shape: build = one explode to d (j, pos) cells per row + one
+# map-side-combinable groupBy bounded by groups·d·w cells; merge =
+# union + the same sum; estimate = d-cell lookup per queried item via
+# a keyed join against the tiny sketch + a min-over-d agg. Payloads
+# never move; the sketch never exceeds groups·d·w rows no matter the
+# input size.
+# ---------------------------------------------------------------------------
+
+
+def _cms_pos(col_expr, j: int, w: int, seed: int, md5: bool):
+    if md5:
+        h = F.conv(F.substring(
+            F.md5(F.concat(col_expr.cast("string"),
+                           F.lit(f"#{seed}#{j}"))), 1, 8), 16, 10) \
+            .cast("long")
+    else:
+        h = F.xxhash64(col_expr, F.lit(seed * 1000 + j))
+    return F.pmod(h, F.lit(w)).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    group_by: "list[str] | None" = None,
+    d: int = 4,
+    w: int = 2048,
+    seed: int = 0,
+    md5: bool = False,
+) -> DataFrame:
+    """(group..., j, pos, cnt) sparse counter table. NULL values are
+    excluded. One d-way cell explode + one map-side-combinable sum;
+    output ≤ groups · d · w rows."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 and w >= 2")
+    gb = list(group_by or [])
+    v = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _cms_pos(v, j, w, seed, md5).alias("pos"))
+        for j in range(d)])
+    return (df.filter(v.isNotNull())
+            .select(*gb, F.explode(cells).alias("c"))
+            .select(*gb, F.col("c.j").alias("j"),
+                    F.col("c.pos").alias("pos"))
+            .groupBy(*gb, "j", "pos")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union counter tables (same group columns, d, w, seed) and
+    re-sum — merging sketches over days/sources/engines."""
+    if not sketches:
+        raise ValueError("nothing to merge")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    gb = [c for c in out.columns if c not in ("j", "pos", "cnt")]
+    return (out.groupBy(*gb, "j", "pos")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    group_by: "list[str] | None" = None,
+    d: int = 4,
+    w: int = 2048,
+    seed: int = 0,
+    md5: bool = False,
+) -> DataFrame:
+    """(group..., <col>, est_count) for every row of `items` — min
+    over the d counter cells, absent cells read 0. Never undercounts.
+    The join is keyed on (group, j, pos) against the ≤ groups·d·w-row
+    sketch; broadcast-sized by construction."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 and w >= 2")
+    gb = list(group_by or [])
+    v = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _cms_pos(v, j, w, seed, md5).alias("pos"))
+        for j in range(d)])
+    probes = (items.filter(v.isNotNull())
+              .select(*gb, v.alias(col), F.explode(cells).alias("c"))
+              .select(*gb, col, F.col("c.j").alias("j"),
+                      F.col("c.pos").alias("pos")))
+    joined = probes.join(F.broadcast(sketch), gb + ["j", "pos"],
+                         "left")
+    return (joined.groupBy(*gb, col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_count")))
+
+
+def _cms_pos_sql(expr: str, j: int, w: int, seed: int) -> str:
+    return (f"(('0x' || substr(md5(CAST(({expr}) AS VARCHAR) || "
+            f"'#{seed}#{j}'), 1, 8))::BIGINT % {w} + {w}) % {w}")
+
+
+def cms_build_sql(
+    table: str,
+    expr: str,
+    group_by: "list[str] | None" = None,
+    d: int = 4,
+    w: int = 2048,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of cms_build(md5=True)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = (", ".join(gb) + ", ") if gb else ""
+    legs = " UNION ALL ".join(
+        f"SELECT {gsel}{j} AS j, "
+        f"{_cms_pos_sql(expr, j, w, seed)} AS pos "
+        f"FROM {table} WHERE ({expr}) IS NOT NULL"
+        for j in range(d))
+    return (f"SELECT {gsel}j, pos, count(*) AS cnt FROM ({legs}) "
+            f"GROUP BY {gkey}j, pos")
+
+
+def cms_estimate_sql(
+    table: str,
+    expr: str,
+    items_table: str,
+    item_expr: str,
+    group_by: "list[str] | None" = None,
+    d: int = 4,
+    w: int = 2048,
+    seed: int = 0,
+    out_col: str = "item",
+) -> str:
+    """DuckDB twin of cms_build + cms_estimate over a distinct item
+    set drawn with `items_table`/`item_expr`."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = (", ".join(gb) + ", ") if gb else ""
+    on = " AND ".join([f"p.{g} = s.{g}" for g in gb]
+                      + ["p.j = s.j", "p.pos = s.pos"])
+    probe_legs = " UNION ALL ".join(
+        f"SELECT {gsel}({item_expr}) AS {out_col}, {j} AS j, "
+        f"{_cms_pos_sql(item_expr, j, w, seed)} AS pos "
+        f"FROM {items_table} WHERE ({item_expr}) IS NOT NULL"
+        for j in range(d))
+    psel = (", ".join(f"p.{g}" for g in gb) + ", ") if gb else ""
+    pkey = (", ".join(f"p.{g}" for g in gb) + ", ") if gb else ""
+    return f"""
+SELECT {psel}p.{out_col}, min(coalesce(s.cnt, 0)) AS est_count
+FROM ({probe_legs}) p
+LEFT JOIN ({cms_build_sql(table, expr, gb, d, w, seed)}) s
+  ON {on}
+GROUP BY {pkey}p.{out_col}
+"""
