@@ -2886,6 +2886,34 @@ def q_cms_event_counts(spark, sf):
         .select(F.col("event_type").alias("item"), "est_count")
 
 
+# ---- extension (r10): time-bucketed rollup maintenance (operators/
+# rollup.py — continuous-aggregate state tables; oracle = the
+# rollup-of-rollup == direct-agg invariant). Below-window ----
+
+from nifi_extracttext_processor_spark.operators import rollup as rlx  # noqa: E402
+
+
+@_q("rollup_events_monthly", rlx.rollup_query_sql(
+    "events", "ts", "month", ["event_type"], "value"))
+def q_rollup_events_monthly(spark, sf):
+    ev = _t(spark, sf, "events")
+    day = rlx.rollup_build(ev, "ts", "day", ["event_type"], "value")
+    return rlx.rollup_query(day, "month", ["event_type"])
+
+
+@_q("rollup_distinct_users_monthly",
+    "SELECT tbucket AS bucket, event_type, est_distinct FROM ("
+    + skx.hll_distinct_sql(
+        "(SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS "
+        "tbucket, event_type, user_id FROM events) t",
+        "user_id", ["tbucket", "event_type"]) + ")")
+def q_rollup_distinct_users_monthly(spark, sf):
+    ev = _t(spark, sf, "events")
+    state = rlx.rollup_distinct_build(ev, "user_id", "ts", "day",
+                                      ["event_type"])
+    return rlx.rollup_distinct_query(state, "month", ["event_type"])
+
+
 # ---- extension (r10): Efraimidis-Spirakis weighted sampling
 # (operators/wsample.py — fixed-size quality-weighted draws without
 # replacement, deterministic top-k by ln(u)/w). Below-window ----

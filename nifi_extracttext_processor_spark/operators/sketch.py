@@ -55,6 +55,17 @@ def _check_b(b: int) -> int:
     return b
 
 
+def _check_groups(gb: "list[str]") -> "list[str]":
+    # The register table owns these names; a group column shadowing
+    # them silently corrupts the GROUP BY in the SQL twins (found
+    # live: a time-bucket group named "bucket").
+    clash = {"bucket", "rho"} & set(gb)
+    if clash:
+        raise ValueError(f"group column(s) {sorted(clash)} collide "
+                         "with the HLL register schema — rename them")
+    return gb
+
+
 def hll_partials(
     df: DataFrame,
     col: str,
@@ -66,7 +77,7 @@ def hll_partials(
     NULL values are excluded (COUNT DISTINCT semantics). One
     map-side-combinable groupBy; output ≤ groups · 2^b rows."""
     _check_b(b)
-    gb = list(group_by or [])
+    gb = _check_groups(list(group_by or []))
     h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"#{seed}")))
     bucket = F.conv(F.substring(h, 1, b // 4), 16, 10).cast("int")
     hex15 = F.substring(h, b // 4 + 1, _REG_BITS // 4)
@@ -109,7 +120,7 @@ def hll_estimate(
     float-sum ordering can never skew a bit."""
     _check_b(b)
     m = 1 << b
-    gb = list(group_by or [])
+    gb = _check_groups(list(group_by or []))
     two61 = 1 << (_REG_BITS + 1)
     # pyspark's shiftleft() wants a literal bit count; the per-row
     # shift goes through expr()
@@ -151,7 +162,7 @@ def hll_partials_sql(
 ) -> str:
     """DuckDB twin of hll_partials (identical md5/bucket/rho)."""
     _check_b(b)
-    gb = list(group_by or [])
+    gb = _check_groups(list(group_by or []))
     gsel = (", ".join(gb) + ", ") if gb else ""
     gkey = (", ".join(gb) + ", ") if gb else ""
     nh = _REG_BITS // 4
@@ -193,7 +204,7 @@ def hll_distinct_sql(
     integer 2^(61-rho) sum via int128, identical estimator doubles)."""
     _check_b(b)
     m = 1 << b
-    gb = list(group_by or [])
+    gb = _check_groups(list(group_by or []))
     gsel = (", ".join(gb) + ", ") if gb else ""
     gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
     two61 = 1 << (_REG_BITS + 1)
