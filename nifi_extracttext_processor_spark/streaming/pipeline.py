@@ -896,3 +896,66 @@ def stream_scd2(
          .partitionBy("batch").parquet(history_dir))
 
     return _batch, read_history
+
+
+def stream_rollup(
+    state_dir: str,
+    ts_col: str = "ts",
+    grain: str = "day",
+    dims: "list[str] | None" = None,
+    value_col: str | None = None,
+):
+    """foreachBatch wiring of continuous-aggregate maintenance
+    (operators/rollup.py): each micro-batch's events collapse to an
+    additive (bucket, dims) increment merged into the committed state
+    — the streaming leg of the rollup family (rollup_build = batch
+    bootstrap, rollup_merge = backfill, this = continuous).
+
+    Per micro-batch:
+      1. rollup_build over the batch (map-side combine to state cells),
+      2. rollup_merge with the LATEST state snapshot COMMITTED BY AN
+         EARLIER BATCH (strictly batch < id — counts are additive, so
+         unlike scd2_merge a replay re-merging its OWN committed
+         snapshot would double-count; reading only earlier batches
+         makes an at-least-once replay regenerate the byte-identical
+         snapshot instead),
+      3. land the full merged state under `state_dir/batch=<id>`
+         (dynamic-partition-overwrite; readers take max(batch)).
+
+    The state stays ≤ buckets·dims cells, so landing the full snapshot
+    per batch is a few KB/MB regardless of stream volume; prune
+    superseded `batch=` partitions with compact_catalog or a retention
+    sweep.
+
+    Returns (foreachBatch callable, read_state callable)."""
+    from ..operators.rollup import rollup_build, rollup_merge
+
+    dims = list(dims or [])
+
+    def read_state(spark, before_batch: "int | None" = None):
+        """Latest committed state (optionally: committed strictly
+        before `before_batch`), or None before the first batch."""
+        from ..sources.tables import read_catalog
+        df = read_catalog(spark, state_dir)
+        if df is None:
+            return None
+        if before_batch is not None:
+            df = df.filter(F.col("batch") < int(before_batch))
+        latest = df.agg(F.max("batch").alias("m")).first()["m"]
+        if latest is None:
+            return None
+        return df.filter(F.col("batch") == latest).drop("batch")
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = rollup_build(batch_df, ts_col, grain, dims, value_col)
+        prev = read_state(spark, before_batch=int(batch_id))
+        merged = inc if prev is None else rollup_merge(prev, inc,
+                                                       dims=dims)
+        (merged.localCheckpoint(eager=True)
+         .withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(state_dir))
+
+    return _batch, read_state

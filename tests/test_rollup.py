@@ -108,6 +108,54 @@ class TestDistinct:
         assert _rows(via) == _rows(direct)
 
 
+class TestStreaming:
+    def _batches(self, spark):
+        b0 = spark.createDataFrame(
+            [("2024-01-01 05:00:00", "click", 1.0),
+             ("2024-01-02 06:00:00", "click", 2.0),
+             ("2024-01-02 07:00:00", "view", 5.0)],
+            "ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        b1 = spark.createDataFrame(
+            [("2024-01-02 08:00:00", "click", 4.0),
+             ("2024-02-01 09:00:00", "view", 7.0)],
+            "ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        return b0, b1
+
+    def test_incremental_state_equals_batch_build(self, spark,
+                                                  tmp_path):
+        from nifi_extracttext_processor_spark.streaming.pipeline \
+            import stream_rollup
+        sd = str(tmp_path / "state")
+        fb, read_state = stream_rollup(sd, "ts", "day",
+                                       ["event_type"], "value")
+        assert read_state(spark) is None
+        b0, b1 = self._batches(spark)
+        fb(b0, 0)
+        fb(b1, 1)
+        got = _rows(rollup_query(read_state(spark), "month",
+                                 ["event_type"]))
+        want = _rows(rollup_query(
+            rollup_build(b0.unionByName(b1), "ts", "day",
+                         ["event_type"], "value"),
+            "month", ["event_type"]))
+        assert got == want
+
+    def test_replay_does_not_double_count(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.streaming.pipeline \
+            import stream_rollup
+        sd = str(tmp_path / "state2")
+        fb, read_state = stream_rollup(sd, "ts", "day",
+                                       ["event_type"], "value")
+        b0, b1 = self._batches(spark)
+        fb(b0, 0)
+        fb(b1, 1)
+        want = _rows(read_state(spark))
+        fb(b1, 1)      # at-least-once replay after commit
+        assert _rows(read_state(spark)) == want
+
+
 class TestTwin:
     def test_query_parity(self, spark, events, sf_dir):
         con = duckdb.connect()
