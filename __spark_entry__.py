@@ -2886,6 +2886,28 @@ def q_cms_event_counts(spark, sf):
         .select(F.col("event_type").alias("item"), "est_count")
 
 
+# ---- extension (r10): entity resolution composed plan (plans/
+# entity_resolution.py — fuzzy blocking → components → canonical
+# pick; twin = quadratic levenshtein + recursive-CTE reachability).
+# Below-window; same derived fuzzy key as fuzzy_edit_join ----
+
+from nifi_extracttext_processor_spark.plans import entity_resolution as erx  # noqa: E402
+
+
+@_q("entity_clusters", erx.resolve_entities_sql(
+    "(SELECT doc_id, lower(substr(text, 1, 24)) AS fk, lang, source "
+    "FROM documents) keyed",
+    "doc_id", "fk", max_dist=3, attr_cols=["lang", "source"]))
+def q_entity_clusters(spark, sf):
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 24)).alias("fk"),
+        "lang", "source")
+    return erx.resolve_entities(keyed, "doc_id", "fk", max_dist=3,
+                                attr_cols=["lang", "source"])
+
+
 # ---- extension (r10): time-bucketed rollup maintenance (operators/
 # rollup.py — continuous-aggregate state tables; oracle = the
 # rollup-of-rollup == direct-agg invariant). Below-window ----

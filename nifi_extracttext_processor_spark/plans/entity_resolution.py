@@ -1,0 +1,115 @@
+"""Entity resolution — the composed record-linkage plan (Fellegi &
+Sunter 1969 shape; Christen 2012's block→compare→cluster→survive
+pipeline) built entirely from existing operators: fuzzy blocking +
+verification (operators/fuzzy_join.py, signature-filtered so no
+all-pairs stage ever runs), connected components over the match pairs
+(operators/dedup.py components_from_pairs — label propagation, min-id
+labels), and a deterministic canonical-record pick per cluster
+(completeness desc, id asc). The dedup family answers "are these the
+same DOCUMENT"; this answers "are these the same ENTITY" for dirty
+reference data (names, addresses, merchant strings) where exact
+fingerprints never match.
+
+Output: one row per input record — (id, cluster_id, n_members,
+is_canonical). Records with NULL or over-long keys are unmatchable by
+contract (the fuzzy_join exclusion) and surface as singleton
+clusters, never dropped.
+
+Scale shape: blocking pairs come from the q-gram signature join
+(ids+keys only), components shuffle (id, label) pairs per round, the
+canonical pick is ONE keyed window over (cluster, completeness, id).
+Payloads move once, at the final enrichment join.
+
+Oracle: the DuckDB twin replays the quadratic levenshtein pairs (the
+lossless-signature equality argument from fuzzy_join), a recursive-
+CTE min-label reachability (same fixpoint as label propagation), and
+the identical canonical ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    max_dist: int = 2,
+    q: int = 2,
+    attr_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """(id_col, cluster_id, n_members, is_canonical) — see module
+    docstring. `attr_cols` drive the completeness half of the
+    canonical order (none → min id wins)."""
+    from ..operators.dedup import components_from_pairs
+    from ..operators.fuzzy_join import edit_similarity_join
+
+    attrs = list(attr_cols or [])
+    pairs = edit_similarity_join(df, id_col=id_col, key_col=key_col,
+                                 max_dist=max_dist, q=q)
+    labels = components_from_pairs(df.select(id_col), pairs,
+                                   id_col=id_col)
+    nz = sum((F.col(a).isNotNull().cast("int") for a in attrs),
+             F.lit(0))
+    enriched = (df.select(id_col, *attrs)
+                .join(labels, id_col)
+                .withColumn("__nz", nz))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__nz"), F.asc(id_col))
+    wc = Window.partitionBy("cluster_id")
+    return (enriched
+            .withColumn("n_members", F.count("*").over(wc))
+            .withColumn("is_canonical",
+                        F.row_number().over(w) == 1)
+            .select(id_col, "cluster_id", "n_members",
+                    "is_canonical"))
+
+
+def resolve_entities_sql(
+    table: str,
+    id_col: str = "doc_id",
+    key_expr: str = "key",
+    max_dist: int = 2,
+    attr_cols: "list[str] | None" = None,
+    max_key_len: int = 512,  # fuzzy_join.MAX_KEY_LEN
+) -> str:
+    """DuckDB twin: quadratic levenshtein pairs + recursive-CTE
+    min-label reachability + identical canonical ordering."""
+    attrs = list(attr_cols or [])
+    nz = (" + ".join(f"CAST({a} IS NOT NULL AS INT)" for a in attrs)
+          or "0")
+    return f"""
+WITH RECURSIVE k AS (
+  SELECT {id_col} AS id, {key_expr} AS s FROM {table}
+  WHERE {key_expr} IS NOT NULL
+    AND length({key_expr}) <= {max_key_len}
+),
+pairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM k a JOIN k b ON a.id < b.id
+  WHERE levenshtein(a.s, b.s) <= {max_dist}
+),
+edges AS (
+  SELECT id1, id2 FROM pairs
+  UNION ALL SELECT id2, id1 FROM pairs
+),
+cc AS (
+  SELECT {id_col} AS id, {id_col} AS label FROM {table}
+  UNION
+  SELECT e.id1, c.label FROM edges e JOIN cc c ON c.id = e.id2
+),
+lab AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+comp AS (
+  SELECT t.{id_col} AS id, lab.cluster_id, {nz} AS nz
+  FROM (SELECT * FROM {table}) t JOIN lab ON lab.id = t.{id_col}
+)
+SELECT id AS {id_col}, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS n_members,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY nz DESC, id ASC) = 1
+         AS is_canonical
+FROM comp
+"""
