@@ -2886,6 +2886,34 @@ def q_cms_event_counts(spark, sf):
         .select(F.col("event_type").alias("item"), "est_count")
 
 
+# ---- extension (r10): order-independent table checksum (operators/
+# diff.py — migration/replication parity in one map-side-combinable
+# agg per side) + readability scoring (operators/text_analysis.py —
+# Flesch/FK over vowel-run syllables). Below-window ----
+
+from nifi_extracttext_processor_spark.operators import diff as dfx  # noqa: E402
+from nifi_extracttext_processor_spark.operators import text_analysis as tax  # noqa: E402
+
+
+@_q("table_checksum_orders", dfx.table_checksum_sql(
+    "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ["o_orderpriority"]))
+def q_table_checksum_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return dfx.table_checksum(
+        o, ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        ["o_orderpriority"])
+
+
+@_q("readability_docs", tax.readability_sql(
+    "documents", select="doc_id"))
+def q_readability_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return tax.readability(d).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "flesch_ease", "fk_grade")
+
+
 # ---- extension (r10): entity resolution composed plan (plans/
 # entity_resolution.py — fuzzy blocking → components → canonical
 # pick; twin = quadratic levenshtein + recursive-CTE reachability).

@@ -155,3 +155,63 @@ SELECT * FROM (
     ON {kj}
 ) {unfil}
 """
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum — the migration/replication parity
+# primitive: after copying 100 TB between clusters (or engines), did
+# EVERY row arrive intact? Comparing tables row-by-row needs a full
+# co-located join; comparing checksums needs one map-side-combinable
+# agg per side. The checksum is the exact integer SUM of a per-row
+# 32-bit md5 digest (the hash_compare null-flagged per-column form, so
+# NULL/value and separator ambiguities cannot alias) — addition is
+# commutative, so row order, partitioning, and engine never matter,
+# and the sum stays exact in decimal/int128 (no float, no modular
+# wrap to hide a double-error). Collision contract: two tables
+# differing in exactly one row pair collide with ~2^-32 probability
+# per check (md5 truncation) — fine for an integrity alarm, not for
+# an adversarial setting.
+# ---------------------------------------------------------------------------
+
+def table_checksum(
+    df: DataFrame,
+    cols: "list[str] | None" = None,
+    group_by: "list[str] | None" = None,
+) -> DataFrame:
+    """(group..., n_rows, checksum) — checksum = Σ u32(md5(row digest))
+    over `cols` (default: all non-group columns, name-sorted so both
+    engines agree on the column order)."""
+    gb = list(group_by or [])
+    if cols is None:
+        cols = sorted(c for c in df.columns if c not in gb)
+    if not cols:
+        raise ValueError("no columns to checksum")
+    u32 = F.conv(F.substring(_row_hash(list(cols)), 1, 8), 16, 10) \
+        .cast("long")
+    return (df.groupBy(*gb)
+            .agg(F.count("*").alias("n_rows"),
+                 # exact decimal sum, surfaced as a STRING: the value
+                 # is a digest, and pandas/arrow bridges turn int128
+                 # into lossy float64 otherwise
+                 F.sum(u32.cast("decimal(38,0)")).cast("string")
+                 .alias("checksum")))
+
+
+def table_checksum_sql(
+    table: str,
+    cols: "list[str]",
+    group_by: "list[str] | None" = None,
+) -> str:
+    """DuckDB twin: identical per-column null-flag+md5 digest, u32
+    truncation, and exact integer sum."""
+    gb = list(group_by or [])
+    parts = " || ".join(
+        f"(CASE WHEN {c} IS NULL THEN '1' ELSE '0' END || "
+        f"md5(coalesce(CAST({c} AS VARCHAR), '')))"
+        for c in cols)
+    u32 = f"('0x' || substr(md5({parts}), 1, 8))::BIGINT"
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    return (f"SELECT {gsel}count(*) AS n_rows, "
+            f"CAST(sum({u32}) AS VARCHAR) AS checksum "
+            f"FROM {table} {gkey}")

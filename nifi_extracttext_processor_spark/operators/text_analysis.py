@@ -1513,3 +1513,95 @@ def detect_credit_cards_sql(
         "has_ccn": f"(len({valid}) > 0)",
         "ccn_scrubbed": scrub,
     }
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch 1948 reading ease; Kincaid 1975 grade
+# level) — the classic complexity signals next to the Gopher/C4
+# structural flags: corpus curation uses them to bucket documents by
+# audience level and to drop machine-generated word salad that passes
+# length/stopword gates but reads at an impossible grade level.
+# Syllables use the standard vowel-group approximation (runs of
+# [aeiouy], minimum 1 per word) — deterministic and replayed
+# identically by the DuckDB twin; exact dictionary syllabification is
+# out of scope (no CMUdict in env), the documented determination.
+# Pure narrow Catalyst higher-order expressions: zero UDF, zero
+# shuffle.
+# ---------------------------------------------------------------------------
+
+_VOWEL_RUN = "[aeiouy]+"
+_SENT_SPLIT = "[.!?]+"
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Adds n_words, n_sentences, n_syllables, flesch_ease,
+    fk_grade. Empty/NULL text → zero counts and NULL scores
+    (try_divide), never errors. Sentences = [.!?]+ runs, min 1 when
+    any word exists (an unpunctuated doc is one sentence)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(t), r"\s+"),
+                     lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(_SENT_SPLIT), F.lit(0))),
+        F.when(n_words > 0, F.lit(1)).otherwise(F.lit(0)))
+    syl = F.aggregate(
+        F.transform(words, lambda w: F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit(_VOWEL_RUN),
+                                        F.lit(0))),
+            F.lit(1))),
+        F.lit(0), lambda acc, x: acc + x)
+    wps = F.try_divide(n_words.cast("double"), n_sent.cast("double"))
+    spw = F.try_divide(syl.cast("double"), n_words.cast("double"))
+    return (df.withColumn("n_words", n_words.cast("long"))
+            .withColumn("n_sentences", n_sent.cast("long"))
+            .withColumn("n_syllables", syl.cast("long"))
+            .withColumn("flesch_ease",
+                        F.round(F.lit(206.835) - F.lit(1.015) * wps
+                                - F.lit(84.6) * spw, round_dp))
+            .withColumn("fk_grade",
+                        F.round(F.lit(0.39) * wps
+                                + F.lit(11.8) * spw
+                                - F.lit(15.59), round_dp)))
+
+
+def readability_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    select: str = "* EXCLUDE (n_words, n_sentences, n_syllables)",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of readability (identical splits, vowel-run
+    syllables, minimums, and double formula)."""
+    t = f"coalesce({text_expr}, '')"
+    words = (f"list_filter(string_split_regex(lower({t}), '\\s+'), "
+             "w -> length(w) > 0)")
+    return f"""
+SELECT {select},
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (n_words::DOUBLE
+                                / nullif(n_sentences, 0))
+             - 84.6 * (n_syllables::DOUBLE / nullif(n_words, 0)),
+             {round_dp}) AS flesch_ease,
+       round(0.39 * (n_words::DOUBLE / nullif(n_sentences, 0))
+             + 11.8 * (n_syllables::DOUBLE / nullif(n_words, 0))
+             - 15.59, {round_dp}) AS fk_grade
+FROM (
+  SELECT *,
+         len({words}) AS n_words,
+         greatest(len(regexp_extract_all({t}, '{_SENT_SPLIT}')),
+                  CASE WHEN len({words}) > 0 THEN 1 ELSE 0 END)
+           AS n_sentences,
+         coalesce(list_sum(list_transform({words},
+             w -> greatest(len(regexp_extract_all(w, '{_VOWEL_RUN}')),
+                           1))), 0)
+           AS n_syllables
+  FROM {table}
+)
+"""
