@@ -393,3 +393,48 @@ LEFT JOIN ({cms_build_sql(table, expr, gb, d, w, seed)}) s
   ON {on}
 GROUP BY {pkey}p.{out_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra — union is native (register max); intersection and
+# Jaccard come from inclusion-exclusion over three estimates:
+# |A∩B| ≈ E(A) + E(B) − E(A∪B). Standard HLL caveat, documented: the
+# intersection error is relative to the UNION size, so tiny overlaps
+# between huge sets are noise — use MinHash (operators/dedup.py) when
+# the overlap itself is small. Everything here aggregates register
+# tables only; the underlying data is never rescanned.
+# ---------------------------------------------------------------------------
+
+def hll_set_stats(
+    a: DataFrame,
+    b: DataFrame,
+    group_by: "list[str] | None" = None,
+    b_bits: int = 12,
+) -> DataFrame:
+    """(group..., est_a, est_b, est_union, est_intersect,
+    jaccard_est) from two register tables built with the same
+    (b, seed). est_intersect clamps at 0 (inclusion-exclusion can go
+    negative under estimator noise); jaccard = intersect/union
+    rounded to 4 dp, NULL on empty union."""
+    gb = _check_groups(list(group_by or []))
+
+    def est(p, name):
+        return hll_estimate(p, gb, b_bits).withColumnRenamed(
+            "est_distinct", name)
+
+    ea = est(a, "est_a")
+    eb = est(b, "est_b")
+    eu = est(hll_merge(a, b), "est_union")
+    joined = eu
+    for other in (ea, eb):
+        joined = (joined.join(other, gb) if gb
+                  else joined.crossJoin(other))
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        F.lit(0))
+    return joined.select(
+        *gb, "est_a", "est_b", "est_union",
+        inter.alias("est_intersect"),
+        F.round(F.try_divide(inter.cast("double"),
+                             F.col("est_union").cast("double")), 4)
+        .alias("jaccard_est"))

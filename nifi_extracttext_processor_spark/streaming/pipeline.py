@@ -959,3 +959,49 @@ def stream_rollup(
          .partitionBy("batch").parquet(state_dir))
 
     return _batch, read_state
+
+
+def stream_hll(
+    state_dir: str,
+    col: str,
+    group_by: "list[str] | None" = None,
+    b: int = 12,
+    seed: int = 0,
+):
+    """foreachBatch wiring of continuous distinct-count maintenance
+    over the portable HLL registers (operators/sketch.py): each
+    micro-batch's values fold into the committed register table.
+    Unlike stream_rollup's additive counters, register merge is MAX —
+    idempotent — so a replay may safely re-merge its OWN committed
+    snapshot: the state is read at max(batch) unconditionally, and the
+    rewrite is byte-identical either way. State ≤ groups · 2^b rows.
+
+    Returns (foreachBatch callable, read_state callable); estimate
+    the current state with sketch.hll_estimate(read_state(spark),
+    group_by, b)."""
+    from ..operators.sketch import hll_merge, hll_partials
+
+    gb = list(group_by or [])
+
+    def read_state(spark):
+        from ..sources.tables import read_catalog
+        df = read_catalog(spark, state_dir)
+        if df is None:
+            return None
+        latest = df.agg(F.max("batch").alias("m")).first()["m"]
+        if latest is None:
+            return None
+        return df.filter(F.col("batch") == latest).drop("batch")
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = hll_partials(batch_df, col, gb, b, seed)
+        prev = read_state(spark)
+        merged = inc if prev is None else hll_merge(prev, inc)
+        (merged.localCheckpoint(eager=True)
+         .withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(state_dir))
+
+    return _batch, read_state

@@ -94,6 +94,64 @@ class TestTwin:
         assert a["est_distinct"] == b[0]
 
 
+class TestSetAlgebra:
+    def test_intersection_and_jaccard(self, spark):
+        from nifi_extracttext_processor_spark.operators.sketch import (
+            hll_set_stats,
+        )
+        # A = 0..599, B = 400..999 → |A∩B|=200, |A∪B|=1000, J=0.2
+        a = spark.createDataFrame([(f"u{i}",) for i in range(600)],
+                                  "val string")
+        b = spark.createDataFrame(
+            [(f"u{i}",) for i in range(400, 1000)], "val string")
+        [r] = hll_set_stats(hll_partials(a, "val"),
+                            hll_partials(b, "val")).collect()
+        assert abs(r["est_union"] - 1000) / 1000 < 0.05
+        assert abs(r["est_intersect"] - 200) / 1000 < 0.05
+        assert abs(r["jaccard_est"] - 0.2) < 0.05
+
+    def test_disjoint_clamps_at_zero(self, spark):
+        from nifi_extracttext_processor_spark.operators.sketch import (
+            hll_set_stats,
+        )
+        a = spark.createDataFrame([(f"a{i}",) for i in range(300)],
+                                  "val string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(300)],
+                                  "val string")
+        [r] = hll_set_stats(hll_partials(a, "val"),
+                            hll_partials(b, "val")).collect()
+        assert r["est_intersect"] >= 0
+        assert r["est_intersect"] / 600 < 0.05
+
+
+class TestStreaming:
+    def test_incremental_registers_and_replay(self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.sketch import (
+            hll_estimate,
+        )
+        from nifi_extracttext_processor_spark.streaming.pipeline \
+            import stream_hll
+        sd = str(tmp_path / "hll_state")
+        fb, read_state = stream_hll(sd, "val", ["g"])
+        assert read_state(spark) is None
+        b0 = spark.createDataFrame(
+            [("a", f"u{i}") for i in range(400)], "g string, val string")
+        b1 = spark.createDataFrame(
+            [("a", f"u{i}") for i in range(200, 700)]
+            + [("b", "x")], "g string, val string")
+        fb(b0, 0)
+        fb(b1, 1)
+        got = sorted(map(tuple, hll_estimate(
+            read_state(spark), ["g"]).collect()))
+        whole = sorted(map(tuple, hll_distinct(
+            b0.unionByName(b1), "val", ["g"]).collect()))
+        assert got == whole
+        want = sorted(map(tuple, read_state(spark).collect()))
+        fb(b1, 1)      # replay: register max is idempotent
+        assert sorted(map(tuple,
+                          read_state(spark).collect())) == want
+
+
 class TestPlan:
     def test_one_agg_no_join(self, spark, frame):
         plan = hll_distinct(frame, "val", ["g"])._jdf \
