@@ -2936,6 +2936,24 @@ def q_entity_clusters(spark, sf):
                                 attr_cols=["lang", "source"])
 
 
+@_q("entity_link_best", erx.link_entities_sql(
+    "(SELECT doc_id AS dirty_id, lower(substr(text, 1, 20)) AS key "
+    "FROM documents WHERE doc_id % 5 <> 0) d",
+    "(SELECT doc_id AS master_id, lower(substr(text, 1, 20)) AS key "
+    "FROM documents WHERE doc_id % 5 = 0) m",
+    max_dist=3))
+def q_entity_link_best(spark, sf):
+    d = _t(spark, sf, "documents")
+    key = F.lower(F.substring("text", 1, 20))
+    dirty = (d.filter(F.col("doc_id") % 5 != 0)
+             .select(F.col("doc_id").alias("dirty_id"),
+                     key.alias("key")))
+    master = (d.filter(F.col("doc_id") % 5 == 0)
+              .select(F.col("doc_id").alias("master_id"),
+                      key.alias("key")))
+    return erx.link_entities(dirty, master, max_dist=3)
+
+
 # ---- extension (r10): time-bucketed rollup maintenance (operators/
 # rollup.py — continuous-aggregate state tables; oracle = the
 # rollup-of-rollup == direct-agg invariant). Below-window ----

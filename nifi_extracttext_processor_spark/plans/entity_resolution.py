@@ -113,3 +113,78 @@ SELECT id AS {id_col}, cluster_id,
          AS is_canonical
 FROM comp
 """
+
+
+def link_entities(
+    dirty: DataFrame,
+    master: DataFrame,
+    dirty_id: str = "dirty_id",
+    dirty_key: str = "key",
+    master_id: str = "master_id",
+    master_key: str = "key",
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """The R×S record-linkage leg beside resolve_entities' self-dedup:
+    assign every dirty record its BEST master match — (dirty_id,
+    master_id, dist, n_candidates), one row per dirty record that
+    matched anything (unmatched records are the caller's anti-join).
+    Best = min dist, then min master id (deterministic). Candidates
+    come from the signature-blocked edit lookup (fuzzy_join.py) — no
+    all-pairs stage; the best-pick is one keyed window over the match
+    pairs."""
+    from pyspark.sql import Window
+
+    from ..operators.fuzzy_join import edit_similarity_lookup
+
+    pairs = edit_similarity_lookup(
+        dirty, master, left_id=dirty_id, left_key=dirty_key,
+        right_id=master_id, right_key=master_key,
+        max_dist=max_dist, q=q)
+    w = Window.partitionBy(dirty_id).orderBy(
+        F.asc("dist"), F.asc(master_id))
+    wc = Window.partitionBy(dirty_id)
+    return (pairs
+            .withColumn("n_candidates", F.count("*").over(wc))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(dirty_id, master_id, "dist",
+                    F.col("n_candidates").cast("long")
+                    .alias("n_candidates")))
+
+
+def link_entities_sql(
+    dirty_table: str,
+    master_table: str,
+    dirty_id: str = "dirty_id",
+    dirty_key: str = "key",
+    master_id: str = "master_id",
+    master_key: str = "key",
+    max_dist: int = 2,
+    max_key_len: int = 512,  # fuzzy_join.MAX_KEY_LEN
+) -> str:
+    """DuckDB twin of link_entities (naive R×S + the same best-pick
+    ordering)."""
+    return f"""
+WITH la AS (
+  SELECT {dirty_id} AS lid, {dirty_key} AS s FROM {dirty_table}
+  WHERE {dirty_key} IS NOT NULL
+    AND length({dirty_key}) <= {max_key_len}
+), rb AS (
+  SELECT {master_id} AS rid, {master_key} AS s FROM {master_table}
+  WHERE {master_key} IS NOT NULL
+    AND length({master_key}) <= {max_key_len}
+), pairs AS (
+  SELECT la.lid, rb.rid, levenshtein(la.s, rb.s) AS dist
+  FROM la JOIN rb ON levenshtein(la.s, rb.s) <= {max_dist}
+)
+SELECT lid AS {dirty_id}, rid AS {master_id}, dist, n_candidates
+FROM (
+  SELECT lid, rid, dist,
+         CAST(count(*) OVER (PARTITION BY lid) AS BIGINT)
+           AS n_candidates,
+         row_number() OVER (PARTITION BY lid
+                            ORDER BY dist ASC, rid ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""

@@ -64,6 +64,46 @@ class TestClusters:
         assert sorted(canon) == [1, 4, 6, 7, 8]
 
 
+class TestLink:
+    @pytest.fixture(scope="class")
+    def tables(self, spark):
+        dirty = spark.createDataFrame(
+            [Row(dirty_id=10, key="acme corp"),
+             Row(dirty_id=11, key="globex inc"),
+             Row(dirty_id=12, key="zzz unmatched zzz"),
+             Row(dirty_id=13, key=None)])
+        master = spark.createDataFrame(
+            [Row(master_id=1, key="acme corp."),
+             Row(master_id=2, key="acme core"),
+             Row(master_id=3, key="globex inc")])
+        return dirty, master
+
+    def test_best_match_and_tiebreak(self, spark, tables):
+        from nifi_extracttext_processor_spark.plans \
+            .entity_resolution import link_entities
+        dirty, master = tables
+        got = {r["dirty_id"]: (r["master_id"], r["dist"],
+                               r["n_candidates"]) for r in
+               link_entities(dirty, master, max_dist=2).collect()}
+        # 10: dist 1 to both master 1 and 2 -> min id wins, 2 cands
+        assert got[10] == (1, 1, 2)
+        assert got[11] == (3, 0, 1)      # exact match
+        assert 12 not in got and 13 not in got
+
+    def test_twin_parity(self, spark, tables):
+        from nifi_extracttext_processor_spark.plans \
+            .entity_resolution import link_entities, link_entities_sql
+        dirty, master = tables
+        con = duckdb.connect()
+        con.register("dirty", dirty.toPandas())
+        con.register("master", master.toPandas())
+        a = sorted(map(tuple, link_entities(
+            dirty, master, max_dist=2).collect()))
+        b = sorted(map(tuple, con.execute(link_entities_sql(
+            "dirty", "master", max_dist=2)).fetchall()))
+        assert a == b
+
+
 class TestTwin:
     def test_parity(self, spark, frame, resolved):
         con = duckdb.connect()
