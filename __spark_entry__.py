@@ -2303,6 +2303,18 @@ def q_triangle_counts(spark, sf):
     return gph.triangle_counts(_tri_seed(spark, sf))
 
 
+# ---- extension (r10): k-core decomposition (operators/graph.py
+# core_numbers — h-index propagation to fixpoint, Lü 2016). Rows-only
+# carve-out: the fixpoint's round count is data-dependent, which an
+# unrolled SQL chain cannot express (the pagerank tol-mode argument);
+# exactness is pytest-pinned against the sequential Matula-Beck peel
+# (graph.core_reference). Same seeded graph as triangle_counts ----
+
+@_q("graph_coreness")
+def q_graph_coreness(spark, sf):
+    return gph.core_numbers(_tri_seed(spark, sf))
+
+
 # ---- extension (r9): interpolated Kneser-Ney bigram LM (operators/
 # kn_lm.py — the word-level CCNet perplexity filter next to the
 # char-level add-k model; Kneser & Ney 1995, Chen & Goodman 1998).

@@ -564,3 +564,118 @@ SELECT a.node, round(a.a, {round_dp}) AS authority,
        round(h.h, {round_dp}) AS hub
 FROM a{iters} a JOIN h{iters} h USING (node)""")
     return "".join(parts)
+
+
+def core_numbers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Per-node coreness (k-core decomposition) — the graph family's
+    density ladder beside pagerank's centrality and lcc's cohesion:
+    node v has coreness k iff it survives in the maximal subgraph
+    where every node keeps degree >= k. Corpus reading: link-farm /
+    spam clusters live in abnormally high cores; crawl frontier
+    pruning keeps the k-core.
+
+    Algorithm: distributed h-index propagation (Lü, Zhou et al. 2016,
+    "The H-index of a network node"): initialize c(v) = degree(v),
+    iterate c(v) <- H({c(u) : u ~ v}) where H is the h-index (the
+    largest h such that >= h neighbors have value >= h). The sequence
+    is monotonically non-increasing and its fixpoint is EXACTLY the
+    coreness — a convergence result that turns the inherently
+    sequential Matula-Beck peel into a per-node local update, the
+    same shape as the components label loop.
+
+    Per round: one keyed join (edge, value) + one per-node window to
+    rank neighbor values + one agg — shuffles carry (node, int)
+    pairs. The h-index of a node needs only its TOP-c(v) neighbor
+    values, so rows rank desc and cap at min(rn, value); a 10^7-degree
+    hub pays one keyed sort of ints, not a collect. Fixpoint check is
+    a 1-row changed-count per round (the components posture).
+    Undirected simple graph: edges normalize (least/greatest,
+    distinct, self-loops dropped)."""
+    from pyspark.sql import Window
+
+    und = (edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct())
+    adj = (und.select(F.col("a").alias("node"),
+                      F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr"))))
+    adj = adj.localCheckpoint(eager=True)
+    vals = (adj.groupBy("node").agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True))
+    w = Window.partitionBy("node").orderBy(F.desc("nv"),
+                                           F.asc("nbr"))
+    for _ in range(max_iter):
+        nbrv = (adj.join(vals.select(F.col("node").alias("nbr"),
+                                     F.col("c").alias("nv")), "nbr"))
+        hidx = (nbrv
+                .withColumn("rn", F.row_number().over(w))
+                .groupBy("node")
+                .agg(F.max(F.least(F.col("rn"), F.col("nv")))
+                     .alias("h")))
+        stepped = (vals.join(hidx, "node", "left")
+                   .select("node",
+                           F.col("c").alias("__old"),
+                           F.least(F.col("c"),
+                                   F.coalesce(F.col("h"), F.lit(0)))
+                           .alias("c"))
+                   .localCheckpoint(eager=True))
+        changed = (stepped.filter(F.col("c") != F.col("__old"))
+                   .count())
+        vals = stepped.drop("__old")
+        if changed == 0:
+            break
+    else:
+        import warnings
+        warnings.warn(
+            f"core_numbers: no fixpoint after max_iter={max_iter}",
+            RuntimeWarning, stacklevel=2)
+    return vals.select("node", F.col("c").alias("coreness"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Nodes of the k-core (coreness >= k). The k-core is UNIQUE, so
+    the result is order- and partitioning-independent."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (core_numbers(edges, src_col, dst_col)
+            .filter(F.col("coreness") >= k)
+            .select("node"))
+
+
+def core_reference(pairs: "list[tuple]") -> "dict":
+    """Independent exact coreness oracle for tests: the sequential
+    Matula-Beck peel (repeatedly remove the minimum-degree node; its
+    coreness is the running max of min-degrees seen)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict = {}
+    live = set(adj)
+    cur = 0
+    while live:
+        v = min(live, key=lambda x: (deg[x], str(x)))
+        cur = max(cur, deg[v])
+        core[v] = cur
+        live.remove(v)
+        for u in adj[v]:
+            if u in live:
+                deg[u] -= 1
+    return core
