@@ -1005,3 +1005,54 @@ def stream_hll(
          .partitionBy("batch").parquet(state_dir))
 
     return _batch, read_state
+
+
+def stream_cms(
+    state_dir: str,
+    col: str,
+    group_by: "list[str] | None" = None,
+    d: int = 4,
+    w: int = 2048,
+    seed: int = 0,
+):
+    """foreachBatch wiring of continuous frequency-sketch maintenance
+    (count-min, operators/sketch.py): each micro-batch's values fold
+    into the committed counter table. Counters are ADDITIVE like
+    stream_rollup's — so the previous state is read from batches
+    STRICTLY EARLIER than the current id, making at-least-once
+    replays regenerate byte-identical snapshots instead of
+    double-counting (contrast stream_hll, whose register max is
+    idempotent and may re-read its own snapshot). State ≤
+    groups · d · w rows.
+
+    Returns (foreachBatch callable, read_state callable); answer
+    point queries with sketch.cms_estimate(read_state(spark), items,
+    col, group_by, d, w, seed)."""
+    from ..operators.sketch import cms_build, cms_merge
+
+    gb = list(group_by or [])
+
+    def read_state(spark, before_batch: "int | None" = None):
+        from ..sources.tables import read_catalog
+        df = read_catalog(spark, state_dir)
+        if df is None:
+            return None
+        if before_batch is not None:
+            df = df.filter(F.col("batch") < int(before_batch))
+        latest = df.agg(F.max("batch").alias("m")).first()["m"]
+        if latest is None:
+            return None
+        return df.filter(F.col("batch") == latest).drop("batch")
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = cms_build(batch_df, col, gb, d, w, seed)
+        prev = read_state(spark, before_batch=int(batch_id))
+        merged = inc if prev is None else cms_merge(prev, inc)
+        (merged.localCheckpoint(eager=True)
+         .withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(state_dir))
+
+    return _batch, read_state

@@ -81,6 +81,31 @@ class TestMerge:
         assert a == b
 
 
+class TestStreaming:
+    def test_incremental_counts_and_replay(self, spark, tmp_path,
+                                           frame, items):
+        from nifi_extracttext_processor_spark.streaming.pipeline \
+            import stream_cms
+        sd = str(tmp_path / "cms_state")
+        fb, read_state = stream_cms(sd, "val", ["g"])
+        assert read_state(spark) is None
+        h1 = frame.filter(F.col("val").startswith("item")
+                          | F.col("val").isNull())
+        h2 = frame.filter(~F.col("val").startswith("item"))
+        fb(h1, 0)
+        fb(h2, 1)
+        got = sorted(map(tuple, cms_estimate(
+            read_state(spark), items, "val", ["g"]).collect()))
+        want = sorted(map(tuple, cms_estimate(
+            cms_build(frame, "val", ["g"]), items, "val",
+            ["g"]).collect()))
+        assert got == want
+        snap = sorted(map(tuple, read_state(spark).collect()))
+        fb(h2, 1)      # at-least-once replay: no double count
+        assert sorted(map(tuple,
+                          read_state(spark).collect())) == snap
+
+
 class TestTwin:
     @pytest.fixture(scope="class")
     def ddb(self, frame, items):
