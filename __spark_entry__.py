@@ -2463,6 +2463,17 @@ def q_negative_pairs(spark, sf):
     return ctr.sample_negative_pairs(d, k=4, seed=11, md5=True)
 
 
+# r10: hard-negative mining (ANN-nearest non-positives — the quality
+# upgrade over the uniform draws above). Below-window ----
+
+@_q("hard_negatives", ctr.mine_hard_negatives_sql(
+    k=3, anchor_pred="vec_id % 17 = 0"))
+def q_hard_negatives(spark, sf):
+    v = _t(spark, sf, "embeddings")
+    anchors = v.filter(F.col("vec_id") % 17 == 0)
+    return ctr.mine_hard_negatives(anchors, v, k=3)
+
+
 # ---- extension (r9): winnowing fingerprints (operators/winnow.py —
 # Schleimer 2003 / MOSS: min-hash-per-window positional fingerprints,
 # the partial-copy/plagiarism detector between MinHash whole-doc

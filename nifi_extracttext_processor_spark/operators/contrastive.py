@@ -120,3 +120,93 @@ jumped AS (
 SELECT j.anchor_id, p.{id_col} AS negative_id, j.draw
 FROM jumped j JOIN ranked p ON p.r = j.tr
 """
+
+
+def mine_hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    positives: DataFrame | None = None,
+    overfetch: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining — the quality upgrade over
+    sample_negative_pairs' uniform draws: for every anchor, the k
+    corpus vectors MOST SIMILAR to it that are not itself and not a
+    labeled positive (the standard in-batch-negatives improvement for
+    contrastive/reranker training — random negatives are too easy,
+    the model stops learning; SimCSE/DPR practice). Returns
+    (anchor_id, negative_id, cosine, rk) with rk = 1..k by similarity.
+
+    Construction: exact k-NN join (broadcast anchors, one corpus
+    scan) overfetched to k+overfetch candidates, then self-pairs and
+    positives (both orientations) are dropped and the survivors
+    re-ranked per anchor. Per-anchor count dips below k only when
+    more than `overfetch` of its neighbors were filtered (documented;
+    raise overfetch for dense positive sets).
+
+    Scale: inherits knn_join's posture — the corpus never shuffles,
+    the rank window is keyed by anchor. For corpus sizes where a
+    broadcast NLJ is wrong, mine from similarity.knn_join_lsh
+    candidates instead (same filtering applies)."""
+    from pyspark.sql import Window
+
+    from .similarity import knn_join
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if overfetch < 1:
+        raise ValueError("overfetch must be >= 1")
+    knn = knn_join(anchors, corpus, k=k + overfetch,
+                   qid_col=id_col, cid_col=id_col, vec_col=vec_col)
+    cand = (knn.filter(F.col("query_id") != F.col("match_id"))
+            .select(F.col("query_id").alias("anchor_id"),
+                    F.col("match_id").alias("negative_id"),
+                    "cosine"))
+    if positives is not None:
+        p = positives.select(F.col(positives.columns[0]).alias("a"),
+                             F.col(positives.columns[1]).alias("b"))
+        both = p.unionAll(p.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        cand = cand.join(
+            F.broadcast(both.withColumnRenamed("a", "anchor_id")
+                        .withColumnRenamed("b", "negative_id")),
+            ["anchor_id", "negative_id"], "left_anti")
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
+def mine_hard_negatives_sql(
+    k: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_pred: str = "vec_id < 8",
+) -> str:
+    """DuckDB twin (anchors/corpus split one table by `anchor_pred`,
+    no positives): full cosine ranking, self-pairs dropped, identical
+    re-rank."""
+    v = f"{vec_col}::DOUBLE[]"
+    qv = f"q.{vec_col}::DOUBLE[]"
+    dot = (f"list_sum(list_transform(list_zip(c.{vec_col}::DOUBLE[], "
+           f"{qv}), p -> p[1] * p[2]))")
+    na = (f"sqrt(list_sum(list_transform(c.{vec_col}::DOUBLE[], "
+          "x -> x * x)))")
+    nb = f"sqrt(list_sum(list_transform({qv}, x -> x * x)))"
+    cos = (f"CASE WHEN {na} > 0 AND {nb} > 0 "
+           f"THEN {dot} / ({na} * {nb}) ELSE 0.0 END")
+    return f"""
+SELECT anchor_id, negative_id, cosine, rk FROM (
+  SELECT q.{id_col} AS anchor_id, c.{id_col} AS negative_id,
+         round({cos}, 4) AS cosine,
+         row_number() OVER (PARTITION BY q.{id_col}
+                            ORDER BY round({cos}, 4) DESC,
+                                     c.{id_col} ASC) AS rk
+  FROM (SELECT * FROM {table} WHERE {anchor_pred}) q
+  CROSS JOIN {table} c
+  WHERE q.{id_col} <> c.{id_col}
+) WHERE rk <= {int(k)}
+"""

@@ -80,3 +80,66 @@ class TestNegatives:
             sample_negative_pairs(df, k=1)
         with pytest.raises(ValueError, match="k must"):
             sample_negative_pairs(_docs(spark), k=0)
+
+
+class TestHardNegatives:
+    @staticmethod
+    def _vecs(spark):
+        # 1-d-ish geometry in 4 dims: anchors near specific corpus
+        # points so the "hardest" negatives are known by construction
+        rows = []
+        import math
+        for i in range(20):
+            ang = i * 0.3
+            rows.append((i, [math.cos(ang), math.sin(ang), 0.0, 1.0]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_hardest_are_nearest_and_no_self(self, spark):
+        from nifi_extracttext_processor_spark.operators.contrastive \
+            import mine_hard_negatives
+        vecs = self._vecs(spark)
+        anchors = vecs.filter(F.col("vec_id") < 3)
+        got = mine_hard_negatives(anchors, vecs, k=2).collect()
+        by_anchor = {}
+        for r in got:
+            by_anchor.setdefault(r["anchor_id"], []).append(
+                (r["rk"], r["negative_id"]))
+            assert r["negative_id"] != r["anchor_id"]
+        # angular neighbors i±1 are the most similar vectors
+        assert {n for _, n in by_anchor[1]} == {0, 2}
+        assert len(by_anchor) == 3
+
+    def test_positives_excluded(self, spark):
+        from nifi_extracttext_processor_spark.operators.contrastive \
+            import mine_hard_negatives
+        vecs = self._vecs(spark)
+        anchors = vecs.filter(F.col("vec_id") < 3)
+        pos = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+        got = {(r["anchor_id"], r["negative_id"]) for r in
+               mine_hard_negatives(anchors, vecs, k=2,
+                                   positives=pos).collect()}
+        assert (1, 2) not in got
+        assert (2, 1) not in got
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.contrastive \
+            import mine_hard_negatives, mine_hard_negatives_sql
+        vecs = self._vecs(spark)
+        anchors = vecs.filter(F.col("vec_id") < 5)
+        a = sorted(map(tuple, mine_hard_negatives(
+            anchors, vecs, k=3).collect()))
+        con = duckdb.connect()
+        con.register("embeddings", vecs.toPandas())
+        b = sorted(map(tuple, con.execute(mine_hard_negatives_sql(
+            k=3, anchor_pred="vec_id < 5")).fetchall()))
+        assert a == b
+
+    def test_validates(self, spark):
+        from nifi_extracttext_processor_spark.operators.contrastive \
+            import mine_hard_negatives
+        vecs = self._vecs(spark)
+        with pytest.raises(ValueError):
+            mine_hard_negatives(vecs, vecs, k=0)
+        with pytest.raises(ValueError):
+            mine_hard_negatives(vecs, vecs, k=1, overfetch=0)
