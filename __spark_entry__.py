@@ -2909,6 +2909,25 @@ def q_cms_event_counts(spark, sf):
         .select(F.col("event_type").alias("item"), "est_count")
 
 
+# ---- extension (r10): exponential time-decay aggregates (operators/
+# timeseries.py decayed_agg — trending scores; weights are pow-free
+# bit-products of embedded literals so both engines are bit-identical,
+# terms integer-quantized so sum order cannot move the total).
+# Below-window ----
+
+from nifi_extracttext_processor_spark.operators import timeseries as tsx  # noqa: E402
+
+
+@_q("events_decayed_trend", tsx.decayed_agg_sql(
+    "events", "2024-06-01 00:00:00", half_life="30 days",
+    value_col="value", group_by=["event_type"]))
+def q_events_decayed_trend(spark, sf):
+    ev = _t(spark, sf, "events")
+    return tsx.decayed_agg(ev, "2024-06-01 00:00:00",
+                           half_life="30 days", value_col="value",
+                           group_by=["event_type"])
+
+
 # ---- extension (r10): order-independent table checksum (operators/
 # diff.py — migration/replication parity in one map-side-combinable
 # agg per side) + readability scoring (operators/text_analysis.py —

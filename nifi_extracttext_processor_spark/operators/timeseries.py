@@ -509,3 +509,142 @@ SELECT {keys}, {ts_col}, {value_col},
          AS is_change
 FROM c
 """
+
+
+
+_DECAY_BITS = 24  # bucket ages above 2^24 decay to exactly 0.0
+
+
+def _decay_constants(factor: float) -> "list[float]":
+    """factor^(2^m) for m in [0, _DECAY_BITS) by repeated squaring —
+    computed ONCE in Python and embedded as literals, so both engines
+    consume identical doubles and never call pow()."""
+    out, c = [], float(factor)
+    for _ in range(_DECAY_BITS):
+        out.append(c)
+        c = c * c
+    return out
+
+
+def decayed_agg(
+    df: DataFrame,
+    as_of: str,
+    half_life: str = "7 days",
+    bucket_seconds: int = 3600,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exponentially time-decayed aggregates — the trending-score
+    primitive (recency-weighted popularity: an event h half-lives ago
+    counts 2^-h): per group, decayed_count = Σ w and, with
+    `value_col`, decayed_sum = Σ v·w, where w = factor^age_buckets,
+    age quantized to whole `bucket_seconds` buckets (default hourly)
+    and factor = 0.5^(bucket/half_life).
+
+    `as_of` is an EXPLICIT literal timestamp (determinism: a
+    wall-clock now() would make reruns disagree); rows after as_of or
+    with NULL ts are excluded (the future doesn't trend yet).
+
+    Cross-engine exactness — two measures, both found necessary live:
+    (1) the weight NEVER calls pow() at runtime (JVM StrictMath and
+    libm pow disagree in the last ulp, which drifts a 10^4-term sum
+    across round-4 boundaries): factor^b is a fixed left-associated
+    product of Python-embedded literals factor^(2^m) over b's set
+    bits — IEEE multiplication is exactly specified, so both engines
+    produce bit-identical weights; ages ≥ 2^24 buckets weigh exactly
+    0.0. (2) each term is quantized to a 1e-6 integer grid and summed
+    as exact integers, so summation ORDER cannot move the total.
+    One map-side-combinable agg; the weight is a narrow per-row
+    expression."""
+    gb = list(group_by or [])
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    t0 = F.to_timestamp(F.lit(as_of))
+    hl_s = (F.unix_timestamp(t0 + F.expr(f"INTERVAL {half_life}"))
+            - F.unix_timestamp(t0))
+    # factor needs the half-life in seconds as a Python number: parse
+    # via the engine once? No — half_life is a SQL interval string;
+    # evaluate its seconds in Python by parsing the simple "N unit"
+    # grammar so the factor literal is engine-independent.
+    n, unit = half_life.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400,
+            "days": 86400, "week": 604800, "weeks": 604800}
+    if unit.lower() not in mult:
+        raise ValueError(f"unsupported half_life unit {unit!r}")
+    hl_seconds = float(n) * mult[unit.lower()]
+    factor = 0.5 ** (bucket_seconds / hl_seconds)
+    consts = _decay_constants(factor)
+    del hl_s
+
+    b = F.floor((F.unix_timestamp(t0)
+                 - F.unix_timestamp(F.col(ts_col)))
+                / F.lit(int(bucket_seconds))).cast("long")
+    w = F.lit(1.0)
+    for m, c in enumerate(consts):
+        w = w * F.when(F.shiftright(b, m).bitwiseAND(1) == 1,
+                       F.lit(c)).otherwise(F.lit(1.0))
+    w = F.when(b >= F.lit(1 << _DECAY_BITS), F.lit(0.0)).otherwise(w)
+    base = df.filter(F.col(ts_col).isNotNull()
+                     & (F.col(ts_col) <= t0))
+
+    def q6(term):
+        return F.round(term * F.lit(1e6)).cast("decimal(38,0)")
+
+    aggs = [F.round(F.sum(q6(w)).cast("double") / F.lit(1e6),
+                    round_dp).alias("decayed_count")]
+    if value_col is not None:
+        aggs.append(F.round(
+            F.sum(q6(F.col(value_col).cast("double") * w))
+            .cast("double") / F.lit(1e6),
+            round_dp).alias("decayed_sum"))
+    return base.groupBy(*gb).agg(*aggs)
+
+
+def decayed_agg_sql(
+    table: str,
+    as_of: str,
+    half_life: str = "7 days",
+    bucket_seconds: int = 3600,
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of decayed_agg: the SAME embedded literal
+    constants, the same left-associated bit-product, the same 1e-6
+    integer quantization."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    n, unit = half_life.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400,
+            "days": 86400, "week": 604800, "weeks": 604800}
+    hl_seconds = float(n) * mult[unit.lower()]
+    factor = 0.5 ** (bucket_seconds / hl_seconds)
+    consts = _decay_constants(factor)
+    t0 = f"TIMESTAMP '{as_of}'"
+    b = (f"CAST(floor((epoch({t0}) - epoch({ts_col})) "
+         f"/ {int(bucket_seconds)}) AS BIGINT)")
+    # ::DOUBLE on every literal: DuckDB parses bare decimals as
+    # DECIMAL and a 24-deep decimal multiplication chain overflows
+    # the max scale
+    prod = "1.0::DOUBLE"
+    for m, c in enumerate(consts):
+        prod = (f"({prod} * CASE WHEN (({b} >> {m}) & 1) = 1 "
+                f"THEN {c!r}::DOUBLE ELSE 1.0::DOUBLE END)")
+    w = (f"CASE WHEN {b} >= {1 << _DECAY_BITS} THEN 0.0 "
+         f"ELSE {prod} END")
+    mets = [f"round(sum(CAST(round({w} * 1e6) AS HUGEINT))::DOUBLE "
+            f"/ 1e6, {round_dp}) AS decayed_count"]
+    if value_col is not None:
+        mets.append(
+            f"round(sum(CAST(round(CAST({value_col} AS DOUBLE) "
+            f"* {w} * 1e6) AS HUGEINT))::DOUBLE / 1e6, {round_dp}) "
+            "AS decayed_sum")
+    return (f"SELECT {gsel}{', '.join(mets)} FROM {table} "
+            f"WHERE {ts_col} IS NOT NULL AND {ts_col} <= {t0} "
+            f"{gkey}")

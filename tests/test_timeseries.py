@@ -95,3 +95,50 @@ def test_validation(spark, series):
         gap_fill(series, "bucket", ["k"], 0, {"v": "locf"})
     with pytest.raises(ValueError, match="unknown fill mode"):
         gap_fill(series, "bucket", ["k"], 3600, {"v": "cubic"})
+
+
+class TestDecayedAgg:
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+        return spark.createDataFrame(
+            [("2024-01-08 00:00:00", "a", 10.0),   # exactly 1 HL old
+             ("2024-01-15 00:00:00", "a", 4.0),    # age 0
+             ("2024-01-01 00:00:00", "a", 8.0),    # 2 HLs old
+             ("2024-01-16 00:00:00", "a", 99.0),   # future: excluded
+             (None, "a", 5.0),                     # NULL ts: excluded
+             ("2024-01-15 00:00:00", "b", 1.0)],
+            "ts string, g string, v double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_half_life_golden(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import decayed_agg
+        got = {r["g"]: r for r in decayed_agg(
+            self._df(spark), "2024-01-15 00:00:00",
+            half_life="7 days", value_col="v",
+            group_by=["g"]).collect()}
+        # a: weights ~0.5, 1.0, ~0.25 (hourly-bucketed bit-product
+        # decay is within float noise of the ideal halving)
+        assert abs(got["a"]["decayed_count"] - 1.75) < 1e-3
+        assert abs(got["a"]["decayed_sum"] - 11.0) < 1e-2
+        assert got["b"]["decayed_count"] == 1.0
+
+    def test_twin_parity_on_events(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import decayed_agg, decayed_agg_sql
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        a = sorted(map(tuple, decayed_agg(
+            ev, "2024-06-01 00:00:00", half_life="30 days",
+            value_col="value", group_by=["event_type"]).collect()))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        b = sorted(map(tuple, con.execute(decayed_agg_sql(
+            "events", "2024-06-01 00:00:00", half_life="30 days",
+            value_col="value",
+            group_by=["event_type"])).fetchall()))
+        assert a == b
