@@ -2947,6 +2947,15 @@ def q_table_checksum_orders(spark, sf):
         ["o_orderpriority"])
 
 
+@_q("code_stats_docs", tax.code_stats_sql(
+    "documents", select="doc_id"))
+def q_code_stats_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return tax.code_stats(d).select(
+        "doc_id", "n_lines", "code_line_frac", "n_fences",
+        "symbol_ratio", "looks_code")
+
+
 @_q("readability_docs", tax.readability_sql(
     "documents", select="doc_id"))
 def q_readability_docs(spark, sf):

@@ -1605,3 +1605,97 @@ FROM (
   FROM {table}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection — the routing signal every mixed crawl
+# needs before quality gates: C4/Gopher rules (terminal punctuation,
+# stopword ratios) MISCLASSIFY source code as garbage prose, so code
+# must be detected FIRST and routed to its own pipeline (its own
+# dedup keys, its own quality rules, its own mixture weight — the
+# standard pretraining-corpus posture). Heuristic line classifier:
+# a line "looks like code" if it is indented 4+ spaces/a tab, ends
+# in ; { } or ), or opens with a keyword common across mainstream
+# languages (def/class/import/return/if(/for(/function/const/var...).
+# Pure narrow Catalyst higher-order expressions; the DuckDB twin
+# replays the identical regexes.
+# ---------------------------------------------------------------------------
+
+_CODE_LINE_RE = (
+    r"(^(    |\t))"
+    r"|([;{})]\s*$)"
+    r"|(^\s*(def |class |import |from |return |if \(|for \(|while \(|"
+    r"function |const |var |let |public |private |#include|using |"
+    r"package ))")
+_FENCE_RE = r"```"
+
+
+def code_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    code_threshold: float = 0.3,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Adds n_lines, code_line_frac, n_fences, symbol_ratio, and the
+    looks_code routing flag (code_line_frac >= threshold OR a fenced
+    block present). NULL/empty text → zero counts, NULL fractions,
+    looks_code false."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, r"\r?\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_code = F.size(F.filter(
+        lines, lambda x: x.rlike(_CODE_LINE_RE)))
+    n_fences = F.size(F.regexp_extract_all(t, F.lit(_FENCE_RE),
+                                           F.lit(0)))
+    n_sym = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    frac = F.round(F.try_divide(n_code.cast("double"),
+                                n_lines.cast("double")), round_dp)
+    sym = F.round(F.try_divide(n_sym.cast("double"),
+                               F.length(t).cast("double")), round_dp)
+    return (df.withColumn("n_lines", n_lines.cast("long"))
+            .withColumn("code_line_frac", frac)
+            .withColumn("n_fences", (n_fences / 2).cast("long"))
+            .withColumn("symbol_ratio", sym)
+            .withColumn("looks_code",
+                        F.coalesce(
+                            (frac >= F.lit(float(code_threshold)))
+                            | (n_fences >= 2), F.lit(False))))
+
+
+def code_stats_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    select: str = "*",
+    code_threshold: float = 0.3,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of code_stats (identical regexes, fractions,
+    flag)."""
+    t = f"coalesce({text_expr}, '')"
+    lines = (f"list_filter(string_split_regex({t}, '\\r?\\n'), "
+             "x -> length(trim(x)) > 0)")
+    code_re = _CODE_LINE_RE.replace("'", "''")
+    return f"""
+SELECT {select},
+       CAST(n_lines AS BIGINT) AS n_lines,
+       round(n_code::DOUBLE / nullif(n_lines, 0), {round_dp})
+         AS code_line_frac,
+       CAST(n_fences // 2 AS BIGINT) AS n_fences,
+       round(n_sym::DOUBLE / nullif(n_chars_t, 0), {round_dp})
+         AS symbol_ratio,
+       coalesce(round(n_code::DOUBLE / nullif(n_lines, 0),
+                      {round_dp}) >= {float(code_threshold)!r}
+                OR n_fences >= 2, FALSE) AS looks_code
+FROM (
+  SELECT *,
+         len({lines}) AS n_lines,
+         len(list_filter({lines},
+             x -> regexp_matches(x, '{code_re}'))) AS n_code,
+         len(regexp_extract_all({t}, '{_FENCE_RE}')) AS n_fences,
+         length(regexp_replace({t}, '[A-Za-z0-9\\s]', '', 'g'))
+           AS n_sym,
+         length({t}) AS n_chars_t
+  FROM {table}
+)
+"""

@@ -127,3 +127,57 @@ class TestReadability:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestCodeStats:
+    def test_code_vs_prose_golden(self, spark):
+        from nifi_extracttext_processor_spark.operators \
+            .text_analysis import code_stats
+        code = ("def f(x):\n    return x + 1\n\n"
+                "class A:\n    pass\n")
+        prose = ("The quick brown fox jumps over the lazy dog. "
+                 "It was a bright day.\nBirds sang in the trees.")
+        fenced = "Intro text.\n```\nx = 1\n```\nOutro."
+        df = spark.createDataFrame(
+            [(1, code), (2, prose), (3, fenced), (4, None)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in code_stats(df).collect()}
+        assert got[1]["looks_code"] is True
+        assert got[1]["code_line_frac"] >= 0.75
+        assert got[2]["looks_code"] is False
+        assert got[2]["code_line_frac"] == 0.0
+        assert got[3]["looks_code"] is True      # fenced block
+        assert got[3]["n_fences"] == 1
+        assert got[4]["looks_code"] is False
+        assert got[4]["n_lines"] == 0
+        assert got[4]["code_line_frac"] is None
+
+    def test_twin_parity_on_documents(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators \
+            .text_analysis import code_stats, code_stats_sql
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(
+            (r["doc_id"], r["n_lines"], r["code_line_frac"],
+             r["n_fences"], r["symbol_ratio"], r["looks_code"])
+            for r in code_stats(docs).select(
+                "doc_id", "n_lines", "code_line_frac", "n_fences",
+                "symbol_ratio", "looks_code").collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        b = sorted(map(tuple, con.execute(code_stats_sql(
+            "documents", select="doc_id")).fetchall()))
+        assert a == b
+
+    def test_no_shuffle_no_udf(self, spark):
+        from nifi_extracttext_processor_spark.operators \
+            .text_analysis import code_stats
+        df = spark.createDataFrame([(1, "x = 1;")],
+                                   "doc_id long, text string")
+        plan = code_stats(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
