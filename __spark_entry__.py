@@ -2928,6 +2928,24 @@ def q_events_decayed_trend(spark, sf):
                            group_by=["event_type"])
 
 
+# ---- extension (r10): mergeable fixed-grid histogram quantiles
+# (operators/histogram.py — the deterministic quantile state for the
+# rollup family; grid precision ±width/2). Below-window ----
+
+from nifi_extracttext_processor_spark.operators import histogram as hgx  # noqa: E402
+
+
+@_q("events_hist_quantiles", hgx.histogram_quantiles_sql(
+    "events", "value", [0.5, 0.9, 0.99], 0.0, 500.0, 64,
+    ["event_type"]))
+def q_events_hist_quantiles(spark, sf):
+    ev = _t(spark, sf, "events")
+    st = hgx.histogram_build(ev, "value", 0.0, 500.0, 64,
+                             ["event_type"])
+    return hgx.histogram_quantiles(st, [0.5, 0.9, 0.99], 0.0, 500.0,
+                                   64, ["event_type"])
+
+
 # ---- extension (r10): order-independent table checksum (operators/
 # diff.py — migration/replication parity in one map-side-combinable
 # agg per side) + readability scoring (operators/text_analysis.py —
