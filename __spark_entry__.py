@@ -2928,6 +2928,40 @@ def q_events_decayed_trend(spark, sf):
                            group_by=["event_type"])
 
 
+# ---- extension (r10): corpus-vs-corpus comparison (operators/
+# corpus_compare.py — Monroe 2008 informative-prior log-odds
+# distinguishing terms; OOV-rate vocab health). Below-window ----
+
+from nifi_extracttext_processor_spark.operators import corpus_compare as ccx  # noqa: E402
+
+
+@_q("log_odds_sources", ccx.log_odds_terms_sql(
+    "(SELECT text FROM documents WHERE source = 'src0') a",
+    "(SELECT text FROM documents WHERE source <> 'src0') b",
+    top_k=30))
+def q_log_odds_sources(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ccx.log_odds_terms(
+        d.filter(F.col("source") == "src0"),
+        d.filter(F.col("source") != "src0"), top_k=30)
+
+
+@_q("oov_rate_by_lang", ccx.oov_rate_sql(
+    "documents",
+    "SELECT unnest(list_filter(string_split_regex(lower(trim(text)), "
+    "'\\s+'), x -> len(x) > 0)) AS word FROM documents "
+    "WHERE doc_id % 3 = 0",
+    group_by=["lang"]))
+def q_oov_rate_by_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    vocab = (d.filter(F.col("doc_id") % 3 == 0)
+             .select(F.explode(F.filter(
+                 F.split(F.lower(F.trim("text")), r"\s+"),
+                 lambda t: F.length(t) > 0)).alias("word"))
+             .distinct())
+    return ccx.oov_rate(d, vocab, group_by=["lang"])
+
+
 # ---- extension (r10): mergeable fixed-grid histogram quantiles
 # (operators/histogram.py — the deterministic quantile state for the
 # rollup family; grid precision ±width/2). Below-window ----

@@ -1,0 +1,205 @@
+"""Corpus-vs-corpus comparison: which TERMS distinguish corpus A from
+corpus B (Monroe, Colaresi & Quinn 2008 "Fightin' Words" — log-odds
+with an informative Dirichlet prior), and how well a tokenizer's
+vocabulary covers a corpus (OOV rate). The vocabulary-level
+complements to drift.py (numeric distributions) and featsel.py
+(labeled per-document classes): here the unit is the corpus pair —
+"did this month's crawl change register", "what leaks into split B
+that split A lacks", "is this vocab stale for this source".
+
+Log-odds construction (the paper's δ and z):
+
+    δ_w = ln( (y_aw + α_w) / (n_a + α0 − y_aw − α_w) )
+        − ln( (y_bw + α_w) / (n_b + α0 − y_bw − α_w) )
+    σ²_w ≈ 1/(y_aw + α_w) + 1/(y_bw + α_w)
+    z_w  = δ_w / σ_w
+
+with the prior α_w = prior_scale · (y_aw + y_bw) / (n_a + n_b)
+(the combined corpus as the Dirichlet direction — the paper's
+informative choice, which shrinks rare-word noise that raw log-odds
+and PMI amplify). Positive z → A-distinctive, negative → B.
+
+Scale shape: two token-count aggregations (map-side combinable,
+vocab-bounded) + one full-outer join on the word key + narrow scalar
+arithmetic; top-k lands as TakeOrderedAndProject. Nothing carries
+text past tokenization. Determinism: per-word scalar ln/sqrt chains
+(no big transcendental sums), round-4 outputs, |z| desc + word
+tie-break — the DuckDB twin replays exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .classifier import _TOKEN_SPLIT_RE
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT_RE),
+        lambda t: F.length(t) > 0)
+    return (df.select(F.explode(toks).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("y")))
+
+
+def log_odds_terms(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    prior_scale: float = 100.0,
+    min_count: int = 5,
+    top_k: int = 50,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-k |z| terms: (word, y_a, y_b, delta, z) ordered by |z|
+    desc then word. `min_count` drops words whose COMBINED count is
+    below it (prior shrinkage already handles moderate rarity; the
+    floor keeps hapax noise out of the cut)."""
+    if prior_scale <= 0:
+        raise ValueError("prior_scale must be > 0")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    ca = _word_counts(a, text_col).withColumnRenamed("y", "y_a")
+    cb = _word_counts(b, text_col).withColumnRenamed("y", "y_b")
+    j = (ca.join(cb, "word", "full_outer")
+         .select("word",
+                 F.coalesce("y_a", F.lit(0)).alias("y_a"),
+                 F.coalesce("y_b", F.lit(0)).alias("y_b"))
+         .filter(F.col("y_a") + F.col("y_b") >= min_count))
+    from .lifecycle import track_persist
+    j = track_persist(j)
+    tot = j.agg(F.sum("y_a").alias("n_a"),
+                F.sum("y_b").alias("n_b"))
+    d = j.crossJoin(F.broadcast(tot))
+    alpha_w = (F.lit(float(prior_scale))
+               * (F.col("y_a") + F.col("y_b"))
+               / (F.col("n_a") + F.col("n_b")))
+    alpha0 = F.lit(float(prior_scale))
+
+    def side(y, n):
+        num = y + alpha_w
+        den = n + alpha0 - y - alpha_w
+        return F.log(num / den)
+
+    delta = (side(F.col("y_a"), F.col("n_a"))
+             - side(F.col("y_b"), F.col("n_b")))
+    var = (1.0 / (F.col("y_a") + alpha_w)
+           + 1.0 / (F.col("y_b") + alpha_w))
+    z = delta / F.sqrt(var)
+    return (d.select("word", "y_a", "y_b",
+                     F.round(delta, round_dp).alias("delta"),
+                     F.round(z, round_dp).alias("z"))
+            .orderBy(F.desc(F.abs(F.round(z, round_dp))), "word")
+            .limit(top_k))
+
+
+def log_odds_terms_sql(
+    a_table: str,
+    b_table: str,
+    text_expr: str = "text",
+    prior_scale: float = 100.0,
+    min_count: int = 5,
+    top_k: int = 50,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of log_odds_terms (identical tokenization, prior,
+    arithmetic, rounding, and cut order)."""
+    def wc(table):
+        return f"""
+  SELECT word, count(*) AS y FROM (
+    SELECT unnest(list_filter(
+        string_split_regex(lower(trim({text_expr})),
+                           '{_TOKEN_SPLIT_RE}'),
+        x -> len(x) > 0)) AS word
+    FROM {table}
+  ) GROUP BY word"""
+    return f"""
+WITH ca AS ({wc(a_table)}), cb AS ({wc(b_table)}),
+j AS (
+  SELECT coalesce(ca.word, cb.word) AS word,
+         coalesce(ca.y, 0) AS y_a, coalesce(cb.y, 0) AS y_b
+  FROM ca FULL OUTER JOIN cb ON ca.word = cb.word
+  WHERE coalesce(ca.y, 0) + coalesce(cb.y, 0) >= {int(min_count)}
+),
+tot AS (SELECT sum(y_a)::DOUBLE AS n_a, sum(y_b)::DOUBLE AS n_b
+        FROM j),
+scored AS (
+  SELECT word, y_a, y_b,
+         ln((y_a + aw) / (n_a + {float(prior_scale)!r} - y_a - aw))
+         - ln((y_b + aw) / (n_b + {float(prior_scale)!r} - y_b - aw))
+           AS delta,
+         sqrt(1.0 / (y_a + aw) + 1.0 / (y_b + aw)) AS sd
+  FROM (
+    SELECT word, y_a, y_b, n_a, n_b,
+           {float(prior_scale)!r} * (y_a + y_b) / (n_a + n_b) AS aw
+    FROM j CROSS JOIN tot
+  )
+)
+SELECT word, y_a, y_b, round(delta, {round_dp}) AS delta,
+       round(delta / sd, {round_dp}) AS z
+FROM scored
+ORDER BY abs(round(delta / sd, {round_dp})) DESC, word
+LIMIT {int(top_k)}
+"""
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_tokens, n_oov, oov_rate) — the fraction of token
+    OCCURRENCES outside `vocab` (1-column `word` table; broadcast).
+    The tokenizer/vocab health check: a rising OOV rate on a new
+    source means the vocab (or the lang-id routing) is stale. Empty
+    groups yield NULL rate via try_divide."""
+    gb = list(group_by or [])
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT_RE),
+        lambda t: F.length(t) > 0)
+    exploded = df.select(*gb, F.explode(toks).alias("word"))
+    v = F.broadcast(vocab.select(F.col(vocab.columns[0])
+                                 .alias("word")).distinct()
+                    .withColumn("__in_v", F.lit(1)))
+    return (exploded.join(v, "word", "left")
+            .groupBy(*gb)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("__in_v").isNull(), 1)
+                       .otherwise(0)).alias("n_oov"))
+            .select(*gb, "n_tokens", "n_oov",
+                    F.round(F.try_divide(F.col("n_oov"),
+                                         F.col("n_tokens")),
+                            round_dp).alias("oov_rate")))
+
+
+def oov_rate_sql(
+    table: str,
+    vocab_query: str,
+    text_expr: str = "text",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of oov_rate (`vocab_query` yields 1 column
+    `word`)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    return f"""
+SELECT {gsel}count(*) AS n_tokens,
+       sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / nullif(count(*), 0), {round_dp}) AS oov_rate
+FROM (
+  SELECT {gsel}unnest(list_filter(
+      string_split_regex(lower(trim({text_expr})),
+                         '{_TOKEN_SPLIT_RE}'),
+      x -> len(x) > 0)) AS word
+  FROM {table}
+) t
+LEFT JOIN (SELECT DISTINCT word FROM ({vocab_query})) v
+  USING (word)
+{gkey}
+"""
