@@ -1056,3 +1056,48 @@ def stream_cms(
          .partitionBy("batch").parquet(state_dir))
 
     return _batch, read_state
+
+
+def stream_histogram(
+    state_dir: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    group_by: "list[str] | None" = None,
+):
+    """foreachBatch wiring of continuous histogram maintenance
+    (operators/histogram.py): per micro-batch bin counts merged into
+    the committed state. Counts are ADDITIVE — prior state is read
+    strictly from earlier batches (the stream_rollup/stream_cms
+    replay posture). Quantiles at any time:
+    histogram.histogram_quantiles(read_state(spark), qs, lo, hi,
+    n_bins, group_by). State ≤ groups · n_bins rows."""
+    from ..operators.histogram import histogram_build, histogram_merge
+
+    gb = list(group_by or [])
+
+    def read_state(spark, before_batch: "int | None" = None):
+        from ..sources.tables import read_catalog
+        df = read_catalog(spark, state_dir)
+        if df is None:
+            return None
+        if before_batch is not None:
+            df = df.filter(F.col("batch") < int(before_batch))
+        latest = df.agg(F.max("batch").alias("m")).first()["m"]
+        if latest is None:
+            return None
+        return df.filter(F.col("batch") == latest).drop("batch")
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = histogram_build(batch_df, value_col, lo, hi, n_bins, gb)
+        prev = read_state(spark, before_batch=int(batch_id))
+        merged = inc if prev is None else histogram_merge(prev, inc)
+        (merged.localCheckpoint(eager=True)
+         .withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(state_dir))
+
+    return _batch, read_state

@@ -84,3 +84,29 @@ class TestTwin:
             "events", "value", [0.5, 0.9, 0.99], 0.0, 500.0, 64,
             ["event_type"])).fetchall()))
         assert a == b
+
+
+class TestStreaming:
+    def test_incremental_state_and_replay(self, spark, tmp_path,
+                                          frame):
+        from nifi_extracttext_processor_spark.streaming.pipeline \
+            import stream_histogram
+        sd = str(tmp_path / "hist_state")
+        fb, read_state = stream_histogram(sd, "v", 0.0, 100.0, 50,
+                                          ["g"])
+        assert read_state(spark) is None
+        h1 = frame.filter(F.col("v") < 50)
+        h2 = frame.filter(~(F.col("v") < 50) | F.col("v").isNull())
+        fb(h1, 0)
+        fb(h2, 1)
+        got = sorted(map(tuple, histogram_quantiles(
+            read_state(spark), [0.5], 0.0, 100.0, 50,
+            ["g"]).collect()))
+        want = sorted(map(tuple, histogram_quantiles(
+            histogram_build(frame, "v", 0.0, 100.0, 50, ["g"]),
+            [0.5], 0.0, 100.0, 50, ["g"]).collect()))
+        assert got == want
+        snap = sorted(map(tuple, read_state(spark).collect()))
+        fb(h2, 1)
+        assert sorted(map(tuple,
+                          read_state(spark).collect())) == snap
