@@ -627,7 +627,11 @@ def decayed_agg_sql(
     factor = 0.5 ** (bucket_seconds / hl_seconds)
     consts = _decay_constants(factor)
     t0 = f"TIMESTAMP '{as_of}'"
-    b = (f"CAST(floor((epoch({t0}) - epoch({ts_col})) "
+    # floor(epoch(ts)): Spark's unix_timestamp truncates fractional
+    # seconds, DuckDB's epoch() keeps them — without the floor, rows
+    # with sub-second timestamps near an hour boundary land in
+    # different buckets per engine (found live at sf0.01)
+    b = (f"CAST(floor((floor(epoch({t0})) - floor(epoch({ts_col}))) "
          f"/ {int(bucket_seconds)}) AS BIGINT)")
     # ::DOUBLE on every literal: DuckDB parses bare decimals as
     # DECIMAL and a 24-deep decimal multiplication chain overflows
