@@ -2918,6 +2918,14 @@ def q_cms_event_counts(spark, sf):
 from nifi_extracttext_processor_spark.operators import timeseries as tsx  # noqa: E402
 
 
+@_q("events_seasonal_anomaly", tsx.detect_anomalies_seasonal_sql(
+    "events", "ts", ["event_type"], "value"))
+def q_events_seasonal_anomaly(spark, sf):
+    ev = _t(spark, sf, "events")
+    return tsx.detect_anomalies_seasonal(ev, "ts", ["event_type"],
+                                         "value")
+
+
 @_q("events_decayed_trend", tsx.decayed_agg_sql(
     "events", "2024-06-01 00:00:00", half_life="30 days",
     value_col="value", group_by=["event_type"]))

@@ -652,3 +652,108 @@ def decayed_agg_sql(
     return (f"SELECT {gsel}{', '.join(mets)} FROM {table} "
             f"WHERE {ts_col} IS NOT NULL AND {ts_col} <= {t0} "
             f"{gkey}")
+
+
+def detect_anomalies_seasonal(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: "list[str] | tuple[str, ...]",
+    value_col: str,
+    threshold: float = 3.0,
+    min_periods: int = 4,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the fourth temporal
+    detector beside rolling (trailing window), MAD (robust global)
+    and CUSUM (sustained shift): each point is standardized against
+    the mean/stddev of OTHER observations in the same
+    (key, day-of-week, hour-of-day) cell, so a Tuesday-3am spike is
+    judged against Tuesday-3am history, not against the weekly
+    average (the diurnal/weekly pattern that makes plain z-scores
+    fire every rush hour). Leave-one-out: the point's own value is
+    excluded from its cell's baseline (n−1 stats via the sum/sumsq
+    identity), so a single huge spike cannot mask itself. Cells with
+    fewer than `min_periods` OTHER observations or zero variance emit
+    NULL z and are never flagged.
+
+    Scale shape: one map-side-combinable agg to (key, dow, hour)
+    cells (≤ keys·168 rows) + one broadcast-joinable merge back —
+    data rows never shuffle; leave-one-out is pure arithmetic on the
+    cell sums. DuckDB twin replays dayofweek/hour, the identity, and
+    rounding exactly."""
+    keys = list(key_cols)
+    if min_periods < 2:
+        raise ValueError("min_periods must be >= 2")
+    v = F.col(value_col).cast("double")
+    dow = F.dayofweek(F.col(ts_col))
+    hod = F.hour(F.col(ts_col))
+    base = (df.filter(F.col(ts_col).isNotNull() & v.isNotNull())
+            .withColumn("__dow", dow).withColumn("__hod", hod))
+    cells = (base.groupBy(*keys, "__dow", "__hod")
+             .agg(F.count("*").alias("__n"),
+                  F.sum(v).alias("__s"),
+                  F.sum(v * v).alias("__ss")))
+    j = base.join(F.broadcast(cells), keys + ["__dow", "__hod"])
+    n1 = F.col("__n") - 1
+    # try_divide: singleton cells (n1 = 0) would raise under ANSI
+    # division; NULL is the correct "no baseline" answer
+    mean_loo = F.try_divide(F.col("__s") - v, n1)
+    # unbiased variance of the OTHER n-1 points:
+    # ss' = ss - v^2; var = (ss' - (n-1)*mean^2) / (n-2)
+    var_loo = F.try_divide(
+        F.col("__ss") - v * v - n1 * mean_loo * mean_loo, n1 - 1)
+    sd = F.sqrt(var_loo)
+    z = F.when((n1 >= F.lit(int(min_periods))) & (sd > 0),
+               (v - mean_loo) / sd)
+    return (j.select(*keys, ts_col, value_col,
+                     F.round(z, round_dp).alias("z"),
+                     F.coalesce(F.abs(F.round(z, round_dp))
+                                >= F.lit(float(threshold)),
+                                F.lit(False)).alias("is_anomaly")))
+
+
+def detect_anomalies_seasonal_sql(
+    table: str,
+    ts_col: str,
+    key_cols: "list[str] | tuple[str, ...]",
+    value_col: str,
+    threshold: float = 3.0,
+    min_periods: int = 4,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of detect_anomalies_seasonal. Note dayofweek
+    conventions differ: Spark dayofweek() is 1=Sunday..7=Saturday,
+    DuckDB dayofweek() is 0=Sunday..6 — the twin adds 1."""
+    keys = ", ".join(key_cols)
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+WITH base AS (
+  SELECT {keys}, {ts_col}, {value_col}, {v} AS v,
+         dayofweek({ts_col}) + 1 AS dw, hour({ts_col}) AS hd
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+),
+cells AS (
+  SELECT {keys}, dw, hd, count(*) AS n, sum(v) AS s,
+         sum(v * v) AS ss
+  FROM base GROUP BY {keys}, dw, hd
+),
+j AS (
+  SELECT b.*, c.n, c.s, c.ss,
+         (c.s - b.v) / (c.n - 1) AS m1,
+         (c.ss - b.v * b.v
+          - (c.n - 1) * ((c.s - b.v) / (c.n - 1))
+            * ((c.s - b.v) / (c.n - 1))) / (c.n - 2) AS var1
+  FROM base b JOIN cells c USING ({keys}, dw, hd)
+)
+SELECT {keys}, {ts_col}, {value_col},
+       round(CASE WHEN n - 1 >= {int(min_periods)}
+                   AND sqrt(var1) > 0
+                  THEN (v - m1) / sqrt(var1) END, {round_dp}) AS z,
+       coalesce(abs(round(CASE WHEN n - 1 >= {int(min_periods)}
+                           AND sqrt(var1) > 0
+                          THEN (v - m1) / sqrt(var1) END,
+                    {round_dp})) >= {float(threshold)!r}, FALSE)
+         AS is_anomaly
+FROM j
+"""

@@ -142,3 +142,70 @@ class TestDecayedAgg:
             value_col="value",
             group_by=["event_type"])).fetchall()))
         assert a == b
+
+
+class TestSeasonalAnomaly:
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+        import datetime as dt
+        rows = []
+        # 8 Mondays 09:00 with value ~10, one with 100 (the anomaly);
+        # 8 Mondays 03:00 with value ~100 (so 100 is NORMAL at 3am)
+        start = dt.date(2024, 1, 1)  # a Monday
+        for wk in range(8):
+            d = (start + dt.timedelta(weeks=wk)).isoformat()
+            rows.append((f"{d} 09:00:00", "m", 10.0 + (wk % 3)))
+            rows.append((f"{d} 03:00:00", "m", 100.0 + wk))
+        rows.append(("2024-02-26 09:00:00", "m", 100.0))  # Monday 9am
+        return spark.createDataFrame(
+            rows, "ts string, k string, v double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_seasonal_context(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import detect_anomalies_seasonal
+        out = detect_anomalies_seasonal(
+            self._df(spark), "ts", ["k"], "v", threshold=3.0,
+            min_periods=4).collect()
+        flagged = {(str(r["ts"]), r["v"]) for r in out
+                   if r["is_anomaly"]}
+        # the 9am 100.0 is anomalous; the 3am 100s are not
+        assert ("2024-02-26 09:00:00", 100.0) in flagged
+        assert not any(t.endswith("03:00:00") for t, _ in flagged)
+
+    def test_leave_one_out_and_min_periods(self, spark):
+        from pyspark.sql import functions as F
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import detect_anomalies_seasonal
+        # only 3 observations in a cell -> n-1=2 < min_periods -> NULL
+        df = spark.createDataFrame(
+            [("2024-01-01 09:00:00", "k", 1.0),
+             ("2024-01-08 09:00:00", "k", 2.0),
+             ("2024-01-15 09:00:00", "k", 50.0)],
+            "ts string, k string, v double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = detect_anomalies_seasonal(df, "ts", ["k"], "v",
+                                        min_periods=4).collect()
+        assert all(r["z"] is None and r["is_anomaly"] is False
+                   for r in out)
+
+    def test_twin_parity_on_events(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import (detect_anomalies_seasonal,
+                    detect_anomalies_seasonal_sql)
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        a = sorted(map(tuple, detect_anomalies_seasonal(
+            ev, "ts", ["event_type"], "value").collect()), key=str)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        b = sorted(map(tuple, con.execute(
+            detect_anomalies_seasonal_sql(
+                "events", "ts", ["event_type"],
+                "value")).fetchall()), key=str)
+        assert len(a) == len(b)
+        assert a == b
