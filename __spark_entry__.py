@@ -2918,6 +2918,44 @@ def q_cms_event_counts(spark, sf):
 from nifi_extracttext_processor_spark.operators import timeseries as tsx  # noqa: E402
 
 
+# ---- extension (r10): A/B experiment readouts (operators/abtest.py
+# — pooled two-proportion z + Welch t over hash-derived variants;
+# significance = |stat| >= critical value, twin-exact). Below-window ----
+
+from nifi_extracttext_processor_spark.operators import abtest as abx  # noqa: E402
+
+_AB_VIEW = ("(SELECT *, CASE WHEN event_id % 2 = 0 THEN 'control' "
+            "ELSE 'treatment' END AS variant, "
+            "CAST(value > 100 AS INT) AS converted FROM events) exp")
+
+
+def _ab_frame(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 2) == 0, "control")
+        .otherwise("treatment"))
+        .withColumn("converted", (F.col("value") > 100).cast("int")))
+
+
+@_q("ab_conversion_test", abx.ab_proportion_test_sql(
+    _AB_VIEW, "variant", "converted", "control", "treatment",
+    ["event_type"]))
+def q_ab_conversion_test(spark, sf):
+    return abx.ab_proportion_test(
+        _ab_frame(spark, sf), "variant", "converted", "control",
+        "treatment", ["event_type"])
+
+
+@_q("ab_value_welch", abx.ab_welch_test_sql(
+    _AB_VIEW, "variant", "value", "control", "treatment",
+    ["event_type"]))
+def q_ab_value_welch(spark, sf):
+    return abx.ab_welch_test(
+        _ab_frame(spark, sf), "variant", "value", "control",
+        "treatment", ["event_type"])
+
+
 @_q("events_seasonal_anomaly", tsx.detect_anomalies_seasonal_sql(
     "events", "ts", ["event_type"], "value"))
 def q_events_seasonal_anomaly(spark, sf):

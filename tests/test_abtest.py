@@ -1,0 +1,90 @@
+"""A/B readouts: hand-computed z/t goldens, degenerate-cell NULLs,
+twin parity on events with hash-derived variants."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.abtest import (
+    ab_proportion_test,
+    ab_proportion_test_sql,
+    ab_welch_test,
+    ab_welch_test_sql,
+)
+
+
+class TestProportion:
+    def test_hand_computed(self, spark):
+        rows = ([("c", 1)] * 30 + [("c", 0)] * 70
+                + [("t", 1)] * 45 + [("t", 0)] * 55
+                + [("x", 1)] * 5 + [("t", None)])
+        df = spark.createDataFrame(rows, "variant string, conv int")
+        [r] = ab_proportion_test(df, "variant", "conv",
+                                 "c", "t").collect()
+        assert (r["n_control"], r["n_treatment"]) == (100, 100)
+        assert r["p_control"] == 0.3 and r["p_treatment"] == 0.45
+        pp = 75 / 200
+        se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+        assert r["z"] == round(0.15 / se, 4)
+        assert r["significant"] is True      # z ~ 2.19
+
+    def test_degenerate_cells(self, spark):
+        df = spark.createDataFrame(
+            [("c", 1), ("c", 1), ("t", 1)], "variant string, conv int")
+        [r] = ab_proportion_test(df, "variant", "conv",
+                                 "c", "t").collect()
+        assert r["z"] is None                # pooled variance 0
+        assert r["significant"] is False
+
+
+class TestWelch:
+    def test_hand_computed(self, spark):
+        c = [1.0, 2.0, 3.0, 4.0]
+        t = [3.0, 5.0, 7.0]
+        rows = [("c", v) for v in c] + [("t", v) for v in t]
+        df = spark.createDataFrame(rows, "variant string, v double")
+        [r] = ab_welch_test(df, "variant", "v", "c", "t").collect()
+        import statistics
+        a = statistics.variance(c) / len(c)
+        b = statistics.variance(t) / len(t)
+        texp = (statistics.mean(t) - statistics.mean(c)) \
+            / math.sqrt(a + b)
+        dfw = (a + b) ** 2 / (a * a / 3 + b * b / 2)
+        assert r["t"] == round(texp, 4)
+        assert r["df_welch"] == round(dfw, 2)
+        assert r["diff"] == 2.5
+
+
+class TestTwin:
+    def test_events_parity(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        exp = ev.withColumn(
+            "variant",
+            F.when(F.pmod(F.col("event_id"), 2) == 0, "control")
+            .otherwise("treatment")).withColumn(
+            "converted", (F.col("value") > 100).cast("int"))
+        a1 = sorted(map(tuple, ab_proportion_test(
+            exp, "variant", "converted", "control", "treatment",
+            ["event_type"]).collect()))
+        a2 = sorted(map(tuple, ab_welch_test(
+            exp, "variant", "value", "control", "treatment",
+            ["event_type"]).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW exp AS SELECT *, CASE WHEN event_id % 2 = 0 "
+            "THEN 'control' ELSE 'treatment' END AS variant, "
+            "CAST(value > 100 AS INT) AS converted FROM "
+            f"'{sf_dir}/events.parquet'")
+        b1 = sorted(map(tuple, con.execute(ab_proportion_test_sql(
+            "exp", "variant", "converted", "control", "treatment",
+            ["event_type"])).fetchall()))
+        b2 = sorted(map(tuple, con.execute(ab_welch_test_sql(
+            "exp", "variant", "value", "control", "treatment",
+            ["event_type"])).fetchall()))
+        assert a1 == b1
+        assert a2 == b2
