@@ -2992,6 +2992,13 @@ def q_log_odds_sources(spark, sf):
         d.filter(F.col("source") != "src0"), top_k=30)
 
 
+@_q("vocab_coverage_curve", ccx.vocab_coverage_sql(
+    "documents", [0.5, 0.9, 0.99]))
+def q_vocab_coverage_curve(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ccx.vocab_coverage(d, [0.5, 0.9, 0.99])
+
+
 @_q("oov_rate_by_lang", ccx.oov_rate_sql(
     "documents",
     "SELECT unnest(list_filter(string_split_regex(lower(trim(text)), "

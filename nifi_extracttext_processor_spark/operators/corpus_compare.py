@@ -203,3 +203,113 @@ LEFT JOIN (SELECT DISTINCT word FROM ({vocab_query})) v
   USING (word)
 {gkey}
 """
+
+
+def vocab_coverage(
+    df: DataFrame,
+    coverages: "list[float]",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Vocabulary coverage curve — "how many distinct words cover X%
+    of all token occurrences": for each requested coverage level,
+    (coverage, vocab_size, covered_rate) where vocab_size is the
+    SMALLEST frequency-ranked prefix of the vocabulary whose
+    cumulative occurrence share reaches the level, and covered_rate
+    the share it actually achieves. The tokenizer-design number (how
+    big must a word-level vocab be; how heavy is the tail BPE must
+    absorb) beside oov_rate's fixed-vocab health check.
+
+    Scale shape: one token-count agg (vocab-bounded), then a GLOBAL
+    frequency ranking + prefix sum — both via the two-pass
+    distributed construction (ranking.distributed_row_number for the
+    rank; per-partition sums + broadcast offsets for the cumsum), so
+    no single-task sort even at 10^8 distinct words. Ties break
+    (count desc, word asc) — deterministic, twin-replayed."""
+    from pyspark.sql import Window
+
+    from .ranking import distributed_row_number
+
+    for c in coverages:
+        if not 0.0 < c <= 1.0:
+            raise ValueError(f"coverage {c} outside (0, 1]")
+    counts = _word_counts(df, text_col)
+    ranked = distributed_row_number(
+        counts, [F.desc("y"), F.asc("word")], "__rk")
+    # distributed prefix sum over the SAME range partitioning: local
+    # cumsum keyed by the rank's partition id would need a second
+    # repartition; instead reuse __rk — a window over rank bands is
+    # still global, so do the two-pass explicitly: band = __rk div B
+    band = (F.col("__rk") / F.lit(65536)).cast("long")
+    banded = ranked.withColumn("__band", band)
+    from .lifecycle import track_persist
+    banded = track_persist(banded)
+    band_tot = (banded.groupBy("__band")
+                .agg(F.sum("y").alias("__bs")))
+    wb = (Window.orderBy("__band")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = band_tot.withColumn(
+        "__off", F.coalesce(F.sum("__bs").over(wb), F.lit(0)))
+    ww = (Window.partitionBy("__band").orderBy("__rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (banded.join(F.broadcast(offsets.select("__band", "__off")),
+                       "__band")
+           .withColumn("__cum", F.col("__off") + F.sum("y").over(ww)))
+    total = counts.agg(F.sum("y").alias("__tot"))
+    qdf = cum.crossJoin(F.broadcast(total)).crossJoin(
+        F.broadcast(df.sparkSession.createDataFrame(
+            [(float(c),) for c in coverages], "coverage double")))
+    hit = qdf.filter(
+        F.col("__cum") >= F.col("coverage") * F.col("__tot"))
+    wq = Window.partitionBy("coverage").orderBy("__rk")
+    return (hit.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") == 1)
+            .select("coverage",
+                    (F.col("__rk") + 1).alias("vocab_size"),
+                    F.round(F.col("__cum") / F.col("__tot"),
+                            round_dp).alias("covered_rate"))
+            .orderBy("coverage"))
+
+
+def vocab_coverage_sql(
+    table: str,
+    coverages: "list[float]",
+    text_expr: str = "text",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of vocab_coverage (plain window cumsum — the
+    single-engine formulation the distributed construction must
+    equal)."""
+    qvals = ", ".join(f"({c!r}::DOUBLE)" for c in coverages)
+    return f"""
+WITH counts AS (
+  SELECT word, count(*) AS y FROM (
+    SELECT unnest(list_filter(
+        string_split_regex(lower(trim({text_expr})),
+                           '{_TOKEN_SPLIT_RE}'),
+        x -> len(x) > 0)) AS word
+    FROM {table}
+  ) GROUP BY word
+),
+ranked AS (
+  SELECT y,
+         row_number() OVER (ORDER BY y DESC, word ASC) AS rk,
+         sum(y) OVER (ORDER BY y DESC, word ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND
+                      CURRENT ROW) AS cum
+  FROM counts
+),
+tot AS (SELECT sum(y)::DOUBLE AS t FROM counts),
+hit AS (
+  SELECT q.coverage, rk, cum,
+         row_number() OVER (PARTITION BY q.coverage ORDER BY rk)
+           AS rn
+  FROM ranked CROSS JOIN tot
+  CROSS JOIN (VALUES {qvals}) q(coverage)
+  WHERE cum >= q.coverage * t
+)
+SELECT coverage, rk AS vocab_size,
+       round(cum / (SELECT t FROM tot), {round_dp}) AS covered_rate
+FROM hit WHERE rn = 1
+ORDER BY coverage
+"""

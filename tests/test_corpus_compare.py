@@ -96,3 +96,42 @@ class TestOov:
         b = sorted(map(tuple, con.execute(oov_rate_sql(
             "documents", vocab_q, group_by=["lang"])).fetchall()))
         assert a == b
+
+
+class TestVocabCoverage:
+    def test_hand_computed(self, spark):
+        # "a" x6, "b" x3, "c" x1 -> total 10; 60% needs 1 word,
+        # 90% needs 2, 100% needs 3
+        df = spark.createDataFrame(
+            [(1, "a a a a a a b b b c")], "doc_id long, text string")
+        from nifi_extracttext_processor_spark.operators \
+            .corpus_compare import vocab_coverage
+        got = {r["coverage"]: (r["vocab_size"], r["covered_rate"])
+               for r in vocab_coverage(df, [0.6, 0.9, 1.0]).collect()}
+        assert got[0.6] == (1, 0.6)
+        assert got[0.9] == (2, 0.9)
+        assert got[1.0] == (3, 1.0)
+
+    def test_twin_parity_on_documents(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators \
+            .corpus_compare import vocab_coverage, vocab_coverage_sql
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(map(tuple, vocab_coverage(
+            docs, [0.5, 0.9, 0.99]).collect()))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        b = sorted(map(tuple, con.execute(vocab_coverage_sql(
+            "documents", [0.5, 0.9, 0.99])).fetchall()))
+        assert a == b
+
+    def test_validates(self, spark):
+        from nifi_extracttext_processor_spark.operators \
+            .corpus_compare import vocab_coverage
+        df = spark.createDataFrame([(1, "x")],
+                                   "doc_id long, text string")
+        with pytest.raises(ValueError):
+            vocab_coverage(df, [1.5])
