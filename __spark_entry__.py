@@ -2956,6 +2956,27 @@ def q_ab_value_welch(spark, sf):
         "treatment", ["event_type"])
 
 
+_AB_CUPED_VIEW = (
+    "(SELECT *, CASE WHEN event_id % 2 = 0 THEN 'control' "
+    "ELSE 'treatment' END AS variant, "
+    "CAST(event_id % 37 AS DOUBLE) AS pre_metric FROM events) exp")
+
+
+@_q("ab_cuped_adjusted", abx.ab_cuped_test_sql(
+    _AB_CUPED_VIEW, "variant", "value", "pre_metric",
+    "control", "treatment", ["event_type"]))
+def q_ab_cuped_adjusted(spark, sf):
+    ev = _t(spark, sf, "events")
+    exp = (ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 2) == 0, "control")
+        .otherwise("treatment"))
+        .withColumn("pre_metric",
+                    F.pmod(F.col("event_id"), 37).cast("double")))
+    return abx.ab_cuped_test(exp, "variant", "value", "pre_metric",
+                             "control", "treatment", ["event_type"])
+
+
 @_q("events_seasonal_anomaly", tsx.detect_anomalies_seasonal_sql(
     "events", "ts", ["event_type"], "value"))
 def q_events_seasonal_anomaly(spark, sf):

@@ -247,3 +247,180 @@ SELECT {gsel}
                 FALSE) AS significant
 FROM tc
 """
+
+
+def ab_cuped_test(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    covariate_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    t_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust the metric
+    with a PRE-EXPERIMENT covariate — y' = y − θ(x − x̄) with
+    θ = cov(x,y)/var(x) pooled over both variants (x predates
+    treatment, so pooling is unbiased) — then run Welch's t on the
+    adjusted metric. Reported var_reduction = 1 − var(y')/var(y)
+    (pooled) ≈ corr², the sample-size saving the covariate buys.
+
+    Everything derives from ONE map-side-combinable agg of
+    per-(group, variant) sufficient statistics (n, Σx, Σy, Σxy, Σxx,
+    Σyy): θ folds the two variants' sums; per-variant adjusted
+    means/variances come from the moment identities
+    mean' = ȳ_v − θ(x̄_v − x̄) and var' = var_v(y) − 2θcov_v + θ²var_v(x).
+    Rows with NULL value or covariate are excluded. Degenerate cells
+    (zero covariate variance) fall back to θ=0 — plain Welch."""
+    gb = list(group_by or [])
+    y = F.col(value_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = (df.filter(F.col(variant_col).isin(control, treatment)
+                      & y.isNotNull() & x.isNotNull())
+            .withColumn("__t",
+                        (F.col(variant_col) == treatment).cast("int")))
+    legs = {}
+    for tag, flag in (("0", 1 - F.col("__t")), ("1", F.col("__t"))):
+        legs.update({
+            f"n{tag}": F.sum(flag),
+            f"sx{tag}": F.sum(x * flag),
+            f"sy{tag}": F.sum(y * flag),
+            f"sxy{tag}": F.sum(x * y * flag),
+            f"sxx{tag}": F.sum(x * x * flag),
+            f"syy{tag}": F.sum(y * y * flag)})
+    agg = base.groupBy(*gb).agg(
+        *[v.alias(k) for k, v in legs.items()])
+    c = {k: F.col(k) for k in legs}
+    n = c["n0"] + c["n1"]
+    sx = c["sx0"] + c["sx1"]
+    sy = c["sy0"] + c["sy1"]
+    sxy = c["sxy0"] + c["sxy1"]
+    sxx = c["sxx0"] + c["sxx1"]
+    syy = c["syy0"] + c["syy1"]
+    # pooled covariance/variance numerators (n-divisors cancel in θ)
+    cov_num = sxy - sx * sy / n
+    varx_num = sxx - sx * sx / n
+    vary_num = syy - sy * sy / n
+    theta = F.when(varx_num > 0, cov_num / varx_num).otherwise(0.0)
+    xbar = sx / n
+
+    def adj(tag):
+        nn = c[f"n{tag}"]
+        my = F.try_divide(c[f"sy{tag}"], nn)
+        mx = F.try_divide(c[f"sx{tag}"], nn)
+        mean_adj = my - theta * (mx - xbar)
+        vy = F.try_divide(c[f"syy{tag}"] - nn * my * my, nn - 1)
+        vx = F.try_divide(c[f"sxx{tag}"] - nn * mx * mx, nn - 1)
+        cxy = F.try_divide(c[f"sxy{tag}"] - nn * mx * my, nn - 1)
+        var_adj = vy - 2 * theta * cxy + theta * theta * vx
+        return mean_adj, var_adj
+
+    m0a, v0a = adj("0")
+    m1a, v1a = adj("1")
+    a = F.try_divide(v0a, c["n0"])
+    b = F.try_divide(v1a, c["n1"])
+    se = F.sqrt(a + b)
+    t = F.when(se > 0, (m1a - m0a) / se)
+    tr = F.round(t, round_dp)
+    var_red = F.when(
+        (varx_num > 0) & (vary_num > 0),
+        (cov_num * cov_num) / (varx_num * vary_num))
+    return agg.select(
+        *gb,
+        c["n0"].alias("n_control"), c["n1"].alias("n_treatment"),
+        F.round(theta, round_dp).alias("theta"),
+        F.round(m1a - m0a, round_dp).alias("adj_diff"),
+        tr.alias("t"),
+        F.round(var_red, round_dp).alias("var_reduction"),
+        F.coalesce(F.abs(tr) >= F.lit(float(t_alpha)),
+                   F.lit(False)).alias("significant"))
+
+
+def ab_cuped_test_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    covariate_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    t_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_cuped_test (same sufficient statistics and
+    moment identities)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    y = f"CAST({value_col} AS DOUBLE)"
+    x = f"CAST({covariate_col} AS DOUBLE)"
+    t = f"CAST({variant_col} = '{treatment}' AS INT)"
+    sums = []
+    for tag, flag in (("0", f"(1 - {t})"), ("1", t)):
+        sums += [f"sum({flag}) AS n{tag}",
+                 f"sum({x} * {flag}) AS sx{tag}",
+                 f"sum({y} * {flag}) AS sy{tag}",
+                 f"sum({x} * {y} * {flag}) AS sxy{tag}",
+                 f"sum({x} * {x} * {flag}) AS sxx{tag}",
+                 f"sum({y} * {y} * {flag}) AS syy{tag}"]
+    return f"""
+WITH agg AS (
+  SELECT {gsel}{', '.join(sums)}
+  FROM {table}
+  WHERE {variant_col} IN ('{control}', '{treatment}')
+    AND {value_col} IS NOT NULL AND {covariate_col} IS NOT NULL
+  {gkey}
+),
+th AS (
+  SELECT *,
+         (sxy0 + sxy1) - (sx0 + sx1) * (sy0 + sy1) / (n0 + n1)
+           AS cov_num,
+         (sxx0 + sxx1) - (sx0 + sx1) * (sx0 + sx1) / (n0 + n1)
+           AS varx_num,
+         (syy0 + syy1) - (sy0 + sy1) * (sy0 + sy1) / (n0 + n1)
+           AS vary_num,
+         (sx0 + sx1) / (n0 + n1) AS xbar
+  FROM agg
+),
+tt AS (
+  SELECT *,
+         CASE WHEN varx_num > 0 THEN cov_num / varx_num
+              ELSE 0.0 END AS theta
+  FROM th
+),
+adj AS (
+  SELECT *,
+         (sy0 / n0) - theta * ((sx0 / n0) - xbar) AS m0a,
+         (sy1 / n1) - theta * ((sx1 / n1) - xbar) AS m1a,
+         ((syy0 - n0 * (sy0 / n0) * (sy0 / n0)) / nullif(n0 - 1, 0)
+          - 2 * theta * ((sxy0 - n0 * (sx0 / n0) * (sy0 / n0))
+                         / nullif(n0 - 1, 0))
+          + theta * theta * ((sxx0 - n0 * (sx0 / n0) * (sx0 / n0))
+                             / nullif(n0 - 1, 0))) / nullif(n0, 0)
+           AS a,
+         ((syy1 - n1 * (sy1 / n1) * (sy1 / n1)) / nullif(n1 - 1, 0)
+          - 2 * theta * ((sxy1 - n1 * (sx1 / n1) * (sy1 / n1))
+                         / nullif(n1 - 1, 0))
+          + theta * theta * ((sxx1 - n1 * (sx1 / n1) * (sx1 / n1))
+                             / nullif(n1 - 1, 0))) / nullif(n1, 0)
+           AS b
+  FROM tt
+)
+SELECT {gsel}
+       n0 AS n_control, n1 AS n_treatment,
+       round(theta, {round_dp}) AS theta,
+       round(m1a - m0a, {round_dp}) AS adj_diff,
+       round(CASE WHEN sqrt(a + b) > 0
+                  THEN (m1a - m0a) / sqrt(a + b) END,
+             {round_dp}) AS t,
+       round(CASE WHEN varx_num > 0 AND vary_num > 0
+                  THEN cov_num * cov_num / (varx_num * vary_num)
+             END, {round_dp}) AS var_reduction,
+       coalesce(abs(round(CASE WHEN sqrt(a + b) > 0
+                          THEN (m1a - m0a) / sqrt(a + b) END,
+                    {round_dp})) >= {float(t_alpha)!r}, FALSE)
+         AS significant
+FROM adj
+"""

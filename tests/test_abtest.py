@@ -88,3 +88,62 @@ class TestTwin:
             ["event_type"])).fetchall()))
         assert a1 == b1
         assert a2 == b2
+
+
+class TestCuped:
+    def _df(self, spark):
+        # y = x + noise + small treatment effect; x strongly
+        # predictive, so CUPED should shrink variance a lot
+        rows = []
+        x = 7
+        for i in range(400):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            pre = (x % 100) / 10.0
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            noise = ((x % 100) - 50) / 100.0
+            variant = "t" if i % 2 == 0 else "c"
+            eff = 0.3 if variant == "t" else 0.0
+            rows.append((variant, pre + noise + eff, pre))
+        from pyspark.sql import Row
+        return spark.createDataFrame(
+            rows, "variant string, y double, x double")
+
+    def test_variance_reduction_and_power(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_cuped_test, ab_welch_test
+        df = self._df(spark)
+        [cu] = ab_cuped_test(df, "variant", "y", "x",
+                             "c", "t").collect()
+        [we] = ab_welch_test(df, "variant", "y", "c", "t").collect()
+        # x explains most of y's variance
+        assert cu["var_reduction"] > 0.9
+        # adjusted diff still estimates the true effect
+        assert abs(cu["adj_diff"] - 0.3) < 0.1
+        # CUPED's |t| must beat plain Welch's on the same data
+        assert abs(cu["t"]) > abs(we["t"])
+
+    def test_zero_covariate_variance_falls_back(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_cuped_test, ab_welch_test
+        df = spark.createDataFrame(
+            [("c", 1.0, 5.0), ("c", 2.0, 5.0), ("c", 3.0, 5.0),
+             ("t", 2.0, 5.0), ("t", 4.0, 5.0), ("t", 6.0, 5.0)],
+            "variant string, y double, x double")
+        [cu] = ab_cuped_test(df, "variant", "y", "x",
+                             "c", "t").collect()
+        [we] = ab_welch_test(df, "variant", "y", "c", "t").collect()
+        assert cu["theta"] == 0.0
+        assert cu["t"] == we["t"]
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_cuped_test, ab_cuped_test_sql
+        df = self._df(spark)
+        con = duckdb.connect()
+        con.register("exp", df.toPandas())
+        a = sorted(map(tuple, ab_cuped_test(
+            df, "variant", "y", "x", "c", "t").collect()))
+        b = sorted(map(tuple, con.execute(ab_cuped_test_sql(
+            "exp", "variant", "y", "x", "c", "t")).fetchall()))
+        assert a == b
