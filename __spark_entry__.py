@@ -2956,6 +2956,20 @@ def q_ab_value_welch(spark, sf):
         "treatment", ["event_type"])
 
 
+@_q("ab_srm_guardrail", abx.ab_srm_check_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events) exp",
+    "variant", {"c": 1.0, "t": 2.0}, ["event_type"]))
+def q_ab_srm_guardrail(spark, sf):
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c")
+        .otherwise("t"))
+    return abx.ab_srm_check(exp, "variant", {"c": 1.0, "t": 2.0},
+                            ["event_type"])
+
+
 _AB_CUPED_VIEW = (
     "(SELECT *, CASE WHEN event_id % 2 = 0 THEN 'control' "
     "ELSE 'treatment' END AS variant, "

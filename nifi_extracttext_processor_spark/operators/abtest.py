@@ -424,3 +424,85 @@ SELECT {gsel}
          AS significant
 FROM adj
 """
+
+
+def ab_srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected: "dict[str, float]",
+    group_by: "list[str] | None" = None,
+    chi2_alpha: float = 3.841,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Sample-ratio mismatch guardrail — the FIRST check any experiment
+    readout runs: if the observed variant split deviates from the
+    declared assignment weights, the randomization (or logging) is
+    broken and every downstream metric is invalid. Pearson χ² against
+    `expected` ({variant: weight}, normalized internally):
+
+        chi2 = Σ_v (o_v − e_v)² / e_v,   e_v = w_v · n
+
+    `srm_suspected` = chi2 ≥ chi2_alpha (default 3.841 = χ²₁ at
+    p=0.05 — the right critical value for TWO variants; pass the
+    χ²_{k−1} value for k>2). Variants absent from `expected` are a
+    contract violation and raise. One map-side-combinable count agg;
+    groups missing a variant entirely count it as 0 observed."""
+    gb = list(group_by or [])
+    if not expected or any(w <= 0 for w in expected.values()):
+        raise ValueError("expected needs positive weights per variant")
+    total_w = float(sum(expected.values()))
+    counts = (df.filter(F.col(variant_col).isin(*expected))
+              .groupBy(*gb)
+              .agg(F.count("*").alias("n"),
+                   *[F.sum((F.col(variant_col) == v).cast("int"))
+                     .alias(f"__o_{i}")
+                     for i, v in enumerate(expected)]))
+    chi2 = F.lit(0.0)
+    for i, (v, w) in enumerate(expected.items()):
+        e = F.col("n") * F.lit(w / total_w)
+        o = F.col(f"__o_{i}")
+        chi2 = chi2 + F.try_divide((o - e) * (o - e), e)
+    cr = F.round(chi2, round_dp)
+    return counts.select(
+        *gb, "n",
+        *[F.col(f"__o_{i}").alias(f"n_{v}")
+          for i, v in enumerate(expected)],
+        cr.alias("chi2"),
+        F.coalesce(cr >= F.lit(float(chi2_alpha)),
+                   F.lit(False)).alias("srm_suspected"))
+
+
+def ab_srm_check_sql(
+    table: str,
+    variant_col: str,
+    expected: "dict[str, float]",
+    group_by: "list[str] | None" = None,
+    chi2_alpha: float = 3.841,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_srm_check."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    total_w = float(sum(expected.values()))
+    names = list(expected)
+    quoted = ", ".join(f"'{v}'" for v in names)
+    osel = ", ".join(
+        f"sum(CAST({variant_col} = '{v}' AS INT)) AS n_{v}"
+        for v in names)
+    chi_terms = " + ".join(
+        f"(n_{v} - n * {w / total_w!r}) * (n_{v} - n * {w / total_w!r})"
+        f" / nullif(n * {w / total_w!r}, 0)"
+        for v, w in expected.items())
+    return f"""
+WITH counts AS (
+  SELECT {gsel}count(*) AS n, {osel}
+  FROM {table} WHERE {variant_col} IN ({quoted})
+  {gkey}
+)
+SELECT {gsel}n, {', '.join(f'n_{v}' for v in names)},
+       round({chi_terms}, {round_dp}) AS chi2,
+       coalesce(round({chi_terms}, {round_dp})
+                >= {float(chi2_alpha)!r}, FALSE) AS srm_suspected
+FROM counts
+"""

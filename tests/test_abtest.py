@@ -147,3 +147,57 @@ class TestCuped:
         b = sorted(map(tuple, con.execute(ab_cuped_test_sql(
             "exp", "variant", "y", "x", "c", "t")).fetchall()))
         assert a == b
+
+
+class TestSrm:
+    def test_balanced_vs_broken(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_srm_check
+        ok = spark.createDataFrame(
+            [("c",)] * 500 + [("t",)] * 510, "variant string")
+        [r] = ab_srm_check(ok, "variant",
+                           {"c": 0.5, "t": 0.5}).collect()
+        assert r["srm_suspected"] is False
+        broken = spark.createDataFrame(
+            [("c",)] * 500 + [("t",)] * 650, "variant string")
+        [r2] = ab_srm_check(broken, "variant",
+                            {"c": 0.5, "t": 0.5}).collect()
+        assert r2["srm_suspected"] is True
+        assert r2["chi2"] > r["chi2"]
+
+    def test_unequal_weights_and_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_srm_check
+        # 90/10 declared, 90/10 observed -> fine
+        df = spark.createDataFrame(
+            [("c",)] * 900 + [("t",)] * 100, "variant string")
+        [r] = ab_srm_check(df, "variant",
+                           {"c": 0.9, "t": 0.1}).collect()
+        assert r["srm_suspected"] is False
+        with pytest.raises(ValueError):
+            ab_srm_check(df, "variant", {})
+
+    def test_twin_parity(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_srm_check, ab_srm_check_sql
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        exp = ev.withColumn(
+            "variant",
+            F.when(F.pmod(F.col("event_id"), 3) == 0, "c")
+            .otherwise("t"))
+        a = sorted(map(tuple, ab_srm_check(
+            exp, "variant", {"c": 1.0, "t": 2.0},
+            ["event_type"]).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW exp AS SELECT *, CASE WHEN event_id % 3 = 0 "
+            "THEN 'c' ELSE 't' END AS variant FROM "
+            f"'{sf_dir}/events.parquet'")
+        b = sorted(map(tuple, con.execute(ab_srm_check_sql(
+            "exp", "variant", {"c": 1.0, "t": 2.0},
+            ["event_type"])).fetchall()))
+        assert a == b
