@@ -3127,6 +3127,38 @@ def q_entity_clusters(spark, sf):
                                 attr_cols=["lang", "source"])
 
 
+# r10: incremental ER — catalog = resolve of the even-id half, batch
+# = odd ids; final state (catalog untouched rows + increment output)
+# must equal the full resolve's labels over everything (the
+# invariant); oracle = the recursive-CTE reachability on the union.
+
+@_q("entity_resolve_incremental",
+    "SELECT doc_id, cluster_id FROM (" + erx.resolve_entities_sql(
+        "(SELECT doc_id, lower(substr(text, 1, 24)) AS fk "
+        "FROM documents) keyed", "doc_id", "fk", max_dist=3) + ")")
+def q_entity_resolve_incremental(spark, sf):
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 24)).alias("fk"))
+    half = keyed.filter(F.col("doc_id") % 2 == 0)
+    batch = keyed.filter(F.col("doc_id") % 2 == 1)
+    catalog = (erx.resolve_entities(half, "doc_id", "fk", max_dist=3)
+               .select("doc_id", "cluster_id")
+               .join(half, "doc_id")
+               .select("doc_id", F.col("fk"), "cluster_id"))
+    from nifi_extracttext_processor_spark.operators.lifecycle import (
+        track_persist,
+    )
+    catalog = track_persist(catalog)
+    upd = erx.resolve_entities_incremental(batch, catalog, "doc_id",
+                                           "fk", max_dist=3)
+    untouched = catalog.join(upd.select("doc_id"), "doc_id",
+                             "left_anti")
+    return (untouched.select("doc_id", "cluster_id")
+            .unionByName(upd.select("doc_id", "cluster_id")))
+
+
 @_q("entity_link_best", erx.link_entities_sql(
     "(SELECT doc_id AS dirty_id, lower(substr(text, 1, 20)) AS key "
     "FROM documents WHERE doc_id % 5 <> 0) d",

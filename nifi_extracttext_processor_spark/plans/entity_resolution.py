@@ -188,3 +188,81 @@ FROM (
   FROM pairs
 ) WHERE rn = 1
 """
+
+
+def resolve_entities_incremental(
+    batch: DataFrame,
+    catalog: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Incremental entity resolution — the catalog pattern the dedup
+    family already uses (dedup/image/audio incremental catalogs),
+    applied to clusters: given yesterday's resolved `catalog`
+    (id_col, key_col, cluster_id) and a new `batch` (id_col,
+    key_col), return updated (id_col, key_col, cluster_id) rows for
+    the batch PLUS every member of a touched cluster — the caller
+    overwrites exactly those clusters and appends the rest (the
+    compact_catalog posture). Untouched clusters are never read past
+    the banded signature join, so the work is bounded by
+    |batch| + |touched members|, not catalog size.
+
+    Correctness invariant (pytest-pinned): applying increments batch
+    by batch yields EXACTLY the clustering a from-scratch
+    resolve_entities over the union produces — cluster ids are min
+    reachable ids, so they are stable unless a new record genuinely
+    bridges clusters (which merges them, as it must).
+
+    Construction: within-batch pairs (self signature join) + batch→
+    catalog pairs (R×S signature lookup) + one (member → cluster_id)
+    edge per touched member (cluster_id IS a member id — the min —
+    so these edges reconnect each touched cluster without replaying
+    its internal pairs); components over batch ∪ touched ids only."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import components_from_pairs
+    from ..operators.fuzzy_join import (
+        edit_similarity_join,
+        edit_similarity_lookup,
+    )
+    from ..operators.lifecycle import track_persist
+
+    bb = edit_similarity_join(batch, id_col=id_col, key_col=key_col,
+                              max_dist=max_dist, q=q) \
+        .select(F.col("id1"), F.col("id2"))
+    cat = catalog.select(F.col(id_col).alias("__cid"),
+                         F.col(key_col).alias("__ckey"),
+                         "cluster_id")
+    bc = edit_similarity_lookup(
+        batch, cat.withColumnRenamed("__cid", "cat_id"),
+        left_id=id_col, left_key=key_col,
+        right_id="cat_id", right_key="__ckey",
+        max_dist=max_dist, q=q)
+    bc = track_persist(bc.select(F.col(id_col).alias("id1"),
+                                 F.col("cat_id").alias("id2")))
+    touched = (bc.select(F.col("id2").alias("__cid"))
+               .join(cat, "__cid")
+               .select("cluster_id").distinct())
+    members = track_persist(
+        cat.join(F.broadcast(touched), "cluster_id")
+        .select(F.col("__cid"), F.col("__ckey"), "cluster_id"))
+    # reconnect each touched cluster through its min-id rep
+    member_edges = (members
+                    .filter(F.col("__cid") != F.col("cluster_id"))
+                    .select(F.col("__cid").alias("id1"),
+                            F.col("cluster_id").alias("id2")))
+    edges = bb.unionByName(bc).unionByName(member_edges)
+    nodes = (batch.select(F.col(id_col))
+             .unionByName(members.select(F.col("__cid")
+                                         .alias(id_col)))
+             .distinct())
+    labels = components_from_pairs(nodes, edges, id_col=id_col)
+    keys = (batch.select(F.col(id_col), F.col(key_col))
+            .unionByName(members.select(
+                F.col("__cid").alias(id_col),
+                F.col("__ckey").alias(key_col)))
+            .distinct())
+    return keys.join(labels, id_col).select(id_col, key_col,
+                                            "cluster_id")

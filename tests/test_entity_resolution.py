@@ -113,3 +113,67 @@ class TestTwin:
             "t", "doc_id", "key", max_dist=2,
             attr_cols=["city", "phone"])).fetchall()))
         assert a == b
+
+
+class TestIncremental:
+    @staticmethod
+    def _resolve_full(spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, key string")
+        from nifi_extracttext_processor_spark.plans \
+            .entity_resolution import resolve_entities
+        return {(r["doc_id"], r["cluster_id"]) for r in
+                resolve_entities(df, "doc_id", "key",
+                                 max_dist=2).collect()}
+
+    def _apply_increment(self, spark, catalog_rows, batch_rows):
+        from nifi_extracttext_processor_spark.plans \
+            .entity_resolution import resolve_entities_incremental
+        cat = spark.createDataFrame(
+            catalog_rows, "doc_id long, key string, cluster_id long")
+        batch = spark.createDataFrame(batch_rows,
+                                      "doc_id long, key string")
+        updated = {r["doc_id"]: (r["key"], r["cluster_id"]) for r in
+                   resolve_entities_incremental(
+                       batch, cat, "doc_id", "key",
+                       max_dist=2).collect()}
+        out = {i: (k, c) for i, k, c in catalog_rows}
+        out.update(updated)
+        return out
+
+    def test_increment_equals_full_resolve(self, spark):
+        day1 = [(1, "acme corp"), (2, "acme corp."), (4, "globex"),
+                (6, "initech systems intl")]
+        cat = [(i, k, c) for (i, k), c in
+               zip(day1, [1, 1, 4, 6])]       # day-1 resolution
+        day2 = [(3, "acme c0rp."),            # joins cluster 1
+                (5, "globeX"),                # joins cluster 4
+                (7, "wayne enterprises")]     # new singleton
+        state = self._apply_increment(spark, cat, day2)
+        full = self._resolve_full(spark, day1 + day2)
+        assert {(i, c) for i, (_, c) in state.items()} == full
+
+    def test_bridge_record_merges_clusters(self, spark):
+        # a NEW record bridging two previously-separate clusters must
+        # merge them (the invariant the full-resolve comparison pins)
+        day1 = [(10, "alpha one"), (20, "alpha four")]
+        # dist("alpha one", "alpha four") > 2: two singletons on day 1
+        cat = [(10, "alpha one", 10), (20, "alpha four", 20)]
+        day2 = [(15, "alpha oue")]  # near BOTH day-1 keys
+        state = self._apply_increment(spark, cat, day2)
+        full = self._resolve_full(
+            spark, [(10, "alpha one"), (20, "alpha four"),
+                    (15, "alpha oue")])
+        assert {(i, c) for i, (_, c) in state.items()} == full
+
+    def test_untouched_clusters_not_in_output(self, spark):
+        from nifi_extracttext_processor_spark.plans \
+            .entity_resolution import resolve_entities_incremental
+        cat = spark.createDataFrame(
+            [(1, "acme corp", 1), (6, "zzz far away zzz", 6)],
+            "doc_id long, key string, cluster_id long")
+        batch = spark.createDataFrame([(2, "acme corp.")],
+                                      "doc_id long, key string")
+        got = {r["doc_id"] for r in resolve_entities_incremental(
+            batch, cat).collect()}
+        assert 2 in got and 1 in got     # touched cluster rewritten
+        assert 6 not in got              # untouched cluster untouched
