@@ -2956,6 +2956,14 @@ def q_ab_value_welch(spark, sf):
         "treatment", ["event_type"])
 
 
+# r10: Markov transition matrix (operators/sessions.py — all-paths
+# complement to the funnel's one chosen path). Below-window ----
+
+@_q("events_transition_matrix", sess.transition_matrix_sql("events"))
+def q_events_transition_matrix(spark, sf):
+    return sess.transition_matrix(_t(spark, sf, "events"))
+
+
 @_q("ab_srm_guardrail", abx.ab_srm_check_sql(
     "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
     "AS variant FROM events) exp",

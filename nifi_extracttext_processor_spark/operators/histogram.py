@@ -38,20 +38,36 @@ def histogram_build(
     hi: float,
     n_bins: int = 128,
     group_by: "list[str] | None" = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(group..., bin, cnt) integer state; NULL values excluded,
     outliers clamp into the edge bins (observable as mass at bin 0 /
-    n_bins-1 — widen the frame if the edges dominate)."""
+    n_bins-1 — widen the frame if the edges dominate). With
+    `weight_col` (an INTEGER column — token counts, byte sizes) each
+    row contributes its weight instead of 1, turning the quantile
+    read into a weighted quantile (e.g. "the document length such
+    that half of all TOKENS live in shorter docs"); integer weights
+    keep the state exact and mergeable — fractional weights would
+    reintroduce float-sum ordering, so they are rejected."""
     _check(lo, hi, n_bins)
     gb = list(group_by or [])
     width = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
     b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor(
         (v - F.lit(float(lo))) / F.lit(width)))).cast("int")
-    return (df.filter(v.isNotNull())
-            .select(*gb, b.alias("bin"))
+    base = df.filter(v.isNotNull())
+    if weight_col is None:
+        return (base.select(*gb, b.alias("bin"))
+                .groupBy(*gb, "bin")
+                .agg(F.count("*").alias("cnt")))
+    if dict(df.dtypes)[weight_col] not in ("int", "bigint",
+                                           "smallint", "tinyint"):
+        raise ValueError("weight_col must be an integer column")
+    return (base.filter(F.col(weight_col).isNotNull()
+                        & (F.col(weight_col) > 0))
+            .select(*gb, b.alias("bin"), F.col(weight_col))
             .groupBy(*gb, "bin")
-            .agg(F.count("*").alias("cnt")))
+            .agg(F.sum(weight_col).alias("cnt")))
 
 
 def histogram_merge(*states: DataFrame) -> DataFrame:

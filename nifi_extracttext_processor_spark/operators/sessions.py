@@ -367,3 +367,79 @@ SELECT counts.__cohort AS cohort, period_offset, n_active,
 FROM counts JOIN base USING (__cohort)
 ORDER BY cohort, period_offset
 """
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    min_count: int = 1,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Markov transition matrix over per-user event sequences:
+    (from_state, to_state, n, p) where p = P(next = to | current =
+    from), normalized over each from-state's observed transitions —
+    the behavioral fingerprint behind funnels (funnel = one chosen
+    path; this is ALL paths at once): navigation modeling, bot
+    detection (bots have near-deterministic rows), next-event
+    prediction baselines.
+
+    Adjacency = each user's events in (ts, tiebreak) order; the pair
+    generation is ONE keyed lag window (shuffle carries (user, ts,
+    state) triples), the matrix two map-side-combinable aggs over
+    state pairs (≤ |states|² rows). Deterministic: the tiebreak
+    column totalizes the order, p rounds at the end."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col))
+    pairs = (df.filter(F.col(ts_col).isNotNull()
+                       & F.col(state_col).isNotNull())
+             .withColumn("__next", F.lead(state_col).over(w))
+             .filter(F.col("__next").isNotNull())
+             .select(F.col(state_col).alias("from_state"),
+                     F.col("__next").alias("to_state")))
+    counts = (pairs.groupBy("from_state", "to_state")
+              .agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= int(min_count)))
+    wf = Window.partitionBy("from_state")
+    return (counts
+            .withColumn("p", F.round(
+                F.col("n") / F.sum("n").over(wf), round_dp))
+            .orderBy("from_state", "to_state"))
+
+
+def transition_matrix_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    min_count: int = 1,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of transition_matrix (same order, same lag, same
+    normalization over the min_count-SURVIVING rows)."""
+    return f"""
+WITH pairs AS (
+  SELECT {state_col} AS from_state,
+         lead({state_col}) OVER (
+             PARTITION BY {user_col}
+             ORDER BY {ts_col}, {tiebreak_col}) AS to_state
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {state_col} IS NOT NULL
+),
+counts AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM pairs WHERE to_state IS NOT NULL
+  GROUP BY from_state, to_state
+  HAVING count(*) >= {int(min_count)}
+)
+SELECT from_state, to_state, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_state),
+             {round_dp}) AS p
+FROM counts
+ORDER BY from_state, to_state
+"""

@@ -110,3 +110,21 @@ class TestStreaming:
         fb(h2, 1)
         assert sorted(map(tuple,
                           read_state(spark).collect())) == snap
+
+
+class TestWeighted:
+    def test_token_weighted_median(self, spark):
+        # doc lengths 10 and 100; short doc has 10 tokens, long 990:
+        # the unweighted median doc length is ~55 but half of all
+        # TOKENS live in docs of length 100
+        df = spark.createDataFrame(
+            [(10.0, 10), (100.0, 990)], "v double, w int")
+        st = histogram_build(df, "v", 0.0, 128.0, 128,
+                             weight_col="w")
+        [r] = histogram_quantiles(st, [0.5], 0.0, 128.0,
+                                  128).collect()
+        assert r["value"] == 100.5
+        with pytest.raises(ValueError, match="integer"):
+            histogram_build(df.withColumn(
+                "w", F.col("w").cast("double")), "v", 0.0, 1.0, 10,
+                weight_col="w")
