@@ -3258,7 +3258,14 @@ def q_weighted_sample_by_lang(spark, sf):
 # test_oracle_parity keeps running their DuckDB checks.
 # ===========================================================================
 
-def _rotate_slot(out_name: str, in_name: str) -> None:
+# Machine-readable rotation history: (round, out_name, in_name) per
+# executed _rotate_slot call, in execution order. tests/test_window_ledger.py
+# replays this against the raw registration order and the CORRECTNESS_r*.json
+# driver artifacts to assert the window composition and backlog counts.
+ROTATIONS: list[tuple[int, str, str]] = []
+
+
+def _rotate_slot(out_name: str, in_name: str, rnd: int) -> None:
     names = list(_QUERIES)
     i, j = names.index(out_name), names.index(in_name)
     assert i < j, (out_name, in_name)
@@ -3269,11 +3276,12 @@ def _rotate_slot(out_name: str, in_name: str) -> None:
     ro = {n: _ORACLES[n] for n in names if n in _ORACLES}
     _ORACLES.clear()
     _ORACLES.update(ro)
+    ROTATIONS.append((rnd, out_name, in_name))
 
 
-_rotate_slot("dedup_incremental", "nbayes_predict")
-_rotate_slot("knn_join", "audio_match_pairs")
-_rotate_slot("events_asof", "events_gap_fill")
+_rotate_slot("dedup_incremental", "nbayes_predict", rnd=9)
+_rotate_slot("knn_join", "audio_match_pairs", rnd=9)
+_rotate_slot("events_asof", "events_gap_fill", rnd=9)
 
 # ===========================================================================
 # Driver-window rotation r10 — start retiring the r9 below-window
@@ -3297,9 +3305,37 @@ _rotate_slot("events_asof", "events_gap_fill")
 # keeps running their DuckDB checks.
 # ===========================================================================
 
-_rotate_slot("char_lm_score", "kn_perplexity")
-_rotate_slot("events_gap_fill", "events_scd2")
-_rotate_slot("dedup_keep_best", "k_anonymity_audit")
+_rotate_slot("char_lm_score", "kn_perplexity", rnd=10)
+_rotate_slot("events_gap_fill", "events_scd2", rnd=10)
+_rotate_slot("dedup_keep_best", "k_anonymity_audit", rnd=10)
+
+# ===========================================================================
+# Driver-window rotation r11 — continue draining the never-driver-verified
+# backlog with the three strongest semantic oracles (VERDICT r10 task 1;
+# mapping also recorded in SURVEY.md's round-11 table):
+#   nbayes_predict OUT -> orders_diff IN   (classifier family stays
+#     driver-exercised via quality_score + gopher_flags; NB keeps full
+#     TRAIN+SCORE DuckDB parity in pytest after two green rounds r9/r10;
+#     orders_diff is the CDC/table-compare family's snapshot-diff oracle,
+#     fixed in r10 — proving it where the driver can see it)
+#   audio_match_pairs OUT -> bloom_pruned_join IN   (modality-dedup
+#     family stays via image_phash_pairs + dedup_near_pairs after two
+#     green rounds r9/r10; the bloom join's oracle IS the plain join —
+#     a no-false-negative row-for-row equality, the strongest join-
+#     pruning semantic check in the backlog)
+#   topic_clusters OUT -> entity_resolve_incremental IN   (clustering
+#     stays via semantic_dedup's kmeans assignment row; topic_clusters
+#     was the window's only rows-only row with no oracle at all, so the
+#     swap strictly strengthens the window — incremental ER's oracle is
+#     the recursive-CTE from-scratch resolve, incremental ≡ full-state)
+# Evicted queries stay registered below the window; test_oracle_parity
+# keeps running their checks. Window composition is machine-asserted in
+# tests/test_window_ledger.py from this round on.
+# ===========================================================================
+
+_rotate_slot("nbayes_predict", "orders_diff", rnd=11)
+_rotate_slot("audio_match_pairs", "bloom_pruned_join", rnd=11)
+_rotate_slot("topic_clusters", "entity_resolve_incremental", rnd=11)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
