@@ -480,18 +480,31 @@ def ab_srm_check_sql(
     chi2_alpha: float = 3.841,
     round_dp: int = 4,
 ) -> str:
-    """DuckDB twin of ab_srm_check."""
+    """DuckDB twin of ab_srm_check. Variant names are interpolated as
+    both string literals and output-column names (`n_<variant>`, to
+    match the Spark side's aliases), so both forms are escaped: single
+    quotes doubled inside literals, the alias rendered as a
+    double-quoted identifier with embedded double quotes doubled — an
+    adversarial variant name yields valid SQL, never injection."""
     gb = list(group_by or [])
     gsel = (", ".join(gb) + ", ") if gb else ""
     gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
     total_w = float(sum(expected.values()))
     names = list(expected)
-    quoted = ", ".join(f"'{v}'" for v in names)
+
+    def lit(v: str) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def ident(v: str) -> str:
+        return '"' + f"n_{v}".replace('"', '""') + '"'
+
+    quoted = ", ".join(lit(v) for v in names)
     osel = ", ".join(
-        f"sum(CAST({variant_col} = '{v}' AS INT)) AS n_{v}"
+        f"sum(CAST({variant_col} = {lit(v)} AS INT)) AS {ident(v)}"
         for v in names)
     chi_terms = " + ".join(
-        f"(n_{v} - n * {w / total_w!r}) * (n_{v} - n * {w / total_w!r})"
+        f"({ident(v)} - n * {w / total_w!r})"
+        f" * ({ident(v)} - n * {w / total_w!r})"
         f" / nullif(n * {w / total_w!r}, 0)"
         for v, w in expected.items())
     return f"""
@@ -500,7 +513,7 @@ WITH counts AS (
   FROM {table} WHERE {variant_col} IN ({quoted})
   {gkey}
 )
-SELECT {gsel}n, {', '.join(f'n_{v}' for v in names)},
+SELECT {gsel}n, {', '.join(ident(v) for v in names)},
        round({chi_terms}, {round_dp}) AS chi2,
        coalesce(round({chi_terms}, {round_dp})
                 >= {float(chi2_alpha)!r}, FALSE) AS srm_suspected

@@ -1031,6 +1031,7 @@ def assign_shards_balanced(
     count_col: str | None = None,
     text_col: str = "text",
     token_mode: str = "ws",
+    check_ids: bool = False,
 ) -> DataFrame:
     """TOKEN-balanced shard assignment: docs ranked by (token count
     desc, id asc), shard = (rank − 1) mod N — the sorted round-robin
@@ -1053,7 +1054,17 @@ def assign_shards_balanced(
 
     Token source: `count_col` (an existing column, e.g.
     bpe_tokenize's n_bpe_real), else `token_mode` over `text_col`
-    ("ws"|"bpe", the pack_sequences convention)."""
+    ("ws"|"bpe", the pack_sequences convention).
+
+    ID CONTRACT: `id_col` must be NON-NULL and UNIQUE. The shard table
+    rejoins the payload by id, so a NULL id would drop its row and a
+    duplicate id would fan rows out; NULL ids additionally sort
+    differently across engines (Spark NULLS FIRST asc vs DuckDB NULLS
+    LAST), so even a tolerant join could not rank them portably. Pass
+    `check_ids=True` to enforce the contract eagerly (one extra agg
+    job over the slim (id, count) projection — off by default on the
+    100 TB path where ids come from upstream fingerprinting that
+    already guarantees it)."""
     from .ranking import distributed_row_number
 
     if num_shards <= 0:
@@ -1061,6 +1072,17 @@ def assign_shards_balanced(
     n_tok = (F.col(count_col).cast("long") if count_col
              else _token_count(text_col, token_mode))
     slim = df.select(F.col(id_col), n_tok.alias("__nt"))
+    if check_ids:
+        bad = (slim.agg(
+            F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0))
+            .alias("nulls"),
+            (F.count("*") - F.count_distinct(F.col(id_col)))
+            .alias("dups")).first())
+        if bad["nulls"] or bad["dups"]:
+            raise ValueError(
+                f"assign_shards_balanced id contract violated: "
+                f"{bad['nulls']} NULL and {bad['dups']} duplicate "
+                f"{id_col} values")
     ranked = distributed_row_number(
         slim, [F.desc("__nt"), F.asc(id_col)], "__rk")
     shard = ranked.select(

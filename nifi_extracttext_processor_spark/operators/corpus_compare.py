@@ -62,15 +62,19 @@ def log_odds_terms(
         raise ValueError("top_k must be >= 1")
     ca = _word_counts(a, text_col).withColumnRenamed("y", "y_a")
     cb = _word_counts(b, text_col).withColumnRenamed("y", "y_b")
-    j = (ca.join(cb, "word", "full_outer")
-         .select("word",
-                 F.coalesce("y_a", F.lit(0)).alias("y_a"),
-                 F.coalesce("y_b", F.lit(0)).alias("y_b"))
-         .filter(F.col("y_a") + F.col("y_b") >= min_count))
+    j0 = (ca.join(cb, "word", "full_outer")
+          .select("word",
+                  F.coalesce("y_a", F.lit(0)).alias("y_a"),
+                  F.coalesce("y_b", F.lit(0)).alias("y_b")))
     from .lifecycle import track_persist
-    j = track_persist(j)
-    tot = j.agg(F.sum("y_a").alias("n_a"),
-                F.sum("y_b").alias("n_b"))
+    j0 = track_persist(j0)
+    # n_a/n_b are the paper's n = TOTAL corpus tokens, so they aggregate
+    # the UNFILTERED counts; min_count only prunes which words get
+    # scored/cut (previously totals summed surviving words only, which
+    # biased delta/z when the filter pruned much mass).
+    tot = j0.agg(F.sum("y_a").alias("n_a"),
+                 F.sum("y_b").alias("n_b"))
+    j = j0.filter(F.col("y_a") + F.col("y_b") >= min_count)
     d = j.crossJoin(F.broadcast(tot))
     alpha_w = (F.lit(float(prior_scale))
                * (F.col("y_a") + F.col("y_b"))
@@ -116,14 +120,16 @@ def log_odds_terms_sql(
   ) GROUP BY word"""
     return f"""
 WITH ca AS ({wc(a_table)}), cb AS ({wc(b_table)}),
-j AS (
+j0 AS (
   SELECT coalesce(ca.word, cb.word) AS word,
          coalesce(ca.y, 0) AS y_a, coalesce(cb.y, 0) AS y_b
   FROM ca FULL OUTER JOIN cb ON ca.word = cb.word
-  WHERE coalesce(ca.y, 0) + coalesce(cb.y, 0) >= {int(min_count)}
 ),
+-- totals from the UNFILTERED counts (the paper's n = total tokens);
+-- min_count prunes only which words get scored/cut
 tot AS (SELECT sum(y_a)::DOUBLE AS n_a, sum(y_b)::DOUBLE AS n_b
-        FROM j),
+        FROM j0),
+j AS (SELECT * FROM j0 WHERE y_a + y_b >= {int(min_count)}),
 scored AS (
   SELECT word, y_a, y_b,
          ln((y_a + aw) / (n_a + {float(prior_scale)!r} - y_a - aw))
@@ -154,8 +160,11 @@ def oov_rate(
     """(group..., n_tokens, n_oov, oov_rate) — the fraction of token
     OCCURRENCES outside `vocab` (1-column `word` table; broadcast).
     The tokenizer/vocab health check: a rising OOV rate on a new
-    source means the vocab (or the lang-id routing) is stale. Empty
-    groups yield NULL rate via try_divide."""
+    source means the vocab (or the lang-id routing) is stale. Groups
+    whose documents produce ZERO tokens still appear (left-join back
+    from the distinct group keys) with n_tokens=0, n_oov=0 and a NULL
+    rate via try_divide — the explode alone would silently drop
+    them."""
     gb = list(group_by or [])
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), _TOKEN_SPLIT_RE),
@@ -164,15 +173,24 @@ def oov_rate(
     v = F.broadcast(vocab.select(F.col(vocab.columns[0])
                                  .alias("word")).distinct()
                     .withColumn("__in_v", F.lit(1)))
-    return (exploded.join(v, "word", "left")
-            .groupBy(*gb)
-            .agg(F.count("*").alias("n_tokens"),
-                 F.sum(F.when(F.col("__in_v").isNull(), 1)
-                       .otherwise(0)).alias("n_oov"))
-            .select(*gb, "n_tokens", "n_oov",
-                    F.round(F.try_divide(F.col("n_oov"),
-                                         F.col("n_tokens")),
-                            round_dp).alias("oov_rate")))
+    agg = (exploded.join(v, "word", "left")
+           .groupBy(*gb)
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.when(F.col("__in_v").isNull(), 1)
+                      .otherwise(0)).alias("n_oov")))
+    if gb:
+        # re-attach zero-token groups the explode dropped (group-key
+        # table is groups-bounded, not data-bounded)
+        agg = (df.select(*gb).distinct()
+               .join(agg, gb, "left")
+               .select(*gb,
+                       F.coalesce("n_tokens", F.lit(0))
+                       .alias("n_tokens"),
+                       F.coalesce("n_oov", F.lit(0)).alias("n_oov")))
+    return agg.select(*gb, "n_tokens", "n_oov",
+                      F.round(F.try_divide(F.col("n_oov"),
+                                           F.col("n_tokens")),
+                              round_dp).alias("oov_rate"))
 
 
 def oov_rate_sql(
@@ -183,15 +201,13 @@ def oov_rate_sql(
     round_dp: int = 4,
 ) -> str:
     """DuckDB twin of oov_rate (`vocab_query` yields 1 column
-    `word`)."""
+    `word`; same zero-token-group left-join-back contract)."""
     gb = list(group_by or [])
     gsel = (", ".join(gb) + ", ") if gb else ""
     gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
-    return f"""
+    agg = f"""
 SELECT {gsel}count(*) AS n_tokens,
-       sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov,
-       round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::DOUBLE
-             / nullif(count(*), 0), {round_dp}) AS oov_rate
+       sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
 FROM (
   SELECT {gsel}unnest(list_filter(
       string_split_regex(lower(trim({text_expr})),
@@ -201,7 +217,24 @@ FROM (
 ) t
 LEFT JOIN (SELECT DISTINCT word FROM ({vocab_query})) v
   USING (word)
-{gkey}
+{gkey}"""
+    if not gb:
+        return f"""
+SELECT n_tokens, n_oov,
+       round(n_oov::DOUBLE / nullif(n_tokens, 0), {round_dp})
+         AS oov_rate
+FROM ({agg})
+"""
+    gcols = ", ".join(gb)
+    return f"""
+SELECT {gcols},
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_oov, 0) AS n_oov,
+       round(coalesce(a.n_oov, 0)::DOUBLE
+             / nullif(coalesce(a.n_tokens, 0), 0), {round_dp})
+         AS oov_rate
+FROM (SELECT DISTINCT {gcols} FROM {table}) g
+LEFT JOIN ({agg}) a USING ({gcols})
 """
 
 

@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.attributes import attrs_to_json, infer_json_schema, set_attrs
-from ..operators.extract import extract_text, media_metadata, route_by_error
+from ..operators.extract import (
+    extract_text,
+    flag_needs_ocr,
+    media_metadata,
+    route_by_error,
+    route_needs_ocr,
+)
 from ..operators.nlp import entities, sentiment
 from ..operators.routing import SENTIMENT_ROUTES, query_routes
 from ..operators.split import extract_regex, filter_matched, split_lines
@@ -34,6 +40,7 @@ class FlowResult:
     failures: DataFrame                     # extraction failure port
     inferred_schema: str | None = None      # B10 DDL string
     records: DataFrame | None = None        # pre-routing record stream
+    needs_ocr: DataFrame | None = None      # image-only PDFs awaiting OCR
 
 
 def document_flow(
@@ -42,12 +49,29 @@ def document_flow(
     glob: str | None = None,
     max_text_length: int = -1,
     infer_schema_sample: int = 25,
+    detect_needs_ocr: bool = True,
 ) -> FlowResult:
     """Build the full pipeline lazily; nothing executes until a sink
-    action. Returns per-route DataFrames plus the failure port."""
+    action. Returns per-route DataFrames plus the failure port.
+
+    `detect_needs_ocr` (default on) inserts the scanned-document
+    detector after extraction: image-only PDFs — rows that extracted
+    successfully but blank from a PDF carrying raster images, the
+    signature the reference's Tika stack hands to Tesseract — exit on
+    the distinct `needs_ocr` port instead of flowing downstream as
+    silent empty-text successes. Only blank-text success rows pay the
+    structural re-scan; the raw bytes are carried exactly one extra
+    stage and dropped before the split/NLP legs."""
     files = read_documents(spark, input_path, glob=glob)          # B1+B2
     meta = media_metadata(files)                                  # B3
-    extracted = extract_text(meta, max_text_length=max_text_length)  # A2-A8
+    extracted = extract_text(meta, max_text_length=max_text_length,
+                             keep_content=detect_needs_ocr)       # A2-A8
+    ocr_pending = None
+    if detect_needs_ocr:
+        flagged = flag_needs_ocr(extracted)
+        ready, ocr_pending = route_needs_ocr(flagged)
+        extracted = ready.drop("content", "needs_ocr")
+        ocr_pending = ocr_pending.drop("content", "needs_ocr")
     ok, failures = route_by_error(extracted)                      # A9
 
     lines = split_lines(ok.select("path", "filename", "text",
@@ -76,7 +100,8 @@ def document_flow(
 
     routes = query_routes(records, SENTIMENT_ROUTES)              # B12
     return FlowResult(routes=routes, failures=failures,
-                      inferred_schema=inferred, records=records)
+                      inferred_schema=inferred, records=records,
+                      needs_ocr=ocr_pending)
 
 
 def run_flow_to_files(
@@ -99,4 +124,10 @@ def run_flow_to_files(
     if counts["failure"]:
         write_files(result.failures.select("path", "filename", "error"),
                     f"{output_dir}/failure", fmt=fmt, mode="overwrite")
+    if result.needs_ocr is not None:
+        counts["needs_ocr"] = result.needs_ocr.count()
+        if counts["needs_ocr"]:
+            write_files(
+                result.needs_ocr.select("path", "filename", "mime_type"),
+                f"{output_dir}/needs_ocr", fmt=fmt, mode="overwrite")
     return counts

@@ -201,3 +201,27 @@ class TestSrm:
             "exp", "variant", {"c": 1.0, "t": 2.0},
             ["event_type"])).fetchall()))
         assert a == b
+
+
+class TestSrmAdversarialNames:
+    def test_sql_twin_survives_quotes_and_hyphens(self, spark):
+        """ADVICE r10: variant names reach the twin SQL as string
+        literals AND as n_<variant> output-column identifiers; names
+        with quotes/spaces/hyphens must produce valid SQL matching the
+        Spark side (which aliases any name natively)."""
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_srm_check, ab_srm_check_sql
+        names = ["o'brien-arm", 'quo"te arm']
+        df = spark.createDataFrame(
+            [(names[0],)] * 480 + [(names[1],)] * 520,
+            "variant string")
+        expected = {names[0]: 0.5, names[1]: 0.5}
+        got = ab_srm_check(df, "variant", expected)
+        con = duckdb.connect()
+        con.register("exp", df.toPandas())
+        odf = con.execute(
+            ab_srm_check_sql("exp", "variant", expected)).df()
+        assert sorted(got.columns) == sorted(odf.columns)
+        assert (sorted(map(tuple, got.collect()))
+                == sorted(map(tuple, odf.itertuples(index=False))))

@@ -135,3 +135,45 @@ class TestVocabCoverage:
                                    "doc_id long, text string")
         with pytest.raises(ValueError):
             vocab_coverage(df, [1.5])
+
+
+class TestOovEmptyGroups:
+    def test_zero_token_group_appears_with_null_rate(self, spark):
+        """ADVICE r10: a group whose docs produce zero tokens used to
+        vanish from the output (the explode emits no rows for it); the
+        left-join-back keeps it with n_tokens=0 and a NULL rate."""
+        import duckdb
+        df = spark.createDataFrame(
+            [("en", "the cat"), ("xx", "   "), ("yy", "")],
+            "lang string, text string")
+        vocab = spark.createDataFrame([("the",)], "word string")
+        got = {r["lang"]: r for r in
+               oov_rate(df, vocab, group_by=["lang"]).collect()}
+        assert set(got) == {"en", "xx", "yy"}
+        for g in ("xx", "yy"):
+            assert got[g]["n_tokens"] == 0
+            assert got[g]["n_oov"] == 0
+            assert got[g]["oov_rate"] is None
+        # twin replays the same contract
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        odf = con.execute(oov_rate_sql(
+            "t", "SELECT 'the' AS word", group_by=["lang"])).df()
+        assert len(odf) == 3
+        import math
+        orow = odf.set_index("lang").loc["xx"]
+        assert orow["n_tokens"] == 0 and math.isnan(orow["oov_rate"])
+
+
+class TestLogOddsTotalsUnfiltered:
+    def test_min_count_does_not_move_totals(self, spark, corpora):
+        """ADVICE r10: n_a/n_b are TOTAL corpus tokens (the paper's n),
+        so pruning hapax via min_count must not change the z of a
+        surviving word."""
+        a, b = corpora
+        z1 = {r["word"]: r["z"] for r in
+              log_odds_terms(a, b, min_count=1, top_k=500).collect()}
+        z5 = {r["word"]: r["z"] for r in
+              log_odds_terms(a, b, min_count=5, top_k=500).collect()}
+        for w, z in z5.items():
+            assert z == z1[w], w

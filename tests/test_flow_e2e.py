@@ -178,3 +178,46 @@ def test_mixed_format_corpus_extraction(spark, tmp_path):
     assert mimes["c.msg"] == "application/vnd.ms-outlook"
     assert mimes["d.zip"] == "application/zip"
     assert mimes["f.png"] == "image/png"
+
+
+def test_flow_needs_ocr_route(spark, tmp_path):
+    """VERDICT r10 task 5: an image-only PDF in a MIXED batch exits on
+    the composed plan's needs_ocr port — not as a silent empty-text
+    success on a sentiment route, and not as an extraction failure."""
+    from tests.fixtures.builders import build_scanned_pdf
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "real.pdf").write_bytes(build_pdf(["spark is fast and great"]))
+    (d / "scan.pdf").write_bytes(build_scanned_pdf())
+    (d / "broken.pdf").write_bytes(b"%PDF-1.4 nothing here")
+    result = document_flow(spark, str(d))
+
+    assert result.needs_ocr is not None
+    ocr_rows = result.needs_ocr.collect()
+    assert [r["filename"] for r in ocr_rows] == ["scan.pdf"]
+    # content bytes were dropped before the port surfaced
+    assert "content" not in result.needs_ocr.columns
+    # the scanned doc reached NO downstream route, and the other two
+    # files still land where they always did
+    routed = [r["filename"] for route in result.routes.values()
+              for r in route.select("filename").collect()]
+    assert "scan.pdf" not in routed
+    assert result.failures.count() == 1  # broken.pdf only
+    assert "real.pdf" in routed
+
+    # sinks: the needs_ocr listing lands on disk too
+    out = str(tmp_path / "out")
+    counts = run_flow_to_files(spark, str(d), out)
+    assert counts["needs_ocr"] == 1
+    got = spark.read.parquet(f"{out}/needs_ocr").collect()
+    assert got[0]["filename"] == "scan.pdf"
+
+
+def test_flow_detect_needs_ocr_off(spark, corpus_dir):
+    """Opting out restores the pre-r11 shape: no port, no content
+    column carried past extraction."""
+    result = document_flow(spark, corpus_dir, detect_needs_ocr=False)
+    assert result.needs_ocr is None
+    assert sum(v.count() for v in result.routes.values()) \
+        == result.records.count()

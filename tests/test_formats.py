@@ -2249,3 +2249,66 @@ class TestEncryptedOoxml:
         ok_rows = {r["filename"]: r["text"] for r in ok.collect()}
         assert "Hidden paragraph one" in ok_rows["open.docx"]
         assert [r["filename"] for r in fail.collect()] == ["locked.docx"]
+
+
+class TestTruncationContractAllFormats:
+    """VERDICT r10 task 6: the Java truncation contract — text-mode
+    output is EXACTLY text[:cap] for cap >= 0 (Test.java:275-297's
+    MAX_TEXT_LENGTH=100 bound generalized to every format and to the
+    boundary caps 0 / 1 / len-1 / len / len+1), -1 unlimited, and the
+    HTML branch never applies the cap (A4, :158-172)."""
+
+    @staticmethod
+    def _fixtures():
+        from tests.fixtures.builders import (
+            build_doc, build_docx, build_eml, build_epub, build_msg,
+            build_odp, build_ods, build_odt, build_pdf, build_ppt,
+            build_pptx, build_rtf, build_xls, build_xlsx,
+        )
+        body = ["The quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs"]
+        return {
+            "t.pdf": build_pdf(body),
+            "t.pdf.z": build_pdf(body, compress=True),
+            "t.doc": build_doc(" ".join(body)),
+            "t.docx": build_docx(body),
+            "t.xlsx": build_xlsx([body]),
+            "t.xls": build_xls(body),
+            "t.pptx": build_pptx([body]),
+            "t.ppt": build_ppt(body),
+            "t.rtf": build_rtf(body),
+            "t.odt": build_odt(body),
+            "t.ods": build_ods([body]),
+            "t.odp": build_odp([body]),
+            "t.eml": build_eml("subj", "a@x", "b@y", "\n".join(body)),
+            "t.msg": build_msg("subj", "a@x", "b@y", "\n".join(body)),
+            "t.epub": build_epub(body),
+            "t.html": b"<html><body><p>" + " ".join(body).encode()
+                      + b"</p></body></html>",
+            "t.txt": " ".join(body).encode(),
+        }
+
+    @pytest.mark.parametrize("name", sorted(_fixtures.__func__()))
+    def test_boundary_caps(self, name):
+        data = self._fixtures()[name]
+        fname = name.removesuffix(".z")
+        full, mime, err = extract_any(data, fname)
+        assert err is None, (name, err)
+        assert len(full) > 4, (name, full)
+        n = len(full)
+        for cap in (0, 1, n // 2, n - 1, n, n + 1, n + 1000):
+            text, _, err = extract_any(data, fname, max_text_length=cap)
+            assert err is None, (name, cap, err)
+            assert text == full[:cap], (name, cap)
+        # -1 = unlimited (the default)
+        again, _, _ = extract_any(data, fname, max_text_length=-1)
+        assert again == full
+
+    @pytest.mark.parametrize("name", sorted(_fixtures.__func__()))
+    def test_html_mode_ignores_cap(self, name):
+        data = self._fixtures()[name]
+        fname = name.removesuffix(".z")
+        html, _, err = extract_any(data, fname, max_text_length=1,
+                                   output_mode="html")
+        assert err is None, (name, err)
+        assert len(html) > 1, name  # cap never applied on the A4 branch

@@ -5875,3 +5875,27 @@ class TestBalancedShards:
         import pytest as pt
         with pt.raises(ValueError):
             assign_shards_balanced(df, 0, count_col="n_tok")
+
+    def test_check_ids_guard(self, spark):
+        """ADVICE r10: the rejoin-by-id contract (non-null, unique) is
+        documented and enforceable — NULL ids would drop rows, dup ids
+        would fan out, and NULL sort order diverges across engines."""
+        import pytest as pt
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards_balanced,
+        )
+        ok = spark.range(8).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 10).alias("n_tok"))
+        assert assign_shards_balanced(
+            ok, 3, count_col="n_tok", check_ids=True).count() == 8
+        nulls = ok.withColumn(
+            "doc_id", F.when(F.col("doc_id") < 2, None)
+            .otherwise(F.col("doc_id")))
+        with pt.raises(ValueError, match="NULL"):
+            assign_shards_balanced(nulls, 3, count_col="n_tok",
+                                   check_ids=True)
+        dups = ok.withColumn("doc_id", F.col("doc_id") % 4)
+        with pt.raises(ValueError, match="duplicate"):
+            assign_shards_balanced(dups, 3, count_col="n_tok",
+                                   check_ids=True)

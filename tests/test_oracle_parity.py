@@ -23,24 +23,31 @@ def ddb(sf_dir):
     return con
 
 
-def _canon(v):
+def _canon(v, bridge):
     # Collections first: pd.isna() on them returns an array, not a bool.
     if isinstance(v, (list, tuple)) or (hasattr(v, "__len__")
                                         and not isinstance(v, str)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
-    # Unify every scalar NULL spelling: Python None (Spark), pandas NaT
-    # (NULL timestamp out of ddb .df()), and float nan (NULL double in a
-    # typed pandas column). Spark also hands NULL doubles back as None,
-    # so both sides land on the same token.
-    if v is None or pd.isna(v):
+        return "[" + ",".join(_canon(x, bridge) for x in v) + "]"
+    # NULL-spelling rules are SIDE-AWARE (ADVICE r10): on the DuckDB
+    # pandas bridge a NULL double/timestamp surfaces as NaN/NaT, so
+    # there NaN must collapse to the NULL token. Spark hands NULLs back
+    # as Python None, so a float NaN on the Spark side is a GENUINE
+    # computed NaN and keeps its own token — collapsing it too (the r10
+    # fix's overreach) would mask a Spark-NaN-vs-oracle-NULL divergence.
+    if v is None:
+        return "∅"
+    if isinstance(v, float) and v != v:
+        return "∅" if bridge else "nan"
+    if pd.isna(v):  # pandas NaT / pd.NA (bridge-only spellings)
         return "∅"
     if isinstance(v, float):
         return f"{v:.6g}"
     return str(v)
 
 
-def _rowset(rows, cols):
-    return sorted(",".join(_canon(r[c]) for c in cols) for r in rows)
+def _rowset(rows, cols, bridge=False):
+    return sorted(",".join(_canon(r[c], bridge) for c in cols)
+                  for r in rows)
 
 
 ALL = sorted(entrymod.queries())
@@ -61,7 +68,8 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
     oracle_rows = odf.to_dict("records")
     assert len(spark_rows) == len(oracle_rows), (
         f"{name}: rowcount {len(spark_rows)} vs {len(oracle_rows)}")
-    s, o = _rowset(spark_rows, cols), _rowset(oracle_rows, cols)
+    s = _rowset(spark_rows, cols, bridge=False)
+    o = _rowset(oracle_rows, cols, bridge=True)
     mismatches = [(a, b) for a, b in zip(s, o) if a != b][:5]
     assert s == o, f"{name}: first diffs {mismatches}"
 
