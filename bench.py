@@ -192,12 +192,20 @@ def _q_llm_pretrain(spark, sf_dir):
     bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
     srcs = [(docs.filter(F.col("doc_id") % 2 == 0), 0.6),
             (docs.filter(F.col("doc_id") % 2 == 1), 0.4)]
-    cleaned = [(clean_source(s, near_threshold=0.5, embeddings=emb,
-                             semantic_k=32, benchmark=bench_docs),
-                w) for s, w in srcs]
+    # hoist the benchmark n-gram table ONCE across sources — the
+    # llm_pretrain_plan shape (r10 hoist); the inline composition here
+    # previously re-derived it per source (~0.4 s/source at sf0.1,
+    # measured in the r11 adjudication — real but not the drift)
+    from nifi_extracttext_processor_spark.operators.corpus import (
+        benchmark_ngrams,
+    )
     from nifi_extracttext_processor_spark.operators.lifecycle import (
         track_persist,
     )
+    bng = track_persist(benchmark_ngrams(bench_docs, "text", 8))
+    cleaned = [(clean_source(s, near_threshold=0.5, embeddings=emb,
+                             semantic_k=32, benchmark_ngram_table=bng),
+                w) for s, w in srcs]
     cleaned = [(track_persist(c.select("doc_id", "text")), w)
                for c, w in cleaned]
     corpus = build_pretrain_corpus(cleaned)

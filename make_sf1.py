@@ -33,6 +33,20 @@ OFF = 100_000_000
 
 
 def main() -> None:
+    # second-decade checkpoint (VERDICT r10 task 4):
+    #   python make_sf1.py --replicas 30 --dst .bench/sf3
+    # same construction, 30 replicas (~sf3); key shifts and token/
+    # vector salting generalize unchanged (OFF > 30 * max base key).
+    global R, DST
+    import sys
+    argv = sys.argv[1:]
+    if "--replicas" in argv:
+        i = argv.index("--replicas")
+        R = int(argv[i + 1])
+    if "--dst" in argv:
+        i = argv.index("--dst")
+        DST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           argv[i + 1])
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
 
