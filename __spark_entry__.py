@@ -3240,6 +3240,66 @@ def q_weighted_sample_by_lang(spark, sf):
         ["lang"], seed=3, md5=True)
 
 
+# ---- r11 extensions: Kaplan-Meier survival + Poisson-bootstrap CI ----
+# (registered at the FILE BOTTOM so the 50-slot window composition is
+# untouched — machine-asserted by tests/test_window_ledger.py)
+
+from nifi_extracttext_processor_spark.operators import survival as svx  # noqa: E402
+
+_KM_DUR_SQL = """
+  SELECT event_type, user_id AS user,
+         date_diff('day', CAST(min(ts) AS DATE),
+                   CAST(max(ts) AS DATE))::BIGINT AS duration,
+         CAST(date_diff('day', CAST(max(ts) AS DATE),
+              (SELECT CAST(max(ts) AS DATE) FROM events))
+              > 30 AS INT) AS event
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, user_id"""
+
+
+@_q("events_km_survival", svx.km_survival_sql(
+    f"({_KM_DUR_SQL})", group_by=["event_type"]))
+def q_events_km_survival(spark, sf):
+    ev = _t(spark, sf, "events")
+    dur = svx.user_durations(ev, inactive_days=30,
+                             group_by=["event_type"])
+    return svx.km_survival(dur, group_by=["event_type"])
+
+
+@_q("ab_bootstrap_ci", abx.ab_bootstrap_ci_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events)",
+    "variant", "value", "event_id", n_boot=60,
+    group_by=["event_type"]))
+def q_ab_bootstrap_ci(spark, sf):
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    return abx.ab_bootstrap_ci(exp, "variant", "value", "event_id",
+                               n_boot=60, group_by=["event_type"])
+
+
+@_q("ab_welch_winsorized", abx.ab_welch_test_winsorized_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events)",
+    "variant", "value", "c", "t", trim=0.05,
+    group_by=["event_type"]))
+def q_ab_welch_winsorized(spark, sf):
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    return abx.ab_welch_test_winsorized(
+        exp, "variant", "value", "c", "t", trim=0.05,
+        group_by=["event_type"])
+
+
+@_q("script_mix_docs", ta.script_stats_sql("documents"))
+def q_script_mix_docs(spark, sf):
+    return ta.script_stats(_t(spark, sf, "documents"))
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

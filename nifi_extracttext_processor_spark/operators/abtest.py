@@ -519,3 +519,276 @@ SELECT {gsel}n, {', '.join(ident(v) for v in names)},
                 >= {float(chi2_alpha)!r}, FALSE) AS srm_suspected
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds (exp(-1) * sum 1/j!), embedded as repr()
+# literals so both engines evaluate the identical CASE chain. P(K > 12)
+# < 1e-10: with a 32-bit hash uniform the cap is effectively never hit,
+# and when it is, BOTH engines cap identically.
+_POIS_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216, 0.9999999899522336, 0.9999999991683892,
+)
+_U32 = 4294967296.0
+
+
+def _boot_indices(n_boot: int, alpha: float) -> tuple[int, int]:
+    import math
+    lo = max(1, math.ceil(n_boot * alpha / 2.0))
+    hi = min(n_boot, math.ceil(n_boot * (1.0 - alpha / 2.0)))
+    return lo, hi
+
+
+def ab_bootstrap_ci(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    group_by: "list[str] | None" = None,
+    seed: int = 7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-variant mean with a Poisson-bootstrap percentile CI
+    (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    Streams" — the resampling scheme that works in ONE distributed
+    pass: resample b gives each row an independent Poisson(1) weight,
+    approximating multinomial resampling without materializing B
+    copies of the data or coordinating a global n). The
+    nonparametric companion to ab_welch_test for metrics whose means
+    are NOT normal-ish (heavy-tailed revenue, ratios).
+
+    Determinism/cross-engine exactness (the decayed_agg discipline):
+    the weight is an inverse-CDF lookup of a 32-bit md5 uniform from
+    (id, b, seed) against repr()-embedded Poisson thresholds (no RNG,
+    no library Poisson); values quantize to a 1e-6 integer grid and
+    resample sums run in decimal/int128 (exact, order-independent);
+    each resample mean is ONE double division of exact integers;
+    the percentile is an index lookup in the sorted B-vector. Every
+    step is engine-exact, so the DuckDB twin replays the CI
+    bit-for-bit.
+
+    Scale shape: the explode is map-side (B weighted copies feed
+    straight into a map-side-combinable agg — the shuffle carries
+    groups x variants x B rows, never data x B); the second agg and
+    the sort are over B-bounded vectors. ID CONTRACT: `id_col`
+    non-null unique per row (same as assign_shards_balanced —
+    duplicate ids would correlate weights across rows).
+
+    Output: (group..., variant, n, mean, ci_lo, ci_hi). Cells where
+    any resample zeroed out entirely (only possible for tiny n) emit
+    NULL bounds rather than a biased interval.
+    """
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = (df.filter(v.isNotNull() & F.col(id_col).isNotNull())
+            .select(*gb, F.col(variant_col).alias("variant"),
+                    F.col(id_col).cast("string").alias("__id"),
+                    F.round(v * 1e6).cast("decimal(38,0)").alias("__xq")))
+
+    ex = base.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("__id"), F.lit("#"), F.col("b"),
+                       F.lit(f"#{seed}"))), 1, 8), 16, 10).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(_U32)
+    w = F.lit(12)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+
+    res = (ex.withColumn("__w", w)
+           .groupBy(*gb, "variant", "b")
+           .agg(F.sum(F.col("__w").cast("decimal(38,0)")
+                      * F.col("__xq")).alias("__swx"),
+                F.sum("__w").alias("__sw")))
+    mean_b = F.when(
+        F.col("__sw") > 0,
+        F.col("__swx").cast("double")
+        / (F.col("__sw").cast("double") * F.lit(1e6)))
+    means = (res.withColumn("__mb", mean_b)
+             .groupBy(*gb, "variant")
+             .agg(F.sort_array(F.collect_list("__mb")).alias("__s"),
+                  F.count("__mb").alias("__ok")))
+    ilo, ihi = _boot_indices(n_boot, alpha)
+    full = F.col("__ok") == n_boot
+    ci = means.select(
+        *gb, "variant",
+        F.when(full, F.round(F.element_at("__s", ilo), round_dp))
+        .alias("ci_lo"),
+        F.when(full, F.round(F.element_at("__s", ihi), round_dp))
+        .alias("ci_hi"))
+
+    pt = (base.groupBy(*gb, "variant")
+          .agg(F.count("*").alias("n"),
+               F.sum("__xq").alias("__sx")))
+    pt = pt.select(
+        *gb, "variant", "n",
+        F.round(F.col("__sx").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e6)),
+                round_dp).alias("mean"))
+    return pt.join(ci, [*gb, "variant"]).select(
+        *gb, "variant", "n", "mean", "ci_lo", "ci_hi")
+
+
+def ab_bootstrap_ci_sql(
+    table: str,
+    variant_col: str,
+    value_expr: str,
+    id_expr: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    group_by: "list[str] | None" = None,
+    seed: int = 7,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_bootstrap_ci: identical uniform, thresholds,
+    integer-grid sums, division order, sort, and index lookups."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ", ".join(gb + ["variant"])
+    case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}"
+        for k, c in enumerate(_POIS_CDF)) + " ELSE 12 END"
+    ilo, ihi = _boot_indices(n_boot, alpha)
+    return f"""
+WITH base AS (
+  SELECT {gsel}{variant_col} AS variant,
+         CAST({id_expr} AS VARCHAR) AS id,
+         CAST(round(CAST({value_expr} AS DOUBLE) * 1e6)
+              AS HUGEINT) AS xq
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL AND {id_expr} IS NOT NULL
+),
+ex AS (
+  SELECT base.*, b,
+         ((('0x' || substr(md5(id || '#' || b || '#{seed}'), 1, 8))
+           ::BIGINT)::DOUBLE + 0.5) / {_U32!r} AS u
+  FROM base CROSS JOIN (SELECT unnest(range({int(n_boot)})) AS b)
+),
+res AS (
+  SELECT {gsel}variant, b,
+         sum(({case})::HUGEINT * xq) AS swx,
+         sum({case}) AS sw
+  FROM ex GROUP BY {gkey}, b
+),
+m AS (
+  SELECT {gsel}variant,
+         CASE WHEN sw > 0
+              THEN swx::DOUBLE / (sw::DOUBLE * 1000000.0) END AS mb
+  FROM res
+),
+ci AS (
+  SELECT {gsel}variant, count(mb) AS ok,
+         list_sort(list(mb) FILTER (WHERE mb IS NOT NULL)) AS s
+  FROM m GROUP BY {gkey}
+),
+pt AS (
+  SELECT {gsel}variant, count(*) AS n,
+         round(sum(xq)::DOUBLE / (count(*)::DOUBLE * 1000000.0),
+               {round_dp}) AS mean
+  FROM base GROUP BY {gkey}
+)
+SELECT {gsel}variant, n, mean,
+       CASE WHEN ok = {int(n_boot)}
+            THEN round(s[{ilo}], {round_dp}) END AS ci_lo,
+       CASE WHEN ok = {int(n_boot)}
+            THEN round(s[{ihi}], {round_dp}) END AS ci_hi
+FROM pt JOIN ci USING ({gkey})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized Welch — outlier-robust continuous-metric readout
+# ---------------------------------------------------------------------------
+
+
+def ab_welch_test_winsorized(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    trim: float = 0.01,
+    group_by: "list[str] | None" = None,
+    t_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> DataFrame:
+    """ab_welch_test on per-cell winsorized values: within each
+    (group, variant) cell, values clamp to that cell's [trim, 1-trim]
+    quantiles before the sufficient-statistics pass — the standard
+    robustness guard for heavy-tailed metrics (one whale order should
+    not flip a revenue experiment; winsorizing beats trimming because
+    n is preserved and the estimator stays a mean of the SAME rows).
+
+    Quantiles are exact interpolated percentiles (Spark `percentile`
+    and DuckDB `quantile_cont` share the (n-1)p definition — verified
+    to the bit on both engines); the threshold table is
+    groups x variants-sized and broadcast back, so raw rows never
+    shuffle for the clamp. Everything downstream IS ab_welch_test —
+    same output columns, same NULL conventions."""
+    if not 0.0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(F.col(variant_col).isin(control, treatment)
+                     & v.isNotNull())
+    th = (base.groupBy(*gb, variant_col)
+          .agg(F.percentile(v, F.lit(float(trim))).alias("__lo"),
+               F.percentile(v, F.lit(1.0 - float(trim)))
+               .alias("__hi")))
+    clamped = (base.join(F.broadcast(th), [*gb, variant_col])
+               .withColumn("__wz",
+                           F.greatest(F.col("__lo"),
+                                      F.least(F.col("__hi"), v))))
+    return ab_welch_test(clamped, variant_col, "__wz", control,
+                         treatment, group_by=gb, t_alpha=t_alpha,
+                         round_dp=round_dp)
+
+
+def ab_welch_test_winsorized_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    trim: float = 0.01,
+    group_by: "list[str] | None" = None,
+    t_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_welch_test_winsorized (same quantile
+    definition, same clamp, then the ab_welch_test twin over the
+    clamped derived table)."""
+    gb = list(group_by or [])
+    gcols = ", ".join([*gb, variant_col])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    v = f"CAST({value_col} AS DOUBLE)"
+    clamped = f"""
+  WITH th AS (
+    SELECT {gsel}{variant_col},
+           quantile_cont({v}, {float(trim)!r}) AS lo,
+           quantile_cont({v}, {1.0 - float(trim)!r}) AS hi
+    FROM {table}
+    WHERE {variant_col} IN ('{control}', '{treatment}')
+      AND {value_col} IS NOT NULL
+    GROUP BY {gcols}
+  )
+  SELECT {gsel}t.{variant_col},
+         greatest(th.lo, least(th.hi, {v})) AS __wz
+  FROM {table} t JOIN th USING ({gcols})
+  WHERE t.{variant_col} IN ('{control}', '{treatment}')
+    AND t.{value_col} IS NOT NULL"""
+    return ab_welch_test_sql(f"({clamped})", variant_col, "__wz",
+                             control, treatment, group_by=gb,
+                             t_alpha=t_alpha, round_dp=round_dp)

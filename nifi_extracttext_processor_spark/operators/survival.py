@@ -1,0 +1,163 @@
+"""Kaplan-Meier survival estimation — time-to-event readouts over
+user/entity durations (Kaplan & Meier 1958): retention expressed as
+"probability a user is still active after t days", churn-model
+baselines, content half-life. The censoring-aware complement to
+sessions.cohort_retention (which counts returns per period but cannot
+use still-active users' partial information) and to the A/B family
+(abtest.py) whose metrics are per-exposure scalars, not durations.
+
+    S(t) = Π_{t_i <= t} (1 − d_i / n_i)
+
+with d_i events at distinct time t_i and n_i the at-risk count
+(subjects whose duration >= t_i). Right-censored rows (event=0 —
+still active at the horizon) leave the risk set without counting as
+events; ignoring censoring (dropping those rows, or calling them
+churned) biases survival down — the reason KM exists.
+
+Cross-engine exactness (the decayed_agg discipline): at-risk counts
+come from an INTEGER prefix sum over the per-time aggregate (order
+never matters for int sums); each hazard factor is ONE IEEE double
+division (exactly specified); the survival product is a LEFT-
+ASSOCIATED fold over the ordered factor prefix — Spark's
+``aggregate()`` higher-order function and DuckDB's ``list_reduce``
+both fold left, and IEEE multiplication is exactly specified, so the
+engines agree bit-for-bit before the final round.
+
+Scale shape: one map-side-combinable groupBy collapses rows to one
+tuple per (group, duration) BEFORE any window — the shuffle carries
+distinct durations, never subjects. DURATION CONTRACT: callers bucket
+durations to a coarse grain (days — the `user_durations` helper does
+this) so distinct times per group stay bounded (~10^3); the keyed
+window and the per-row prefix fold run over that bounded table. With
+group_by=None the single window partition holds only the bounded
+distinct-duration rows — not a data-sized Exchange SinglePartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., t, n_risk, n_events, n_censored, survival) — one row
+    per distinct duration, survival = the KM estimate S(t) AT that
+    time (events at t already applied; censorings at t leave the risk
+    set after t, the standard convention). `event_col` is 1/true for
+    an observed event (churned/converted/died), 0/false for
+    right-censored; NULL duration/event rows are excluded. Negative
+    durations raise downstream analysis questions, not exceptions —
+    they participate as the earliest risk set (documented)."""
+    gb = list(group_by or [])
+    ev = F.col(event_col).cast("int")
+    base = (df.filter(F.col(duration_col).isNotNull()
+                      & ev.isNotNull())
+            .select(*gb,
+                    F.col(duration_col).cast("long").alias("t"),
+                    ev.alias("__e")))
+    per_t = (base.groupBy(*gb, "t")
+             .agg(F.sum("__e").alias("n_events"),
+                  F.sum(1 - F.col("__e")).alias("n_censored")))
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wprev = (wtot.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wpref = (wtot.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    left = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+        F.lit(0))
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+    out = per_t.withColumn("n_risk", total - left)
+    factor = (F.lit(1.0)
+              - F.col("n_events").cast("double")
+              / F.col("n_risk").cast("double"))
+    out = out.withColumn("__pf", F.collect_list(factor).over(wpref))
+    surv = F.expr(
+        "aggregate(__pf, CAST(1.0 AS DOUBLE), (a, x) -> a * x)")
+    return (out.select(*gb, "t", "n_risk", "n_events", "n_censored",
+                       F.round(surv, round_dp).alias("survival"))
+            .orderBy(*gb, "t"))
+
+
+def km_survival_sql(
+    table: str,
+    duration_expr: str = "duration",
+    event_expr: str = "event",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of km_survival: same integer prefix sums, same
+    per-factor IEEE division, same left-associated product
+    (list_reduce over the ordered prefix list with a prepended 1.0
+    unit — list_reduce seeds from the first element)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({duration_expr} AS BIGINT) AS t,
+         CAST({event_expr} AS INT) AS e
+  FROM {table}
+  WHERE {duration_expr} IS NOT NULL AND {event_expr} IS NOT NULL
+),
+per_t AS (
+  SELECT {gsel}t, sum(e) AS n_events, sum(1 - e) AS n_censored
+  FROM base GROUP BY {gsel}t
+),
+risked AS (
+  SELECT {gsel}t, n_events, n_censored,
+         sum(n_events + n_censored) OVER ({part})
+         - coalesce(sum(n_events + n_censored) OVER (
+               {part} ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM per_t
+),
+folded AS (
+  SELECT {gsel}t, n_risk, n_events, n_censored,
+         list(1.0 - n_events::DOUBLE / n_risk::DOUBLE) OVER (
+             {part} ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+  FROM risked
+)
+SELECT {gsel}t, n_risk, n_events, n_censored,
+       round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), pf),
+                         (a, x) -> a * x), {round_dp}) AS survival
+FROM folded
+ORDER BY {gsel}t
+"""
+
+
+def user_durations(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    inactive_days: int = 30,
+    group_by: "list[str] | None" = None,
+) -> DataFrame:
+    """events → one (group..., user, duration, event) row per user:
+    duration = whole days between the user's first and last event,
+    event = 1 if the user's last activity is more than `inactive_days`
+    before the CORPUS max timestamp (churned), 0 otherwise (still
+    active at the horizon = right-censored). The standard
+    activity-log → KM input derivation; the corpus max is a 1-row
+    broadcast, never a wall clock (reruns agree)."""
+    gb = list(group_by or [])
+    per_user = (events.filter(F.col(ts_col).isNotNull())
+                .groupBy(*gb, F.col(user_col).alias("user"))
+                .agg(F.min(ts_col).alias("__first"),
+                     F.max(ts_col).alias("__last")))
+    horizon = events.agg(F.max(ts_col).alias("__hmax"))
+    j = per_user.crossJoin(F.broadcast(horizon))
+    return j.select(
+        *gb, "user",
+        F.datediff(F.to_date("__last"), F.to_date("__first"))
+        .cast("long").alias("duration"),
+        (F.datediff(F.to_date("__hmax"), F.to_date("__last"))
+         > inactive_days).cast("int").alias("event"))

@@ -1699,3 +1699,113 @@ FROM (
   FROM {table}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode script detection
+# ---------------------------------------------------------------------------
+
+# BMP block ranges embedded as LITERAL characters (not \u escapes) so
+# the identical pattern string feeds Java regex (Spark) and RE2
+# (DuckDB) — the two engines spell escape syntax differently
+# (\uXXXX vs \x{XXXX}) but agree on literal character ranges. Ranges
+# are the dominant writing-system blocks; Latin includes the
+# supplement/extended blocks Western European text actually uses.
+_SCRIPT_RANGES: "list[tuple[str, str]]" = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("hebrew", "֐-׿"),
+    ("devanagari", "ऀ-ॿ"),
+    ("cjk", "一-鿿"),
+    ("kana", "぀-ヿ"),
+    ("hangul", "가-힯"),
+]
+
+
+def script_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document writing-system profile: one count column per
+    script block (n_latin, n_cyrillic, ...), the dominant script
+    (`script_pred`, ties broken by the fixed _SCRIPT_RANGES order,
+    'other' when no block matches), and its share of script-classified
+    characters (`script_frac`, NULL when none). The ROUTING signal in
+    front of language-ID (lang_id's n-gram tables are per-script —
+    running a Latin-trained model on CJK text is noise) and the
+    mixed-script detector (Latin text salted with Cyrillic homoglyphs
+    is a spam/evasion signature: high n_latin AND n_cyrillic).
+
+    Counts via length-difference after regexp_replace per block —
+    pure narrow Catalyst, zero UDF/shuffle/join; ~9 regex passes per
+    document is one Arrow-free projection. BMP blocks only (documented
+    — supplementary-plane CJK-B+ is vanishingly rare in web corpora
+    and its code-unit semantics differ across engines)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cols = []
+    for name, rng in _SCRIPT_RANGES:
+        n = (F.length(t)
+             - F.length(F.regexp_replace(t, f"[{rng}]", "")))
+        cols.append(n.cast("long").alias(f"n_{name}"))
+    out = df.select(F.col(id_col), *cols)
+    total = None
+    for name, _ in _SCRIPT_RANGES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    # dominant: walk the fixed order, keep the strict max (earlier
+    # block wins ties — deterministic, twin-replayed)
+    best_n = F.lit(-1).cast("long")
+    best_s = F.lit("other")
+    for name, _ in _SCRIPT_RANGES:
+        c = F.col(f"n_{name}")
+        take = c > best_n
+        best_s = F.when(take, F.lit(name)).otherwise(best_s)
+        best_n = F.when(take, c).otherwise(best_n)
+    pred = F.when(total > 0, best_s).otherwise(F.lit("other"))
+    frac = F.round(F.try_divide(best_n, total), round_dp)
+    return out.select(
+        id_col, *[f"n_{n}" for n, _ in _SCRIPT_RANGES],
+        pred.alias("script_pred"),
+        F.when(total > 0, frac).alias("script_frac"))
+
+
+def script_stats_sql(
+    table: str,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of script_stats (identical literal ranges, same
+    fixed-order strict-max tie-break; RE2 needs the explicit 'g'
+    flag where Java replaces all matches by default)."""
+    t = f"coalesce({text_expr}, '')"
+    counts = ", ".join(
+        f"(length({t}) - length(regexp_replace({t}, '[{rng}]', '', "
+        f"'g')))::BIGINT AS n_{name}"
+        for name, rng in _SCRIPT_RANGES)
+    names = [name for name, _ in _SCRIPT_RANGES]
+    total = " + ".join(f"n_{n}" for n in names)
+    # fixed-order strict max as nested CASE: best = first block whose
+    # count exceeds every LATER block's count (>=) and every EARLIER
+    # block's count (>) — equivalent to the walk, expressed closed-form
+    best_n = f"greatest({', '.join(f'n_{n}' for n in names)})"
+    pred_case = "CASE " + " ".join(
+        f"WHEN n_{n} = {best_n} THEN '{n}'" for n in names) \
+        + " END"
+    return f"""
+WITH counts AS (
+  SELECT {id_col}, {counts}
+  FROM {table}
+)
+SELECT {id_col}, {', '.join(f'n_{n}' for n in names)},
+       CASE WHEN ({total}) > 0 THEN {pred_case}
+            ELSE 'other' END AS script_pred,
+       CASE WHEN ({total}) > 0
+            THEN round({best_n}::DOUBLE / ({total})::DOUBLE,
+                       {round_dp}) END AS script_frac
+FROM counts
+"""

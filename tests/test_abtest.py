@@ -225,3 +225,72 @@ class TestSrmAdversarialNames:
         assert sorted(got.columns) == sorted(odf.columns)
         assert (sorted(map(tuple, got.collect()))
                 == sorted(map(tuple, odf.itertuples(index=False))))
+
+
+class TestWinsorizedWelch:
+    def _df(self, spark, whale=False):
+        rows = [("c", float(i % 5)) for i in range(200)] \
+            + [("t", float(i % 5) + 0.5) for i in range(200)]
+        if whale:
+            rows.append(("c", 100000.0))  # one whale order in control
+        return spark.createDataFrame(rows, "variant string, value double")
+
+    def test_whale_resistant(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_welch_test, ab_welch_test_winsorized,
+        )
+        clean = self._df(spark, whale=False)
+        dirty = self._df(spark, whale=True)
+        [plain] = ab_welch_test(dirty, "variant", "value",
+                                "c", "t").collect()
+        [wins] = ab_welch_test_winsorized(dirty, "variant", "value",
+                                          "c", "t", trim=0.01).collect()
+        [ref] = ab_welch_test(clean, "variant", "value",
+                              "c", "t").collect()
+        # the whale flips the plain diff sign / kills significance;
+        # winsorized stays near the clean readout
+        assert plain["mean_control"] > ref["mean_control"] + 100
+        assert abs(wins["diff"] - ref["diff"]) < 0.1
+        assert wins["significant"] is True
+        assert wins["n_control"] == 201  # rows kept, not trimmed away
+
+    def test_zero_trim_equals_plain(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_welch_test, ab_welch_test_winsorized,
+        )
+        df = self._df(spark)
+        a = sorted(map(tuple, ab_welch_test(
+            df, "variant", "value", "c", "t").collect()))
+        b = sorted(map(tuple, ab_welch_test_winsorized(
+            df, "variant", "value", "c", "t", trim=0.0).collect()))
+        assert a == b
+
+    def test_twin_parity_and_validation(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_welch_test_winsorized, ab_welch_test_winsorized_sql,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        exp = ev.withColumn(
+            "variant",
+            F.when(F.pmod(F.col("event_id"), 3) == 0, "c")
+            .otherwise("t"))
+        got = sorted(map(tuple, ab_welch_test_winsorized(
+            exp, "variant", "value", "c", "t", trim=0.05,
+            group_by=["event_type"]).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW exp AS SELECT *, CASE WHEN event_id % 3 = 0 "
+            "THEN 'c' ELSE 't' END AS variant FROM "
+            f"'{sf_dir}/events.parquet'")
+        want = sorted(map(tuple, con.execute(
+            ab_welch_test_winsorized_sql(
+                "exp", "variant", "value", "c", "t", trim=0.05,
+                group_by=["event_type"])).fetchall()))
+        assert got == want
+        with pytest.raises(ValueError):
+            ab_welch_test_winsorized(exp, "variant", "value", "c",
+                                     "t", trim=0.5)

@@ -107,3 +107,67 @@ class TestLangNgram:
         assert "BatchEvalPython" not in plan
         assert "BroadcastExchange" in plan
         assert "rangepartitioning" not in plan.lower()
+
+
+class TestScriptStats:
+    def test_goldens(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import script_stats
+        rows = [
+            (1, "hello world"),                 # latin
+            (2, "привет мир"),                  # cyrillic
+            (3, "pаypаl login"),                # latin + cyrillic а homoglyphs
+            (4, "日本語のテキスト"),              # cjk + kana
+            (5, "12345 !!!"),                   # no script chars
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in script_stats(df).collect()}
+        assert got[1]["script_pred"] == "latin"
+        assert got[1]["n_latin"] == 10 and got[1]["script_frac"] == 1.0
+        assert got[2]["script_pred"] == "cyrillic"
+        assert got[2]["n_cyrillic"] == 9
+        # mixed-script spoof: both counts positive, latin dominant
+        assert got[3]["n_latin"] > 0 and got[3]["n_cyrillic"] == 2
+        assert got[3]["script_pred"] == "latin"
+        assert got[3]["script_frac"] < 1.0
+        assert got[4]["script_pred"] == "kana"   # 7 kana > 3 cjk
+        assert got[4]["n_cjk"] == 3
+        assert got[5]["script_pred"] == "other"
+        assert got[5]["script_frac"] is None
+        assert got[6]["script_pred"] == "other"
+
+    def test_tie_breaks_on_fixed_order(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import script_stats
+        df = spark.createDataFrame(
+            [(1, "abжз")], "doc_id long, text string")  # 2 latin, 2 cyr
+        [r] = script_stats(df).collect()
+        assert r["script_pred"] == "latin"  # earlier block wins ties
+
+    def test_twin_parity_on_documents(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import script_stats, script_stats_sql
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        got = sorted(map(tuple, script_stats(docs).collect()))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = sorted(map(tuple, con.execute(
+            script_stats_sql("documents")).fetchall()))
+        assert got == want
+
+    def test_pure_narrow_plan(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import script_stats
+        df = spark.createDataFrame(
+            [(1, "x")], "doc_id long, text string")
+        plan = script_stats(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan

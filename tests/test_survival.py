@@ -1,0 +1,108 @@
+"""Kaplan-Meier survival (operators/survival.py): hand-computed
+golden, censoring-vs-naive bias, user_durations derivation, DuckDB
+twin parity, grouped + plan shape."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.survival import (
+    km_survival,
+    km_survival_sql,
+    user_durations,
+)
+
+
+@pytest.fixture(scope="module")
+def subjects(spark):
+    # (duration, event): events at 1,2,3; censored at 2,4
+    rows = [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)]
+    return spark.createDataFrame(rows, "duration int, event int")
+
+
+class TestGolden:
+    def test_hand_computed_curve(self, spark, subjects):
+        got = {r["t"]: r for r in km_survival(subjects).collect()}
+        # t=1: n=5 d=1 -> 0.8 ; t=2: n=4 d=1 c=1 -> 0.8*(3/4)=0.6
+        # t=3: n=2 d=1 -> 0.3 ; t=4: n=1 d=0 c=1 -> 0.3
+        assert got[1]["n_risk"] == 5 and got[1]["survival"] == 0.8
+        assert got[2]["n_risk"] == 4 and got[2]["survival"] == 0.6
+        assert got[2]["n_censored"] == 1
+        assert got[3]["n_risk"] == 2 and got[3]["survival"] == 0.3
+        assert got[4]["n_risk"] == 1 and got[4]["survival"] == 0.3
+        assert got[4]["n_events"] == 0
+
+    def test_censoring_is_not_an_event(self, spark):
+        """Treating censored users as churned (the naive mistake KM
+        exists to avoid) must yield strictly lower survival."""
+        rows = [(5, 1)] * 2 + [(5, 0)] * 8
+        df = spark.createDataFrame(rows, "duration int, event int")
+        [r] = km_survival(df).collect()
+        assert r["survival"] == 0.8          # 2 events / 10 at risk
+        naive = spark.createDataFrame(
+            [(5, 1)] * 10, "duration int, event int")
+        [rn] = km_survival(naive).collect()
+        assert rn["survival"] < r["survival"]
+
+    def test_null_rows_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1), (None, 1), (2, None)],
+            "duration int, event int")
+        rows = km_survival(df).collect()
+        assert len(rows) == 1 and rows[0]["n_risk"] == 1
+
+
+class TestGroupedAndParity:
+    def test_twin_parity_on_events(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        dur = user_durations(ev, inactive_days=30,
+                             group_by=["event_type"])
+        got = sorted(map(tuple, km_survival(
+            dur, group_by=["event_type"]).collect()))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        dur_sql = """
+          SELECT event_type, user_id AS user,
+                 date_diff('day', CAST(min(ts) AS DATE),
+                           CAST(max(ts) AS DATE))::BIGINT AS duration,
+                 CAST(date_diff('day', CAST(max(ts) AS DATE),
+                      (SELECT CAST(max(ts) AS DATE) FROM events))
+                      > 30 AS INT) AS event
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY event_type, user_id"""
+        want = sorted(map(tuple, con.execute(km_survival_sql(
+            f"({dur_sql})", group_by=["event_type"])).fetchall()))
+        assert got == want
+
+    def test_determinism_under_repartition(self, spark, subjects):
+        a = sorted(map(tuple, km_survival(subjects).collect()))
+        b = sorted(map(tuple,
+                       km_survival(subjects.repartition(7)).collect()))
+        assert a == b
+
+    def test_window_runs_over_aggregated_rows(self, spark, subjects):
+        """Scale contract: the window input is the per-(group, t)
+        aggregate, so an Exchange feeding the window carries distinct
+        durations, never subjects — assert the plan aggregates BEFORE
+        the window."""
+        plan = km_survival(subjects)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.index("Window") < plan.index("HashAggregate")
+
+
+class TestUserDurations:
+    def test_derivation(self, spark):
+        rows = [("u1", "2024-01-01"), ("u1", "2024-01-11"),
+                ("u2", "2024-02-28"), ("u2", "2024-03-01")]
+        ev = spark.createDataFrame(rows, "user_id string, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        got = {r["user"]: r for r in
+               user_durations(ev, inactive_days=30).collect()}
+        # corpus max = 2024-03-01; u1 last 01-11 -> 50 days gone ->
+        # churned; u2 active at horizon -> censored
+        assert got["u1"]["duration"] == 10 and got["u1"]["event"] == 1
+        assert got["u2"]["duration"] == 2 and got["u2"]["event"] == 0
