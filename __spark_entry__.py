@@ -3300,6 +3300,32 @@ def q_script_mix_docs(spark, sf):
     return ta.script_stats(_t(spark, sf, "documents"))
 
 
+_KM_DUR_VARIANT_SQL = """
+  SELECT event_type, user_id AS user,
+         CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END AS variant,
+         date_diff('day', CAST(min(ts) AS DATE),
+                   CAST(max(ts) AS DATE))::BIGINT AS duration,
+         CAST(date_diff('day', CAST(max(ts) AS DATE),
+              (SELECT CAST(max(ts) AS DATE) FROM events))
+              > 30 AS INT) AS event
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, user_id"""
+
+
+@_q("events_km_logrank", svx.km_logrank_sql(
+    f"({_KM_DUR_VARIANT_SQL})", "duration", "event", "variant",
+    "c", "t", group_by=["event_type"]))
+def q_events_km_logrank(spark, sf):
+    ev = _t(spark, sf, "events")
+    dur = (svx.user_durations(ev, inactive_days=30,
+                              group_by=["event_type"])
+           .withColumn("variant",
+                       F.when(F.pmod(F.col("user"), 2) == 0, "c")
+                       .otherwise("t")))
+    return svx.km_logrank(dur, "duration", "event", "variant",
+                          "c", "t", group_by=["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

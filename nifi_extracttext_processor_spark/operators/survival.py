@@ -161,3 +161,168 @@ def user_durations(
         .cast("long").alias("duration"),
         (F.datediff(F.to_date("__hmax"), F.to_date("__last"))
          > inactive_days).cast("int").alias("event"))
+
+
+def km_logrank(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    variant_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    chi2_alpha: float = 3.841,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Log-rank test (Mantel 1966) — "did the treatment arm's survival
+    curve differ?": the censoring-aware A/B readout for time-to-event
+    metrics (churn, time-to-first-purchase) where ab_welch_test on raw
+    durations is WRONG (censored rows are not observations of the
+    duration). Per distinct event time t:
+
+        O_t = d_1t                 (observed treatment events)
+        E_t = n_1t · d_t / n_t     (expected under H0)
+        V_t = d_t (n_1t/n_t)(1 − n_1t/n_t)(n_t − d_t)/(n_t − 1)
+
+    chi2 = (Σ(O−E))² / ΣV, 1 df; `significant` = chi2 ≥ caller's
+    critical value (default 3.841 = χ²₁ at p=0.05) — the
+    transcendental-free parity surface, like the abtest family.
+
+    Determinism: at-risk counts are integer prefix sums over the
+    bounded per-(group, t) table; each per-t term is a fixed IEEE
+    scalar chain; the two cross-time sums fold LEFT-ASSOCIATED over
+    the t-ordered term list (IEEE addition exactly specified ⇒ both
+    engines agree bit-for-bit), never a partition-order float agg.
+    Output: (group..., n_control, n_treatment, chi2, significant);
+    NULL chi2 when no variance accumulates (no events, or a
+    degenerate single-subject risk set throughout)."""
+    gb = list(group_by or [])
+    ev = F.col(event_col).cast("int")
+    is_t = (F.col(variant_col) == treatment).cast("int")
+    base = (df.filter(F.col(duration_col).isNotNull()
+                      & ev.isNotNull()
+                      & F.col(variant_col).isin(control, treatment))
+            .select(*gb,
+                    F.col(duration_col).cast("long").alias("t"),
+                    ev.alias("__e"), is_t.alias("__g1")))
+    per_t = (base.groupBy(*gb, "t")
+             .agg(F.sum("__e").alias("__d"),
+                  F.sum(F.col("__e") * F.col("__g1")).alias("__d1"),
+                  F.count("*").alias("__a"),
+                  F.sum("__g1").alias("__a1")))
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wprev = (wtot.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    left = F.coalesce(F.sum("__a").over(wprev), F.lit(0))
+    left1 = F.coalesce(F.sum("__a1").over(wprev), F.lit(0))
+    nt = (F.sum("__a").over(wtot) - left).cast("double")
+    n1t = (F.sum("__a1").over(wtot) - left1).cast("double")
+    d = F.col("__d").cast("double")
+    d1 = F.col("__d1").cast("double")
+    oe = d1 - n1t * d / nt
+    v = F.when(
+        nt > 1,
+        d * (n1t / nt) * (F.lit(1.0) - n1t / nt)
+        * (nt - d) / (nt - F.lit(1.0))).otherwise(F.lit(0.0))
+    terms = per_t.select(
+        *gb, "t",
+        F.struct(F.col("t"), oe.alias("oe"), v.alias("v"))
+        .alias("__tv"))
+    folded = (terms.groupBy(*gb)
+              .agg(F.expr(
+                  "aggregate(array_sort(collect_list(__tv)),"
+                  " named_struct('oe', CAST(0.0 AS DOUBLE),"
+                  "              'v', CAST(0.0 AS DOUBLE)),"
+                  " (acc, x) -> named_struct('oe', acc.oe + x.oe,"
+                  "                          'v', acc.v + x.v))")
+                  .alias("__s")))
+    counts = (base.groupBy(*gb)
+              .agg(F.sum(1 - F.col("__g1")).alias("n_control"),
+                   F.sum("__g1").alias("n_treatment")))
+    chi2 = F.when(
+        F.col("__s.v") > 0,
+        F.round(F.col("__s.oe") * F.col("__s.oe") / F.col("__s.v"),
+                round_dp))
+    j = counts.join(folded, gb) if gb else counts.crossJoin(folded)
+    return j.select(
+        *gb, "n_control", "n_treatment",
+        chi2.alias("chi2"),
+        F.coalesce(chi2 >= F.lit(float(chi2_alpha)),
+                   F.lit(False)).alias("significant"))
+
+
+def km_logrank_sql(
+    table: str,
+    duration_expr: str,
+    event_expr: str,
+    variant_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    chi2_alpha: float = 3.841,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of km_logrank (same prefix sums, per-t scalar
+    chains, and t-ordered left fold via list_reduce over the ordered
+    struct list)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({duration_expr} AS BIGINT) AS t,
+         CAST({event_expr} AS INT) AS e,
+         CAST({variant_col} = '{treatment}' AS INT) AS g1
+  FROM {table}
+  WHERE {duration_expr} IS NOT NULL AND {event_expr} IS NOT NULL
+    AND {variant_col} IN ('{control}', '{treatment}')
+),
+per_t AS (
+  SELECT {gsel}t, sum(e) AS d, sum(e * g1) AS d1,
+         count(*) AS a, sum(g1) AS a1
+  FROM base GROUP BY {gsel}t
+),
+risked AS (
+  SELECT {gsel}t, d, d1,
+         (sum(a) OVER ({part})
+          - coalesce(sum(a) OVER ({part} ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::DOUBLE AS nt,
+         (sum(a1) OVER ({part})
+          - coalesce(sum(a1) OVER ({part} ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         )::DOUBLE AS n1t
+  FROM per_t
+),
+terms AS (
+  SELECT {gsel}t,
+         d1::DOUBLE - n1t * d::DOUBLE / nt AS oe,
+         CASE WHEN nt > 1
+              THEN d::DOUBLE * (n1t / nt) * (1.0 - n1t / nt)
+                   * (nt - d::DOUBLE) / (nt - 1.0)
+              ELSE 0.0 END AS v
+  FROM risked
+),
+folded AS (
+  SELECT {gsel}
+         list_reduce(
+           list_prepend({{'oe': CAST(0.0 AS DOUBLE),
+                          'v': CAST(0.0 AS DOUBLE)}},
+                        list({{'oe': oe, 'v': v}} ORDER BY t)),
+           (acc, x) -> {{'oe': acc.oe + x.oe, 'v': acc.v + x.v}}) AS s
+  FROM terms {gkey}
+),
+counts AS (
+  SELECT {gsel}sum(1 - g1) AS n_control, sum(g1) AS n_treatment
+  FROM base {gkey}
+)
+SELECT {gsel}n_control, n_treatment,
+       CASE WHEN s.v > 0
+            THEN round(s.oe * s.oe / s.v, {round_dp}) END AS chi2,
+       coalesce(CASE WHEN s.v > 0
+                     THEN round(s.oe * s.oe / s.v, {round_dp}) END
+                >= {float(chi2_alpha)!r}, FALSE) AS significant
+FROM counts {"JOIN folded USING (" + ", ".join(gb) + ")" if gb
+             else "CROSS JOIN folded"}
+"""

@@ -106,3 +106,92 @@ class TestUserDurations:
         # churned; u2 active at horizon -> censored
         assert got["u1"]["duration"] == 10 and got["u1"]["event"] == 1
         assert got["u2"]["duration"] == 2 and got["u2"]["event"] == 0
+
+
+class TestLogRank:
+    def test_identical_arms_not_significant(self, spark):
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_logrank
+        rows = [(d, e, v) for v in ("c", "t")
+                for d, e in [(1, 1), (2, 1), (3, 0), (4, 1), (5, 0)]]
+        df = spark.createDataFrame(
+            rows, "duration int, event int, variant string")
+        [r] = km_logrank(df, "duration", "event", "variant",
+                         "c", "t").collect()
+        # perfectly matched arms: O == E at every time -> chi2 == 0
+        assert r["chi2"] == 0.0
+        assert r["significant"] is False
+        assert r["n_control"] == 5 and r["n_treatment"] == 5
+
+    def test_separated_arms_significant(self, spark):
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_logrank
+        rows = [(1 + i % 3, 1, "c") for i in range(60)] \
+            + [(20 + i % 3, 1, "t") for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "duration int, event int, variant string")
+        [r] = km_logrank(df, "duration", "event", "variant",
+                         "c", "t").collect()
+        assert r["chi2"] > 3.841 and r["significant"] is True
+
+    def test_hand_computed_two_times(self, spark):
+        """Two subjects, one per arm, events at t=1 (control) and
+        t=2 (treatment) — small enough to verify every term by
+        hand (worked in the inline comments below)."""
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_logrank
+        # subjects: (1, event, c), (2, event, t)
+        df = spark.createDataFrame(
+            [(1, 1, "c"), (2, 1, "t")],
+            "duration int, event int, variant string")
+        [r] = km_logrank(df, "duration", "event", "variant",
+                         "c", "t").collect()
+        # t=1: nt=2, n1t=1, d=1, d1=0 -> OE=-0.5, V=1*.5*.5*1/1=0.25
+        # t=2: nt=1 -> V term 0 by the nt>1 guard; OE = 1 - 1*1/1 = 0
+        # chi2 = (-0.5)^2 / 0.25 = 1.0
+        assert r["chi2"] == 1.0
+        assert r["significant"] is False
+
+    def test_no_events_null_chi2(self, spark):
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_logrank
+        df = spark.createDataFrame(
+            [(3, 0, "c"), (4, 0, "t")],
+            "duration int, event int, variant string")
+        [r] = km_logrank(df, "duration", "event", "variant",
+                         "c", "t").collect()
+        assert r["chi2"] is None and r["significant"] is False
+
+    def test_twin_parity_grouped(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_logrank, km_logrank_sql, user_durations
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        dur = user_durations(ev, inactive_days=30,
+                             group_by=["event_type"]) \
+            .withColumn("variant",
+                        F.when(F.pmod(F.col("user"), 2) == 0, "c")
+                        .otherwise("t"))
+        got = sorted(map(tuple, km_logrank(
+            dur, "duration", "event", "variant", "c", "t",
+            group_by=["event_type"]).collect()))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        dur_sql = """
+          SELECT event_type, user_id AS user,
+                 CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END
+                   AS variant,
+                 date_diff('day', CAST(min(ts) AS DATE),
+                           CAST(max(ts) AS DATE))::BIGINT AS duration,
+                 CAST(date_diff('day', CAST(max(ts) AS DATE),
+                      (SELECT CAST(max(ts) AS DATE) FROM events))
+                      > 30 AS INT) AS event
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY event_type, user_id"""
+        want = sorted(map(tuple, con.execute(km_logrank_sql(
+            f"({dur_sql})", "duration", "event", "variant", "c", "t",
+            group_by=["event_type"])).fetchall()))
+        assert got == want
