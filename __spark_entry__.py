@@ -3326,6 +3326,24 @@ def q_events_km_logrank(spark, sf):
                           "c", "t", group_by=["event_type"])
 
 
+@_q("ab_bootstrap_ratio", abx.ab_bootstrap_ratio_ci_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant, CAST(user_id % 5 + 1 AS DOUBLE) AS views "
+    "FROM events)",
+    "variant", "value", "views", "event_id", n_boot=60,
+    group_by=["event_type"]))
+def q_ab_bootstrap_ratio(spark, sf):
+    ev = _t(spark, sf, "events")
+    exp = (ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+        .withColumn("views", (F.pmod(F.col("user_id"), 5) + 1)
+                    .cast("double")))
+    return abx.ab_bootstrap_ratio_ci(exp, "variant", "value", "views",
+                                     "event_id", n_boot=60,
+                                     group_by=["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -792,3 +792,159 @@ def ab_welch_test_winsorized_sql(
     return ab_welch_test_sql(f"({clamped})", variant_col, "__wz",
                              control, treatment, group_by=gb,
                              t_alpha=t_alpha, round_dp=round_dp)
+
+
+def ab_bootstrap_ratio_ci(
+    df: DataFrame,
+    variant_col: str,
+    num_col: str,
+    den_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    group_by: "list[str] | None" = None,
+    seed: int = 7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Ratio-of-sums metric (Σnum/Σden — revenue per session, CTR at
+    user granularity, tokens per document) with a Poisson-bootstrap
+    percentile CI. THE case that motivates bootstrap over Welch: the
+    denominator is random too, so treating per-row num/den as i.i.d.
+    observations (or Welch on them) is statistically wrong — the
+    resample must move numerator and denominator TOGETHER, which the
+    shared per-row Poisson weight does.
+
+    Same determinism contract as ab_bootstrap_ci (shared uniform,
+    thresholds, 1e-6 integer grids, exact decimal sums); the per-
+    resample ratio is swx/swy — the grid factor cancels, so it is ONE
+    IEEE division of two exactly-derived doubles. Rows where either
+    side is NULL are excluded (a unit must contribute both sides);
+    resamples with a zero denominator yield NULL and void the CI.
+
+    Output: (group..., variant, n, ratio, ci_lo, ci_hi)."""
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    gb = list(group_by or [])
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    base = (df.filter(x.isNotNull() & y.isNotNull()
+                      & F.col(id_col).isNotNull())
+            .select(*gb, F.col(variant_col).alias("variant"),
+                    F.col(id_col).cast("string").alias("__id"),
+                    F.round(x * 1e6).cast("decimal(38,0)").alias("__xq"),
+                    F.round(y * 1e6).cast("decimal(38,0)")
+                    .alias("__yq")))
+    ex = base.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("__id"), F.lit("#"), F.col("b"),
+                       F.lit(f"#{seed}"))), 1, 8), 16, 10).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(_U32)
+    w = F.lit(12)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    wd = w.cast("decimal(38,0)")
+    res = (ex.withColumn("__w", wd)
+           .groupBy(*gb, "variant", "b")
+           .agg(F.sum(F.col("__w") * F.col("__xq")).alias("__swx"),
+                F.sum(F.col("__w") * F.col("__yq")).alias("__swy")))
+    ratio_b = F.when(
+        F.col("__swy") != 0,
+        F.col("__swx").cast("double") / F.col("__swy").cast("double"))
+    means = (res.withColumn("__rb", ratio_b)
+             .groupBy(*gb, "variant")
+             .agg(F.sort_array(F.collect_list("__rb")).alias("__s"),
+                  F.count("__rb").alias("__ok")))
+    ilo, ihi = _boot_indices(n_boot, alpha)
+    full = F.col("__ok") == n_boot
+    ci = means.select(
+        *gb, "variant",
+        F.when(full, F.round(F.element_at("__s", ilo), round_dp))
+        .alias("ci_lo"),
+        F.when(full, F.round(F.element_at("__s", ihi), round_dp))
+        .alias("ci_hi"))
+    pt = (base.groupBy(*gb, "variant")
+          .agg(F.count("*").alias("n"),
+               F.sum("__xq").alias("__sx"),
+               F.sum("__yq").alias("__sy")))
+    pt = pt.select(
+        *gb, "variant", "n",
+        F.when(F.col("__sy") != 0,
+               F.round(F.col("__sx").cast("double")
+                       / F.col("__sy").cast("double"), round_dp))
+        .alias("ratio"))
+    return pt.join(ci, [*gb, "variant"]).select(
+        *gb, "variant", "n", "ratio", "ci_lo", "ci_hi")
+
+
+def ab_bootstrap_ratio_ci_sql(
+    table: str,
+    variant_col: str,
+    num_expr: str,
+    den_expr: str,
+    id_expr: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    group_by: "list[str] | None" = None,
+    seed: int = 7,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_bootstrap_ratio_ci."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ", ".join(gb + ["variant"])
+    case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}"
+        for k, c in enumerate(_POIS_CDF)) + " ELSE 12 END"
+    ilo, ihi = _boot_indices(n_boot, alpha)
+    return f"""
+WITH base AS (
+  SELECT {gsel}{variant_col} AS variant,
+         CAST({id_expr} AS VARCHAR) AS id,
+         CAST(round(CAST({num_expr} AS DOUBLE) * 1e6)
+              AS HUGEINT) AS xq,
+         CAST(round(CAST({den_expr} AS DOUBLE) * 1e6)
+              AS HUGEINT) AS yq
+  FROM {table}
+  WHERE {num_expr} IS NOT NULL AND {den_expr} IS NOT NULL
+    AND {id_expr} IS NOT NULL
+),
+ex AS (
+  SELECT base.*, b,
+         ((('0x' || substr(md5(id || '#' || b || '#{seed}'), 1, 8))
+           ::BIGINT)::DOUBLE + 0.5) / {_U32!r} AS u
+  FROM base CROSS JOIN (SELECT unnest(range({int(n_boot)})) AS b)
+),
+res AS (
+  SELECT {gsel}variant, b,
+         sum(({case})::HUGEINT * xq) AS swx,
+         sum(({case})::HUGEINT * yq) AS swy
+  FROM ex GROUP BY {gkey}, b
+),
+m AS (
+  SELECT {gsel}variant,
+         CASE WHEN swy != 0
+              THEN swx::DOUBLE / swy::DOUBLE END AS rb
+  FROM res
+),
+ci AS (
+  SELECT {gsel}variant, count(rb) AS ok,
+         list_sort(list(rb) FILTER (WHERE rb IS NOT NULL)) AS s
+  FROM m GROUP BY {gkey}
+),
+pt AS (
+  SELECT {gsel}variant, count(*) AS n,
+         CASE WHEN sum(yq) != 0
+              THEN round(sum(xq)::DOUBLE / sum(yq)::DOUBLE,
+                         {round_dp}) END AS ratio
+  FROM base GROUP BY {gkey}
+)
+SELECT {gsel}variant, n, ratio,
+       CASE WHEN ok = {int(n_boot)}
+            THEN round(s[{ilo}], {round_dp}) END AS ci_lo,
+       CASE WHEN ok = {int(n_boot)}
+            THEN round(s[{ihi}], {round_dp}) END AS ci_hi
+FROM pt JOIN ci USING ({gkey})
+"""

@@ -99,3 +99,74 @@ class TestBootstrap:
             "exp", "variant", "value", "event_id", n_boot=60,
             group_by=["event_type"])).fetchall()))
         assert got == want
+
+
+class TestBootstrapRatio:
+    def test_ratio_point_and_ci(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_bootstrap_ratio_ci,
+        )
+        # per-user (clicks, views): c ~ CTR 0.2, t ~ CTR 0.4
+        rows = [(i, "c", float(i % 3), 10.0) for i in range(200)] \
+            + [(i + 1000, "t", float(i % 3) + 2.0, 10.0)
+               for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "row_id long, variant string, clicks double, "
+                  "views double")
+        got = {r["variant"]: r for r in ab_bootstrap_ratio_ci(
+            df, "variant", "clicks", "views", "row_id",
+            n_boot=100).collect()}
+        # sum(i%3, i<200) = 199; views sum = 2000 -> 0.0995
+        assert got["c"]["ratio"] == 0.0995
+        assert got["t"]["ratio"] == 0.2995   # (199 + 400) / 2000
+        for v in ("c", "t"):
+            r = got[v]
+            assert r["ci_lo"] <= r["ratio"] <= r["ci_hi"]
+        assert got["c"]["ci_hi"] < got["t"]["ci_lo"]
+
+    def test_moves_num_and_den_together(self, spark):
+        """Every unit has clicks == views, so EVERY resample ratio is
+        exactly 1.0 — only a shared per-row weight achieves that
+        degenerate CI; independent resampling of the two sides would
+        scatter it."""
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_bootstrap_ratio_ci,
+        )
+        df = spark.range(500).select(
+            F.col("id").alias("row_id"), F.lit("x").alias("variant"),
+            (F.col("id") % 7 + 1).cast("double").alias("clicks"),
+            (F.col("id") % 7 + 1).cast("double").alias("views"))
+        [r] = ab_bootstrap_ratio_ci(
+            df, "variant", "clicks", "views", "row_id",
+            n_boot=40).collect()
+        assert r["ratio"] == 1.0
+        assert r["ci_lo"] == 1.0 and r["ci_hi"] == 1.0
+
+    def test_twin_parity_on_events(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_bootstrap_ratio_ci, ab_bootstrap_ratio_ci_sql,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        exp = (ev.withColumn(
+            "variant",
+            F.when(F.pmod(F.col("event_id"), 3) == 0, "c")
+            .otherwise("t"))
+            .withColumn("views",
+                        (F.pmod(F.col("user_id"), 5) + 1)
+                        .cast("double")))
+        got = sorted(map(tuple, ab_bootstrap_ratio_ci(
+            exp, "variant", "value", "views", "event_id",
+            n_boot=60, group_by=["event_type"]).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW exp AS SELECT *, CASE WHEN event_id % 3 = 0 "
+            "THEN 'c' ELSE 't' END AS variant, "
+            "CAST(user_id % 5 + 1 AS DOUBLE) AS views FROM "
+            f"'{sf_dir}/events.parquet'")
+        want = sorted(map(tuple, con.execute(ab_bootstrap_ratio_ci_sql(
+            "exp", "variant", "value", "views", "event_id",
+            n_boot=60, group_by=["event_type"])).fetchall()))
+        assert got == want
