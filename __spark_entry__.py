@@ -3344,6 +3344,15 @@ def q_ab_bootstrap_ratio(spark, sf):
                                      group_by=["event_type"])
 
 
+@_q("contamination_report", cx.contamination_report_sql(
+    "documents", "doc_id % 97 = 0", n=8))
+def q_contamination_report(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return cx.contamination_report(corpus, bench, n=8)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -110,6 +110,89 @@ def decontaminate_filter(
     return df.join(dirty, id_col, "left_anti")
 
 
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """The observability half of decontamination — decontaminate_filter
+    answers "drop which training docs"; this answers the eval-owner's
+    question: WHICH benchmark items leak into the corpus, and how
+    badly. One row per benchmark doc: n_ngrams (its distinct n-grams),
+    n_hit_ngrams (how many appear verbatim anywhere in the corpus),
+    hit_frac, and n_corpus_docs (distinct corpus docs carrying any of
+    them). hit_frac near 1 = the item is memorizable from training
+    data — report it to the eval maintainers, don't just filter.
+
+    Plan shape mirrors decontaminate: the benchmark's (bench_id, ng)
+    table is broadcast (eval suites are MBs); the corpus explodes
+    n-grams once and inner-joins, so ONLY matched (bench_id, ng,
+    doc_id) keys shuffle into two distinct-aggs; unmatched benchmark
+    rows come back via the final left join with zero counts."""
+    b = (benchmark.select(F.col(bench_id_col).alias("bench_id"),
+                          F.explode(shingles(text_col, n)).alias("ng"))
+         .distinct())
+    sizes = b.groupBy("bench_id").agg(F.count("*").alias("n_ngrams"))
+    doc_ngrams = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(shingles(text_col, n)).alias("ng"))
+    hits = (doc_ngrams.join(F.broadcast(b), "ng")
+            .groupBy("bench_id")
+            .agg(F.count_distinct("ng").alias("n_hit_ngrams"),
+                 F.count_distinct("__doc").alias("n_corpus_docs")))
+    return (sizes.join(hits, "bench_id", "left")
+            .select(
+                "bench_id", "n_ngrams",
+                F.coalesce("n_hit_ngrams", F.lit(0))
+                .alias("n_hit_ngrams"),
+                F.round(F.try_divide(
+                    F.coalesce("n_hit_ngrams", F.lit(0)),
+                    F.col("n_ngrams")), round_dp).alias("hit_frac"),
+                F.coalesce("n_corpus_docs", F.lit(0))
+                .alias("n_corpus_docs")))
+
+
+def contamination_report_sql(
+    table: str = "documents",
+    bench_pred: str = "doc_id % 97 = 0",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    n: int = 8,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of contamination_report with the benchmark carved
+    from the same table by `bench_pred` (the decontaminate_sql
+    convention); the corpus side is the COMPLEMENT — reporting a
+    benchmark against a corpus that contains it would trivially
+    self-hit every item."""
+    sh = shingles_sql(text_expr, n)
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT {id_col} AS bench_id, unnest({sh}) AS ng
+  FROM {table} WHERE {bench_pred}
+), sizes AS (
+  SELECT bench_id, count(*) AS n_ngrams FROM bench GROUP BY bench_id
+), doc_ngrams AS (
+  SELECT {id_col} AS doc, unnest({sh}) AS ng FROM {table}
+  WHERE NOT ({bench_pred})
+), hits AS (
+  SELECT bench_id, count(DISTINCT ng) AS n_hit_ngrams,
+         count(DISTINCT doc) AS n_corpus_docs
+  FROM doc_ngrams JOIN bench USING (ng) GROUP BY bench_id
+)
+SELECT s.bench_id, s.n_ngrams,
+       coalesce(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+       round(coalesce(h.n_hit_ngrams, 0)::DOUBLE
+             / nullif(s.n_ngrams, 0), {round_dp}) AS hit_frac,
+       coalesce(h.n_corpus_docs, 0) AS n_corpus_docs
+FROM sizes s LEFT JOIN hits h USING (bench_id)
+"""
+
+
 def decontaminate_sql(
     table: str = "documents",
     bench_pred: str = "doc_id % 97 = 0",

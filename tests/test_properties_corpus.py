@@ -146,3 +146,55 @@ class TestBpeIncrementalEquivalence:
 
         assert bpe_train_from_counts(counts, n_merges) == \
             naive(counts, n_merges)
+
+
+class TestContaminationReport:
+    def test_planted_overlap_golden(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            contamination_report,
+        )
+        leak = "the quick brown fox jumps over the lazy dog tonight"
+        corpus = spark.createDataFrame(
+            [(1, leak + " extra words here to pad the document"),
+             (2, leak),
+             (3, "completely unrelated text with no overlap at all "
+                 "whatsoever in any window")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, leak),                      # fully leaked item
+             (101, "an unleaked benchmark question nobody copied "
+                   "anywhere in the training corpus")],
+            "doc_id long, text string")
+        got = {r["bench_id"]: r for r in contamination_report(
+            corpus, bench, n=8).collect()}
+        # leak has 10 words -> 3 distinct 8-grams, all present in
+        # docs 1 and 2
+        assert got[100]["n_ngrams"] == 3
+        assert got[100]["n_hit_ngrams"] == 3
+        assert got[100]["hit_frac"] == 1.0
+        assert got[100]["n_corpus_docs"] == 2
+        assert got[101]["n_hit_ngrams"] == 0
+        assert got[101]["hit_frac"] == 0.0
+        assert got[101]["n_corpus_docs"] == 0
+
+    def test_twin_parity_on_documents(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            contamination_report, contamination_report_sql,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        got = sorted(map(tuple, contamination_report(
+            corpus, bench, n=8).collect()))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = sorted(map(tuple, con.execute(contamination_report_sql(
+            "documents", "doc_id % 97 = 0", n=8)).fetchall()))
+        assert got == want
