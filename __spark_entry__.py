@@ -3353,6 +3353,13 @@ def q_contamination_report(spark, sf):
     return cx.contamination_report(corpus, bench, n=8)
 
 
+@_q("events_key_skew", prof.key_skew_report_sql(
+    "events", ["event_type", "user_id"], k=25))
+def q_events_key_skew(spark, sf):
+    return prof.key_skew_report(_t(spark, sf, "events"),
+                                ["event_type", "user_id"], k=25)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -295,3 +295,74 @@ def profile_quantiles_sql(
                 f"AS quantile FROM {table}")
     return (" UNION ALL ".join(selects)
             + ' ORDER BY "column", prob')
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: "list[str]",
+    k: int = 20,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic — the measurement BEFORE a
+    salting/AQE decision: at 100 TB a single hot key turns one reducer
+    into the job's critical path, and the fix (salt factor, broadcast
+    threshold, AQE skew-join) should be sized from data, not folklore.
+    One row per top-k key by frequency: (rank, key..., n, frac of all
+    rows, skew = n / mean-rows-per-key). skew >> shuffle-partition
+    count means even perfect hash spreading leaves that key's reducer
+    hot — salt by roughly ceil(skew / P) or broadcast the other side.
+
+    Scale shape: ONE map-side-combinable count agg (shuffle carries
+    distinct keys); the global mean is a 1-row broadcast; the cut is
+    TakeOrderedAndProject (per-partition top-k, no global sort). NULL
+    key values group as their own observable bucket — NULL-heavy keys
+    are the single most common real-world skew. Ties break (n desc,
+    key asc) — deterministic, twin-replayed."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("__rows"),
+                     F.count("*").alias("__keys"))
+    enriched = counts.crossJoin(F.broadcast(tot)).select(
+        *keys, "n",
+        F.round(F.col("n") / F.col("__rows"), round_dp).alias("frac"),
+        F.round(F.col("n").cast("double")
+                / (F.col("__rows").cast("double")
+                   / F.col("__keys").cast("double")),
+                round_dp).alias("skew"))
+    ordered = enriched.orderBy(
+        F.desc("n"), *[F.asc_nulls_first(c) for c in keys]).limit(k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("n"),
+                       *[F.asc_nulls_first(c) for c in keys])
+    return ordered.withColumn(
+        "rank", F.row_number().over(w).cast("long")) \
+        .select("rank", *keys, "n", "frac", "skew")
+
+
+def key_skew_report_sql(
+    table: str,
+    keys: "list[str]",
+    k: int = 20,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of key_skew_report (same counts, mean, ties, cut)."""
+    kcols = ", ".join(keys)
+    order = "n DESC, " + ", ".join(f"{c} ASC NULLS FIRST"
+                                   for c in keys)
+    return f"""
+WITH counts AS (
+  SELECT {kcols}, count(*) AS n FROM {table} GROUP BY {kcols}
+),
+tot AS (SELECT sum(n) AS rows_, count(*) AS keys_ FROM counts)
+SELECT row_number() OVER (ORDER BY {order})::BIGINT AS rank,
+       {kcols}, n,
+       round(n / rows_, {round_dp}) AS frac,
+       round(n::DOUBLE / (rows_::DOUBLE / keys_::DOUBLE),
+             {round_dp}) AS skew
+FROM counts CROSS JOIN tot
+ORDER BY {order}
+LIMIT {int(k)}
+"""

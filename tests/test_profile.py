@@ -220,3 +220,69 @@ class TestQuantileProfile:
             profile_quantiles(df, [])
         with pt.raises(ValueError):
             profile_quantiles(df, ["x"], probs=(1.5,))
+
+
+class TestKeySkewReport:
+    def test_planted_hot_key(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            key_skew_report,
+        )
+        from pyspark.sql import functions as F
+        # 1000 rows on the hot key, 10 each on 50 cold keys
+        df = spark.range(1000).select(F.lit("hot").alias("k")).union(
+            spark.range(500).select(
+                F.concat(F.lit("cold"), (F.col("id") % 50))
+                .alias("k")))
+        rows = key_skew_report(df, ["k"], k=3).collect()
+        assert rows[0]["rank"] == 1 and rows[0]["k"] == "hot"
+        assert rows[0]["n"] == 1000
+        # mean rows/key = 1500/51; skew = 1000 / (1500/51) = 34.0
+        assert rows[0]["skew"] == 34.0
+        assert rows[0]["frac"] == round(1000 / 1500, 4)
+        assert rows[1]["n"] == 10  # cold keys tied, key-asc order
+        assert rows[1]["k"] == "cold0" and rows[2]["k"] == "cold1"
+
+    def test_null_keys_are_a_bucket(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            key_skew_report,
+        )
+        from pyspark.sql import functions as F
+        df = spark.range(10).select(
+            F.when(F.col("id") < 7, None).otherwise("x").alias("k"))
+        rows = key_skew_report(df, ["k"], k=2).collect()
+        assert rows[0]["k"] is None and rows[0]["n"] == 7
+
+    def test_twin_parity_and_validation(self, spark, sf_dir):
+        import duckdb
+        import pytest as pt
+        from nifi_extracttext_processor_spark.operators.profile import (
+            key_skew_report, key_skew_report_sql,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        got = sorted(map(tuple, key_skew_report(
+            ev, ["event_type", "user_id"], k=25).collect()))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        want = sorted(map(tuple, con.execute(key_skew_report_sql(
+            "events", ["event_type", "user_id"], k=25)).fetchall()))
+        assert got == want
+        with pt.raises(ValueError):
+            key_skew_report(ev, [], k=5)
+        with pt.raises(ValueError):
+            key_skew_report(ev, ["user_id"], k=0)
+
+    def test_no_global_sort_in_plan(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.profile import (
+            key_skew_report,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        plan = key_skew_report(ev, ["user_id"], k=10)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
