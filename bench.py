@@ -97,6 +97,8 @@ HEADLINE = [
                            # token mixing + split + BPE + packing
     "hll_token_distinct",  # r10 sketch family: HLL registers over a
                            # token explode (map-side-combinable agg)
+    "ab_bootstrap_ci",     # r11: B=60 Poisson resamples — explode x B
+                           # into a map-side agg, decimal exact sums
 ]
 
 
