@@ -538,6 +538,23 @@ _POIS_CDF = (
 _U32 = 4294967296.0
 
 
+def _boot_uniform(b_col, seed: int, md5: bool):
+    """32-bit hash uniform in (0,1) from (__id, b, seed). md5=True is
+    the oracle-replayable default (DuckDB twin recomputes it exactly);
+    md5=False swaps xxhash64 — ~5x cheaper per row on the 100 TB path,
+    same distribution, but not twin-replayable (the corpus-module
+    md5/xxhash dual convention)."""
+    if md5:
+        h = F.conv(F.substring(
+            F.md5(F.concat(F.col("__id"), F.lit("#"), b_col,
+                           F.lit(f"#{seed}"))), 1, 8), 16, 10) \
+            .cast("long")
+    else:
+        h = F.pmod(F.xxhash64(F.col("__id"), b_col, F.lit(seed)),
+                   F.lit(1 << 32))
+    return (h.cast("double") + 0.5) / F.lit(_U32)
+
+
 def _boot_indices(n_boot: int, alpha: float) -> tuple[int, int]:
     import math
     lo = max(1, math.ceil(n_boot * alpha / 2.0))
@@ -555,6 +572,7 @@ def ab_bootstrap_ci(
     group_by: "list[str] | None" = None,
     seed: int = 7,
     round_dp: int = 4,
+    md5: bool = True,
 ) -> DataFrame:
     """Per-variant mean with a Poisson-bootstrap percentile CI
     (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
@@ -599,10 +617,7 @@ def ab_bootstrap_ci(
 
     ex = base.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.col("__id"), F.lit("#"), F.col("b"),
-                       F.lit(f"#{seed}"))), 1, 8), 16, 10).cast("long")
-    u = (h.cast("double") + 0.5) / F.lit(_U32)
+    u = _boot_uniform(F.col("b"), seed, md5)
     w = F.lit(12)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
@@ -805,6 +820,7 @@ def ab_bootstrap_ratio_ci(
     group_by: "list[str] | None" = None,
     seed: int = 7,
     round_dp: int = 4,
+    md5: bool = True,
 ) -> DataFrame:
     """Ratio-of-sums metric (Σnum/Σden — revenue per session, CTR at
     user granularity, tokens per document) with a Poisson-bootstrap
@@ -838,10 +854,7 @@ def ab_bootstrap_ratio_ci(
                     .alias("__yq")))
     ex = base.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
-    h = F.conv(F.substring(
-        F.md5(F.concat(F.col("__id"), F.lit("#"), F.col("b"),
-                       F.lit(f"#{seed}"))), 1, 8), 16, 10).cast("long")
-    u = (h.cast("double") + 0.5) / F.lit(_U32)
+    u = _boot_uniform(F.col("b"), seed, md5)
     w = F.lit(12)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)

@@ -170,3 +170,20 @@ class TestBootstrapRatio:
             "exp", "variant", "value", "views", "event_id",
             n_boot=60, group_by=["event_type"])).fetchall()))
         assert got == want
+
+
+class TestXxhashDual:
+    def test_xxhash_path_deterministic_and_sane(self, spark, metric):
+        """md5=False is the production hash (cheaper, not
+        twin-replayable): same contract — deterministic under
+        repartition, CI brackets the mean."""
+        a = sorted(map(tuple, ab_bootstrap_ci(
+            metric, "variant", "value", "row_id", n_boot=50,
+            md5=False).collect()))
+        b = sorted(map(tuple, ab_bootstrap_ci(
+            metric.repartition(11), "variant", "value", "row_id",
+            n_boot=50, md5=False).collect()))
+        assert a == b
+        got = {r[0]: r for r in a}
+        for v in ("c", "t"):
+            assert got[v][3] <= got[v][2] <= got[v][4]  # lo<=mean<=hi
