@@ -751,7 +751,14 @@ def ab_welch_test_winsorized(
     to the bit on both engines); the threshold table is
     groups x variants-sized and broadcast back, so raw rows never
     shuffle for the clamp. Everything downstream IS ab_welch_test —
-    same output columns, same NULL conventions."""
+    same output columns, same NULL conventions.
+
+    100 TB note: Spark's exact `percentile` aggregate buffers a
+    value->count map per cell, so a cell with ~10^8+ DISTINCT metric
+    values needs the documented alternative — quantize the metric
+    upstream (e.g. cents) or take thresholds from
+    histogram.histogram_quantiles at grid precision; the clamp and
+    Welch pass are unchanged either way."""
     if not 0.0 <= trim < 0.5:
         raise ValueError("trim must be in [0, 0.5)")
     gb = list(group_by or [])
