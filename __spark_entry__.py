@@ -3360,6 +3360,19 @@ def q_events_key_skew(spark, sf):
                                 ["event_type", "user_id"], k=25)
 
 
+@_q("ab_quantile_lift", abx.ab_quantile_lift_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events)",
+    "variant", "value", "c", "t", group_by=["event_type"]))
+def q_ab_quantile_lift(spark, sf):
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    return abx.ab_quantile_lift(exp, "variant", "value", "c", "t",
+                                group_by=["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -968,3 +968,94 @@ SELECT {gsel}variant, n, ratio,
             THEN round(s[{ihi}], {round_dp}) END AS ci_hi
 FROM pt JOIN ci USING ({gkey})
 """
+
+
+def ab_quantile_lift(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    probs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Quantile treatment effects — mean lift (Welch) hides WHERE the
+    distribution moved: a latency experiment can leave the mean flat
+    while blowing up p99, and a revenue test can lift the median while
+    a whale regression cancels it in the mean. One row per (group,
+    prob): q_control, q_treatment, lift (treatment − control).
+
+    Quantiles are the exact interpolated percentile (the winsorized-
+    Welch primitive — Spark `percentile` ≡ DuckDB `quantile_cont`);
+    same 100 TB note as there: for cells with ~10^8+ DISTINCT values,
+    quantize the metric upstream or read thresholds from the grid
+    histograms. One agg per variant side, arrays unzipped to rows —
+    everything downstream of the two aggregates is probs-bounded."""
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError("probs must be within [0, 1]")
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(F.col(variant_col).isin(control, treatment)
+                     & v.isNotNull())
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+
+    def side(name):
+        return F.percentile(
+            F.when(F.col(variant_col) == name, v), parr)
+
+    agg = base.groupBy(*gb).agg(
+        side(control).alias("__qc"), side(treatment).alias("__qt"))
+    out = (agg.select(
+        *gb,
+        F.posexplode(F.arrays_zip(parr.alias("p"),
+                                  F.col("__qc").alias("qc"),
+                                  F.col("__qt").alias("qt"))))
+        .select(*gb,
+                F.col("col.p").alias("prob"),
+                F.round(F.col("col.qc"), round_dp).alias("q_control"),
+                F.round(F.col("col.qt"), round_dp)
+                .alias("q_treatment"),
+                F.round(F.col("col.qt") - F.col("col.qc"), round_dp)
+                .alias("lift")))
+    return out.orderBy(*gb, "prob")
+
+
+def ab_quantile_lift_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    probs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_quantile_lift: quantile_cont FILTER per
+    side, same interpolation; lift = round(qt − qc) over the RAW
+    (un-rounded) quantiles on both engines."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    v = f"CAST({value_col} AS DOUBLE)"
+    parts = []
+    for p in probs:
+        parts.append(f"""
+SELECT {gsel}CAST({float(p)!r} AS DOUBLE) AS prob,
+       round(quantile_cont({v}, {float(p)!r})
+             FILTER (WHERE {variant_col} = '{control}'),
+             {round_dp}) AS q_control,
+       round(quantile_cont({v}, {float(p)!r})
+             FILTER (WHERE {variant_col} = '{treatment}'),
+             {round_dp}) AS q_treatment,
+       round(quantile_cont({v}, {float(p)!r})
+             FILTER (WHERE {variant_col} = '{treatment}')
+             - quantile_cont({v}, {float(p)!r})
+             FILTER (WHERE {variant_col} = '{control}'),
+             {round_dp}) AS lift
+FROM {table}
+WHERE {variant_col} IN ('{control}', '{treatment}')
+  AND {value_col} IS NOT NULL
+{gkey}""")
+    order = ", ".join([*gb, "prob"])
+    return " UNION ALL ".join(parts) + f" ORDER BY {order}"

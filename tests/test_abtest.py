@@ -294,3 +294,49 @@ class TestWinsorizedWelch:
         with pytest.raises(ValueError):
             ab_welch_test_winsorized(exp, "variant", "value", "c",
                                      "t", trim=0.5)
+
+
+class TestQuantileLift:
+    def test_tail_moves_mean_flat(self, spark):
+        """The motivating case: treatment leaves the median alone but
+        blows up p99 — quantile lift sees it, mean lift barely does."""
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_quantile_lift,
+        )
+        rows = [("c", float(i % 100)) for i in range(1000)] \
+            + [("t", float(i % 100)) for i in range(980)] \
+            + [("t", 5000.0)] * 20          # 2% tail regression
+        df = spark.createDataFrame(rows, "variant string, value double")
+        got = {r["prob"]: r for r in ab_quantile_lift(
+            df, "variant", "value", "c", "t").collect()}
+        assert abs(got[0.5]["lift"]) < 2.0       # median ~unmoved
+        assert got[0.99]["lift"] > 1000.0        # p99 explodes
+
+    def test_twin_parity_grouped(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_quantile_lift, ab_quantile_lift_sql,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events")
+        exp = ev.withColumn(
+            "variant",
+            F.when(F.pmod(F.col("event_id"), 3) == 0, "c")
+            .otherwise("t"))
+        got = sorted(map(tuple, ab_quantile_lift(
+            exp, "variant", "value", "c", "t",
+            group_by=["event_type"]).collect()))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW exp AS SELECT *, CASE WHEN event_id % 3 = 0 "
+            "THEN 'c' ELSE 't' END AS variant FROM "
+            f"'{sf_dir}/events.parquet'")
+        want = sorted(map(tuple, con.execute(ab_quantile_lift_sql(
+            "exp", "variant", "value", "c", "t",
+            group_by=["event_type"])).fetchall()))
+        assert got == want
+        with pytest.raises(ValueError):
+            ab_quantile_lift(exp, "variant", "value", "c", "t",
+                             probs=(1.5,))
