@@ -3373,6 +3373,15 @@ def q_ab_quantile_lift(spark, sf):
                                 group_by=["event_type"])
 
 
+@_q("hilbert_key", layt.hilbert_value_sql(
+    "(SELECT event_id, user_id, value FROM events)",
+    ["user_id", "value"], bits=8, id_cols="event_id"))
+def q_hilbert_key(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    return (layt.hilbert_value(ev, ["user_id", "value"], bits=8)
+            .select("event_id", "h"))
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -237,3 +237,193 @@ def pruned_file_fraction(
                 skipped += 1
                 break
     return skipped / len(stats)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the locality-optimal 2-D layout
+# ---------------------------------------------------------------------------
+#
+# The Z-curve's diagonal jumps (…0111 -> 1000 crosses the whole grid)
+# leak wide per-file ranges at quadrant seams; the Hilbert curve
+# (Hilbert 1891, the layout Delta chose to succeed ZORDER for exactly
+# this reason) visits every cell via UNIT steps — consecutive keys are
+# always orthogonal grid neighbors — so file min/max boxes stay tight
+# at every scale. Cost: the index needs a per-level rotate/reflect
+# state machine instead of plain bit interleave. 2-D only here (the
+# classic case: (user, time), (lat, lon)); for 3+ dims use zorder.
+#
+# xy2d (the standard iterative form), unrolled `bits` times:
+#   rx = bit(x, lev); ry = bit(y, lev)
+#   d += s^2 * ((3*rx) XOR ry)
+#   if ry == 0:  (flip when rx == 1, then swap x/y)
+#       x, y = (s-1-y if rx else y), (s-1-x if rx else x)
+# Every step is integer compare/shift/xor — exactly specified, so the
+# DuckDB twin (chained CTEs, one per level — no lateral-alias
+# ambiguity) replays the key bit-for-bit.
+
+
+def hilbert_value(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = _DEFAULT_BITS,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    out_col: str = "h",
+) -> DataFrame:
+    """Append the Hilbert key over exactly TWO numeric columns; same
+    range handling as zorder_value (auto min/max broadcast, or pinned
+    `ranges` for append-stable incremental layout, NULL -> lo,
+    out-of-range clamps). Pure narrow Catalyst: the unrolled level
+    loop materializes one named projection per level — no UDF, no
+    shuffle, expression size linear in `bits`."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_value is 2-D: pass exactly 2 cols")
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    if ranges is not None:
+        missing = [c for c in cols if c not in ranges]
+        if missing:
+            raise ValueError(f"ranges missing for {missing}")
+        bad = [c for c in cols if not ranges[c][1] >= ranges[c][0]]
+        if bad:
+            raise ValueError(f"ranges with hi < lo for {bad}")
+        scaled = [
+            _scaled(F.coalesce(F.col(c).cast("double"),
+                               F.lit(float(ranges[c][0]))),
+                    F.lit(float(ranges[c][0])),
+                    F.lit(float(ranges[c][1])), bits)
+            for c in cols]
+        out = df
+    else:
+        stats = df.agg(*[x for c in cols for x in (
+            F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_hi_{c}"))])
+        out = df.crossJoin(F.broadcast(stats))
+        scaled = [
+            _scaled(F.coalesce(F.col(c).cast("double"),
+                               F.col(f"_lo_{c}")),
+                    F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits)
+            for c in cols]
+    out = out.withColumns({"__hx": scaled[0], "__hy": scaled[1],
+                           "__hd": F.lit(0).cast("bigint")})
+    for lev in range(bits - 1, -1, -1):
+        s = 1 << lev
+        hx, hy = F.col("__hx"), F.col("__hy")
+        rx = F.shiftright(hx, lev).bitwiseAND(F.lit(1))
+        ry = F.shiftright(hy, lev).bitwiseAND(F.lit(1))
+        d_new = (F.col("__hd")
+                 + F.lit(s * s).cast("bigint")
+                 * (F.lit(3) * rx).bitwiseXOR(ry).cast("bigint"))
+        nx = F.when(ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - hy).otherwise(hy)) \
+            .otherwise(hx)
+        ny = F.when(ry == 0,
+                    F.when(rx == 1, F.lit(s - 1) - hx).otherwise(hx)) \
+            .otherwise(hy)
+        out = out.withColumns({"__hd": d_new, "__hx": nx, "__hy": ny})
+    drop = ["__hx", "__hy", "__hd"]
+    if ranges is None:
+        drop += [f"_lo_{c}" for c in cols] + [f"_hi_{c}" for c in cols]
+    return out.withColumn(out_col, F.col("__hd")).drop(*drop)
+
+
+def hilbert_value_sql(
+    table: str,
+    cols: list[str],
+    bits: int = _DEFAULT_BITS,
+    id_cols: str = "*",
+) -> str:
+    """DuckDB twin of hilbert_value (auto ranges): same scaling, one
+    chained CTE per level carrying (hx, hy, hd) forward — distinct
+    column names per level so DuckDB's lateral column aliases can
+    never capture the wrong generation."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_value_sql is 2-D")
+    top = (1 << bits) - 1
+    stats = ", ".join(
+        f"min(CAST({c} AS DOUBLE)) AS _lo_{c}, "
+        f"max(CAST({c} AS DOUBLE)) AS _hi_{c}" for c in cols)
+    scaled = ", ".join(
+        f"CASE WHEN _hi_{c} > _lo_{c} THEN "
+        f"greatest(CAST(0 AS BIGINT), least(CAST({top} AS BIGINT), "
+        f"CAST(floor((coalesce(CAST({c} AS DOUBLE), _lo_{c}) - _lo_{c})"
+        f" / (_hi_{c} - _lo_{c}) * {top}.0) AS BIGINT))) "
+        f"ELSE 0 END AS {nm}0"
+        for c, nm in zip(cols, ("hx", "hy")))
+    ctes = [f"""c0 AS (
+  SELECT {id_cols}, {scaled}, CAST(0 AS BIGINT) AS hd0
+  FROM {table} CROSS JOIN _stats
+)"""]
+    step = 0
+    for lev in range(bits - 1, -1, -1):
+        s = 1 << lev
+        i, j = step, step + 1
+        rx = f"((hx{i} >> {lev}) & 1)"
+        ry = f"((hy{i} >> {lev}) & 1)"
+        ctes.append(f"""c{j} AS (
+  SELECT {id_cols},
+    CASE WHEN {ry} = 0 THEN
+      CASE WHEN {rx} = 1 THEN {s - 1} - hy{i} ELSE hy{i} END
+    ELSE hx{i} END AS hx{j},
+    CASE WHEN {ry} = 0 THEN
+      CASE WHEN {rx} = 1 THEN {s - 1} - hx{i} ELSE hx{i} END
+    ELSE hy{i} END AS hy{j},
+    hd{i} + CAST({s * s} AS BIGINT)
+          * CAST(xor(3 * {rx}, {ry}) AS BIGINT) AS hd{j}
+  FROM c{i}
+)""")
+        step = j
+    return (f"WITH _stats AS (SELECT {stats} FROM {table}),\n"
+            + ",\n".join(ctes)
+            + f"\nSELECT {id_cols}, hd{step} AS h FROM c{step}\n")
+
+
+def hilbert_reference(
+    rows: "list[tuple[float, float]]",
+    bits: int = _DEFAULT_BITS,
+) -> list[int]:
+    """Independent pure-Python oracle (the zorder_reference pattern):
+    same scaling, then the textbook xy2d loop on Python ints."""
+    los = [min(r[i] for r in rows) for i in range(2)]
+    his = [max(r[i] for r in rows) for i in range(2)]
+    top = (1 << bits) - 1
+
+    def scale(v, lo, hi):
+        if not hi > lo:
+            return 0
+        import math
+        return max(0, min(top, int(math.floor((v - lo) / (hi - lo)
+                                              * float(top)))))
+
+    out = []
+    for r in rows:
+        x, y = (scale(r[i], los[i], his[i]) for i in range(2))
+        d = 0
+        s = 1 << (bits - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        out.append(d)
+    return out
+
+
+def cluster_by_hilbert(
+    df: DataFrame,
+    cols: list[str],
+    num_partitions: int,
+    bits: int = _DEFAULT_BITS,
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Re-layout df along the Hilbert curve — same ONE range
+    repartition + partition-local sort cost as cluster_by_zorder,
+    tighter per-file boxes at quadrant seams."""
+    keyed = hilbert_value(df, cols, bits=bits, ranges=ranges,
+                          out_col="__hkey")
+    return (keyed.repartitionByRange(num_partitions, "__hkey")
+            .sortWithinPartitions("__hkey")
+            .drop("__hkey"))

@@ -174,3 +174,111 @@ class TestClusterByZorder:
         assert out.columns == ["id", "x", "y"]
         assert sorted(r["id"] for r in out.collect()) == \
             sorted(r["id"] for r in df.collect())
+
+
+class TestHilbert:
+    def _pts(self, spark, n=16):
+        rows = [(i, float(x), float(y))
+                for i, (x, y) in enumerate(
+                    (x, y) for x in range(n) for y in range(n))]
+        return spark.createDataFrame(
+            rows, "id long, x double, y double")
+
+    def test_matches_independent_reference(self, spark):
+        from nifi_extracttext_processor_spark.operators.layout import (
+            hilbert_reference, hilbert_value,
+        )
+        df = self._pts(spark)
+        got = {(r["x"], r["y"]): r["h"] for r in
+               hilbert_value(df, ["x", "y"], bits=4).collect()}
+        pts = sorted(got)
+        want = hilbert_reference([(x, y) for x, y in pts], bits=4)
+        assert [got[p] for p in pts] == want
+
+    def test_unit_step_adjacency_beats_zorder(self, spark):
+        """THE Hilbert property: consecutive keys are orthogonal grid
+        neighbors (Manhattan distance exactly 1 at every step); the
+        Z-curve jumps diagonally at every quadrant seam."""
+        from nifi_extracttext_processor_spark.operators.layout import (
+            hilbert_value, zorder_value,
+        )
+        df = self._pts(spark)
+        hil = sorted(((r["h"], r["x"], r["y"]) for r in
+                      hilbert_value(df, ["x", "y"], bits=4).collect()))
+        assert all(abs(a[1] - b[1]) + abs(a[2] - b[2]) == 1
+                   for a, b in zip(hil, hil[1:]))
+        zor = sorted(((r["z"], r["x"], r["y"]) for r in
+                      zorder_value(df, ["x", "y"], bits=4).collect()))
+        z_jumps = sum(abs(a[1] - b[1]) + abs(a[2] - b[2]) != 1
+                      for a, b in zip(zor, zor[1:]))
+        assert z_jumps > 0  # morton genuinely lacks the property
+
+    def test_bijection_and_range(self, spark):
+        from nifi_extracttext_processor_spark.operators.layout import (
+            hilbert_value,
+        )
+        df = self._pts(spark)
+        hs = [r["h"] for r in
+              hilbert_value(df, ["x", "y"], bits=4).collect()]
+        assert sorted(hs) == list(range(256))  # perfect bijection
+
+    def test_duckdb_twin_parity(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.layout import (
+            hilbert_value, hilbert_value_sql,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        ev = load_table(spark, sf_dir, "events") \
+            .select("event_id", "user_id", "value")
+        got = sorted((r["event_id"], r["h"]) for r in
+                     hilbert_value(ev, ["user_id", "value"],
+                                   bits=8).collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW ev AS SELECT event_id, user_id, value "
+            f"FROM '{sf_dir}/events.parquet'")
+        want = sorted(map(tuple, con.execute(hilbert_value_sql(
+            "ev", ["user_id", "value"], bits=8,
+            id_cols="event_id")).fetchall()))
+        assert got == want
+
+    def test_pinned_ranges_append_stable_and_validation(self, spark):
+        import pytest as pt
+        from nifi_extracttext_processor_spark.operators.layout import (
+            hilbert_value,
+        )
+        rng = {"x": (0.0, 15.0), "y": (0.0, 15.0)}
+        a = self._pts(spark, 8)
+        whole = self._pts(spark, 16)
+        ha = {(r["x"], r["y"]): r["h"] for r in
+              hilbert_value(a, ["x", "y"], bits=4,
+                            ranges=rng).collect()}
+        hw = {(r["x"], r["y"]): r["h"] for r in
+              hilbert_value(whole, ["x", "y"], bits=4,
+                            ranges=rng).collect()}
+        assert all(hw[p] == h for p, h in ha.items())  # append-stable
+        # out-of-range clamps instead of corrupting the key
+        far = spark.createDataFrame([(0, -99.0, 99.0)],
+                                    "id long, x double, y double")
+        [r] = hilbert_value(far, ["x", "y"], bits=4,
+                            ranges=rng).collect()
+        assert 0 <= r["h"] < 256
+        with pt.raises(ValueError):
+            hilbert_value(a, ["x"], bits=4)
+        with pt.raises(ValueError):
+            hilbert_value(a, ["x", "y"], bits=40)
+
+    def test_narrow_plan(self, spark):
+        from nifi_extracttext_processor_spark.operators.layout import (
+            hilbert_value,
+        )
+        df = self._pts(spark, 4)
+        plan = hilbert_value(df, ["x", "y"], bits=8,
+                             ranges={"x": (0.0, 3.0),
+                                     "y": (0.0, 3.0)}) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan
