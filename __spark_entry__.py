@@ -3382,6 +3382,15 @@ def q_hilbert_key(spark, sf):
             .select("event_id", "h"))
 
 
+@_q("rendezvous_shards", cx.assign_shards_rendezvous_sql(
+    "(SELECT doc_id FROM documents)", ["alpha", "beta", "gamma"],
+    select="doc_id"))
+def q_rendezvous_shards(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return cx.assign_shards_rendezvous(docs,
+                                       ["alpha", "beta", "gamma"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

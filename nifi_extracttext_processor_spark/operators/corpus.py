@@ -1277,3 +1277,79 @@ def write_corpus_shards(
     (manifest.write.mode("overwrite").format(fmt)
      .save(path.rstrip("/") + "/_manifest"))
     return manifest
+
+
+def assign_shards_rendezvous(
+    df: DataFrame,
+    shards: "list[str]",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar 1998): shard = argmax over shards of
+    hash(id, shard, seed). The RESHARDING-stable complement to
+    assign_shards' pmod — growing N -> N+1 under pmod remaps ~N/(N+1)
+    of all keys (every incremental catalog, cache, and co-located
+    join built on the old layout churns); under HRW a key moves ONLY
+    when the new shard wins its argmax, i.e. exactly ~1/(N+1) of keys
+    move, all of them TO the new shard, and removing a shard moves
+    only that shard's keys. Use for long-lived sharded catalogs that
+    must grow in place; keep assign_shards for one-shot outputs and
+    assign_shards_balanced when token balance dominates.
+
+    Deterministic: weights are the house md5 32-bit uniform from
+    (id, shard, seed); ties (2^-32) break on shard LIST POSITION via
+    lexicographic (weight, position) max — both engines replay the
+    argmax exactly. Cost: |shards| hash evaluations per row, all in
+    one narrow projection — zero shuffle, zero UDF; fine for the
+    10^1-10^3 shard counts catalogs actually use."""
+    if len(shards) < 1:
+        raise ValueError("shards must be non-empty")
+    if len(set(shards)) != len(shards):
+        raise ValueError("duplicate shard names")
+
+    def w(s: str):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f"#{s}#{seed}"))), 1, 8), 16, 10) \
+            .cast("long")
+
+    if len(shards) == 1:
+        return df.withColumn("shard", F.lit(shards[0]))
+    best = F.greatest(*[
+        F.struct(w(s).alias("w"),
+                 F.lit(i).cast("int").alias("p"))
+        for i, s in enumerate(shards)])
+    pick = best.getField("p")
+    expr = F.lit(shards[-1])
+    for i in range(len(shards) - 2, -1, -1):
+        expr = F.when(pick == i, F.lit(shards[i])).otherwise(expr)
+    return df.withColumn("shard", expr)
+
+
+def assign_shards_rendezvous_sql(
+    table: str,
+    shards: "list[str]",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    select: str = "*",
+) -> str:
+    """DuckDB twin of assign_shards_rendezvous (same md5 weights,
+    same (weight, position) lexicographic argmax)."""
+    def w(s: str):
+        return (f"('0x' || substr(md5(CAST({id_col} AS VARCHAR) || "
+                f"'#{s}#{seed}'), 1, 8))::BIGINT")
+
+    if len(shards) == 1:
+        return f"SELECT {select}, '{shards[0]}' AS shard FROM {table}"
+    rows = ", ".join(f"({w(s)}, {i})" for i, s in enumerate(shards))
+    case = "CASE " + " ".join(
+        f"WHEN __best[2] = {i} THEN '{s}'"
+        for i, s in enumerate(shards)) + " END"
+    outer = "* EXCLUDE (__best)" if select.strip() == "*" else select
+    return f"""
+SELECT {outer}, {case} AS shard
+FROM (
+  SELECT *, list_max([{rows}]) AS __best FROM {table}
+)
+"""

@@ -198,3 +198,78 @@ class TestContaminationReport:
         want = sorted(map(tuple, con.execute(contamination_report_sql(
             "documents", "doc_id % 97 = 0", n=8)).fetchall()))
         assert got == want
+
+
+class TestRendezvousShards:
+    def test_minimal_movement_on_grow(self, spark):
+        """THE HRW property pmod lacks: adding a shard moves keys ONLY
+        onto the new shard — everything else stays put (pmod remaps
+        ~N/(N+1) of all keys)."""
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards, assign_shards_rendezvous,
+        )
+        from pyspark.sql import functions as F
+        df = spark.range(3000).select(F.col("id").alias("doc_id"))
+        before = {r["doc_id"]: r["shard"] for r in
+                  assign_shards_rendezvous(
+                      df, ["s0", "s1", "s2", "s3"]).collect()}
+        after = {r["doc_id"]: r["shard"] for r in
+                 assign_shards_rendezvous(
+                     df, ["s0", "s1", "s2", "s3", "s4"]).collect()}
+        moved = {k for k in before if before[k] != after[k]}
+        assert all(after[k] == "s4" for k in moved)
+        # ~1/5 of keys move; pmod moves ~4/5
+        assert 0.1 < len(moved) / 3000 < 0.3
+        pb = {r["doc_id"]: r["shard"] for r in
+              assign_shards(df, 4).collect()}
+        pa = {r["doc_id"]: r["shard"] for r in
+              assign_shards(df, 5).collect()}
+        pmod_moved = sum(pb[k] != pa[k] for k in pb) / 3000
+        assert pmod_moved > 0.5
+
+    def test_balance_and_determinism(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards_rendezvous,
+        )
+        from pyspark.sql import functions as F
+        df = spark.range(4000).select(F.col("id").alias("doc_id"))
+        out = assign_shards_rendezvous(df, ["a", "b", "c", "d"])
+        per = {r["shard"]: r["n"] for r in
+               out.groupBy("shard").agg(F.count("*").alias("n"))
+               .collect()}
+        assert set(per) == {"a", "b", "c", "d"}
+        assert max(per.values()) / min(per.values()) < 1.3
+        again = assign_shards_rendezvous(
+            df.repartition(9), ["a", "b", "c", "d"])
+        assert sorted(map(tuple, out.collect())) \
+            == sorted(map(tuple, again.collect()))
+
+    def test_twin_parity_and_validation(self, spark, sf_dir):
+        import duckdb
+        import pytest as pt
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            assign_shards_rendezvous, assign_shards_rendezvous_sql,
+        )
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id")
+        shards = ["alpha", "beta", "gamma"]
+        got = sorted(map(tuple, assign_shards_rendezvous(
+            docs, shards).collect()))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = sorted(map(tuple, con.execute(
+            assign_shards_rendezvous_sql(
+                "(SELECT doc_id FROM documents)", shards,
+                select="doc_id")).fetchall()))
+        assert got == want
+        with pt.raises(ValueError):
+            assign_shards_rendezvous(docs, [])
+        with pt.raises(ValueError):
+            assign_shards_rendezvous(docs, ["x", "x"])
+        # 1-shard degenerate path
+        one = assign_shards_rendezvous(docs.limit(5), ["only"])
+        assert {r["shard"] for r in one.collect()} == {"only"}
