@@ -54,6 +54,22 @@ def km_survival(
     right-censored; NULL duration/event rows are excluded. Negative
     durations raise downstream analysis questions, not exceptions —
     they participate as the earliest risk set (documented)."""
+    per_t = km_counts(df, duration_col, event_col, group_by)
+    return km_from_counts(per_t, group_by, round_dp)
+
+
+def km_counts(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_by: "list[str] | None" = None,
+) -> DataFrame:
+    """The MERGEABLE half of km_survival: per-(group, distinct
+    duration) integer (n_events, n_censored) counts — one map-side-
+    combinable agg, the portable-catalog posture of the sketch
+    family. km_merge is plain addition, so day-partitioned or
+    streaming-batch counts combine into the exact whole-history
+    curve via km_from_counts."""
     gb = list(group_by or [])
     ev = F.col(event_col).cast("int")
     base = (df.filter(F.col(duration_col).isNotNull()
@@ -61,9 +77,30 @@ def km_survival(
             .select(*gb,
                     F.col(duration_col).cast("long").alias("t"),
                     ev.alias("__e")))
-    per_t = (base.groupBy(*gb, "t")
-             .agg(F.sum("__e").alias("n_events"),
-                  F.sum(1 - F.col("__e")).alias("n_censored")))
+    return (base.groupBy(*gb, "t")
+            .agg(F.sum("__e").alias("n_events"),
+                 F.sum(1 - F.col("__e")).alias("n_censored")))
+
+
+def km_merge(a: DataFrame, b: DataFrame,
+             group_by: "list[str] | None" = None) -> DataFrame:
+    """Additive merge of two km_counts tables (union + re-agg)."""
+    gb = list(group_by or [])
+    return (a.unionByName(b)
+            .groupBy(*gb, "t")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("n_censored").alias("n_censored")))
+
+
+def km_from_counts(
+    per_t: DataFrame,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """km_survival's curve computation over an (already mergeable)
+    km_counts table — the read side for partitioned/streaming
+    count state."""
+    gb = list(group_by or [])
     wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
     wprev = (wtot.orderBy("t")
              .rowsBetween(Window.unboundedPreceding, -1))

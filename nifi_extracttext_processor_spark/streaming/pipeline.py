@@ -1101,3 +1101,51 @@ def stream_histogram(
          .partitionBy("batch").parquet(state_dir))
 
     return _batch, read_state
+
+
+def stream_km(
+    state_dir: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_by: "list[str] | None" = None,
+):
+    """foreachBatch wiring of continuous Kaplan-Meier maintenance
+    (operators/survival.py): per micro-batch (group, t) event/censor
+    counts merged into the committed state. Counts are ADDITIVE —
+    prior state is read strictly from earlier batches (the
+    stream_rollup/stream_cms/stream_histogram replay posture), so an
+    at-least-once replay regenerates byte-identical snapshots instead
+    of double-counting. INPUT CONTRACT: each row is ONE subject's
+    final duration record (a churn/conversion export), not raw
+    events — a subject arriving twice counts twice, exactly like the
+    batch operator. Curve at any time:
+    survival.km_from_counts(read_state(spark), group_by). State ≤
+    groups · distinct-durations rows."""
+    from ..operators.survival import km_counts, km_merge
+
+    gb = list(group_by or [])
+
+    def read_state(spark, before_batch: "int | None" = None):
+        from ..sources.tables import read_catalog
+        df = read_catalog(spark, state_dir)
+        if df is None:
+            return None
+        if before_batch is not None:
+            df = df.filter(F.col("batch") < int(before_batch))
+        latest = df.agg(F.max("batch").alias("m")).first()["m"]
+        if latest is None:
+            return None
+        return df.filter(F.col("batch") == latest).drop("batch")
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = km_counts(batch_df, duration_col, event_col, gb)
+        prev = read_state(spark, before_batch=int(batch_id))
+        merged = inc if prev is None else km_merge(prev, inc, gb)
+        (merged.localCheckpoint(eager=True)
+         .withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(state_dir))
+
+    return _batch, read_state

@@ -195,3 +195,35 @@ class TestLogRank:
             f"({dur_sql})", "duration", "event", "variant", "c", "t",
             group_by=["event_type"])).fetchall()))
         assert got == want
+
+
+class TestStreamingKm:
+    def test_incremental_state_equals_batch_and_replay(
+            self, spark, tmp_path):
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_from_counts, km_survival
+        from nifi_extracttext_processor_spark.streaming.pipeline \
+            import stream_km
+        rows = [(g, d, e) for g in ("a", "b")
+                for d, e in [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0),
+                             (5, 1), (5, 0)]]
+        whole = spark.createDataFrame(
+            rows, "g string, duration int, event int")
+        sd = str(tmp_path / "km_state")
+        fb, read_state = stream_km(sd, group_by=["g"])
+        assert read_state(spark) is None
+        b1 = whole.filter(F.col("duration") <= 2)
+        b2 = whole.filter(F.col("duration") > 2)
+        fb(b1, 0)
+        fb(b2, 1)
+        got = sorted(map(tuple, km_from_counts(
+            read_state(spark), ["g"]).collect()))
+        want = sorted(map(tuple, km_survival(
+            whole, group_by=["g"]).collect()))
+        assert got == want
+        # at-least-once replay of a committed batch does not
+        # double-count (earlier-only reads)
+        snap = sorted(map(tuple, read_state(spark).collect()))
+        fb(b2, 1)
+        assert sorted(map(tuple,
+                          read_state(spark).collect())) == snap
