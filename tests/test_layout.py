@@ -282,3 +282,50 @@ class TestHilbert:
         assert "Exchange" not in plan
         for bad in ("BatchEvalPython", "ArrowEvalPython"):
             assert bad not in plan
+
+
+class TestClusterByHilbert:
+    def test_skipping_at_least_matches_zorder(self, spark):
+        """The measured payoff: on a 2-D range predicate the Hilbert
+        layout prunes at least as many files as Z-order (its unit-step
+        locality keeps per-file boxes tighter at quadrant seams), and
+        both demolish a random layout."""
+        import random
+
+        from nifi_extracttext_processor_spark.operators.layout import (
+            cluster_by_hilbert,
+        )
+        rnd = random.Random(7)
+        rows = [(i, float(rnd.uniform(0, 100)),
+                 float(rnd.uniform(0, 100))) for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        hdir = tempfile.mkdtemp(prefix="hilb_")
+        zdir = tempfile.mkdtemp(prefix="zord2_")
+        cluster_by_hilbert(df, ["x", "y"], num_partitions=16) \
+            .write.mode("overwrite").parquet(hdir)
+        cluster_by_zorder(df, ["x", "y"], num_partitions=16) \
+            .write.mode("overwrite").parquet(zdir)
+        # average over several query boxes so one lucky seam can't
+        # decide the comparison
+        boxes = [{"x": (10.0, 20.0), "y": (60.0, 70.0)},
+                 {"x": (45.0, 55.0), "y": (45.0, 55.0)},
+                 {"x": (70.0, 85.0), "y": (5.0, 20.0)},
+                 {"x": (0.0, 12.0), "y": (88.0, 100.0)}]
+        h_stats = file_stats_overlap(hdir, ["x", "y"])
+        z_stats = file_stats_overlap(zdir, ["x", "y"])
+        h_skip = sum(pruned_file_fraction(h_stats, b)
+                     for b in boxes) / len(boxes)
+        z_skip = sum(pruned_file_fraction(z_stats, b)
+                     for b in boxes) / len(boxes)
+        assert h_skip >= 0.5
+        assert h_skip >= z_skip
+
+    def test_row_preservation_and_schema(self, spark):
+        from nifi_extracttext_processor_spark.operators.layout import (
+            cluster_by_hilbert,
+        )
+        df = _grid_df(spark, 8)
+        out = cluster_by_hilbert(df, ["x", "y"], num_partitions=4)
+        assert out.columns == ["id", "x", "y"]
+        assert sorted(r["id"] for r in out.collect()) == \
+            sorted(r["id"] for r in df.collect())
