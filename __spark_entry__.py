@@ -3391,6 +3391,14 @@ def q_rendezvous_shards(spark, sf):
                                        ["alpha", "beta", "gamma"])
 
 
+@_q("confusable_fold_docs", ta.fold_confusables_sql(
+    "documents", select="doc_id"))
+def q_confusable_fold_docs(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return ta.fold_confusables(docs).select(
+        "doc_id", "skeleton", "n_folded", "spoofed")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

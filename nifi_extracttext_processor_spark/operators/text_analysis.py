@@ -1809,3 +1809,89 @@ SELECT {id_col}, {', '.join(f'n_{n}' for n in names)},
                        {round_dp}) END AS script_frac
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode confusable folding (homoglyph skeleton)
+# ---------------------------------------------------------------------------
+
+def _confusable_map() -> "tuple[str, str]":
+    """1:1 confusable -> ASCII mapping (a pragmatic subset of the
+    UTS #39 confusables table: the Cyrillic/Greek letters and
+    fullwidth forms that actually appear in spoofed web text). Both
+    engines' translate() share PostgreSQL semantics for equal-length
+    from/to strings, so the fold replays exactly."""
+    pairs = [
+        # Cyrillic lookalikes
+        ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"), ("с", "c"),
+        ("у", "y"), ("х", "x"), ("і", "i"), ("ѕ", "s"), ("ј", "j"),
+        ("А", "A"), ("В", "B"), ("Е", "E"), ("К", "K"), ("М", "M"),
+        ("Н", "H"), ("О", "O"), ("Р", "P"), ("С", "C"), ("Т", "T"),
+        ("Х", "X"), ("Ѕ", "S"), ("І", "I"), ("Ј", "J"),
+        # Greek lookalikes
+        ("ο", "o"), ("ν", "v"), ("Α", "A"), ("Β", "B"), ("Ε", "E"),
+        ("Ζ", "Z"), ("Η", "H"), ("Ι", "I"), ("Κ", "K"), ("Μ", "M"),
+        ("Ν", "N"), ("Ο", "O"), ("Ρ", "P"), ("Τ", "T"), ("Υ", "Y"),
+        ("Χ", "X"),
+    ]
+    # fullwidth ASCII block -> ASCII
+    for i in range(26):
+        pairs.append((chr(0xFF21 + i), chr(ord("A") + i)))
+        pairs.append((chr(0xFF41 + i), chr(ord("a") + i)))
+    for i in range(10):
+        pairs.append((chr(0xFF10 + i), chr(ord("0") + i)))
+    frm = "".join(p[0] for p in pairs)
+    to = "".join(p[1] for p in pairs)
+    assert len(frm) == len(to)
+    return frm, to
+
+
+def fold_confusables(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "skeleton",
+) -> DataFrame:
+    """Homoglyph skeleton (UTS #39 practice): fold the common
+    Cyrillic/Greek/fullwidth lookalikes to their ASCII targets —
+    `skeleton` plus `n_folded` (how many characters changed) and
+    `spoofed` (any fold happened while the text is otherwise
+    Latin-ish). The REPAIR/keying half beside script_stats' mixed-
+    script DETECTION: exact/near dedup keyed on the skeleton catches
+    'pаypаl'-style evasion duplicates that byte-level fingerprints
+    miss; n_folded > 0 on a Latin document is itself a strong spam
+    signal. Pure narrow Catalyst (one translate + length
+    difference) — zero UDF/shuffle/join."""
+    frm, to = _confusable_map()
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    folded = F.translate(t, frm, to)
+    # n_folded = positions whose char was in the map: translate with
+    # an empty `to` DELETES map chars (PostgreSQL semantics, both
+    # engines), so the length difference counts them exactly
+    n_src = F.length(t) - F.length(F.translate(t, frm, ""))
+    return df.withColumn(out_col, folded) \
+        .withColumn("n_folded", n_src.cast("long")) \
+        .withColumn("spoofed", (n_src > 0) & (F.length(t) > 0)
+                    & (n_src * 4 < F.length(t)))
+
+
+def fold_confusables_sql(
+    table: str,
+    text_expr: str = "text",
+    out_col: str = "skeleton",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of fold_confusables (same map, same translate
+    semantics, same spoofed rule)."""
+    frm, to = _confusable_map()
+    f = frm.replace("'", "''")
+    t2 = to.replace("'", "''")
+    t = f"coalesce({text_expr}, '')"
+    n_src = f"(length({t}) - length(translate({t}, '{f}', '')))"
+    return f"""
+SELECT {select},
+       translate({t}, '{f}', '{t2}') AS {out_col},
+       {n_src}::BIGINT AS n_folded,
+       ({n_src} > 0 AND length({t}) > 0
+        AND {n_src} * 4 < length({t})) AS spoofed
+FROM {table}
+"""

@@ -171,3 +171,56 @@ class TestScriptStats:
         assert "Exchange" not in plan
         for bad in ("BatchEvalPython", "ArrowEvalPython"):
             assert bad not in plan
+
+
+class TestConfusables:
+    def test_paypal_golden(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import fold_confusables
+        rows = [(1, "pаypаl login"),      # Cyrillic а twice
+                (2, "paypal login"),       # clean
+                (3, "ＦＲＥＥ ｍｏｎｅｙ１"),  # fullwidth
+                (4, "привет мир"),         # genuinely Cyrillic text
+                (5, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in fold_confusables(df).collect()}
+        assert got[1]["skeleton"] == "paypal login"
+        assert got[1]["n_folded"] == 2 and got[1]["spoofed"] is True
+        # folded skeletons of spoof and clean text now COLLIDE — the
+        # dedup key the byte-level fingerprint misses
+        assert got[1]["skeleton"] == got[2]["skeleton"]
+        assert got[2]["n_folded"] == 0 and got[2]["spoofed"] is False
+        assert got[3]["skeleton"] == "FREE money1"
+        # real Cyrillic text folds many chars but fails the
+        # mostly-Latin spoof rule (n_folded*4 >= len)
+        assert got[4]["spoofed"] is False and got[4]["n_folded"] > 0
+        assert got[5]["n_folded"] == 0
+
+    def test_twin_parity_on_documents(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import fold_confusables, fold_confusables_sql
+        from nifi_extracttext_processor_spark.sources.tables import (
+            load_table,
+        )
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text")
+        got = sorted(map(tuple, fold_confusables(docs)
+                         .select("doc_id", "skeleton", "n_folded",
+                                 "spoofed").collect()))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = sorted(map(tuple, con.execute(fold_confusables_sql(
+            "documents", select="doc_id")).fetchall()))
+        assert got == want
+
+    def test_narrow_plan(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import fold_confusables
+        df = spark.createDataFrame([(1, "x")],
+                                   "doc_id long, text string")
+        plan = fold_confusables(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
