@@ -3399,6 +3399,47 @@ def q_confusable_fold_docs(spark, sf):
         "doc_id", "skeleton", "n_folded", "spoofed")
 
 
+@_q("dedup_by_skeleton", f"""
+WITH seeded AS (
+  -- union deterministically homoglyph-SPOOFED copies of every 11th
+  -- doc (testdata is clean, so evasion pairs must be synthesized):
+  -- each spoofed copy must collapse onto its clean original under
+  -- the skeleton key, while the byte-level fingerprint sees 2 docs
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id,
+         translate(text, 'aeo', 'аео') AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+folded AS ({ta.fold_confusables_sql("seeded", select="doc_id")}),
+keyed AS (
+  SELECT doc_id, {ta.fingerprint_sql("skeleton")} AS skel_fp
+  FROM folded
+)
+SELECT skel_fp, count(*) AS n_docs, min(doc_id) AS keeper_id
+FROM keyed GROUP BY skel_fp HAVING count(*) > 1
+""")
+def q_dedup_by_skeleton(spark, sf):
+    """Homoglyph-evasion dedup: the byte-level fingerprint misses a
+    doc whose letters were swapped for Cyrillic lookalikes; keying the
+    SAME fingerprint on the confusable skeleton collapses them. Each
+    synthesized spoofed copy pairs with its clean original."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    spoofed = (docs.filter(F.pmod(F.col("doc_id"), 11) == 0)
+               .select((F.col("doc_id") + 1000000000).alias("doc_id"),
+                       F.translate(F.col("text"), "aeo", "аео")
+                       .alias("text")))
+    folded = ta.fold_confusables(docs.unionByName(spoofed))
+    keyed = folded.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("skeleton")),
+                               r"\s+", " ")).alias("skel_fp"))
+    return (keyed.groupBy("skel_fp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_id"))
+            .filter(F.col("n_docs") > 1))
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps
