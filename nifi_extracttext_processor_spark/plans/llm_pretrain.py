@@ -384,3 +384,64 @@ keep AS (
 SELECT m.{id_col}, m.mix_source, {split_case} AS split
 FROM mixed m JOIN keep USING ({id_col})""")
     return "".join(parts)
+
+
+def temperature_weights(
+    source_tokens: "DataFrame | dict[str, int]",
+    tau: float = 0.7,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> "dict[str, float]":
+    """Temperature-scaled mixture weights (Conneau & Lample 2019, the
+    multilingual/source-sampling standard; Llama/PaLM data tables use
+    the same form): w_i ∝ p_i^tau with p_i the source's token share.
+    tau=1 keeps natural proportions (big sources dominate), tau→0
+    approaches uniform (small sources oversampled); 0.6-0.8 is the
+    published sweet spot. Returns {source: weight} summing to 1.0 —
+    feed straight into build_pretrain_corpus / mix_corpora_tokens
+    as the per-source weights.
+
+    This is a PLANNING helper, deliberately driver-side: the input is
+    the per-source token-count table (sources are 10s, never
+    data-sized — a bounded collect under the house ≤P-row rule), and
+    p^tau is transcendental, so computing it in one place in Python
+    sidesteps the cross-engine pow drift the decayed_agg work
+    measured. No oracle row needed — nothing distributed happens
+    here."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("tau must be in (0, 1]")
+    if isinstance(source_tokens, dict):
+        counts = dict(source_tokens)
+    else:
+        counts = {r[source_col]: int(r[tokens_col])
+                  for r in source_tokens.select(source_col,
+                                                tokens_col).collect()}
+    if not counts:
+        raise ValueError("no sources")
+    if any(v <= 0 for v in counts.values()):
+        raise ValueError("token counts must be positive")
+    total = float(sum(counts.values()))
+    raw = {s: (v / total) ** tau for s, v in counts.items()}
+    z = sum(raw.values())
+    return {s: w / z for s, w in raw.items()}
+
+
+def suggested_epochs(
+    weights: "dict[str, float]",
+    source_tokens: "dict[str, int]",
+    token_budget: int,
+) -> "dict[str, float]":
+    """Per-source epoch counts implied by a mixture: epochs_i =
+    (budget · w_i) / n_tokens_i — the number every data table in a
+    pretraining paper reports, and the overfitting guardrail (a small
+    high-weight source quietly repeating 40x is a bug caught HERE,
+    not after the loss curves). Pure arithmetic on the bounded
+    planning dicts."""
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    missing = set(weights) ^ set(source_tokens)
+    if missing:
+        raise ValueError(f"weights/source_tokens key mismatch: "
+                         f"{sorted(missing)}")
+    return {s: round(token_budget * w / source_tokens[s], 4)
+            for s, w in weights.items()}

@@ -222,3 +222,50 @@ class TestEndToEnd:
             corpus, path, num_shards=2, seq_budget=128, merges=mp)
         assert [tuple(m) for m in used] == [tuple(m) for m in merges]
         assert manifest.count() >= 1
+
+
+class TestTemperatureMixture:
+    def test_tau_extremes_and_direction(self, spark):
+        from nifi_extracttext_processor_spark.plans.llm_pretrain \
+            import temperature_weights
+        counts = {"web": 900, "code": 90, "books": 10}
+        # tau=1: natural proportions exactly
+        w1 = temperature_weights(counts, tau=1.0)
+        assert abs(w1["web"] - 0.9) < 1e-12
+        assert abs(w1["books"] - 0.01) < 1e-12
+        # lower tau flattens: small sources gain, big ones lose,
+        # order preserved
+        w7 = temperature_weights(counts, tau=0.7)
+        assert w7["books"] > w1["books"] and w7["web"] < w1["web"]
+        assert w7["web"] > w7["code"] > w7["books"]
+        assert abs(sum(w7.values()) - 1.0) < 1e-12
+
+    def test_dataframe_input_and_validation(self, spark):
+        import pytest as pt
+        from nifi_extracttext_processor_spark.plans.llm_pretrain \
+            import temperature_weights
+        df = spark.createDataFrame(
+            [("a", 300), ("b", 100)], "source string, n_tokens long")
+        w = temperature_weights(df, tau=0.5)
+        assert set(w) == {"a", "b"} and w["a"] > w["b"]
+        with pt.raises(ValueError):
+            temperature_weights({"a": 1}, tau=0.0)
+        with pt.raises(ValueError):
+            temperature_weights({"a": 0}, tau=0.5)
+        with pt.raises(ValueError):
+            temperature_weights({})
+
+    def test_epochs_guardrail(self):
+        import pytest as pt
+        from nifi_extracttext_processor_spark.plans.llm_pretrain \
+            import suggested_epochs, temperature_weights
+        counts = {"web": 1_000_000, "books": 1_000}
+        w = temperature_weights(counts, tau=0.5)
+        ep = suggested_epochs(w, counts, token_budget=100_000)
+        # the tiny source's epoch count explodes under flattening —
+        # exactly the overfitting signal this reports
+        assert ep["books"] > 1.0 > ep["web"]
+        with pt.raises(ValueError):
+            suggested_epochs(w, {"web": 1}, token_budget=10)
+        with pt.raises(ValueError):
+            suggested_epochs(w, counts, token_budget=0)
