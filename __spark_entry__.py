@@ -3537,6 +3537,58 @@ _rotate_slot("nbayes_predict", "orders_diff", rnd=11)
 _rotate_slot("audio_match_pairs", "bloom_pruned_join", rnd=11)
 _rotate_slot("topic_clusters", "entity_resolve_incremental", rnd=11)
 
+# ===========================================================================
+# Driver-window rotation r12 — raise rotation throughput (VERDICT r11
+# tasks 2+3): 9 swaps this round so the 98-query never-driver-seen
+# backlog drops to 89 and keeps falling. Every evicted query has >= 2
+# green driver rounds (machine-asserted in tests/test_window_ledger.py
+# from this round on); every rotated-in query was never driver-seen.
+#   zorder_key OUT -> hilbert_key IN   (direct layout-family swap: the
+#     Hilbert curve is the stronger locality key, with a bit-exact
+#     unrolled-state-machine DuckDB twin and measured >= Z-order file
+#     skipping in pytest; zorder_key keeps parity below the window)
+#   decontaminate OUT -> contamination_report IN   (same family, the
+#     observability half: per-benchmark-item hit fractions; the filter
+#     half stays driver-exercised inside training_data_prep and the
+#     llm_pretrain composed plan)
+#   dedup_lines OUT -> hll_token_distinct IN   (the twice-deferred
+#     sketch-family debut — HLL register-merge replayed exactly in
+#     DuckDB; line-level dedup keeps parity via dedup_exact +
+#     exact_substring_dedup)
+#   repetition_stats OUT -> ab_bootstrap_ci IN   (no-RNG Poisson
+#     bootstrap: md5-uniform inverse-CDF weights replayed bit-for-bit;
+#     quality family stays via quality_score/gopher_flags/kn_perplexity)
+#   sentence_split OUT -> events_km_survival IN   (Kaplan-Meier fold is
+#     bit-identical IEEE multiply-fold vs DuckDB list_reduce — the
+#     strongest numeric oracle in the backlog; sentence ops stay via
+#     chunk_documents + token_fingerprint)
+#   multimodal_av OUT -> binary_eval_metrics IN   (evaluation-metrics
+#     family driver debut; AV kernels stay via multimodal_image +
+#     image_phash_pairs and their golden pytest)
+#   pack_sequences OUT -> fuzzy_edit_join IN   (fuzzy-join family
+#     driver debut — banded edit-distance join, candidates-first;
+#     packing stays inside training_data_prep / llm_pretrain rows)
+#   top_terms OUT -> rrf_fuse_topk IN   (rank-fusion debut: reciprocal-
+#     rank fusion over two retrieval rankings; term ranking stays via
+#     bm25_topk + tfidf_top_terms parity)
+#   events_interval_join OUT -> events_funnel IN   (events family swap:
+#     ordered multi-step funnel with per-step conversion; interval join
+#     keeps parity below the window, temporal family stays via
+#     events_scd2 + events_sessionize + events_window_agg)
+# Evicted queries stay registered below the window; test_oracle_parity
+# keeps running their DuckDB checks every pytest run.
+# ===========================================================================
+
+_rotate_slot("zorder_key", "hilbert_key", rnd=12)
+_rotate_slot("decontaminate", "contamination_report", rnd=12)
+_rotate_slot("dedup_lines", "hll_token_distinct", rnd=12)
+_rotate_slot("repetition_stats", "ab_bootstrap_ci", rnd=12)
+_rotate_slot("sentence_split", "events_km_survival", rnd=12)
+_rotate_slot("multimodal_av", "binary_eval_metrics", rnd=12)
+_rotate_slot("pack_sequences", "fuzzy_edit_join", rnd=12)
+_rotate_slot("top_terms", "rrf_fuse_topk", rnd=12)
+_rotate_slot("events_interval_join", "events_funnel", rnd=12)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

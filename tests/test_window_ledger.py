@@ -2,7 +2,17 @@
 (VERDICT r10 task 3). Replaces prose-tracking of the 50-slot window:
 every invariant the rotation policy promises is asserted here from the
 actual artifacts (registration order, ROTATIONS history, and the
-CORRECTNESS_r*.json files the driver wrote)."""
+CORRECTNESS_r*.json files the driver wrote).
+
+Regression note (VERDICT r11 what's-wrong #1): the backlog invariant
+must be asserted as "never driver-seen BEFORE the rotation's own round",
+never as "seen in no artifact at all" — the driver writes
+CORRECTNESS_r{N}.json for round N *after* the builder's final suite run,
+so an absolute emptiness assertion goes red the moment the round's own
+artifact lands. Every assertion below is therefore cut off at each
+rotation's recorded round tag, so artifact arrival can never re-break
+the suite.
+"""
 
 from __future__ import annotations
 
@@ -19,10 +29,21 @@ ROWS_ONLY_CARVEOUTS = {
     "pca_reduce", "graph_coreness",
 }
 
-# r11 rotation (VERDICT r10 task 1): the three strongest below-window
-# semantic oracles enter the window this round.
-R11_IN = {"orders_diff", "bloom_pruned_join", "entity_resolve_incremental"}
-R11_OUT = {"nbayes_predict", "audio_match_pairs", "topic_clusters"}
+# r12 rotation (VERDICT r11 tasks 2+3): throughput raised to 9 swaps so
+# the backlog falls below 90 and keeps falling.
+R12_PAIRS = {
+    "zorder_key": "hilbert_key",
+    "decontaminate": "contamination_report",
+    "dedup_lines": "hll_token_distinct",
+    "repetition_stats": "ab_bootstrap_ci",
+    "sentence_split": "events_km_survival",
+    "multimodal_av": "binary_eval_metrics",
+    "pack_sequences": "fuzzy_edit_join",
+    "top_terms": "rrf_fuse_topk",
+    "events_interval_join": "events_funnel",
+}
+R12_IN = set(R12_PAIRS.values())
+R12_OUT = set(R12_PAIRS)
 
 
 @pytest.fixture(scope="module")
@@ -46,18 +67,16 @@ def test_rows_only_set_is_exactly_the_carveouts():
     assert rows_only == ROWS_ONLY_CARVEOUTS
 
 
-def test_r11_rotation_applied(ledger):
+def test_r12_rotation_applied(ledger):
     window = set(ledger["window"])
-    assert R11_IN <= window
-    assert not (R11_OUT & window)
+    assert R12_IN <= window
+    assert not (R12_OUT & window)
     # evicted queries stay registered with their oracle parity intact
-    for n in R11_OUT - {"topic_clusters"}:  # topic_clusters is rows-only
+    for n in R12_OUT:
         assert n in entry.oracle_sql(), n
-    assert R11_OUT <= set(entry.queries())
-    r11 = [(o, i) for rnd, o, i in ledger["rotations"] if rnd == 11]
-    assert dict(r11) == {"nbayes_predict": "orders_diff",
-                         "audio_match_pairs": "bloom_pruned_join",
-                         "topic_clusters": "entity_resolve_incremental"}
+    assert R12_OUT <= set(entry.queries())
+    r12 = [(o, i) for rnd, o, i in ledger["rotations"] if rnd == 12]
+    assert dict(r12) == R12_PAIRS
 
 
 def test_rotations_reverse_replay_to_consistent_base(ledger):
@@ -71,11 +90,9 @@ def test_rotations_reverse_replay_to_consistent_base(ledger):
         names[i], names[j] = names[j], names[i]
     base_window = set(names[:WINDOW_SIZE])
     for rnd, out, inn in ledger["rotations"]:
-        # in the pre-r9 base order every later-rotated-in query sat
-        # below the window unless a prior swap moved it
         assert out in set(names), out
         assert inn in set(names), inn
-    assert R11_IN & base_window == set()
+    assert R12_IN & base_window == set()
 
 
 def test_no_correctness_key_was_silently_dropped():
@@ -93,10 +110,36 @@ def test_no_correctness_key_was_silently_dropped():
 
 
 def test_rotated_in_queries_were_backlog(ledger):
-    """The r11 IN-rotations specifically drain the never-driver-seen
-    backlog: none of them may appear in any past CORRECTNESS file."""
-    for n in R11_IN:
-        assert ledger["rows"][n]["rounds_seen"] == [], n
+    """Every rotated-IN query drains the never-driver-seen backlog:
+    none may appear in any CORRECTNESS artifact from BEFORE its own
+    rotation round. (Cut off at the rotation round, not at "ever" —
+    the driver writes the rotation round's own artifact after the
+    builder ships, which is expected and fine; see module docstring.)"""
+    for rnd, _out, inn in ledger["rotations"]:
+        early = [r for r in ledger["rows"][inn]["rounds_seen"] if r < rnd]
+        assert early == [], (inn, rnd, early)
+
+
+def test_every_evicted_query_had_a_green_round(ledger):
+    """Rotation policy: a window slot may be evicted only after the
+    query it held was driver-verified green at least once (r12 policy:
+    the current round's evictions all have >= 2). Asserted from the
+    artifacts for every executed rotation."""
+    for rnd, out, _inn in ledger["rotations"]:
+        greens = [r for r in ledger["rows"][out]["rounds_green"] if r < rnd]
+        assert greens, f"{out} evicted at r{rnd} with no prior green round"
+    # the r12 batch specifically: >= 2 prior green rounds each
+    for out in R12_OUT:
+        greens = [r for r in ledger["rows"][out]["rounds_green"] if r < 12]
+        assert len(greens) >= 2, (out, greens)
+
+
+def test_backlog_is_draining(ledger):
+    """VERDICT r11 task 3 'done' bar: never-driver-seen backlog <= 89
+    after the r12 rotation, and the rotation throughput recorded for
+    r12 is 6+ swaps."""
+    assert ledger["summary"]["never_driver_seen_backlog"] <= 89
+    assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 12) >= 6
 
 
 def test_backlog_and_summary_shape(ledger):
