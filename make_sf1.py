@@ -38,15 +38,23 @@ def main() -> None:
     # same construction, 30 replicas (~sf3); key shifts and token/
     # vector salting generalize unchanged (OFF > 30 * max base key).
     global R, DST
-    import sys
-    argv = sys.argv[1:]
-    if "--replicas" in argv:
-        i = argv.index("--replicas")
-        R = int(argv[i + 1])
-    if "--dst" in argv:
-        i = argv.index("--dst")
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="Synthesize a replica-salted decade-up dataset "
+                    "from sf0.1 (see module docstring)")
+    ap.add_argument("--replicas", type=int, default=R,
+                    help="replica count (10 = ~sf1, 30 = ~sf3)")
+    ap.add_argument("--dst", default=None,
+                    help="output dir, relative to the repo root "
+                         "(default .bench/sf1)")
+    args = ap.parse_args()
+    if args.replicas < 1 or args.replicas * 1_000_000 > OFF:
+        ap.error(f"--replicas must be in [1, {OFF // 1_000_000}] so "
+                 "key shifts cannot collide")
+    R = args.replicas
+    if args.dst is not None:
         DST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           argv[i + 1])
+                           args.dst)
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
 

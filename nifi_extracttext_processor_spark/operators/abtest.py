@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sqlutil import sql_ident, sql_lit
+
 
 def ab_proportion_test(
     df: DataFrame,
@@ -93,14 +95,14 @@ def ab_proportion_test_sql(
     gsel = (", ".join(gb) + ", ") if gb else ""
     gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
     s = f"CAST({success_col} AS INT)"
-    t = f"CAST({variant_col} = '{treatment}' AS INT)"
+    t = f"CAST({variant_col} = {sql_lit(treatment)} AS INT)"
     return f"""
 WITH agg AS (
   SELECT {gsel}
          sum(1 - {t}) AS n0, sum({t}) AS n1,
          sum({s} * (1 - {t})) AS s0, sum({s} * {t}) AS s1
   FROM {table}
-  WHERE {variant_col} IN ('{control}', '{treatment}')
+  WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
     AND {success_col} IS NOT NULL
   {gkey}
 ),
@@ -205,7 +207,7 @@ def ab_welch_test_sql(
     gsel = (", ".join(gb) + ", ") if gb else ""
     gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
     v = f"CAST({value_col} AS DOUBLE)"
-    t = f"CAST({variant_col} = '{treatment}' AS INT)"
+    t = f"CAST({variant_col} = {sql_lit(treatment)} AS INT)"
     return f"""
 WITH agg AS (
   SELECT {gsel}
@@ -214,7 +216,7 @@ WITH agg AS (
          sum({v} * {v} * (1 - {t})) AS ss0,
          sum({v} * {v} * {t}) AS ss1
   FROM {table}
-  WHERE {variant_col} IN ('{control}', '{treatment}')
+  WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
     AND {value_col} IS NOT NULL
   {gkey}
 ),
@@ -356,7 +358,7 @@ def ab_cuped_test_sql(
     gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
     y = f"CAST({value_col} AS DOUBLE)"
     x = f"CAST({covariate_col} AS DOUBLE)"
-    t = f"CAST({variant_col} = '{treatment}' AS INT)"
+    t = f"CAST({variant_col} = {sql_lit(treatment)} AS INT)"
     sums = []
     for tag, flag in (("0", f"(1 - {t})"), ("1", t)):
         sums += [f"sum({flag}) AS n{tag}",
@@ -369,7 +371,7 @@ def ab_cuped_test_sql(
 WITH agg AS (
   SELECT {gsel}{', '.join(sums)}
   FROM {table}
-  WHERE {variant_col} IN ('{control}', '{treatment}')
+  WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
     AND {value_col} IS NOT NULL AND {covariate_col} IS NOT NULL
   {gkey}
 ),
@@ -492,11 +494,13 @@ def ab_srm_check_sql(
     total_w = float(sum(expected.values()))
     names = list(expected)
 
+    # escaping rules factored into the shared sqlutil (ADVICE r11): one
+    # spelling for every *_sql generator that interpolates caller names
     def lit(v: str) -> str:
-        return "'" + str(v).replace("'", "''") + "'"
+        return sql_lit(v)
 
     def ident(v: str) -> str:
-        return '"' + f"n_{v}".replace('"', '""') + '"'
+        return sql_ident(v, "n_")
 
     quoted = ", ".join(lit(v) for v in names)
     osel = ", ".join(
@@ -802,14 +806,14 @@ def ab_welch_test_winsorized_sql(
            quantile_cont({v}, {float(trim)!r}) AS lo,
            quantile_cont({v}, {1.0 - float(trim)!r}) AS hi
     FROM {table}
-    WHERE {variant_col} IN ('{control}', '{treatment}')
+    WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
       AND {value_col} IS NOT NULL
     GROUP BY {gcols}
   )
   SELECT {gsel}t.{variant_col},
          greatest(th.lo, least(th.hi, {v})) AS __wz
   FROM {table} t JOIN th USING ({gcols})
-  WHERE t.{variant_col} IN ('{control}', '{treatment}')
+  WHERE t.{variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
     AND t.{value_col} IS NOT NULL"""
     return ab_welch_test_sql(f"({clamped})", variant_col, "__wz",
                              control, treatment, group_by=gb,
@@ -1043,18 +1047,18 @@ def ab_quantile_lift_sql(
         parts.append(f"""
 SELECT {gsel}CAST({float(p)!r} AS DOUBLE) AS prob,
        round(quantile_cont({v}, {float(p)!r})
-             FILTER (WHERE {variant_col} = '{control}'),
+             FILTER (WHERE {variant_col} = {sql_lit(control)}),
              {round_dp}) AS q_control,
        round(quantile_cont({v}, {float(p)!r})
-             FILTER (WHERE {variant_col} = '{treatment}'),
+             FILTER (WHERE {variant_col} = {sql_lit(treatment)}),
              {round_dp}) AS q_treatment,
        round(quantile_cont({v}, {float(p)!r})
-             FILTER (WHERE {variant_col} = '{treatment}')
+             FILTER (WHERE {variant_col} = {sql_lit(treatment)})
              - quantile_cont({v}, {float(p)!r})
-             FILTER (WHERE {variant_col} = '{control}'),
+             FILTER (WHERE {variant_col} = {sql_lit(control)}),
              {round_dp}) AS lift
 FROM {table}
-WHERE {variant_col} IN ('{control}', '{treatment}')
+WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
   AND {value_col} IS NOT NULL
 {gkey}""")
     order = ", ".join([*gb, "prob"])

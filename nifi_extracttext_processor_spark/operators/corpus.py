@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sqlutil import sql_lit
+
 from nifi_extracttext_processor_spark.operators.dedup import (
     shingles, shingles_sql,
 )
@@ -516,7 +518,7 @@ def stratified_sample_sql(
 ) -> str:
     rates = rates or {}
     cases = " ".join(
-        f"WHEN '{s}' THEN {int(r * _M32)}" for s, r in sorted(rates.items()))
+        f"WHEN {sql_lit(s)} THEN {int(r * _M32)}" for s, r in sorted(rates.items()))
     return f"""
 SELECT * FROM {table}
 WHERE ('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT
@@ -816,7 +818,7 @@ def split_by_hash_md5_sql(
     lo = 0
     for label, w in weights.items():
         cases.append(f"WHEN {bucket} >= {lo} AND {bucket} < {lo + w} "
-                     f"THEN '{label}'")
+                     f"THEN {sql_lit(label)}")
         lo += w
     case = "CASE " + " ".join(cases) + " END"
     return f"SELECT *, {case} AS split FROM {table}"
@@ -1338,13 +1340,14 @@ def assign_shards_rendezvous_sql(
     same (weight, position) lexicographic argmax)."""
     def w(s: str):
         return (f"('0x' || substr(md5(CAST({id_col} AS VARCHAR) || "
-                f"'#{s}#{seed}'), 1, 8))::BIGINT")
+                f"{sql_lit(f'#{s}#{seed}')}), 1, 8))::BIGINT")
 
     if len(shards) == 1:
-        return f"SELECT {select}, '{shards[0]}' AS shard FROM {table}"
+        return (f"SELECT {select}, {sql_lit(shards[0])} AS shard "
+                f"FROM {table}")
     rows = ", ".join(f"({w(s)}, {i})" for i, s in enumerate(shards))
     case = "CASE " + " ".join(
-        f"WHEN __best[2] = {i} THEN '{s}'"
+        f"WHEN __best[2] = {i} THEN {sql_lit(s)}"
         for i, s in enumerate(shards)) + " END"
     outer = "* EXCLUDE (__best)" if select.strip() == "*" else select
     return f"""

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sqlutil import sql_lit
+
 
 def km_survival(
     df: DataFrame,
@@ -310,10 +312,10 @@ def km_logrank_sql(
 WITH base AS (
   SELECT {gsel}CAST({duration_expr} AS BIGINT) AS t,
          CAST({event_expr} AS INT) AS e,
-         CAST({variant_col} = '{treatment}' AS INT) AS g1
+         CAST({variant_col} = {sql_lit(treatment)} AS INT) AS g1
   FROM {table}
   WHERE {duration_expr} IS NOT NULL AND {event_expr} IS NOT NULL
-    AND {variant_col} IN ('{control}', '{treatment}')
+    AND {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
 ),
 per_t AS (
   SELECT {gsel}t, sum(e) AS d, sum(e * g1) AS d1,
