@@ -23,7 +23,7 @@ work runs in Python workers on Arrow batches; one task per partition,
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -178,6 +178,74 @@ def route_needs_ocr(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     external OCR stage."""
     return (df.filter(~F.col("needs_ocr")),
             df.filter(F.col("needs_ocr")))
+
+
+def apply_ocr(
+    df: DataFrame,
+    ocr_fn: "Callable[[bytes], str]",
+    content_col: str = "content",
+    text_col: str = "text",
+    error_col: str = "error",
+    mime_col: str = "mime_type",
+    max_text_length: int = -1,
+) -> DataFrame:
+    """Pluggable OCR stage (VERDICT r11 task 6) for the needs_ocr
+    port: the reference's Tika stack auto-applies Tesseract to
+    image-only PDFs ("Tesseract OCR is installed and will be
+    automatically applied", ExtractTextProcessorTest surefire log);
+    this container has no OCR library, so the EXECUTION half stays a
+    caller-supplied hook — `ocr_fn(raw_bytes) -> text` — while the
+    detection half (flag_needs_ocr) and this plumbing are real.
+
+    Output honours the A5/A6/A8 contract exactly like extract_text's
+    own branches (ExtractTextProcessor.java:148-223):
+      success -> `text` = OCR output (truncated to max_text_length
+                 when >= 0, the A3 bound), `error` = NULL,
+                 `mime_type` = 'text/plain' (A8);
+      ocr_fn raised -> `text` = '' and mime attrs UNSET (A6 quirk:
+                 the failure FlowFile has empty content and no mime
+                 attributes), `error` = "<Type>: <msg>".
+
+    Rows flow back into the success stream schema-unchanged, so
+    `document_flow(ocr_fn=...)` can union them with the ready port.
+    Batched mapInPandas: ocr_fn runs executor-side per document —
+    Spark parallelism is per-partition, no driver round-trip."""
+    if content_col not in df.columns:
+        raise ValueError(
+            f"apply_ocr needs {content_col!r} — run "
+            "extract_text(keep_content=True)")
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields)
+    cap = int(max_text_length)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, errors, mimes = [], [], []
+            for i in range(len(pdf)):
+                blob = pdf[content_col].iloc[i]
+                try:
+                    if blob is None:
+                        raise ValueError("Input file was null")
+                    text = ocr_fn(bytes(blob))
+                    if text is None:
+                        text = ""
+                    if cap >= 0:
+                        text = text[:cap]
+                    texts.append(text)
+                    errors.append(None)
+                    mimes.append("text/plain")
+                except Exception as exc:  # noqa: BLE001 — A6 capture
+                    texts.append("")
+                    errors.append(f"{type(exc).__name__}: {exc}")
+                    mimes.append(None)
+            out = pdf.copy()
+            out[text_col] = texts
+            out[error_col] = errors
+            out[mime_col] = mimes
+            yield out
+
+    return df.mapInPandas(_run, schema=schema)
 
 
 def route_by_error(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -15,6 +15,7 @@ translation would triple the work — SURVEY §3).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators.attributes import attrs_to_json, infer_json_schema, set_attrs
 from ..operators.extract import (
+    apply_ocr,
     extract_text,
     flag_needs_ocr,
     media_metadata,
@@ -50,6 +52,7 @@ def document_flow(
     max_text_length: int = -1,
     infer_schema_sample: int = 25,
     detect_needs_ocr: bool = True,
+    ocr_fn: "Callable[[bytes], str] | None" = None,
 ) -> FlowResult:
     """Build the full pipeline lazily; nothing executes until a sink
     action. Returns per-route DataFrames plus the failure port.
@@ -61,7 +64,18 @@ def document_flow(
     the distinct `needs_ocr` port instead of flowing downstream as
     silent empty-text successes. Only blank-text success rows pay the
     structural re-scan; the raw bytes are carried exactly one extra
-    stage and dropped before the split/NLP legs."""
+    stage and dropped before the split/NLP legs.
+
+    `ocr_fn` (VERDICT r11 task 6) closes the loop in environments
+    that HAVE an OCR engine: when given, the needs_ocr rows run
+    through apply_ocr(ocr_fn) executor-side and rejoin the success
+    stream (text honours max_text_length, A6 error capture on a
+    raising ocr_fn), so the reference's auto-OCR behavior is one
+    callback away with no code change here; the `needs_ocr` port is
+    then consumed (None in the result). Default stays the honest
+    absent: detection on, execution routed out."""
+    if ocr_fn is not None and not detect_needs_ocr:
+        raise ValueError("ocr_fn requires detect_needs_ocr=True")
     files = read_documents(spark, input_path, glob=glob)          # B1+B2
     meta = media_metadata(files)                                  # B3
     extracted = extract_text(meta, max_text_length=max_text_length,
@@ -70,8 +84,14 @@ def document_flow(
     if detect_needs_ocr:
         flagged = flag_needs_ocr(extracted)
         ready, ocr_pending = route_needs_ocr(flagged)
+        if ocr_fn is not None:
+            ocred = apply_ocr(ocr_pending, ocr_fn,
+                              max_text_length=max_text_length)
+            ready = ready.unionByName(ocred)
+            ocr_pending = None
+        else:
+            ocr_pending = ocr_pending.drop("content", "needs_ocr")
         extracted = ready.drop("content", "needs_ocr")
-        ocr_pending = ocr_pending.drop("content", "needs_ocr")
     ok, failures = route_by_error(extracted)                      # A9
 
     lines = split_lines(ok.select("path", "filename", "text",

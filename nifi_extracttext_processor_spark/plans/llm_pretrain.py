@@ -241,18 +241,42 @@ def llm_pretrain_plan(
     n_merges: int = 500,
     seed: int = 0,
     md5: bool = False,
-) -> "tuple[DataFrame, list[tuple[str, str]]]":
+    report_contamination: bool = False,
+) -> "tuple[DataFrame, list[tuple[str, str]]] | tuple[DataFrame, list[tuple[str, str]], DataFrame]":
     """The full composition: clean each (already-prepped) source,
     mix on token shares, split, tokenize, pack, shard. Returns
     (manifest, merges). See the module docstring for why the stages
     run in this order.
 
+    With `report_contamination=True` (requires `benchmark`), also
+    returns the per-benchmark-item leakage report as a third element:
+    `contamination_report` over the RAW union of the input sources —
+    i.e. what the eval owner needs to know about the incoming data,
+    measured BEFORE the decontaminate stage silently drops the
+    carriers (VERDICT r11 task 5: previously only callers who knew
+    the standalone operator got the observability half). The report
+    shares the decontaminate plan shape (broadcast benchmark,
+    matched-keys-only shuffle) and is lazy — it costs nothing unless
+    the caller evaluates it.
+
     Lifecycle: each cleaned source is persisted (lifecycle-tracked)
     at its fan-out boundary — the mixing planner aggregates token
     totals over it AND the sampler re-reads it; without the persist
     the near/semantic dedup would execute twice per source."""
-    from ..operators.corpus import benchmark_ngrams
+    from ..operators.corpus import benchmark_ngrams, contamination_report
     from ..operators.lifecycle import track_persist
+
+    report = None
+    if report_contamination:
+        if benchmark is None:
+            raise ValueError(
+                "report_contamination=True requires a benchmark")
+        raw = sources[0][0].select(id_col, text_col)
+        for df, _w in sources[1:]:
+            raw = raw.unionByName(df.select(id_col, text_col))
+        report = contamination_report(raw, benchmark, id_col=id_col,
+                                      text_col=text_col,
+                                      n=decontaminate_n)
 
     # Hoist the benchmark tokenization out of the per-source loop:
     # one distinct-n-gram table, persisted, broadcast into every
@@ -276,10 +300,12 @@ def llm_pretrain_plan(
                                    token_budget=token_budget,
                                    split_weights=split_weights,
                                    seed=seed, md5=md5)
-    return tokenize_pack_shard(corpus, path, num_shards=num_shards,
-                               seq_budget=seq_budget,
-                               n_merges=n_merges, id_col=id_col,
-                               text_col=text_col, seed=seed)
+    manifest, merges = tokenize_pack_shard(
+        corpus, path, num_shards=num_shards, seq_budget=seq_budget,
+        n_merges=n_merges, id_col=id_col, text_col=text_col, seed=seed)
+    if report_contamination:
+        return manifest, merges, report
+    return manifest, merges
 
 
 def pretrain_select_sql(

@@ -191,6 +191,40 @@ class TestEndToEnd:
                 .count())
         assert over == 0
 
+    def test_contamination_report_output(self, spark, tmp_path):
+        """VERDICT r11 task 5: report_contamination=True makes the
+        composed plan also emit the per-benchmark-item leakage report
+        (contamination_report over the RAW source union, before the
+        decontaminate stage drops the carriers). The planted leak in
+        source A (doc 904 carries _EVAL_NGRAM verbatim) must surface
+        with nonzero hit_frac and exactly one carrying corpus doc."""
+        a, b = _source_a(spark), _source_b(spark)
+        out = llm_pretrain_plan(
+            [(a, 0.5), (b, 0.5)], str(tmp_path / "corpus"),
+            benchmark=_benchmark(spark),
+            near_threshold=0.5, n_merges=5, num_shards=2,
+            report_contamination=True)
+        assert len(out) == 3
+        manifest, merges, report = out
+        rows = {r["bench_id"]: r for r in report.collect()}
+        assert set(rows) == {1}          # one row per benchmark item
+        leak = rows[1]
+        # "prompt: the quick brown ... dog near the river answer" has
+        # some 8-grams fully inside _EVAL_NGRAM (planted in doc 904)
+        assert leak["n_ngrams"] > 0
+        assert 0 < leak["n_hit_ngrams"] < leak["n_ngrams"]
+        assert leak["hit_frac"] == pytest.approx(
+            leak["n_hit_ngrams"] / leak["n_ngrams"], abs=1e-4)
+        assert leak["n_corpus_docs"] == 1     # only doc 904 carries it
+        # and the filter half still dropped the carrier from the output
+        written = spark.read.parquet(str(tmp_path / "corpus"))
+        ids = {r["doc_id"] for r in written.select("doc_id").collect()}
+        assert 904 not in ids
+        # flag off -> 2-tuple unchanged; flag without benchmark -> error
+        with pytest.raises(ValueError, match="benchmark"):
+            llm_pretrain_plan([(a, 1.0)], str(tmp_path / "x"),
+                              report_contamination=True)
+
     def test_deterministic_rerun(self, spark, tmp_path):
         a, b = _source_a(spark), _source_b(spark)
         srcs = [(a.select("doc_id", "text"), 0.6),

@@ -75,3 +75,85 @@ class TestOperator:
     def test_requires_content(self, spark, flagged):
         with pytest.raises(ValueError, match="keep_content"):
             flag_needs_ocr(flagged.drop("content"))
+
+
+class TestApplyOcr:
+    """VERDICT r11 task 6: the pluggable OCR hook. A fake ocr_fn
+    stands in for Tesseract; the Spark-side plumbing (schema, A5
+    content-replace, A6 error capture, A3 truncation, A8 mime attrs)
+    is real and asserted."""
+
+    @staticmethod
+    def _fake_ocr(data: bytes) -> str:
+        # deterministic fake: recognizable marker + content length
+        return f"RECOGNIZED {len(data)} bytes of scanned text"
+
+    def _pending(self, spark):
+        rows = [Row(filename="scan.pdf",
+                    content=bytearray(build_scanned_pdf()))]
+        flagged = flag_needs_ocr(
+            extract_text(spark.createDataFrame(rows),
+                         keep_content=True))
+        _ready, pending = route_needs_ocr(flagged)
+        return pending
+
+    def test_round_trips_text_into_a5_contract(self, spark):
+        from nifi_extracttext_processor_spark.operators.extract import (
+            apply_ocr,
+        )
+        pending = self._pending(spark)
+        [row] = apply_ocr(pending, self._fake_ocr).collect()
+        assert row["text"].startswith("RECOGNIZED ")
+        assert row["error"] is None
+        assert row["mime_type"] == "text/plain"      # A8
+        # schema unchanged: rows can union back into the ready port
+        assert apply_ocr(pending, self._fake_ocr).schema \
+            == pending.schema
+
+    def test_truncation_and_error_capture(self, spark):
+        from nifi_extracttext_processor_spark.operators.extract import (
+            apply_ocr,
+        )
+        pending = self._pending(spark)
+        [row] = apply_ocr(pending, self._fake_ocr,
+                          max_text_length=10).collect()
+        assert row["text"] == "RECOGNIZED"            # A3 bound
+
+        def boom(data: bytes) -> str:
+            raise RuntimeError("no OCR model")
+
+        [row] = apply_ocr(pending, boom).collect()
+        assert row["text"] == ""                      # A6: empty text
+        assert row["error"] == "RuntimeError: no OCR model"
+        assert row["mime_type"] is None               # A6: attrs unset
+
+        with pytest.raises(ValueError, match="keep_content"):
+            apply_ocr(pending.drop("content"), self._fake_ocr)
+
+    def test_document_flow_ocr_fn_closes_the_port(self, spark,
+                                                  tmp_path):
+        """e2e: with ocr_fn supplied, the scanned PDF's recognized
+        text flows back into the success stream (split/NLP/routes see
+        it) and the needs_ocr port is consumed."""
+        from nifi_extracttext_processor_spark.plans.flow import (
+            document_flow,
+        )
+        from tests.fixtures.builders import build_pdf
+
+        d = tmp_path / "mixed"
+        d.mkdir()
+        (d / "real.pdf").write_bytes(build_pdf(["plain text here"]))
+        (d / "scan.pdf").write_bytes(build_scanned_pdf())
+        result = document_flow(spark, str(d), ocr_fn=self._fake_ocr)
+        assert result.needs_ocr is None
+        routed = [(r["filename"], r["sentence"])
+                  for route in result.routes.values()
+                  for r in route.select("filename",
+                                        "sentence").collect()]
+        scan = [s for f, s in routed if f == "scan.pdf"]
+        assert scan and scan[0].startswith("RECOGNIZED ")
+        assert any(f == "real.pdf" for f, _ in routed)
+
+        with pytest.raises(ValueError, match="detect_needs_ocr"):
+            document_flow(spark, str(d), detect_needs_ocr=False,
+                          ocr_fn=self._fake_ocr)
