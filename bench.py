@@ -99,6 +99,9 @@ HEADLINE = [
                            # token explode (map-side-combinable agg)
     "ab_bootstrap_ci",     # r11: B=60 Poisson resamples — explode x B
                            # into a map-side agg, decimal exact sums
+    "ab_bootstrap_ci_xx",  # r12: same plan, md5=False — the xxhash64
+                           # scale path (VERDICT r11 task 4: measure
+                           # the claimed ~5x-cheaper weight hash)
 ]
 
 
@@ -255,7 +258,28 @@ def _q_unpack_archives(spark, sf_dir):
     return unpack_archives(packed)
 
 
+def _q_ab_bootstrap_ci_xx(spark, sf_dir):
+    """The driver slot ab_bootstrap_ci's md5 weight hash is the
+    oracle-replayable twin; md5=False swaps xxhash64 (same plan,
+    same exact-sum agg — only the per-(row, b) hash changes). This
+    bench-local twin measures the scale path's actual saving
+    (abtest.py:_boot_uniform documents ~5x on the hash itself; the
+    end-to-end ratio is what a 100 TB capacity plan needs)."""
+    from nifi_extracttext_processor_spark.operators.abtest import (
+        ab_bootstrap_ci,
+    )
+    from nifi_extracttext_processor_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    return ab_bootstrap_ci(exp, "variant", "value", "event_id",
+                           n_boot=60, group_by=["event_type"],
+                           md5=False)
+
+
 LOCAL = {
+    "ab_bootstrap_ci_xx": _q_ab_bootstrap_ci_xx,
     "unpack_archives": _q_unpack_archives,
     "zorder_cluster": _q_zorder_cluster,
     "asof_plain": _q_asof_plain,
