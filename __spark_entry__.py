@@ -3440,6 +3440,122 @@ def q_dedup_by_skeleton(spark, sf):
             .filter(F.col("n_docs") > 1))
 
 
+# --- round-12 additions: rank-based inference, multiple-testing, ---------
+# --- attribution, agreement, lexical diversity, delta-method ratio -------
+
+from nifi_extracttext_processor_spark.operators import attribution as attr  # noqa: E402
+from nifi_extracttext_processor_spark.operators import evalmetrics as evm  # noqa: E402
+from nifi_extracttext_processor_spark.operators import ranktest as rkt  # noqa: E402
+
+_VARIANT_EVENTS_SQL = (
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events)")
+
+
+def _variant_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+
+
+@_q("ab_mann_whitney", rkt.ab_mann_whitney_sql(
+    _VARIANT_EVENTS_SQL, "variant", "value", "c", "t",
+    group_by=["event_type"]))
+def q_ab_mann_whitney(spark, sf):
+    """Rank-sum test per event_type over the 2dp value metric — the
+    distinct-value aggregate keeps the window input bounded."""
+    return rkt.ab_mann_whitney(_variant_events(spark, sf),
+                               "variant", "value", "c", "t",
+                               group_by=["event_type"])
+
+
+@_q("bh_fdr_sweep", rkt.bh_adjust_sql(
+    """(SELECT event_type, user_id % 23 AS metric_id,
+               (min(event_id) % 997)::DOUBLE / 996.0 AS p
+        FROM events GROUP BY event_type, user_id % 23)""",
+    "p", q=0.1, group_by=["event_type"]))
+def q_bh_fdr_sweep(spark, sf):
+    """BH step-up over a deterministic synthetic metric sweep (one
+    p per (event_type, user-bucket) metric, p derived from exact
+    integer arithmetic both engines replay): the correction's rank
+    thresholds, tie handling, and rejection set are what the row
+    verifies."""
+    ev = _t(spark, sf, "events")
+    sweep = (ev.groupBy("event_type",
+                        F.pmod(F.col("user_id"), 23).alias("metric_id"))
+             .agg((F.pmod(F.min("event_id"), 997).cast("double")
+                   / F.lit(996.0)).alias("p")))
+    return rkt.bh_adjust(sweep, "p", q=0.1, group_by=["event_type"])
+
+
+@_q("ab_ratio_delta", abx.ab_ratio_delta_test_sql(
+    """(SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END AS variant,
+               sum(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE 0.0 END) AS revenue,
+               count(*)::DOUBLE AS n_events
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id)""",
+    "variant", "revenue", "n_events", "c", "t"))
+def q_ab_ratio_delta(spark, sf):
+    """Delta-method z on revenue-per-event at user granularity (the
+    ratio-of-sums metric where row-level Welch is wrong); user-level
+    sufficient stats then ONE groups-sized agg."""
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                                  F.col("value")).otherwise(0.0))
+                     .alias("revenue"),
+                     F.count("*").cast("double").alias("n_events"))
+                .withColumn("variant",
+                            F.when(F.pmod(F.col("user_id"), 2) == 0,
+                                   "c").otherwise("t")))
+    return abx.ab_ratio_delta_test(per_user, "variant", "revenue",
+                                   "n_events", "c", "t")
+
+
+@_q("attribution_position", attr.attribution_report_sql(
+    "events", ["click", "view"], conversion_type="purchase",
+    model="position", lookback_days=30))
+def q_attribution_position(spark, sf):
+    """U-shaped multi-touch attribution of purchase value to
+    click/view channels, 30-day lookback — the report reconciles to
+    total conversion value via the 'unattributed' row."""
+    return attr.attribution_report(
+        _t(spark, sf, "events"), ["click", "view"],
+        conversion_type="purchase", model="position",
+        lookback_days=30)
+
+
+@_q("lexical_diversity_by_lang", ta.lexical_diversity_sql(
+    "documents", "text", group_by=["lang"]))
+def q_lexical_diversity_by_lang(spark, sf):
+    """Vocabulary-level richness per language (TTR, hapax share,
+    Simpson repeat-draw, Yule K) — all exact-integer rationals."""
+    return ta.lexical_diversity(_t(spark, sf, "documents"), "text",
+                                group_by=["lang"])
+
+
+@_q("cohen_kappa_docs", evm.cohen_kappa_sql(
+    """(SELECT CAST(n_chars % 3 AS VARCHAR) AS rater_a,
+               CAST((n_chars + doc_id) % 3 AS VARCHAR) AS rater_b,
+               source
+        FROM documents)""",
+    "rater_a", "rater_b", group_by=["source"]))
+def q_cohen_kappa_docs(spark, sf):
+    """Chance-corrected agreement between two deterministic derived
+    labelings per source — exercises the exact-integer kappa rational
+    (the labels are synthetic; the math is what the row verifies)."""
+    docs = _t(spark, sf, "documents").select(
+        F.pmod(F.col("n_chars"), 3).cast("string").alias("rater_a"),
+        F.pmod(F.col("n_chars") + F.col("doc_id"), 3).cast("string")
+        .alias("rater_b"),
+        "source")
+    return evm.cohen_kappa(docs, "rater_a", "rater_b",
+                           group_by=["source"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

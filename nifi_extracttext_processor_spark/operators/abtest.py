@@ -1063,3 +1063,182 @@ WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
 {gkey}""")
     order = ", ".join([*gb, "prob"])
     return " UNION ALL ".join(parts) + f" ORDER BY {order}"
+
+
+# ---------------------------------------------------------------------------
+# Delta-method ratio test — closed-form companion to the ratio bootstrap
+# ---------------------------------------------------------------------------
+
+
+def ab_ratio_delta_test(
+    df: DataFrame,
+    variant_col: str,
+    num_col: str,
+    den_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_control, n_treatment, ratio_control,
+    ratio_treatment, diff, z, significant) — the linearization
+    (delta-method) z-test for ratio-of-sums metrics (revenue per
+    session, CTR at user granularity; Deng, Knoblich & Lu 2018's
+    standard practice): per variant with per-unit (x_i, y_i),
+
+        r = Σx / Σy
+        Var(r) ≈ (s_xx − 2·r·s_xy + r²·s_yy) / (n · ȳ²)
+
+    using sample (co)variances. The closed-form companion to
+    ab_bootstrap_ratio_ci — ONE pass and no B factor, at the cost of
+    the large-n normality assumption the bootstrap avoids.
+
+    Exactness: x, y quantize to the 1e-6 integer grid and all five
+    sufficient statistics (n, Σx, Σy, Σxx, Σyy, Σxy) accumulate in
+    decimal/int128 — exact, order-independent; the closing chain is
+    fixed-order IEEE both engines replay. Cells with n < 2, Σy = 0,
+    or zero variance emit NULL z / significant=false. Rows with NULL
+    x or y are excluded (not exposed units)."""
+    gb = list(group_by or [])
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    base = (df.filter(F.col(variant_col).isin(control, treatment)
+                      & x.isNotNull() & y.isNotNull())
+            .select(*gb,
+                    (F.col(variant_col) == treatment).cast("int")
+                    .alias("__t"),
+                    F.round(x * 1e6).cast("decimal(38,0)").alias("__x"),
+                    F.round(y * 1e6).cast("decimal(38,0)").alias("__y")))
+
+    def side(tag: int):
+        m = (F.col("__t") == tag).cast("decimal(38,0)")
+        sfx = str(tag)
+        return [
+            F.sum(m).alias("n" + sfx),
+            F.sum(m * F.col("__x")).alias("sx" + sfx),
+            F.sum(m * F.col("__y")).alias("sy" + sfx),
+            F.sum(m * F.col("__x") * F.col("__x")).alias("sxx" + sfx),
+            F.sum(m * F.col("__y") * F.col("__y")).alias("syy" + sfx),
+            F.sum(m * F.col("__x") * F.col("__y")).alias("sxy" + sfx),
+        ]
+
+    agg = base.groupBy(*gb).agg(*side(0), *side(1))
+
+    def stats(sfx: str):
+        n = F.col("n" + sfx).cast("double")
+        sx = F.col("sx" + sfx).cast("double") / F.lit(1e6)
+        sy = F.col("sy" + sfx).cast("double") / F.lit(1e6)
+        sxx = F.col("sxx" + sfx).cast("double") / F.lit(1e12)
+        syy = F.col("syy" + sfx).cast("double") / F.lit(1e12)
+        sxy = F.col("sxy" + sfx).cast("double") / F.lit(1e12)
+        r = F.when(sy != 0, sx / sy)
+        ybar = sy / n
+        # sample (co)variances, computational form, fixed association
+        vxx = (sxx - sx * sx / n) / (n - F.lit(1.0))
+        vyy = (syy - sy * sy / n) / (n - F.lit(1.0))
+        vxy = (sxy - sx * sy / n) / (n - F.lit(1.0))
+        se2 = F.when(
+            (n > 1) & (sy != 0),
+            (vxx - F.lit(2.0) * r * vxy + r * r * vyy)
+            / (n * (ybar * ybar)))
+        return r, se2
+
+    r0, se20 = stats("0")
+    r1, se21 = stats("1")
+    se = F.sqrt(se20 + se21)
+    z = F.when(se > 0, (r1 - r0) / se)
+    zr = F.round(z, round_dp)
+    return agg.select(
+        *gb,
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.round(r0, round_dp).alias("ratio_control"),
+        F.round(r1, round_dp).alias("ratio_treatment"),
+        F.round(r1 - r0, round_dp).alias("diff"),
+        zr.alias("z"),
+        F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)),
+                   F.lit(False)).alias("significant"))
+
+
+def ab_ratio_delta_test_sql(
+    table: str,
+    variant_col: str,
+    num_expr: str,
+    den_expr: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_ratio_delta_test (same integer-grid exact
+    sufficient statistics, same fixed-association closing chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+
+    def side(tag: int):
+        m = f"(g1 = {tag})::HUGEINT"
+        s = str(tag)
+        return (f"sum({m}) AS n{s}, sum({m} * xq) AS sx{s}, "
+                f"sum({m} * yq) AS sy{s}, sum({m} * xq * xq) AS sxx{s}, "
+                f"sum({m} * yq * yq) AS syy{s}, "
+                f"sum({m} * xq * yq) AS sxy{s}")
+
+    def stats(s: str):
+        return f"""
+         n{s}::DOUBLE AS nd{s},
+         sx{s}::DOUBLE / 1e6 AS dsx{s}, sy{s}::DOUBLE / 1e6 AS dsy{s},
+         sxx{s}::DOUBLE / 1e12 AS dsxx{s},
+         syy{s}::DOUBLE / 1e12 AS dsyy{s},
+         sxy{s}::DOUBLE / 1e12 AS dsxy{s}"""
+
+    def chain(s: str):
+        return f"""
+         CASE WHEN dsy{s} != 0 THEN dsx{s} / dsy{s} END AS r{s},
+         CASE WHEN nd{s} > 1 AND dsy{s} != 0 THEN
+           ((dsxx{s} - dsx{s} * dsx{s} / nd{s}) / (nd{s} - 1.0)
+            - 2.0 * (dsx{s} / dsy{s})
+              * ((dsxy{s} - dsx{s} * dsy{s} / nd{s}) / (nd{s} - 1.0))
+            + (dsx{s} / dsy{s}) * (dsx{s} / dsy{s})
+              * ((dsyy{s} - dsy{s} * dsy{s} / nd{s}) / (nd{s} - 1.0)))
+           / (nd{s} * ((dsy{s} / nd{s}) * (dsy{s} / nd{s})))
+         END AS se2{s}"""
+
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({variant_col} = {sql_lit(treatment)} AS INT) AS g1,
+         CAST(round(CAST({num_expr} AS DOUBLE) * 1e6) AS HUGEINT) AS xq,
+         CAST(round(CAST({den_expr} AS DOUBLE) * 1e6) AS HUGEINT) AS yq
+  FROM {table}
+  WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
+    AND {num_expr} IS NOT NULL AND {den_expr} IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}{side(0)}, {side(1)}
+  FROM base {gkey}
+),
+doubled AS (
+  SELECT {gsel}n0, n1, {stats('0')}, {stats('1')} FROM agg
+),
+calc AS (
+  SELECT {gsel}n0, n1, {chain('0')}, {chain('1')},
+         dsx0, dsy0, dsx1, dsy1
+  FROM doubled
+),
+zc AS (
+  SELECT {gsel}n0, n1, r0, r1,
+         CASE WHEN sqrt(se20 + se21) > 0
+              THEN (r1 - r0) / sqrt(se20 + se21) END AS z
+  FROM calc
+)
+SELECT {gsel}n0 AS n_control, n1 AS n_treatment,
+       round(r0, {round_dp}) AS ratio_control,
+       round(r1, {round_dp}) AS ratio_treatment,
+       round(r1 - r0, {round_dp}) AS diff,
+       round(z, {round_dp}) AS z,
+       coalesce(abs(round(z, {round_dp})) >= {float(z_alpha)!r},
+                FALSE) AS significant
+FROM zc
+"""

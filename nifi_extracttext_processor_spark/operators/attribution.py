@@ -1,0 +1,240 @@
+"""Multi-touch conversion attribution — "which channel gets credit
+for this purchase": the standard marketing-analytics readout over an
+activity log (the events table shape: user, timestamp, event type,
+value). For each conversion event, credit the user's touch events
+inside a lookback window under one of the standard models:
+
+    first      100% to the earliest touch
+    last       100% to the latest touch before conversion
+    linear     1/k to each of the k touches
+    position   40% first, 40% last, 20% split over the middles
+               (the "U-shaped" model; k=1 -> 100%, k=2 -> 50/50)
+
+All weights are exact rationals of small integers (one IEEE division
+each, identical both engines) — no decay exponentials, so the whole
+surface is oracle-replayable (a half-life model would put a
+transcendental per row between the engines; position-based is what
+practitioners use when they want the U-shape without that).
+
+Scale shape: ONE shuffle by user co-locates touches with
+conversions; the per-conversion window then runs inside each user's
+slice. The touch-x-conversion fan-out is bounded per user by
+(touches in lookback) x (conversions) — activity logs are bounded
+per user per window in practice; for adversarial hot users compose
+with skew.salted_join or pre-cap touches per (user, day). Weighting
+needs each conversion's touch count and endpoints: rather than a
+second shuffle, rn/cnt come from ONE window over the pair table
+(partitioned by conversion id, already co-located by the join).
+
+Determinism: touch order inside a conversion is (ts, touch event id)
+— a total order, so first/last/position credits never depend on
+partitioning. Ties between a touch and the conversion timestamp
+count as touches (<=, the industry convention for same-instant
+click-through)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sqlutil import sql_lit
+
+MODELS = ("first", "last", "linear", "position")
+
+
+def attribute_conversions(
+    events: DataFrame,
+    touch_types: "list[str]",
+    conversion_type: str = "purchase",
+    model: str = "last",
+    lookback_days: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-touch credit table: (conv_id, touch_id, touch_type,
+    user, n_touches, weight, attributed_value). Conversions with NO
+    touch in the lookback are absent (unattributable — callers who
+    need them reconcile against the conversion count; see
+    attribution_report's `unattributed` row). NULL timestamps/values
+    are excluded on both sides."""
+    if model not in MODELS:
+        raise ValueError(f"model must be one of {MODELS}")
+    if lookback_days <= 0:
+        raise ValueError("lookback_days must be positive")
+    base = events.filter(F.col(ts_col).isNotNull())
+    touches = (base.filter(F.col(type_col).isin(list(touch_types)))
+               .select(F.col(user_col).alias("user"),
+                       F.col(id_col).alias("touch_id"),
+                       F.col(type_col).alias("touch_type"),
+                       F.col(ts_col).alias("touch_ts")))
+    convs = (base.filter(F.col(type_col) == conversion_type)
+             .filter(F.col(value_col).isNotNull())
+             .select(F.col(user_col).alias("user"),
+                     F.col(id_col).alias("conv_id"),
+                     F.col(ts_col).alias("conv_ts"),
+                     F.col(value_col).alias("conv_value")))
+    pairs = touches.join(convs, "user").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts")
+           >= F.col("conv_ts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")))
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy("touch_ts", "touch_id")
+    pairs = (pairs
+             .withColumn("__rn", F.row_number().over(wo))
+             .withColumn("__k", F.count("*").over(w)))
+    k = F.col("__k").cast("double")
+    rn = F.col("__rn")
+    if model == "first":
+        weight = F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "last":
+        weight = F.when(rn == F.col("__k"), F.lit(1.0)) \
+            .otherwise(F.lit(0.0))
+    elif model == "linear":
+        weight = F.lit(1.0) / k
+    else:  # position (U-shaped 40/20/40)
+        weight = (
+            F.when(F.col("__k") == 1, F.lit(1.0))
+            .when(F.col("__k") == 2, F.lit(0.5))
+            .when(rn == 1, F.lit(0.4))
+            .when(rn == F.col("__k"), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (k - F.lit(2.0))))
+    out = pairs.select(
+        "conv_id", "touch_id", "touch_type", "user",
+        F.col("__k").alias("n_touches"),
+        weight.alias("weight"),
+        (weight * F.col("conv_value")).alias("attributed_value"))
+    return out.filter(F.col("weight") > 0)
+
+
+def attribution_report(
+    events: DataFrame,
+    touch_types: "list[str]",
+    conversion_type: str = "purchase",
+    model: str = "last",
+    lookback_days: int = 30,
+    round_dp: int = 4,
+    **kw,
+) -> DataFrame:
+    """Per-channel rollup: (touch_type, n_conversions, n_credits,
+    attributed_value) + one 'unattributed' row carrying the
+    conversions (and value) no lookback touch could claim — so the
+    report always reconciles to the total conversion value.
+    attributed_value sums per-credit products in a deterministic
+    order-independent way: each credit's weight*value is quantized to
+    the 1e-6 grid and summed in decimal (exact), then divided once."""
+    credits = attribute_conversions(
+        events, touch_types, conversion_type=conversion_type,
+        model=model, lookback_days=lookback_days, **kw)
+    q = F.round(F.col("attributed_value") * 1e6).cast("decimal(38,0)")
+    per_type = (credits
+                .groupBy("touch_type")
+                .agg(F.count_distinct("conv_id").alias("n_conversions"),
+                     F.count("*").alias("n_credits"),
+                     F.sum(q).alias("__sv")))
+    ts_col = kw.get("ts_col", "ts")
+    type_col = kw.get("type_col", "event_type")
+    id_col = kw.get("id_col", "event_id")
+    value_col = kw.get("value_col", "value")
+    convs = (events.filter(F.col(ts_col).isNotNull())
+             .filter(F.col(type_col) == conversion_type)
+             .filter(F.col(value_col).isNotNull())
+             .select(F.col(id_col).alias("conv_id"),
+                     F.col(value_col).alias("conv_value")))
+    hit = credits.select("conv_id").distinct()
+    missed = convs.join(hit, "conv_id", "left_anti")
+    qm = F.round(F.col("conv_value") * 1e6).cast("decimal(38,0)")
+    un = missed.agg(
+        F.lit("unattributed").alias("touch_type"),
+        F.count("*").alias("n_conversions"),
+        F.lit(0).cast("long").alias("n_credits"),
+        F.coalesce(F.sum(qm), F.lit(0).cast("decimal(38,0)"))
+        .alias("__sv"))
+    allrows = per_type.unionByName(un)
+    return allrows.select(
+        "touch_type", "n_conversions", "n_credits",
+        F.round(F.col("__sv").cast("double") / F.lit(1e6), round_dp)
+        .alias("attributed_value")).orderBy("touch_type")
+
+
+def attribution_report_sql(
+    table: str,
+    touch_types: "list[str]",
+    conversion_type: str = "purchase",
+    model: str = "last",
+    lookback_days: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of attribution_report (same pair join, same
+    (ts, id) total order, same exact-grid value sums)."""
+    if model not in MODELS:
+        raise ValueError(f"model must be one of {MODELS}")
+    tt = ", ".join(sql_lit(t) for t in touch_types)
+    if model == "first":
+        weight = "CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END"
+    elif model == "last":
+        weight = "CASE WHEN rn = k THEN 1.0 ELSE 0.0 END"
+    elif model == "linear":
+        weight = "1.0 / k::DOUBLE"
+    else:
+        weight = ("CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5 "
+                  "WHEN rn = 1 THEN 0.4 WHEN rn = k THEN 0.4 "
+                  "ELSE 0.2 / (k::DOUBLE - 2.0) END")
+    return f"""
+WITH touches AS (
+  SELECT {user_col} AS u, {id_col} AS touch_id,
+         {type_col} AS touch_type, {ts_col} AS touch_ts
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {type_col} IN ({tt})
+),
+convs AS (
+  SELECT {user_col} AS u, {id_col} AS conv_id, {ts_col} AS conv_ts,
+         {value_col} AS conv_value
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL
+    AND {type_col} = {sql_lit(conversion_type)}
+    AND {value_col} IS NOT NULL
+),
+pairs AS (
+  SELECT t.touch_id, t.touch_type, c.conv_id, c.conv_value,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.touch_ts, t.touch_id) AS rn,
+         count(*) OVER (PARTITION BY c.conv_id) AS k
+  FROM touches t JOIN convs c ON t.u = c.u
+  WHERE t.touch_ts <= c.conv_ts
+    AND t.touch_ts >= c.conv_ts - INTERVAL {int(lookback_days)} DAY
+),
+credits AS (
+  SELECT touch_type, conv_id,
+         ({weight}) AS w,
+         ({weight}) * conv_value AS av
+  FROM pairs
+),
+per_type AS (
+  SELECT touch_type,
+         count(DISTINCT conv_id) AS n_conversions,
+         count(*) AS n_credits,
+         sum(CAST(round(av * 1e6) AS HUGEINT)) AS sv
+  FROM credits WHERE w > 0 GROUP BY touch_type
+),
+un AS (
+  SELECT 'unattributed' AS touch_type,
+         count(*) AS n_conversions,
+         0::BIGINT AS n_credits,
+         coalesce(sum(CAST(round(conv_value * 1e6) AS HUGEINT)),
+                  0::HUGEINT) AS sv
+  FROM convs WHERE conv_id NOT IN (SELECT conv_id FROM credits
+                                   WHERE w > 0)
+)
+SELECT touch_type, n_conversions, n_credits,
+       round(sv::DOUBLE / 1e6, {round_dp}) AS attributed_value
+FROM (SELECT * FROM per_type UNION ALL BY NAME SELECT * FROM un)
+ORDER BY touch_type
+"""

@@ -469,3 +469,108 @@ SELECT CAST(sum(nb) AS BIGINT) AS n, count(*) AS n_bins_used,
        round(sum(nb * abs(acc - conf)) / sum(nb), 6) AS ece
 FROM bins
 """
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n, po, kappa) — Cohen's kappa (Cohen 1960)
+    inter-rater agreement between two label columns: the
+    chance-corrected readout for "do my two quality classifiers /
+    annotator pools / model-vs-human labels actually agree", where
+    raw percent-agreement is inflated by class imbalance (two raters
+    calling everything 'clean' agree 100% and mean nothing).
+
+        kappa = (po − pe) / (1 − pe)
+              = (n·agree − Σ_k na_k·nb_k) / (n² − Σ_k na_k·nb_k)
+
+    — the second form is what both engines compute: EXACT integer
+    numerator and denominator, ONE IEEE division (no intermediate
+    probabilities to drift). po ships as agree/n for the reader.
+    Rows with a NULL on either side are excluded (not ratings).
+    Degenerate cells (pe = 1: both raters constant on the same
+    label) emit NULL kappa — agreement is undefined, not perfect.
+
+    Scale shape: one count/agree aggregate + one per-(group, label)
+    marginal aggregate (shuffle carries distinct labels), joined
+    groups-sized. Labels compare verbatim (any atomic type)."""
+    gb = list(group_by or [])
+    a, b = F.col(rater_a_col), F.col(rater_b_col)
+    base = df.filter(a.isNotNull() & b.isNotNull())
+    tot = base.groupBy(*gb).agg(
+        F.count("*").alias("n"),
+        F.sum((a == b).cast("long")).alias("__agree"))
+    labels = (base.select(*gb, a.alias("__lab"),
+                          F.lit(1).alias("__ia"),
+                          F.lit(0).alias("__ib"))
+              .unionByName(
+                  base.select(*gb, b.alias("__lab"),
+                              F.lit(0).alias("__ia"),
+                              F.lit(1).alias("__ib"))))
+    marg = (labels.groupBy(*gb, "__lab")
+            .agg(F.sum("__ia").alias("__na"),
+                 F.sum("__ib").alias("__nb"))
+            .groupBy(*gb)
+            .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__pe")))
+    j = tot.join(marg, gb) if gb else tot.crossJoin(marg)
+    num = F.col("n") * F.col("__agree") - F.col("__pe")
+    den = F.col("n") * F.col("n") - F.col("__pe")
+    out = j.select(
+        *gb, "n",
+        F.round(F.col("__agree").cast("double")
+                / F.col("n").cast("double"), round_dp).alias("po"),
+        F.round(F.when(den != 0,
+                       num.cast("double") / den.cast("double")),
+                round_dp).alias("kappa"))
+    return out.orderBy(*gb) if gb else out
+
+
+def cohen_kappa_sql(
+    table: str,
+    rater_a_expr: str,
+    rater_b_expr: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of cohen_kappa (same exact-integer rational,
+    same single division)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    join = ("USING (" + ", ".join(gb) + ")") if gb else "ON TRUE"
+    order = ("ORDER BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}{rater_a_expr} AS a, {rater_b_expr} AS b
+  FROM {table}
+  WHERE {rater_a_expr} IS NOT NULL AND {rater_b_expr} IS NOT NULL
+),
+tot AS (
+  SELECT {gsel}count(*) AS n,
+         sum(CAST(a = b AS BIGINT)) AS agree
+  FROM base {gkey}
+),
+labels AS (
+  SELECT {gsel}a AS lab, 1 AS ia, 0 AS ib FROM base
+  UNION ALL
+  SELECT {gsel}b AS lab, 0 AS ia, 1 AS ib FROM base
+),
+marg AS (
+  SELECT {gsel}sum(na * nb) AS pe FROM (
+    SELECT {gsel}lab, sum(ia) AS na, sum(ib) AS nb
+    FROM labels GROUP BY {gsel}lab
+  ) {gkey}
+)
+SELECT {gsel}n,
+       round(agree::DOUBLE / n::DOUBLE, {round_dp}) AS po,
+       round(CASE WHEN n * n - pe != 0
+                  THEN (n * agree - pe)::DOUBLE
+                       / (n * n - pe)::DOUBLE END,
+             {round_dp}) AS kappa
+FROM tot JOIN marg {join}
+{order}
+"""

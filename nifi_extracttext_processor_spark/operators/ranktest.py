@@ -1,0 +1,289 @@
+"""Rank-based inference — the distribution-free A/B readouts:
+Mann-Whitney U (Wilcoxon rank-sum; Mann & Whitney 1947) for "did the
+treatment shift the distribution" when means are meaningless
+(heavy-tailed latencies, bounded scores, ordinal ratings), and
+Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) for the
+metric-sweep problem: test 200 metrics at alpha=.05 and ~10 "wins"
+are false discoveries unless the thresholds adapt to the sweep.
+
+Cross-engine exactness (the decayed_agg discipline): both operators
+collapse to the DISTINCT-VALUE aggregate first (the Kaplan-Meier
+shape), so every rank quantity is an INTEGER prefix sum — midranks
+are carried as 2x-integers (2*left + t + 1, always odd/even exact),
+the rank-sum and tie correction are exact integer sums, and the
+handful of closing IEEE divisions/sqrt are written with the same
+association on both engines. No transcendentals: significance is
+|z| >= caller critical value, never a p-value (the abtest family
+convention); BH consumes caller-provided p-values and only compares
+them against exact-rational thresholds.
+
+Scale shape: the shuffle carries DISTINCT metric values (Mann-
+Whitney) or DISTINCT p-values (BH), never rows. METRIC CONTRACT
+(same as survival.py's duration contract): callers quantize
+continuous metrics to a practical grain (the events table's value
+is already 2dp) so distinct values per group stay bounded; the keyed
+window then runs over that bounded table, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sqlutil import sql_lit
+
+
+def ab_mann_whitney(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_control, n_treatment, u, z, significant) — the
+    Mann-Whitney U statistic for the treatment side with the normal
+    approximation z (tie-corrected variance):
+
+        U1 = R1 − n1(n1+1)/2          (R1 = treatment rank-sum,
+                                       midranks for ties)
+        E[U1] = n0·n1/2
+        Var   = (n0·n1/12)·((n+1) − ΣT(t³−t)/(n(n−1)))
+
+    Exactness: per-(group, distinct value) counts (c0, c1) are one
+    map-side-combinable agg; 2·midrank = 2·left + t + 1 and
+    2·R1 = Σ c1·(2·left + t + 1) stay in integer arithmetic (exact,
+    order-independent), as does the tie term Σ(t³−t). The closing z
+    is a fixed-order chain of IEEE ops both engines replay. Cells
+    with an empty side or all values tied emit NULL z /
+    significant=false. NULL values are excluded (not observations)."""
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = (df.filter(F.col(variant_col).isin(control, treatment)
+                      & v.isNotNull())
+            .withColumn("__t",
+                        (F.col(variant_col) == treatment).cast("long")))
+    per_v = (base.groupBy(*gb, v.alias("__v"))
+             .agg(F.sum(1 - F.col("__t")).alias("c0"),
+                  F.sum("__t").alias("c1")))
+    per_v = per_v.withColumn("t", F.col("c0") + F.col("c1"))
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wprev = (wtot.orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    left = F.coalesce(F.sum("t").over(wprev), F.lit(0))
+    # 2x-integer midrank of the tied block at __v
+    mid2 = 2 * left + F.col("t") + 1
+    agg = (per_v
+           .select(*gb,
+                   (F.col("c1") * mid2).alias("__r1x2"),
+                   "c0", "c1",
+                   (F.col("t") * F.col("t") * F.col("t")
+                    - F.col("t")).alias("__tt"))
+           .groupBy(*gb)
+           .agg(F.sum("c0").alias("n0"),
+                F.sum("c1").alias("n1"),
+                F.sum("__r1x2").alias("r1x2"),
+                F.sum("__tt").alias("tie")))
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    n = (F.col("n0") + F.col("n1")).cast("double")
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)  # 2*U1, int
+    # fixed-association variance chain (both engines as written):
+    var = (n0 * n1 / F.lit(12.0)) \
+        * ((n + F.lit(1.0))
+           - F.col("tie").cast("double") / (n * (n - F.lit(1.0))))
+    z = F.when(
+        (F.col("n0") > 0) & (F.col("n1") > 0) & (var > 0),
+        (u1x2.cast("double") - n0 * n1)
+        / (F.lit(2.0) * F.sqrt(var)))
+    zr = F.round(z, round_dp)
+    return agg.select(
+        *gb,
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        (u1x2.cast("double") / F.lit(2.0)).alias("u"),
+        zr.alias("z"),
+        F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)),
+                   F.lit(False)).alias("significant"))
+
+
+def ab_mann_whitney_sql(
+    table: str,
+    variant_col: str,
+    value_expr: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_mann_whitney: identical distinct-value
+    aggregate, integer prefix sums, 2x midranks, and closing IEEE
+    chain (same association)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({value_expr} AS DOUBLE) AS v,
+         CAST({variant_col} = {sql_lit(treatment)} AS BIGINT) AS g1
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL
+    AND {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
+),
+per_v AS (
+  SELECT {gsel}v, sum(1 - g1) AS c0, sum(g1) AS c1,
+         count(*) AS t
+  FROM base GROUP BY {gsel}v
+),
+ranked AS (
+  SELECT {gsel}c0, c1, t,
+         2 * coalesce(sum(t) OVER ({part} ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + t + 1 AS mid2
+  FROM per_v
+),
+agg AS (
+  SELECT {gsel}sum(c0) AS n0, sum(c1) AS n1,
+         sum(c1 * mid2) AS r1x2,
+         sum(t * t * t - t) AS tie
+  FROM ranked {('GROUP BY ' + ', '.join(gb)) if gb else ''}
+),
+calc AS (
+  SELECT {gsel}n0, n1, r1x2 - n1 * (n1 + 1) AS u1x2,
+         (n0::DOUBLE * n1::DOUBLE / 12.0)
+         * (((n0 + n1)::DOUBLE + 1.0)
+            - tie::DOUBLE / ((n0 + n1)::DOUBLE
+                             * ((n0 + n1)::DOUBLE - 1.0))) AS var
+  FROM agg
+),
+zc AS (
+  SELECT {gsel}n0, n1, u1x2,
+         CASE WHEN n0 > 0 AND n1 > 0 AND var > 0
+              THEN (u1x2::DOUBLE - n0::DOUBLE * n1::DOUBLE)
+                   / (2.0 * sqrt(var)) END AS z
+  FROM calc
+)
+SELECT {gsel}n0 AS n_control, n1 AS n_treatment,
+       u1x2::DOUBLE / 2.0 AS u,
+       round(z, {round_dp}) AS z,
+       coalesce(abs(round(z, {round_dp})) >= {float(z_alpha)!r},
+                FALSE) AS significant
+FROM zc
+"""
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a table of test
+    results (one row per metric/test): within each family (group_by),
+    find k = max{i : p_(i) <= i·q/m} and reject every p <= p_(k) —
+    the procedure that bounds the EXPECTED false-discovery fraction
+    of a metric sweep at q, where per-test alpha bounds only each
+    test alone.
+
+    Output: input rows + (m, p_rank, bh_critical, rejected), where
+    p_rank is the index of the row's tied block END in the ordered
+    p-sequence and bh_critical = p_rank·q/m (the threshold the block
+    was judged at). Tie-safe and deterministic: the criterion is
+    evaluated once per DISTINCT p at its block-end index — if
+    p_(i) <= i·q/m holds anywhere inside a tied block it holds at the
+    block end (RHS grows with i), and rejection is p <= p_(k), so
+    equal p-values always decide together. NULL p rows pass through
+    with rejected=false and NULL rank columns (not tests).
+
+    Scale shape: the distinct-p aggregate bounds the window input by
+    the number of distinct p-values; sweeps are metrics-sized tables
+    anyway. No transcendentals: comparisons are p·m <= i·q in
+    doubles both engines compute identically."""
+    if not 0.0 < q < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    gb = list(group_by or [])
+    p = F.col(p_col).cast("double")
+    good = df.filter(p.isNotNull())
+    per_p = (good.groupBy(*gb, p.alias("__p"))
+             .agg(F.count("*").alias("__c")))
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wpref = (wtot.orderBy("__p")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per_p = (per_p
+             .withColumn("__i", F.sum("__c").over(wpref))  # block end
+             .withColumn("__m", F.sum("__c").over(wtot)))
+    flag = (F.col("__p") * F.col("__m").cast("double")
+            <= F.col("__i").cast("double") * F.lit(float(q)))
+    # p_(k): largest p whose block passes the step-up criterion
+    per_p = per_p.withColumn(
+        "__pk", F.max(F.when(flag, F.col("__p"))).over(wtot))
+    dec = per_p.select(
+        *gb, "__p",
+        F.col("__m").alias("m"),
+        F.col("__i").alias("p_rank"),
+        F.round(F.col("__i").cast("double") * F.lit(float(q))
+                / F.col("__m").cast("double"), round_dp)
+        .alias("bh_critical"),
+        F.coalesce(F.col("__p") <= F.col("__pk"),
+                   F.lit(False)).alias("rejected"))
+    # join decisions back on (group, p); NULL-p rows pass through
+    joined = (good.withColumn("__p", p)
+              .join(dec, [*gb, "__p"])
+              .drop("__p"))
+    nulls = (df.filter(p.isNull())
+             .withColumn("m", F.lit(None).cast("long"))
+             .withColumn("p_rank", F.lit(None).cast("long"))
+             .withColumn("bh_critical", F.lit(None).cast("double"))
+             .withColumn("rejected", F.lit(False)))
+    return joined.unionByName(nulls)
+
+
+def bh_adjust_sql(
+    table: str,
+    p_expr: str,
+    q: float = 0.05,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of bh_adjust (same distinct-p block-end criterion,
+    same join-back, same NULL passthrough)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    on = ", ".join([*gb, "__p"])
+    return f"""
+WITH good AS (
+  SELECT *, CAST({p_expr} AS DOUBLE) AS __p FROM {table}
+  WHERE {p_expr} IS NOT NULL
+),
+per_p AS (
+  SELECT {gsel}__p, count(*) AS c FROM good GROUP BY {gsel}__p
+),
+idx AS (
+  SELECT {gsel}__p,
+         sum(c) OVER ({part} ORDER BY __p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i,
+         sum(c) OVER ({part}) AS m
+  FROM per_p
+),
+dec AS (
+  SELECT {gsel}__p, m, i AS p_rank,
+         round(i::DOUBLE * {float(q)!r} / m::DOUBLE,
+               {round_dp}) AS bh_critical,
+         coalesce(__p <= max(CASE WHEN __p * m::DOUBLE
+                                       <= i::DOUBLE * {float(q)!r}
+                                  THEN __p END) OVER ({part}),
+                  FALSE) AS rejected
+  FROM idx
+)
+SELECT good.* EXCLUDE (__p), m, p_rank, bh_critical, rejected
+FROM good JOIN dec USING ({on})
+UNION ALL BY NAME
+SELECT *, NULL::BIGINT AS m, NULL::BIGINT AS p_rank,
+       NULL::DOUBLE AS bh_critical, FALSE AS rejected
+FROM {table} WHERE {p_expr} IS NULL
+"""

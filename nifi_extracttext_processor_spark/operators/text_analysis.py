@@ -1895,3 +1895,102 @@ SELECT {select},
         AND {n_src} * 4 < length({t})) AS spoofed
 FROM {table}
 """
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_tokens, n_types, ttr, hapax_frac, simpson_d,
+    yule_k) — corpus-level lexical-richness profile, the repetition
+    readout at the VOCABULARY level (repetition_stats sees intra-doc
+    repeats; this sees a corpus that keeps reusing the same types —
+    template farms, boilerplate floods, model-generated sludge):
+
+        ttr        = V / N            (type-token ratio)
+        hapax_frac = V1 / V           (share of once-seen types)
+        simpson_d  = Σ f(f−1) / (N(N−1))   (repeat-draw probability)
+        yule_k     = 10⁴ · (Σ f² − N) / N²  (Yule 1944; length-robust)
+
+    Exactness: every numerator/denominator is an exact integer sum
+    over the per-term frequency table (order-independent), each
+    output ONE IEEE division, so the DuckDB twin is bit-identical
+    before rounding. Scale shape: explode is narrow; the (group,
+    term) aggregate partial-aggregates map-side so the shuffle
+    carries distinct terms; the closing agg is groups-sized. Empty
+    groups (no tokens) emit NULL ratios; N=1 groups emit NULL
+    simpson_d (undefined)."""
+    gb = list(group_by or [])
+    terms = (df.select(
+        *gb,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("term"))
+        .filter(F.length("term") > 0))
+    freq = terms.groupBy(*gb, "term").agg(F.count("*").alias("f"))
+    f = F.col("f")
+    agg = freq.groupBy(*gb).agg(
+        F.sum("f").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum((f == 1).cast("long")).alias("__v1"),
+        F.sum(f * (f - 1)).alias("__ff1"),
+        F.sum(f * f).alias("__f2"))
+    n = F.col("n_tokens").cast("double")
+    v = F.col("n_types").cast("double")
+    out = agg.select(
+        *gb, "n_tokens", "n_types",
+        F.round(v / n, round_dp).alias("ttr"),
+        F.round(F.col("__v1").cast("double") / v, round_dp)
+        .alias("hapax_frac"),
+        F.round(F.when(
+            F.col("n_tokens") > 1,
+            F.col("__ff1").cast("double") / (n * (n - F.lit(1.0)))),
+            round_dp).alias("simpson_d"),
+        F.round(F.lit(10000.0)
+                * (F.col("__f2") - F.col("n_tokens")).cast("double")
+                / (n * n), round_dp).alias("yule_k"))
+    return out.orderBy(*gb) if gb else out
+
+
+def lexical_diversity_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of lexical_diversity (same token split, same exact
+    integer sums, same single divisions)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    order = ("ORDER BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH terms AS (
+  SELECT {gsel}unnest(list_filter(
+      string_split_regex(lower(trim({text_expr})), '\\s+'),
+      t -> len(t) > 0)) AS term
+  FROM {table}
+),
+freq AS (
+  SELECT {gsel}term, count(*) AS f FROM terms GROUP BY {gsel}term
+),
+agg AS (
+  SELECT {gsel}sum(f) AS n_tokens, count(*) AS n_types,
+         sum(CAST(f = 1 AS BIGINT)) AS v1,
+         sum(f * (f - 1)) AS ff1,
+         sum(f * f) AS f2
+  FROM freq {gkey}
+)
+SELECT {gsel}n_tokens, n_types,
+       round(n_types::DOUBLE / n_tokens::DOUBLE, {round_dp}) AS ttr,
+       round(v1::DOUBLE / n_types::DOUBLE, {round_dp}) AS hapax_frac,
+       round(CASE WHEN n_tokens > 1 THEN ff1::DOUBLE
+                  / (n_tokens::DOUBLE * (n_tokens::DOUBLE - 1.0)) END,
+             {round_dp}) AS simpson_d,
+       round(10000.0 * (f2 - n_tokens)::DOUBLE
+             / (n_tokens::DOUBLE * n_tokens::DOUBLE),
+             {round_dp}) AS yule_k
+FROM agg
+{order}
+"""

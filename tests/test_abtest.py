@@ -340,3 +340,91 @@ class TestQuantileLift:
         with pytest.raises(ValueError):
             ab_quantile_lift(exp, "variant", "value", "c", "t",
                              probs=(1.5,))
+
+
+class TestRatioDelta:
+    def _df(self, spark):
+        rows = []
+        for i in range(400):
+            v = "c" if i % 2 == 0 else "t"
+            x = float((i * 37) % 23) + (1.75 if v == "t" else 0.0)
+            y = float((i * 11) % 7) + 1.0
+            rows.append((v, x, y))
+        return spark.createDataFrame(
+            rows, "variant string, clicks double, views double")
+
+    def test_matches_numpy_delta_method(self, spark):
+        import numpy as np
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_ratio_delta_test,
+        )
+        df = self._df(spark)
+        [r] = ab_ratio_delta_test(df, "variant", "clicks", "views",
+                                  "c", "t").collect()
+        rows = df.collect()
+
+        def ref(tag):
+            xs = np.array([w["clicks"] for w in rows
+                           if w["variant"] == tag])
+            ys = np.array([w["views"] for w in rows
+                           if w["variant"] == tag])
+            n = len(xs)
+            rr = xs.sum() / ys.sum()
+            yb = ys.mean()
+            se2 = (np.var(xs, ddof=1)
+                   - 2 * rr * np.cov(xs, ys, ddof=1)[0][1]
+                   + rr * rr * np.var(ys, ddof=1)) / (n * yb * yb)
+            return rr, se2
+
+        r0, s0 = ref("c")
+        r1, s1 = ref("t")
+        assert r["ratio_control"] == pytest.approx(r0, abs=1e-4)
+        assert r["ratio_treatment"] == pytest.approx(r1, abs=1e-4)
+        assert r["z"] == pytest.approx(
+            (r1 - r0) / (s0 + s1) ** 0.5, abs=1e-4)
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_ratio_delta_test, ab_ratio_delta_test_sql,
+        )
+        df = self._df(spark)
+        got = ab_ratio_delta_test(df, "variant", "clicks", "views",
+                                  "c", "t")
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        odf = con.execute(ab_ratio_delta_test_sql(
+            "t", "variant", "clicks", "views", "c", "t")).df()
+        assert [tuple(r) for r in got.collect()] \
+            == [tuple(r) for r in odf.itertuples(index=False)]
+
+    def test_degenerate_cells(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_ratio_delta_test,
+        )
+        # n=1 per side -> NULL z; zero denominator sum -> NULL ratio
+        df = spark.createDataFrame(
+            [("c", 1.0, 0.0), ("t", 2.0, 0.0)],
+            "variant string, x double, y double")
+        [r] = ab_ratio_delta_test(df, "variant", "x", "y",
+                                  "c", "t").collect()
+        assert r["ratio_control"] is None and r["z"] is None
+        assert r["significant"] is False
+
+    def test_joint_resampling_free_consistency(self, spark):
+        """x == y -> every ratio exactly 1.0, diff 0, NULL z (zero
+        variance of the linearized statistic)."""
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_ratio_delta_test,
+        )
+        rows = [("c", float(i % 5 + 1), float(i % 5 + 1))
+                for i in range(40)] \
+            + [("t", float(i % 7 + 1), float(i % 7 + 1))
+               for i in range(40)]
+        df = spark.createDataFrame(rows,
+                                   "variant string, x double, y double")
+        [r] = ab_ratio_delta_test(df, "variant", "x", "y",
+                                  "c", "t").collect()
+        assert r["ratio_control"] == 1.0
+        assert r["ratio_treatment"] == 1.0
+        assert r["diff"] == 0.0 and r["z"] is None

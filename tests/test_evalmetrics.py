@@ -364,3 +364,53 @@ class TestParityAndPlan:
             ._jdf.queryExecution().executedPlan().toString())
         assert "Join" not in plan2
         assert "BatchEvalPython" not in plan2
+
+
+class TestCohenKappa:
+    def test_classic_golden(self, spark):
+        """Cohen 1960 shape: 20 yy + 15 nn + 10 yn + 5 ny ->
+        po=0.7, pe=0.5, kappa=0.4 (exact rational 500/1250)."""
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import cohen_kappa
+        rows = [("y", "y")] * 20 + [("n", "n")] * 15 \
+            + [("y", "n")] * 10 + [("n", "y")] * 5 + [(None, "y")]
+        df = spark.createDataFrame(rows, "a string, b string")
+        [r] = cohen_kappa(df, "a", "b").collect()
+        assert (r["n"], r["po"], r["kappa"]) == (50, 0.7, 0.4)
+
+    def test_degenerate_constant_raters(self, spark):
+        """Both raters constant on the same label: pe=1, kappa
+        undefined -> NULL (not 1.0)."""
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import cohen_kappa
+        df = spark.createDataFrame([("x", "x")] * 5,
+                                   "a string, b string")
+        [r] = cohen_kappa(df, "a", "b").collect()
+        assert r["po"] == 1.0 and r["kappa"] is None
+
+    def test_perfect_and_inverse_agreement(self, spark):
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import cohen_kappa
+        perfect = spark.createDataFrame(
+            [("a", "a")] * 3 + [("b", "b")] * 3, "a string, b string")
+        [r] = cohen_kappa(perfect, "a", "b").collect()
+        assert r["kappa"] == 1.0
+        inverse = spark.createDataFrame(
+            [("a", "b")] * 3 + [("b", "a")] * 3, "a string, b string")
+        [r] = cohen_kappa(inverse, "a", "b").collect()
+        assert r["kappa"] == -1.0
+
+    def test_grouped_twin_parity(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import cohen_kappa, cohen_kappa_sql
+        rows = [(f"s{i % 2}", str((i * 3) % 4), str((i * 5 + i // 7) % 4))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "src string, a string, b string")
+        got = cohen_kappa(df, "a", "b", group_by=["src"])
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        odf = con.execute(cohen_kappa_sql(
+            "t", "a", "b", group_by=["src"])).df()
+        assert [tuple(r) for r in got.collect()] \
+            == [tuple(r) for r in odf.itertuples(index=False)]

@@ -1,0 +1,164 @@
+"""Rank-based inference (operators/ranktest.py): Mann-Whitney U with
+tie-corrected normal approximation, and Benjamini-Hochberg FDR
+control. Goldens are hand-computed; twins run side-by-side in DuckDB;
+plan shape pins the distinct-value-aggregate-before-window contract."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.ranktest import (
+    ab_mann_whitney,
+    ab_mann_whitney_sql,
+    bh_adjust,
+    bh_adjust_sql,
+)
+
+
+def _canon(v):
+    if isinstance(v, float) and v == v and float(v).is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _twin(df, got, sql):
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    odf = con.execute(sql).df()
+    assert sorted(got.columns) == sorted(odf.columns)
+    cols = got.columns
+    s = sorted(",".join(_canon(r[c]) for c in cols)
+               for r in (row.asDict() for row in got.collect()))
+    o = sorted(",".join(_canon(r[c]) for c in cols)
+               for r in odf.to_dict("records"))
+    assert s == o
+
+
+class TestMannWhitney:
+    def test_hand_computed_with_ties(self, spark):
+        """control {1,2,3} vs treatment {2,3,4}: midranks 2.5/4.5 for
+        the tied pairs, R1 = 13, U1 = 7, tie term T = 12,
+        Var = (9/12)(7 - 12/30) = 4.95, z = 2.5/sqrt(4.95) = 1.1237."""
+        df = spark.createDataFrame(
+            [("c", 1.0), ("c", 2.0), ("c", 3.0),
+             ("t", 2.0), ("t", 3.0), ("t", 4.0)],
+            "variant string, value double")
+        [r] = ab_mann_whitney(df, "variant", "value", "c", "t") \
+            .collect()
+        assert (r["n_control"], r["n_treatment"]) == (3, 3)
+        assert r["u"] == 7.0
+        assert r["z"] == pytest.approx(1.1237, abs=1e-4)
+        assert r["significant"] is False
+        _twin(df, ab_mann_whitney(df, "variant", "value", "c", "t"),
+              ab_mann_whitney_sql("t", "variant", "value", "c", "t"))
+
+    def test_separated_distributions_significant(self, spark):
+        rows = [("c", float(i % 10)) for i in range(100)] \
+            + [("t", float(i % 10) + 8.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "variant string, value double")
+        [r] = ab_mann_whitney(df, "variant", "value", "c", "t") \
+            .collect()
+        assert r["significant"] is True and r["z"] > 5
+
+    def test_degenerate_cells(self, spark):
+        # all values tied -> zero variance -> NULL z
+        df = spark.createDataFrame(
+            [("c", 5.0)] * 4 + [("t", 5.0)] * 4,
+            "variant string, value double")
+        [r] = ab_mann_whitney(df, "variant", "value", "c", "t") \
+            .collect()
+        assert r["z"] is None and r["significant"] is False
+        # one empty side -> NULL z (and NULL rows excluded)
+        df2 = spark.createDataFrame(
+            [("c", 1.0), ("c", 2.0), ("t", None)],
+            "variant string, value double")
+        [r2] = ab_mann_whitney(df2, "variant", "value", "c", "t") \
+            .collect()
+        assert r2["n_treatment"] == 0 and r2["z"] is None
+
+    def test_grouped_twin_parity_and_adversarial_names(self, spark):
+        rows = [(f"g{i % 3}", "o'c" if i % 2 else 't"t',
+                 float((i * 7) % 13) + (1.0 if i % 2 else 0.0))
+                for i in range(240)]
+        df = spark.createDataFrame(
+            rows, "seg string, variant string, value double")
+        got = ab_mann_whitney(df, "variant", "value", "o'c", 't"t',
+                              group_by=["seg"])
+        _twin(df, got, ab_mann_whitney_sql(
+            "t", "variant", "value", "o'c", 't"t', group_by=["seg"]))
+
+    def test_plan_distinct_value_agg_before_window(self, spark):
+        """The shuffle must carry distinct values, never rows: a
+        HashAggregate (partial, map-side) appears BELOW the Window in
+        the physical plan, and no Python/Arrow eval anywhere."""
+        rows = [("c" if i % 2 else "t", float(i % 5))
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "variant string, value double")
+        out = ab_mann_whitney(df, "variant", "value", "c", "t")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert plan.index("HashAggregate") < plan.index("Window") \
+            or "partial" in plan.lower()
+        assert "Python" not in plan and "Arrow" not in plan
+
+
+class TestBhAdjust:
+    PV = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074,
+          0.205, 0.212, 0.216]
+
+    def _df(self, spark, pvals=None):
+        pv = self.PV if pvals is None else pvals
+        return spark.createDataFrame(
+            [(f"m{i}", p) for i, p in enumerate(pv)],
+            "metric string, p double")
+
+    def test_step_up_beats_per_test_threshold(self, spark):
+        """q=0.05 on the classic sweep: p_(3)=0.039 > 3*.05/10=.015,
+        but p_(1)=.001 <= .005 and p_(2)=.008 <= .01 -> k=2, exactly
+        the first two rejected (0.039 survives per-test alpha=.05 but
+        not BH — the whole point of the correction)."""
+        out = {r["metric"]: r for r in
+               bh_adjust(self._df(spark), "p", q=0.05).collect()}
+        rejected = {m for m, r in out.items() if r["rejected"]}
+        assert rejected == {"m0", "m1"}
+        assert out["m0"]["p_rank"] == 1 and out["m0"]["m"] == 10
+        assert out["m9"]["bh_critical"] == pytest.approx(0.05)
+
+    def test_step_up_reaches_back_over_local_failures(self, spark):
+        """q=0.25: p_(8)=0.205 fails 8*.25/10=.2 but p_(10)=0.216 <=
+        .25 -> k=10 rejects EVERYTHING including the local failure —
+        the step-up property a naive per-rank filter gets wrong."""
+        out = bh_adjust(self._df(spark), "p", q=0.25).collect()
+        assert all(r["rejected"] for r in out)
+
+    def test_tied_block_decides_together(self, spark):
+        # two copies of a p straddling its own rank thresholds must
+        # agree (criterion evaluated at the block END)
+        pv = [0.01, 0.02, 0.02, 0.9]
+        out = bh_adjust(self._df(spark, pv), "p", q=0.1).collect()
+        tied = [r for r in out if r["p"] == 0.02]
+        assert len(tied) == 2
+        assert len({r["rejected"] for r in tied}) == 1
+        assert all(r["p_rank"] == 3 for r in tied)  # block end
+
+    def test_null_passthrough_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0.001), ("b", None)], "metric string, p double")
+        out = {r["metric"]: r for r in
+               bh_adjust(df, "p", q=0.05).collect()}
+        assert out["b"]["rejected"] is False
+        assert out["b"]["m"] is None and out["b"]["p_rank"] is None
+        assert out["a"]["rejected"] is True and out["a"]["m"] == 1
+        with pytest.raises(ValueError, match="q must be"):
+            bh_adjust(df, "p", q=0.0)
+
+    def test_grouped_twin_parity(self, spark):
+        rows = [(f"fam{i % 2}", f"m{i}",
+                 ((i * 37) % 100) / 99.0) for i in range(60)]
+        df = spark.createDataFrame(rows,
+                                   "fam string, metric string, p double")
+        got = bh_adjust(df, "p", q=0.1, group_by=["fam"])
+        _twin(df, got, bh_adjust_sql("t", "p", q=0.1,
+                                     group_by=["fam"]))
