@@ -3556,6 +3556,60 @@ def q_cohen_kappa_docs(spark, sf):
                            group_by=["source"])
 
 
+from nifi_extracttext_processor_spark.operators import expectations as expq  # noqa: E402
+
+_ORDER_RULES = [
+    expq.expect_not_null("o_custkey"),
+    expq.expect_unique("o_orderkey"),
+    expq.expect_between("o_totalprice", 0.0, 1000.0),  # deliberate FAIL
+    expq.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+    expq.expect_regex("o_orderpriority", r"[1-5]-[A-Z ]+"),
+]
+
+
+@_q("data_quality_orders",
+    "SELECT * FROM ("
+    + expq.check_expectations_sql("orders", _ORDER_RULES)
+    + ") UNION ALL BY NAME SELECT * FROM ("
+    + expq.check_referential_sql("lineitem", "l_orderkey",
+                                 "orders", "o_orderkey") + ")")
+def q_data_quality_orders(spark, sf):
+    """Declarative expectation report over orders (5 rules in ONE
+    scan — the between rule is a deliberately failing bound so the
+    violation COUNTING is what the row verifies) + the
+    lineitem -> orders foreign-key check (broadcast anti-join)."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (expq.check_expectations(orders, _ORDER_RULES)
+            .unionByName(expq.check_referential(
+                li, "l_orderkey", orders, "o_orderkey")))
+
+
+@_q("time_to_convert_hist", attr.time_to_convert_sql(
+    "events", ["click", "view"], conversion_type="purchase",
+    lookback_days=30, from_touch="first"))
+def q_time_to_convert_hist(spark, sf):
+    """First-touch-to-purchase latency histogram (whole days; NULL
+    bucket = conversions with no lookback touch, so the histogram
+    reconciles to the conversion count)."""
+    return attr.time_to_convert(
+        _t(spark, sf, "events"), ["click", "view"],
+        conversion_type="purchase", lookback_days=30,
+        from_touch="first")
+
+
+@_q("ab_post_stratified", abx.ab_post_stratified_sql(
+    _VARIANT_EVENTS_SQL, "variant", "value", ["event_type"],
+    "c", "t"))
+def q_ab_post_stratified(spark, sf):
+    """Post-stratification on the event-type mix: per-stratum exact
+    grid sums, strata-ordered fold for the cross-strata sums (the
+    km_logrank discipline)."""
+    return abx.ab_post_stratified(
+        _variant_events(spark, sf), "variant", "value",
+        ["event_type"], "c", "t")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

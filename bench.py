@@ -102,6 +102,10 @@ HEADLINE = [
     "ab_bootstrap_ci_xx",  # r12: same plan, md5=False — the xxhash64
                            # scale path (VERDICT r11 task 4: measure
                            # the claimed ~5x-cheaper weight hash)
+    "attribution_position",  # r12: user-keyed touch x conversion pair
+                             # join + per-conversion windows
+    "ab_mann_whitney",     # r12: distinct-value rank aggregate +
+                           # keyed prefix-sum window
 ]
 
 

@@ -1242,3 +1242,207 @@ SELECT {gsel}n0 AS n_control, n1 AS n_treatment,
                 FALSE) AS significant
 FROM zc
 """
+
+
+# ---------------------------------------------------------------------------
+# Post-stratification — the design-free sibling of CUPED
+# ---------------------------------------------------------------------------
+
+
+def ab_post_stratified(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    strata_cols: "list[str]",
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_control, n_treatment, n_strata_used,
+    mean_control, mean_treatment, diff, z, significant) —
+    post-stratification variance reduction (Miratrix, Sekhon & Yu
+    2013; the categorical-covariate sibling of CUPED): reweight each
+    variant's per-stratum means by the POOLED stratum shares,
+
+        ȳ'_v  = Σ_s w_s · ȳ_{s,v}        w_s = n_s / N
+        se²_v = Σ_s w_s² · var_{s,v} / n_{s,v}
+
+    which removes the variance contributed by stratum-mix imbalance
+    between the arms (country mix, platform mix, new-vs-returning).
+
+    A stratum is USED only when both arms have n >= 2 there (means
+    and variances both estimable); weights renormalize over used
+    strata and n_strata_used reports the coverage. Zero used strata
+    emit NULL everywhere (significant=false).
+
+    Exactness: per-stratum sums are exact 1e-6-grid decimals; the
+    cross-STRATA sums of the four double terms are s-ordered left
+    folds (the km_logrank discipline — never a partition-order float
+    agg), so both engines agree bit-for-bit before rounding. Scale
+    shape: one map-side agg to strata x variants rows, one
+    groups-sized integer agg for N, one bounded fold."""
+    gb = list(group_by or [])
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    y = F.col(value_col).cast("double")
+    base = (df.filter(F.col(variant_col).isin(control, treatment)
+                      & y.isNotNull())
+            .select(*gb, *strata_cols,
+                    (F.col(variant_col) == treatment).cast("int")
+                    .alias("__t"),
+                    F.round(y * 1e6).cast("decimal(38,0)").alias("__yq")))
+
+    def side(tag: int):
+        m = (F.col("__t") == tag).cast("decimal(38,0)")
+        s = str(tag)
+        return [F.sum(m).alias("n" + s),
+                F.sum(m * F.col("__yq")).alias("s" + s),
+                F.sum(m * F.col("__yq") * F.col("__yq")).alias("ss" + s)]
+
+    per_s = (base.groupBy(*gb, *strata_cols)
+             .agg(*side(0), *side(1))
+             .filter((F.col("n0") >= 2) & (F.col("n1") >= 2)))
+    nw = (F.col("n0") + F.col("n1")).cast("long")
+    per_s = per_s.withColumn("__nw", nw)
+    tot = per_s.groupBy(*gb).agg(
+        F.sum("__nw").alias("__N"),
+        F.sum(F.col("n0").cast("long")).alias("n_control"),
+        F.sum(F.col("n1").cast("long")).alias("n_treatment"),
+        F.count("*").alias("n_strata_used"))
+    j = per_s.join(tot, gb) if gb else per_s.crossJoin(tot)
+
+    def stats(s: str):
+        n = F.col("n" + s).cast("double")
+        sx = F.col("s" + s).cast("double") / F.lit(1e6)
+        sxx = F.col("ss" + s).cast("double") / F.lit(1e12)
+        mean = sx / n
+        var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+        return n, mean, var
+
+    n0d, m0, v0 = stats("0")
+    n1d, m1, v1 = stats("1")
+    w = F.col("__nw").cast("double") / F.col("__N").cast("double")
+    term = F.struct(
+        *[F.col(c) for c in strata_cols],
+        (w * m0).alias("mc"),
+        (w * m1).alias("mt"),
+        (w * w * (v0 / n0d + v1 / n1d)).alias("se2"))
+    j = j.withColumn("__term", term)
+    folded = (j.groupBy(*gb, "__N", "n_control", "n_treatment",
+                        "n_strata_used")
+              .agg(F.expr(
+                  "aggregate(array_sort(collect_list(__term)),"
+                  " named_struct('mc', CAST(0.0 AS DOUBLE),"
+                  "              'mt', CAST(0.0 AS DOUBLE),"
+                  "              'se2', CAST(0.0 AS DOUBLE)),"
+                  " (acc, x) -> named_struct("
+                  "   'mc', acc.mc + x.mc,"
+                  "   'mt', acc.mt + x.mt,"
+                  "   'se2', acc.se2 + x.se2))").alias("__s")))
+    diff = F.col("__s.mt") - F.col("__s.mc")
+    z = F.when(F.sqrt(F.col("__s.se2")) > 0,
+               diff / F.sqrt(F.col("__s.se2")))
+    zr = F.round(z, round_dp)
+    out = folded.select(
+        *gb, "n_control", "n_treatment", "n_strata_used",
+        F.round(F.col("__s.mc"), round_dp).alias("mean_control"),
+        F.round(F.col("__s.mt"), round_dp).alias("mean_treatment"),
+        F.round(diff, round_dp).alias("diff"),
+        zr.alias("z"),
+        F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)),
+                   F.lit(False)).alias("significant"))
+    return out
+
+
+def ab_post_stratified_sql(
+    table: str,
+    variant_col: str,
+    value_expr: str,
+    strata_cols: "list[str]",
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_post_stratified (same grid sums, same
+    strata-ordered fold, same closing chain)."""
+    gb = list(group_by or [])
+    sc = list(strata_cols)
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    ssel = ", ".join(sc)
+    skey = ", ".join([*gb, *sc])
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    join = ("USING (" + ", ".join(gb) + ")") if gb else "ON TRUE"
+    order = ", ".join(sc)
+    return f"""
+WITH base AS (
+  SELECT {gsel}{ssel},
+         CAST({variant_col} = {sql_lit(treatment)} AS INT) AS t,
+         CAST(round(CAST({value_expr} AS DOUBLE) * 1e6) AS HUGEINT)
+           AS yq
+  FROM {table}
+  WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
+    AND {value_expr} IS NOT NULL
+),
+per_s AS (
+  SELECT {gsel}{ssel},
+         sum((t = 0)::HUGEINT) AS n0,
+         sum((t = 0)::HUGEINT * yq) AS s0,
+         sum((t = 0)::HUGEINT * yq * yq) AS ss0,
+         sum((t = 1)::HUGEINT) AS n1,
+         sum((t = 1)::HUGEINT * yq) AS s1,
+         sum((t = 1)::HUGEINT * yq * yq) AS ss1
+  FROM base GROUP BY {skey}
+  HAVING sum((t = 0)::HUGEINT) >= 2 AND sum((t = 1)::HUGEINT) >= 2
+),
+tot AS (
+  SELECT {gsel}sum(n0 + n1)::BIGINT AS N,
+         sum(n0)::BIGINT AS n_control,
+         sum(n1)::BIGINT AS n_treatment,
+         count(*) AS n_strata_used
+  FROM per_s {gkey}
+),
+terms AS (
+  SELECT {gsel}{ssel},
+         ((n0 + n1)::DOUBLE / N::DOUBLE)
+           * ((s0::DOUBLE / 1e6) / n0::DOUBLE) AS mc,
+         ((n0 + n1)::DOUBLE / N::DOUBLE)
+           * ((s1::DOUBLE / 1e6) / n1::DOUBLE) AS mt,
+         ((n0 + n1)::DOUBLE / N::DOUBLE)
+           * ((n0 + n1)::DOUBLE / N::DOUBLE)
+           * (((ss0::DOUBLE / 1e12
+                - (s0::DOUBLE / 1e6) * (s0::DOUBLE / 1e6) / n0::DOUBLE)
+               / (n0::DOUBLE - 1.0)) / n0::DOUBLE
+              + ((ss1::DOUBLE / 1e12
+                  - (s1::DOUBLE / 1e6) * (s1::DOUBLE / 1e6)
+                    / n1::DOUBLE)
+                 / (n1::DOUBLE - 1.0)) / n1::DOUBLE) AS se2
+  FROM per_s JOIN tot {join}
+),
+folded AS (
+  SELECT {gsel}
+         list_reduce(
+           list_prepend({{'mc': 0.0::DOUBLE, 'mt': 0.0::DOUBLE,
+                          'se2': 0.0::DOUBLE}},
+                        list({{'mc': mc, 'mt': mt, 'se2': se2}}
+                             ORDER BY {order})),
+           (a, x) -> {{'mc': a.mc + x.mc, 'mt': a.mt + x.mt,
+                       'se2': a.se2 + x.se2}}) AS s
+  FROM terms {gkey}
+)
+SELECT {gsel}n_control, n_treatment, n_strata_used,
+       round(s.mc, {round_dp}) AS mean_control,
+       round(s.mt, {round_dp}) AS mean_treatment,
+       round(s.mt - s.mc, {round_dp}) AS diff,
+       round(CASE WHEN sqrt(s.se2) > 0
+                  THEN (s.mt - s.mc) / sqrt(s.se2) END,
+             {round_dp}) AS z,
+       coalesce(abs(round(CASE WHEN sqrt(s.se2) > 0
+                               THEN (s.mt - s.mc) / sqrt(s.se2) END,
+                          {round_dp})) >= {float(z_alpha)!r}, FALSE)
+         AS significant
+FROM folded JOIN tot {join}
+"""

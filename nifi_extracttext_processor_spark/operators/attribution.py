@@ -238,3 +238,134 @@ SELECT touch_type, n_conversions, n_credits,
 FROM (SELECT * FROM per_type UNION ALL BY NAME SELECT * FROM un)
 ORDER BY touch_type
 """
+
+
+def time_to_convert(
+    events: DataFrame,
+    touch_types: "list[str]",
+    conversion_type: str = "purchase",
+    lookback_days: int = 30,
+    from_touch: str = "first",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(days_to_convert, n_conversions, total_value) — the latency
+    distribution between a user's first (or last) lookback touch and
+    the conversion, in whole days: the input a lookback-window choice
+    or a remarketing schedule should be read from (a 30-day window is
+    wrong in both directions if 95% of conversions close in 2 days).
+
+    Same pair join + (ts, id)-ordered window as
+    attribute_conversions; days = datediff (integer, exact both
+    engines); value sums on the exact 1e-6 grid. Conversions with no
+    lookback touch appear as days_to_convert = NULL (the
+    unattributed bucket, so the histogram reconciles too)."""
+    if from_touch not in ("first", "last"):
+        raise ValueError("from_touch must be 'first' or 'last'")
+    if lookback_days <= 0:
+        raise ValueError("lookback_days must be positive")
+    base = events.filter(F.col(ts_col).isNotNull())
+    touches = (base.filter(F.col(type_col).isin(list(touch_types)))
+               .select(F.col(user_col).alias("user"),
+                       F.col(id_col).alias("touch_id"),
+                       F.col(ts_col).alias("touch_ts")))
+    convs = (base.filter(F.col(type_col) == conversion_type)
+             .filter(F.col(value_col).isNotNull())
+             .select(F.col(user_col).alias("user"),
+                     F.col(id_col).alias("conv_id"),
+                     F.col(ts_col).alias("conv_ts"),
+                     F.col(value_col).alias("conv_value")))
+    pairs = touches.join(convs, "user").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts")
+           - F.expr(f"INTERVAL {int(lookback_days)} DAYS")))
+    pick = (F.min(F.struct("touch_ts", "touch_id"))
+            if from_touch == "first"
+            else F.max(F.struct("touch_ts", "touch_id")))
+    anchored = (pairs.groupBy("conv_id", "conv_ts", "conv_value")
+                .agg(pick.alias("__a")))
+    with_days = anchored.select(
+        "conv_id", "conv_value",
+        F.datediff(F.to_date("conv_ts"),
+                   F.to_date("__a.touch_ts")).cast("long")
+        .alias("days_to_convert"))
+    missed = (convs.join(pairs.select("conv_id").distinct(),
+                         "conv_id", "left_anti")
+              .select("conv_id", "conv_value",
+                      F.lit(None).cast("long")
+                      .alias("days_to_convert")))
+    q = F.round(F.col("conv_value") * 1e6).cast("decimal(38,0)")
+    return (with_days.unionByName(missed)
+            .groupBy("days_to_convert")
+            .agg(F.count("*").alias("n_conversions"),
+                 F.sum(q).alias("__sv"))
+            .select("days_to_convert", "n_conversions",
+                    F.round(F.col("__sv").cast("double") / F.lit(1e6),
+                            4).alias("total_value"))
+            .orderBy(F.col("days_to_convert").asc_nulls_last()))
+
+
+def time_to_convert_sql(
+    table: str,
+    touch_types: "list[str]",
+    conversion_type: str = "purchase",
+    lookback_days: int = 30,
+    from_touch: str = "first",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of time_to_convert (same pair join, same
+    (ts, id) struct min/max anchor, same NULL bucket)."""
+    if from_touch not in ("first", "last"):
+        raise ValueError("from_touch must be 'first' or 'last'")
+    tt = ", ".join(sql_lit(t) for t in touch_types)
+    agg = "min" if from_touch == "first" else "max"
+    return f"""
+WITH touches AS (
+  SELECT {user_col} AS u, {id_col} AS touch_id, {ts_col} AS touch_ts
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {type_col} IN ({tt})
+),
+convs AS (
+  SELECT {user_col} AS u, {id_col} AS conv_id, {ts_col} AS conv_ts,
+         {value_col} AS conv_value
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL
+    AND {type_col} = {sql_lit(conversion_type)}
+    AND {value_col} IS NOT NULL
+),
+pairs AS (
+  SELECT c.conv_id, c.conv_ts, c.conv_value,
+         t.touch_ts, t.touch_id
+  FROM touches t JOIN convs c ON t.u = c.u
+  WHERE t.touch_ts <= c.conv_ts
+    AND t.touch_ts >= c.conv_ts - INTERVAL {int(lookback_days)} DAY
+),
+anchored AS (
+  SELECT conv_id, conv_value,
+         date_diff('day',
+                   ({agg}(struct_pack(touch_ts := touch_ts,
+                                      touch_id := touch_id))
+                   ).touch_ts::DATE,
+                   conv_ts::DATE)::BIGINT AS days_to_convert
+  FROM pairs GROUP BY conv_id, conv_ts, conv_value
+),
+missed AS (
+  SELECT conv_id, conv_value, NULL::BIGINT AS days_to_convert
+  FROM convs WHERE conv_id NOT IN (SELECT conv_id FROM pairs)
+),
+unioned AS (
+  SELECT * FROM anchored UNION ALL SELECT * FROM missed
+)
+SELECT days_to_convert, count(*) AS n_conversions,
+       round(sum(CAST(round(conv_value * 1e6) AS HUGEINT))::DOUBLE
+             / 1e6, 4) AS total_value
+FROM unioned GROUP BY days_to_convert
+ORDER BY days_to_convert ASC NULLS LAST
+"""

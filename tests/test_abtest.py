@@ -428,3 +428,84 @@ class TestRatioDelta:
         assert r["ratio_control"] == 1.0
         assert r["ratio_treatment"] == 1.0
         assert r["diff"] == 0.0 and r["z"] is None
+
+
+class TestPostStratified:
+    def _mix_imbalanced(self, spark):
+        """Stratum A metric ~10, stratum B ~2; treatment over-exposed
+        in A (60% vs control's 40%) -> plain Welch reads the mix as a
+        1.6 fake lift; within each stratum the true lift is ~0."""
+        rows = []
+        for i in range(300):
+            s = "A" if (i % 10 < (7 if i % 2 else 3)) else "B"
+            v = "t" if i % 2 else "c"
+            rows.append((v, s, (10.0 if s == "A" else 2.0)
+                         + (i % 5) * 0.1))
+        return spark.createDataFrame(
+            rows, "variant string, stratum string, value double")
+
+    def test_removes_mix_imbalance(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_post_stratified, ab_welch_test,
+        )
+        df = self._mix_imbalanced(spark)
+        [w] = ab_welch_test(df, "variant", "value", "c", "t").collect()
+        [p] = ab_post_stratified(df, "variant", "value", ["stratum"],
+                                 "c", "t").collect()
+        assert abs(w["diff"]) > 1.0          # the fake mix lift
+        assert abs(p["diff"]) < 0.1          # stratification removes it
+        assert p["n_strata_used"] == 2
+        assert p["n_control"] + p["n_treatment"] == 300
+
+    def test_thin_strata_excluded(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_post_stratified,
+        )
+        rows = [("c", "A", float(i)) for i in range(10)] \
+            + [("t", "A", float(i) + 1) for i in range(10)] \
+            + [("c", "thin", 99.0)]          # n1=0 there -> dropped
+        df = spark.createDataFrame(
+            rows, "variant string, stratum string, value double")
+        [r] = ab_post_stratified(df, "variant", "value", ["stratum"],
+                                 "c", "t").collect()
+        assert r["n_strata_used"] == 1
+        assert r["n_control"] == 10          # the thin row is excluded
+
+    def test_no_usable_strata(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_post_stratified,
+        )
+        df = spark.createDataFrame(
+            [("c", "A", 1.0), ("t", "B", 2.0)],
+            "variant string, stratum string, value double")
+        out = ab_post_stratified(df, "variant", "value", ["stratum"],
+                                 "c", "t").collect()
+        assert out == []                     # nothing estimable
+        with pytest.raises(ValueError, match="strata_cols"):
+            ab_post_stratified(df, "variant", "value", [], "c", "t")
+
+    def test_grouped_multistrata_twin_parity(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_post_stratified, ab_post_stratified_sql,
+        )
+        rows = []
+        for i in range(600):
+            rows.append((f"g{i % 2}", f"s{i % 3}", f"p{i % 2}",
+                         "t" if i % 5 < 2 else "c",
+                         float((i * 13) % 37) / 3.0))
+        df = spark.createDataFrame(
+            rows, "seg string, country string, platform string, "
+                  "variant string, value double")
+        got = ab_post_stratified(df, "variant", "value",
+                                 ["country", "platform"], "c", "t",
+                                 group_by=["seg"])
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        odf = con.execute(ab_post_stratified_sql(
+            "t", "variant", "value", ["country", "platform"],
+            "c", "t", group_by=["seg"])).df()
+        a = sorted(map(str, (tuple(r) for r in got.collect())))
+        b = sorted(map(str, (tuple(r) for r in
+                             odf.itertuples(index=False))))
+        assert a == b

@@ -123,3 +123,53 @@ def test_validation(spark, events):
         attribute_conversions(events, ["click"], lookback_days=0)
     with pytest.raises(ValueError, match="model"):
         attribution_report_sql("t", ["click"], model="decay")
+
+
+class TestTimeToConvert:
+    def test_hand_computed(self, spark, events):
+        from nifi_extracttext_processor_spark.operators.attribution \
+            import time_to_convert
+        # first-touch anchors: u1 d0->d4 = 4, u2 d0->d1 = 1,
+        # u4 d0->d1 = 1, u3 unattributed (NULL)
+        out = {r["days_to_convert"]: r for r in time_to_convert(
+            events, ["click", "view"]).collect()}
+        assert out[4]["n_conversions"] == 1
+        assert out[4]["total_value"] == 100.0
+        assert out[1]["n_conversions"] == 2
+        assert out[1]["total_value"] == 70.0
+        assert out[None]["n_conversions"] == 1
+        assert out[None]["total_value"] == 30.0
+        # last-touch anchors shift u1 to d3->d4 = 1
+        last = {r["days_to_convert"]: r for r in time_to_convert(
+            events, ["click", "view"], from_touch="last").collect()}
+        assert last[1]["n_conversions"] == 3
+        assert None in last
+
+    def test_histogram_reconciles_to_conversion_count(self, spark,
+                                                      events):
+        from nifi_extracttext_processor_spark.operators.attribution \
+            import time_to_convert
+        out = time_to_convert(events, ["click", "view"]).collect()
+        assert sum(r["n_conversions"] for r in out) == 4
+        assert sum(r["total_value"] for r in out) \
+            == pytest.approx(200.0)
+
+    def test_twin_parity_and_validation(self, spark, events):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.attribution \
+            import time_to_convert, time_to_convert_sql
+        for ft in ("first", "last"):
+            got = time_to_convert(events, ["click", "view"],
+                                  from_touch=ft, lookback_days=7)
+            con = duckdb.connect()
+            con.register("t", events.toPandas())
+            odf = con.execute(time_to_convert_sql(
+                "t", ["click", "view"], from_touch=ft,
+                lookback_days=7)).df()
+            a = [tuple(r) for r in got.collect()]
+            b = [tuple(r) for r in odf.itertuples(index=False)]
+            assert [x[1:] for x in a] == [x[1:] for x in b]
+            assert [x[0] for x in a] == \
+                [None if x[0] != x[0] else x[0] for x in b]
+        with pytest.raises(ValueError, match="from_touch"):
+            time_to_convert(events, ["click"], from_touch="mid")

@@ -139,7 +139,8 @@ def test_every_evicted_query_had_a_green_round(ledger):
 R12_NEW = {
     "ab_mann_whitney", "bh_fdr_sweep", "ab_ratio_delta",
     "attribution_position", "lexical_diversity_by_lang",
-    "cohen_kappa_docs",
+    "cohen_kappa_docs", "data_quality_orders",
+    "time_to_convert_hist", "ab_post_stratified",
 }
 
 
