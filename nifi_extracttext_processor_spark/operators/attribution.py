@@ -119,44 +119,90 @@ def attribution_report(
     **kw,
 ) -> DataFrame:
     """Per-channel rollup: (touch_type, n_conversions, n_credits,
-    attributed_value) + one 'unattributed' row carrying the
-    conversions (and value) no lookback touch could claim — so the
-    report always reconciles to the total conversion value.
-    attributed_value sums per-credit products in a deterministic
-    order-independent way: each credit's weight*value is quantized to
-    the 1e-6 grid and summed in decimal (exact), then divided once."""
-    credits = attribute_conversions(
-        events, touch_types, conversion_type=conversion_type,
-        model=model, lookback_days=lookback_days, **kw)
-    q = F.round(F.col("attributed_value") * 1e6).cast("decimal(38,0)")
-    per_type = (credits
-                .groupBy("touch_type")
-                .agg(F.count_distinct("conv_id").alias("n_conversions"),
-                     F.count("*").alias("n_credits"),
-                     F.sum(q).alias("__sv")))
+    attributed_value) + an 'unattributed' row (present only when
+    nonempty) carrying the conversions (and value) no lookback touch
+    could claim — so the report always reconciles to the total
+    conversion value. attributed_value sums per-credit products in a
+    deterministic order-independent way: each credit's weight*value
+    is quantized to the 1e-6 grid and summed in decimal (exact),
+    then divided once."""
+    if model not in MODELS:
+        raise ValueError(f"model must be one of {MODELS}")
+    if lookback_days <= 0:
+        raise ValueError("lookback_days must be positive")
+    user_col = kw.get("user_col", "user_id")
     ts_col = kw.get("ts_col", "ts")
     type_col = kw.get("type_col", "event_type")
     id_col = kw.get("id_col", "event_id")
     value_col = kw.get("value_col", "value")
-    convs = (events.filter(F.col(ts_col).isNotNull())
-             .filter(F.col(type_col) == conversion_type)
+    # ONE pass (r12 plan audit: the credits->anti-join shape ran the
+    # pair join + windows twice): conversions LEFT JOIN touches, so a
+    # conversion with no lookback touch survives as a single
+    # null-touch row and becomes the 'unattributed' bucket directly —
+    # no second scan, no anti-join, no union.
+    base = events.filter(F.col(ts_col).isNotNull())
+    touches = (base.filter(F.col(type_col).isin(list(touch_types)))
+               .select(F.col(user_col).alias("user"),
+                       F.col(id_col).alias("touch_id"),
+                       F.col(type_col).alias("__tt"),
+                       F.col(ts_col).alias("touch_ts")))
+    convs = (base.filter(F.col(type_col) == conversion_type)
              .filter(F.col(value_col).isNotNull())
-             .select(F.col(id_col).alias("conv_id"),
+             .select(F.col(user_col).alias("user"),
+                     F.col(id_col).alias("conv_id"),
+                     F.col(ts_col).alias("conv_ts"),
                      F.col(value_col).alias("conv_value")))
-    hit = credits.select("conv_id").distinct()
-    missed = convs.join(hit, "conv_id", "left_anti")
-    qm = F.round(F.col("conv_value") * 1e6).cast("decimal(38,0)")
-    un = missed.agg(
-        F.lit("unattributed").alias("touch_type"),
-        F.count("*").alias("n_conversions"),
-        F.lit(0).cast("long").alias("n_credits"),
-        F.coalesce(F.sum(qm), F.lit(0).cast("decimal(38,0)"))
-        .alias("__sv"))
-    allrows = per_type.unionByName(un)
-    return allrows.select(
-        "touch_type", "n_conversions", "n_credits",
-        F.round(F.col("__sv").cast("double") / F.lit(1e6), round_dp)
-        .alias("attributed_value")).orderBy("touch_type")
+    pairs = convs.join(
+        touches,
+        (convs["user"] == touches["user"])
+        & (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts")
+           - F.expr(f"INTERVAL {int(lookback_days)} DAYS")),
+        "left").drop(touches["user"])
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy("touch_ts", "touch_id")
+    pairs = (pairs
+             .withColumn("__rn", F.row_number().over(wo))
+             .withColumn("__k", F.count("touch_id").over(w)))
+    k = F.col("__k").cast("double")
+    rn = F.col("__rn")
+    if model == "first":
+        weight = F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif model == "last":
+        weight = F.when(rn == F.col("__k"), F.lit(1.0)) \
+            .otherwise(F.lit(0.0))
+    elif model == "linear":
+        weight = F.lit(1.0) / k
+    else:  # position (U-shaped 40/20/40)
+        weight = (
+            F.when(F.col("__k") == 1, F.lit(1.0))
+            .when(F.col("__k") == 2, F.lit(0.5))
+            .when(rn == 1, F.lit(0.4))
+            .when(rn == F.col("__k"), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (k - F.lit(2.0))))
+    weight = F.when(F.col("touch_id").isNull(), F.lit(1.0)) \
+        .otherwise(weight)
+    credited = (pairs
+                .withColumn("__w", weight)
+                .filter(F.col("__w") > 0)
+                .select(
+                    F.coalesce(F.col("__tt"), F.lit("unattributed"))
+                    .alias("touch_type"),
+                    "conv_id",
+                    F.col("touch_id").isNotNull().cast("long")
+                    .alias("__is_credit"),
+                    (F.col("__w") * F.col("conv_value"))
+                    .alias("attributed_value")))
+    q = F.round(F.col("attributed_value") * 1e6).cast("decimal(38,0)")
+    return (credited
+            .groupBy("touch_type")
+            .agg(F.count_distinct("conv_id").alias("n_conversions"),
+                 F.sum("__is_credit").alias("n_credits"),
+                 F.sum(q).alias("__sv"))
+            .select("touch_type", "n_conversions", "n_credits",
+                    F.round(F.col("__sv").cast("double") / F.lit(1e6),
+                            round_dp).alias("attributed_value"))
+            .orderBy("touch_type"))
 
 
 def attribution_report_sql(
@@ -172,8 +218,8 @@ def attribution_report_sql(
     value_col: str = "value",
     round_dp: int = 4,
 ) -> str:
-    """DuckDB twin of attribution_report (same pair join, same
-    (ts, id) total order, same exact-grid value sums)."""
+    """DuckDB twin of attribution_report (same one-pass LEFT join,
+    same (ts, id) total order, same exact-grid value sums)."""
     if model not in MODELS:
         raise ValueError(f"model must be one of {MODELS}")
     tt = ", ".join(sql_lit(t) for t in touch_types)
@@ -190,7 +236,7 @@ def attribution_report_sql(
     return f"""
 WITH touches AS (
   SELECT {user_col} AS u, {id_col} AS touch_id,
-         {type_col} AS touch_type, {ts_col} AS touch_ts
+         {type_col} AS tt, {ts_col} AS touch_ts
   FROM {table}
   WHERE {ts_col} IS NOT NULL AND {type_col} IN ({tt})
 ),
@@ -203,39 +249,30 @@ convs AS (
     AND {value_col} IS NOT NULL
 ),
 pairs AS (
-  SELECT t.touch_id, t.touch_type, c.conv_id, c.conv_value,
+  SELECT t.touch_id, t.tt, c.conv_id, c.conv_value,
          row_number() OVER (PARTITION BY c.conv_id
                             ORDER BY t.touch_ts, t.touch_id) AS rn,
-         count(*) OVER (PARTITION BY c.conv_id) AS k
-  FROM touches t JOIN convs c ON t.u = c.u
-  WHERE t.touch_ts <= c.conv_ts
-    AND t.touch_ts >= c.conv_ts - INTERVAL {int(lookback_days)} DAY
+         count(t.touch_id) OVER (PARTITION BY c.conv_id) AS k
+  FROM convs c LEFT JOIN touches t
+    ON t.u = c.u
+   AND t.touch_ts <= c.conv_ts
+   AND t.touch_ts >= c.conv_ts - INTERVAL {int(lookback_days)} DAY
 ),
-credits AS (
-  SELECT touch_type, conv_id,
-         ({weight}) AS w,
-         ({weight}) * conv_value AS av
+credited AS (
+  SELECT coalesce(tt, 'unattributed') AS touch_type, conv_id,
+         CAST(touch_id IS NOT NULL AS BIGINT) AS is_credit,
+         (CASE WHEN touch_id IS NULL THEN 1.0 ELSE {weight} END)
+           AS w,
+         (CASE WHEN touch_id IS NULL THEN 1.0 ELSE {weight} END)
+           * conv_value AS av
   FROM pairs
-),
-per_type AS (
-  SELECT touch_type,
-         count(DISTINCT conv_id) AS n_conversions,
-         count(*) AS n_credits,
-         sum(CAST(round(av * 1e6) AS HUGEINT)) AS sv
-  FROM credits WHERE w > 0 GROUP BY touch_type
-),
-un AS (
-  SELECT 'unattributed' AS touch_type,
-         count(*) AS n_conversions,
-         0::BIGINT AS n_credits,
-         coalesce(sum(CAST(round(conv_value * 1e6) AS HUGEINT)),
-                  0::HUGEINT) AS sv
-  FROM convs WHERE conv_id NOT IN (SELECT conv_id FROM credits
-                                   WHERE w > 0)
 )
-SELECT touch_type, n_conversions, n_credits,
-       round(sv::DOUBLE / 1e6, {round_dp}) AS attributed_value
-FROM (SELECT * FROM per_type UNION ALL BY NAME SELECT * FROM un)
+SELECT touch_type,
+       count(DISTINCT conv_id) AS n_conversions,
+       sum(is_credit) AS n_credits,
+       round(sum(CAST(round(av * 1e6) AS HUGEINT))::DOUBLE / 1e6,
+             {round_dp}) AS attributed_value
+FROM credited WHERE w > 0 GROUP BY touch_type
 ORDER BY touch_type
 """
 
@@ -278,13 +315,20 @@ def time_to_convert(
                      F.col(id_col).alias("conv_id"),
                      F.col(ts_col).alias("conv_ts"),
                      F.col(value_col).alias("conv_value")))
-    pairs = touches.join(convs, "user").filter(
-        (F.col("touch_ts") <= F.col("conv_ts"))
+    # one-pass LEFT join (same r12 plan-audit fix as
+    # attribution_report): touchless conversions keep a single
+    # null-touch row and land in the NULL bucket without a second
+    # scan or anti-join
+    pairs = convs.join(
+        touches,
+        (convs["user"] == touches["user"])
+        & (F.col("touch_ts") <= F.col("conv_ts"))
         & (F.col("touch_ts") >= F.col("conv_ts")
-           - F.expr(f"INTERVAL {int(lookback_days)} DAYS")))
-    pick = (F.min(F.struct("touch_ts", "touch_id"))
-            if from_touch == "first"
-            else F.max(F.struct("touch_ts", "touch_id")))
+           - F.expr(f"INTERVAL {int(lookback_days)} DAYS")),
+        "left").drop(touches["user"])
+    anchor = F.when(F.col("touch_id").isNotNull(),
+                    F.struct("touch_ts", "touch_id"))
+    pick = F.min(anchor) if from_touch == "first" else F.max(anchor)
     anchored = (pairs.groupBy("conv_id", "conv_ts", "conv_value")
                 .agg(pick.alias("__a")))
     with_days = anchored.select(
@@ -292,13 +336,8 @@ def time_to_convert(
         F.datediff(F.to_date("conv_ts"),
                    F.to_date("__a.touch_ts")).cast("long")
         .alias("days_to_convert"))
-    missed = (convs.join(pairs.select("conv_id").distinct(),
-                         "conv_id", "left_anti")
-              .select("conv_id", "conv_value",
-                      F.lit(None).cast("long")
-                      .alias("days_to_convert")))
     q = F.round(F.col("conv_value") * 1e6).cast("decimal(38,0)")
-    return (with_days.unionByName(missed)
+    return (with_days
             .groupBy("days_to_convert")
             .agg(F.count("*").alias("n_conversions"),
                  F.sum(q).alias("__sv"))
@@ -343,29 +382,24 @@ convs AS (
 pairs AS (
   SELECT c.conv_id, c.conv_ts, c.conv_value,
          t.touch_ts, t.touch_id
-  FROM touches t JOIN convs c ON t.u = c.u
-  WHERE t.touch_ts <= c.conv_ts
-    AND t.touch_ts >= c.conv_ts - INTERVAL {int(lookback_days)} DAY
+  FROM convs c LEFT JOIN touches t
+    ON t.u = c.u
+   AND t.touch_ts <= c.conv_ts
+   AND t.touch_ts >= c.conv_ts - INTERVAL {int(lookback_days)} DAY
 ),
 anchored AS (
   SELECT conv_id, conv_value,
          date_diff('day',
-                   ({agg}(struct_pack(touch_ts := touch_ts,
-                                      touch_id := touch_id))
+                   ({agg}(CASE WHEN touch_id IS NOT NULL THEN
+                            struct_pack(touch_ts := touch_ts,
+                                        touch_id := touch_id) END)
                    ).touch_ts::DATE,
                    conv_ts::DATE)::BIGINT AS days_to_convert
   FROM pairs GROUP BY conv_id, conv_ts, conv_value
-),
-missed AS (
-  SELECT conv_id, conv_value, NULL::BIGINT AS days_to_convert
-  FROM convs WHERE conv_id NOT IN (SELECT conv_id FROM pairs)
-),
-unioned AS (
-  SELECT * FROM anchored UNION ALL SELECT * FROM missed
 )
 SELECT days_to_convert, count(*) AS n_conversions,
        round(sum(CAST(round(conv_value * 1e6) AS HUGEINT))::DOUBLE
              / 1e6, 4) AS total_value
-FROM unioned GROUP BY days_to_convert
+FROM anchored GROUP BY days_to_convert
 ORDER BY days_to_convert ASC NULLS LAST
 """

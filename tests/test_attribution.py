@@ -113,7 +113,8 @@ def test_same_instant_touch_counts(spark):
     rep = {r["touch_type"]: r for r in attribution_report(
         df, ["click"], model="last").collect()}
     assert rep["click"]["attributed_value"] == 10.0
-    assert rep["unattributed"]["n_conversions"] == 0
+    # fully attributed -> no unattributed row at all (one-pass shape)
+    assert "unattributed" not in rep
 
 
 def test_validation(spark, events):
