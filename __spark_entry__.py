@@ -3610,6 +3610,28 @@ def q_ab_post_stratified(spark, sf):
         ["event_type"], "c", "t")
 
 
+@_q("fim_transform_docs", cx.fim_transform_sql(
+    "documents", rate=0.5, select="doc_id"))
+def q_fim_transform_docs(spark, sf):
+    """Fill-in-the-middle rewrite of a hash-selected half of the
+    corpus (PSM layout, md5 integer multiply-shift cut points) —
+    narrow projection, zero shuffle."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return cx.fim_transform(docs, rate=0.5)
+
+
+@_q("epoch_shuffle_docs", cx.shuffle_for_epoch_sql(
+    "documents", epoch=1, select="doc_id"))
+def q_epoch_shuffle_docs(spark, sf):
+    """Deterministic epoch-1 corpus order: md5 epoch key + range
+    repartition + partition-local sort (the layout-write shape; the
+    induced total order is pinned in pytest, the driver hashes the
+    key values)."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return cx.shuffle_for_epoch(docs, epoch=1, num_partitions=8) \
+        .select("doc_id", "epoch_key")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -1356,3 +1356,140 @@ FROM (
   SELECT *, list_max([{rows}]) AS __best FROM {table}
 )
 """
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.5,
+    sentinels: "tuple[str, str, str]" = ("<PRE>", "<MID>", "<SUF>"),
+    seed: int = 0,
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    rewrite a hash-selected `rate` fraction of documents from
+    `text` to  PRE ++ prefix ++ SUF ++ suffix ++ MID ++ middle
+    (the PSM layout), teaching an autoregressive model to infill.
+    Adds `fim_applied`; untransformed docs pass through verbatim.
+
+    Deterministic, no RNG: selection and both cut points derive from
+    md5(id, seed) — selection vs an integer threshold rate·2^32 (the
+    stratified_sample convention), cuts from two further 32-bit
+    draws mapped onto [0, len] by integer multiply-shift
+    (floor(u·(len+1)/2^32) — pure BIGINT arithmetic, engine-exact).
+    cut1 <= cut2 by min/max, so the three spans always reassemble to
+    the original text. Narrow projection: zero shuffle, zero UDF;
+    at 100 TB this is a free map over the corpus scan."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    if len(sentinels) != 3:
+        raise ValueError("sentinels must be (pre, mid, suf)")
+    pre_s, mid_s, suf_s = sentinels
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    pick = _u32(F.concat(F.col(id_col).cast("string"),
+                         F.lit(f"#fim#{seed}")))
+    u1 = _u32(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f"#fimc1#{seed}")))
+    u2 = _u32(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f"#fimc2#{seed}")))
+    c1 = F.floor(F.least(u1, u2) * (n + 1) / F.lit(_M32)).cast("int")
+    c2 = F.floor(F.greatest(u1, u2) * (n + 1) / F.lit(_M32)) \
+        .cast("int")
+    applied = (pick < F.lit(int(rate * _M32))) & (n > 0)
+    # substring is 1-based; prefix=[1, c1], middle=(c1, c2], suffix=(c2, n]
+    fim = F.concat(
+        F.lit(pre_s), F.substring(t, 1, c1),
+        F.lit(suf_s), t.substr(c2 + 1, n.cast("int")),
+        F.lit(mid_s), t.substr(c1 + 1, c2 - c1))
+    return (df.withColumn("fim_applied", applied)
+            .withColumn(text_col,
+                        F.when(applied, fim).otherwise(t)))
+
+
+def fim_transform_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.5,
+    sentinels: "tuple[str, str, str]" = ("<PRE>", "<MID>", "<SUF>"),
+    seed: int = 0,
+    select: str = "doc_id",
+) -> str:
+    """DuckDB twin of fim_transform (same md5 draws, same integer
+    multiply-shift cuts, same 1-based substring spans)."""
+    pre_s, mid_s, suf_s = sentinels
+
+    def u(tag: str) -> str:
+        return (f"('0x' || substr(md5(CAST({id_col} AS VARCHAR) || "
+                f"{sql_lit(f'#{tag}#{seed}')}), 1, 8))::BIGINT")
+
+    return f"""
+WITH cuts AS (
+  SELECT *,
+         length({text_col})::BIGINT AS n,
+         {u('fim')} AS pick,
+         least({u('fimc1')}, {u('fimc2')}) AS ua,
+         greatest({u('fimc1')}, {u('fimc2')}) AS ub
+  FROM {table}
+),
+spans AS (
+  SELECT *,
+         (ua * (n + 1) // {_M32})::INT AS c1,
+         (ub * (n + 1) // {_M32})::INT AS c2,
+         (pick < {int(rate * _M32)} AND n > 0) AS fim_applied
+  FROM cuts
+)
+SELECT {select},
+       CASE WHEN fim_applied THEN
+         {sql_lit(pre_s)} || substr({text_col}, 1, c1)
+         || {sql_lit(suf_s)} || substr({text_col}, c2 + 1)
+         || {sql_lit(mid_s)} || substr({text_col}, c1 + 1, c2 - c1)
+       ELSE {text_col} END AS {text_col},
+       fim_applied
+FROM spans
+"""
+
+
+def shuffle_for_epoch(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-epoch corpus order: adds `epoch_key` =
+    md5-uniform(id, epoch, seed) and range-partitions + sorts by it —
+    the distributed equivalent of "shuffle the dataset differently
+    every epoch", reproducible across reruns/engines/partitionings
+    (df.orderBy(rand()) is none of those). Same epoch twice = the
+    same order; epoch+1 = an unrelated order. The write-side
+    complement of split_by_hash: downstream shard writers consume
+    the order as-is.
+
+    Cost shape: one range exchange + partition-local sort — exactly
+    the cluster_by layout write; no global single-partition sort."""
+    key = _u32(F.concat(F.col(id_col).cast("string"),
+                        F.lit(f"#epoch{int(epoch)}#{seed}")))
+    out = df.withColumn("epoch_key", key)
+    parts = num_partitions or df.sparkSession.sparkContext \
+        .defaultParallelism
+    return (out.repartitionByRange(parts, "epoch_key", id_col)
+            .sortWithinPartitions("epoch_key", id_col))
+
+
+def shuffle_for_epoch_sql(
+    table: str = "documents",
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    select: str = "doc_id",
+) -> str:
+    """DuckDB twin of shuffle_for_epoch's KEY (the global order is
+    the key's order; the oracle checks key values and the induced
+    total order via ORDER BY)."""
+    return (f"SELECT {select}, ('0x' || substr(md5(CAST({id_col} AS "
+            f"VARCHAR) || {sql_lit(f'#epoch{int(epoch)}#{seed}')}), "
+            f"1, 8))::BIGINT AS epoch_key "
+            f"FROM {table} ORDER BY epoch_key, {id_col}")

@@ -1149,3 +1149,62 @@ def stream_km(
          .partitionBy("batch").parquet(state_dir))
 
     return _batch, read_state
+
+
+def stream_touch_conversion_pairs(
+    touches,
+    conversions,
+    lookback_days: int = 30,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming half of the attribution family: a stream-stream
+    inner join matching every conversion to its same-user lookback
+    touches as they arrive — (conv_id, conv_ts, conv_value,
+    touch_id, touch_type, touch_ts) candidate-credit rows.
+
+    Bounded state for free: the attribution window condition
+    (conv_ts − lookback <= touch_ts <= conv_ts) bounds each side's
+    event time against the other in BOTH directions — exactly the
+    shape Spark's stream-stream join needs to evict state — so a
+    touch's state is dropped once the watermark passes
+    touch_ts + lookback, and a conversion's once its lookback is
+    fully covered. Both sides carry `watermark`; late events beyond
+    it are dropped (the standard trade documented on every streaming
+    operator here).
+
+    Model weighting (first/last/linear/position) needs each
+    conversion's COMPLETE touch set, i.e. an arbitrary-key
+    aggregation after a stream-stream join — Spark only emits such
+    aggregates on event-time windows, so the credit WEIGHTS are the
+    batch half's job over the landed pair stream:
+    `attribution_report` / `attribute_conversions`
+    (operators/attribution.py) run unchanged on this output (they
+    accept the pair table via their events contract), the
+    interval-join family's established landed-batch posture."""
+    from pyspark.sql import functions as F
+
+    t = (touches
+         .select(F.col(user_col).alias("__tu"),
+                 F.col(id_col).alias("touch_id"),
+                 F.col(type_col).alias("touch_type"),
+                 F.col(ts_col).alias("touch_ts"))
+         .withWatermark("touch_ts", watermark))
+    c = (conversions
+         .select(F.col(user_col).alias("__cu"),
+                 F.col(id_col).alias("conv_id"),
+                 F.col(ts_col).alias("conv_ts"),
+                 F.col(value_col).alias("conv_value"))
+         .withWatermark("conv_ts", watermark))
+    cond = ((t["__tu"] == c["__cu"])
+            & (t["touch_ts"] <= c["conv_ts"])
+            & (t["touch_ts"] >= c["conv_ts"]
+               - F.expr(f"INTERVAL {int(lookback_days)} DAYS")))
+    return (t.join(c, cond, "inner")
+            .select(F.col("__cu").alias(user_col),
+                    "conv_id", "conv_ts", "conv_value",
+                    "touch_id", "touch_type", "touch_ts"))

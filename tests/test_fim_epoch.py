@@ -1,0 +1,116 @@
+"""FIM transformation + deterministic epoch shuffle
+(corpus.fim_transform / corpus.shuffle_for_epoch): span reassembly,
+rate selection, determinism across epochs/reruns, order pinning,
+and DuckDB twin parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_extracttext_processor_spark.operators.corpus import (
+    fim_transform,
+    fim_transform_sql,
+    shuffle_for_epoch,
+    shuffle_for_epoch_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+
+
+class TestFim:
+    def test_spans_reassemble_exactly(self, spark, docs):
+        out = fim_transform(docs, rate=1.0)
+        orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+        rows = out.collect()
+        assert all(r["fim_applied"] for r in rows
+                   if len(orig[r["doc_id"]]) > 0)
+        for r in rows:
+            if not r["fim_applied"]:
+                continue
+            t = r["text"]
+            assert t.startswith("<PRE>")
+            pre, rest = t[5:].split("<SUF>", 1)
+            suf, mid = rest.split("<MID>", 1)
+            assert pre + mid + suf == orig[r["doc_id"]]
+
+    def test_rate_zero_is_identity(self, spark, docs):
+        out = fim_transform(docs, rate=0.0)
+        assert out.filter(F.col("fim_applied")).count() == 0
+        a = sorted((r["doc_id"], r["text"]) for r in out.collect())
+        b = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+        assert a == b
+
+    def test_rate_selects_stable_fraction(self, spark, docs):
+        out = fim_transform(docs, rate=0.5)
+        n = docs.count()
+        k = out.filter(F.col("fim_applied")).count()
+        assert abs(k / n - 0.5) < 0.1
+        # deterministic: rerun picks the SAME docs
+        k2 = {r["doc_id"] for r in fim_transform(docs, rate=0.5)
+              .filter(F.col("fim_applied")).select("doc_id").collect()}
+        k1 = {r["doc_id"] for r in out.filter(F.col("fim_applied"))
+              .select("doc_id").collect()}
+        assert k1 == k2
+
+    def test_twin_parity_and_validation(self, spark, docs, sf_dir):
+        got = sorted(map(str, (tuple(r) for r in
+                               fim_transform(docs, rate=0.5)
+                               .collect())))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = sorted(map(str, ((t[0], t[1], t[2]) for t in con.execute(
+            fim_transform_sql("documents", rate=0.5)).fetchall())))
+        assert got == want
+        with pytest.raises(ValueError, match="rate"):
+            fim_transform(docs, rate=1.5)
+        with pytest.raises(ValueError, match="sentinels"):
+            fim_transform(docs, sentinels=("a", "b"))
+
+    def test_plan_is_narrow(self, spark, docs):
+        out = fim_transform(docs, rate=0.5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestEpochShuffle:
+    def test_order_matches_key_and_is_reproducible(self, spark, docs):
+        out = shuffle_for_epoch(docs.select("doc_id"), epoch=1,
+                                num_partitions=4)
+        ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+        con = duckdb.connect()
+        con.register("d", docs.select("doc_id").toPandas())
+        want = [t[0] for t in con.execute(
+            shuffle_for_epoch_sql("d", epoch=1)).fetchall()]
+        assert ids == want                      # induced TOTAL order
+        ids2 = [r["doc_id"] for r in shuffle_for_epoch(
+            docs.select("doc_id"), epoch=1, num_partitions=4)
+            .select("doc_id").collect()]
+        assert ids == ids2                      # rerun-stable
+
+    def test_epochs_decorrelate(self, spark, docs):
+        a = [r["doc_id"] for r in shuffle_for_epoch(
+            docs.select("doc_id"), epoch=1, num_partitions=4)
+            .select("doc_id").collect()]
+        b = [r["doc_id"] for r in shuffle_for_epoch(
+            docs.select("doc_id"), epoch=2, num_partitions=4)
+            .select("doc_id").collect()]
+        assert a != b and sorted(a) == sorted(b)
+        # positions should be essentially unrelated
+        pos_b = {d: i for i, d in enumerate(b)}
+        same = sum(1 for i, d in enumerate(a) if pos_b[d] == i)
+        assert same < len(a) * 0.05
+
+    def test_plan_is_range_partition_local_sort(self, spark, docs):
+        out = shuffle_for_epoch(docs.select("doc_id"), epoch=1,
+                                num_partitions=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan
+        # partition-local sort only (global=False), no second exchange
+        assert plan.count("Exchange") == 1

@@ -456,3 +456,69 @@ def test_stream_interval_join_guards(spark, tmp_path):
           .parquet(str(tmp_path / "y")))
     with pytest.raises(ValueError):
         stream_interval_join(ls, rs)  # lid payload collides with lid
+
+
+def test_stream_touch_conversion_pairs_matches_batch(spark, tmp_path):
+    """Streaming attribution pairs (stream-stream join with the
+    lookback condition bounding state) emit exactly the batch pair
+    set, and the batch attribution_report over the landed pairs
+    agrees with attribution_report over the original events."""
+    import datetime as dt
+
+    from nifi_extracttext_processor_spark.operators.attribution import (
+        attribution_report,
+    )
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        stream_touch_conversion_pairs,
+    )
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def t(d):
+        return base + dt.timedelta(days=d)
+
+    rows = [
+        (1, t(0), 1, "click", None), (2, t(2), 1, "view", None),
+        (3, t(3), 1, "click", None), (4, t(4), 1, "purchase", 100.0),
+        (5, t(0), 2, "view", None), (6, t(1), 2, "purchase", 50.0),
+        (7, t(-40), 3, "click", None), (8, t(0), 3, "purchase", 30.0),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    events = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "events")
+    events.write.mode("overwrite").parquet(src)
+
+    es = spark.readStream.schema(schema).parquet(src)
+    from pyspark.sql import functions as F
+    touches = es.filter(F.col("event_type").isin("click", "view"))
+    convs = es.filter(F.col("event_type") == "purchase")
+    pairs = stream_touch_conversion_pairs(touches, convs,
+                                          lookback_days=30)
+    q = (pairs.writeStream.format("memory").queryName("attrp")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["conv_id"], r["touch_id"]) for r in
+                 spark.sql("SELECT conv_id, touch_id FROM attrp")
+                 .collect())
+    # batch pair set: conversions 4 (touches 1,2,3) and 6 (touch 5);
+    # conversion 8's only touch is outside the lookback
+    assert got == [(4, 1), (4, 2), (4, 3), (6, 5)]
+
+    # landed pairs feed the batch weighting half unchanged: rebuild
+    # an events-shaped frame from the pair stream + the conversions
+    landed = spark.sql("SELECT * FROM attrp")
+    touch_events = landed.select(
+        F.col("touch_id").alias("event_id"),
+        F.col("touch_ts").alias("ts"),
+        F.col("user_id"),
+        F.col("touch_type").alias("event_type"),
+        F.lit(None).cast("double").alias("value")).distinct()
+    conv_events = events.filter(F.col("event_type") == "purchase")
+    rebuilt = touch_events.unionByName(
+        conv_events.select("event_id", "ts", "user_id",
+                           "event_type", "value"))
+    a = [tuple(r) for r in attribution_report(
+        rebuilt, ["click", "view"], model="position").collect()]
+    b = [tuple(r) for r in attribution_report(
+        events, ["click", "view"], model="position").collect()]
+    assert a == b
