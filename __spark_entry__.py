@@ -3632,6 +3632,19 @@ def q_epoch_shuffle_docs(spark, sf):
         .select("doc_id", "epoch_key")
 
 
+@_q("ab_jackknife", abx.ab_jackknife_ci_sql(
+    _VARIANT_EVENTS_SQL, "variant", "value", "user_id",
+    n_buckets=24, group_by=["event_type"]))
+def q_ab_jackknife(spark, sf):
+    """Delete-one-bucket jackknife CI per (event_type, variant) with
+    user-respecting md5 buckets — one pass, no B explode; the
+    bucket-ordered fold replays the variance bit-for-bit."""
+    return abx.ab_jackknife_ci(_variant_events(spark, sf),
+                               "variant", "value", "user_id",
+                               n_buckets=24,
+                               group_by=["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

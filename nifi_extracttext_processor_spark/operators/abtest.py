@@ -1446,3 +1446,177 @@ SELECT {gsel}n_control, n_treatment, n_strata_used,
          AS significant
 FROM folded JOIN tot {join}
 """
+
+
+# ---------------------------------------------------------------------------
+# Jackknife (delete-one-bucket) variance — the aggregate-anything CI
+# ---------------------------------------------------------------------------
+
+
+def ab_jackknife_ci(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 50,
+    z: float = 1.96,
+    group_by: "list[str] | None" = None,
+    seed: int = 0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., variant, n, n_buckets_used, mean, se_jack, ci_lo,
+    ci_hi) — delete-one-bucket jackknife CI for the mean (the
+    big-data variance workhorse: Chamandy et al. 2012 discuss it
+    beside the Poisson bootstrap; unlike the bootstrap there is no B
+    explode — ONE pass, B leave-one-out estimates from totals minus
+    per-bucket sums):
+
+        m_b  = (S − s_b) / (N − n_b)
+        var  = (B−1)/B · Σ_b (m_b − m̄)²
+
+    Buckets are md5-uniform(id, seed) mod n_buckets — deterministic,
+    engine-replayable, and unit-respecting (all of a user's rows land
+    in one bucket when id_col is the user id, which is what makes the
+    jackknife valid under within-user correlation — the reason to
+    prefer it over row-level formulas for per-event metrics).
+
+    Exactness: per-bucket sums are exact grid decimals; N and S are
+    exact integer folds; each m_b is one division; the cross-BUCKET
+    sums (Σm, Σm²) are bucket-ordered left folds (the km_logrank
+    discipline); Σ(m_b−m̄)² closes as Σm² − B·m̄². Empty hash buckets
+    simply don't occur in the table — n_buckets_used reports the
+    actual B (documented: with n >> B² the difference is nil).
+    Cells with fewer than 2 used buckets emit NULL se/CI."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = (df.filter(v.isNotNull() & F.col(id_col).isNotNull())
+            .select(*gb,
+                    F.col(variant_col).alias("variant"),
+                    F.pmod(
+                        F.conv(F.substring(
+                            F.md5(F.concat(
+                                F.col(id_col).cast("string"),
+                                F.lit(f"#jk#{seed}"))), 1, 8),
+                            16, 10).cast("long"),
+                        F.lit(int(n_buckets))).alias("__b"),
+                    F.round(v * 1e6).cast("decimal(38,0)").alias("__xq")))
+    per_b = (base.groupBy(*gb, "variant", "__b")
+             .agg(F.count("*").alias("__nb"),
+                  F.sum("__xq").alias("__sb")))
+    tot = (per_b.groupBy(*gb, "variant")
+           .agg(F.sum("__nb").alias("__N"),
+                F.sum("__sb").alias("__S"),
+                F.count("*").alias("n_buckets_used")))
+    j = per_b.join(tot, [*gb, "variant"])
+    # guard the single-bucket degenerate (N == n_b): ANSI division
+    # raises instead of NaN-ing; NULL here flows to NULL se/CI
+    m_b = F.when(
+        F.col("__N") > F.col("__nb"),
+        (F.col("__S") - F.col("__sb")).cast("double")
+        / ((F.col("__N") - F.col("__nb")).cast("double")
+           * F.lit(1e6)))
+    j = j.withColumn(
+        "__t", F.struct(F.col("__b"),
+                        m_b.alias("m"),
+                        (m_b * m_b).alias("m2")))
+    folded = (j.groupBy(*gb, "variant", "__N", "__S",
+                        "n_buckets_used")
+              .agg(F.expr(
+                  "aggregate(array_sort(collect_list(__t)),"
+                  " named_struct('m', CAST(0.0 AS DOUBLE),"
+                  "              'm2', CAST(0.0 AS DOUBLE)),"
+                  " (acc, x) -> named_struct('m', acc.m + x.m,"
+                  "                          'm2', acc.m2 + x.m2))")
+                  .alias("__fold")))
+    bu = F.col("n_buckets_used").cast("double")
+    mbar = F.col("__fold.m") / bu
+    ss = F.col("__fold.m2") - bu * (mbar * mbar)
+    var = (bu - F.lit(1.0)) / bu * ss
+    se = F.when((F.col("n_buckets_used") >= 2) & (var >= 0),
+                F.sqrt(var))
+    mean = (F.col("__S").cast("double")
+            / (F.col("__N").cast("double") * F.lit(1e6)))
+    return folded.select(
+        *gb, "variant",
+        F.col("__N").alias("n"), "n_buckets_used",
+        F.round(mean, round_dp).alias("mean"),
+        F.round(se, round_dp).alias("se_jack"),
+        F.round(mean - F.lit(float(z)) * se, round_dp).alias("ci_lo"),
+        F.round(mean + F.lit(float(z)) * se, round_dp).alias("ci_hi"))
+
+
+def ab_jackknife_ci_sql(
+    table: str,
+    variant_col: str,
+    value_expr: str,
+    id_expr: str,
+    n_buckets: int = 50,
+    z: float = 1.96,
+    group_by: "list[str] | None" = None,
+    seed: int = 0,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_jackknife_ci (same md5 buckets, same exact
+    sums, same bucket-ordered fold and closing chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ", ".join([*gb, "variant"])
+    return f"""
+WITH base AS (
+  SELECT {gsel}{variant_col} AS variant,
+         (('0x' || substr(md5(CAST({id_expr} AS VARCHAR) ||
+            {sql_lit(f'#jk#{seed}')}), 1, 8))::BIGINT
+          % {int(n_buckets)}) AS b,
+         CAST(round(CAST({value_expr} AS DOUBLE) * 1e6) AS HUGEINT)
+           AS xq
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL AND {id_expr} IS NOT NULL
+),
+per_b AS (
+  SELECT {gsel}variant, b, count(*) AS nb, sum(xq) AS sb
+  FROM base GROUP BY {gkey}, b
+),
+tot AS (
+  SELECT {gsel}variant, sum(nb) AS N, sum(sb) AS S,
+         count(*) AS n_buckets_used
+  FROM per_b GROUP BY {gkey}
+),
+terms AS (
+  SELECT {gsel}variant, b,
+         CASE WHEN N > nb THEN
+           (S - sb)::DOUBLE / ((N - nb)::DOUBLE * 1e6) END AS m
+  FROM per_b JOIN tot USING ({gkey})
+),
+folded AS (
+  SELECT {gsel}variant,
+         list_reduce(
+           list_prepend({{'m': 0.0::DOUBLE, 'm2': 0.0::DOUBLE}},
+                        list({{'m': m, 'm2': m * m}} ORDER BY b)),
+           (a, x) -> {{'m': a.m + x.m, 'm2': a.m2 + x.m2}}) AS fl
+  FROM terms GROUP BY {gkey}
+),
+calc AS (
+  SELECT {gsel}variant, N, S, n_buckets_used,
+         S::DOUBLE / (N::DOUBLE * 1e6) AS mean,
+         CASE WHEN n_buckets_used >= 2
+               AND (n_buckets_used - 1.0) / n_buckets_used::DOUBLE
+                   * (fl.m2 - n_buckets_used::DOUBLE
+                      * ((fl.m / n_buckets_used::DOUBLE)
+                         * (fl.m / n_buckets_used::DOUBLE))) >= 0
+              THEN sqrt((n_buckets_used - 1.0)
+                        / n_buckets_used::DOUBLE
+                        * (fl.m2 - n_buckets_used::DOUBLE
+                           * ((fl.m / n_buckets_used::DOUBLE)
+                              * (fl.m / n_buckets_used::DOUBLE))))
+         END AS se
+  FROM folded JOIN tot USING ({gkey})
+)
+SELECT {gsel}variant, N AS n, n_buckets_used,
+       round(mean, {round_dp}) AS mean,
+       round(se, {round_dp}) AS se_jack,
+       round(mean - {float(z)!r} * se, {round_dp}) AS ci_lo,
+       round(mean + {float(z)!r} * se, {round_dp}) AS ci_hi
+FROM calc
+"""

@@ -1493,3 +1493,59 @@ def shuffle_for_epoch_sql(
             f"VARCHAR) || {sql_lit(f'#epoch{int(epoch)}#{seed}')}), "
             f"1, 8))::BIGINT AS epoch_key "
             f"FROM {table} ORDER BY epoch_key, {id_col}")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    total_n: int,
+) -> "dict[str, float]":
+    """Neyman-optimal per-stratum sampling rates for a target sample
+    size: n_h ∝ N_h·S_h (stratum size x stratum std — sample where
+    the variance lives), clamped to rate <= 1. The PLANNING half of
+    stratified_sample: feed the returned dict straight into it (both
+    are deterministic, so the plan and the draw replay).
+
+    Driver-side over the bounded per-stratum table (the ≤P-row rule
+    the mixing planner follows — strata counts are small by
+    construction); the data-sized pass is ONE map-side-combinable
+    moment aggregate. Zero-variance strata get the size-proportional
+    fallback share (S_h = 0 would starve them of even their census
+    presence); NULL values are excluded from moments but count for
+    N_h via a separate count."""
+    if total_n <= 0:
+        raise ValueError("total_n must be positive")
+    v = F.col(value_col).cast("double")
+    per = (df.groupBy(F.col(strata_col).alias("__s"))
+           .agg(F.count("*").alias("n"),
+                F.count(v).alias("nv"),
+                F.sum(v).alias("sx"),
+                F.sum(v * v).alias("sxx"))
+           .collect())
+    import math
+    weights = {}
+    for r in per:
+        if r["nv"] and r["nv"] > 1:
+            var = (r["sxx"] - r["sx"] * r["sx"] / r["nv"]) \
+                / (r["nv"] - 1)
+            sd = math.sqrt(max(var, 0.0))
+        else:
+            sd = 0.0
+        weights[r["__s"]] = (r["n"], sd)
+    total_ns = sum(n * sd for n, sd in weights.values())
+    if total_ns <= 0:
+        # all-degenerate: fall back to proportional allocation
+        big_n = sum(n for n, _ in weights.values())
+        return {s: min(1.0, total_n * n / big_n / n)
+                for s, (n, _) in weights.items()}
+    rates = {}
+    for s, (n, sd) in weights.items():
+        if sd <= 0:
+            # proportional fallback share for zero-variance strata
+            big_n = sum(m for m, _ in weights.values())
+            n_h = total_n * n / big_n
+        else:
+            n_h = total_n * (n * sd) / total_ns
+        rates[s] = min(1.0, n_h / n)
+    return rates

@@ -509,3 +509,94 @@ class TestPostStratified:
         b = sorted(map(str, (tuple(r) for r in
                              odf.itertuples(index=False))))
         assert a == b
+
+
+class TestJackknife:
+    def _df(self, spark):
+        rows = [("c" if i % 2 else "t", i // 3,
+                 float((i * 37) % 101) / 7.0) for i in range(3000)]
+        return spark.createDataFrame(
+            rows, "variant string, user_id long, value double")
+
+    def test_se_tracks_classic_sem_and_twin(self, spark):
+        import duckdb
+        import statistics
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_jackknife_ci, ab_jackknife_ci_sql,
+        )
+        df = self._df(spark)
+        got = {r["variant"]: r for r in ab_jackknife_ci(
+            df, "variant", "value", "user_id",
+            n_buckets=20).collect()}
+        vals = [r["value"] for r in df.collect()
+                if r["variant"] == "c"]
+        sem = statistics.stdev(vals) / len(vals) ** 0.5
+        # jackknife over user buckets: close to classic SEM, slightly
+        # ABOVE it (user_id clusters 3 correlated rows — exactly what
+        # the unit-respecting bucketing should account for)
+        assert sem * 0.9 < got["c"]["se_jack"] < sem * 1.5
+        assert got["c"]["ci_lo"] < got["c"]["mean"] < got["c"]["ci_hi"]
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        odf = con.execute(ab_jackknife_ci_sql(
+            "t", "variant", "value", "user_id",
+            n_buckets=20)).df()
+        def canon(v):
+            if isinstance(v, float) and v == v and v.is_integer():
+                return str(int(v))
+            return str(v)
+
+        a = sorted(",".join(map(canon, tuple(r)))
+                   for r in ab_jackknife_ci(
+                       df, "variant", "value", "user_id",
+                       n_buckets=20).collect())
+        b = sorted(",".join(map(canon, tuple(r)))
+                   for r in odf.itertuples(index=False))
+        assert a == b
+
+    def test_constant_metric_zero_se(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_jackknife_ci,
+        )
+        df = spark.createDataFrame(
+            [("c", i, 5.0) for i in range(100)],
+            "variant string, user_id long, value double")
+        [r] = ab_jackknife_ci(df, "variant", "value", "user_id",
+                              n_buckets=10).collect()
+        assert r["se_jack"] == 0.0
+        assert r["ci_lo"] == r["ci_hi"] == r["mean"] == 5.0
+
+    def test_single_bucket_null_se_and_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_jackknife_ci,
+        )
+        # one user -> one bucket used -> se undefined
+        df = spark.createDataFrame(
+            [("c", 1, float(i)) for i in range(10)],
+            "variant string, user_id long, value double")
+        [r] = ab_jackknife_ci(df, "variant", "value", "user_id",
+                              n_buckets=10).collect()
+        assert r["n_buckets_used"] == 1 and r["se_jack"] is None
+        with pytest.raises(ValueError, match="n_buckets"):
+            ab_jackknife_ci(df, "variant", "value", "user_id",
+                            n_buckets=1)
+
+    def test_unit_respecting_buckets_catch_clustering(self, spark):
+        """All of a user's rows share a bucket: duplicate every
+        user's value 10x — classic row-level SEM shrinks by ~1/sqrt(10)
+        (wrongly), the user-bucketed jackknife SE must NOT."""
+        import statistics
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_jackknife_ci,
+        )
+        base = [(i, float((i * 37) % 101) / 7.0) for i in range(300)]
+        dup = [("c", u, v) for u, v in base for _ in range(10)]
+        df = spark.createDataFrame(
+            dup, "variant string, user_id long, value double")
+        [r] = ab_jackknife_ci(df, "variant", "value", "user_id",
+                              n_buckets=20).collect()
+        vals = [v for _, v in base]
+        true_sem = statistics.stdev(vals) / len(vals) ** 0.5
+        naive_sem = true_sem / 10 ** 0.5
+        assert r["se_jack"] > naive_sem * 2     # not fooled
+        assert r["se_jack"] == pytest.approx(true_sem, rel=0.5)

@@ -114,3 +114,48 @@ class TestEpochShuffle:
         assert "rangepartitioning" in plan
         # partition-local sort only (global=False), no second exchange
         assert plan.count("Exchange") == 1
+
+
+class TestNeymanAllocation:
+    def test_budget_follows_variance(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            neyman_allocation, stratified_sample,
+        )
+        rows = [("lowvar", 5.0 + (i % 3) * 0.01) for i in range(1000)] \
+            + [("highvar", float((i * 37) % 1000))
+               for i in range(1000)]
+        df = spark.createDataFrame(
+            [(i, s, v) for i, (s, v) in enumerate(rows)],
+            "doc_id long, source string, value double")
+        rates = neyman_allocation(df, "source", "value", total_n=500)
+        assert rates["highvar"] > 100 * rates["lowvar"]
+        got = stratified_sample(df, rates).count()
+        assert 350 < got < 650          # ~500 by construction
+        # deterministic: same plan twice
+        assert rates == neyman_allocation(df, "source", "value",
+                                          total_n=500)
+
+    def test_zero_variance_fallback_and_clamp(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            neyman_allocation,
+        )
+        df = spark.createDataFrame(
+            [(i, "const", 7.0) for i in range(100)]
+            + [(100 + i, "tiny", float(i)) for i in range(10)],
+            "doc_id long, source string, value double")
+        rates = neyman_allocation(df, "source", "value", total_n=50)
+        assert 0 < rates["const"] <= 1.0   # proportional fallback
+        assert rates["tiny"] == 1.0        # clamped (n_h > N_h)
+        with pytest.raises(ValueError, match="total_n"):
+            neyman_allocation(df, "source", "value", total_n=0)
+
+    def test_all_degenerate_proportional(self, spark):
+        from nifi_extracttext_processor_spark.operators.corpus import (
+            neyman_allocation,
+        )
+        df = spark.createDataFrame(
+            [(i, f"s{i % 2}", 1.0) for i in range(100)],
+            "doc_id long, source string, value double")
+        rates = neyman_allocation(df, "source", "value", total_n=50)
+        assert rates["s0"] == pytest.approx(0.5)
+        assert rates["s1"] == pytest.approx(0.5)

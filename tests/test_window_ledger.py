@@ -141,7 +141,7 @@ R12_NEW = {
     "attribution_position", "lexical_diversity_by_lang",
     "cohen_kappa_docs", "data_quality_orders",
     "time_to_convert_hist", "ab_post_stratified",
-    "fim_transform_docs", "epoch_shuffle_docs",
+    "fim_transform_docs", "epoch_shuffle_docs", "ab_jackknife",
 }
 
 
