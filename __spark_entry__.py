@@ -3645,6 +3645,23 @@ def q_ab_jackknife(spark, sf):
                                group_by=["event_type"])
 
 
+@_q("growth_accounting_daily", sess.growth_accounting_sql(
+    "events", period="day"))
+def q_growth_accounting_daily(spark, sf):
+    """Daily growth accounting (new / retained / resurrected /
+    churned + quick ratio) — two windows over the DISTINCT
+    (user, day) activity table, churn attributed via lead."""
+    return sess.growth_accounting(_t(spark, sf, "events"),
+                                  period="day")
+
+
+@_q("session_stats_daily", sess.session_stats_sql("events"))
+def q_session_stats_daily(spark, sf):
+    """Per-day session engagement rollup (bounce rate, events and
+    duration per session) over the gaps-and-islands sessionizer."""
+    return sess.session_stats(_t(spark, sf, "events"))
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -443,3 +443,230 @@ SELECT from_state, to_state, n,
 FROM counts
 ORDER BY from_state, to_state
 """
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-day engagement rollup over sessionize output: (day,
+    n_sessions, n_users, bounce_rate, avg_events, avg_duration_s,
+    max_duration_s) — the product-dashboard layer on top of the
+    gaps-and-islands primitive. A session belongs to the day its
+    FIRST event falls on (the industry convention; no session is
+    split or double-counted).
+
+    Exactness: durations are whole-second integer diffs of the
+    truncated-epoch boundaries (the sessionize contract), bounce and
+    avg_events are exact integer rationals, avg_duration one division
+    of integer sums. Scale: rides sessionize's shuffles + one
+    day-keyed map-side agg."""
+    sess = sessionize(df, user_col=user_col, ts_col=ts_col,
+                      order_col=order_col, value_col=value_col,
+                      gap_seconds=gap_seconds)
+    # truncate-then-diff at second resolution, same as the gap test
+    dur = (epoch_seconds(sess, "session_end")
+           - epoch_seconds(sess, "session_start"))
+    # day as an ISO string: the DuckDB pandas bridge upcasts DATE
+    # to midnight timestamps, so a string is the stable spelling
+    day = F.to_date("session_start").cast("string").alias("day")
+    agg = (sess.groupBy(day)
+           .agg(F.count("*").alias("n_sessions"),
+                F.count_distinct(user_col).alias("n_users"),
+                F.sum((F.col("n_events") == 1).cast("long"))
+                .alias("__bounce"),
+                F.sum("n_events").alias("__events"),
+                F.sum(dur).alias("__dur"),
+                F.max(dur).alias("max_duration_s")))
+    n = F.col("n_sessions").cast("double")
+    return (agg.select(
+        "day", "n_sessions", "n_users",
+        F.round(F.col("__bounce").cast("double") / n, round_dp)
+        .alias("bounce_rate"),
+        F.round(F.col("__events").cast("double") / n, round_dp)
+        .alias("avg_events"),
+        F.round(F.col("__dur").cast("double") / n, round_dp)
+        .alias("avg_duration_s"),
+        "max_duration_s")
+        .orderBy("day"))
+
+
+def session_stats_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of session_stats (built on the sessionize twin)."""
+    inner = sessionize_sql(table, user_col, ts_col, order_col,
+                           value_col, gap_seconds)
+    secs_end = "CAST(floor(epoch(session_end)) AS BIGINT)"
+    secs_start = "CAST(floor(epoch(session_start)) AS BIGINT)"
+    return f"""
+WITH sess AS ({inner})
+SELECT (session_start::DATE)::VARCHAR AS day,
+       count(*) AS n_sessions,
+       count(DISTINCT {user_col}) AS n_users,
+       round(sum(CAST(n_events = 1 AS BIGINT))::DOUBLE
+             / count(*)::DOUBLE, {round_dp}) AS bounce_rate,
+       round(sum(n_events)::DOUBLE / count(*)::DOUBLE,
+             {round_dp}) AS avg_events,
+       round(sum({secs_end} - {secs_start})::DOUBLE
+             / count(*)::DOUBLE, {round_dp}) AS avg_duration_s,
+       max({secs_end} - {secs_start}) AS max_duration_s
+FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "month",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Growth accounting (the standard DAU/MAU decomposition — e.g.
+    the Social Capital framework): per period, every active user is
+    exactly one of
+
+        new          first-ever active period
+        retained     also active in the immediately previous period
+        resurrected  active before, but not in the previous period
+
+    and `churned` counts users active in the PREVIOUS period who are
+    absent in this one (attributed to this period — the period the
+    loss became visible). quick_ratio = (new + resurrected) / churned
+    (NULL when churned = 0). The canonical health readout cohort
+    retention curves don't give directly.
+
+    Implementation: distinct (user, period-index) — integer index
+    (months since epoch or days) so adjacency is exact integer
+    arithmetic — then ONE lag per user and a period-keyed integer
+    agg; churn comes from the same table via lead (a user churns at
+    p+1 unless p+1 is their next active period), so the whole readout
+    is two window functions over the distinct activity table (shuffle
+    carries distinct (user, period) pairs, never events). The LAST
+    period's churn is structurally unknowable (nobody can be absent
+    from a period that hasn't ended) — churned is NULL there."""
+    if period not in ("month", "day", "week"):
+        raise ValueError("period must be month/day/week")
+    ts = F.col(ts_col)
+    if period == "month":
+        idx = (F.year(ts) * 12 + F.month(ts) - 1).cast("long")
+    elif period == "week":
+        idx = F.floor(F.datediff(F.to_date(ts),
+                                 F.lit("1970-01-05").cast("date"))
+                      / 7).cast("long")  # Monday-aligned
+    else:
+        idx = F.datediff(F.to_date(ts),
+                         F.lit("1970-01-01").cast("date")).cast("long")
+    act = (df.filter(ts.isNotNull())
+           .select(F.col(user_col).alias("user"), idx.alias("p"))
+           .distinct())
+    w = Window.partitionBy("user").orderBy("p")
+    act = (act
+           .withColumn("__prev", F.lag("p").over(w))
+           .withColumn("__next", F.lead("p").over(w)))
+    status = (F.when(F.col("__prev").isNull(), "new")
+              .when(F.col("__prev") == F.col("p") - 1, "retained")
+              .otherwise("resurrected"))
+    per_p = (act.groupBy("p")
+             .agg(F.sum((status == "new").cast("long")).alias("n_new"),
+                  F.sum((status == "retained").cast("long"))
+                  .alias("n_retained"),
+                  F.sum((status == "resurrected").cast("long"))
+                  .alias("n_resurrected")))
+    # churned at p+1: active at p, next active period != p+1
+    churn = (act.filter(F.col("__next").isNull()
+                        | (F.col("__next") > F.col("p") + 1))
+             .groupBy((F.col("p") + 1).alias("p"))
+             .agg(F.count("*").alias("n_churned")))
+    # FULL outer: a period where nobody was active but users churned
+    # into it (total blackout) still gets its churn row, zero-filled
+    out = per_p.join(churn, "p", "full")
+    for c in ("n_new", "n_retained", "n_resurrected"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    last_p = per_p.agg(F.max("p").alias("__mx"))
+    out = out.crossJoin(F.broadcast(last_p)) \
+        .filter(F.col("p") <= F.col("__mx"))
+    n_ch = F.coalesce(F.col("n_churned"), F.lit(0))
+    qr = F.when(
+        n_ch > 0,
+        (F.col("n_new") + F.col("n_resurrected")).cast("double")
+        / n_ch.cast("double"))
+    return (out.select(
+        "p", "n_new", "n_retained", "n_resurrected",
+        n_ch.alias("n_churned"),
+        F.round(qr, round_dp).alias("quick_ratio"))
+        .orderBy("p"))
+
+
+def growth_accounting_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "month",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of growth_accounting (same integer period index,
+    same lag/lead classification and churn attribution)."""
+    if period == "month":
+        idx = (f"(year({ts_col}) * 12 + month({ts_col}) - 1)::BIGINT")
+    elif period == "week":
+        idx = (f"(date_diff('day', DATE '1970-01-05', "
+               f"{ts_col}::DATE) // 7)::BIGINT")
+    elif period == "day":
+        idx = (f"date_diff('day', DATE '1970-01-01', "
+               f"{ts_col}::DATE)::BIGINT")
+    else:
+        raise ValueError("period must be month/day/week")
+    return f"""
+WITH act AS (
+  SELECT DISTINCT {user_col} AS u, {idx} AS p
+  FROM {table} WHERE {ts_col} IS NOT NULL
+),
+lagged AS (
+  SELECT u, p,
+         lag(p) OVER (PARTITION BY u ORDER BY p) AS prev,
+         lead(p) OVER (PARTITION BY u ORDER BY p) AS nxt
+  FROM act
+),
+per_p AS (
+  SELECT p,
+         sum(CAST(prev IS NULL AS BIGINT)) AS n_new,
+         sum(CAST(prev = p - 1 AS BIGINT)) AS n_retained,
+         sum(CAST(prev IS NOT NULL AND prev < p - 1 AS BIGINT))
+           AS n_resurrected
+  FROM lagged GROUP BY p
+),
+churn AS (
+  SELECT p + 1 AS p, count(*) AS n_churned
+  FROM lagged WHERE nxt IS NULL OR nxt > p + 1
+  GROUP BY p + 1
+),
+mx AS (SELECT max(p) AS mxp FROM per_p),
+joined AS (
+  SELECT coalesce(per_p.p, churn.p) AS p,
+         coalesce(n_new, 0) AS n_new,
+         coalesce(n_retained, 0) AS n_retained,
+         coalesce(n_resurrected, 0) AS n_resurrected,
+         coalesce(n_churned, 0) AS n_churned
+  FROM per_p FULL OUTER JOIN churn ON per_p.p = churn.p
+)
+SELECT p, n_new, n_retained, n_resurrected, n_churned,
+       round(CASE WHEN n_churned > 0
+                  THEN (n_new + n_resurrected)::DOUBLE
+                       / n_churned::DOUBLE END,
+             {round_dp}) AS quick_ratio
+FROM joined CROSS JOIN mx
+WHERE p <= mxp
+ORDER BY p
+"""

@@ -142,6 +142,7 @@ R12_NEW = {
     "cohen_kappa_docs", "data_quality_orders",
     "time_to_convert_hist", "ab_post_stratified",
     "fim_transform_docs", "epoch_shuffle_docs", "ab_jackknife",
+    "growth_accounting_daily", "session_stats_daily",
 }
 
 
