@@ -3662,6 +3662,32 @@ def q_session_stats_daily(spark, sf):
     return sess.session_stats(_t(spark, sf, "events"))
 
 
+@_q("multiclass_eval", evm.multiclass_metrics_sql(
+    """(SELECT CAST(n_chars % 4 AS VARCHAR) AS label,
+               CAST((n_chars + doc_id * doc_id) % 4 AS VARCHAR) AS pred
+        FROM documents)""",
+    "label", "pred"))
+def q_multiclass_eval(spark, sf):
+    """Per-class precision/recall/F1 over deterministic derived
+    labelings (every metric one exact-integer rational; the math is
+    what the row verifies)."""
+    docs = _t(spark, sf, "documents").select(
+        F.pmod(F.col("n_chars"), 4).cast("string").alias("label"),
+        F.pmod(F.col("n_chars") + F.col("doc_id") * F.col("doc_id"), 4)
+        .cast("string").alias("pred"))
+    return evm.multiclass_metrics(docs, "label", "pred")
+
+
+@_q("embedding_outliers", _sim.embedding_outliers_sql(
+    "embeddings", k=50))
+def q_embedding_outliers(spark, sf):
+    """Top-50 farthest-from-centroid embeddings (grid-exact centroid,
+    index-ordered distance fold, TakeOrdered cut) — the
+    embedding-space junk sweep."""
+    emb = _t(spark, sf, "embeddings")
+    return _sim.embedding_outliers(emb, k=50)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

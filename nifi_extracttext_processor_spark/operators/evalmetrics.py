@@ -574,3 +574,178 @@ SELECT {gsel}n,
 FROM tot JOIN marg {join}
 {order}
 """
+
+
+def multiclass_metrics(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+    round_dp: int = 4,
+) -> DataFrame:
+    """(class, support, n_predicted, tp, precision, recall, f1) —
+    one row per class (union of true and predicted label sets), the
+    standard multiclass classifier report (language-ID, source
+    routing, quality tiers — anything past binary_metrics' scope).
+
+        precision = tp / n_predicted     recall = tp / support
+        f1 = 2·tp / (support + n_predicted)
+
+    — note f1's single-division identity (harmonic mean collapses),
+    so every output is ONE exact-integer rational. Classes with no
+    predictions (or no support) get NULL precision (recall), f1 = 0
+    by the identity when tp = 0 and the denominator > 0. NULL
+    labels/preds are excluded (not classifications).
+
+    Scale: three label-keyed integer aggs (support, predicted, tp)
+    full-outer-joined on the bounded class set."""
+    l, p = F.col(label_col), F.col(pred_col)
+    base = df.filter(l.isNotNull() & p.isNotNull())
+    sup = (base.groupBy(l.cast("string").alias("class"))
+           .agg(F.count("*").alias("support"),
+                F.sum((l == p).cast("long")).alias("tp")))
+    prd = (base.groupBy(p.cast("string").alias("class"))
+           .agg(F.count("*").alias("n_predicted")))
+    j = sup.join(prd, "class", "full")
+    support = F.coalesce("support", F.lit(0))
+    npred = F.coalesce("n_predicted", F.lit(0))
+    tp = F.coalesce("tp", F.lit(0))
+    return (j.select(
+        "class",
+        support.alias("support"),
+        npred.alias("n_predicted"),
+        tp.alias("tp"),
+        F.round(F.when(npred > 0,
+                       tp.cast("double") / npred.cast("double")),
+                round_dp).alias("precision"),
+        F.round(F.when(support > 0,
+                       tp.cast("double") / support.cast("double")),
+                round_dp).alias("recall"),
+        F.round(F.when(support + npred > 0,
+                       F.lit(2.0) * tp.cast("double")
+                       / (support + npred).cast("double")),
+                round_dp).alias("f1"))
+        .orderBy("class"))
+
+
+def multiclass_metrics_sql(
+    table: str,
+    label_expr: str = "label",
+    pred_expr: str = "pred",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of multiclass_metrics (same three aggregates,
+    same single-division identities)."""
+    return f"""
+WITH base AS (
+  SELECT CAST({label_expr} AS VARCHAR) AS l,
+         CAST({pred_expr} AS VARCHAR) AS p
+  FROM {table}
+  WHERE {label_expr} IS NOT NULL AND {pred_expr} IS NOT NULL
+),
+sup AS (
+  SELECT l AS class, count(*) AS support,
+         sum(CAST(l = p AS BIGINT)) AS tp
+  FROM base GROUP BY l
+),
+prd AS (
+  SELECT p AS class, count(*) AS n_predicted FROM base GROUP BY p
+),
+j AS (
+  SELECT coalesce(sup.class, prd.class) AS class,
+         coalesce(support, 0) AS support,
+         coalesce(n_predicted, 0) AS n_predicted,
+         coalesce(tp, 0) AS tp
+  FROM sup FULL OUTER JOIN prd ON sup.class = prd.class
+)
+SELECT class, support, n_predicted, tp,
+       round(CASE WHEN n_predicted > 0
+                  THEN tp::DOUBLE / n_predicted::DOUBLE END,
+             {round_dp}) AS precision,
+       round(CASE WHEN support > 0
+                  THEN tp::DOUBLE / support::DOUBLE END,
+             {round_dp}) AS recall,
+       round(CASE WHEN support + n_predicted > 0
+                  THEN 2.0 * tp::DOUBLE
+                       / (support + n_predicted)::DOUBLE END,
+             {round_dp}) AS f1
+FROM j ORDER BY class
+"""
+
+
+def multiclass_summary(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+    round_dp: int = 4,
+) -> DataFrame:
+    """(n, n_classes, accuracy, macro_precision, macro_recall,
+    macro_f1) — the one-row rollup over multiclass_metrics. Accuracy
+    (= micro-F1 for single-label multiclass) is one exact rational;
+    the macro averages sum per-class doubles, so they fold in CLASS
+    order (the km_logrank discipline) before the single division.
+    Classes with NULL precision/recall contribute 0 to their macro
+    term (the scikit-learn zero_division=0 convention)."""
+    per = multiclass_metrics(df, label_col, pred_col,
+                             round_dp=18)  # fold on unrounded values
+    term = F.struct(
+        F.col("class"),
+        F.coalesce("precision", F.lit(0.0)).alias("pr"),
+        F.coalesce("recall", F.lit(0.0)).alias("rc"),
+        F.coalesce("f1", F.lit(0.0)).alias("f"))
+    folded = (per.withColumn("__t", term)
+              .agg(F.sum("tp").alias("__tp"),
+                   F.sum("support").alias("__n"),
+                   F.count("*").alias("n_classes"),
+                   F.expr(
+                       "aggregate(array_sort(collect_list(__t)),"
+                       " named_struct('pr', CAST(0.0 AS DOUBLE),"
+                       "              'rc', CAST(0.0 AS DOUBLE),"
+                       "              'f', CAST(0.0 AS DOUBLE)),"
+                       " (acc, x) -> named_struct("
+                       "   'pr', acc.pr + x.pr,"
+                       "   'rc', acc.rc + x.rc,"
+                       "   'f', acc.f + x.f))").alias("__s")))
+    k = F.col("n_classes").cast("double")
+    return folded.select(
+        F.col("__n").alias("n"), "n_classes",
+        F.round(F.col("__tp").cast("double")
+                / F.col("__n").cast("double"), round_dp)
+        .alias("accuracy"),
+        F.round(F.col("__s.pr") / k, round_dp).alias("macro_precision"),
+        F.round(F.col("__s.rc") / k, round_dp).alias("macro_recall"),
+        F.round(F.col("__s.f") / k, round_dp).alias("macro_f1"))
+
+
+def multiclass_summary_sql(
+    table: str,
+    label_expr: str = "label",
+    pred_expr: str = "pred",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of multiclass_summary (same class-ordered fold
+    over unrounded per-class values)."""
+    inner = multiclass_metrics_sql(table, label_expr, pred_expr,
+                                   round_dp=18)
+    return f"""
+WITH per AS ({inner}),
+folded AS (
+  SELECT sum(tp) AS tps, sum(support) AS n, count(*) AS n_classes,
+         list_reduce(
+           list_prepend({{'pr': 0.0::DOUBLE, 'rc': 0.0::DOUBLE,
+                          'f': 0.0::DOUBLE}},
+                        list({{'pr': coalesce(precision, 0.0),
+                               'rc': coalesce(recall, 0.0),
+                               'f': coalesce(f1, 0.0)}}
+                             ORDER BY class)),
+           (a, x) -> {{'pr': a.pr + x.pr, 'rc': a.rc + x.rc,
+                       'f': a.f + x.f}}) AS fl
+  FROM per
+)
+SELECT n, n_classes,
+       round(tps::DOUBLE / n::DOUBLE, {round_dp}) AS accuracy,
+       round(fl.pr / n_classes::DOUBLE, {round_dp})
+         AS macro_precision,
+       round(fl.rc / n_classes::DOUBLE, {round_dp}) AS macro_recall,
+       round(fl.f / n_classes::DOUBLE, {round_dp}) AS macro_f1
+FROM folded
+"""

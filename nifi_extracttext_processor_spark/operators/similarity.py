@@ -810,3 +810,103 @@ FROM quant
 ORDER BY cosine DESC, {id_col} ASC
 LIMIT {k}
 """
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 50,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(id, dist2) — the k embeddings FARTHEST (squared Euclidean)
+    from the exact corpus centroid: the embedding-space curation
+    sweep for mis-embedded junk, wrong-modality rows, and encoder
+    failures (they land far from everything; near-duplicate pruning
+    never sees them because nothing is near them).
+
+    Exactness: the centroid is computed on the 1e-6 integer grid —
+    per-dimension decimal sums (order-independent) over ONE
+    posexplode aggregate, divided once — and materialized driver-side
+    (dim-sized, the ≤P-row planner rule) into literal columns; the
+    per-row distance is a LEFT-TO-RIGHT fold over dimensions
+    (aggregate over zip_with — index order, both engines identical).
+    Rows with NULL or wrong-dimension vectors are excluded (they'd
+    otherwise win the ranking on a technicality).
+
+    Scale: one narrow explode + dim-keyed agg for the centroid (dim
+    rows shuffle), one narrow distance projection, one
+    TakeOrderedAndProject cut — no global sort, no pairwise stage."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = F.col(vec_col)
+    dim_row = df.select(F.size(v).alias("__d")) \
+        .filter(F.col("__d") > 0).limit(1).collect()
+    if not dim_row:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, dist2 double")
+    dim = dim_row[0]["__d"]
+    good = df.filter(v.isNotNull() & (F.size(v) == dim))
+    per_dim = (good.select(F.posexplode(v).alias("__i", "__x"))
+               .groupBy("__i")
+               .agg(F.sum(F.round(F.col("__x") * 1e6)
+                          .cast("decimal(38,0)")).alias("__s"),
+                    F.count("*").alias("__n"))
+               .collect())
+    cent = [0.0] * dim
+    for r in per_dim:
+        # one IEEE division per dimension, replayed by the twin
+        cent[r["__i"]] = (float(r["__s"]) / (r["__n"] * 1e6))
+    carr = F.array(*[F.lit(c) for c in cent])
+    diff2 = F.zip_with(v, carr, lambda x, c: (x - c) * (x - c))
+    dist2 = F.expr(
+        "aggregate(__d2, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    return (good
+            .withColumn("__d2", diff2)
+            .select(F.col(id_col),
+                    F.round(dist2, round_dp).alias("dist2"))
+            .orderBy(F.desc("dist2"), F.asc(id_col))
+            .limit(int(k)))
+
+
+def embedding_outliers_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 50,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of embedding_outliers (same grid-exact centroid,
+    same index-ordered distance fold, same (dist2 desc, id) cut)."""
+    return f"""
+WITH dims AS (
+  SELECT len({vec_col}) AS d FROM {table}
+  WHERE {vec_col} IS NOT NULL AND len({vec_col}) > 0 LIMIT 1
+),
+good AS (
+  SELECT {id_col} AS id, {vec_col} AS v FROM {table}, dims
+  WHERE {vec_col} IS NOT NULL AND len({vec_col}) = dims.d
+),
+exploded AS (
+  SELECT t.i, CAST(round(v[t.i] * 1e6) AS HUGEINT) AS xq
+  FROM good, unnest(generate_series(1, len(v))) AS t(i)
+),
+cent AS (
+  SELECT i, sum(xq)::DOUBLE / (count(*) * 1e6) AS c
+  FROM exploded GROUP BY i
+),
+carr AS (
+  SELECT list(c ORDER BY i) AS ca FROM cent
+),
+dists AS (
+  SELECT id,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(list_zip(v, ca),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))),
+           (a, x) -> a + x) AS dist2
+  FROM good, carr
+)
+SELECT id AS {id_col}, round(dist2, {round_dp}) AS dist2
+FROM dists ORDER BY dist2 DESC, id LIMIT {int(k)}
+"""

@@ -414,3 +414,107 @@ class TestCohenKappa:
             "t", "a", "b", group_by=["src"])).df()
         assert [tuple(r) for r in got.collect()] \
             == [tuple(r) for r in odf.itertuples(index=False)]
+
+
+class TestMulticlass:
+    def _df(self, spark):
+        rows = [("a", "a")] * 10 + [("a", "b")] * 2 \
+            + [("b", "b")] * 8 + [("b", "c")] * 4 \
+            + [("c", "a")] * 3 + [("c", "c")] * 5 + [(None, "a")]
+        return spark.createDataFrame(rows, "label string, pred string")
+
+    def test_per_class_golden(self, spark):
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import multiclass_metrics
+        out = {r["class"]: r for r in multiclass_metrics(
+            self._df(spark), "label", "pred").collect()}
+        a = out["a"]
+        assert (a["support"], a["n_predicted"], a["tp"]) == (12, 13, 10)
+        assert a["precision"] == round(10 / 13, 4)
+        assert a["recall"] == round(10 / 12, 4)
+        assert a["f1"] == 0.8                    # 2*10/(12+13)
+        # class never predicted -> NULL precision, f1 defined
+        df2 = spark.createDataFrame(
+            [("x", "y"), ("y", "y")], "label string, pred string")
+        out2 = {r["class"]: r for r in multiclass_metrics(
+            df2, "label", "pred").collect()}
+        assert out2["x"]["precision"] is None
+        assert out2["x"]["f1"] == 0.0
+
+    def test_summary_golden_and_twins(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import (multiclass_metrics, multiclass_metrics_sql,
+                    multiclass_summary, multiclass_summary_sql)
+        df = self._df(spark)
+        [s] = multiclass_summary(df, "label", "pred").collect()
+        assert s["n"] == 32 and s["n_classes"] == 3
+        assert s["accuracy"] == round(23 / 32, 4)
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        assert [tuple(r) for r in multiclass_metrics(
+            df, "label", "pred").collect()] \
+            == [tuple(t) for t in con.execute(
+                multiclass_metrics_sql("t", "label", "pred"))
+                .fetchall()]
+        assert [tuple(r) for r in multiclass_summary(
+            df, "label", "pred").collect()] \
+            == [tuple(t) for t in con.execute(
+                multiclass_summary_sql("t", "label", "pred"))
+                .fetchall()]
+
+    def test_perfect_classifier(self, spark):
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import multiclass_summary
+        df = spark.createDataFrame(
+            [(str(i % 3), str(i % 3)) for i in range(30)],
+            "label string, pred string")
+        [s] = multiclass_summary(df, "label", "pred").collect()
+        assert s["accuracy"] == 1.0 and s["macro_f1"] == 1.0
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_wins(self, spark):
+        from nifi_extracttext_processor_spark.operators.similarity \
+            import embedding_outliers
+        rows = [(i, [0.1 * ((i + j) % 3) for j in range(8)])
+                for i in range(100)]
+        rows.append((999, [50.0] * 8))           # the junk embedding
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = embedding_outliers(df, k=3).collect()
+        assert out[0]["vec_id"] == 999
+        assert out[0]["dist2"] > 100 * out[1]["dist2"]
+        # NULL and wrong-dim vectors are excluded, not ranked
+        df2 = df.union(spark.createDataFrame(
+            [(1000, None), (1001, [1.0])],
+            "vec_id long, embedding array<double>"))
+        out2 = embedding_outliers(df2, k=3).collect()
+        assert {r["vec_id"] for r in out2} \
+            == {r["vec_id"] for r in out}
+
+    def test_twin_parity_and_plan(self, spark, sf_dir):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.similarity \
+            import embedding_outliers, embedding_outliers_sql
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        got = embedding_outliers(emb, k=25)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"'{sf_dir}/embeddings.parquet'")
+        twin = con.execute(embedding_outliers_sql(
+            "embeddings", k=25)).fetchall()
+        assert [tuple(r) for r in got.collect()] \
+            == [tuple(t) for t in twin]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan    # no global sort
+        import pytest as _pt
+        with _pt.raises(ValueError, match="k must"):
+            embedding_outliers(emb, k=0)
+
+    def test_empty_input(self, spark):
+        from nifi_extracttext_processor_spark.operators.similarity \
+            import embedding_outliers
+        df = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>")
+        assert embedding_outliers(df, k=5).count() == 0
