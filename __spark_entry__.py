@@ -3688,6 +3688,22 @@ def q_embedding_outliers(spark, sf):
     return _sim.embedding_outliers(emb, k=50)
 
 
+@_q("ab_covariate_balance", abx.ab_covariate_balance_sql(
+    _VARIANT_EVENTS_SQL, "variant",
+    ["value", "user_id % 100", "length(props)"], "c", "t"))
+def q_ab_covariate_balance(spark, sf):
+    """Standardized-mean-difference balance check across arms over
+    three derived covariates — ONE scan for all of them; the SMD
+    math (exact grid sums, pooled-sd denominator) is what the row
+    verifies."""
+    ev = _variant_events(spark, sf).withColumn(
+        "user_id % 100", F.pmod(F.col("user_id"), 100)) \
+        .withColumn("length(props)", F.length("props"))
+    return abx.ab_covariate_balance(
+        ev, "variant", ["value", "user_id % 100", "length(props)"],
+        "c", "t")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

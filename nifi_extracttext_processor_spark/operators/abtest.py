@@ -1620,3 +1620,140 @@ SELECT {gsel}variant, N AS n, n_buckets_used,
        round(mean + {float(z)!r} * se, {round_dp}) AS ci_hi
 FROM calc
 """
+
+
+# ---------------------------------------------------------------------------
+# Covariate balance — the randomization-health companion to SRM
+# ---------------------------------------------------------------------------
+
+
+def ab_covariate_balance(
+    df: DataFrame,
+    variant_col: str,
+    covariates: "list[str]",
+    control: str,
+    treatment: str,
+    smd_threshold: float = 0.1,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(covariate, n_control, n_treatment, mean_control,
+    mean_treatment, smd, imbalanced) — standardized mean differences
+    of PRE-experiment covariates across arms:
+
+        SMD = (m̄_t − m̄_c) / sqrt((s²_c + s²_t) / 2)
+
+    the randomization-health check that catches a broken bucketing
+    SRM can't see (counts can match while the POPULATIONS differ);
+    |SMD| >= 0.1 is the conventional imbalance flag (Austin 2009).
+
+    One map-side agg for ALL covariates (each contributes six
+    conditional sums to the same aggregate — the expectations-module
+    one-scan shape), exact 1e-6-grid decimal sums, fixed-association
+    closing chain. Per-covariate NULLs are excluded covariate-wise
+    (a NULL height row still balances on age). Zero pooled variance
+    emits NULL smd / imbalanced=false."""
+    if not covariates:
+        raise ValueError("covariates must be non-empty")
+    t = (F.col(variant_col) == treatment).cast("int")
+    base = df.filter(F.col(variant_col).isin(control, treatment)) \
+        .withColumn("__t", t)
+    aggs = []
+    for i, c in enumerate(covariates):
+        x = F.col(c).cast("double")
+        ok = x.isNotNull()
+        xq = F.when(ok, F.round(x * 1e6).cast("decimal(38,0)")) \
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        for tag in (0, 1):
+            m = (ok & (F.col("__t") == tag)).cast("decimal(38,0)")
+            aggs += [
+                F.sum(m).alias(f"__n{tag}_{i}"),
+                F.sum(m * xq).alias(f"__s{tag}_{i}"),
+                F.sum(m * xq * xq).alias(f"__q{tag}_{i}"),
+            ]
+    one = base.agg(*aggs)
+    rows = []
+    for i, c in enumerate(covariates):
+        def stats(tag):
+            n = F.col(f"__n{tag}_{i}").cast("double")
+            s = F.col(f"__s{tag}_{i}").cast("double") / F.lit(1e6)
+            q = F.col(f"__q{tag}_{i}").cast("double") / F.lit(1e12)
+            mean = F.when(n > 0, s / n)
+            var = F.when(n > 1, (q - s * s / n) / (n - F.lit(1.0)))
+            return n, mean, var
+        n0, m0, v0 = stats(0)
+        n1, m1, v1 = stats(1)
+        denom = F.sqrt((v0 + v1) / F.lit(2.0))
+        smd = F.when(denom > 0, (m1 - m0) / denom)
+        smd_r = F.round(smd, round_dp)
+        rows.append(F.struct(
+            F.lit(i).alias("ord"), F.lit(c).alias("covariate"),
+            n0.cast("long").alias("n_control"),
+            n1.cast("long").alias("n_treatment"),
+            F.round(m0, round_dp).alias("mean_control"),
+            F.round(m1, round_dp).alias("mean_treatment"),
+            smd_r.alias("smd"),
+            F.coalesce(F.abs(smd_r) >= F.lit(float(smd_threshold)),
+                       F.lit(False)).alias("imbalanced")))
+    exploded = one.select(F.explode(F.array(*rows)).alias("r"))
+    return (exploded.select("r.ord", "r.covariate", "r.n_control",
+                            "r.n_treatment", "r.mean_control",
+                            "r.mean_treatment", "r.smd",
+                            "r.imbalanced")
+            .orderBy("ord").drop("ord"))
+
+
+def ab_covariate_balance_sql(
+    table: str,
+    variant_col: str,
+    covariates: "list[str]",
+    control: str,
+    treatment: str,
+    smd_threshold: float = 0.1,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_covariate_balance (same one-scan conditional
+    sums, same closing chain)."""
+    if not covariates:
+        raise ValueError("covariates must be non-empty")
+    aggs = []
+    sel = []
+    for i, c in enumerate(covariates):
+        xq = (f"CASE WHEN {c} IS NOT NULL THEN "
+              f"CAST(round(CAST({c} AS DOUBLE) * 1e6) AS HUGEINT) "
+              f"ELSE 0::HUGEINT END")
+        for tag in (0, 1):
+            m = (f"({c} IS NOT NULL AND t = {tag})::HUGEINT")
+            aggs += [f"sum({m}) AS n{tag}_{i}",
+                     f"sum({m} * ({xq})) AS s{tag}_{i}",
+                     f"sum({m} * ({xq}) * ({xq})) AS q{tag}_{i}"]
+
+        def ch(tag):
+            n = f"n{tag}_{i}::DOUBLE"
+            s = f"(s{tag}_{i}::DOUBLE / 1e6)"
+            q = f"(q{tag}_{i}::DOUBLE / 1e12)"
+            mean = f"CASE WHEN {n} > 0 THEN {s} / {n} END"
+            var = (f"CASE WHEN {n} > 1 THEN "
+                   f"({q} - {s} * {s} / {n}) / ({n} - 1.0) END")
+            return n, mean, var
+        n0, m0, v0 = ch(0)
+        n1, m1, v1 = ch(1)
+        denom = f"sqrt((({v0}) + ({v1})) / 2.0)"
+        smd = (f"round(CASE WHEN {denom} > 0 THEN "
+               f"(({m1}) - ({m0})) / {denom} END, {round_dp})")
+        sel.append(f"""
+SELECT {i} AS ord, {sql_lit(c)} AS covariate,
+       n0_{i}::BIGINT AS n_control, n1_{i}::BIGINT AS n_treatment,
+       round({m0}, {round_dp}) AS mean_control,
+       round({m1}, {round_dp}) AS mean_treatment,
+       {smd} AS smd,
+       coalesce(abs({smd}) >= {float(smd_threshold)!r}, FALSE)
+         AS imbalanced
+FROM one""")
+    return (f"WITH flagged AS (SELECT *, CAST({variant_col} = "
+            f"{sql_lit(treatment)} AS INT) AS t FROM {table} "
+            f"WHERE {variant_col} IN ({sql_lit(control)}, "
+            f"{sql_lit(treatment)})), "
+            f"one AS (SELECT {', '.join(aggs)} FROM flagged) "
+            f"SELECT covariate, n_control, n_treatment, mean_control, "
+            f"mean_treatment, smd, imbalanced "
+            f"FROM ({' UNION ALL '.join(sel)}) ORDER BY ord")

@@ -1208,3 +1208,44 @@ def stream_touch_conversion_pairs(
             .select(F.col("__cu").alias(user_col),
                     "conv_id", "conv_ts", "conv_value",
                     "touch_id", "touch_type", "touch_ts"))
+
+
+def stream_sessionize(
+    events,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Streaming sessionization on Spark's NATIVE session windows:
+    groupBy(session_window(ts, gap)) keeps one open window per user
+    in the state store, extends it while events keep arriving within
+    the gap, and emits the closed session once the watermark passes
+    its end — the always-on counterpart of the batch gaps-and-islands
+    `sessionize`. Output per closed session: (user, session_start,
+    session_end, n_events, total_value).
+
+    Boundary contract vs the batch operator: session_window merges
+    events with inter-event gap STRICTLY LESS than `gap_seconds`,
+    while batch sessionize splits on truncated-second gap > gap — so
+    for integer-second data, stream gap = batch gap + 1 makes the two
+    partitions IDENTICAL (pinned in pytest). session_end is the last
+    event time + gap (Spark's window-end convention); n_events /
+    total_value match the batch session exactly.
+
+    State is per OPEN session per user — bounded by active users, not
+    history; late events beyond the watermark drop (the standard
+    trade, same as every stateful operator here)."""
+    from pyspark.sql import functions as F
+
+    w = events.withWatermark(ts_col, watermark)
+    return (w.groupBy(
+        F.col(user_col),
+        F.session_window(F.col(ts_col), f"{int(gap_seconds)} seconds"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(value_col), 2).alias("total_value"))
+        .select(F.col(user_col),
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events", "total_value"))

@@ -600,3 +600,59 @@ class TestJackknife:
         naive_sem = true_sem / 10 ** 0.5
         assert r["se_jack"] > naive_sem * 2     # not fooled
         assert r["se_jack"] == pytest.approx(true_sem, rel=0.5)
+
+
+class TestCovariateBalance:
+    def test_planted_imbalance_flagged(self, spark):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_covariate_balance, ab_covariate_balance_sql,
+        )
+        rows = []
+        for i in range(400):
+            v = "t" if i % 2 else "c"
+            age = float(30 + (i * 7) % 20) + (3.0 if v == "t" else 0.0)
+            spend = float((i * 13) % 50)
+            rows.append((v, age, spend,
+                         None if i % 50 == 0 else float(i % 9)))
+        df = spark.createDataFrame(
+            rows, "variant string, age double, spend double, "
+                  "visits double")
+        out = {r["covariate"]: r for r in ab_covariate_balance(
+            df, "variant", ["age", "spend", "visits"],
+            "c", "t").collect()}
+        assert out["age"]["imbalanced"] is True
+        assert out["age"]["smd"] > 0.5
+        assert out["spend"]["imbalanced"] is False
+        # covariate-wise NULL exclusion: visits drops its NULL rows
+        assert out["visits"]["n_control"] == 192
+        assert out["visits"]["n_treatment"] == 200
+        # order preserved + twin parity
+        got = [tuple(r) for r in ab_covariate_balance(
+            df, "variant", ["age", "spend", "visits"],
+            "c", "t").collect()]
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        twin = [tuple(t) for t in con.execute(ab_covariate_balance_sql(
+            "t", "variant", ["age", "spend", "visits"],
+            "c", "t")).fetchall()]
+        assert got == twin
+        assert [g[0] for g in got] == ["age", "spend", "visits"]
+
+    def test_one_scan_and_degenerate(self, spark):
+        import pytest as _pt
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_covariate_balance,
+        )
+        df = spark.createDataFrame(
+            [("c", 5.0), ("c", 5.0), ("t", 5.0), ("t", 5.0)],
+            "variant string, x double")
+        out = ab_covariate_balance(df, "variant", ["x"], "c", "t")
+        [r] = out.collect()
+        assert r["smd"] is None and r["imbalanced"] is False
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # AQE prints the final AND initial plans; count the final only
+        plan = plan.split("== Initial Plan ==")[0]
+        assert plan.count("Scan ") <= 1
+        with _pt.raises(ValueError, match="covariates"):
+            ab_covariate_balance(df, "variant", [], "c", "t")

@@ -522,3 +522,59 @@ def test_stream_touch_conversion_pairs_matches_batch(spark, tmp_path):
     b = [tuple(r) for r in attribution_report(
         events, ["click", "view"], model="position").collect()]
     assert a == b
+
+
+def test_stream_sessionize_matches_batch_partition(spark, tmp_path):
+    """Native session windows close the same sessions the batch
+    gaps-and-islands sessionizer finds: same (user, start, n_events,
+    total_value) partition with stream gap = batch gap + 1 (the
+    strict-less-than boundary contract documented on the operator)."""
+    import datetime as dt
+
+    from nifi_extracttext_processor_spark.operators.sessions import (
+        sessionize,
+    )
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        stream_sessionize,
+    )
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = []
+    eid = 0
+    # u1: bursts at 0-20s (3 events), then 2000s (1), then 4000-4005 (2)
+    for s in (0, 10, 20, 2000, 4000, 4005):
+        rows.append((eid, t(s), 1, "x", 1.0)); eid += 1
+    # u2: single event (bounce) + exact-boundary pair (gap == 30)
+    rows.append((eid, t(0), 2, "x", 2.0)); eid += 1
+    rows.append((eid, t(100), 2, "x", 2.0)); eid += 1
+    rows.append((eid, t(130), 2, "x", 2.0)); eid += 1
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(src)
+
+    es = spark.readStream.schema(schema).parquet(src)
+    out = stream_sessionize(es, gap_seconds=31)   # batch gap 30 (+1)
+    # complete mode for the drain: append emits a session only once
+    # the WATERMARK passes its end, so the final open sessions of a
+    # finite drain would stay in state (correct always-on semantics;
+    # the batch operator is the completeness path for landed data)
+    q = (out.writeStream.format("memory").queryName("ssz")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"],
+         r["total_value"])
+        for r in spark.sql("SELECT * FROM ssz").collect())
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"],
+         r["total_value"])
+        for r in sessionize(df, gap_seconds=30).collect())
+    assert got == want and len(got) == 5
+    # exact-boundary pair (100 -> 130, gap == 30) stayed ONE session
+    u2 = [g for g in got if g[0] == 2]
+    assert sorted(x[2] for x in u2) == [1, 2]

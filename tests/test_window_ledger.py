@@ -143,7 +143,7 @@ R12_NEW = {
     "time_to_convert_hist", "ab_post_stratified",
     "fim_transform_docs", "epoch_shuffle_docs", "ab_jackknife",
     "growth_accounting_daily", "session_stats_daily",
-    "multiclass_eval", "embedding_outliers",
+    "multiclass_eval", "embedding_outliers", "ab_covariate_balance",
 }
 
 
