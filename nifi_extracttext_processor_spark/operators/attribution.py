@@ -403,3 +403,41 @@ SELECT days_to_convert, count(*) AS n_conversions,
 FROM anchored GROUP BY days_to_convert
 ORDER BY days_to_convert ASC NULLS LAST
 """
+
+
+def cap_touches_per_day(
+    events: DataFrame,
+    touch_types: "list[str]",
+    max_per_day: int = 100,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Hot-user insurance for the attribution family (the safeguard
+    the pair-join docstrings point at): keep at most `max_per_day`
+    touch events per (user, day) — the FIRST by the (ts, id) total
+    order, deterministic — and pass every non-touch event through
+    untouched. Bounds the touch x conversion fan-out per user at
+    max_per_day x lookback_days x conversions: a bot with 10^7
+    clicks/day contributes max_per_day rows to every pair window
+    instead of serializing one task.
+
+    The per-(user, day) window is itself bounded the same way the
+    bucketed sessionizer's is — a key's partition holds one day of
+    one user, never their history. Run BEFORE attribution_report /
+    time_to_convert / stream_touch_conversion_pairs; results on
+    capped data are the documented approximation (position/linear
+    weights then credit the kept representatives)."""
+    if max_per_day < 1:
+        raise ValueError("max_per_day must be >= 1")
+    is_touch = (F.col(type_col).isin(list(touch_types))
+                & F.col(ts_col).isNotNull())
+    touches = events.filter(is_touch)
+    others = events.filter(~F.coalesce(is_touch, F.lit(False)))
+    w = Window.partitionBy(user_col, F.to_date(ts_col)) \
+        .orderBy(ts_col, id_col)
+    kept = (touches.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(max_per_day))
+            .drop("__rn"))
+    return kept.unionByName(others)

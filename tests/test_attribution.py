@@ -174,3 +174,39 @@ class TestTimeToConvert:
                 [None if x[0] != x[0] else x[0] for x in b]
         with pytest.raises(ValueError, match="from_touch"):
             time_to_convert(events, ["click"], from_touch="mid")
+
+
+class TestTouchCap:
+    def test_cap_keeps_first_n_per_user_day(self, spark):
+        from nifi_extracttext_processor_spark.operators.attribution \
+            import attribution_report, cap_touches_per_day
+        rows = []
+        # bot user 1: 50 clicks on one day; user 2: 2 clicks
+        for i in range(50):
+            rows.append((i, _ts(0) + dt.timedelta(minutes=i),
+                         1, "click", None))
+        rows.append((100, _ts(1), 1, "purchase", 10.0))
+        rows.append((200, _ts(0), 2, "click", None))
+        rows.append((201, _ts(0, ), 2, "purchase", 5.0))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        capped = cap_touches_per_day(df, ["click"], max_per_day=5)
+        # bot reduced to 5 touches; non-touch rows untouched
+        assert capped.filter(
+            (F.col("user_id") == 1)
+            & (F.col("event_type") == "click")).count() == 5
+        assert capped.filter(
+            F.col("event_type") == "purchase").count() == 2
+        # the kept 5 are the FIRST by (ts, id)
+        kept_ids = sorted(r["event_id"] for r in capped.filter(
+            (F.col("user_id") == 1)
+            & (F.col("event_type") == "click")).collect())
+        assert kept_ids == [0, 1, 2, 3, 4]
+        # attribution still reconciles on capped data
+        rep = {r["touch_type"]: r for r in attribution_report(
+            capped, ["click"], model="linear").collect()}
+        assert rep["click"]["attributed_value"] == 15.0
+        import pytest as _pt
+        with _pt.raises(ValueError, match="max_per_day"):
+            cap_touches_per_day(df, ["click"], max_per_day=0)
