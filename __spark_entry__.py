@@ -3704,6 +3704,55 @@ def q_ab_covariate_balance(spark, sf):
         "c", "t")
 
 
+@_q("user_rfm", sess.user_rfm_sql("events"))
+def q_user_rfm(spark, sf):
+    """Per-user RFM feature snapshot (recency vs the corpus horizon,
+    frequency, exact-grid monetary) — the churn-model feature block."""
+    return sess.user_rfm(_t(spark, sf, "events"))
+
+
+@_q("target_encode_events", clf.target_encode_loo_sql(
+    "(SELECT event_id, event_type, value FROM events)",
+    "event_type", "value", select="t.event_id, t.event_type"))
+def q_target_encode_events(spark, sf):
+    """Leave-one-out target encoding with prior smoothing — the
+    leakage-safe categorical encoder; broadcast category stats,
+    exact grid sums, one IEEE chain per row."""
+    ev = _t(spark, sf, "events").select("event_id", "event_type",
+                                        "value")
+    return clf.target_encode_loo(ev, "event_type", "value") \
+        .select("event_id", "event_type", "te")
+
+
+@_q("events_cube", """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(ts, '%Y-%m'), '(all)') AS month,
+       count(*) AS n,
+       round(sum(CAST(round(coalesce(value, 0.0) * 1e6) AS HUGEINT))
+             ::DOUBLE / 1e6, 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
+""")
+def q_events_cube(spark, sf):
+    """CUBE grouping sets over (event_type, month): every subtotal
+    combination in one pass — the OLAP surface check (exact-grid
+    value sums; NULL dimensions spelled '(all)' so the driver's
+    NULL-canonicalization can't conflate a subtotal with a genuinely
+    NULL dimension value)."""
+    ev = _t(spark, sf, "events")
+    q = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6) \
+        .cast("decimal(38,0)")
+    out = (ev.withColumn("month", F.date_format("ts", "yyyy-MM"))
+           .cube("event_type", "month")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum(q).cast("double") / F.lit(1e6), 2)
+                .alias("total_value")))
+    return out.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("month", F.lit("(all)")).alias("month"),
+        "n", "total_value")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -419,3 +419,102 @@ def reference_lr(
         b -= lr * gb
         hist.append(loss + 0.5 * l2 * float(w @ w))
     return w.tolist(), float(b), hist
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    y_col: str,
+    prior_weight: float = 10.0,
+    out_col: str = "te",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Leave-one-out target encoding with prior smoothing (the
+    Micci-Barreca 2001 categorical encoder, LOO variant): each row's
+    category is replaced by the mean target of the OTHER rows in its
+    category, shrunk toward the global mean,
+
+        te_i = (S_c − y_i + m·ȳ) / (n_c − 1 + m)
+
+    — excluding the row's own y is what keeps the feature from
+    leaking its own label into training (plain category-mean encoding
+    memorizes singleton categories perfectly). n_c = 1 rows collapse
+    to exactly the smoothed prior. NULL y rows get the prior-smoothed
+    category mean WITHOUT the LOO subtraction (they contribute no
+    label to leak; they're also excluded from S_c/n_c).
+
+    Exactness: S_c and the global sum are exact-grid decimals;
+    each te is one fixed-association IEEE chain. Scale: one
+    category-keyed agg broadcast back onto the rows (categories are
+    bounded); zero UDF."""
+    if prior_weight < 0:
+        raise ValueError("prior_weight must be >= 0")
+    y = F.col(y_col).cast("double")
+    q = F.round(y * 1e6).cast("decimal(38,0)")
+    per_c = (df.filter(y.isNotNull())
+             .groupBy(F.col(cat_col).alias("__c"))
+             .agg(F.sum(q).alias("__sc"),
+                  F.count("*").alias("__nc")))
+    g = (df.filter(y.isNotNull())
+         .agg(F.sum(q).alias("__sg"), F.count("*").alias("__ng")))
+    j = (df.join(F.broadcast(per_c),
+                 df[cat_col] == F.col("__c"), "left")
+         .crossJoin(F.broadcast(g)))
+    m = F.lit(float(prior_weight))
+    gmean = (F.col("__sg").cast("double")
+             / (F.col("__ng").cast("double") * F.lit(1e6)))
+    sc = F.coalesce(F.col("__sc"), F.lit(0).cast("decimal(38,0)")) \
+        .cast("double") / F.lit(1e6)
+    nc = F.coalesce(F.col("__nc"), F.lit(0)).cast("double")
+    # try_divide: singleton category at prior_weight=0 has a zero
+    # denominator — NULL, never the row's own label (ANSI raises)
+    te_loo = F.try_divide(sc - y + m * gmean, nc - F.lit(1.0) + m)
+    te_prior = F.try_divide(sc + m * gmean, nc + m)
+    te = F.when(y.isNotNull(), te_loo).otherwise(te_prior)
+    return (j.withColumn(out_col, F.round(te, round_dp))
+            .drop("__c", "__sc", "__nc", "__sg", "__ng"))
+
+
+def target_encode_loo_sql(
+    table: str,
+    cat_col: str,
+    y_col: str,
+    prior_weight: float = 10.0,
+    out_col: str = "te",
+    round_dp: int = 6,
+    select: str = "*",
+) -> str:
+    """DuckDB twin of target_encode_loo (same grid sums, same
+    chain)."""
+    m = float(prior_weight)
+    return f"""
+WITH per_c AS (
+  SELECT {cat_col} AS c,
+         sum(CAST(round(CAST({y_col} AS DOUBLE) * 1e6) AS HUGEINT))
+           AS sc,
+         count(*) AS nc
+  FROM {table} WHERE {y_col} IS NOT NULL GROUP BY {cat_col}
+),
+g AS (
+  SELECT sum(CAST(round(CAST({y_col} AS DOUBLE) * 1e6) AS HUGEINT))
+           AS sg,
+         count(*) AS ng
+  FROM {table} WHERE {y_col} IS NOT NULL
+)
+SELECT {select},
+       round(CASE WHEN t.{y_col} IS NOT NULL THEN
+               CASE WHEN coalesce(nc, 0)::DOUBLE - 1.0 + {m!r} != 0
+                 THEN ((coalesce(sc, 0::HUGEINT)::DOUBLE / 1e6)
+                       - CAST(t.{y_col} AS DOUBLE)
+                       + {m!r} * (sg::DOUBLE / (ng::DOUBLE * 1e6)))
+                      / (coalesce(nc, 0)::DOUBLE - 1.0 + {m!r}) END
+             ELSE
+               CASE WHEN coalesce(nc, 0)::DOUBLE + {m!r} != 0
+                 THEN ((coalesce(sc, 0::HUGEINT)::DOUBLE / 1e6)
+                       + {m!r} * (sg::DOUBLE / (ng::DOUBLE * 1e6)))
+                      / (coalesce(nc, 0)::DOUBLE + {m!r}) END
+             END, {round_dp}) AS {out_col}
+FROM {table} t
+LEFT JOIN per_c ON t.{cat_col} = per_c.c
+CROSS JOIN g
+"""

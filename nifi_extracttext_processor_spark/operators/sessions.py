@@ -670,3 +670,86 @@ FROM joined CROSS JOIN mx
 WHERE p <= mxp
 ORDER BY p
 """
+
+
+def user_rfm(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    monetary_type: str = "purchase",
+    round_dp: int = 2,
+) -> DataFrame:
+    """(user, recency_days, frequency, monetary, n_purchases) — the
+    classic RFM feature snapshot per user: recency = whole days from
+    the user's LAST event to the corpus horizon (max timestamp — a
+    1-row broadcast, never a wall clock, so reruns agree), frequency
+    = total events, monetary = exact-grid sum of `monetary_type`
+    values. The standard churn-model / segmentation feature block,
+    and the feature-engineering companion to growth_accounting's
+    period readout.
+
+    One map-side agg per user + the broadcast horizon; NULL
+    timestamps excluded, NULL values count as 0 monetary (an event
+    happened; it just carried no value)."""
+    ts = F.col(ts_col)
+    base = df.filter(ts.isNotNull())
+    is_m = (F.col(type_col) == monetary_type) \
+        & F.col(value_col).isNotNull()
+    q = F.when(is_m, F.round(F.col(value_col) * 1e6)
+               .cast("decimal(38,0)")).otherwise(
+        F.lit(0).cast("decimal(38,0)"))
+    per_user = (base.groupBy(F.col(user_col).alias("user"))
+                .agg(F.max(ts).alias("__last"),
+                     F.count("*").alias("frequency"),
+                     F.sum(q).alias("__m"),
+                     F.sum(is_m.cast("long")).alias("n_purchases")))
+    horizon = base.agg(F.max(ts).alias("__hmax"))
+    j = per_user.crossJoin(F.broadcast(horizon))
+    return j.select(
+        "user",
+        F.datediff(F.to_date("__hmax"), F.to_date("__last"))
+        .cast("long").alias("recency_days"),
+        "frequency",
+        F.round(F.col("__m").cast("double") / F.lit(1e6), round_dp)
+        .alias("monetary"),
+        "n_purchases")
+
+
+def user_rfm_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    monetary_type: str = "purchase",
+    round_dp: int = 2,
+) -> str:
+    """DuckDB twin of user_rfm (same horizon broadcast, same exact
+    grid monetary sums)."""
+    from ..sqlutil import sql_lit as _lit
+    is_m = (f"({type_col} = {_lit(monetary_type)} "
+            f"AND {value_col} IS NOT NULL)")
+    return f"""
+WITH base AS (
+  SELECT * FROM {table} WHERE {ts_col} IS NOT NULL
+),
+per_user AS (
+  SELECT {user_col} AS "user", max({ts_col}) AS last_ts,
+         count(*) AS frequency,
+         sum(CASE WHEN {is_m}
+                  THEN CAST(round({value_col} * 1e6) AS HUGEINT)
+                  ELSE 0::HUGEINT END) AS m,
+         sum(CAST({is_m} AS BIGINT)) AS n_purchases
+  FROM base GROUP BY {user_col}
+),
+horizon AS (SELECT max({ts_col}) AS hmax FROM base)
+SELECT "user",
+       date_diff('day', last_ts::DATE, hmax::DATE)::BIGINT
+         AS recency_days,
+       frequency,
+       round(m::DOUBLE / 1e6, {round_dp}) AS monetary,
+       n_purchases
+FROM per_user CROSS JOIN horizon
+"""

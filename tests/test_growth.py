@@ -129,3 +129,105 @@ def test_session_stats_twin_parity(spark, sf_dir):
     want = [tuple(t) for t in con.execute(
         session_stats_sql("events")).fetchall()]
     assert got == want and got
+
+
+class TestUserRfm:
+    def test_hand_computed(self, spark):
+        from nifi_extracttext_processor_spark.operators.sessions \
+            import user_rfm
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (1, t0, 1, "click", None),
+            (2, t0 + dt.timedelta(days=5), 1, "purchase", 10.5),
+            (3, t0 + dt.timedelta(days=9), 2, "purchase", None),
+            (4, t0 + dt.timedelta(days=10), 2, "view", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        out = {r["user"]: r for r in user_rfm(df).collect()}
+        # horizon = day 10; u1 last at day 5 -> recency 5
+        assert out[1]["recency_days"] == 5
+        assert out[1]["frequency"] == 2
+        assert out[1]["monetary"] == 10.5
+        assert out[1]["n_purchases"] == 1
+        # u2: purchase with NULL value counts 0 monetary, 0 purchases
+        assert out[2]["recency_days"] == 0
+        assert out[2]["monetary"] == 0.0
+        assert out[2]["n_purchases"] == 0
+
+    def test_twin_parity(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.sessions \
+            import user_rfm, user_rfm_sql
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        a = sorted(tuple(r) for r in user_rfm(ev).collect())
+        b = sorted(tuple(t) for t in
+                   con.execute(user_rfm_sql("events")).fetchall())
+        assert a == b and a
+
+
+class TestTargetEncodeLoo:
+    def test_loo_and_prior_goldens(self, spark):
+        from nifi_extracttext_processor_spark.operators.classifier \
+            import target_encode_loo
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 10.0), ("c", None)],
+            "cat string, y double")
+        rows = {(r["cat"], r["y"]): r["te"] for r in
+                target_encode_loo(df, "cat", "y",
+                                  prior_weight=2.0).collect()}
+        gm = 14.0 / 3
+        assert rows[("a", 1.0)] == round((4.0 - 1.0 + 2 * gm) / 3, 6)
+        assert rows[("a", 3.0)] == round((4.0 - 3.0 + 2 * gm) / 3, 6)
+        # singleton category: LOO collapses to exactly the prior
+        assert rows[("b", 10.0)] == round(gm, 6)
+        # NULL-label row: smoothed category mean, no LOO subtraction
+        assert rows[("c", None)] == round(gm, 6)
+
+    def test_no_self_leakage(self, spark):
+        """A category whose rows all share one label must NOT encode
+        that label back into its own rows at prior_weight=0 (the
+        leak plain mean-encoding has)."""
+        from nifi_extracttext_processor_spark.operators.classifier \
+            import target_encode_loo
+        df = spark.createDataFrame(
+            [("x", 1.0), ("x", 1.0), ("y", 0.0), ("y", 0.0)],
+            "cat string, y double")
+        rows = [(r["cat"], r["te"]) for r in
+                target_encode_loo(df, "cat", "y",
+                                  prior_weight=0.0).collect()]
+        # LOO of ("x", 1.0) over the OTHER x row = 1.0 — equal labels
+        # still agree; the leak shows on a singleton, where LOO with
+        # m=0 is 0/0 -> NULL instead of the row's own label
+        df2 = spark.createDataFrame(
+            [("solo", 42.0), ("y", 0.0)], "cat string, y double")
+        out = {r["cat"]: r["te"] for r in target_encode_loo(
+            df2, "cat", "y", prior_weight=0.0).collect()}
+        assert out["solo"] is None     # never its own 42.0
+        import pytest as _pt
+        with _pt.raises(ValueError, match="prior_weight"):
+            target_encode_loo(df, "cat", "y", prior_weight=-1)
+
+    def test_twin_parity_and_broadcast_plan(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.classifier \
+            import target_encode_loo, target_encode_loo_sql
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .select("event_id", "event_type", "value"))
+        out = target_encode_loo(ev, "event_type", "value")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        got = sorted(map(str, ((r["event_id"], r["te"])
+                               for r in out.collect())))
+        want = sorted(map(str, ((t[0], t[2]) for t in con.execute(
+            target_encode_loo_sql(
+                "(SELECT event_id, event_type, value FROM events)",
+                "event_type", "value",
+                select="t.event_id, t.event_type")).fetchall())))
+        assert got == want
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" \
+            in plan

@@ -144,6 +144,7 @@ R12_NEW = {
     "fim_transform_docs", "epoch_shuffle_docs", "ab_jackknife",
     "growth_accounting_daily", "session_stats_daily",
     "multiclass_eval", "embedding_outliers", "ab_covariate_balance",
+    "user_rfm", "target_encode_events", "events_cube",
 }
 
 
