@@ -3753,6 +3753,32 @@ def q_events_cube(spark, sf):
         "n", "total_value")
 
 
+@_q("dedup_savings", dd.dedup_savings_report_sql(
+    """(SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000 AS doc_id, text
+        FROM documents WHERE doc_id % 7 = 0)"""))
+def q_dedup_savings(spark, sf):
+    """Exact-dedup ROI report over a corpus seeded with duplicates
+    (every 7th doc copied — testdata is clean, so the savings must be
+    synthesized): per cluster size, docs and characters a keep-min-id
+    pass reclaims, as corpus fractions."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = (docs.filter(F.pmod(F.col("doc_id"), 7) == 0)
+           .withColumn("doc_id", F.col("doc_id") + 1000000000))
+    return dd.dedup_savings_report(docs.unionByName(dup))
+
+
+@_q("token_fertility_by_lang", ta.token_fertility_sql(
+    "documents", group_by=["lang"]))
+def q_token_fertility_by_lang(spark, sf):
+    """Tokenizer fertility per language (chars/token under the house
+    BPE regex) — the multilingual token-budget readout beside
+    temperature mixing."""
+    return ta.token_fertility(_t(spark, sf, "documents"),
+                              group_by=["lang"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -1046,3 +1046,88 @@ def components_from_pairs(
             RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("cluster_id"))
+
+
+def dedup_savings_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact-dedup ROI report: one row per duplicate-cluster SIZE —
+    (cluster_size, n_clusters, n_docs, n_chars_dropped, frac_docs,
+    frac_chars) where the dropped figures count everything a
+    keep-min-id pass (dedup_exact) would remove. The capacity-planning
+    readout ("dedup buys us 31% of the corpus back") that the boolean
+    keep/drop operators don't surface; the observability sibling of
+    contamination_report.
+
+    Shuffle carries (fingerprint, id, n_chars) — text never moves;
+    per-cluster dropped chars = total chars − the KEEPER's chars
+    (min id, the dedup_exact policy, so the report reconciles exactly
+    with what dedup_exact would do). Fractions are against the whole
+    corpus (a 1-row broadcast)."""
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.md5(_norm(text_col)).alias("__fp"),
+                     F.length(text_col).cast("long").alias("__len"))
+    per_fp = (base.groupBy("__fp")
+              .agg(F.count("*").alias("cluster_size"),
+                   F.sum("__len").alias("__chars"),
+                   F.min(F.struct("__id", "__len")).alias("__keep")))
+    dups = per_fp.filter(F.col("cluster_size") > 1)
+    per_size = (dups.groupBy("cluster_size")
+                .agg(F.count("*").alias("n_clusters"),
+                     F.sum(F.col("cluster_size")).alias("n_docs"),
+                     F.sum(F.col("__chars")
+                           - F.col("__keep.__len"))
+                     .alias("n_chars_dropped")))
+    tot = base.agg(F.count("*").alias("__n"),
+                   F.sum("__len").alias("__c"))
+    j = per_size.crossJoin(F.broadcast(tot))
+    dropped_docs = (F.col("cluster_size") - 1) * F.col("n_clusters")
+    return (j.select(
+        "cluster_size", "n_clusters", "n_docs", "n_chars_dropped",
+        F.round(dropped_docs.cast("double")
+                / F.col("__n").cast("double"), round_dp)
+        .alias("frac_docs"),
+        F.round(F.col("n_chars_dropped").cast("double")
+                / F.col("__c").cast("double"), round_dp)
+        .alias("frac_chars"))
+        .orderBy("cluster_size"))
+
+
+def dedup_savings_report_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of dedup_savings_report (same fingerprint, same
+    min-(id, len) keeper, same fractions)."""
+    norm = NORM_SQL.format(t=text_expr)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, md5({norm}) AS fp,
+         length({text_expr})::BIGINT AS len
+  FROM {table}
+),
+per_fp AS (
+  SELECT fp, count(*) AS cluster_size, sum(len) AS chars,
+         (min(struct_pack(id := id, len := len))).len AS keep_len
+  FROM base GROUP BY fp
+),
+per_size AS (
+  SELECT cluster_size, count(*) AS n_clusters,
+         sum(cluster_size) AS n_docs,
+         sum(chars - keep_len) AS n_chars_dropped
+  FROM per_fp WHERE cluster_size > 1 GROUP BY cluster_size
+),
+tot AS (SELECT count(*) AS n, sum(len) AS c FROM base)
+SELECT cluster_size, n_clusters, n_docs, n_chars_dropped,
+       round((cluster_size - 1) * n_clusters::DOUBLE / n::DOUBLE,
+             {round_dp}) AS frac_docs,
+       round(n_chars_dropped::DOUBLE / c::DOUBLE, {round_dp})
+         AS frac_chars
+FROM per_size CROSS JOIN tot
+ORDER BY cluster_size
+"""

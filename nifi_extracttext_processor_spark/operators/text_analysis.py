@@ -1994,3 +1994,68 @@ SELECT {gsel}n_tokens, n_types,
 FROM agg
 {order}
 """
+
+
+def token_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_docs, n_chars, n_tokens, chars_per_token,
+    tokens_per_doc) — tokenizer fertility by group (per language is
+    the canonical cut): how many characters one token covers under
+    the house BPE-ish regex (`BPE_TOKEN_RE`, the same definition
+    token_stats and pack_sequences budget with). Languages whose
+    fertility is poor (CJK under a whitespace-ish tokenizer) are
+    under-served by a shared token budget — THE readout a
+    multilingual mixing plan needs next to temperature_weights.
+
+    Exact integer sums, one division per ratio, engine-identical
+    (DuckDB counts the same regex's matches)."""
+    gb = list(group_by or [])
+    agg = (df.groupBy(*gb)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.length(text_col).cast("long"))
+                .alias("n_chars"),
+                F.sum(bpe_token_count(F.col(text_col)).cast("long"))
+                .alias("n_tokens")))
+    out = agg.select(
+        *gb, "n_docs", "n_chars", "n_tokens",
+        F.round(F.when(F.col("n_tokens") > 0,
+                       F.col("n_chars").cast("double")
+                       / F.col("n_tokens").cast("double")), round_dp)
+        .alias("chars_per_token"),
+        F.round(F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double"), round_dp)
+        .alias("tokens_per_doc"))
+    return out.orderBy(*gb) if gb else out
+
+
+def token_fertility_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of token_fertility (same BPE_TOKEN_RE counts)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    order = ("ORDER BY " + ", ".join(gb)) if gb else ""
+    ntok = (f"len(regexp_extract_all({text_expr}, "
+            f"'{BPE_TOKEN_RE}'))::BIGINT")
+    return f"""
+SELECT {gsel}count(*) AS n_docs,
+       sum(length({text_expr})::BIGINT) AS n_chars,
+       sum({ntok}) AS n_tokens,
+       round(CASE WHEN sum({ntok}) > 0
+                  THEN sum(length({text_expr})::BIGINT)::DOUBLE
+                       / sum({ntok})::DOUBLE END, {round_dp})
+         AS chars_per_token,
+       round(sum({ntok})::DOUBLE / count(*)::DOUBLE, {round_dp})
+         AS tokens_per_doc
+FROM {table}
+{gkey}
+{order}
+"""

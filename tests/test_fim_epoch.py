@@ -159,3 +159,62 @@ class TestNeymanAllocation:
         rates = neyman_allocation(df, "source", "value", total_n=50)
         assert rates["s0"] == pytest.approx(0.5)
         assert rates["s1"] == pytest.approx(0.5)
+
+
+class TestDedupSavings:
+    def test_report_reconciles_with_dedup_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            dedup_exact, dedup_savings_report,
+        )
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text"))
+        dup = (docs.filter(F.pmod(F.col("doc_id"), 7) == 0)
+               .withColumn("doc_id", F.col("doc_id") + 10**9))
+        tri = (docs.filter(F.pmod(F.col("doc_id"), 50) == 3)
+               .withColumn("doc_id", F.col("doc_id") + 2 * 10**9))
+        seeded = docs.unionByName(dup).unionByName(tri)
+        rep = dedup_savings_report(seeded).collect()
+        dropped = sum(r["n_docs"] - r["n_clusters"] for r in rep)
+        # the report's dropped-doc count IS what dedup_exact removes
+        kept = dedup_exact(seeded).count()
+        assert seeded.count() - kept == dropped
+        sizes = {r["cluster_size"] for r in rep}
+        assert sizes == {2, 3}           # pairs + the triple-seeded
+        assert all(0 < r["frac_docs"] < 1 for r in rep)
+
+    def test_clean_corpus_empty_report(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.dedup import (
+            dedup_savings_report,
+        )
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text"))
+        assert dedup_savings_report(docs).count() == 0
+
+
+class TestTokenFertility:
+    def test_hand_golden_and_twin(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import token_fertility, token_fertility_sql
+        # "ab cd" -> 2 tokens, 5 chars; "x1!" -> 3 tokens (word,
+        # number, punct), 3 chars
+        df = spark.createDataFrame(
+            [("en", "ab cd"), ("en", "x1!"), ("zh", "")],
+            "lang string, text string")
+        out = {r["lang"]: r for r in token_fertility(
+            df, group_by=["lang"]).collect()}
+        assert out["en"]["n_tokens"] == 5
+        assert out["en"]["n_chars"] == 8
+        assert out["en"]["chars_per_token"] == 1.6
+        assert out["zh"]["n_tokens"] == 0
+        assert out["zh"]["chars_per_token"] is None
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        got = [tuple(r) for r in token_fertility(
+            df, group_by=["lang"]).collect()]
+        want = [tuple(t) for t in con.execute(token_fertility_sql(
+            "t", group_by=["lang"])).fetchall()]
+        assert got == want

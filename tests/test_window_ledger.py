@@ -145,6 +145,7 @@ R12_NEW = {
     "growth_accounting_daily", "session_stats_daily",
     "multiclass_eval", "embedding_outliers", "ab_covariate_balance",
     "user_rfm", "target_encode_events", "events_cube",
+    "dedup_savings", "token_fertility_by_lang",
 }
 
 
