@@ -3779,6 +3779,17 @@ def q_token_fertility_by_lang(spark, sf):
                               group_by=["lang"])
 
 
+@_q("events_funnel_windowed", sess.funnel_sql(
+    ["view", "click", "purchase"], max_gap_days=7))
+def q_events_funnel_windowed(spark, sf):
+    """Conversion-window funnel: each step within 7 days of the
+    previous one — the bounded variant that stops crediting
+    year-later coincidences (r12 funnel option)."""
+    return sess.funnel(_t(spark, sf, "events"),
+                       ["view", "click", "purchase"],
+                       max_gap_days=7)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

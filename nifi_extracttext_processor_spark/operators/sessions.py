@@ -187,12 +187,21 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_days: "int | None" = None,
 ) -> DataFrame:
     """Ordered funnel: for each user, the earliest time each step was
     reached, where step k must occur AT OR AFTER the user's step-(k-1)
     time (the standard strictly-ordered funnel; simultaneous events
     count). Returns (user_col, step_1_ts..step_N_ts, n_steps) with
     NULL timestamps past the user's drop-off point.
+
+    `max_gap_days` adds the CONVERSION-WINDOW variant (r12): step k
+    must also land within max_gap_days of the user's step-(k-1) time
+    — the "signed up within a week of the first visit" funnel, where
+    the unbounded variant over-credits year-later coincidences. The
+    earliest in-window step-k event anchors step k+1 (standard
+    first-touch chaining; a later in-window event is never chosen
+    over an earlier one).
 
     Plan shape: one per-(user, step-k) min-aggregate per step — each
     stage's table only SHRINKS (users who reached step k), the joins
@@ -211,8 +220,13 @@ def funnel(
         if reached is None:
             cur = ev
         else:
+            cond = F.col("__t") >= F.col("__prev")
+            if max_gap_days is not None:
+                cond = cond & (
+                    F.col("__t") <= F.col("__prev")
+                    + F.expr(f"INTERVAL {int(max_gap_days)} DAYS"))
             cur = (ev.join(reached.select(user_col, "__prev"), user_col)
-                   .filter(F.col("__t") >= F.col("__prev"))
+                   .filter(cond)
                    .select(user_col, "__t"))
         stepped = (cur.groupBy(user_col)
                    .agg(F.min("__t").alias(f"step_{k}_ts")))
@@ -235,14 +249,20 @@ def funnel_sql(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_days: "int | None" = None,
 ) -> str:
-    """DuckDB twin of funnel — the same per-step min-aggregate chain."""
+    """DuckDB twin of funnel — the same per-step min-aggregate chain
+    (step names escaped via sql_lit, the r12 sweep's rule)."""
+    from ..sqlutil import sql_lit
     if not steps:
         raise ValueError("funnel needs at least one step")
+    gap = ("" if max_gap_days is None else
+           f"\n    AND e.{ts_col} <= p.step_{{prev}}_ts "
+           f"+ INTERVAL {int(max_gap_days)} DAY")
     ctes = [f"""
 s1 AS (
   SELECT {user_col}, min({ts_col}) AS step_1_ts
-  FROM {table} WHERE {type_col} = '{steps[0]}'
+  FROM {table} WHERE {type_col} = {sql_lit(steps[0])}
   GROUP BY 1
 )"""]
     for k in range(2, len(steps) + 1):
@@ -250,8 +270,8 @@ s1 AS (
 s{k} AS (
   SELECT e.{user_col}, min(e.{ts_col}) AS step_{k}_ts
   FROM {table} e JOIN s{k - 1} p ON e.{user_col} = p.{user_col}
-  WHERE e.{type_col} = '{steps[k - 1]}'
-    AND e.{ts_col} >= p.step_{k - 1}_ts
+  WHERE e.{type_col} = {sql_lit(steps[k - 1])}
+    AND e.{ts_col} >= p.step_{k - 1}_ts{gap.format(prev=k - 1)}
   GROUP BY 1
 )""")
     cols = ", ".join(

@@ -149,3 +149,62 @@ class TestCohortRetention:
         got = {(r["cohort"].month, r["period_offset"]): r["n_active"]
                for r in cohort_retention(df, period="month").collect()}
         assert got[(1, 0)] == 2 and got[(1, 2)] == 1
+
+
+class TestConversionWindow:
+    def test_window_cuts_late_steps(self, spark):
+        import datetime as dt
+
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.sessions \
+            import funnel, funnel_sql
+        T = dt.datetime(2026, 1, 1)
+        rows = [
+            (1, T, 1, "view", None),
+            (2, T + dt.timedelta(days=2), 1, "click", None),
+            (3, T + dt.timedelta(days=3), 1, "purchase", None),
+            # u2's click is 40 days out: counted unbounded, cut at 7d
+            (4, T, 2, "view", None),
+            (5, T + dt.timedelta(days=40), 2, "click", None),
+            # u3: early out-of-window click, later IN-window click —
+            # the in-window one must still qualify
+            (6, T, 3, "view", None),
+            (7, T + dt.timedelta(days=40), 3, "view", None),
+            (8, T + dt.timedelta(days=42), 3, "click", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        unb = {r["user_id"]: r["n_steps"] for r in funnel(
+            df, ["view", "click", "purchase"]).collect()}
+        win = {r["user_id"]: r["n_steps"] for r in funnel(
+            df, ["view", "click", "purchase"],
+            max_gap_days=7).collect()}
+        assert unb == {1: 3, 2: 2, 3: 2}
+        assert win == {1: 3, 2: 1, 3: 1}
+        # NOTE u3 is 1, not 2: first-touch chaining anchors step 1 at
+        # the EARLIEST view (day 0); the day-42 click is outside ITS
+        # window (the standard first-touch funnel convention)
+        con = duckdb.connect()
+        con.register("events", df.toPandas())
+        for g in (None, 7):
+            a = sorted(map(str, (tuple(r) for r in funnel(
+                df, ["view", "click", "purchase"],
+                max_gap_days=g).collect())))
+            b = sorted(map(str, (tuple(t) for t in con.execute(
+                funnel_sql(["view", "click", "purchase"],
+                           max_gap_days=g)).fetchall())))
+            assert a == b
+
+    def test_step_names_escaped(self):
+        import duckdb
+        from nifi_extracttext_processor_spark.operators.sessions \
+            import funnel_sql
+        sql = funnel_sql(["o'step", 'two"step'], table="t")
+        import pandas as pd
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(
+            {"user_id": [1], "ts": [pd.Timestamp("2026-01-01")],
+             "event_type": ["o'step"]}))
+        rows = con.execute(sql).fetchall()   # parses and runs
+        assert rows and rows[0][3] == 1      # n_steps = 1

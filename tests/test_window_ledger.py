@@ -146,6 +146,7 @@ R12_NEW = {
     "multiclass_eval", "embedding_outliers", "ab_covariate_balance",
     "user_rfm", "target_encode_events", "events_cube",
     "dedup_savings", "token_fertility_by_lang",
+    "events_funnel_windowed",
 }
 
 
