@@ -1249,3 +1249,39 @@ def stream_sessionize(
                 F.col("session_window.start").alias("session_start"),
                 F.col("session_window.end").alias("session_end"),
                 "n_events", "total_value"))
+
+
+def stream_quality_monitor(
+    stream,
+    rules: "list[tuple]",
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming half of the expectations module: per micro-batch,
+    run check_expectations (ONE scan for all rules — the batch
+    operator's plan, unchanged) and append the report rows to
+    `output_dir` parquet with (batch_id, ...rule columns) — the
+    admission-gate audit log a landing pipeline keeps next to its
+    data. The append write is at-least-once on failure replay (the
+    documented posture every foreachBatch sink here shares); the
+    recorded batch_id lets downstream readers drop replay duplicates
+    deterministically.
+
+    Returns the started StreamingQuery; callers drain with
+    awaitTermination (availableNow default)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.expectations import check_expectations
+
+    def _each(batch_df, batch_id: int):
+        rep = (check_expectations(batch_df, rules)
+               .withColumn("batch_id", F.lit(int(batch_id))))
+        (rep.coalesce(1).write.mode("append").parquet(output_dir))
+
+    w = stream.writeStream.foreachBatch(_each)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

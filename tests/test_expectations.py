@@ -119,3 +119,39 @@ def test_validation(spark, dirty):
         check_expectations(dirty, [("bogus", "id")])
     with pytest.raises(ValueError, match="unknown rule"):
         check_expectations_sql("t", [("bogus", "id")])
+
+
+def test_stream_quality_monitor(spark, tmp_path):
+    """Per-micro-batch expectation reports land as an audit log with
+    batch ids; counts reconcile with the batch operator over the
+    same data."""
+    from pyspark.sql import functions as F
+
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        stream_quality_monitor,
+    )
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "report")
+    df = spark.createDataFrame(
+        [(1, "a@x.com", 10.0), (2, None, 150.0), (3, "b@x.com", None)],
+        "id long, email string, amount double")
+    df.write.mode("overwrite").parquet(src)
+    rules = [expect_not_null("email"),
+             expect_between("amount", 0.0, 100.0)]
+    stream = (spark.readStream
+              .schema("id long, email string, amount double")
+              .parquet(src))
+    q = stream_quality_monitor(
+        stream, rules, out,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rep = spark.read.parquet(out)
+    got = {r["rule"]: (r["n_violations"], r["passed"])
+           for r in rep.collect()}
+    assert got["not_null(email)"] == (1, False)
+    assert got["between(amount, 0, 100)"] == (1, False)
+    assert {r["batch_id"] for r in rep.collect()} == {0}
+    # reconciles with the batch operator on the same data
+    batch = {r["rule"]: (r["n_violations"], r["passed"])
+             for r in check_expectations(df, rules).collect()}
+    assert got == batch
