@@ -3790,6 +3790,28 @@ def q_events_funnel_windowed(spark, sf):
                        max_gap_days=7)
 
 
+@_q("revenue_concentration", prof.value_concentration_sql(
+    "events", "value", entity_col="user_id",
+    top_fracs=(0.01, 0.1)))
+def q_revenue_concentration(spark, sf):
+    """Per-user value concentration: Gini via the distinct-value
+    2x-rank-sum (exact decimal) + top-1%/10% shares with block-split
+    boundaries — the whale readout."""
+    return prof.value_concentration(
+        _t(spark, sf, "events"), "value", entity_col="user_id",
+        top_fracs=(0.01, 0.1))
+
+
+@_q("lang_source_association", fs.cramers_v_sql(
+    "documents", "lang", "source"))
+def q_lang_source_association(spark, sf):
+    """Cramér's V between language and source (the full R x C grid —
+    unobserved cells contribute their expected mass; cell-ordered
+    chi2 fold)."""
+    return fs.cramers_v(_t(spark, sf, "documents"),
+                         "lang", "source")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

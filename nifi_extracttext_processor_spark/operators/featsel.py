@@ -164,3 +164,129 @@ FROM (SELECT *, row_number() OVER
       FROM scored)
 WHERE rank <= {k}
 """
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n, n_a, n_b, chi2, v) — Cramér's V association
+    between two categorical columns: the normalized chi-square
+    (0 = independent, 1 = perfectly associated),
+
+        V = sqrt( chi2 / (n · (min(R, C) − 1)) )
+
+    the "does source predict language" / "does platform predict
+    variant" screen beside chi2_lang_terms' per-term ranking. NULLs
+    on either side are excluded (not categories).
+
+    Exactness: observed counts are integers; each cell's
+    (o − r·c/n)²/(r·c/n) is one fixed chain from exact integers, and
+    the cross-CELL sum folds in (a, b) cell order (the km_logrank
+    discipline; cells are bounded by the category cardinalities).
+    Degenerate tables (single row or column: min(R,C)=1) emit NULL v
+    — association is undefined, not zero."""
+    gb = list(group_by or [])
+    a = F.col(col_a).cast("string")
+    b = F.col(col_b).cast("string")
+    base = (df.filter(a.isNotNull() & b.isNotNull())
+            .select(*gb, a.alias("__a"), b.alias("__b")))
+    obs = (base.groupBy(*gb, "__a", "__b")
+           .agg(F.count("*").alias("__o")))
+    da = base.groupBy(*gb, "__a").agg(F.count("*").alias("__r"))
+    db = base.groupBy(*gb, "__b").agg(F.count("*").alias("__c"))
+    # FULL R x C grid: unobserved cells carry o = 0 and contribute
+    # (0 - e)^2 / e = e to chi2 — dropping them understates the
+    # statistic (a perfect 3x3 association would read 0.82, not 1)
+    grid = da.join(db, gb) if gb else da.crossJoin(db)
+    cells = (grid.join(obs, [*gb, "__a", "__b"], "left")
+             .withColumn("__o", F.coalesce("__o", F.lit(0))))
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    cells = cells.withColumn("__n", F.sum("__o").over(wtot))
+    e = (F.col("__r").cast("double") * F.col("__c").cast("double")
+         / F.col("__n").cast("double"))
+    term = ((F.col("__o").cast("double") - e)
+            * (F.col("__o").cast("double") - e) / e)
+    folded = (cells
+              .withColumn("__t", F.struct(F.col("__a"), F.col("__b"),
+                                          term.alias("x")))
+              .groupBy(*gb)
+              .agg(F.max("__n").alias("n"),
+                   F.count_distinct("__a").alias("n_a"),
+                   F.count_distinct("__b").alias("n_b"),
+                   F.expr(
+                       "aggregate(array_sort(collect_list(__t)),"
+                       " CAST(0.0 AS DOUBLE),"
+                       " (acc, x) -> acc + x.x)").alias("__chi2")))
+    k = F.least("n_a", "n_b").cast("double") - F.lit(1.0)
+    v = F.when(k > 0,
+               F.sqrt(F.col("__chi2")
+                      / (F.col("n").cast("double") * k)))
+    out = folded.select(
+        *gb, "n", "n_a", "n_b",
+        F.round("__chi2", round_dp).alias("chi2"),
+        F.round(v, round_dp).alias("v"))
+    return out.orderBy(*gb) if gb else out
+
+
+def cramers_v_sql(
+    table: str,
+    a_expr: str,
+    b_expr: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of cramers_v (same cell-ordered fold, same
+    chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gsel2 = (", ".join(f"grid.{g}" for g in gb) + ", ") if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    order = ("ORDER BY " + ", ".join(gb)) if gb else ""
+    grid_join = "JOIN" if gb else "CROSS JOIN"
+    grid_using = ("USING (" + ", ".join(gb) + ")") if gb else ""
+    cell_key = ", ".join([*gb, "a", "b"])
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({a_expr} AS VARCHAR) AS a,
+         CAST({b_expr} AS VARCHAR) AS b
+  FROM {table}
+  WHERE {a_expr} IS NOT NULL AND {b_expr} IS NOT NULL
+),
+obs AS (
+  SELECT {gsel}a, b, count(*) AS o FROM base GROUP BY {gsel}a, b
+),
+da AS (SELECT {gsel}a, count(*) AS r FROM base GROUP BY {gsel}a),
+db AS (SELECT {gsel}b, count(*) AS c FROM base GROUP BY {gsel}b),
+grid AS (
+  SELECT {gsel}a, b, r, c FROM da {grid_join} db {grid_using}
+),
+marg AS (
+  SELECT {gsel2}grid.a, grid.b, coalesce(o, 0) AS o, r, c,
+         sum(coalesce(o, 0)) OVER ({part}) AS n
+  FROM grid LEFT JOIN obs USING ({cell_key})
+),
+folded AS (
+  SELECT {gsel}max(n) AS n,
+         count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list((o::DOUBLE - r::DOUBLE * c::DOUBLE / n::DOUBLE)
+                * (o::DOUBLE - r::DOUBLE * c::DOUBLE / n::DOUBLE)
+                / (r::DOUBLE * c::DOUBLE / n::DOUBLE)
+                ORDER BY a, b)),
+           (acc, x) -> acc + x) AS chi2
+  FROM marg {gkey}
+)
+SELECT {gsel}n, n_a, n_b,
+       round(chi2, {round_dp}) AS chi2,
+       round(CASE WHEN least(n_a, n_b) > 1
+                  THEN sqrt(chi2 / (n::DOUBLE
+                       * (least(n_a, n_b)::DOUBLE - 1.0))) END,
+             {round_dp}) AS v
+FROM folded
+{order}
+"""

@@ -20,7 +20,7 @@ parity at test scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # atomic types whose min/max are well-defined and portably comparable
@@ -365,4 +365,167 @@ SELECT row_number() OVER (ORDER BY {order})::BIGINT AS rank,
 FROM counts CROSS JOIN tot
 ORDER BY {order}
 LIMIT {int(k)}
+"""
+
+
+def value_concentration(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str | None = None,
+    top_fracs: "tuple[float, ...]" = (0.01, 0.1),
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n, gini, top_1pct_share, top_10pct_share, ...) —
+    how concentrated a value is across entities: the whale readout
+    ("the top 1% of users carry 62% of revenue") that decides whether
+    mean-based metrics are even meaningful, and the inequality
+    companion to key_skew_report's join-key view. `entity_col` first
+    collapses rows to per-entity exact-grid sums (per-user revenue);
+    None treats each row as an entity.
+
+        gini = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n     (x ascending)
+
+    Exactness: the ranked sum uses the Mann-Whitney 2x-midrank trick
+    over the DISTINCT-VALUE aggregate — for a tied block, Σ ranks =
+    c·(2·left + c + 1)/2, so 2·Σᵢ i·x₍ᵢ₎ accumulates as exact
+    decimal(grid value × integer rank-sum); the shuffle carries
+    distinct values, never entities. Top-q shares take the HIGHEST
+    ceil(q·n) entities by value (block-split exactly at the
+    boundary, partial blocks pro-rated by the grid value). Negative
+    values are legal (gini is then unnormalized — documented); NULLs
+    excluded. n < 2 emits NULL gini."""
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    if entity_col is not None:
+        ent = (base.groupBy(*gb, F.col(entity_col).alias("__e"))
+               .agg(F.sum(F.round(v * 1e6).cast("decimal(38,0)"))
+                    .alias("__xq")))
+    else:
+        ent = base.select(*gb, F.round(v * 1e6)
+                          .cast("decimal(38,0)").alias("__xq"))
+    per_v = (ent.groupBy(*gb, "__xq")
+             .agg(F.count("*").alias("__c")))
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wprev = (wtot.orderBy("__xq")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    left = F.coalesce(F.sum("__c").over(wprev), F.lit(0))
+    # Σ ranks within the tied block, times 2 (exact integers)
+    ranksum2 = F.col("__c") * (2 * left + F.col("__c") + 1)
+    # 2·Σ i·x over the block = xq · ranksum2 (decimal-exact)
+    term = F.col("__xq") * ranksum2.cast("decimal(38,0)")
+    # suffix count/sum for the top-q shares (descending from here)
+    wnext = (wtot.orderBy("__xq")
+             .rowsBetween(1, Window.unboundedFollowing))
+    above_c = F.coalesce(F.sum("__c").over(wnext), F.lit(0))
+    enriched = per_v.select(
+        *gb, "__xq", "__c",
+        term.alias("__t2"), above_c.alias("__ac"))
+    agg = enriched.groupBy(*gb).agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.col("__xq") * F.col("__c").cast("decimal(38,0)"))
+        .alias("__sx"),
+        F.sum("__t2").alias("__st2"),
+        F.collect_list(F.struct("__xq", "__c", "__ac"))
+        .alias("__blocks"))
+    nn = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    gini = F.when(
+        (F.col("n") >= 2) & (F.col("__sx") != 0),
+        F.col("__st2").cast("double") / (nn * sx)
+        - (nn + F.lit(1.0)) / nn)
+    cols = [*gb, "n", F.round(gini, round_dp).alias("gini")]
+    for q in top_fracs:
+        qf = float(q)
+        k = F.ceil(F.lit(qf) * nn).cast("long")  # top-k entities
+        # share = (sum of the k highest) / total: fold the blocks,
+        # taking whole blocks above the cut and pro-rating the
+        # boundary block by (k - count above it) × its grid value
+        take = F.expr(
+            f"""aggregate(__blocks, CAST(0.0 AS DOUBLE),
+              (acc, b) -> acc + CASE
+                WHEN b.__ac >= {{k}} THEN CAST(0.0 AS DOUBLE)
+                WHEN b.__ac + b.__c <= {{k}}
+                  THEN CAST(b.__xq AS DOUBLE) * b.__c
+                ELSE CAST(b.__xq AS DOUBLE) * ({{k}} - b.__ac)
+              END)""".replace("{k}", "CAST(ceil("
+                              + repr(qf) + " * n) AS BIGINT)"))
+        share = F.when(F.col("__sx") != 0,
+                       take / F.lit(1e6) / (sx / F.lit(1e6)))
+        name = f"top_{qf * 100:g}pct_share"
+        cols.append(F.round(share, round_dp).alias(name))
+    out = agg.select(*cols)
+    return out.orderBy(*gb) if gb else out
+
+
+def value_concentration_sql(
+    table: str,
+    value_expr: str,
+    entity_col: str | None = None,
+    top_fracs: "tuple[float, ...]" = (0.01, 0.1),
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of value_concentration (same distinct-value
+    2x-rank-sum gini, same block-split top shares)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    order = ("ORDER BY " + ", ".join(gb)) if gb else ""
+    if entity_col is not None:
+        ent = (f"SELECT {gsel}sum(CAST(round(CAST({value_expr} AS "
+               f"DOUBLE) * 1e6) AS HUGEINT)) AS xq FROM {table} "
+               f"WHERE {value_expr} IS NOT NULL "
+               f"GROUP BY {', '.join([*gb, entity_col])}")
+    else:
+        ent = (f"SELECT {gsel}CAST(round(CAST({value_expr} AS DOUBLE)"
+               f" * 1e6) AS HUGEINT) AS xq FROM {table} "
+               f"WHERE {value_expr} IS NOT NULL")
+    shares = []
+    for q in top_fracs:
+        qf = float(q)
+        name = f"top_{qf * 100:g}pct_share"
+        shares.append(f"""
+       round(CASE WHEN sx != 0 THEN
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(blocks, b -> CASE
+             WHEN b.ac >= CAST(ceil({qf!r} * n) AS BIGINT)
+               THEN 0.0::DOUBLE
+             WHEN b.ac + b.c <= CAST(ceil({qf!r} * n) AS BIGINT)
+               THEN b.xq::DOUBLE * b.c
+             ELSE b.xq::DOUBLE
+                  * (CAST(ceil({qf!r} * n) AS BIGINT) - b.ac)
+           END)), (a, x) -> a + x)
+         / 1e6 / (sx::DOUBLE / 1e6) END, {round_dp}) AS {name}""")
+    return f"""
+WITH ent AS ({ent}),
+per_v AS (
+  SELECT {gsel}xq, count(*) AS c FROM ent GROUP BY {gsel}xq
+),
+ranked AS (
+  SELECT {gsel}xq, c,
+         coalesce(sum(c) OVER ({part} ORDER BY xq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS lft,
+         coalesce(sum(c) OVER ({part} ORDER BY xq
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+           AS ac
+  FROM per_v
+),
+agg AS (
+  SELECT {gsel}sum(c) AS n,
+         sum(xq * c::HUGEINT) AS sx,
+         sum(xq * (c * (2 * lft + c + 1))::HUGEINT) AS st2,
+         list({{'xq': xq, 'c': c, 'ac': ac}} ORDER BY xq) AS blocks
+  FROM ranked {gkey}
+)
+SELECT {gsel}n,
+       round(CASE WHEN n >= 2 AND sx != 0 THEN
+         st2::DOUBLE / (n::DOUBLE * sx::DOUBLE)
+         - (n::DOUBLE + 1.0) / n::DOUBLE END, {round_dp}) AS gini,
+       {', '.join(shares)}
+FROM agg
+{order}
 """

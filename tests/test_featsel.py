@@ -136,3 +136,93 @@ def test_plan_no_text_after_tokenize(spark, docs):
     # the (term,label) shuffle carries triples; no sort-merge join of
     # wide rows, class totals broadcast
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestCramersV:
+    def test_perfect_and_independent(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.featsel \
+            import cramers_v, cramers_v_sql
+        perfect = spark.createDataFrame(
+            [(str(i % 3), str(i % 3)) for i in range(30)],
+            "a string, b string")
+        [r] = cramers_v(perfect, "a", "b").collect()
+        # zero cells carry their expected mass: chi2 = 60, V exactly 1
+        assert (r["chi2"], r["v"]) == (60.0, 1.0)
+        indep = spark.createDataFrame(
+            [(str(i % 3), str((i // 3) % 4)) for i in range(120)],
+            "a string, b string")
+        [r2] = cramers_v(indep, "a", "b").collect()
+        assert r2["v"] == 0.0
+        # degenerate single category -> NULL
+        [r3] = cramers_v(spark.createDataFrame(
+            [("x", "y")] * 5, "a string, b string"), "a", "b") \
+            .collect()
+        assert r3["v"] is None
+        con = duckdb.connect()
+        con.register("t", perfect.toPandas())
+        assert [tuple(x) for x in cramers_v(
+            perfect, "a", "b").collect()] \
+            == [tuple(t) for t in con.execute(
+                cramers_v_sql("t", "a", "b")).fetchall()]
+
+
+class TestValueConcentration:
+    def test_hand_golden(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.profile \
+            import value_concentration, value_concentration_sql
+        # 1,2,3,4: gini = 2(1+4+9+16)/(4*10) - 5/4 = 0.25;
+        # top 25% (1 entity) = 4/10; top 50% (2) = 7/10
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in (1, 2, 3, 4)], "u long, v double")
+        [r] = value_concentration(df, "v",
+                                  top_fracs=(0.25, 0.5)).collect()
+        assert (r["gini"], r["top_25pct_share"],
+                r["top_50pct_share"]) == (0.25, 0.4, 0.7)
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        assert [tuple(x) for x in value_concentration(
+            df, "v", top_fracs=(0.25, 0.5)).collect()] \
+            == [tuple(t) for t in con.execute(value_concentration_sql(
+                "t", "v", top_fracs=(0.25, 0.5))).fetchall()]
+
+    def test_extremes_and_entity_collapse(self, spark):
+        from pyspark.sql import functions as F
+
+        from nifi_extracttext_processor_spark.operators.profile \
+            import value_concentration
+        # perfectly equal -> gini 0
+        eq = spark.createDataFrame(
+            [(i, 5.0) for i in range(10)], "u long, v double")
+        [r] = value_concentration(eq, "v").collect()
+        assert r["gini"] == 0.0
+        # one whale holds everything -> gini -> (n-1)/n
+        wh = spark.createDataFrame(
+            [(i, 0.0) for i in range(9)] + [(9, 100.0)],
+            "u long, v double")
+        [w] = value_concentration(wh, "v").collect()
+        assert w["gini"] == 0.9
+        assert w["top_10pct_share"] == 1.0
+        # entity collapse: two rows per user sum before ranking
+        two = spark.createDataFrame(
+            [(1, 2.0), (1, 2.0), (2, 1.0)], "u long, v double")
+        [t] = value_concentration(two, "v", entity_col="u").collect()
+        assert t["n"] == 2              # entities, not rows
+
+    def test_ties_and_twin_on_events(self, spark, sf_dir):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.profile \
+            import value_concentration, value_concentration_sql
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        a = [tuple(r) for r in value_concentration(
+            ev, "value", entity_col="user_id").collect()]
+        b = [tuple(t) for t in con.execute(value_concentration_sql(
+            "events", "value", entity_col="user_id")).fetchall()]
+        assert a == b and a

@@ -146,7 +146,8 @@ R12_NEW = {
     "multiclass_eval", "embedding_outliers", "ab_covariate_balance",
     "user_rfm", "target_encode_events", "events_cube",
     "dedup_savings", "token_fertility_by_lang",
-    "events_funnel_windowed",
+    "events_funnel_windowed", "revenue_concentration",
+    "lang_source_association",
 }
 
 
