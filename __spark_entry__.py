@@ -3812,6 +3812,14 @@ def q_lang_source_association(spark, sf):
                          "lang", "source")
 
 
+@_q("cohort_ltv_daily", sess.cohort_ltv_sql("events", period="day"))
+def q_cohort_ltv_daily(spark, sf):
+    """Cohort LTV curve by day: cumulative exact-grid revenue per
+    user by cohort age — the payback readout beside
+    cohort_retention's activity view."""
+    return sess.cohort_ltv(_t(spark, sf, "events"), period="day")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

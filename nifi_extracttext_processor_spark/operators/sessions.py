@@ -773,3 +773,114 @@ SELECT "user",
        n_purchases
 FROM per_user CROSS JOIN horizon
 """
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "month",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Cohort LTV curve: (cohort_p, period_offset, cohort_size,
+    revenue, cum_ltv_per_user) — cumulative value per user by cohort
+    age, the payback readout beside cohort_retention's activity
+    view ("the Jan cohort reaches $4.10/user by month 3"). Cohort =
+    the user's first-activity period (integer index, the
+    growth_accounting convention, so offsets are exact integer
+    subtraction — no calendar arithmetic); revenue quantizes to the
+    exact 1e-6 grid; the cumulative sum is an integer-decimal prefix
+    over offsets (one keyed window over the bounded cohort x offset
+    table), divided once by cohort size.
+
+    NULL-value events still date the user's cohort (activity defines
+    membership) but add zero revenue; NULL timestamps are excluded."""
+    if period not in ("month", "day", "week"):
+        raise ValueError("period must be month/day/week")
+    ts = F.col(ts_col)
+    if period == "month":
+        idx = (F.year(ts) * 12 + F.month(ts) - 1).cast("long")
+    elif period == "week":
+        idx = F.floor(F.datediff(F.to_date(ts),
+                                 F.lit("1970-01-05").cast("date"))
+                      / 7).cast("long")
+    else:
+        idx = F.datediff(F.to_date(ts),
+                         F.lit("1970-01-01").cast("date")).cast("long")
+    q = F.coalesce(F.round(F.col(value_col) * 1e6)
+                   .cast("decimal(38,0)"),
+                   F.lit(0).cast("decimal(38,0)"))
+    base = (df.filter(ts.isNotNull())
+            .select(F.col(user_col).alias("user"), idx.alias("p"),
+                    q.alias("__vq")))
+    first = base.groupBy("user").agg(F.min("p").alias("cohort_p"))
+    sizes = first.groupBy("cohort_p").agg(
+        F.count("*").alias("cohort_size"))
+    rev = (base.join(first, "user")
+           .groupBy("cohort_p", (F.col("p") - F.col("cohort_p"))
+                    .alias("period_offset"))
+           .agg(F.sum("__vq").alias("__rq")))
+    w = (Window.partitionBy("cohort_p").orderBy("period_offset")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (rev.join(sizes, "cohort_p")
+           .withColumn("__cum", F.sum("__rq").over(w)))
+    return (out.select(
+        "cohort_p", "period_offset", "cohort_size",
+        F.round(F.col("__rq").cast("double") / F.lit(1e6), round_dp)
+        .alias("revenue"),
+        F.round(F.col("__cum").cast("double")
+                / (F.col("cohort_size").cast("double") * F.lit(1e6)),
+                round_dp).alias("cum_ltv_per_user"))
+        .orderBy("cohort_p", "period_offset"))
+
+
+def cohort_ltv_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "month",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of cohort_ltv (same integer period index, same
+    exact-decimal prefix, same single divisions)."""
+    if period == "month":
+        idx = f"(year({ts_col}) * 12 + month({ts_col}) - 1)::BIGINT"
+    elif period == "week":
+        idx = (f"(date_diff('day', DATE '1970-01-05', "
+               f"{ts_col}::DATE) // 7)::BIGINT")
+    elif period == "day":
+        idx = (f"date_diff('day', DATE '1970-01-01', "
+               f"{ts_col}::DATE)::BIGINT")
+    else:
+        raise ValueError("period must be month/day/week")
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS u, {idx} AS p,
+         coalesce(CAST(round({value_col} * 1e6) AS HUGEINT),
+                  0::HUGEINT) AS vq
+  FROM {table} WHERE {ts_col} IS NOT NULL
+),
+first AS (
+  SELECT u, min(p) AS cohort_p FROM base GROUP BY u
+),
+sizes AS (
+  SELECT cohort_p, count(*) AS cohort_size FROM first GROUP BY 1
+),
+rev AS (
+  SELECT cohort_p, base.p - cohort_p AS period_offset,
+         sum(vq) AS rq
+  FROM base JOIN first USING (u)
+  GROUP BY cohort_p, base.p - cohort_p
+)
+SELECT cohort_p, period_offset, cohort_size,
+       round(rq::DOUBLE / 1e6, {round_dp}) AS revenue,
+       round(sum(rq) OVER (PARTITION BY cohort_p ORDER BY
+                           period_offset ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)::DOUBLE
+             / (cohort_size::DOUBLE * 1e6), {round_dp})
+         AS cum_ltv_per_user
+FROM rev JOIN sizes USING (cohort_p)
+ORDER BY cohort_p, period_offset
+"""

@@ -231,3 +231,47 @@ class TestTargetEncodeLoo:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" \
             in plan
+
+
+class TestCohortLtv:
+    def test_hand_golden(self, spark):
+        from nifi_extracttext_processor_spark.operators.sessions \
+            import cohort_ltv
+        jan, feb, mar = (dt.datetime(2026, m, 10) for m in (1, 2, 3))
+        rows = [
+            # cohort jan: u1 (10 @ offset 0, 20 @ offset 2),
+            #             u2 (NULL-value activity @ 0 only)
+            (1, jan, 1, "purchase", 10.0),
+            (2, mar, 1, "purchase", 20.0),
+            (3, jan, 2, "click", None),
+            # cohort feb: u3 (5 @ offset 0)
+            (4, feb, 3, "purchase", 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        out = {(r["cohort_p"], r["period_offset"]): r
+               for r in cohort_ltv(df, period="month").collect()}
+        jan_p = 2026 * 12 + 0
+        feb_p = 2026 * 12 + 1
+        assert out[(jan_p, 0)]["cohort_size"] == 2
+        assert out[(jan_p, 0)]["revenue"] == 10.0
+        assert out[(jan_p, 0)]["cum_ltv_per_user"] == 5.0   # 10/2
+        assert out[(jan_p, 2)]["revenue"] == 20.0
+        assert out[(jan_p, 2)]["cum_ltv_per_user"] == 15.0  # 30/2
+        assert out[(feb_p, 0)]["cum_ltv_per_user"] == 5.0
+        with pytest.raises(ValueError, match="period"):
+            cohort_ltv(df, period="quarter")
+
+    def test_twin_parity_all_periods(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.sessions \
+            import cohort_ltv, cohort_ltv_sql
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        for per in ("month", "week", "day"):
+            a = [tuple(r) for r in cohort_ltv(ev, period=per).collect()]
+            b = [tuple(t) for t in con.execute(
+                cohort_ltv_sql("events", period=per)).fetchall()]
+            assert a == b and a, per

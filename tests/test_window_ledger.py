@@ -147,7 +147,7 @@ R12_NEW = {
     "user_rfm", "target_encode_events", "events_cube",
     "dedup_savings", "token_fertility_by_lang",
     "events_funnel_windowed", "revenue_concentration",
-    "lang_source_association",
+    "lang_source_association", "cohort_ltv_daily",
 }
 
 
