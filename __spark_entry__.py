@@ -3820,6 +3820,27 @@ def q_cohort_ltv_daily(spark, sf):
     return sess.cohort_ltv(_t(spark, sf, "events"), period="day")
 
 
+@_q("join_fanout_orders", prof.join_fanout_report_sql(
+    "lineitem", "orders", "l_orderkey", "o_orderkey"))
+def q_join_fanout_orders(spark, sf):
+    """Pre-join safety report for lineitem->orders: exact output
+    cardinality from two key-level aggregates (orders cheaper than
+    the join it vets), per-side worst duplication, fanout."""
+    return prof.join_fanout_report(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        "l_orderkey", "o_orderkey")
+
+
+@_q("benford_values", prof.benford_test_sql(
+    "events", "value", group_by=["event_type"]))
+def q_benford_values(spark, sf):
+    """Benford first-significant-digit screen per event type —
+    string-derived digits, repr-embedded log10 constants (the
+    POIS_CDF discipline), chi2 vs the caller critical value."""
+    return prof.benford_test(_t(spark, sf, "events"), "value",
+                             group_by=["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -529,3 +529,192 @@ SELECT {gsel}n,
 FROM agg
 {order}
 """
+
+
+def join_fanout_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """One-row pre-join diagnostic: (n_left, n_right, n_left_keys,
+    n_right_keys, n_matched_keys, max_left_dup, max_right_dup,
+    est_join_rows, fanout) — "is this join safe to run": the
+    estimated output cardinality (Σ over matched keys of
+    left_count × right_count — EXACT, not an estimate, but computed
+    from two key-level aggregates instead of running the join) and
+    the worst per-key duplication on each side. fanout =
+    est_join_rows / n_left (how much the join inflates the fact
+    side); a fanout ≫ 1 with max dups on BOTH sides is the
+    many-to-many blow-up this report exists to catch before it
+    happens. NULL keys never match (reported out of the key counts).
+
+    Cost: one count-agg per side (shuffle carries distinct keys) +
+    a keys-sized join — orders cheaper than the join it vets."""
+    lk = (left.filter(F.col(left_key).isNotNull())
+          .groupBy(F.col(left_key).alias("__k"))
+          .agg(F.count("*").alias("__lc")))
+    rk = (right.filter(F.col(right_key).isNotNull())
+          .groupBy(F.col(right_key).alias("__k"))
+          .agg(F.count("*").alias("__rc")))
+    m = lk.join(rk, "__k")
+    mstats = m.agg(
+        F.count("*").alias("n_matched_keys"),
+        F.coalesce(F.sum(F.col("__lc") * F.col("__rc")), F.lit(0))
+        .alias("est_join_rows"))
+    lstats = lk.agg(F.sum("__lc").alias("n_left"),
+                    F.count("*").alias("n_left_keys"),
+                    F.max("__lc").alias("max_left_dup"))
+    rstats = rk.agg(F.sum("__rc").alias("n_right"),
+                    F.count("*").alias("n_right_keys"),
+                    F.max("__rc").alias("max_right_dup"))
+    out = lstats.crossJoin(rstats).crossJoin(mstats)
+    return out.select(
+        "n_left", "n_right", "n_left_keys", "n_right_keys",
+        "n_matched_keys", "max_left_dup", "max_right_dup",
+        "est_join_rows",
+        F.round(F.col("est_join_rows").cast("double")
+                / F.col("n_left").cast("double"), round_dp)
+        .alias("fanout"))
+
+
+def join_fanout_report_sql(
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of join_fanout_report."""
+    return f"""
+WITH lk AS (
+  SELECT {left_key} AS k, count(*) AS lc FROM {left_table}
+  WHERE {left_key} IS NOT NULL GROUP BY {left_key}
+),
+rk AS (
+  SELECT {right_key} AS k, count(*) AS rc FROM {right_table}
+  WHERE {right_key} IS NOT NULL GROUP BY {right_key}
+),
+m AS (
+  SELECT count(*) AS n_matched_keys,
+         coalesce(sum(lc * rc), 0) AS est_join_rows
+  FROM lk JOIN rk USING (k)
+),
+ls AS (SELECT sum(lc) AS n_left, count(*) AS n_left_keys,
+              max(lc) AS max_left_dup FROM lk),
+rs AS (SELECT sum(rc) AS n_right, count(*) AS n_right_keys,
+              max(rc) AS max_right_dup FROM rk)
+SELECT n_left, n_right, n_left_keys, n_right_keys, n_matched_keys,
+       max_left_dup, max_right_dup, est_join_rows,
+       round(est_join_rows::DOUBLE / n_left::DOUBLE, {round_dp})
+         AS fanout
+FROM ls CROSS JOIN rs CROSS JOIN m
+"""
+
+
+# Benford first-digit probabilities log10(1 + 1/d), embedded as repr()
+# literals (the _POIS_CDF convention) so both engines compare against
+# the identical constants — no log10 at query time.
+BENFORD_P = (
+    0.30102999566398120, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+)
+
+
+def benford_test(
+    df: DataFrame,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    chi2_alpha: float = 15.507,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n, d1..d9 counts, chi2, suspicious) — Benford's-law
+    first-significant-digit test: organically-generated magnitudes
+    (transactions, populations, file sizes) follow
+    P(d) = log10(1 + 1/d); fabricated or truncated data usually
+    doesn't — the classic forensic/data-quality screen for a value
+    column. chi2 compares observed digit counts to the embedded
+    Benford constants (8 df; default critical value 15.507 = χ²₈ at
+    p=0.05, caller-overridable — the transcendental-free significance
+    convention the abtest family uses).
+
+    First significant digit via STRING arithmetic — the digits of the
+    decimal rendering, no log10: abs value formatted at full
+    precision, first char in '1'..'9' (exact both engines for the
+    1e-6-grid magnitudes this engine works on). Zero/NULL values are
+    excluded (no first significant digit). One conditional-sum agg;
+    the chi2 closes over the 9 embedded constants in digit order."""
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    # decimal rendering without scientific notation: format at 6 dp
+    # (the grid), strip sign/dot/zeros, take the first digit 1-9
+    s = F.regexp_replace(
+        F.format_number(F.abs(v), 6), ",", "")
+    digit = F.regexp_extract(s, r"([1-9])", 1)
+    base = (df.filter(v.isNotNull() & (v != 0))
+            .select(*gb, digit.alias("__d"))
+            .filter(F.col("__d") != ""))
+    aggs = [F.count("*").alias("n")]
+    for d in range(1, 10):
+        aggs.append(F.sum((F.col("__d") == str(d)).cast("long"))
+                    .alias(f"d{d}"))
+    agg = base.groupBy(*gb).agg(*aggs)
+    n = F.col("n").cast("double")
+    chi2 = None
+    for d, p in enumerate(BENFORD_P, start=1):
+        e = n * F.lit(p)
+        t = ((F.col(f"d{d}").cast("double") - e)
+             * (F.col(f"d{d}").cast("double") - e) / e)
+        chi2 = t if chi2 is None else chi2 + t
+    chi2r = F.round(chi2, round_dp)
+    out = agg.select(
+        *gb, "n", *[f"d{d}" for d in range(1, 10)],
+        chi2r.alias("chi2"),
+        F.coalesce(chi2r >= F.lit(float(chi2_alpha)), F.lit(False))
+        .alias("suspicious"))
+    return out.orderBy(*gb) if gb else out
+
+
+def benford_test_sql(
+    table: str,
+    value_expr: str,
+    group_by: "list[str] | None" = None,
+    chi2_alpha: float = 15.507,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of benford_test (same string-derived first digit,
+    same embedded constants, same left-to-right chi2 chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    order = ("ORDER BY " + ", ".join(gb)) if gb else ""
+    digit = (f"regexp_extract(replace(format('{{:.6f}}', "
+             f"abs(CAST({value_expr} AS DOUBLE))), ',', ''), "
+             f"'([1-9])', 1)")
+    dsum = ", ".join(
+        f"sum(CAST(d = '{d}' AS BIGINT)) AS d{d}"
+        for d in range(1, 10))
+    chi2 = " + ".join(
+        f"(d{d}::DOUBLE - n::DOUBLE * {p!r})"
+        f" * (d{d}::DOUBLE - n::DOUBLE * {p!r})"
+        f" / (n::DOUBLE * {p!r})"
+        for d, p in enumerate(BENFORD_P, start=1))
+    return f"""
+WITH base AS (
+  SELECT {gsel}{digit} AS d
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL AND {value_expr} != 0
+),
+agg AS (
+  SELECT {gsel}count(*) AS n, {dsum}
+  FROM base WHERE d != '' {gkey}
+)
+SELECT {gsel}n, {', '.join(f'd{d}' for d in range(1, 10))},
+       round({chi2}, {round_dp}) AS chi2,
+       coalesce(round({chi2}, {round_dp}) >= {float(chi2_alpha)!r},
+                FALSE) AS suspicious
+FROM agg
+{order}
+"""

@@ -226,3 +226,69 @@ class TestValueConcentration:
         b = [tuple(t) for t in con.execute(value_concentration_sql(
             "events", "value", entity_col="user_id")).fetchall()]
         assert a == b and a
+
+
+class TestJoinFanout:
+    def test_exact_cardinality_and_blowup(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.profile \
+            import join_fanout_report, join_fanout_report_sql
+        left = spark.createDataFrame(
+            [(k,) for k in (1, 1, 1, 2, 3, None)], "k long")
+        right = spark.createDataFrame(
+            [(k,) for k in (1, 1, 2, 9)], "k long")
+        [r] = join_fanout_report(left, right, "k", "k").collect()
+        # matched keys {1, 2}: est = 3*2 + 1*1 = 7; NULL never matches
+        assert r["est_join_rows"] == 7
+        assert r["n_matched_keys"] == 2
+        assert (r["max_left_dup"], r["max_right_dup"]) == (3, 2)
+        assert r["fanout"] == 1.4               # 7 / 5 non-null left
+        real = left.join(right, "k").count()
+        assert real == r["est_join_rows"]
+        con = duckdb.connect()
+        con.register("l", left.toPandas())
+        con.register("r", right.toPandas())
+        [t] = con.execute(join_fanout_report_sql(
+            "l", "r", "k", "k")).fetchall()
+        assert tuple(r) == tuple(t)
+
+
+class TestBenford:
+    def test_benford_vs_uniform(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.profile \
+            import BENFORD_P, benford_test, benford_test_sql
+        # construct an exactly-Benford sample of 1000 values
+        rows = []
+        k = 0
+        for d, p in enumerate(BENFORD_P, start=1):
+            for _ in range(round(p * 1000)):
+                rows.append((k, float(d) * 10 ** (k % 3)))
+                k += 1
+        ben = spark.createDataFrame(rows, "i long, v double")
+        [r] = benford_test(ben, "v").collect()
+        assert r["suspicious"] is False and r["chi2"] < 1.0
+        assert r["d1"] == 301
+        # uniform first digits = the classic fabrication signature
+        uni = spark.createDataFrame(
+            [(i, float(1 + i % 9)) for i in range(900)],
+            "i long, v double")
+        [u] = benford_test(uni, "v").collect()
+        assert u["suspicious"] is True and u["chi2"] > 100
+        con = duckdb.connect()
+        con.register("t", ben.toPandas())
+        [w] = con.execute(benford_test_sql("t", "v")).fetchall()
+        assert tuple(r) == tuple(w)
+
+    def test_sub_one_magnitudes_and_exclusions(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import benford_test
+        # 0.00123 -> first significant digit 1; zeros/NULLs excluded
+        df = spark.createDataFrame(
+            [(1, 0.00123), (2, -0.9), (3, 0.0), (4, None)],
+            "i long, v double")
+        [r] = benford_test(df, "v").collect()
+        assert r["n"] == 2
+        assert r["d1"] == 1 and r["d9"] == 1

@@ -148,6 +148,7 @@ R12_NEW = {
     "dedup_savings", "token_fertility_by_lang",
     "events_funnel_windowed", "revenue_concentration",
     "lang_source_association", "cohort_ltv_daily",
+    "join_fanout_orders", "benford_values",
 }
 
 
