@@ -3841,6 +3841,37 @@ def q_benford_values(spark, sf):
                              group_by=["event_type"])
 
 
+@_q("kmv_doc_distinct", skx.kmv_distinct_sql(
+    "documents", "text", ["lang"], 32))
+def q_kmv_doc_distinct(spark, sf):
+    """KMV (theta-style) distinct-text estimate per lang, k=32 —
+    the k-smallest-hash sample sketch; DuckDB replays the md5-derived
+    60-bit hashes and the Beyer (k-1)/U_(k) estimator exactly."""
+    return skx.kmv_distinct(_t(spark, sf, "documents"), "text",
+                            ["lang"], k=32)
+
+
+@_q("kmv_audience_overlap", skx.kmv_set_stats_sql(
+    "(SELECT event_type, user_id || '#' || strftime(ts, '%Y-%m-%d') "
+    "AS uday FROM events) ud", "uday",
+    "event_type = 'click'", "event_type = 'purchase'", None, 128))
+def q_kmv_audience_overlap(spark, sf):
+    """Theta-sketch set algebra on user-day audiences: click-active
+    vs purchase-active user-days — union, DIRECT intersection (count
+    of union-sample hashes present in both sketches; no
+    inclusion-exclusion noise), and jaccard, k=128."""
+    ev = _t(spark, sf, "events")
+    uday = ev.select(
+        "event_type",
+        F.concat(F.col("user_id").cast("string"), F.lit("#"),
+                 F.date_format("ts", "yyyy-MM-dd")).alias("uday"))
+    a = skx.kmv_partials(uday.filter("event_type = 'click'"),
+                         "uday", k=128)
+    b = skx.kmv_partials(uday.filter("event_type = 'purchase'"),
+                         "uday", k=128)
+    return skx.kmv_set_stats(a, b, k=128)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

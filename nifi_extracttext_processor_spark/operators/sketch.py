@@ -438,3 +438,321 @@ def hll_set_stats(
         F.round(F.try_divide(inter.cast("double"),
                              F.col("est_union").cast("double")), 4)
         .alias("jaccard_est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-style distinct sketch (Bar-Yossef 2002 "Counting distinct
+# elements in a data stream"; Beyer 2007 KMV estimator; the
+# DataSketches theta-sketch set algebra) — the SET-OPERATION companion
+# to the HLL sketch above. HLL answers "how many distinct"; KMV keeps
+# the k SMALLEST hash values, which is a uniform SAMPLE of the distinct
+# set — so two sketches support a DIRECT intersection estimate
+# (count matching hashes below the union threshold), where
+# HLL's inclusion-exclusion difference-of-estimates blows up its
+# relative error as the overlap shrinks. Same catalog posture: the
+# sketch is a plain (group..., hv) DataFrame of ≤ k rows per group —
+# land today's, union tomorrow's, re-take the k smallest.
+#
+# Construction: hv = first 60 bits of md5(value || '#seed') as a
+# BIGINT (portable across engines via the same '0x'||hex cast the HLL
+# uses). The sketch = the k smallest DISTINCT hv per group. Estimator
+# (Beyer 2007, unbiased): if the group holds fewer than k distinct
+# hashes the sketch IS the distinct set (exact count); otherwise
+# est = (k-1) * 2^60 / hv_(k) — one double division, the numerator a
+# repr-embedded exactly-representable double (odd·2^60 needs ≤ 17
+# significand bits). 60-bit hashes make collisions negligible below
+# ~2^28 distincts (documented: a collision can only UNDERcount by 1).
+#
+# Scale shape: phase 1 takes the k smallest distinct values inside
+# each input partition (dense_rank over (group, partition_id) — any
+# global top-k member is necessarily in its partition's local top-k),
+# so the global phase sorts ≤ partitions·k candidate rows per group,
+# never the full distinct set — the same two-phase shape Spark's own
+# TakeOrderedAndProject uses, expressed in Catalyst so the sketch
+# stays a plain DataFrame. Set ops join k-row tables: broadcast-sized
+# by construction.
+# ---------------------------------------------------------------------------
+
+
+def _check_k(k: int) -> int:
+    if k < 2 or k > 65536:
+        raise ValueError("k must be in [2, 65536] (k-1 must be "
+                         "positive; odd·2^60 must stay an exact "
+                         "double)")
+    return k
+
+
+def _kmv_hv(col_expr, seed: int):
+    return F.conv(F.substring(
+        F.md5(F.concat(col_expr.cast("string"), F.lit(f"#{seed}"))),
+        1, _REG_BITS // 4), 16, 10).cast("long")
+
+
+def _kmv_topk(rows: DataFrame, gb: "list[str]", k: int) -> DataFrame:
+    """k smallest distinct hv per group from a (group..., hv) frame,
+    two-phase: partition-local dense_rank prune, then the global
+    order over the surviving ≤ partitions·k candidates."""
+    from pyspark.sql.window import Window
+    w1 = (Window.partitionBy(*gb, "_pid").orderBy("hv") if gb
+          else Window.partitionBy("_pid").orderBy("hv"))
+    local = (rows.withColumn("_pid", F.spark_partition_id())
+             .withColumn("_r", F.dense_rank().over(w1))
+             .filter(F.col("_r") <= k)
+             .select(*gb, "hv").distinct())
+    w2 = (Window.partitionBy(*gb).orderBy("hv") if gb
+          else Window.partitionBy().orderBy("hv"))
+    return (local.withColumn("_r", F.row_number().over(w2))
+            .filter(F.col("_r") <= k).select(*gb, "hv"))
+
+
+def kmv_partials(
+    df: DataFrame,
+    col: str,
+    group_by: "list[str] | None" = None,
+    k: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """(group..., hv) — the k smallest distinct 60-bit hashes per
+    group; the mergeable KMV sketch. NULL values excluded (COUNT
+    DISTINCT semantics). Output ≤ groups · k rows."""
+    _check_k(k)
+    gb = _kmv_check_groups(list(group_by or []))
+    rows = (df.filter(F.col(col).isNotNull())
+            .select(*gb, _kmv_hv(F.col(col), seed).alias("hv")))
+    return _kmv_topk(rows, gb, k)
+
+
+def kmv_merge(
+    *partials: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Union sketches (same group columns, k, seed) and re-take the
+    k smallest — the theta-sketch union. Inputs are ≤ k rows per
+    group each, so this is arithmetic on already-tiny tables."""
+    _check_k(k)
+    if not partials:
+        raise ValueError("nothing to merge")
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    gb = [c for c in out.columns if c != "hv"]
+    return _kmv_topk(out.distinct(), gb, k)
+
+
+def kmv_estimate(
+    partials: DataFrame,
+    group_by: "list[str] | None" = None,
+    k: int = 256,
+) -> DataFrame:
+    """(group..., est_distinct) from a KMV sketch. Fewer than k
+    hashes present → the sketch is the whole distinct set (exact);
+    else the Beyer (k-1)/U_(k) estimator, hashes normalized by the
+    repr-embedded exact double (k-1)·2^60."""
+    _check_k(k)
+    gb = _kmv_check_groups(list(group_by or []))
+    agg = (partials.groupBy(*gb)
+           .agg(F.count("*").alias("n_k"),
+                F.max("hv").alias("kth")))
+    numer = float((k - 1) << _REG_BITS)
+    est = F.when(F.col("n_k") < k, F.col("n_k").cast("double")) \
+        .otherwise(F.lit(numer) / F.col("kth").cast("double"))
+    return agg.select(
+        *gb, F.round(est).cast("long").alias("est_distinct"))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: "list[str] | None" = None,
+    k: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """One-shot: sketch + estimate. (group..., est_distinct)."""
+    return kmv_estimate(kmv_partials(df, col, group_by, k, seed),
+                        group_by, k)
+
+
+def _kmv_check_groups(gb: "list[str]") -> "list[str]":
+    clash = {"hv", "_pid", "_r"} & set(gb)
+    if clash:
+        raise ValueError(f"group column(s) {sorted(clash)} collide "
+                         "with the KMV sketch schema — rename them")
+    return gb
+
+
+def kmv_set_stats(
+    a: DataFrame,
+    b: DataFrame,
+    group_by: "list[str] | None" = None,
+    k: int = 256,
+) -> DataFrame:
+    """(group..., est_a, est_b, est_union, est_intersect,
+    jaccard_est) from two KMV sketches built with the same (k, seed).
+
+    The theta-sketch set algebra: merge the two sketches and keep the
+    k smallest of the union — a uniform sample of the UNION's distinct
+    set with threshold theta = its largest retained hash. Hashes in
+    that sample present in BOTH input sketches are a binomial draw of
+    the intersection: jaccard = c / m_k exactly (small-integer
+    rational), est_intersect = round(jaccard · est_union). Direct —
+    no inclusion-exclusion difference-of-estimates, so relative error
+    stays bounded even for small overlaps (the failure mode of
+    hll_set_stats, kept for the union-only posture).
+    """
+    _check_k(k)
+    gb = _kmv_check_groups(list(group_by or []))
+    u = kmv_merge(a, b, k=k)
+    eu = kmv_estimate(u, gb, k).withColumnRenamed(
+        "est_distinct", "est_union")
+    ea = kmv_estimate(a, gb, k).withColumnRenamed("est_distinct",
+                                                  "est_a")
+    eb = kmv_estimate(b, gb, k).withColumnRenamed("est_distinct",
+                                                  "est_b")
+    both = (u.join(a.withColumn("_ina", F.lit(1)).select(*gb, "hv",
+                                                         "_ina"),
+                   [*gb, "hv"], "left")
+            .join(b.withColumn("_inb", F.lit(1)).select(*gb, "hv",
+                                                        "_inb"),
+                  [*gb, "hv"], "left")
+            .groupBy(*gb)
+            .agg(F.count("*").alias("m_k"),
+                 F.sum((F.col("_ina").isNotNull()
+                        & F.col("_inb").isNotNull()).cast("long"))
+                 .alias("c_both")))
+    joined = both.join(eu, gb).join(ea, gb).join(eb, gb) if gb else \
+        both.crossJoin(eu).crossJoin(ea).crossJoin(eb)
+    jac = F.try_divide(F.col("c_both").cast("double"),
+                       F.col("m_k").cast("double"))
+    return joined.select(
+        *gb, "est_a", "est_b", "est_union",
+        F.round(jac * F.col("est_union").cast("double"))
+        .cast("long").alias("est_intersect"),
+        F.round(jac, 4).alias("jaccard_est"))
+
+
+def kmv_partials_sql(
+    table: str,
+    expr: str,
+    group_by: "list[str] | None" = None,
+    k: int = 256,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of kmv_partials (identical md5-derived 60-bit
+    hashes; single-phase top-k — the twin states semantics, the Spark
+    side owns the two-phase physical shape)."""
+    _check_k(k)
+    gb = _kmv_check_groups(list(group_by or []))
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    part = f"PARTITION BY {', '.join(gb)} " if gb else ""
+    return f"""
+SELECT {gsel}hv FROM (
+  SELECT {gsel}hv,
+         row_number() OVER ({part}ORDER BY hv) AS rn
+  FROM (
+    SELECT DISTINCT {gsel}
+           ('0x' || substr(md5(CAST(({expr}) AS VARCHAR)
+                           || '#{seed}'), 1, {_REG_BITS // 4}))::BIGINT
+             AS hv
+    FROM {table} WHERE ({expr}) IS NOT NULL
+  )
+) WHERE rn <= {k}
+"""
+
+
+def kmv_distinct_sql(
+    table: str,
+    expr: str,
+    group_by: "list[str] | None" = None,
+    k: int = 256,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of kmv_distinct (identical hashes + estimator
+    doubles)."""
+    _check_k(k)
+    gb = _kmv_check_groups(list(group_by or []))
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    numer = float((k - 1) << _REG_BITS)
+    parts = kmv_partials_sql(table, expr, gb, k, seed)
+    return f"""
+SELECT {gsel}
+       CAST(round(CASE WHEN n_k < {k} THEN CAST(n_k AS DOUBLE)
+                       ELSE {numer!r} / CAST(kth AS DOUBLE) END)
+            AS BIGINT) AS est_distinct
+FROM (
+  SELECT {gsel}count(*) AS n_k, max(hv) AS kth
+  FROM ({parts})
+  {gkey}
+)
+"""
+
+
+def kmv_set_stats_sql(
+    table: str,
+    expr: str,
+    filter_a: str,
+    filter_b: str,
+    group_by: "list[str] | None" = None,
+    k: int = 256,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of kmv_set_stats for the common two-slices-of-one-
+    table posture: sketch ``expr`` under ``filter_a`` vs ``filter_b``
+    (both full SQL boolean expressions over ``table``)."""
+    _check_k(k)
+    gb = _kmv_check_groups(list(group_by or []))
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    numer = float((k - 1) << _REG_BITS)
+    part = f"PARTITION BY {', '.join(gb)} " if gb else ""
+    pa = kmv_partials_sql(f"(SELECT * FROM {table} WHERE {filter_a})",
+                          expr, gb, k, seed)
+    pb = kmv_partials_sql(f"(SELECT * FROM {table} WHERE {filter_b})",
+                          expr, gb, k, seed)
+    ugsel = ("".join(f"u.{g}, " for g in gb))
+    ugkey = ("GROUP BY " + ", ".join(f"u.{g}" for g in gb)) if gb \
+        else ""
+    on_a = " AND ".join([f"u.{g} = a.{g}" for g in gb]
+                        + ["u.hv = a.hv"])
+    on_b = " AND ".join([f"u.{g} = b.{g}" for g in gb]
+                        + ["u.hv = b.hv"])
+    j_eu = (" AND ".join(f"core.{g} = eu.{g}" for g in gb)
+            if gb else "TRUE")
+    j_ea = (" AND ".join(f"core.{g} = ea.{g}" for g in gb)
+            if gb else "TRUE")
+    j_eb = (" AND ".join(f"core.{g} = eb.{g}" for g in gb)
+            if gb else "TRUE")
+    csel = ("".join(f"core.{g}, " for g in gb))
+    est = (f"CASE WHEN n_k < {k} THEN CAST(n_k AS DOUBLE) "
+           f"ELSE {numer!r} / CAST(kth AS DOUBLE) END")
+    return f"""
+WITH pa AS ({pa}), pb AS ({pb}),
+u AS (
+  SELECT {gsel}hv FROM (
+    SELECT {gsel}hv, row_number() OVER ({part}ORDER BY hv) AS rn
+    FROM (SELECT DISTINCT * FROM
+          (SELECT * FROM pa UNION ALL SELECT * FROM pb))
+  ) WHERE rn <= {k}
+),
+ea AS (SELECT {gsel}CAST(round({est}) AS BIGINT) AS est_a FROM
+       (SELECT {gsel}count(*) AS n_k, max(hv) AS kth FROM pa {gkey})),
+eb AS (SELECT {gsel}CAST(round({est}) AS BIGINT) AS est_b FROM
+       (SELECT {gsel}count(*) AS n_k, max(hv) AS kth FROM pb {gkey})),
+eu AS (SELECT {gsel}CAST(round({est}) AS BIGINT) AS est_union FROM
+       (SELECT {gsel}count(*) AS n_k, max(hv) AS kth FROM u {gkey})),
+core AS (
+  SELECT {ugsel}count(*) AS m_k,
+         sum(CASE WHEN a.hv IS NOT NULL AND b.hv IS NOT NULL
+                  THEN 1 ELSE 0 END) AS c_both
+  FROM u LEFT JOIN pa a ON {on_a}
+         LEFT JOIN pb b ON {on_b}
+  {ugkey}
+)
+SELECT {csel}ea.est_a, eb.est_b, eu.est_union,
+       CAST(round((CAST(c_both AS DOUBLE) / CAST(m_k AS DOUBLE))
+                  * CAST(est_union AS DOUBLE)) AS BIGINT)
+         AS est_intersect,
+       round(CAST(c_both AS DOUBLE) / CAST(m_k AS DOUBLE), 4)
+         AS jaccard_est
+FROM core JOIN eu ON {j_eu} JOIN ea ON {j_ea} JOIN eb ON {j_eb}
+"""

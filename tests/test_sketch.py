@@ -158,3 +158,140 @@ class TestPlan:
             .queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert "partial_max" in plan or "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-style sketch
+# ---------------------------------------------------------------------------
+
+from nifi_extracttext_processor_spark.operators.sketch import (  # noqa: E402
+    kmv_distinct,
+    kmv_distinct_sql,
+    kmv_estimate,
+    kmv_merge,
+    kmv_partials,
+    kmv_partials_sql,
+    kmv_set_stats,
+    kmv_set_stats_sql,
+)
+
+
+class TestKMV:
+    def test_exact_below_k(self, spark, frame):
+        # group c has 40 distinct < k=64 → sketch IS the set → exact
+        got = {r["g"]: r["est_distinct"] for r in
+               kmv_distinct(frame, "val", ["g"], k=64).collect()}
+        assert got["c"] == 40
+
+    def test_estimator_within_kmv_error(self, spark, frame):
+        # k=256 → relative std err ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+        got = {r["g"]: r["est_distinct"] for r in
+               kmv_distinct(frame, "val", ["g"], k=256).collect()}
+        assert abs(got["a"] - 1000) / 1000 < 0.25, got["a"]
+        # b holds 300 distinct > k=256 → estimator path too
+        assert abs(got["b"] - 300) / 300 < 0.25, got["b"]
+
+    def test_null_excluded_and_sketch_bounded(self, spark, frame):
+        p = kmv_partials(frame, "val", ["g"], k=16)
+        sizes = {r["g"]: r["n"] for r in
+                 p.groupBy("g").agg(F.count("*").alias("n"))
+                 .collect()}
+        assert all(v <= 16 for v in sizes.values()), sizes
+        [r] = kmv_distinct(
+            spark.createDataFrame([("x",), (None,), ("x",)],
+                                  "val string"), "val").collect()
+        assert r["est_distinct"] == 1
+
+    def test_merge_equals_sketch_of_union(self, spark, frame):
+        day1 = frame.filter(F.col("val") < "u5")
+        day2 = frame.filter(~(F.col("val") < "u5")
+                            | F.col("val").isNull())
+        merged = kmv_merge(kmv_partials(day1, "val", ["g"], k=64),
+                           kmv_partials(day2, "val", ["g"], k=64),
+                           k=64)
+        whole = kmv_partials(frame, "val", ["g"], k=64)
+        a = sorted(map(tuple, merged.collect()))
+        b = sorted(map(tuple, whole.collect()))
+        assert a == b
+
+    def test_validates_k_and_group_clash(self, spark, frame):
+        with pytest.raises(ValueError):
+            kmv_distinct(frame, "val", k=1)
+        with pytest.raises(ValueError):
+            kmv_partials(frame.withColumnRenamed("g", "hv"),
+                         "val", ["hv"])
+
+
+class TestKMVSetAlgebra:
+    def test_partial_overlap(self, spark):
+        # A = 0..999, B = 500..1499 → J = 500/1500 = 1/3
+        a = spark.createDataFrame([(f"u{i}",) for i in range(1000)],
+                                  "val string")
+        b = spark.createDataFrame(
+            [(f"u{i}",) for i in range(500, 1500)], "val string")
+        [r] = kmv_set_stats(kmv_partials(a, "val", k=256),
+                            kmv_partials(b, "val", k=256),
+                            k=256).collect()
+        assert abs(r["est_union"] - 1500) / 1500 < 0.25
+        assert abs(r["jaccard_est"] - 1 / 3) < 0.12
+        assert abs(r["est_intersect"] - 500) / 500 < 0.4
+
+    def test_disjoint_and_identical(self, spark):
+        a = spark.createDataFrame([(f"a{i}",) for i in range(300)],
+                                  "val string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(300)],
+                                  "val string")
+        [r] = kmv_set_stats(kmv_partials(a, "val", k=128),
+                            kmv_partials(b, "val", k=128),
+                            k=128).collect()
+        assert r["est_intersect"] == 0 and r["jaccard_est"] == 0.0
+        [r2] = kmv_set_stats(kmv_partials(a, "val", k=128),
+                             kmv_partials(a, "val", k=128),
+                             k=128).collect()
+        assert r2["jaccard_est"] == 1.0
+        assert r2["est_intersect"] == r2["est_union"] == r2["est_a"]
+
+    def test_exact_when_small(self, spark):
+        # both sets below k → every stat exact
+        a = spark.createDataFrame([(f"u{i}",) for i in range(30)],
+                                  "val string")
+        b = spark.createDataFrame([(f"u{i}",) for i in range(20, 50)],
+                                  "val string")
+        [r] = kmv_set_stats(kmv_partials(a, "val", k=128),
+                            kmv_partials(b, "val", k=128),
+                            k=128).collect()
+        assert (r["est_a"], r["est_b"], r["est_union"],
+                r["est_intersect"]) == (30, 30, 50, 10)
+        assert r["jaccard_est"] == 0.2
+
+
+class TestKMVTwin:
+    @pytest.fixture(scope="class")
+    def ddb(self, frame):
+        con = duckdb.connect()
+        con.register("t", frame.toPandas())
+        return con
+
+    def test_partials_parity(self, spark, frame, ddb):
+        a = sorted(map(tuple,
+                       kmv_partials(frame, "val", ["g"],
+                                    k=32).collect()))
+        b = sorted(map(tuple, ddb.execute(
+            kmv_partials_sql("t", "val", ["g"], 32)).fetchall()))
+        assert a == b
+
+    def test_estimate_parity(self, spark, frame, ddb):
+        a = sorted(map(tuple,
+                       kmv_distinct(frame, "val", ["g"],
+                                    k=32).collect()))
+        b = sorted(map(tuple, ddb.execute(
+            kmv_distinct_sql("t", "val", ["g"], 32)).fetchall()))
+        assert a == b
+
+    def test_set_stats_parity(self, spark, frame, ddb):
+        pa = kmv_partials(frame.filter("g = 'a'"), "val", k=64)
+        pb = kmv_partials(frame.filter("g = 'b'"), "val", k=64)
+        [got] = kmv_set_stats(pa, pb, k=64).collect()
+        [exp] = ddb.execute(kmv_set_stats_sql(
+            "t", "val", "g = 'a'", "g = 'b'", None, 64)).fetchall()
+        assert tuple(got) == exp

@@ -149,6 +149,7 @@ R12_NEW = {
     "events_funnel_windowed", "revenue_concentration",
     "lang_source_association", "cohort_ltv_daily",
     "join_fanout_orders", "benford_values",
+    "kmv_doc_distinct", "kmv_audience_overlap",
 }
 
 
