@@ -3872,6 +3872,35 @@ def q_kmv_audience_overlap(spark, sf):
     return skx.kmv_set_stats(a, b, k=128)
 
 
+@_q("ab_msprt_value", abx.ab_msprt_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events)",
+    "variant", "value", "c", "t", group_by=["event_type"],
+    tau2=25.0))
+def q_ab_msprt_value(spark, sf):
+    """Always-valid mixture-SPRT (Johari 2017) on the value metric —
+    the peek-proof companion to ab_value_welch: log Λ from the same
+    six sufficient statistics, always-valid p = min(1, 1/Λ),
+    repr-embedded ln(1/α) threshold."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    return abx.ab_msprt(exp, "variant", "value", "c", "t",
+                        group_by=["event_type"], tau2=25.0)
+
+
+@_q("ab_power_events", abx.ab_power_mde_sql(
+    "events", "value", group_by=["event_type"], mde_rel=0.05))
+def q_ab_power_events(spark, sf):
+    """Pre-experiment power/MDE planner from baseline data: per-arm n
+    required to detect a 5% relative lift on value at α=0.05 /
+    power=0.80 (repr-exact z constants), and the relative MDE the
+    current population already supports."""
+    return abx.ab_power_mde(_t(spark, sf, "events"), "value",
+                            group_by=["event_type"], mde_rel=0.05)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -1757,3 +1757,253 @@ FROM one""")
             f"SELECT covariate, n_control, n_treatment, mean_control, "
             f"mean_treatment, smd, imbalanced "
             f"FROM ({' UNION ALL '.join(sel)}) ORDER BY ord")
+
+
+# ---------------------------------------------------------------------------
+# Always-valid inference: mixture sequential probability ratio test
+# (Johari, Koomen, Pekelis & Walsh 2017, "Peeking at A/B tests";
+# Robbins 1970 mixture SPRT). The fixed-horizon tests above are only
+# valid at ONE pre-registered look; a dashboard that re-reads the
+# experiment daily inflates its false-positive rate without bound.
+# The mSPRT's likelihood-ratio martingale Λ_n is valid at EVERY n
+# simultaneously: reject when Λ_n ≥ 1/α, always-valid p = min(1, 1/Λ).
+#
+# Two-sample mean form with a N(0, tau2) mixing prior on the effect:
+#   V_n        = s0²/n0 + s1²/n1          (Welch variance of the diff)
+#   ln Λ_n     = ½·ln(V/(V+τ²)) + δ̂²τ² / (2V(V+τ²))
+# — sufficient statistics only (count/sum/sum-of-squares per arm), so
+# the whole test is ONE map-side-combinable aggregate; 100 TB of raw
+# observations collapse to six numbers per (group, arm) before any
+# shuffle. ln/exp run at query time on data-dependent doubles, so
+# outputs are rounded (the kn_perplexity precedent); the α threshold
+# ln(1/α) is a repr-embedded Python constant, identical both engines.
+# ---------------------------------------------------------------------------
+
+
+def ab_msprt(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    tau2: float = 1.0,
+    alpha: float = 0.05,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_control, n_treatment, diff, log_lambda,
+    always_valid_p, significant) — mixture-SPRT always-valid test on
+    a continuous metric. NULL values excluded; cells with an empty or
+    constant arm emit NULL log_lambda / significant=false. `tau2` is
+    the mixing-prior variance on the effect size (match it to the
+    metric's scale; too small ≈ slow detection, too large ≈
+    conservative early on)."""
+    import math
+    if tau2 <= 0 or not (0 < alpha < 1):
+        raise ValueError("tau2 must be > 0 and alpha in (0, 1)")
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = (df.filter(F.col(variant_col).isin(control, treatment)
+                      & v.isNotNull())
+            .withColumn("__t",
+                        (F.col(variant_col) == treatment).cast("int")))
+    agg = base.groupBy(*gb).agg(
+        F.sum(1 - F.col("__t")).alias("n0"),
+        F.sum("__t").alias("n1"),
+        F.sum(v * (1 - F.col("__t"))).alias("sv0"),
+        F.sum(v * F.col("__t")).alias("sv1"),
+        F.sum(v * v * (1 - F.col("__t"))).alias("ss0"),
+        F.sum(v * v * F.col("__t")).alias("ss1"))
+    m0 = F.try_divide(F.col("sv0"), F.col("n0"))
+    m1 = F.try_divide(F.col("sv1"), F.col("n1"))
+    var0 = F.try_divide(F.col("ss0") - F.col("n0") * m0 * m0,
+                        F.col("n0") - 1)
+    var1 = F.try_divide(F.col("ss1") - F.col("n1") * m1 * m1,
+                        F.col("n1") - 1)
+    vn = F.try_divide(var0, F.col("n0")) \
+        + F.try_divide(var1, F.col("n1"))
+    d = m1 - m0
+    t2 = F.lit(float(tau2))
+    ll = F.when(
+        vn > 0,
+        F.lit(0.5) * F.log(vn / (vn + t2))
+        + F.try_divide(d * d * t2, F.lit(2.0) * vn * (vn + t2)))
+    llr = F.round(ll, round_dp)
+    thresh = math.log(1.0 / alpha)
+    avp = F.round(F.least(F.lit(1.0), F.exp(-ll)), round_dp)
+    return agg.select(
+        *gb,
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round(d, round_dp).alias("diff"),
+        llr.alias("log_lambda"),
+        avp.alias("always_valid_p"),
+        F.coalesce(llr >= F.lit(float(thresh)), F.lit(False))
+        .alias("significant"))
+
+
+def ab_msprt_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    tau2: float = 1.0,
+    alpha: float = 0.05,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_msprt (same sufficient statistics, same
+    repr-embedded ln(1/α) threshold, same rounding)."""
+    import math
+    if tau2 <= 0 or not (0 < alpha < 1):
+        raise ValueError("tau2 must be > 0 and alpha in (0, 1)")
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    v = f"CAST({value_col} AS DOUBLE)"
+    t = f"CAST({variant_col} = {sql_lit(treatment)} AS INT)"
+    t2 = repr(float(tau2))
+    thresh = repr(float(math.log(1.0 / alpha)))
+    return f"""
+WITH agg AS (
+  SELECT {gsel}
+         sum(1 - {t}) AS n0, sum({t}) AS n1,
+         sum({v} * (1 - {t})) AS sv0, sum({v} * {t}) AS sv1,
+         sum({v} * {v} * (1 - {t})) AS ss0,
+         sum({v} * {v} * {t}) AS ss1
+  FROM {table}
+  WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
+    AND {value_col} IS NOT NULL
+  {gkey}
+),
+calc AS (
+  SELECT *,
+         sv1 / nullif(n1, 0) - sv0 / nullif(n0, 0) AS d,
+         (ss0 - n0 * (sv0 / nullif(n0, 0)) * (sv0 / nullif(n0, 0)))
+           / nullif(n0 - 1, 0) / nullif(n0, 0)
+         + (ss1 - n1 * (sv1 / nullif(n1, 0)) * (sv1 / nullif(n1, 0)))
+           / nullif(n1 - 1, 0) / nullif(n1, 0) AS vn
+  FROM agg
+),
+lam AS (
+  SELECT *,
+         CASE WHEN vn > 0
+              THEN 0.5 * ln(vn / (vn + {t2}))
+                   + d * d * {t2} / (2.0 * vn * (vn + {t2})) END
+           AS ll
+  FROM calc
+)
+SELECT {gsel}
+       n0 AS n_control, n1 AS n_treatment,
+       round(d, {round_dp}) AS diff,
+       round(ll, {round_dp}) AS log_lambda,
+       round(least(1.0, exp(-ll)), {round_dp}) AS always_valid_p,
+       coalesce(round(ll, {round_dp}) >= {thresh}, FALSE)
+         AS significant
+FROM lam
+"""
+
+
+def ab_power_mde(
+    df: DataFrame,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    mde_rel: float = 0.05,
+    z_alpha: float = 1.959963984540054,
+    z_power: float = 0.8416212335729143,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n, mean, sd, n_per_arm_required, mde_abs_at_n,
+    mde_rel_at_n) — pre-experiment power planning from BASELINE data:
+    for a 50/50 two-arm test on this metric, the per-arm sample size
+    that detects a `mde_rel` relative lift at the given z constants
+    (defaults: two-sided α=0.05, power=0.80, repr-exact), and the
+    relative MDE the CURRENT population would already support.
+
+    n_per_arm = 2σ²(z_α + z_β)² / (mde_rel·mean)²  (Lehr's formula,
+    exact z form). Pure sufficient-statistics arithmetic + sqrt —
+    one map-side-combinable aggregate, fully deterministic."""
+    if mde_rel <= 0:
+        raise ValueError("mde_rel must be > 0")
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    agg = (df.filter(v.isNotNull())
+           .groupBy(*gb)
+           .agg(F.count("*").alias("n"),
+                F.sum(v).alias("sv"),
+                F.sum(v * v).alias("ss")))
+    m = F.try_divide(F.col("sv"), F.col("n"))
+    var = F.try_divide(F.col("ss") - F.col("n") * m * m,
+                       F.col("n") - 1)
+    k2 = float((z_alpha + z_power) ** 2)
+    need = F.ceil(F.try_divide(F.lit(2.0 * k2) * var,
+                               (F.lit(float(mde_rel)) * m)
+                               * (F.lit(float(mde_rel)) * m)))
+    n_arm = F.floor(F.col("n") / 2)
+    mde_abs = F.when(
+        n_arm > 0,
+        F.lit(float((z_alpha + z_power))) *
+        F.sqrt(F.try_divide(F.lit(2.0) * var, n_arm.cast("double"))))
+    return agg.select(
+        *gb,
+        F.col("n"),
+        F.round(m, round_dp).alias("mean"),
+        F.round(F.sqrt(var), round_dp).alias("sd"),
+        need.cast("long").alias("n_per_arm_required"),
+        F.round(mde_abs, round_dp).alias("mde_abs_at_n"),
+        F.round(F.try_divide(mde_abs, m), round_dp)
+        .alias("mde_rel_at_n"))
+
+
+def ab_power_mde_sql(
+    table: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    mde_rel: float = 0.05,
+    z_alpha: float = 1.959963984540054,
+    z_power: float = 0.8416212335729143,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_power_mde (same sufficient statistics, same
+    repr-embedded z constants)."""
+    if mde_rel <= 0:
+        raise ValueError("mde_rel must be > 0")
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    v = f"CAST({value_col} AS DOUBLE)"
+    k2 = repr(float((z_alpha + z_power) ** 2))
+    k = repr(float(z_alpha + z_power))
+    mr = repr(float(mde_rel))
+    return f"""
+WITH agg AS (
+  SELECT {gsel}count(*) AS n, sum({v}) AS sv, sum({v} * {v}) AS ss
+  FROM {table} WHERE {value_col} IS NOT NULL
+  {gkey}
+),
+calc AS (
+  SELECT *,
+         sv / nullif(n, 0) AS m,
+         (ss - n * (sv / nullif(n, 0)) * (sv / nullif(n, 0)))
+           / nullif(n - 1, 0) AS var,
+         CAST(floor(n / 2) AS BIGINT) AS n_arm
+  FROM agg
+),
+mde AS (
+  SELECT *,
+         CASE WHEN n_arm > 0
+              THEN {k} * sqrt(2.0 * var / CAST(n_arm AS DOUBLE)) END
+           AS mde_abs
+  FROM calc
+)
+SELECT {gsel}n,
+       round(m, {round_dp}) AS mean,
+       round(sqrt(var), {round_dp}) AS sd,
+       CAST(ceil(2.0 * {k2} * var / nullif(({mr} * m) * ({mr} * m),
+                                           0)) AS BIGINT)
+         AS n_per_arm_required,
+       round(mde_abs, {round_dp}) AS mde_abs_at_n,
+       round(mde_abs / nullif(m, 0), {round_dp}) AS mde_rel_at_n
+FROM mde
+"""

@@ -656,3 +656,131 @@ class TestCovariateBalance:
         assert plan.count("Scan ") <= 1
         with _pt.raises(ValueError, match="covariates"):
             ab_covariate_balance(df, "variant", [], "c", "t")
+
+
+class TestMsprt:
+    def _frame(self, spark, shift):
+        import random
+        rng = random.Random(7)
+        rows = ([("c", rng.gauss(10, 2)) for _ in range(400)]
+                + [("t", rng.gauss(10 + shift, 2))
+                   for _ in range(400)])
+        return spark.createDataFrame(rows, "variant string, v double")
+
+    def test_hand_computed(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_msprt,
+        )
+        import statistics
+        c = [1.0, 2.0, 3.0, 4.0]
+        t = [3.0, 5.0, 7.0, 9.0]
+        rows = [("c", v) for v in c] + [("t", v) for v in t]
+        df = spark.createDataFrame(rows, "variant string, v double")
+        [r] = ab_msprt(df, "variant", "v", "c", "t",
+                       tau2=4.0).collect()
+        vn = (statistics.variance(c) / 4
+              + statistics.variance(t) / 4)
+        d = statistics.mean(t) - statistics.mean(c)
+        ll = (0.5 * math.log(vn / (vn + 4.0))
+              + d * d * 4.0 / (2.0 * vn * (vn + 4.0)))
+        assert r["log_lambda"] == round(ll, 4)
+        assert r["always_valid_p"] == round(min(1.0,
+                                                math.exp(-ll)), 4)
+
+    def test_null_effect_not_significant(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_msprt,
+        )
+        [r] = ab_msprt(self._frame(spark, 0.0), "variant", "v",
+                       "c", "t", tau2=1.0).collect()
+        assert r["significant"] is False
+        assert r["always_valid_p"] > 0.5
+
+    def test_real_effect_detected(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_msprt,
+        )
+        [r] = ab_msprt(self._frame(spark, 1.0), "variant", "v",
+                       "c", "t", tau2=1.0).collect()
+        assert r["significant"] is True
+        assert r["always_valid_p"] < 0.05
+
+    def test_degenerate_and_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_msprt,
+        )
+        df = spark.createDataFrame(
+            [("c", 1.0), ("t", 2.0)], "variant string, v double")
+        [r] = ab_msprt(df, "variant", "v", "c", "t").collect()
+        assert r["log_lambda"] is None
+        assert r["significant"] is False
+        with pytest.raises(ValueError):
+            ab_msprt(df, "variant", "v", "c", "t", tau2=0.0)
+        with pytest.raises(ValueError):
+            ab_msprt(df, "variant", "v", "c", "t", alpha=1.5)
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_msprt,
+            ab_msprt_sql,
+        )
+        df = self._frame(spark, 0.5)
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        [a] = ab_msprt(df, "variant", "v", "c", "t",
+                       tau2=2.0).collect()
+        [b] = con.execute(ab_msprt_sql(
+            "t", "variant", "v", "c", "t", tau2=2.0)).fetchall()
+        assert tuple(a) == b
+
+
+class TestPowerMde:
+    def test_hand_computed(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_power_mde,
+        )
+        import statistics
+        vals = [float(x) for x in range(1, 101)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        [r] = ab_power_mde(df, "v", mde_rel=0.10).collect()
+        m = statistics.mean(vals)
+        var = statistics.variance(vals)
+        k = 1.959963984540054 + 0.8416212335729143
+        assert r["n"] == 100
+        assert r["mean"] == round(m, 4)
+        assert r["sd"] == round(math.sqrt(var), 4)
+        assert r["n_per_arm_required"] == math.ceil(
+            2.0 * k * k * var / ((0.10 * m) * (0.10 * m)))
+        mde_abs = k * math.sqrt(2.0 * var / 50)
+        assert r["mde_abs_at_n"] == round(mde_abs, 4)
+        assert r["mde_rel_at_n"] == round(mde_abs / m, 4)
+
+    def test_bigger_mde_needs_fewer(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_power_mde,
+        )
+        df = spark.createDataFrame(
+            [(float(x % 17),) for x in range(200)], "v double")
+        [small] = ab_power_mde(df, "v", mde_rel=0.02).collect()
+        [big] = ab_power_mde(df, "v", mde_rel=0.20).collect()
+        assert small["n_per_arm_required"] \
+            > big["n_per_arm_required"]
+        with pytest.raises(ValueError):
+            ab_power_mde(df, "v", mde_rel=0.0)
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_power_mde,
+            ab_power_mde_sql,
+        )
+        df = spark.createDataFrame(
+            [("a", float(x % 23 + 1)) for x in range(150)]
+            + [("b", float(x % 7 + 2)) for x in range(90)],
+            "g string, v double")
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, ab_power_mde(
+            df, "v", ["g"], mde_rel=0.05).collect()))
+        b = sorted(map(tuple, con.execute(ab_power_mde_sql(
+            "t", "v", ["g"], mde_rel=0.05)).fetchall()))
+        assert a == b

@@ -150,6 +150,7 @@ R12_NEW = {
     "lang_source_association", "cohort_ltv_daily",
     "join_fanout_orders", "benford_values",
     "kmv_doc_distinct", "kmv_audience_overlap",
+    "ab_msprt_value", "ab_power_events",
 }
 
 
