@@ -3901,6 +3901,31 @@ def q_ab_power_events(spark, sf):
                             group_by=["event_type"], mde_rel=0.05)
 
 
+@_q("events_ses_forecast", tsx.ses_forecast_sql(
+    "events", "ts", "value", ["event_type"], alpha=0.3))
+def q_events_ses_forecast(spark, sf):
+    """Simple-exponential-smoothing one-step forecast of the daily
+    value sum per event type — the events_km_survival fold
+    discipline: day-grain collapse first, then a bit-identical
+    left-associated IEEE fold (Catalyst aggregate() vs DuckDB
+    list_reduce), repr-embedded alpha."""
+    return tsx.ses_forecast(_t(spark, sf, "events"), "ts", "value",
+                            ["event_type"], alpha=0.3)
+
+
+@_q("events_lead_lag", tsx.lead_lag_corr_sql(
+    "events", "ts", "value", "event_type", "click", "purchase",
+    max_lag=3))
+def q_events_lead_lag(spark, sf):
+    """Lead/lag cross-correlation between the click and purchase
+    daily value series (lags -3..3) — 'does click volume lead
+    purchases' as day-collapsed sufficient-sum Pearson correlations;
+    the lag fan-out runs on the bounded daily table only."""
+    return tsx.lead_lag_corr(_t(spark, sf, "events"), "ts", "value",
+                             "event_type", "click", "purchase",
+                             max_lag=3)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -757,3 +757,204 @@ SELECT {keys}, {ts_col}, {value_col},
          AS is_anomaly
 FROM j
 """
+
+
+def ses_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.3,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_periods, last_day, last_y, forecast) — simple
+    exponential smoothing (Brown 1956) over the per-day metric sum:
+    level_1 = y_1, level_t = α·y_t + (1−α)·level_{t−1}; the emitted
+    `forecast` (= final level) is the one-step-ahead prediction for
+    the next day.
+
+    Execution shape (the events_km_survival discipline): one
+    map-side-combinable groupBy collapses rows to one (group, day)
+    tuple — the shuffle carries distinct DAYS, never events; the fold
+    then runs over that bounded daily series via Catalyst's
+    `aggregate()` higher-order function, seeded with y_1 so it
+    left-associates exactly like DuckDB's `list_reduce` (which seeds
+    from the first list element). α and 1−α are repr-embedded Python
+    doubles, identical in both engines; IEEE ·/+ make the fold
+    bit-identical before the final round. DAY-GRAIN CONTRACT: the
+    series per group is bounded (~10^3 rows for years of data), so
+    collect_list stays small no matter the input size."""
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    gb = list(group_by or [])
+    a = repr(float(alpha))
+    b = repr(1.0 - float(alpha))
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*gb, F.to_date(F.col(ts_col)).cast("string")
+                      .alias("__d"))
+             .agg(F.sum(F.col(value_col).cast("double"))
+                  .alias("__y")))
+    ser = (daily.groupBy(*gb)
+           .agg(F.expr("array_sort(collect_list(struct(__d, __y)))")
+                .alias("__s")))
+    ys = "transform(__s, x -> x.__y)"
+    level = (f"aggregate(slice({ys}, 2, size(__s) - 1), "
+             f"CAST(element_at({ys}, 1) AS DOUBLE), "
+             f"(acc, x) -> {a} * x + {b} * acc)")
+    return ser.select(
+        *gb,
+        F.expr("size(__s)").cast("long").alias("n_periods"),
+        F.expr("element_at(__s, -1).__d").alias("last_day"),
+        F.round(F.expr("element_at(__s, -1).__y"), round_dp)
+        .alias("last_y"),
+        F.round(F.expr(level), round_dp).alias("forecast"))
+
+
+def ses_forecast_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.3,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ses_forecast (list(y ORDER BY day) +
+    list_reduce, which seeds from the first element exactly like the
+    Spark side's explicit y_1 seed; identical repr-embedded α)."""
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    a = repr(float(alpha))
+    b = repr(1.0 - float(alpha))
+    return f"""
+WITH daily AS (
+  SELECT {gsel}strftime({ts_col}, '%Y-%m-%d') AS d,
+         sum(CAST({value_col} AS DOUBLE)) AS y
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel.rstrip(', ') + (',' if gb else '')} strftime({ts_col}, '%Y-%m-%d')
+),
+ser AS (
+  SELECT {gsel}
+         list(y ORDER BY d) AS ys,
+         max(d) AS last_day,
+         count(*) AS n_periods
+  FROM daily
+  {gkey}
+)
+SELECT {gsel}n_periods,
+       last_day,
+       round(ys[len(ys)], {round_dp}) AS last_y,
+       round(list_reduce(ys, (acc, x) -> {a} * x + {b} * acc),
+             {round_dp}) AS forecast
+FROM ser
+"""
+
+
+def lead_lag_corr(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    max_lag: int = 7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(lag, n_days, corr) — lead/lag cross-correlation between two
+    daily series: Pearson corr of series A's day-d sum against series
+    B's day-(d+lag) sum, for every lag in [-max_lag, max_lag]. A
+    positive-lag peak reads "A leads B by `lag` days".
+
+    Execution shape: rows collapse to one (key, day) tuple FIRST (the
+    shuffle carries distinct days, never events); the lag fan-out and
+    self-join then run over two bounded daily tables (~10^3 rows for
+    years), so the 2L+1 copies are arithmetic on already-tiny data.
+    Correlation from integer-free sufficient sums with the n·Σxy form,
+    expression-ordered identically in the DuckDB twin."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    daily = (df.filter(F.col(key_col).isin(key_a, key_b)
+                       & F.col(value_col).isNotNull())
+             .groupBy(F.col(key_col).alias("__k"),
+                      F.to_date(F.col(ts_col)).alias("__d"))
+             .agg(F.sum(F.col(value_col).cast("double"))
+                  .alias("__y")))
+    a = (daily.filter(F.col("__k") == key_a)
+         .select(F.col("__d").alias("da"), F.col("__y").alias("ya")))
+    b = (daily.filter(F.col("__k") == key_b)
+         .select(F.col("__d").alias("db"), F.col("__y").alias("yb")))
+    lags = F.explode(F.sequence(F.lit(-int(max_lag)),
+                                F.lit(int(max_lag)))).alias("lag")
+    al = a.select("da", "ya", lags)
+    j = al.join(b, F.expr("date_add(da, lag) = db"))
+    agg = j.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum("ya").alias("sx"), F.sum("yb").alias("sy"),
+        F.sum(F.col("ya") * F.col("ya")).alias("sxx"),
+        F.sum(F.col("yb") * F.col("yb")).alias("syy"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sxy"))
+    n = F.col("n_days").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(dx * dy)
+    return (agg.select(
+        "lag", "n_days",
+        F.round(F.when(den > 0, num / den), round_dp).alias("corr"))
+        .orderBy("lag"))
+
+
+def lead_lag_corr_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    key_a: str,
+    key_b: str,
+    max_lag: int = 7,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of lead_lag_corr (same daily sums, same lag join,
+    same n·Σxy correlation expression order)."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    from ..sqlutil import sql_lit
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS k, CAST(date_trunc('day', {ts_col}) AS DATE)
+           AS d,
+         sum(CAST({value_col} AS DOUBLE)) AS y
+  FROM {table}
+  WHERE {key_col} IN ({sql_lit(key_a)}, {sql_lit(key_b)})
+    AND {value_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+lags AS (SELECT unnest(range(-{int(max_lag)}, {int(max_lag)} + 1))
+           AS lag),
+j AS (
+  SELECT lags.lag, a.y AS ya, b.y AS yb
+  FROM daily a CROSS JOIN lags
+  JOIN daily b ON b.k = {sql_lit(key_b)}
+              AND b.d = a.d + lags.lag * INTERVAL 1 DAY
+  WHERE a.k = {sql_lit(key_a)}
+),
+agg AS (
+  SELECT lag, count(*) AS n_days,
+         sum(ya) AS sx, sum(yb) AS sy,
+         sum(ya * ya) AS sxx, sum(yb * yb) AS syy,
+         sum(ya * yb) AS sxy
+  FROM j GROUP BY lag
+)
+SELECT lag, n_days,
+       round(CASE WHEN sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n_days AS DOUBLE) * syy
+                               - sy * sy)) > 0
+                  THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n_days AS DOUBLE) * syy
+                                 - sy * sy)) END, {round_dp}) AS corr
+FROM agg
+ORDER BY lag
+"""

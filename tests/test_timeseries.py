@@ -209,3 +209,107 @@ class TestSeasonalAnomaly:
                 "value")).fetchall()), key=str)
         assert len(a) == len(b)
         assert a == b
+
+
+class TestSesForecast:
+    def test_hand_computed_fold(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import ses_forecast
+        # one group, 4 days, y = 10, 20, 30, 40; alpha = 0.5
+        rows = [(f"2024-01-0{i + 1} 12:00:00", float((i + 1) * 10))
+                for i in range(4)]
+        df = spark.createDataFrame(rows, "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = ses_forecast(df, "ts", "v", alpha=0.5).collect()
+        # level: 10 -> .5*20+.5*10=15 -> .5*30+.5*15=22.5 -> 31.25
+        assert r["forecast"] == 31.25
+        assert r["n_periods"] == 4
+        assert r["last_day"] == "2024-01-04"
+        assert r["last_y"] == 40.0
+
+    def test_intraday_rows_collapse_first(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import ses_forecast
+        # two rows on the same day sum before the fold
+        rows = [("2024-01-01 01:00:00", 5.0),
+                ("2024-01-01 23:00:00", 5.0),
+                ("2024-01-02 12:00:00", 20.0)]
+        df = spark.createDataFrame(rows, "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = ses_forecast(df, "ts", "v", alpha=0.5).collect()
+        assert r["n_periods"] == 2
+        assert r["forecast"] == 15.0  # .5*20 + .5*10
+
+    def test_validates_alpha(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import ses_forecast
+        df = spark.createDataFrame([("2024-01-01", 1.0)],
+                                   "ts string, v double")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            ses_forecast(df, "ts", "v", alpha=1.0)
+
+    def test_twin_parity_grouped(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import ses_forecast, ses_forecast_sql
+        import duckdb
+        import random
+        rng = random.Random(3)
+        rows = [(g, f"2024-02-{d + 1:02d} 08:30:00",
+                 round(rng.uniform(1, 100), 2))
+                for g in ("a", "b") for d in range(15)]
+        df = spark.createDataFrame(rows, "g string, ts string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, ses_forecast(
+            df, "ts", "v", ["g"], alpha=0.25).collect()))
+        b = sorted(map(tuple, con.execute(ses_forecast_sql(
+            "t", "ts", "v", ["g"], alpha=0.25)).fetchall()))
+        assert a == b
+
+
+class TestLeadLagCorr:
+    def test_planted_lead(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import lead_lag_corr
+        import random
+        rng = random.Random(11)
+        # B at day d+2 follows A at day d exactly -> corr 1.0 at lag 2
+        ys = [rng.uniform(10, 100) for _ in range(30)]
+        rows = []
+        for d, y in enumerate(ys):
+            rows.append(("A", f"2024-03-{d + 1:02d} 10:00:00", y))
+        for d, y in enumerate(ys[:-2]):
+            rows.append(("B", f"2024-03-{d + 3:02d} 10:00:00", y))
+        df = spark.createDataFrame(rows, "k string, ts string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        got = {r["lag"]: r["corr"] for r in lead_lag_corr(
+            df, "ts", "v", "k", "A", "B", max_lag=3).collect()}
+        assert got[2] == 1.0
+        assert abs(got[0]) < 0.7
+
+    def test_validates_and_twin(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import lead_lag_corr, lead_lag_corr_sql
+        import duckdb
+        import pytest as _pt
+        import random
+        rng = random.Random(5)
+        rows = [(k, f"2024-04-{d + 1:02d} 09:00:00",
+                 round(rng.uniform(1, 50), 3))
+                for k in ("x", "y") for d in range(20)]
+        df = spark.createDataFrame(rows, "k string, ts string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        with _pt.raises(ValueError):
+            lead_lag_corr(df, "ts", "v", "k", "x", "y", max_lag=0)
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = [tuple(r) for r in lead_lag_corr(
+            df, "ts", "v", "k", "x", "y", max_lag=4).collect()]
+        b = con.execute(lead_lag_corr_sql(
+            "t", "ts", "v", "k", "x", "y", 4)).fetchall()
+        assert a == b

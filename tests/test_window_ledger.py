@@ -151,6 +151,7 @@ R12_NEW = {
     "join_fanout_orders", "benford_values",
     "kmv_doc_distinct", "kmv_audience_overlap",
     "ab_msprt_value", "ab_power_events",
+    "events_ses_forecast", "events_lead_lag",
 }
 
 
