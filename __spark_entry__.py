@@ -3926,6 +3926,19 @@ def q_events_lead_lag(spark, sf):
                              max_lag=3)
 
 
+@_q("revenue_decomposition", prof.metric_decomposition_sql(
+    "orders", "o_orderdate", "o_totalprice",
+    ["o_orderpriority", "o_orderstatus"], "1998-01-01"))
+def q_revenue_decomposition(spark, sf):
+    """Period-over-period root-cause decomposition: which priority /
+    status segments moved total order value across the 1998-01-01
+    split — single-scan melt to (dimension, segment) pairs,
+    conditional sums, per-dimension share-of-change."""
+    return prof.metric_decomposition(
+        _t(spark, sf, "orders"), "o_orderdate", "o_totalprice",
+        ["o_orderpriority", "o_orderstatus"], "1998-01-01")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -718,3 +718,98 @@ SELECT {gsel}n, {', '.join(f'd{d}' for d in range(1, 10))},
 FROM agg
 {order}
 """
+
+
+def metric_decomposition(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    dims: "list[str]",
+    split: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(dimension, dim_value, value_before, value_after, delta,
+    share_of_change) — root-cause readout for "the metric moved
+    period-over-period; WHICH segment moved it": the value sum before
+    vs on/after `split` (an ISO date string), broken down by every
+    dimension in `dims`, each segment's delta as a share of that
+    dimension's total change.
+
+    Execution shape: ONE scan — rows melt to (dim_name, dim_value)
+    pairs via an inline array (len(dims)× row fan-out of two narrow
+    string columns, no second pass over the table), then one
+    map-side-combinable groupBy with conditional sums. The share
+    window runs over the already-collapsed segment table (bounded by
+    total distinct dim values). NULL dim values group as the
+    '∅' segment so a null-heavy dimension is visible, not dropped."""
+    if not dims:
+        raise ValueError("dims must name at least one column")
+    pairs = F.array(*[
+        F.struct(F.lit(d).alias("dimension"),
+                 F.coalesce(F.col(d).cast("string"), F.lit("∅"))
+                 .alias("dim_value"))
+        for d in dims])
+    v = F.col(value_col).cast("double")
+    after = (F.col(ts_col) >= F.to_timestamp(F.lit(split))) \
+        .cast("int")
+    melted = (df.filter(v.isNotNull())
+              .select(v.alias("__v"), after.alias("__a"),
+                      F.explode(pairs).alias("__p"))
+              .select("__v", "__a", "__p.dimension", "__p.dim_value"))
+    agg = (melted.groupBy("dimension", "dim_value")
+           .agg(F.sum(F.col("__v") * (1 - F.col("__a")))
+                .alias("vb"),
+                F.sum(F.col("__v") * F.col("__a")).alias("va")))
+    delta = F.col("va") - F.col("vb")
+    w = Window.partitionBy("dimension")
+    tot = F.sum(delta).over(w)
+    return agg.select(
+        "dimension", "dim_value",
+        F.round(F.col("vb"), round_dp).alias("value_before"),
+        F.round(F.col("va"), round_dp).alias("value_after"),
+        F.round(delta, round_dp).alias("delta"),
+        F.round(F.when(F.abs(tot) > 0, delta / tot), round_dp)
+        .alias("share_of_change"))
+
+
+def metric_decomposition_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    dims: "list[str]",
+    split: str,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of metric_decomposition (UNION ALL per dimension
+    over one base CTE — the twin states semantics; the Spark side
+    owns the single-scan melt)."""
+    if not dims:
+        raise ValueError("dims must name at least one column")
+    from ..sqlutil import sql_lit
+    arms = []
+    for d in dims:
+        arms.append(f"""
+  SELECT {sql_lit(d)} AS dimension,
+         coalesce(CAST({d} AS VARCHAR), '∅') AS dim_value,
+         sum(v * (1 - a)) AS vb, sum(v * a) AS va
+  FROM base GROUP BY 2""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+WITH base AS (
+  SELECT CAST({value_col} AS DOUBLE) AS v,
+         CAST({ts_col} >= CAST({sql_lit(split)} AS TIMESTAMP) AS INT)
+           AS a,
+         * FROM {table} WHERE {value_col} IS NOT NULL
+),
+seg AS ({union})
+SELECT dimension, dim_value,
+       round(vb, {round_dp}) AS value_before,
+       round(va, {round_dp}) AS value_after,
+       round(va - vb, {round_dp}) AS delta,
+       round(CASE WHEN abs(sum(va - vb) OVER (PARTITION BY dimension))
+                       > 0
+                  THEN (va - vb)
+                       / sum(va - vb) OVER (PARTITION BY dimension)
+             END, {round_dp}) AS share_of_change
+FROM seg
+"""

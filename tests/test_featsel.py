@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 import duckdb
 import pytest
 
@@ -292,3 +294,79 @@ class TestBenford:
         [r] = benford_test(df, "v").collect()
         assert r["n"] == 2
         assert r["d1"] == 1 and r["d9"] == 1
+
+
+class TestMetricDecomposition:
+    def test_hand_computed_shares(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import metric_decomposition
+        rows = [
+            # before split: a=10, b=20; after: a=40, b=25
+            ("2024-01-01 00:00:00", "a", 10.0),
+            ("2024-01-01 00:00:00", "b", 20.0),
+            ("2024-02-01 00:00:00", "a", 40.0),
+            ("2024-02-01 00:00:00", "b", 25.0),
+        ]
+        df = spark.createDataFrame(rows, "ts string, seg string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        got = {r["dim_value"]: r for r in metric_decomposition(
+            df, "ts", "v", ["seg"], "2024-01-15").collect()}
+        assert got["a"]["delta"] == 30.0
+        assert got["b"]["delta"] == 5.0
+        assert got["a"]["share_of_change"] == round(30 / 35, 4)
+        assert got["b"]["share_of_change"] == round(5 / 35, 4)
+        assert got["a"]["value_before"] == 10.0
+        assert got["a"]["value_after"] == 40.0
+
+    def test_null_dim_becomes_segment(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import metric_decomposition
+        rows = [("2024-01-01 00:00:00", None, 7.0),
+                ("2024-02-01 00:00:00", None, 9.0)]
+        df = spark.createDataFrame(rows, "ts string, seg string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = metric_decomposition(df, "ts", "v", ["seg"],
+                                   "2024-01-15").collect()
+        assert r["dim_value"] == "∅"
+        assert r["delta"] == 2.0
+
+    def test_zero_total_change_null_share(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import metric_decomposition
+        rows = [("2024-01-01 00:00:00", "a", 10.0),
+                ("2024-02-01 00:00:00", "a", 15.0),
+                ("2024-01-01 00:00:00", "b", 20.0),
+                ("2024-02-01 00:00:00", "b", 15.0)]
+        df = spark.createDataFrame(rows, "ts string, seg string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        got = {r["dim_value"]: r for r in metric_decomposition(
+            df, "ts", "v", ["seg"], "2024-01-15").collect()}
+        # total change is 0 -> share undefined, not inf
+        assert got["a"]["share_of_change"] is None
+        assert got["a"]["delta"] == 5.0
+
+    def test_validates_and_twin(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import metric_decomposition, metric_decomposition_sql
+        import duckdb
+        import pytest as _pt
+        import random
+        rng = random.Random(9)
+        rows = [(f"2024-{rng.randint(1, 12):02d}-15 06:00:00",
+                 rng.choice("xyz"), rng.choice("pq"),
+                 round(rng.uniform(1, 500), 2)) for _ in range(300)]
+        df = spark.createDataFrame(
+            rows, "ts string, d1 string, d2 string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        with _pt.raises(ValueError):
+            metric_decomposition(df, "ts", "v", [], "2024-06-01")
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, metric_decomposition(
+            df, "ts", "v", ["d1", "d2"], "2024-06-01").collect()))
+        b = sorted(map(tuple, con.execute(metric_decomposition_sql(
+            "t", "ts", "v", ["d1", "d2"], "2024-06-01")).fetchall()))
+        assert a == b
