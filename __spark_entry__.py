@@ -3939,6 +3939,24 @@ def q_revenue_decomposition(spark, sf):
         ["o_orderpriority", "o_orderstatus"], "1998-01-01")
 
 
+@_q("events_ks_value", drf.ks_test_exact_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events)",
+    "variant", "value", "c", "t", group_by=["event_type"]))
+def q_events_ks_value(spark, sf):
+    """EXACT two-sample Kolmogorov-Smirnov distance per event type
+    (hash-split arms) — integer |cum_a*n_b - cum_b*n_a| ECDF
+    distances over DISTINCT values (the KM/Mann-Whitney shuffle
+    discipline), one final division, repr-embedded Smirnov
+    critical constant."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    return drf.ks_test_exact(exp, "variant", "value", "c", "t",
+                             group_by=["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

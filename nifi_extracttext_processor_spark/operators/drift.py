@@ -190,3 +190,139 @@ SELECT {gsel} CAST(sum(n_r) AS BIGINT) AS n_ref,
 FROM tot
 {grp_by}
 """
+
+
+def ks_test_exact(
+    df: DataFrame,
+    side_col: str,
+    value_col: str,
+    side_a: str,
+    side_b: str,
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.05,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group..., n_a, n_b, ks_d, ks_crit, significant) — EXACT
+    two-sample Kolmogorov–Smirnov distance (no binning; the binned
+    `distribution_drift` KS is the streaming-friendly monitor, this
+    is the adjudicator): D = max over observed values of
+    |ECDF_a − ECDF_b|, computed as the INTEGER max of
+    |cum_a·n_b − cum_b·n_a| with one final division by n_a·n_b — the
+    ECDF comparison is exact-rational, so both engines agree
+    bit-for-bit. `ks_crit` is the large-sample rejection bound
+    c(α)·√((n_a+n_b)/(n_a·n_b)) with c(α) = √(−ln(α/2)/2) embedded
+    as a repr Python constant (Smirnov 1948 asymptotic).
+
+    Scale shape (the KM/Mann-Whitney discipline): rows collapse to
+    one (group, DISTINCT value) count pair map-side — the shuffle and
+    the ECDF window carry distinct metric values, never rows. Callers
+    with continuous ultra-high-cardinality metrics quantize upstream
+    (the documented exact-percentile contract)."""
+    import math
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    gb = list(group_by or [])
+    v = F.col(value_col)
+    base = (df.filter(F.col(side_col).isin(side_a, side_b)
+                      & v.isNotNull())
+            .withColumn("__b",
+                        (F.col(side_col) == side_b).cast("long")))
+    per_v = base.groupBy(*gb, v.alias("__v")).agg(
+        F.sum(1 - F.col("__b")).alias("ca"),
+        F.sum("__b").alias("cb"))
+    w = (Window.partitionBy(*gb).orderBy("__v")
+         if gb else Window.partitionBy().orderBy("__v"))
+    wt = (Window.partitionBy(*gb) if gb else Window.partitionBy())
+    cum_a = F.sum("ca").over(w)
+    cum_b = F.sum("cb").over(w)
+    n_a = F.sum("ca").over(wt)
+    n_b = F.sum("cb").over(wt)
+    d_int = F.abs(cum_a * n_b - cum_b * n_a)
+    stepped = per_v.select(*gb, d_int.alias("__d"),
+                           n_a.alias("n_a"), n_b.alias("n_b"))
+    agg = (stepped.groupBy(*gb)
+           .agg(F.max("__d").alias("dmax"),
+                F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b")))
+    c = repr(float(math.sqrt(-math.log(alpha / 2.0) / 2.0)))
+    ks = F.try_divide(F.col("dmax").cast("double"),
+                      (F.col("n_a") * F.col("n_b")).cast("double"))
+    crit = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.lit(float(c)) * F.sqrt(
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")))
+    ksr = F.round(ks, round_dp)
+    return agg.select(
+        *gb, "n_a", "n_b",
+        ksr.alias("ks_d"),
+        F.round(crit, round_dp).alias("ks_crit"),
+        F.coalesce(ksr > F.round(crit, round_dp), F.lit(False))
+        .alias("significant"))
+
+
+def ks_test_exact_sql(
+    table: str,
+    side_col: str,
+    value_col: str,
+    side_a: str,
+    side_b: str,
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.05,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of ks_test_exact (same integer ECDF distances,
+    same repr-embedded Smirnov constant)."""
+    import math
+    from ..sqlutil import sql_lit
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = f"PARTITION BY {', '.join(gb)} " if gb else ""
+    partt = f"PARTITION BY {', '.join(gb)}" if gb else ""
+    c = repr(float(math.sqrt(-math.log(alpha / 2.0) / 2.0)))
+    return f"""
+WITH per_v AS (
+  SELECT {gsel}{value_col} AS v,
+         sum(1 - CAST({side_col} = {sql_lit(side_b)} AS BIGINT))
+           AS ca,
+         sum(CAST({side_col} = {sql_lit(side_b)} AS BIGINT)) AS cb
+  FROM {table}
+  WHERE {side_col} IN ({sql_lit(side_a)}, {sql_lit(side_b)})
+    AND {value_col} IS NOT NULL
+  GROUP BY {gsel.rstrip(', ') + (',' if gb else '')} {value_col}
+),
+stepped AS (
+  SELECT {gsel}
+         abs(sum(ca) OVER ({part}ORDER BY v) * sum(cb) OVER ({partt})
+             - sum(cb) OVER ({part}ORDER BY v)
+               * sum(ca) OVER ({partt})) AS d,
+         sum(ca) OVER ({partt}) AS n_a,
+         sum(cb) OVER ({partt}) AS n_b
+  FROM per_v
+),
+agg AS (
+  SELECT {gsel}max(d) AS dmax, max(n_a) AS n_a, max(n_b) AS n_b
+  FROM stepped
+  {gkey}
+)
+SELECT {gsel}n_a, n_b,
+       round(CAST(dmax AS DOUBLE)
+             / nullif(CAST(n_a * n_b AS DOUBLE), 0), {round_dp})
+         AS ks_d,
+       round(CASE WHEN n_a > 0 AND n_b > 0
+                  THEN {c} * sqrt(CAST(n_a + n_b AS DOUBLE)
+                                  / CAST(n_a * n_b AS DOUBLE)) END,
+             {round_dp}) AS ks_crit,
+       coalesce(round(CAST(dmax AS DOUBLE)
+                      / nullif(CAST(n_a * n_b AS DOUBLE), 0),
+                      {round_dp})
+                > round(CASE WHEN n_a > 0 AND n_b > 0
+                             THEN {c} * sqrt(CAST(n_a + n_b AS DOUBLE)
+                                             / CAST(n_a * n_b
+                                                    AS DOUBLE)) END,
+                        {round_dp}), FALSE) AS significant
+FROM agg
+"""

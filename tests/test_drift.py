@@ -128,3 +128,72 @@ def test_validation(spark, frames):
         distribution_drift(ref, cur, "v", bins=1)
     with pytest.raises(ValueError):
         distribution_drift(ref, cur, "v", lo=1.0, hi=1.0)
+
+
+class TestKsExact:
+    def test_hand_computed(self, spark):
+        from nifi_extracttext_processor_spark.operators.drift import (
+            ks_test_exact,
+        )
+        # a = {1,2,3,4}, b = {3,4,5,6}: max ECDF gap at v=2: 2/4 - 0
+        rows = ([("a", float(v)) for v in (1, 2, 3, 4)]
+                + [("b", float(v)) for v in (3, 4, 5, 6)])
+        df = spark.createDataFrame(rows, "s string, v double")
+        [r] = ks_test_exact(df, "s", "v", "a", "b").collect()
+        assert r["ks_d"] == 0.5
+        assert (r["n_a"], r["n_b"]) == (4, 4)
+
+    def test_identical_zero_and_disjoint_one(self, spark):
+        from nifi_extracttext_processor_spark.operators.drift import (
+            ks_test_exact,
+        )
+        same = spark.createDataFrame(
+            [(s, float(v)) for s in ("a", "b") for v in range(20)],
+            "s string, v double")
+        [r] = ks_test_exact(same, "s", "v", "a", "b").collect()
+        assert r["ks_d"] == 0.0 and r["significant"] is False
+        disj = spark.createDataFrame(
+            [("a", float(v)) for v in range(20)]
+            + [("b", float(v + 100)) for v in range(20)],
+            "s string, v double")
+        [r2] = ks_test_exact(disj, "s", "v", "a", "b").collect()
+        assert r2["ks_d"] == 1.0 and r2["significant"] is True
+
+    def test_shift_detected_with_ties(self, spark):
+        from nifi_extracttext_processor_spark.operators.drift import (
+            ks_test_exact,
+        )
+        import random
+        rng = random.Random(2)
+        rows = ([("a", float(round(rng.gauss(0, 1), 1)))
+                 for _ in range(400)]
+                + [("b", float(round(rng.gauss(0.8, 1), 1)))
+                   for _ in range(400)])
+        df = spark.createDataFrame(rows, "s string, v double")
+        [r] = ks_test_exact(df, "s", "v", "a", "b").collect()
+        assert r["significant"] is True
+        assert 0.2 < r["ks_d"] < 0.6
+
+    def test_validation_and_twin(self, spark):
+        from nifi_extracttext_processor_spark.operators.drift import (
+            ks_test_exact,
+            ks_test_exact_sql,
+        )
+        import duckdb
+        import pytest as _pt
+        import random
+        rng = random.Random(8)
+        rows = [(rng.choice("gh"), rng.choice("ab"),
+                 float(round(rng.uniform(0, 10), 2)))
+                for _ in range(500)]
+        df = spark.createDataFrame(rows, "g string, s string, "
+                                   "v double")
+        with _pt.raises(ValueError):
+            ks_test_exact(df, "s", "v", "a", "b", alpha=0.0)
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, ks_test_exact(
+            df, "s", "v", "a", "b", ["g"]).collect()))
+        b = sorted(map(tuple, con.execute(ks_test_exact_sql(
+            "t", "s", "v", "a", "b", ["g"])).fetchall()))
+        assert a == b

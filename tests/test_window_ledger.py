@@ -152,7 +152,7 @@ R12_NEW = {
     "kmv_doc_distinct", "kmv_audience_overlap",
     "ab_msprt_value", "ab_power_events",
     "events_ses_forecast", "events_lead_lag",
-    "revenue_decomposition",
+    "revenue_decomposition", "events_ks_value",
 }
 
 
