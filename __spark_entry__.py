@@ -3957,6 +3957,30 @@ def q_events_ks_value(spark, sf):
                              group_by=["event_type"])
 
 
+_CC_SEED_SQL = """
+SELECT 'n' || CAST(doc_id % 40 AS VARCHAR) AS src,
+       'n' || CAST((doc_id % 40 + 8) % 40 AS VARCHAR) AS dst
+FROM documents
+"""
+
+
+@_q("doc_link_components", gph.connected_components_sql(_CC_SEED_SQL))
+def q_doc_link_components(spark, sf):
+    """Undirected connected components by min-label propagation
+    (O(diameter) rounds, localCheckpoint lineage truncation) over a
+    synthetic 40-node link graph with 8 provable 5-cycles; the
+    DuckDB twin computes the same fixpoint declaratively via a
+    recursive reachability CTE."""
+    d = _t(spark, sf, "documents")
+    edges = d.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % 40).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("n"),
+                 ((F.col("doc_id") % 40 + 8) % 40).cast("string"))
+        .alias("dst"))
+    return gph.connected_components(edges)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -679,3 +679,106 @@ def core_reference(pairs: "list[tuple]") -> "dict":
             if u in live:
                 deg[u] -= 1
     return core
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) — undirected connected components by
+    min-label propagation: every node starts labeled with itself;
+    each round a node takes the minimum of its own and its
+    neighbors' labels; at the fixpoint every node carries its
+    component's minimum node id (the canonical representative both
+    engines agree on — string ids compare binary-lexicographic in
+    Spark and DuckDB alike).
+
+    Convergence is O(component diameter) rounds — small for the
+    social/web/dedup graphs this targets; each round is one keyed
+    join + map-side min agg over the symmetrized edge list, with
+    `localCheckpoint(eager=True)` truncating lineage (the pagerank
+    posture) and ONE scalar changed-count read per round. Raises
+    RuntimeError if `max_iter` rounds don't converge (fail loud —
+    a silent partial labeling corrupts downstream grouping; raise
+    max_iter for pathological chain graphs, or pre-contract with the
+    large-star/small-star rounds of Kiveris 2014 "Connected
+    components in MapReduce and beyond" if diameter is unbounded).
+
+    Isolated nodes cannot appear in an edge list and are absent by
+    construction; self-loops and parallel/reversed duplicates are
+    harmless (symmetrize + distinct collapses them)."""
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    e = (edges.select(F.col(src_col).cast("string").alias("s"),
+                      F.col(dst_col).cast("string").alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct())
+    und = (e.union(e.select(F.col("d").alias("s"),
+                            F.col("s").alias("d")))
+           .distinct().persist())
+    labels = (und.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iter):
+            nbr = (und.join(labels, und["d"] == labels["node"])
+                   .groupBy(und["s"].alias("node"))
+                   .agg(F.min("label").alias("nl")))
+            new_labels = (labels.join(nbr, "node", "left")
+                          .select("node",
+                                  F.least(F.col("label"),
+                                          F.coalesce(F.col("nl"),
+                                                     F.col("label")))
+                                  .alias("label"))
+                          .localCheckpoint(eager=True))
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.label") != F.col("o.label"))
+                       .count())
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    "node", F.col("label").alias("component"))
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} "
+            "rounds — raise max_iter (component diameter exceeds it)")
+    finally:
+        und.unpersist()
+
+
+def connected_components_sql(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> str:
+    """DuckDB twin of connected_components: a recursive CTE
+    enumerates, for every node, all labels reachable along
+    symmetrized edges (UNION dedup guarantees termination), then
+    min-reduces — the declarative fixpoint of the same min-label
+    semantics. Correctness oracle only: the closure is
+    O(nodes·component size) pairs, fine at test scale; the Spark
+    side owns the O(diameter)-round physical shape."""
+    return f"""
+WITH RECURSIVE
+ebase AS ({edges_sql}),
+und AS (
+  SELECT CAST({src_col} AS VARCHAR) AS s,
+         CAST({dst_col} AS VARCHAR) AS d
+  FROM ebase
+  WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+  UNION
+  SELECT CAST({dst_col} AS VARCHAR), CAST({src_col} AS VARCHAR)
+  FROM ebase
+  WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+),
+reach(node, label) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT und.s, reach.label
+  FROM reach JOIN und ON und.d = reach.node
+)
+SELECT node, min(label) AS component
+FROM reach GROUP BY node
+"""

@@ -335,3 +335,55 @@ class TestHits:
             hits(self._edges(spark, [("a", "b")]), iters=0)
         with pytest.raises(ValueError, match="empty"):
             hits(self._edges(spark, []).filter("1=0"))
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import (
+            connected_components,
+        )
+        # two chains + a reversed/duplicate edge + a self-loop
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "b"),   # comp {a,b,c}
+             ("x", "y"),                           # comp {x,y}
+             ("z", "z")],                          # singleton
+            "src string, dst string")
+        got = {r["node"]: r["component"] for r in
+               connected_components(edges).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a",
+                       "x": "x", "y": "x", "z": "z"}
+
+    def test_long_chain_and_max_iter(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import (
+            connected_components,
+        )
+        # chain n00-n01-...-n09: diameter 9
+        edges = spark.createDataFrame(
+            [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(9)],
+            "src string, dst string")
+        got = {r["node"]: r["component"] for r in
+               connected_components(edges).collect()}
+        assert set(got.values()) == {"n00"}
+        import pytest as _pt
+        with _pt.raises(RuntimeError):
+            connected_components(edges, max_iter=2)
+        with _pt.raises(ValueError):
+            connected_components(edges, max_iter=0)
+
+    def test_twin_parity_random_graph(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import (
+            connected_components,
+            connected_components_sql,
+        )
+        import duckdb
+        import random
+        rng = random.Random(13)
+        rows = [(f"v{rng.randint(0, 60)}", f"v{rng.randint(0, 60)}")
+                for _ in range(80)]
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        con = duckdb.connect()
+        con.register("e", edges.toPandas())
+        a = sorted(map(tuple, connected_components(edges).collect()))
+        b = sorted(map(tuple, con.execute(connected_components_sql(
+            "SELECT src, dst FROM e")).fetchall()))
+        assert a == b
