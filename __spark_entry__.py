@@ -3981,6 +3981,23 @@ def q_doc_link_components(spark, sf):
     return gph.connected_components(edges)
 
 
+@_q("ab_anova_value", abx.ab_anova_sql(
+    "(SELECT *, 'arm' || CAST(event_id % 4 AS VARCHAR) AS variant "
+    "FROM events)", "variant", "value", group_by=["event_type"]))
+def q_ab_anova_value(spark, sf):
+    """One-way ANOVA omnibus across four hash-split arms per event
+    type — exact-decimal sufficient statistics, the single
+    cross-variant float reduction as a variant-ordered fold
+    (bit-identical list_reduce twin), F + eta-squared."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.concat(F.lit("arm"),
+                 F.pmod(F.col("event_id"), 4).cast("string")))
+    return abx.ab_anova(exp, "variant", "value",
+                        group_by=["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -2007,3 +2007,135 @@ SELECT {gsel}n,
        round(mde_abs / nullif(m, 0), {round_dp}) AS mde_rel_at_n
 FROM mde
 """
+
+
+def ab_anova(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., k_groups, n_total, f_stat, df_between, df_within,
+    eta_sq) — one-way ANOVA F across ALL variants present (the A/B/n
+    omnibus: k pairwise Welch tests at α inflate; run this first,
+    then pairwise on a significant omnibus only).
+
+    Decomposition from exact sufficient statistics on the 1e-6 grid
+    (the ab_post_stratified discipline): per-variant n/Σy/Σy² are
+    exact decimals; the ONLY cross-variant float reduction is
+    Q = Σ_g (Σy_g)²/n_g, computed as a variant-ordered left fold so
+    both engines associate identically. Then
+        SSB = Q − S²/N,  SSW = SStot − Q,
+        F   = (SSB/(k−1)) / (SSW/(N−k)),  η² = SSB/SStot
+    with S, SStot, N exact. Degenerate cells (k<2, N≤k, zero SSW)
+    emit NULL f_stat. Scale shape: one map-side agg to k rows per
+    group, one bounded fold — no second data pass."""
+    gb = list(group_by or [])
+    y = F.col(value_col).cast("double")
+    base = (df.filter(F.col(variant_col).isNotNull() & y.isNotNull())
+            .select(*gb, F.col(variant_col).cast("string")
+                    .alias("__v"),
+                    F.round(y * 1e6).cast("decimal(38,0)")
+                    .alias("__yq")))
+    per_v = (base.groupBy(*gb, "__v")
+             .agg(F.count("*").alias("n"),
+                  F.sum("__yq").alias("s"),
+                  F.sum(F.col("__yq") * F.col("__yq")).alias("ss")))
+    sx = F.col("s").cast("double") / F.lit(1e6)
+    q = sx * sx / F.col("n").cast("double")
+    per_v = per_v.withColumn(
+        "__term", F.struct(F.col("__v"), q.alias("q")))
+    folded = (per_v.groupBy(*gb)
+              .agg(F.count("*").alias("k_groups"),
+                   F.sum("n").alias("n_total"),
+                   F.sum("s").alias("s_tot"),
+                   F.sum("ss").alias("ss_tot"),
+                   F.expr("aggregate(array_sort(collect_list(__term)),"
+                          " CAST(0.0 AS DOUBLE),"
+                          " (acc, x) -> acc + x.q)").alias("qsum")))
+    n = F.col("n_total").cast("double")
+    k = F.col("k_groups").cast("double")
+    s_d = F.col("s_tot").cast("double") / F.lit(1e6)
+    sst = (F.col("ss_tot").cast("double") / F.lit(1e12)
+           - s_d * s_d / n)
+    ssb = F.col("qsum") - s_d * s_d / n
+    ssw = (F.col("ss_tot").cast("double") / F.lit(1e12)
+           - F.col("qsum"))
+    fstat = F.when(
+        (F.col("k_groups") >= 2)
+        & (F.col("n_total") > F.col("k_groups")) & (ssw > 0),
+        (ssb / (k - F.lit(1.0))) / (ssw / (n - k)))
+    return folded.select(
+        *gb,
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(fstat, round_dp).alias("f_stat"),
+        (F.col("k_groups") - 1).cast("long").alias("df_between"),
+        (F.col("n_total") - F.col("k_groups")).cast("long")
+        .alias("df_within"),
+        F.round(F.when(sst > 0, ssb / sst), round_dp)
+        .alias("eta_sq"))
+
+
+def ab_anova_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_anova (same exact decimals, same
+    variant-ordered fold — list_reduce's first-element seed equals
+    Spark's 0.0+x₁ exactly under IEEE)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH per_v AS (
+  SELECT {gsel}CAST({variant_col} AS VARCHAR) AS v,
+         count(*) AS n,
+         sum(CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                  AS HUGEINT)) AS s,
+         sum(CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                  AS HUGEINT)
+             * CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                    AS HUGEINT)) AS ss
+  FROM {table}
+  WHERE {variant_col} IS NOT NULL AND {value_col} IS NOT NULL
+  GROUP BY {gsel.rstrip(', ') + (',' if gb else '')} CAST({variant_col} AS VARCHAR)
+),
+folded AS (
+  SELECT {gsel}count(*) AS k_groups, sum(n) AS n_total,
+         sum(s) AS s_tot, sum(ss) AS ss_tot,
+         list_reduce(
+           list(CAST(s AS DOUBLE) / 1e6 * (CAST(s AS DOUBLE) / 1e6)
+                / CAST(n AS DOUBLE) ORDER BY v),
+           (a, b) -> a + b) AS qsum
+  FROM per_v
+  {gkey}
+),
+calc AS (
+  SELECT *,
+         CAST(s_tot AS DOUBLE) / 1e6 AS s_d,
+         CAST(ss_tot AS DOUBLE) / 1e12 AS sst_raw,
+         CAST(n_total AS DOUBLE) AS nd,
+         CAST(k_groups AS DOUBLE) AS kd
+  FROM folded
+)
+SELECT {gsel}
+       CAST(k_groups AS BIGINT) AS k_groups,
+       CAST(n_total AS BIGINT) AS n_total,
+       round(CASE WHEN k_groups >= 2 AND n_total > k_groups
+                       AND sst_raw - qsum > 0
+                  THEN ((qsum - s_d * s_d / nd) / (kd - 1.0))
+                       / ((sst_raw - qsum) / (nd - kd)) END,
+             {round_dp}) AS f_stat,
+       CAST(k_groups - 1 AS BIGINT) AS df_between,
+       CAST(n_total - k_groups AS BIGINT) AS df_within,
+       round(CASE WHEN sst_raw - s_d * s_d / nd > 0
+                  THEN (qsum - s_d * s_d / nd)
+                       / (sst_raw - s_d * s_d / nd) END,
+             {round_dp}) AS eta_sq
+FROM calc
+"""

@@ -784,3 +784,74 @@ class TestPowerMde:
         b = sorted(map(tuple, con.execute(ab_power_mde_sql(
             "t", "v", ["g"], mde_rel=0.05)).fetchall()))
         assert a == b
+
+
+class TestAnova:
+    def test_two_group_equals_t_squared(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_anova,
+        )
+        import statistics
+        # classic identity: one-way ANOVA with k=2 gives F = t²
+        # (pooled-variance t, equal to Welch here with equal n/var
+        # structure not required for the F identity — use pooled t)
+        c = [1.0, 2.0, 3.0, 4.0, 5.0]
+        t = [3.0, 4.0, 5.0, 6.0, 7.0]
+        rows = [("c", v) for v in c] + [("t", v) for v in t]
+        df = spark.createDataFrame(rows, "variant string, v double")
+        [r] = ab_anova(df, "variant", "v").collect()
+        n = len(c) + len(t)
+        sp2 = ((len(c) - 1) * statistics.variance(c)
+               + (len(t) - 1) * statistics.variance(t)) / (n - 2)
+        tstat = (statistics.mean(t) - statistics.mean(c)) \
+            / math.sqrt(sp2 * (1 / len(c) + 1 / len(t)))
+        assert r["f_stat"] == round(tstat * tstat, 4)
+        assert (r["df_between"], r["df_within"]) == (1, 8)
+
+    def test_identical_groups_f_zero(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_anova,
+        )
+        rows = [(v, float(x)) for v in ("a", "b", "c")
+                for x in range(10)]
+        df = spark.createDataFrame(rows, "variant string, v double")
+        [r] = ab_anova(df, "variant", "v").collect()
+        assert r["f_stat"] == 0.0
+        assert r["eta_sq"] == 0.0
+        assert r["k_groups"] == 3
+
+    def test_degenerate_cells(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_anova,
+        )
+        # single variant -> k<2 -> NULL F
+        one = spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                                    "variant string, v double")
+        [r] = ab_anova(one, "variant", "v").collect()
+        assert r["f_stat"] is None
+        # constant metric -> SSW = 0 -> NULL F (not inf)
+        const = spark.createDataFrame(
+            [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)],
+            "variant string, v double")
+        [r2] = ab_anova(const, "variant", "v").collect()
+        assert r2["f_stat"] is None
+
+    def test_grouped_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_anova,
+            ab_anova_sql,
+        )
+        import random
+        rng = random.Random(17)
+        rows = [(rng.choice("gh"), f"arm{rng.randint(0, 3)}",
+                 float(round(rng.uniform(0, 100), 2)))
+                for _ in range(600)]
+        df = spark.createDataFrame(rows, "g string, variant string, "
+                                   "v double")
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, ab_anova(df, "variant", "v",
+                                       ["g"]).collect()))
+        b = sorted(map(tuple, con.execute(ab_anova_sql(
+            "t", "variant", "v", ["g"])).fetchall()))
+        assert a == b
