@@ -3998,6 +3998,23 @@ def q_ab_anova_value(spark, sf):
                         group_by=["event_type"])
 
 
+@_q("doc_link_bfs", gph.bfs_distances_sql(_CC_SEED_SQL,
+                                          ["n0", "n1"], max_hops=6))
+def q_doc_link_bfs(spark, sf):
+    """Multi-source BFS hop distances from n0/n1 over the synthetic
+    link graph — frontier-only expansion with early stop (the
+    scalable shape), min-hop fixpoint replayed by a hop-bounded
+    recursive CTE in DuckDB."""
+    d = _t(spark, sf, "documents")
+    edges = d.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % 40).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("n"),
+                 ((F.col("doc_id") % 40 + 8) % 40).cast("string"))
+        .alias("dst"))
+    return gph.bfs_distances(edges, ["n0", "n1"], max_hops=6)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

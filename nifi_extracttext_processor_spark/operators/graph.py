@@ -782,3 +782,99 @@ reach(node, label) AS (
 SELECT node, min(label) AS component
 FROM reach GROUP BY node
 """
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: "list[str]",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """(node, dist) — multi-source BFS over the symmetrized edge
+    list: minimum hop count from ANY source, for every node within
+    `max_hops` (unreachable nodes are absent — the contract both
+    engines share; the hop bound is what makes the declarative twin
+    terminate on cyclic graphs). Sources appear at dist 0 whether or
+    not they occur in the edge list.
+
+    Frontier expansion, the scalable BFS shape: each round joins the
+    CURRENT FRONTIER ONLY (not all settled nodes) against the edge
+    list, anti-joins out already-settled nodes, and stops early when
+    the frontier empties — O(min(diameter, max_hops)) rounds, one
+    scalar emptiness read per round, localCheckpoint lineage
+    truncation (the connected_components posture)."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src_col).cast("string").alias("s"),
+                      F.col(dst_col).cast("string").alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+         .distinct())
+    und = (e.union(e.select(F.col("d").alias("s"),
+                            F.col("s").alias("d")))
+           .distinct().persist())
+    dist = spark.createDataFrame(
+        [(str(x), 0) for x in sources], "node string, dist int") \
+        .distinct().localCheckpoint(eager=True)
+    frontier = dist
+    try:
+        for hop in range(1, max_hops + 1):
+            cand = (frontier.join(und, frontier["node"] == und["s"])
+                    .select(und["d"].alias("node"),
+                            F.lit(hop).alias("dist"))
+                    .distinct())
+            new = (cand.join(dist.select("node"), "node",
+                             "left_anti")
+                   .localCheckpoint(eager=True))
+            if new.isEmpty():
+                break
+            dist = dist.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        return dist.select("node", F.col("dist").cast("long")
+                           .alias("dist"))
+    finally:
+        und.unpersist()
+
+
+def bfs_distances_sql(
+    edges_sql: str,
+    sources: "list[str]",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 10,
+) -> str:
+    """DuckDB twin of bfs_distances: recursive CTE bounded by the
+    same max_hops (UNION-deduped (node, d) pairs terminate because d
+    is capped), min-reduced per node."""
+    from ..sqlutil import sql_lit
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    seeds = " UNION ALL ".join(
+        f"SELECT {sql_lit(s)} AS node, 0 AS d" for s in sources)
+    return f"""
+WITH RECURSIVE
+ebase AS ({edges_sql}),
+und AS (
+  SELECT CAST({src_col} AS VARCHAR) AS u,
+         CAST({dst_col} AS VARCHAR) AS v
+  FROM ebase
+  WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+  UNION
+  SELECT CAST({dst_col} AS VARCHAR), CAST({src_col} AS VARCHAR)
+  FROM ebase
+  WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL
+),
+reach(node, d) AS (
+  SELECT DISTINCT node, d FROM ({seeds})
+  UNION
+  SELECT und.v, reach.d + 1
+  FROM reach JOIN und ON und.u = reach.node
+  WHERE reach.d < {int(max_hops)}
+)
+SELECT node, min(d) AS dist FROM reach GROUP BY node
+"""

@@ -387,3 +387,58 @@ class TestConnectedComponents:
         b = sorted(map(tuple, con.execute(connected_components_sql(
             "SELECT src, dst FROM e")).fetchall()))
         assert a == b
+
+
+class TestBfsDistances:
+    def test_chain_distances_and_cap(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import (
+            bfs_distances,
+        )
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{i + 1}") for i in range(6)],
+            "src string, dst string")
+        got = {r["node"]: r["dist"] for r in
+               bfs_distances(edges, ["n0"], max_hops=10).collect()}
+        assert got == {f"n{i}": i for i in range(7)}
+        # the hop cap truncates the readout (contract, not error)
+        capped = {r["node"]: r["dist"] for r in
+                  bfs_distances(edges, ["n0"], max_hops=3).collect()}
+        assert capped == {f"n{i}": i for i in range(4)}
+
+    def test_multi_source_and_offgraph_source(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import (
+            bfs_distances,
+        )
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")],
+            "src string, dst string")
+        got = {r["node"]: r["dist"] for r in
+               bfs_distances(edges, ["c", "x", "zzz"]).collect()}
+        # min over sources; zzz (not in graph) still reports dist 0
+        assert got == {"c": 0, "x": 0, "zzz": 0,
+                       "b": 1, "y": 1, "a": 2}
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            bfs_distances(edges, [])
+        with _pt.raises(ValueError):
+            bfs_distances(edges, ["a"], max_hops=0)
+
+    def test_twin_parity_cyclic(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import (
+            bfs_distances,
+            bfs_distances_sql,
+        )
+        import duckdb
+        import random
+        rng = random.Random(19)
+        rows = [(f"v{rng.randint(0, 30)}", f"v{rng.randint(0, 30)}")
+                for _ in range(50)]
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        con = duckdb.connect()
+        con.register("e", edges.toPandas())
+        a = sorted(map(tuple, bfs_distances(
+            edges, ["v0", "v7"], max_hops=8).collect()))
+        b = sorted(map(tuple, con.execute(bfs_distances_sql(
+            "SELECT src, dst FROM e", ["v0", "v7"],
+            max_hops=8)).fetchall()))
+        assert a == b

@@ -153,7 +153,7 @@ R12_NEW = {
     "ab_msprt_value", "ab_power_events",
     "events_ses_forecast", "events_lead_lag",
     "revenue_decomposition", "events_ks_value",
-    "doc_link_components", "ab_anova_value",
+    "doc_link_components", "ab_anova_value", "doc_link_bfs",
 }
 
 
