@@ -4015,6 +4015,19 @@ def q_doc_link_bfs(spark, sf):
     return gph.bfs_distances(edges, ["n0", "n1"], max_hops=6)
 
 
+@_q("events_holt_forecast", tsx.holt_forecast_sql(
+    "events", "ts", "value", ["event_type"], horizon=7))
+def q_events_holt_forecast(spark, sf):
+    """Holt linear-trend forecast (7 days ahead) of the daily value
+    sum per event type — the trend-aware sibling of
+    events_ses_forecast; Spark folds the {level, trend} struct via
+    Catalyst aggregate(), the oracle steps the identical recurrence
+    through a recursive CTE (DuckDB's list_reduce struct-field bug
+    documented in the twin's docstring)."""
+    return tsx.holt_forecast(_t(spark, sf, "events"), "ts", "value",
+                             ["event_type"], horizon=7)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -958,3 +958,151 @@ SELECT lag, n_days,
 FROM agg
 ORDER BY lag
 """
+
+
+def holt_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 1,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_periods, last_day, last_y, level, trend,
+    forecast) — Holt's linear-trend double exponential smoothing
+    (Holt 1957) over the per-day metric sum; `forecast` is the
+    `horizon`-step-ahead prediction level + horizon·trend. The
+    trend-aware sibling of ses_forecast (which a trending series
+    systematically lags).
+
+    Fold contract (both engines replay bit-for-bit): accumulator
+    struct {l, b} seeded {y₁, y₂−y₁} and folded from y₂ — processing
+    y₂ against that seed lands exactly on the standard init
+    (l₂=y₂, b₂=y₂−y₁), so no special-cased second element; a
+    single-day series emits level=y₁, trend=0. α, β, 1−α, 1−β are
+    repr-embedded; the l' expression inside b' is written
+    identically in both engines. Same day-grain bounded-series
+    contract as ses_forecast."""
+    if not (0 < alpha < 1) or not (0 < beta < 1):
+        raise ValueError("alpha and beta must be in (0, 1)")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    gb = list(group_by or [])
+    a = repr(float(alpha))
+    na = repr(1.0 - float(alpha))
+    b = repr(float(beta))
+    nb = repr(1.0 - float(beta))
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*gb, F.to_date(F.col(ts_col)).cast("string")
+                      .alias("__d"))
+             .agg(F.sum(F.col(value_col).cast("double"))
+                  .alias("__y")))
+    ser = (daily.groupBy(*gb)
+           .agg(F.expr("array_sort(collect_list(struct(__d, __y)))")
+                .alias("__s")))
+    ys = "transform(__s, x -> x.__y)"
+    lp = f"{a} * x + {na} * (acc.l + acc.b)"
+    fold = (
+        f"CASE WHEN size(__s) = 1 THEN "
+        f"named_struct('l', CAST(element_at({ys}, 1) AS DOUBLE), "
+        f"             'b', CAST(0.0 AS DOUBLE)) "
+        f"ELSE aggregate(slice({ys}, 2, size(__s) - 1), "
+        f"named_struct('l', CAST(element_at({ys}, 1) AS DOUBLE), "
+        f"             'b', CAST(element_at({ys}, 2) "
+        f"                       - element_at({ys}, 1) AS DOUBLE)), "
+        f"(acc, x) -> named_struct("
+        f"  'l', {lp}, "
+        f"  'b', {b} * (({lp}) - acc.l) + {nb} * acc.b)) END")
+    st = F.expr(fold)
+    return ser.select(
+        *gb,
+        F.expr("size(__s)").cast("long").alias("n_periods"),
+        F.expr("element_at(__s, -1).__d").alias("last_day"),
+        F.round(F.expr("element_at(__s, -1).__y"), round_dp)
+        .alias("last_y"),
+        F.round(st["l"], round_dp).alias("level"),
+        F.round(st["b"], round_dp).alias("trend"),
+        F.round(st["l"] + F.lit(float(horizon)) * st["b"], round_dp)
+        .alias("forecast"))
+
+
+def holt_forecast_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 1,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of holt_forecast. NOT a list_reduce fold: DuckDB
+    1.0.0 mis-evaluates multi-field struct recurrences inside
+    list_reduce (probed live: an accumulator field read in a later
+    field's expression can see a freshly-computed value mid-step),
+    so the twin steps the same l/b recurrence through a recursive
+    CTE keyed by the per-group day index — arithmetic
+    expression-identical to the Spark fold, one state row per
+    (group, day), the final state joined back at i = n_periods."""
+    if not (0 < alpha < 1) or not (0 < beta < 1):
+        raise ValueError("alpha and beta must be in (0, 1)")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    a = repr(float(alpha))
+    na = repr(1.0 - float(alpha))
+    b = repr(float(beta))
+    nb = repr(1.0 - float(beta))
+    d1sel = "".join(f"d1.{g}, " for g in gb)
+    ssel = "".join(f"s.{g}, " for g in gb)
+    fsel = "".join(f"f.{g}, " for g in gb)
+    on12 = " AND ".join([f"d2.{g} = d1.{g}" for g in gb]
+                        + ["d2.i = 2"])
+    onrec = " AND ".join([f"dd.{g} = s.{g}" for g in gb]
+                         + ["dd.i = s.i + 1"])
+    onn = " AND ".join([f"n.{g} = s.{g}" for g in gb]
+                       + ["s.i = n.n_periods"])
+    onlast = " AND ".join([f"d3.{g} = f.{g}" for g in gb]
+                          + ["d3.i = f.n_periods"])
+    part = f"PARTITION BY {', '.join(gb)} " if gb else ""
+    lp = f"{a} * dd.y + {na} * (s.l + s.b)"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT {gsel}strftime({ts_col}, '%Y-%m-%d') AS d,
+         sum(CAST({value_col} AS DOUBLE)) AS y
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel.rstrip(', ') + (',' if gb else '')} strftime({ts_col}, '%Y-%m-%d')
+),
+idx AS (
+  SELECT *, row_number() OVER ({part}ORDER BY d) AS i FROM daily
+),
+n AS (
+  SELECT {gsel}count(*) AS n_periods, max(d) AS last_day
+  FROM daily {gkey}
+),
+step AS (
+  SELECT {d1sel}1 AS i, CAST(d1.y AS DOUBLE) AS l,
+         CAST(coalesce(d2.y - d1.y, 0.0) AS DOUBLE) AS b
+  FROM idx d1 LEFT JOIN idx d2 ON {on12}
+  WHERE d1.i = 1
+  UNION ALL
+  SELECT {ssel}s.i + 1,
+         {lp},
+         {b} * (({lp}) - s.l) + {nb} * s.b
+  FROM step s JOIN idx dd ON {onrec}
+),
+fin AS (
+  SELECT {ssel}n.n_periods, n.last_day, s.l, s.b
+  FROM step s JOIN n ON {onn}
+)
+SELECT {fsel}CAST(f.n_periods AS BIGINT) AS n_periods, f.last_day,
+       round(d3.y, {round_dp}) AS last_y,
+       round(f.l, {round_dp}) AS level,
+       round(f.b, {round_dp}) AS trend,
+       round(f.l + {float(horizon)!r} * f.b, {round_dp}) AS forecast
+FROM fin f JOIN idx d3 ON {onlast}
+"""

@@ -313,3 +313,72 @@ class TestLeadLagCorr:
         b = con.execute(lead_lag_corr_sql(
             "t", "ts", "v", "k", "x", "y", 4)).fetchall()
         assert a == b
+
+
+class TestHoltForecast:
+    def test_linear_series_exact(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import holt_forecast
+        # perfectly linear series: any (alpha, beta) tracks exactly
+        rows = [(f"2024-01-{d + 1:02d}", float((d + 1) * 10))
+                for d in range(6)]
+        df = spark.createDataFrame(rows, "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = holt_forecast(df, "ts", "v", alpha=0.4, beta=0.2,
+                            horizon=3).collect()
+        assert (r["level"], r["trend"]) == (60.0, 10.0)
+        assert r["forecast"] == 90.0
+
+    def test_manual_fold_golden(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import holt_forecast
+        ys = [10.0, 23.0, 31.0, 47.0]
+        rows = [(f"2024-02-0{i + 1}", y) for i, y in enumerate(ys)]
+        df = spark.createDataFrame(rows, "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = holt_forecast(df, "ts", "v", alpha=0.5,
+                            beta=0.3).collect()
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            lp = 0.5 * y + 0.5 * (l + b)
+            b = 0.3 * (lp - l) + 0.7 * b
+            l = lp
+        assert r["level"] == round(l, 4)
+        assert r["trend"] == round(b, 4)
+
+    def test_single_day_and_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import holt_forecast
+        df = spark.createDataFrame([("2024-01-01", 3.5)],
+                                   "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = holt_forecast(df, "ts", "v").collect()
+        assert (r["level"], r["trend"], r["forecast"]) \
+            == (3.5, 0.0, 3.5)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            holt_forecast(df, "ts", "v", beta=0.0)
+        with _pt.raises(ValueError):
+            holt_forecast(df, "ts", "v", horizon=0)
+
+    def test_twin_parity_grouped(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import holt_forecast, holt_forecast_sql
+        import duckdb
+        import random
+        rng = random.Random(21)
+        rows = [(g, f"2024-03-{d + 1:02d} 12:00:00",
+                 round(rng.uniform(5, 80), 2))
+                for g in ("a", "b", "c") for d in range(12)]
+        df = spark.createDataFrame(rows, "g string, ts string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, holt_forecast(
+            df, "ts", "v", ["g"], alpha=0.25, beta=0.15,
+            horizon=2).collect()))
+        b = sorted(map(tuple, con.execute(holt_forecast_sql(
+            "t", "ts", "v", ["g"], alpha=0.25, beta=0.15,
+            horizon=2)).fetchall()))
+        assert a == b
