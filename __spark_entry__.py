@@ -4028,6 +4028,17 @@ def q_events_holt_forecast(spark, sf):
                              ["event_type"], horizon=7)
 
 
+@_q("user_interarrival", sess.interarrival_stats_sql(
+    "events", "ts", ["user_id"]))
+def q_user_interarrival(spark, sf):
+    """Per-user inter-event timing signature: whole-second gaps of
+    the sorted epoch sequence (tie-order-independent multiset),
+    population mean/std, CV, and Goh-Barabasi burstiness — the
+    'is this account a cron job' readout beside sessionize."""
+    return sess.interarrival_stats(_t(spark, sf, "events"), "ts",
+                                   ["user_id"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -884,3 +884,107 @@ SELECT cohort_p, period_offset, cohort_size,
 FROM rev JOIN sizes USING (cohort_p)
 ORDER BY cohort_p, period_offset
 """
+
+
+def interarrival_stats(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: "list[str] | tuple[str, ...]",
+    round_dp: int = 4,
+) -> DataFrame:
+    """(key..., n_events, n_gaps, mean_gap_s, std_gap_s, cv,
+    burstiness) — per-key inter-event timing signature: whole-second
+    gaps between consecutive events, their population mean/std, the
+    coefficient of variation, and the Goh–Barabási (2008) burstiness
+    B = (σ−μ)/(σ+μ) ∈ [−1, 1): a metronome scores −1, a Poisson
+    process 0, human/bursty traffic > 0 — the "is this account a
+    cron job" readout beside sessionize (scripted accounts show
+    near-constant gaps long before content-level signals fire).
+
+    Determinism under same-second ties: gaps are consecutive
+    differences of the SORTED epoch sequence, and that multiset does
+    not depend on how equal timestamps are ordered — so the
+    aggregates are stable with no tiebreak column. Integer gap sums
+    are exact; one sqrt at the end. Skew note: a key's whole window
+    sorts in one task (the sessionize contract — pre-split
+    pathological bot keys with cap_touches_per_day or the bucketed
+    sessionizer)."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("interarrival_stats needs key columns")
+    e = epoch_seconds(df, ts_col)
+    w = Window.partitionBy(*keys).orderBy("__e")
+    gaps = (df.select(*keys, e.alias("__e"))
+            .withColumn("__gap", F.col("__e")
+                        - F.lag("__e").over(w)))
+    agg = (gaps.groupBy(*keys)
+           .agg(F.count("*").alias("n_events"),
+                F.count("__gap").alias("n_gaps"),
+                F.sum("__gap").alias("sg"),
+                F.sum(F.col("__gap") * F.col("__gap")).alias("sgg")))
+    n = F.col("n_gaps").cast("double")
+    mean = F.try_divide(F.col("sg").cast("double"), n)
+    var = F.greatest(
+        F.lit(0.0),
+        F.try_divide(F.col("sgg").cast("double"), n) - mean * mean)
+    sd = F.sqrt(var)
+    cv = F.when(mean > 0, sd / mean)
+    bst = F.when(sd + mean > 0, (sd - mean) / (sd + mean))
+    return agg.select(
+        *keys, "n_events", "n_gaps",
+        F.round(mean, round_dp).alias("mean_gap_s"),
+        F.round(sd, round_dp).alias("std_gap_s"),
+        F.round(cv, round_dp).alias("cv"),
+        F.round(bst, round_dp).alias("burstiness"))
+
+
+def interarrival_stats_sql(
+    table: str,
+    ts_col: str,
+    key_cols: "list[str] | tuple[str, ...]",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of interarrival_stats (same epoch-second gaps,
+    same population-moment expression order)."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("interarrival_stats needs key columns")
+    kc = ", ".join(keys)
+    return f"""
+WITH g AS (
+  SELECT {kc},
+         (epoch(date_trunc('second', {ts_col})))::BIGINT
+           - lag((epoch(date_trunc('second', {ts_col})))::BIGINT)
+             OVER (PARTITION BY {kc}
+                   ORDER BY (epoch(date_trunc('second',
+                                              {ts_col})))::BIGINT)
+           AS gap
+  FROM {table}
+),
+agg AS (
+  SELECT {kc}, count(*) AS n_events, count(gap) AS n_gaps,
+         sum(gap) AS sg, sum(gap * gap) AS sgg
+  FROM g GROUP BY {kc}
+),
+calc AS (
+  SELECT *,
+         CAST(sg AS DOUBLE) / nullif(CAST(n_gaps AS DOUBLE), 0)
+           AS mean,
+         sqrt(greatest(0.0,
+              CAST(sgg AS DOUBLE) / nullif(CAST(n_gaps AS DOUBLE), 0)
+              - (CAST(sg AS DOUBLE)
+                 / nullif(CAST(n_gaps AS DOUBLE), 0))
+                * (CAST(sg AS DOUBLE)
+                   / nullif(CAST(n_gaps AS DOUBLE), 0)))) AS sd
+  FROM agg
+)
+SELECT {kc}, n_events, n_gaps,
+       round(mean, {round_dp}) AS mean_gap_s,
+       round(sd, {round_dp}) AS std_gap_s,
+       round(CASE WHEN mean > 0 THEN sd / mean END, {round_dp})
+         AS cv,
+       round(CASE WHEN sd + mean > 0
+                  THEN (sd - mean) / (sd + mean) END, {round_dp})
+         AS burstiness
+FROM calc
+"""

@@ -154,7 +154,7 @@ R12_NEW = {
     "events_ses_forecast", "events_lead_lag",
     "revenue_decomposition", "events_ks_value",
     "doc_link_components", "ab_anova_value", "doc_link_bfs",
-    "events_holt_forecast",
+    "events_holt_forecast", "user_interarrival",
 }
 
 
