@@ -4039,6 +4039,30 @@ def q_user_interarrival(spark, sf):
                                    ["user_id"])
 
 
+@_q("events_forecast_backtest", tsx.forecast_backtest_sql(
+    "events", "ts", "value", ["event_type"], season=7))
+def q_events_forecast_backtest(spark, sf):
+    """Forecast-method backtest per event type: MAE of the naive-1
+    vs seasonal-naive-7 daily predictions and their MASE ratio
+    (Hyndman 2006) — the evidence layer under ses/holt: does the
+    weekly pattern carry real signal?"""
+    return tsx.forecast_backtest(_t(spark, sf, "events"), "ts",
+                                 "value", ["event_type"], season=7)
+
+
+@_q("custkey_topk_turnover", prof.topk_turnover_sql(
+    "orders", "o_orderdate", "o_custkey", "o_totalprice",
+    "1998-01-01", k=20))
+def q_custkey_topk_turnover(spark, sf):
+    """Top-20 customer leaderboard churn across the 1998-01-01
+    split — jaccard@k, entries/exits, mean rank shift; per-key sums
+    ranked as exact 1e-6-grid decimals so the discrete top-k cut is
+    engine-deterministic."""
+    return prof.topk_turnover(_t(spark, sf, "orders"),
+                              "o_orderdate", "o_custkey",
+                              "o_totalprice", "1998-01-01", k=20)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

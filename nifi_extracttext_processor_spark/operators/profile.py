@@ -813,3 +813,133 @@ SELECT dimension, dim_value,
              END, {round_dp}) AS share_of_change
 FROM seg
 """
+
+
+def topk_turnover(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    split: str,
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(k_requested, k_before, k_after, n_common, jaccard_k,
+    n_entered, n_exited, avg_rank_shift) — leaderboard churn across a
+    split date: the top-k keys by value sum before vs on/after
+    `split`, how much the two lists overlap (jaccard over the union
+    of the two top-k sets), how many keys entered/exited, and the
+    mean |rank delta| over the keys present in both lists. The
+    "did our top queries/products actually change week-over-week"
+    readout beside metric_decomposition (which says WHO moved the
+    total; this says whether the HEAD of the distribution rotated).
+
+    Ranking is deterministic ACROSS ENGINES: per-key value sums are
+    exact 1e-6-grid decimals (a float sum's association order could
+    flip a rank — rounding can't repair a discrete top-k cut), then
+    descending with key-ascending tie break, spelled identically in
+    the twin. Scale shape: one map-side agg to (period, key) sums,
+    two bounded top-k windows, then arithmetic over ≤2k rows."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+    after = (F.col(ts_col) >= F.to_timestamp(F.lit(split))) \
+        .cast("int")
+    v = F.col(value_col).cast("double")
+    per = (df.filter(v.isNotNull() & F.col(key_col).isNotNull())
+           .groupBy(after.alias("__p"), F.col(key_col).alias("__k"))
+           .agg(F.sum(F.round(v * 1e6).cast("decimal(38,0)"))
+                .alias("__v")))
+    w = Window.partitionBy("__p").orderBy(F.col("__v").desc(),
+                                          F.col("__k").asc())
+    top = (per.withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") <= k))
+    a = (top.filter(F.col("__p") == 0)
+         .select(F.col("__k").alias("key"),
+                 F.col("__r").alias("ra")))
+    b = (top.filter(F.col("__p") == 1)
+         .select(F.col("__k").alias("key"),
+                 F.col("__r").alias("rb")))
+    j = a.join(b, "key", "full_outer")
+    return j.agg(
+        F.lit(int(k)).alias("k_requested"),
+        F.count("ra").alias("k_before"),
+        F.count("rb").alias("k_after"),
+        F.sum((F.col("ra").isNotNull() & F.col("rb").isNotNull())
+              .cast("long")).alias("n_common"),
+        F.round(F.try_divide(
+            F.sum((F.col("ra").isNotNull() & F.col("rb").isNotNull())
+                  .cast("long")).cast("double"),
+            F.count("*").cast("double")), round_dp)
+        .alias("jaccard_k"),
+        F.sum((F.col("ra").isNull() & F.col("rb").isNotNull())
+              .cast("long")).alias("n_entered"),
+        F.sum((F.col("ra").isNotNull() & F.col("rb").isNull())
+              .cast("long")).alias("n_exited"),
+        F.round(F.try_divide(
+            F.sum(F.when(F.col("ra").isNotNull()
+                         & F.col("rb").isNotNull(),
+                         F.abs(F.col("ra") - F.col("rb")))),
+            F.sum((F.col("ra").isNotNull() & F.col("rb").isNotNull())
+                  .cast("long")).cast("double")), round_dp)
+        .alias("avg_rank_shift"))
+
+
+def topk_turnover_sql(
+    table: str,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    split: str,
+    k: int = 10,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of topk_turnover (same deterministic tie order,
+    same full-outer overlap arithmetic)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from ..sqlutil import sql_lit
+    return f"""
+WITH per AS (
+  SELECT CAST({ts_col} >= CAST({sql_lit(split)} AS TIMESTAMP) AS INT)
+           AS p,
+         {key_col} AS key,
+         sum(CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                  AS HUGEINT)) AS v
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {key_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT * FROM (
+    SELECT p, key, v,
+           row_number() OVER (PARTITION BY p
+                              ORDER BY v DESC, key ASC) AS r
+    FROM per
+  ) WHERE r <= {int(k)}
+),
+j AS (
+  SELECT coalesce(a.key, b.key) AS key, a.r AS ra, b.r AS rb
+  FROM (SELECT key, r FROM top WHERE p = 0) a
+  FULL OUTER JOIN (SELECT key, r FROM top WHERE p = 1) b
+    ON a.key = b.key
+)
+SELECT {int(k)} AS k_requested,
+       count(ra) AS k_before, count(rb) AS k_after,
+       sum(CAST(ra IS NOT NULL AND rb IS NOT NULL AS BIGINT))
+         AS n_common,
+       round(CAST(sum(CAST(ra IS NOT NULL AND rb IS NOT NULL
+                           AS BIGINT)) AS DOUBLE)
+             / nullif(CAST(count(*) AS DOUBLE), 0), {round_dp})
+         AS jaccard_k,
+       sum(CAST(ra IS NULL AND rb IS NOT NULL AS BIGINT))
+         AS n_entered,
+       sum(CAST(ra IS NOT NULL AND rb IS NULL AS BIGINT))
+         AS n_exited,
+       round(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                      THEN abs(ra - rb) END)
+             / nullif(CAST(sum(CAST(ra IS NOT NULL AND rb IS NOT NULL
+                                    AS BIGINT)) AS DOUBLE), 0),
+             {round_dp}) AS avg_rank_shift
+FROM j
+"""

@@ -1106,3 +1106,112 @@ SELECT {fsel}CAST(f.n_periods AS BIGINT) AS n_periods, f.last_day,
        round(f.l + {float(horizon)!r} * f.b, {round_dp}) AS forecast
 FROM fin f JOIN idx d3 ON {onlast}
 """
+
+
+def forecast_backtest(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    season: int = 7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_days, n_naive, n_seasonal, mae_naive,
+    mae_seasonal, mase) — forecasting-method backtest over the daily
+    metric sum: mean absolute error of the naive-1 forecast
+    (ŷ_t = y_{t−1}, scored from day 2) vs the seasonal-naive
+    forecast (ŷ_t = y_{t−season}, scored from day season+1), and
+    their ratio MASE = mae_seasonal / mae_naive (Hyndman & Koehler
+    2006's scale-free skill score — < 1 means the seasonal pattern
+    carries real signal). The evidence layer under ses/holt_forecast:
+    which baseline is this series' forecast actually beating?
+
+    Day-INDEX lags over the observed-days series (a calendar gap
+    shifts the index — the standard backtest convention), under the
+    bounded daily-table contract of ses_forecast. Each |err| is
+    computed expression-identically in both engines; the per-group
+    |err| sums run over the tiny daily table and outputs are rounded
+    at round_dp (the established float-sum acceptance, re-checked by
+    the parity battery at both SFs)."""
+    if season < 2:
+        raise ValueError("season must be >= 2 (use 1-step naive "
+                         "as the baseline)")
+    gb = list(group_by or [])
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*gb, F.to_date(F.col(ts_col)).cast("string")
+                      .alias("__d"))
+             .agg(F.sum(F.col(value_col).cast("double"))
+                  .alias("__y")))
+    w = (Window.partitionBy(*gb).orderBy("__d") if gb
+         else Window.partitionBy().orderBy("__d"))
+    lagged = daily.select(
+        *gb, "__d", "__y",
+        F.lag("__y", 1).over(w).alias("__p1"),
+        F.lag("__y", season).over(w).alias("__ps"))
+    e1 = F.abs(F.col("__y") - F.col("__p1"))
+    es = F.abs(F.col("__y") - F.col("__ps"))
+    agg = (lagged.groupBy(*gb)
+           .agg(F.count("*").alias("n_days"),
+                F.count("__p1").alias("n_naive"),
+                F.count("__ps").alias("n_seasonal"),
+                F.sum(e1).alias("s1"),
+                F.sum(es).alias("ss")))
+    mae1 = F.try_divide(F.col("s1"),
+                        F.col("n_naive").cast("double"))
+    maes = F.try_divide(F.col("ss"),
+                        F.col("n_seasonal").cast("double"))
+    return agg.select(
+        *gb, "n_days", "n_naive", "n_seasonal",
+        F.round(mae1, round_dp).alias("mae_naive"),
+        F.round(maes, round_dp).alias("mae_seasonal"),
+        F.round(F.when(mae1 > 0, maes / mae1), round_dp)
+        .alias("mase"))
+
+
+def forecast_backtest_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    season: int = 7,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of forecast_backtest (same day-index lags, same
+    |err| expressions, same try_divide guards)."""
+    if season < 2:
+        raise ValueError("season must be >= 2")
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = f"PARTITION BY {', '.join(gb)} " if gb else ""
+    return f"""
+WITH daily AS (
+  SELECT {gsel}strftime({ts_col}, '%Y-%m-%d') AS d,
+         sum(CAST({value_col} AS DOUBLE)) AS y
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel.rstrip(', ') + (',' if gb else '')} strftime({ts_col}, '%Y-%m-%d')
+),
+lagged AS (
+  SELECT {gsel}d, y,
+         lag(y, 1) OVER ({part}ORDER BY d) AS p1,
+         lag(y, {int(season)}) OVER ({part}ORDER BY d) AS ps
+  FROM daily
+),
+agg AS (
+  SELECT {gsel}count(*) AS n_days, count(p1) AS n_naive,
+         count(ps) AS n_seasonal,
+         sum(abs(y - p1)) AS s1, sum(abs(y - ps)) AS ss
+  FROM lagged
+  {gkey}
+)
+SELECT {gsel}n_days, n_naive, n_seasonal,
+       round(s1 / nullif(CAST(n_naive AS DOUBLE), 0), {round_dp})
+         AS mae_naive,
+       round(ss / nullif(CAST(n_seasonal AS DOUBLE), 0), {round_dp})
+         AS mae_seasonal,
+       round(CASE WHEN s1 / nullif(CAST(n_naive AS DOUBLE), 0) > 0
+                  THEN (ss / nullif(CAST(n_seasonal AS DOUBLE), 0))
+                       / (s1 / nullif(CAST(n_naive AS DOUBLE), 0))
+             END, {round_dp}) AS mase
+FROM agg
+"""

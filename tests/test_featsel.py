@@ -370,3 +370,68 @@ class TestMetricDecomposition:
         b = sorted(map(tuple, con.execute(metric_decomposition_sql(
             "t", "ts", "v", ["d1", "d2"], "2024-06-01")).fetchall()))
         assert a == b
+
+
+class TestTopkTurnover:
+    def test_hand_computed_churn(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import topk_turnover
+        # before: a=30 b=20 c=10 ; after: a=5 c=40 d=30
+        rows = [("2024-01-01", "a", 30.0), ("2024-01-01", "b", 20.0),
+                ("2024-01-01", "c", 10.0),
+                ("2024-02-01", "a", 5.0), ("2024-02-01", "c", 40.0),
+                ("2024-02-01", "d", 30.0)]
+        df = spark.createDataFrame(rows, "ts string, k string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = topk_turnover(df, "ts", "k", "v", "2024-01-15",
+                            k=2).collect()
+        # top2 before {a, b}; top2 after {c, d} -> disjoint
+        assert (r["n_common"], r["n_entered"], r["n_exited"]) \
+            == (0, 2, 2)
+        assert r["jaccard_k"] == 0.0
+        assert r["avg_rank_shift"] is None
+        [r3] = topk_turnover(df, "ts", "k", "v", "2024-01-15",
+                             k=3).collect()
+        # top3 before {a,b,c}, after {c,d,a}: common {a, c}
+        # ranks a:1->3 (shift 2), c:3->1 (shift 2) -> avg 2.0
+        assert r3["n_common"] == 2
+        assert r3["avg_rank_shift"] == 2.0
+        assert r3["jaccard_k"] == 0.5  # 2 / 4 union
+
+    def test_stable_leaderboard(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import topk_turnover
+        rows = [(ts, k, v) for ts in ("2024-01-01", "2024-02-01")
+                for k, v in (("a", 3.0), ("b", 2.0), ("c", 1.0))]
+        df = spark.createDataFrame(rows, "ts string, k string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = topk_turnover(df, "ts", "k", "v", "2024-01-15",
+                            k=3).collect()
+        assert r["jaccard_k"] == 1.0
+        assert r["avg_rank_shift"] == 0.0
+        assert (r["n_entered"], r["n_exited"]) == (0, 0)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            topk_turnover(df, "ts", "k", "v", "2024-01-15", k=0)
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import topk_turnover, topk_turnover_sql
+        import duckdb
+        import random
+        rng = random.Random(31)
+        rows = [(f"2024-{rng.randint(1, 12):02d}-10",
+                 f"k{rng.randint(0, 40)}",
+                 round(rng.uniform(1, 500), 2)) for _ in range(400)]
+        df = spark.createDataFrame(rows, "ts string, k string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        [a] = topk_turnover(df, "ts", "k", "v", "2024-06-01",
+                            k=15).collect()
+        [b] = con.execute(topk_turnover_sql(
+            "t", "ts", "k", "v", "2024-06-01", 15)).fetchall()
+        assert tuple(a) == b

@@ -382,3 +382,53 @@ class TestHoltForecast:
             "t", "ts", "v", ["g"], alpha=0.25, beta=0.15,
             horizon=2)).fetchall()))
         assert a == b
+
+
+class TestForecastBacktest:
+    def test_perfect_weekly_pattern(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import forecast_backtest
+        # y depends only on day-of-week -> seasonal-naive-7 is exact
+        # (MAE 0) while naive-1 errs on every boundary -> MASE 0
+        rows = [(f"2024-01-{d + 1:02d}", float(10 + (d % 7) * 5))
+                for d in range(28)]
+        df = spark.createDataFrame(rows, "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = forecast_backtest(df, "ts", "v", season=7).collect()
+        assert r["mae_seasonal"] == 0.0
+        assert r["mase"] == 0.0
+        assert r["mae_naive"] > 0
+        assert (r["n_naive"], r["n_seasonal"]) == (27, 21)
+
+    def test_constant_series_null_mase(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import forecast_backtest
+        rows = [(f"2024-02-{d + 1:02d}", 5.0) for d in range(14)]
+        df = spark.createDataFrame(rows, "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = forecast_backtest(df, "ts", "v", season=7).collect()
+        assert r["mae_naive"] == 0.0
+        assert r["mase"] is None   # 0/0 guarded, not NaN
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            forecast_backtest(df, "ts", "v", season=1)
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import forecast_backtest, forecast_backtest_sql
+        import duckdb
+        import random
+        rng = random.Random(29)
+        rows = [(g, f"2024-03-{d + 1:02d} 10:00:00",
+                 round(rng.uniform(1, 60), 2))
+                for g in ("a", "b") for d in range(21)]
+        df = spark.createDataFrame(rows, "g string, ts string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, forecast_backtest(
+            df, "ts", "v", ["g"], season=5).collect()))
+        b = sorted(map(tuple, con.execute(forecast_backtest_sql(
+            "t", "ts", "v", ["g"], season=5)).fetchall()))
+        assert a == b

@@ -155,6 +155,7 @@ R12_NEW = {
     "revenue_decomposition", "events_ks_value",
     "doc_link_components", "ab_anova_value", "doc_link_bfs",
     "events_holt_forecast", "user_interarrival",
+    "events_forecast_backtest", "custkey_topk_turnover",
 }
 
 
