@@ -1285,3 +1285,51 @@ def stream_quality_monitor(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+
+
+def stream_drift_monitor(
+    stream,
+    ref,
+    value_col: str,
+    lo: float,
+    hi: float,
+    output_dir: str,
+    group_cols: "list[str] | tuple[str, ...]" = (),
+    bins: int = 10,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming half of the drift module: per micro-batch, run
+    distribution_drift(ref, batch) on the fixed [lo, hi) frame and
+    append (group..., n_ref, n_cur, psi, ks, batch_id) to
+    `output_dir` parquet — the "did the data change under me"
+    tripwire a landing pipeline keeps beside its admission audit log
+    (stream_quality_monitor).
+
+    `ref` is the frozen batch-side reference snapshot; pass it
+    CACHED (or pre-subsampled) — its bin counts are recomputed
+    inside each micro-batch plan, which is one map-side agg over the
+    cached frame per batch. The frame is fixed at deploy time so
+    per-batch binning is pure arithmetic — no quantiles recomputed
+    on the stream. Append is at-least-once on failure replay (the
+    shared foreachBatch posture); the recorded batch_id lets readers
+    drop replay duplicates deterministically."""
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import distribution_drift
+
+    def _each(batch_df, batch_id: int):
+        rep = (distribution_drift(
+            ref, batch_df, value_col, group_cols=group_cols,
+            lo=lo, hi=hi, bins=bins)
+            .withColumn("batch_id", F.lit(int(batch_id))))
+        (rep.coalesce(1).write.mode("append").parquet(output_dir))
+
+    w = stream.writeStream.foreachBatch(_each)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -197,3 +197,34 @@ class TestKsExact:
         b = sorted(map(tuple, con.execute(ks_test_exact_sql(
             "t", "s", "v", "a", "b", ["g"])).fetchall()))
         assert a == b
+
+
+def test_stream_drift_monitor(spark, tmp_path):
+    """Per-micro-batch PSI/KS drift reports land as an audit log
+    with batch ids; values reconcile exactly with the batch operator
+    over the same data."""
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        stream_drift_monitor,
+    )
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "report")
+    # reference ~ uniform(0, 10); current shifted up
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(200)], "v double")
+    cur = spark.createDataFrame(
+        [(float(i % 10) + 3.0,) for i in range(150)], "v double")
+    cur.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("v double").parquet(src)
+    q = stream_drift_monitor(
+        stream, ref, "v", 0.0, 10.0, out,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rep = spark.read.parquet(out).collect()
+    assert {r["batch_id"] for r in rep} == {0}
+    got = [(r["n_ref"], r["n_cur"], r["psi"], r["ks"]) for r in rep]
+    batch = [(r["n_ref"], r["n_cur"], r["psi"], r["ks"]) for r in
+             distribution_drift(ref, cur, "v", lo=0.0,
+                                hi=10.0).collect()]
+    assert got == batch
+    # a 3-unit shift on a 10-wide frame is a real drift signal
+    assert rep[0]["psi"] > 0.25
