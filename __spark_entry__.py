@@ -4063,6 +4063,25 @@ def q_custkey_topk_turnover(spark, sf):
                               "o_totalprice", "1998-01-01", k=20)
 
 
+@_q("ab_diff_in_diff", abx.ab_diff_in_diff_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events)",
+    "variant", "value", "ts", "c", "t", "2024-01-15",
+    group_by=["event_type"]))
+def q_ab_diff_in_diff(spark, sf):
+    """Two-period difference-in-differences per event type (Card &
+    Krueger form): the treatment arm's pre->post change minus the
+    control arm's, netting out shared time shocks; all four cells
+    from ONE conditional-sum scan, large-sample four-cell SE."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    return abx.ab_diff_in_diff(exp, "variant", "value", "ts",
+                               "c", "t", "2024-01-15",
+                               group_by=["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -2139,3 +2139,154 @@ SELECT {gsel}
              {round_dp}) AS eta_sq
 FROM calc
 """
+
+
+def ab_diff_in_diff(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    ts_col: str,
+    control: str,
+    treatment: str,
+    split: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_pre_c, n_post_c, n_pre_t, n_post_t, diff_control,
+    diff_treatment, did, se, z, significant) — two-period
+    difference-in-differences (Card & Krueger 1994 form): the
+    treatment group's pre→post change minus the control group's,
+    which nets out any shared time shock a naive post-only
+    comparison absorbs as lift. `split` (ISO date string) separates
+    the periods; SE is the large-sample four-cell form
+    √(Σ s²_cell/n_cell) under independence.
+
+    One map-side aggregate carries all four cells' n/Σy/Σy²
+    (conditional sums over variant × period in a single scan — the
+    covariate-balance shape); everything after is arithmetic on four
+    triples. Degenerate cells (any n<2 or zero variance in all
+    cells) emit NULL z."""
+    gb = list(group_by or [])
+    y = F.col(value_col).cast("double")
+    post = (F.col(ts_col) >= F.to_timestamp(F.lit(split))) \
+        .cast("int")
+    t = (F.col(variant_col) == treatment).cast("int")
+    base = (df.filter(F.col(variant_col).isin(control, treatment)
+                      & y.isNotNull())
+            .select(*gb, y.alias("__y"), post.alias("__p"),
+                    t.alias("__t")))
+
+    def cell(pt: int, tt: int, tag: str):
+        m = ((F.col("__p") == pt) & (F.col("__t") == tt)) \
+            .cast("int")
+        return [F.sum(m).alias("n" + tag),
+                F.sum(m * F.col("__y")).alias("s" + tag),
+                F.sum(m * F.col("__y") * F.col("__y"))
+                .alias("ss" + tag)]
+
+    agg = base.groupBy(*gb).agg(
+        *cell(0, 0, "_pre_c"), *cell(1, 0, "_post_c"),
+        *cell(0, 1, "_pre_t"), *cell(1, 1, "_post_t"))
+
+    def stats(tag: str):
+        n = F.col("n" + tag).cast("double")
+        s = F.col("s" + tag)
+        ss = F.col("ss" + tag)
+        mean = F.try_divide(s, n)
+        var = F.try_divide(ss - n * mean * mean, n - 1)
+        return n, mean, var
+
+    npc, mpc, vpc = stats("_pre_c")
+    noc, moc, voc = stats("_post_c")
+    npt, mpt, vpt = stats("_pre_t")
+    not_, mot, vot = stats("_post_t")
+    dc = moc - mpc
+    dt = mot - mpt
+    did = dt - dc
+    se = F.sqrt(F.try_divide(vpc, npc) + F.try_divide(voc, noc)
+                + F.try_divide(vpt, npt) + F.try_divide(vot, not_))
+    z = F.when(se > 0, did / se)
+    zr = F.round(z, round_dp)
+    return agg.select(
+        *gb,
+        F.col("n_pre_c").alias("n_pre_c"),
+        F.col("n_post_c").alias("n_post_c"),
+        F.col("n_pre_t").alias("n_pre_t"),
+        F.col("n_post_t").alias("n_post_t"),
+        F.round(dc, round_dp).alias("diff_control"),
+        F.round(dt, round_dp).alias("diff_treatment"),
+        F.round(did, round_dp).alias("did"),
+        F.round(se, round_dp).alias("se"),
+        zr.alias("z"),
+        F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)), F.lit(False))
+        .alias("significant"))
+
+
+def ab_diff_in_diff_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    ts_col: str,
+    control: str,
+    treatment: str,
+    split: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_diff_in_diff (same four-cell conditional
+    sums, same SE expression order)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    y = f"CAST({value_col} AS DOUBLE)"
+    p = (f"CAST({ts_col} >= CAST({sql_lit(split)} AS TIMESTAMP) "
+         f"AS INT)")
+    t = f"CAST({variant_col} = {sql_lit(treatment)} AS INT)"
+
+    def cell(pt: int, tt: int, tag: str) -> str:
+        m = f"CAST({p} = {pt} AND {t} = {tt} AS INT)"
+        return (f"sum({m}) AS n{tag}, sum({m} * {y}) AS s{tag}, "
+                f"sum({m} * {y} * {y}) AS ss{tag}")
+
+    cells = ", ".join([cell(0, 0, "_pre_c"), cell(1, 0, "_post_c"),
+                       cell(0, 1, "_pre_t"), cell(1, 1, "_post_t")])
+
+    def st(tag: str) -> "tuple[str, str, str]":
+        n = f"CAST(n{tag} AS DOUBLE)"
+        mean = f"(s{tag} / nullif({n}, 0))"
+        var = (f"((ss{tag} - {n} * {mean} * {mean})"
+               f" / nullif({n} - 1, 0))")
+        return n, mean, var
+
+    npc, mpc, vpc = st("_pre_c")
+    noc, moc, voc = st("_post_c")
+    npt, mpt, vpt = st("_pre_t")
+    nott, mot, vot = st("_post_t")
+    dc = f"({moc} - {mpc})"
+    dt = f"({mot} - {mpt})"
+    did = f"({dt} - {dc})"
+    se = (f"sqrt({vpc} / nullif({npc}, 0) + {voc} / nullif({noc}, 0)"
+          f" + {vpt} / nullif({npt}, 0) + {vot} / nullif({nott}, 0))")
+    return f"""
+WITH agg AS (
+  SELECT {gsel}{cells}
+  FROM {table}
+  WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
+    AND {value_col} IS NOT NULL
+  {gkey}
+)
+SELECT {gsel}
+       n_pre_c, n_post_c, n_pre_t, n_post_t,
+       round({dc}, {round_dp}) AS diff_control,
+       round({dt}, {round_dp}) AS diff_treatment,
+       round({did}, {round_dp}) AS did,
+       round({se}, {round_dp}) AS se,
+       round(CASE WHEN {se} > 0 THEN {did} / {se} END, {round_dp})
+         AS z,
+       coalesce(abs(round(CASE WHEN {se} > 0 THEN {did} / {se} END,
+                          {round_dp})) >= {float(z_alpha)!r}, FALSE)
+         AS significant
+FROM agg
+"""

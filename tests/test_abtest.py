@@ -855,3 +855,69 @@ class TestAnova:
         b = sorted(map(tuple, con.execute(ab_anova_sql(
             "t", "variant", "v", ["g"])).fetchall()))
         assert a == b
+
+
+class TestDiffInDiff:
+    def _frame(self, spark, effect, shock):
+        import random
+        rng = random.Random(4)
+        rows = []
+        for i in range(2000):
+            v = "c" if i % 2 else "t"
+            pre = i % 4 < 2
+            y = (rng.gauss(10, 1) + (0 if pre else shock)
+                 + (effect if (v == "t" and not pre) else 0))
+            rows.append((v, "2024-01-0%d" % (1 if pre else 9), y))
+        from pyspark.sql import functions as F
+        return spark.createDataFrame(
+            rows, "variant string, ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+
+    def test_nets_out_shared_shock(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_diff_in_diff,
+        )
+        [r] = ab_diff_in_diff(self._frame(spark, 5.0, 3.0),
+                              "variant", "v", "ts", "c", "t",
+                              "2024-01-05").collect()
+        # naive post-change on treatment reads effect + shock (~8);
+        # DID recovers the effect alone (~5)
+        assert abs(r["did"] - 5.0) < 0.3
+        assert r["diff_treatment"] > 7.0
+        assert r["significant"] is True
+
+    def test_no_effect_with_shock_not_significant(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_diff_in_diff,
+        )
+        [r] = ab_diff_in_diff(self._frame(spark, 0.0, 3.0),
+                              "variant", "v", "ts", "c", "t",
+                              "2024-01-05").collect()
+        assert abs(r["did"]) < 0.3
+        assert r["significant"] is False
+        # both arms saw the shock
+        assert r["diff_control"] > 2.5
+        assert r["diff_treatment"] > 2.5
+
+    def test_degenerate_and_twin(self, spark):
+        from pyspark.sql import functions as F
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_diff_in_diff,
+            ab_diff_in_diff_sql,
+        )
+        tiny = spark.createDataFrame(
+            [("c", "2024-01-01", 1.0), ("t", "2024-01-09", 2.0)],
+            "variant string, ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = ab_diff_in_diff(tiny, "variant", "v", "ts", "c", "t",
+                              "2024-01-05").collect()
+        assert r["z"] is None and r["significant"] is False
+        df = self._frame(spark, 2.0, 1.0)
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        [a] = ab_diff_in_diff(df, "variant", "v", "ts", "c", "t",
+                              "2024-01-05").collect()
+        [b] = con.execute(ab_diff_in_diff_sql(
+            "t", "variant", "v", "ts", "c", "t",
+            "2024-01-05")).fetchall()
+        assert tuple(a) == b
