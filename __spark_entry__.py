@@ -2575,6 +2575,7 @@ def q_chi2_lang_terms(spark, sf):
 # Below-window ----
 
 from nifi_extracttext_processor_spark.operators import drift as drf  # noqa: E402
+from nifi_extracttext_processor_spark.operators import linkage as lkg  # noqa: E402
 
 _DRIFT_SPLIT = "2024-01-16"
 
@@ -4080,6 +4081,81 @@ def q_ab_diff_in_diff(spark, sf):
     return abx.ab_diff_in_diff(exp, "variant", "value", "ts",
                                "c", "t", "2024-01-15",
                                group_by=["event_type"])
+
+
+_FS_PAIRS_SQL = """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(a.lang = b.lang AS INT) AS same_lang,
+       CAST(a.source = b.source AS INT) AS same_source,
+       CAST(abs(a.n_chars - b.n_chars) < 100 AS INT) AS len_close,
+       CAST(a.source = b.source OR a.doc_id % 5 = 0 AS INT) AS lab
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+_FS_FIELDS = ["same_lang", "same_source", "len_close"]
+
+
+def _fs_weights_cols() -> str:
+    outs = []
+    for c in _FS_FIELDS:
+        m = (f"((CAST(a_{c} AS DOUBLE) + 0.5)"
+             f" / (CAST(nm AS DOUBLE) + 1.0))")
+        u = (f"((CAST(b_{c} AS DOUBLE) + 0.5)"
+             f" / (CAST(nu AS DOUBLE) + 1.0))")
+        outs.append(f"round(log2({m} / {u}), 6) AS wa_{c}")
+        outs.append(f"round(log2((1.0 - {m}) / (1.0 - {u})), 6) "
+                    f"AS wd_{c}")
+    return ", ".join(outs)
+
+
+_FS_ORACLE = f"""
+WITH pairs AS ({_FS_PAIRS_SQL}),
+one AS (
+  SELECT sum(lab) AS nm, sum(1 - lab) AS nu,
+         {", ".join(f"sum({c} * lab) AS a_{c}, "
+                    f"sum({c} * (1 - lab)) AS b_{c}"
+                    for c in _FS_FIELDS)}
+  FROM pairs
+),
+w AS (SELECT {_fs_weights_cols()} FROM one)
+SELECT p.a_id, p.b_id, p.same_lang, p.same_source, p.len_close,
+       round({" + ".join(f"(CASE WHEN p.{c} = 1 THEN w.wa_{c} "
+                         f"ELSE w.wd_{c} END)"
+                         for c in _FS_FIELDS)}, 4) AS fs_score
+FROM pairs p CROSS JOIN w
+"""
+
+
+@_q("fs_link_scores", _FS_ORACLE)
+def q_fs_link_scores(spark, sf):
+    """Fellegi-Sunter probabilistic linkage: learn per-field m/u
+    evidential weights from the labeled pair sample (one
+    conditional-sum aggregate, Laplace-smoothed, F-row driver read
+    per the planner rule), then score every candidate pair as a
+    log2-likelihood-ratio sum of EMBEDDED constants — a
+    zero-shuffle narrow projection over the pairs."""
+    d = _t(spark, sf, "documents").select("doc_id", "lang",
+                                          "source", "n_chars")
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+             .select(
+                 F.col("a.doc_id").alias("a_id"),
+                 F.col("b.doc_id").alias("b_id"),
+                 (F.col("a.lang") == F.col("b.lang")).cast("int")
+                 .alias("same_lang"),
+                 (F.col("a.source") == F.col("b.source")).cast("int")
+                 .alias("same_source"),
+                 (F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                  < 100).cast("int").alias("len_close"),
+                 ((F.col("a.source") == F.col("b.source"))
+                  | (F.col("a.doc_id") % 5 == 0)).cast("int")
+                 .alias("lab")))
+    wrows = lkg.fs_weights(pairs, _FS_FIELDS, "lab").collect()
+    weights = {r["field"]: (r["w_agree"], r["w_disagree"])
+               for r in wrows}
+    return lkg.fs_score_pairs(
+        pairs.select("a_id", "b_id", *_FS_FIELDS), weights)
 
 
 # ===========================================================================
