@@ -4158,6 +4158,18 @@ def q_fs_link_scores(spark, sf):
         pairs.select("a_id", "b_id", *_FS_FIELDS), weights)
 
 
+@_q("revenue_theil", prof.theil_decomposition_sql(
+    "orders", "o_totalprice", "o_orderpriority"))
+def q_revenue_theil(spark, sf):
+    """Theil T inequality with its exact within/between
+    decomposition over order priorities — WHERE the inequality
+    lives, the property revenue_concentration's Gini lacks; every
+    cross-group float reduction a dim-ordered single-field fold."""
+    return prof.theil_decomposition(_t(spark, sf, "orders"),
+                                    "o_totalprice",
+                                    "o_orderpriority")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

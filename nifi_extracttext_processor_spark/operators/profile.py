@@ -943,3 +943,137 @@ SELECT {int(k)} AS k_requested,
              {round_dp}) AS avg_rank_shift
 FROM j
 """
+
+
+def theil_decomposition(
+    df: DataFrame,
+    value_col: str,
+    dim_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(n_groups, n_entities, mean_value, theil_total, theil_within,
+    theil_between, between_share) — Theil T inequality index
+    (Theil 1967) with its EXACT additive decomposition
+    T = T_within + T_between over the `dim_col` partition: the
+    property Gini lacks (value_concentration's Gini says HOW unequal;
+    this says WHERE the inequality lives — inside segments or
+    between their means).
+
+        T       = (Σ x·ln x)/(N·μ) − ln μ          (entities x > 0)
+        T_g     = (Σ_g x·ln x)/(n_g·μ_g) − ln μ_g
+        within  = Σ_g s_g·T_g,  between = Σ_g s_g·ln(μ_g/μ),
+        s_g     = n_g·μ_g / (N·μ)   (value share)
+
+    Zero/negative/NULL values are excluded (ln domain — the standard
+    Theil convention), counted nowhere. Scale shape: ONE map-side
+    aggregate to (dim, n, Σx, Σx·ln x) rows; every cross-group float
+    reduction is a dim-ordered left fold (the ab_post_stratified
+    discipline), so both engines associate identically; ln runs on
+    data in the entity pass (rounded outputs, the kn_perplexity
+    precedent)."""
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & (v > 0)) \
+        .select(F.coalesce(F.col(dim_col).cast("string"),
+                           F.lit("∅")).alias("__g"),
+                v.alias("__x"))
+    per_g = (base.groupBy("__g")
+             .agg(F.count("*").alias("n"),
+                  F.sum("__x").alias("sx"),
+                  F.sum(F.col("__x") * F.log(F.col("__x")))
+                  .alias("sxl")))
+    term = F.struct(F.col("__g"), F.col("n").cast("double")
+                    .alias("nd"), F.col("sx"), F.col("sxl"))
+    # single-field folds for the totals (the documented DuckDB
+    # list_reduce constraint keeps the twin single-field; the Spark
+    # side mirrors so the association chains match term-for-term)
+    one = (per_g.withColumn("__term", term)
+           .agg(F.count("*").alias("n_groups"),
+                F.sum("n").alias("n_entities"),
+                F.expr("aggregate(array_sort(collect_list(__term)),"
+                       " CAST(0.0 AS DOUBLE),"
+                       " (acc, x) -> acc + x.sx)").alias("tsx"),
+                F.expr("aggregate(array_sort(collect_list(__term)),"
+                       " CAST(0.0 AS DOUBLE),"
+                       " (acc, x) -> acc + x.sxl)").alias("tsxl"),
+                F.expr("array_sort(collect_list(__term))")
+                .alias("gs")))
+    nd = F.col("n_entities").cast("double")
+    mu = F.col("tsx") / nd
+    t_total = F.col("tsxl") / (nd * mu) - F.log(mu)
+    # within/between: dim-ordered folds over the bounded group list,
+    # every subexpression spelled once and reused by both engines
+    within = F.expr(
+        "aggregate(gs, CAST(0.0 AS DOUBLE), (acc, g) -> acc"
+        " + (g.sx / tsx)"
+        "   * (g.sxl / (g.nd * (g.sx / g.nd)) - ln(g.sx / g.nd)))")
+    between = F.expr(
+        "aggregate(gs, CAST(0.0 AS DOUBLE), (acc, g) -> acc"
+        " + (g.sx / tsx) * ln((g.sx / g.nd)"
+        " / (tsx / CAST(n_entities AS DOUBLE))))")
+    return one.select(
+        "n_groups",
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.round(mu, round_dp).alias("mean_value"),
+        F.round(t_total, round_dp).alias("theil_total"),
+        F.round(within, round_dp).alias("theil_within"),
+        F.round(between, round_dp).alias("theil_between"),
+        F.round(F.when(t_total > 0, between / t_total), round_dp)
+        .alias("between_share"))
+
+
+def theil_decomposition_sql(
+    table: str,
+    value_col: str,
+    dim_col: str,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of theil_decomposition (same per-group sufficient
+    sums, same dim-ordered single-field list_reduce folds — the
+    multi-field struct fold is avoided on both sides for the
+    documented DuckDB 1.0.0 reason; sx and sxl fold separately)."""
+    v = f"CAST({value_col} AS DOUBLE)"
+    return f"""
+WITH base AS (
+  SELECT coalesce(CAST({dim_col} AS VARCHAR), '∅') AS g,
+         {v} AS x
+  FROM {table} WHERE {value_col} IS NOT NULL AND {v} > 0
+),
+per_g AS (
+  SELECT g, count(*) AS n, sum(x) AS sx, sum(x * ln(x)) AS sxl
+  FROM base GROUP BY g
+),
+one AS (
+  SELECT count(*) AS n_groups, sum(n) AS n_entities,
+         list_reduce(list(sx ORDER BY g), (a, b) -> a + b) AS tsx,
+         list_reduce(list(sxl ORDER BY g), (a, b) -> a + b) AS tsxl,
+         list({{'g': g, 'nd': CAST(n AS DOUBLE), 'sx': sx,
+                'sxl': sxl}} ORDER BY g) AS gs
+  FROM per_g
+),
+calc AS (
+  SELECT *,
+         CAST(n_entities AS DOUBLE) AS nd,
+         tsx / CAST(n_entities AS DOUBLE) AS mu
+  FROM one
+)
+SELECT n_groups,
+       CAST(n_entities AS BIGINT) AS n_entities,
+       round(mu, {round_dp}) AS mean_value,
+       round(tsxl / (nd * mu) - ln(mu), {round_dp}) AS theil_total,
+       round(list_reduce(
+         list_transform(gs, g -> (g.sx / tsx)
+           * (g.sxl / (g.nd * (g.sx / g.nd)) - ln(g.sx / g.nd))),
+         (a, b) -> a + b), {round_dp}) AS theil_within,
+       round(list_reduce(
+         list_transform(gs, g -> (g.sx / tsx)
+           * ln((g.sx / g.nd) / (tsx / nd))),
+         (a, b) -> a + b), {round_dp}) AS theil_between,
+       round(CASE WHEN tsxl / (nd * mu) - ln(mu) > 0
+                  THEN list_reduce(
+                    list_transform(gs, g -> (g.sx / tsx)
+                      * ln((g.sx / g.nd) / (tsx / nd))),
+                    (a, b) -> a + b)
+                    / (tsxl / (nd * mu) - ln(mu)) END, {round_dp})
+         AS between_share
+FROM calc
+"""

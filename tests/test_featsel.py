@@ -435,3 +435,64 @@ class TestTopkTurnover:
         [b] = con.execute(topk_turnover_sql(
             "t", "ts", "k", "v", "2024-06-01", 15)).fetchall()
         assert tuple(a) == b
+
+
+class TestTheil:
+    def test_equal_values_zero(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import theil_decomposition
+        df = spark.createDataFrame(
+            [("a", 5.0)] * 10 + [("b", 5.0)] * 10, "g string, "
+            "v double")
+        [r] = theil_decomposition(df, "v", "g").collect()
+        assert r["theil_total"] == 0.0
+        assert r["theil_within"] == 0.0
+        assert r["theil_between"] == 0.0
+
+    def test_decomposition_identity_and_between(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import theil_decomposition
+        import random
+        rng = random.Random(37)
+        # group b's mean is 10x group a's -> between-share dominates
+        rows = ([("a", rng.uniform(9, 11)) for _ in range(200)]
+                + [("b", rng.uniform(90, 110)) for _ in range(200)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        [r] = theil_decomposition(df, "v", "g").collect()
+        # exact additive decomposition (within rounding)
+        assert abs(r["theil_total"]
+                   - (r["theil_within"] + r["theil_between"])) < 2e-6
+        assert r["between_share"] > 0.9
+        # hand check vs pure python
+        import math
+        vals = [(g, v) for g, v in rows]
+        xs = [v for _, v in vals]
+        mu = sum(xs) / len(xs)
+        t = sum(x / mu * math.log(x / mu) for x in xs) / len(xs)
+        assert abs(r["theil_total"] - t) < 1e-4
+
+    def test_nonpositive_excluded_and_null_dim(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import theil_decomposition
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), (None, 4.0), ("b", 0.0),
+             ("b", -3.0), ("b", None)], "g string, v double")
+        [r] = theil_decomposition(df, "v", "g").collect()
+        assert r["n_entities"] == 3   # 0, -3, NULL excluded
+        assert r["n_groups"] == 2     # NULL dim -> its own segment
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.profile \
+            import theil_decomposition, theil_decomposition_sql
+        import duckdb
+        import random
+        rng = random.Random(41)
+        rows = [(rng.choice("pqr"), round(rng.uniform(0.5, 200), 3))
+                for _ in range(500)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        [a] = theil_decomposition(df, "v", "g").collect()
+        [b] = con.execute(theil_decomposition_sql(
+            "t", "v", "g")).fetchall()
+        assert tuple(a) == b

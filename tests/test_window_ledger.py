@@ -156,7 +156,7 @@ R12_NEW = {
     "doc_link_components", "ab_anova_value", "doc_link_bfs",
     "events_holt_forecast", "user_interarrival",
     "events_forecast_backtest", "custkey_topk_turnover",
-    "ab_diff_in_diff", "fs_link_scores",
+    "ab_diff_in_diff", "fs_link_scores", "revenue_theil",
 }
 
 
