@@ -4170,6 +4170,27 @@ def q_revenue_theil(spark, sf):
                                     "o_orderpriority")
 
 
+_GS_LOOKS = ["2024-01-10", "2024-01-20", "2024-02-01"]
+
+
+@_q("ab_group_sequential", abx.ab_group_sequential_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events)",
+    "variant", "value", "ts", "c", "t", _GS_LOOKS))
+def q_ab_group_sequential(spark, sf):
+    """O'Brien-Fleming group-sequential monitoring at three planned
+    looks — the third leg of the peeking triad (fixed-horizon Welch,
+    continuous mSPRT, scheduled looks here): cumulative cells for
+    ALL looks from ONE conditional-sum scan, inflated boundaries
+    z_final*sqrt(K/k) as repr-embedded constants."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    return abx.ab_group_sequential(exp, "variant", "value", "ts",
+                                   "c", "t", _GS_LOOKS)
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -2290,3 +2290,167 @@ SELECT {gsel}
          AS significant
 FROM agg
 """
+
+
+def ab_group_sequential(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    ts_col: str,
+    control: str,
+    treatment: str,
+    looks: "list[str]",
+    z_final: float = 1.959963984540054,
+    boundary: str = "obf",
+    round_dp: int = 4,
+) -> DataFrame:
+    """(look, look_date, n_control, n_treatment, diff, z, z_boundary,
+    significant) — group-sequential monitoring at PLANNED interim
+    looks (the third leg of the peeking triad: fixed-horizon Welch
+    for one look, mSPRT for continuous dashboards, this for K
+    scheduled analyses): at each look the cumulative-data z is
+    compared against an inflated boundary —
+      obf:    z_final·√(K/k)  (O'Brien & Fleming 1979 approximation —
+                               very conservative early, ≈ z_final at
+                               the final look)
+      pocock: the flat classic tabled constant c(K) at overall
+              two-sided α = 0.05 (Pocock 1977), K ≤ 10, embedded.
+    Cumulative cells for ALL K looks come from ONE conditional-sum
+    scan (K·6 aggregates in a single map-side agg — no per-look
+    pass); boundaries are repr-embedded Python constants."""
+    import math
+    if not looks:
+        raise ValueError("looks must be non-empty")
+    if boundary not in ("obf", "pocock"):
+        raise ValueError("boundary must be 'obf' or 'pocock'")
+    K = len(looks)
+    # Pocock constant c(K) at overall alpha=.05, two-sided — the
+    # classic table (Pocock 1977); K>10 unsupported.
+    _POCOCK = {1: 1.960, 2: 2.178, 3: 2.289, 4: 2.361, 5: 2.413,
+               6: 2.453, 7: 2.485, 8: 2.512, 9: 2.535, 10: 2.555}
+    if boundary == "pocock" and K > 10:
+        raise ValueError("pocock table covers K <= 10")
+    y = F.col(value_col).cast("double")
+    t = (F.col(variant_col) == treatment).cast("int")
+    base = (df.filter(F.col(variant_col).isin(control, treatment)
+                      & y.isNotNull())
+            .select(y.alias("__y"), t.alias("__t"),
+                    F.col(ts_col).alias("__ts")))
+    aggs = []
+    for k, d in enumerate(looks):
+        m = (F.col("__ts") < F.to_timestamp(F.lit(d))).cast("int")
+        tag = str(k)
+        aggs += [
+            F.sum(m * (1 - F.col("__t"))).alias("n0_" + tag),
+            F.sum(m * F.col("__t")).alias("n1_" + tag),
+            F.sum(m * (1 - F.col("__t")) * F.col("__y"))
+            .alias("s0_" + tag),
+            F.sum(m * F.col("__t") * F.col("__y")).alias("s1_" + tag),
+            F.sum(m * (1 - F.col("__t")) * F.col("__y")
+                  * F.col("__y")).alias("q0_" + tag),
+            F.sum(m * F.col("__t") * F.col("__y") * F.col("__y"))
+            .alias("q1_" + tag),
+        ]
+    one = base.agg(*aggs)
+    rows = []
+    for k, d in enumerate(looks):
+        tag = str(k)
+        if boundary == "obf":
+            b = float(z_final) * math.sqrt(K / (k + 1))
+        else:
+            b = _POCOCK[K]
+        n0 = F.col("n0_" + tag).cast("double")
+        n1 = F.col("n1_" + tag).cast("double")
+        m0 = F.try_divide(F.col("s0_" + tag), n0)
+        m1 = F.try_divide(F.col("s1_" + tag), n1)
+        v0 = F.try_divide(F.col("q0_" + tag) - n0 * m0 * m0,
+                          n0 - F.lit(1.0))
+        v1 = F.try_divide(F.col("q1_" + tag) - n1 * m1 * m1,
+                          n1 - F.lit(1.0))
+        se = F.sqrt(F.try_divide(v0, n0) + F.try_divide(v1, n1))
+        z = F.when(se > 0, (m1 - m0) / se)
+        zr = F.round(z, round_dp)
+        rows.append(F.struct(
+            F.lit(k + 1).alias("look"),
+            F.lit(d).alias("look_date"),
+            F.col("n0_" + tag).cast("long").alias("n_control"),
+            F.col("n1_" + tag).cast("long").alias("n_treatment"),
+            F.round(m1 - m0, round_dp).alias("diff"),
+            zr.alias("z"),
+            F.lit(round(b, round_dp)).alias("z_boundary"),
+            F.coalesce(F.abs(zr) >= F.lit(round(b, round_dp)),
+                       F.lit(False)).alias("significant")))
+    return (one.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))
+
+
+def ab_group_sequential_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    ts_col: str,
+    control: str,
+    treatment: str,
+    looks: "list[str]",
+    z_final: float = 1.959963984540054,
+    boundary: str = "obf",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_group_sequential (same one-scan conditional
+    sums, same repr-embedded boundaries, UNION ALL per look)."""
+    import math
+    if not looks:
+        raise ValueError("looks must be non-empty")
+    if boundary not in ("obf", "pocock"):
+        raise ValueError("boundary must be 'obf' or 'pocock'")
+    K = len(looks)
+    _POCOCK = {1: 1.960, 2: 2.178, 3: 2.289, 4: 2.361, 5: 2.413,
+               6: 2.453, 7: 2.485, 8: 2.512, 9: 2.535, 10: 2.555}
+    if boundary == "pocock" and K > 10:
+        raise ValueError("pocock table covers K <= 10")
+    y = f"CAST({value_col} AS DOUBLE)"
+    t = f"CAST({variant_col} = {sql_lit(treatment)} AS INT)"
+    aggs = []
+    for k, d in enumerate(looks):
+        m = (f"CAST({ts_col} < CAST({sql_lit(d)} AS TIMESTAMP) "
+             f"AS INT)")
+        aggs += [
+            f"sum({m} * (1 - {t})) AS n0_{k}",
+            f"sum({m} * {t}) AS n1_{k}",
+            f"sum({m} * (1 - {t}) * {y}) AS s0_{k}",
+            f"sum({m} * {t} * {y}) AS s1_{k}",
+            f"sum({m} * (1 - {t}) * {y} * {y}) AS q0_{k}",
+            f"sum({m} * {t} * {y} * {y}) AS q1_{k}",
+        ]
+    arms = []
+    for k, d in enumerate(looks):
+        if boundary == "obf":
+            b = round(float(z_final) * math.sqrt(K / (k + 1)),
+                      round_dp)
+        else:
+            b = round(_POCOCK[K], round_dp)
+        n0 = f"CAST(n0_{k} AS DOUBLE)"
+        n1 = f"CAST(n1_{k} AS DOUBLE)"
+        m0 = f"(s0_{k} / nullif({n0}, 0))"
+        m1 = f"(s1_{k} / nullif({n1}, 0))"
+        v0 = (f"((q0_{k} - {n0} * {m0} * {m0})"
+              f" / nullif({n0} - 1.0, 0))")
+        v1 = (f"((q1_{k} - {n1} * {m1} * {m1})"
+              f" / nullif({n1} - 1.0, 0))")
+        se = (f"sqrt({v0} / nullif({n0}, 0)"
+              f" + {v1} / nullif({n1}, 0))")
+        z = f"CASE WHEN {se} > 0 THEN ({m1} - {m0}) / {se} END"
+        arms.append(f"""
+  SELECT {k + 1} AS look, {sql_lit(d)} AS look_date,
+         CAST(n0_{k} AS BIGINT) AS n_control,
+         CAST(n1_{k} AS BIGINT) AS n_treatment,
+         round({m1} - {m0}, {round_dp}) AS diff,
+         round({z}, {round_dp}) AS z,
+         CAST({b!r} AS DOUBLE) AS z_boundary,
+         coalesce(abs(round({z}, {round_dp}))
+                  >= CAST({b!r} AS DOUBLE), FALSE) AS significant
+  FROM one""")
+    return (f"WITH one AS (SELECT {', '.join(aggs)} FROM {table} "
+            f"WHERE {variant_col} IN ({sql_lit(control)}, "
+            f"{sql_lit(treatment)}) AND {value_col} IS NOT NULL) "
+            + " UNION ALL ".join(arms))

@@ -921,3 +921,89 @@ class TestDiffInDiff:
             "t", "variant", "v", "ts", "c", "t",
             "2024-01-05")).fetchall()
         assert tuple(a) == b
+
+
+class TestGroupSequential:
+    def _frame(self, spark, effect):
+        import random
+        from pyspark.sql import functions as F
+        rng = random.Random(6)
+        rows = []
+        for i in range(1500):
+            v = "c" if i % 2 else "t"
+            day = 1 + (i % 28)
+            y = rng.gauss(10, 2) + (effect if v == "t" else 0)
+            rows.append((v, f"2024-01-{day:02d}", y))
+        return spark.createDataFrame(
+            rows, "variant string, ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+
+    def test_boundaries_shrink_to_final(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_group_sequential,
+        )
+        import math
+        looks = ["2024-01-08", "2024-01-15", "2024-01-22",
+                 "2024-01-29"]
+        rows = ab_group_sequential(self._frame(spark, 0.0),
+                                   "variant", "v", "ts", "c", "t",
+                                   looks).collect()
+        got = {r["look"]: r["z_boundary"] for r in rows}
+        zf = 1.959963984540054
+        for k in range(1, 5):
+            assert got[k] == round(zf * math.sqrt(4 / k), 4)
+        # monotone decreasing; final ≈ z_final
+        assert got[1] > got[2] > got[3] > got[4]
+        assert abs(got[4] - 1.96) < 0.01
+        # cumulative n grows across looks
+        ns = {r["look"]: r["n_control"] + r["n_treatment"]
+              for r in rows}
+        assert ns[1] < ns[2] < ns[3] < ns[4]
+
+    def test_early_stop_on_big_effect_only(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_group_sequential,
+        )
+        looks = ["2024-01-08", "2024-01-15", "2024-01-29"]
+        null_rows = ab_group_sequential(
+            self._frame(spark, 0.0), "variant", "v", "ts", "c", "t",
+            looks).collect()
+        assert all(not r["significant"] for r in null_rows)
+        eff_rows = ab_group_sequential(
+            self._frame(spark, 2.0), "variant", "v", "ts", "c", "t",
+            looks).collect()
+        assert all(r["significant"] for r in eff_rows)
+
+    def test_pocock_and_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_group_sequential,
+        )
+        looks = ["2024-01-08", "2024-01-15", "2024-01-29"]
+        rows = ab_group_sequential(
+            self._frame(spark, 0.0), "variant", "v", "ts", "c", "t",
+            looks, boundary="pocock").collect()
+        # flat tabled constant c(3) = 2.289 at every look
+        assert {r["z_boundary"] for r in rows} == {2.289}
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            ab_group_sequential(self._frame(spark, 0.0), "variant",
+                                "v", "ts", "c", "t", [])
+        with _pt.raises(ValueError):
+            ab_group_sequential(self._frame(spark, 0.0), "variant",
+                                "v", "ts", "c", "t", looks,
+                                boundary="bogus")
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_group_sequential,
+            ab_group_sequential_sql,
+        )
+        df = self._frame(spark, 0.5)
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        looks = ["2024-01-10", "2024-01-20", "2024-01-29"]
+        a = sorted(map(tuple, ab_group_sequential(
+            df, "variant", "v", "ts", "c", "t", looks).collect()))
+        b = sorted(map(tuple, con.execute(ab_group_sequential_sql(
+            "t", "variant", "v", "ts", "c", "t", looks)).fetchall()))
+        assert a == b
