@@ -4191,6 +4191,18 @@ def q_ab_group_sequential(spark, sf):
                                    "c", "t", _GS_LOOKS)
 
 
+@_q("events_robust_trend", tsx.robust_trend_sql(
+    "events", "ts", "value", ["event_type"]))
+def q_events_robust_trend(spark, sf):
+    """Mann-Kendall trend detection + Theil-Sen slope per event type
+    over the daily value sum — exact-grid decimals FIRST so every
+    pair sign/slope is an exact rational (a discrete S statistic
+    can't be repaired by rounding); C(n,2) day pairs, never
+    event-scale."""
+    return tsx.robust_trend(_t(spark, sf, "events"), "ts", "value",
+                            ["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

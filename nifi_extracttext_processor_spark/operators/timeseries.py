@@ -1215,3 +1215,179 @@ SELECT {gsel}n_days, n_naive, n_seasonal,
              END, {round_dp}) AS mase
 FROM agg
 """
+
+
+def robust_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group..., n_days, n_pairs, mk_s, mk_z, trend, sen_slope) —
+    the distribution-free trend pair over the daily metric sum:
+    Mann–Kendall S (Mann 1945; Kendall 1975 — DETECTS a monotone
+    trend: Σ over day pairs of sign(y_j − y_i), tie-corrected
+    variance, ±1 continuity-corrected z) and the Theil–Sen slope
+    (Theil 1950; Sen 1968 — ESTIMATES it: the median of all pairwise
+    per-day slopes, robust to the outliers an OLS line chases).
+    `trend` ∈ up/down/none at the z_alpha cut; NULL mk_z when n < 2
+    days or zero variance (all days tied).
+
+    Determinism: daily sums quantize to the 1e-6 grid as exact
+    decimals FIRST, so every sign and slope is an exact rational —
+    a float daily sum's association order could flip a sign(Δ) tie
+    across engines, and S is a discrete statistic rounding cannot
+    repair (the topk_turnover lesson applied to signs). The pair
+    join is day-bounded: C(n, 2) rows per group over the ≤10³-day
+    series (the ses_forecast contract), never event-scale. Median =
+    middle element(s) of the sorted slope array, no interpolation
+    ambiguity; slopes use calendar datediff so gap days count."""
+    gb = list(group_by or [])
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*gb, F.to_date(F.col(ts_col)).alias("__d"))
+             .agg(F.sum(F.round(F.col(value_col).cast("double")
+                                * 1e6).cast("decimal(38,0)"))
+                  .alias("__yq")))
+    a = daily.select(*gb, F.col("__d").alias("da"),
+                     F.col("__yq").alias("ya"))
+    b = daily.select(*gb, F.col("__d").alias("db"),
+                     F.col("__yq").alias("yb"))
+    pairs = (a.join(b, gb) if gb else a.crossJoin(b)) \
+        .filter(F.col("da") < F.col("db"))
+    sgn = F.signum((F.col("yb") - F.col("ya")).cast("double")) \
+        .cast("long")
+    slope = ((F.col("yb") - F.col("ya")).cast("double") / F.lit(1e6)
+             / F.datediff(F.col("db"), F.col("da")).cast("double"))
+    pagg = (pairs
+            .select(*gb, sgn.alias("__sgn"), slope.alias("__sl"))
+            .groupBy(*gb)
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum("__sgn").alias("mk_s"),
+                 F.expr("array_sort(collect_list(__sl))")
+                 .alias("__sls")))
+    # tie groups over the daily values (exact decimals)
+    ties = (daily.groupBy(*gb, "__yq")
+            .agg(F.count("*").alias("t"))
+            .groupBy(*gb)
+            .agg(F.sum("t").alias("n_days"),
+                 F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("tie_term")))
+    j = pagg.join(ties, gb) if gb else pagg.crossJoin(ties)
+    n = F.col("n_days").cast("double")
+    var_s = (n * (n - 1) * (2 * n + 5)
+             - F.col("tie_term").cast("double")) / F.lit(18.0)
+    s = F.col("mk_s").cast("double")
+    z = F.when(
+        var_s > 0,
+        F.when(F.col("mk_s") > 0, (s - 1) / F.sqrt(var_s))
+        .when(F.col("mk_s") < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)))
+    zr = F.round(z, round_dp)
+    m = F.size("__sls")
+    sen = F.when(
+        m > 0,
+        F.when(m % 2 == 1,
+               F.expr("element_at(__sls, CAST((size(__sls) + 1) "
+                      "div 2 AS INT))"))
+        .otherwise((F.expr("element_at(__sls, "
+                           "CAST(size(__sls) div 2 AS INT))")
+                    + F.expr("element_at(__sls, CAST(size(__sls) "
+                             "div 2 + 1 AS INT))"))
+                   / F.lit(2.0)))
+    return j.select(
+        *gb,
+        F.col("n_days").cast("long").alias("n_days"),
+        "n_pairs", "mk_s",
+        zr.alias("mk_z"),
+        F.when(zr >= F.lit(float(z_alpha)), F.lit("up"))
+        .when(zr <= F.lit(-float(z_alpha)), F.lit("down"))
+        .when(zr.isNotNull(), F.lit("none")).alias("trend"),
+        F.round(sen, round_dp).alias("sen_slope"))
+
+
+def robust_trend_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of robust_trend (same exact-grid daily decimals,
+    same pair signs/slopes, same tie-corrected variance and sorted-
+    array median)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    asel = "".join(f"a.{g}, " for g in gb)
+    on = (" AND ".join(f"a.{g} = b.{g}" for g in gb)
+          + (" AND " if gb else "")) + "a.d < b.d"
+    jon = (" AND ".join(f"p.{g} = t.{g}" for g in gb)
+           if gb else "TRUE")
+    psel = "".join(f"p.{g}, " for g in gb)
+    za = repr(float(z_alpha))
+    return f"""
+WITH daily AS (
+  SELECT {gsel}CAST(date_trunc('day', {ts_col}) AS DATE) AS d,
+         sum(CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                  AS HUGEINT)) AS yq
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel.rstrip(', ') + (',' if gb else '')} CAST(date_trunc('day', {ts_col}) AS DATE)
+),
+pairs AS (
+  SELECT {asel}
+         CAST(sign(CAST(b.yq - a.yq AS DOUBLE)) AS BIGINT) AS sgn,
+         CAST(b.yq - a.yq AS DOUBLE) / 1e6
+           / CAST(b.d - a.d AS DOUBLE) AS sl
+  FROM daily a JOIN daily b ON {on}
+),
+pagg AS (
+  SELECT {gsel}count(*) AS n_pairs, sum(sgn) AS mk_s,
+         list_sort(list(sl)) AS sls
+  FROM pairs
+  {gkey}
+),
+ties AS (
+  SELECT {gsel}sum(t) AS n_days,
+         sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT {gsel}yq, count(*) AS t FROM daily
+        GROUP BY {gsel.rstrip(', ') + (',' if gb else '')} yq)
+  {gkey}
+),
+j AS (
+  SELECT {psel}p.n_pairs, p.mk_s, p.sls, t.n_days, t.tie_term
+  FROM pagg p JOIN ties t ON {jon}
+),
+calc AS (
+  SELECT *,
+         (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)
+          * (2 * CAST(n_days AS DOUBLE) + 5)
+          - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s,
+         CAST(mk_s AS DOUBLE) AS sd,
+         len(sls) AS m
+  FROM j
+),
+zc AS (
+  SELECT *,
+         CASE WHEN var_s > 0 THEN
+           CASE WHEN mk_s > 0 THEN (sd - 1) / sqrt(var_s)
+                WHEN mk_s < 0 THEN (sd + 1) / sqrt(var_s)
+                ELSE 0.0 END END AS z,
+         CASE WHEN m > 0 THEN
+           CASE WHEN m % 2 = 1 THEN sls[(m + 1) // 2]
+                ELSE (sls[m // 2] + sls[m // 2 + 1]) / 2.0 END
+         END AS sen
+  FROM calc
+)
+SELECT {gsel}
+       CAST(n_days AS BIGINT) AS n_days, n_pairs, mk_s,
+       round(z, {round_dp}) AS mk_z,
+       CASE WHEN round(z, {round_dp}) >= {za} THEN 'up'
+            WHEN round(z, {round_dp}) <= -{za} THEN 'down'
+            WHEN round(z, {round_dp}) IS NOT NULL THEN 'none'
+       END AS trend,
+       round(sen, {round_dp}) AS sen_slope
+FROM zc
+"""

@@ -432,3 +432,61 @@ class TestForecastBacktest:
         b = sorted(map(tuple, con.execute(forecast_backtest_sql(
             "t", "ts", "v", ["g"], season=5)).fetchall()))
         assert a == b
+
+
+class TestRobustTrend:
+    def test_perfect_monotone(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import robust_trend
+        rows = [(f"2024-01-{d + 1:02d}", 10.0 + 2.5 * d)
+                for d in range(20)]
+        df = spark.createDataFrame(rows, "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = robust_trend(df, "ts", "v").collect()
+        assert r["mk_s"] == 190        # all C(20,2) pairs concordant
+        assert r["trend"] == "up"
+        assert r["sen_slope"] == 2.5   # exact: perfectly linear
+
+    def test_outlier_robustness_vs_flat(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import robust_trend
+        # flat series with one massive outlier: sen slope stays ~0
+        rows = [(f"2024-02-{d + 1:02d}",
+                 5.0 if d != 10 else 5000.0) for d in range(20)]
+        df = spark.createDataFrame(rows, "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = robust_trend(df, "ts", "v").collect()
+        assert r["sen_slope"] == 0.0
+        assert r["trend"] == "none"
+
+    def test_all_tied_null_z(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import robust_trend
+        rows = [(f"2024-03-{d + 1:02d}", 7.0) for d in range(10)]
+        df = spark.createDataFrame(rows, "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = robust_trend(df, "ts", "v").collect()
+        assert r["mk_s"] == 0
+        assert r["mk_z"] is None      # zero variance: all tied
+        assert r["sen_slope"] == 0.0
+
+    def test_twin_parity_grouped(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import robust_trend, robust_trend_sql
+        import duckdb
+        import random
+        rng = random.Random(43)
+        rows = [(g, f"2024-04-{d + 1:02d} 09:00:00",
+                 round(rng.uniform(1, 50) + (d * 0.8 if g == "a"
+                                             else 0), 2))
+                for g in ("a", "b") for d in range(25)]
+        df = spark.createDataFrame(rows, "g string, ts string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, robust_trend(
+            df, "ts", "v", ["g"]).collect()))
+        b = sorted(map(tuple, con.execute(robust_trend_sql(
+            "t", "ts", "v", ["g"])).fetchall()))
+        assert a == b
