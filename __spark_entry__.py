@@ -4203,6 +4203,38 @@ def q_events_robust_trend(spark, sf):
                             ["event_type"])
 
 
+@_q("ab_odds_ratio", abx.ab_odds_ratio_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant, CAST(value > 200 AS INT) AS conv FROM events)",
+    "variant", "conv", "c", "t", group_by=["event_type"]))
+def q_ab_odds_ratio(spark, sf):
+    """Odds ratio + Woolf log-scale CI + relative risk per event
+    type — the 2x2 effect measure that stays interpretable at small
+    rates and composes across strata; Haldane-Anscombe 0.5
+    correction on zero cells; one conditional-sum scan."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c")
+        .otherwise("t")) \
+        .withColumn("conv", (F.col("value") > 200).cast("int"))
+    return abx.ab_odds_ratio(exp, "variant", "conv", "c", "t",
+                             group_by=["event_type"])
+
+
+@_q("user_conv_shrunk", abx.eb_shrunk_rates_sql(
+    "(SELECT *, CAST(value > 200 AS INT) AS conv FROM events)",
+    "user_id", "conv"))
+def q_user_conv_shrunk(spark, sf):
+    """Empirical-Bayes shrunken per-user conversion rates
+    (beta-binomial moment-matched prior, Robinson's construction) —
+    the leaderboard fix where 2/2 outranks 180/200; thin users pull
+    toward the pooled mean, segment-ordered moment folds."""
+    ev = _t(spark, sf, "events").withColumn(
+        "conv", (F.col("value") > 200).cast("int"))
+    return abx.eb_shrunk_rates(ev, "user_id", "conv")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -2454,3 +2454,250 @@ def ab_group_sequential_sql(
             f"WHERE {variant_col} IN ({sql_lit(control)}, "
             f"{sql_lit(treatment)}) AND {value_col} IS NOT NULL) "
             + " UNION ALL ".join(arms))
+
+
+def ab_odds_ratio(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., s_control, f_control, s_treatment, f_treatment,
+    odds_ratio, log_or, ci_low, ci_high, relative_risk,
+    significant) — the epidemiology-style 2×2 readout beside
+    ab_proportion_test's z: odds ratio with the Woolf log-scale CI
+    (SE = √(1/a + 1/b + 1/c + 1/d)) and relative risk. OR is the
+    effect measure that stays interpretable at very small rates
+    (where lift percentages mislead) and composes across strata.
+    Haldane–Anscombe 0.5 correction applied to EVERY cell whenever
+    ANY cell is zero (the standard convention — keeps OR finite and
+    the CI defined); `significant` = CI excludes 1. One
+    conditional-sum scan."""
+    gb = list(group_by or [])
+    s = F.col(success_col).cast("int")
+    t = (F.col(variant_col) == treatment).cast("int")
+    base = (df.filter(F.col(variant_col).isin(control, treatment)
+                      & s.isNotNull())
+            .select(*gb, s.alias("__s"), t.alias("__t")))
+    agg = base.groupBy(*gb).agg(
+        F.sum(F.col("__s") * F.col("__t")).alias("a"),
+        F.sum((1 - F.col("__s")) * F.col("__t")).alias("b"),
+        F.sum(F.col("__s") * (1 - F.col("__t"))).alias("c"),
+        F.sum((1 - F.col("__s")) * (1 - F.col("__t"))).alias("d"))
+    any_zero = ((F.col("a") == 0) | (F.col("b") == 0)
+                | (F.col("c") == 0) | (F.col("d") == 0))
+    corr = F.when(any_zero, F.lit(0.5)).otherwise(F.lit(0.0))
+    a = F.col("a").cast("double") + corr
+    b = F.col("b").cast("double") + corr
+    c = F.col("c").cast("double") + corr
+    d = F.col("d").cast("double") + corr
+    orr = (a * d) / (b * c)
+    lor = F.log(orr)
+    se = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    za = F.lit(float(z_alpha))
+    lo = F.exp(lor - za * se)
+    hi = F.exp(lor + za * se)
+    rr = F.try_divide(a / (a + b), c / (c + d))
+    lor_r = F.round(lor, round_dp)
+    lo_r = F.round(lo, round_dp)
+    hi_r = F.round(hi, round_dp)
+    return agg.select(
+        *gb,
+        c.alias("s_control"),
+        d.alias("f_control"),
+        a.alias("s_treatment"),
+        b.alias("f_treatment"),
+        F.round(orr, round_dp).alias("odds_ratio"),
+        lor_r.alias("log_or"),
+        lo_r.alias("ci_low"),
+        hi_r.alias("ci_high"),
+        F.round(rr, round_dp).alias("relative_risk"),
+        F.coalesce((lo_r > 1.0) | (hi_r < 1.0), F.lit(False))
+        .alias("significant"))
+
+
+def ab_odds_ratio_sql(
+    table: str,
+    variant_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_odds_ratio (same 2×2 cells, same
+    correction, same Woolf CI expression order)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    s = f"CAST({success_col} AS INT)"
+    t = f"CAST({variant_col} = {sql_lit(treatment)} AS INT)"
+    za = repr(float(z_alpha))
+    return f"""
+WITH agg AS (
+  SELECT {gsel}
+         sum({s} * {t}) AS a, sum((1 - {s}) * {t}) AS b,
+         sum({s} * (1 - {t})) AS c, sum((1 - {s}) * (1 - {t})) AS d
+  FROM {table}
+  WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
+    AND {success_col} IS NOT NULL
+  {gkey}
+),
+calc AS (
+  SELECT *,
+         CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+              THEN 0.5 ELSE 0.0 END AS corr
+  FROM agg
+),
+vals AS (
+  SELECT *,
+         CAST(a AS DOUBLE) + corr AS ax,
+         CAST(b AS DOUBLE) + corr AS bx,
+         CAST(c AS DOUBLE) + corr AS cx,
+         CAST(d AS DOUBLE) + corr AS dx
+  FROM calc
+),
+orx AS (
+  SELECT *,
+         (ax * dx) / (bx * cx) AS orr,
+         ln((ax * dx) / (bx * cx)) AS lor,
+         sqrt(1 / ax + 1 / bx + 1 / cx + 1 / dx) AS se
+  FROM vals
+)
+SELECT {gsel}
+       cx AS s_control, dx AS f_control,
+       ax AS s_treatment, bx AS f_treatment,
+       round(orr, {round_dp}) AS odds_ratio,
+       round(lor, {round_dp}) AS log_or,
+       round(exp(lor - {za} * se), {round_dp}) AS ci_low,
+       round(exp(lor + {za} * se), {round_dp}) AS ci_high,
+       round((ax / (ax + bx)) / nullif(cx / (cx + dx), 0),
+             {round_dp}) AS relative_risk,
+       coalesce(round(exp(lor - {za} * se), {round_dp}) > 1.0
+                OR round(exp(lor + {za} * se), {round_dp}) < 1.0,
+                FALSE) AS significant
+FROM orx
+"""
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    segment_col: str,
+    success_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(segment, n, successes, raw_rate, shrunk_rate, alpha0,
+    beta0) — empirical-Bayes shrinkage of per-segment success rates
+    under a beta-binomial prior fit by method of moments on the
+    segment rates (Robinson's batting-average construction): the
+    leaderboard fix for "a segment with 2/2 conversions outranks one
+    with 180/200". shrunk = (s + α₀)/(n + α₀ + β₀): thin segments
+    pull hard toward the pooled mean, thick segments barely move.
+
+    Moment fit: m = mean of raw rates, v = their sample variance
+    (both as segment-ordered left folds over the bounded segment
+    list — the cross-strata discipline); α₀ = m·(m(1−m)/v − 1),
+    β₀ = (1−m)·(m(1−m)/v − 1). Degenerate fits (fewer than 2
+    segments, v = 0, or v ≥ m(1−m) — overdispersion the beta prior
+    can't express) emit NULL α₀/β₀ and shrunk = raw (no shrinkage
+    is the honest fallback). One map-side aggregate + one broadcast
+    of the 1-row prior."""
+    seg = F.coalesce(F.col(segment_col).cast("string"), F.lit("∅"))
+    s = F.col(success_col).cast("int")
+    per = (df.filter(s.isNotNull())
+           .groupBy(seg.alias("segment"))
+           .agg(F.count("*").alias("n"),
+                F.sum(s).alias("successes")))
+    per = per.withColumn(
+        "raw_rate",
+        F.col("successes").cast("double") / F.col("n").cast("double"))
+    term = F.struct("segment", "raw_rate")
+    one = (per.withColumn("__t", term)
+           .agg(F.count("*").alias("k"),
+                F.expr("aggregate(array_sort(collect_list(__t)),"
+                       " CAST(0.0 AS DOUBLE),"
+                       " (acc, x) -> acc + x.raw_rate)").alias("sr"),
+                F.expr("aggregate(array_sort(collect_list(__t)),"
+                       " CAST(0.0 AS DOUBLE), (acc, x) -> acc"
+                       " + x.raw_rate * x.raw_rate)").alias("srr")))
+    kd = F.col("k").cast("double")
+    m = F.col("sr") / kd
+    v = F.when(F.col("k") >= 2,
+               (F.col("srr") - kd * m * m) / (kd - F.lit(1.0)))
+    scale = F.when((v > 0) & (v < m * (1 - m)),
+                   m * (1 - m) / v - F.lit(1.0))
+    prior = one.select(
+        (m * scale).alias("alpha0"),
+        ((F.lit(1.0) - m) * scale).alias("beta0"))
+    j = per.crossJoin(prior)
+    shrunk = F.when(
+        F.col("alpha0").isNotNull(),
+        (F.col("successes").cast("double") + F.col("alpha0"))
+        / (F.col("n").cast("double") + F.col("alpha0")
+           + F.col("beta0"))).otherwise(F.col("raw_rate"))
+    return j.select(
+        "segment", "n", "successes",
+        F.round(F.col("raw_rate"), round_dp).alias("raw_rate"),
+        F.round(shrunk, round_dp).alias("shrunk_rate"),
+        F.round(F.col("alpha0"), round_dp).alias("alpha0"),
+        F.round(F.col("beta0"), round_dp).alias("beta0"))
+
+
+def eb_shrunk_rates_sql(
+    table: str,
+    segment_col: str,
+    success_col: str,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of eb_shrunk_rates (same segment-ordered moment
+    folds via single-field list_reduce, same degenerate fallbacks)."""
+    s = f"CAST({success_col} AS INT)"
+    return f"""
+WITH per AS (
+  SELECT coalesce(CAST({segment_col} AS VARCHAR), '∅') AS segment,
+         count(*) AS n, sum({s}) AS successes
+  FROM {table} WHERE {success_col} IS NOT NULL
+  GROUP BY 1
+),
+rates AS (
+  SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+    AS raw_rate FROM per
+),
+one AS (
+  SELECT count(*) AS k,
+         list_reduce(list(raw_rate ORDER BY segment),
+                     (a, b) -> a + b) AS sr,
+         list_reduce(list(raw_rate * raw_rate ORDER BY segment),
+                     (a, b) -> a + b) AS srr
+  FROM rates
+),
+prior AS (
+  SELECT CASE WHEN v IS NOT NULL AND v > 0 AND v < m * (1 - m)
+              THEN m * (m * (1 - m) / v - 1.0) END AS alpha0,
+         CASE WHEN v IS NOT NULL AND v > 0 AND v < m * (1 - m)
+              THEN (1.0 - m) * (m * (1 - m) / v - 1.0) END AS beta0
+  FROM (
+    SELECT sr / CAST(k AS DOUBLE) AS m,
+           CASE WHEN k >= 2
+                THEN (srr - CAST(k AS DOUBLE)
+                            * (sr / CAST(k AS DOUBLE))
+                            * (sr / CAST(k AS DOUBLE)))
+                     / (CAST(k AS DOUBLE) - 1.0) END AS v
+    FROM one
+  )
+)
+SELECT segment, n, successes,
+       round(raw_rate, {round_dp}) AS raw_rate,
+       round(CASE WHEN alpha0 IS NOT NULL
+                  THEN (CAST(successes AS DOUBLE) + alpha0)
+                       / (CAST(n AS DOUBLE) + alpha0 + beta0)
+                  ELSE raw_rate END, {round_dp}) AS shrunk_rate,
+       round(alpha0, {round_dp}) AS alpha0,
+       round(beta0, {round_dp}) AS beta0
+FROM rates CROSS JOIN prior
+"""

@@ -1007,3 +1007,116 @@ class TestGroupSequential:
         b = sorted(map(tuple, con.execute(ab_group_sequential_sql(
             "t", "variant", "v", "ts", "c", "t", looks)).fetchall()))
         assert a == b
+
+
+class TestOddsRatio:
+    def test_hand_computed(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_odds_ratio,
+        )
+        rows = ([("t", 1)] * 40 + [("t", 0)] * 60
+                + [("c", 1)] * 20 + [("c", 0)] * 80)
+        df = spark.createDataFrame(rows, "variant string, conv int")
+        [r] = ab_odds_ratio(df, "variant", "conv",
+                            "c", "t").collect()
+        orr = 40 * 80 / (60 * 20)
+        se = math.sqrt(1 / 40 + 1 / 60 + 1 / 20 + 1 / 80)
+        za = 1.959963984540054
+        assert r["odds_ratio"] == round(orr, 4)
+        assert r["ci_low"] == round(math.exp(math.log(orr)
+                                             - za * se), 4)
+        assert r["ci_high"] == round(math.exp(math.log(orr)
+                                              + za * se), 4)
+        assert r["relative_risk"] == round((40 / 100) / (20 / 100), 4)
+        assert r["significant"] is True   # CI (1.42, 5.0) excludes 1
+
+    def test_zero_cell_correction(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_odds_ratio,
+        )
+        # control never converts -> without correction OR = inf
+        rows = ([("t", 1)] * 5 + [("t", 0)] * 5 + [("c", 0)] * 10)
+        df = spark.createDataFrame(rows, "variant string, conv int")
+        [r] = ab_odds_ratio(df, "variant", "conv",
+                            "c", "t").collect()
+        assert r["s_control"] == 0.5        # corrected cell surfaced
+        assert math.isfinite(r["odds_ratio"])
+        assert math.isfinite(r["ci_high"])
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_odds_ratio,
+            ab_odds_ratio_sql,
+        )
+        import random
+        rng = random.Random(51)
+        rows = [(rng.choice("gh"), rng.choice("ct"),
+                 rng.randint(0, 1)) for _ in range(800)]
+        df = spark.createDataFrame(rows, "g string, variant string, "
+                                   "conv int")
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, ab_odds_ratio(
+            df, "variant", "conv", "c", "t", ["g"]).collect()))
+        b = sorted(map(tuple, con.execute(ab_odds_ratio_sql(
+            "t", "variant", "conv", "c", "t", ["g"])).fetchall()))
+        assert a == b
+
+
+class TestEbShrunkRates:
+    def test_thin_segments_shrink_hard(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            eb_shrunk_rates,
+        )
+        import random
+        rng = random.Random(53)
+        rows = []
+        # 30 thick segments with rates ~ 0.2
+        for g in range(30):
+            for i in range(300):
+                rows.append((f"thick{g}", int(rng.random() < 0.2)))
+        # one 2/2 segment (raw rate 1.0)
+        rows += [("tiny", 1), ("tiny", 1)]
+        df = spark.createDataFrame(rows, "seg string, conv int")
+        got = {r["segment"]: r for r in
+               eb_shrunk_rates(df, "seg", "conv").collect()}
+        tiny = got["tiny"]
+        assert tiny["raw_rate"] == 1.0
+        # shrinks most of the way back toward ~0.2
+        assert tiny["shrunk_rate"] < 0.6
+        # a thick segment barely moves
+        thick = got["thick0"]
+        assert abs(thick["shrunk_rate"] - thick["raw_rate"]) < 0.02
+        # leaderboard fixed: best thick raw ~0.25 now outranks tiny?
+        # (not necessarily strictly — assert tiny no longer at 1.0
+        # while ordering among thick segments is preserved)
+        assert tiny["shrunk_rate"] < 1.0
+
+    def test_degenerate_no_shrinkage(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            eb_shrunk_rates,
+        )
+        # all segments identical rate -> v = 0 -> honest no-op
+        rows = [(f"s{g}", i % 2) for g in range(5) for i in range(10)]
+        df = spark.createDataFrame(rows, "seg string, conv int")
+        got = eb_shrunk_rates(df, "seg", "conv").collect()
+        assert all(r["alpha0"] is None for r in got)
+        assert all(r["shrunk_rate"] == r["raw_rate"] for r in got)
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            eb_shrunk_rates,
+            eb_shrunk_rates_sql,
+        )
+        import random
+        rng = random.Random(59)
+        rows = [(f"s{rng.randint(0, 20)}", rng.randint(0, 1))
+                for _ in range(1000)]
+        df = spark.createDataFrame(rows, "seg string, conv int")
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, eb_shrunk_rates(
+            df, "seg", "conv").collect()))
+        b = sorted(map(tuple, con.execute(eb_shrunk_rates_sql(
+            "t", "seg", "conv")).fetchall()))
+        assert a == b

@@ -157,7 +157,8 @@ R12_NEW = {
     "events_holt_forecast", "user_interarrival",
     "events_forecast_backtest", "custkey_topk_turnover",
     "ab_diff_in_diff", "fs_link_scores", "revenue_theil",
-    "ab_group_sequential", "events_robust_trend",
+    "ab_group_sequential", "events_robust_trend", "ab_odds_ratio",
+    "user_conv_shrunk",
 }
 
 
