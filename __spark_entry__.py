@@ -4235,6 +4235,38 @@ def q_user_conv_shrunk(spark, sf):
     return abx.eb_shrunk_rates(ev, "user_id", "conv")
 
 
+@_q("ab_paired_t", abx.ab_paired_t_sql(
+    "events", "user_id", "value", "ts", "2024-01-15",
+    group_by=["event_type"]))
+def q_ab_paired_t(spark, sf):
+    """Paired pre->post t-test per event type across the 2024-01-15
+    split: each user is their own control (between-user variance
+    removed) — the rollout readout when no concurrent control arm
+    exists; two-level aggregate, shuffle carries users never
+    events."""
+    return abx.ab_paired_t(_t(spark, sf, "events"), "user_id",
+                           "value", "ts", "2024-01-15",
+                           group_by=["event_type"])
+
+
+@_q("ab_mh_odds_ratio", abx.ab_mh_odds_ratio_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant, CAST(value > 200 AS INT) AS conv FROM events)",
+    "variant", "conv", ["event_type"], "c", "t"))
+def q_ab_mh_odds_ratio(spark, sf):
+    """Mantel-Haenszel pooled odds ratio across event-type strata
+    beside the crude collapsed-table OR — the Simpson's-paradox
+    tell; exact integer cells, strata-ordered folds."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c")
+        .otherwise("t")) \
+        .withColumn("conv", (F.col("value") > 200).cast("int"))
+    return abx.ab_mh_odds_ratio(exp, "variant", "conv",
+                                ["event_type"], "c", "t")
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

@@ -2701,3 +2701,246 @@ SELECT segment, n, successes,
        round(beta0, {round_dp}) AS beta0
 FROM rates CROSS JOIN prior
 """
+
+
+def ab_paired_t(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    ts_col: str,
+    split: str,
+    group_by: "list[str] | None" = None,
+    t_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_units, mean_pre, mean_post, mean_diff, t,
+    significant) — paired (one-sample) t-test on per-unit pre→post
+    changes across `split`: each unit's own pre mean is its control,
+    which removes between-unit variance entirely — the
+    launch-readout for rollouts WITHOUT a concurrent control arm
+    (where DID is impossible and a raw pre/post comparison conflates
+    unit mix). Only units observed on BOTH sides enter; t = mean(d)
+    / (sd(d)/√n) on the per-unit differences d_i = post̄_i − prē_i.
+
+    Two-level aggregate: unit-level conditional sums first (one
+    map-side scan), then the unit-collapsed table (one row per unit)
+    feeds the global moments — the shuffle carries units, never
+    events. Fewer than 2 paired units or zero variance emit NULL t."""
+    gb = list(group_by or [])
+    y = F.col(value_col).cast("double")
+    post = (F.col(ts_col) >= F.to_timestamp(F.lit(split))) \
+        .cast("int")
+    base = (df.filter(y.isNotNull())
+            .select(*gb, F.col(unit_col).alias("__u"),
+                    y.alias("__y"), post.alias("__p")))
+    per_u = (base.groupBy(*gb, "__u")
+             .agg(F.sum(1 - F.col("__p")).alias("npre"),
+                  F.sum("__p").alias("npost"),
+                  F.sum(F.col("__y") * (1 - F.col("__p")))
+                  .alias("spre"),
+                  F.sum(F.col("__y") * F.col("__p")).alias("spost"))
+             .filter((F.col("npre") > 0) & (F.col("npost") > 0)))
+    mpre = F.col("spre") / F.col("npre").cast("double")
+    mpost = F.col("spost") / F.col("npost").cast("double")
+    d = mpost - mpre
+    agg = (per_u.select(*gb, mpre.alias("__mp"),
+                        mpost.alias("__mq"), d.alias("__d"))
+           .groupBy(*gb)
+           .agg(F.count("*").alias("n_units"),
+                F.sum("__mp").alias("smp"),
+                F.sum("__mq").alias("smq"),
+                F.sum("__d").alias("sd_"),
+                F.sum(F.col("__d") * F.col("__d")).alias("sdd")))
+    n = F.col("n_units").cast("double")
+    md = F.col("sd_") / n
+    var = F.when(F.col("n_units") >= 2,
+                 (F.col("sdd") - n * md * md) / (n - F.lit(1.0)))
+    se = F.sqrt(F.try_divide(var, n))
+    t = F.when(se > 0, md / se)
+    tr = F.round(t, round_dp)
+    return agg.select(
+        *gb, "n_units",
+        F.round(F.col("smp") / n, round_dp).alias("mean_pre"),
+        F.round(F.col("smq") / n, round_dp).alias("mean_post"),
+        F.round(md, round_dp).alias("mean_diff"),
+        tr.alias("t"),
+        F.coalesce(F.abs(tr) >= F.lit(float(t_alpha)), F.lit(False))
+        .alias("significant"))
+
+
+def ab_paired_t_sql(
+    table: str,
+    unit_col: str,
+    value_col: str,
+    ts_col: str,
+    split: str,
+    group_by: "list[str] | None" = None,
+    t_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_paired_t (same two-level aggregate, same
+    expression order)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    y = f"CAST({value_col} AS DOUBLE)"
+    p = (f"CAST({ts_col} >= CAST({sql_lit(split)} AS TIMESTAMP) "
+         f"AS INT)")
+    return f"""
+WITH per_u AS (
+  SELECT {gsel}{unit_col} AS u,
+         sum(1 - {p}) AS npre, sum({p}) AS npost,
+         sum({y} * (1 - {p})) AS spre, sum({y} * {p}) AS spost
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel.rstrip(', ') + (',' if gb else '')} {unit_col}
+),
+paired AS (
+  SELECT {gsel}
+         spre / CAST(npre AS DOUBLE) AS mp,
+         spost / CAST(npost AS DOUBLE) AS mq,
+         spost / CAST(npost AS DOUBLE)
+           - spre / CAST(npre AS DOUBLE) AS d
+  FROM per_u WHERE npre > 0 AND npost > 0
+),
+agg AS (
+  SELECT {gsel}count(*) AS n_units, sum(mp) AS smp, sum(mq) AS smq,
+         sum(d) AS sd_, sum(d * d) AS sdd
+  FROM paired
+  {gkey}
+),
+calc AS (
+  SELECT *,
+         CAST(n_units AS DOUBLE) AS nd,
+         sd_ / CAST(n_units AS DOUBLE) AS md
+  FROM agg
+),
+tc AS (
+  SELECT *,
+         CASE WHEN n_units >= 2 THEN
+           sqrt(((sdd - nd * md * md) / (nd - 1.0)) / nd) END AS se
+  FROM calc
+)
+SELECT {gsel}n_units,
+       round(smp / nd, {round_dp}) AS mean_pre,
+       round(smq / nd, {round_dp}) AS mean_post,
+       round(md, {round_dp}) AS mean_diff,
+       round(CASE WHEN se > 0 THEN md / se END, {round_dp}) AS t,
+       coalesce(abs(round(CASE WHEN se > 0 THEN md / se END,
+                          {round_dp})) >= {float(t_alpha)!r}, FALSE)
+         AS significant
+FROM tc
+"""
+
+
+def ab_mh_odds_ratio(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    strata_cols: "list[str]",
+    control: str,
+    treatment: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(n_strata, n_rows, or_crude, or_mh) — Mantel–Haenszel pooled
+    odds ratio across strata (Mantel & Haenszel 1959):
+    OR_MH = Σ_s (a_s·d_s/n_s) / Σ_s (b_s·c_s/n_s) — the
+    confounding-aware pooling whose divergence from the crude
+    (collapsed-table) OR is the classic Simpson's-paradox tell.
+    Strata where n_s = 0 cannot occur; strata with zero b·c AND
+    zero a·d contribute nothing (standard). Cross-strata sums are
+    strata-ordered left folds (the house discipline); cells are
+    exact integers so each stratum term is one exact-rational
+    division."""
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    s = F.col(success_col).cast("int")
+    t = (F.col(variant_col) == treatment).cast("int")
+    base = (df.filter(F.col(variant_col).isin(control, treatment)
+                      & s.isNotNull())
+            .select(*strata_cols, s.alias("__s"), t.alias("__t")))
+    per = base.groupBy(*strata_cols).agg(
+        F.sum(F.col("__s") * F.col("__t")).alias("a"),
+        F.sum((1 - F.col("__s")) * F.col("__t")).alias("b"),
+        F.sum(F.col("__s") * (1 - F.col("__t"))).alias("c"),
+        F.sum((1 - F.col("__s")) * (1 - F.col("__t"))).alias("d"))
+    nt = (F.col("a") + F.col("b") + F.col("c") + F.col("d")) \
+        .cast("double")
+    term = F.struct(
+        *[F.col(c).cast("string").alias(f"k{i}")
+          for i, c in enumerate(strata_cols)],
+        (F.col("a").cast("double") * F.col("d").cast("double") / nt)
+        .alias("num"),
+        (F.col("b").cast("double") * F.col("c").cast("double") / nt)
+        .alias("den"),
+        F.col("a").alias("ra"), F.col("b").alias("rb"),
+        F.col("c").alias("rc"), F.col("d").alias("rd"))
+    one = (per.withColumn("__term", term)
+           .agg(F.count("*").alias("n_strata"),
+                F.sum(F.col("a") + F.col("b") + F.col("c")
+                      + F.col("d")).alias("n_rows"),
+                F.sum("a").alias("ta"), F.sum("b").alias("tb"),
+                F.sum("c").alias("tc"), F.sum("d").alias("td"),
+                F.expr("aggregate(array_sort(collect_list(__term)),"
+                       " CAST(0.0 AS DOUBLE),"
+                       " (acc, x) -> acc + x.num)").alias("mh_num"),
+                F.expr("aggregate(array_sort(collect_list(__term)),"
+                       " CAST(0.0 AS DOUBLE),"
+                       " (acc, x) -> acc + x.den)").alias("mh_den")))
+    crude = F.try_divide(
+        F.col("ta").cast("double") * F.col("td").cast("double"),
+        F.col("tb").cast("double") * F.col("tc").cast("double"))
+    mh = F.try_divide(F.col("mh_num"), F.col("mh_den"))
+    return one.select(
+        "n_strata",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(crude, round_dp).alias("or_crude"),
+        F.round(mh, round_dp).alias("or_mh"))
+
+
+def ab_mh_odds_ratio_sql(
+    table: str,
+    variant_col: str,
+    success_col: str,
+    strata_cols: "list[str]",
+    control: str,
+    treatment: str,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_mh_odds_ratio (same per-stratum exact
+    cells, same strata-ordered single-field folds)."""
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    sc = ", ".join(strata_cols)
+    s = f"CAST({success_col} AS INT)"
+    t = f"CAST({variant_col} = {sql_lit(treatment)} AS INT)"
+    okey = ", ".join(f"CAST({c} AS VARCHAR)" for c in strata_cols)
+    return f"""
+WITH per AS (
+  SELECT {sc},
+         sum({s} * {t}) AS a, sum((1 - {s}) * {t}) AS b,
+         sum({s} * (1 - {t})) AS c, sum((1 - {s}) * (1 - {t})) AS d
+  FROM {table}
+  WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
+    AND {success_col} IS NOT NULL
+  GROUP BY {sc}
+),
+one AS (
+  SELECT count(*) AS n_strata, sum(a + b + c + d) AS n_rows,
+         sum(a) AS ta, sum(b) AS tb, sum(c) AS tc, sum(d) AS td,
+         list_reduce(list(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                          / CAST(a + b + c + d AS DOUBLE)
+                          ORDER BY {okey}),
+                     (x, y) -> x + y) AS mh_num,
+         list_reduce(list(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                          / CAST(a + b + c + d AS DOUBLE)
+                          ORDER BY {okey}),
+                     (x, y) -> x + y) AS mh_den
+  FROM per
+)
+SELECT n_strata, CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(ta AS DOUBLE) * CAST(td AS DOUBLE)
+             / nullif(CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE), 0),
+             {round_dp}) AS or_crude,
+       round(mh_num / nullif(mh_den, 0), {round_dp}) AS or_mh
+FROM one
+"""

@@ -1120,3 +1120,138 @@ class TestEbShrunkRates:
         b = sorted(map(tuple, con.execute(eb_shrunk_rates_sql(
             "t", "seg", "conv")).fetchall()))
         assert a == b
+
+
+class TestPairedT:
+    def test_within_unit_variance_removed(self, spark):
+        from pyspark.sql import functions as F
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_paired_t,
+            ab_welch_test,
+        )
+        import random
+        rng = random.Random(61)
+        rows = []
+        # units with WILDLY different baselines but a uniform +1
+        # post shift: paired t sees it instantly, unpaired Welch
+        # (pre vs post as two groups) drowns in between-unit spread
+        for u in range(60):
+            base = rng.uniform(0, 1000)
+            for _ in range(5):
+                rows.append((u, "2024-01-05", base + rng.gauss(0, .2)))
+                rows.append((u, "2024-01-25",
+                             base + 1.0 + rng.gauss(0, .2)))
+        df = spark.createDataFrame(rows, "u int, ts string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = ab_paired_t(df, "u", "v", "ts",
+                          "2024-01-15").collect()
+        assert r["significant"] is True
+        assert abs(r["mean_diff"] - 1.0) < 0.1
+        welch = df.withColumn(
+            "period", F.when(F.col("ts")
+                             >= F.to_timestamp(F.lit("2024-01-15")),
+                             "post").otherwise("pre"))
+        [w] = ab_welch_test(welch, "period", "v",
+                            "pre", "post").collect()
+        assert w["significant"] is False   # lost in baseline spread
+
+    def test_unpaired_units_excluded_and_degenerate(self, spark):
+        from pyspark.sql import functions as F
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_paired_t,
+        )
+        rows = [(1, "2024-01-05", 10.0), (1, "2024-01-25", 12.0),
+                (2, "2024-01-05", 5.0),   # pre only -> excluded
+                (3, "2024-01-25", 7.0)]   # post only -> excluded
+        df = spark.createDataFrame(rows, "u int, ts string, "
+                                   "v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        [r] = ab_paired_t(df, "u", "v", "ts",
+                          "2024-01-15").collect()
+        assert r["n_units"] == 1
+        assert r["t"] is None            # n < 2: no variance
+
+    def test_twin_parity(self, spark):
+        from pyspark.sql import functions as F
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_paired_t,
+            ab_paired_t_sql,
+        )
+        import random
+        rng = random.Random(67)
+        rows = [(rng.randint(0, 30), rng.choice("gh"),
+                 f"2024-01-{rng.randint(1, 28):02d}",
+                 round(rng.uniform(0, 50), 2)) for _ in range(900)]
+        df = spark.createDataFrame(rows, "u int, g string, "
+                                   "ts string, v double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, ab_paired_t(
+            df, "u", "v", "ts", "2024-01-15", ["g"]).collect()))
+        b = sorted(map(tuple, con.execute(ab_paired_t_sql(
+            "t", "u", "v", "ts", "2024-01-15", ["g"])).fetchall()))
+        assert a == b
+
+
+class TestMantelHaenszel:
+    def test_simpsons_paradox_resolved(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_mh_odds_ratio,
+        )
+        # classic construction: within each stratum treatment is
+        # HARMFUL (OR < 1), but strata sizes/allocation make the
+        # crude collapsed OR look protective (> 1)
+        rows = []
+        # stratum A (easy cases, mostly treatment): t 81/87, c 234/270
+        rows += [("A", "t", 1)] * 81 + [("A", "t", 0)] * 6
+        rows += [("A", "c", 1)] * 234 + [("A", "c", 0)] * 36
+        # stratum B (hard cases, mostly control): t 192/263, c 55/80
+        rows += [("B", "t", 1)] * 192 + [("B", "t", 0)] * 71
+        rows += [("B", "c", 1)] * 55 + [("B", "c", 0)] * 25
+        df = spark.createDataFrame(rows, "s string, variant string, "
+                                   "conv int")
+        [r] = ab_mh_odds_ratio(df, "variant", "conv", ["s"],
+                               "c", "t").collect()
+        # kidney-stone-style: crude favors t, MH pooled does not
+        assert r["or_crude"] != r["or_mh"]
+        assert r["n_strata"] == 2
+        # hand-compute MH
+        mh_num = (81 * 36 / 357) + (192 * 25 / 343)
+        mh_den = (6 * 234 / 357) + (71 * 55 / 343)
+        assert r["or_mh"] == round(mh_num / mh_den, 4)
+
+    def test_single_stratum_equals_crude_and_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_mh_odds_ratio,
+        )
+        rows = ([("x", "t", 1)] * 30 + [("x", "t", 0)] * 70
+                + [("x", "c", 1)] * 20 + [("x", "c", 0)] * 80)
+        df = spark.createDataFrame(rows, "s string, variant string, "
+                                   "conv int")
+        [r] = ab_mh_odds_ratio(df, "variant", "conv", ["s"],
+                               "c", "t").collect()
+        assert r["or_mh"] == r["or_crude"]
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            ab_mh_odds_ratio(df, "variant", "conv", [], "c", "t")
+
+    def test_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_mh_odds_ratio,
+            ab_mh_odds_ratio_sql,
+        )
+        import random
+        rng = random.Random(71)
+        rows = [(rng.choice("pqr"), rng.choice("ct"),
+                 rng.randint(0, 1)) for _ in range(900)]
+        df = spark.createDataFrame(rows, "s string, variant string, "
+                                   "conv int")
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        [a] = ab_mh_odds_ratio(df, "variant", "conv", ["s"],
+                               "c", "t").collect()
+        [b] = con.execute(ab_mh_odds_ratio_sql(
+            "t", "variant", "conv", ["s"], "c", "t")).fetchall()
+        assert tuple(a) == b

@@ -158,7 +158,7 @@ R12_NEW = {
     "events_forecast_backtest", "custkey_topk_turnover",
     "ab_diff_in_diff", "fs_link_scores", "revenue_theil",
     "ab_group_sequential", "events_robust_trend", "ab_odds_ratio",
-    "user_conv_shrunk",
+    "user_conv_shrunk", "ab_paired_t", "ab_mh_odds_ratio",
 }
 
 
