@@ -1486,11 +1486,13 @@ def q_ann_lsh_indexed(spark, sf):
 # expected rows directly) ----
 
 @_q("html_tables", """
-SELECT doc_id, 0 AS table_no, 0 AS row_no,
+SELECT doc_id, CAST(0 AS BIGINT) AS table_no,
+       CAST(0 AS BIGINT) AS row_no,
        CAST(doc_id AS VARCHAR) || '|' || lang AS cells
 FROM documents
 UNION ALL
-SELECT doc_id, 0 AS table_no, 1 AS row_no,
+SELECT doc_id, CAST(0 AS BIGINT) AS table_no,
+       CAST(1 AS BIGINT) AS row_no,
        CAST(n_chars AS VARCHAR) || '|x' AS cells
 FROM documents
 """)

@@ -123,7 +123,8 @@ zc AS (
   FROM calc
 )
 SELECT {gsel}
-       n0 AS n_control, n1 AS n_treatment,
+       CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
        round(p0, {round_dp}) AS p_control,
        round(p1, {round_dp}) AS p_treatment,
        round(p1 - p0, {round_dp}) AS lift,
@@ -239,7 +240,8 @@ tc AS (
   FROM calc
 )
 SELECT {gsel}
-       n0 AS n_control, n1 AS n_treatment,
+       CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
        round(m0, {round_dp}) AS mean_control,
        round(m1, {round_dp}) AS mean_treatment,
        round(m1 - m0, {round_dp}) AS diff,
@@ -411,7 +413,8 @@ adj AS (
   FROM tt
 )
 SELECT {gsel}
-       n0 AS n_control, n1 AS n_treatment,
+       CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
        round(theta, {round_dp}) AS theta,
        round(m1a - m0a, {round_dp}) AS adj_diff,
        round(CASE WHEN sqrt(a + b) > 0
@@ -504,7 +507,8 @@ def ab_srm_check_sql(
 
     quoted = ", ".join(lit(v) for v in names)
     osel = ", ".join(
-        f"sum(CAST({variant_col} = {lit(v)} AS INT)) AS {ident(v)}"
+        f"CAST(sum(CAST({variant_col} = {lit(v)} AS INT)) AS BIGINT)"
+        f" AS {ident(v)}"
         for v in names)
     chi_terms = " + ".join(
         f"({ident(v)} - n * {w / total_w!r})"
@@ -1233,7 +1237,8 @@ zc AS (
               THEN (r1 - r0) / sqrt(se20 + se21) END AS z
   FROM calc
 )
-SELECT {gsel}n0 AS n_control, n1 AS n_treatment,
+SELECT {gsel}CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
        round(r0, {round_dp}) AS ratio_control,
        round(r1, {round_dp}) AS ratio_treatment,
        round(r1 - r0, {round_dp}) AS diff,
@@ -1613,7 +1618,7 @@ calc AS (
          END AS se
   FROM folded JOIN tot USING ({gkey})
 )
-SELECT {gsel}variant, N AS n, n_buckets_used,
+SELECT {gsel}variant, CAST(N AS BIGINT) AS n, n_buckets_used,
        round(mean, {round_dp}) AS mean,
        round(se, {round_dp}) AS se_jack,
        round(mean - {float(z)!r} * se, {round_dp}) AS ci_lo,
@@ -1895,7 +1900,8 @@ lam AS (
   FROM calc
 )
 SELECT {gsel}
-       n0 AS n_control, n1 AS n_treatment,
+       CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
        round(d, {round_dp}) AS diff,
        round(ll, {round_dp}) AS log_lambda,
        round(least(1.0, exp(-ll)), {round_dp}) AS always_valid_p,
@@ -2278,7 +2284,10 @@ WITH agg AS (
   {gkey}
 )
 SELECT {gsel}
-       n_pre_c, n_post_c, n_pre_t, n_post_t,
+       CAST(n_pre_c AS BIGINT) AS n_pre_c,
+       CAST(n_post_c AS BIGINT) AS n_post_c,
+       CAST(n_pre_t AS BIGINT) AS n_pre_t,
+       CAST(n_post_t AS BIGINT) AS n_post_t,
        round({dc}, {round_dp}) AS diff_control,
        round({dt}, {round_dp}) AS diff_treatment,
        round({did}, {round_dp}) AS did,
@@ -2691,7 +2700,7 @@ prior AS (
     FROM one
   )
 )
-SELECT segment, n, successes,
+SELECT segment, n, CAST(successes AS BIGINT) AS successes,
        round(raw_rate, {round_dp}) AS raw_rate,
        round(CASE WHEN alpha0 IS NOT NULL
                   THEN (CAST(successes AS DOUBLE) + alpha0)

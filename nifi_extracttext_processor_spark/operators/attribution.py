@@ -269,7 +269,7 @@ credited AS (
 )
 SELECT touch_type,
        count(DISTINCT conv_id) AS n_conversions,
-       sum(is_credit) AS n_credits,
+       CAST(sum(is_credit) AS BIGINT) AS n_credits,
        round(sum(CAST(round(av * 1e6) AS HUGEINT))::DOUBLE / 1e6,
              {round_dp}) AS attributed_value
 FROM credited WHERE w > 0 GROUP BY touch_type

@@ -198,8 +198,10 @@ cum AS (
            AS before
   FROM sent
 )
-SELECT id AS {id_col}, before // {budget_tokens} AS chunk_id,
-       count(*) AS n_sentences, sum(nt) AS n_tokens,
+SELECT id AS {id_col},
+       CAST(before // {budget_tokens} AS BIGINT) AS chunk_id,
+       count(*) AS n_sentences,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
        string_agg(trim(s), ' ' ORDER BY sno) AS chunk_text
 FROM cum
 GROUP BY 1, 2

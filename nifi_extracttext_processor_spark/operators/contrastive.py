@@ -108,7 +108,8 @@ n_t AS (SELECT count(*) AS n FROM ranked),
 draws AS (
   SELECT ranked.{id_col} AS anchor_id, ranked.r, d.draw, n_t.n
   FROM ranked CROSS JOIN n_t,
-       LATERAL (SELECT unnest(range(0, {k})) AS draw) d
+       LATERAL (SELECT CAST(unnest(range(0, {k})) AS INTEGER)
+                  AS draw) d
 ),
 jumped AS (
   SELECT anchor_id, draw,
@@ -202,9 +203,9 @@ def mine_hard_negatives_sql(
 SELECT anchor_id, negative_id, cosine, rk FROM (
   SELECT q.{id_col} AS anchor_id, c.{id_col} AS negative_id,
          round({cos}, 4) AS cosine,
-         row_number() OVER (PARTITION BY q.{id_col}
+         CAST(row_number() OVER (PARTITION BY q.{id_col}
                             ORDER BY round({cos}, 4) DESC,
-                                     c.{id_col} ASC) AS rk
+                                     c.{id_col} ASC) AS INTEGER) AS rk
   FROM (SELECT * FROM {table} WHERE {anchor_pred}) q
   CROSS JOIN {table} c
   WHERE q.{id_col} <> c.{id_col}

@@ -1224,7 +1224,7 @@ def shard_manifest_sql(
          f" 1, 8))::BIGINT")
     b = (f"(({h}) % {_SAMPLE_BUCKETS} + {_SAMPLE_BUCKETS})"
          f" % {_SAMPLE_BUCKETS}")
-    tok = (f", sum({token_expr}) AS n_tokens"
+    tok = (f", CAST(sum({token_expr}) AS BIGINT) AS n_tokens"
            if token_expr is not None else "")
     return f"""
 SELECT CAST({b} % {num_shards} AS INTEGER) AS shard,

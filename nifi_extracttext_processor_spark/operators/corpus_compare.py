@@ -207,7 +207,8 @@ def oov_rate_sql(
     gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
     agg = f"""
 SELECT {gsel}count(*) AS n_tokens,
-       sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov
 FROM (
   SELECT {gsel}unnest(list_filter(
       string_split_regex(lower(trim({text_expr})),

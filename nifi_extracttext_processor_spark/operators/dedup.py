@@ -1118,8 +1118,8 @@ per_fp AS (
 ),
 per_size AS (
   SELECT cluster_size, count(*) AS n_clusters,
-         sum(cluster_size) AS n_docs,
-         sum(chars - keep_len) AS n_chars_dropped
+         CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+         CAST(sum(chars - keep_len) AS BIGINT) AS n_chars_dropped
   FROM per_fp WHERE cluster_size > 1 GROUP BY cluster_size
 ),
 tot AS (SELECT count(*) AS n, sum(len) AS c FROM base)

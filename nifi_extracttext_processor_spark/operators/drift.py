@@ -304,7 +304,8 @@ stepped AS (
   FROM per_v
 ),
 agg AS (
-  SELECT {gsel}max(d) AS dmax, max(n_a) AS n_a, max(n_b) AS n_b
+  SELECT {gsel}max(d) AS dmax, CAST(max(n_a) AS BIGINT) AS n_a,
+         CAST(max(n_b) AS BIGINT) AS n_b
   FROM stepped
   {gkey}
 )

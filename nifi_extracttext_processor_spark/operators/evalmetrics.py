@@ -654,7 +654,7 @@ j AS (
   SELECT coalesce(sup.class, prd.class) AS class,
          coalesce(support, 0) AS support,
          coalesce(n_predicted, 0) AS n_predicted,
-         coalesce(tp, 0) AS tp
+         CAST(coalesce(tp, 0) AS BIGINT) AS tp
   FROM sup FULL OUTER JOIN prd ON sup.class = prd.class
 )
 SELECT class, support, n_predicted, tp,

@@ -154,7 +154,8 @@ def check_expectations_sql(table: str, rules: "list[tuple]") -> str:
             raise ValueError(f"unknown rule kind {kind!r}")
         sel.append(
             f"SELECT {i} AS ord, {sql_lit(_rule_name(rule))} AS rule, "
-            f"n AS n_rows, v{i} AS n_violations, v{i} = 0 AS passed "
+            f"n AS n_rows, CAST(v{i} AS BIGINT) AS n_violations, "
+            f"v{i} = 0 AS passed "
             f"FROM one")
     body = " UNION ALL ".join(sel)
     return (f"WITH one AS (SELECT {', '.join(aggs)} FROM {table}) "
@@ -194,9 +195,10 @@ def check_referential_sql(
     return f"""
 SELECT {sql_lit(f"referential({col})")} AS rule,
        count(*) AS n_rows,
-       sum(CAST({col} NOT IN (SELECT {dim_col} FROM {dim_table}
-                              WHERE {dim_col} IS NOT NULL)
-                AS BIGINT)) AS n_violations,
+       CAST(sum(CAST({col} NOT IN (SELECT {dim_col}
+                                   FROM {dim_table}
+                                   WHERE {dim_col} IS NOT NULL)
+                     AS BIGINT)) AS BIGINT) AS n_violations,
        sum(CAST({col} NOT IN (SELECT {dim_col} FROM {dim_table}
                               WHERE {dim_col} IS NOT NULL)
                 AS BIGINT)) = 0 AS passed

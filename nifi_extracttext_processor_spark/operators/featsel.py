@@ -159,8 +159,9 @@ scored AS (
   WHERE df_t >= {min_doc_freq} {pos}
 )
 SELECT label, term, n11, df_t, round(chi2, {round_to}) AS chi2, rank
-FROM (SELECT *, row_number() OVER
-        (PARTITION BY label ORDER BY chi2 DESC, term ASC) AS rank
+FROM (SELECT *, CAST(row_number() OVER
+        (PARTITION BY label ORDER BY chi2 DESC, term ASC)
+        AS INTEGER) AS rank
       FROM scored)
 WHERE rank <= {k}
 """
@@ -271,7 +272,7 @@ marg AS (
   FROM grid LEFT JOIN obs USING ({cell_key})
 ),
 folded AS (
-  SELECT {gsel}max(n) AS n,
+  SELECT {gsel}CAST(max(n) AS BIGINT) AS n,
          count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b,
          list_reduce(list_prepend(0.0::DOUBLE,
            list((o::DOUBLE - r::DOUBLE * c::DOUBLE / n::DOUBLE)

@@ -93,7 +93,7 @@ WITH ranked AS (
   FROM {rankings}
 ), fused AS (
   SELECT query_id, doc_id, count(*) AS n_sources,
-         min(rnk) AS best_rank,
+         CAST(min(rnk) AS INTEGER) AS best_rank,
          sum(1.0 / ({kc} + rnk)) AS fused
   FROM ranked GROUP BY 1, 2
 ), cut AS (

@@ -254,7 +254,7 @@ WITH la AS (
     AND length({right_key}) <= {MAX_KEY_LEN}
 )
 SELECT la.lid AS {left_id}, rb.rid AS {right_id},
-       levenshtein(la.s, rb.s) AS dist
+       CAST(levenshtein(la.s, rb.s) AS INTEGER) AS dist
 FROM la JOIN rb ON levenshtein(la.s, rb.s) <= {max_dist}
 """
 
@@ -274,7 +274,8 @@ WITH k AS (
   SELECT {id_col} AS id, {key_expr} AS s FROM {table}
   WHERE {key_expr} IS NOT NULL AND length({key_expr}) <= {MAX_KEY_LEN}
 )
-SELECT a.id AS id1, b.id AS id2, levenshtein(a.s, b.s) AS dist
+SELECT a.id AS id1, b.id AS id2,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
 FROM k a JOIN k b ON a.id < b.id
 WHERE levenshtein(a.s, b.s) <= {max_dist}
 """

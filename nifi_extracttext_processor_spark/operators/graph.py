@@ -876,5 +876,5 @@ reach(node, d) AS (
   FROM reach JOIN und ON und.u = reach.node
   WHERE reach.d < {int(max_hops)}
 )
-SELECT node, min(d) AS dist FROM reach GROUP BY node
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY node
 """

@@ -515,7 +515,7 @@ ranked AS (
   FROM per_v
 ),
 agg AS (
-  SELECT {gsel}sum(c) AS n,
+  SELECT {gsel}CAST(sum(c) AS BIGINT) AS n,
          sum(xq * c::HUGEINT) AS sx,
          sum(xq * (c * (2 * lft + c + 1))::HUGEINT) AS st2,
          list({{'xq': xq, 'c': c, 'ac': ac}} ORDER BY xq) AS blocks
@@ -598,12 +598,14 @@ rk AS (
 ),
 m AS (
   SELECT count(*) AS n_matched_keys,
-         coalesce(sum(lc * rc), 0) AS est_join_rows
+         CAST(coalesce(sum(lc * rc), 0) AS BIGINT) AS est_join_rows
   FROM lk JOIN rk USING (k)
 ),
-ls AS (SELECT sum(lc) AS n_left, count(*) AS n_left_keys,
+ls AS (SELECT CAST(sum(lc) AS BIGINT) AS n_left,
+              count(*) AS n_left_keys,
               max(lc) AS max_left_dup FROM lk),
-rs AS (SELECT sum(rc) AS n_right, count(*) AS n_right_keys,
+rs AS (SELECT CAST(sum(rc) AS BIGINT) AS n_right,
+              count(*) AS n_right_keys,
               max(rc) AS max_right_dup FROM rk)
 SELECT n_left, n_right, n_left_keys, n_right_keys, n_matched_keys,
        max_left_dup, max_right_dup, est_join_rows,
@@ -694,7 +696,7 @@ def benford_test_sql(
              f"abs(CAST({value_expr} AS DOUBLE))), ',', ''), "
              f"'([1-9])', 1)")
     dsum = ", ".join(
-        f"sum(CAST(d = '{d}' AS BIGINT)) AS d{d}"
+        f"CAST(sum(CAST(d = '{d}' AS BIGINT)) AS BIGINT) AS d{d}"
         for d in range(1, 10))
     chi2 = " + ".join(
         f"(d{d}::DOUBLE - n::DOUBLE * {p!r})"
@@ -926,16 +928,16 @@ j AS (
 )
 SELECT {int(k)} AS k_requested,
        count(ra) AS k_before, count(rb) AS k_after,
-       sum(CAST(ra IS NOT NULL AND rb IS NOT NULL AS BIGINT))
-         AS n_common,
+       CAST(sum(CAST(ra IS NOT NULL AND rb IS NOT NULL AS BIGINT))
+            AS BIGINT) AS n_common,
        round(CAST(sum(CAST(ra IS NOT NULL AND rb IS NOT NULL
                            AS BIGINT)) AS DOUBLE)
              / nullif(CAST(count(*) AS DOUBLE), 0), {round_dp})
          AS jaccard_k,
-       sum(CAST(ra IS NULL AND rb IS NOT NULL AS BIGINT))
-         AS n_entered,
-       sum(CAST(ra IS NOT NULL AND rb IS NULL AS BIGINT))
-         AS n_exited,
+       CAST(sum(CAST(ra IS NULL AND rb IS NOT NULL AS BIGINT))
+            AS BIGINT) AS n_entered,
+       CAST(sum(CAST(ra IS NOT NULL AND rb IS NULL AS BIGINT))
+            AS BIGINT) AS n_exited,
        round(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
                       THEN abs(ra - rb) END)
              / nullif(CAST(sum(CAST(ra IS NOT NULL AND rb IS NOT NULL

@@ -166,7 +166,8 @@ zc AS (
                    / (2.0 * sqrt(var)) END AS z
   FROM calc
 )
-SELECT {gsel}n0 AS n_control, n1 AS n_treatment,
+SELECT {gsel}CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
        u1x2::DOUBLE / 2.0 AS u,
        round(z, {round_dp}) AS z,
        coalesce(abs(round(z, {round_dp})) >= {float(z_alpha)!r},
@@ -280,7 +281,8 @@ dec AS (
                   FALSE) AS rejected
   FROM idx
 )
-SELECT good.* EXCLUDE (__p), m, p_rank, bh_critical, rejected
+SELECT good.* EXCLUDE (__p), CAST(m AS BIGINT) AS m,
+       CAST(p_rank AS BIGINT) AS p_rank, bh_critical, rejected
 FROM good JOIN dec USING ({on})
 UNION ALL BY NAME
 SELECT *, NULL::BIGINT AS m, NULL::BIGINT AS p_rank,

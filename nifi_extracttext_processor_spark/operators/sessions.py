@@ -675,9 +675,10 @@ churn AS (
 mx AS (SELECT max(p) AS mxp FROM per_p),
 joined AS (
   SELECT coalesce(per_p.p, churn.p) AS p,
-         coalesce(n_new, 0) AS n_new,
-         coalesce(n_retained, 0) AS n_retained,
-         coalesce(n_resurrected, 0) AS n_resurrected,
+         CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+         CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+         CAST(coalesce(n_resurrected, 0) AS BIGINT)
+           AS n_resurrected,
          coalesce(n_churned, 0) AS n_churned
   FROM per_p FULL OUTER JOIN churn ON per_p.p = churn.p
 )
@@ -761,7 +762,8 @@ per_user AS (
          sum(CASE WHEN {is_m}
                   THEN CAST(round({value_col} * 1e6) AS HUGEINT)
                   ELSE 0::HUGEINT END) AS m,
-         sum(CAST({is_m} AS BIGINT)) AS n_purchases
+         CAST(sum(CAST({is_m} AS BIGINT)) AS BIGINT)
+           AS n_purchases
   FROM base GROUP BY {user_col}
 ),
 horizon AS (SELECT max({ts_col}) AS hmax FROM base)

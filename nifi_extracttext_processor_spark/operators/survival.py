@@ -146,16 +146,17 @@ WITH base AS (
   WHERE {duration_expr} IS NOT NULL AND {event_expr} IS NOT NULL
 ),
 per_t AS (
-  SELECT {gsel}t, sum(e) AS n_events, sum(1 - e) AS n_censored
+  SELECT {gsel}t, CAST(sum(e) AS BIGINT) AS n_events,
+         CAST(sum(1 - e) AS BIGINT) AS n_censored
   FROM base GROUP BY {gsel}t
 ),
 risked AS (
   SELECT {gsel}t, n_events, n_censored,
-         sum(n_events + n_censored) OVER ({part})
+         CAST(sum(n_events + n_censored) OVER ({part})
          - coalesce(sum(n_events + n_censored) OVER (
                {part} ORDER BY t
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS n_risk
+           AS BIGINT) AS n_risk
   FROM per_t
 ),
 folded AS (
@@ -353,7 +354,8 @@ folded AS (
   FROM terms {gkey}
 ),
 counts AS (
-  SELECT {gsel}sum(1 - g1) AS n_control, sum(g1) AS n_treatment
+  SELECT {gsel}CAST(sum(1 - g1) AS BIGINT) AS n_control,
+         CAST(sum(g1) AS BIGINT) AS n_treatment
   FROM base {gkey}
 )
 SELECT {gsel}n_control, n_treatment,

@@ -1982,7 +1982,7 @@ agg AS (
          sum(f * f) AS f2
   FROM freq {gkey}
 )
-SELECT {gsel}n_tokens, n_types,
+SELECT {gsel}CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
        round(n_types::DOUBLE / n_tokens::DOUBLE, {round_dp}) AS ttr,
        round(v1::DOUBLE / n_types::DOUBLE, {round_dp}) AS hapax_frac,
        round(CASE WHEN n_tokens > 1 THEN ff1::DOUBLE
@@ -2047,8 +2047,9 @@ def token_fertility_sql(
             f"'{BPE_TOKEN_RE}'))::BIGINT")
     return f"""
 SELECT {gsel}count(*) AS n_docs,
-       sum(length({text_expr})::BIGINT) AS n_chars,
-       sum({ntok}) AS n_tokens,
+       CAST(sum(length({text_expr})::BIGINT) AS BIGINT)
+         AS n_chars,
+       CAST(sum({ntok}) AS BIGINT) AS n_tokens,
        round(CASE WHEN sum({ntok}) > 0
                   THEN sum(length({text_expr})::BIGINT)::DOUBLE
                        / sum({ntok})::DOUBLE END, {round_dp})

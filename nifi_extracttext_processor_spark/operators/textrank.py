@@ -223,9 +223,9 @@ SELECT doc AS {id_col}, w AS term,
        round(s, {round_dp}) AS score, rank
 FROM (
   SELECT doc, w, s,
-         row_number() OVER (
+         CAST(row_number() OVER (
            PARTITION BY doc
-           ORDER BY round(s, {rank_dp}) DESC, w) AS rank
+           ORDER BY round(s, {rank_dp}) DESC, w) AS INTEGER) AS rank
   FROM s_{iters}
 )
 WHERE rank <= {int(k)}

@@ -931,8 +931,9 @@ WITH daily AS (
     AND {value_col} IS NOT NULL
   GROUP BY 1, 2
 ),
-lags AS (SELECT unnest(range(-{int(max_lag)}, {int(max_lag)} + 1))
-           AS lag),
+lags AS (SELECT CAST(unnest(range(-{int(max_lag)},
+                                    {int(max_lag)} + 1))
+                  AS INTEGER) AS lag),
 j AS (
   SELECT lags.lag, a.y AS ya, b.y AS yb
   FROM daily a CROSS JOIN lags
@@ -1344,7 +1345,8 @@ pairs AS (
   FROM daily a JOIN daily b ON {on}
 ),
 pagg AS (
-  SELECT {gsel}count(*) AS n_pairs, sum(sgn) AS mk_s,
+  SELECT {gsel}count(*) AS n_pairs,
+         CAST(sum(sgn) AS BIGINT) AS mk_s,
          list_sort(list(sl)) AS sls
   FROM pairs
   {gkey}

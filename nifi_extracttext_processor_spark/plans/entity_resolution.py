@@ -175,7 +175,8 @@ WITH la AS (
   WHERE {master_key} IS NOT NULL
     AND length({master_key}) <= {max_key_len}
 ), pairs AS (
-  SELECT la.lid, rb.rid, levenshtein(la.s, rb.s) AS dist
+  SELECT la.lid, rb.rid,
+         CAST(levenshtein(la.s, rb.s) AS INTEGER) AS dist
   FROM la JOIN rb ON levenshtein(la.s, rb.s) <= {max_dist}
 )
 SELECT lid AS {dirty_id}, rid AS {master_id}, dist, n_candidates
