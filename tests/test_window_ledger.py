@@ -45,6 +45,23 @@ R12_PAIRS = {
 R12_IN = set(R12_PAIRS.values())
 R12_OUT = set(R12_PAIRS)
 
+# r13 rotation (VERDICT r12 task 3): 10 swaps, every incoming row
+# pre-verified at sf0.001 + sf0.01 under the dtype-exact battery.
+R13_PAIRS = {
+    "scrub_pii": "events_km_logrank",
+    "lang_quality": "ab_bootstrap_ratio",
+    "token_fingerprint": "ab_jackknife",
+    "gopher_flags": "ab_post_stratified",
+    "dedup_exact": "kmv_audience_overlap",
+    "ann_topk": "ab_msprt_value",
+    "events_sessionize": "events_retention",
+    "events_window_agg": "events_transitions",
+    "multimodal_image": "attribution_position",
+    "warc_roundtrip": "time_to_convert_hist",
+}
+R13_IN = set(R13_PAIRS.values())
+R13_OUT = set(R13_PAIRS)
+
 
 @pytest.fixture(scope="module")
 def ledger():
@@ -79,6 +96,22 @@ def test_r12_rotation_applied(ledger):
     assert dict(r12) == R12_PAIRS
 
 
+def test_r13_rotation_applied(ledger):
+    window = set(ledger["window"])
+    assert R13_IN <= window
+    assert not (R13_OUT & window)
+    for n in R13_OUT:
+        assert n in entry.oracle_sql(), n
+    assert R13_OUT <= set(entry.queries())
+    r13 = [(o, i) for rnd, o, i in ledger["rotations"] if rnd == 13]
+    assert dict(r13) == R13_PAIRS
+    # r13 policy bar: >= 2 prior green rounds for every eviction
+    for out in R13_OUT:
+        greens = [r for r in ledger["rows"][out]["rounds_green"]
+                  if r < 13]
+        assert len(greens) >= 2, (out, greens)
+
+
 def test_rotations_reverse_replay_to_consistent_base(ledger):
     """Reverse-applying the recorded swaps must succeed (every named
     query still registered) and put each rotated-IN query back below
@@ -93,6 +126,7 @@ def test_rotations_reverse_replay_to_consistent_base(ledger):
         assert out in set(names), out
         assert inn in set(names), inn
     assert R12_IN & base_window == set()
+    assert R13_IN & base_window == set()
 
 
 def test_no_correctness_key_was_silently_dropped():
@@ -172,6 +206,11 @@ def test_backlog_is_draining(ledger):
     assert len(backlog - R12_NEW) <= 89
     assert len(backlog) <= 89 + len(R12_NEW)
     assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 12) >= 6
+    # r13 drain bar (VERDICT r12 task 3): >= 9 swaps, total backlog
+    # falls from 141 at r12 close to <= 131 (10 rotated in, no new
+    # registrations may hide the drain — inflow is measured separately)
+    assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 13) >= 9
+    assert len(backlog) <= 131
 
 
 def test_backlog_and_summary_shape(ledger):
