@@ -2339,6 +2339,16 @@ def ab_group_sequential(
                6: 2.453, 7: 2.485, 8: 2.512, 9: 2.535, 10: 2.555}
     if boundary == "pocock" and K > 10:
         raise ValueError("pocock table covers K <= 10")
+    # The Pocock table is hard-wired to overall two-sided alpha=0.05;
+    # z_final only parameterizes the obf boundary. Combining them
+    # would silently ignore the caller's alpha intent (ADVICE r12) —
+    # refuse instead of guessing.
+    if boundary == "pocock" and abs(float(z_final)
+                                    - 1.959963984540054) > 1e-9:
+        raise ValueError(
+            "boundary='pocock' uses the fixed alpha=0.05 table; "
+            "z_final only affects boundary='obf' — pass the default "
+            "z_final or use the obf boundary")
     y = F.col(value_col).cast("double")
     t = (F.col(variant_col) == treatment).cast("int")
     base = (df.filter(F.col(variant_col).isin(control, treatment)
@@ -2417,6 +2427,16 @@ def ab_group_sequential_sql(
                6: 2.453, 7: 2.485, 8: 2.512, 9: 2.535, 10: 2.555}
     if boundary == "pocock" and K > 10:
         raise ValueError("pocock table covers K <= 10")
+    # The Pocock table is hard-wired to overall two-sided alpha=0.05;
+    # z_final only parameterizes the obf boundary. Combining them
+    # would silently ignore the caller's alpha intent (ADVICE r12) —
+    # refuse instead of guessing.
+    if boundary == "pocock" and abs(float(z_final)
+                                    - 1.959963984540054) > 1e-9:
+        raise ValueError(
+            "boundary='pocock' uses the fixed alpha=0.05 table; "
+            "z_final only affects boundary='obf' — pass the default "
+            "z_final or use the obf boundary")
     y = f"CAST({value_col} AS DOUBLE)"
     t = f"CAST({variant_col} = {sql_lit(treatment)} AS INT)"
     aggs = []

@@ -1012,13 +1012,22 @@ def theil_decomposition(
         "aggregate(gs, CAST(0.0 AS DOUBLE), (acc, g) -> acc"
         " + (g.sx / tsx) * ln((g.sx / g.nd)"
         " / (tsx / CAST(n_entities AS DOUBLE))))")
+    # Degenerate-input guard (ADVICE r12): with zero surviving groups
+    # the Spark fold over the empty gs array would return its 0.0
+    # seed while the DuckDB twin's list_reduce over an empty list
+    # yields NULL — gate both folds on n_groups > 0 so the engines
+    # agree that fully-degenerate input (all values NULL/non-positive)
+    # has NO defined decomposition.
+    has_groups = F.col("n_groups") > 0
     return one.select(
         "n_groups",
         F.col("n_entities").cast("long").alias("n_entities"),
         F.round(mu, round_dp).alias("mean_value"),
         F.round(t_total, round_dp).alias("theil_total"),
-        F.round(within, round_dp).alias("theil_within"),
-        F.round(between, round_dp).alias("theil_between"),
+        F.round(F.when(has_groups, within), round_dp)
+        .alias("theil_within"),
+        F.round(F.when(has_groups, between), round_dp)
+        .alias("theil_between"),
         F.round(F.when(t_total > 0, between / t_total), round_dp)
         .alias("between_share"))
 

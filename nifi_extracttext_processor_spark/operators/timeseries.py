@@ -1233,8 +1233,11 @@ def robust_trend(
     variance, ±1 continuity-corrected z) and the Theil–Sen slope
     (Theil 1950; Sen 1968 — ESTIMATES it: the median of all pairwise
     per-day slopes, robust to the outliers an OLS line chases).
-    `trend` ∈ up/down/none at the z_alpha cut; NULL mk_z when n < 2
-    days or zero variance (all days tied).
+    `trend` ∈ up/down/none at the z_alpha cut; NULL mk_z when the
+    variance is zero (all days tied). Groups with fewer than 2
+    distinct days have zero pairs and are ABSENT from the output
+    (the pair join has nothing to emit for them — same in the
+    DuckDB twin), not emitted with NULLs.
 
     Determinism: daily sums quantize to the 1e-6 grid as exact
     decimals FIRST, so every sign and slope is an exact rational —

@@ -993,6 +993,29 @@ class TestGroupSequential:
                                 "v", "ts", "c", "t", looks,
                                 boundary="bogus")
 
+    def test_pocock_rejects_non_default_z_final(self, spark):
+        # ADVICE r12: the Pocock table is pinned to alpha=0.05, so a
+        # caller-supplied z_final would be silently ignored — both
+        # generators must refuse the combination instead.
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_group_sequential,
+            ab_group_sequential_sql,
+        )
+        looks = ["2024-01-08", "2024-01-29"]
+        with pytest.raises(ValueError, match="pocock"):
+            ab_group_sequential(self._frame(spark, 0.0), "variant",
+                                "v", "ts", "c", "t", looks,
+                                z_final=2.576, boundary="pocock")
+        with pytest.raises(ValueError, match="pocock"):
+            ab_group_sequential_sql("t", "variant", "v", "ts", "c",
+                                    "t", looks, z_final=2.576,
+                                    boundary="pocock")
+        # obf still honours z_final; pocock with the default passes
+        ab_group_sequential_sql("t", "variant", "v", "ts", "c", "t",
+                                looks, z_final=2.576, boundary="obf")
+        ab_group_sequential_sql("t", "variant", "v", "ts", "c", "t",
+                                looks, boundary="pocock")
+
     def test_twin_parity(self, spark):
         from nifi_extracttext_processor_spark.operators.abtest import (
             ab_group_sequential,

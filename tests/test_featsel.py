@@ -471,6 +471,26 @@ class TestTheil:
         t = sum(x / mu * math.log(x / mu) for x in xs) / len(xs)
         assert abs(r["theil_total"] - t) < 1e-4
 
+    def test_fully_degenerate_input_is_null_both_engines(self, spark):
+        # ADVICE r12: with every value NULL/non-positive nothing
+        # survives the ln-domain filter; the Spark folds previously
+        # returned their 0.0 seed while the DuckDB twin's list_reduce
+        # over the empty list propagates NULL. Both must be NULL now.
+        from nifi_extracttext_processor_spark.operators.profile \
+            import theil_decomposition, theil_decomposition_sql
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", -1.0), ("b", None)],
+            "g string, v double")
+        [r] = theil_decomposition(df, "v", "g").collect()
+        assert r["n_groups"] == 0
+        assert r["theil_within"] is None
+        assert r["theil_between"] is None
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        [o] = con.execute(theil_decomposition_sql("t", "v", "g")) \
+            .fetchall()
+        assert tuple(r) == o
+
     def test_nonpositive_excluded_and_null_dim(self, spark):
         from nifi_extracttext_processor_spark.operators.profile \
             import theil_decomposition
