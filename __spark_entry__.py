@@ -1837,17 +1837,20 @@ def q_dedup_by_url(spark, sf):
 
 
 # ---- extension (r7): approximate heavy hitters (Misra-Gries
-# summaries, text_analysis.approx_top_terms). NO oracle_sql entry BY
-# DESIGN: a sketch's estimates depend on arrival order inside the
-# allowed error band — the genuinely non-SQL-expressible carve-out
-# (same rationale as bpe_tokenize); the MG bounds (never
-# overestimates, upper bound holds, heavy-term membership) are locked
-# against the exact aggregate in tests/test_approx_top_terms.py ----
-
-@_q("approx_top_terms")
+# summaries, text_analysis.approx_top_terms). The raw sketch's est
+# values depend on arrival order inside the allowed error band —
+# those stay pytest-bounded (never overestimates, upper bound holds,
+# heavy-term membership) in tests/test_approx_top_terms.py.
+# Oracle-backed since r13: the registered row is the two-pass
+# variant (MG candidates -> exact recount) whose output is
+# deterministic under the f_k > n/capacity membership bound — the
+# bound is pytest-asserted on the test tables at both SFs; the raw
+# order-dependent sketch stays pytest-covered in
+# tests/test_approx_top_terms.py
+@_q("approx_top_terms", ta.top_terms_sql("documents", "text", k=20))
 def q_approx_top_terms(spark, sf):
     d = _t(spark, sf, "documents")
-    return ta.approx_top_terms(d, k=20, capacity=4096)
+    return ta.approx_top_terms_exact(d, k=20, capacity=4096)
 
 
 # ---- extension (r7): SQL-surface breadth — ROLLUP grouping sets and
@@ -1987,26 +1990,32 @@ def q_events_retention(spark, sf):
     return sess.cohort_retention(e, period="week")
 
 
-# ---- extension (r7): distributed PCA (operators/reduction.py). NO
-# oracle_sql entry BY DESIGN: the fit ends in a driver-side
-# eigendecomposition (the same non-SQL carve-out class as
-# bpe/unigram/approx_top_terms); the contract — equality with an
-# independent numpy SVD PCA, orthonormality, whitening — is locked in
-# tests/test_reduction.py ----
+from nifi_extracttext_processor_spark.operators import reduction as rdx  # noqa: E402
 
-@_q("pca_reduce")
+# ---- extension (r7, oracle-backed since r13): distributed PCA
+# (operators/reduction.py). The driver row projects with
+# DETERMINISTIC literal (mean, components) — the pq_topk posture:
+# the same literals appear in the Spark plan (pca_transform_expr,
+# a pure-Catalyst unrolled left-associated term chain) and in the
+# DuckDB twin (pca_project_sql), so the projection replays
+# bit-for-bit. The FIT (driver-side eigendecomposition) stays
+# pytest-covered in tests/test_reduction.py (numpy-SVD golden,
+# orthonormality, whitening, expr≡arrow kernel equality) — the
+# eigen solve itself is the only non-SQL step and it is not what
+# this row verifies ----
+
+_PCA_MEAN = [round(0.01 * ((t * 7) % 11) - 0.05, 6) for t in range(64)]
+_PCA_COMPS = [[round((((t * 7 + i * 13) % 9) - 4) * 0.03, 6)
+               for t in range(64)] for i in range(4)]
+
+
+@_q("pca_reduce", rdx.pca_project_sql(
+    "embeddings", _PCA_MEAN, _PCA_COMPS, round_dp=4))
 def q_pca_reduce(spark, sf):
-    from nifi_extracttext_processor_spark.operators.reduction import (
-        pca_fit, pca_transform,
-    )
     e = _t(spark, sf, "embeddings")
-    mean, comps, ev = pca_fit(e, k=8)
-    out = pca_transform(e, mean, comps, out_col="reduced")
-    return out.select("vec_id",
-                      F.round(F.element_at("reduced", 1), 4)
-                      .alias("pc1"),
-                      F.round(F.element_at("reduced", 2), 4)
-                      .alias("pc2"))
+    return rdx.pca_transform_expr(
+        e.select("vec_id", "embedding"), _PCA_MEAN, _PCA_COMPS,
+        round_dp=4).drop("embedding")
 
 
 # ---- extension (r8): product quantization (operators/quantization
@@ -2305,14 +2314,21 @@ def q_triangle_counts(spark, sf):
     return gph.triangle_counts(_tri_seed(spark, sf))
 
 
-# ---- extension (r10): k-core decomposition (operators/graph.py
-# core_numbers — h-index propagation to fixpoint, Lü 2016). Rows-only
-# carve-out: the fixpoint's round count is data-dependent, which an
-# unrolled SQL chain cannot express (the pagerank tol-mode argument);
-# exactness is pytest-pinned against the sequential Matula-Beck peel
-# (graph.core_reference). Same seeded graph as triangle_counts ----
+# ---- extension (r10, oracle-backed since r13): k-core decomposition
+# (operators/graph.py core_numbers — h-index propagation to fixpoint,
+# Lü 2016). The fixpoint round count is data-dependent in general —
+# but THIS row's seed graph is SF-invariant (37 residue nodes, 70
+# edges at every scale factor) and measured to converge in 4 sweeps,
+# so an 8-round unrolled CTE chain (core_numbers_unrolled_sql, the
+# Hilbert posture) replays the loop exactly: the h-index update is
+# idempotent at its fixpoint, extra rounds are identity. The general
+# data-dependent case stays pytest-pinned against the sequential
+# Matula-Beck peel (graph.core_reference); pytest also asserts the
+# seed graph's convergence stays <= rounds/2 so the margin is
+# machine-checked, not assumed ----
 
-@_q("graph_coreness")
+@_q("graph_coreness",
+    gph.core_numbers_unrolled_sql(_TRI_SEED_SQL, rounds=8))
 def q_graph_coreness(spark, sf):
     return gph.core_numbers(_tri_seed(spark, sf))
 

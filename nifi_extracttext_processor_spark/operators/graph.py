@@ -878,3 +878,61 @@ reach(node, d) AS (
 )
 SELECT node, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY node
 """
+
+
+def core_numbers_unrolled_sql(
+    edges_query: str,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> str:
+    """DuckDB twin of core_numbers for graphs whose h-index fixpoint
+    round count is KNOWN and bounded (the Hilbert unrolled-state-
+    machine posture): `rounds` fixed h-index sweeps are unrolled as a
+    CTE chain. The iterated h-index is monotone non-increasing and
+    idempotent at its fixpoint (Lü et al. 2016), so any rounds >=
+    the measured convergence count replays the Spark loop exactly —
+    extra rounds are identity. NOT a general-graph oracle: on
+    unbounded inputs the fixpoint round count is data-dependent,
+    which is precisely why core_numbers itself iterates with a
+    changed-count check. Callers must pin `rounds` with a measured
+    margin (pytest asserts convergence <= rounds/2 for the driver
+    row's seed graph).
+
+    Each round mirrors core_numbers' update term-for-term: rank
+    neighbor values desc (nbr asc tiebreak), h = max(least(rank,
+    value)), next = least(current, coalesce(h, 0))."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    parts = [f"""edges_in AS ({edges_query}),
+und AS (
+  SELECT DISTINCT least({src_col}, {dst_col}) AS a,
+                  greatest({src_col}, {dst_col}) AS b
+  FROM edges_in WHERE {src_col} <> {dst_col}
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM und
+),
+v0 AS MATERIALIZED (
+  SELECT node, count(*) AS c FROM adj GROUP BY node
+)"""]
+    for r in range(1, rounds + 1):
+        # AS MATERIALIZED: each round references the previous one
+        # TWICE (node side + neighbor side); inlined CTEs would
+        # double the expression tree per round — 2^rounds blowup.
+        parts.append(f"""v{r} AS MATERIALIZED (
+  SELECT node, least(max(c0), coalesce(max(least(rn, nv)), 0)) AS c
+  FROM (
+    SELECT a.node, v.c AS c0, w.c AS nv,
+           row_number() OVER (PARTITION BY a.node
+                              ORDER BY w.c DESC, a.nbr ASC) AS rn
+    FROM adj a
+    JOIN v{r - 1} v ON v.node = a.node
+    JOIN v{r - 1} w ON w.node = a.nbr)
+  GROUP BY node
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, CAST(c AS BIGINT) AS coreness"
+              f" FROM v{rounds}")

@@ -156,3 +156,75 @@ def pca_reference(
             comps[i] = -comps[i]
     ev = (S[:k] ** 2) / A.shape[0]
     return mu.tolist(), comps.tolist(), ev.tolist()
+
+
+def pca_transform_expr(
+    df: DataFrame,
+    mean: "list[float]",
+    components: "list[list[float]]",
+    vec_col: str = "embedding",
+    out_prefix: str = "pc",
+    round_dp: "int | None" = None,
+) -> DataFrame:
+    """Pure-Catalyst projection twin of pca_transform: one column
+    `{out_prefix}{i+1}` per component, each an explicit left-
+    associated sum  Σ_t (CAST(x[t] AS DOUBLE) − μ_t)·w_it  unrolled
+    into the plan (the Hilbert unrolled-literal posture). No Python
+    runs at execution time — the whole projection stays inside
+    whole-stage codegen, which for small k is the cheapest possible
+    transform (no Arrow hop, no batch materialization) AND gives a
+    bit-exact DuckDB replay via pca_project_sql: both engines parse
+    `+` left-associatively and every term is one IEEE double
+    multiply, so the fold orders match term-for-term. The Arrow
+    matmul kernel (pca_transform) remains the big-k path; pytest
+    pins expr ≡ arrow on the same (mean, components).
+    """
+    cols = [df[c] for c in df.columns]
+    outs = []
+    for i, comp in enumerate(components):
+        terms = None
+        for t, (m, w) in enumerate(zip(mean, comp)):
+            if w == 0.0:
+                continue
+            term = ((F.element_at(F.col(vec_col), t + 1)
+                     .cast("double") - F.lit(float(m)))
+                    * F.lit(float(w)))
+            terms = term if terms is None else (terms + term)
+        if terms is None:
+            terms = F.lit(0.0)
+        if round_dp is not None:
+            terms = F.round(terms, round_dp)
+        outs.append(terms.alias(f"{out_prefix}{i + 1}"))
+    return df.select(*cols, *outs)
+
+
+def pca_project_sql(
+    table: str,
+    mean: "list[float]",
+    components: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_prefix: str = "pc",
+    round_dp: "int | None" = None,
+) -> str:
+    """DuckDB twin of pca_transform_expr — identical left-associated
+    term chain over 1-based list indexing; CAST to DOUBLE before the
+    subtraction on both sides so float32 storage promotes at the
+    same point."""
+    sel = [id_col]
+    for i, comp in enumerate(components):
+        terms = [
+            f"(CAST({vec_col}[{t + 1}] AS DOUBLE) - {float(m)!r})"
+            f" * {float(w)!r}"
+            for t, (m, w) in enumerate(zip(mean, comp))
+            if w != 0.0
+        ] or ["CAST(0.0 AS DOUBLE)"]
+        chain = " + ".join(terms)
+        if round_dp is not None:
+            # `+ 0.0` normalizes IEEE -0.0 to +0.0: Spark's round goes
+            # through BigDecimal (which has no signed zero) while
+            # DuckDB's round preserves the sign bit — same magnitude,
+            # different serialized bytes.
+            chain = f"round({chain}, {int(round_dp)}) + 0.0"
+        sel.append(f"{chain} AS {out_prefix}{i + 1}")
+    return f"SELECT {', '.join(sel)} FROM {table}"

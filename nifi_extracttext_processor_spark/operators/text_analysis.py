@@ -558,6 +558,55 @@ def approx_top_terms(
             .limit(k))
 
 
+def approx_top_terms_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    capacity: int = 4096,
+    ngram: int = 1,
+) -> DataFrame:
+    """Two-pass heavy hitters with EXACT reported counts — the
+    confirm pass the raw sketch omits: pass 1 is the bounded-memory
+    Misra-Gries candidate scan (approx_top_terms with the top-k cut
+    removed: every positive merged counter survives, so membership
+    keeps the f > n/capacity guarantee), pass 2 recounts ONLY the
+    candidates exactly via a broadcast semi-join + one keyed agg —
+    the shuffle carries candidate terms (<= capacity x partitions),
+    never the vocabulary.
+
+    Output (term, n) is DETERMINISTIC whenever the true k-th count
+    exceeds n_tokens/capacity (MG membership bound ⇒ every true
+    top-k term is a candidate ⇒ the exact recount's top-k equals the
+    global exact top-k) — unlike the raw sketch's est values, which
+    depend on arrival order. That makes THIS variant oracle-
+    replayable (twin: top_terms_sql, the plain exact aggregate);
+    tests assert the bound holds on the test tables at both SFs."""
+    if k < 1 or capacity < 1:
+        raise ValueError("k and capacity must be >= 1")
+    # pass 1: candidates = every surviving MG counter (no top-k cut)
+    cand = (approx_top_terms(df, text_col, k=2 ** 31 - 1,
+                             capacity=capacity, ngram=ngram)
+            .select("term"))
+    # pass 2: exact recount of candidates only
+    arr = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                   lambda t: F.length(t) > 0)
+    if ngram > 1:
+        arr = F.when(
+            F.size(arr) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - ngram),
+                lambda i: F.concat_ws(" ", *[
+                    F.element_at(arr, i + j + 1)
+                    for j in range(ngram)]))
+        ).otherwise(F.array().cast("array<string>"))
+    toks = df.select(F.explode(arr).alias("term"))
+    return (toks.join(F.broadcast(cand), "term")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("term"))
+            .limit(k))
+
+
 def top_terms_sql(table: str = "documents", text_expr: str = "text",
                   k: int = 20) -> str:
     return f"""

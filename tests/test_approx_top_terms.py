@@ -106,3 +106,41 @@ class TestApproxTopNgrams:
             [("two words", 1)]
         with pytest.raises(ValueError):
             approx_top_terms(df, ngram=0)
+
+
+class TestExactRecountVariant:
+    def test_matches_exact_topk_and_bound_holds(self, spark, sf_dir):
+        """The driver row's determinism contract: on the documents
+        table the true k-th unigram count must exceed
+        n_tokens/capacity (the MG membership bound), and the two-pass
+        variant must equal the plain exact top-k."""
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import approx_top_terms_exact
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = d.select(F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                     lambda t: F.length(t) > 0)).alias("term"))
+        exact = (toks.groupBy("term")
+                 .agg(F.count("*").cast("long").alias("n"))
+                 .orderBy(F.desc("n"), F.asc("term")).limit(20)
+                 .collect())
+        n_tokens = toks.count()
+        assert exact[-1]["n"] > n_tokens / 4096, (
+            "MG bound violated on the test table - the two-pass "
+            "variant's determinism contract no longer holds")
+        got = approx_top_terms_exact(d, k=20, capacity=4096).collect()
+        assert [(r["term"], r["n"]) for r in got] == \
+            [(r["term"], r["n"]) for r in exact]
+
+    def test_ngram_recount_and_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.text_analysis \
+            import approx_top_terms_exact
+        df = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "a b x"), (3, "")],
+            "doc_id long, text string")
+        rows = approx_top_terms_exact(df, k=2, capacity=100,
+                                      ngram=2).collect()
+        assert [(r["term"], r["n"]) for r in rows] == \
+            [("a b", 3), ("b a", 1)]
+        with pytest.raises(ValueError):
+            approx_top_terms_exact(df, k=0)

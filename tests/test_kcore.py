@@ -71,3 +71,60 @@ class TestReferenceParity:
         b = sorted(map(tuple,
                        core_numbers(e.repartition(13)).collect()))
         assert a == b
+
+
+class TestUnrolledTwin:
+    def test_seed_graph_converges_within_half_the_unroll(self):
+        """The driver row's oracle unrolls 8 h-index sweeps; the SF-
+        invariant seed graph (37 residue nodes mod 37) must reach its
+        fixpoint in <= 4 so the margin is real. Pure-python peel —
+        no engine in the loop."""
+        edges = set()
+        for doc_id in range(37):  # residues cover the full node set
+            a, b = doc_id % 37, (doc_id * 7 + 3) % 37
+            c, d = doc_id % 37, (doc_id * 3 + 11) % 37
+            for s, t in ((a, b), (c, d)):
+                if s != t:
+                    edges.add((min(s, t), max(s, t)))
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        c = {v: len(ns) for v, ns in adj.items()}
+        rounds = 0
+        while True:
+            nxt = {}
+            for v, ns in adj.items():
+                vals = sorted((c[u] for u in ns), reverse=True)
+                h = max((min(i + 1, x) for i, x in enumerate(vals)),
+                        default=0)
+                nxt[v] = min(c[v], h)
+            rounds += 1
+            if nxt == c:
+                break
+            c = nxt
+        assert rounds <= 4
+
+    def test_unrolled_sql_matches_spark_fixpoint(self, spark):
+        """core_numbers_unrolled_sql == core_numbers on a graph that
+        converges within the unroll; raises on rounds < 1."""
+        import duckdb
+        import pytest as _pt
+
+        from nifi_extracttext_processor_spark.operators.graph import (
+            core_numbers,
+            core_numbers_unrolled_sql,
+        )
+        import random
+        rng = random.Random(3)
+        rows = [(str(rng.randrange(25)), str(rng.randrange(25)))
+                for _ in range(80)]
+        df = spark.createDataFrame(rows, "src string, dst string")
+        got = sorted(map(tuple, core_numbers(df).collect()))
+        con = duckdb.connect()
+        con.register("e", df.toPandas())
+        want = sorted(con.execute(core_numbers_unrolled_sql(
+            "SELECT src, dst FROM e", rounds=25)).fetchall())
+        assert got == want
+        with _pt.raises(ValueError):
+            core_numbers_unrolled_sql("SELECT 1", rounds=0)

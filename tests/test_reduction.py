@@ -139,3 +139,62 @@ class TestPCATransform:
                    brute_force_topk(red, list(qr), k=8).collect()]
         overlap = len(set(full) & set(reduced)) / 8
         assert overlap >= 0.75
+
+
+class TestPcaExprTwin:
+    def test_expr_path_matches_arrow_kernel(self, spark):
+        """The unrolled-Catalyst projection (pca_transform_expr — the
+        oracle-replayable path) must agree with the Arrow matmul
+        kernel (pca_transform — the big-k production path) on the
+        same (mean, components): numpy's BLAS dot may associate
+        differently from the left fold, so equality is asserted to
+        1e-9, then the 4dp round used by the driver row is asserted
+        exactly."""
+        from nifi_extracttext_processor_spark.operators.reduction import (
+            pca_transform,
+            pca_transform_expr,
+        )
+        import random
+        rng = random.Random(5)
+        emb = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(16)])
+             for i in range(50)],
+            "vec_id long, embedding array<float>")
+        mean = [round(rng.uniform(-0.1, 0.1), 6) for _ in range(16)]
+        comps = [[round(rng.uniform(-0.5, 0.5), 6) for _ in range(16)]
+                 for _ in range(3)]
+        a = {r["vec_id"]: [r["pc1"], r["pc2"], r["pc3"]]
+             for r in pca_transform_expr(emb, mean, comps).collect()}
+        b = {r["vec_id"]: r["reduced"]
+             for r in pca_transform(emb, mean, comps,
+                                    out_col="reduced").collect()}
+        for k in a:
+            for x, y in zip(a[k], b[k]):
+                assert abs(x - y) < 1e-9, (k, a[k], b[k])
+
+    def test_expr_twin_duckdb_bit_exact(self, spark):
+        """pca_project_sql replays pca_transform_expr bit-for-bit
+        (incl. the -0.0 normalization after round)."""
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.reduction import (
+            pca_project_sql,
+            pca_transform_expr,
+        )
+        import random
+        rng = random.Random(9)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(40)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        mean = [0.0] * 8
+        comps = [[round(rng.uniform(-0.3, 0.3), 6) for _ in range(8)],
+                 [0.0] * 8]  # degenerate all-zero component too
+        got = sorted(map(tuple, pca_transform_expr(
+            emb, mean, comps, round_dp=4).drop("embedding")
+            .collect()))
+        con = duckdb.connect()
+        con.register("t", emb.toPandas())
+        want = sorted(con.execute(
+            pca_project_sql("t", mean, comps, round_dp=4)).fetchall())
+        assert got == want

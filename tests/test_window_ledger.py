@@ -22,11 +22,31 @@ import __spark_entry__ as entry
 from window_ledger import WINDOW_SIZE, build_ledger, load_correctness
 
 # The documented rows-only carve-outs (non-SQL-expressible; the driver
-# records a weaker rows-only check for these). Adding a 6th requires a
-# written rationale at its registration site AND here.
+# records a weaker rows-only check for these). Adding a 3rd requires a
+# written rationale at its registration site AND here. r13 drained the
+# set from 5 to 2 (VERDICT r12 task 7):
+#   - approx_top_terms: re-registered as the two-pass MG-candidates ->
+#     exact-recount variant, deterministic under the pytest-asserted
+#     f_k > n/capacity membership bound; twin = the exact aggregate.
+#   - pca_reduce: re-registered with deterministic literal
+#     (mean, components) projected by the unrolled-Catalyst expr path;
+#     twin = pca_project_sql (bit-exact left-fold chain). The eigen
+#     FIT stays pytest-vs-numpy.
+#   - graph_coreness: h-index rounds unrolled 8x for the SF-invariant
+#     37-node seed graph (measured fixpoint: 4 sweeps; idempotent
+#     beyond it); twin = core_numbers_unrolled_sql.
+# The two that remain are genuinely non-replayable in one SQL query:
+#   - bpe_tokenize: inference applies 200 TRAINED merges in priority
+#     order, each a left-to-right adjacent-pair rewrite over the token
+#     list — a data-dependent recursion DuckDB SQL cannot express
+#     without per-merge recursive CTEs over every document; the
+#     merges themselves come from an iterative corpus-wide argmax.
+#   - unigram_tokenize: Viterbi segmentation (per-document DP over a
+#     trained vocab with EM-pruned scores) — same class.
+# Both are contract-pinned in tests/test_tokenize.py against pure-
+# python reference implementations.
 ROWS_ONLY_CARVEOUTS = {
-    "bpe_tokenize", "unigram_tokenize", "approx_top_terms",
-    "pca_reduce", "graph_coreness",
+    "bpe_tokenize", "unigram_tokenize",
 }
 
 # r12 rotation (VERDICT r11 tasks 2+3): throughput raised to 9 swaps so
