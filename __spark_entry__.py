@@ -4000,6 +4000,37 @@ def q_doc_link_components(spark, sf):
     return gph.connected_components(edges)
 
 
+# ---- extension (r13): unbounded-diameter connected components —
+# alternating large-star/small-star contraction (Kiveris 2014), the
+# documented escalation path min-label's fail-loud message names.
+# O(log^2 n) rounds regardless of diameter; seed = a 300-hop chain
+# (diameter 300) where min-label at its default max_iter=50 RAISES —
+# pytest pins both that failure and the contraction's success. Same
+# min-string-label contract, so the recursive-CTE twin is shared ----
+
+_CC_CHAIN_SEED_SQL = """
+SELECT 'c' || CAST(doc_id % 300 AS VARCHAR) AS src,
+       'c' || CAST(doc_id % 300 + 1 AS VARCHAR) AS dst
+FROM documents
+"""
+
+
+@_q("doc_link_components_large",
+    gph.connected_components_sql(_CC_CHAIN_SEED_SQL))
+def q_doc_link_components_large(spark, sf):
+    """Star-contraction components over a diameter-300 chain — the
+    regime where per-round label propagation is the wrong physical
+    plan and edge contraction is the right one."""
+    d = _t(spark, sf, "documents")
+    edges = d.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 300).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("c"),
+                 (F.col("doc_id") % 300 + 1).cast("string"))
+        .alias("dst"))
+    return gph.connected_components_large(edges)
+
+
 @_q("ab_anova_value", abx.ab_anova_sql(
     "(SELECT *, 'arm' || CAST(event_id % 4 AS VARCHAR) AS variant "
     "FROM events)", "variant", "value", group_by=["event_type"]))

@@ -106,6 +106,16 @@ HEADLINE = [
                              # join + per-conversion windows
     "ab_mann_whitney",     # r12: distinct-value rank aggregate +
                            # keyed prefix-sum window
+    # round-13 additions (appended, legacy order preserved)
+    "ab_group_sequential",  # r13: K=3 scheduled looks from ONE
+                            # conditional-sum scan — proves the
+                            # claimed O(1)-passes (cost must track a
+                            # single agg, not K of them)
+    "doc_link_components",  # r13: iterative min-label propagation —
+                            # the one family whose wall-time scales
+                            # with graph diameter; measured so the
+                            # localCheckpoint-per-round overhead is a
+                            # number, not a claim
 ]
 
 

