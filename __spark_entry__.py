@@ -3285,6 +3285,33 @@ def q_events_km_survival(spark, sf):
     return svx.km_survival(dur, group_by=["event_type"])
 
 
+# ---- extension (r13): the survival family's remaining canonical
+# readouts — Nelson-Aalen cumulative hazard (additive sibling of the
+# KM product curve; exp(-H) left to callers, libm exp is not
+# cross-engine exact) and restricted mean survival time (area under
+# the KM step curve to a horizon, the censoring-robust effect scalar
+# when median survival is undefined). Same user_durations collapse,
+# same bounded per-(group, t) shuffle; twins replay the prefix folds
+# bit-for-bit ----
+
+@_q("events_nelson_aalen", svx.nelson_aalen_sql(
+    f"({_KM_DUR_SQL})", group_by=["event_type"]))
+def q_events_nelson_aalen(spark, sf):
+    ev = _t(spark, sf, "events")
+    dur = svx.user_durations(ev, inactive_days=30,
+                             group_by=["event_type"])
+    return svx.nelson_aalen(dur, group_by=["event_type"])
+
+
+@_q("events_km_rmst", svx.km_rmst_sql(
+    f"({_KM_DUR_SQL})", tau=14.0, group_by=["event_type"]))
+def q_events_km_rmst(spark, sf):
+    ev = _t(spark, sf, "events")
+    dur = svx.user_durations(ev, inactive_days=30,
+                             group_by=["event_type"])
+    return svx.km_rmst(dur, tau=14.0, group_by=["event_type"])
+
+
 @_q("ab_bootstrap_ci", abx.ab_bootstrap_ci_sql(
     "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
     "AS variant FROM events)",

@@ -367,3 +367,237 @@ SELECT {gsel}n_control, n_treatment,
 FROM counts {"JOIN folded USING (" + ", ".join(gb) + ")" if gb
              else "CROSS JOIN folded"}
 """
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., t, n_risk, n_events, n_censored, cum_hazard) — the
+    Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    1978), the additive sibling of km_survival:
+
+        H(t) = Σ_{t_i <= t} d_i / n_i
+
+    Reads directly as "expected events per subject by time t"; it is
+    the estimator of choice when hazards are the modelling target
+    (churn intensity, failure rates) where KM's product form answers
+    "probability still alive". exp(-H) is the Breslow survival
+    estimate — left to callers because libm exp() is NOT exactly
+    specified across engines, while everything emitted here is
+    (integer prefix-sum risk sets, one IEEE division per t, a
+    LEFT-ASSOCIATED t-ordered sum fold — the km_from_counts
+    discipline with + in place of ×). Same scale shape as
+    km_survival: shuffle carries one row per (group, distinct
+    duration), never subjects."""
+    per_t = km_counts(df, duration_col, event_col, group_by)
+    gb = list(group_by or [])
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wprev = (wtot.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wpref = (wtot.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    left = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+        F.lit(0))
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+    out = per_t.withColumn("n_risk", total - left)
+    h = (F.col("n_events").cast("double")
+         / F.col("n_risk").cast("double"))
+    out = out.withColumn("__ph", F.collect_list(h).over(wpref))
+    cum = F.expr(
+        "aggregate(__ph, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    return (out.select(*gb, "t", "n_risk", "n_events", "n_censored",
+                       F.round(cum, round_dp).alias("cum_hazard"))
+            .orderBy(*gb, "t"))
+
+
+def nelson_aalen_sql(
+    table: str,
+    duration_expr: str = "duration",
+    event_expr: str = "event",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of nelson_aalen (same integer prefix sums, same
+    per-t IEEE division, same left-associated sum fold)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({duration_expr} AS BIGINT) AS t,
+         CAST({event_expr} AS INT) AS e
+  FROM {table}
+  WHERE {duration_expr} IS NOT NULL AND {event_expr} IS NOT NULL
+),
+per_t AS (
+  SELECT {gsel}t, CAST(sum(e) AS BIGINT) AS n_events,
+         CAST(sum(1 - e) AS BIGINT) AS n_censored
+  FROM base GROUP BY {gsel}t
+),
+risked AS (
+  SELECT {gsel}t, n_events, n_censored,
+         CAST(sum(n_events + n_censored) OVER ({part})
+         - coalesce(sum(n_events + n_censored) OVER (
+               {part} ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM per_t
+),
+folded AS (
+  SELECT {gsel}t, n_risk, n_events, n_censored,
+         list(n_events::DOUBLE / n_risk::DOUBLE) OVER (
+             {part} ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+  FROM risked
+)
+SELECT {gsel}t, n_risk, n_events, n_censored,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ph),
+                         (a, x) -> a + x), {round_dp}) AS cum_hazard
+FROM folded
+ORDER BY {gsel}t
+"""
+
+
+def km_rmst(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    tau: float = 30.0,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., tau, rmst) — restricted mean survival time: the
+    area under the Kaplan-Meier step curve up to the horizon τ,
+
+        RMST(τ) = ∫₀^τ S(t) dt,
+
+    the censoring-robust effect scalar survival analysts report when
+    median survival is undefined (curve never crosses 0.5) — "mean
+    active days in the first τ" needs no distributional assumption.
+
+    One fold does everything: per-(group, t) integer counts → risk
+    sets (integer prefix sums) → per-t hazard factors → ONE
+    t-ordered left fold carrying (prev_t, S, integral), adding
+    S·(min(t,τ) − min(prev_t,τ)) per step and closing with the
+    S_last·(τ − t_last) tail when the curve ends before τ. Every
+    arithmetic step is an exactly-specified IEEE op in both engines
+    (the logrank named-struct fold pattern), so km_rmst_sql replays
+    bit-for-bit. Durations are expected non-negative (negative t
+    would integrate a negative first interval — mirrored, not
+    masked, in both engines)."""
+    if not tau > 0:
+        raise ValueError("tau must be > 0")
+    gb = list(group_by or [])
+    per_t = km_counts(df, duration_col, event_col, group_by)
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wprev = (wtot.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    left = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+        F.lit(0))
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+    n_risk = (total - left).cast("double")
+    f = F.lit(1.0) - F.col("n_events").cast("double") / n_risk
+    terms = per_t.select(
+        *gb,
+        F.struct(F.col("t").cast("double").alias("t"),
+                 f.alias("f")).alias("__tf"))
+    tau_lit = float(tau)
+    folded = (terms.groupBy(*gb)
+              .agg(F.expr(
+                  f"aggregate(array_sort(collect_list(__tf)),"
+                  f" named_struct('p', CAST(0.0 AS DOUBLE),"
+                  f"              's', CAST(1.0 AS DOUBLE),"
+                  f"              'i', CAST(0.0 AS DOUBLE)),"
+                  f" (a, x) -> named_struct("
+                  f"   'p', x.t,"
+                  f"   's', a.s * x.f,"
+                  f"   'i', a.i + a.s * (least(x.t, {tau_lit!r})"
+                  f"                     - least(a.p, {tau_lit!r}))))")
+                  .alias("__r")))
+    rmst = (F.col("__r.i")
+            + F.col("__r.s")
+            * F.greatest(F.lit(tau_lit)
+                         - F.least(F.col("__r.p"), F.lit(tau_lit)),
+                         F.lit(0.0)))
+    return folded.select(
+        *gb,
+        F.lit(tau_lit).alias("tau"),
+        F.round(rmst, round_dp).alias("rmst"))
+
+
+def km_rmst_sql(
+    table: str,
+    duration_expr: str = "duration",
+    event_expr: str = "event",
+    tau: float = 30.0,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of km_rmst (same integer prefix sums, same
+    t-ordered 3-field struct fold — every field CAST to DOUBLE so
+    the fold never drifts into decimal arithmetic).
+
+    SEED DISCIPLINE (discovered r13): DuckDB 1.0.0's list_reduce
+    seeds from the list's FIRST ELEMENT, and under some scan types
+    (pandas-registered frames) a list_prepend'ed synthetic seed is
+    silently dropped inside list_reduce — harmless for the repo's
+    identity-seeded folds (0.0 for sums, 1.0 unit for products:
+    identity+x1 == x1), WRONG for any non-identity seed. This fold's
+    state is non-identity (p=0, s=1, i=0 matters), so the twin
+    avoids prepending entirely: each element is constructed so that
+    element 1 IS the correct post-first-step state ('i' =
+    least(t, τ), the S=1 first interval), and the lambda only ever
+    runs from element 2 on. The Spark side keeps its explicit seed —
+    after its first lambda step the states are bit-identical
+    (least(0, τ) is exactly 0.0)."""
+    if not tau > 0:
+        raise ValueError("tau must be > 0")
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    t = float(tau)
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({duration_expr} AS BIGINT) AS t,
+         CAST({event_expr} AS INT) AS e
+  FROM {table}
+  WHERE {duration_expr} IS NOT NULL AND {event_expr} IS NOT NULL
+),
+per_t AS (
+  SELECT {gsel}t, sum(e) AS n_events, sum(1 - e) AS n_censored
+  FROM base GROUP BY {gsel}t
+),
+risked AS (
+  SELECT {gsel}t,
+         1.0 - n_events::DOUBLE /
+         (sum(n_events + n_censored) OVER ({part})
+          - coalesce(sum(n_events + n_censored) OVER (
+                {part} ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0))::DOUBLE AS f
+  FROM per_t
+),
+folded AS (
+  SELECT {gsel}
+         list_reduce(
+           list({{'p': CAST(t AS DOUBLE), 's': f,
+                  'i': least(CAST(t AS DOUBLE), {t!r})}}
+                ORDER BY t),
+           (a, x) -> {{'p': x.p,
+                       's': a.s * x.s,
+                       'i': a.i + a.s * (least(x.p, {t!r})
+                                         - least(a.p, {t!r}))}}) AS r
+  FROM risked {gkey}
+)
+SELECT {gsel}CAST({t!r} AS DOUBLE) AS tau,
+       round(r.i + r.s * greatest({t!r} - least(r.p, {t!r}), 0.0),
+             {round_dp}) AS rmst
+FROM folded
+"""

@@ -227,3 +227,92 @@ class TestStreamingKm:
         fb(b2, 1)
         assert sorted(map(tuple,
                           read_state(spark).collect())) == snap
+
+
+class TestNelsonAalen:
+    ROWS = [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS,
+                                     "duration long, event int")
+
+    def test_golden_curve(self, spark):
+        from nifi_extracttext_processor_spark.operators.survival \
+            import nelson_aalen
+        got = {r["t"]: (r["n_risk"], r["cum_hazard"]) for r in
+               nelson_aalen(self._df(spark)).collect()}
+        # H(1)=1/5, H(2)=+0/4, H(3)=+2/3, H(5)=+0/1
+        assert got[1] == (5, 0.2)
+        assert got[2] == (4, 0.2)
+        assert got[3] == (3, round(0.2 + 2 / 3, 4))
+        assert got[5] == (1, round(0.2 + 2 / 3, 4))
+
+    def test_twin_parity(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.survival \
+            import nelson_aalen, nelson_aalen_sql
+        df = self._df(spark).withColumn(
+            "g", (F.col("duration") % 2).cast("string"))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, nelson_aalen(
+            df, group_by=["g"]).collect()))
+        b = sorted(map(tuple, con.execute(nelson_aalen_sql(
+            "t", group_by=["g"])).fetchall()))
+        assert a == b
+
+
+class TestRmst:
+    ROWS = [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS,
+                                     "duration long, event int")
+
+    def test_golden_area(self, spark):
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_rmst
+        # S=1 on [0,1), 0.8 on [1,3), 0.8/3 on [3,...)
+        [r4] = km_rmst(self._df(spark), tau=4.0).collect()
+        assert r4["rmst"] == round(1 + 0.8 * 2 + 0.8 / 3, 4)
+        [r10] = km_rmst(self._df(spark), tau=10.0).collect()
+        assert r10["rmst"] == round(1 + 0.8 * 2 + 0.8 / 3 * 7, 4)
+        # horizon before the first event: area is exactly tau
+        [r05] = km_rmst(self._df(spark), tau=0.5).collect()
+        assert r05["rmst"] == 0.5
+
+    def test_validation_and_twin_parity(self, spark):
+        import duckdb
+        import pytest as _pt
+
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_rmst, km_rmst_sql
+        with _pt.raises(ValueError):
+            km_rmst(self._df(spark), tau=0.0)
+        with _pt.raises(ValueError):
+            km_rmst_sql("t", tau=-1.0)
+        df = self._df(spark).withColumn(
+            "g", (F.col("duration") % 2).cast("string"))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        a = sorted(map(tuple, km_rmst(
+            df, tau=4.0, group_by=["g"]).collect()))
+        b = sorted(map(tuple, con.execute(km_rmst_sql(
+            "t", tau=4.0, group_by=["g"])).fetchall()))
+        assert a == b
+
+    def test_rmst_never_exceeds_tau_and_is_monotone(self, spark):
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_rmst
+        import random
+        rng = random.Random(21)
+        rows = [(rng.randint(0, 20), rng.randint(0, 1))
+                for _ in range(200)]
+        df = spark.createDataFrame(rows, "duration long, event int")
+        vals = []
+        for tau in (2.0, 8.0, 15.0):
+            [r] = km_rmst(df, tau=tau).collect()
+            assert 0 < r["rmst"] <= tau
+            vals.append(r["rmst"])
+        assert vals == sorted(vals)

@@ -85,6 +85,8 @@ R13_OUT = set(R13_PAIRS)
 # queries first registered in r13 (backlog INFLOW, not debt)
 R13_NEW = {
     "doc_link_components_large",
+    "events_nelson_aalen",
+    "events_km_rmst",
 }
 
 
