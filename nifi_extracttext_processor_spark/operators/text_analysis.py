@@ -1555,8 +1555,17 @@ def detect_credit_cards_sql(
             f"WHEN ({digits})[i] * 2 > 9 THEN ({digits})[i] * 2 - 9 "
             f"ELSE ({digits})[i] * 2 END)) % 10 = 0)")
     valid = f"list_filter({cands}, x -> {luhn})"
-    scrub = (f"list_reduce(list_prepend({c}, {valid}), "
-             f"(acc, x) -> replace(acc, x, '{repl}'))")
+    # SEED DISCIPLINE (r13, survival.km_rmst_sql): never hand
+    # list_reduce a synthetic non-identity seed via list_prepend —
+    # DuckDB 1.0.0 can silently drop it under some scan/plan shapes.
+    # Element 1 is therefore the post-first-step state
+    # (replace(text, valid[1])) and the lambda runs from element 2;
+    # the zero-candidate case short-circuits to the raw text.
+    scrub = (f"CASE WHEN len({valid}) = 0 THEN {c} "
+             f"ELSE list_reduce("
+             f"list_concat([replace({c}, ({valid})[1], '{repl}')], "
+             f"({valid})[2:]), "
+             f"(acc, x) -> replace(acc, x, '{repl}')) END")
     return {
         "n_ccn": f"CAST(len({valid}) AS BIGINT)",
         "has_ccn": f"(len({valid}) > 0)",
