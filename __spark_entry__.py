@@ -4343,6 +4343,22 @@ def q_ab_mh_odds_ratio(spark, sf):
                                 ["event_type"], "c", "t")
 
 
+@_q("ab_ca_trend", abx.ca_trend_test_sql(
+    "(SELECT *, CAST(user_id % 4 AS BIGINT) AS dose, "
+    "CAST(value > 200 AS INT) AS conv FROM events)",
+    "dose", "conv", group_by=["event_type"]))
+def q_ab_ca_trend(spark, sf):
+    """Cochran-Armitage dose-response trend across four ordered
+    exposure levels per event type — exact-integer sufficient
+    statistics, factor-identical closing chain (r13)."""
+    ev = _t(spark, sf, "events")
+    exp = (ev.withColumn("dose", F.pmod(F.col("user_id"), 4)
+                         .cast("long"))
+           .withColumn("conv", (F.col("value") > 200).cast("int")))
+    return abx.ca_trend_test(exp, "dose", "conv",
+                             group_by=["event_type"])
+
+
 # ===========================================================================
 # Driver-window rotation r9 (slot policy in the header; mapping recorded
 # in SURVEY.md's round-9 table). Implemented as registration-order swaps

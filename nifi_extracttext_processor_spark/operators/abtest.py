@@ -2973,3 +2973,124 @@ SELECT n_strata, CAST(n_rows AS BIGINT) AS n_rows,
        round(mh_num / nullif(mh_den, 0), {round_dp}) AS or_mh
 FROM one
 """
+
+
+def ca_trend_test(
+    df: DataFrame,
+    dose_col: str,
+    success_col: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n, successes, n_doses, z, significant) — the
+    Cochran-Armitage test for TREND in proportions across ordered
+    exposure levels (Cochran 1954; Armitage 1955): K-arm chi-square
+    asks "are the rates different anywhere"; this asks the sharper
+    dose-response question "do rates rise/fall WITH the level" —
+    price tiers, exposure counts, bucketed tenure. One conditional-
+    sum scan, the ab_proportion_test posture.
+
+    With integer dose scores every sufficient statistic is an exact
+    integer (Σwr, Σwn, Σnw², R, N); the closing scalar chain
+
+        z = (N·Σwr − R·Σwn) / sqrt(R·(N−R)·(N·Σnw² − (Σnw)²) / N)
+
+    is spelled factor-for-factor identically in the twin — each
+    int64 promotes to double at the SAME point on both engines
+    (int→double rounding is exactly specified), so products that
+    would overflow int64 at 10¹²-row scale stay deterministic.
+    `dose_col` must be numeric; it is cast to long (the ORDERED
+    integer scores w_k — the standard 0..K−1 spacing is the caller's
+    choice of column). NULL dose/outcome rows are excluded. z is
+    NULL when the variance term is 0 (all one dose, or R ∈ {0, N});
+    sign(z) > 0 means the rate RISES with the dose score."""
+    gb = list(group_by or [])
+    w = F.col(dose_col).cast("long")
+    s = F.col(success_col).cast("int")
+    base = (df.filter(w.isNotNull() & s.isNotNull())
+            .select(*gb, w.alias("__w"), s.alias("__s")))
+    agg = (base.groupBy(*gb)
+           .agg(F.count("*").alias("n"),
+                F.sum("__s").alias("successes"),
+                F.countDistinct("__w").alias("n_doses"),
+                F.sum(F.col("__w") * F.col("__s")).alias("__wr"),
+                F.sum("__w").alias("__wn"),
+                F.sum(F.col("__w") * F.col("__w")).alias("__ww")))
+    nd = F.col("n").cast("double")
+    rd = F.col("successes").cast("double")
+    num = nd * F.col("__wr").cast("double") \
+        - rd * F.col("__wn").cast("double")
+    var = (rd * (nd - rd)
+           * (nd * F.col("__ww").cast("double")
+              - F.col("__wn").cast("double")
+              * F.col("__wn").cast("double"))
+           / nd)
+    z = F.when(var > 0, F.round(num / F.sqrt(var), round_dp))
+    return agg.select(
+        *gb, "n",
+        F.col("successes").cast("long").alias("successes"),
+        F.col("n_doses").cast("long").alias("n_doses"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(float(z_alpha)), F.lit(False))
+        .alias("significant"))
+
+
+def ca_trend_test_sql(
+    table: str,
+    dose_col: str,
+    success_col: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ca_trend_test (same exact-integer sufficient
+    statistics, same factor-for-factor closing chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({dose_col} AS BIGINT) AS w,
+         CAST({success_col} AS INT) AS s
+  FROM {table}
+  WHERE {dose_col} IS NOT NULL AND {success_col} IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}count(*) AS n,
+         CAST(sum(s) AS BIGINT) AS successes,
+         count(DISTINCT w) AS n_doses,
+         CAST(sum(w * s) AS BIGINT) AS wr,
+         CAST(sum(w) AS BIGINT) AS wn,
+         CAST(sum(w * w) AS BIGINT) AS ww
+  FROM base {gkey}
+)
+SELECT {gsel}n, successes, n_doses,
+       CASE WHEN successes::DOUBLE * (n::DOUBLE - successes::DOUBLE)
+                 * (n::DOUBLE * ww::DOUBLE
+                    - wn::DOUBLE * wn::DOUBLE) / n::DOUBLE > 0
+            THEN round((n::DOUBLE * wr::DOUBLE
+                        - successes::DOUBLE * wn::DOUBLE)
+                       / sqrt(successes::DOUBLE
+                              * (n::DOUBLE - successes::DOUBLE)
+                              * (n::DOUBLE * ww::DOUBLE
+                                 - wn::DOUBLE * wn::DOUBLE)
+                              / n::DOUBLE), {round_dp})
+       END AS z,
+       coalesce(abs(CASE WHEN successes::DOUBLE
+                              * (n::DOUBLE - successes::DOUBLE)
+                              * (n::DOUBLE * ww::DOUBLE
+                                 - wn::DOUBLE * wn::DOUBLE)
+                              / n::DOUBLE > 0
+                         THEN round((n::DOUBLE * wr::DOUBLE
+                                     - successes::DOUBLE * wn::DOUBLE)
+                                    / sqrt(successes::DOUBLE
+                                           * (n::DOUBLE
+                                              - successes::DOUBLE)
+                                           * (n::DOUBLE * ww::DOUBLE
+                                              - wn::DOUBLE
+                                                * wn::DOUBLE)
+                                           / n::DOUBLE), {round_dp})
+                    END) >= {float(z_alpha)!r}, FALSE) AS significant
+FROM agg
+"""

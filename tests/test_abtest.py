@@ -1278,3 +1278,79 @@ class TestMantelHaenszel:
         [b] = con.execute(ab_mh_odds_ratio_sql(
             "t", "variant", "conv", ["s"], "c", "t")).fetchall()
         assert tuple(a) == b
+
+
+class TestCochranArmitage:
+    def test_planted_trend_vs_flat(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ca_trend_test,
+        )
+        import random
+        rng = random.Random(11)
+        # rates rise with dose: 10% / 30% / 50% / 70%
+        rows = [(d, 1 if rng.random() < 0.1 + 0.2 * d else 0)
+                for d in range(4) for _ in range(300)]
+        df = spark.createDataFrame(rows, "dose long, conv int")
+        [r] = ca_trend_test(df, "dose", "conv").collect()
+        assert r["n"] == 1200 and r["n_doses"] == 4
+        assert r["z"] > 10 and r["significant"]
+        # flat rates: no trend
+        flat = [(d, 1 if rng.random() < 0.3 else 0)
+                for d in range(4) for _ in range(300)]
+        [f] = ca_trend_test(
+            spark.createDataFrame(flat, "dose long, conv int"),
+            "dose", "conv").collect()
+        assert not f["significant"]
+        # falling rates: negative z
+        fall = [(d, 1 if rng.random() < 0.7 - 0.2 * d else 0)
+                for d in range(4) for _ in range(300)]
+        [g] = ca_trend_test(
+            spark.createDataFrame(fall, "dose long, conv int"),
+            "dose", "conv").collect()
+        assert g["z"] < -10 and g["significant"]
+
+    def test_hand_computed_z(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ca_trend_test,
+        )
+        # doses 0,1,2 with (n, r) = (4,1), (4,2), (4,3)
+        rows = ([(0, 1)] + [(0, 0)] * 3 + [(1, 1)] * 2 + [(1, 0)] * 2
+                + [(2, 1)] * 3 + [(2, 0)])
+        df = spark.createDataFrame(rows, "dose long, conv int")
+        [r] = ca_trend_test(df, "dose", "conv").collect()
+        import math
+        N, R = 12, 6
+        wr = 0 * 1 + 1 * 2 + 2 * 3          # 8
+        wn = 4 * 0 + 4 * 1 + 4 * 2          # 12
+        ww = 4 * 0 + 4 * 1 + 4 * 4          # 20
+        num = N * wr - R * wn
+        var = R * (N - R) * (N * ww - wn * wn) / N
+        assert r["z"] == round(num / math.sqrt(var), 4)
+
+    def test_degenerate_and_twin_parity(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ca_trend_test, ca_trend_test_sql,
+        )
+        # single dose level -> zero variance -> NULL z
+        one = spark.createDataFrame([(1, 1), (1, 0)],
+                                    "dose long, conv int")
+        [r] = ca_trend_test(one, "dose", "conv").collect()
+        assert r["z"] is None and not r["significant"]
+        # all successes -> R = N -> NULL z
+        allhit = spark.createDataFrame([(0, 1), (1, 1), (2, 1)],
+                                       "dose long, conv int")
+        [a] = ca_trend_test(allhit, "dose", "conv").collect()
+        assert a["z"] is None
+        # grouped twin parity
+        import random
+        rng = random.Random(3)
+        rows = [(rng.randrange(2), rng.randrange(4),
+                 rng.randrange(2)) for _ in range(400)]
+        df = spark.createDataFrame(rows, "g int, dose long, conv int")
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        x = sorted(map(tuple, ca_trend_test(
+            df, "dose", "conv", group_by=["g"]).collect()))
+        y = sorted(map(tuple, con.execute(ca_trend_test_sql(
+            "t", "dose", "conv", group_by=["g"])).fetchall()))
+        assert x == y

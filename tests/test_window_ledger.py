@@ -87,6 +87,7 @@ R13_NEW = {
     "doc_link_components_large",
     "events_nelson_aalen",
     "events_km_rmst",
+    "ab_ca_trend",
 }
 
 
