@@ -4279,6 +4279,17 @@ def q_events_robust_trend(spark, sf):
                             ["event_type"])
 
 
+@_q("events_pettitt", tsx.pettitt_test_sql(
+    "events", "ts", "value", ["event_type"]))
+def q_events_pettitt(spark, sf):
+    """Pettitt rank-based changepoint per event type over the daily
+    value sum (r13) — every emitted quantity an exact integer/date
+    (tie-aware rank identity + integer prefix sums), significance by
+    the inverted p-bound so no transcendental runs at query time."""
+    return tsx.pettitt_test(_t(spark, sf, "events"), "ts", "value",
+                            ["event_type"])
+
+
 @_q("ab_odds_ratio", abx.ab_odds_ratio_sql(
     "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
     "AS variant, CAST(value > 200 AS INT) AS conv FROM events)",

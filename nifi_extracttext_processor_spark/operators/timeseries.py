@@ -1396,3 +1396,157 @@ SELECT {gsel}
        round(sen, {round_dp}) AS sen_slope
 FROM zc
 """
+
+
+# critical constant for the Pettitt bound at two-sided alpha=0.05:
+# -ln(alpha/2) embedded as a literal so neither engine runs a
+# transcendental at query time (the abtest z_alpha convention)
+_PETTITT_NEG_LN_HALF_ALPHA = {0.05: 3.6888794541139363,
+                              0.01: 5.298317366548036,
+                              0.10: 2.995732273553991}
+
+
+def pettitt_test(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """(group..., n_days, k_stat, changepoint_day, significant) —
+    the Pettitt (1979) nonparametric changepoint test over the daily
+    metric sum: a rank-based single-changepoint detector that needs
+    no distributional assumption (the CUSUM family's robust sibling,
+    exactly as Mann-Kendall is OLS-trend's). U_t = Σ_{i<=t, j>t}
+    sign(x_i − x_j); K = max_t |U_t| over the interior split points;
+    the changepoint is the last day of the pre-change segment
+    (earliest day on K-ties — deterministic). Significance uses the
+    standard approximation p ≈ 2·exp(−6K²/(n³+n²)) INVERTED against
+    an embedded −ln(α/2) literal: significant ⇔ 6K² ≥ C·(n³+n²), so
+    the query runs no transcendental and every emitted quantity is
+    an exact INTEGER (the one statistic family where full bit-
+    exactness is free).
+
+    Scale shape: day-grain collapse FIRST (quantized exact-decimal
+    sums, the robust_trend discipline), then V_t = (#days below) −
+    (#days above) from ONE value-ordered rank window (tie-aware:
+    V = 2·rank + ties − n − 2) and U_t = the day-ordered prefix sum
+    of V — O(n log n) over the ≤10³-day table, never the events."""
+    if alpha not in _PETTITT_NEG_LN_HALF_ALPHA:
+        raise ValueError(
+            f"alpha must be one of "
+            f"{sorted(_PETTITT_NEG_LN_HALF_ALPHA)}")
+    c = _PETTITT_NEG_LN_HALF_ALPHA[alpha]
+    gb = list(group_by or [])
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*gb, F.to_date(F.col(ts_col)).alias("d"))
+             .agg(F.sum(F.round(F.col(value_col).cast("double")
+                                * 1e6).cast("decimal(38,0)"))
+                  .alias("yq")))
+    wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wv = wg.orderBy("yq")
+    wday = (wg.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = F.count("*").over(wg)
+    ties = F.count("*").over(wg.orderBy("yq")
+                             .rangeBetween(0, 0))
+    v = (F.lit(2) * F.rank().over(wv) + ties - n - F.lit(2)) \
+        .cast("long")
+    u = F.sum(v).over(wday)
+    scored = (daily
+              .withColumn("__n", n.cast("long"))
+              .withColumn("__u", u)
+              .withColumn("__rn", F.row_number().over(wg.orderBy("d")))
+              .filter(F.col("__rn") < F.col("__n")))
+    best = (scored
+            .groupBy(*gb)
+            .agg(F.max(F.abs(F.col("__u"))).cast("long")
+                 .alias("k_stat"),
+                 F.max("__n").alias("__n"),
+                 F.min(F.struct(F.abs(F.col("__u")).alias("a"),
+                                F.col("d"))).alias("__dummy"),
+                 F.max(F.struct(F.abs(F.col("__u")).alias("a"),
+                                (F.lit(0) - F.unix_date(F.col("d")))
+                                .alias("negd"))).alias("__best"))
+            .drop("__dummy"))
+    # the argmax day: max over (|U|, -epoch_day) picks the LARGEST
+    # |U| and, on ties, the EARLIEST day — one aggregate, no rescan
+    nn = F.col("__n").cast("double")
+    sig = (F.lit(6.0) * F.col("k_stat").cast("double")
+           * F.col("k_stat").cast("double")
+           >= F.lit(c) * (nn * nn * nn + nn * nn))
+    return best.select(
+        *gb,
+        F.col("__n").alias("n_days"),
+        F.col("k_stat").alias("k_stat"),
+        F.date_from_unix_date(F.lit(0)
+                              - F.col("__best.negd"))
+        .alias("changepoint_day"),
+        F.coalesce(sig, F.lit(False)).alias("significant"))
+
+
+def pettitt_test_sql(
+    table: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of pettitt_test (same day-grain exact-decimal
+    collapse, same tie-aware rank identity, same integer prefix
+    sums, same inverted-bound significance — every emitted quantity
+    is an exact integer/date, so parity is unconditional)."""
+    if alpha not in _PETTITT_NEG_LN_HALF_ALPHA:
+        raise ValueError(
+            f"alpha must be one of "
+            f"{sorted(_PETTITT_NEG_LN_HALF_ALPHA)}")
+    c = _PETTITT_NEG_LN_HALF_ALPHA[alpha]
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH daily AS (
+  SELECT {gsel}CAST(date_trunc('day', {ts_col}) AS DATE) AS d,
+         sum(CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                  AS HUGEINT)) AS yq
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel}CAST(date_trunc('day', {ts_col}) AS DATE)
+),
+ranked AS (
+  SELECT {gsel}d,
+         CAST(count(*) OVER ({part}) AS BIGINT) AS n,
+         CAST(2 * rank() OVER ({part} ORDER BY yq)
+              + count(*) OVER ({part} ORDER BY yq
+                               RANGE BETWEEN CURRENT ROW
+                               AND CURRENT ROW)
+              - count(*) OVER ({part}) - 2 AS BIGINT) AS v
+  FROM daily
+),
+scored AS (
+  SELECT {gsel}d, n,
+         CAST(sum(v) OVER ({part} ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS u,
+         row_number() OVER ({part} ORDER BY d) AS rn
+  FROM ranked
+),
+interior AS (
+  SELECT {gsel}d, n, abs(u) AS au FROM scored WHERE rn < n
+),
+best AS (
+  SELECT {gsel}CAST(max(au) AS BIGINT) AS k_stat,
+         max(n) AS n_days,
+         arg_min(d, -au * 1000000000
+                    + CAST(d - DATE '1970-01-01' AS BIGINT))
+           AS changepoint_day
+  FROM interior {gkey}
+)
+SELECT {gsel}n_days, k_stat, changepoint_day,
+       coalesce(6.0 * k_stat::DOUBLE * k_stat::DOUBLE
+                >= {c!r} * (n_days::DOUBLE * n_days::DOUBLE
+                            * n_days::DOUBLE
+                            + n_days::DOUBLE * n_days::DOUBLE),
+                FALSE) AS significant
+FROM best
+"""

@@ -490,3 +490,71 @@ class TestRobustTrend:
         b = sorted(map(tuple, con.execute(robust_trend_sql(
             "t", "ts", "v", ["g"])).fetchall()))
         assert a == b
+
+
+class TestPettitt:
+    def test_planted_shift_detected(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import pettitt_test
+        import datetime
+        rows = []
+        for i in range(40):
+            d = datetime.datetime(2024, 1, 1) \
+                + datetime.timedelta(days=i)
+            rows.append((d, 10.0 if i < 20 else 50.0))
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        [r] = pettitt_test(df).collect()
+        # clean two-level shift: K = 20*20, changepoint = last
+        # pre-change day
+        assert r["n_days"] == 40
+        assert r["k_stat"] == 400
+        assert r["changepoint_day"] == datetime.date(2024, 1, 20)
+        assert r["significant"]
+
+    def test_flat_series_not_significant(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import pettitt_test
+        import datetime
+        import random
+        rng = random.Random(9)
+        rows = [(datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(days=i),
+                 10.0 + rng.uniform(-1, 1)) for i in range(50)]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        [r] = pettitt_test(df).collect()
+        assert not r["significant"]
+
+    def test_alpha_validation_and_grouped_twin(self, spark):
+        import duckdb
+        import pytest as _pt
+
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import pettitt_test, pettitt_test_sql
+        import datetime
+        import random
+        rng = random.Random(5)
+        rows = []
+        for g in ("a", "b"):
+            shift = 30 if g == "a" else 0
+            for i in range(60):
+                d = datetime.datetime(2024, 1, 1) \
+                    + datetime.timedelta(days=i, hours=3)
+                rows.append((g, d,
+                             10.0 + (shift if i >= 35 else 0)
+                             + rng.uniform(-1, 1)))
+        df = spark.createDataFrame(
+            rows, "g string, ts timestamp, value double")
+        with _pt.raises(ValueError):
+            pettitt_test(df, alpha=0.2)
+        with _pt.raises(ValueError):
+            pettitt_test_sql("t", alpha=0.2)
+        a = sorted(map(tuple, pettitt_test(
+            df, group_by=["g"]).collect()))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        b = sorted(con.execute(pettitt_test_sql(
+            "t", group_by=["g"])).fetchall())
+        assert a == b
+        byg = {t[0]: t for t in a}
+        assert byg["a"][4] is True or byg["a"][4]   # planted shift
+        assert not byg["b"][4]                      # flat

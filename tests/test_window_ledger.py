@@ -88,6 +88,7 @@ R13_NEW = {
     "events_nelson_aalen",
     "events_km_rmst",
     "ab_ca_trend",
+    "events_pettitt",
 }
 
 
