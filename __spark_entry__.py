@@ -2756,6 +2756,14 @@ def q_binary_eval_metrics(spark, sf):
     return evm.binary_metrics(_eval_scored(spark, sf))
 
 
+@_q("eval_roc_auc", evm.roc_auc_sql(_EVAL_SCORED_SQL))
+def q_eval_roc_auc(spark, sf):
+    """Threshold-free ROC-AUC over the deterministic scored frame
+    via the Mann-Whitney midrank identity (r13) — distinct-score
+    collapse, 2x-integer prefix sums, one closing division."""
+    return evm.roc_auc(_eval_scored(spark, sf))
+
+
 @_q("ranking_eval_metrics", evm.ranking_metrics_sql(
     "(SELECT vec_id % 16 AS query_id, vec_id AS doc_id, score, "
     f"label AS relevant FROM {_EVAL_SCORED_SQL} s)", k=10))

@@ -749,3 +749,114 @@ SELECT n, n_classes,
        round(fl.f / n_classes::DOUBLE, {round_dp}) AS macro_f1
 FROM folded
 """
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group..., n_pos, n_neg, auc) — threshold-free ranking quality
+    via the Mann-Whitney identity AUC = P(score⁺ > score⁻) (+½ per
+    tie): the one binary-classifier number that needs no threshold
+    choice, completing this module's threshold metrics
+    (binary_metrics / pr_curve / best_threshold judge A SINGLE
+    operating point; AUC judges the whole ranking — the quality-
+    classifier comparison number the C4/Gopher filter family
+    reports).
+
+    The ranktest discipline end-to-end: collapse to DISTINCT scores
+    first (per score: count, positives), then midranks as 2×-integer
+    prefix sums — 2·R⁺ = Σ_s pos_s·(2·left_s + cnt_s + 1) is an
+    exact integer, and
+
+        AUC = (2·R⁺ − n⁺·(n⁺+1)) / (2·n⁺·n⁻)
+
+    is ONE closing IEEE division. Shuffle carries distinct score
+    values, never rows (SCORE CONTRACT: quantize continuous scores
+    to a practical grain so distinct values stay bounded). NULL auc
+    when either class is empty."""
+    gb = list(group_by or [])
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    base = (df.filter(y.isNotNull() & s.isNotNull())
+            .select(*gb, y.alias("__y"), s.alias("__s")))
+    per_s = (base.groupBy(*gb, "__s")
+             .agg(F.count("*").alias("cnt"),
+                  F.sum("__y").alias("pos")))
+    wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    left = F.coalesce(
+        F.sum("cnt").over(
+            wg.orderBy("__s")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    contrib = F.col("pos") * (F.lit(2) * left + F.col("cnt")
+                              + F.lit(1))
+    agg = (per_s.withColumn("__c", contrib)
+           .groupBy(*gb)
+           .agg(F.sum("__c").alias("__r2"),
+                F.sum("pos").alias("n_pos"),
+                F.sum(F.col("cnt") - F.col("pos")).alias("n_neg")))
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round((F.col("__r2").cast("double")
+                 - npos * (npos + F.lit(1.0)))
+                / (F.lit(2.0) * npos * nneg), round_dp))
+    return agg.select(
+        *gb,
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        auc.alias("auc"))
+
+
+def roc_auc_sql(
+    table: str,
+    label_col: str = "label",
+    score_col: str = "score",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of roc_auc (same distinct-score collapse, same
+    2×-integer midrank prefix sums, same single closing division)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({label_col} AS INT) AS y,
+         CAST({score_col} AS DOUBLE) AS s
+  FROM {table}
+  WHERE {label_col} IS NOT NULL AND {score_col} IS NOT NULL
+),
+per_s AS (
+  SELECT {gsel}s, count(*) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM base GROUP BY {gsel}s
+),
+ranked AS (
+  SELECT {gsel}pos, cnt,
+         coalesce(sum(cnt) OVER ({part} ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS lft
+  FROM per_s
+),
+agg AS (
+  SELECT {gsel}CAST(sum(pos * (2 * lft + cnt + 1)) AS BIGINT) AS r2,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+  FROM ranked {gkey}
+)
+SELECT {gsel}n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round((r2::DOUBLE
+                        - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
+                       / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE),
+                       {round_dp})
+       END AS auc
+FROM agg
+"""

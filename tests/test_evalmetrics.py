@@ -518,3 +518,72 @@ class TestEmbeddingOutliers:
         df = spark.createDataFrame(
             [], "vec_id long, embedding array<double>")
         assert embedding_outliers(df, k=5).count() == 0
+
+
+class TestRocAuc:
+    def test_hand_computed_with_ties(self, spark):
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import roc_auc
+        # scores: pos at {0.9, 0.7, 0.5}, neg at {0.7, 0.3, 0.1}
+        # pairs: 9 total; pos>neg: 0.9 beats all 3; 0.7 beats 2,
+        # ties 1 (0.5); 0.5 beats 2 -> wins 7 + 0.5 tie? recompute:
+        # pos 0.7 vs neg 0.7 is the tie (0.5 credit); pos 0.5 beats
+        # neg {0.3, 0.1} = 2. total = 3 + 2 + 0.5 + 2 = 7.5 -> 7.5/9
+        rows = [(1, 0.9), (1, 0.7), (1, 0.5),
+                (0, 0.7), (0, 0.3), (0, 0.1)]
+        df = spark.createDataFrame(rows, "label int, score double")
+        [r] = roc_auc(df).collect()
+        assert (r["n_pos"], r["n_neg"]) == (3, 3)
+        assert r["auc"] == round(7.5 / 9, 6)
+
+    def test_perfect_random_and_inverted(self, spark):
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import roc_auc
+        perfect = [(1, 0.8), (1, 0.9), (0, 0.1), (0, 0.2)]
+        [p] = roc_auc(spark.createDataFrame(
+            perfect, "label int, score double")).collect()
+        assert p["auc"] == 1.0
+        inverted = [(0, 0.8), (0, 0.9), (1, 0.1), (1, 0.2)]
+        [i] = roc_auc(spark.createDataFrame(
+            inverted, "label int, score double")).collect()
+        assert i["auc"] == 0.0
+        # all scores tied -> AUC exactly 0.5
+        tied = [(1, 0.5), (1, 0.5), (0, 0.5)]
+        [t] = roc_auc(spark.createDataFrame(
+            tied, "label int, score double")).collect()
+        assert t["auc"] == 0.5
+
+    def test_degenerate_single_class(self, spark):
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import roc_auc
+        [r] = roc_auc(spark.createDataFrame(
+            [(1, 0.5), (1, 0.7)], "label int, score double")).collect()
+        assert r["auc"] is None and r["n_neg"] == 0
+
+    def test_grouped_twin_parity_and_sklearn_free_golden(self, spark):
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.evalmetrics \
+            import roc_auc, roc_auc_sql
+        import random
+        rng = random.Random(17)
+        rows = [(rng.randrange(2), rng.randrange(2),
+                 round(rng.random(), 2)) for _ in range(500)]
+        df = spark.createDataFrame(rows,
+                                   "g int, label int, score double")
+        a = sorted(map(tuple, roc_auc(
+            df, group_by=["g"]).collect()))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        b = sorted(map(tuple, con.execute(roc_auc_sql(
+            "t", group_by=["g"])).fetchall()))
+        assert a == b
+        # brute-force pair-count oracle on one group
+        g0 = [(y, s) for g, y, s in rows if g == 0]
+        pos = [s for y, s in g0 if y == 1]
+        neg = [s for y, s in g0 if y == 0]
+        wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+                   for p in pos for n in neg)
+        want = round(wins / (len(pos) * len(neg)), 6)
+        got = dict((t[0], t[3]) for t in a)[0]
+        assert got == want

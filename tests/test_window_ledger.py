@@ -89,6 +89,7 @@ R13_NEW = {
     "events_km_rmst",
     "ab_ca_trend",
     "events_pettitt",
+    "eval_roc_auc",
 }
 
 
