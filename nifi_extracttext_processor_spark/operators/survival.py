@@ -394,6 +394,19 @@ def nelson_aalen(
     km_survival: shuffle carries one row per (group, distinct
     duration), never subjects."""
     per_t = km_counts(df, duration_col, event_col, group_by)
+    return nelson_aalen_from_counts(per_t, group_by, round_dp)
+
+
+def nelson_aalen_from_counts(
+    per_t: DataFrame,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """nelson_aalen's curve computation over an (already mergeable)
+    km_counts table — the SAME state the KM family checkpoints
+    (km_counts / km_merge / the streaming-KM foreachBatch store), so
+    one persisted count table serves both the survival curve and the
+    hazard curve without re-scanning subjects."""
     gb = list(group_by or [])
     wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
     wprev = (wtot.orderBy("t")

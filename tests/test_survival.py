@@ -316,3 +316,26 @@ class TestRmst:
             assert 0 < r["rmst"] <= tau
             vals.append(r["rmst"])
         assert vals == sorted(vals)
+
+
+class TestNaFromCounts:
+    def test_merged_counts_equal_whole_history(self, spark):
+        """The KM family's mergeable-state contract extends to the
+        hazard curve: km_counts over two halves, km_merge, then
+        nelson_aalen_from_counts == nelson_aalen over the union."""
+        from nifi_extracttext_processor_spark.operators.survival \
+            import (km_counts, km_merge, nelson_aalen,
+                    nelson_aalen_from_counts)
+        import random
+        rng = random.Random(4)
+        rows = [(rng.randint(1, 15), rng.randint(0, 1))
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "duration long, event int")
+        half_a = df.limit(150)
+        a = km_counts(half_a)
+        b = km_counts(df.exceptAll(half_a))
+        merged = km_merge(a, b)
+        got = sorted(map(tuple,
+                         nelson_aalen_from_counts(merged).collect()))
+        want = sorted(map(tuple, nelson_aalen(df).collect()))
+        assert got == want
