@@ -4362,6 +4362,21 @@ def q_ab_mh_odds_ratio(spark, sf):
                                 ["event_type"], "c", "t")
 
 
+@_q("corr_spearman_events", rkt.corr_spearman_sql(
+    "(SELECT *, CAST(user_id % 24 AS DOUBLE) AS hour_bucket "
+    "FROM events)", "hour_bucket", "value",
+    group_by=["event_type"]))
+def q_corr_spearman_events(spark, sf):
+    """Spearman rank correlation between a bounded bucket metric and
+    value per event type (r13) — distinct-margin 2x-midrank
+    integers, one closing divide/sqrt chain."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn("hour_bucket",
+                        F.pmod(F.col("user_id"), 24).cast("double"))
+    return rkt.corr_spearman(exp, "hour_bucket", "value",
+                             group_by=["event_type"])
+
+
 @_q("ab_ca_trend", abx.ca_trend_test_sql(
     "(SELECT *, CAST(user_id % 4 AS BIGINT) AS dose, "
     "CAST(value > 200 AS INT) AS conv FROM events)",

@@ -289,3 +289,170 @@ SELECT *, NULL::BIGINT AS m, NULL::BIGINT AS p_rank,
        NULL::DOUBLE AS bh_critical, FALSE AS rejected
 FROM {table} WHERE {p_expr} IS NULL
 """
+
+
+def corr_spearman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group..., n, rho, significant) — Spearman rank correlation:
+    monotone association robust to outliers and nonlinearity (the
+    relation Pearson has to Mann-Whitney's relation to Welch). The
+    corpus/metrics readout for "does quality score track document
+    length", "does latency grow with payload" — without trusting
+    either scale.
+
+    Exactness end-to-end (the module's 2×-midrank discipline): both
+    margins collapse to DISTINCT values, midranks are carried as
+    2×-integers (2·left + cnt + 1), and ρ is Pearson over the
+    integer (2rx, 2ry) pairs weighted by integer pair counts:
+
+        ρ = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²))
+
+    — every sufficient statistic an exact integer sum, int64→double
+    promotion at the SAME spelled points in both engines, ONE
+    closing divide/sqrt chain. Shuffle carries distinct (x, y)
+    pairs and the two value margins, never rows (the module's METRIC
+    CONTRACT: quantize continuous metrics so distinct values stay
+    bounded). Significance: |z| ≥ z_alpha with the large-sample
+    z = ρ·sqrt(n−1). NULL rho when either margin is constant."""
+    gb = list(group_by or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = (df.filter(x.isNotNull() & y.isNotNull())
+            .select(*gb, x.alias("__x"), y.alias("__y")))
+    pairs = (base.groupBy(*gb, "__x", "__y")
+             .agg(F.count("*").alias("c")))
+    mx = (pairs.groupBy(*gb, "__x").agg(F.sum("c").alias("cx")))
+    wgx = (Window.partitionBy(*gb) if gb else Window.partitionBy()) \
+        .orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+    mx = mx.withColumn(
+        "rx2", F.lit(2) * F.coalesce(F.sum("cx").over(wgx), F.lit(0))
+        + F.col("cx") + F.lit(1))
+    my = (pairs.groupBy(*gb, "__y").agg(F.sum("c").alias("cy")))
+    wgy = (Window.partitionBy(*gb) if gb else Window.partitionBy()) \
+        .orderBy("__y").rowsBetween(Window.unboundedPreceding, -1)
+    my = my.withColumn(
+        "ry2", F.lit(2) * F.coalesce(F.sum("cy").over(wgy), F.lit(0))
+        + F.col("cy") + F.lit(1))
+    j = (pairs.join(mx.select(*gb, "__x", "rx2"), [*gb, "__x"])
+         .join(my.select(*gb, "__y", "ry2"), [*gb, "__y"]))
+    agg = (j.groupBy(*gb)
+           .agg(F.sum("c").alias("n"),
+                F.sum(F.col("c") * F.col("rx2")).alias("sx"),
+                F.sum(F.col("c") * F.col("ry2")).alias("sy"),
+                F.sum(F.col("c") * F.col("rx2") * F.col("ry2"))
+                .alias("sxy"),
+                F.sum(F.col("c") * F.col("rx2") * F.col("rx2"))
+                .alias("sxx"),
+                F.sum(F.col("c") * F.col("ry2") * F.col("ry2"))
+                .alias("syy")))
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") \
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    rho = F.when((vx > 0) & (vy > 0),
+                 F.round(cov / F.sqrt(vx * vy), round_dp))
+    z = rho * F.sqrt(nd - F.lit(1.0))
+    return agg.select(
+        *gb, "n", rho.alias("rho"),
+        F.coalesce(F.abs(z) >= F.lit(float(z_alpha)), F.lit(False))
+        .alias("significant"))
+
+
+def corr_spearman_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of corr_spearman (same distinct-margin midrank
+    integers, same spelled promotion points)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    on_x = " AND ".join([*(f"p.{g} = mx.{g}" for g in gb),
+                         "p.x = mx.x"])
+    on_y = " AND ".join([*(f"p.{g} = my.{g}" for g in gb),
+                         "p.y = my.y"])
+    psel = "".join(f"p.{g}, " for g in gb)
+    pgkey = ("GROUP BY " + ", ".join(f"p.{g}" for g in gb)) if gb \
+        else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({x_col} AS DOUBLE) AS x,
+         CAST({y_col} AS DOUBLE) AS y
+  FROM {table}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+pairs AS (
+  SELECT {gsel}x, y, count(*) AS c FROM base GROUP BY {gsel}x, y
+),
+mx AS (
+  SELECT {gsel}x, cx,
+         2 * coalesce(sum(cx) OVER ({part} ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cx + 1 AS rx2
+  FROM (SELECT {gsel}x, CAST(sum(c) AS BIGINT) AS cx
+        FROM pairs GROUP BY {gsel}x)
+),
+my AS (
+  SELECT {gsel}y, cy,
+         2 * coalesce(sum(cy) OVER ({part} ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cy + 1 AS ry2
+  FROM (SELECT {gsel}y, CAST(sum(c) AS BIGINT) AS cy
+        FROM pairs GROUP BY {gsel}y)
+),
+agg AS (
+  SELECT {psel}
+         CAST(sum(p.c) AS BIGINT) AS n,
+         CAST(sum(p.c * mx.rx2) AS BIGINT) AS sx,
+         CAST(sum(p.c * my.ry2) AS BIGINT) AS sy,
+         CAST(sum(p.c * mx.rx2 * my.ry2) AS BIGINT) AS sxy,
+         CAST(sum(p.c * mx.rx2 * mx.rx2) AS BIGINT) AS sxx,
+         CAST(sum(p.c * my.ry2 * my.ry2) AS BIGINT) AS syy
+  FROM pairs p JOIN mx ON {on_x} JOIN my ON {on_y}
+  {pgkey}
+)
+SELECT {gsel}n,
+       CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                 > 0
+             AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE
+                 > 0
+            THEN round((n::DOUBLE * sxy::DOUBLE
+                        - sx::DOUBLE * sy::DOUBLE)
+                       / sqrt((n::DOUBLE * sxx::DOUBLE
+                               - sx::DOUBLE * sx::DOUBLE)
+                              * (n::DOUBLE * syy::DOUBLE
+                                 - sy::DOUBLE * sy::DOUBLE)),
+                       {round_dp})
+       END AS rho,
+       coalesce(abs(CASE WHEN n::DOUBLE * sxx::DOUBLE
+                              - sx::DOUBLE * sx::DOUBLE > 0
+                          AND n::DOUBLE * syy::DOUBLE
+                              - sy::DOUBLE * sy::DOUBLE > 0
+                         THEN round((n::DOUBLE * sxy::DOUBLE
+                                     - sx::DOUBLE * sy::DOUBLE)
+                                    / sqrt((n::DOUBLE * sxx::DOUBLE
+                                            - sx::DOUBLE
+                                              * sx::DOUBLE)
+                                           * (n::DOUBLE
+                                              * syy::DOUBLE
+                                              - sy::DOUBLE
+                                                * sy::DOUBLE)),
+                                    {round_dp})
+                    END * sqrt(n::DOUBLE - 1.0))
+                >= {float(z_alpha)!r}, FALSE) AS significant
+FROM agg
+"""

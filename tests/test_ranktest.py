@@ -162,3 +162,73 @@ class TestBhAdjust:
         got = bh_adjust(df, "p", q=0.1, group_by=["fam"])
         _twin(df, got, bh_adjust_sql("t", "p", q=0.1,
                                      group_by=["fam"]))
+
+
+class TestSpearman:
+    def test_perfect_monotone_and_inverted(self, spark):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import corr_spearman
+        # nonlinear but perfectly monotone -> rho exactly 1
+        rows = [(float(i), float(i ** 3)) for i in range(1, 21)]
+        [r] = corr_spearman(
+            spark.createDataFrame(rows, "x double, y double"),
+            "x", "y").collect()
+        assert r["rho"] == 1.0 and r["significant"]
+        inv = [(float(i), float(-i)) for i in range(1, 21)]
+        [i] = corr_spearman(
+            spark.createDataFrame(inv, "x double, y double"),
+            "x", "y").collect()
+        assert i["rho"] == -1.0
+
+    def test_hand_computed_with_ties(self, spark):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import corr_spearman
+        rows = [(1.0, 2.0), (2.0, 2.0), (3.0, 5.0), (4.0, 4.0)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        [r] = corr_spearman(df, "x", "y").collect()
+        # ranks x: 1,2,3,4; ranks y: 1.5,1.5,4,3 -> pearson by hand
+        import math
+        rx = [1, 2, 3, 4]
+        ry = [1.5, 1.5, 4, 3]
+        n = 4
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        want = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy))
+        assert r["rho"] == round(want, 6)
+
+    def test_constant_margin_null(self, spark):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import corr_spearman
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double")
+        [r] = corr_spearman(df, "x", "y").collect()
+        assert r["rho"] is None and not r["significant"]
+
+    def test_grouped_twin_parity(self, spark):
+        import duckdb
+        import random
+
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import corr_spearman, corr_spearman_sql
+        rng = random.Random(2)
+        rows = []
+        for g in ("a", "b"):
+            for _ in range(300):
+                x = round(rng.uniform(0, 10), 1)
+                y = (round(x * 2 + rng.uniform(0, 3), 1) if g == "a"
+                     else round(rng.uniform(0, 10), 1))
+                rows.append((g, x, y))
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        a = sorted(map(tuple, corr_spearman(
+            df, "x", "y", group_by=["g"]).collect()))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        b = sorted(con.execute(corr_spearman_sql(
+            "t", "x", "y", group_by=["g"])).fetchall())
+        assert a == b
+        byg = {t[0]: t for t in a}
+        assert byg["a"][2] > 0.95 and byg["a"][3]
+        assert not byg["b"][3]

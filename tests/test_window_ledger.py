@@ -90,6 +90,7 @@ R13_NEW = {
     "ab_ca_trend",
     "events_pettitt",
     "eval_roc_auc",
+    "corr_spearman_events",
 }
 
 
