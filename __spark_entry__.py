@@ -4344,6 +4344,21 @@ def q_ab_paired_t(spark, sf):
                            group_by=["event_type"])
 
 
+@_q("ab_wilcoxon_signed", rkt.ab_wilcoxon_signed_sql(
+    "events", "user_id", "value", "ts", "2024-01-15",
+    group_by=["event_type"]))
+def q_ab_wilcoxon_signed(spark, sf):
+    """Wilcoxon signed-rank on per-user pre->post changes across the
+    2024-01-15 split (r13) — the distribution-free sibling of
+    ab_paired_t: 1e-6-grid diffs, distinct-magnitude 2x-midranks,
+    tie-corrected variance; shuffle carries users then distinct
+    magnitudes."""
+    return rkt.ab_wilcoxon_signed(_t(spark, sf, "events"),
+                                  "user_id", "value", "ts",
+                                  "2024-01-15",
+                                  group_by=["event_type"])
+
+
 @_q("ab_mh_odds_ratio", abx.ab_mh_odds_ratio_sql(
     "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
     "AS variant, CAST(value > 200 AS INT) AS conv FROM events)",

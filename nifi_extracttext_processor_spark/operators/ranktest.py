@@ -456,3 +456,189 @@ SELECT {gsel}n,
                 >= {float(z_alpha)!r}, FALSE) AS significant
 FROM agg
 """
+
+
+def ab_wilcoxon_signed(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    ts_col: str,
+    split: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_units, n_zero, w_plus_x2, z, significant) — the
+    Wilcoxon signed-rank test on per-unit pre→post changes: the
+    distribution-free sibling of abtest.ab_paired_t exactly as
+    ab_mann_whitney is ab_welch_test's — the rollout readout when
+    per-unit deltas are heavy-tailed and a mean-of-diffs t would
+    chase outliers. Only units observed on BOTH sides of `split`
+    enter; zero diffs are EXCLUDED and counted (`n_zero`, the
+    standard convention).
+
+    Module discipline end-to-end: per-unit diffs quantize to the
+    exact 1e-6 integer grid FIRST (tie structure is engine-exact —
+    the robust_trend lesson), |d| collapses to DISTINCT magnitudes,
+    midranks carry as 2×-integers, and
+
+        z = (2W⁺ − n(n+1)/2) /
+            sqrt((2·n(n+1)(2n+1) − Σ(t³−t)) / 12)
+
+    (tie-corrected variance) closes in ONE spelled IEEE chain with
+    promotions at the same points in both engines. Shuffle carries
+    units then distinct magnitudes, never events. NULL z when every
+    magnitude ties into one group or n < 2."""
+    gb = list(group_by or [])
+    y = F.col(value_col).cast("double")
+    post = (F.col(ts_col) >= F.to_timestamp(F.lit(split))) \
+        .cast("int")
+    base = (df.filter(y.isNotNull())
+            .select(*gb, F.col(unit_col).alias("__u"),
+                    y.alias("__y"), post.alias("__p")))
+    per_u = (base.groupBy(*gb, "__u")
+             .agg(F.sum(1 - F.col("__p")).alias("npre"),
+                  F.sum("__p").alias("npost"),
+                  F.sum(F.col("__y") * (1 - F.col("__p")))
+                  .alias("spre"),
+                  F.sum(F.col("__y") * F.col("__p")).alias("spost"))
+             .filter((F.col("npre") > 0) & (F.col("npost") > 0)))
+    dq = F.round((F.col("spost") / F.col("npost").cast("double")
+                  - F.col("spre") / F.col("npre").cast("double"))
+                 * 1e6).cast("long")
+    units = per_u.select(*gb, dq.alias("__dq"))
+    nz = (units.filter(F.col("__dq") == 0)
+          .groupBy(*gb).agg(F.count("*").alias("n_zero")))
+    nonzero = units.filter(F.col("__dq") != 0)
+    per_a = (nonzero
+             .groupBy(*gb, F.abs(F.col("__dq")).alias("__a"))
+             .agg(F.count("*").alias("cnt"),
+                  F.sum((F.col("__dq") > 0).cast("long"))
+                  .alias("pos")))
+    wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    left = F.coalesce(
+        F.sum("cnt").over(
+            wg.orderBy("__a")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    contrib = F.col("pos") * (F.lit(2) * left + F.col("cnt")
+                              + F.lit(1))
+    agg = (per_a.withColumn("__c", contrib)
+           .groupBy(*gb)
+           .agg(F.sum("__c").alias("w2"),
+                F.sum("cnt").alias("n_units"),
+                F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+                      - F.col("cnt")).alias("tt")))
+    nd = F.col("n_units").cast("double")
+    num = (F.col("w2").cast("double")
+           - nd * (nd + F.lit(1.0)) / F.lit(2.0))
+    var2 = ((F.lit(2.0) * nd * (nd + F.lit(1.0))
+             * (F.lit(2.0) * nd + F.lit(1.0))
+             - F.col("tt").cast("double")) / F.lit(12.0))
+    z = F.when((F.col("n_units") >= 2) & (var2 > 0),
+               F.round(num / F.sqrt(var2), round_dp))
+    # attach the zero-diff count: keyed left join when grouped, a
+    # 1-row (possibly empty) broadcast left join otherwise
+    j = agg.join(nz, gb, "left") if gb \
+        else agg.join(F.broadcast(nz), F.lit(True), "left")
+    return j.select(
+        *gb,
+        F.col("n_units").cast("long").alias("n_units"),
+        F.coalesce(F.col("n_zero"), F.lit(0)).cast("long")
+        .alias("n_zero"),
+        F.col("w2").cast("long").alias("w_plus_x2"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(float(z_alpha)), F.lit(False))
+        .alias("significant"))
+
+
+def ab_wilcoxon_signed_sql(
+    table: str,
+    unit_col: str,
+    value_col: str,
+    ts_col: str,
+    split: str,
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_wilcoxon_signed (same 1e-6 diff grid, same
+    2×-midrank integers, same tie-corrected closing chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    join_on = (" USING (" + ", ".join(gb) + ")") if gb else " ON TRUE"
+    za = float(z_alpha)
+    return f"""
+WITH base AS (
+  SELECT {gsel}{unit_col} AS u,
+         CAST({value_col} AS DOUBLE) AS y,
+         CAST({ts_col} >= TIMESTAMP {sql_lit(split)} AS INT) AS p
+  FROM {table} WHERE {value_col} IS NOT NULL
+),
+per_u AS (
+  SELECT {gsel}u,
+         sum(1 - p) AS npre, sum(p) AS npost,
+         sum(y * (1 - p)) AS spre, sum(y * p) AS spost
+  FROM base GROUP BY {gsel}u
+  HAVING sum(1 - p) > 0 AND sum(p) > 0
+),
+units AS (
+  SELECT {gsel}CAST(round((spost / CAST(npost AS DOUBLE)
+                           - spre / CAST(npre AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS dq
+  FROM per_u
+),
+nz AS (
+  SELECT {gsel}count(*) AS n_zero FROM units WHERE dq = 0 {gkey}
+),
+per_a AS (
+  SELECT {gsel}abs(dq) AS a, count(*) AS cnt,
+         CAST(sum(CAST(dq > 0 AS INT)) AS BIGINT) AS pos
+  FROM units WHERE dq <> 0 GROUP BY {gsel}abs(dq)
+),
+ranked AS (
+  SELECT {gsel}pos, cnt,
+         coalesce(sum(cnt) OVER ({part} ORDER BY a
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS lft
+  FROM per_a
+),
+agg AS (
+  SELECT {gsel}CAST(sum(pos * (2 * lft + cnt + 1)) AS BIGINT) AS w2,
+         CAST(sum(cnt) AS BIGINT) AS n_units,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tt
+  FROM ranked {gkey}
+)
+SELECT {gsel}n_units,
+       CAST(coalesce(n_zero, 0) AS BIGINT) AS n_zero,
+       w2 AS w_plus_x2,
+       CASE WHEN n_units >= 2
+             AND (2.0 * n_units::DOUBLE * (n_units::DOUBLE + 1.0)
+                  * (2.0 * n_units::DOUBLE + 1.0) - tt::DOUBLE)
+                 / 12.0 > 0
+            THEN round((w2::DOUBLE - n_units::DOUBLE
+                        * (n_units::DOUBLE + 1.0) / 2.0)
+                       / sqrt((2.0 * n_units::DOUBLE
+                               * (n_units::DOUBLE + 1.0)
+                               * (2.0 * n_units::DOUBLE + 1.0)
+                               - tt::DOUBLE) / 12.0), {round_dp})
+       END AS z,
+       coalesce(abs(CASE WHEN n_units >= 2
+                          AND (2.0 * n_units::DOUBLE
+                               * (n_units::DOUBLE + 1.0)
+                               * (2.0 * n_units::DOUBLE + 1.0)
+                               - tt::DOUBLE) / 12.0 > 0
+                         THEN round((w2::DOUBLE - n_units::DOUBLE
+                                     * (n_units::DOUBLE + 1.0)
+                                     / 2.0)
+                                    / sqrt((2.0 * n_units::DOUBLE
+                                            * (n_units::DOUBLE + 1.0)
+                                            * (2.0 * n_units::DOUBLE
+                                               + 1.0)
+                                            - tt::DOUBLE) / 12.0),
+                                    {round_dp})
+                    END) >= {za!r}, FALSE) AS significant
+FROM agg LEFT JOIN nz{join_on}
+"""

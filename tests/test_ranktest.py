@@ -232,3 +232,105 @@ class TestSpearman:
         byg = {t[0]: t for t in a}
         assert byg["a"][2] > 0.95 and byg["a"][3]
         assert not byg["b"][3]
+
+
+class TestWilcoxonSigned:
+    def _frame(self, spark, effect, heavy=False):
+        import datetime
+        import random
+        rng = random.Random(8)
+        rows = []
+        for u in range(150):
+            base = rng.uniform(5, 500)
+            for i in range(3):
+                rows.append((u, datetime.datetime(2024, 1, 1 + i),
+                             round(base + rng.uniform(-1, 1), 2)))
+            for i in range(3):
+                eff = effect
+                if heavy and u == 0:
+                    eff = -1000.0  # one catastrophic outlier unit
+                rows.append((u, datetime.datetime(2024, 2, 1 + i),
+                             round(base + eff + rng.uniform(-1, 1),
+                                   2)))
+        return spark.createDataFrame(rows,
+                                     "u long, ts timestamp, v double")
+
+    def test_detects_uniform_shift_between_unit_noise(self, spark):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import ab_wilcoxon_signed
+        [r] = ab_wilcoxon_signed(self._frame(spark, 1.0), "u", "v",
+                                 "ts", "2024-01-20").collect()
+        assert r["n_units"] == 150
+        assert r["z"] > 8 and r["significant"]
+        [n] = ab_wilcoxon_signed(self._frame(spark, 0.0), "u", "v",
+                                 "ts", "2024-01-20").collect()
+        assert not n["significant"]
+
+    def test_outlier_robustness_vs_paired_t(self, spark):
+        """One catastrophic unit (-1000 shift) against 149 units of
+        +1: the rank test must stay significant-positive while the
+        mean-of-diffs paired t is dragged toward it."""
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_paired_t
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import ab_wilcoxon_signed
+        df = self._frame(spark, 1.0, heavy=True)
+        [w] = ab_wilcoxon_signed(df, "u", "v", "ts",
+                                 "2024-01-20").collect()
+        [t] = ab_paired_t(df, "u", "v", "ts", "2024-01-20").collect()
+        assert w["z"] > 8 and w["significant"]
+        assert abs(t["t"]) < abs(w["z"])  # the mean chased the outlier
+
+    def test_zero_diffs_excluded_and_counted(self, spark):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import ab_wilcoxon_signed
+        import datetime
+        rows = []
+        for u in range(6):
+            d = 0.0 if u < 2 else 1.0
+            rows.append((u, datetime.datetime(2024, 1, 1), 10.0))
+            rows.append((u, datetime.datetime(2024, 2, 1), 10.0 + d))
+        df = spark.createDataFrame(rows,
+                                   "u long, ts timestamp, v double")
+        [r] = ab_wilcoxon_signed(df, "u", "v", "ts",
+                                 "2024-01-20").collect()
+        assert r["n_zero"] == 2 and r["n_units"] == 4
+        # all 4 diffs tied at +1: z NULL is wrong — variance formula:
+        # one tie group of 4 -> var > 0? 2n(n+1)(2n+1)-Σ(t³-t)
+        # = 2*4*5*9 - (64-4) = 360-60 = 300 > 0 -> z defined
+        assert r["z"] is not None and r["w_plus_x2"] == 4 * 5
+
+    def test_grouped_twin_parity(self, spark):
+        import datetime
+        import random
+
+        import duckdb
+
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import ab_wilcoxon_signed, ab_wilcoxon_signed_sql
+        rng = random.Random(8)
+        rows = []
+        for g in ("x", "y"):
+            eff = 1.0 if g == "x" else 0.0
+            for u in range(150):
+                base = rng.uniform(5, 500)
+                for i in range(3):
+                    rows.append((g, u,
+                                 datetime.datetime(2024, 1, 1 + i),
+                                 round(base + rng.uniform(-1, 1), 2)))
+                for i in range(3):
+                    rows.append((g, u,
+                                 datetime.datetime(2024, 2, 1 + i),
+                                 round(base + eff
+                                       + rng.uniform(-1, 1), 2)))
+        df = spark.createDataFrame(
+            rows, "g string, u long, ts timestamp, v double")
+        a = sorted(map(tuple, ab_wilcoxon_signed(
+            df, "u", "v", "ts", "2024-01-20",
+            group_by=["g"]).collect()))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        b = sorted(con.execute(ab_wilcoxon_signed_sql(
+            "t", "u", "v", "ts", "2024-01-20",
+            group_by=["g"])).fetchall())
+        assert a == b

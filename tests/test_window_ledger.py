@@ -91,6 +91,7 @@ R13_NEW = {
     "events_pettitt",
     "eval_roc_auc",
     "corr_spearman_events",
+    "ab_wilcoxon_signed",
 }
 
 
