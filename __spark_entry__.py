@@ -4344,6 +4344,22 @@ def q_ab_paired_t(spark, sf):
                            group_by=["event_type"])
 
 
+@_q("ab_brown_forsythe", abx.ab_brown_forsythe_sql(
+    "(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' ELSE 't' END "
+    "AS variant FROM events)",
+    "variant", "value", "c", "t", group_by=["event_type"]))
+def q_ab_brown_forsythe(spark, sf):
+    """Brown-Forsythe scale test per event type (r13): did treatment
+    change the SPREAD — |x − variant median| Welch over the 1e-6
+    grid, lower-median integer rule, exact decimal moments."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    return abx.ab_brown_forsythe(exp, "variant", "value", "c", "t",
+                                 group_by=["event_type"])
+
+
 @_q("ab_wilcoxon_signed", rkt.ab_wilcoxon_signed_sql(
     "events", "user_id", "value", "ts", "2024-01-15",
     group_by=["event_type"]))

@@ -27,7 +27,7 @@ round-2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sqlutil import sql_ident, sql_lit
@@ -3092,5 +3092,200 @@ SELECT {gsel}n, successes, n_doses,
                                                 * wn::DOUBLE)
                                            / n::DOUBLE), {round_dp})
                     END) >= {float(z_alpha)!r}, FALSE) AS significant
+FROM agg
+"""
+
+
+def ab_brown_forsythe(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    t_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_control, n_treatment, med_control, med_treatment,
+    t, significant) — the Brown-Forsythe scale test (Brown &
+    Forsythe 1974): did the treatment change the SPREAD, not the
+    mean — tail-risk regressions (latency p99 blowups, revenue
+    volatility) that every mean-based readout in this module is
+    blind to. Levene's classic with MEDIAN centers (the robust
+    variant): z = |x − median(variant)|, then the Welch t on z.
+
+    Exactness: values quantize to the 1e-6 integer grid; each
+    variant's median is the LOWER median (smallest value whose
+    cumulative count reaches ⌈n/2⌉ — a pure integer rule both
+    engines spell identically, no interpolation), so every z is an
+    exact integer and the Welch moments are exact decimal sums with
+    the division/sqrt chain spelled once. Shuffle carries distinct
+    (variant, value) pairs for the median, then one conditional-sum
+    scan for the moments — never a sort of the raw data."""
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = (df.filter(
+        v.isNotNull()
+        & F.col(variant_col).isin(control, treatment))
+        .select(*gb,
+                (F.col(variant_col) == treatment).cast("int")
+                .alias("__g1"),
+                F.round(v * 1e6).cast("long").alias("__xq")))
+    per_v = (base.groupBy(*gb, "__g1", "__xq")
+             .agg(F.count("*").alias("cnt")))
+    wv = Window.partitionBy(*gb, "__g1")
+    cum = F.sum("cnt").over(
+        wv.orderBy("__xq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nv = F.sum("cnt").over(wv)
+    med = (per_v
+           .withColumn("__cum", cum)
+           .withColumn("__nv", nv)
+           .filter(F.col("__cum") * 2 >= F.col("__nv")
+                   + F.pmod(F.col("__nv"), 2))
+           .groupBy(*gb, "__g1")
+           .agg(F.min("__xq").alias("__med")))
+    z = F.abs(F.col("__xq") - F.col("__med"))
+    scored = (per_v.join(med, [*gb, "__g1"])
+              .select(*gb, "__g1", "cnt", "__med",
+                      z.alias("__z")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (scored.groupBy(*gb)
+           .agg(
+        F.sum(F.when(F.col("__g1") == 0, F.col("cnt"))
+              .otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("__g1") == 1, F.col("cnt"))
+              .otherwise(0)).alias("n1"),
+        F.max(F.when(F.col("__g1") == 0, F.col("__med")))
+        .alias("med0"),
+        F.max(F.when(F.col("__g1") == 1, F.col("__med")))
+        .alias("med1"),
+        F.sum(F.when(F.col("__g1") == 0,
+                     dec(F.col("cnt") * F.col("__z")))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .alias("s0"),
+        F.sum(F.when(F.col("__g1") == 1,
+                     dec(F.col("cnt") * F.col("__z")))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .alias("s1"),
+        F.sum(F.when(F.col("__g1") == 0,
+                     dec(F.col("cnt") * F.col("__z") * F.col("__z")))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .alias("ss0"),
+        F.sum(F.when(F.col("__g1") == 1,
+                     dec(F.col("cnt") * F.col("__z") * F.col("__z")))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .alias("ss1")))
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    m0 = F.col("s0").cast("double") / 1e6 / n0
+    m1 = F.col("s1").cast("double") / 1e6 / n1
+    v0 = F.when(F.col("n0") >= 2,
+                (F.col("ss0").cast("double") / 1e12
+                 - n0 * m0 * m0) / (n0 - F.lit(1.0)))
+    v1 = F.when(F.col("n1") >= 2,
+                (F.col("ss1").cast("double") / 1e12
+                 - n1 * m1 * m1) / (n1 - F.lit(1.0)))
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    t = F.when(se > 0, F.round((m1 - m0) / se, round_dp))
+    return agg.select(
+        *gb,
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.round(F.col("med0").cast("double") / 1e6, 6)
+        .alias("med_control"),
+        F.round(F.col("med1").cast("double") / 1e6, 6)
+        .alias("med_treatment"),
+        t.alias("t"),
+        F.coalesce(F.abs(t) >= F.lit(float(t_alpha)), F.lit(False))
+        .alias("significant"))
+
+
+def ab_brown_forsythe_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    group_by: "list[str] | None" = None,
+    t_alpha: float = 1.96,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_brown_forsythe (same 1e-6 grid, same lower-
+    median integer rule, same exact decimal moments and spelled
+    closing chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    jgb = [*gb, "g1"]
+    jon = " AND ".join(f"p.{c} = m.{c}" for c in jgb)
+    psel = "".join(f"p.{g}, " for g in gb)
+    pgkey = ("GROUP BY " + ", ".join(f"p.{g}" for g in gb)) if gb \
+        else ""
+    m0 = "(s0::DOUBLE / 1e6 / n0::DOUBLE)"
+    m1 = "(s1::DOUBLE / 1e6 / n1::DOUBLE)"
+    v0 = (f"(CASE WHEN n0 >= 2 THEN (ss0::DOUBLE / 1e12 - n0::DOUBLE"
+          f" * {m0} * {m0}) / (n0::DOUBLE - 1.0) END)")
+    v1 = (f"(CASE WHEN n1 >= 2 THEN (ss1::DOUBLE / 1e12 - n1::DOUBLE"
+          f" * {m1} * {m1}) / (n1::DOUBLE - 1.0) END)")
+    se = f"sqrt({v0} / n0::DOUBLE + {v1} / n1::DOUBLE)"
+    texpr = (f"CASE WHEN {se} > 0 THEN round(({m1} - {m0}) / {se},"
+             f" {round_dp}) END")
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({variant_col} = {sql_lit(treatment)} AS INT)
+           AS g1,
+         CAST(round(CAST({value_col} AS DOUBLE) * 1e6) AS BIGINT)
+           AS xq
+  FROM {table}
+  WHERE {value_col} IS NOT NULL
+    AND {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
+),
+per_v AS (
+  SELECT {gsel}g1, xq, count(*) AS cnt
+  FROM base GROUP BY {gsel}g1, xq
+),
+cums AS (
+  SELECT {gsel}g1, xq, cnt,
+         sum(cnt) OVER (PARTITION BY {gsel}g1 ORDER BY xq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY {gsel}g1) AS nv
+  FROM per_v
+),
+med AS (
+  SELECT {gsel}g1, min(xq) AS medq
+  FROM cums WHERE cum * 2 >= nv + nv % 2
+  GROUP BY {gsel}g1
+),
+scored AS (
+  SELECT {psel}p.g1, p.cnt, m.medq,
+         abs(p.xq - m.medq) AS z
+  FROM per_v p JOIN med m ON {jon}
+),
+agg AS (
+  SELECT {gsel}
+         CAST(sum(CASE WHEN g1 = 0 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(sum(CASE WHEN g1 = 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n1,
+         max(CASE WHEN g1 = 0 THEN medq END) AS med0,
+         max(CASE WHEN g1 = 1 THEN medq END) AS med1,
+         sum(CASE WHEN g1 = 0 THEN CAST(cnt * z AS HUGEINT)
+                  ELSE 0 END) AS s0,
+         sum(CASE WHEN g1 = 1 THEN CAST(cnt * z AS HUGEINT)
+                  ELSE 0 END) AS s1,
+         sum(CASE WHEN g1 = 0 THEN CAST(cnt * z * z AS HUGEINT)
+                  ELSE 0 END) AS ss0,
+         sum(CASE WHEN g1 = 1 THEN CAST(cnt * z * z AS HUGEINT)
+                  ELSE 0 END) AS ss1
+  FROM scored {gkey}
+)
+SELECT {gsel}n0 AS n_control, n1 AS n_treatment,
+       round(med0::DOUBLE / 1e6, 6) AS med_control,
+       round(med1::DOUBLE / 1e6, 6) AS med_treatment,
+       {texpr} AS t,
+       coalesce(abs({texpr}) >= {float(t_alpha)!r}, FALSE)
+         AS significant
 FROM agg
 """

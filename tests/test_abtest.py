@@ -1354,3 +1354,80 @@ class TestCochranArmitage:
         y = sorted(map(tuple, con.execute(ca_trend_test_sql(
             "t", "dose", "conv", group_by=["g"])).fetchall()))
         assert x == y
+
+
+class TestBrownForsythe:
+    def test_detects_spread_change_mean_equal(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_brown_forsythe, ab_welch_test,
+        )
+        import random
+        rng = random.Random(13)
+        # equal means, treatment 3x wider: BF must fire, Welch not
+        rows = [("c" if i % 2 else "t",
+                 round(10 + rng.uniform(-1, 1)
+                       * (3.0 if i % 2 == 0 else 1.0), 2))
+                for i in range(1200)]
+        df = spark.createDataFrame(rows, "variant string, v double")
+        [bf] = ab_brown_forsythe(df, "variant", "v",
+                                 "c", "t").collect()
+        assert bf["t"] > 5 and bf["significant"]
+        [we] = ab_welch_test(df, "variant", "v", "c", "t").collect()
+        assert not we["significant"]
+
+    def test_equal_spread_not_significant(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_brown_forsythe,
+        )
+        import random
+        rng = random.Random(29)
+        rows = [("c" if i % 2 else "t",
+                 round(10 + rng.uniform(-1, 1), 2))
+                for i in range(1200)]
+        df = spark.createDataFrame(rows, "variant string, v double")
+        [r] = ab_brown_forsythe(df, "variant", "v",
+                                "c", "t").collect()
+        assert not r["significant"]
+
+    def test_median_rule_and_degenerate(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_brown_forsythe,
+        )
+        # even count: lower median (2nd of 4 sorted) by the rule
+        df = spark.createDataFrame(
+            [("c", 1.0), ("c", 2.0), ("c", 3.0), ("c", 4.0),
+             ("t", 5.0), ("t", 5.0)], "variant string, v double")
+        [r] = ab_brown_forsythe(df, "variant", "v",
+                                "c", "t").collect()
+        assert r["med_control"] == 2.0
+        assert r["med_treatment"] == 5.0
+        # treatment z's all zero -> t defined only if se > 0; with
+        # constant treatment the variance is 0 on that side but
+        # control side positive -> still defined
+        assert r["t"] is not None
+
+    def test_grouped_twin_parity(self, spark):
+        import random
+
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_brown_forsythe, ab_brown_forsythe_sql,
+        )
+        rng = random.Random(13)
+        rows = []
+        for g in ("e1", "e2"):
+            widen = 3.0 if g == "e1" else 1.0
+            for i in range(600):
+                var = "c" if i % 2 else "t"
+                w = widen if var == "t" else 1.0
+                rows.append((g, var,
+                             round(10 + rng.uniform(-1, 1) * w, 2)))
+        df = spark.createDataFrame(rows,
+                                   "g string, variant string, v double")
+        a = sorted(map(tuple, ab_brown_forsythe(
+            df, "variant", "v", "c", "t", group_by=["g"]).collect()))
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        b = sorted(con.execute(ab_brown_forsythe_sql(
+            "t", "variant", "v", "c", "t",
+            group_by=["g"])).fetchall())
+        assert a == b

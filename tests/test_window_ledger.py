@@ -92,6 +92,7 @@ R13_NEW = {
     "eval_roc_auc",
     "corr_spearman_events",
     "ab_wilcoxon_signed",
+    "ab_brown_forsythe",
 }
 
 
