@@ -1,0 +1,66 @@
+"""Composed survival-analysis plan: ONE call assembling the package's
+full time-to-event battery over a single durations frame — the
+"retention report" a lifecycle platform renders per cohort, wired so
+a user gets the methodology (curve + hazard + the horizon scalar +
+the two-arm comparison) without knowing each operator's name.
+
+All outputs are LAZY DataFrames sharing one mergeable km_counts
+collapse where the estimators allow it (km / nelson_aalen read the
+SAME per-(group, duration) count state — computed once, reused);
+nothing executes until the caller shows/collects a section. Sections:
+
+  km          km_from_counts           — the survival curve S(t)
+  hazard      nelson_aalen_from_counts — cumulative hazard H(t) (the
+                                         additive read of the same
+                                         state; exp(-H) left to
+                                         callers — libm exp is not
+                                         cross-engine exact)
+  rmst        km_rmst                  — area under S(t) to horizon τ:
+                                         "mean active days in the
+                                         first τ", defined even when
+                                         median survival is not
+  logrank     km_logrank               — only when variant_col +
+                                         control/treatment given:
+                                         did the arms' curves differ
+                                         (the A/B readout for
+                                         durations)
+
+The input contract is the family's: one row per subject with a
+bucketed duration (user_durations produces it from raw events) and a
+0/1 event flag (1 = observed event, 0 = right-censored).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators import survival as sv
+
+
+def survival_report(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    tau: float = 30.0,
+    group_by: "list[str] | None" = None,
+    variant_col: "str | None" = None,
+    control: "str | None" = None,
+    treatment: "str | None" = None,
+    round_dp: int = 4,
+) -> "dict[str, DataFrame]":
+    """Assemble the lazy readout dict described in the module
+    docstring. `logrank` appears only when `variant_col`, `control`
+    and `treatment` are all provided."""
+    gb = list(group_by or [])
+    counts = sv.km_counts(df, duration_col, event_col, gb)
+    out: "dict[str, DataFrame]" = {
+        "km": sv.km_from_counts(counts, gb, round_dp),
+        "hazard": sv.nelson_aalen_from_counts(counts, gb, round_dp),
+        "rmst": sv.km_rmst(df, duration_col, event_col, tau, gb,
+                           round_dp),
+    }
+    if variant_col and control is not None and treatment is not None:
+        out["logrank"] = sv.km_logrank(
+            df, duration_col, event_col, variant_col, control,
+            treatment, group_by=gb, round_dp=round_dp)
+    return out

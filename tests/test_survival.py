@@ -339,3 +339,34 @@ class TestNaFromCounts:
                          nelson_aalen_from_counts(merged).collect()))
         want = sorted(map(tuple, nelson_aalen(df).collect()))
         assert got == want
+
+
+class TestSurvivalReportPlan:
+    def test_sections_match_standalone_operators(self, spark):
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_logrank, km_rmst, km_survival, nelson_aalen
+        from nifi_extracttext_processor_spark.plans.survival \
+            import survival_report
+        import random
+        rng = random.Random(6)
+        rows = [(rng.randint(1, 12), rng.randint(0, 1),
+                 "c" if rng.random() < 0.5 else "t")
+                for _ in range(400)]
+        df = spark.createDataFrame(
+            rows, "duration long, event int, variant string")
+        rep = survival_report(df, tau=8.0, variant_col="variant",
+                              control="c", treatment="t")
+        assert set(rep) == {"km", "hazard", "rmst", "logrank"}
+        assert sorted(map(tuple, rep["km"].collect())) \
+            == sorted(map(tuple, km_survival(df).collect()))
+        assert sorted(map(tuple, rep["hazard"].collect())) \
+            == sorted(map(tuple, nelson_aalen(df).collect()))
+        assert sorted(map(tuple, rep["rmst"].collect())) \
+            == sorted(map(tuple, km_rmst(df, tau=8.0).collect()))
+        assert sorted(map(tuple, rep["logrank"].collect())) \
+            == sorted(map(tuple, km_logrank(
+                df, "duration", "event", "variant",
+                "c", "t").collect()))
+        # without the arm columns the comparison section is absent
+        rep2 = survival_report(df, tau=8.0)
+        assert set(rep2) == {"km", "hazard", "rmst"}
