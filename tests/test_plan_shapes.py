@@ -215,3 +215,47 @@ class TestSpreadGuard:
         df = spark.createDataFrame([(i,) for i in range(20)], "id long")
         plan = _plan(_spread(df))
         assert "RoundRobinPartitioning" in plan
+
+
+def test_r13_stat_operators_stay_jvm_side(spark):
+    """Every r13 statistical operator is pure Catalyst: no Python
+    eval node of any kind may appear in the executed plan (the
+    100 TB whole-stage-codegen contract)."""
+    for name in ("ab_ca_trend", "events_pettitt", "eval_roc_auc",
+                 "corr_spearman_events", "ab_wilcoxon_signed",
+                 "ab_brown_forsythe", "events_nelson_aalen",
+                 "events_km_rmst"):
+        plan = _plan(entry.queries()[name](spark, SF))
+        assert "PythonUDF" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_roc_auc_shuffles_distinct_scores_not_rows(spark):
+    """roc_auc's first exchange carries the distinct-score collapse:
+    the pre-aggregate (partial_count / partial_sum) must sit BELOW
+    the first Exchange so the shuffle payload is one row per
+    (group, score), never per event."""
+    plan = _plan(entry.queries()["eval_roc_auc"](spark, SF))
+    first_exchange = plan.index("Exchange")
+    partial = plan.index("partial_")
+    assert partial < first_exchange, (
+        "no map-side partial aggregation before the first shuffle")
+
+
+def test_pettitt_collapses_to_days_before_windows(spark):
+    """pettitt's windows must run over the DAY-collapsed table, not
+    raw events: the plan reads only the three needed columns
+    (pruning), map-side-combines the daily sum (partial_sum below
+    the first exchange), and partitions every Window by the group
+    keys (no SinglePartition global window over events)."""
+    plan = _plan(entry.queries()["events_pettitt"](spark, SF))
+    assert "Window" in plan
+    schema = plan.split("ReadSchema")[1][:200]
+    assert "ts" in schema and "value" in schema \
+        and "event_type" in schema
+    assert "user_id" not in schema and "event_id" not in schema
+    assert plan.index("partial_sum") > plan.index("Exchange"), (
+        "top-down plan must place the partial day-sum BELOW "
+        "(deeper than) the first exchange - map-side combine")
+    assert "SinglePartition" not in plan
