@@ -334,3 +334,75 @@ class TestWilcoxonSigned:
             "t", "u", "v", "ts", "2024-01-20",
             group_by=["g"])).fetchall())
         assert a == b
+
+
+class TestMonotoneInvariance:
+    """The DEFINING property of the rank family: every statistic must
+    be exactly invariant under strictly monotone transforms of the
+    metric (exp-ish scaling, cube, affine) — that is the reason to
+    reach for these tests over their moment-based siblings, so it is
+    pinned exactly, not approximately."""
+
+    def _rows(self, n=400, seed=31):
+        import random
+        rng = random.Random(seed)
+        return [("c" if i % 2 else "t",
+                 round(rng.uniform(0, 50), 1)
+                 + (3.0 if i % 2 == 0 else 0.0)) for i in range(n)]
+
+    def test_mann_whitney_invariant(self, spark):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import ab_mann_whitney
+        df = spark.createDataFrame(self._rows(),
+                                   "variant string, v double")
+        base = ab_mann_whitney(df, "variant", "v", "c", "t") \
+            .collect()[0]
+        for expr in ("v * v * v", "v * 7.0 + 100.0"):
+            t = df.withColumn("v", F.expr(expr))
+            got = ab_mann_whitney(t, "variant", "v", "c",
+                                  "t").collect()[0]
+            assert got["u"] == base["u"], expr
+            assert got["z"] == base["z"], expr
+
+    def test_spearman_invariant_on_both_margins(self, spark):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import corr_spearman
+        import random
+        rng = random.Random(7)
+        rows = [(round(rng.uniform(1, 9), 1),) for _ in range(300)]
+        df = spark.createDataFrame(rows, "x double").withColumn(
+            "y", F.col("x") * 2 + F.lit(1.0))
+        base = corr_spearman(df, "x", "y").collect()[0]
+        warped = df.select(
+            (F.col("x") * F.col("x") * F.col("x")).alias("x"),
+            (F.col("y") * 11.0 + 5.0).alias("y"))
+        got = corr_spearman(warped, "x", "y").collect()[0]
+        assert got["rho"] == base["rho"] == 1.0
+
+    def test_wilcoxon_invariant_under_affine_value_maps(self, spark):
+        """Signed-rank is invariant under POSITIVE AFFINE maps of the
+        metric (diffs scale by a, ranks of |d| and signs unchanged);
+        general monotone maps do change per-unit diffs, so affine is
+        the exact invariance to pin."""
+        import datetime
+        import random
+
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import ab_wilcoxon_signed
+        rng = random.Random(3)
+        rows = []
+        for u in range(120):
+            base = rng.uniform(10, 20)
+            rows.append((u, datetime.datetime(2024, 1, 1),
+                         round(base, 2)))
+            rows.append((u, datetime.datetime(2024, 2, 1),
+                         round(base + rng.uniform(-1, 2), 2)))
+        df = spark.createDataFrame(rows,
+                                   "u long, ts timestamp, v double")
+        base_r = ab_wilcoxon_signed(df, "u", "v", "ts",
+                                    "2024-01-20").collect()[0]
+        aff = df.withColumn("v", F.col("v") * 4.0 + 1000.0)
+        got = ab_wilcoxon_signed(aff, "u", "v", "ts",
+                                 "2024-01-20").collect()[0]
+        assert got["w_plus_x2"] == base_r["w_plus_x2"]
+        assert got["z"] == base_r["z"]
