@@ -493,19 +493,28 @@ def ab_wilcoxon_signed(
     y = F.col(value_col).cast("double")
     post = (F.col(ts_col) >= F.to_timestamp(F.lit(split))) \
         .cast("int")
+    # values quantize to the 1e-6 grid BEFORE the per-unit sums, so
+    # every unit's pre/post mean is an exact rational of exact
+    # integers — no float-association drift can move a diff across a
+    # grid boundary (the km-class lesson applied one level earlier)
+    yq = F.round(y * 1e6).cast("decimal(38,0)")
     base = (df.filter(y.isNotNull())
             .select(*gb, F.col(unit_col).alias("__u"),
-                    y.alias("__y"), post.alias("__p")))
+                    yq.alias("__yq"), post.alias("__p")))
     per_u = (base.groupBy(*gb, "__u")
              .agg(F.sum(1 - F.col("__p")).alias("npre"),
                   F.sum("__p").alias("npost"),
-                  F.sum(F.col("__y") * (1 - F.col("__p")))
+                  F.sum(F.when(F.col("__p") == 0, F.col("__yq"))
+                        .otherwise(F.lit(0).cast("decimal(38,0)")))
                   .alias("spre"),
-                  F.sum(F.col("__y") * F.col("__p")).alias("spost"))
+                  F.sum(F.when(F.col("__p") == 1, F.col("__yq"))
+                        .otherwise(F.lit(0).cast("decimal(38,0)")))
+                  .alias("spost"))
              .filter((F.col("npre") > 0) & (F.col("npost") > 0)))
-    dq = F.round((F.col("spost") / F.col("npost").cast("double")
-                  - F.col("spre") / F.col("npre").cast("double"))
-                 * 1e6).cast("long")
+    dq = F.round(F.col("spost").cast("double")
+                 / F.col("npost").cast("double")
+                 - F.col("spre").cast("double")
+                 / F.col("npre").cast("double")).cast("long")
     units = per_u.select(*gb, dq.alias("__dq"))
     nz = (units.filter(F.col("__dq") == 0)
           .groupBy(*gb).agg(F.count("*").alias("n_zero")))
@@ -573,20 +582,24 @@ def ab_wilcoxon_signed_sql(
     return f"""
 WITH base AS (
   SELECT {gsel}{unit_col} AS u,
-         CAST({value_col} AS DOUBLE) AS y,
+         CAST(round(CAST({value_col} AS DOUBLE) * 1e6) AS HUGEINT)
+           AS yq,
          CAST({ts_col} >= TIMESTAMP {sql_lit(split)} AS INT) AS p
   FROM {table} WHERE {value_col} IS NOT NULL
 ),
 per_u AS (
   SELECT {gsel}u,
          sum(1 - p) AS npre, sum(p) AS npost,
-         sum(y * (1 - p)) AS spre, sum(y * p) AS spost
+         sum(CASE WHEN p = 0 THEN yq ELSE 0 END) AS spre,
+         sum(CASE WHEN p = 1 THEN yq ELSE 0 END) AS spost
   FROM base GROUP BY {gsel}u
   HAVING sum(1 - p) > 0 AND sum(p) > 0
 ),
 units AS (
-  SELECT {gsel}CAST(round((spost / CAST(npost AS DOUBLE)
-                           - spre / CAST(npre AS DOUBLE)) * 1e6)
+  SELECT {gsel}CAST(round(CAST(spost AS DOUBLE)
+                          / CAST(npost AS DOUBLE)
+                          - CAST(spre AS DOUBLE)
+                          / CAST(npre AS DOUBLE))
                     AS BIGINT) AS dq
   FROM per_u
 ),
