@@ -3807,6 +3807,41 @@ def q_events_cube(spark, sf):
         "n", "total_value")
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q("events_pivot_monthly", """
+SELECT month,
+       """ + ",\n       ".join(
+    f"round(sum(CASE WHEN event_type = '{t}' THEN "
+    f"CAST(round(coalesce(value, 0.0) * 1e6) AS HUGEINT) "
+    f"ELSE 0 END)::DOUBLE / 1e6, 2) AS {t}_value"
+    for t in _PIVOT_TYPES) + """
+FROM (SELECT strftime(ts, '%Y-%m') AS month, event_type, value
+      FROM events)
+GROUP BY month
+""")
+def q_events_pivot_monthly(spark, sf):
+    """PIVOT surface check (r13): month x event_type value matrix —
+    Spark's pivot() with an EXPLICIT value list (deterministic
+    schema, no discovery scan at plan time); the twin is the
+    conditional-aggregation spelling PIVOT desugars to. Exact-grid
+    decimal sums (the events_cube discipline)."""
+    ev = _t(spark, sf, "events")
+    q = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6) \
+        .cast("decimal(38,0)")
+    out = (ev.withColumn("month", F.date_format("ts", "yyyy-MM"))
+           .withColumn("__q", q)
+           .groupBy("month")
+           .pivot("event_type", _PIVOT_TYPES)
+           .agg(F.round(F.sum(F.coalesce("__q", F.lit(0)
+                                         .cast("decimal(38,0)")))
+                        .cast("double") / F.lit(1e6), 2)))
+    return out.select(
+        "month", *[F.coalesce(F.col(t), F.lit(0.0))
+                   .alias(f"{t}_value") for t in _PIVOT_TYPES])
+
+
 @_q("dedup_savings", dd.dedup_savings_report_sql(
     """(SELECT doc_id, text FROM documents
         UNION ALL

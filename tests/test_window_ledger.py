@@ -93,6 +93,7 @@ R13_NEW = {
     "corr_spearman_events",
     "ab_wilcoxon_signed",
     "ab_brown_forsythe",
+    "events_pivot_monthly",
 }
 
 
