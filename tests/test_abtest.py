@@ -1431,3 +1431,49 @@ class TestBrownForsythe:
             "t", "variant", "v", "c", "t",
             group_by=["g"])).fetchall())
         assert a == b
+
+
+class TestAffineInvariance:
+    """Semantic pins: Cochran-Armitage z is invariant under positive
+    AFFINE relabeling of the dose scores (the statistic depends only
+    on their spacing ratios), and Brown-Forsythe's t is invariant
+    under positive affine maps of the metric (|x − med| scales; the
+    ratio doesn't)."""
+
+    def test_ca_trend_dose_relabeling(self, spark):
+        import random
+
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ca_trend_test,
+        )
+        rng = random.Random(11)
+        rows = [(d, 1 if rng.random() < 0.1 + 0.2 * d else 0)
+                for d in range(4) for _ in range(300)]
+        df = spark.createDataFrame(rows, "dose long, conv int")
+        [base] = ca_trend_test(df, "dose", "conv").collect()
+        relabeled = df.withColumn(
+            "dose", F.col("dose") * 10 + 7)  # 7,17,27,37
+        [got] = ca_trend_test(relabeled, "dose", "conv").collect()
+        assert got["z"] == base["z"]
+        assert got["significant"] == base["significant"]
+
+    def test_brown_forsythe_metric_affine(self, spark):
+        import random
+
+        from nifi_extracttext_processor_spark.operators.abtest import (
+            ab_brown_forsythe,
+        )
+        rng = random.Random(13)
+        rows = [("c" if i % 2 else "t",
+                 round(10 + rng.uniform(-1, 1)
+                       * (3.0 if i % 2 == 0 else 1.0), 2))
+                for i in range(800)]
+        df = spark.createDataFrame(rows, "variant string, v double")
+        [base] = ab_brown_forsythe(df, "variant", "v",
+                                   "c", "t").collect()
+        aff = df.withColumn("v", F.col("v") * 4.0 + 250.0)
+        [got] = ab_brown_forsythe(aff, "variant", "v",
+                                  "c", "t").collect()
+        assert got["t"] == base["t"]
+        assert got["med_control"] == round(
+            base["med_control"] * 4.0 + 250.0, 6)
