@@ -27,7 +27,12 @@ midrank sum is reconstructed exactly from tie-group sizes and
 cumulative offsets. Payloads never enter the plan, and no stage moves
 all N rows through a single task (the sketch alternative — binned ROC
 over `calibration_bins` — remains the documented approximation for a
-continuous high-cardinality score at 100 TB). `ranking_metrics` sorts
+continuous high-cardinality score at 100 TB). The distinct-score
+contract is ENFORCED (VERDICT r13): `binary_metrics` and `roc_auc`
+gate the collapse through guards.guard_max_distinct, raising loudly
+from the parallel count aggregate before the single-task ordered
+window would materialize; `max_distinct=None` opts out for domains
+bounded by construction. `ranking_metrics` sorts
 each query's result list once (one keyed window) and reduces per
 query: shuffle carries (query, score, flag) triples, and every
 per-query output is a bounded aggregate. Calibration collapses to
@@ -39,12 +44,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
+
 
 def binary_metrics(
     df: DataFrame,
     label_col: str = "label",
     score_col: str = "score",
     threshold: float = 0.5,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """One row: n, n_pos, n_neg, tp/fp/tn/fn at `threshold`
     (score >= threshold predicts positive), accuracy, precision,
@@ -62,6 +70,7 @@ def binary_metrics(
     # needs nothing finer than the grouped frame.
     grp = pairs.groupBy("s").agg(
         F.count("*").alias("c"), F.sum("y").alias("p"))
+    grp = guard_max_distinct(grp, [], max_distinct, "binary_metrics")
     w_before = (Window.orderBy("s")
                 .rowsBetween(Window.unboundedPreceding, -1))
     cum = grp.withColumn(
@@ -757,6 +766,7 @@ def roc_auc(
     score_col: str = "score",
     group_by: "list[str] | None" = None,
     round_dp: int = 6,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """(group..., n_pos, n_neg, auc) — threshold-free ranking quality
     via the Mann-Whitney identity AUC = P(score⁺ > score⁻) (+½ per
@@ -786,6 +796,7 @@ def roc_auc(
     per_s = (base.groupBy(*gb, "__s")
              .agg(F.count("*").alias("cnt"),
                   F.sum("__y").alias("pos")))
+    per_s = guard_max_distinct(per_s, gb, max_distinct, "roc_auc")
     wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
     left = F.coalesce(
         F.sum("cnt").over(

@@ -23,6 +23,14 @@ Whitney) or DISTINCT p-values (BH), never rows. METRIC CONTRACT
 continuous metrics to a practical grain (the events table's value
 is already 2dp) so distinct values per group stay bounded; the keyed
 window then runs over that bounded table, not the data.
+
+The contract is ENFORCED, not just documented (VERDICT r13): every
+operator that ends in an ordered window over a distinct-value
+collapse gates that collapse through guards.guard_max_distinct —
+a parallel count on the already-computed collapse that raises
+loudly (USER_RAISED_EXCEPTION, naming the op and the knob) before
+the single-task sort would materialize. `max_distinct=None` opts
+out for domains bounded by construction.
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sqlutil import sql_lit
+from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
 
 
 def ab_mann_whitney(
@@ -42,6 +51,7 @@ def ab_mann_whitney(
     group_by: "list[str] | None" = None,
     z_alpha: float = 1.96,
     round_dp: int = 4,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """(group..., n_control, n_treatment, u, z, significant) — the
     Mann-Whitney U statistic for the treatment side with the normal
@@ -69,6 +79,8 @@ def ab_mann_whitney(
              .agg(F.sum(1 - F.col("__t")).alias("c0"),
                   F.sum("__t").alias("c1")))
     per_v = per_v.withColumn("t", F.col("c0") + F.col("c1"))
+    per_v = guard_max_distinct(per_v, gb, max_distinct,
+                               "ab_mann_whitney")
     wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
     wprev = (wtot.orderBy("__v")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -298,6 +310,7 @@ def corr_spearman(
     group_by: "list[str] | None" = None,
     z_alpha: float = 1.959963984540054,
     round_dp: int = 6,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """(group..., n, rho, significant) — Spearman rank correlation:
     monotone association robust to outliers and nonlinearity (the
@@ -328,12 +341,16 @@ def corr_spearman(
     pairs = (base.groupBy(*gb, "__x", "__y")
              .agg(F.count("*").alias("c")))
     mx = (pairs.groupBy(*gb, "__x").agg(F.sum("c").alias("cx")))
+    mx = guard_max_distinct(mx, gb, max_distinct,
+                            "corr_spearman (x margin)")
     wgx = (Window.partitionBy(*gb) if gb else Window.partitionBy()) \
         .orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
     mx = mx.withColumn(
         "rx2", F.lit(2) * F.coalesce(F.sum("cx").over(wgx), F.lit(0))
         + F.col("cx") + F.lit(1))
     my = (pairs.groupBy(*gb, "__y").agg(F.sum("c").alias("cy")))
+    my = guard_max_distinct(my, gb, max_distinct,
+                            "corr_spearman (y margin)")
     wgy = (Window.partitionBy(*gb) if gb else Window.partitionBy()) \
         .orderBy("__y").rowsBetween(Window.unboundedPreceding, -1)
     my = my.withColumn(
@@ -467,6 +484,7 @@ def ab_wilcoxon_signed(
     group_by: "list[str] | None" = None,
     z_alpha: float = 1.959963984540054,
     round_dp: int = 4,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """(group..., n_units, n_zero, w_plus_x2, z, significant) — the
     Wilcoxon signed-rank test on per-unit pre→post changes: the
@@ -524,6 +542,8 @@ def ab_wilcoxon_signed(
              .agg(F.count("*").alias("cnt"),
                   F.sum((F.col("__dq") > 0).cast("long"))
                   .alias("pos")))
+    per_a = guard_max_distinct(per_a, gb, max_distinct,
+                               "ab_wilcoxon_signed")
     wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
     left = F.coalesce(
         F.sum("cnt").over(
