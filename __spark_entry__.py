@@ -1614,19 +1614,26 @@ def q_char_entropy(spark, sf):
     return ta.char_entropy(d)
 
 
-# ---- extension (r6): real BPE train+encode. NO oracle_sql entry, by
-# design: the merge loop is iterative and order-dependent — the
-# "genuinely non-SQL-expressible" carve-out — so the driver records
-# the weaker rows-only check; the contract (canonical-corpus merge
-# order, lossless encode, determinism, sampling) is locked by 12
-# pytest goldens in tests/test_tokenize.py ----
+# ---- extension (r6, carve-out DRAINED r14): real BPE encode over a
+# FROZEN merge list (the pca_reduce drain pattern — VERDICT r13 task
+# 6). TRAINING (iterative corpus-wide argmax) stays pytest-pinned in
+# tests/test_tokenize.py; INFERENCE — the Arrow kernel that runs at
+# 100 TB — is now fully oracle-replayable: the DuckDB twin applies
+# the same 64 merges in rank order as chained leftmost-first
+# replace() rewrites over US-delimited symbol strings
+# (tokenize_fixed.bpe_apply_fixed_sql) ----
 
-@_q("bpe_tokenize")
+from nifi_extracttext_processor_spark.operators import (  # noqa: E402
+    tokenize_fixed as tfx,
+)
+
+
+@_q("bpe_tokenize",
+    tfx.bpe_apply_fixed_sql("documents", tfx.FROZEN_BPE_MERGES))
 def q_bpe_tokenize(spark, sf):
     from nifi_extracttext_processor_spark.operators import tokenize as tk
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    merges = tk.train_bpe(d, n_merges=200, max_words=5000)
-    return (tk.bpe_tokenize(d, merges, tokens_col=None)
+    return (tk.bpe_tokenize(d, tfx.FROZEN_BPE_MERGES, tokens_col=None)
             .select("doc_id", F.col("n_bpe_real").cast("long")
                     .alias("n_bpe_real")))
 
@@ -1941,19 +1948,22 @@ def q_lang_id_ngram(spark, sf):
             .select("doc_id", "lang_pred", "lang_dist"))
 
 
-# ---- extension (r7): unigram-LM tokenizer (Kudo 2018 — the
-# SentencePiece "unigram" model next to BPE). NO oracle_sql entry BY
-# DESIGN: EM + prune training is iterative (the same documented
-# carve-out as bpe_tokenize); the contract — Viterbi optimality vs
-# brute-force enumeration, losslessness, char coverage, determinism —
-# is locked by tests/test_unigram.py ----
+# ---- extension (r7, carve-out DRAINED r14): unigram-LM tokenizer
+# (Kudo 2018) over a FROZEN vocab. EM+prune TRAINING stays
+# pytest-pinned in tests/test_unigram.py (Viterbi optimality vs
+# brute force, losslessness, char coverage, determinism); INFERENCE
+# is oracle-replayable: the twin unrolls the per-word Viterbi DP to
+# 12 positions with (score, piece_len, n_pieces) struct argmax — the
+# operator's exact tie rule — and error()s on longer pre-tokens
+# (tokenize_fixed.unigram_apply_fixed_sql) ----
 
-@_q("unigram_tokenize")
+@_q("unigram_tokenize",
+    tfx.unigram_apply_fixed_sql("documents", tfx.FROZEN_UNIGRAM_VOCAB))
 def q_unigram_tokenize(spark, sf):
     from nifi_extracttext_processor_spark.operators import tokenize as tk
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    vocab = tk.train_unigram(d, vocab_size=400, max_words=5000)
-    return (tk.unigram_tokenize(d, vocab, tokens_col=None)
+    return (tk.unigram_tokenize(d, tfx.FROZEN_UNIGRAM_VOCAB,
+                                tokens_col=None)
             .select("doc_id", F.col("n_unigram_real").cast("long")
                     .alias("n_unigram_real")))
 
@@ -4457,6 +4467,152 @@ def q_ab_ca_trend(spark, sf):
            .withColumn("conv", (F.col("value") > 200).cast("int")))
     return abx.ca_trend_test(exp, "dose", "conv",
                              group_by=["event_type"])
+
+
+# ---- r14: composed-plan driver rows (VERDICT r13 task 5). The lazy
+# report dicts from plans/survival.py + plans/experiment.py were
+# e2e-pytest-only; these rows stitch every section into ONE keyed-join
+# frame (the attributes_surface pattern) so section-equivalence is
+# driver-hash-checked against the independently-composed DuckDB twins,
+# not just locally asserted. The joins are group-keyed (bounded:
+# 5 event types) — pure verification plumbing, each section keeps its
+# own audited plan ----
+
+from nifi_extracttext_processor_spark.plans.experiment import (  # noqa: E402
+    experiment_report as _experiment_report,
+)
+from nifi_extracttext_processor_spark.plans.survival import (  # noqa: E402
+    survival_report as _survival_report,
+)
+
+
+_SURV_REPORT_ORACLE = """
+SELECT k.event_type, k.t, k.n_risk, k.n_events, k.n_censored,
+       k.survival, h.cum_hazard, r.tau, r.rmst,
+       l.n_control, l.n_treatment, l.chi2, l.significant
+FROM ({km}) k
+JOIN ({na}) h ON k.event_type = h.event_type AND k.t = h.t
+JOIN ({rm}) r ON k.event_type = r.event_type
+JOIN ({lr}) l ON k.event_type = l.event_type
+""".format(
+    km=svx.km_survival_sql(f"({_KM_DUR_VARIANT_SQL})",
+                           group_by=["event_type"]),
+    na=svx.nelson_aalen_sql(f"({_KM_DUR_VARIANT_SQL})",
+                            group_by=["event_type"]),
+    rm=svx.km_rmst_sql(f"({_KM_DUR_VARIANT_SQL})", tau=14.0,
+                       group_by=["event_type"]),
+    lr=svx.km_logrank_sql(f"({_KM_DUR_VARIANT_SQL})", "duration",
+                          "event", "variant", "c", "t",
+                          group_by=["event_type"]))
+
+
+@_q("survival_report", _SURV_REPORT_ORACLE)
+def q_survival_report(spark, sf):
+    """Composed survival battery (plans/survival.py): KM curve +
+    Nelson-Aalen hazard + RMST + logrank off ONE shared km_counts
+    collapse, stitched per (event_type, t) for driver hashing."""
+    ev = _t(spark, sf, "events")
+    dur = (svx.user_durations(ev, inactive_days=30,
+                              group_by=["event_type"])
+           .withColumn("variant",
+                       F.when(F.pmod(F.col("user"), 2) == 0, "c")
+                       .otherwise("t")))
+    rep = _survival_report(dur, tau=14.0, group_by=["event_type"],
+                           variant_col="variant", control="c",
+                           treatment="t")
+    return (rep["km"]
+            .join(rep["hazard"].select("event_type", "t",
+                                       "cum_hazard"),
+                  ["event_type", "t"])
+            .join(rep["rmst"], "event_type")
+            .join(rep["logrank"], "event_type"))
+
+
+_EXP_VIEW = ("(SELECT *, CASE WHEN event_id % 3 = 0 THEN 'c' "
+             "ELSE 't' END AS variant FROM events)")
+
+_EXP_REPORT_ORACLE = """
+SELECT q.event_type, q.prob, q.q_control, q.q_treatment, q.lift,
+       s.n AS srm_n, s.chi2 AS srm_chi2, s.srm_suspected,
+       w.diff AS welch_diff, w.t AS welch_t,
+       w.significant AS welch_sig,
+       ww.diff AS wins_diff, ww.t AS wins_t,
+       ww.significant AS wins_sig,
+       m.log_lambda, m.always_valid_p AS msprt_p,
+       m.significant AS msprt_sig,
+       a.f_stat, a.eta_sq,
+       d.did, d.z AS did_z, d.significant AS did_sig,
+       p.n_per_arm_required, p.mde_rel_at_n
+FROM ({ql}) q
+JOIN ({srm}) s ON q.event_type = s.event_type
+JOIN ({welch}) w ON q.event_type = w.event_type
+JOIN ({wins}) ww ON q.event_type = ww.event_type
+JOIN ({msprt}) m ON q.event_type = m.event_type
+JOIN ({anova}) a ON q.event_type = a.event_type
+JOIN ({did}) d ON q.event_type = d.event_type
+JOIN ({power}) p ON q.event_type = p.event_type
+""".format(
+    ql=abx.ab_quantile_lift_sql(_EXP_VIEW, "variant", "value",
+                                "c", "t", group_by=["event_type"]),
+    srm=abx.ab_srm_check_sql(f"{_EXP_VIEW} exp", "variant",
+                             {"c": 1.0, "t": 2.0}, ["event_type"]),
+    welch=abx.ab_welch_test_sql(_EXP_VIEW, "variant", "value",
+                                "c", "t", group_by=["event_type"]),
+    wins=abx.ab_welch_test_winsorized_sql(
+        _EXP_VIEW, "variant", "value", "c", "t", trim=0.05,
+        group_by=["event_type"]),
+    msprt=abx.ab_msprt_sql(_EXP_VIEW, "variant", "value", "c", "t",
+                           group_by=["event_type"]),
+    anova=abx.ab_anova_sql(_EXP_VIEW, "variant", "value",
+                           group_by=["event_type"]),
+    did=abx.ab_diff_in_diff_sql(_EXP_VIEW, "variant", "value", "ts",
+                                "c", "t", "2024-01-15",
+                                group_by=["event_type"]),
+    power=abx.ab_power_mde_sql(
+        f"(SELECT * FROM {_EXP_VIEW} WHERE variant = 'c')",
+        "value", group_by=["event_type"]))
+
+
+@_q("experiment_report", _EXP_REPORT_ORACLE)
+def q_experiment_report(spark, sf):
+    """Composed A/B battery (plans/experiment.py): SRM guardrail,
+    Welch + winsorized primary, quantile lifts, mSPRT monitor, ANOVA
+    omnibus, DiD, and power planning off ONE experiment frame,
+    stitched per (event_type, prob) for driver hashing."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.when(F.pmod(F.col("event_id"), 3) == 0, "c").otherwise("t"))
+    rep = _experiment_report(
+        exp, "variant", "value", "c", "t",
+        expected_ratios={"c": 1.0, "t": 2.0},
+        group_by=["event_type"], ts_col="ts", split="2024-01-15")
+    ql = rep["quantile_lift"]
+    srm = rep["srm"].select(
+        "event_type", F.col("n").alias("srm_n"),
+        F.col("chi2").alias("srm_chi2"), "srm_suspected")
+    welch = rep["welch"].select(
+        "event_type", F.col("diff").alias("welch_diff"),
+        F.col("t").alias("welch_t"),
+        F.col("significant").alias("welch_sig"))
+    wins = rep["winsorized"].select(
+        "event_type", F.col("diff").alias("wins_diff"),
+        F.col("t").alias("wins_t"),
+        F.col("significant").alias("wins_sig"))
+    msprt = rep["msprt"].select(
+        "event_type", "log_lambda",
+        F.col("always_valid_p").alias("msprt_p"),
+        F.col("significant").alias("msprt_sig"))
+    anova = rep["anova"].select("event_type", "f_stat", "eta_sq")
+    did = rep["did"].select(
+        "event_type", "did", F.col("z").alias("did_z"),
+        F.col("significant").alias("did_sig"))
+    power = rep["power"].select(
+        "event_type", "n_per_arm_required", "mde_rel_at_n")
+    out = ql
+    for sec in (srm, welch, wins, msprt, anova, did, power):
+        out = out.join(sec, "event_type")
+    return out
 
 
 # ===========================================================================

@@ -22,9 +22,22 @@ import __spark_entry__ as entry
 from window_ledger import WINDOW_SIZE, build_ledger, load_correctness
 
 # The documented rows-only carve-outs (non-SQL-expressible; the driver
-# records a weaker rows-only check for these). Adding a 3rd requires a
-# written rationale at its registration site AND here. r13 drained the
-# set from 5 to 2 (VERDICT r12 task 7):
+# records a weaker rows-only check for these). Adding ANY member back
+# requires a written rationale at its registration site AND here.
+# r13 drained the set from 5 to 2; r14 drained it to EMPTY
+# (VERDICT r13 task 6) via the pca_reduce precedent — frozen-literal
+# inference state with an exact SQL twin, training pytest-pinned:
+#   - bpe_tokenize: re-registered over FROZEN_BPE_MERGES (64 merges,
+#     trained once on sf0.01, checked in); twin = chained
+#     leftmost-first replace() rewrites over US-delimited symbol
+#     strings (tokenize_fixed.bpe_apply_fixed_sql). The merge LOOP
+#     stays pytest-vs-reference in tests/test_tokenize.py.
+#   - unigram_tokenize: re-registered over FROZEN_UNIGRAM_VOCAB (262
+#     pieces); twin = 12-position unrolled Viterbi DP with
+#     (score, piece_len, n_pieces) struct argmax + error() past the
+#     unroll (tokenize_fixed.unigram_apply_fixed_sql). EM training
+#     stays pytest-pinned in tests/test_unigram.py.
+# Historical r13 rationale (superseded):
 #   - approx_top_terms: re-registered as the two-pass MG-candidates ->
 #     exact-recount variant, deterministic under the pytest-asserted
 #     f_k > n/capacity membership bound; twin = the exact aggregate.
@@ -45,9 +58,7 @@ from window_ledger import WINDOW_SIZE, build_ledger, load_correctness
 #     trained vocab with EM-pruned scores) — same class.
 # Both are contract-pinned in tests/test_tokenize.py against pure-
 # python reference implementations.
-ROWS_ONLY_CARVEOUTS = {
-    "bpe_tokenize", "unigram_tokenize",
-}
+ROWS_ONLY_CARVEOUTS: set[str] = set()
 
 # r12 rotation (VERDICT r11 tasks 2+3): throughput raised to 9 swaps so
 # the backlog falls below 90 and keeps falling.
@@ -81,6 +92,12 @@ R13_PAIRS = {
 }
 R13_IN = set(R13_PAIRS.values())
 R13_OUT = set(R13_PAIRS)
+
+# queries first registered in r14 (backlog INFLOW, not debt)
+R14_NEW = {
+    "survival_report",
+    "experiment_report",
+}
 
 # queries first registered in r13 (backlog INFLOW, not debt)
 R13_NEW = {
@@ -244,8 +261,8 @@ def test_backlog_is_draining(ledger):
     # falls from 141 at r12 close to <= 131 (10 rotated in); new r13
     # registrations are inflow, measured separately
     assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 13) >= 9
-    assert len(backlog - R13_NEW) <= 131
-    assert len(backlog) <= 131 + len(R13_NEW)
+    assert len(backlog - R13_NEW - R14_NEW) <= 131
+    assert len(backlog) <= 131 + len(R13_NEW) + len(R14_NEW)
 
 
 def test_backlog_and_summary_shape(ledger):
