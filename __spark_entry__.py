@@ -4823,6 +4823,79 @@ _rotate_slot("events_window_agg", "events_transitions", rnd=13)
 _rotate_slot("multimodal_image", "attribution_position", rnd=13)
 _rotate_slot("warc_roundtrip", "time_to_convert_hist", rnd=13)
 
+# ===========================================================================
+# Driver-window rotation r14 — throughput raised to 16 swaps (VERDICT
+# r13 task 1: ">= 14", prioritizing the pytest-seasoned r13 inflow and
+# the two-round-seasoned r12 statistical tail; task 5 adds the two
+# composed-plan rows). Every rotated-in query was pre-verified at
+# sf0.001 AND sf0.01 under the dtype-exact parity battery this round;
+# every evicted query has >= 2 green driver rounds (machine-asserted)
+# and keeps full oracle parity below the window; each eviction leaves
+# its operator family driver-represented:
+#   host_pagerank OUT (6 greens) -> doc_link_components_large IN
+#     (graph family stays via the incoming star-contraction row itself
+#     — the 100 TB any-diameter path)
+#   binary_eval_metrics OUT (2) -> eval_roc_auc IN   (direct eval-
+#     family sibling swap: grouped Mann-Whitney AUC with the new
+#     quantization guard in-plan)
+#   contamination_report OUT (2) -> ab_ca_trend IN   (pipeline-report
+#     family stays via training_data_prep; Cochran-Armitage is the
+#     r13 dose-response debut)
+#   ab_bootstrap_ci OUT (2) -> ab_brown_forsythe IN   (resampling
+#     family stays via ab_bootstrap_ratio + ab_jackknife)
+#   hll_token_distinct OUT (2) -> events_nelson_aalen IN   (sketch
+#     family stays via kmv_audience_overlap; NA is the additive read
+#     of the shared km_counts state)
+#   fuzzy_edit_join OUT (2) -> events_km_rmst IN   (fuzzy-join family
+#     stays via entity_resolve_incremental)
+#   events_funnel OUT (2) -> events_pettitt IN   (events family stays
+#     via events_retention + events_transitions + time_to_convert_hist)
+#   hilbert_key OUT (2) -> corr_spearman_events IN   (layout family
+#     had green rounds r12+r13; both curve keys keep bit-exact twins
+#     in pytest)
+#   kn_perplexity OUT (4) -> ab_wilcoxon_signed IN   (LM-quality
+#     family stays via quality_score; KN keeps TRAIN+SCORE parity)
+#   events_scd2 OUT (4) -> ab_mann_whitney IN   (CDC/snapshot family
+#     stays via orders_diff)
+#   bm25_topk OUT (7) -> bh_fdr_sweep IN   (retrieval family stays via
+#     rrf_fuse_topk + ann_topk_ivf_indexed; BH completes the window's
+#     inference battery with sweep-level FDR control)
+#   robots_filter OUT (7) -> ab_cuped_adjusted IN   (governance family
+#     stays via k_anonymity_audit; CUPED is the variance-reduction
+#     member of the r12 tail)
+#   semantic_dedup OUT (8) -> ab_srm_guardrail IN   (dedup family
+#     stays via dedup_near_pairs; semantic_dedup remains a bench
+#     headliner with its 3-path scaling evidence)
+#   exact_substring_dedup OUT (9) -> ab_diff_in_diff IN   (dedup
+#     family as above; DiD nets out shared time shocks)
+#   bloom_pruned_join OUT (3) -> survival_report IN   (join-pruning
+#     oracle — plain-join equality — keeps running in pytest; the
+#     composed survival battery gets its driver-hash check, VERDICT
+#     r13 task 5)
+#   image_phash_pairs OUT (6) -> experiment_report IN   (image family
+#     stays via media_metadata_surface + multimodal goldens; the
+#     composed A/B battery gets its driver-hash check)
+# Evicted queries stay registered below the window; test_oracle_parity
+# keeps running their dtype-exact DuckDB checks every pytest run.
+# ===========================================================================
+
+_rotate_slot("host_pagerank", "doc_link_components_large", rnd=14)
+_rotate_slot("binary_eval_metrics", "eval_roc_auc", rnd=14)
+_rotate_slot("contamination_report", "ab_ca_trend", rnd=14)
+_rotate_slot("ab_bootstrap_ci", "ab_brown_forsythe", rnd=14)
+_rotate_slot("hll_token_distinct", "events_nelson_aalen", rnd=14)
+_rotate_slot("fuzzy_edit_join", "events_km_rmst", rnd=14)
+_rotate_slot("events_funnel", "events_pettitt", rnd=14)
+_rotate_slot("hilbert_key", "corr_spearman_events", rnd=14)
+_rotate_slot("kn_perplexity", "ab_wilcoxon_signed", rnd=14)
+_rotate_slot("events_scd2", "ab_mann_whitney", rnd=14)
+_rotate_slot("bm25_topk", "bh_fdr_sweep", rnd=14)
+_rotate_slot("robots_filter", "ab_cuped_adjusted", rnd=14)
+_rotate_slot("semantic_dedup", "ab_srm_guardrail", rnd=14)
+_rotate_slot("exact_substring_dedup", "ab_diff_in_diff", rnd=14)
+_rotate_slot("bloom_pruned_join", "survival_report", rnd=14)
+_rotate_slot("image_phash_pairs", "experiment_report", rnd=14)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

@@ -99,6 +99,31 @@ R14_NEW = {
     "experiment_report",
 }
 
+# r14 rotation (VERDICT r13 tasks 1+5): 16 swaps — the pytest-seasoned
+# r13 inflow, the two-round-seasoned r12 statistical tail, and the two
+# composed-plan rows. Every incoming row pre-verified dtype-exact at
+# sf0.001 + sf0.01 this round; every eviction has >= 2 prior greens.
+R14_PAIRS = {
+    "host_pagerank": "doc_link_components_large",
+    "binary_eval_metrics": "eval_roc_auc",
+    "contamination_report": "ab_ca_trend",
+    "ab_bootstrap_ci": "ab_brown_forsythe",
+    "hll_token_distinct": "events_nelson_aalen",
+    "fuzzy_edit_join": "events_km_rmst",
+    "events_funnel": "events_pettitt",
+    "hilbert_key": "corr_spearman_events",
+    "kn_perplexity": "ab_wilcoxon_signed",
+    "events_scd2": "ab_mann_whitney",
+    "bm25_topk": "bh_fdr_sweep",
+    "robots_filter": "ab_cuped_adjusted",
+    "semantic_dedup": "ab_srm_guardrail",
+    "exact_substring_dedup": "ab_diff_in_diff",
+    "bloom_pruned_join": "survival_report",
+    "image_phash_pairs": "experiment_report",
+}
+R14_IN = set(R14_PAIRS.values())
+R14_OUT = set(R14_PAIRS)
+
 # queries first registered in r13 (backlog INFLOW, not debt)
 R13_NEW = {
     "doc_link_components_large",
@@ -137,7 +162,14 @@ def test_rows_only_set_is_exactly_the_carveouts():
 
 def test_r12_rotation_applied(ledger):
     window = set(ledger["window"])
-    assert R12_IN <= window
+    # r12-in rows stay in the window until a LATER recorded rotation
+    # evicts them (they then must have had >= 2 greens — asserted in
+    # the later round's own test); the historical swap record and the
+    # driver artifact both still prove the r12 composition.
+    later_out = R14_OUT
+    assert R12_IN - later_out <= window
+    for n in R12_IN & later_out:
+        assert 12 in ledger["rows"][n]["rounds_seen"], n
     assert not (R12_OUT & window)
     # evicted queries stay registered with their oracle parity intact
     for n in R12_OUT:
@@ -163,6 +195,22 @@ def test_r13_rotation_applied(ledger):
         assert len(greens) >= 2, (out, greens)
 
 
+def test_r14_rotation_applied(ledger):
+    window = set(ledger["window"])
+    assert R14_IN <= window
+    assert not (R14_OUT & window)
+    for n in R14_OUT:
+        assert n in entry.oracle_sql(), n
+    assert R14_OUT <= set(entry.queries())
+    r14 = [(o, i) for rnd, o, i in ledger["rotations"] if rnd == 14]
+    assert dict(r14) == R14_PAIRS
+    # policy bar: >= 2 prior green rounds for every eviction
+    for out in R14_OUT:
+        greens = [r for r in ledger["rows"][out]["rounds_green"]
+                  if r < 14]
+        assert len(greens) >= 2, (out, greens)
+
+
 def test_rotations_reverse_replay_to_consistent_base(ledger):
     """Reverse-applying the recorded swaps must succeed (every named
     query still registered) and put each rotated-IN query back below
@@ -178,6 +226,7 @@ def test_rotations_reverse_replay_to_consistent_base(ledger):
         assert inn in set(names), inn
     assert R12_IN & base_window == set()
     assert R13_IN & base_window == set()
+    assert R14_IN & base_window == set()
 
 
 def test_no_correctness_key_was_silently_dropped():
@@ -263,6 +312,10 @@ def test_backlog_is_draining(ledger):
     assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 13) >= 9
     assert len(backlog - R13_NEW - R14_NEW) <= 131
     assert len(backlog) <= 131 + len(R13_NEW) + len(R14_NEW)
+    # r14 drain bar (VERDICT r13 task 1): >= 14 swaps, backlog < 130
+    # after rotating 16 in (new r14 registrations are inflow)
+    assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 14) >= 14
+    assert len(backlog - R14_NEW) <= 127
 
 
 def test_backlog_and_summary_shape(ledger):
