@@ -116,6 +116,21 @@ HEADLINE = [
                             # with graph diameter; measured so the
                             # localCheckpoint-per-round overhead is a
                             # number, not a claim
+    # round-14 additions (appended, legacy order preserved)
+    "survival_report",      # r14: the composed survival battery —
+                            # KM + Nelson-Aalen + RMST + logrank off
+                            # ONE shared km_counts collapse; the
+                            # shared-state claim is the number here
+                            # (cost must track ~1 collapse + bounded
+                            # day-grain windows, not 4 scans)
+    "events_pettitt",       # r14: Pettitt changepoint — day-grain
+                            # collapse then ONE tie-aware rank window
+                            # over the bounded day table
+    "eval_roc_auc",         # r14: grouped Mann-Whitney AUC over the
+                            # distinct-score collapse, now with the
+                            # quantization guard in-plan (the guard's
+                            # aggregate+join overhead is measured,
+                            # not assumed)
 ]
 
 

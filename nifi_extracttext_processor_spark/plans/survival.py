@@ -47,12 +47,28 @@ def survival_report(
     control: "str | None" = None,
     treatment: "str | None" = None,
     round_dp: int = 4,
+    share_state: bool = True,
 ) -> "dict[str, DataFrame]":
     """Assemble the lazy readout dict described in the module
     docstring. `logrank` appears only when `variant_col`, `control`
-    and `treatment` are all provided."""
+    and `treatment` are all provided.
+
+    `share_state=True` (default) lifecycle-persists the two frames
+    every section reads — the caller's durations frame and the
+    km_counts collapse — so consuming all sections (or their keyed
+    join, the driver row) computes the subject scan ONCE instead of
+    once per section: Catalyst's ReuseExchange does not fire across
+    the sections' slightly-different downstream projections (measured
+    r14: the un-persisted 4-section join re-scanned events 4x). The
+    frames are registered with lifecycle.track_persist, so a
+    long-running session reclaims them with release_all()."""
     gb = list(group_by or [])
+    if share_state:
+        from ..operators.lifecycle import track_persist
+        df = track_persist(df)
     counts = sv.km_counts(df, duration_col, event_col, gb)
+    if share_state:
+        counts = track_persist(counts)
     out: "dict[str, DataFrame]" = {
         "km": sv.km_from_counts(counts, gb, round_dp),
         "hazard": sv.nelson_aalen_from_counts(counts, gb, round_dp),
