@@ -871,3 +871,178 @@ SELECT {gsel}n_pos, n_neg,
        END AS auc
 FROM agg
 """
+
+
+def brier_decomposition(
+    df: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "prob",
+    n_bins: int = 10,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group..., n, brier, reliability, resolution, uncertainty) —
+    the Murphy (1973) decomposition of the Brier score over `n_bins`
+    equal-width probability bins:
+
+        reliability = (1/N) Σ_b n_b (p̄_b − ȳ_b)²   (calibration gap)
+        resolution  = (1/N) Σ_b n_b (ȳ_b − ȳ)²     (discrimination)
+        uncertainty = ȳ (1 − ȳ)
+
+    — the WHY behind expected_calibration_error: two models with the
+    same ECE can differ hugely in resolution, and this is the readout
+    that says whether a quality-filter classifier is useless-but-
+    calibrated or sharp. `brier` itself is the raw unbinned mean
+    squared error; the identity brier = rel − res + unc holds exactly
+    only when forecasts sit on the bin means (the within-bin variance
+    term is the residual — pinned in pytest both ways).
+
+    Exactness: probabilities quantize to the 1e-6 integer grid FIRST
+    (the wilcoxon discipline), so every per-bin sufficient statistic
+    (n_b, Σy, Σp_q, Σ(p_q − 1e6·y)²) is an exact decimal integer and
+    binning ((p_q·n_bins) DIV 1e6, clamped) is integer arithmetic —
+    tie structure engine-exact. The two bin-level Σ of doubles fold
+    in BIN ORDER (the multiclass_summary discipline) before the
+    single closing division chain. Shuffle carries (group, bin)
+    cells, never rows."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    gb = list(group_by or [])
+    y = F.col(label_col).cast("int")
+    p = F.col(prob_col).cast("double")
+    pq = F.round(p * 1e6).cast("decimal(38,0)")
+    base = (df.filter(y.isNotNull() & p.isNotNull())
+            .select(*gb, y.alias("__y"), pq.alias("__pq")))
+    # binning on the QUANTIZED grid via the same floor-double chain
+    # the twin spells — exact for pq <= 1e6 and n_bins <= 1e3 (the
+    # product stays far under 2^53)
+    binc = F.least(
+        F.floor(F.col("__pq").cast("double") * n_bins / 1e6)
+        .cast("long"),
+        F.lit(int(n_bins - 1)))
+    yq6 = F.col("__y").cast("decimal(38,0)") * F.lit(1000000)
+    per_bin = (base
+               .withColumn("__b", binc)
+               .groupBy(*gb, "__b")
+               .agg(F.count("*").alias("nb"),
+                    F.sum("__y").alias("sy"),
+                    F.sum("__pq").alias("sp"),
+                    F.sum((F.col("__pq") - yq6)
+                          * (F.col("__pq") - yq6)).alias("ssq")))
+    cell = F.struct(F.col("__b").alias("b"),
+                    F.col("nb").cast("long").alias("n"),
+                    F.col("sy").cast("decimal(38,0)").alias("sy"),
+                    F.col("sp").alias("sp"))
+    agg = (per_bin.withColumn("__c", cell)
+           .groupBy(*gb)
+           .agg(F.sum("nb").alias("__nn"),
+                F.sum("sy").alias("__sy"),
+                F.sum("ssq").alias("__ssq"),
+                F.collect_list("__c").alias("__cells")))
+    nn = F.col("__nn").cast("double")
+    # bin-ordered folds; N and SY close over the lambda
+    rel6 = F.expr(
+        "aggregate(array_sort(__cells), CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + CAST((x.sp - x.sy * 1000000)"
+        "                    * (x.sp - x.sy * 1000000) AS DOUBLE)"
+        "              / CAST(x.n AS DOUBLE))")
+    res = F.expr(
+        "aggregate(array_sort(__cells), CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + CAST((CAST(__nn AS DECIMAL(38,0)) * x.sy"
+        "                     - CAST(x.n AS DECIMAL(38,0))"
+        "                       * CAST(__sy AS DECIMAL(38,0)))"
+        "                    * (CAST(__nn AS DECIMAL(38,0)) * x.sy"
+        "                     - CAST(x.n AS DECIMAL(38,0))"
+        "                       * CAST(__sy AS DECIMAL(38,0)))"
+        "                    AS DOUBLE) / CAST(x.n AS DOUBLE))")
+    brier = F.col("__ssq").cast("double") / (nn * F.lit(1e12))
+    reliability = rel6 / (nn * F.lit(1e12))
+    resolution = res / (nn * nn * nn)
+    sy = F.col("__sy").cast("double")
+    uncertainty = sy * (nn - sy) / (nn * nn)
+    return agg.select(
+        *gb,
+        F.col("__nn").cast("long").alias("n"),
+        F.round(brier, round_dp).alias("brier"),
+        F.round(reliability, round_dp).alias("reliability"),
+        F.round(resolution, round_dp).alias("resolution"),
+        F.round(uncertainty, round_dp).alias("uncertainty"))
+
+
+def brier_decomposition_sql(
+    table: str,
+    label_col: str = "label",
+    prob_col: str = "prob",
+    n_bins: int = 10,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of brier_decomposition (same 1e-6 quantization,
+    same integer binning, same bin-ordered identity-seeded folds,
+    same closing division chains)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    psel = (", ".join(f"p.{k}" for k in gb) + ", ") if gb else ""
+    jcond = " AND ".join(f"p.{k} = t.{k}" for k in gb) if gb \
+        else "TRUE"
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({label_col} AS INT) AS y,
+         CAST(round(CAST({prob_col} AS DOUBLE) * 1e6)
+              AS DECIMAL(38,0)) AS pq
+  FROM {table}
+  WHERE {label_col} IS NOT NULL AND {prob_col} IS NOT NULL
+),
+binned AS (
+  SELECT {gsel}y, pq,
+         least(CAST(floor(pq::DOUBLE * {n_bins} / 1e6) AS BIGINT),
+               {n_bins - 1}) AS b
+  FROM base
+),
+per_bin AS (
+  SELECT {gsel}b, count(*) AS nb,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(pq) AS DECIMAL(38,0)) AS sp,
+         CAST(sum((pq - CAST(y AS DECIMAL(38,0)) * 1000000)
+                  * (pq - CAST(y AS DECIMAL(38,0)) * 1000000))
+              AS DECIMAL(38,0)) AS ssq
+  FROM binned GROUP BY {gsel}b
+),
+tot AS (
+  SELECT {gsel}CAST(sum(nb) AS BIGINT) AS nn,
+         CAST(sum(sy) AS DECIMAL(38,0)) AS syt,
+         CAST(sum(ssq) AS DECIMAL(38,0)) AS ssqt
+  FROM per_bin {gkey}
+),
+folded AS (
+  SELECT {psel}max(t.nn) AS nn, max(t.syt) AS syt,
+         max(t.ssqt) AS ssqt,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST((p.sp - p.sy * 1000000)
+                       * (p.sp - p.sy * 1000000) AS DOUBLE)
+                  / CAST(p.nb AS DOUBLE) ORDER BY p.b)),
+             (a, x) -> a + x) AS rel6,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST((CAST(t.nn AS DECIMAL(38,0)) * p.sy
+                        - CAST(p.nb AS DECIMAL(38,0)) * t.syt)
+                       * (CAST(t.nn AS DECIMAL(38,0)) * p.sy
+                          - CAST(p.nb AS DECIMAL(38,0)) * t.syt)
+                       AS DOUBLE) / CAST(p.nb AS DOUBLE)
+                  ORDER BY p.b)),
+             (a, x) -> a + x) AS res
+  FROM per_bin p JOIN tot t ON {jcond}
+  {("GROUP BY " + ", ".join("p." + k for k in gb)) if gb else ""}
+)
+SELECT {gsel}nn AS n,
+       round(ssqt::DOUBLE / (nn::DOUBLE * 1e12), {round_dp})
+         AS brier,
+       round(rel6 / (nn::DOUBLE * 1e12), {round_dp}) AS reliability,
+       round(res / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE),
+             {round_dp}) AS resolution,
+       round(syt::DOUBLE * (nn::DOUBLE - syt::DOUBLE)
+             / (nn::DOUBLE * nn::DOUBLE), {round_dp}) AS uncertainty
+FROM folded
+"""

@@ -476,6 +476,301 @@ ORDER BY {gsel}t
 """
 
 
+def km_greenwood(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_by: "list[str] | None" = None,
+    z: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., t, n_risk, n_events, n_censored, survival, se,
+    ci_lo, ci_hi) — the Kaplan-Meier curve WITH its Greenwood (1926)
+    pointwise standard error and plain ±z·SE confidence band (clamped
+    to [0,1]):
+
+        Var(S(t)) = S(t)² · Σ_{t_i <= t} d_i / (n_i (n_i − d_i))
+
+    — the band a retention plot needs before anyone reads meaning
+    into a 2-point gap between cohort curves. The same km_counts
+    collapse and prefix-product fold as km_survival, plus ONE more
+    prefix fold for the variance sum; both are t-ordered left folds
+    over collect_list prefixes (never a windowed double running sum —
+    DuckDB computes those with segment trees, which re-associates the
+    additions), so the twin replays bit-for-bit.
+
+    Where a risk set is exhausted by events (n_i == d_i) the Greenwood
+    term is undefined; SE and the band are NULL from that t on (the
+    curve itself is 0 there), flagged by an integer prefix max — the
+    standard convention, mirrored exactly in the twin."""
+    gb = list(group_by or [])
+    per_t = km_counts(df, duration_col, event_col, group_by)
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wprev = (wtot.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wpref = (wtot.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    left = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+        F.lit(0))
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+    out = per_t.withColumn("n_risk", total - left)
+    factor = (F.lit(1.0)
+              - F.col("n_events").cast("double")
+              / F.col("n_risk").cast("double"))
+    # Greenwood term as ONE spelled double chain; exhausted risk sets
+    # poison the prefix via the integer flag, not via Inf arithmetic
+    term = F.when(
+        F.col("n_risk") > F.col("n_events"),
+        F.col("n_events").cast("double")
+        / (F.col("n_risk").cast("double")
+           * (F.col("n_risk") - F.col("n_events")).cast("double"))) \
+        .otherwise(F.lit(0.0))
+    bad = (F.col("n_risk") == F.col("n_events")).cast("int")
+    out = (out.withColumn("__pf", F.collect_list(factor).over(wpref))
+           .withColumn("__pv", F.collect_list(term).over(wpref))
+           .withColumn("__bad", F.max(bad).over(wpref)))
+    surv = F.expr(
+        "aggregate(__pf, CAST(1.0 AS DOUBLE), (a, x) -> a * x)")
+    cumv = F.expr(
+        "aggregate(__pv, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    out = out.withColumn("__s", surv).withColumn("__v", cumv)
+    se = F.when(F.col("__bad") == 0,
+                F.sqrt(F.col("__s") * F.col("__s") * F.col("__v")))
+    zl = F.lit(float(z))
+    # gate on the flag, not on se IS NULL: Spark's greatest() skips
+    # NULL operands, which would turn a poisoned row into ci_lo=0.0
+    lo = F.when(F.col("__bad") == 0,
+                F.greatest(F.col("__s") - zl * se, F.lit(0.0)))
+    hi = F.when(F.col("__bad") == 0,
+                F.least(F.col("__s") + zl * se, F.lit(1.0)))
+    return (out.select(*gb, "t", "n_risk", "n_events", "n_censored",
+                       F.round("__s", round_dp).alias("survival"),
+                       F.round(se, round_dp).alias("se"),
+                       F.round(lo, round_dp).alias("ci_lo"),
+                       F.round(hi, round_dp).alias("ci_hi"))
+            .orderBy(*gb, "t"))
+
+
+def km_greenwood_sql(
+    table: str,
+    duration_expr: str = "duration",
+    event_expr: str = "event",
+    group_by: "list[str] | None" = None,
+    z: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of km_greenwood (same integer prefix sums, same
+    two t-ordered list folds — identity seeds, so the list_reduce
+    seed discipline is safe — same poison flag, same closing
+    sqrt/clamp chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    zl = float(z)
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({duration_expr} AS BIGINT) AS t,
+         CAST({event_expr} AS INT) AS e
+  FROM {table}
+  WHERE {duration_expr} IS NOT NULL AND {event_expr} IS NOT NULL
+),
+per_t AS (
+  SELECT {gsel}t, CAST(sum(e) AS BIGINT) AS n_events,
+         CAST(sum(1 - e) AS BIGINT) AS n_censored
+  FROM base GROUP BY {gsel}t
+),
+risked AS (
+  SELECT {gsel}t, n_events, n_censored,
+         CAST(sum(n_events + n_censored) OVER ({part})
+         - coalesce(sum(n_events + n_censored) OVER (
+               {part} ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM per_t
+),
+folded AS (
+  SELECT {gsel}t, n_risk, n_events, n_censored,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             list(1.0 - n_events::DOUBLE / n_risk::DOUBLE) OVER (
+                 {part} ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             (a, x) -> a * x) AS s,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CASE WHEN n_risk > n_events
+                  THEN n_events::DOUBLE /
+                       (n_risk::DOUBLE * (n_risk - n_events)::DOUBLE)
+                  ELSE 0.0 END) OVER (
+                 {part} ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             (a, x) -> a + x) AS v,
+         max(CASE WHEN n_risk = n_events THEN 1 ELSE 0 END) OVER (
+             {part} ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bad
+  FROM risked
+)
+SELECT {gsel}t, n_risk, n_events, n_censored,
+       round(s, {round_dp}) AS survival,
+       round(CASE WHEN bad = 0 THEN sqrt(s * s * v) END,
+             {round_dp}) AS se,
+       round(CASE WHEN bad = 0
+             THEN greatest(s - {zl!r} * sqrt(s * s * v), 0.0) END,
+             {round_dp}) AS ci_lo,
+       round(CASE WHEN bad = 0
+             THEN least(s + {zl!r} * sqrt(s * s * v), 1.0) END,
+             {round_dp}) AS ci_hi
+FROM folded
+ORDER BY {gsel}t
+"""
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., t, cause, n_risk, n_events, cif) — Aalen-Johansen
+    cumulative incidence under COMPETING RISKS (Aalen & Johansen
+    1978): when a subject can leave by more than one cause (churned
+    vs converted vs still active), 1−KM per cause overstates every
+    cause's incidence because it treats the other causes as censoring;
+    the AJ estimator attributes each event its share of the overall
+    surviving mass:
+
+        CIF_k(t) = Σ_{s <= t} S(s⁻) · d_k(s) / n(s)
+
+    with S the ALL-CAUSE Kaplan-Meier curve and d_k the cause-k event
+    count. Σ_k CIF_k(t) + S(t) = 1 at every event time (pinned in
+    pytest). Input contract: one row per subject; `cause_col` = 0 for
+    right-censored, 1..K for event causes.
+
+    Scale shape: two map-side collapses — per (group, t) for the
+    all-cause risk/factor table, per (group, t, cause) for the
+    attributions — then t-ordered left folds over collect_list
+    prefixes (the km discipline; never a windowed double running
+    sum). Shuffle carries distinct (t, cause) tuples, never subjects;
+    the twin replays every fold bit-for-bit."""
+    gb = list(group_by or [])
+    cz = F.col(cause_col).cast("int")
+    base = (df.filter(F.col(duration_col).isNotNull()
+                      & cz.isNotNull())
+            .select(*gb,
+                    F.col(duration_col).cast("long").alias("t"),
+                    cz.alias("__c")))
+    per_t = (base.groupBy(*gb, "t")
+             .agg(F.sum((F.col("__c") > 0).cast("long"))
+                  .alias("__d"),
+                  F.count("*").alias("__a")))
+    wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wprev = (wtot.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    left = F.coalesce(F.sum("__a").over(wprev), F.lit(0))
+    total = F.sum("__a").over(wtot)
+    per_t = per_t.withColumn("n_risk", total - left)
+    factor = (F.lit(1.0)
+              - F.col("__d").cast("double")
+              / F.col("n_risk").cast("double"))
+    # S(s-) = product over the STRICT prefix (seed 1.0 at the first t)
+    per_t = (per_t
+             .withColumn("__pfp", F.collect_list(factor).over(wprev))
+             .withColumn(
+                 "__sprev",
+                 F.expr("aggregate(__pfp, CAST(1.0 AS DOUBLE),"
+                        " (a, x) -> a * x)")))
+    per_tc = (base.filter(F.col("__c") > 0)
+              .groupBy(*gb, "t", F.col("__c").alias("cause"))
+              .agg(F.count("*").alias("n_events")))
+    j = per_tc.join(
+        per_t.select(*gb, "t", "n_risk", "__sprev"), [*gb, "t"])
+    term = (F.col("__sprev") * F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double"))
+    wck = (Window.partitionBy(*gb, "cause") if gb
+           else Window.partitionBy("cause"))
+    wcpref = (wck.orderBy("t")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow))
+    j = j.withColumn("__pt", F.collect_list(term).over(wcpref))
+    cif = F.expr(
+        "aggregate(__pt, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    return (j.select(*gb, "t", "cause",
+                     F.col("n_risk").cast("long").alias("n_risk"),
+                     F.col("n_events").cast("long").alias("n_events"),
+                     F.round(cif, round_dp).alias("cif"))
+            .orderBy(*gb, "cause", "t"))
+
+
+def aalen_johansen_sql(
+    table: str,
+    duration_expr: str = "duration",
+    cause_expr: str = "cause",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of aalen_johansen (same two collapses, same
+    strict-prefix product for S(s⁻), same per-cause t-ordered sum
+    fold — identity seeds throughout)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    cpart = ("PARTITION BY " + ", ".join([*gb, "cause"])) if gb \
+        else "PARTITION BY cause"
+    jkeys = " AND ".join(f"c.{k} = p.{k}" for k in [*gb, "t"]) \
+        if gb else "c.t = p.t"
+    csel = (", ".join(f"c.{k}" for k in gb) + ", ") if gb else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({duration_expr} AS BIGINT) AS t,
+         CAST({cause_expr} AS INT) AS c
+  FROM {table}
+  WHERE {duration_expr} IS NOT NULL AND {cause_expr} IS NOT NULL
+),
+per_t AS (
+  SELECT {gsel}t,
+         CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         count(*) AS a
+  FROM base GROUP BY {gsel}t
+),
+risked AS (
+  SELECT {gsel}t, d,
+         CAST(sum(a) OVER ({part})
+         - coalesce(sum(a) OVER ({part} ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM per_t
+),
+sprev AS (
+  SELECT {gsel}t, n_risk,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             coalesce(list(1.0 - d::DOUBLE / n_risk::DOUBLE) OVER (
+                 {part} ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 [])),
+             (a, x) -> a * x) AS s_prev
+  FROM risked
+),
+per_tc AS (
+  SELECT {gsel}t, c AS cause, count(*) AS n_events
+  FROM base WHERE c > 0 GROUP BY {gsel}t, c
+),
+terms AS (
+  SELECT {csel}c.t, c.cause, p.n_risk, c.n_events,
+         p.s_prev * c.n_events::DOUBLE / p.n_risk::DOUBLE AS term
+  FROM per_tc c JOIN sprev p ON {jkeys}
+)
+SELECT {gsel}t, cause, n_risk, CAST(n_events AS BIGINT) AS n_events,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(term) OVER ({cpart} ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)),
+             (a, x) -> a + x), {round_dp}) AS cif
+FROM terms
+ORDER BY {gsel}cause, t
+"""
+
+
 def km_rmst(
     df: DataFrame,
     duration_col: str = "duration",

@@ -1550,3 +1550,177 @@ SELECT {gsel}n_days, k_stat, changepoint_day,
                 FALSE) AS significant
 FROM best
 """
+
+
+# Brownian-bridge sup critical values b(alpha): P(sup|B0(t)| > b) =
+# 2 Sigma_k (-1)^{k+1} exp(-2 k^2 b^2) — the same table the KS test
+# uses; embedded as literals so the query runs no transcendental.
+_CUSUM_CRIT = {0.05: 1.3581015157406195,
+               0.01: 1.6276236115189502,
+               0.10: 1.2238478702170825}
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.05,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_days, cusum_max, changepoint_day, stat,
+    significant) — the offline CUSUM mean-shift test over the daily
+    metric sum (Page 1954 / the Brownian-bridge sup form): the
+    PARAMETRIC sibling of pettitt_test, sensitive to mean level
+    shifts where Pettitt's rank statistic is sensitive to general
+    distributional shifts. S_t = Σ_{i<=t}(x_i − x̄); the changepoint
+    is argmax_t |S_t| (earliest day on ties); the statistic
+    standardizes by the series sd:
+
+        stat = max_t |S_t| / (σ̂ · sqrt(n)),   reject ⇔ stat ≥ b(α)
+
+    with b(α) the Brownian-bridge sup quantile (embedded literal —
+    no transcendental at query time).
+
+    Exactness (the pettitt discipline): day sums are exact-decimal
+    1e6-quantized integers, so n·S_t = n·prefix − t·total is an
+    EXACT INTEGER — the argmax, tie-break, and max are unconditional,
+    and the two closing divisions + sqrt are ONE spelled double
+    chain both engines replay. Scale shape: day-grain collapse
+    first; one day-ordered integer prefix window over the bounded
+    day table; one aggregate. NULL stat when n < 2 or the series is
+    constant (σ̂ = 0)."""
+    if alpha not in _CUSUM_CRIT:
+        raise ValueError(f"alpha must be one of {sorted(_CUSUM_CRIT)}")
+    b = _CUSUM_CRIT[alpha]
+    gb = list(group_by or [])
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*gb, F.to_date(F.col(ts_col)).alias("d"))
+             .agg(F.sum(F.round(F.col(value_col).cast("double")
+                                * 1e6).cast("decimal(38,0)"))
+                  .alias("yq")))
+    wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wday = (wg.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = F.count("*").over(wg)
+    tot = F.sum("yq").over(wg)
+    ssq = F.sum(F.col("yq") * F.col("yq")).over(wg)
+    pref = F.sum("yq").over(wday)
+    rn = F.row_number().over(wg.orderBy("d"))
+    # n*S_t, exact decimal integer
+    ns = n.cast("decimal(38,0)") * pref - rn.cast("decimal(38,0)") * tot
+    scored = (daily
+              .withColumn("__n", n.cast("long"))
+              .withColumn("__tot", tot)
+              .withColumn("__ssq", ssq)
+              .withColumn("__ns", ns)
+              .withColumn("__rn", rn)
+              .filter(F.col("__rn") < F.col("__n")))
+    absns = F.abs(F.col("__ns"))
+    best = (scored
+            .groupBy(*gb)
+            .agg(F.max(absns).alias("__m6"),
+                 F.max("__n").alias("__n"),
+                 F.max("__tot").alias("__tot"),
+                 F.max("__ssq").alias("__ssq"),
+                 F.max(F.struct(absns.alias("a"),
+                                (F.lit(0) - F.unix_date(F.col("d")))
+                                .alias("negd"))).alias("__best")))
+    nn = F.col("__n").cast("double")
+    m6 = F.col("__m6").cast("double")
+    # sd of day sums in quantized units: one spelled chain
+    var6 = ((F.col("__n").cast("decimal(38,0)") * F.col("__ssq")
+             - F.col("__tot") * F.col("__tot")).cast("double")
+            / (nn * (nn - F.lit(1.0))))
+    stat = F.when((F.col("__n") >= 2) & (var6 > 0),
+                  F.round((m6 / nn) / (F.sqrt(var6) * F.sqrt(nn)),
+                          round_dp))
+    return best.select(
+        *gb,
+        F.col("__n").alias("n_days"),
+        F.round(m6 / (nn * F.lit(1e6)), round_dp).alias("cusum_max"),
+        F.date_from_unix_date(F.lit(0) - F.col("__best.negd"))
+        .alias("changepoint_day"),
+        stat.alias("stat"),
+        F.coalesce(stat >= F.lit(float(b)), F.lit(False))
+        .alias("significant"))
+
+
+def cusum_changepoint_sql(
+    table: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_by: "list[str] | None" = None,
+    alpha: float = 0.05,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of cusum_changepoint (same exact-decimal day
+    collapse, same integer n·S_t prefix identity, same argmax
+    tie-break, same closing double chain)."""
+    if alpha not in _CUSUM_CRIT:
+        raise ValueError(f"alpha must be one of {sorted(_CUSUM_CRIT)}")
+    b = _CUSUM_CRIT[alpha]
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH daily AS (
+  SELECT {gsel}CAST({ts_col} AS DATE) AS d,
+         CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS yq
+  FROM {table}
+  WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel}CAST({ts_col} AS DATE)
+),
+scored AS (
+  SELECT {gsel}d,
+         count(*) OVER ({part}) AS n,
+         sum(yq) OVER ({part}) AS tot,
+         sum(yq * yq) OVER ({part}) AS ssq,
+         CAST(count(*) OVER ({part}) AS DECIMAL(38,0))
+           * sum(yq) OVER ({part} ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - CAST(row_number() OVER ({part} ORDER BY d)
+                AS DECIMAL(38,0)) * sum(yq) OVER ({part}) AS ns,
+         row_number() OVER ({part} ORDER BY d) AS rn
+  FROM daily
+),
+best AS (
+  SELECT {gsel}CAST(max(n) AS BIGINT) AS n_days,
+         max(abs(ns)) AS m6,
+         max(tot) AS tot, max(ssq) AS ssq,
+         max(struct_pack(a := abs(ns),
+                         negd := 0 - date_diff('day',
+                                               DATE '1970-01-01', d)))
+           AS best
+  FROM scored WHERE rn < n {gkey}
+)
+SELECT {gsel}n_days,
+       round(m6::DOUBLE / (n_days::DOUBLE * 1e6), {round_dp})
+         AS cusum_max,
+       DATE '1970-01-01' + CAST(0 - best.negd AS INT)
+         AS changepoint_day,
+       round(CASE WHEN n_days >= 2
+                  AND (CAST(n_days AS DECIMAL(38,0)) * ssq
+                       - tot * tot)::DOUBLE
+                      / (n_days::DOUBLE * (n_days::DOUBLE - 1.0)) > 0
+             THEN (m6::DOUBLE / n_days::DOUBLE)
+                  / (sqrt((CAST(n_days AS DECIMAL(38,0)) * ssq
+                           - tot * tot)::DOUBLE
+                          / (n_days::DOUBLE
+                             * (n_days::DOUBLE - 1.0)))
+                     * sqrt(n_days::DOUBLE)) END, {round_dp}) AS stat,
+       coalesce(round(CASE WHEN n_days >= 2
+                  AND (CAST(n_days AS DECIMAL(38,0)) * ssq
+                       - tot * tot)::DOUBLE
+                      / (n_days::DOUBLE * (n_days::DOUBLE - 1.0)) > 0
+             THEN (m6::DOUBLE / n_days::DOUBLE)
+                  / (sqrt((CAST(n_days AS DECIMAL(38,0)) * ssq
+                           - tot * tot)::DOUBLE
+                          / (n_days::DOUBLE
+                             * (n_days::DOUBLE - 1.0)))
+                     * sqrt(n_days::DOUBLE)) END, {round_dp})
+                >= {b!r}, FALSE) AS significant
+FROM best
+"""
