@@ -4469,6 +4469,92 @@ def q_ab_ca_trend(spark, sf):
                              group_by=["event_type"])
 
 
+# ---- r14 extensions: survival-family completion (Greenwood bands +
+# Aalen-Johansen competing risks), CUSUM mean-shift changepoint
+# (parametric sibling of events_pettitt), Brier decomposition
+# (calibration WHY behind ECE), Zipf power-law corpus fit. All
+# below-window (r15 rotation inflow), dtype-exact twins ----
+
+from nifi_extracttext_processor_spark.operators import (  # noqa: E402
+    evalmetrics as emx,
+)
+from nifi_extracttext_processor_spark.operators import (  # noqa: E402
+    timeseries as tsx,
+)
+
+
+@_q("events_km_greenwood", svx.km_greenwood_sql(
+    f"({_KM_DUR_SQL})", group_by=["event_type"]))
+def q_events_km_greenwood(spark, sf):
+    """KM curve + Greenwood pointwise SE + clamped ±z band per event
+    type (r14) — same km_counts collapse as events_km_survival, one
+    extra bin-ordered variance fold."""
+    ev = _t(spark, sf, "events")
+    dur = svx.user_durations(ev, inactive_days=30,
+                             group_by=["event_type"])
+    return svx.km_greenwood(dur, group_by=["event_type"])
+
+
+_AJ_DUR_SQL = f"""
+  SELECT event_type, duration,
+         CASE WHEN event = 0 THEN 0
+              WHEN "user" % 2 = 0 THEN 1 ELSE 2 END AS cause
+  FROM ({_KM_DUR_SQL})"""
+
+
+@_q("events_competing_risks", svx.aalen_johansen_sql(
+    f"({_AJ_DUR_SQL})", group_by=["event_type"]))
+def q_events_competing_risks(spark, sf):
+    """Aalen-Johansen cumulative incidence with two competing exit
+    causes (user-parity synthetic attribution) per event type (r14):
+    Σ_k CIF_k + S = 1 at every event time."""
+    ev = _t(spark, sf, "events")
+    dur = svx.user_durations(ev, inactive_days=30,
+                             group_by=["event_type"])
+    dur = dur.withColumn(
+        "cause",
+        F.when(F.col("event") == 0, F.lit(0))
+        .when(F.pmod(F.col("user"), 2) == 0, F.lit(1))
+        .otherwise(F.lit(2)))
+    return svx.aalen_johansen(dur, group_by=["event_type"])
+
+
+@_q("events_cusum", tsx.cusum_changepoint_sql(
+    "events", group_by=["event_type"]))
+def q_events_cusum(spark, sf):
+    """CUSUM mean-shift changepoint over the daily value sum per
+    event type (r14) — exact-decimal n·S_t prefix identity, argmax
+    day tie-broken earliest, Brownian-bridge sup critical value."""
+    return tsx.cusum_changepoint(_t(spark, sf, "events"),
+                                 group_by=["event_type"])
+
+
+@_q("eval_brier_decomposition", emx.brier_decomposition_sql(
+    "(SELECT CAST(value > 200 AS INT) AS label, "
+    "(event_id % 1000) / 1000.0 AS prob, event_type FROM events)",
+    group_by=["event_type"]))
+def q_eval_brier_decomposition(spark, sf):
+    """Murphy decomposition of the Brier score (reliability /
+    resolution / uncertainty) per event type (r14) — 1e-6-quantized
+    exact bin statistics, bin-ordered folds."""
+    ev = _t(spark, sf, "events")
+    d = ev.select(
+        (F.col("value") > 200).cast("int").alias("label"),
+        (F.pmod(F.col("event_id"), 1000) / 1000.0).alias("prob"),
+        "event_type")
+    return emx.brier_decomposition(d, group_by=["event_type"])
+
+
+@_q("zipf_fit_by_lang", ta.zipf_fit_sql(
+    "documents", group_by=["lang"], top_k=100))
+def q_zipf_fit_by_lang(spark, sf):
+    """Zipf power-law fit of the term-frequency distribution per
+    language (r14) — rank-ordered bounded OLS fold; the corpus-drift
+    alarm beside the per-document quality scores."""
+    d = _t(spark, sf, "documents")
+    return ta.zipf_fit(d, group_by=["lang"], top_k=100)
+
+
 # ---- r14: composed-plan driver rows (VERDICT r13 task 5). The lazy
 # report dicts from plans/survival.py + plans/experiment.py were
 # e2e-pytest-only; these rows stitch every section into ONE keyed-join

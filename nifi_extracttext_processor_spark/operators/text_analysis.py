@@ -9,7 +9,7 @@ corpus; cost scales with bytes scanned, not rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic per-language stopword sets (tiny demo gazetteers —
@@ -2117,4 +2117,155 @@ SELECT {gsel}count(*) AS n_docs,
 FROM {table}
 {gkey}
 {order}
+"""
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 200,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_terms, slope, intercept, r2) — the Zipf (1949)
+    power-law fit of the term-frequency distribution: OLS of ln(freq)
+    on ln(rank) over the top-`top_k` terms (rank = freq desc, term asc
+    — deterministic ties). A healthy natural-language corpus fits
+    slope ≈ −1 with r² near 1; synthetic/templated/spam-heavy shards
+    drift flat (|slope| ≪ 1) or step-shaped (low r²) — the corpus-
+    level companion to the per-document quality scores, and the
+    cheapest "did the crawl change character" drift alarm.
+
+    Exactness: term counts are exact integers; the OLS sufficient
+    statistics (Σx, Σy, Σxy, Σxx, Σyy over ln pairs) fold in RANK
+    ORDER over the collected top-k list (bounded by top_k, never the
+    vocabulary) so both engines add the same doubles in the same
+    order; ln is libm on both sides, washed by the closing round
+    (the msprt precedent). NULL slope/r2 when fewer than 2 distinct
+    ranked terms or a degenerate x variance.
+
+    Scale shape: explode → map-side-combinable (group, term) count →
+    per-group rank window over DISTINCT terms capped to top_k → one
+    bounded fold. Shuffle carries distinct terms, never tokens."""
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2")
+    gb = list(group_by or [])
+    terms = (df
+             .select(*gb,
+                     F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                       r"\s+")).alias("term"))
+             .filter(F.length("term") > 0)
+             .groupBy(*gb, "term").agg(F.count("*").alias("n")))
+    wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    rk = F.row_number().over(wg.orderBy(F.desc("n"), F.asc("term")))
+    ranked = (terms.withColumn("__r", rk)
+              .filter(F.col("__r") <= int(top_k)))
+    pair = F.struct(F.col("__r").alias("r"),
+                    F.col("n").cast("double").alias("f"))
+    agg = (ranked.withColumn("__p", pair)
+           .groupBy(*gb)
+           .agg(F.count("*").alias("n_terms"),
+                F.expr(
+                    "aggregate(array_sort(collect_list(__p)),"
+                    " named_struct("
+                    "   'sx', CAST(0.0 AS DOUBLE),"
+                    "   'sy', CAST(0.0 AS DOUBLE),"
+                    "   'sxy', CAST(0.0 AS DOUBLE),"
+                    "   'sxx', CAST(0.0 AS DOUBLE),"
+                    "   'syy', CAST(0.0 AS DOUBLE)),"
+                    " (a, e) -> named_struct("
+                    "   'sx', a.sx + ln(CAST(e.r AS DOUBLE)),"
+                    "   'sy', a.sy + ln(e.f),"
+                    "   'sxy', a.sxy + ln(CAST(e.r AS DOUBLE))"
+                    "                  * ln(e.f),"
+                    "   'sxx', a.sxx + ln(CAST(e.r AS DOUBLE))"
+                    "                  * ln(CAST(e.r AS DOUBLE)),"
+                    "   'syy', a.syy + ln(e.f) * ln(e.f)))")
+                .alias("__s")))
+    nd = F.col("n_terms").cast("double")
+    vx = nd * F.col("__s.sxx") - F.col("__s.sx") * F.col("__s.sx")
+    vy = nd * F.col("__s.syy") - F.col("__s.sy") * F.col("__s.sy")
+    cov = nd * F.col("__s.sxy") - F.col("__s.sx") * F.col("__s.sy")
+    slope = F.when((F.col("n_terms") >= 2) & (vx > 0), cov / vx)
+    intercept = F.when((F.col("n_terms") >= 2) & (vx > 0),
+                       (F.col("__s.sy") - (cov / vx)
+                        * F.col("__s.sx")) / nd)
+    r2 = F.when((F.col("n_terms") >= 2) & (vx > 0) & (vy > 0),
+                cov * cov / (vx * vy))
+    return agg.select(
+        *gb,
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.round(slope, round_dp).alias("slope"),
+        F.round(intercept, round_dp).alias("intercept"),
+        F.round(r2, round_dp).alias("r2"))
+
+
+def zipf_fit_sql(
+    table: str,
+    text_expr: str = "text",
+    top_k: int = 200,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of zipf_fit (same tokenization split, same rank
+    tie-break, same rank-ordered identity-shaped struct fold — the
+    km_rmst seed discipline: element 1 is constructed as the
+    post-first-step state, the Spark side's explicit zero seed is an
+    identity so the states match from step 1 on)."""
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2")
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH toks AS (
+  SELECT {gsel}unnest(string_split_regex(lower(trim({text_expr})),
+                                         '\\s+')) AS term
+  FROM {table}
+),
+counts AS (
+  SELECT {gsel}term, count(*) AS n
+  FROM toks WHERE length(term) > 0
+  GROUP BY {gsel}term
+),
+ranked AS (
+  SELECT {gsel}term, n,
+         row_number() OVER ({part} ORDER BY n DESC, term ASC) AS r
+  FROM counts QUALIFY r <= {int(top_k)}
+),
+folded AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS n_terms,
+         list_reduce(
+           list({{'sx': ln(r::DOUBLE), 'sy': ln(n::DOUBLE),
+                  'sxy': ln(r::DOUBLE) * ln(n::DOUBLE),
+                  'sxx': ln(r::DOUBLE) * ln(r::DOUBLE),
+                  'syy': ln(n::DOUBLE) * ln(n::DOUBLE)}}
+                ORDER BY r),
+           (a, e) -> {{'sx': a.sx + e.sx, 'sy': a.sy + e.sy,
+                       'sxy': a.sxy + e.sxy, 'sxx': a.sxx + e.sxx,
+                       'syy': a.syy + e.syy}}) AS s
+  FROM ranked {gkey}
+)
+SELECT {gsel}n_terms,
+       round(CASE WHEN n_terms >= 2 AND
+                  n_terms::DOUBLE * s.sxx - s.sx * s.sx > 0
+             THEN (n_terms::DOUBLE * s.sxy - s.sx * s.sy)
+                  / (n_terms::DOUBLE * s.sxx - s.sx * s.sx) END,
+             {round_dp}) AS slope,
+       round(CASE WHEN n_terms >= 2 AND
+                  n_terms::DOUBLE * s.sxx - s.sx * s.sx > 0
+             THEN (s.sy - ((n_terms::DOUBLE * s.sxy - s.sx * s.sy)
+                           / (n_terms::DOUBLE * s.sxx - s.sx * s.sx))
+                          * s.sx) / n_terms::DOUBLE END,
+             {round_dp}) AS intercept,
+       round(CASE WHEN n_terms >= 2 AND
+                  n_terms::DOUBLE * s.sxx - s.sx * s.sx > 0 AND
+                  n_terms::DOUBLE * s.syy - s.sy * s.sy > 0
+             THEN (n_terms::DOUBLE * s.sxy - s.sx * s.sy)
+                  * (n_terms::DOUBLE * s.sxy - s.sx * s.sy)
+                  / ((n_terms::DOUBLE * s.sxx - s.sx * s.sx)
+                     * (n_terms::DOUBLE * s.syy - s.sy * s.sy)) END,
+             {round_dp}) AS r2
+FROM folded
 """

@@ -97,6 +97,11 @@ R13_OUT = set(R13_PAIRS)
 R14_NEW = {
     "survival_report",
     "experiment_report",
+    "events_km_greenwood",
+    "events_competing_risks",
+    "events_cusum",
+    "eval_brier_decomposition",
+    "zipf_fit_by_lang",
 }
 
 # r14 rotation (VERDICT r13 tasks 1+5): 16 swaps — the pytest-seasoned
