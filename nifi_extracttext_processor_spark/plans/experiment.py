@@ -48,12 +48,22 @@ def experiment_report(
     trim: float = 0.05,
     quantiles: "list[float] | None" = None,
     mde_rel: float = 0.05,
+    share_state: bool = True,
 ) -> "dict[str, DataFrame]":
     """Assemble the lazy readout dict described in the module
     docstring. `expected_ratios` defaults to a 50/50
     control/treatment split for the SRM guardrail; `did` appears
-    only when both `ts_col` and `split` are provided."""
+    only when both `ts_col` and `split` are provided.
+
+    `share_state=True` (default) lifecycle-persists the experiment
+    frame so consuming all sections (or their keyed join, the driver
+    row) scans the source ONCE instead of once per section — the
+    same measured ReuseExchange gap survival_report closes
+    (plans/survival.py); reclaim with lifecycle.release_all()."""
     gb = list(group_by or [])
+    if share_state:
+        from ..operators.lifecycle import track_persist
+        df = track_persist(df)
     out: "dict[str, DataFrame]" = {}
     ratios = expected_ratios or {control: 0.5, treatment: 0.5}
     out["srm"] = ab.ab_srm_check(df, variant_col, ratios,

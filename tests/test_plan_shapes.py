@@ -259,3 +259,64 @@ def test_pettitt_collapses_to_days_before_windows(spark):
         "top-down plan must place the partial day-sum BELOW "
         "(deeper than) the first exchange - map-side combine")
     assert "SinglePartition" not in plan
+
+
+def test_r14_operators_stay_jvm_side(spark):
+    """Every r14 operator row is pure Catalyst — no Python eval node
+    of any kind in the executed plan, and no cartesian product."""
+    for name in ("events_km_greenwood", "events_competing_risks",
+                 "events_cusum", "eval_brier_decomposition",
+                 "zipf_fit_by_lang", "survival_report",
+                 "experiment_report"):
+        plan = _plan(entry.queries()[name](spark, SF))
+        assert "PythonUDF" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_quantization_guard_counts_before_the_window(spark):
+    """The guard's count aggregate must sit BELOW the ordered window
+    in the plan (it gates the collapse the window consumes), and the
+    gated roc_auc plan keeps its map-side partial aggregation."""
+    plan = _plan(entry.queries()["eval_roc_auc"](spark, SF))
+    assert "assert_true" in plan.lower() or "assertnotnull" not in plan
+    # the guard join's count must be computed before (deeper than)
+    # the Window operator consumes the collapse
+    assert plan.index("Window") < plan.index("count(1)"), (
+        "top-down plan must place the guard count BELOW the window")
+
+
+def test_cusum_collapses_to_days_before_windows(spark):
+    """cusum runs its windows over the DAY-collapsed table (the
+    pettitt discipline): pruned ReadSchema, partial day-sum below
+    the first exchange, no SinglePartition window."""
+    plan = _plan(entry.queries()["events_cusum"](spark, SF))
+    schema = plan.split("ReadSchema")[1][:200]
+    assert "ts" in schema and "value" in schema \
+        and "event_type" in schema
+    assert "user_id" not in schema
+    assert plan.index("partial_sum") > plan.index("Exchange")
+    assert "SinglePartition" not in plan
+
+
+def test_survival_report_reuses_persisted_state(spark):
+    """share_state=True must surface as InMemoryTableScan nodes in
+    the composed plan (the durations frame + km_counts collapse are
+    computed once, not once per section)."""
+    plan = _plan(entry.queries()["survival_report"](spark, SF))
+    assert "InMemoryTableScan" in plan
+    from nifi_extracttext_processor_spark.operators import lifecycle
+    lifecycle.release_all(blocking=True)
+
+
+def test_zipf_shuffles_distinct_terms_not_tokens(spark):
+    """zipf_fit's deepest exchange carries (group, term, partial
+    count) — the token explosion must partial-aggregate map-side —
+    and the rank<=top_k filter must push into a WindowGroupLimit
+    (per-partition top-k before the shuffle, not a full sort)."""
+    plan = _plan(entry.queries()["zipf_fit_by_lang"](spark, SF))
+    # deepest (last) partial_count sits below the deepest exchange
+    assert plan.rindex("partial_count") > plan.rindex("Exchange")
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
