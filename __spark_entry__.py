@@ -4545,6 +4545,24 @@ def q_eval_brier_decomposition(spark, sf):
     return emx.brier_decomposition(d, group_by=["event_type"])
 
 
+@_q("ab_kruskal_wallis", rkt.kruskal_wallis_sql(
+    "(SELECT *, 'v' || CAST(event_id % 4 AS VARCHAR) AS variant "
+    "FROM events)",
+    "variant", "value", group_by=["event_type"]))
+def q_ab_kruskal_wallis(spark, sf):
+    """Kruskal-Wallis k-arm rank omnibus across four synthetic
+    variants per event type (r14) — the k-sample member the 2-arm
+    Mann-Whitney belongs to: pooled 2x-midrank integers, tie
+    correction, variant-ordered fold with the square promoted to
+    double at the spelled point, quantization guard in-plan."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.concat(F.lit("v"), F.pmod(F.col("event_id"), 4)))
+    return rkt.kruskal_wallis(exp, "variant", "value",
+                              group_by=["event_type"])
+
+
 @_q("zipf_fit_by_lang", ta.zipf_fit_sql(
     "documents", group_by=["lang"], top_k=100))
 def q_zipf_fit_by_lang(spark, sf):

@@ -675,3 +675,197 @@ SELECT {gsel}n_units,
                     END) >= {za!r}, FALSE) AS significant
 FROM agg LEFT JOIN nz{join_on}
 """
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
+) -> DataFrame:
+    """(group..., k_groups, n_total, h, df, epsilon_sq) — the
+    Kruskal-Wallis k-sample rank test (Kruskal & Wallis 1952): the
+    k-arm omnibus this family's Mann-Whitney is the 2-arm member of,
+    exactly as ab_anova is ab_welch_test's — run FIRST when an
+    experiment has k variants, then pairwise rank tests only on a
+    significant omnibus. Tie-corrected:
+
+        H  = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        H' = H / (1 − ΣT(t³−t)/(N³−N))
+
+    with R_g the arm's midrank sum. ε² = (H'−k+1)/(N−k) is the
+    effect size (the rank analogue of η²). No p-value emitted —
+    compare h against the caller's χ²_{k−1} critical value (the
+    abtest convention).
+
+    Module discipline end-to-end: per-(group, variant, distinct
+    value) counts are one map-side agg; pooled midranks carry as
+    2×-integers so 2R_g = Σ c_g·(2·left+t+1) and the tie term are
+    EXACT INTEGER sums; the one cross-variant float reduction
+    (Σ R_g²/n_g) is a variant-ordered left fold with the int→double
+    promotion BEFORE the square (2R_g ~ N² would overflow
+    decimal(38) at 10¹² rows — both engines square in double at the
+    same spelled point). Shuffle carries distinct (variant, value)
+    pairs, never rows; the METRIC CONTRACT guard gates the pooled
+    distinct-value collapse. NULL h when k < 2 or every value ties
+    into one group; NULL epsilon_sq additionally when N == k."""
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = (df.filter(F.col(variant_col).isNotNull() & v.isNotNull())
+            .select(*gb,
+                    F.col(variant_col).cast("string").alias("__g"),
+                    v.alias("__v")))
+    per_gv = (base.groupBy(*gb, "__g", "__v")
+              .agg(F.count("*").alias("c")))
+    per_v = (per_gv.groupBy(*gb, "__v")
+             .agg(F.sum("c").alias("t")))
+    per_v = guard_max_distinct(per_v, gb, max_distinct,
+                               "kruskal_wallis")
+    wprev = ((Window.partitionBy(*gb) if gb else Window.partitionBy())
+             .orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    per_v = per_v.withColumn(
+        "mid2", F.lit(2) * F.coalesce(F.sum("t").over(wprev),
+                                      F.lit(0))
+        + F.col("t") + F.lit(1)).withColumn(
+        "tt", F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+    j = per_gv.join(per_v.select(*gb, "__v", "mid2"), [*gb, "__v"])
+    per_g = (j.groupBy(*gb, "__g")
+             .agg(F.sum(F.col("c") * F.col("mid2")).alias("r2"),
+                  F.sum("c").alias("ng")))
+    cell = F.struct(F.col("__g").alias("g"),
+                    F.col("r2").cast("long").alias("r2"),
+                    F.col("ng").cast("long").alias("ng"))
+    arms = (per_g.withColumn("__c", cell)
+            .groupBy(*gb)
+            .agg(F.count("*").alias("k_groups"),
+                 F.sum("ng").alias("n_total"),
+                 F.collect_list("__c").alias("__cells")))
+    ties = (per_v.groupBy(*gb).agg(F.sum("tt").alias("__tt"))
+            if gb else per_v.agg(F.sum("tt").alias("__tt")))
+    a = arms.join(ties, gb) if gb \
+        else arms.join(F.broadcast(ties), F.lit(True))
+    # Σ_g R_g²/n_g = Σ_g (2R_g)²/(4 n_g), squared in DOUBLE
+    q = F.expr(
+        "aggregate(array_sort(__cells), CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + (CAST(x.r2 AS DOUBLE) * CAST(x.r2 AS DOUBLE))"
+        "              / (4.0 * CAST(x.ng AS DOUBLE)))")
+    nn = F.col("n_total").cast("double")
+    h_raw = (F.lit(12.0) / (nn * (nn + F.lit(1.0)))) * q \
+        - F.lit(3.0) * (nn + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("__tt").cast("double") \
+        / (nn * nn * nn - nn)
+    h = F.when((F.col("k_groups") >= 2) & (corr > 0),
+               F.round(h_raw / corr, round_dp))
+    eps = F.when((F.col("k_groups") >= 2) & (corr > 0)
+                 & (F.col("n_total") > F.col("k_groups")),
+                 F.round((h_raw / corr
+                          - F.col("k_groups").cast("double")
+                          + F.lit(1.0))
+                         / (nn - F.col("k_groups").cast("double")),
+                         round_dp))
+    return a.select(
+        *gb,
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        h.alias("h"),
+        (F.col("k_groups") - F.lit(1)).cast("long").alias("df"),
+        eps.alias("epsilon_sq"))
+
+
+def kruskal_wallis_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of kruskal_wallis (same pooled 2×-midrank
+    integers, same variant-ordered fold with the square in DOUBLE,
+    same tie correction and closing chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    jkeys = " AND ".join(
+        f"a.{k} = b.{k}" for k in gb) if gb else "TRUE"
+    asel = (", ".join(f"a.{k}" for k in gb) + ", ") if gb else ""
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({variant_col} AS VARCHAR) AS g,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {variant_col} IS NOT NULL AND {value_col} IS NOT NULL
+),
+per_gv AS (
+  SELECT {gsel}g, v, count(*) AS c FROM base GROUP BY {gsel}g, v
+),
+per_v AS (
+  SELECT {gsel}v, CAST(sum(c) AS BIGINT) AS t
+  FROM per_gv GROUP BY {gsel}v
+),
+mids AS (
+  SELECT {gsel}v,
+         2 * coalesce(sum(t) OVER ({part} ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS mid2,
+         t * t * t - t AS tt
+  FROM per_v
+),
+per_g AS (
+  SELECT {asel}a.g,
+         CAST(sum(a.c * b.mid2) AS BIGINT) AS r2,
+         CAST(sum(a.c) AS BIGINT) AS ng
+  FROM per_gv a JOIN mids b
+    ON {jkeys}{" AND " if gb else " "}a.v = b.v
+  GROUP BY {asel}a.g
+),
+arms AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(ng) AS BIGINT) AS n_total,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE))
+                  / (4.0 * CAST(ng AS DOUBLE)) ORDER BY g)),
+             (a, x) -> a + x) AS q
+  FROM per_g {gkey}
+),
+ties AS (
+  SELECT {gsel}CAST(sum(tt) AS BIGINT) AS tt FROM mids {gkey}
+)
+SELECT {asel.replace('a.', 'arms.') if gb else ''}arms.k_groups,
+       arms.n_total,
+       round(CASE WHEN arms.k_groups >= 2 AND
+                  1.0 - ties.tt::DOUBLE
+                  / (arms.n_total::DOUBLE * arms.n_total::DOUBLE
+                     * arms.n_total::DOUBLE - arms.n_total::DOUBLE)
+                  > 0
+             THEN ((12.0 / (arms.n_total::DOUBLE
+                            * (arms.n_total::DOUBLE + 1.0))) * arms.q
+                   - 3.0 * (arms.n_total::DOUBLE + 1.0))
+                  / (1.0 - ties.tt::DOUBLE
+                     / (arms.n_total::DOUBLE * arms.n_total::DOUBLE
+                        * arms.n_total::DOUBLE
+                        - arms.n_total::DOUBLE)) END,
+             {round_dp}) AS h,
+       arms.k_groups - 1 AS df,
+       round(CASE WHEN arms.k_groups >= 2 AND
+                  1.0 - ties.tt::DOUBLE
+                  / (arms.n_total::DOUBLE * arms.n_total::DOUBLE
+                     * arms.n_total::DOUBLE - arms.n_total::DOUBLE)
+                  > 0 AND arms.n_total > arms.k_groups
+             THEN (((12.0 / (arms.n_total::DOUBLE
+                             * (arms.n_total::DOUBLE + 1.0)))
+                    * arms.q
+                    - 3.0 * (arms.n_total::DOUBLE + 1.0))
+                   / (1.0 - ties.tt::DOUBLE
+                      / (arms.n_total::DOUBLE * arms.n_total::DOUBLE
+                         * arms.n_total::DOUBLE
+                         - arms.n_total::DOUBLE))
+                   - arms.k_groups::DOUBLE + 1.0)
+                  / (arms.n_total::DOUBLE - arms.k_groups::DOUBLE)
+             END, {round_dp}) AS epsilon_sq
+FROM arms JOIN ties
+  ON {jkeys.replace('a.', 'arms.').replace('b.', 'ties.')}
+"""

@@ -273,3 +273,73 @@ class TestZipfFit:
             "documents", group_by=["lang"], top_k=100)).df()
         assert _rows_match(
             zipf_fit(d, group_by=["lang"], top_k=100), odf)
+
+
+class TestKruskalWallis:
+    def test_hand_reference(self, spark):
+        """[1,2,3] vs [2,3,4] vs [5,6,7]: tie-corrected H computed by
+        an independent pure-python reference = 6.056497."""
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import kruskal_wallis
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 2.0), ("b", 3.0), ("b", 4.0),
+                ("c", 5.0), ("c", 6.0), ("c", 7.0)]
+        df = spark.createDataFrame(rows, "variant string, value double")
+        [r] = kruskal_wallis(df, "variant", "value",
+                             round_dp=6).collect()
+        assert (r["k_groups"], r["n_total"], r["df"]) == (3, 9, 2)
+        assert r["h"] == pytest.approx(6.056497)
+        assert r["epsilon_sq"] == pytest.approx(0.676083)
+
+    def test_two_arm_reduces_to_mann_whitney_z2(self, spark):
+        """With k=2 and no ties, H == z² of the Mann-Whitney test on
+        the same data (the classic identity)."""
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import ab_mann_whitney, kruskal_wallis
+        rows = [("c", float(x)) for x in (1, 4, 6, 9, 12)] \
+            + [("t", float(x)) for x in (2, 5, 8, 11, 14)]
+        df = spark.createDataFrame(rows, "variant string, value double")
+        [kwr] = kruskal_wallis(df, "variant", "value",
+                               round_dp=8).collect()
+        [mwr] = ab_mann_whitney(df, "variant", "value", "c", "t",
+                                round_dp=8).collect()
+        assert kwr["h"] == pytest.approx(mwr["z"] ** 2, rel=1e-5)
+
+    def test_all_tied_null(self, spark):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import kruskal_wallis
+        df = spark.createDataFrame(
+            [("a", 5.0), ("b", 5.0), ("c", 5.0)] * 3,
+            "variant string, value double")
+        [r] = kruskal_wallis(df, "variant", "value").collect()
+        assert r["h"] is None and r["epsilon_sq"] is None
+
+    def test_guard_fires_on_high_cardinality(self, spark):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import kruskal_wallis
+        df = (spark.range(500)
+              .select(F.concat(F.lit("v"), F.col("id") % 3)
+                      .alias("variant"),
+                      (F.col("id") / 3.0).alias("value")))
+        with pytest.raises(Exception) as ei:
+            kruskal_wallis(df, "variant", "value",
+                           max_distinct=100).collect()
+        assert "kruskal_wallis" in str(ei.value)
+
+    def test_twin_parity_grouped(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import kruskal_wallis, kruskal_wallis_sql
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        exp = ev.withColumn(
+            "variant",
+            F.concat(F.lit("v"), F.pmod(F.col("event_id"), 4)))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        odf = con.execute(kruskal_wallis_sql(
+            "(SELECT *, 'v' || CAST(event_id % 4 AS VARCHAR) "
+            "AS variant FROM events)",
+            "variant", "value", group_by=["event_type"])).df()
+        assert _rows_match(
+            kruskal_wallis(exp, "variant", "value",
+                           group_by=["event_type"]), odf)

@@ -102,6 +102,7 @@ R14_NEW = {
     "events_cusum",
     "eval_brier_decomposition",
     "zipf_fit_by_lang",
+    "ab_kruskal_wallis",
 }
 
 # r14 rotation (VERDICT r13 tasks 1+5): 16 swaps — the pytest-seasoned
