@@ -22,7 +22,11 @@ dropped `assert_true` column entirely (verified empirically on Spark
 
 Cost when the contract is respected: one extra aggregate over the
 bounded collapse + a keyed (grouped) or 1-row-broadcast (global)
-join — nanoseconds next to the window it protects. Callers opt out
+join. Measured (BENCH_NOTES_r14): ~0.3-0.4 s FIXED per query on
+local[32] at sf0.1 AND at sf1 — the overhead tracks the bounded
+collapse, not the data, so it is flat in data size and amortizes to
+noise at cluster scale while the failure it prevents (a single-task
+sort of an unbounded domain) grows with the data. Callers opt out
 with `max_distinct=None` (e.g. when the domain is bounded by
 construction).
 """
