@@ -4545,6 +4545,18 @@ def q_eval_brier_decomposition(spark, sf):
     return emx.brier_decomposition(d, group_by=["event_type"])
 
 
+@_q("events_seasonal_decompose", tsx.seasonal_decompose_sql(
+    "events", group_by=["event_type"]))
+def q_events_seasonal_decompose(spark, sf):
+    """Classical additive trend/seasonal/residual decomposition of
+    the daily value sum per event type (r14) — exact-decimal
+    centered moving average (full windows only), day/position-
+    ordered folds for the seasonal indices, indices re-centered to
+    sum 0; the descriptive companion to ses/holt."""
+    return tsx.seasonal_decompose(_t(spark, sf, "events"),
+                                  group_by=["event_type"])
+
+
 @_q("ab_kruskal_wallis", rkt.kruskal_wallis_sql(
     "(SELECT *, 'v' || CAST(event_id % 4 AS VARCHAR) AS variant "
     "FROM events)",

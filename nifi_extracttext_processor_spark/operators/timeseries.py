@@ -1724,3 +1724,167 @@ SELECT {gsel}n_days,
                 >= {b!r}, FALSE) AS significant
 FROM best
 """
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., d, value, trend, seasonal, resid) — classical
+    additive seasonal decomposition of the daily metric sum
+    (the moving-average method every stats text opens with; the
+    descriptive companion to ses/holt which FORECAST but never
+    explain): trend = centered `period`-day moving average (exact
+    decimal window sum, ONE division — NULL on the first/last
+    ⌊period/2⌋ days where the window is incomplete), seasonal =
+    per-day-of-period mean of the detrended series re-centered to
+    sum 0, resid = value − trend − seasonal. `period` must be ODD
+    (an even period needs half-weighted ends — a different spelled
+    chain; callers wanting weekly grain use 7).
+
+    Exactness: day sums quantize to exact 1e-6 decimals; the moving
+    window SUM is an integer-decimal aggregate (association-free) so
+    the trend is ONE IEEE division; the seasonal means and their
+    re-centering fold in day / position order over bounded collected
+    lists (never a windowed double running sum). Scale shape:
+    day-grain collapse first, every window keyed by the group —
+    bounded day tables end-to-end."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be odd and >= 3")
+    h = period // 2
+    gb = list(group_by or [])
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*gb, F.to_date(F.col(ts_col)).alias("d"))
+             .agg(F.sum(F.round(F.col(value_col).cast("double")
+                                * 1e6).cast("decimal(38,0)"))
+                  .alias("yq")))
+    wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    wmv = wg.orderBy("d").rowsBetween(-h, h)
+    trend6 = F.when(
+        F.count("*").over(wmv) == period,
+        F.sum("yq").over(wmv).cast("double") / F.lit(float(period)))
+    rn = F.row_number().over(wg.orderBy("d"))
+    daily = (daily.withColumn("__t6", trend6)
+             .withColumn("__pos", F.pmod(rn - 1, F.lit(period))))
+    det = F.col("yq").cast("double") - F.col("__t6")
+    # per-position mean of the detrended series, day-ordered fold
+    cellpos = F.struct(F.col("d").alias("d"), det.alias("x"))
+    pos_means = (daily.filter(F.col("__t6").isNotNull())
+                 .withColumn("__c", cellpos)
+                 .groupBy(*gb, "__pos")
+                 .agg(F.count("*").alias("m"),
+                      F.expr("aggregate(array_sort(collect_list(__c)),"
+                             " CAST(0.0 AS DOUBLE),"
+                             " (a, x) -> a + x.x)").alias("sx")))
+    pos_means = pos_means.withColumn(
+        "s_raw", F.col("sx") / F.col("m").cast("double"))
+    # re-center the indices to sum 0 (position-ordered fold)
+    cellidx = F.struct(F.col("__pos").alias("p"),
+                       F.col("s_raw").alias("s"))
+    centers = (pos_means.withColumn("__i", cellidx)
+               .groupBy(*gb)
+               .agg(F.count("*").alias("np"),
+                    F.expr("aggregate(array_sort(collect_list(__i)),"
+                           " CAST(0.0 AS DOUBLE),"
+                           " (a, x) -> a + x.s)").alias("ss")))
+    centers = centers.select(
+        *gb, (F.col("ss") / F.col("np").cast("double")).alias("__mu"))
+    seas = (pos_means.join(centers, gb) if gb
+            else pos_means.join(F.broadcast(centers), F.lit(True)))
+    seas = seas.select(*gb, "__pos",
+                       (F.col("s_raw") - F.col("__mu")).alias("__s"))
+    out = daily.join(seas, [*gb, "__pos"], "left")
+    val = F.col("yq").cast("double") / F.lit(1e6)
+    trend = F.col("__t6") / F.lit(1e6)
+    seasonal = F.when(F.col("__t6").isNotNull(),
+                      F.col("__s") / F.lit(1e6))
+    resid = F.when(F.col("__t6").isNotNull(),
+                   (F.col("yq").cast("double") - F.col("__t6")
+                    - F.col("__s")) / F.lit(1e6))
+    return (out.select(*gb, "d",
+                       F.round(val, round_dp).alias("value"),
+                       F.round(trend, round_dp).alias("trend"),
+                       F.round(seasonal, round_dp).alias("seasonal"),
+                       F.round(resid, round_dp).alias("resid"))
+            .orderBy(*gb, "d"))
+
+
+def seasonal_decompose_sql(
+    table: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of seasonal_decompose (same exact-decimal day
+    collapse, same full-window-only centered MA, same day- and
+    position-ordered folds, same closing chains)."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be odd and >= 3")
+    h = period // 2
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    jkeys = " AND ".join(f"a.{k} = b.{k}" for k in gb) if gb \
+        else "TRUE"
+    asel = (", ".join(f"a.{k}" for k in gb) + ", ") if gb else ""
+    return f"""
+WITH daily AS (
+  SELECT {gsel}CAST({ts_col} AS DATE) AS d,
+         CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS yq
+  FROM {table}
+  WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel}CAST({ts_col} AS DATE)
+),
+trended AS (
+  SELECT {gsel}d, yq,
+         CASE WHEN count(*) OVER ({part} ORDER BY d
+                  ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+                  = {period}
+              THEN (sum(yq) OVER ({part} ORDER BY d
+                  ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+                   )::DOUBLE / {float(period)!r} END AS t6,
+         (row_number() OVER ({part} ORDER BY d) - 1) % {period}
+           AS pos
+  FROM daily
+),
+pos_means AS (
+  SELECT {gsel}pos, count(*) AS m,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(yq::DOUBLE - t6 ORDER BY d)),
+             (a, x) -> a + x) AS sx
+  FROM trended WHERE t6 IS NOT NULL
+  GROUP BY {gsel}pos
+),
+centers AS (
+  SELECT {gsel}
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(sx / m::DOUBLE ORDER BY pos)),
+             (a, x) -> a + x) / count(*)::DOUBLE AS mu
+  FROM pos_means {gkey}
+),
+seas AS (
+  SELECT {asel}a.pos,
+         a.sx / a.m::DOUBLE - b.mu AS s
+  FROM pos_means a JOIN centers b ON {jkeys}
+)
+SELECT {asel.replace('a.', 't.') if gb else ''}t.d,
+       round(t.yq::DOUBLE / 1e6, {round_dp}) AS value,
+       round(t.t6 / 1e6, {round_dp}) AS trend,
+       round(CASE WHEN t.t6 IS NOT NULL THEN s.s / 1e6 END,
+             {round_dp}) AS seasonal,
+       round(CASE WHEN t.t6 IS NOT NULL
+             THEN (t.yq::DOUBLE - t.t6 - s.s) / 1e6 END,
+             {round_dp}) AS resid
+FROM trended t LEFT JOIN seas s
+  ON {jkeys.replace('a.', 't.').replace('b.', 's.')}
+     {" AND " if gb else " AND "}t.pos = s.pos
+ORDER BY {gsel.replace(', ', ', ') if not gb else ", ".join("t." + k for k in gb) + ", "}t.d
+"""

@@ -343,3 +343,68 @@ class TestKruskalWallis:
         assert _rows_match(
             kruskal_wallis(exp, "variant", "value",
                            group_by=["event_type"]), odf)
+
+
+class TestSeasonalDecompose:
+    def _planted(self, spark, n=28):
+        pat = [0.0, 10.0, -10.0, 5.0, -5.0, 3.0, -3.0]
+        rows = [(f"2024-01-{d + 1:02d} 06:00:00", 100.0 + pat[d % 7])
+                for d in range(n)]
+        return (spark.createDataFrame(rows, "ts string, value double")
+                .withColumn("ts", F.to_timestamp("ts")))
+
+    def test_recovers_planted_pattern_exactly(self, spark):
+        """flat level + pure 7-day pattern: trend == level, seasonal
+        == the (centered) pattern, resid == 0 on every full-window
+        day."""
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import seasonal_decompose
+        dec = seasonal_decompose(self._planted(spark)).collect()
+        pat = {0: 0.0, 1: 10.0, 2: -10.0, 3: 5.0, 4: -5.0,
+               5: 3.0, 6: -3.0}
+        full = [r for r in dec if r["trend"] is not None]
+        assert len(full) == 28 - 6  # 3 edge days each side
+        for r in full:
+            assert r["trend"] == pytest.approx(100.0)
+            assert r["resid"] == pytest.approx(0.0)
+            dow = (r["d"].day - 1) % 7
+            assert r["seasonal"] == pytest.approx(pat[dow])
+
+    def test_edges_null_values_kept(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import seasonal_decompose
+        dec = seasonal_decompose(self._planted(spark)).collect()
+        edges = [r for r in dec if r["trend"] is None]
+        assert len(edges) == 6
+        for r in edges:
+            assert r["seasonal"] is None and r["resid"] is None
+            assert r["value"] is not None
+
+    def test_seasonal_indices_sum_to_zero(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import seasonal_decompose
+        dec = seasonal_decompose(self._planted(spark),
+                                 round_dp=10).collect()
+        idx = {}
+        for r in dec:
+            if r["seasonal"] is not None:
+                idx[(r["d"].day - 1) % 7] = r["seasonal"]
+        assert sum(idx.values()) == pytest.approx(0.0, abs=1e-8)
+
+    def test_even_period_rejected(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import seasonal_decompose
+        with pytest.raises(ValueError):
+            seasonal_decompose(self._planted(spark), period=6)
+
+    def test_twin_parity_grouped(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import seasonal_decompose, seasonal_decompose_sql
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        odf = con.execute(seasonal_decompose_sql(
+            "events", group_by=["event_type"])).df()
+        assert _rows_match(
+            seasonal_decompose(ev, group_by=["event_type"]), odf)

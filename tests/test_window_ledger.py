@@ -103,6 +103,7 @@ R14_NEW = {
     "eval_brier_decomposition",
     "zipf_fit_by_lang",
     "ab_kruskal_wallis",
+    "events_seasonal_decompose",
 }
 
 # r14 rotation (VERDICT r13 tasks 1+5): 16 swaps — the pytest-seasoned
@@ -309,8 +310,9 @@ def test_backlog_is_draining(ledger):
     excluded from the drain measure (they are inflow); the gross
     bound still caps total backlog at drained-debt + inflow."""
     backlog = set(ledger["backlog"])
-    assert len(backlog - R12_NEW - R13_NEW) <= 89
-    assert len(backlog) <= 89 + len(R12_NEW) + len(R13_NEW)
+    assert len(backlog - R12_NEW - R13_NEW - R14_NEW) <= 89
+    assert len(backlog) <= 89 + len(R12_NEW) + len(R13_NEW) \
+        + len(R14_NEW)
     assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 12) >= 6
     # r13 drain bar (VERDICT r12 task 3): >= 9 swaps, pre-r13 backlog
     # falls from 141 at r12 close to <= 131 (10 rotated in); new r13
