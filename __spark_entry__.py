@@ -4604,15 +4604,19 @@ from nifi_extracttext_processor_spark.plans.survival import (  # noqa: E402
 
 _SURV_REPORT_ORACLE = """
 SELECT k.event_type, k.t, k.n_risk, k.n_events, k.n_censored,
-       k.survival, h.cum_hazard, r.tau, r.rmst,
+       k.survival, b.se, b.ci_lo, b.ci_hi,
+       h.cum_hazard, r.tau, r.rmst,
        l.n_control, l.n_treatment, l.chi2, l.significant
 FROM ({km}) k
+JOIN ({gw}) b ON k.event_type = b.event_type AND k.t = b.t
 JOIN ({na}) h ON k.event_type = h.event_type AND k.t = h.t
 JOIN ({rm}) r ON k.event_type = r.event_type
 JOIN ({lr}) l ON k.event_type = l.event_type
 """.format(
     km=svx.km_survival_sql(f"({_KM_DUR_VARIANT_SQL})",
                            group_by=["event_type"]),
+    gw=svx.km_greenwood_sql(f"({_KM_DUR_VARIANT_SQL})",
+                            group_by=["event_type"]),
     na=svx.nelson_aalen_sql(f"({_KM_DUR_VARIANT_SQL})",
                             group_by=["event_type"]),
     rm=svx.km_rmst_sql(f"({_KM_DUR_VARIANT_SQL})", tau=14.0,
@@ -4637,6 +4641,9 @@ def q_survival_report(spark, sf):
                            variant_col="variant", control="c",
                            treatment="t")
     return (rep["km"]
+            .join(rep["band"].select("event_type", "t", "se",
+                                     "ci_lo", "ci_hi"),
+                  ["event_type", "t"])
             .join(rep["hazard"].select("event_type", "t",
                                        "cum_hazard"),
                   ["event_type", "t"])

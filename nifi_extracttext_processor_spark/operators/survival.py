@@ -503,8 +503,22 @@ def km_greenwood(
     term is undefined; SE and the band are NULL from that t on (the
     curve itself is 0 there), flagged by an integer prefix max — the
     standard convention, mirrored exactly in the twin."""
-    gb = list(group_by or [])
     per_t = km_counts(df, duration_col, event_col, group_by)
+    return km_greenwood_from_counts(per_t, group_by, z, round_dp)
+
+
+def km_greenwood_from_counts(
+    per_t: DataFrame,
+    group_by: "list[str] | None" = None,
+    z: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> DataFrame:
+    """km_greenwood's curve computation over an (already mergeable)
+    km_counts table — the read side for partitioned/streaming count
+    state, completing the from-counts trio with km_from_counts and
+    nelson_aalen_from_counts: ONE persisted count table serves the
+    survival curve, the hazard curve, and the confidence band."""
+    gb = list(group_by or [])
     wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
     wprev = (wtot.orderBy("t")
              .rowsBetween(Window.unboundedPreceding, -1))

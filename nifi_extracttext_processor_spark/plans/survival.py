@@ -10,6 +10,8 @@ SAME per-(group, duration) count state — computed once, reused);
 nothing executes until the caller shows/collects a section. Sections:
 
   km          km_from_counts           — the survival curve S(t)
+  band        km_greenwood_from_counts — Greenwood SE + ±z band on
+                                         the same curve (r14)
   hazard      nelson_aalen_from_counts — cumulative hazard H(t) (the
                                          additive read of the same
                                          state; exp(-H) left to
@@ -71,6 +73,8 @@ def survival_report(
         counts = track_persist(counts)
     out: "dict[str, DataFrame]" = {
         "km": sv.km_from_counts(counts, gb, round_dp),
+        "band": sv.km_greenwood_from_counts(counts, gb,
+                                            round_dp=round_dp),
         "hazard": sv.nelson_aalen_from_counts(counts, gb, round_dp),
         "rmst": sv.km_rmst(df, duration_col, event_col, tau, gb,
                            round_dp),

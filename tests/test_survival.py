@@ -356,9 +356,13 @@ class TestSurvivalReportPlan:
             rows, "duration long, event int, variant string")
         rep = survival_report(df, tau=8.0, variant_col="variant",
                               control="c", treatment="t")
-        assert set(rep) == {"km", "hazard", "rmst", "logrank"}
+        assert set(rep) == {"km", "band", "hazard", "rmst", "logrank"}
         assert sorted(map(tuple, rep["km"].collect())) \
             == sorted(map(tuple, km_survival(df).collect()))
+        from nifi_extracttext_processor_spark.operators.survival \
+            import km_greenwood
+        assert sorted(map(tuple, rep["band"].collect())) \
+            == sorted(map(tuple, km_greenwood(df).collect()))
         assert sorted(map(tuple, rep["hazard"].collect())) \
             == sorted(map(tuple, nelson_aalen(df).collect()))
         assert sorted(map(tuple, rep["rmst"].collect())) \
@@ -369,4 +373,4 @@ class TestSurvivalReportPlan:
                 "c", "t").collect()))
         # without the arm columns the comparison section is absent
         rep2 = survival_report(df, tau=8.0)
-        assert set(rep2) == {"km", "hazard", "rmst"}
+        assert set(rep2) == {"km", "band", "hazard", "rmst"}
