@@ -4545,6 +4545,24 @@ def q_eval_brier_decomposition(spark, sf):
     return emx.brier_decomposition(d, group_by=["event_type"])
 
 
+@_q("ab_mood_median", abx.ab_mood_median_sql(
+    "(SELECT *, 'v' || CAST(event_id % 4 AS VARCHAR) AS variant "
+    "FROM events)",
+    "variant", "value", group_by=["event_type"]))
+def q_ab_mood_median(spark, sf):
+    """Mood's median test across four synthetic variants per event
+    type (r14) — the robust triangle's third leg beside
+    kruskal_wallis (ranks) and ab_brown_forsythe (spread): exact
+    k×2 cells vs the pooled lower median, variant-ordered (O−E)²/E
+    fold."""
+    ev = _t(spark, sf, "events")
+    exp = ev.withColumn(
+        "variant",
+        F.concat(F.lit("v"), F.pmod(F.col("event_id"), 4)))
+    return abx.ab_mood_median(exp, "variant", "value",
+                              group_by=["event_type"])
+
+
 @_q("events_seasonal_decompose", tsx.seasonal_decompose_sql(
     "events", group_by=["event_type"]))
 def q_events_seasonal_decompose(spark, sf):

@@ -3289,3 +3289,199 @@ SELECT {gsel}n0 AS n_control, n1 AS n_treatment,
          AS significant
 FROM agg
 """
+
+
+def ab_mood_median(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., k_groups, n_total, n_above, median, chi2, df) —
+    Mood's median test (Mood 1950): the k-sample GROSS-location
+    readout — did any arm's share above the pooled median move —
+    completing the robust triangle with kruskal_wallis (full rank
+    information, more power) and ab_brown_forsythe (spread): Mood's
+    is the right tool when the metric is heavily censored/clumped so
+    even ranks are dubious, and it degrades gracefully under extreme
+    ties. Each arm's (above, not-above) counts vs the POOLED lower
+    median form a k×2 table; chi2 = Σ (O−E)²/E with margin-derived
+    expectations, df = k−1 (compare against the caller's χ²
+    critical value — the ab_anova convention, no p-value emitted).
+
+    Exactness: values quantize to the 1e-6 integer grid; the pooled
+    median is the LOWER median (the brown_forsythe integer rule —
+    smallest value whose cumulative count reaches ⌈N/2⌉, no
+    interpolation); every observed cell and margin is an exact
+    integer; "above" means strictly > median (values equal to the
+    median count below — the classic convention). The one
+    cross-variant float reduction (Σ (O−E)²/E) folds in VARIANT
+    order with int→double promotion at the same spelled points.
+    Shuffle carries distinct values then k variant cells, never
+    rows. NULL chi2 when k < 2 or either margin (above / not-above)
+    is empty — i.e. every value ties at the median."""
+    gb = list(group_by or [])
+    v = F.col(value_col).cast("double")
+    base = (df.filter(v.isNotNull() & F.col(variant_col).isNotNull())
+            .select(*gb,
+                    F.col(variant_col).cast("string").alias("__g"),
+                    F.round(v * 1e6).cast("long").alias("__xq")))
+    pooled = (base.groupBy(*gb, "__xq")
+              .agg(F.count("*").alias("cnt")))
+    wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    cum = F.sum("cnt").over(
+        wg.orderBy("__xq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nn = F.sum("cnt").over(wg)
+    med = (pooled
+           .withColumn("__cum", cum)
+           .withColumn("__nn", nn)
+           .filter(F.col("__cum") * 2 >= F.col("__nn")
+                   + F.pmod(F.col("__nn"), 2))
+           .groupBy(*gb)
+           .agg(F.min("__xq").alias("__med")))
+    per_gv = (base.groupBy(*gb, "__g", "__xq")
+              .agg(F.count("*").alias("c")))
+    j = per_gv.join(med, gb) if gb \
+        else per_gv.join(F.broadcast(med), F.lit(True))
+    per_g = (j.groupBy(*gb, "__g")
+             .agg(F.sum(F.when(F.col("__xq") > F.col("__med"),
+                               F.col("c")).otherwise(0)).alias("a"),
+                  F.sum("c").alias("ng"),
+                  F.max("__med").alias("__med")))
+    cell = F.struct(F.col("__g").alias("g"),
+                    F.col("a").cast("long").alias("a"),
+                    F.col("ng").cast("long").alias("n"))
+    agg = (per_g.withColumn("__c", cell)
+           .groupBy(*gb)
+           .agg(F.count("*").alias("k_groups"),
+                F.sum("ng").alias("__n"),
+                F.sum("a").alias("__a"),
+                F.max("__med").alias("__med"),
+                F.collect_list("__c").alias("__cells")))
+    chi2 = F.expr(
+        "aggregate(array_sort(__cells), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc"
+        "  + (CAST(x.a AS DOUBLE)"
+        "     - CAST(x.n AS DOUBLE) * CAST(__a AS DOUBLE)"
+        "       / CAST(__n AS DOUBLE))"
+        "    * (CAST(x.a AS DOUBLE)"
+        "       - CAST(x.n AS DOUBLE) * CAST(__a AS DOUBLE)"
+        "         / CAST(__n AS DOUBLE))"
+        "    / (CAST(x.n AS DOUBLE) * CAST(__a AS DOUBLE)"
+        "       / CAST(__n AS DOUBLE))"
+        "  + (CAST(x.n - x.a AS DOUBLE)"
+        "     - CAST(x.n AS DOUBLE) * CAST(__n - __a AS DOUBLE)"
+        "       / CAST(__n AS DOUBLE))"
+        "    * (CAST(x.n - x.a AS DOUBLE)"
+        "       - CAST(x.n AS DOUBLE) * CAST(__n - __a AS DOUBLE)"
+        "         / CAST(__n AS DOUBLE))"
+        "    / (CAST(x.n AS DOUBLE) * CAST(__n - __a AS DOUBLE)"
+        "       / CAST(__n AS DOUBLE)))")
+    ok = (F.col("k_groups") >= 2) & (F.col("__a") > 0) \
+        & (F.col("__a") < F.col("__n"))
+    return agg.select(
+        *gb,
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.col("__n").cast("long").alias("n_total"),
+        F.col("__a").cast("long").alias("n_above"),
+        F.round(F.col("__med").cast("double") / 1e6, 6)
+        .alias("median"),
+        F.when(ok, F.round(chi2, round_dp)).alias("chi2"),
+        (F.col("k_groups") - F.lit(1)).cast("long").alias("df"))
+
+
+def ab_mood_median_sql(
+    table: str,
+    variant_col: str,
+    value_col: str,
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ab_mood_median (same pooled lower-median
+    integer rule, same exact integer cells, same variant-ordered
+    (O−E)²/E fold with identical promotion points)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    jkeys = " AND ".join(f"p.{k} = m.{k}" for k in gb) if gb \
+        else "TRUE"
+    psel = (", ".join(f"p.{k}" for k in gb) + ", ") if gb else ""
+    j2 = " AND ".join(f"p.{k} = t.{k}" for k in gb) if gb else "TRUE"
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST({variant_col} AS VARCHAR) AS g,
+         CAST(round(CAST({value_col} AS DOUBLE) * 1e6) AS BIGINT)
+           AS xq
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {variant_col} IS NOT NULL
+),
+pooled AS (
+  SELECT {gsel}xq, count(*) AS cnt FROM base GROUP BY {gsel}xq
+),
+med AS (
+  SELECT {gsel}min(xq) AS med FROM (
+    SELECT {gsel}xq,
+           sum(cnt) OVER ({part} ORDER BY xq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum,
+           sum(cnt) OVER ({part}) AS nn
+    FROM pooled)
+  WHERE cum * 2 >= nn + nn % 2 {gkey}
+),
+per_g AS (
+  SELECT {psel}p.g,
+         CAST(sum(CASE WHEN p.xq > m.med THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(count(*) AS BIGINT) AS ng,
+         max(m.med) AS med
+  FROM base p JOIN med m ON {jkeys}
+  GROUP BY {psel}p.g
+),
+tot AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(ng) AS BIGINT) AS n_total,
+         CAST(sum(a) AS BIGINT) AS n_above,
+         max(med) AS med
+  FROM per_g {gkey}
+),
+folded AS (
+  SELECT {psel.replace('p.', 't.') if gb else ''}max(t.k_groups)
+           AS k_groups,
+         max(t.n_total) AS n_total, max(t.n_above) AS n_above,
+         max(t.med) AS med,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list((CAST(p.a AS DOUBLE)
+                 - CAST(p.ng AS DOUBLE) * CAST(t.n_above AS DOUBLE)
+                   / CAST(t.n_total AS DOUBLE))
+                * (CAST(p.a AS DOUBLE)
+                   - CAST(p.ng AS DOUBLE) * CAST(t.n_above AS DOUBLE)
+                     / CAST(t.n_total AS DOUBLE))
+                / (CAST(p.ng AS DOUBLE) * CAST(t.n_above AS DOUBLE)
+                   / CAST(t.n_total AS DOUBLE))
+                + (CAST(p.ng - p.a AS DOUBLE)
+                   - CAST(p.ng AS DOUBLE)
+                     * CAST(t.n_total - t.n_above AS DOUBLE)
+                     / CAST(t.n_total AS DOUBLE))
+                  * (CAST(p.ng - p.a AS DOUBLE)
+                     - CAST(p.ng AS DOUBLE)
+                       * CAST(t.n_total - t.n_above AS DOUBLE)
+                       / CAST(t.n_total AS DOUBLE))
+                  / (CAST(p.ng AS DOUBLE)
+                     * CAST(t.n_total - t.n_above AS DOUBLE)
+                     / CAST(t.n_total AS DOUBLE))
+                ORDER BY p.g)),
+           (acc, x) -> acc + x) AS chi2raw
+  FROM per_g p JOIN tot t ON {j2}
+  {("GROUP BY " + ", ".join("t." + k for k in gb)) if gb else ""}
+)
+SELECT {gsel}k_groups, n_total, n_above,
+       round(med::DOUBLE / 1e6, 6) AS median,
+       CASE WHEN k_groups >= 2 AND n_above > 0
+                 AND n_above < n_total
+            THEN round(chi2raw, {round_dp}) END AS chi2,
+       k_groups - 1 AS df
+FROM folded
+"""

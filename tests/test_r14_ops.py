@@ -408,3 +408,57 @@ class TestSeasonalDecompose:
             "events", group_by=["event_type"])).df()
         assert _rows_match(
             seasonal_decompose(ev, group_by=["event_type"]), odf)
+
+
+class TestMoodMedian:
+    def test_hand_reference(self, spark):
+        """3 arms straddling the pooled lower median 5.0: A=6, chi2=8
+        (independent pure-python reference)."""
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_mood_median
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+                ("b", 3.0), ("b", 5.0), ("b", 6.0), ("b", 7.0),
+                ("c", 6.0), ("c", 8.0), ("c", 9.0), ("c", 10.0)]
+        df = spark.createDataFrame(rows, "variant string, value double")
+        [r] = ab_mood_median(df, "variant", "value",
+                             round_dp=6).collect()
+        assert (r["k_groups"], r["n_total"], r["n_above"],
+                r["median"], r["chi2"], r["df"]) \
+            == (3, 12, 6, 5.0, 8.0, 2)
+
+    def test_identical_arms_chi2_zero(self, spark):
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_mood_median
+        rows = [(g, float(v)) for g in ("a", "b")
+                for v in (1, 2, 3, 4, 5, 6)]
+        df = spark.createDataFrame(rows, "variant string, value double")
+        [r] = ab_mood_median(df, "variant", "value").collect()
+        assert r["chi2"] == 0.0
+
+    def test_all_at_median_null(self, spark):
+        """Every value equal → nothing above the median → NULL chi2
+        (degenerate margin), the documented convention."""
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_mood_median
+        df = spark.createDataFrame(
+            [("a", 5.0), ("b", 5.0)] * 4, "variant string, value double")
+        [r] = ab_mood_median(df, "variant", "value").collect()
+        assert r["chi2"] is None and r["n_above"] == 0
+
+    def test_twin_parity_grouped(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ab_mood_median, ab_mood_median_sql
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        exp = ev.withColumn(
+            "variant",
+            F.concat(F.lit("v"), F.pmod(F.col("event_id"), 4)))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        odf = con.execute(ab_mood_median_sql(
+            "(SELECT *, 'v' || CAST(event_id % 4 AS VARCHAR) "
+            "AS variant FROM events)",
+            "variant", "value", group_by=["event_type"])).df()
+        assert _rows_match(
+            ab_mood_median(exp, "variant", "value",
+                           group_by=["event_type"]), odf)

@@ -104,6 +104,7 @@ R14_NEW = {
     "zipf_fit_by_lang",
     "ab_kruskal_wallis",
     "events_seasonal_decompose",
+    "ab_mood_median",
 }
 
 # r14 rotation (VERDICT r13 tasks 1+5): 16 swaps — the pytest-seasoned
