@@ -267,7 +267,8 @@ def test_r14_operators_stay_jvm_side(spark):
     for name in ("events_km_greenwood", "events_competing_risks",
                  "events_cusum", "eval_brier_decomposition",
                  "zipf_fit_by_lang", "survival_report",
-                 "experiment_report"):
+                 "experiment_report", "ab_kruskal_wallis",
+                 "events_seasonal_decompose", "ab_mood_median"):
         plan = _plan(entry.queries()[name](spark, SF))
         assert "PythonUDF" not in plan, name
         assert "ArrowEvalPython" not in plan, name
