@@ -4545,6 +4545,27 @@ def q_eval_brier_decomposition(spark, sf):
     return emx.brier_decomposition(d, group_by=["event_type"])
 
 
+@_q("events_durbin_watson", tsx.durbin_watson_sql(
+    "events", group_by=["event_type"]))
+def q_events_durbin_watson(spark, sf):
+    """Durbin-Watson first-order autocorrelation of the daily value
+    sum per event type (r14) — exact-decimal lag-squared numerator,
+    rational denominator, one closing division; the parametric
+    residual diagnostic beside runs_test."""
+    return tsx.durbin_watson(_t(spark, sf, "events"),
+                             group_by=["event_type"])
+
+
+@_q("events_runs_test", tsx.runs_test_sql(
+    "events", group_by=["event_type"]))
+def q_events_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test for randomness of the daily value
+    sum around its lower median per event type (r14) — integer run
+    count over the day order, exact margins, one closing chain."""
+    return tsx.runs_test(_t(spark, sf, "events"),
+                         group_by=["event_type"])
+
+
 @_q("ab_mood_median", abx.ab_mood_median_sql(
     "(SELECT *, 'v' || CAST(event_id % 4 AS VARCHAR) AS variant "
     "FROM events)",

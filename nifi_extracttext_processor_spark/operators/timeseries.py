@@ -1888,3 +1888,268 @@ FROM trended t LEFT JOIN seas s
      {" AND " if gb else " AND "}t.pos = s.pos
 ORDER BY {gsel.replace(', ', ', ') if not gb else ", ".join("t." + k for k in gb) + ", "}t.d
 """
+
+
+def durbin_watson(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_days, dw) — the Durbin-Watson first-order
+    autocorrelation statistic over the daily metric sum (Durbin &
+    Watson 1950): DW = Σ(e_t − e_{t−1})² / Σ e_t² with e the
+    mean-removed series — ~2 means uncorrelated residuals, →0
+    positive autocorrelation (trend/level structure the mean missed),
+    →4 negative (oscillation). The residual-diagnostics companion to
+    seasonal_decompose / the forecast family: run it on what the
+    model left behind.
+
+    Exactness: day sums quantize to exact 1e-6 decimals; the
+    numerator Σ(y_t − y_{t−1})² cancels the mean exactly and is an
+    EXACT DECIMAL INTEGER (one day-ordered lag window); the
+    denominator Σ(y_t − ȳ)² = (n·Σy² − T²)/n is an exact rational;
+    ONE closing division chain. NULL dw when n < 2 or the series is
+    constant."""
+    gb = list(group_by or [])
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*gb, F.to_date(F.col(ts_col)).alias("d"))
+             .agg(F.sum(F.round(F.col(value_col).cast("double")
+                                * 1e6).cast("decimal(38,0)"))
+                  .alias("yq")))
+    wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    prev = F.lag("yq").over(wg.orderBy("d"))
+    diff = F.col("yq") - prev
+    scored = daily.withColumn("__d2", diff * diff)
+    agg = (scored.groupBy(*gb)
+           .agg(F.count("*").alias("n_days"),
+                F.sum("yq").alias("__t"),
+                F.sum(F.col("yq") * F.col("yq")).alias("__ssq"),
+                F.sum("__d2").alias("__num")))
+    nn = F.col("n_days").cast("double")
+    den = (F.col("n_days").cast("decimal(38,0)") * F.col("__ssq")
+           - F.col("__t") * F.col("__t")).cast("double") / nn
+    dw = F.when((F.col("n_days") >= 2) & (den > 0),
+                F.round(F.col("__num").cast("double") / den,
+                        round_dp))
+    return agg.select(*gb,
+                      F.col("n_days").cast("long").alias("n_days"),
+                      dw.alias("dw"))
+
+
+def durbin_watson_sql(
+    table: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_by: "list[str] | None" = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of durbin_watson (same exact-decimal day
+    collapse, same lag-squared integer numerator, same rational
+    denominator and closing chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    return f"""
+WITH daily AS (
+  SELECT {gsel}CAST({ts_col} AS DATE) AS d,
+         CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS yq
+  FROM {table}
+  WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel}CAST({ts_col} AS DATE)
+),
+scored AS (
+  SELECT {gsel}yq,
+         (yq - lag(yq) OVER ({part} ORDER BY d))
+         * (yq - lag(yq) OVER ({part} ORDER BY d)) AS d2
+  FROM daily
+),
+agg AS (
+  SELECT {gsel}CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(yq) AS DECIMAL(38,0)) AS t,
+         CAST(sum(yq * yq) AS DECIMAL(38,0)) AS ssq,
+         CAST(sum(d2) AS DECIMAL(38,0)) AS num
+  FROM scored {gkey}
+)
+SELECT {gsel}n_days,
+       round(CASE WHEN n_days >= 2 AND
+                  (CAST(n_days AS DECIMAL(38,0)) * ssq
+                   - t * t)::DOUBLE / n_days::DOUBLE > 0
+             THEN num::DOUBLE
+                  / ((CAST(n_days AS DECIMAL(38,0)) * ssq
+                      - t * t)::DOUBLE / n_days::DOUBLE) END,
+             {round_dp}) AS dw
+FROM agg
+"""
+
+
+def runs_test(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(group..., n_days, n_above, n_below, n_runs, z, significant)
+    — the Wald-Wolfowitz runs test (1940) for randomness of the
+    daily metric sum around its median: too FEW runs = level
+    persistence/trend, too MANY = oscillation; the distribution-free
+    companion to durbin_watson (which measures the SAME structure
+    parametrically). Days above the pooled LOWER median (the
+    brown_forsythe integer rule) are +, below are −, days exactly AT
+    the median are excluded (the classic convention);
+
+        E[R] = 2·n₁·n₂/(n₁+n₂) + 1
+        Var  = 2n₁n₂(2n₁n₂−n₁−n₂) / ((n₁+n₂)²(n₁+n₂−1))
+
+    Exactness: day sums and the median are exact integers on the
+    1e-6 grid; the run count is an integer lag comparison over the
+    day order; E and Var close in ONE spelled double chain. NULL z
+    when either side is empty or n₁+n₂ < 2."""
+    gb = list(group_by or [])
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*gb, F.to_date(F.col(ts_col)).alias("d"))
+             .agg(F.sum(F.round(F.col(value_col).cast("double")
+                                * 1e6).cast("decimal(38,0)"))
+                  .alias("yq")))
+    wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
+    cum = F.sum(F.lit(1)).over(
+        wg.orderBy("yq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nn = F.count("*").over(wg)
+    med = (daily
+           .withColumn("__cum", cum)
+           .withColumn("__nn", nn)
+           .filter(F.col("__cum") * 2 >= F.col("__nn")
+                   + F.pmod(F.col("__nn"), 2))
+           .groupBy(*gb)
+           .agg(F.min("yq").alias("__med")))
+    j = daily.join(med, gb) if gb \
+        else daily.join(F.broadcast(med), F.lit(True))
+    signed = (j.filter(F.col("yq") != F.col("__med"))
+              .withColumn("__s", (F.col("yq") > F.col("__med"))
+                          .cast("int")))
+    prev = F.lag("__s").over(wg.orderBy("d"))
+    scored = signed.withColumn(
+        "__chg", F.when(prev.isNull() | (prev != F.col("__s")), 1)
+        .otherwise(0))
+    agg = (scored.groupBy(*gb)
+           .agg(F.sum("__s").alias("n1"),
+                F.sum(1 - F.col("__s")).alias("n2"),
+                F.sum("__chg").alias("n_runs")))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    ntot = n1 + n2
+    er = F.lit(2.0) * n1 * n2 / ntot + F.lit(1.0)
+    var = (F.lit(2.0) * n1 * n2
+           * (F.lit(2.0) * n1 * n2 - n1 - n2)
+           / (ntot * ntot * (ntot - F.lit(1.0))))
+    z = F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+               F.round((F.col("n_runs").cast("double") - er)
+                       / F.sqrt(var), round_dp))
+    return agg.select(
+        *gb,
+        (F.col("n1") + F.col("n2")).cast("long").alias("n_days"),
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n2").cast("long").alias("n_below"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(float(z_alpha)), F.lit(False))
+        .alias("significant"))
+
+
+def runs_test_sql(
+    table: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_by: "list[str] | None" = None,
+    z_alpha: float = 1.959963984540054,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of runs_test (same integer median rule, same
+    lag-based run count, same closing chain)."""
+    gb = list(group_by or [])
+    gsel = (", ".join(gb) + ", ") if gb else ""
+    gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
+    part = ("PARTITION BY " + ", ".join(gb)) if gb else ""
+    jkeys = " AND ".join(f"a.{k} = m.{k}" for k in gb) if gb \
+        else "TRUE"
+    asel = (", ".join(f"a.{k}" for k in gb) + ", ") if gb else ""
+    return f"""
+WITH daily AS (
+  SELECT {gsel}CAST({ts_col} AS DATE) AS d,
+         CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 1e6)
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS yq
+  FROM {table}
+  WHERE {value_col} IS NOT NULL
+  GROUP BY {gsel}CAST({ts_col} AS DATE)
+),
+med AS (
+  SELECT {gsel}min(yq) AS med FROM (
+    SELECT {gsel}yq,
+           row_number() OVER ({part} ORDER BY yq) AS cum,
+           count(*) OVER ({part}) AS nn
+    FROM daily)
+  WHERE cum * 2 >= nn + nn % 2 {gkey}
+),
+signed AS (
+  SELECT {asel}a.d, CAST(a.yq > m.med AS INT) AS s
+  FROM daily a JOIN med m ON {jkeys}
+  WHERE a.yq <> m.med
+),
+scored AS (
+  SELECT {gsel}s,
+         CASE WHEN lag(s) OVER ({part} ORDER BY d) IS NULL
+                   OR lag(s) OVER ({part} ORDER BY d) <> s
+              THEN 1 ELSE 0 END AS chg
+  FROM signed
+),
+agg AS (
+  SELECT {gsel}CAST(sum(s) AS BIGINT) AS n1,
+         CAST(sum(1 - s) AS BIGINT) AS n2,
+         CAST(sum(chg) AS BIGINT) AS n_runs
+  FROM scored {gkey}
+)
+SELECT {gsel}n1 + n2 AS n_days, n1 AS n_above, n2 AS n_below,
+       n_runs,
+       round(CASE WHEN n1 > 0 AND n2 > 0 AND
+                  2.0 * n1::DOUBLE * n2::DOUBLE
+                  * (2.0 * n1::DOUBLE * n2::DOUBLE
+                     - n1::DOUBLE - n2::DOUBLE)
+                  / ((n1::DOUBLE + n2::DOUBLE)
+                     * (n1::DOUBLE + n2::DOUBLE)
+                     * (n1::DOUBLE + n2::DOUBLE - 1.0)) > 0
+             THEN (n_runs::DOUBLE
+                   - (2.0 * n1::DOUBLE * n2::DOUBLE
+                      / (n1::DOUBLE + n2::DOUBLE) + 1.0))
+                  / sqrt(2.0 * n1::DOUBLE * n2::DOUBLE
+                         * (2.0 * n1::DOUBLE * n2::DOUBLE
+                            - n1::DOUBLE - n2::DOUBLE)
+                         / ((n1::DOUBLE + n2::DOUBLE)
+                            * (n1::DOUBLE + n2::DOUBLE)
+                            * (n1::DOUBLE + n2::DOUBLE - 1.0)))
+             END, {round_dp}) AS z,
+       coalesce(abs(round(CASE WHEN n1 > 0 AND n2 > 0 AND
+                  2.0 * n1::DOUBLE * n2::DOUBLE
+                  * (2.0 * n1::DOUBLE * n2::DOUBLE
+                     - n1::DOUBLE - n2::DOUBLE)
+                  / ((n1::DOUBLE + n2::DOUBLE)
+                     * (n1::DOUBLE + n2::DOUBLE)
+                     * (n1::DOUBLE + n2::DOUBLE - 1.0)) > 0
+             THEN (n_runs::DOUBLE
+                   - (2.0 * n1::DOUBLE * n2::DOUBLE
+                      / (n1::DOUBLE + n2::DOUBLE) + 1.0))
+                  / sqrt(2.0 * n1::DOUBLE * n2::DOUBLE
+                         * (2.0 * n1::DOUBLE * n2::DOUBLE
+                            - n1::DOUBLE - n2::DOUBLE)
+                         / ((n1::DOUBLE + n2::DOUBLE)
+                            * (n1::DOUBLE + n2::DOUBLE)
+                            * (n1::DOUBLE + n2::DOUBLE - 1.0)))
+             END, {round_dp})) >= {float(z_alpha)!r}, FALSE)
+         AS significant
+FROM agg
+"""

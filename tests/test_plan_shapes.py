@@ -268,7 +268,8 @@ def test_r14_operators_stay_jvm_side(spark):
                  "events_cusum", "eval_brier_decomposition",
                  "zipf_fit_by_lang", "survival_report",
                  "experiment_report", "ab_kruskal_wallis",
-                 "events_seasonal_decompose", "ab_mood_median"):
+                 "events_seasonal_decompose", "ab_mood_median",
+                 "events_durbin_watson", "events_runs_test"):
         plan = _plan(entry.queries()[name](spark, SF))
         assert "PythonUDF" not in plan, name
         assert "ArrowEvalPython" not in plan, name

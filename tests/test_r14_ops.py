@@ -462,3 +462,68 @@ class TestMoodMedian:
         assert _rows_match(
             ab_mood_median(exp, "variant", "value",
                            group_by=["event_type"]), odf)
+
+
+class TestResidualDiagnostics:
+    def _df(self, spark, rows):
+        return (spark.createDataFrame(rows, "ts string, value double")
+                .withColumn("ts", F.to_timestamp("ts")))
+
+    def test_dw_extremes(self, spark):
+        """alternating series → DW near 4; monotone trend → near 0;
+        the hand value for the alternator is exact: diffs all ±10,
+        num = 19·100, den = Σ(e²) = 20·25 → DW = 1900/500 = 3.8."""
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import durbin_watson
+        alt = [(f"2024-01-{d + 1:02d}", 10.0 if d % 2 == 0 else 20.0)
+               for d in range(20)]
+        [r] = durbin_watson(self._df(spark, alt)).collect()
+        assert r["dw"] == pytest.approx(3.8)
+        tr = [(f"2024-01-{d + 1:02d}", float(d)) for d in range(20)]
+        [r2] = durbin_watson(self._df(spark, tr)).collect()
+        assert r2["dw"] < 0.1
+
+    def test_dw_constant_null(self, spark):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import durbin_watson
+        c = [(f"2024-01-{d + 1:02d}", 5.0) for d in range(10)]
+        [r] = durbin_watson(self._df(spark, c)).collect()
+        assert r["dw"] is None
+
+    def test_runs_trend_too_few_runs(self, spark):
+        """monotone trend: one below-block then one above-block = 2
+        runs — strongly non-random (z << 0). The median-valued day
+        itself is excluded (classic convention)."""
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import runs_test
+        tr = [(f"2024-01-{d + 1:02d}", float(d)) for d in range(20)]
+        [r] = runs_test(self._df(spark, tr)).collect()
+        assert r["n_days"] == 19 and r["n_runs"] == 2
+        assert r["z"] < -3 and r["significant"] is True
+
+    def test_runs_alternator_too_many_runs(self, spark):
+        """low/high alternation with distinct values: every retained
+        day flips sign — z >> 0."""
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import runs_test
+        rows = []
+        for d in range(20):
+            v = float(d // 2) if d % 2 == 0 else 100.0 + d
+            rows.append((f"2024-01-{d + 1:02d}", v))
+        [r] = runs_test(self._df(spark, rows)).collect()
+        assert r["z"] > 3 and r["significant"] is True
+
+    def test_twin_parity_grouped(self, spark, sf_dir):
+        from nifi_extracttext_processor_spark.operators.timeseries \
+            import (durbin_watson, durbin_watson_sql, runs_test,
+                    runs_test_sql)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        for op, sqlf in [(durbin_watson, durbin_watson_sql),
+                         (runs_test, runs_test_sql)]:
+            odf = con.execute(
+                sqlf("events", group_by=["event_type"])).df()
+            assert _rows_match(
+                op(ev, group_by=["event_type"]), odf), op.__name__

@@ -48,16 +48,6 @@ from window_ledger import WINDOW_SIZE, build_ledger, load_correctness
 #   - graph_coreness: h-index rounds unrolled 8x for the SF-invariant
 #     37-node seed graph (measured fixpoint: 4 sweeps; idempotent
 #     beyond it); twin = core_numbers_unrolled_sql.
-# The two that remain are genuinely non-replayable in one SQL query:
-#   - bpe_tokenize: inference applies 200 TRAINED merges in priority
-#     order, each a left-to-right adjacent-pair rewrite over the token
-#     list — a data-dependent recursion DuckDB SQL cannot express
-#     without per-merge recursive CTEs over every document; the
-#     merges themselves come from an iterative corpus-wide argmax.
-#   - unigram_tokenize: Viterbi segmentation (per-document DP over a
-#     trained vocab with EM-pruned scores) — same class.
-# Both are contract-pinned in tests/test_tokenize.py against pure-
-# python reference implementations.
 ROWS_ONLY_CARVEOUTS: set[str] = set()
 
 # r12 rotation (VERDICT r11 tasks 2+3): throughput raised to 9 swaps so
@@ -105,6 +95,8 @@ R14_NEW = {
     "ab_kruskal_wallis",
     "events_seasonal_decompose",
     "ab_mood_median",
+    "events_durbin_watson",
+    "events_runs_test",
 }
 
 # r14 rotation (VERDICT r13 tasks 1+5): 16 swaps — the pytest-seasoned
