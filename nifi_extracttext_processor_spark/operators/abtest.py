@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sqlutil import sql_ident, sql_lit
+from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
 
 
 def ab_proportion_test(
@@ -3105,6 +3106,7 @@ def ab_brown_forsythe(
     group_by: "list[str] | None" = None,
     t_alpha: float = 1.96,
     round_dp: int = 4,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """(group..., n_control, n_treatment, med_control, med_treatment,
     t, significant) — the Brown-Forsythe scale test (Brown &
@@ -3121,7 +3123,14 @@ def ab_brown_forsythe(
     exact integer and the Welch moments are exact decimal sums with
     the division/sqrt chain spelled once. Shuffle carries distinct
     (variant, value) pairs for the median, then one conditional-sum
-    scan for the moments — never a sort of the raw data."""
+    scan for the moments — never a sort of the raw data.
+
+    METRIC CONTRACT: the 1e-6 quantized per-variant distinct-value
+    collapse feeds an ordered cumulative window; `max_distinct`
+    gates that collapse through guards.guard_max_distinct (the
+    kruskal_wallis discipline) so an unbounded raw-float domain
+    fails loud before the single-task sort materializes.
+    `max_distinct=None` opts out."""
     gb = list(group_by or [])
     v = F.col(value_col).cast("double")
     base = (df.filter(
@@ -3133,6 +3142,8 @@ def ab_brown_forsythe(
                 F.round(v * 1e6).cast("long").alias("__xq")))
     per_v = (base.groupBy(*gb, "__g1", "__xq")
              .agg(F.count("*").alias("cnt")))
+    per_v = guard_max_distinct(per_v, [*gb, "__g1"], max_distinct,
+                               "ab_brown_forsythe")
     wv = Window.partitionBy(*gb, "__g1")
     cum = F.sum("cnt").over(
         wv.orderBy("__xq")
@@ -3297,6 +3308,7 @@ def ab_mood_median(
     value_col: str,
     group_by: "list[str] | None" = None,
     round_dp: int = 4,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """(group..., k_groups, n_total, n_above, median, chi2, df) —
     Mood's median test (Mood 1950): the k-sample GROSS-location
@@ -3320,7 +3332,14 @@ def ab_mood_median(
     order with int→double promotion at the same spelled points.
     Shuffle carries distinct values then k variant cells, never
     rows. NULL chi2 when k < 2 or either margin (above / not-above)
-    is empty — i.e. every value ties at the median."""
+    is empty — i.e. every value ties at the median.
+
+    METRIC CONTRACT: the pooled 1e-6 quantized distinct-value
+    collapse feeds an ordered cumulative window; `max_distinct`
+    gates that collapse through guards.guard_max_distinct (the
+    kruskal_wallis discipline) so an unbounded raw-float domain
+    fails loud before the single-task sort materializes.
+    `max_distinct=None` opts out."""
     gb = list(group_by or [])
     v = F.col(value_col).cast("double")
     base = (df.filter(v.isNotNull() & F.col(variant_col).isNotNull())
@@ -3329,6 +3348,8 @@ def ab_mood_median(
                     F.round(v * 1e6).cast("long").alias("__xq")))
     pooled = (base.groupBy(*gb, "__xq")
               .agg(F.count("*").alias("cnt")))
+    pooled = guard_max_distinct(pooled, gb, max_distinct,
+                                "ab_mood_median")
     wg = Window.partitionBy(*gb) if gb else Window.partitionBy()
     cum = F.sum("cnt").over(
         wg.orderBy("__xq")

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
+
 
 def derive_frame(ref: DataFrame, value_col: str) -> "tuple[float, float]":
     """[lo, hi] of the reference metric (exact min/max — order-
@@ -201,6 +203,7 @@ def ks_test_exact(
     group_by: "list[str] | None" = None,
     alpha: float = 0.05,
     round_dp: int = 6,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """(group..., n_a, n_b, ks_d, ks_crit, significant) — EXACT
     two-sample Kolmogorov–Smirnov distance (no binning; the binned
@@ -217,7 +220,10 @@ def ks_test_exact(
     one (group, DISTINCT value) count pair map-side — the shuffle and
     the ECDF window carry distinct metric values, never rows. Callers
     with continuous ultra-high-cardinality metrics quantize upstream
-    (the documented exact-percentile contract)."""
+    (the documented exact-percentile contract) — and since r15 that
+    contract is ENFORCED: `max_distinct` gates the distinct-value
+    collapse through guards.guard_max_distinct before the ECDF
+    window's single-task sort could materialize (`None` opts out)."""
     import math
     if not (0 < alpha < 1):
         raise ValueError("alpha must be in (0, 1)")
@@ -230,6 +236,8 @@ def ks_test_exact(
     per_v = base.groupBy(*gb, v.alias("__v")).agg(
         F.sum(1 - F.col("__b")).alias("ca"),
         F.sum("__b").alias("cb"))
+    per_v = guard_max_distinct(per_v, gb, max_distinct,
+                               "ks_test_exact")
     w = (Window.partitionBy(*gb).orderBy("__v")
          if gb else Window.partitionBy().orderBy("__v"))
     wt = (Window.partitionBy(*gb) if gb else Window.partitionBy())

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
+
 # atomic types whose min/max are well-defined and portably comparable
 # (df.dtypes SQL spellings)
 _ORDERED_TYPES = {
@@ -375,6 +377,7 @@ def value_concentration(
     top_fracs: "tuple[float, ...]" = (0.01, 0.1),
     group_by: "list[str] | None" = None,
     round_dp: int = 4,
+    max_distinct: "int | None" = DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """(group..., n, gini, top_1pct_share, top_10pct_share, ...) —
     how concentrated a value is across entities: the whale readout
@@ -394,7 +397,13 @@ def value_concentration(
     ceil(q·n) entities by value (block-split exactly at the
     boundary, partial blocks pro-rated by the grid value). Negative
     values are legal (gini is then unnormalized — documented); NULLs
-    excluded. n < 2 emits NULL gini."""
+    excluded. n < 2 emits NULL gini.
+
+    METRIC CONTRACT (r15): the 1e-6 grid distinct-value collapse
+    feeds an ordered cumulative window; `max_distinct` gates it
+    through guards.guard_max_distinct so an unbounded raw-float
+    domain fails loud before the single-task sort (`None` opts
+    out)."""
     gb = list(group_by or [])
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull())
@@ -407,6 +416,8 @@ def value_concentration(
                           .cast("decimal(38,0)").alias("__xq"))
     per_v = (ent.groupBy(*gb, "__xq")
              .agg(F.count("*").alias("__c")))
+    per_v = guard_max_distinct(per_v, gb, max_distinct,
+                               "value_concentration")
     wtot = Window.partitionBy(*gb) if gb else Window.partitionBy()
     wprev = (wtot.orderBy("__xq")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -703,11 +703,13 @@ def kruskal_wallis(
     Module discipline end-to-end: per-(group, variant, distinct
     value) counts are one map-side agg; pooled midranks carry as
     2×-integers so 2R_g = Σ c_g·(2·left+t+1) and the tie term are
-    EXACT INTEGER sums; the one cross-variant float reduction
-    (Σ R_g²/n_g) is a variant-ordered left fold with the int→double
-    promotion BEFORE the square (2R_g ~ N² would overflow
-    decimal(38) at 10¹² rows — both engines square in double at the
-    same spelled point). Shuffle carries distinct (variant, value)
+    EXACT INTEGER sums, accumulated as decimal(38,0) / HUGEINT (the
+    cusum/brier discipline — an int64 product c·mid2 would silently
+    wrap at ~3·10⁹ rows per group since 2R_g ~ N²); the one
+    cross-variant float reduction (Σ R_g²/n_g) is a variant-ordered
+    left fold with the decimal→double promotion BEFORE the square
+    ((2R_g)² ~ N⁴ would exceed even decimal(38) at ~10¹⁰ rows —
+    both engines square in double at the same spelled point). Shuffle carries distinct (variant, value)
     pairs, never rows; the METRIC CONTRACT guard gates the pooled
     distinct-value collapse. NULL h when k < 2 or every value ties
     into one group; NULL epsilon_sq additionally when N == k."""
@@ -732,11 +734,13 @@ def kruskal_wallis(
         + F.col("t") + F.lit(1)).withColumn(
         "tt", F.col("t") * F.col("t") * F.col("t") - F.col("t"))
     j = per_gv.join(per_v.select(*gb, "__v", "mid2"), [*gb, "__v"])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_g = (j.groupBy(*gb, "__g")
-             .agg(F.sum(F.col("c") * F.col("mid2")).alias("r2"),
+             .agg(F.sum(dec(F.col("c")) * dec(F.col("mid2")))
+                  .alias("r2"),
                   F.sum("c").alias("ng")))
     cell = F.struct(F.col("__g").alias("g"),
-                    F.col("r2").cast("long").alias("r2"),
+                    F.col("r2").cast("decimal(38,0)").alias("r2"),
                     F.col("ng").cast("long").alias("ng"))
     arms = (per_g.withColumn("__c", cell)
             .groupBy(*gb)
@@ -783,8 +787,9 @@ def kruskal_wallis_sql(
     round_dp: int = 4,
 ) -> str:
     """DuckDB twin of kruskal_wallis (same pooled 2×-midrank
-    integers, same variant-ordered fold with the square in DOUBLE,
-    same tie correction and closing chain)."""
+    integers with HUGEINT accumulation mirroring Spark's
+    decimal(38,0), same variant-ordered fold with the square in
+    DOUBLE, same tie correction and closing chain)."""
     gb = list(group_by or [])
     gsel = (", ".join(gb) + ", ") if gb else ""
     gkey = ("GROUP BY " + ", ".join(gb)) if gb else ""
@@ -816,7 +821,8 @@ mids AS (
 ),
 per_g AS (
   SELECT {asel}a.g,
-         CAST(sum(a.c * b.mid2) AS BIGINT) AS r2,
+         CAST(sum(CAST(a.c AS HUGEINT) * CAST(b.mid2 AS HUGEINT))
+              AS HUGEINT) AS r2,
          CAST(sum(a.c) AS BIGINT) AS ng
   FROM per_gv a JOIN mids b
     ON {jkeys}{" AND " if gb else " "}a.v = b.v

@@ -1588,8 +1588,11 @@ def cusum_changepoint(
     and the two closing divisions + sqrt are ONE spelled double
     chain both engines replay. Scale shape: day-grain collapse
     first; one day-ordered integer prefix window over the bounded
-    day table; one aggregate. NULL stat when n < 2 or the series is
-    constant (σ̂ = 0)."""
+    day table; one aggregate. NULL stat when the series is constant
+    (σ̂ = 0). Groups with a SINGLE observed day have no interior
+    prefix point (the t < n filter empties them) and are ABSENT
+    from the output — not a NULL row (both engines agree); callers
+    joining this section back to a group roster should left-join."""
     if alpha not in _CUSUM_CRIT:
         raise ValueError(f"alpha must be one of {sorted(_CUSUM_CRIT)}")
     b = _CUSUM_CRIT[alpha]
@@ -1741,10 +1744,21 @@ def seasonal_decompose(
     explain): trend = centered `period`-day moving average (exact
     decimal window sum, ONE division — NULL on the first/last
     ⌊period/2⌋ days where the window is incomplete), seasonal =
-    per-day-of-period mean of the detrended series re-centered to
-    sum 0, resid = value − trend − seasonal. `period` must be ODD
-    (an even period needs half-weighted ends — a different spelled
-    chain; callers wanting weekly grain use 7).
+    per-position mean of the detrended series re-centered to sum 0,
+    resid = value − trend − seasonal. `period` must be ODD (an even
+    period needs half-weighted ends — a different spelled chain;
+    callers wanting weekly grain use 7).
+
+    SEQUENCE-BASED positions (ADVICE r14): the seasonal index is
+    assigned by row_number over OBSERVED days mod `period`, not by
+    calendar day-of-period — the textbook formulation for a regular
+    series, and both engines agree — but on a GAPPY daily series a
+    missing day shifts the phase of every subsequent day, so
+    "weekly" indices no longer mean calendar weekdays. Likewise the
+    moving-average window spans `period` observed ROWS, which are
+    only `period` consecutive days when the series is gap-free.
+    Callers with gaps must densify first (events_gap_fill / an
+    explicit calendar spine) or accept sequence semantics.
 
     Exactness: day sums quantize to exact 1e-6 decimals; the moving
     window SUM is an integer-decimal aggregate (association-free) so
@@ -2009,7 +2023,11 @@ def runs_test(
     Exactness: day sums and the median are exact integers on the
     1e-6 grid; the run count is an integer lag comparison over the
     day order; E and Var close in ONE spelled double chain. NULL z
-    when either side is empty or n₁+n₂ < 2."""
+    when either side is empty (with ≥1 off-median day) or
+    n₁+n₂ < 2. Degenerate groups where EVERY day ties at the median
+    have no off-median days at all and are ABSENT from the output —
+    not a NULL row (both engines agree); callers joining this
+    section back to a group roster should left-join."""
     gb = list(group_by or [])
     daily = (df.filter(F.col(value_col).isNotNull())
              .groupBy(*gb, F.to_date(F.col(ts_col)).alias("d"))

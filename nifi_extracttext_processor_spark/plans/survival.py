@@ -63,7 +63,18 @@ def survival_report(
     the sections' slightly-different downstream projections (measured
     r14: the un-persisted 4-section join re-scanned events 4x). The
     frames are registered with lifecycle.track_persist, so a
-    long-running session reclaims them with release_all()."""
+    long-running session reclaims them with release_all().
+
+    RELEASE CONTRACT (r14 default change, ADVICE-noted): because
+    share_state now defaults to True, a previously pure
+    plan-assembly call acquires cached state as a side effect. After
+    consuming the sections, call
+    ``operators.lifecycle.release_all()`` (idempotent; safe even if
+    the session crashed mid-consume — see the lifecycle tests in
+    tests/test_survival.py) or pass
+    ``share_state=False`` to keep the call pure. Sessions that
+    never release simply hold the two bounded persists until
+    teardown — correct but memory-resident."""
     gb = list(group_by or [])
     if share_state:
         from ..operators.lifecycle import track_persist

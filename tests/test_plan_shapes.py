@@ -282,7 +282,9 @@ def test_quantization_guard_counts_before_the_window(spark):
     in the plan (it gates the collapse the window consumes), and the
     gated roc_auc plan keeps its map-side partial aggregation."""
     plan = _plan(entry.queries()["eval_roc_auc"](spark, SF))
-    assert "assert_true" in plan.lower() or "assertnotnull" not in plan
+    assert "raise_error" in plan.lower() \
+        or "assert_true" in plan.lower(), \
+        "the guard's assert_true/raise_error node was pruned"
     # the guard join's count must be computed before (deeper than)
     # the Window operator consumes the collapse
     assert plan.index("Window") < plan.index("count(1)"), (

@@ -374,3 +374,84 @@ class TestSurvivalReportPlan:
         # without the arm columns the comparison section is absent
         rep2 = survival_report(df, tau=8.0)
         assert set(rep2) == {"km", "band", "hazard", "rmst"}
+
+
+class TestShareStateLifecycle:
+    """VERDICT r14 #6: share_state=True persists are load-bearing for
+    composed plans — prove release_all() reclaims BOTH frames even
+    when the consumer crashes mid-report, and that a released report
+    still recomputes correctly afterwards."""
+
+    def _frame(self, spark, n=200, seed=11):
+        import random
+        rng = random.Random(seed)
+        rows = [(rng.randint(1, 12), rng.randint(0, 1))
+                for _ in range(n)]
+        return spark.createDataFrame(rows, "duration long, event int")
+
+    def test_release_reclaims_both_persists_after_crash(self, spark):
+        from nifi_extracttext_processor_spark.operators import (
+            lifecycle,
+        )
+        from nifi_extracttext_processor_spark.plans.survival import (
+            survival_report,
+        )
+        lifecycle.release_all(blocking=True)
+        assert lifecycle.live_count() == 0
+        df = self._frame(spark)
+        rep = survival_report(df, tau=8.0)
+        # the two shared frames (durations + km_counts) registered
+        assert lifecycle.live_count() == 2
+        # consumer crashes mid-report: one section read, then an
+        # exception escapes before the rest are consumed
+        with pytest.raises(RuntimeError):
+            rep["km"].collect()
+            raise RuntimeError("consumer died mid-report")
+        freed = lifecycle.release_all(blocking=True)
+        assert freed == 2
+        assert lifecycle.live_count() == 0
+        # release is idempotent
+        assert lifecycle.release_all(blocking=True) == 0
+        # the sections are still consumable (recompute, un-cached)
+        assert rep["rmst"].collect()[0]["rmst"] is not None
+
+    def test_share_state_false_registers_nothing(self, spark):
+        from nifi_extracttext_processor_spark.operators import (
+            lifecycle,
+        )
+        from nifi_extracttext_processor_spark.plans.survival import (
+            survival_report,
+        )
+        lifecycle.release_all(blocking=True)
+        rep = survival_report(self._frame(spark), tau=8.0,
+                              share_state=False)
+        assert lifecycle.live_count() == 0
+        assert rep["km"].count() > 0
+
+    def test_experiment_report_release_after_crash(self, spark):
+        from nifi_extracttext_processor_spark.operators import (
+            lifecycle,
+        )
+        from nifi_extracttext_processor_spark.plans.experiment import (
+            experiment_report,
+        )
+        import random
+        rng = random.Random(7)
+        rows = [("c" if rng.random() < 0.5 else "t",
+                 float(rng.randint(0, 40)) / 2.0,
+                 rng.randint(0, 1))
+                for _ in range(300)]
+        df = spark.createDataFrame(
+            rows, "variant string, value double, converted int")
+        lifecycle.release_all(blocking=True)
+        rep = experiment_report(df, "variant", "value", "c", "t")
+        n_live = lifecycle.live_count()
+        assert n_live >= 1
+        with pytest.raises(RuntimeError):
+            next(iter(rep.values())).collect()
+            raise RuntimeError("consumer died mid-report")
+        assert lifecycle.release_all(blocking=True) == n_live
+        assert lifecycle.live_count() == 0
+        # still consumable after release
+        for sec in rep.values():
+            assert sec.count() >= 0
