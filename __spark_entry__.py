@@ -5058,6 +5058,79 @@ _rotate_slot("exact_substring_dedup", "ab_diff_in_diff", rnd=14)
 _rotate_slot("bloom_pruned_join", "survival_report", rnd=14)
 _rotate_slot("image_phash_pairs", "experiment_report", rnd=14)
 
+# ===========================================================================
+# Driver-window rotation r15 — CONSOLIDATION round (VERDICT r14 task
+# 2: make the never-driver-seen backlog drain NET-positive by >= 10;
+# "the families are complete — consolidation is now worth more than
+# breadth"). ZERO new operators registered this round, 15 swaps — the
+# maximum the >=2-prior-greens eviction bar allows (every other
+# non-anchor window row is an r14 debut with exactly one green). The
+# 15 incoming rows are exactly VERDICT r14's priority list: the ten
+# pytest-seasoned r14 operators, the two frozen-state tokenizer twins,
+# and the three-round-seasoned r12 statistical tail. Net drain:
+# backlog 137 -> 122.
+#
+# HONESTY NOTE on family representation: this round parks the last
+# in-window rep of five small families (attribution, privacy/k-anon,
+# KMV sketch, CDC/orders_diff, incremental ER) below the window after
+# >= 2 greens each; their dtype-exact oracle parity keeps running in
+# every pytest run (test_oracle_parity), and r16 can rotate them back
+# once the backlog is drained. The large families (extraction
+# anchors, dedup, ANN, quality, survival, abtest, events) all keep
+# in-window reps.
+#   events_km_survival OUT (2 greens) -> events_km_greenwood IN
+#     (KM curve stays via survival_report's km section; Greenwood is
+#     the variance band over the SAME km_counts state)
+#   events_km_logrank OUT (2) -> events_competing_risks IN
+#     (arm comparison stays via survival_report/logrank; Aalen-
+#     Johansen is the competing-risks read of the shared counts)
+#   events_transitions OUT (2) -> events_cusum IN   (events family
+#     stays via events_pettitt + the three incoming timeseries rows)
+#   events_retention OUT (2) -> events_seasonal_decompose IN
+#   time_to_convert_hist OUT (2) -> events_durbin_watson IN
+#   orders_diff OUT (4) -> events_runs_test IN   (CDC family parks
+#     below-window; runs test completes the residual-diagnostics pair)
+#   ab_post_stratified OUT (2) -> ab_kruskal_wallis IN   (k-sample
+#     rank omnibus with the r14 guard + r15 decimal(38,0) rank sums
+#     in-plan under the driver hash)
+#   ab_msprt_value OUT (2) -> ab_mood_median IN   (median-rule row
+#     with the r15-wired quantization guard in-plan)
+#   ab_bootstrap_ratio OUT (2) -> ab_odds_ratio IN   (r12 tail;
+#     resampling family parks below-window after 2 greens each —
+#     experiment_report keeps the composed inference battery driver-
+#     hashed)
+#   ab_jackknife OUT (2) -> ab_paired_t IN
+#   attribution_position OUT (2) -> ab_mh_odds_ratio IN
+#     (Mantel-Haenszel stratified odds — completes the odds family)
+#   kmv_audience_overlap OUT (2) -> eval_brier_decomposition IN
+#     (eval family driver row alongside eval_roc_auc)
+#   k_anonymity_audit OUT (5) -> zipf_fit_by_lang IN   (corpus-drift
+#     readout; quality family stays via quality_score)
+#   rrf_fuse_topk OUT (3) -> bpe_tokenize IN   (frozen-state BPE
+#     inference twin — the strongest encoder check in the registry;
+#     retrieval stays via ann_topk_ivf_indexed)
+#   entity_resolve_incremental OUT (4) -> unigram_tokenize IN
+#     (frozen-state unrolled-Viterbi twin)
+# Evicted queries stay registered below the window; test_oracle_parity
+# keeps running their dtype-exact DuckDB checks every pytest run.
+# ===========================================================================
+
+_rotate_slot("events_km_survival", "events_km_greenwood", rnd=15)
+_rotate_slot("events_km_logrank", "events_competing_risks", rnd=15)
+_rotate_slot("events_transitions", "events_cusum", rnd=15)
+_rotate_slot("events_retention", "events_seasonal_decompose", rnd=15)
+_rotate_slot("time_to_convert_hist", "events_durbin_watson", rnd=15)
+_rotate_slot("orders_diff", "events_runs_test", rnd=15)
+_rotate_slot("ab_post_stratified", "ab_kruskal_wallis", rnd=15)
+_rotate_slot("ab_msprt_value", "ab_mood_median", rnd=15)
+_rotate_slot("ab_bootstrap_ratio", "ab_odds_ratio", rnd=15)
+_rotate_slot("ab_jackknife", "ab_paired_t", rnd=15)
+_rotate_slot("attribution_position", "ab_mh_odds_ratio", rnd=15)
+_rotate_slot("kmv_audience_overlap", "eval_brier_decomposition", rnd=15)
+_rotate_slot("k_anonymity_audit", "zipf_fit_by_lang", rnd=15)
+_rotate_slot("rrf_fuse_topk", "bpe_tokenize", rnd=15)
+_rotate_slot("entity_resolve_incremental", "unigram_tokenize", rnd=15)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

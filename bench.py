@@ -131,6 +131,14 @@ HEADLINE = [
                             # quantization guard in-plan (the guard's
                             # aggregate+join overhead is measured,
                             # not assumed)
+    # round-15 additions (appended, legacy order preserved)
+    "ab_kruskal_wallis",    # r15: k-arm rank omnibus — pooled midrank
+                            # prefix window + guard, with the r15
+                            # decimal(38,0) rank-sum accumulation (the
+                            # overflow fix's cost is measured here)
+    "events_seasonal_decompose",  # r15: exact-decimal centered-MA
+                                  # fold + position-keyed seasonal
+                                  # index folds over the day collapse
 ]
 
 

@@ -124,6 +124,30 @@ R14_PAIRS = {
 R14_IN = set(R14_PAIRS.values())
 R14_OUT = set(R14_PAIRS)
 
+# r15 rotation (VERDICT r14 task 2): CONSOLIDATION — zero new
+# operators, 15 swaps (the max the >=2-prior-greens bar allows; every
+# other non-anchor window row is an r14 debut with one green). The
+# incoming rows are exactly VERDICT r14's priority list.
+R15_PAIRS = {
+    "events_km_survival": "events_km_greenwood",
+    "events_km_logrank": "events_competing_risks",
+    "events_transitions": "events_cusum",
+    "events_retention": "events_seasonal_decompose",
+    "time_to_convert_hist": "events_durbin_watson",
+    "orders_diff": "events_runs_test",
+    "ab_post_stratified": "ab_kruskal_wallis",
+    "ab_msprt_value": "ab_mood_median",
+    "ab_bootstrap_ratio": "ab_odds_ratio",
+    "ab_jackknife": "ab_paired_t",
+    "attribution_position": "ab_mh_odds_ratio",
+    "kmv_audience_overlap": "eval_brier_decomposition",
+    "k_anonymity_audit": "zipf_fit_by_lang",
+    "rrf_fuse_topk": "bpe_tokenize",
+    "entity_resolve_incremental": "unigram_tokenize",
+}
+R15_IN = set(R15_PAIRS.values())
+R15_OUT = set(R15_PAIRS)
+
 # queries first registered in r13 (backlog INFLOW, not debt)
 R13_NEW = {
     "doc_link_components_large",
@@ -166,7 +190,7 @@ def test_r12_rotation_applied(ledger):
     # evicts them (they then must have had >= 2 greens — asserted in
     # the later round's own test); the historical swap record and the
     # driver artifact both still prove the r12 composition.
-    later_out = R14_OUT
+    later_out = R14_OUT | R15_OUT
     assert R12_IN - later_out <= window
     for n in R12_IN & later_out:
         assert 12 in ledger["rows"][n]["rounds_seen"], n
@@ -181,7 +205,12 @@ def test_r12_rotation_applied(ledger):
 
 def test_r13_rotation_applied(ledger):
     window = set(ledger["window"])
-    assert R13_IN <= window
+    # r13-in rows stay until a LATER recorded rotation evicts them
+    # (the r15 consolidation evicted ten, each with >= 2 greens —
+    # asserted in test_r15_rotation_applied)
+    assert R13_IN - R15_OUT <= window
+    for n in R13_IN & R15_OUT:
+        assert 13 in ledger["rows"][n]["rounds_seen"], n
     assert not (R13_OUT & window)
     for n in R13_OUT:
         assert n in entry.oracle_sql(), n
@@ -211,6 +240,30 @@ def test_r14_rotation_applied(ledger):
         assert len(greens) >= 2, (out, greens)
 
 
+def test_r15_rotation_applied(ledger):
+    window = set(ledger["window"])
+    assert R15_IN <= window
+    assert not (R15_OUT & window)
+    for n in R15_OUT:
+        assert n in entry.oracle_sql(), n
+    assert R15_OUT <= set(entry.queries())
+    r15 = [(o, i) for rnd, o, i in ledger["rotations"] if rnd == 15]
+    assert dict(r15) == R15_PAIRS
+    # policy bar: >= 2 prior green rounds for every eviction
+    for out in R15_OUT:
+        greens = [r for r in ledger["rows"][out]["rounds_green"]
+                  if r < 15]
+        assert len(greens) >= 2, (out, greens)
+
+
+def test_r15_consolidation_zero_inflow(ledger):
+    """r15 registered ZERO new queries (VERDICT r14 task 2: hold
+    inflow near zero for a round): the registry stays at 244 and the
+    backlog shrinks by exactly the 15 rotated-in rows: 137 -> 122."""
+    assert ledger["summary"]["registered"] == 244
+    assert ledger["summary"]["never_driver_seen_backlog"] <= 122
+
+
 def test_rotations_reverse_replay_to_consistent_base(ledger):
     """Reverse-applying the recorded swaps must succeed (every named
     query still registered) and put each rotated-IN query back below
@@ -227,6 +280,7 @@ def test_rotations_reverse_replay_to_consistent_base(ledger):
     assert R12_IN & base_window == set()
     assert R13_IN & base_window == set()
     assert R14_IN & base_window == set()
+    assert R15_IN & base_window == set()
 
 
 def test_no_correctness_key_was_silently_dropped():

@@ -70,6 +70,17 @@ def build_ledger(repo: str = REPO) -> dict:
 
     backlog = [n for n in names if not rows[n]["rounds_seen"]
                and not rows[n]["in_window_now"]]
+    # VERDICT r14 task 8: "ever_driver_seen" hides staleness — a row
+    # greened once at r6 and evicted since carries a 9-round-old
+    # attestation. Surface last_green per row so stale greens can be
+    # re-prioritized once the never-seen backlog drains.
+    latest = max(correctness) if correctness else 0
+    stale = sorted(
+        (n for n in names
+         if rows[n]["last_green"] is not None
+         and not rows[n]["in_window_now"]
+         and latest - rows[n]["last_green"] >= 3),
+        key=lambda n: rows[n]["last_green"])
     summary = {
         "registered": len(names),
         "oracle_backed": len(oracles),
@@ -78,8 +89,10 @@ def build_ledger(repo: str = REPO) -> dict:
         "ever_driver_seen": sum(1 for n in names if rows[n]["rounds_seen"]),
         "never_driver_seen_backlog": len(backlog),
         "latest_round": max(correctness) if correctness else None,
+        "stale_greens": len(stale),
     }
     return {"rows": rows, "window": window, "backlog": backlog,
+            "stale": stale,
             "rotations": list(entry.ROTATIONS), "summary": summary}
 
 
@@ -99,6 +112,13 @@ def main() -> None:
     for n in led["backlog"]:
         tag = "oracle" if led["rows"][n]["oracle_backed"] else "rows-only"
         print(f"- {n} ({tag})")
+    print("\n## Stale greens (last driver-green >= 3 rounds ago, "
+          f"now below window) ({s['stale_greens']})\n")
+    print("| query | last green | rounds stale |\n|---|---|---|")
+    latest = s["latest_round"] or 0
+    for n in led["stale"]:
+        lg = led["rows"][n]["last_green"]
+        print(f"| {n} | r{lg} | {latest - lg} |")
 
 
 if __name__ == "__main__":
