@@ -2993,14 +2993,17 @@ def ca_trend_test(
     sum scan, the ab_proportion_test posture.
 
     With integer dose scores every sufficient statistic is an exact
-    integer (Σwr, Σwn, Σnw², R, N); the closing scalar chain
+    integer (Σwr, Σwn, Σw², R, N), accumulated as decimal(38,0) /
+    HUGEINT since r15 (the kruskal_wallis discipline — an int64 Σw²
+    would silently wrap for callers using large raw scores as doses,
+    where DuckDB's BIGINT sum raises instead); the closing scalar
+    chain
 
-        z = (N·Σwr − R·Σwn) / sqrt(R·(N−R)·(N·Σnw² − (Σnw)²) / N)
+        z = (N·Σwr − R·Σwn) / sqrt(R·(N−R)·(N·Σw² − (Σw)²) / N)
 
     is spelled factor-for-factor identically in the twin — each
-    int64 promotes to double at the SAME point on both engines
-    (int→double rounding is exactly specified), so products that
-    would overflow int64 at 10¹²-row scale stay deterministic.
+    exact integer promotes to double at the SAME point on both
+    engines, so the chain stays deterministic at 10¹²-row scale.
     `dose_col` must be numeric; it is cast to long (the ORDERED
     integer scores w_k — the standard 0..K−1 spacing is the caller's
     choice of column). NULL dose/outcome rows are excluded. z is
@@ -3015,9 +3018,13 @@ def ca_trend_test(
            .agg(F.count("*").alias("n"),
                 F.sum("__s").alias("successes"),
                 F.countDistinct("__w").alias("n_doses"),
-                F.sum(F.col("__w") * F.col("__s")).alias("__wr"),
-                F.sum("__w").alias("__wn"),
-                F.sum(F.col("__w") * F.col("__w")).alias("__ww")))
+                F.sum((F.col("__w") * F.col("__s"))
+                      .cast("decimal(38,0)")).alias("__wr"),
+                F.sum(F.col("__w").cast("decimal(38,0)"))
+                .alias("__wn"),
+                F.sum(F.col("__w").cast("decimal(38,0)")
+                      * F.col("__w").cast("decimal(38,0)"))
+                .alias("__ww")))
     nd = F.col("n").cast("double")
     rd = F.col("successes").cast("double")
     num = nd * F.col("__wr").cast("double") \
@@ -3061,9 +3068,10 @@ agg AS (
   SELECT {gsel}count(*) AS n,
          CAST(sum(s) AS BIGINT) AS successes,
          count(DISTINCT w) AS n_doses,
-         CAST(sum(w * s) AS BIGINT) AS wr,
-         CAST(sum(w) AS BIGINT) AS wn,
-         CAST(sum(w * w) AS BIGINT) AS ww
+         CAST(sum(CAST(w AS HUGEINT) * s) AS HUGEINT) AS wr,
+         CAST(sum(CAST(w AS HUGEINT)) AS HUGEINT) AS wn,
+         CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))
+              AS HUGEINT) AS ww
   FROM base {gkey}
 )
 SELECT {gsel}n, successes, n_doses,
@@ -3172,19 +3180,21 @@ def ab_brown_forsythe(
         F.max(F.when(F.col("__g1") == 1, F.col("__med")))
         .alias("med1"),
         F.sum(F.when(F.col("__g1") == 0,
-                     dec(F.col("cnt") * F.col("__z")))
+                     dec(F.col("cnt")) * dec(F.col("__z")))
               .otherwise(F.lit(0).cast("decimal(38,0)")))
         .alias("s0"),
         F.sum(F.when(F.col("__g1") == 1,
-                     dec(F.col("cnt") * F.col("__z")))
+                     dec(F.col("cnt")) * dec(F.col("__z")))
               .otherwise(F.lit(0).cast("decimal(38,0)")))
         .alias("s1"),
         F.sum(F.when(F.col("__g1") == 0,
-                     dec(F.col("cnt") * F.col("__z") * F.col("__z")))
+                     dec(F.col("cnt")) * dec(F.col("__z"))
+                     * dec(F.col("__z")))
               .otherwise(F.lit(0).cast("decimal(38,0)")))
         .alias("ss0"),
         F.sum(F.when(F.col("__g1") == 1,
-                     dec(F.col("cnt") * F.col("__z") * F.col("__z")))
+                     dec(F.col("cnt")) * dec(F.col("__z"))
+                     * dec(F.col("__z")))
               .otherwise(F.lit(0).cast("decimal(38,0)")))
         .alias("ss1")))
     n0 = F.col("n0").cast("double")
@@ -3282,13 +3292,13 @@ agg AS (
            AS n1,
          max(CASE WHEN g1 = 0 THEN medq END) AS med0,
          max(CASE WHEN g1 = 1 THEN medq END) AS med1,
-         sum(CASE WHEN g1 = 0 THEN CAST(cnt * z AS HUGEINT)
+         sum(CASE WHEN g1 = 0 THEN CAST(cnt AS HUGEINT) * z
                   ELSE 0 END) AS s0,
-         sum(CASE WHEN g1 = 1 THEN CAST(cnt * z AS HUGEINT)
+         sum(CASE WHEN g1 = 1 THEN CAST(cnt AS HUGEINT) * z
                   ELSE 0 END) AS s1,
-         sum(CASE WHEN g1 = 0 THEN CAST(cnt * z * z AS HUGEINT)
+         sum(CASE WHEN g1 = 0 THEN CAST(cnt AS HUGEINT) * z * z
                   ELSE 0 END) AS ss0,
-         sum(CASE WHEN g1 = 1 THEN CAST(cnt * z * z AS HUGEINT)
+         sum(CASE WHEN g1 = 1 THEN CAST(cnt AS HUGEINT) * z * z
                   ELSE 0 END) AS ss1
   FROM scored {gkey}
 )

@@ -524,10 +524,14 @@ def cohen_kappa(
             .agg(F.sum("__ia").alias("__na"),
                  F.sum("__ib").alias("__nb"))
             .groupBy(*gb)
-            .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__pe")))
+            .agg(F.sum(F.col("__na").cast("decimal(38,0)")
+                       * F.col("__nb").cast("decimal(38,0)"))
+                 .alias("__pe")))
     j = tot.join(marg, gb) if gb else tot.crossJoin(marg)
-    num = F.col("n") * F.col("__agree") - F.col("__pe")
-    den = F.col("n") * F.col("n") - F.col("__pe")
+    # n*agree and n*n ~ N^2 wrap int64 at ~3e9 rows — decimal operands
+    decl = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = decl(F.col("n")) * decl(F.col("__agree")) - F.col("__pe")
+    den = decl(F.col("n")) * decl(F.col("n")) - F.col("__pe")
     out = j.select(
         *gb, "n",
         F.round(F.col("__agree").cast("double")
@@ -569,16 +573,16 @@ labels AS (
   SELECT {gsel}b AS lab, 0 AS ia, 1 AS ib FROM base
 ),
 marg AS (
-  SELECT {gsel}sum(na * nb) AS pe FROM (
+  SELECT {gsel}sum(CAST(na AS HUGEINT) * nb) AS pe FROM (
     SELECT {gsel}lab, sum(ia) AS na, sum(ib) AS nb
     FROM labels GROUP BY {gsel}lab
   ) {gkey}
 )
 SELECT {gsel}n,
        round(agree::DOUBLE / n::DOUBLE, {round_dp}) AS po,
-       round(CASE WHEN n * n - pe != 0
-                  THEN (n * agree - pe)::DOUBLE
-                       / (n * n - pe)::DOUBLE END,
+       round(CASE WHEN CAST(n AS HUGEINT) * n - pe != 0
+                  THEN (CAST(n AS HUGEINT) * agree - pe)::DOUBLE
+                       / (CAST(n AS HUGEINT) * n - pe)::DOUBLE END,
              {round_dp}) AS kappa
 FROM tot JOIN marg {join}
 {order}
@@ -803,8 +807,12 @@ def roc_auc(
             wg.orderBy("__s")
             .rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0))
-    contrib = F.col("pos") * (F.lit(2) * left + F.col("cnt")
-                              + F.lit(1))
+    # 2R+ = pos*(2*left+cnt+1) ~ 2N^2 would silently wrap int64 at
+    # ~2e9 rows per group — carry as decimal(38,0) / HUGEINT (the
+    # kruskal_wallis accumulation discipline, r15)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    contrib = dec(F.col("pos")) * dec(F.lit(2) * left + F.col("cnt")
+                                      + F.lit(1))
     agg = (per_s.withColumn("__c", contrib)
            .groupBy(*gb)
            .agg(F.sum("__c").alias("__r2"),
@@ -857,7 +865,8 @@ ranked AS (
   FROM per_s
 ),
 agg AS (
-  SELECT {gsel}CAST(sum(pos * (2 * lft + cnt + 1)) AS BIGINT) AS r2,
+  SELECT {gsel}CAST(sum(CAST(pos AS HUGEINT)
+                      * (2 * lft + cnt + 1)) AS HUGEINT) AS r2,
          CAST(sum(pos) AS BIGINT) AS n_pos,
          CAST(sum(cnt - pos) AS BIGINT) AS n_neg
   FROM ranked {gkey}

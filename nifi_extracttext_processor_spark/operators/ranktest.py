@@ -24,6 +24,12 @@ continuous metrics to a practical grain (the events table's value
 is already 2dp) so distinct values per group stay bounded; the keyed
 window then runs over that bounded table, not the data.
 
+Twin-SQL caveat: the generated DuckDB twins use short internal CTE
+aliases (g, v, c, t, mid2, ...); a caller whose group_by column is
+literally named one of these collides with the alias and must rename
+the column first. The Spark operators have no such restriction
+(internal columns are __-prefixed).
+
 The contract is ENFORCED, not just documented (VERDICT r13): every
 operator that ends in an ordered window over a distinct-value
 collapse gates that collapse through guards.guard_max_distinct —
@@ -64,8 +70,12 @@ def ab_mann_whitney(
 
     Exactness: per-(group, distinct value) counts (c0, c1) are one
     map-side-combinable agg; 2·midrank = 2·left + t + 1 and
-    2·R1 = Σ c1·(2·left + t + 1) stay in integer arithmetic (exact,
-    order-independent), as does the tie term Σ(t³−t). The closing z
+    2·R1 = Σ c1·(2·left + t + 1) stay in exact integer arithmetic
+    (order-independent), accumulated as decimal(38,0) / HUGEINT
+    since r15 (2R1 ~ N² and the t³ tie term silently wrap int64 at
+    ~2·10⁹ / ~2·10⁶ rows respectively, where the HUGEINT twin
+    raises instead — the same engine-divergence class ADVICE r14
+    flagged on kruskal_wallis), as is 2U1 = 2R1 − n1(n1+1). The closing z
     is a fixed-order chain of IEEE ops both engines replay. Cells
     with an empty side or all values tied emit NULL z /
     significant=false. NULL values are excluded (not observations)."""
@@ -87,12 +97,13 @@ def ab_mann_whitney(
     left = F.coalesce(F.sum("t").over(wprev), F.lit(0))
     # 2x-integer midrank of the tied block at __v
     mid2 = 2 * left + F.col("t") + 1
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = (per_v
            .select(*gb,
-                   (F.col("c1") * mid2).alias("__r1x2"),
+                   (dec(F.col("c1")) * dec(mid2)).alias("__r1x2"),
                    "c0", "c1",
-                   (F.col("t") * F.col("t") * F.col("t")
-                    - F.col("t")).alias("__tt"))
+                   (dec(F.col("t")) * dec(F.col("t")) * dec(F.col("t"))
+                    - dec(F.col("t"))).alias("__tt"))
            .groupBy(*gb)
            .agg(F.sum("c0").alias("n0"),
                 F.sum("c1").alias("n1"),
@@ -101,7 +112,9 @@ def ab_mann_whitney(
     n0 = F.col("n0").cast("double")
     n1 = F.col("n1").cast("double")
     n = (F.col("n0") + F.col("n1")).cast("double")
-    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)  # 2*U1, int
+    # 2*U1, exact decimal (n1*(n1+1) ~ N^2 wraps int64 at ~3e9 rows)
+    u1x2 = F.col("r1x2") - F.col("n1").cast("decimal(38,0)") \
+        * (F.col("n1").cast("decimal(38,0)") + F.lit(1))
     # fixed-association variance chain (both engines as written):
     var = (n0 * n1 / F.lit(12.0)) \
         * ((n + F.lit(1.0))
@@ -159,12 +172,13 @@ ranked AS (
 ),
 agg AS (
   SELECT {gsel}sum(c0) AS n0, sum(c1) AS n1,
-         sum(c1 * mid2) AS r1x2,
-         sum(t * t * t - t) AS tie
+         sum(CAST(c1 AS HUGEINT) * mid2) AS r1x2,
+         sum(CAST(t AS HUGEINT) * t * t - t) AS tie
   FROM ranked {('GROUP BY ' + ', '.join(gb)) if gb else ''}
 ),
 calc AS (
-  SELECT {gsel}n0, n1, r1x2 - n1 * (n1 + 1) AS u1x2,
+  SELECT {gsel}n0, n1,
+         r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2,
          (n0::DOUBLE * n1::DOUBLE / 12.0)
          * (((n0 + n1)::DOUBLE + 1.0)
             - tie::DOUBLE / ((n0 + n1)::DOUBLE
@@ -358,16 +372,23 @@ def corr_spearman(
         + F.col("cy") + F.lit(1))
     j = (pairs.join(mx.select(*gb, "__x", "rx2"), [*gb, "__x"])
          .join(my.select(*gb, "__y", "ry2"), [*gb, "__y"]))
+    # rank-product sums carry as decimal(38,0): sxx/syy/sxy ~ 4N^3/3
+    # would silently wrap int64 at only ~2e6 rows per group (and the
+    # HUGEINT twin would raise loudly instead) — the kruskal_wallis
+    # accumulation discipline, r15
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = (j.groupBy(*gb)
            .agg(F.sum("c").alias("n"),
-                F.sum(F.col("c") * F.col("rx2")).alias("sx"),
-                F.sum(F.col("c") * F.col("ry2")).alias("sy"),
-                F.sum(F.col("c") * F.col("rx2") * F.col("ry2"))
-                .alias("sxy"),
-                F.sum(F.col("c") * F.col("rx2") * F.col("rx2"))
-                .alias("sxx"),
-                F.sum(F.col("c") * F.col("ry2") * F.col("ry2"))
-                .alias("syy")))
+                F.sum(dec(F.col("c")) * dec(F.col("rx2")))
+                .alias("sx"),
+                F.sum(dec(F.col("c")) * dec(F.col("ry2")))
+                .alias("sy"),
+                F.sum(dec(F.col("c")) * dec(F.col("rx2"))
+                      * dec(F.col("ry2"))).alias("sxy"),
+                F.sum(dec(F.col("c")) * dec(F.col("rx2"))
+                      * dec(F.col("rx2"))).alias("sxx"),
+                F.sum(dec(F.col("c")) * dec(F.col("ry2"))
+                      * dec(F.col("ry2"))).alias("syy")))
     nd = F.col("n").cast("double")
     vx = nd * F.col("sxx").cast("double") \
         - F.col("sx").cast("double") * F.col("sx").cast("double")
@@ -434,11 +455,14 @@ my AS (
 agg AS (
   SELECT {psel}
          CAST(sum(p.c) AS BIGINT) AS n,
-         CAST(sum(p.c * mx.rx2) AS BIGINT) AS sx,
-         CAST(sum(p.c * my.ry2) AS BIGINT) AS sy,
-         CAST(sum(p.c * mx.rx2 * my.ry2) AS BIGINT) AS sxy,
-         CAST(sum(p.c * mx.rx2 * mx.rx2) AS BIGINT) AS sxx,
-         CAST(sum(p.c * my.ry2 * my.ry2) AS BIGINT) AS syy
+         CAST(sum(CAST(p.c AS HUGEINT) * mx.rx2) AS HUGEINT) AS sx,
+         CAST(sum(CAST(p.c AS HUGEINT) * my.ry2) AS HUGEINT) AS sy,
+         CAST(sum(CAST(p.c AS HUGEINT) * mx.rx2 * my.ry2)
+              AS HUGEINT) AS sxy,
+         CAST(sum(CAST(p.c AS HUGEINT) * mx.rx2 * mx.rx2)
+              AS HUGEINT) AS sxx,
+         CAST(sum(CAST(p.c AS HUGEINT) * my.ry2 * my.ry2)
+              AS HUGEINT) AS syy
   FROM pairs p JOIN mx ON {on_x} JOIN my ON {on_y}
   {pgkey}
 )
@@ -550,14 +574,16 @@ def ab_wilcoxon_signed(
             wg.orderBy("__a")
             .rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0))
-    contrib = F.col("pos") * (F.lit(2) * left + F.col("cnt")
-                              + F.lit(1))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    contrib = dec(F.col("pos")) * dec(F.lit(2) * left + F.col("cnt")
+                                      + F.lit(1))
     agg = (per_a.withColumn("__c", contrib)
            .groupBy(*gb)
            .agg(F.sum("__c").alias("w2"),
                 F.sum("cnt").alias("n_units"),
-                F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
-                      - F.col("cnt")).alias("tt")))
+                F.sum(dec(F.col("cnt")) * dec(F.col("cnt"))
+                      * dec(F.col("cnt")) - dec(F.col("cnt")))
+                .alias("tt")))
     nd = F.col("n_units").cast("double")
     num = (F.col("w2").cast("double")
            - nd * (nd + F.lit(1.0)) / F.lit(2.0))
@@ -639,14 +665,16 @@ ranked AS (
   FROM per_a
 ),
 agg AS (
-  SELECT {gsel}CAST(sum(pos * (2 * lft + cnt + 1)) AS BIGINT) AS w2,
+  SELECT {gsel}CAST(sum(CAST(pos AS HUGEINT)
+                      * (2 * lft + cnt + 1)) AS HUGEINT) AS w2,
          CAST(sum(cnt) AS BIGINT) AS n_units,
-         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tt
+         CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+              AS HUGEINT) AS tt
   FROM ranked {gkey}
 )
 SELECT {gsel}n_units,
        CAST(coalesce(n_zero, 0) AS BIGINT) AS n_zero,
-       w2 AS w_plus_x2,
+       CAST(w2 AS BIGINT) AS w_plus_x2,
        CASE WHEN n_units >= 2
              AND (2.0 * n_units::DOUBLE * (n_units::DOUBLE + 1.0)
                   * (2.0 * n_units::DOUBLE + 1.0) - tt::DOUBLE)
@@ -732,7 +760,9 @@ def kruskal_wallis(
         "mid2", F.lit(2) * F.coalesce(F.sum("t").over(wprev),
                                       F.lit(0))
         + F.col("t") + F.lit(1)).withColumn(
-        "tt", F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        "tt", F.col("t").cast("decimal(38,0)")
+        * F.col("t").cast("decimal(38,0)")
+        * F.col("t").cast("decimal(38,0)") - F.col("t"))
     j = per_gv.join(per_v.select(*gb, "__v", "mid2"), [*gb, "__v"])
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_g = (j.groupBy(*gb, "__g")
@@ -816,7 +846,7 @@ mids AS (
          2 * coalesce(sum(t) OVER ({part} ORDER BY v
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            + t + 1 AS mid2,
-         t * t * t - t AS tt
+         CAST(t AS HUGEINT) * t * t - t AS tt
   FROM per_v
 ),
 per_g AS (
@@ -838,7 +868,7 @@ arms AS (
   FROM per_g {gkey}
 ),
 ties AS (
-  SELECT {gsel}CAST(sum(tt) AS BIGINT) AS tt FROM mids {gkey}
+  SELECT {gsel}CAST(sum(tt) AS HUGEINT) AS tt FROM mids {gkey}
 )
 SELECT {asel.replace('a.', 'arms.') if gb else ''}arms.k_groups,
        arms.n_total,
