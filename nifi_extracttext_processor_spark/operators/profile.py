@@ -570,10 +570,17 @@ def join_fanout_report(
           .groupBy(F.col(right_key).alias("__k"))
           .agg(F.count("*").alias("__rc")))
     m = lk.join(rk, "__k")
+    # widen BEFORE the multiply: this operator exists to flag fanout
+    # blowups, i.e. exactly the regime where an int64 sum(lc*rc)
+    # wraps silently; decimal(38,0) accumulates the true count, the
+    # presentation cast below stays long (NULL past 9.2e18 — a
+    # visible "too big", never a wrapped plausible number)
     mstats = m.agg(
         F.count("*").alias("n_matched_keys"),
-        F.coalesce(F.sum(F.col("__lc") * F.col("__rc")), F.lit(0))
-        .alias("est_join_rows"))
+        F.coalesce(F.sum(F.col("__lc").cast("decimal(38,0)")
+                         * F.col("__rc").cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)"))
+        .alias("__ejr"))
     lstats = lk.agg(F.sum("__lc").alias("n_left"),
                     F.count("*").alias("n_left_keys"),
                     F.max("__lc").alias("max_left_dup"))
@@ -584,8 +591,8 @@ def join_fanout_report(
     return out.select(
         "n_left", "n_right", "n_left_keys", "n_right_keys",
         "n_matched_keys", "max_left_dup", "max_right_dup",
-        "est_join_rows",
-        F.round(F.col("est_join_rows").cast("double")
+        F.col("__ejr").cast("long").alias("est_join_rows"),
+        F.round(F.col("__ejr").cast("double")
                 / F.col("n_left").cast("double"), round_dp)
         .alias("fanout"))
 
@@ -609,7 +616,8 @@ rk AS (
 ),
 m AS (
   SELECT count(*) AS n_matched_keys,
-         CAST(coalesce(sum(lc * rc), 0) AS BIGINT) AS est_join_rows
+         CAST(coalesce(sum(CAST(lc AS HUGEINT) * rc), 0) AS BIGINT)
+           AS est_join_rows
   FROM lk JOIN rk USING (k)
 ),
 ls AS (SELECT CAST(sum(lc) AS BIGINT) AS n_left,
