@@ -406,3 +406,74 @@ class TestMonotoneInvariance:
                                  "2024-01-20").collect()[0]
         assert got["w_plus_x2"] == base_r["w_plus_x2"]
         assert got["z"] == base_r["z"]
+
+
+class TestAccumulationOverflowRegression:
+    """r15 widening (ADVICE r14 generalized): at ~2-4e6 rows per
+    group the spearman sxx fold and a degenerate all-tied wilcoxon
+    tie term exceed int64 — pre-fix, Spark silently wrapped while
+    the DuckDB BIGINT twin raised. These fixtures are sized PAST the
+    int64 wrap point, so engine agreement here proves the
+    decimal(38,0)/HUGEINT accumulation end-to-end."""
+
+    def test_spearman_exact_past_int64_wrap(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import corr_spearman, corr_spearman_sql
+        n = 4_000_000  # sxx ~ 4N^3/3 = 8.5e19 >> int64 max 9.2e18
+        df = (spark.range(n)
+              .select((F.col("id") % 3).cast("double").alias("x"),
+                      (F.col("id") % 5).cast("double").alias("y")))
+        [r] = corr_spearman(df, "x", "y").collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW t AS SELECT CAST(range % 3 AS DOUBLE) AS x,"
+            " CAST(range % 5 AS DOUBLE) AS y FROM range("
+            + str(n) + ")")
+        want = con.execute(corr_spearman_sql("t", "x", "y")).fetchone()
+        assert r["n"] == want[0] == n
+        # float compare (0.0 == -0.0): a wrapped int64 accumulation
+        # would put rho far from zero, not flip its signed zero
+        assert r["rho"] == want[1]
+        # near-independent residue classes: rho exists and is tiny
+        assert r["rho"] is not None and abs(r["rho"]) < 0.01
+
+    def test_wilcoxon_tie_term_past_int64_wrap(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+        from nifi_extracttext_processor_spark.operators.ranktest \
+            import ab_wilcoxon_signed, ab_wilcoxon_signed_sql
+        # 3e6 units, ALL with the same |diff| -> one tied block with
+        # t = 3e6, tie term t^3 - t = 2.7e19 > int64 max
+        n = 3_000_000
+        pre = (spark.range(n)
+               .select(F.concat(F.lit("u"), F.col("id")).alias("unit"),
+                       F.lit(1.0).alias("value"),
+                       F.lit("2024-01-01 00:00:00").cast("timestamp")
+                       .alias("ts")))
+        post = (spark.range(n)
+                .select(F.concat(F.lit("u"), F.col("id"))
+                        .alias("unit"),
+                        F.lit(3.5).alias("value"),
+                        F.lit("2024-02-01 00:00:00").cast("timestamp")
+                        .alias("ts")))
+        df = pre.unionByName(post)
+        [r] = ab_wilcoxon_signed(df, "unit", "value", "ts",
+                                 "2024-01-15").collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW t AS "
+            "SELECT 'u' || range AS unit, 1.0 AS value,"
+            " TIMESTAMP '2024-01-01 00:00:00' AS ts FROM range("
+            + str(n) + ") "
+            "UNION ALL SELECT 'u' || range, 3.5,"
+            " TIMESTAMP '2024-02-01 00:00:00' FROM range("
+            + str(n) + ")")
+        want = con.execute(ab_wilcoxon_signed_sql(
+            "t", "unit", "value", "ts", "2024-01-15")).fetchone()
+        got = tuple(str(v) for v in r)
+        assert got == tuple(str(v) for v in want)
+        assert r["n_units"] == n
+        # all diffs positive and tied: W+ = n(n+1)/2 exactly
+        assert r["w_plus_x2"] == n * (n + 1)
