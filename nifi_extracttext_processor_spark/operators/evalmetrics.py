@@ -506,7 +506,9 @@ def cohen_kappa(
 
     Scale shape: one count/agree aggregate + one per-(group, label)
     marginal aggregate (shuffle carries distinct labels), joined
-    groups-sized. Labels compare verbatim (any atomic type)."""
+    groups-sized. Labels compare verbatim (any atomic type). The
+    exact rational nΣo − Σnₐn_b over n² − Σnₐn_b carries as
+    decimal(38,0) / HUGEINT (r15: n² wraps int64 at ~3·10⁹ rows)."""
     gb = list(group_by or [])
     a, b = F.col(rater_a_col), F.col(rater_b_col)
     base = df.filter(a.isNotNull() & b.isNotNull())
@@ -784,7 +786,8 @@ def roc_auc(
     The ranktest discipline end-to-end: collapse to DISTINCT scores
     first (per score: count, positives), then midranks as 2×-integer
     prefix sums — 2·R⁺ = Σ_s pos_s·(2·left_s + cnt_s + 1) is an
-    exact integer, and
+    exact integer accumulated as decimal(38,0) / HUGEINT (r15:
+    2R⁺ ~ 2N² silently wrapped int64 at ~2·10⁹ rows per group), and
 
         AUC = (2·R⁺ − n⁺·(n⁺+1)) / (2·n⁺·n⁻)
 

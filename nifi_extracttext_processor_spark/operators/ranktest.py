@@ -340,9 +340,12 @@ def corr_spearman(
 
         ρ = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²))
 
-    — every sufficient statistic an exact integer sum, int64→double
-    promotion at the SAME spelled points in both engines, ONE
-    closing divide/sqrt chain. Shuffle carries distinct (x, y)
+    — every sufficient statistic an exact integer sum accumulated
+    as decimal(38,0) / HUGEINT (r15: Sxx ~ 4N³/3 silently wrapped
+    int64 at only ~2·10⁶ rows per group — the lowest threshold in
+    the family; see tests/test_ranktest.py's past-int64 regression
+    fixture), decimal→double promotion at the SAME spelled points
+    in both engines, ONE closing divide/sqrt chain. Shuffle carries distinct (x, y)
     pairs and the two value margins, never rows (the module's METRIC
     CONTRACT: quantize continuous metrics so distinct values stay
     bounded). Significance: |z| ≥ z_alpha with the large-sample
@@ -528,7 +531,10 @@ def ab_wilcoxon_signed(
             sqrt((2·n(n+1)(2n+1) − Σ(t³−t)) / 12)
 
     (tie-corrected variance) closes in ONE spelled IEEE chain with
-    promotions at the same points in both engines. Shuffle carries
+    promotions at the same points in both engines; 2W⁺ (~2N²) and
+    the t³ tie term accumulate as decimal(38,0) / HUGEINT (r15 —
+    an all-tied block wraps int64 at t ~ 2·10⁶; past-int64
+    regression fixture in tests/test_ranktest.py). Shuffle carries
     units then distinct magnitudes, never events. NULL z when every
     magnitude ties into one group or n < 2."""
     gb = list(group_by or [])
