@@ -1477,3 +1477,33 @@ class TestAffineInvariance:
         assert got["t"] == base["t"]
         assert got["med_control"] == round(
             base["med_control"] * 4.0 + 250.0, 6)
+
+
+class TestCaTrendOverflowRegression:
+    """r15 widening: large raw dose scores push sum(w^2) past int64
+    (4e6 rows at w=1e7 -> 4e20). Pre-fix Spark wrapped silently
+    while the DuckDB BIGINT twin raised; agreement here proves the
+    decimal(38,0)/HUGEINT accumulation end-to-end."""
+
+    def test_huge_dose_scores_past_int64_wrap(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+        from nifi_extracttext_processor_spark.operators.abtest \
+            import ca_trend_test, ca_trend_test_sql
+        n = 4_000_000
+        df = (spark.range(n)
+              .select(((F.col("id") % 4) * 10_000_000)
+                      .alias("dose"),
+                      (F.col("id") % 3 == 0).cast("int")
+                      .alias("conv")))
+        [r] = ca_trend_test(df, "dose", "conv").collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW t AS SELECT (range % 4) * 10000000 AS dose,"
+            " CAST(range % 3 = 0 AS INT) AS conv FROM range("
+            + str(n) + ")")
+        want = con.execute(
+            ca_trend_test_sql("t", "dose", "conv")).fetchone()
+        assert tuple(str(v) for v in r) == tuple(str(v) for v in want)
+        assert r["n"] == n
+        assert r["z"] is not None
