@@ -123,7 +123,9 @@ def ab_mann_whitney(
         (F.col("n0") > 0) & (F.col("n1") > 0) & (var > 0),
         (u1x2.cast("double") - n0 * n1)
         / (F.lit(2.0) * F.sqrt(var)))
-    zr = F.round(z, round_dp)
+    # + 0.0: normalize the signed zero a tiny-negative z rounds to
+    # (engine round()s disagree on -0.0 — see kruskal_wallis note)
+    zr = F.round(z, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n0").alias("n_control"),
@@ -195,7 +197,7 @@ zc AS (
 SELECT {gsel}CAST(n0 AS BIGINT) AS n_control,
        CAST(n1 AS BIGINT) AS n_treatment,
        u1x2::DOUBLE / 2.0 AS u,
-       round(z, {round_dp}) AS z,
+       round(z, {round_dp}) + 0.0 AS z,
        coalesce(abs(round(z, {round_dp})) >= {float(z_alpha)!r},
                 FALSE) AS significant
 FROM zc
@@ -399,8 +401,10 @@ def corr_spearman(
         - F.col("sy").cast("double") * F.col("sy").cast("double")
     cov = nd * F.col("sxy").cast("double") \
         - F.col("sx").cast("double") * F.col("sy").cast("double")
+    # + 0.0: signed-zero normalization (see kruskal_wallis note)
     rho = F.when((vx > 0) & (vy > 0),
-                 F.round(cov / F.sqrt(vx * vy), round_dp))
+                 F.round(cov / F.sqrt(vx * vy), round_dp)
+                 + F.lit(0.0))
     z = rho * F.sqrt(nd - F.lit(1.0))
     return agg.select(
         *gb, "n", rho.alias("rho"),
@@ -481,7 +485,7 @@ SELECT {gsel}n,
                               * (n::DOUBLE * syy::DOUBLE
                                  - sy::DOUBLE * sy::DOUBLE)),
                        {round_dp})
-       END AS rho,
+       END + 0.0 AS rho,
        coalesce(abs(CASE WHEN n::DOUBLE * sxx::DOUBLE
                               - sx::DOUBLE * sx::DOUBLE > 0
                           AND n::DOUBLE * syy::DOUBLE
@@ -597,7 +601,7 @@ def ab_wilcoxon_signed(
              * (F.lit(2.0) * nd + F.lit(1.0))
              - F.col("tt").cast("double")) / F.lit(12.0))
     z = F.when((F.col("n_units") >= 2) & (var2 > 0),
-               F.round(num / F.sqrt(var2), round_dp))
+               F.round(num / F.sqrt(var2), round_dp) + F.lit(0.0))
     # attach the zero-diff count: keyed left join when grouped, a
     # 1-row (possibly empty) broadcast left join otherwise
     j = agg.join(nz, gb, "left") if gb \
@@ -691,7 +695,7 @@ SELECT {gsel}n_units,
                                * (n_units::DOUBLE + 1.0)
                                * (2.0 * n_units::DOUBLE + 1.0)
                                - tt::DOUBLE) / 12.0), {round_dp})
-       END AS z,
+       END + 0.0 AS z,
        coalesce(abs(CASE WHEN n_units >= 2
                           AND (2.0 * n_units::DOUBLE
                                * (n_units::DOUBLE + 1.0)
@@ -797,15 +801,20 @@ def kruskal_wallis(
         - F.lit(3.0) * (nn + F.lit(1.0))
     corr = F.lit(1.0) - F.col("__tt").cast("double") \
         / (nn * nn * nn - nn)
+    # + 0.0 after round: Spark and DuckDB disagree on the SIGN of a
+    # zero rounded from a tiny negative (-0.0 vs 0.0 — same value,
+    # different IEEE bytes, red driver hash); x + 0.0 is the IEEE
+    # identity that maps -0.0 to +0.0 on both engines (observed on
+    # epsilon_sq at sf1)
     h = F.when((F.col("k_groups") >= 2) & (corr > 0),
-               F.round(h_raw / corr, round_dp))
+               F.round(h_raw / corr, round_dp) + F.lit(0.0))
     eps = F.when((F.col("k_groups") >= 2) & (corr > 0)
                  & (F.col("n_total") > F.col("k_groups")),
                  F.round((h_raw / corr
                           - F.col("k_groups").cast("double")
                           + F.lit(1.0))
                          / (nn - F.col("k_groups").cast("double")),
-                         round_dp))
+                         round_dp) + F.lit(0.0))
     return a.select(
         *gb,
         F.col("k_groups").cast("long").alias("k_groups"),
@@ -890,7 +899,7 @@ SELECT {asel.replace('a.', 'arms.') if gb else ''}arms.k_groups,
                      / (arms.n_total::DOUBLE * arms.n_total::DOUBLE
                         * arms.n_total::DOUBLE
                         - arms.n_total::DOUBLE)) END,
-             {round_dp}) AS h,
+             {round_dp}) + 0.0 AS h,
        arms.k_groups - 1 AS df,
        round(CASE WHEN arms.k_groups >= 2 AND
                   1.0 - ties.tt::DOUBLE
@@ -907,7 +916,7 @@ SELECT {asel.replace('a.', 'arms.') if gb else ''}arms.k_groups,
                          - arms.n_total::DOUBLE))
                    - arms.k_groups::DOUBLE + 1.0)
                   / (arms.n_total::DOUBLE - arms.k_groups::DOUBLE)
-             END, {round_dp}) AS epsilon_sq
+             END, {round_dp}) + 0.0 AS epsilon_sq
 FROM arms JOIN ties
   ON {jkeys.replace('a.', 'arms.').replace('b.', 'ties.')}
 """
