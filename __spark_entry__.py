@@ -4250,7 +4250,7 @@ w AS (SELECT {_fs_weights_cols()} FROM one)
 SELECT p.a_id, p.b_id, p.same_lang, p.same_source, p.len_close,
        round({" + ".join(f"(CASE WHEN p.{c} = 1 THEN w.wa_{c} "
                          f"ELSE w.wd_{c} END)"
-                         for c in _FS_FIELDS)}, 4) AS fs_score
+                         for c in _FS_FIELDS)}, 4) + 0.0 AS fs_score
 FROM pairs p CROSS JOIN w
 """
 

@@ -68,14 +68,14 @@ def ab_proportion_test(
                 * (F.try_divide(F.lit(1.0), F.col("n0"))
                    + F.try_divide(F.lit(1.0), F.col("n1"))))
     z = F.when(se > 0, (p1 - p0) / se)
-    zr = F.round(z, round_dp)
+    zr = F.round(z, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n0").alias("n_control"),
         F.col("n1").alias("n_treatment"),
         F.round(p0, round_dp).alias("p_control"),
         F.round(p1, round_dp).alias("p_treatment"),
-        F.round(p1 - p0, round_dp).alias("lift"),
+        (F.round(p1 - p0, round_dp) + F.lit(0.0)).alias("lift"),
         zr.alias("z"),
         F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)),
                    F.lit(False)).alias("significant"))
@@ -128,8 +128,8 @@ SELECT {gsel}
        CAST(n1 AS BIGINT) AS n_treatment,
        round(p0, {round_dp}) AS p_control,
        round(p1, {round_dp}) AS p_treatment,
-       round(p1 - p0, {round_dp}) AS lift,
-       round(z, {round_dp}) AS z,
+       round(p1 - p0, {round_dp}) + 0.0 AS lift,
+       round(z, {round_dp}) + 0.0 AS z,
        coalesce(abs(round(z, {round_dp})) >= {float(z_alpha)!r},
                 FALSE) AS significant
 FROM zc
@@ -179,14 +179,14 @@ def ab_welch_test(
         (a + b) * (a + b),
         F.try_divide(a * a, F.col("n0") - 1)
         + F.try_divide(b * b, F.col("n1") - 1))
-    tr = F.round(t, round_dp)
+    tr = F.round(t, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n0").alias("n_control"),
         F.col("n1").alias("n_treatment"),
         F.round(m0, round_dp).alias("mean_control"),
         F.round(m1, round_dp).alias("mean_treatment"),
-        F.round(m1 - m0, round_dp).alias("diff"),
+        (F.round(m1 - m0, round_dp) + F.lit(0.0)).alias("diff"),
         tr.alias("t"),
         F.round(dfw, 2).alias("df_welch"),
         F.coalesce(F.abs(tr) >= F.lit(float(t_alpha)),
@@ -245,8 +245,8 @@ SELECT {gsel}
        CAST(n1 AS BIGINT) AS n_treatment,
        round(m0, {round_dp}) AS mean_control,
        round(m1, {round_dp}) AS mean_treatment,
-       round(m1 - m0, {round_dp}) AS diff,
-       round(t, {round_dp}) AS t,
+       round(m1 - m0, {round_dp}) + 0.0 AS diff,
+       round(t, {round_dp}) + 0.0 AS t,
        round(dfw, 2) AS df_welch,
        coalesce(abs(round(t, {round_dp})) >= {float(t_alpha)!r},
                 FALSE) AS significant
@@ -328,15 +328,15 @@ def ab_cuped_test(
     b = F.try_divide(v1a, c["n1"])
     se = F.sqrt(a + b)
     t = F.when(se > 0, (m1a - m0a) / se)
-    tr = F.round(t, round_dp)
+    tr = F.round(t, round_dp) + F.lit(0.0)
     var_red = F.when(
         (varx_num > 0) & (vary_num > 0),
         (cov_num * cov_num) / (varx_num * vary_num))
     return agg.select(
         *gb,
         c["n0"].alias("n_control"), c["n1"].alias("n_treatment"),
-        F.round(theta, round_dp).alias("theta"),
-        F.round(m1a - m0a, round_dp).alias("adj_diff"),
+        (F.round(theta, round_dp) + F.lit(0.0)).alias("theta"),
+        (F.round(m1a - m0a, round_dp) + F.lit(0.0)).alias("adj_diff"),
         tr.alias("t"),
         F.round(var_red, round_dp).alias("var_reduction"),
         F.coalesce(F.abs(tr) >= F.lit(float(t_alpha)),
@@ -416,11 +416,11 @@ adj AS (
 SELECT {gsel}
        CAST(n0 AS BIGINT) AS n_control,
        CAST(n1 AS BIGINT) AS n_treatment,
-       round(theta, {round_dp}) AS theta,
-       round(m1a - m0a, {round_dp}) AS adj_diff,
+       round(theta, {round_dp}) + 0.0 AS theta,
+       round(m1a - m0a, {round_dp}) + 0.0 AS adj_diff,
        round(CASE WHEN sqrt(a + b) > 0
                   THEN (m1a - m0a) / sqrt(a + b) END,
-             {round_dp}) AS t,
+             {round_dp}) + 0.0 AS t,
        round(CASE WHEN varx_num > 0 AND vary_num > 0
                   THEN cov_num * cov_num / (varx_num * vary_num)
              END, {round_dp}) AS var_reduction,
@@ -1025,8 +1025,8 @@ def ab_quantile_lift(
                 F.round(F.col("col.qc"), round_dp).alias("q_control"),
                 F.round(F.col("col.qt"), round_dp)
                 .alias("q_treatment"),
-                F.round(F.col("col.qt") - F.col("col.qc"), round_dp)
-                .alias("lift")))
+                (F.round(F.col("col.qt") - F.col("col.qc"), round_dp)
+                 + F.lit(0.0)).alias("lift")))
     return out.orderBy(*gb, "prob")
 
 
@@ -1061,7 +1061,7 @@ SELECT {gsel}CAST({float(p)!r} AS DOUBLE) AS prob,
              FILTER (WHERE {variant_col} = {sql_lit(treatment)})
              - quantile_cont({v}, {float(p)!r})
              FILTER (WHERE {variant_col} = {sql_lit(control)}),
-             {round_dp}) AS lift
+             {round_dp}) + 0.0 AS lift
 FROM {table}
 WHERE {variant_col} IN ({sql_lit(control)}, {sql_lit(treatment)})
   AND {value_col} IS NOT NULL
@@ -1153,14 +1153,14 @@ def ab_ratio_delta_test(
     r1, se21 = stats("1")
     se = F.sqrt(se20 + se21)
     z = F.when(se > 0, (r1 - r0) / se)
-    zr = F.round(z, round_dp)
+    zr = F.round(z, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n0").cast("long").alias("n_control"),
         F.col("n1").cast("long").alias("n_treatment"),
         F.round(r0, round_dp).alias("ratio_control"),
         F.round(r1, round_dp).alias("ratio_treatment"),
-        F.round(r1 - r0, round_dp).alias("diff"),
+        (F.round(r1 - r0, round_dp) + F.lit(0.0)).alias("diff"),
         zr.alias("z"),
         F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)),
                    F.lit(False)).alias("significant"))
@@ -1242,8 +1242,8 @@ SELECT {gsel}CAST(n0 AS BIGINT) AS n_control,
        CAST(n1 AS BIGINT) AS n_treatment,
        round(r0, {round_dp}) AS ratio_control,
        round(r1, {round_dp}) AS ratio_treatment,
-       round(r1 - r0, {round_dp}) AS diff,
-       round(z, {round_dp}) AS z,
+       round(r1 - r0, {round_dp}) + 0.0 AS diff,
+       round(z, {round_dp}) + 0.0 AS z,
        coalesce(abs(round(z, {round_dp})) >= {float(z_alpha)!r},
                 FALSE) AS significant
 FROM zc
@@ -1350,12 +1350,12 @@ def ab_post_stratified(
     diff = F.col("__s.mt") - F.col("__s.mc")
     z = F.when(F.sqrt(F.col("__s.se2")) > 0,
                diff / F.sqrt(F.col("__s.se2")))
-    zr = F.round(z, round_dp)
+    zr = F.round(z, round_dp) + F.lit(0.0)
     out = folded.select(
         *gb, "n_control", "n_treatment", "n_strata_used",
         F.round(F.col("__s.mc"), round_dp).alias("mean_control"),
         F.round(F.col("__s.mt"), round_dp).alias("mean_treatment"),
-        F.round(diff, round_dp).alias("diff"),
+        (F.round(diff, round_dp) + F.lit(0.0)).alias("diff"),
         zr.alias("z"),
         F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)),
                    F.lit(False)).alias("significant"))
@@ -1442,10 +1442,10 @@ folded AS (
 SELECT {gsel}n_control, n_treatment, n_strata_used,
        round(s.mc, {round_dp}) AS mean_control,
        round(s.mt, {round_dp}) AS mean_treatment,
-       round(s.mt - s.mc, {round_dp}) AS diff,
+       round(s.mt - s.mc, {round_dp}) + 0.0 AS diff,
        round(CASE WHEN sqrt(s.se2) > 0
                   THEN (s.mt - s.mc) / sqrt(s.se2) END,
-             {round_dp}) AS z,
+             {round_dp}) + 0.0 AS z,
        coalesce(abs(round(CASE WHEN sqrt(s.se2) > 0
                                THEN (s.mt - s.mc) / sqrt(s.se2) END,
                           {round_dp})) >= {float(z_alpha)!r}, FALSE)
@@ -1834,14 +1834,14 @@ def ab_msprt(
         vn > 0,
         F.lit(0.5) * F.log(vn / (vn + t2))
         + F.try_divide(d * d * t2, F.lit(2.0) * vn * (vn + t2)))
-    llr = F.round(ll, round_dp)
+    llr = F.round(ll, round_dp) + F.lit(0.0)
     thresh = math.log(1.0 / alpha)
     avp = F.round(F.least(F.lit(1.0), F.exp(-ll)), round_dp)
     return agg.select(
         *gb,
         F.col("n0").alias("n_control"),
         F.col("n1").alias("n_treatment"),
-        F.round(d, round_dp).alias("diff"),
+        (F.round(d, round_dp) + F.lit(0.0)).alias("diff"),
         llr.alias("log_lambda"),
         avp.alias("always_valid_p"),
         F.coalesce(llr >= F.lit(float(thresh)), F.lit(False))
@@ -1903,8 +1903,8 @@ lam AS (
 SELECT {gsel}
        CAST(n0 AS BIGINT) AS n_control,
        CAST(n1 AS BIGINT) AS n_treatment,
-       round(d, {round_dp}) AS diff,
-       round(ll, {round_dp}) AS log_lambda,
+       round(d, {round_dp}) + 0.0 AS diff,
+       round(ll, {round_dp}) + 0.0 AS log_lambda,
        round(least(1.0, exp(-ll)), {round_dp}) AS always_valid_p,
        coalesce(round(ll, {round_dp}) >= {thresh}, FALSE)
          AS significant
@@ -2214,16 +2214,16 @@ def ab_diff_in_diff(
     se = F.sqrt(F.try_divide(vpc, npc) + F.try_divide(voc, noc)
                 + F.try_divide(vpt, npt) + F.try_divide(vot, not_))
     z = F.when(se > 0, did / se)
-    zr = F.round(z, round_dp)
+    zr = F.round(z, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n_pre_c").alias("n_pre_c"),
         F.col("n_post_c").alias("n_post_c"),
         F.col("n_pre_t").alias("n_pre_t"),
         F.col("n_post_t").alias("n_post_t"),
-        F.round(dc, round_dp).alias("diff_control"),
-        F.round(dt, round_dp).alias("diff_treatment"),
-        F.round(did, round_dp).alias("did"),
+        (F.round(dc, round_dp) + F.lit(0.0)).alias("diff_control"),
+        (F.round(dt, round_dp) + F.lit(0.0)).alias("diff_treatment"),
+        (F.round(did, round_dp) + F.lit(0.0)).alias("did"),
         F.round(se, round_dp).alias("se"),
         zr.alias("z"),
         F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)), F.lit(False))
@@ -2289,12 +2289,12 @@ SELECT {gsel}
        CAST(n_post_c AS BIGINT) AS n_post_c,
        CAST(n_pre_t AS BIGINT) AS n_pre_t,
        CAST(n_post_t AS BIGINT) AS n_post_t,
-       round({dc}, {round_dp}) AS diff_control,
-       round({dt}, {round_dp}) AS diff_treatment,
-       round({did}, {round_dp}) AS did,
+       round({dc}, {round_dp}) + 0.0 AS diff_control,
+       round({dt}, {round_dp}) + 0.0 AS diff_treatment,
+       round({did}, {round_dp}) + 0.0 AS did,
        round({se}, {round_dp}) AS se,
        round(CASE WHEN {se} > 0 THEN {did} / {se} END, {round_dp})
-         AS z,
+         + 0.0 AS z,
        coalesce(abs(round(CASE WHEN {se} > 0 THEN {did} / {se} END,
                           {round_dp})) >= {float(z_alpha)!r}, FALSE)
          AS significant
@@ -2389,13 +2389,13 @@ def ab_group_sequential(
                           n1 - F.lit(1.0))
         se = F.sqrt(F.try_divide(v0, n0) + F.try_divide(v1, n1))
         z = F.when(se > 0, (m1 - m0) / se)
-        zr = F.round(z, round_dp)
+        zr = F.round(z, round_dp) + F.lit(0.0)
         rows.append(F.struct(
             F.lit(k + 1).alias("look"),
             F.lit(d).alias("look_date"),
             F.col("n0_" + tag).cast("long").alias("n_control"),
             F.col("n1_" + tag).cast("long").alias("n_treatment"),
-            F.round(m1 - m0, round_dp).alias("diff"),
+            (F.round(m1 - m0, round_dp) + F.lit(0.0)).alias("diff"),
             zr.alias("z"),
             F.lit(round(b, round_dp)).alias("z_boundary"),
             F.coalesce(F.abs(zr) >= F.lit(round(b, round_dp)),
@@ -2474,8 +2474,8 @@ def ab_group_sequential_sql(
   SELECT {k + 1} AS look, {sql_lit(d)} AS look_date,
          CAST(n0_{k} AS BIGINT) AS n_control,
          CAST(n1_{k} AS BIGINT) AS n_treatment,
-         round({m1} - {m0}, {round_dp}) AS diff,
-         round({z}, {round_dp}) AS z,
+         round({m1} - {m0}, {round_dp}) + 0.0 AS diff,
+         round({z}, {round_dp}) + 0.0 AS z,
          CAST({b!r} AS DOUBLE) AS z_boundary,
          coalesce(abs(round({z}, {round_dp}))
                   >= CAST({b!r} AS DOUBLE), FALSE) AS significant
@@ -2787,12 +2787,12 @@ def ab_paired_t(
                  (F.col("sdd") - n * md * md) / (n - F.lit(1.0)))
     se = F.sqrt(F.try_divide(var, n))
     t = F.when(se > 0, md / se)
-    tr = F.round(t, round_dp)
+    tr = F.round(t, round_dp) + F.lit(0.0)
     return agg.select(
         *gb, "n_units",
         F.round(F.col("smp") / n, round_dp).alias("mean_pre"),
         F.round(F.col("smq") / n, round_dp).alias("mean_post"),
-        F.round(md, round_dp).alias("mean_diff"),
+        (F.round(md, round_dp) + F.lit(0.0)).alias("mean_diff"),
         tr.alias("t"),
         F.coalesce(F.abs(tr) >= F.lit(float(t_alpha)), F.lit(False))
         .alias("significant"))
@@ -2853,8 +2853,8 @@ tc AS (
 SELECT {gsel}n_units,
        round(smp / nd, {round_dp}) AS mean_pre,
        round(smq / nd, {round_dp}) AS mean_post,
-       round(md, {round_dp}) AS mean_diff,
-       round(CASE WHEN se > 0 THEN md / se END, {round_dp}) AS t,
+       round(md, {round_dp}) + 0.0 AS mean_diff,
+       round(CASE WHEN se > 0 THEN md / se END, {round_dp}) + 0.0 AS t,
        coalesce(abs(round(CASE WHEN se > 0 THEN md / se END,
                           {round_dp})) >= {float(t_alpha)!r}, FALSE)
          AS significant
@@ -3018,8 +3018,13 @@ def ca_trend_test(
            .agg(F.count("*").alias("n"),
                 F.sum("__s").alias("successes"),
                 F.countDistinct("__w").alias("n_doses"),
-                F.sum((F.col("__w") * F.col("__s"))
-                      .cast("decimal(38,0)")).alias("__wr"),
+                # widen EACH operand before the multiply (the __ww
+                # discipline; the twin computes CAST(w AS HUGEINT)*s
+                # exactly — an int64 w*s product would wrap per-row
+                # for large raw dose scores before the cast applies)
+                F.sum(F.col("__w").cast("decimal(38,0)")
+                      * F.col("__s").cast("decimal(38,0)"))
+                .alias("__wr"),
                 F.sum(F.col("__w").cast("decimal(38,0)"))
                 .alias("__wn"),
                 F.sum(F.col("__w").cast("decimal(38,0)")
@@ -3034,7 +3039,11 @@ def ca_trend_test(
               - F.col("__wn").cast("double")
               * F.col("__wn").cast("double"))
            / nd)
-    z = F.when(var > 0, F.round(num / F.sqrt(var), round_dp))
+    # + 0.0: signed-zero normalization (see kruskal_wallis note) —
+    # a tiny-negative trend rounds to -0.0 on one engine, 0.0 on the
+    # other; same IEEE value, different serialized bytes.
+    z = F.when(var > 0,
+               F.round(num / F.sqrt(var), round_dp) + F.lit(0.0))
     return agg.select(
         *gb, "n",
         F.col("successes").cast("long").alias("successes"),
@@ -3085,7 +3094,7 @@ SELECT {gsel}n, successes, n_doses,
                               * (n::DOUBLE * ww::DOUBLE
                                  - wn::DOUBLE * wn::DOUBLE)
                               / n::DOUBLE), {round_dp})
-       END AS z,
+       END + 0.0 AS z,
        coalesce(abs(CASE WHEN successes::DOUBLE
                               * (n::DOUBLE - successes::DOUBLE)
                               * (n::DOUBLE * ww::DOUBLE
@@ -3208,7 +3217,8 @@ def ab_brown_forsythe(
                 (F.col("ss1").cast("double") / 1e12
                  - n1 * m1 * m1) / (n1 - F.lit(1.0)))
     se = F.sqrt(v0 / n0 + v1 / n1)
-    t = F.when(se > 0, F.round((m1 - m0) / se, round_dp))
+    t = F.when(se > 0,
+               F.round((m1 - m0) / se, round_dp) + F.lit(0.0))
     return agg.select(
         *gb,
         F.col("n0").cast("long").alias("n_control"),
@@ -3305,7 +3315,7 @@ agg AS (
 SELECT {gsel}n0 AS n_control, n1 AS n_treatment,
        round(med0::DOUBLE / 1e6, 6) AS med_control,
        round(med1::DOUBLE / 1e6, 6) AS med_treatment,
-       {texpr} AS t,
+       {texpr} + 0.0 AS t,
        coalesce(abs({texpr}) >= {float(t_alpha)!r}, FALSE)
          AS significant
 FROM agg

@@ -92,8 +92,8 @@ def log_odds_terms(
            + 1.0 / (F.col("y_b") + alpha_w))
     z = delta / F.sqrt(var)
     return (d.select("word", "y_a", "y_b",
-                     F.round(delta, round_dp).alias("delta"),
-                     F.round(z, round_dp).alias("z"))
+                     (F.round(delta, round_dp) + F.lit(0.0)).alias("delta"),
+                     (F.round(z, round_dp) + F.lit(0.0)).alias("z"))
             .orderBy(F.desc(F.abs(F.round(z, round_dp))), "word")
             .limit(top_k))
 
@@ -142,8 +142,8 @@ scored AS (
     FROM j CROSS JOIN tot
   )
 )
-SELECT word, y_a, y_b, round(delta, {round_dp}) AS delta,
-       round(delta / sd, {round_dp}) AS z
+SELECT word, y_a, y_b, round(delta, {round_dp}) + 0.0 AS delta,
+       round(delta / sd, {round_dp}) + 0.0 AS z
 FROM scored
 ORDER BY abs(round(delta / sd, {round_dp})) DESC, word
 LIMIT {int(top_k)}

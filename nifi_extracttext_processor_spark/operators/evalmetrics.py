@@ -538,9 +538,12 @@ def cohen_kappa(
         *gb, "n",
         F.round(F.col("__agree").cast("double")
                 / F.col("n").cast("double"), round_dp).alias("po"),
-        F.round(F.when(den != 0,
-                       num.cast("double") / den.cast("double")),
-                round_dp).alias("kappa"))
+        # + 0.0: signed-zero normalization (kruskal_wallis note) —
+        # agreement just below chance gives a tiny-negative kappa
+        # that rounds to -0.0 on one engine and 0.0 on the other
+        (F.round(F.when(den != 0,
+                        num.cast("double") / den.cast("double")),
+                 round_dp) + F.lit(0.0)).alias("kappa"))
     return out.orderBy(*gb) if gb else out
 
 
@@ -585,7 +588,7 @@ SELECT {gsel}n,
        round(CASE WHEN CAST(n AS HUGEINT) * n - pe != 0
                   THEN (CAST(n AS HUGEINT) * agree - pe)::DOUBLE
                        / (CAST(n AS HUGEINT) * n - pe)::DOUBLE END,
-             {round_dp}) AS kappa
+             {round_dp}) + 0.0 AS kappa
 FROM tot JOIN marg {join}
 {order}
 """

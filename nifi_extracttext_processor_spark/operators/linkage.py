@@ -78,9 +78,10 @@ def fs_weights(
             F.col("__nu").alias("n_nonmatch"),
             F.round(m, round_dp).alias("m"),
             F.round(u, round_dp).alias("u"),
-            F.round(F.log2(m / u), round_dp).alias("w_agree"),
-            F.round(F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)),
-                    round_dp).alias("w_disagree")))
+            (F.round(F.log2(m / u), round_dp) + F.lit(0.0))
+            .alias("w_agree"),
+            (F.round(F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)),
+                     round_dp) + F.lit(0.0)).alias("w_disagree")))
     return (one.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.*"))
 
@@ -110,8 +111,8 @@ def fs_weights_sql(
   SELECT {i} AS ord, {sql_lit(c)} AS field, nm AS n_match,
          nu AS n_nonmatch,
          round({m}, {round_dp}) AS m, round({u}, {round_dp}) AS u,
-         round(log2({m} / {u}), {round_dp}) AS w_agree,
-         round(log2((1.0 - {m}) / (1.0 - {u})), {round_dp})
+         round(log2({m} / {u}), {round_dp}) + 0.0 AS w_agree,
+         round(log2((1.0 - {m}) / (1.0 - {u})), {round_dp}) + 0.0
            AS w_disagree
   FROM one""")
     union = " UNION ALL ".join(arms)
@@ -147,7 +148,8 @@ def fs_score_pairs(
                       == 1, F.lit(float(wa))) \
             .otherwise(F.lit(float(wd)))
         score = term if score is None else score + term
-    return pairs.withColumn("fs_score", F.round(score, round_dp))
+    return pairs.withColumn("fs_score",
+                            F.round(score, round_dp) + F.lit(0.0))
 
 
 def fs_match_threshold(

@@ -615,9 +615,13 @@ rk AS (
   WHERE {right_key} IS NOT NULL GROUP BY {right_key}
 ),
 m AS (
+  -- keep the exact HUGEINT internally; the BIGINT presentation is
+  -- TRY_CAST (NULL past 9.2e18, matching Spark's decimal->long
+  -- cast) and fanout divides the EXACT value, like Spark's
+  -- full-decimal numerator — a raising CAST here would make the
+  -- twin error in exactly the blow-up regime the operator flags
   SELECT count(*) AS n_matched_keys,
-         CAST(coalesce(sum(CAST(lc AS HUGEINT) * rc), 0) AS BIGINT)
-           AS est_join_rows
+         coalesce(sum(CAST(lc AS HUGEINT) * rc), 0) AS ejr
   FROM lk JOIN rk USING (k)
 ),
 ls AS (SELECT CAST(sum(lc) AS BIGINT) AS n_left,
@@ -627,8 +631,9 @@ rs AS (SELECT CAST(sum(rc) AS BIGINT) AS n_right,
               count(*) AS n_right_keys,
               max(rc) AS max_right_dup FROM rk)
 SELECT n_left, n_right, n_left_keys, n_right_keys, n_matched_keys,
-       max_left_dup, max_right_dup, est_join_rows,
-       round(est_join_rows::DOUBLE / n_left::DOUBLE, {round_dp})
+       max_left_dup, max_right_dup,
+       TRY_CAST(ejr AS BIGINT) AS est_join_rows,
+       round(ejr::DOUBLE / n_left::DOUBLE, {round_dp})
          AS fanout
 FROM ls CROSS JOIN rs CROSS JOIN m
 """
@@ -788,9 +793,9 @@ def metric_decomposition(
         "dimension", "dim_value",
         F.round(F.col("vb"), round_dp).alias("value_before"),
         F.round(F.col("va"), round_dp).alias("value_after"),
-        F.round(delta, round_dp).alias("delta"),
-        F.round(F.when(F.abs(tot) > 0, delta / tot), round_dp)
-        .alias("share_of_change"))
+        (F.round(delta, round_dp) + F.lit(0.0)).alias("delta"),
+        (F.round(F.when(F.abs(tot) > 0, delta / tot), round_dp)
+         + F.lit(0.0)).alias("share_of_change"))
 
 
 def metric_decomposition_sql(
@@ -826,12 +831,12 @@ seg AS ({union})
 SELECT dimension, dim_value,
        round(vb, {round_dp}) AS value_before,
        round(va, {round_dp}) AS value_after,
-       round(va - vb, {round_dp}) AS delta,
+       round(va - vb, {round_dp}) + 0.0 AS delta,
        round(CASE WHEN abs(sum(va - vb) OVER (PARTITION BY dimension))
                        > 0
                   THEN (va - vb)
                        / sum(va - vb) OVER (PARTITION BY dimension)
-             END, {round_dp}) AS share_of_change
+             END, {round_dp}) + 0.0 AS share_of_change
 FROM seg
 """
 
@@ -1042,11 +1047,11 @@ def theil_decomposition(
         "n_groups",
         F.col("n_entities").cast("long").alias("n_entities"),
         F.round(mu, round_dp).alias("mean_value"),
-        F.round(t_total, round_dp).alias("theil_total"),
-        F.round(F.when(has_groups, within), round_dp)
-        .alias("theil_within"),
-        F.round(F.when(has_groups, between), round_dp)
-        .alias("theil_between"),
+        (F.round(t_total, round_dp) + F.lit(0.0)).alias("theil_total"),
+        (F.round(F.when(has_groups, within), round_dp)
+         + F.lit(0.0)).alias("theil_within"),
+        (F.round(F.when(has_groups, between), round_dp)
+         + F.lit(0.0)).alias("theil_between"),
         F.round(F.when(t_total > 0, between / t_total), round_dp)
         .alias("between_share"))
 
@@ -1089,15 +1094,16 @@ calc AS (
 SELECT n_groups,
        CAST(n_entities AS BIGINT) AS n_entities,
        round(mu, {round_dp}) AS mean_value,
-       round(tsxl / (nd * mu) - ln(mu), {round_dp}) AS theil_total,
+       round(tsxl / (nd * mu) - ln(mu), {round_dp}) + 0.0
+         AS theil_total,
        round(list_reduce(
          list_transform(gs, g -> (g.sx / tsx)
            * (g.sxl / (g.nd * (g.sx / g.nd)) - ln(g.sx / g.nd))),
-         (a, b) -> a + b), {round_dp}) AS theil_within,
+         (a, b) -> a + b), {round_dp}) + 0.0 AS theil_within,
        round(list_reduce(
          list_transform(gs, g -> (g.sx / tsx)
            * ln((g.sx / g.nd) / (tsx / nd))),
-         (a, b) -> a + b), {round_dp}) AS theil_between,
+         (a, b) -> a + b), {round_dp}) + 0.0 AS theil_between,
        round(CASE WHEN tsxl / (nd * mu) - ln(mu) > 0
                   THEN list_reduce(
                     list_transform(gs, g -> (g.sx / tsx)

@@ -81,10 +81,13 @@ def grouped_ols(
     out = [F.col("_n").alias("n_points"), slope.alias("slope"),
            intercept.alias("intercept"), r2.alias("r2")]
     if round_to is not None:
-        out = [out[0]] + [F.round(c, round_to).alias(a)
-                          for c, a in ((slope, "slope"),
-                                       (intercept, "intercept"),
-                                       (r2, "r2"))]
+        # + 0.0 on the signed stats: signed-zero normalization
+        # (see kruskal_wallis note in ranktest.py)
+        out = [out[0]] + [
+            (F.round(slope, round_to) + F.lit(0.0)).alias("slope"),
+            (F.round(intercept, round_to) + F.lit(0.0))
+            .alias("intercept"),
+            F.round(r2, round_to).alias("r2")]
     return s.select(*gcols, *out)
 
 
@@ -114,8 +117,9 @@ WITH s AS (
   GROUP BY {g}
 )
 SELECT {g}, _n AS n_points,
-       {rnd("slope")} AS slope,
-       {rnd("(_sy - slope*_sx) / _n")} AS intercept,
+       {rnd("slope")}{" + 0.0" if round_to is not None else ""} AS slope,
+       {rnd("(_sy - slope*_sx) / _n")}{" + 0.0" if round_to is not None else ""}
+         AS intercept,
        {rnd("CASE WHEN _n >= 2 AND (_n*_sxx - _sx*_sx) <> 0 "
             "AND (_n*_syy - _sy*_sy) <> 0 THEN "
             "(_n*_sxy - _sx*_sy)*(_n*_sxy - _sx*_sy) / "
@@ -147,7 +151,8 @@ def grouped_corr(
     r = F.when((F.col("_n") >= 2) & (dxx > 0) & (dyy > 0),
                dxy / F.sqrt(dxx * dyy))
     if round_to is not None:
-        r = F.round(r, round_to)
+        # + 0.0: signed-zero normalization (kruskal_wallis note)
+        r = F.round(r, round_to) + F.lit(0.0)
     return s.select(*gcols, F.col("_n").alias("n_points"),
                     r.alias("pearson_r"))
 
@@ -166,7 +171,7 @@ def grouped_corr_sql(
          "(_n*_sxy - _sx*_sy) / "
          "sqrt((_n*_sxx - _sx*_sx)*(_n*_syy - _sy*_sy)) END")
     if round_to is not None:
-        r = f"round({r}, {round_to})"
+        r = f"round({r}, {round_to}) + 0.0"
     return f"""
 SELECT {g}, _n AS n_points, {r} AS pearson_r
 FROM (

@@ -2195,8 +2195,8 @@ def zipf_fit(
     return agg.select(
         *gb,
         F.col("n_terms").cast("long").alias("n_terms"),
-        F.round(slope, round_dp).alias("slope"),
-        F.round(intercept, round_dp).alias("intercept"),
+        (F.round(slope, round_dp) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, round_dp) + F.lit(0.0)).alias("intercept"),
         F.round(r2, round_dp).alias("r2"))
 
 
@@ -2252,13 +2252,13 @@ SELECT {gsel}n_terms,
                   n_terms::DOUBLE * s.sxx - s.sx * s.sx > 0
              THEN (n_terms::DOUBLE * s.sxy - s.sx * s.sy)
                   / (n_terms::DOUBLE * s.sxx - s.sx * s.sx) END,
-             {round_dp}) AS slope,
+             {round_dp}) + 0.0 AS slope,
        round(CASE WHEN n_terms >= 2 AND
                   n_terms::DOUBLE * s.sxx - s.sx * s.sx > 0
              THEN (s.sy - ((n_terms::DOUBLE * s.sxy - s.sx * s.sy)
                            / (n_terms::DOUBLE * s.sxx - s.sx * s.sx))
                           * s.sx) / n_terms::DOUBLE END,
-             {round_dp}) AS intercept,
+             {round_dp}) + 0.0 AS intercept,
        round(CASE WHEN n_terms >= 2 AND
                   n_terms::DOUBLE * s.sxx - s.sx * s.sx > 0 AND
                   n_terms::DOUBLE * s.syy - s.sy * s.sy > 0

@@ -222,7 +222,7 @@ def detect_anomalies_rolling(
     mean = F.avg(value_col).over(w)
     sd = F.stddev_pop(value_col).over(w)
     z = F.when((cnt >= mp) & (sd > 0) & v.isNotNull(),
-               F.round((v - mean) / sd, 6))
+               F.round((v - mean) / sd, 6) + F.lit(0.0))
     tb = [tiebreak_col] if tiebreak_col else []
     return df.select(
         *keys, *tb, ts_col, value_col,
@@ -264,7 +264,7 @@ SELECT {keys}, {tb_sel}{ts_col}, {value_col},
        CASE WHEN c >= {mp} THEN round(sd, 6) END AS roll_std,
        CASE WHEN c >= {mp} AND sd > 0 AND {value_col} IS NOT NULL
             THEN round(({value_col}::DOUBLE - m) / sd, 6)
-       END AS zscore,
+       END + 0.0 AS zscore,
        coalesce(abs(CASE WHEN c >= {mp} AND sd > 0
                               AND {value_col} IS NOT NULL
                          THEN round(({value_col}::DOUBLE - m) / sd, 6)
@@ -706,7 +706,7 @@ def detect_anomalies_seasonal(
     z = F.when((n1 >= F.lit(int(min_periods))) & (sd > 0),
                (v - mean_loo) / sd)
     return (j.select(*keys, ts_col, value_col,
-                     F.round(z, round_dp).alias("z"),
+                     (F.round(z, round_dp) + F.lit(0.0)).alias("z"),
                      F.coalesce(F.abs(F.round(z, round_dp))
                                 >= F.lit(float(threshold)),
                                 F.lit(False)).alias("is_anomaly")))
@@ -749,7 +749,8 @@ j AS (
 SELECT {keys}, {ts_col}, {value_col},
        round(CASE WHEN n - 1 >= {int(min_periods)}
                    AND sqrt(var1) > 0
-                  THEN (v - m1) / sqrt(var1) END, {round_dp}) AS z,
+                  THEN (v - m1) / sqrt(var1) END, {round_dp})
+         + 0.0 AS z,
        coalesce(abs(round(CASE WHEN n - 1 >= {int(min_periods)}
                            AND sqrt(var1) > 0
                           THEN (v - m1) / sqrt(var1) END,
@@ -902,7 +903,8 @@ def lead_lag_corr(
     den = F.sqrt(dx * dy)
     return (agg.select(
         "lag", "n_days",
-        F.round(F.when(den > 0, num / den), round_dp).alias("corr"))
+        (F.round(F.when(den > 0, num / den), round_dp)
+         + F.lit(0.0)).alias("corr"))
         .orderBy("lag"))
 
 
@@ -955,7 +957,8 @@ SELECT lag, n_days,
                   THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
                        / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
                               * (CAST(n_days AS DOUBLE) * syy
-                                 - sy * sy)) END, {round_dp}) AS corr
+                                 - sy * sy)) END, {round_dp})
+         + 0.0 AS corr
 FROM agg
 ORDER BY lag
 """
@@ -1024,7 +1027,7 @@ def holt_forecast(
         F.round(F.expr("element_at(__s, -1).__y"), round_dp)
         .alias("last_y"),
         F.round(st["l"], round_dp).alias("level"),
-        F.round(st["b"], round_dp).alias("trend"),
+        (F.round(st["b"], round_dp) + F.lit(0.0)).alias("trend"),
         F.round(st["l"] + F.lit(float(horizon)) * st["b"], round_dp)
         .alias("forecast"))
 
@@ -1103,7 +1106,7 @@ fin AS (
 SELECT {fsel}CAST(f.n_periods AS BIGINT) AS n_periods, f.last_day,
        round(d3.y, {round_dp}) AS last_y,
        round(f.l, {round_dp}) AS level,
-       round(f.b, {round_dp}) AS trend,
+       round(f.b, {round_dp}) + 0.0 AS trend,
        round(f.l + {float(horizon)!r} * f.b, {round_dp}) AS forecast
 FROM fin f JOIN idx d3 ON {onlast}
 """
@@ -1288,7 +1291,7 @@ def robust_trend(
         F.when(F.col("mk_s") > 0, (s - 1) / F.sqrt(var_s))
         .when(F.col("mk_s") < 0, (s + 1) / F.sqrt(var_s))
         .otherwise(F.lit(0.0)))
-    zr = F.round(z, round_dp)
+    zr = F.round(z, round_dp) + F.lit(0.0)
     m = F.size("__sls")
     sen = F.when(
         m > 0,
@@ -1308,7 +1311,7 @@ def robust_trend(
         F.when(zr >= F.lit(float(z_alpha)), F.lit("up"))
         .when(zr <= F.lit(-float(z_alpha)), F.lit("down"))
         .when(zr.isNotNull(), F.lit("none")).alias("trend"),
-        F.round(sen, round_dp).alias("sen_slope"))
+        (F.round(sen, round_dp) + F.lit(0.0)).alias("sen_slope"))
 
 
 def robust_trend_sql(
@@ -1388,12 +1391,12 @@ zc AS (
 )
 SELECT {gsel}
        CAST(n_days AS BIGINT) AS n_days, n_pairs, mk_s,
-       round(z, {round_dp}) AS mk_z,
+       round(z, {round_dp}) + 0.0 AS mk_z,
        CASE WHEN round(z, {round_dp}) >= {za} THEN 'up'
             WHEN round(z, {round_dp}) <= -{za} THEN 'down'
             WHEN round(z, {round_dp}) IS NOT NULL THEN 'none'
        END AS trend,
-       round(sen, {round_dp}) AS sen_slope
+       round(sen, {round_dp}) + 0.0 AS sen_slope
 FROM zc
 """
 
@@ -1822,8 +1825,8 @@ def seasonal_decompose(
     return (out.select(*gb, "d",
                        F.round(val, round_dp).alias("value"),
                        F.round(trend, round_dp).alias("trend"),
-                       F.round(seasonal, round_dp).alias("seasonal"),
-                       F.round(resid, round_dp).alias("resid"))
+                       (F.round(seasonal, round_dp) + F.lit(0.0)).alias("seasonal"),
+                       (F.round(resid, round_dp) + F.lit(0.0)).alias("resid"))
             .orderBy(*gb, "d"))
 
 
@@ -1893,10 +1896,10 @@ SELECT {asel.replace('a.', 't.') if gb else ''}t.d,
        round(t.yq::DOUBLE / 1e6, {round_dp}) AS value,
        round(t.t6 / 1e6, {round_dp}) AS trend,
        round(CASE WHEN t.t6 IS NOT NULL THEN s.s / 1e6 END,
-             {round_dp}) AS seasonal,
+             {round_dp}) + 0.0 AS seasonal,
        round(CASE WHEN t.t6 IS NOT NULL
              THEN (t.yq::DOUBLE - t.t6 - s.s) / 1e6 END,
-             {round_dp}) AS resid
+             {round_dp}) + 0.0 AS resid
 FROM trended t LEFT JOIN seas s
   ON {jkeys.replace('a.', 't.').replace('b.', 's.')}
      {" AND " if gb else " AND "}t.pos = s.pos
@@ -2068,7 +2071,7 @@ def runs_test(
            / (ntot * ntot * (ntot - F.lit(1.0))))
     z = F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
                F.round((F.col("n_runs").cast("double") - er)
-                       / F.sqrt(var), round_dp))
+                       / F.sqrt(var), round_dp) + F.lit(0.0))
     return agg.select(
         *gb,
         (F.col("n1") + F.col("n2")).cast("long").alias("n_days"),
@@ -2150,7 +2153,7 @@ SELECT {gsel}n1 + n2 AS n_days, n1 AS n_above, n2 AS n_below,
                          / ((n1::DOUBLE + n2::DOUBLE)
                             * (n1::DOUBLE + n2::DOUBLE)
                             * (n1::DOUBLE + n2::DOUBLE - 1.0)))
-             END, {round_dp}) AS z,
+             END, {round_dp}) + 0.0 AS z,
        coalesce(abs(round(CASE WHEN n1 > 0 AND n2 > 0 AND
                   2.0 * n1::DOUBLE * n2::DOUBLE
                   * (2.0 * n1::DOUBLE * n2::DOUBLE

@@ -300,14 +300,23 @@ class TestKruskalDecimalAccumulation:
     per group. Values must be unchanged on normal domains."""
 
     def test_r2_carries_as_decimal(self, spark):
+        import re
         from nifi_extracttext_processor_spark.operators.ranktest \
             import kruskal_wallis
         df = _high_card_scores(spark, 90).withColumn(
             "score", F.round("score", 0))
         out = kruskal_wallis(df, "variant", "score")
-        plan = out._sc is not None and out._jdf.queryExecution() \
-            .analyzed().toString()
-        assert "decimal(38,0)" in plan, \
-            "r2 accumulation regressed to int64"
+        plan = out._jdf.queryExecution().analyzed().toString()
+        # assert the SPECIFIC r2 accumulation (c * mid2, both
+        # operands decimal-widened before the multiply) — a bare
+        # "decimal(38,0) in plan" would pass on any unrelated cast
+        assert re.search(
+            r"cast\(mid2#\d+L? as decimal\(38,0\)\)", plan), \
+            "r2 accumulation regressed: mid2 operand not widened " \
+            "to decimal(38,0) before the c*mid2 multiply"
+        assert re.search(
+            r"cast\(c#\d+L? as decimal\(38,0\)\)", plan), \
+            "r2 accumulation regressed: c operand not widened " \
+            "to decimal(38,0) before the c*mid2 multiply"
         [r] = out.collect()
         assert r["h"] is not None
