@@ -5131,6 +5131,89 @@ _rotate_slot("k_anonymity_audit", "zipf_fit_by_lang", rnd=15)
 _rotate_slot("rrf_fuse_topk", "bpe_tokenize", rnd=15)
 _rotate_slot("entity_resolve_incremental", "unigram_tokenize", rnd=15)
 
+# ===========================================================================
+# Driver-window rotation r16 — VERDICT r15 tasks 1+2: drain the
+# never-driver-seen backlog by 15 (122 -> 107), led by the core-SQL
+# trio + semantic_dedup_incremental, AND start paying down the oldest
+# STALE greens by reserving ~1/3 of the swap budget (4 of 19) for the
+# r5-r7 north-star anchors. 19 swaps — every eviction has >= 2 prior
+# green rounds (16 r14-debut rows with exactly 2, plus three
+# 10-to-14-green family reps whose family seat transfers to the
+# incoming stale sibling). Stale anchors NOT re-rotated this round
+# (chunk_documents r5, dedup_by_url r7) are scheduled first for r17
+# (SURVEY rotation plan).
+#
+# HONESTY NOTE on family representation: the graph family
+# (doc_link_components_large, 2 greens) and the two composed report
+# rows (survival_report, experiment_report, 2 greens each) park
+# below-window this round; their dtype-exact parity keeps running in
+# every pytest run and doc_link_components / graph_coreness /
+# host_pagerank are r17 re-entry candidates. Every other family keeps
+# an in-window rep (abtest keeps SIX; events/survival keeps TEN).
+#
+# Stale-green re-rotations (VERDICT task 2 — family seat transfers):
+#   quality_score OUT (10 greens, anchor seat) -> tfidf_top_terms IN
+#     (stale r5; text-analysis seat transfers — gopher/C4/lang stay
+#     exercised inside training_data_prep's clean stage)
+#   dedup_near_pairs OUT (13) -> dedup_clusters IN   (stale r7;
+#     dedup seat transfers to the connected-components read of the
+#     SAME MinHash+SimHash banded pair base — pairs stay exercised
+#     as clusters' input stage)
+#   ann_topk_ivf_indexed OUT (14) -> ann_topk_lsh_indexed IN
+#     (stale r6; ANN seat transfers across index variants)
+#   ab_mann_whitney OUT (2) -> knn_recall IN   (stale r6; the ANN
+#     recall GATE — a 10-round-old attestation on recall was the
+#     weakest link in the dedup/ANN story per VERDICT r15)
+# Core-SQL trio (B12's QueryRecord SQL surface deserves driver
+# hashes, cf. 56409-tika.xml:1848-1890):
+#   corr_spearman_events OUT (2) -> sql_window_rank IN
+#   bh_fdr_sweep OUT (2) -> sql_having_bigspenders IN
+#   eval_roc_auc OUT (2) -> sql_above_avg_orders IN
+# The only never-driver-seen LLM-dedup-core row:
+#   doc_link_components_large OUT (2) -> semantic_dedup_incremental IN
+# Never-rotated analytics + r12 statistical tail (VERDICT r15
+# candidates (b)+(c)):
+#   ab_ca_trend OUT (2) -> fs_link_scores IN   (Fellegi-Sunter
+#     probabilistic linkage — ER family returns to the window)
+#   ab_brown_forsythe OUT (2) -> revenue_theil IN
+#   events_nelson_aalen OUT (2) -> events_anomaly IN
+#   events_km_rmst OUT (2) -> events_top_paths IN
+#   events_pettitt OUT (2) -> events_changepoints IN
+#   ab_cuped_adjusted OUT (2) -> ab_group_sequential IN   (completes
+#     the peeking triad under driver hashes)
+#   ab_srm_guardrail OUT (2) -> events_robust_trend IN   (MK trend +
+#     Sen slope, carrying the r16 signed-zero normalization)
+#   ab_wilcoxon_signed OUT (2) -> user_rfm IN
+#   ab_diff_in_diff OUT (2) -> growth_accounting_daily IN
+#   survival_report OUT (2) -> profile_events IN   (the Deequ-style
+#     profiler's driver debut)
+#   experiment_report OUT (2) -> dsir_weights IN   (DSIR importance
+#     weights — LLM data-selection family's driver debut)
+# Evicted queries stay registered below the window; test_oracle_parity
+# keeps running their dtype-exact DuckDB checks every pytest run.
+# ===========================================================================
+
+_rotate_slot("quality_score", "tfidf_top_terms", rnd=16)
+_rotate_slot("dedup_near_pairs", "dedup_clusters", rnd=16)
+_rotate_slot("ann_topk_ivf_indexed", "ann_topk_lsh_indexed", rnd=16)
+_rotate_slot("ab_mann_whitney", "knn_recall", rnd=16)
+_rotate_slot("corr_spearman_events", "sql_window_rank", rnd=16)
+_rotate_slot("bh_fdr_sweep", "sql_having_bigspenders", rnd=16)
+_rotate_slot("eval_roc_auc", "sql_above_avg_orders", rnd=16)
+_rotate_slot("doc_link_components_large", "semantic_dedup_incremental",
+             rnd=16)
+_rotate_slot("ab_ca_trend", "fs_link_scores", rnd=16)
+_rotate_slot("ab_brown_forsythe", "revenue_theil", rnd=16)
+_rotate_slot("events_nelson_aalen", "events_anomaly", rnd=16)
+_rotate_slot("events_km_rmst", "events_top_paths", rnd=16)
+_rotate_slot("events_pettitt", "events_changepoints", rnd=16)
+_rotate_slot("ab_cuped_adjusted", "ab_group_sequential", rnd=16)
+_rotate_slot("ab_srm_guardrail", "events_robust_trend", rnd=16)
+_rotate_slot("ab_wilcoxon_signed", "user_rfm", rnd=16)
+_rotate_slot("ab_diff_in_diff", "growth_accounting_daily", rnd=16)
+_rotate_slot("survival_report", "profile_events", rnd=16)
+_rotate_slot("experiment_report", "dsir_weights", rnd=16)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

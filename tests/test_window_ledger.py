@@ -148,6 +148,45 @@ R15_PAIRS = {
 R15_IN = set(R15_PAIRS.values())
 R15_OUT = set(R15_PAIRS)
 
+# r16 rotation (VERDICT r15 tasks 1+2): 19 swaps — 15 never-driver-
+# seen rows in (core-SQL trio + semantic_dedup_incremental first) AND
+# 4 of the oldest STALE greens re-rotated (~1/3 of the swap budget).
+# Evictions: the 16 r14-debut rows with exactly 2 greens, plus three
+# 10-to-14-green family reps whose seat transfers to the incoming
+# stale sibling of the same family.
+R16_PAIRS = {
+    "quality_score": "tfidf_top_terms",
+    "dedup_near_pairs": "dedup_clusters",
+    "ann_topk_ivf_indexed": "ann_topk_lsh_indexed",
+    "ab_mann_whitney": "knn_recall",
+    "corr_spearman_events": "sql_window_rank",
+    "bh_fdr_sweep": "sql_having_bigspenders",
+    "eval_roc_auc": "sql_above_avg_orders",
+    "doc_link_components_large": "semantic_dedup_incremental",
+    "ab_ca_trend": "fs_link_scores",
+    "ab_brown_forsythe": "revenue_theil",
+    "events_nelson_aalen": "events_anomaly",
+    "events_km_rmst": "events_top_paths",
+    "events_pettitt": "events_changepoints",
+    "ab_cuped_adjusted": "ab_group_sequential",
+    "ab_srm_guardrail": "events_robust_trend",
+    "ab_wilcoxon_signed": "user_rfm",
+    "ab_diff_in_diff": "growth_accounting_daily",
+    "survival_report": "profile_events",
+    "experiment_report": "dsir_weights",
+}
+R16_IN = set(R16_PAIRS.values())
+R16_OUT = set(R16_PAIRS)
+# The 4 STALE-green re-rotations (previously driver-green at r5-r7,
+# below window since; VERDICT r15 task 2 directs paying down stale
+# attestations alongside the never-seen drain). These legitimately
+# HAVE pre-r16 driver rows — test_rotated_in_queries_were_backlog
+# exempts exactly this documented set.
+R16_STALE_IN = {
+    "tfidf_top_terms", "dedup_clusters",
+    "ann_topk_lsh_indexed", "knn_recall",
+}
+
 # queries first registered in r13 (backlog INFLOW, not debt)
 R13_NEW = {
     "doc_link_components_large",
@@ -190,7 +229,7 @@ def test_r12_rotation_applied(ledger):
     # evicts them (they then must have had >= 2 greens — asserted in
     # the later round's own test); the historical swap record and the
     # driver artifact both still prove the r12 composition.
-    later_out = R14_OUT | R15_OUT
+    later_out = R14_OUT | R15_OUT | R16_OUT
     assert R12_IN - later_out <= window
     for n in R12_IN & later_out:
         assert 12 in ledger["rows"][n]["rounds_seen"], n
@@ -208,8 +247,8 @@ def test_r13_rotation_applied(ledger):
     # r13-in rows stay until a LATER recorded rotation evicts them
     # (the r15 consolidation evicted ten, each with >= 2 greens —
     # asserted in test_r15_rotation_applied)
-    assert R13_IN - R15_OUT <= window
-    for n in R13_IN & R15_OUT:
+    assert R13_IN - R15_OUT - R16_OUT <= window
+    for n in R13_IN & (R15_OUT | R16_OUT):
         assert 13 in ledger["rows"][n]["rounds_seen"], n
     assert not (R13_OUT & window)
     for n in R13_OUT:
@@ -226,7 +265,12 @@ def test_r13_rotation_applied(ledger):
 
 def test_r14_rotation_applied(ledger):
     window = set(ledger["window"])
-    assert R14_IN <= window
+    # r14-in rows stay until a LATER recorded rotation evicts them
+    # (the r16 rotation evicted 16, each with exactly 2 greens —
+    # asserted in test_r16_rotation_applied)
+    assert R14_IN - R16_OUT <= window
+    for n in R14_IN & R16_OUT:
+        assert 14 in ledger["rows"][n]["rounds_seen"], n
     assert not (R14_OUT & window)
     for n in R14_OUT:
         assert n in entry.oracle_sql(), n
@@ -256,6 +300,30 @@ def test_r15_rotation_applied(ledger):
         assert len(greens) >= 2, (out, greens)
 
 
+def test_r16_rotation_applied(ledger):
+    window = set(ledger["window"])
+    assert R16_IN <= window
+    assert not (R16_OUT & window)
+    for n in R16_OUT:
+        assert n in entry.oracle_sql(), n
+    assert R16_OUT <= set(entry.queries())
+    r16 = [(o, i) for rnd, o, i in ledger["rotations"] if rnd == 16]
+    assert dict(r16) == R16_PAIRS
+    # policy bar: >= 2 prior green rounds for every eviction
+    for out in R16_OUT:
+        greens = [r for r in ledger["rows"][out]["rounds_green"]
+                  if r < 16]
+        assert len(greens) >= 2, (out, greens)
+    # the never-seen 15 genuinely drain the backlog; the stale 4 are
+    # re-attestations with r5-r7 greens on record
+    for n in R16_IN - R16_STALE_IN:
+        assert not ledger["rows"][n]["rounds_green"] or \
+            min(ledger["rows"][n]["rounds_green"]) >= 16, n
+    for n in R16_STALE_IN:
+        greens = ledger["rows"][n]["rounds_green"]
+        assert greens and min(greens) < 16, (n, greens)
+
+
 def test_r15_consolidation_zero_inflow(ledger):
     """r15 registered ZERO new queries (VERDICT r14 task 2: hold
     inflow near zero for a round): the registry stays at 244 and the
@@ -281,6 +349,7 @@ def test_rotations_reverse_replay_to_consistent_base(ledger):
     assert R13_IN & base_window == set()
     assert R14_IN & base_window == set()
     assert R15_IN & base_window == set()
+    assert R16_IN & base_window == set()
 
 
 def test_no_correctness_key_was_silently_dropped():
@@ -302,8 +371,17 @@ def test_rotated_in_queries_were_backlog(ledger):
     none may appear in any CORRECTNESS artifact from BEFORE its own
     rotation round. (Cut off at the rotation round, not at "ever" —
     the driver writes the rotation round's own artifact after the
-    builder ships, which is expected and fine; see module docstring.)"""
+    builder ships, which is expected and fine; see module docstring.)
+
+    Exception from r16 (VERDICT r15 task 2): documented STALE-GREEN
+    re-rotations — rows previously driver-green, parked below the
+    window >= 3 rounds, brought back for re-attestation. Each must be
+    listed in its round's R*_STALE_IN set; anything else with early
+    rows is still a policy violation."""
+    stale_ok = R16_STALE_IN
     for rnd, _out, inn in ledger["rotations"]:
+        if inn in stale_ok:
+            continue
         early = [r for r in ledger["rows"][inn]["rounds_seen"] if r < rnd]
         assert early == [], (inn, rnd, early)
 
@@ -371,6 +449,10 @@ def test_backlog_is_draining(ledger):
     # after rotating 16 in (new r14 registrations are inflow)
     assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 14) >= 14
     assert len(backlog - R14_NEW) <= 127
+    # r16 drain bar (VERDICT r15 task 1): 19 swaps, 15 of them
+    # never-driver-seen -> backlog 122 -> 107 with zero inflow
+    assert sum(1 for rnd, _, _ in ledger["rotations"] if rnd == 16) >= 19
+    assert len(backlog) <= 107
 
 
 def test_backlog_and_summary_shape(ledger):
