@@ -139,7 +139,38 @@ HEADLINE = [
     "events_seasonal_decompose",  # r15: exact-decimal centered-MA
                                   # fold + position-keyed seasonal
                                   # index folds over the day collapse
+    # round-16 additions (appended, legacy order preserved)
+    "semantic_dedup_incremental",  # r16: batch-vs-catalog SemDeDup —
+                                   # cluster-pruned catalog probe (the
+                                   # incremental claim is the number:
+                                   # cost must track the BATCH size,
+                                   # not the catalog scan)
+    "events_robust_trend",  # r16: MK S-statistic + Sen slope — the
+                            # C(n,2) day-pair expansion stays bounded
+                            # by the day collapse, never event-scale
 ]
+
+# ---------------------------------------------------------------------------
+# Split-session protocol (VERDICT r15 task 3): the r15 split-session
+# experiment showed a single long session costs 10-19% (JVM heap/GC/
+# codegen/block-manager residue), so the ONE-SHOT total is a function
+# of headliner count, not plan quality. From r16 the band-defining
+# measurement is two fresh sessions (bench_variance.py --split), and
+# the one-shot is a smoke number only.
+#
+# SESSION-COMPOSITION RULE (append-only, so session A stays
+# byte-stable across rounds): boundaries never move once frozen;
+# new headliners append to the LAST session; when the last session
+# exceeds ~35 headliners, freeze a new boundary at its then-current
+# end. Frozen at r16: A = HEADLINE[:29] (the legacy-through-r6 set),
+# B = HEADLINE[29:].
+SESSION_BOUNDARIES = [29]
+
+
+def session_slices() -> "list[list[str]]":
+    """HEADLINE partitioned by the frozen boundaries."""
+    cuts = [0, *SESSION_BOUNDARIES, len(HEADLINE)]
+    return [HEADLINE[a:b] for a, b in zip(cuts, cuts[1:])]
 
 
 def _asof_frames(spark, sf_dir):
@@ -349,9 +380,16 @@ def main() -> None:
     # headliners so a query's standalone median can be separated
     # from 45-query session-composition effects.
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    selected = ([n for n in HEADLINE if n in
+    base = HEADLINE
+    # SPARK_GRAFT_SESSION=0|1|... selects one frozen split-session
+    # slice (the band-defining protocol since r16; see
+    # SESSION_BOUNDARIES above)
+    sess = os.environ.get("SPARK_GRAFT_SESSION")
+    if sess is not None:
+        base = session_slices()[int(sess)]
+    selected = ([n for n in base if n in
                  {s.strip() for s in only.split(",")}]
-                if only else HEADLINE)
+                if only else base)
 
     timings: dict[str, float] = {}
     for name in selected:

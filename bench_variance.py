@@ -41,6 +41,16 @@ def main() -> None:
         i = argv.index("--round")
         round_no = int(argv[i + 1])
         del argv[i:i + 2]
+    split = False
+    if "--split" in argv:
+        # Split-session mode (VERDICT r15 task 3 — the band-defining
+        # protocol from r16): each logical run executes bench.py once
+        # PER frozen session slice (see bench.SESSION_BOUNDARIES), in
+        # fresh processes, and the run record is the merged timings
+        # with value = sum of session totals. The one-shot remains a
+        # smoke number; cross-round bands compare split medians.
+        argv.remove("--split")
+        split = True
     if "--only" in argv:
         # Per-query fresh-session mode (drift adjudication, VERDICT r9
         # task 2): each run executes ONLY the named headliners, so a
@@ -60,12 +70,31 @@ def main() -> None:
         env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
         if only:
             env["SPARK_GRAFT_ONLY"] = only
-        out = subprocess.run(
-            [sys.executable, "bench.py"],
-            capture_output=True, text=True, check=True,
-            env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        cwd = os.path.dirname(os.path.abspath(__file__))
+        if split:
+            import bench as _bench
+            merged: dict = {"metric": "headline_queries_total_wall",
+                            "unit": "sec", "queries": {}, "value": 0.0,
+                            "sessions": []}
+            for k in range(len(_bench.session_slices())):
+                senv = {**env, "SPARK_GRAFT_SESSION": str(k)}
+                out = subprocess.run(
+                    [sys.executable, "bench.py"],
+                    capture_output=True, text=True, check=True,
+                    env=senv, cwd=cwd)
+                rec = json.loads(out.stdout.strip().splitlines()[-1])
+                merged["queries"].update(rec["queries"])
+                merged["value"] = round(merged["value"] + rec["value"],
+                                        3)
+                merged["sessions"].append(rec["value"])
+                merged["sf"] = rec["sf"]
+            runs.append(merged)
+        else:
+            out = subprocess.run(
+                [sys.executable, "bench.py"],
+                capture_output=True, text=True, check=True,
+                env=env, cwd=cwd)
+            runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
 
     names = list(runs[0]["queries"])
     stats = {}
@@ -86,9 +115,18 @@ def main() -> None:
         f"`bench.py` at `{sf_dir}` "
         f"(local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]).",
         "",
-        "**Protocol**: each run is a separate `python bench.py` process"
-        " (cold JVM, cold Spark session; OS page cache shared across"
-        " runs). Per-query spread% = (max-min)/median over the runs. A"
+        ("**Protocol**: SPLIT-SESSION (band-defining since r16 — "
+         "VERDICT r15 task 3): each logical run executes one fresh "
+         "`python bench.py` process PER frozen session slice "
+         "(bench.SESSION_BOUNDARIES; session A = HEADLINE[:29] stays "
+         "byte-stable across rounds, appends go to the last session) "
+         "and sums the session totals. "
+         if split else
+         "**Protocol**: each run is a separate `python bench.py` "
+         "process (ONE-SHOT; since r16 this is a smoke number only — "
+         "the band-defining measurement is `--split`). ")
+        + "Cold JVM, cold Spark session; OS page cache shared across"
+        " runs. Per-query spread% = (max-min)/median over the runs. A"
         " cross-round delta on any query is NOISE, not"
         " regression/improvement, unless it exceeds that query's"
         " spread band.",

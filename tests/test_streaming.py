@@ -390,6 +390,54 @@ def test_stream_semantic_dedup_cross_batch(spark, tmp_path):
     assert kept1 <= kept2       # catalog is append-only
 
 
+def test_stream_semantic_dedup_out_of_order_and_replay(spark, tmp_path):
+    """Adversarial cross-batch fixture (VERDICT r15 task 7):
+    out-of-order ids across batch boundaries + at-least-once replay.
+
+    The suppression rule is CATALOG-FIRST, not global min-id: a
+    LOWER-id near-dup arriving in a LATER batch must be pruned
+    against its earlier-cataloged higher-id twin (ids carry no
+    arrival-order meaning across micro-batches). And replaying a
+    batch must converge: the replay's rows all prune against their
+    own cataloged survivors (cos = 1.0 >= threshold), so the catalog
+    gains nothing."""
+    from nifi_extracttext_processor_spark.streaming.pipeline import (
+        stream_semantic_dedup,
+    )
+
+    cat = str(tmp_path / "catalog")
+    schema = "vec_id long, embedding array<double>"
+    fb = stream_semantic_dedup(None, cat, threshold=0.99, k=2, iters=1)
+
+    # batch 0 arrives FIRST but carries the HIGH ids: a direction, its
+    # within-batch near-dup (min-id rule keeps 100), an orthogonal one
+    b0 = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]),
+         (101, [1.0, 0.001, 0.0]),
+         (102, [0.0, 0.0, 1.0])], schema)
+    fb(b0, 0)
+    kept0 = {r["vec_id"] for r in spark.read.parquet(cat).collect()}
+    assert kept0 == {100, 102}
+
+    # batch 1: LOWER id 5 is a near-dup of cataloged 100 — pruned even
+    # though 5 < 100 (catalog-first, not min-id); 6 is genuinely new
+    b1 = spark.createDataFrame(
+        [(5, [1.0, 0.002, 0.0]),
+         (6, [0.0, 1.0, 0.0])], schema)
+    fb(b1, 1)
+    kept1 = {r["vec_id"] for r in spark.read.parquet(cat).collect()}
+    assert 5 not in kept1, "lower-id late arrival must NOT displace " \
+        "its cataloged higher-id twin"
+    assert kept1 == {100, 102, 6}
+
+    # at-least-once replay of batch 1: survivors prune against
+    # themselves (cos 1.0), catalog converges — no duplicate rows
+    fb(b1, 1)
+    rows = spark.read.parquet(cat).collect()
+    assert len(rows) == 3
+    assert {r["vec_id"] for r in rows} == {100, 102, 6}
+
+
 def test_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join (bounded state via max_duration +
     watermarks) produces exactly the batch interval_join's inner-join

@@ -228,6 +228,73 @@ class TestStreamingIngest:
         assert spark.read.parquet(cat_dir).count() == 2
 
 
+class TestStreamWebCorpusAdversarial:
+    """Adversarial cross-batch fixture (VERDICT r15 task 7):
+    byte-DIFFERENT but normalization-equal content arriving across a
+    batch boundary, plus an OUT-OF-ORDER replay of an earlier batch
+    after a later batch has landed."""
+
+    # precomposed U+00E9 in one batch, decomposed e+U+0301 in the
+    # other: different bytes, identical after NFC — the fingerprint
+    # is computed over NORMALIZED text, so the catalog must catch it
+    GOOD_NFC = ("This is a clean and useful café document that "
+                "has the right length and the words that a quality "
+                "filter wants to see in a sentence with enough "
+                "substance to pass all of the configured gates.")
+    GOOD_NFD = GOOD_NFC.replace("é", "é")
+    OTHER = ("Another perfectly reasonable article of adequate "
+             "length that the filters should keep, with the usual "
+             "mix of common words that the quality and language "
+             "checks are looking for in real prose.")
+
+    def _parse(self, spark, seg_path):
+        from nifi_extracttext_processor_spark.sources.warc import (
+            parse_warc_df,
+        )
+        files = (spark.read.format("binaryFile")
+                 .load(str(seg_path))
+                 .select("path", "modificationTime", "length",
+                         "content"))
+        return parse_warc_df(files)
+
+    def test_normalized_variant_suppressed_and_ooo_replay(
+            self, spark, tmp_path):
+        assert self.GOOD_NFC.encode() != self.GOOD_NFD.encode()
+        from nifi_extracttext_processor_spark.streaming.pipeline import (
+            stream_web_corpus,
+        )
+        out, cat = str(tmp_path / "o"), str(tmp_path / "c")
+        fn = stream_web_corpus(out, cat, min_quality=0.3)
+
+        s1 = tmp_path / "b1.warc.gz"
+        s1.write_bytes(W.build_wet([("http://a.example/1",
+                                     self.GOOD_NFC)]))
+        b1 = self._parse(spark, s1)
+        fn(b1, 0)
+
+        # batch 1: the NFD byte-variant of the cataloged doc (must be
+        # suppressed via the normalized fingerprint) + a new doc
+        s2 = tmp_path / "b2.warc.gz"
+        s2.write_bytes(W.build_wet([
+            ("http://b.example/variant", self.GOOD_NFD),
+            ("http://b.example/new", self.OTHER)]))
+        fn(self._parse(spark, s2), 1)
+        texts = sorted(r["text"] for r in
+                       spark.read.parquet(out).collect())
+        assert texts == sorted([self.GOOD_NFC, self.OTHER]), \
+            "NFD variant escaped the normalized-fingerprint catalog"
+        assert spark.read.parquet(cat).count() == 2
+
+        # OUT-OF-ORDER replay: batch 0 re-delivered AFTER batch 1
+        # landed — dynamic-partition-overwrite rewrites only batch=0,
+        # batch 1's rows stand, and nothing duplicates
+        fn(b1, 0)
+        texts = sorted(r["text"] for r in
+                       spark.read.parquet(out).collect())
+        assert texts == sorted([self.GOOD_NFC, self.OTHER])
+        assert spark.read.parquet(cat).count() == 2
+
+
 class TestStreamReplayIdempotent:
     """Round-7 review fix: foreachBatch is at-least-once — replaying
     a batch (same batch_id) must overwrite its own `batch=` partition
