@@ -409,20 +409,37 @@ def detect_changepoints(
     keys = list(key_cols)
     if not keys:
         raise ValueError("detect_changepoints needs a key column")
-    ref = df
+    # r16: reference mu/sd from EXACT-integer sufficient statistics
+    # on the 1e6 grid (the pettitt/cusum discipline). avg/stddev_pop
+    # over raw doubles accumulate in engine-specific partial-agg
+    # order; the resulting ulp noise in mu/sd straddled a round-6
+    # presentation boundary at sf1 (3.57751 vs 3.57752 — caught by
+    # the 10x-scale battery). With (n, Σyq, Σyq²) exact on both
+    # engines, the closing mu/sd/z chain is the identical IEEE
+    # sequence and the running sums consume identical doubles.
+    yq = F.round(F.col(value_col).cast("double")
+                 * 1e6).cast("decimal(38,0)")
+    base = df.withColumn("__yq", yq)
+    ref = base
     if baseline_n is not None:
         if baseline_n < 2:
             raise ValueError("baseline_n must be >= 2")
         worder = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
         wrn = Window.partitionBy(*keys).orderBy(*worder)
-        ref = (df.withColumn("__rn", F.row_number().over(wrn))
+        ref = (base.withColumn("__rn", F.row_number().over(wrn))
                .filter(F.col("__rn") <= baseline_n))
     stats = (ref.groupBy(*keys)
-             .agg(F.avg(value_col).alias("__mu"),
-                  F.stddev_pop(value_col).alias("__sd")))
-    d = df.join(stats, keys)
-    z = F.when(F.col("__sd") > 0,
-               (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+             .agg(F.count(F.col("__yq")).alias("__n"),
+                  F.sum("__yq").alias("__s1"),
+                  F.sum(F.col("__yq") * F.col("__yq")).alias("__s2")))
+    d = base.join(stats, keys)
+    nd = F.col("__n").cast("double")
+    varnum = (F.col("__n").cast("decimal(38,0)") * F.col("__s2")
+              - F.col("__s1") * F.col("__s1"))
+    mu6 = F.col("__s1").cast("double") / nd
+    sd6 = F.sqrt(varnum.cast("double")) / nd
+    z = F.when(varnum > 0,
+               (F.col("__yq").cast("double") - mu6) / sd6
                ).otherwise(F.lit(0.0))
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = (Window.partitionBy(*keys).orderBy(*order)
@@ -432,15 +449,29 @@ def detect_changepoints(
     # them (same sort both times — one Window node after Catalyst
     # collapses the projections)
     tb = [tiebreak_col] if tiebreak_col else []
+    # r16: cumulate on the exact 1e-6 z-grid, not on doubles. A
+    # double running sum is engine-order-sensitive (Spark streams the
+    # frame sequentially, DuckDB may tree-combine) and the drift
+    # GROWS with series length — at sf1 (~400k rows/key) the two
+    # engines' cusum_neg diverged by 1e-5. Integer accumulation is
+    # exact and associative, so the chart is bit-stable at ANY
+    # length; each z carries <= 5e-7 quantization, which is noise at
+    # the sigma scale the threshold reads.
+    driftq = int(round(float(drift) * 1e6))
+    zq = F.round(z * 1e6).cast("decimal(38,0)")
+    dq = F.lit(driftq).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
     cums = d.select(*keys, ts_col, value_col, *tb,
-                    F.sum(z - drift).over(w).alias("__cp"),
-                    F.sum(z + drift).over(w).alias("__cn"))
+                    F.sum(zq - dq).over(w).alias("__cp"),
+                    F.sum(zq + dq).over(w).alias("__cn"))
     # include the empty prefix C0 = 0 in the running extremum:
     # S+ = C - min(0, min C), S- = max(0, max C) - C
     pos = F.round(
-        F.col("__cp") - F.least(F.min("__cp").over(w), F.lit(0.0)), 6)
+        (F.col("__cp") - F.least(F.min("__cp").over(w), zero))
+        .cast("double") / 1e6, 6)
     neg = F.round(
-        F.greatest(F.max("__cn").over(w), F.lit(0.0)) - F.col("__cn"), 6)
+        (F.greatest(F.max("__cn").over(w), zero) - F.col("__cn"))
+        .cast("double") / 1e6, 6)
     return (cums.select(*keys, ts_col, value_col,
                         pos.alias("cusum_pos"), neg.alias("cusum_neg"))
             .withColumn("is_change",
@@ -459,36 +490,53 @@ def detect_changepoints_sql(
     baseline_n: int | None = None,
 ) -> str:
     """DuckDB twin of detect_changepoints (same windows, same
-    round-6, same stddev_pop reference)."""
+    round-6, same exact-integer (n, Σyq, Σyq²) reference on the 1e6
+    grid — see the operator's r16 note; a raw-double stddev_pop
+    accumulates in engine-specific order)."""
+    driftq = int(round(float(drift) * 1e6))
     keys = ", ".join(key_cols)
     order = ts_col + (f", {tiebreak_col}" if tiebreak_col else "")
     tb_sel = f" {tiebreak_col}," if tiebreak_col else ""
     if baseline_n is None:
-        ref = table
+        ref = "b"
     else:
         ref = (f"(SELECT * FROM (SELECT *, row_number() OVER "
                f"(PARTITION BY {keys} ORDER BY {order}) AS __rn "
-               f"FROM {table}) WHERE __rn <= {baseline_n})")
+               f"FROM b) WHERE __rn <= {baseline_n})")
     return f"""
-WITH st AS (
-  SELECT {keys}, avg({value_col}) AS mu,
-         stddev_pop({value_col}) AS sd
+WITH b AS (
+  SELECT *, CAST(round(CAST({value_col} AS DOUBLE) * 1e6) AS HUGEINT)
+              AS __yq
+  FROM {table}
+),
+st AS (
+  SELECT {keys}, count(__yq) AS n,
+         sum(__yq) AS s1, sum(__yq * __yq) AS s2
   FROM {ref} GROUP BY {keys}
 ),
 s AS (
-  SELECT t.*, st.mu, st.sd
-  FROM {table} t JOIN st USING ({keys})
+  SELECT t.*, st.n, st.s1, st.s2
+  FROM b t JOIN st USING ({keys})
 ),
 z AS (
   SELECT {keys}, {ts_col}, {value_col},{tb_sel}
-         CASE WHEN sd > 0 THEN ({value_col} - mu) / sd
+         CASE WHEN (n * s2 - s1 * s1) > 0
+              THEN (CAST(__yq AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                      / CAST(n AS DOUBLE))
               ELSE 0.0 END AS zv
   FROM s
 ),
+-- r16: cumulate EXACT integers on the 1e-6 z-grid (see operator
+-- note) — a double running sum tree-combines here but streams in
+-- Spark, diverging at long series
 cs AS (
   SELECT {keys}, {ts_col}, {value_col},{tb_sel}
-         sum(zv - {drift}) OVER w AS cp,
-         sum(zv + {drift}) OVER w AS cn
+         sum(CAST(round(zv * 1e6) AS HUGEINT) - {driftq}) OVER w
+           AS cp,
+         sum(CAST(round(zv * 1e6) AS HUGEINT) + {driftq}) OVER w
+           AS cn
   FROM z
   WINDOW w AS (PARTITION BY {keys} ORDER BY {order}
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -502,10 +550,14 @@ c AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT {keys}, {ts_col}, {value_col},
-       round(cp - least(mincp, 0.0), 6) AS cusum_pos,
-       round(greatest(maxcn, 0.0) - cn, 6) AS cusum_neg,
-       (round(cp - least(mincp, 0.0), 6) > {threshold}
-        OR round(greatest(maxcn, 0.0) - cn, 6) > {threshold})
+       round(CAST(cp - least(mincp, 0) AS DOUBLE) / 1e6, 6)
+         AS cusum_pos,
+       round(CAST(greatest(maxcn, 0) - cn AS DOUBLE) / 1e6, 6)
+         AS cusum_neg,
+       (round(CAST(cp - least(mincp, 0) AS DOUBLE) / 1e6, 6)
+          > {threshold}
+        OR round(CAST(greatest(maxcn, 0) - cn AS DOUBLE) / 1e6, 6)
+          > {threshold})
          AS is_change
 FROM c
 """

@@ -140,6 +140,33 @@ class TestChangepoints:
             tiebreak_col="v")).fetchall())
         assert got == want
 
+    def test_long_series_twin_parity_exact(self, spark):
+        """r16 regression (caught by the sf1 battery): over a LONG
+        per-key series a raw-double running sum diverges between
+        engines (Spark streams the cumulative frame, DuckDB may
+        tree-combine) by an amount that GROWS with length — at sf1 it
+        reached 1e-5 and flipped a round-6 digit. The z-grid integer
+        accumulation must make the chart bit-identical at any length;
+        2k points with ~9-digit doubles is enough to flip the old
+        construction's last rounded digit."""
+        import duckdb as ddb
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        rows = [("k", base + dt.timedelta(seconds=i),
+                 ((i * 2654435761) % 100000) / 7.0 + (i % 17) * 0.013)
+                for i in range(2000)]
+        df = spark.createDataFrame(rows,
+                                   "k string, ts timestamp, v double")
+        con = ddb.connect()
+        con.register("t", df.toPandas())
+        got = sorted(tuple(r) for r in detect_changepoints(
+            df, "ts", ["k"], "v", threshold=3.0,
+            baseline_n=50).collect())
+        want = sorted(tuple(r) for r in con.sql(detect_changepoints_sql(
+            "t", "ts", ["k"], "v", threshold=3.0,
+            baseline_n=50)).fetchall())
+        assert got == want
+
     def test_textbook_recursion_oracle(self, spark):
         # pure-Python Page (1954) recursion replayed point-for-point,
         # on a series whose FIRST point already deviates from the
