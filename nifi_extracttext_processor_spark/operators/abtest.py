@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from ..sqlutil import sql_ident, sql_lit
 from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
@@ -68,14 +70,14 @@ def ab_proportion_test(
                 * (F.try_divide(F.lit(1.0), F.col("n0"))
                    + F.try_divide(F.lit(1.0), F.col("n1"))))
     z = F.when(se > 0, (p1 - p0) / se)
-    zr = F.round(z, round_dp) + F.lit(0.0)
+    zr = dround(z, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n0").alias("n_control"),
         F.col("n1").alias("n_treatment"),
-        F.round(p0, round_dp).alias("p_control"),
-        F.round(p1, round_dp).alias("p_treatment"),
-        (F.round(p1 - p0, round_dp) + F.lit(0.0)).alias("lift"),
+        dround(p0, round_dp).alias("p_control"),
+        dround(p1, round_dp).alias("p_treatment"),
+        (dround(p1 - p0, round_dp) + F.lit(0.0)).alias("lift"),
         zr.alias("z"),
         F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)),
                    F.lit(False)).alias("significant"))
@@ -179,16 +181,16 @@ def ab_welch_test(
         (a + b) * (a + b),
         F.try_divide(a * a, F.col("n0") - 1)
         + F.try_divide(b * b, F.col("n1") - 1))
-    tr = F.round(t, round_dp) + F.lit(0.0)
+    tr = dround(t, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n0").alias("n_control"),
         F.col("n1").alias("n_treatment"),
-        F.round(m0, round_dp).alias("mean_control"),
-        F.round(m1, round_dp).alias("mean_treatment"),
-        (F.round(m1 - m0, round_dp) + F.lit(0.0)).alias("diff"),
+        dround(m0, round_dp).alias("mean_control"),
+        dround(m1, round_dp).alias("mean_treatment"),
+        (dround(m1 - m0, round_dp) + F.lit(0.0)).alias("diff"),
         tr.alias("t"),
-        F.round(dfw, 2).alias("df_welch"),
+        dround(dfw, 2).alias("df_welch"),
         F.coalesce(F.abs(tr) >= F.lit(float(t_alpha)),
                    F.lit(False)).alias("significant"))
 
@@ -328,17 +330,17 @@ def ab_cuped_test(
     b = F.try_divide(v1a, c["n1"])
     se = F.sqrt(a + b)
     t = F.when(se > 0, (m1a - m0a) / se)
-    tr = F.round(t, round_dp) + F.lit(0.0)
+    tr = dround(t, round_dp) + F.lit(0.0)
     var_red = F.when(
         (varx_num > 0) & (vary_num > 0),
         (cov_num * cov_num) / (varx_num * vary_num))
     return agg.select(
         *gb,
         c["n0"].alias("n_control"), c["n1"].alias("n_treatment"),
-        (F.round(theta, round_dp) + F.lit(0.0)).alias("theta"),
-        (F.round(m1a - m0a, round_dp) + F.lit(0.0)).alias("adj_diff"),
+        (dround(theta, round_dp) + F.lit(0.0)).alias("theta"),
+        (dround(m1a - m0a, round_dp) + F.lit(0.0)).alias("adj_diff"),
         tr.alias("t"),
-        F.round(var_red, round_dp).alias("var_reduction"),
+        dround(var_red, round_dp).alias("var_reduction"),
         F.coalesce(F.abs(tr) >= F.lit(float(t_alpha)),
                    F.lit(False)).alias("significant"))
 
@@ -468,7 +470,7 @@ def ab_srm_check(
         e = F.col("n") * F.lit(w / total_w)
         o = F.col(f"__o_{i}")
         chi2 = chi2 + F.try_divide((o - e) * (o - e), e)
-    cr = F.round(chi2, round_dp)
+    cr = dround(chi2, round_dp)
     return counts.select(
         *gb, "n",
         *[F.col(f"__o_{i}").alias(f"n_{v}")
@@ -648,9 +650,9 @@ def ab_bootstrap_ci(
     full = F.col("__ok") == n_boot
     ci = means.select(
         *gb, "variant",
-        F.when(full, F.round(F.element_at("__s", ilo), round_dp))
+        F.when(full, dround(F.element_at("__s", ilo), round_dp))
         .alias("ci_lo"),
-        F.when(full, F.round(F.element_at("__s", ihi), round_dp))
+        F.when(full, dround(F.element_at("__s", ihi), round_dp))
         .alias("ci_hi"))
 
     pt = (base.groupBy(*gb, "variant")
@@ -658,7 +660,7 @@ def ab_bootstrap_ci(
                F.sum("__xq").alias("__sx")))
     pt = pt.select(
         *gb, "variant", "n",
-        F.round(F.col("__sx").cast("double")
+        dround(F.col("__sx").cast("double")
                 / (F.col("n").cast("double") * F.lit(1e6)),
                 round_dp).alias("mean"))
     return pt.join(ci, [*gb, "variant"]).select(
@@ -890,9 +892,9 @@ def ab_bootstrap_ratio_ci(
     full = F.col("__ok") == n_boot
     ci = means.select(
         *gb, "variant",
-        F.when(full, F.round(F.element_at("__s", ilo), round_dp))
+        F.when(full, dround(F.element_at("__s", ilo), round_dp))
         .alias("ci_lo"),
-        F.when(full, F.round(F.element_at("__s", ihi), round_dp))
+        F.when(full, dround(F.element_at("__s", ihi), round_dp))
         .alias("ci_hi"))
     pt = (base.groupBy(*gb, "variant")
           .agg(F.count("*").alias("n"),
@@ -901,7 +903,7 @@ def ab_bootstrap_ratio_ci(
     pt = pt.select(
         *gb, "variant", "n",
         F.when(F.col("__sy") != 0,
-               F.round(F.col("__sx").cast("double")
+               dround(F.col("__sx").cast("double")
                        / F.col("__sy").cast("double"), round_dp))
         .alias("ratio"))
     return pt.join(ci, [*gb, "variant"]).select(
@@ -1022,10 +1024,10 @@ def ab_quantile_lift(
                                   F.col("__qt").alias("qt"))))
         .select(*gb,
                 F.col("col.p").alias("prob"),
-                F.round(F.col("col.qc"), round_dp).alias("q_control"),
-                F.round(F.col("col.qt"), round_dp)
+                dround(F.col("col.qc"), round_dp).alias("q_control"),
+                dround(F.col("col.qt"), round_dp)
                 .alias("q_treatment"),
-                (F.round(F.col("col.qt") - F.col("col.qc"), round_dp)
+                (dround(F.col("col.qt") - F.col("col.qc"), round_dp)
                  + F.lit(0.0)).alias("lift")))
     return out.orderBy(*gb, "prob")
 
@@ -1153,14 +1155,14 @@ def ab_ratio_delta_test(
     r1, se21 = stats("1")
     se = F.sqrt(se20 + se21)
     z = F.when(se > 0, (r1 - r0) / se)
-    zr = F.round(z, round_dp) + F.lit(0.0)
+    zr = dround(z, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n0").cast("long").alias("n_control"),
         F.col("n1").cast("long").alias("n_treatment"),
-        F.round(r0, round_dp).alias("ratio_control"),
-        F.round(r1, round_dp).alias("ratio_treatment"),
-        (F.round(r1 - r0, round_dp) + F.lit(0.0)).alias("diff"),
+        dround(r0, round_dp).alias("ratio_control"),
+        dround(r1, round_dp).alias("ratio_treatment"),
+        (dround(r1 - r0, round_dp) + F.lit(0.0)).alias("diff"),
         zr.alias("z"),
         F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)),
                    F.lit(False)).alias("significant"))
@@ -1350,12 +1352,12 @@ def ab_post_stratified(
     diff = F.col("__s.mt") - F.col("__s.mc")
     z = F.when(F.sqrt(F.col("__s.se2")) > 0,
                diff / F.sqrt(F.col("__s.se2")))
-    zr = F.round(z, round_dp) + F.lit(0.0)
+    zr = dround(z, round_dp) + F.lit(0.0)
     out = folded.select(
         *gb, "n_control", "n_treatment", "n_strata_used",
-        F.round(F.col("__s.mc"), round_dp).alias("mean_control"),
-        F.round(F.col("__s.mt"), round_dp).alias("mean_treatment"),
-        (F.round(diff, round_dp) + F.lit(0.0)).alias("diff"),
+        dround(F.col("__s.mc"), round_dp).alias("mean_control"),
+        dround(F.col("__s.mt"), round_dp).alias("mean_treatment"),
+        (dround(diff, round_dp) + F.lit(0.0)).alias("diff"),
         zr.alias("z"),
         F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)),
                    F.lit(False)).alias("significant"))
@@ -1547,10 +1549,10 @@ def ab_jackknife_ci(
     return folded.select(
         *gb, "variant",
         F.col("__N").alias("n"), "n_buckets_used",
-        F.round(mean, round_dp).alias("mean"),
-        F.round(se, round_dp).alias("se_jack"),
-        F.round(mean - F.lit(float(z)) * se, round_dp).alias("ci_lo"),
-        F.round(mean + F.lit(float(z)) * se, round_dp).alias("ci_hi"))
+        dround(mean, round_dp).alias("mean"),
+        dround(se, round_dp).alias("se_jack"),
+        dround(mean - F.lit(float(z)) * se, round_dp).alias("ci_lo"),
+        dround(mean + F.lit(float(z)) * se, round_dp).alias("ci_hi"))
 
 
 def ab_jackknife_ci_sql(
@@ -1690,13 +1692,13 @@ def ab_covariate_balance(
         n1, m1, v1 = stats(1)
         denom = F.sqrt((v0 + v1) / F.lit(2.0))
         smd = F.when(denom > 0, (m1 - m0) / denom)
-        smd_r = F.round(smd, round_dp)
+        smd_r = dround(smd, round_dp)
         rows.append(F.struct(
             F.lit(i).alias("ord"), F.lit(c).alias("covariate"),
             n0.cast("long").alias("n_control"),
             n1.cast("long").alias("n_treatment"),
-            F.round(m0, round_dp).alias("mean_control"),
-            F.round(m1, round_dp).alias("mean_treatment"),
+            dround(m0, round_dp).alias("mean_control"),
+            dround(m1, round_dp).alias("mean_treatment"),
             smd_r.alias("smd"),
             F.coalesce(F.abs(smd_r) >= F.lit(float(smd_threshold)),
                        F.lit(False)).alias("imbalanced")))
@@ -1834,14 +1836,14 @@ def ab_msprt(
         vn > 0,
         F.lit(0.5) * F.log(vn / (vn + t2))
         + F.try_divide(d * d * t2, F.lit(2.0) * vn * (vn + t2)))
-    llr = F.round(ll, round_dp) + F.lit(0.0)
+    llr = dround(ll, round_dp) + F.lit(0.0)
     thresh = math.log(1.0 / alpha)
-    avp = F.round(F.least(F.lit(1.0), F.exp(-ll)), round_dp)
+    avp = dround(F.least(F.lit(1.0), F.exp(-ll)), round_dp)
     return agg.select(
         *gb,
         F.col("n0").alias("n_control"),
         F.col("n1").alias("n_treatment"),
-        (F.round(d, round_dp) + F.lit(0.0)).alias("diff"),
+        (dround(d, round_dp) + F.lit(0.0)).alias("diff"),
         llr.alias("log_lambda"),
         avp.alias("always_valid_p"),
         F.coalesce(llr >= F.lit(float(thresh)), F.lit(False))
@@ -1955,11 +1957,11 @@ def ab_power_mde(
     return agg.select(
         *gb,
         F.col("n"),
-        F.round(m, round_dp).alias("mean"),
-        F.round(F.sqrt(var), round_dp).alias("sd"),
+        dround(m, round_dp).alias("mean"),
+        dround(F.sqrt(var), round_dp).alias("sd"),
         need.cast("long").alias("n_per_arm_required"),
-        F.round(mde_abs, round_dp).alias("mde_abs_at_n"),
-        F.round(F.try_divide(mde_abs, m), round_dp)
+        dround(mde_abs, round_dp).alias("mde_abs_at_n"),
+        dround(F.try_divide(mde_abs, m), round_dp)
         .alias("mde_rel_at_n"))
 
 
@@ -2077,11 +2079,11 @@ def ab_anova(
         *gb,
         F.col("k_groups").cast("long").alias("k_groups"),
         F.col("n_total").cast("long").alias("n_total"),
-        F.round(fstat, round_dp).alias("f_stat"),
+        dround(fstat, round_dp).alias("f_stat"),
         (F.col("k_groups") - 1).cast("long").alias("df_between"),
         (F.col("n_total") - F.col("k_groups")).cast("long")
         .alias("df_within"),
-        F.round(F.when(sst > 0, ssb / sst), round_dp)
+        dround(F.when(sst > 0, ssb / sst), round_dp)
         .alias("eta_sq"))
 
 
@@ -2214,17 +2216,17 @@ def ab_diff_in_diff(
     se = F.sqrt(F.try_divide(vpc, npc) + F.try_divide(voc, noc)
                 + F.try_divide(vpt, npt) + F.try_divide(vot, not_))
     z = F.when(se > 0, did / se)
-    zr = F.round(z, round_dp) + F.lit(0.0)
+    zr = dround(z, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n_pre_c").alias("n_pre_c"),
         F.col("n_post_c").alias("n_post_c"),
         F.col("n_pre_t").alias("n_pre_t"),
         F.col("n_post_t").alias("n_post_t"),
-        (F.round(dc, round_dp) + F.lit(0.0)).alias("diff_control"),
-        (F.round(dt, round_dp) + F.lit(0.0)).alias("diff_treatment"),
-        (F.round(did, round_dp) + F.lit(0.0)).alias("did"),
-        F.round(se, round_dp).alias("se"),
+        (dround(dc, round_dp) + F.lit(0.0)).alias("diff_control"),
+        (dround(dt, round_dp) + F.lit(0.0)).alias("diff_treatment"),
+        (dround(did, round_dp) + F.lit(0.0)).alias("did"),
+        dround(se, round_dp).alias("se"),
         zr.alias("z"),
         F.coalesce(F.abs(zr) >= F.lit(float(z_alpha)), F.lit(False))
         .alias("significant"))
@@ -2389,13 +2391,13 @@ def ab_group_sequential(
                           n1 - F.lit(1.0))
         se = F.sqrt(F.try_divide(v0, n0) + F.try_divide(v1, n1))
         z = F.when(se > 0, (m1 - m0) / se)
-        zr = F.round(z, round_dp) + F.lit(0.0)
+        zr = dround(z, round_dp) + F.lit(0.0)
         rows.append(F.struct(
             F.lit(k + 1).alias("look"),
             F.lit(d).alias("look_date"),
             F.col("n0_" + tag).cast("long").alias("n_control"),
             F.col("n1_" + tag).cast("long").alias("n_treatment"),
-            (F.round(m1 - m0, round_dp) + F.lit(0.0)).alias("diff"),
+            (dround(m1 - m0, round_dp) + F.lit(0.0)).alias("diff"),
             zr.alias("z"),
             F.lit(round(b, round_dp)).alias("z_boundary"),
             F.coalesce(F.abs(zr) >= F.lit(round(b, round_dp)),
@@ -2532,20 +2534,20 @@ def ab_odds_ratio(
     lo = F.exp(lor - za * se)
     hi = F.exp(lor + za * se)
     rr = F.try_divide(a / (a + b), c / (c + d))
-    lor_r = F.round(lor, round_dp)
-    lo_r = F.round(lo, round_dp)
-    hi_r = F.round(hi, round_dp)
+    lor_r = dround(lor, round_dp)
+    lo_r = dround(lo, round_dp)
+    hi_r = dround(hi, round_dp)
     return agg.select(
         *gb,
         c.alias("s_control"),
         d.alias("f_control"),
         a.alias("s_treatment"),
         b.alias("f_treatment"),
-        F.round(orr, round_dp).alias("odds_ratio"),
+        dround(orr, round_dp).alias("odds_ratio"),
         lor_r.alias("log_or"),
         lo_r.alias("ci_low"),
         hi_r.alias("ci_high"),
-        F.round(rr, round_dp).alias("relative_risk"),
+        dround(rr, round_dp).alias("relative_risk"),
         F.coalesce((lo_r > 1.0) | (hi_r < 1.0), F.lit(False))
         .alias("significant"))
 
@@ -2672,10 +2674,10 @@ def eb_shrunk_rates(
            + F.col("beta0"))).otherwise(F.col("raw_rate"))
     return j.select(
         "segment", "n", "successes",
-        F.round(F.col("raw_rate"), round_dp).alias("raw_rate"),
-        F.round(shrunk, round_dp).alias("shrunk_rate"),
-        F.round(F.col("alpha0"), round_dp).alias("alpha0"),
-        F.round(F.col("beta0"), round_dp).alias("beta0"))
+        dround(F.col("raw_rate"), round_dp).alias("raw_rate"),
+        dround(shrunk, round_dp).alias("shrunk_rate"),
+        dround(F.col("alpha0"), round_dp).alias("alpha0"),
+        dround(F.col("beta0"), round_dp).alias("beta0"))
 
 
 def eb_shrunk_rates_sql(
@@ -2787,12 +2789,12 @@ def ab_paired_t(
                  (F.col("sdd") - n * md * md) / (n - F.lit(1.0)))
     se = F.sqrt(F.try_divide(var, n))
     t = F.when(se > 0, md / se)
-    tr = F.round(t, round_dp) + F.lit(0.0)
+    tr = dround(t, round_dp) + F.lit(0.0)
     return agg.select(
         *gb, "n_units",
-        F.round(F.col("smp") / n, round_dp).alias("mean_pre"),
-        F.round(F.col("smq") / n, round_dp).alias("mean_post"),
-        (F.round(md, round_dp) + F.lit(0.0)).alias("mean_diff"),
+        dround(F.col("smp") / n, round_dp).alias("mean_pre"),
+        dround(F.col("smq") / n, round_dp).alias("mean_post"),
+        (dround(md, round_dp) + F.lit(0.0)).alias("mean_diff"),
         tr.alias("t"),
         F.coalesce(F.abs(tr) >= F.lit(float(t_alpha)), F.lit(False))
         .alias("significant"))
@@ -2923,8 +2925,8 @@ def ab_mh_odds_ratio(
     return one.select(
         "n_strata",
         F.col("n_rows").cast("long").alias("n_rows"),
-        F.round(crude, round_dp).alias("or_crude"),
-        F.round(mh, round_dp).alias("or_mh"))
+        dround(crude, round_dp).alias("or_crude"),
+        dround(mh, round_dp).alias("or_mh"))
 
 
 def ab_mh_odds_ratio_sql(
@@ -3043,7 +3045,7 @@ def ca_trend_test(
     # a tiny-negative trend rounds to -0.0 on one engine, 0.0 on the
     # other; same IEEE value, different serialized bytes.
     z = F.when(var > 0,
-               F.round(num / F.sqrt(var), round_dp) + F.lit(0.0))
+               dround(num / F.sqrt(var), round_dp) + F.lit(0.0))
     return agg.select(
         *gb, "n",
         F.col("successes").cast("long").alias("successes"),
@@ -3218,14 +3220,14 @@ def ab_brown_forsythe(
                  - n1 * m1 * m1) / (n1 - F.lit(1.0)))
     se = F.sqrt(v0 / n0 + v1 / n1)
     t = F.when(se > 0,
-               F.round((m1 - m0) / se, round_dp) + F.lit(0.0))
+               dround((m1 - m0) / se, round_dp) + F.lit(0.0))
     return agg.select(
         *gb,
         F.col("n0").cast("long").alias("n_control"),
         F.col("n1").cast("long").alias("n_treatment"),
-        F.round(F.col("med0").cast("double") / 1e6, 6)
+        dround(F.col("med0").cast("double") / 1e6, 6)
         .alias("med_control"),
-        F.round(F.col("med1").cast("double") / 1e6, 6)
+        dround(F.col("med1").cast("double") / 1e6, 6)
         .alias("med_treatment"),
         t.alias("t"),
         F.coalesce(F.abs(t) >= F.lit(float(t_alpha)), F.lit(False))
@@ -3427,9 +3429,9 @@ def ab_mood_median(
         F.col("k_groups").cast("long").alias("k_groups"),
         F.col("__n").cast("long").alias("n_total"),
         F.col("__a").cast("long").alias("n_above"),
-        F.round(F.col("__med").cast("double") / 1e6, 6)
+        dround(F.col("__med").cast("double") / 1e6, 6)
         .alias("median"),
-        F.when(ok, F.round(chi2, round_dp)).alias("chi2"),
+        F.when(ok, dround(chi2, round_dp)).alias("chi2"),
         (F.col("k_groups") - F.lit(1)).cast("long").alias("df"))
 
 

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from ..sqlutil import sql_lit
 
@@ -200,7 +202,7 @@ def attribution_report(
                  F.sum("__is_credit").alias("n_credits"),
                  F.sum(q).alias("__sv"))
             .select("touch_type", "n_conversions", "n_credits",
-                    F.round(F.col("__sv").cast("double") / F.lit(1e6),
+                    dround(F.col("__sv").cast("double") / F.lit(1e6),
                             round_dp).alias("attributed_value"))
             .orderBy("touch_type"))
 
@@ -342,7 +344,7 @@ def time_to_convert(
             .agg(F.count("*").alias("n_conversions"),
                  F.sum(q).alias("__sv"))
             .select("days_to_convert", "n_conversions",
-                    F.round(F.col("__sv").cast("double") / F.lit(1e6),
+                    dround(F.col("__sv").cast("double") / F.lit(1e6),
                             4).alias("total_value"))
             .orderBy(F.col("days_to_convert").asc_nulls_last()))
 

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .classifier import _TOKEN_SPLIT_RE
 
@@ -150,11 +152,11 @@ def association_rules(
               .crossJoin(F.broadcast(n_docs))
               .select(
                   "antecedent", "consequent", "n_pair",
-                  F.round(F.col("n_pair") / F.col("nd"), 4)
+                  dround(F.col("n_pair") / F.col("nd"), 4)
                   .alias("support"),
-                  F.round(F.col("n_pair") / F.col("na"), 4)
+                  dround(F.col("n_pair") / F.col("na"), 4)
                   .alias("confidence"),
-                  F.round(F.col("n_pair") * F.col("nd")
+                  dround(F.col("n_pair") * F.col("nd")
                           / (F.col("na") * F.col("nc")), 4)
                   .alias("lift")))
     return (scored

@@ -46,6 +46,8 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 # house token convention (top_terms / tfidf / hashed_tf / bm25)
 _TOKEN_SPLIT_RE = r"\s+"
@@ -249,9 +251,9 @@ def score_text(
              .otherwise(F.lit(0.0)) + F.lit(float(bias)))
     out = (df.select(id_col, *keep_cols)
            .join(dots, id_col, "left")
-           .withColumn("logit", F.round(
+           .withColumn("logit", dround(
                F.coalesce(logit, F.lit(float(bias))), 4))
-           .withColumn("prob", F.round(
+           .withColumn("prob", dround(
                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 4))
            .drop("dot", "tot"))
     return out
@@ -340,7 +342,7 @@ def score_pseudo(
             .join(dots, id_col, "left")
             .withColumn("n_tokens", F.coalesce(
                 F.col("tot"), F.lit(0.0)).cast("long"))
-            .withColumn("logit", F.round(
+            .withColumn("logit", dround(
                 F.when(F.col("tot") > 0, F.col("dot") / F.col("tot"))
                 .otherwise(F.lit(0.0)) + F.lit(float(bias)), 4))
             .withColumn("label_pred",
@@ -471,7 +473,7 @@ def target_encode_loo(
     te_loo = F.try_divide(sc - y + m * gmean, nc - F.lit(1.0) + m)
     te_prior = F.try_divide(sc + m * gmean, nc + m)
     te = F.when(y.isNotNull(), te_loo).otherwise(te_prior)
-    return (j.withColumn(out_col, F.round(te, round_dp))
+    return (j.withColumn(out_col, dround(te, round_dp))
             .drop("__c", "__sc", "__nc", "__sg", "__ng"))
 
 

@@ -56,6 +56,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from ..functions.portable import cosine_sql, l2_normalize_sql
 from .dedup import cosine, l2_normalize
@@ -121,7 +123,7 @@ def kmeans_fit(
         rows = (assigned
                 .select("cluster", F.posexplode("v").alias("pos", "val"))
                 .groupBy("cluster", "pos")
-                .agg(F.round(F.avg("val"), 6).alias("m"))
+                .agg(dround(F.avg("val"), 6).alias("m"))
                 .collect())
         by_cluster: dict[int, dict[int, float]] = {}
         for r in rows:
@@ -156,7 +158,7 @@ def _assign(v: DataFrame, cents: list[list[float]],
         return _assign_arrow(v, cents, metric=metric)
     if metric == "l2":
         dists = F.array(*[
-            F.round(F.aggregate(
+            dround(F.aggregate(
                 F.zip_with(F.col("v"),
                            F.array(*[F.lit(float(x)) for x in cv]),
                            lambda a, b: (a - b) * (a - b)),
@@ -169,7 +171,7 @@ def _assign(v: DataFrame, cents: list[list[float]],
                               - F.lit(1)).cast("int"))
                  .drop("_d"))
     sims = F.array(*[
-        F.round(cosine(F.col("v"),
+        dround(cosine(F.col("v"),
                        F.array(*[F.lit(float(x)) for x in cv])), 6)
         for cv in cents])
     return (v.withColumn("_sims", sims)
@@ -410,7 +412,7 @@ def semantic_dedup(
         F.lit(0.0), lambda acc, x: acc + x)
     dominated = (a.join(b, "cluster")
                  .where(F.col("ka") < F.col("kb"))
-                 .where(F.round(dot, 6) >= F.lit(threshold))
+                 .where(dround(dot, 6) >= F.lit(threshold))
                  .select(F.col("kb").alias("_id"))
                  .distinct())
     return (af.join(dominated, "_id", "left_anti")
@@ -551,13 +553,13 @@ def semantic_dedup_incremental(
                        F.col("nv").alias("na"))
     cat_side = ac.select("cluster", F.col("nv").alias("nb"))
     dom_cat = (a_side.join(cat_side, "cluster")
-               .where(F.round(dot, 6) >= F.lit(threshold))
+               .where(dround(dot, 6) >= F.lit(threshold))
                .select(F.col("ka").alias("_id")).distinct())
     b_side = ab.select("cluster", F.col("_id").alias("kb"),
                        F.col("nv").alias("nb"))
     dom_batch = (a_side.join(b_side, "cluster")
                  .where(F.col("ka") < F.col("kb"))
-                 .where(F.round(dot, 6) >= F.lit(threshold))
+                 .where(dround(dot, 6) >= F.lit(threshold))
                  .select(F.col("kb").alias("_id")).distinct())
     dominated = dom_cat.unionByName(dom_batch).distinct()
     return (ab.join(dominated, "_id", "left_anti")
@@ -661,7 +663,7 @@ def topic_clusters(
     k_eff = ct.select(F.countDistinct("cluster").alias("k_eff"))
     scored = (ct.join(df_t, "term")
               .crossJoin(F.broadcast(k_eff))
-              .withColumn("score", F.round(
+              .withColumn("score", dround(
                   F.col("cnt")
                   * F.log(F.col("k_eff").cast("double")
                           / F.col("df_t")), 6))

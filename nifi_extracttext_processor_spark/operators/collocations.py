@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .classifier import _TOKEN_SPLIT_RE
 
@@ -92,10 +94,10 @@ def collocations(
               .crossJoin(F.broadcast(total))
               .select(
                   "w1", "w2", F.col("n").cast("long").alias("n"),
-                  F.round(F.log(F.col("n") * F.col("nn")
+                  dround(F.log(F.col("n") * F.col("nn")
                                 / (F.col("cx") * F.col("cy"))), 4)
                   .alias("pmi"),
-                  F.round(llr, 4).alias("llr")))
+                  dround(llr, 4).alias("llr")))
     return (scored
             .orderBy(F.desc("llr"), "w1", "w2")
             .limit(top_k))

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from ..sqlutil import sql_lit
 
@@ -151,7 +153,7 @@ def contamination_report(
                 "bench_id", "n_ngrams",
                 F.coalesce("n_hit_ngrams", F.lit(0))
                 .alias("n_hit_ngrams"),
-                F.round(F.try_divide(
+                dround(F.try_divide(
                     F.coalesce("n_hit_ngrams", F.lit(0)),
                     F.col("n_ngrams")), round_dp).alias("hit_frac"),
                 F.coalesce("n_corpus_docs", F.lit(0))
@@ -246,7 +248,7 @@ def decontaminate_semantic(
         F.col(vec_col).cast("array<double>").alias("bv"))
     scores = (cv.crossJoin(F.broadcast(bv))
               .groupBy(id_col)
-              .agg(F.max(F.round(cosine(F.col("v"), F.col("bv")), 4))
+              .agg(F.max(dround(cosine(F.col("v"), F.col("bv")), 4))
                    .alias("mc")))
     return (corpus.select(id_col)
             .join(scores, id_col, "left")

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .classifier import _TOKEN_SPLIT_RE
 
@@ -92,9 +94,9 @@ def log_odds_terms(
            + 1.0 / (F.col("y_b") + alpha_w))
     z = delta / F.sqrt(var)
     return (d.select("word", "y_a", "y_b",
-                     (F.round(delta, round_dp) + F.lit(0.0)).alias("delta"),
-                     (F.round(z, round_dp) + F.lit(0.0)).alias("z"))
-            .orderBy(F.desc(F.abs(F.round(z, round_dp))), "word")
+                     (dround(delta, round_dp) + F.lit(0.0)).alias("delta"),
+                     (dround(z, round_dp) + F.lit(0.0)).alias("z"))
+            .orderBy(F.desc(F.abs(dround(z, round_dp))), "word")
             .limit(top_k))
 
 
@@ -188,7 +190,7 @@ def oov_rate(
                        .alias("n_tokens"),
                        F.coalesce("n_oov", F.lit(0)).alias("n_oov")))
     return agg.select(*gb, "n_tokens", "n_oov",
-                      F.round(F.try_divide(F.col("n_oov"),
+                      dround(F.try_divide(F.col("n_oov"),
                                            F.col("n_tokens")),
                               round_dp).alias("oov_rate"))
 
@@ -300,7 +302,7 @@ def vocab_coverage(
             .filter(F.col("__rn") == 1)
             .select("coverage",
                     (F.col("__rk") + 1).alias("vocab_size"),
-                    F.round(F.col("__cum") / F.col("__tot"),
+                    dround(F.col("__cum") / F.col("__tot"),
                             round_dp).alias("covered_rate"))
             .orderBy("coverage"))
 

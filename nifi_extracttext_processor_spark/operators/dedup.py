@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 # logical-plan nodes whose presence means the frame has already been
 # through (or will introduce) a shuffle — its partitioning is the
@@ -321,7 +323,7 @@ def minhash_lsh_pairs(
     sh1 = base.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     sh2 = base.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
     return (cand.join(sh1, "id1").join(sh2, "id2")
-            .withColumn("jaccard", F.round(
+            .withColumn("jaccard", dround(
                 jaccard(F.col("sh1"), F.col("sh2")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("id1", "id2", "jaccard"))
@@ -802,7 +804,7 @@ def embedding_dup_pairs(
     return (l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             .select(F.col(f"l.{id_col}").alias("id1"),
                     F.col(f"r.{id_col}").alias("id2"),
-                    F.round(cosine(F.col("l.v"), F.col("r.v")), 4)
+                    dround(cosine(F.col("l.v"), F.col("r.v")), 4)
                      .alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
@@ -873,7 +875,7 @@ def embedding_dup_pairs_lsh(
     v1 = v.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"))
     v2 = v.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"))
     return (cand.join(v1, "id1").join(v2, "id2")
-            .withColumn("cosine", F.round(
+            .withColumn("cosine", dround(
                 cosine(F.col("v1"), F.col("v2")), 4))
             .filter(F.col("cosine") >= threshold)
             .select("id1", "id2", "cosine"))
@@ -1087,10 +1089,10 @@ def dedup_savings_report(
     dropped_docs = (F.col("cluster_size") - 1) * F.col("n_clusters")
     return (j.select(
         "cluster_size", "n_clusters", "n_docs", "n_chars_dropped",
-        F.round(dropped_docs.cast("double")
+        dround(dropped_docs.cast("double")
                 / F.col("__n").cast("double"), round_dp)
         .alias("frac_docs"),
-        F.round(F.col("n_chars_dropped").cast("double")
+        dround(F.col("n_chars_dropped").cast("double")
                 / F.col("__c").cast("double"), round_dp)
         .alias("frac_chars"))
         .orderBy("cluster_size"))

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
 
@@ -113,8 +115,8 @@ def distribution_drift(
     return (per_bin.groupBy(*gcols) if gcols else per_bin.groupBy()) \
         .agg(F.sum("n_r").alias("n_ref"),
              F.sum("n_c").alias("n_cur"),
-             F.round(F.sum("_psi_term"), round_to).alias("psi"),
-             F.round(F.max("_ks_term"), round_to).alias("ks"))
+             dround(F.sum("_psi_term"), round_to).alias("psi"),
+             dround(F.max("_ks_term"), round_to).alias("ks"))
 
 
 def distribution_drift_sql(
@@ -260,12 +262,12 @@ def ks_test_exact(
         F.lit(float(c)) * F.sqrt(
             (F.col("n_a") + F.col("n_b")).cast("double")
             / (F.col("n_a") * F.col("n_b")).cast("double")))
-    ksr = F.round(ks, round_dp)
+    ksr = dround(ks, round_dp)
     return agg.select(
         *gb, "n_a", "n_b",
         ksr.alias("ks_d"),
-        F.round(crit, round_dp).alias("ks_crit"),
-        F.coalesce(ksr > F.round(crit, round_dp), F.lit(False))
+        dround(crit, round_dp).alias("ks_crit"),
+        F.coalesce(ksr > dround(crit, round_dp), F.lit(False))
         .alias("significant"))
 
 

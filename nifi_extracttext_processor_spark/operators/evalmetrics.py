@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
 
@@ -97,13 +99,13 @@ def binary_metrics(
         F.col("n_pos").cast("double") * F.col("n_neg"))
     return agg.select(
         "n", "n_pos", "n_neg", "tp", "fp", "tn", "fn",
-        F.round(F.try_divide(tp + F.col("tn"), F.col("n")), 6)
+        dround(F.try_divide(tp + F.col("tn"), F.col("n")), 6)
         .alias("accuracy"),
-        F.round(prec, 6).alias("precision"),
-        F.round(rec, 6).alias("recall"),
-        F.round(F.try_divide(2 * prec * rec, prec + rec), 6)
+        dround(prec, 6).alias("precision"),
+        dround(rec, 6).alias("recall"),
+        dround(F.try_divide(2 * prec * rec, prec + rec), 6)
         .alias("f1"),
-        F.round(auc, 6).alias("auc"))
+        dround(auc, 6).alias("auc"))
 
 
 def binary_metrics_sql(
@@ -202,15 +204,15 @@ def ranking_metrics(
         lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1))
     return (per_q.select(
         "query_id", "n_results", "n_rel",
-        F.round(F.col("rel_at_k") / float(k), 6)
+        dround(F.col("rel_at_k") / float(k), 6)
         .alias("precision_at_k"),
-        F.round(F.try_divide(F.col("rel_at_k"), F.col("n_rel")), 6)
+        dround(F.try_divide(F.col("rel_at_k"), F.col("n_rel")), 6)
         .alias("recall_at_k"),
-        F.round(F.try_divide(F.lit(1.0), F.col("first_rel_pos")), 6)
+        dround(F.try_divide(F.lit(1.0), F.col("first_rel_pos")), 6)
         .alias("mrr"),
-        F.round(F.try_divide(F.col("sum_prec_at_hits"),
+        dround(F.try_divide(F.col("sum_prec_at_hits"),
                              F.col("n_rel")), 6).alias("ap"),
-        F.round(F.when(F.col("n_rel") > 0,
+        dround(F.when(F.col("n_rel") > 0,
                        F.col("dcg") / idcg), 6).alias("ndcg_at_k"))
         .orderBy("query_id"))
 
@@ -310,9 +312,9 @@ def pr_curve(
     rec = F.try_divide(tp, tp + fn)
     return (cum.select(
         "threshold", tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
-        F.round(prec, 6).alias("precision"),
-        F.round(rec, 6).alias("recall"),
-        F.round(F.try_divide(2 * prec * rec, prec + rec), 6)
+        dround(prec, 6).alias("precision"),
+        dround(rec, 6).alias("recall"),
+        dround(F.try_divide(2 * prec * rec, prec + rec), 6)
         .alias("f1"))
         .orderBy(F.desc("threshold")))
 
@@ -402,9 +404,9 @@ def calibration_bins(
     return (df.filter(y.isNotNull() & s.isNotNull())
             .groupBy(b.alias("bin"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg(s), 6).alias("confidence"),
-                 F.round(F.avg(y), 6).alias("accuracy"),
-                 F.round(F.abs(F.avg(y) - F.avg(s)), 6).alias("gap"))
+                 dround(F.avg(s), 6).alias("confidence"),
+                 dround(F.avg(y), 6).alias("accuracy"),
+                 dround(F.abs(F.avg(y) - F.avg(s)), 6).alias("gap"))
             .orderBy("bin"))
 
 
@@ -451,7 +453,7 @@ def expected_calibration_error(
     return bins.agg(
         F.sum("nb").alias("n"),
         F.count("*").alias("n_bins_used"),
-        F.round(F.sum(F.col("nb") * F.abs(F.col("acc")
+        dround(F.sum(F.col("nb") * F.abs(F.col("acc")
                                           - F.col("conf")))
                 / F.sum("nb"), 6).alias("ece"))
 
@@ -536,12 +538,12 @@ def cohen_kappa(
     den = decl(F.col("n")) * decl(F.col("n")) - F.col("__pe")
     out = j.select(
         *gb, "n",
-        F.round(F.col("__agree").cast("double")
+        dround(F.col("__agree").cast("double")
                 / F.col("n").cast("double"), round_dp).alias("po"),
         # + 0.0: signed-zero normalization (kruskal_wallis note) —
         # agreement just below chance gives a tiny-negative kappa
         # that rounds to -0.0 on one engine and 0.0 on the other
-        (F.round(F.when(den != 0,
+        (dround(F.when(den != 0,
                         num.cast("double") / den.cast("double")),
                  round_dp) + F.lit(0.0)).alias("kappa"))
     return out.orderBy(*gb) if gb else out
@@ -632,13 +634,13 @@ def multiclass_metrics(
         support.alias("support"),
         npred.alias("n_predicted"),
         tp.alias("tp"),
-        F.round(F.when(npred > 0,
+        dround(F.when(npred > 0,
                        tp.cast("double") / npred.cast("double")),
                 round_dp).alias("precision"),
-        F.round(F.when(support > 0,
+        dround(F.when(support > 0,
                        tp.cast("double") / support.cast("double")),
                 round_dp).alias("recall"),
-        F.round(F.when(support + npred > 0,
+        dround(F.when(support + npred > 0,
                        F.lit(2.0) * tp.cast("double")
                        / (support + npred).cast("double")),
                 round_dp).alias("f1"))
@@ -726,12 +728,12 @@ def multiclass_summary(
     k = F.col("n_classes").cast("double")
     return folded.select(
         F.col("__n").alias("n"), "n_classes",
-        F.round(F.col("__tp").cast("double")
+        dround(F.col("__tp").cast("double")
                 / F.col("__n").cast("double"), round_dp)
         .alias("accuracy"),
-        F.round(F.col("__s.pr") / k, round_dp).alias("macro_precision"),
-        F.round(F.col("__s.rc") / k, round_dp).alias("macro_recall"),
-        F.round(F.col("__s.f") / k, round_dp).alias("macro_f1"))
+        dround(F.col("__s.pr") / k, round_dp).alias("macro_precision"),
+        dround(F.col("__s.rc") / k, round_dp).alias("macro_recall"),
+        dround(F.col("__s.f") / k, round_dp).alias("macro_f1"))
 
 
 def multiclass_summary_sql(
@@ -828,7 +830,7 @@ def roc_auc(
     nneg = F.col("n_neg").cast("double")
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-        F.round((F.col("__r2").cast("double")
+        dround((F.col("__r2").cast("double")
                  - npos * (npos + F.lit(1.0)))
                 / (F.lit(2.0) * npos * nneg), round_dp))
     return agg.select(
@@ -978,10 +980,10 @@ def brier_decomposition(
     return agg.select(
         *gb,
         F.col("__nn").cast("long").alias("n"),
-        F.round(brier, round_dp).alias("brier"),
-        F.round(reliability, round_dp).alias("reliability"),
-        F.round(resolution, round_dp).alias("resolution"),
-        F.round(uncertainty, round_dp).alias("uncertainty"))
+        dround(brier, round_dp).alias("brier"),
+        dround(reliability, round_dp).alias("reliability"),
+        dround(resolution, round_dp).alias("resolution"),
+        dround(uncertainty, round_dp).alias("uncertainty"))
 
 
 def brier_decomposition_sql(

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 _WS = r"\s+"
 
@@ -97,7 +99,7 @@ def chi2_terms(
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("label", "term", "n11", "df_t",
-                    F.round("chi2", round_to).alias("chi2"), "rank"))
+                    dround("chi2", round_to).alias("chi2"), "rank"))
 
 
 def chi2_terms_sql(
@@ -228,8 +230,8 @@ def cramers_v(
                       / (F.col("n").cast("double") * k)))
     out = folded.select(
         *gb, "n", "n_a", "n_b",
-        F.round("__chi2", round_dp).alias("chi2"),
-        F.round(v, round_dp).alias("v"))
+        dround("__chi2", round_dp).alias("chi2"),
+        dround(v, round_dp).alias("v"))
     return out.orderBy(*gb) if gb else out
 
 

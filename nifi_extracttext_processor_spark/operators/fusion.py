@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 
 def rrf_fuse(
@@ -68,7 +70,7 @@ def rrf_fuse(
     return (fused.withColumn("__rn", F.row_number().over(w_q))
             .filter(F.col("__rn") <= top_k)
             .select("query_id", "doc_id", "n_sources", "best_rank",
-                    F.round("fused", 6).alias("rrf_score"))
+                    dround("fused", 6).alias("rrf_score"))
             .orderBy("query_id", F.desc("rrf_score"), "doc_id"))
 
 
@@ -147,7 +149,7 @@ def score_fuse(
     return (fused.withColumn("__rn", F.row_number().over(w_q))
             .filter(F.col("__rn") <= top_k)
             .select("query_id", "doc_id", "n_sources",
-                    F.round("fused", 6).alias("fused_score"))
+                    dround("fused", 6).alias("fused_score"))
             .orderBy("query_id", F.desc("fused_score"), "doc_id"))
 
 

@@ -51,6 +51,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 # padding sentinels (C0 controls — cannot appear in sane key text;
 # rows whose key DOES contain one are still correct, the pad chars
@@ -323,7 +325,7 @@ def jaccard_similarity_join(
                     F.col("l.m").alias("m1"), F.col("r.m").alias("m2"))
             .dropDuplicates(["id1", "id2"]))
     inter = F.size(F.array_intersect("t1", "t2"))
-    sim = F.round(inter / (F.col("m1") + F.col("m2") - inter), 6)
+    sim = dround(inter / (F.col("m1") + F.col("m2") - inter), 6)
     return (cand.withColumn("sim", sim)
             .filter(F.col("sim") >= threshold)
             .select("id1", "id2", "sim"))

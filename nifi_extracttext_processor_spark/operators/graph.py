@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .text_analysis import URL_RE, url_host
 
@@ -200,7 +202,7 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
         del last  # checkpoint blocks are freed when the DF is GC'd
-        return ranks.select("node", F.round("rank", round_dp)
+        return ranks.select("node", dround("rank", round_dp)
                             .alias("rank"))
     finally:
         ef.unpersist()
@@ -362,7 +364,7 @@ def triangle_counts(
            .select(
                "node", "degree",
                F.coalesce("triangles", F.lit(0)).alias("triangles"),
-               F.round(
+               dround(
                    F.when(F.col("degree") >= 2,
                           2.0 * F.coalesce("triangles", F.lit(0))
                           / (F.col("degree")
@@ -510,8 +512,8 @@ def hits(
                    .localCheckpoint(eager=True))
         return (auth.join(hub, "node")
                 .select("node",
-                        F.round("a", round_dp).alias("authority"),
-                        F.round("h", round_dp).alias("hub")))
+                        dround("a", round_dp).alias("authority"),
+                        dround("h", round_dp).alias("hub")))
     finally:
         e.unpersist()
         nodes.unpersist()

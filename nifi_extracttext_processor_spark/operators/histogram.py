@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 
 def _check(lo: float, hi: float, n_bins: int) -> None:
@@ -118,7 +120,7 @@ def histogram_quantiles(
     return (hit.withColumn("__rn", F.row_number().over(wq))
             .filter(F.col("__rn") == 1)
             .select(*gb, "q",
-                    F.round(F.lit(float(lo))
+                    dround(F.lit(float(lo))
                             + (F.col("bin") + 0.5) * F.lit(width),
                             round_dp).alias("value")))
 

@@ -51,6 +51,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 BOS = "<s>"
 UNK = "<unk>"
@@ -172,7 +174,7 @@ def kn_score(
     ).otherwise(pcont)
     scored = (j.groupBy(id_col)
               .agg(F.count("*").cast("long").alias("n_bigrams"),
-                   F.round(-F.avg(F.log(p)), 6).alias("kn_nll")))
+                   dround(-F.avg(F.log(p)), 6).alias("kn_nll")))
     return (df.select(id_col)
             .join(scored, id_col, "left")
             .select(id_col,

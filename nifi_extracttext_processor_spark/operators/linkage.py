@@ -38,6 +38,8 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 
 def fs_weights(
@@ -76,11 +78,11 @@ def fs_weights(
             F.lit(c).alias("field"),
             F.col("__nm").alias("n_match"),
             F.col("__nu").alias("n_nonmatch"),
-            F.round(m, round_dp).alias("m"),
-            F.round(u, round_dp).alias("u"),
-            (F.round(F.log2(m / u), round_dp) + F.lit(0.0))
+            dround(m, round_dp).alias("m"),
+            dround(u, round_dp).alias("u"),
+            (dround(F.log2(m / u), round_dp) + F.lit(0.0))
             .alias("w_agree"),
-            (F.round(F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)),
+            (dround(F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)),
                      round_dp) + F.lit(0.0)).alias("w_disagree")))
     return (one.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.*"))
@@ -149,7 +151,7 @@ def fs_score_pairs(
             .otherwise(F.lit(float(wd)))
         score = term if score is None else score + term
     return pairs.withColumn("fs_score",
-                            F.round(score, round_dp) + F.lit(0.0))
+                            dround(score, round_dp) + F.lit(0.0))
 
 
 def fs_match_threshold(

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 
 def _char_ngrams(text_col: str, n: int) -> Column:
@@ -116,7 +118,7 @@ def lm_score(
     return (joined
             .groupBy(id_col)
             .agg(F.count("ngram").alias("n_ngrams"),
-                 F.round(-F.sum(logp) / F.count("ngram"), 6)
+                 dround(-F.sum(logp) / F.count("ngram"), 6)
                  .alias("nll")))
 
 

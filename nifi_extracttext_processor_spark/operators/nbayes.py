@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .classifier import _TOKEN_SPLIT_RE, _bucket_col
 
@@ -155,7 +157,7 @@ def score_naive_bayes(
             .select(id_col, *keep_cols,
                     F.coalesce("pred_label", "__pl")
                     .alias("pred_label"),
-                    F.round(F.coalesce("lj", "__pj"), 4)
+                    dround(F.coalesce("lj", "__pj"), 4)
                     .alias("logjoint")))
 
 

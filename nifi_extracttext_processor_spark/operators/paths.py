@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 
 def event_transitions(
@@ -49,7 +51,7 @@ def event_transitions(
     totals = counts.groupBy("from_event").agg(F.sum("n").alias("__t"))
     return (counts.join(totals, "from_event")
             .select("from_event", "to_event", "n",
-                    F.round(F.col("n") / F.col("__t"), 6).alias("p")))
+                    dround(F.col("n") / F.col("__t"), 6).alias("p")))
 
 
 def event_transitions_sql(

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 
 def anonymity_classes(
@@ -90,7 +92,7 @@ def anonymity_summary(
         F.sum(viol.cast("long")).alias("n_violating_classes"),
         F.sum(F.when(viol, F.col("k")).otherwise(0))
         .alias("n_violating_rows"),
-        F.round(F.sum(F.when(viol, F.col("k")).otherwise(0))
+        dround(F.sum(F.when(viol, F.col("k")).otherwise(0))
                 / F.sum("k"), 6).alias("pct_violating_rows"),
     ]
     if sensitive_col is not None:

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
 
@@ -88,7 +90,7 @@ def profile_table(
         F.col("n_rows").cast("long").alias("n_rows"),
         (F.col("n_rows") - F.col("n_notnull")).cast("long")
         .alias("n_nulls"),
-        F.round((F.col("n_rows") - F.col("n_notnull"))
+        dround((F.col("n_rows") - F.col("n_notnull"))
                 / F.col("n_rows"), 4).alias("null_frac"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
         "min_value", "max_value")
@@ -275,7 +277,7 @@ def profile_quantiles(
                         parr.alias("p"), F.col("__qs").alias("q"))))
             .select("column",
                     F.col("col.p").alias("prob"),
-                    F.round(F.col("col.q").cast("double"), 6)
+                    dround(F.col("col.q").cast("double"), 6)
                     .alias("quantile"))
             .orderBy("column", "prob"))
 
@@ -329,8 +331,8 @@ def key_skew_report(
                      F.count("*").alias("__keys"))
     enriched = counts.crossJoin(F.broadcast(tot)).select(
         *keys, "n",
-        F.round(F.col("n") / F.col("__rows"), round_dp).alias("frac"),
-        F.round(F.col("n").cast("double")
+        dround(F.col("n") / F.col("__rows"), round_dp).alias("frac"),
+        dround(F.col("n").cast("double")
                 / (F.col("__rows").cast("double")
                    / F.col("__keys").cast("double")),
                 round_dp).alias("skew"))
@@ -446,7 +448,7 @@ def value_concentration(
         (F.col("n") >= 2) & (F.col("__sx") != 0),
         F.col("__st2").cast("double") / (nn * sx)
         - (nn + F.lit(1.0)) / nn)
-    cols = [*gb, "n", F.round(gini, round_dp).alias("gini")]
+    cols = [*gb, "n", dround(gini, round_dp).alias("gini")]
     for q in top_fracs:
         qf = float(q)
         k = F.ceil(F.lit(qf) * nn).cast("long")  # top-k entities
@@ -465,7 +467,7 @@ def value_concentration(
         share = F.when(F.col("__sx") != 0,
                        take / F.lit(1e6) / (sx / F.lit(1e6)))
         name = f"top_{qf * 100:g}pct_share"
-        cols.append(F.round(share, round_dp).alias(name))
+        cols.append(dround(share, round_dp).alias(name))
     out = agg.select(*cols)
     return out.orderBy(*gb) if gb else out
 
@@ -592,7 +594,7 @@ def join_fanout_report(
         "n_left", "n_right", "n_left_keys", "n_right_keys",
         "n_matched_keys", "max_left_dup", "max_right_dup",
         F.col("__ejr").cast("long").alias("est_join_rows"),
-        F.round(F.col("__ejr").cast("double")
+        dround(F.col("__ejr").cast("double")
                 / F.col("n_left").cast("double"), round_dp)
         .alias("fanout"))
 
@@ -694,7 +696,7 @@ def benford_test(
         t = ((F.col(f"d{d}").cast("double") - e)
              * (F.col(f"d{d}").cast("double") - e) / e)
         chi2 = t if chi2 is None else chi2 + t
-    chi2r = F.round(chi2, round_dp)
+    chi2r = dround(chi2, round_dp)
     out = agg.select(
         *gb, "n", *[f"d{d}" for d in range(1, 10)],
         chi2r.alias("chi2"),
@@ -791,10 +793,10 @@ def metric_decomposition(
     tot = F.sum(delta).over(w)
     return agg.select(
         "dimension", "dim_value",
-        F.round(F.col("vb"), round_dp).alias("value_before"),
-        F.round(F.col("va"), round_dp).alias("value_after"),
-        (F.round(delta, round_dp) + F.lit(0.0)).alias("delta"),
-        (F.round(F.when(F.abs(tot) > 0, delta / tot), round_dp)
+        dround(F.col("vb"), round_dp).alias("value_before"),
+        dround(F.col("va"), round_dp).alias("value_after"),
+        (dround(delta, round_dp) + F.lit(0.0)).alias("delta"),
+        (dround(F.when(F.abs(tot) > 0, delta / tot), round_dp)
          + F.lit(0.0)).alias("share_of_change"))
 
 
@@ -893,7 +895,7 @@ def topk_turnover(
         F.count("rb").alias("k_after"),
         F.sum((F.col("ra").isNotNull() & F.col("rb").isNotNull())
               .cast("long")).alias("n_common"),
-        F.round(F.try_divide(
+        dround(F.try_divide(
             F.sum((F.col("ra").isNotNull() & F.col("rb").isNotNull())
                   .cast("long")).cast("double"),
             F.count("*").cast("double")), round_dp)
@@ -902,7 +904,7 @@ def topk_turnover(
               .cast("long")).alias("n_entered"),
         F.sum((F.col("ra").isNotNull() & F.col("rb").isNull())
               .cast("long")).alias("n_exited"),
-        F.round(F.try_divide(
+        dround(F.try_divide(
             F.sum(F.when(F.col("ra").isNotNull()
                          & F.col("rb").isNotNull(),
                          F.abs(F.col("ra") - F.col("rb")))),
@@ -1046,13 +1048,13 @@ def theil_decomposition(
     return one.select(
         "n_groups",
         F.col("n_entities").cast("long").alias("n_entities"),
-        F.round(mu, round_dp).alias("mean_value"),
-        (F.round(t_total, round_dp) + F.lit(0.0)).alias("theil_total"),
-        (F.round(F.when(has_groups, within), round_dp)
+        dround(mu, round_dp).alias("mean_value"),
+        (dround(t_total, round_dp) + F.lit(0.0)).alias("theil_total"),
+        (dround(F.when(has_groups, within), round_dp)
          + F.lit(0.0)).alias("theil_within"),
-        (F.round(F.when(has_groups, between), round_dp)
+        (dround(F.when(has_groups, between), round_dp)
          + F.lit(0.0)).alias("theil_between"),
-        F.round(F.when(t_total > 0, between / t_total), round_dp)
+        dround(F.when(t_total > 0, between / t_total), round_dp)
         .alias("between_share"))
 
 

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 # literal-plan ceiling, same spirit as clustering's 32k expression
 # terms: m*k*dsub beyond this flips encode to the Arrow kernel
@@ -238,7 +240,7 @@ def pq_topk(
             F.element_at(lut_col, j + 1),
             F.element_at(F.col(codes_col), j + 1) + 1))
     adc = (codes_df
-           .select(id_col, F.round(dist, 6).alias("adc_dist"))
+           .select(id_col, dround(dist, 6).alias("adc_dist"))
            .orderBy(F.asc("adc_dist"), F.asc(id_col)))
     if refine_mult is None:
         return adc.limit(k)
@@ -248,7 +250,7 @@ def pq_topk(
         raise ValueError("refine needs a vectors_df sidecar")
     cand = adc.limit(refine_mult * k)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    exact = F.round(F.aggregate(
+    exact = dround(F.aggregate(
         F.zip_with(F.col(vec_col).cast("array<double>"), q,
                    lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x), 6)

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from ..sqlutil import sql_lit
 from .guards import DEFAULT_MAX_DISTINCT, guard_max_distinct
@@ -125,7 +127,7 @@ def ab_mann_whitney(
         / (F.lit(2.0) * F.sqrt(var)))
     # + 0.0: normalize the signed zero a tiny-negative z rounds to
     # (engine round()s disagree on -0.0 — see kruskal_wallis note)
-    zr = F.round(z, round_dp) + F.lit(0.0)
+    zr = dround(z, round_dp) + F.lit(0.0)
     return agg.select(
         *gb,
         F.col("n0").alias("n_control"),
@@ -254,7 +256,7 @@ def bh_adjust(
         *gb, "__p",
         F.col("__m").alias("m"),
         F.col("__i").alias("p_rank"),
-        F.round(F.col("__i").cast("double") * F.lit(float(q))
+        dround(F.col("__i").cast("double") * F.lit(float(q))
                 / F.col("__m").cast("double"), round_dp)
         .alias("bh_critical"),
         F.coalesce(F.col("__p") <= F.col("__pk"),
@@ -403,7 +405,7 @@ def corr_spearman(
         - F.col("sx").cast("double") * F.col("sy").cast("double")
     # + 0.0: signed-zero normalization (see kruskal_wallis note)
     rho = F.when((vx > 0) & (vy > 0),
-                 F.round(cov / F.sqrt(vx * vy), round_dp)
+                 dround(cov / F.sqrt(vx * vy), round_dp)
                  + F.lit(0.0))
     z = rho * F.sqrt(nd - F.lit(1.0))
     return agg.select(
@@ -601,7 +603,7 @@ def ab_wilcoxon_signed(
              * (F.lit(2.0) * nd + F.lit(1.0))
              - F.col("tt").cast("double")) / F.lit(12.0))
     z = F.when((F.col("n_units") >= 2) & (var2 > 0),
-               F.round(num / F.sqrt(var2), round_dp) + F.lit(0.0))
+               dround(num / F.sqrt(var2), round_dp) + F.lit(0.0))
     # attach the zero-diff count: keyed left join when grouped, a
     # 1-row (possibly empty) broadcast left join otherwise
     j = agg.join(nz, gb, "left") if gb \
@@ -807,10 +809,10 @@ def kruskal_wallis(
     # identity that maps -0.0 to +0.0 on both engines (observed on
     # epsilon_sq at sf1)
     h = F.when((F.col("k_groups") >= 2) & (corr > 0),
-               F.round(h_raw / corr, round_dp) + F.lit(0.0))
+               dround(h_raw / corr, round_dp) + F.lit(0.0))
     eps = F.when((F.col("k_groups") >= 2) & (corr > 0)
                  & (F.col("n_total") > F.col("k_groups")),
-                 F.round((h_raw / corr
+                 dround((h_raw / corr
                           - F.col("k_groups").cast("double")
                           + F.lit(1.0))
                          / (nn - F.col("k_groups").cast("double")),

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 
 def pca_fit(
@@ -193,7 +195,7 @@ def pca_transform_expr(
         if terms is None:
             terms = F.lit(0.0)
         if round_dp is not None:
-            terms = F.round(terms, round_dp)
+            terms = dround(terms, round_dp)
         outs.append(terms.alias(f"{out_prefix}{i + 1}"))
     return df.select(*cols, *outs)
 

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 
 def _six_sums(df: DataFrame, group_cols: "list[str]", x: Column,
@@ -84,10 +86,10 @@ def grouped_ols(
         # + 0.0 on the signed stats: signed-zero normalization
         # (see kruskal_wallis note in ranktest.py)
         out = [out[0]] + [
-            (F.round(slope, round_to) + F.lit(0.0)).alias("slope"),
-            (F.round(intercept, round_to) + F.lit(0.0))
+            (dround(slope, round_to) + F.lit(0.0)).alias("slope"),
+            (dround(intercept, round_to) + F.lit(0.0))
             .alias("intercept"),
-            F.round(r2, round_to).alias("r2")]
+            dround(r2, round_to).alias("r2")]
     return s.select(*gcols, *out)
 
 
@@ -152,7 +154,7 @@ def grouped_corr(
                dxy / F.sqrt(dxx * dyy))
     if round_to is not None:
         # + 0.0: signed-zero normalization (kruskal_wallis note)
-        r = F.round(r, round_to) + F.lit(0.0)
+        r = dround(r, round_to) + F.lit(0.0)
     return s.select(*gcols, F.col("_n").alias("n_points"),
                     r.alias("pearson_r"))
 

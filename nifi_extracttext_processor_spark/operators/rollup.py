@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 _GRAINS = ("hour", "day", "month", "year")
 _FINER = {g: i for i, g in enumerate(_GRAINS)}
@@ -122,10 +124,10 @@ def rollup_query(
         return out
     return out.select(
         "bucket", *(dims or []), "n_rows", "n_vals",
-        F.round("sum_v", round_dp).alias("sum_v"),
-        F.round("min_v", round_dp).alias("min_v"),
-        F.round("max_v", round_dp).alias("max_v"),
-        F.round(F.try_divide(F.col("sum_v"), F.col("n_vals")),
+        dround("sum_v", round_dp).alias("sum_v"),
+        dround("min_v", round_dp).alias("min_v"),
+        dround("max_v", round_dp).alias("max_v"),
+        dround(F.try_divide(F.col("sum_v"), F.col("n_vals")),
                 round_dp).alias("avg_v"))
 
 

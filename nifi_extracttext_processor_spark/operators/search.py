@@ -39,6 +39,8 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 # the house whitespace-token convention (top_terms / tfidf_top_terms /
 # hashed_tf_embedding all share it) — keep BM25 on the same one so a
@@ -134,7 +136,7 @@ def bm25_topk(
     per_doc = (scored.withColumn("contrib", contrib)
                .groupBy(id_col)
                .agg(F.count("*").cast("long").alias("n_terms_matched"),
-                    F.round(F.sum("contrib"), 4).alias("score")))
+                    dround(F.sum("contrib"), 4).alias("score")))
     return (per_doc
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
@@ -279,7 +281,7 @@ def bm25_score_pairs(
     per_pair = (scored.withColumn("contrib", contrib)
                 .groupBy(query_id_col, id_col)
                 .agg(F.count("*").cast("long").alias("n_terms_matched"),
-                     F.round(F.sum("contrib"), 4).alias("score")))
+                     dround(F.sum("contrib"), 4).alias("score")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col))
     return (per_pair.withColumn("rk", F.row_number().over(w))
@@ -514,7 +516,7 @@ def bm25_query_index(
                .withColumn("contrib", contrib)
                .groupBy(id_col)
                .agg(F.count("*").cast("long").alias("n_terms_matched"),
-                    F.round(F.sum("contrib"), 4).alias("score")))
+                    dround(F.sum("contrib"), 4).alias("score")))
     return (per_doc
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 DEFAULT_BUCKETS = 1 << 14
 
@@ -143,7 +145,7 @@ def dsir_logweights(
             .otherwise(F.lit(0.0))
     return (j.groupBy(id_col)
             .agg(F.count("bucket").cast("long").alias("n_grams"),
-                 F.round(F.sum(term), 6).alias("logw")))
+                 dround(F.sum(term), 6).alias("logw")))
 
 
 def dsir_select(
@@ -179,7 +181,7 @@ def dsir_select(
                         F.lit(f"#g{seed}"))) + F.lit(1.0))
          / F.lit(float(1 << 32) + 2.0))
     gumbel = -F.log(-F.log(u))
-    key = F.round(F.col("logw") / F.lit(float(temperature)) + gumbel, 6)
+    key = dround(F.col("logw") / F.lit(float(temperature)) + gumbel, 6)
     return (w.withColumn("gumbel_key", key)
             .orderBy(F.desc("gumbel_key"), F.asc(id_col))
             .limit(k))

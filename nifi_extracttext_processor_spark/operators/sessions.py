@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 from pyspark.sql.types import TimestampNTZType
 
 
@@ -66,7 +68,7 @@ def sessionize(
             .agg(F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"),
                  F.count("*").alias("n_events"),
-                 F.round(F.sum(value_col), 2).alias("total_value")))
+                 dround(F.sum(value_col), 2).alias("total_value")))
 
 
 def sessionize_sql(
@@ -174,7 +176,7 @@ def sessionize_bucketed(
             .agg(F.min("__start_ts").alias("session_start"),
                  F.max("__end_ts").alias("session_end"),
                  F.sum("__n").alias("n_events"),
-                 F.round(F.sum("__sum_value"), 2).alias("total_value")))
+                 dround(F.sum("__sum_value"), 2).alias("total_value")))
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +348,7 @@ def cohort_retention(
             .select(F.col("__cohort").alias("cohort"),
                     "period_offset",
                     "n_active",
-                    F.round(F.col("n_active") / F.col("__n0"), 4)
+                    dround(F.col("n_active") / F.col("__n0"), 4)
                     .alias("retention"))
             .orderBy("cohort", "period_offset"))
 
@@ -426,7 +428,7 @@ def transition_matrix(
               .filter(F.col("n") >= int(min_count)))
     wf = Window.partitionBy("from_state")
     return (counts
-            .withColumn("p", F.round(
+            .withColumn("p", dround(
                 F.col("n") / F.sum("n").over(wf), round_dp))
             .orderBy("from_state", "to_state"))
 
@@ -506,11 +508,11 @@ def session_stats(
     n = F.col("n_sessions").cast("double")
     return (agg.select(
         "day", "n_sessions", "n_users",
-        F.round(F.col("__bounce").cast("double") / n, round_dp)
+        dround(F.col("__bounce").cast("double") / n, round_dp)
         .alias("bounce_rate"),
-        F.round(F.col("__events").cast("double") / n, round_dp)
+        dround(F.col("__events").cast("double") / n, round_dp)
         .alias("avg_events"),
-        F.round(F.col("__dur").cast("double") / n, round_dp)
+        dround(F.col("__dur").cast("double") / n, round_dp)
         .alias("avg_duration_s"),
         "max_duration_s")
         .orderBy("day"))
@@ -625,7 +627,7 @@ def growth_accounting(
     return (out.select(
         "p", "n_new", "n_retained", "n_resurrected",
         n_ch.alias("n_churned"),
-        F.round(qr, round_dp).alias("quick_ratio"))
+        dround(qr, round_dp).alias("quick_ratio"))
         .orderBy("p"))
 
 
@@ -733,7 +735,7 @@ def user_rfm(
         F.datediff(F.to_date("__hmax"), F.to_date("__last"))
         .cast("long").alias("recency_days"),
         "frequency",
-        F.round(F.col("__m").cast("double") / F.lit(1e6), round_dp)
+        dround(F.col("__m").cast("double") / F.lit(1e6), round_dp)
         .alias("monetary"),
         "n_purchases")
 
@@ -829,9 +831,9 @@ def cohort_ltv(
            .withColumn("__cum", F.sum("__rq").over(w)))
     return (out.select(
         "cohort_p", "period_offset", "cohort_size",
-        F.round(F.col("__rq").cast("double") / F.lit(1e6), round_dp)
+        dround(F.col("__rq").cast("double") / F.lit(1e6), round_dp)
         .alias("revenue"),
-        F.round(F.col("__cum").cast("double")
+        dround(F.col("__cum").cast("double")
                 / (F.col("cohort_size").cast("double") * F.lit(1e6)),
                 round_dp).alias("cum_ltv_per_user"))
         .orderBy("cohort_p", "period_offset"))
@@ -934,10 +936,10 @@ def interarrival_stats(
     bst = F.when(sd + mean > 0, (sd - mean) / (sd + mean))
     return agg.select(
         *keys, "n_events", "n_gaps",
-        F.round(mean, round_dp).alias("mean_gap_s"),
-        F.round(sd, round_dp).alias("std_gap_s"),
-        F.round(cv, round_dp).alias("cv"),
-        F.round(bst, round_dp).alias("burstiness"))
+        dround(mean, round_dp).alias("mean_gap_s"),
+        dround(sd, round_dp).alias("std_gap_s"),
+        dround(cv, round_dp).alias("cv"),
+        dround(bst, round_dp).alias("burstiness"))
 
 
 def interarrival_stats_sql(

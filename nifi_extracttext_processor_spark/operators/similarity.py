@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .dedup import cosine, random_hyperplanes
 
@@ -38,7 +40,7 @@ def brute_force_topk(
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(_as_double(vec_col), qv), 4).alias("cosine"))
+        dround(cosine(_as_double(vec_col), qv), 4).alias("cosine"))
     return (scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -113,7 +115,7 @@ def lsh_topk(
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (v.filter(match)
             .select(id_col,
-                    F.round(cosine(F.col("v"), qv), 4).alias("cosine"))
+                    dround(cosine(F.col("v"), qv), 4).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -210,7 +212,7 @@ def lsh_topk_indexed(
     return (banded.filter(match)
             .dropDuplicates([id_col])  # a vector can match several bands
             .select(id_col,
-                    F.round(cosine(F.col("v"), qv), 4).alias("cosine"))
+                    dround(cosine(F.col("v"), qv), 4).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -293,7 +295,7 @@ def ivf_topk_indexed(
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (assigned.filter(F.col("cell").isin(probe))
             .select(id_col,
-                    F.round(cosine(F.col("v"), qv), 4).alias("cosine"))
+                    dround(cosine(F.col("v"), qv), 4).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -416,7 +418,7 @@ def ivf_topk(
         # round(…,6) so cell assignment is reproducible across engines
         # (the DuckDB oracle rounds identically before its argmax).
         return F.array(*[
-            F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6)
+            dround(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6)
             for cv in cents])
 
     def q_cells() -> list[int]:
@@ -443,7 +445,7 @@ def ivf_topk(
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     return (assigned.filter(F.col("cell").isin(probe))
             .select(id_col,
-                    F.round(cosine(F.col("v"), qv), 4).alias("cosine"))
+                    dround(cosine(F.col("v"), qv), 4).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -478,7 +480,7 @@ def knn_join(
                       _as_double(vec_col).alias("cv"))
     scored = (c.crossJoin(F.broadcast(q))
               .select("query_id", "match_id",
-                      F.round(cosine(F.col("cv"), F.col("qv")), 4)
+                      dround(cosine(F.col("cv"), F.col("qv")), 4)
                        .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("match_id"))
@@ -579,7 +581,7 @@ def knn_join_lsh(
                          _as_double(vec_col).alias("cv"))
     scored = (cand.join(qv_t, "query_id").join(cv_t, "match_id")
               .select("query_id", "match_id",
-                      F.round(cosine(F.col("cv"), F.col("qv")), 4)
+                      dround(cosine(F.col("cv"), F.col("qv")), 4)
                        .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("match_id"))
@@ -676,7 +678,7 @@ def knn_recall(
     return (base.join(hits, "query_id", "left")
             .select("query_id", "n_exact",
                     F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-                    F.round(F.coalesce("n_hit", F.lit(0))
+                    dround(F.coalesce("n_hit", F.lit(0))
                             / F.col("n_exact"), 4).alias("recall")))
 
 
@@ -781,7 +783,7 @@ def brute_force_topk_quantized(
                       lambda c: c.cast("double") * F.col("scale"))
     scored = df_q.select(
         F.col(id_col),
-        F.round(cosine(deq, qv), 4).alias("cosine"))
+        dround(cosine(deq, qv), 4).alias("cosine"))
     return (scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -864,7 +866,7 @@ def embedding_outliers(
     return (good
             .withColumn("__d2", diff2)
             .select(F.col(id_col),
-                    F.round(dist2, round_dp).alias("dist2"))
+                    dround(dist2, round_dp).alias("dist2"))
             .orderBy(F.desc("dist2"), F.asc(id_col))
             .limit(int(k)))
 

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 _REG_BITS = 60  # hash bits feeding rho; rho ∈ [1, 61]
 
@@ -435,7 +437,7 @@ def hll_set_stats(
     return joined.select(
         *gb, "est_a", "est_b", "est_union",
         inter.alias("est_intersect"),
-        F.round(F.try_divide(inter.cast("double"),
+        dround(F.try_divide(inter.cast("double"),
                              F.col("est_union").cast("double")), 4)
         .alias("jaccard_est"))
 
@@ -627,7 +629,7 @@ def kmv_set_stats(
         *gb, "est_a", "est_b", "est_union",
         F.round(jac * F.col("est_union").cast("double"))
         .cast("long").alias("est_intersect"),
-        F.round(jac, 4).alias("jaccard_est"))
+        dround(jac, 4).alias("jaccard_est"))
 
 
 def kmv_partials_sql(

@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from ..sqlutil import sql_lit
 
@@ -120,7 +122,7 @@ def km_from_counts(
     surv = F.expr(
         "aggregate(__pf, CAST(1.0 AS DOUBLE), (a, x) -> a * x)")
     return (out.select(*gb, "t", "n_risk", "n_events", "n_censored",
-                       F.round(surv, round_dp).alias("survival"))
+                       dround(surv, round_dp).alias("survival"))
             .orderBy(*gb, "t"))
 
 
@@ -281,7 +283,7 @@ def km_logrank(
                    F.sum("__g1").alias("n_treatment")))
     chi2 = F.when(
         F.col("__s.v") > 0,
-        F.round(F.col("__s.oe") * F.col("__s.oe") / F.col("__s.v"),
+        dround(F.col("__s.oe") * F.col("__s.oe") / F.col("__s.v"),
                 round_dp))
     j = counts.join(folded, gb) if gb else counts.crossJoin(folded)
     return j.select(
@@ -424,7 +426,7 @@ def nelson_aalen_from_counts(
     cum = F.expr(
         "aggregate(__ph, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
     return (out.select(*gb, "t", "n_risk", "n_events", "n_censored",
-                       F.round(cum, round_dp).alias("cum_hazard"))
+                       dround(cum, round_dp).alias("cum_hazard"))
             .orderBy(*gb, "t"))
 
 
@@ -560,10 +562,10 @@ def km_greenwood_from_counts(
     hi = F.when(F.col("__bad") == 0,
                 F.least(F.col("__s") + zl * se, F.lit(1.0)))
     return (out.select(*gb, "t", "n_risk", "n_events", "n_censored",
-                       F.round("__s", round_dp).alias("survival"),
-                       F.round(se, round_dp).alias("se"),
-                       F.round(lo, round_dp).alias("ci_lo"),
-                       F.round(hi, round_dp).alias("ci_hi"))
+                       dround("__s", round_dp).alias("survival"),
+                       dround(se, round_dp).alias("se"),
+                       dround(lo, round_dp).alias("ci_lo"),
+                       dround(hi, round_dp).alias("ci_hi"))
             .orderBy(*gb, "t"))
 
 
@@ -712,7 +714,7 @@ def aalen_johansen(
     return (j.select(*gb, "t", "cause",
                      F.col("n_risk").cast("long").alias("n_risk"),
                      F.col("n_events").cast("long").alias("n_events"),
-                     F.round(cif, round_dp).alias("cif"))
+                     dround(cif, round_dp).alias("cif"))
             .orderBy(*gb, "cause", "t"))
 
 
@@ -850,7 +852,7 @@ def km_rmst(
     return folded.select(
         *gb,
         F.lit(tau_lit).alias("tau"),
-        F.round(rmst, round_dp).alias("rmst"))
+        dround(rmst, round_dp).alias("rmst"))
 
 
 def km_rmst_sql(

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 # deterministic per-language stopword sets (tiny demo gazetteers —
 # swap for real ones without changing the plan shape)
@@ -93,7 +95,7 @@ def quality_score(
                  F.least(F.lit(0.3), 2.0 * n_punct / F.length(c)))
            .otherwise(F.lit(0.0)))
     return df.withColumn(
-        "quality", F.round(F.greatest(F.lit(0.0), score), 4))
+        "quality", dround(F.greatest(F.lit(0.0), score), 4))
 
 
 def quality_score_sql(text_expr: str,
@@ -147,7 +149,7 @@ def repetition_stats(
                                   F.element_at(toks, i + 1)))
     ).otherwise(F.array().cast("array<string>"))
     sents = F.split(c, SENTENCE_RE)
-    dup_sent = F.round(
+    dup_sent = dround(
         1.0 - F.size(F.array_distinct(sents)) / F.size(sents), 6)
     counts = F.transform(
         F.array_distinct(bg),
@@ -162,7 +164,7 @@ def repetition_stats(
                          .cast("long"))
             .withColumn(
                 "top_bigram_char_frac",
-                F.when(F.length(c) > 0, F.round(
+                F.when(F.length(c) > 0, dround(
                     F.coalesce(F.array_max(char_cover), F.lit(0))
                     / F.length(c), 6)).otherwise(F.lit(0.0))))
 
@@ -628,7 +630,7 @@ def length_histogram(df: DataFrame, text_col: str = "text",
                 F.lit(max_bucket)).cast("long")
     return (df.groupBy(b.alias("bucket"))
             .agg(F.count("*").alias("n_docs"),
-                 F.round(F.avg(F.length(F.col(text_col))), 2)
+                 dround(F.avg(F.length(F.col(text_col))), 2)
                   .alias("avg_chars")))
 
 
@@ -673,7 +675,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
         F.countDistinct(id_col).alias("n_docs"))  # 1 row → broadcast
     scored = (tf.join(dfreq, "term")
               .crossJoin(F.broadcast(n_docs))
-              .withColumn("tfidf", F.round(
+              .withColumn("tfidf", dround(
                   F.col("tf") * F.log((F.col("n_docs") + 1)
                                       / (F.col("df") + 1)), 4)))
     w = Window.partitionBy(id_col).orderBy(
@@ -727,9 +729,9 @@ def length_percentiles(df: DataFrame,
     ln = F.length(F.col(text_col))
     pct = F.percentile(ln, F.lit([0.5, 0.9, 0.99]))
     return df.agg(
-        F.round(pct.getItem(0), 2).alias("p50"),
-        F.round(pct.getItem(1), 2).alias("p90"),
-        F.round(pct.getItem(2), 2).alias("p99"),
+        dround(pct.getItem(0), 2).alias("p50"),
+        dround(pct.getItem(1), 2).alias("p90"),
+        dround(pct.getItem(2), 2).alias("p99"),
         F.count("*").alias("n_docs"))
 
 
@@ -1312,7 +1314,7 @@ def char_entropy(
     # -Σ (c/n) ln(c/n) = ln n - (Σ c ln c) / n
     ent = (per_doc.select(
         id_col,
-        F.round(F.log(F.col("n").cast("double"))
+        dround(F.log(F.col("n").cast("double"))
                 - F.col("sum_clnc") / F.col("n"), 6).alias("entropy")))
     ids = df.select(id_col)
     return ids.join(ent, id_col, "left")
@@ -1619,10 +1621,10 @@ def readability(
             .withColumn("n_sentences", n_sent.cast("long"))
             .withColumn("n_syllables", syl.cast("long"))
             .withColumn("flesch_ease",
-                        F.round(F.lit(206.835) - F.lit(1.015) * wps
+                        dround(F.lit(206.835) - F.lit(1.015) * wps
                                 - F.lit(84.6) * spw, round_dp))
             .withColumn("fk_grade",
-                        F.round(F.lit(0.39) * wps
+                        dround(F.lit(0.39) * wps
                                 + F.lit(11.8) * spw
                                 - F.lit(15.59), round_dp)))
 
@@ -1707,9 +1709,9 @@ def code_stats(
     n_fences = F.size(F.regexp_extract_all(t, F.lit(_FENCE_RE),
                                            F.lit(0)))
     n_sym = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
-    frac = F.round(F.try_divide(n_code.cast("double"),
+    frac = dround(F.try_divide(n_code.cast("double"),
                                 n_lines.cast("double")), round_dp)
-    sym = F.round(F.try_divide(n_sym.cast("double"),
+    sym = dround(F.try_divide(n_sym.cast("double"),
                                F.length(t).cast("double")), round_dp)
     return (df.withColumn("n_lines", n_lines.cast("long"))
             .withColumn("code_line_frac", frac)
@@ -1824,7 +1826,7 @@ def script_stats(
         best_s = F.when(take, F.lit(name)).otherwise(best_s)
         best_n = F.when(take, c).otherwise(best_n)
     pred = F.when(total > 0, best_s).otherwise(F.lit("other"))
-    frac = F.round(F.try_divide(best_n, total), round_dp)
+    frac = dround(F.try_divide(best_n, total), round_dp)
     return out.select(
         id_col, *[f"n_{n}" for n, _ in _SCRIPT_RANGES],
         pred.alias("script_pred"),
@@ -1998,14 +2000,14 @@ def lexical_diversity(
     v = F.col("n_types").cast("double")
     out = agg.select(
         *gb, "n_tokens", "n_types",
-        F.round(v / n, round_dp).alias("ttr"),
-        F.round(F.col("__v1").cast("double") / v, round_dp)
+        dround(v / n, round_dp).alias("ttr"),
+        dround(F.col("__v1").cast("double") / v, round_dp)
         .alias("hapax_frac"),
-        F.round(F.when(
+        dround(F.when(
             F.col("n_tokens") > 1,
             F.col("__ff1").cast("double") / (n * (n - F.lit(1.0)))),
             round_dp).alias("simpson_d"),
-        F.round(F.lit(10000.0)
+        dround(F.lit(10000.0)
                 * (F.col("__f2") - F.col("n_tokens")).cast("double")
                 / (n * n), round_dp).alias("yule_k"))
     return out.orderBy(*gb) if gb else out
@@ -2080,11 +2082,11 @@ def token_fertility(
                 .alias("n_tokens")))
     out = agg.select(
         *gb, "n_docs", "n_chars", "n_tokens",
-        F.round(F.when(F.col("n_tokens") > 0,
+        dround(F.when(F.col("n_tokens") > 0,
                        F.col("n_chars").cast("double")
                        / F.col("n_tokens").cast("double")), round_dp)
         .alias("chars_per_token"),
-        F.round(F.col("n_tokens").cast("double")
+        dround(F.col("n_tokens").cast("double")
                 / F.col("n_docs").cast("double"), round_dp)
         .alias("tokens_per_doc"))
     return out.orderBy(*gb) if gb else out
@@ -2195,9 +2197,9 @@ def zipf_fit(
     return agg.select(
         *gb,
         F.col("n_terms").cast("long").alias("n_terms"),
-        (F.round(slope, round_dp) + F.lit(0.0)).alias("slope"),
-        (F.round(intercept, round_dp) + F.lit(0.0)).alias("intercept"),
-        F.round(r2, round_dp).alias("r2"))
+        (dround(slope, round_dp) + F.lit(0.0)).alias("slope"),
+        (dround(intercept, round_dp) + F.lit(0.0)).alias("intercept"),
+        dround(r2, round_dp).alias("r2"))
 
 
 def zipf_fit_sql(

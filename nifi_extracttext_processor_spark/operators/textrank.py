@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 from .text_analysis import STOPWORDS_EN
 
@@ -129,13 +131,13 @@ def textrank_keywords(
                          * F.coalesce(F.col("c"), F.lit(0.0)))
                         .alias("s"))
                 .localCheckpoint(eager=True))
-        sr = F.round("s", round_dp)
+        sr = dround("s", round_dp)
         # rank on a COARSER quantization than the display: the two
         # engines' aggregation orders differ, so scores carry ~1e-15
         # relative ULP noise — a round-6 rank boundary can straddle
         # while round-3 is stable (the displayed score still shows 6
         # dp; %.6g canonicalization absorbs its own boundary cases)
-        rr = F.round("s", rank_dp)
+        rr = dround("s", rank_dp)
         wk = Window.partitionBy("sdoc").orderBy(rr.desc(), "sw")
         return (scores
                 .withColumn("rank", F.row_number().over(wk))

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .rounding import dround
+
 
 _MODES = ("zero", "locf", "linear")
 
@@ -108,7 +110,7 @@ def gap_fill(
             nt = F.first(F.when(v.isNotNull(), F.col("__e")),
                          True).over(wf)
             interp = pv + (nv - pv) * (F.col("__e") - pt) / (nt - pt)
-            cols.append(F.round(F.when(v.isNotNull(), v)
+            cols.append(dround(F.when(v.isNotNull(), v)
                                 .otherwise(interp), 6).alias(c))
     return out.select(*keys,
                       F.timestamp_seconds("__e").alias(ts_col),
@@ -222,12 +224,12 @@ def detect_anomalies_rolling(
     mean = F.avg(value_col).over(w)
     sd = F.stddev_pop(value_col).over(w)
     z = F.when((cnt >= mp) & (sd > 0) & v.isNotNull(),
-               F.round((v - mean) / sd, 6) + F.lit(0.0))
+               dround((v - mean) / sd, 6) + F.lit(0.0))
     tb = [tiebreak_col] if tiebreak_col else []
     return df.select(
         *keys, *tb, ts_col, value_col,
-        F.when(cnt >= mp, F.round(mean, 6)).alias("roll_mean"),
-        F.when(cnt >= mp, F.round(sd, 6)).alias("roll_std"),
+        F.when(cnt >= mp, dround(mean, 6)).alias("roll_mean"),
+        F.when(cnt >= mp, dround(sd, 6)).alias("roll_std"),
         z.alias("zscore"),
         F.coalesce(F.abs(z) > threshold, F.lit(False))
         .alias("is_anomaly"))
@@ -322,7 +324,7 @@ def detect_anomalies_mad(
            .groupBy(*keys).agg(mad_agg.alias("__mad")))
     out = d.join(F.broadcast(mad), keys)
     mz = F.when((F.col("__mad") > 0) & v.isNotNull(),
-                F.round(0.6745 * (v - F.col("__med"))
+                dround(0.6745 * (v - F.col("__med"))
                         / F.col("__mad"), 6))
     return (out.withColumn("mad_z", mz)
             .withColumn("is_anomaly",
@@ -466,10 +468,10 @@ def detect_changepoints(
                     F.sum(zq + dq).over(w).alias("__cn"))
     # include the empty prefix C0 = 0 in the running extremum:
     # S+ = C - min(0, min C), S- = max(0, max C) - C
-    pos = F.round(
+    pos = dround(
         (F.col("__cp") - F.least(F.min("__cp").over(w), zero))
         .cast("double") / 1e6, 6)
-    neg = F.round(
+    neg = dround(
         (F.greatest(F.max("__cn").over(w), zero) - F.col("__cn"))
         .cast("double") / 1e6, 6)
     return (cums.select(*keys, ts_col, value_col,
@@ -645,10 +647,10 @@ def decayed_agg(
     def q6(term):
         return F.round(term * F.lit(1e6)).cast("decimal(38,0)")
 
-    aggs = [F.round(F.sum(q6(w)).cast("double") / F.lit(1e6),
+    aggs = [dround(F.sum(q6(w)).cast("double") / F.lit(1e6),
                     round_dp).alias("decayed_count")]
     if value_col is not None:
-        aggs.append(F.round(
+        aggs.append(dround(
             F.sum(q6(F.col(value_col).cast("double") * w))
             .cast("double") / F.lit(1e6),
             round_dp).alias("decayed_sum"))
@@ -758,8 +760,8 @@ def detect_anomalies_seasonal(
     z = F.when((n1 >= F.lit(int(min_periods))) & (sd > 0),
                (v - mean_loo) / sd)
     return (j.select(*keys, ts_col, value_col,
-                     (F.round(z, round_dp) + F.lit(0.0)).alias("z"),
-                     F.coalesce(F.abs(F.round(z, round_dp))
+                     (dround(z, round_dp) + F.lit(0.0)).alias("z"),
+                     F.coalesce(F.abs(dround(z, round_dp))
                                 >= F.lit(float(threshold)),
                                 F.lit(False)).alias("is_anomaly")))
 
@@ -858,9 +860,9 @@ def ses_forecast(
         *gb,
         F.expr("size(__s)").cast("long").alias("n_periods"),
         F.expr("element_at(__s, -1).__d").alias("last_day"),
-        F.round(F.expr("element_at(__s, -1).__y"), round_dp)
+        dround(F.expr("element_at(__s, -1).__y"), round_dp)
         .alias("last_y"),
-        F.round(F.expr(level), round_dp).alias("forecast"))
+        dround(F.expr(level), round_dp).alias("forecast"))
 
 
 def ses_forecast_sql(
@@ -955,7 +957,7 @@ def lead_lag_corr(
     den = F.sqrt(dx * dy)
     return (agg.select(
         "lag", "n_days",
-        (F.round(F.when(den > 0, num / den), round_dp)
+        (dround(F.when(den > 0, num / den), round_dp)
          + F.lit(0.0)).alias("corr"))
         .orderBy("lag"))
 
@@ -1076,11 +1078,11 @@ def holt_forecast(
         *gb,
         F.expr("size(__s)").cast("long").alias("n_periods"),
         F.expr("element_at(__s, -1).__d").alias("last_day"),
-        F.round(F.expr("element_at(__s, -1).__y"), round_dp)
+        dround(F.expr("element_at(__s, -1).__y"), round_dp)
         .alias("last_y"),
-        F.round(st["l"], round_dp).alias("level"),
-        (F.round(st["b"], round_dp) + F.lit(0.0)).alias("trend"),
-        F.round(st["l"] + F.lit(float(horizon)) * st["b"], round_dp)
+        dround(st["l"], round_dp).alias("level"),
+        (dround(st["b"], round_dp) + F.lit(0.0)).alias("trend"),
+        dround(st["l"] + F.lit(float(horizon)) * st["b"], round_dp)
         .alias("forecast"))
 
 
@@ -1218,9 +1220,9 @@ def forecast_backtest(
                         F.col("n_seasonal").cast("double"))
     return agg.select(
         *gb, "n_days", "n_naive", "n_seasonal",
-        F.round(mae1, round_dp).alias("mae_naive"),
-        F.round(maes, round_dp).alias("mae_seasonal"),
-        F.round(F.when(mae1 > 0, maes / mae1), round_dp)
+        dround(mae1, round_dp).alias("mae_naive"),
+        dround(maes, round_dp).alias("mae_seasonal"),
+        dround(F.when(mae1 > 0, maes / mae1), round_dp)
         .alias("mase"))
 
 
@@ -1343,7 +1345,7 @@ def robust_trend(
         F.when(F.col("mk_s") > 0, (s - 1) / F.sqrt(var_s))
         .when(F.col("mk_s") < 0, (s + 1) / F.sqrt(var_s))
         .otherwise(F.lit(0.0)))
-    zr = F.round(z, round_dp) + F.lit(0.0)
+    zr = dround(z, round_dp) + F.lit(0.0)
     m = F.size("__sls")
     sen = F.when(
         m > 0,
@@ -1363,7 +1365,7 @@ def robust_trend(
         F.when(zr >= F.lit(float(z_alpha)), F.lit("up"))
         .when(zr <= F.lit(-float(z_alpha)), F.lit("down"))
         .when(zr.isNotNull(), F.lit("none")).alias("trend"),
-        (F.round(sen, round_dp) + F.lit(0.0)).alias("sen_slope"))
+        (dround(sen, round_dp) + F.lit(0.0)).alias("sen_slope"))
 
 
 def robust_trend_sql(
@@ -1691,12 +1693,12 @@ def cusum_changepoint(
              - F.col("__tot") * F.col("__tot")).cast("double")
             / (nn * (nn - F.lit(1.0))))
     stat = F.when((F.col("__n") >= 2) & (var6 > 0),
-                  F.round((m6 / nn) / (F.sqrt(var6) * F.sqrt(nn)),
+                  dround((m6 / nn) / (F.sqrt(var6) * F.sqrt(nn)),
                           round_dp))
     return best.select(
         *gb,
         F.col("__n").alias("n_days"),
-        F.round(m6 / (nn * F.lit(1e6)), round_dp).alias("cusum_max"),
+        dround(m6 / (nn * F.lit(1e6)), round_dp).alias("cusum_max"),
         F.date_from_unix_date(F.lit(0) - F.col("__best.negd"))
         .alias("changepoint_day"),
         stat.alias("stat"),
@@ -1875,10 +1877,10 @@ def seasonal_decompose(
                    (F.col("yq").cast("double") - F.col("__t6")
                     - F.col("__s")) / F.lit(1e6))
     return (out.select(*gb, "d",
-                       F.round(val, round_dp).alias("value"),
-                       F.round(trend, round_dp).alias("trend"),
-                       (F.round(seasonal, round_dp) + F.lit(0.0)).alias("seasonal"),
-                       (F.round(resid, round_dp) + F.lit(0.0)).alias("resid"))
+                       dround(val, round_dp).alias("value"),
+                       dround(trend, round_dp).alias("trend"),
+                       (dround(seasonal, round_dp) + F.lit(0.0)).alias("seasonal"),
+                       (dround(resid, round_dp) + F.lit(0.0)).alias("resid"))
             .orderBy(*gb, "d"))
 
 
@@ -2000,7 +2002,7 @@ def durbin_watson(
     den = (F.col("n_days").cast("decimal(38,0)") * F.col("__ssq")
            - F.col("__t") * F.col("__t")).cast("double") / nn
     dw = F.when((F.col("n_days") >= 2) & (den > 0),
-                F.round(F.col("__num").cast("double") / den,
+                dround(F.col("__num").cast("double") / den,
                         round_dp))
     return agg.select(*gb,
                       F.col("n_days").cast("long").alias("n_days"),
@@ -2122,7 +2124,7 @@ def runs_test(
            * (F.lit(2.0) * n1 * n2 - n1 - n2)
            / (ntot * ntot * (ntot - F.lit(1.0))))
     z = F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
-               F.round((F.col("n_runs").cast("double") - er)
+               dround((F.col("n_runs").cast("double") - er)
                        / F.sqrt(var), round_dp) + F.lit(0.0))
     return agg.select(
         *gb,

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..operators.rounding import dround
+
 from pyspark.sql.types import (
     LongType, StringType, StructField, StructType, TimestampType,
 )
@@ -93,7 +95,7 @@ def windowed_event_counts(
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
+                 dround(F.sum("value"), 2).alias("total_value"))
             .select(F.col("w.start").alias("hour"), "event_type",
                     "n_events", "total_value"))
 
@@ -1244,7 +1246,7 @@ def stream_sessionize(
         F.col(user_col),
         F.session_window(F.col(ts_col), f"{int(gap_seconds)} seconds"))
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum(value_col), 2).alias("total_value"))
+             dround(F.sum(value_col), 2).alias("total_value"))
         .select(F.col(user_col),
                 F.col("session_window.start").alias("session_start"),
                 F.col("session_window.end").alias("session_end"),
