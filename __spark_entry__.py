@@ -113,6 +113,7 @@ def _q(name: str, oracle: str | None = None):
 #    rotated key always have a documented gap.
 # ===========================================================================
 
+from nifi_extracttext_processor_spark.operators.rounding import dround  # noqa: E402
 from nifi_extracttext_processor_spark.operators import corpus as cx  # noqa: E402
 
 
@@ -593,7 +594,7 @@ def q_events_asof(spark, sf):
               .select("user_id", "ts", "event_id"))
     purchases = (e.filter(F.col("event_type") == "purchase")
                  .select("user_id", "ts",
-                         F.round("value", 2).alias("purchase_value")))
+                         dround("value", 2).alias("purchase_value")))
 
     def run(fn, method, **kw):
         out = fn(clicks, purchases, on="ts", by="user_id",
@@ -653,12 +654,12 @@ GROUP BY l_returnflag, l_linestatus
 def q_pricing(spark, sf):
     l = _t(spark, sf, "lineitem")
     return (l.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice")
+            .agg(dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 dround(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                   .alias("sum_disc_price"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 dround(F.avg("l_quantity"), 4).alias("avg_qty"),
                  F.count("*").alias("count_order")))
 
 
@@ -677,7 +678,7 @@ def q_join(spark, sf):
     return (o.join(c, o.o_custkey == c.c_custkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .groupBy("n_name")
-             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"),
                   F.count("*").alias("n_orders")))
 
 
@@ -693,7 +694,7 @@ def q_events_window(spark, sf):
     e = _t(spark, sf, "events")
     return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("total_value")))
+                 dround(F.sum("value"), 2).alias("total_value")))
 
 
 # ---- extension: exact dedup (self-union makes real duplicate groups) ----
@@ -898,7 +899,7 @@ def q_ann(spark, sf):
          .select(F.col("embedding").cast("array<double>").alias("qv")))
     joined = v.crossJoin(F.broadcast(q))
     return (joined.select(
-        "vec_id", F.round(dd.cosine(F.col("v"), F.col("qv")), 4)
+        "vec_id", dround(dd.cosine(F.col("v"), F.col("qv")), 4)
         .alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10))
@@ -1024,12 +1025,12 @@ def q_mm_image(spark, sf):
     decoded = decode_image(media, width=8, height=8)
     feats = image_features(decoded, n_features=16).select(
         "media_id",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4)
+        dround(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4)
          .alias("feat_sum"))
     small = resize_image(decoded, src_w=8, src_h=8, dst_w=4, dst_h=4)
     px = small.select(
         "media_id",
-        F.round(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 4)
+        dround(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x), 4)
          .alias("px_sum"))
     return feats.join(px, "media_id")
 
@@ -1054,7 +1055,7 @@ def q_mm_av(spark, sf):
     audio = _fake_media(spark, sf, "audio", "audio/wav")
     au = audio_features(audio, n_mfcc=8).select(
         "media_id",
-        F.round(F.aggregate("mfcc", F.lit(0.0), lambda a, x: a + x), 4)
+        dround(F.aggregate("mfcc", F.lit(0.0), lambda a, x: a + x), 4)
          .alias("mfcc_sum"))
     return fr.join(au, "media_id")
 
@@ -1350,7 +1351,7 @@ def q_corpus_summary(spark, sf):
         F.countDistinct("fingerprint").alias("n_distinct"),
         F.sum(F.size(F.split("text", r"\s+")).cast("long"))
          .alias("total_tokens"),
-        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        dround(F.avg(F.length("text")), 2).alias("avg_chars"),
         F.count(F.when(F.col("lang_pred") == "en", 1)).alias("n_english"))
     pct = ta.length_percentiles(d).drop("n_docs")
     return stats.crossJoin(pct)
@@ -1548,7 +1549,7 @@ def q_sql_window_rank(spark, sf):
          .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
     return (o.select("o_custkey",
                      F.col("o_orderkey").cast("long").alias("o_orderkey"),
-                     F.round("o_totalprice", 2).alias("o_totalprice"),
+                     dround("o_totalprice", 2).alias("o_totalprice"),
                      F.row_number().over(w).cast("long").alias("rk"))
             .filter(F.col("rk") <= 3))
 
@@ -1569,7 +1570,7 @@ def q_sql_having(spark, sf):
                  F.sum("o_totalprice").alias("_raw"))
             .filter((F.col("n_orders") >= 5) & (F.col("_raw") > 100000))
             .select("o_custkey", "n_orders",
-                    F.round("_raw", 2).alias("total_spend")))
+                    dround("_raw", 2).alias("total_spend")))
 
 
 @_q("sql_above_avg_orders", """
@@ -1916,7 +1917,7 @@ def q_events_anomaly(spark, sf):
     return (s.filter((F.col("n") >= 3) & (F.col("sd") > 0)
                      & (F.abs(z) > 2.0))
             .select("event_id", "user_id",
-                    F.round(z, 4).alias("zscore")))
+                    dround(z, 4).alias("zscore")))
 
 
 # ---- extension (r7): single-scan table profiler (operators/
@@ -2206,7 +2207,7 @@ def q_events_gap_fill(spark, sf):
     b = (ev.groupBy("event_type",
                     F.timestamp_seconds(eb).alias("bucket"))
          .agg(F.count("*").alias("n_events"),
-              F.round(F.avg("value"), 6).alias("avg_value")))
+              dround(F.avg("value"), 6).alias("avg_value")))
     return tsr.gap_fill(b, "bucket", ["event_type"], 3600,
                         {"n_events": "zero", "avg_value": "linear"})
 
@@ -2469,7 +2470,7 @@ def q_orders_diff(spark, sf):
     new = (o.filter(F.col("o_orderkey") % 7 != 0)
            .select("o_orderkey", "o_orderstatus",
                    F.when(F.col("o_orderkey") % 3 == 0,
-                          F.round(F.col("o_totalprice") + 1.5, 2))
+                          dround(F.col("o_totalprice") + 1.5, 2))
                    .otherwise(F.col("o_totalprice"))
                    .alias("o_totalprice")))
     return dff.diff_snapshots(old, new, ["o_orderkey"],
@@ -2757,7 +2758,7 @@ def _eval_scored(spark, sf):
          / F.lit(4294967296.0))
     return e.select(
         "vec_id", (F.col("label") % 2).alias("label"),
-        F.round(0.55 * u + 0.45 * (F.col("label") % 2), 6)
+        dround(0.55 * u + 0.45 * (F.col("label") % 2), 6)
         .alias("score"))
 
 
@@ -2831,7 +2832,7 @@ def _fuse_rankings(spark, sf):
                 .select((F.col("vec_id") % 16).alias("query_id"),
                         F.col("vec_id").alias("doc_id"),
                         F.lit(tag).alias("source"),
-                        F.round(u, 6).alias("score")))
+                        dround(u, 6).alias("score")))
 
     return src("lex", 3).unionAll(src("sem", 5))
 
@@ -3809,7 +3810,7 @@ def q_events_cube(spark, sf):
     out = (ev.withColumn("month", F.date_format("ts", "yyyy-MM"))
            .cube("event_type", "month")
            .agg(F.count("*").alias("n"),
-                F.round(F.sum(q).cast("double") / F.lit(1e6), 2)
+                dround(F.sum(q).cast("double") / F.lit(1e6), 2)
                 .alias("total_value")))
     return out.select(
         F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
@@ -3844,7 +3845,7 @@ def q_events_pivot_monthly(spark, sf):
            .withColumn("__q", q)
            .groupBy("month")
            .pivot("event_type", _PIVOT_TYPES)
-           .agg(F.round(F.sum(F.coalesce("__q", F.lit(0)
+           .agg(dround(F.sum(F.coalesce("__q", F.lit(0)
                                          .cast("decimal(38,0)")))
                         .cast("double") / F.lit(1e6), 2)))
     return out.select(
