@@ -12,12 +12,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+_BLAS_ENV = ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+             "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS")
+
+
 def get_spark(
     app_name: str = "nifi-extracttext-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Task parallelism comes from Spark (one worker per core); an
+    # unpinned BLAS additionally spins up a per-worker thread pool at
+    # numpy import (N workers x N BLAS threads), which oversubscribes
+    # and, on some kernels, burns seconds of sys time per worker in
+    # thread creation/spin-wait. Pin the math libraries to one thread
+    # per worker — the standard config for data-parallel executors.
+    # setdefault: an explicit operator/user override still wins.
+    for var in _BLAS_ENV:
+        os.environ.setdefault(var, "1")
     # optional connector jars (Avro merge format / Kafka sink — B13/B15):
     # SPARK_GRAFT_PACKAGES="org.apache.spark:spark-avro_2.13:4.0.0,..."
     packages = os.environ.get("SPARK_GRAFT_PACKAGES", "")
@@ -43,6 +56,10 @@ def get_spark(
         # rejects; read as long and convert in sources.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # cluster mode: executors are separate JVMs and do not inherit the
+    # driver's environment — ship the BLAS pin explicitly
+    for var in _BLAS_ENV:
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     if packages:
         builder = builder.config("spark.jars.packages", packages)
     for k, v in (extra_conf or {}).items():
