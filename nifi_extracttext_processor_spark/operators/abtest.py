@@ -621,10 +621,18 @@ def ab_bootstrap_ci(
         raise ValueError("alpha must be in (0, 1)")
     gb = list(group_by or [])
     v = F.col(value_col).cast("double")
-    base = (df.filter(v.isNotNull() & F.col(id_col).isNotNull())
-            .select(*gb, F.col(variant_col).alias("variant"),
-                    F.col(id_col).cast("string").alias("__id"),
-                    F.round(v * 1e6).cast("decimal(38,0)").alias("__xq")))
+    # the B-way explode multiplies per-row hash/CASE work by n_boot;
+    # a single-file local scan would run that entire stage on one
+    # task (_spread no-ops at scale where the scan is already wide).
+    # Safe: every accumulation below is an exact integer/decimal sum,
+    # so partitioning cannot change any value.
+    from .dedup import _spread
+
+    base = _spread(
+        df.filter(v.isNotNull() & F.col(id_col).isNotNull())
+        .select(*gb, F.col(variant_col).alias("variant"),
+                F.col(id_col).cast("string").alias("__id"),
+                F.round(v * 1e6).cast("decimal(38,0)").alias("__xq")))
 
     ex = base.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
@@ -863,13 +871,18 @@ def ab_bootstrap_ratio_ci(
     gb = list(group_by or [])
     x = F.col(num_col).cast("double")
     y = F.col(den_col).cast("double")
-    base = (df.filter(x.isNotNull() & y.isNotNull()
-                      & F.col(id_col).isNotNull())
-            .select(*gb, F.col(variant_col).alias("variant"),
-                    F.col(id_col).cast("string").alias("__id"),
-                    F.round(x * 1e6).cast("decimal(38,0)").alias("__xq"),
-                    F.round(y * 1e6).cast("decimal(38,0)")
-                    .alias("__yq")))
+    # same single-task-explode guard as ab_bootstrap_ci (exact sums,
+    # partitioning-independent)
+    from .dedup import _spread
+
+    base = _spread(
+        df.filter(x.isNotNull() & y.isNotNull()
+                  & F.col(id_col).isNotNull())
+        .select(*gb, F.col(variant_col).alias("variant"),
+                F.col(id_col).cast("string").alias("__id"),
+                F.round(x * 1e6).cast("decimal(38,0)").alias("__xq"),
+                F.round(y * 1e6).cast("decimal(38,0)")
+                .alias("__yq")))
     ex = base.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
     u = _boot_uniform(F.col("b"), seed, md5)
