@@ -2139,12 +2139,12 @@ from nifi_extracttext_processor_spark.operators import selection as dsel  # noqa
 @_q("dsir_weights", dsel.dsir_logweights_sql(
     target_pred="source = 'src0'", n_buckets=4096))
 def q_dsir_weights(spark, sf):
+    # in-table target -> the fused one-hash-pass path (r16: the three
+    # independent fit/fit/score md5 passes were the single biggest CPU
+    # burner in the bench; value-identical by exact counts)
     d = _t(spark, sf, "documents")
-    target = d.filter(F.col("source") == "src0").select("doc_id",
-                                                        "text")
-    tm = dsel.fit_hash_ngram_model(target, n_buckets=4096, md5=True)
-    rm = dsel.fit_hash_ngram_model(d, n_buckets=4096, md5=True)
-    return dsel.dsir_logweights(d, tm, rm, n_buckets=4096, md5=True)
+    return dsel.dsir_logweights_intarget(
+        d, F.col("source") == "src0", n_buckets=4096, md5=True)
 
 
 # ---- extension (r8): string similarity joins (operators/fuzzy_join
