@@ -374,6 +374,24 @@ def main() -> None:
     qs = entry.queries()
     # JVM/codegen warmup on a trivial action
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python-worker warmup (r16): pre-fork one Arrow worker per core
+    # with the heavy imports done, exactly parallel to the JVM warmup
+    # above — worker reuse then serves every query from the warm pool,
+    # so per-query timings measure plan cost, not the one-time daemon
+    # fork + pandas/numpy/pyarrow import (~1-3 s/worker on some VMs).
+    # A real cluster pays that cost once per executor lifetime, not
+    # per query; timing it inside whichever query happens to run the
+    # session's first Python stage was a measurement artifact.
+    cores = spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+        yield from batches
+
+    (spark.range(cores).repartition(cores)
+     .mapInPandas(_touch, "id long").count())
 
     # Per-query fresh-session mode (drift-adjudication protocol,
     # VERDICT r9 task 2): SPARK_GRAFT_ONLY=a,b runs just those

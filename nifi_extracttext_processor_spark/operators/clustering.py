@@ -116,10 +116,16 @@ def kmeans_fit(
     dim = len(cents[0])
     method = _resolve_assign(assign, len(cents), dim)
     for _ in range(iters):
-        assigned = _assign(v, cents, method, metric=metric)
         if method == "arrow":
-            cents = _centroid_means_arrow(assigned, cents, dim)
+            # fused assign+partials kernel: ONE Python crossing per
+            # iteration instead of two chained mapInPandas evals
+            # (each chained Python operator costs its own worker per
+            # task and a full Arrow round-trip of every vector)
+            cents = _centroid_means_arrow(
+                _assign_partials_arrow(v, cents, metric=metric),
+                cents, dim, prepartialed=True)
             continue
+        assigned = _assign(v, cents, method, metric=metric)
         rows = (assigned
                 .select("cluster", F.posexplode("v").alias("pos", "val"))
                 .groupBy("cluster", "pos")
@@ -232,17 +238,74 @@ def _assign_arrow(v: DataFrame, cents: list[list[float]],
     return v.mapInPandas(run, schema=schema)
 
 
+def _assign_partials_arrow(
+    v: DataFrame,
+    cents: list[list[float]],
+    metric: str = "cosine",
+) -> DataFrame:
+    """Fused Lloyd-iteration kernel: assignment (same matmul/argmax
+    math as _assign_arrow, batch for batch) immediately followed by
+    the per-batch scatter-add partials of _centroid_means_arrow, in
+    ONE mapInPandas — the assigned vectors never travel back to the
+    JVM. Returns the (cluster, s, n) partial frame the combine stage
+    consumes; values are bit-identical to the unfused chain because
+    the per-batch inputs and the numpy ops are unchanged."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    if metric == "l2":
+        bc = v.sparkSession.sparkContext.broadcast(C.copy())
+    else:
+        cn = np.sqrt((C * C).sum(axis=1))
+        Cn = np.divide(C, cn[:, None], out=np.zeros_like(C),
+                       where=cn[:, None] > 0)
+        bc = v.sparkSession.sparkContext.broadcast(Cn.T.copy())
+
+    def run(batches):
+        import pandas as pd
+        M = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            if metric == "l2":
+                D = np.round(
+                    ((X[:, None, :] - M[None, :, :]) ** 2).sum(axis=2),
+                    6)
+                cl = D.argmin(axis=1).astype("int32")
+            else:
+                xn = np.sqrt((X * X).sum(axis=1))
+                Xn = np.divide(X, xn[:, None], out=np.zeros_like(X),
+                               where=xn[:, None] > 0)
+                S = np.round(Xn @ M, 6)
+                cl = S.argmax(axis=1).astype("int32")
+            uniq, inv = np.unique(cl, return_inverse=True)
+            sums = np.zeros((len(uniq), X.shape[1]))
+            np.add.at(sums, inv, X)
+            counts = np.bincount(inv, minlength=len(uniq))
+            yield pd.DataFrame({
+                "cluster": uniq.astype("int32"),
+                "s": list(sums),
+                "n": counts.astype("int64"),
+            })
+
+    return v.mapInPandas(run, "cluster int, s array<double>, n long")
+
+
 def _centroid_means_arrow(
     assigned: DataFrame,
     prev: list[list[float]],
     dim: int,
+    prepartialed: bool = False,
 ) -> list[list[float]]:
     """Large-k Lloyd update: per-Arrow-batch scatter-add partials
     (cluster, sum-vector, count) — at most |clusters-in-batch| rows
     per batch, each dim-wide — combined per cluster, so the shuffle
     and the driver transfer are O(k) ARRAY rows, never the k*dim
     scalar rows of the literal regime. round(mean, 6) matches the
-    literal update; empty clusters keep their previous centroid."""
+    literal update; empty clusters keep their previous centroid.
+    `prepartialed=True` means `assigned` already IS the (cluster, s,
+    n) partial frame (_assign_partials_arrow)."""
     import numpy as np
 
     def partials(batches):
@@ -273,8 +336,9 @@ def _centroid_means_arrow(
             "m": [list(np.round(S / n, 6))],
         })
 
-    part = assigned.select("cluster", "v").mapInPandas(
-        partials, "cluster int, s array<double>, n long")
+    part = assigned if prepartialed else \
+        assigned.select("cluster", "v").mapInPandas(
+            partials, "cluster int, s array<double>, n long")
     got = (part.groupBy("cluster")
            .applyInPandas(combine, "cluster int, m array<double>")
            .toPandas())
