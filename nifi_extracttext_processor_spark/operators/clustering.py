@@ -60,7 +60,7 @@ from .rounding import dround
 
 
 from ..functions.portable import cosine_sql, l2_normalize_sql
-from .dedup import cosine, l2_normalize
+from .dedup import cosine
 
 
 # Above this many k*dim expression terms the literal assignment plan
@@ -460,27 +460,55 @@ def semantic_dedup(
                                  "cluster": kept["cluster"].values})
 
         return af.groupBy("cluster").applyInPandas(prune, out_schema)
-    # pre-normalize ONCE per row so the quadratic stage pays one
-    # zip_with fold per pair instead of three (dot + both norms);
-    # cosine == dot of the normalized vectors, and the DuckDB twin
-    # normalizes with the same per-element division so values stay
-    # bit-replayable.
-    af = (_assign(v, cents, assign)
-          .withColumn("nv", l2_normalize(F.col("v"))))
-    a = af.select("cluster", F.col("_id").alias("ka"),
-                  F.col("nv").alias("na"))
-    b = af.select("cluster", F.col("_id").alias("kb"),
-                  F.col("nv").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    dominated = (a.join(b, "cluster")
-                 .where(F.col("ka") < F.col("kb"))
-                 .where(dround(dot, 6) >= F.lit(threshold))
-                 .select(F.col("kb").alias("_id"))
-                 .distinct())
-    return (af.join(dominated, "_id", "left_anti")
-            .select(F.col("_id").alias(id_col), "cluster"))
+    # "exact": same cluster-grouped kernel shape as "gemm" (each
+    # vector shuffles ONCE, to its cluster, instead of riding both
+    # sides of a pair join plus the anti-join), but the kernel
+    # replays Catalyst's arithmetic TERM FOR TERM — the historical
+    # pair join evaluated `fold-left(zip_with(na, nb, *), 0.0, +)`
+    # per pair through interpreted higher-order functions, the
+    # hottest expression in the bench. Exactness argument:
+    #   * l2 norm: per-dimension `n2 = n2 + x_i * x_i` accumulated in
+    #     index order == F.aggregate's left fold; sqrt, the per-
+    #     element division, and the zero-vector `x * 0.0` arm are
+    #     single IEEE ops on both sides;
+    #   * pair dot: `S = S + outer(Xn[:,i], Xn[:,i])` accumulates the
+    #     products in the same index order as the zip_with fold;
+    #   * `dround(dot, 6) >= threshold` is monotone in dot, so it is
+    #     solved ONCE on the driver into a plain boundary compare
+    #     (rounding.dround_ge_boundary); NaN compares greater than
+    #     everything in Spark's ordering, hence the isnan OR.
+    from .rounding import dround_ge_boundary
+
+    bound = dround_ge_boundary(threshold, 6)
+    af = _assign(v, cents, assign)
+    id_type = dict((f.name, f.dataType.simpleString())
+                   for f in df.schema.fields)[id_col]
+    out_schema = f"`{id_col}` {id_type}, cluster int"
+
+    def prune_exact(pdf):
+        import numpy as np
+        import pandas as pd
+        pdf = pdf.sort_values("_id", kind="stable")
+        X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        m, dim = X.shape
+        n2 = np.zeros(m)
+        for i in range(dim):
+            n2 = n2 + X[:, i] * X[:, i]
+        norm = np.sqrt(n2)
+        nz = norm > 0
+        Xn = np.empty_like(X)
+        Xn[nz] = X[nz] / norm[nz, None]
+        Xn[~nz] = X[~nz] * 0.0
+        S = np.zeros((m, m))
+        for i in range(dim):
+            S = S + np.multiply.outer(Xn[:, i], Xn[:, i])
+        mask = (S >= bound) | np.isnan(S)
+        dominated = np.triu(mask, 1).any(axis=0)
+        kept = pdf.loc[~dominated]
+        return pd.DataFrame({id_col: kept["_id"].values,
+                             "cluster": kept["cluster"].values})
+
+    return af.groupBy("cluster").applyInPandas(prune_exact, out_schema)
 
 
 # ------------------------------------------------------------ oracles
@@ -563,12 +591,6 @@ def semantic_dedup_sql(
         f"WHERE vid NOT IN (SELECT vid FROM dom) ORDER BY {id_col}")
 
 
-def _with_normalized(af: DataFrame) -> DataFrame:
-    """Add `nv` = l2-normalized copy of `v` (shared dedup.l2_normalize
-    semantics)."""
-    return af.withColumn("nv", l2_normalize(F.col("v")))
-
-
 def semantic_dedup_incremental(
     batch: DataFrame,
     catalog: DataFrame,
@@ -606,28 +628,67 @@ def semantic_dedup_incremental(
     def prep(df: DataFrame) -> DataFrame:
         v = df.select(F.col(id_col).alias("_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
-        return _with_normalized(_assign(v, cents, assign))
+        return _assign(v, cents, assign)
 
+    # cluster-cogrouped kernel (r16): the historical twin pair joins
+    # (batch x catalog, batch x batch) shuffled every vector once per
+    # candidate pair and paid the interpreted zip_with fold per pair;
+    # the cogroup moves each vector ONCE to its cluster and replays
+    # the fold-left arithmetic exactly (same exactness argument as
+    # semantic_dedup's exact kernel: index-ordered accumulation,
+    # boundary-solved dround compare, NaN-greatest OR).
+    from .rounding import dround_ge_boundary
+
+    bound = dround_ge_boundary(threshold, 6)
     ab = prep(batch)
     ac = prep(catalog)
-    dot = F.aggregate(
-        F.zip_with(F.col("na"), F.col("nb"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    a_side = ab.select("cluster", F.col("_id").alias("ka"),
-                       F.col("nv").alias("na"))
-    cat_side = ac.select("cluster", F.col("nv").alias("nb"))
-    dom_cat = (a_side.join(cat_side, "cluster")
-               .where(dround(dot, 6) >= F.lit(threshold))
-               .select(F.col("ka").alias("_id")).distinct())
-    b_side = ab.select("cluster", F.col("_id").alias("kb"),
-                       F.col("nv").alias("nb"))
-    dom_batch = (a_side.join(b_side, "cluster")
-                 .where(F.col("ka") < F.col("kb"))
-                 .where(dround(dot, 6) >= F.lit(threshold))
-                 .select(F.col("kb").alias("_id")).distinct())
-    dominated = dom_cat.unionByName(dom_batch).distinct()
-    return (ab.join(dominated, "_id", "left_anti")
-            .select(F.col("_id").alias(id_col), "cluster"))
+    id_type = dict((f.name, f.dataType.simpleString())
+                   for f in batch.schema.fields)[id_col]
+    out_schema = f"`{id_col}` {id_type}, cluster int"
+
+    def _norm_foldleft(X):
+        import numpy as np
+        m, dim = X.shape
+        n2 = np.zeros(m)
+        for i in range(dim):
+            n2 = n2 + X[:, i] * X[:, i]
+        norm = np.sqrt(n2)
+        nz = norm > 0
+        Xn = np.empty_like(X)
+        Xn[nz] = X[nz] / norm[nz, None]
+        Xn[~nz] = X[~nz] * 0.0
+        return Xn
+
+    def prune_inc(bpdf, cpdf):
+        import numpy as np
+        import pandas as pd
+        if len(bpdf) == 0:
+            return pd.DataFrame({id_col: [], "cluster": []}).astype(
+                {"cluster": "int32"})
+        bpdf = bpdf.sort_values("_id", kind="stable")
+        Xb = _norm_foldleft(
+            np.asarray(bpdf["v"].tolist(), dtype=np.float64))
+        m, dim = Xb.shape
+        dominated = np.zeros(m, dtype=bool)
+        if len(cpdf) > 0:
+            Xc = _norm_foldleft(
+                np.asarray(cpdf["v"].tolist(), dtype=np.float64))
+            S = np.zeros((m, Xc.shape[0]))
+            for i in range(dim):
+                S = S + np.multiply.outer(Xb[:, i], Xc[:, i])
+            dominated |= ((S >= bound) | np.isnan(S)).any(axis=1)
+        S = np.zeros((m, m))
+        for i in range(dim):
+            S = S + np.multiply.outer(Xb[:, i], Xb[:, i])
+        mask = (S >= bound) | np.isnan(S)
+        dominated |= np.triu(mask, 1).any(axis=0)
+        kept = bpdf.loc[~dominated]
+        return pd.DataFrame({id_col: kept["_id"].values,
+                             "cluster": kept["cluster"].values})
+
+    return (ab.groupBy("cluster")
+            .cogroup(ac.groupBy("cluster"))
+            .applyInPandas(prune_inc, out_schema))
 
 
 def semantic_dedup_incremental_sql(

@@ -35,6 +35,63 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def py_round_spark(y: float) -> float:
+    """Driver-side replica of Spark's F.round(double) at dp=0:
+    BigDecimal.valueOf(y) (= the shortest decimal repr, which Python's
+    repr() also produces) rounded HALF_UP (= half away from zero, the
+    decimal module's ROUND_HALF_UP). Used to pre-solve comparison
+    boundaries for numpy kernels — never per row."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if math.isnan(y) or math.isinf(y):
+        return y
+    return float(Decimal(repr(y)).quantize(Decimal(1), ROUND_HALF_UP))
+
+
+def dround_ge_boundary(threshold: float, ndigits: int) -> float:
+    """Smallest double B with dround(B, ndigits) >= threshold, so that
+    `dround(x, ndigits) >= threshold` == `x >= B` for every non-NaN
+    double x (dround is monotone: multiply by a positive power of ten,
+    round, divide — each step order-preserving). Lets a vectorized
+    kernel apply the exact Catalyst comparison as one plain `>=`.
+    NaN compares greater than everything in both engines, so kernel
+    users must OR in isnan(x) themselves."""
+    import math
+    import struct
+
+    p = float(10 ** int(ndigits))
+
+    def pred(x: float) -> bool:
+        return (py_round_spark(x * p) / p) >= threshold
+
+    # total-order encode: non-negative doubles keep their bit pattern,
+    # negative ones flip the 63 value bits, so signed-int order ==
+    # float order (-inf .. -0.0 .. +0.0 .. +inf); the map is an
+    # involution, so dec == enc on the bit level
+    def enc(x: float) -> int:
+        b = struct.unpack("<q", struct.pack("<d", x))[0]
+        return b if b >= 0 else b ^ 0x7FFFFFFFFFFFFFFF
+
+    def dec(i: int) -> float:
+        b = i if i >= 0 else i ^ 0x7FFFFFFFFFFFFFFF
+        return struct.unpack("<d", struct.pack("<q", b))[0]
+
+    lo, hi = enc(-math.inf), enc(math.inf)
+    if pred(dec(lo)):
+        return -math.inf
+    if not pred(dec(hi)):
+        return math.inf
+    # invariant: pred(dec(hi)) and not pred(dec(lo))
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if pred(dec(mid)):
+            hi = mid
+        else:
+            lo = mid
+    return dec(hi)
+
+
 def dround(col: Column, ndigits: int) -> Column:
     """Round a DOUBLE column to `ndigits` decimals with the exact
     semantics of DuckDB's `round(x, ndigits)` (multiply, round half
