@@ -556,7 +556,11 @@ FROM documents
 """)
 def q_nlp_enrich(spark, sf):
     # arrays serialized to csv so the value-hash is engine-independent
-    d = _t(spark, sf, "documents")
+    from nifi_extracttext_processor_spark.operators.dedup import _spread
+    # _spread: per-row regex/array enrichment on a narrow local scan
+    # would run single-task (map-only -> values unaffected; no-op at
+    # scale)
+    d = _spread(_t(spark, sf, "documents"))
     return (nlp.entities(nlp.sentiment(d, "text"), "text")
             .select("doc_id", "sentiment",
                     F.array_join("names", ",").alias("names"),
@@ -2927,7 +2931,11 @@ from nifi_extracttext_processor_spark.operators import sketch as skx  # noqa: E4
     "(SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) "
     "AS tok FROM documents) toks", "tok", ["lang"]))
 def q_hll_token_distinct(spark, sf):
-    d = _t(spark, sf, "documents")
+    from nifi_extracttext_processor_spark.operators.dedup import _spread
+    # _spread: the token explode would run single-task on the narrow
+    # local scan; HLL registers are per-register maxima, so
+    # partitioning cannot change the estimate
+    d = _spread(_t(spark, sf, "documents"))
     toks = d.select(
         "lang",
         F.explode(F.split(F.lower(F.col("text")), r"\s+"))

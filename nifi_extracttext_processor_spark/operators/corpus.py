@@ -77,8 +77,13 @@ def decontaminate(
     left join restores the zero rows.
     """
     bench = F.broadcast(benchmark_ngrams(benchmark, text_col, n))
-    doc_ngrams = df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("ng"))
+    # _spread: the shingle explode dominates and runs single-task on
+    # a narrow local scan otherwise (no-op at scale); matched counts
+    # are exact integers, so partitioning cannot change them
+    from .dedup import _spread
+
+    doc_ngrams = _spread(df.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col), F.explode(shingles(text_col, n)).alias("ng"))
     hits = (doc_ngrams.join(bench, "ng")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_contaminated")))
@@ -107,8 +112,15 @@ def decontaminate_filter(
     once, not once per source."""
     bench = F.broadcast(ngrams if ngrams is not None
                         else benchmark_ngrams(benchmark, text_col, n))
-    dirty = (df.select(F.col(id_col),
-                       F.explode(shingles(text_col, n)).alias("ng"))
+    # _spread: the shingle explode is the expensive stage and would
+    # run single-task on a narrow local scan (no-op at scale); the
+    # matched set is a DISTINCT id set, so partitioning is free to
+    # change
+    from .dedup import _spread
+
+    dirty = (_spread(df.select(F.col(id_col), F.col(text_col)))
+             .select(F.col(id_col),
+                     F.explode(shingles(text_col, n)).alias("ng"))
              .join(bench, "ng")
              .select(id_col).distinct())
     return df.join(dirty, id_col, "left_anti")

@@ -247,6 +247,11 @@ def minhash_base(
     base = track_persist(
         _spread(df).select(F.col(id_col), sh.alias("sh"))
         .withColumn("halves", minhash_halves(F.col("sh"))))
+    # materialize the hash pass NOW: the consumers (both sides of the
+    # band self-join plus the two verify joins) otherwise race on the
+    # lazy cache inside one action and can each recompute the full
+    # shingle+md5 pass (r16; same fix as survival_report/dsir)
+    base.count()
     # tag the build parameters so consumers can reject a base built
     # with a different shingle n / text column (silently wrong pairs
     # otherwise). CAVEAT: the tag is a plain Python attribute on the

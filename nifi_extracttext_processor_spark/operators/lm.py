@@ -42,13 +42,44 @@ from .rounding import dround
 def _char_ngrams(text_col: str, n: int) -> Column:
     """All character n-grams of `text_col` as an array (empty when the
     text is shorter than n; NULL text treated as empty). Pure Catalyst:
-    sequence + transform + substring."""
+    sequence + transform + substring. NOTE: the per-position substring
+    runs INTERPRETED inside the lambda and the gram-string array is
+    materialized per row — hot paths should use _exploded_char_ngrams
+    (explode positions, substring flat under codegen) instead."""
     c = f"coalesce({text_col}, '')"
     return F.expr(
         f"CASE WHEN length({c}) >= {n} THEN "
         f"transform(sequence(0, length({c}) - {n}), "
         f"i -> substring({c}, i + 1, {n})) "
         f"ELSE array() END")
+
+
+def _exploded_char_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    keep: "tuple[str, ...]" = (),
+    outer: bool = False,
+    alias: str = "ngram",
+) -> DataFrame:
+    """(keep..., <alias>) with one row per character n-gram: the
+    POSITIONS are exploded first and the gram substring is computed as
+    a flat projection — codegen'd, no per-row gram-string array —
+    where explode(_char_ngrams(...)) evaluates the substring inside an
+    interpreted higher-order lambda and materializes the array. Same
+    grams in the same order (positions 1..len-n+1); with outer=True an
+    empty/short text yields one NULL-gram row (substring null-
+    propagates from the null position), matching explode_outer over
+    the array form."""
+    c = f"coalesce({text_col}, '')"
+    idx = F.expr(
+        f"CASE WHEN length({c}) >= {n} THEN "
+        f"sequence(1, length({c}) - {n - 1}) "
+        f"ELSE CAST(array() AS array<int>) END")
+    gen = F.explode_outer(idx) if outer else F.explode(idx)
+    ex = df.select(*keep, F.col(text_col), gen.alias("__i"))
+    return ex.select(*keep,
+                     F.expr(f"substring({c}, __i, {n})").alias(alias))
 
 
 def train_char_lm(
@@ -64,18 +95,15 @@ def train_char_lm(
     `top_k` keeps only the most frequent n-grams (ties broken by
     n-gram value for determinism) — the bounded-broadcast scale path;
     context counts stay complete (they are ≤ |charset|^(n-1))."""
-    grams = df.select(
-        F.explode(_char_ngrams(text_col, n)).alias("ngram"))
+    grams = _exploded_char_ngrams(df, text_col, n)
     counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
     if top_k is not None:
         counts = (counts
                   .orderBy(F.desc("cnt"), F.asc("ngram"))
                   .limit(top_k))
-    ctx = (df.select(F.explode(_char_ngrams(text_col, n - 1))
-                     .alias("ctx"))
+    ctx = (_exploded_char_ngrams(df, text_col, n - 1, alias="ctx")
            .groupBy("ctx").agg(F.count("*").alias("ctx_cnt")))
-    vocab = (df.select(F.explode(_char_ngrams(text_col, 1))
-                       .alias("ch"))
+    vocab = (_exploded_char_ngrams(df, text_col, 1, alias="ch")
              .agg(F.countDistinct("ch").alias("v"))
              .collect()[0]["v"])
     return counts, ctx, int(vocab)
@@ -100,10 +128,8 @@ def lm_score(
     # explode_OUTER keeps documents shorter than n as a single
     # NULL-ngram row, so they surface with a NULL score from the SAME
     # aggregation — no join-back, no second shuffle
-    exploded = (df
-                .select(id_col,
-                        F.explode_outer(_char_ngrams(text_col, n))
-                        .alias("ngram"))
+    exploded = (_exploded_char_ngrams(df, text_col, n,
+                                      keep=(id_col,), outer=True)
                 .withColumn("ctx", F.expr(f"substring(ngram, 1, {n - 1})")))
     joined = (exploded
               .join(F.broadcast(ngram_counts), "ngram", "left")

@@ -248,13 +248,13 @@ def train_lang_profiles(
     an "n-gram" means the same thing as in the char-LM family."""
     from pyspark.sql import Window
 
-    from .lm import _char_ngrams
+    from .lm import _exploded_char_ngrams
 
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    grams = df.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(_char_ngrams(text_col, n)).alias("ngram"))
+    grams = _exploded_char_ngrams(
+        df.select(F.col(lang_col).alias("lang"), F.col(text_col)),
+        text_col, n, keep=("lang",))
     counts = grams.groupBy("lang", "ngram").agg(
         F.count("*").alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"),
@@ -288,12 +288,11 @@ def language_id_ngram(
     anything wider than (id, ngram) rows."""
     from pyspark.sql import Window
 
-    from .lm import _char_ngrams
+    from .lm import _exploded_char_ngrams
 
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    dg = (df.select(F.col(id_col),
-                    F.explode(_char_ngrams(text_col, n)).alias("ngram"))
+    dg = (_exploded_char_ngrams(df, text_col, n, keep=(id_col,))
           .groupBy(id_col, "ngram").agg(F.count("*").alias("cnt")))
     w = Window.partitionBy(id_col).orderBy(F.desc("cnt"),
                                            F.asc("ngram"))

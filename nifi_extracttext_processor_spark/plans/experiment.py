@@ -64,6 +64,11 @@ def experiment_report(
     if share_state:
         from ..operators.lifecycle import track_persist
         df = track_persist(df)
+        # materialize now: the sections' consumers (a multi-way join
+        # whose broadcast sides build concurrently) would race on the
+        # lazy cache and each recompute the source scan (r16, same
+        # fix as survival_report)
+        df.count()
     out: "dict[str, DataFrame]" = {}
     ratios = expected_ratios or {control: 0.5, treatment: 0.5}
     out["srm"] = ab.ab_srm_check(df, variant_col, ratios,

@@ -115,6 +115,11 @@ def clean_source(
 
         vecs = track_persist(vecs)
         if not vecs.isEmpty():
+            # assign="arrow" deliberately even at small k: the
+            # literal kernel's k*dim-term plan costs more in Catalyst
+            # analysis/codegen than the Arrow crossing costs in
+            # workers once the pool is warm (r16 A/B at k=32:
+            # literal regressed the composed pipeline ~3x)
             sem_kept = semantic_dedup(
                 vecs, id_col=id_col, vec_col="__v", k=semantic_k,
                 threshold=semantic_threshold,

@@ -6,8 +6,11 @@ the two-arm comparison) without knowing each operator's name.
 
 All outputs are LAZY DataFrames sharing one mergeable km_counts
 collapse where the estimators allow it (km / nelson_aalen read the
-SAME per-(group, duration) count state — computed once, reused);
-nothing executes until the caller shows/collects a section. Sections:
+SAME per-(group, duration) count state — computed once, reused).
+With share_state=True (default) the shared collapse is materialized
+eagerly at assembly (one bounded action; see survival_report);
+everything else executes only when the caller shows/collects a
+section. Sections:
 
   km          km_from_counts           — the survival curve S(t)
   band        km_greenwood_from_counts — Greenwood SE + ±z band on
@@ -82,6 +85,15 @@ def survival_report(
     counts = sv.km_counts(df, duration_col, event_col, gb)
     if share_state:
         counts = track_persist(counts)
+        # materialize the shared state NOW (one bounded action: the
+        # collapse is <= |groups| x |distinct durations| rows). The
+        # sections' consumers — typically a multi-way join whose
+        # broadcast sides build CONCURRENTLY — would otherwise race
+        # on the not-yet-materialized caches and each recompute the
+        # full subject scan (r16, same failure shape as the dsir
+        # model fan-out); computing counts once here also warms the
+        # durations cache it reads through.
+        counts.count()
     out: "dict[str, DataFrame]" = {
         "km": sv.km_from_counts(counts, gb, round_dp),
         "band": sv.km_greenwood_from_counts(counts, gb,
