@@ -556,11 +556,12 @@ FROM documents
 """)
 def q_nlp_enrich(spark, sf):
     # arrays serialized to csv so the value-hash is engine-independent
-    from nifi_extracttext_processor_spark.operators.dedup import _spread
-    # _spread: per-row regex/array enrichment on a narrow local scan
-    # would run single-task (map-only -> values unaffected; no-op at
-    # scale)
-    d = _spread(_t(spark, sf, "documents"))
+    # NOT _spread here (r16 A/B): the round-robin exchange ships the
+    # full text column and measured SLOWER than the single-task scan
+    # in both the 3-pair split-session A/B (2.7 -> 4.3 s median) and
+    # 4 isolated interleaved runs -- the per-row regex work is too
+    # light to amortize a text-wide shuffle
+    d = _t(spark, sf, "documents")
     return (nlp.entities(nlp.sentiment(d, "text"), "text")
             .select("doc_id", "sentiment",
                     F.array_join("names", ",").alias("names"),
