@@ -276,15 +276,29 @@ def _q_llm_pretrain(spark, sf_dir):
         track_persist,
     )
     bng = track_persist(benchmark_ngrams(bench_docs, "text", 8))
-    cleaned = [(clean_source(s, near_threshold=0.5, embeddings=emb,
-                             semantic_k=32, benchmark_ngram_table=bng),
-                w) for s, w in srcs]
-    cleaned = [(track_persist(c.select("doc_id", "text")), w)
-               for c, w in cleaned]
+    bng.count()  # materialize before the threads race the lazy cache
+
+    def _clean_one(s):
+        p = track_persist(
+            clean_source(s, near_threshold=0.5, embeddings=emb,
+                         semantic_k=32, benchmark_ngram_table=bng)
+            .select("doc_id", "text"))
+        p.count()  # keep the dedup chain inside the parallel region
+        return p
+
+    from nifi_extracttext_processor_spark.plans.llm_pretrain import (
+        _map_sources_concurrently,
+    )
+    cleaned = list(zip(
+        _map_sources_concurrently(_clean_one, [s for s, _w in srcs]),
+        [w for _s, w in srcs]))
     corpus = build_pretrain_corpus(cleaned)
     merges = train_bpe(corpus.filter(F.col("split") == "train"),
                        n_merges=200, max_words=20000)
-    toked = bpe_tokenize(corpus, merges, tokens_col=None)
+    # emit=("doc_id",): pack_sequences needs only (id, count) — don't
+    # round-trip the corpus text back OUT of the Arrow kernel
+    toked = bpe_tokenize(corpus, merges, tokens_col=None,
+                         emit=("doc_id",))
     return pack_sequences(toked, budget=2048, count_col="n_bpe_real")
 
 

@@ -118,9 +118,23 @@ def decontaminate_filter(
     # change
     from .dedup import _spread
 
+    # Explode the shingle POSITIONS and build each n-gram as a flat
+    # codegen'd projection (r16): shingles() assembles a per-row
+    # array through an interpreted transform lambda and array_distinct
+    # — pure overhead here, because the dirty set is DISTINCT doc ids:
+    # duplicate per-doc n-grams cannot add or remove an id, they only
+    # probe the broadcast hash again (rare for 8-gram shingles).
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - (n - 1))
+                 ).otherwise(F.expr("array()").cast("array<int>"))
     dirty = (_spread(df.select(F.col(id_col), F.col(text_col)))
+             .select(F.col(id_col), toks.alias("__t"),
+                     F.explode(idx).alias("__i"))
              .select(F.col(id_col),
-                     F.explode(shingles(text_col, n)).alias("ng"))
+                     F.concat_ws(" ", F.slice(
+                         F.col("__t"), F.col("__i"), F.lit(n)))
+                     .alias("ng"))
              .join(bench, "ng")
              .select(id_col).distinct())
     return df.join(dirty, id_col, "left_anti")
@@ -390,7 +404,10 @@ def _token_count(text_col: str, token_mode: str):
         bpe_token_count,
     )
     if token_mode == "ws":
-        return F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+        # #separator matches + 1 ≡ size of the split array (limit -1
+        # keeps boundary empties) — counts without materializing it
+        return (F.regexp_count(F.col(text_col), F.lit(r"\s+"))
+                + F.lit(1)).cast("long")
     if token_mode == "bpe":
         return bpe_token_count(F.col(text_col)).cast("long")
     raise ValueError(f"unknown token_mode {token_mode!r} (ws|bpe)")
@@ -599,16 +616,17 @@ def exact_substring_dedup(
     # spread a narrow scan across the cluster first (same rationale as
     # minhash_base)
     d = _spread(df).select(F.col(id_col), toks.alias("toks"))
-    # window hashes: pos i covers tokens [i, i+min_len)
-    wins = F.when(
+    # window positions: pos i covers tokens [i, i+min_len). The
+    # POSITIONS explode first and the window hash is computed as a
+    # flat projection — whole-stage codegen — where the pre-r16
+    # transform lambda ran md5(concat_ws(slice(...))) INTERPRETED per
+    # position and materialized a per-row array of structs just to
+    # explode it (the same explode-then-hash restructure as
+    # dsir_weights / _minhash_sig; identical (id, pos, h) rows).
+    idx = F.when(
         F.size("toks") >= min_len,
-        F.expr(
-            f"transform(sequence(0, size(toks) - {min_len}), "
-            f"i -> struct(i AS pos, "
-            f"md5(concat_ws(' ', slice(toks, i + 1, {min_len}))) "
-            "AS h))")).otherwise(F.expr(
-                "array()").cast(
-                "array<struct<pos:int,h:string>>"))
+        F.sequence(F.lit(0), F.size("toks") - min_len)
+    ).otherwise(F.expr("array()").cast("array<int>"))
     from pyspark.sql.window import Window
 
     from .lifecycle import track_persist
@@ -622,9 +640,12 @@ def exact_substring_dedup(
     # Owner = min(struct(id, pos)) — lexicographic, works for ANY
     # orderable id type (string ids included), no packed-key overflow.
     occ = track_persist(
-        d.select(F.col(id_col), F.explode(wins).alias("w"))
-        .select(F.col(id_col), F.col("w.pos").alias("pos"),
-                F.col("w.h").alias("h")))
+        d.select(F.col(id_col), F.col("toks"),
+                 F.explode(idx).alias("pos"))
+        .select(F.col(id_col), F.col("pos"),
+                F.md5(F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("pos") + 1,
+                                 F.lit(min_len)))).alias("h")))
     agg = (occ.groupBy("h")
            .agg(F.count("*").alias("cnt"),
                 F.min(F.struct(id_col, "pos")).alias("own")))

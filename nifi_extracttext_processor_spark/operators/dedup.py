@@ -228,30 +228,36 @@ def minhash_base(
     text_col: str = "text",
     n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
-    """Persisted (id, sh, halves) — the ONE expensive shingle+md5 pass.
+    """Persisted (id, sh) — the ONE expensive shingle pass.
 
     Build it once and pass it to several minhash_lsh_pairs /
     ngram_jaccard_pairs calls with different band configs or
-    thresholds: at 100 TB the corpus is hashed a single time and every
-    LSH variant reuses the stored halves (band keys and signatures are
-    cheap arithmetic over them). Registered with operators.lifecycle —
-    release_all() frees it."""
+    thresholds: at 100 TB the corpus is shingled a single time and
+    every LSH variant derives its signatures from the stored arrays
+    (the md5 pass itself runs codegen'd over the EXPLODED shingle
+    stream inside _minhash_sig — one hash-agg per k, memoized on this
+    object). Registered with operators.lifecycle — release_all()
+    frees it."""
     from .lifecycle import track_persist
 
     sh = shingles(text_col, n)
-    # Persist (id, sh, halves): the cache boundary materializes the md5
-    # halves ONCE, so the k signature slots and both self-join sides do
-    # arithmetic over stored longs instead of re-hashing every shingle
-    # (k× + 2× otherwise — verified via .explain: without the boundary,
-    # projection collapse inlines the md5 fold into every array_min).
+    # Persist (id, sh): the cache boundary materializes the shingle
+    # arrays ONCE, so the signature agg and both verify joins read
+    # stored arrays instead of re-shingling the corpus per traversal.
+    # (Until r16 this frame also carried per-shingle md5 halves
+    # computed INSIDE a transform lambda — interpreted per element, no
+    # codegen. The halves column is gone: _minhash_sig explodes the
+    # stored shingles and hashes the flat column under whole-stage
+    # codegen instead, the same explode-then-hash restructure that
+    # took dsir_weights from 396 to ~46 core-s.)
     base = track_persist(
-        _spread(df).select(F.col(id_col), sh.alias("sh"))
-        .withColumn("halves", minhash_halves(F.col("sh"))))
-    # materialize the hash pass NOW: the consumers (both sides of the
-    # band self-join plus the two verify joins) otherwise race on the
-    # lazy cache inside one action and can each recompute the full
-    # shingle+md5 pass (r16; same fix as survival_report/dsir)
+        _spread(df).select(F.col(id_col), sh.alias("sh")))
+    # materialize the shingle pass NOW: the consumers (signature agg
+    # plus the two verify joins) otherwise race on the lazy cache
+    # inside one action and can each recompute the full shingle pass
+    # (r16; same fix as survival_report/dsir)
     base.count()
+    base._minhash_sig_cache = {}
     # tag the build parameters so consumers can reject a base built
     # with a different shingle n / text column (silently wrong pairs
     # otherwise). CAVEAT: the tag is a plain Python attribute on the
@@ -277,6 +283,69 @@ def _check_base_params(base: DataFrame, id_col: str, text_col: str,
             f"{params} but this call asked for "
             f"{(id_col, text_col, n)}; rebuild the base or align the "
             "call's parameters")
+
+
+def _minhash_sig(base: DataFrame, id_col: str,
+                 k: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    """Persisted (id, __m0..__m{k-1}) signature table from a
+    minhash_base: explode the stored shingles, md5 the FLAT column
+    (whole-stage codegen — a transform-lambda md5 runs interpreted per
+    element), then ONE hash aggregation with k min columns.
+
+    Value-identical to array_min over the per-row halves arrays:
+    slot i = min over the doc's distinct shingles of
+    (h1 + i·h2) mod 2^32 — a min is order-free, and explode preserves
+    exactly the distinct shingle set. Docs with an EMPTY shingle array
+    (shorter than n tokens) produce no exploded rows and therefore no
+    signature row at all, where the array form produced all-NULL
+    slots; both are inert downstream (NULL band keys never satisfy an
+    equi-join, absent rows never enter it).
+
+    Shuffle cost: the agg is map-side combinable, so only per-partition
+    (id, k longs) partials move — never a per-shingle row. The result
+    is persisted (lifecycle-tracked) and memoized per (base, k): both
+    sides of the band self-join and every same-k pairs call over one
+    base read a single materialized table.
+    """
+    cache = getattr(base, "_minhash_sig_cache", None)
+    if cache is not None and k in cache:
+        return cache[k]
+    from .lifecycle import track_persist
+
+    h = F.md5(F.col("__s"))
+    ex = (base
+          .select(F.col(id_col), F.explode(F.col("sh")).alias("__s"))
+          .select(
+              F.col(id_col),
+              F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+               .alias("__h1"),
+              F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+               .alias("__h2")))
+    sig = track_persist(ex.groupBy(id_col).agg(*[
+        F.min((F.col("__h1") + i * F.col("__h2")) % _M32)
+         .alias(f"__m{i}")
+        for i in range(k)]))
+    # materialize now: the band self-join's two sides otherwise race
+    # the lazy cache inside one action (same fix as minhash_base)
+    sig.count()
+    if cache is not None:
+        cache[k] = sig
+    return sig
+
+
+def _band_keys_from_cols(sig: DataFrame, k: int,
+                         rows: int) -> list[Column]:
+    """Band keys over the k min COLUMNS of a _minhash_sig table — the
+    same null-propagating '|'-joined strings minhash_bands builds from
+    a signature array."""
+    bands = []
+    for b in range(k // rows):
+        parts: list[Column] = []
+        for r in range(rows):
+            parts += [sig[f"__m{b * rows + r}"].cast("string"),
+                      F.lit("|")]
+        bands.append(F.concat(*parts[:-1]))
+    return bands
 
 
 def minhash_lsh_pairs(
@@ -310,12 +379,10 @@ def minhash_lsh_pairs(
         base = minhash_base(df, id_col, text_col, n)
     else:
         _check_base_params(base, id_col, text_col, n)
-    banded = (base
-              .withColumn("sig", minhash_signature_from_halves(
-                  F.col("halves"), k))
-              .select(id_col, F.posexplode(F.array(
-                  *minhash_bands(F.col("sig"), k, rows)))
-                  .alias("band_id", "band_key")))
+    sig = _minhash_sig(base, id_col, k)
+    banded = sig.select(
+        id_col, F.posexplode(F.array(*_band_keys_from_cols(sig, k, rows)))
+        .alias("band_id", "band_key"))
     left, right = banded.alias("l"), banded.alias("r")
     cand = (left.join(
         right,

@@ -184,12 +184,23 @@ def normalize_unicode(
     schema = ", ".join(fields)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        def norm_one(s: str) -> str:
+            # exact fast path: every normalization form and the
+            # mojibake repair are the identity on pure-ASCII text
+            # (repair candidates are all >= U+0080), and str.isascii
+            # is a single C scan — the common web/English row skips
+            # both passes entirely
+            if s.isascii():
+                return s
+            if repair_mojibake:
+                s = fix_mojibake(s)
+            return unicodedata.normalize(form, s)
+
         for pdf in batches:
             pdf = pdf.copy()
-            col = pdf[text_col]
-            if repair_mojibake:
-                col = col.map(fix_mojibake, na_action="ignore")
-            pdf[target] = col.str.normalize(form)
+            pdf[target] = pdf[text_col].map(norm_one, na_action="ignore")
             yield pdf
 
     return df.mapInPandas(_run, schema=schema)

@@ -37,8 +37,14 @@ def _tokens(col: Column) -> Column:
 
 def bpe_token_count(col: Column) -> Column:
     """BPE-ish token count of a text column — the ONE definition shared
-    by token_stats and pack_sequences(token_mode='bpe')."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+    by token_stats and pack_sequences(token_mode='bpe').
+
+    regexp_count, not size(regexp_extract_all): both count the same
+    non-overlapping left-to-right matches (NULL in, NULL out — checked
+    under ANSI), but extract_all materializes every match into an
+    array that exists only to be measured — pure allocation on the
+    hottest corpus-wide projection (mix planning, token stats)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -46,7 +52,11 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return (df
             .withColumn("n_chars_computed", F.length(c))
-            .withColumn("n_ws_tokens", F.size(F.split(c, r"\s+")))
+            # split's token count is always (#separator matches + 1)
+            # (limit -1 keeps leading/trailing empties), so count the
+            # separators instead of materializing the token array
+            .withColumn("n_ws_tokens",
+                        F.regexp_count(c, F.lit(r"\s+")) + F.lit(1))
             .withColumn("n_bpe_tokens", bpe_token_count(c)))
 
 
@@ -82,8 +92,10 @@ def quality_score(
     n_tok = F.size(toks)
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
-    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    # regexp_count of the positive class ≡ length after stripping its
+    # complement (counts chars, never builds the stripped string)
+    n_alpha = F.regexp_count(c, F.lit(r"[A-Za-z]"))
+    n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
     length_ok = (F.length(c) >= 50) & (F.length(c) <= 20000)
     score = (
         F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))

@@ -176,17 +176,34 @@ def bpe_tokenize(
     text_col: str = "text",
     tokens_col: str | None = "bpe_tokens",
     count_col: str = "n_bpe_real",
+    emit: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Apply a trained merge list: adds `count_col` (true token count)
     and, unless tokens_col is None, the token array itself. Arrow
     kernel, map-only; the merge ranks ride the closure (KBs) and a
     per-word LRU cache skips re-encoding repeated words (~99% hits on
-    Zipfian text)."""
+    Zipfian text).
+
+    `emit` (guide §4.2 — pass/return only what the kernel needs):
+    when set, the output carries ONLY those input columns plus the
+    token/count columns, and the kernel's input is pruned to
+    emit+text — a count-only consumer (e.g. pack_sequences keyed on
+    doc_id) then ships (id, text) INTO Python and (id, count) OUT,
+    instead of round-tripping the whole corpus text through Arrow
+    both ways. mapInPandas receives every column of its child by
+    contract, so this pruning cannot come from Catalyst."""
     import pandas as pd
 
+    if emit is not None:
+        keep = [c for c in emit if c != text_col]
+        df = df.select(*keep, text_col)
+        drop_text = True
+    else:
+        drop_text = False
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     fields = [f"`{f.name}` {f.dataType.simpleString()}"
-              for f in df.schema.fields]
+              for f in df.schema.fields
+              if not (drop_text and f.name == text_col)]
     if tokens_col:
         fields.append(f"{tokens_col} ARRAY<STRING>")
     fields.append(f"{count_col} INT")
@@ -198,9 +215,11 @@ def bpe_tokenize(
             return tuple(bpe_encode_word(word, ranks))
 
         for pdf in batches:
-            pdf = pdf.copy()
+            texts = pdf[text_col]
+            pdf = (pdf.drop(columns=[text_col]) if drop_text
+                   else pdf.copy())
             toks_out, counts_out = [], []
-            for t in pdf[text_col]:
+            for t in texts:
                 toks: list[str] = []
                 for w in _PRETOKEN.findall(t or ""):
                     toks.extend(enc(w))

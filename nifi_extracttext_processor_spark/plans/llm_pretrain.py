@@ -63,6 +63,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _map_sources_concurrently(fn, frames: "list[DataFrame]") -> list:
+    """Run one clean pipeline per source on concurrent driver threads
+    (guide §7 scheduling: Spark's scheduler multiplexes jobs submitted
+    from separate threads, so source B's executor stages fill the gaps
+    where source A is doing driver-side work — Lloyd pandas round
+    trips, fixpoint checks, Catalyst planning of the big composed
+    lineages). Sources are independent by construction (per-source
+    dedup/decontamination), so interleaving their jobs cannot change
+    any value — only the wall clock. Results come back in input
+    order; exceptions propagate. Single source short-circuits."""
+    if len(frames) <= 1:
+        return [fn(f) for f in frames]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(4, len(frames))) as ex:
+        return list(ex.map(fn, frames))
+
+
 def clean_source(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -290,8 +307,11 @@ def llm_pretrain_plan(
     if benchmark is not None:
         bng = track_persist(
             benchmark_ngrams(benchmark, text_col, decontaminate_n))
-    cleaned = []
-    for df, w in sources:
+        # materialize BEFORE the per-source threads fan out: two
+        # threads racing a lazy shared cache can each recompute it
+        bng.count()
+
+    def _clean_one(df: DataFrame) -> DataFrame:
         c = clean_source(df, id_col=id_col, text_col=text_col,
                          near_threshold=near_threshold,
                          embeddings=embeddings,
@@ -299,7 +319,17 @@ def llm_pretrain_plan(
                          benchmark=benchmark,
                          decontaminate_n=decontaminate_n,
                          benchmark_ngram_table=bng)
-        cleaned.append((track_persist(c.select(id_col, text_col)), w))
+        p = track_persist(c.select(id_col, text_col))
+        # eager: the mix planner and the sampler both traverse this
+        # persist later — materializing it here (inside the source's
+        # thread) keeps the expensive dedup chain in the parallel
+        # region and hands the sequential phase a warm cache
+        p.count()
+        return p
+
+    cleaned = list(zip(_map_sources_concurrently(
+        _clean_one, [df for df, _w in sources]),
+        [w for _df, w in sources]))
     corpus = build_pretrain_corpus(cleaned, id_col=id_col,
                                    text_col=text_col,
                                    token_budget=token_budget,

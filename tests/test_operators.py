@@ -221,8 +221,36 @@ class TestDedupEdges:
         got = dd.minhash_lsh_pairs(df, n=3, threshold=0.9, base=base)
         assert [(p["id1"], p["id2"]) for p in got.collect()] == [(1, 2)]
         # an untagged, hand-built base passes through unchecked
-        plain = base.select("doc_id", "sh", "halves")
+        plain = base.select("doc_id", "sh")
         assert dd.minhash_lsh_pairs(df, n=4, base=plain).count() >= 0
+
+    def test_sig_agg_matches_array_form(self, spark):
+        """r16 restructure: _minhash_sig (explode + codegen'd md5 +
+        k-min hash agg) must reproduce the legacy interpreted
+        array_min-over-halves signature slot for slot, and emit NO row
+        for empty-shingle docs (the array form emits all-NULL slots —
+        both are inert in the band join)."""
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="the quick brown fox jumps over dog"),
+            Row(doc_id=3, text="one two"),      # shorter than n: empty
+            Row(doc_id=4, text=None),           # null text: empty
+            Row(doc_id=5, text="seven words make one more shingle set"),
+        ], "doc_id long, text string")
+        base = dd.minhash_base(df)
+        sig = dd._minhash_sig(base, "doc_id", 12)
+        legacy = (base
+                  .withColumn("halves", dd.minhash_halves(F.col("sh")))
+                  .select("doc_id", dd.minhash_signature_from_halves(
+                      F.col("halves"), 12).alias("s")))
+        got = {r["doc_id"]: [r[f"__m{i}"] for i in range(12)]
+               for r in sig.collect()}
+        want = {r["doc_id"]: r["s"] for r in legacy.collect()}
+        for doc, slots in want.items():
+            if slots == [None] * 12:
+                assert doc not in got, (doc, "empty doc grew a sig row")
+            else:
+                assert got[doc] == slots, (doc, slots, got.get(doc))
 
     def test_simhash_stability_and_similarity(self, spark):
         df = spark.createDataFrame([

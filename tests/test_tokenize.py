@@ -92,6 +92,21 @@ class TestSpark:
         assert out[0]["n_bpe_real"] == 2
         assert "bpe_tokens" not in out[0].asDict()
 
+    def test_emit_prunes_columns_same_counts(self, spark):
+        """r16: emit=(id,) must drop text (and any other column) from
+        the kernel output while producing the identical counts."""
+        df = spark.createDataFrame(
+            [(1, "x", "ab ab"), (2, "y", None), (3, "z", "a-b!")],
+            "doc_id long, extra string, text string")
+        merges = T.bpe_train_from_counts({"ab": 5}, 10)
+        slim = T.bpe_tokenize(df, merges, tokens_col=None,
+                              emit=("doc_id",))
+        assert slim.columns == ["doc_id", "n_bpe_real"]
+        full = {r["doc_id"]: r["n_bpe_real"] for r in
+                T.bpe_tokenize(df, merges, tokens_col=None).collect()}
+        got = {r["doc_id"]: r["n_bpe_real"] for r in slim.collect()}
+        assert got == full
+
     def test_null_and_punct(self, spark):
         df = spark.createDataFrame(
             [(1, None), (2, ""), (3, "a-b!")],
