@@ -9,13 +9,32 @@ PPJoin): a LOSSLESS signature join proposes candidates, an exact
 Catalyst predicate verifies them — never an O(n²) cross join.
 
 edit_similarity_join (ED ≤ d):
-  * signatures = the first 2·q·d + 1 distinct padded q-grams of each
-    string, ordered by GLOBAL gram frequency (rarest first). Lossless
-    by the q-gram destroy bound: one edit destroys ≤ q distinct
-    grams, so ED(x,y) ≤ d ⇒ |Gx ∩ Gy| ≥ |Gx| − q·d and
-    ||Gx| − |Gy|| ≤ q·d; the prefix-filter lemma then guarantees the
-    first |Gy| − (|Gx| − q·d) + 1 ≤ 2·q·d + 1 grams of each side
-    share at least one gram.
+  * signatures = the first q·d + 1 distinct padded q-grams of each
+    string, ordered by GLOBAL gram frequency (rarest first) — the
+    Ed-Join prefix (Xiao/Wang/Lin 2008). Lossless by the q-gram
+    destroy bound: one edit destroys ≤ q distinct grams, so
+    ED(x,y) ≤ d ⇒ |Gx ∩ Gy| ≥ max(|Gx|, |Gy|) − q·d. Proof that the
+    (q·d+1)-prefixes must then share a gram: let c* be the common
+    gram that is SMALLEST in the global order. Every gram of x
+    ranked before c* is non-common, and x has at most
+    |Gx| − (|Gx| − q·d) = q·d non-common grams total, so c* sits at
+    position ≤ q·d + 1 of x's ordered grams — inside the prefix —
+    and symmetrically inside y's. (r16: prefix shortened from
+    2·q·d + 1; the old bound was derived via |Gy| ≥ |Gx| − q·d
+    instead of using max(|Gx|,|Gy|) directly.)
+  * positional filter (PPJoin, Xiao 2008): each signature row also
+    carries its 0-based position `pos` in the string's full ordered
+    gram array and the array size `n`. For the globally-smallest
+    common gram c*, every OTHER common gram ranks after it in both
+    arrays, so |Gx ∩ Gy| ≤ min(nx − posx, ny − posy). A candidate
+    row may be dropped unless
+        least(nx − posx, ny − posy) ≥ greatest(nx, ny) − q·d
+    because the c*-row of a true pair always satisfies it (its LHS
+    bounds the true overlap from above, the RHS from below). Rows
+    for later common grams may fail the test — the pair survives
+    through its c*-row; dropped rows only remove duplicate routes
+    to the same pair. LOW-channel rows carry pos = 0 and their real
+    n ≤ q·d, which always passes (RHS ≤ 0 when both sides are LOW).
   * rarest-first ordering doubles as the skew defense: the hot grams
     ("th", "er") land at the END of the frequency order and never
     enter a signature unless the string has almost no rare grams.
@@ -105,9 +124,12 @@ def _check_key(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
 
 def _edit_signatures(keys: DataFrame, q: int, max_dist: int,
                      freq: DataFrame) -> DataFrame:
-    """(id, s, g) signature rows of one table against a SHARED gram
-    frequency table (for a lookup both tables must sort grams by the
-    same global order or the prefix lemma does not apply).
+    """(id, s, g, pos, n) signature rows of one table against a
+    SHARED gram frequency table (for a lookup both tables must sort
+    grams by the same global order or the prefix lemma does not
+    apply). `pos` = the gram's 0-based rank in the string's full
+    frequency-ordered gram array, `n` = that array's size — the
+    operands of the positional filter (module docstring).
 
     Includes the low-gram side channel: the destroy bound only
     guarantees a shared gram when at least one side has > q·d
@@ -115,7 +137,8 @@ def _edit_signatures(keys: DataFrame, q: int, max_dist: int,
     under that count (super-short or highly repetitive keys) also
     block together in one shared bucket — quadratic in THEIR count
     only, and \\x00 cannot collide with a real gram (grams always
-    have length q ≥ 1)."""
+    have length q ≥ 1). LOW rows carry pos = 0 so the positional
+    filter is vacuously true for them."""
     grams = keys.select(
         "id", F.explode(_padded_grams(F.col("s"), q)).alias("g"))
     ordered = (grams
@@ -126,12 +149,15 @@ def _edit_signatures(keys: DataFrame, q: int, max_dist: int,
                                            F.col("g")))).alias("__o"))
                .select("id", F.transform(
                    "__o", lambda s: s["g"]).alias("units")))
-    sig_len = 2 * q * max_dist + 1
+    sig_len = q * max_dist + 1
     main = ordered.select(
-        "id", F.explode(F.slice("units", 1, sig_len)).alias("g"))
+        "id", F.size("units").alias("n"),
+        F.posexplode(F.slice("units", 1, sig_len)).alias("pos", "g"))
     low = (ordered.filter(F.size("units") <= q * max_dist)
-           .select("id", F.lit("\x00LOW").alias("g")))
-    return main.unionAll(low).join(keys, "id").select("id", "s", "g")
+           .select("id", F.size("units").alias("n"),
+                   F.lit(0).alias("pos"), F.lit("\x00LOW").alias("g")))
+    return (main.unionAll(low).join(keys, "id")
+            .select("id", "s", "g", "pos", "n"))
 
 
 def _gram_freq(*gram_frames: DataFrame) -> DataFrame:
@@ -171,7 +197,14 @@ def edit_similarity_join(
     cand = (l.join(r, (F.col("l.g") == F.col("r.g"))
                    & (F.col("l.id") < F.col("r.id"))
                    & (F.abs(F.length("l.s") - F.length("r.s"))
-                      <= max_dist))
+                      <= max_dist)
+                   # positional filter (lossless — module docstring):
+                   # remaining-overlap upper bound must reach the
+                   # destroy-bound lower bound
+                   & (F.least(F.col("l.n") - F.col("l.pos"),
+                              F.col("r.n") - F.col("r.pos"))
+                      >= F.greatest(F.col("l.n"), F.col("r.n"))
+                      - F.lit(q * max_dist)))
             .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"),
                     F.col("l.s").alias("s1"), F.col("r.s").alias("s2")))
     # VERIFY BEFORE DEDUP: the banded levenshtein is a narrow O(len·d)
@@ -224,7 +257,12 @@ def edit_similarity_lookup(
     rs = _edit_signatures(rk, q, max_dist, freq).alias("r")
     cand = (ls.join(rs, (F.col("l.g") == F.col("r.g"))
                     & (F.abs(F.length("l.s") - F.length("r.s"))
-                       <= max_dist))
+                       <= max_dist)
+                    # positional filter (lossless — module docstring)
+                    & (F.least(F.col("l.n") - F.col("l.pos"),
+                               F.col("r.n") - F.col("r.pos"))
+                       >= F.greatest(F.col("l.n"), F.col("r.n"))
+                       - F.lit(q * max_dist)))
             .select(F.col("l.id").alias(left_id),
                     F.col("r.id").alias(right_id),
                     F.col("l.s").alias("s1"), F.col("r.s").alias("s2")))

@@ -13,17 +13,18 @@ surface; this is a north-star extension on the `documents` table
 (BASELINE.json similarity-search family), text-side counterpart to
 the embedding ANN ops in operators/similarity.py.
 
-Scale shape (what survives 100×):
-- ONE token scan. Tokens explode narrowly; the per-row doc length is
-  computed BEFORE the explode and carried through, so no second scan
-  and no dl join.
-- The query-term filter runs BEFORE the (doc, term) aggregation, so
-  the only shuffle carries matched (doc, term) rows — for a q-term
-  query that is <= q rows per matching doc, not the whole posting
-  space.
-- df (document frequency) derives from that same matched aggregate;
-  corpus scalars (N, avgdl) are 1-row aggregates broadcast via
-  crossJoin, the house pattern from tfidf_top_terms.
+Scale shape (what survives 100×, r16 restructure for bm25_topk):
+- ONE corpus scan, ZERO corpus-sized shuffles: a fixed q-term query
+  compiles to q + 1 codegen'd regexp_count columns (per-term tf via
+  token-anchored literals + dl), so the scan emits a narrow
+  (id, dl, tf_1..q) frame — no token array materialization, no
+  explode, no (doc, term) shuffle, no df join.
+- All global state — N, avgdl, and per-term df — is ONE 1-row
+  aggregate over that frame, broadcast via crossJoin (the house
+  pattern from tfidf_top_terms); scoring is then map-only.
+- bm25_score_pairs (dynamic query TABLE, not a fixed string) keeps
+  the relational (doc, term) shape — per-term columns cannot encode
+  a runtime-variable term set.
 - Global top-k is orderBy().limit(k) = TakeOrdered (per-partition
   heap + driver merge of k·parts rows), never a full sort.
 
@@ -46,6 +47,17 @@ from .rounding import dround
 # hashed_tf_embedding all share it) — keep BM25 on the same one so a
 # term means the same thing across the text-analysis family
 _TOKEN_SPLIT_RE = r"\s+"
+
+
+def _rx_token(term: str) -> str:
+    """Anchored literal-token pattern: matches `term` exactly where it
+    is a maximal non-whitespace run (i.e. a whitespace-split token).
+    \\Q..\\E quoting survives any regex metacharacter in the term; an
+    embedded literal \\E is split around (the standard escape). The
+    lookarounds are zero-width, so adjacent occurrences ("a a a") all
+    count — unlike a consuming (^|\\s)..(\\s|$) form."""
+    quoted = "\\Q" + term.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    return r"(?<!\S)" + quoted + r"(?!\S)"
 
 
 def _query_terms(query: str) -> list[str]:
@@ -105,38 +117,71 @@ def bm25_topk(
         raise ValueError("k must be >= 1")
     terms = _query_terms(query)
 
-    # ONE tokenization pass: project each doc down to (id, dl,
-    # query-term tokens only) and persist THAT — the stats broadcast
-    # subtree and the matched path both replay from this slim cache
-    # (O(docs * q_terms) bytes, spill-backed) instead of each
-    # re-tokenizing the corpus. At 100 TB the double scan was the
-    # dominant cost of the ad-hoc path (r7 VERDICT What's wrong #3).
-    slim = _slim_scan(df, id_col, text_col, terms)
+    # r16 restructure (guide §1.2/§2.4): for a FIXED q-term query the
+    # whole (doc, term) relational pipeline — tokenize-all array, two
+    # interpreted lambda filters, explode, groupBy(id, term) shuffle,
+    # df aggregate, broadcast join — collapses to ONE codegen'd
+    # projection of q per-term regexp_count columns (tf_i = matches of
+    # the token-anchored literal, identical to "count of
+    # whitespace-split tokens equal to term_i"; dl = count of \S+
+    # runs, identical to the non-empty-token count) plus ONE 1-row
+    # aggregate (N, avgdl, df_i = docs with tf_i > 0). Zero shuffles
+    # scale with the corpus: scan → project → 1-row agg broadcast →
+    # map score → TakeOrdered. tf/dl/df/N/avgdl take the exact same
+    # integer/double values as the r7 explode path, and each term's
+    # contrib is the same double; the per-doc sum runs in fixed term
+    # order (the r7 path's ≤q-row hash-agg arrival order was not
+    # contractual; IEEE addition is commutative, so ≤2-term docs are
+    # bit-identical by construction and the battery pins the rest).
+    lowered = F.lower(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.regexp_count(lowered, F.lit(r"\S+")).alias("dl"),
+        *[F.regexp_count(lowered, F.lit(_rx_token(t))).alias(f"__tf{i}")
+          for i, t in enumerate(terms)])
+    # both the stats subtree and the scoring pass read this narrow
+    # (id, dl, tf_1..q) frame — persist it, not the corpus text
+    # (O(docs · q) ints, spill-backed; registered with lifecycle)
+    from pyspark.storagelevel import StorageLevel
 
-    # corpus scalars: 1 row each, broadcast
-    stats = slim.agg(
+    from .lifecycle import track_persist
+    base = track_persist(base, StorageLevel.MEMORY_AND_DISK)
+
+    stats = base.agg(
         F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"))
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(F.when(F.col(f"__tf{i}") > 0, 1).otherwise(0)
+                .cast("long")).alias(f"__df{i}")
+          for i in range(len(terms))])
 
-    matched = slim.select(id_col, "dl",
-                          F.explode("qtoks").alias("term"))
-    tf = (matched.groupBy(id_col, "term")
-          .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-
-    scored = (tf.join(F.broadcast(dfreq), "term")
-              .crossJoin(F.broadcast(stats)))
-    idf = F.log(F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
+    scored = base.crossJoin(F.broadcast(stats))
     norm = (F.lit(k1)
             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
-    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)
-                     / (F.col("tf") + norm))
-    per_doc = (scored.withColumn("contrib", contrib)
-               .groupBy(id_col)
-               .agg(F.count("*").cast("long").alias("n_terms_matched"),
-                    dround(F.sum("contrib"), 4).alias("score")))
+
+    def _contrib(i: int):
+        tf, dfq = F.col(f"__tf{i}"), F.col(f"__df{i}")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("n_docs") - dfq + F.lit(0.5))
+                    / (dfq + F.lit(0.5)))
+        c = idf * (tf * F.lit(k1 + 1.0) / (tf + norm))
+        # adding literal 0.0 for unmatched terms is IEEE-identical to
+        # skipping them: every real contrib is > 0 (idf > 0 always
+        # under the Lucene variant), so no -0.0 can arise
+        return F.when(tf > 0, c).otherwise(F.lit(0.0))
+
+    def _matched(i: int):
+        return F.when(F.col(f"__tf{i}") > 0, F.lit(1).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+
+    score_sum = _contrib(0)
+    n_matched = _matched(0)
+    for i in range(1, len(terms)):
+        score_sum = score_sum + _contrib(i)
+        n_matched = n_matched + _matched(i)
+    per_doc = (scored
+               .select(id_col, n_matched.alias("n_terms_matched"),
+                       dround(score_sum, 4).alias("score"))
+               .filter(F.col("n_terms_matched") > 0))
     return (per_doc
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))

@@ -209,3 +209,31 @@ def test_validation_errors(spark, name_df):
         jaccard_similarity_join(name_df, "doc_id", "name", threshold=0.0)
     with pytest.raises(ValueError):
         jaccard_similarity_join(name_df, "doc_id", "name", threshold=1.5)
+
+
+def test_edit_join_positional_filter_boundary(spark):
+    """r16: sig prefix shortened to q·d+1 + PPJoin positional filter.
+    Stress the filter's `>=` boundary: pairs at EXACTLY max_dist whose
+    d edits each destroy the full q grams (substitutions in the
+    interior, no adjacent edits) have overlap exactly
+    max(|Gx|,|Gy|) − q·d — one lost pair here means the filter
+    over-prunes by one. Plus long shared-suffix strings whose first
+    common gram is late in one side's order, and repetitive strings
+    riding the LOW channel next to normal ones."""
+    rows = [
+        (0, "abcdefghijklmnop"),
+        (1, "aXcdefghijkZmnop"),   # 2 interior substitutions, d=2
+        (2, "abcdefghijklmnoX"),   # 1 end substitution
+        (3, "zzzzabcdefghijklmnop"),  # shared long suffix, prefix noise
+        (4, "ababab"), (5, "abab"),   # few distinct grams (LOW at d>=2)
+        (6, "ab"), (7, ""), (8, "ba"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    for d in (1, 2, 3, 4):
+        got = sorted(tuple(r) for r in
+                     edit_similarity_join(df, "doc_id", "name",
+                                          max_dist=d).collect())
+        want = sorted((a, b, _lev(sa, sb))
+                      for (a, sa) in rows for (b, sb) in rows
+                      if a < b and _lev(sa, sb) <= d)
+        assert got == want, f"max_dist={d}"
