@@ -33,6 +33,24 @@ def _infer_round(repo_dir: str) -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def _archive_notes(rpath: str, lines: "list[str]", today: str) -> None:
+    """Write the round archive WITHOUT destroying curated content: a
+    fresh archive is written whole; an EXISTING one (a mid-round rerun
+    — the r16 session lost hand-written band analysis to the old
+    unconditional overwrite and had to restore it from git) gets the
+    new measurement APPENDED as a dated section, headers dropped."""
+    if not os.path.exists(rpath):
+        with open(rpath, "w") as f:
+            f.write("\n".join(lines))
+        return
+    with open(rpath, "a") as f:
+        f.write(f"\n\n## regenerated measurement ({today}) — "
+                "appended by bench_variance.py\n\n")
+        # drop the "# BENCH_NOTES" title + blank so the appended
+        # section nests under the existing document
+        f.write("\n".join(lines[2:]))
+
+
 def main() -> None:
     argv = list(sys.argv[1:])
     round_no = None
@@ -187,8 +205,7 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     rn = round_no if round_no is not None else _infer_round(repo_dir)
     rpath = os.path.join(repo_dir, f"BENCH_NOTES_r{rn:02d}.md")
-    with open(rpath, "w") as f:
-        f.write("\n".join(lines))
+    _archive_notes(rpath, lines, today)
     print(f"archived {rpath}", file=sys.stderr)
     # machine-readable single line (same contract style as bench.py)
     print(json.dumps({
