@@ -549,6 +549,13 @@ _POIS_CDF = (
 _U32 = 4294967296.0
 
 
+# r17 escape hatch for equivalence tests / paired A/B: False forces
+# the pre-r17 JVM explode+md5 plan for md5=True (the Arrow weight
+# kernel in operators/md5boot.py is the default — see its docstring
+# for the exactness contract and the ~10x CPU measurement)
+_MD5_KERNEL = True
+
+
 def _boot_uniform(b_col, seed: int, md5: bool):
     """32-bit hash uniform in (0,1) from (__id, b, seed). md5=True is
     the oracle-replayable default (DuckDB twin recomputes it exactly);
@@ -634,18 +641,35 @@ def ab_bootstrap_ci(
                 F.col(id_col).cast("string").alias("__id"),
                 F.round(v * 1e6).cast("decimal(38,0)").alias("__xq")))
 
-    ex = base.withColumn(
-        "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
-    u = _boot_uniform(F.col("b"), seed, md5)
-    w = F.lit(12)
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    from .md5boot import boot_weight_partials, kernel_groupable
 
-    res = (ex.withColumn("__w", w)
-           .groupBy(*gb, "variant", "b")
-           .agg(F.sum(F.col("__w").cast("decimal(38,0)")
-                      * F.col("__xq")).alias("__swx"),
-                F.sum("__w").alias("__sw")))
+    if md5 and _MD5_KERNEL and kernel_groupable(base, [*gb, "variant"]):
+        # Arrow weight kernel (md5boot.py): vectorized single-block
+        # md5 + in-kernel partial sums — same exact-integer
+        # accumulation, one Python crossing instead of the 60-way
+        # explode through the JVM md5 expression chain (guide §4.2;
+        # value-identical by the kernel's exactness contract, pinned
+        # by tests/test_md5boot.py and the oracle battery).
+        part = boot_weight_partials(
+            base, [*gb, "variant"], n_boot=int(n_boot), seed=seed,
+            thresholds=_POIS_CDF, vals={"__pswx": "__xq"},
+            with_sw=True)
+        res = (part.groupBy(*gb, "variant", "b")
+               .agg(F.sum("__pswx").alias("__swx"),
+                    F.sum("__psw").alias("__sw")))
+    else:
+        ex = base.withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
+        u = _boot_uniform(F.col("b"), seed, md5)
+        w = F.lit(12)
+        for k in range(len(_POIS_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+
+        res = (ex.withColumn("__w", w)
+               .groupBy(*gb, "variant", "b")
+               .agg(F.sum(F.col("__w").cast("decimal(38,0)")
+                          * F.col("__xq")).alias("__swx"),
+                    F.sum("__w").alias("__sw")))
     mean_b = F.when(
         F.col("__sw") > 0,
         F.col("__swx").cast("double")
@@ -883,17 +907,30 @@ def ab_bootstrap_ratio_ci(
                 F.round(x * 1e6).cast("decimal(38,0)").alias("__xq"),
                 F.round(y * 1e6).cast("decimal(38,0)")
                 .alias("__yq")))
-    ex = base.withColumn(
-        "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
-    u = _boot_uniform(F.col("b"), seed, md5)
-    w = F.lit(12)
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
-    wd = w.cast("decimal(38,0)")
-    res = (ex.withColumn("__w", wd)
-           .groupBy(*gb, "variant", "b")
-           .agg(F.sum(F.col("__w") * F.col("__xq")).alias("__swx"),
-                F.sum(F.col("__w") * F.col("__yq")).alias("__swy")))
+    from .md5boot import boot_weight_partials, kernel_groupable
+
+    if md5 and _MD5_KERNEL and kernel_groupable(base, [*gb, "variant"]):
+        # same Arrow weight kernel as ab_bootstrap_ci — the shared
+        # per-row weight multiplies BOTH sides inside one crossing
+        part = boot_weight_partials(
+            base, [*gb, "variant"], n_boot=int(n_boot), seed=seed,
+            thresholds=_POIS_CDF,
+            vals={"__pswx": "__xq", "__pswy": "__yq"}, with_sw=False)
+        res = (part.groupBy(*gb, "variant", "b")
+               .agg(F.sum("__pswx").alias("__swx"),
+                    F.sum("__pswy").alias("__swy")))
+    else:
+        ex = base.withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))))
+        u = _boot_uniform(F.col("b"), seed, md5)
+        w = F.lit(12)
+        for k in range(len(_POIS_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+        wd = w.cast("decimal(38,0)")
+        res = (ex.withColumn("__w", wd)
+               .groupBy(*gb, "variant", "b")
+               .agg(F.sum(F.col("__w") * F.col("__xq")).alias("__swx"),
+                    F.sum(F.col("__w") * F.col("__yq")).alias("__swy")))
     ratio_b = F.when(
         F.col("__swy") != 0,
         F.col("__swx").cast("double") / F.col("__swy").cast("double"))
