@@ -69,6 +69,57 @@ from .dedup import cosine
 # plan) — "auto" switches to the Arrow matmul kernel.
 _LITERAL_ASSIGN_MAX_TERMS = 1 << 15
 
+# Per-tile edge for the per-cluster similarity kernels (r17 skew
+# guard): a cluster of m rows needs an m x m similarity — fine at the
+# SemDeDup-prescribed k ~ n/100 (~100-row clusters) but O(m^2) worker
+# memory under a degenerate/skewed clustering (many identical
+# vectors landing in one group). Above this edge the kernels switch
+# to B x B tiles, capping similarity memory at ~B^2*8 bytes per tile
+# (128 MB at the default) for ANY cluster size; per-ELEMENT values
+# are unchanged (the exact path accumulates per-dimension outer
+# products in the same index order tile-by-tile; the gemm path
+# rounds the same per-pair dot), and clusters at or under the edge
+# run the pre-r17 single-shot code byte-for-byte.
+_PRUNE_BLOCK = 4096
+
+
+def _dominated_blocked(Xa, Xb, predicate, upper_only, gemm,
+                       block=None):
+    """For each column j of the similarity matrix S = Xa @ Xb.T (rows
+    = Xa, cols = Xb, both L2-normalized), whether any row i satisfies
+    `predicate(S_tile)` — restricted to global i < j when upper_only
+    (the min-id rule's strict upper triangle; requires Xa is Xb).
+    Tiled so no allocation exceeds block x block. `predicate` maps a
+    float tile to a bool tile and owns the exact/gemm comparison
+    semantics. gemm=False computes tiles by the EXACT index-ordered
+    per-dimension outer-product fold — every element equals the
+    unblocked fold bit-for-bit regardless of tiling; gemm=True uses
+    the BLAS matmul per tile (the scale kernel — its contract already
+    waives summation-order ulps vs the exact path)."""
+    import numpy as np
+    b = int(block or _PRUNE_BLOCK)
+    m, dim = Xa.shape
+    n = Xb.shape[0]
+    out = np.zeros(n, dtype=bool)
+    for j0 in range(0, n, b):
+        j1 = min(j0 + b, n)
+        Xj = Xb[j0:j1]
+        i_stop = min(j1, m) if upper_only else m
+        for i0 in range(0, i_stop, b):
+            i1 = min(i0 + b, i_stop)
+            if gemm:
+                t = Xa[i0:i1] @ Xj.T
+            else:
+                t = np.zeros((i1 - i0, j1 - j0))
+                for d in range(dim):
+                    t = t + np.multiply.outer(Xa[i0:i1, d], Xj[:, d])
+            hit = predicate(t)
+            if upper_only and i1 > j0:
+                hit &= (np.arange(i0, i1)[:, None]
+                        < np.arange(j0, j1)[None, :])
+            out[j0:j1] |= hit.any(axis=0)
+    return out
+
 
 def kmeans_fit(
     df: DataFrame,
@@ -437,6 +488,8 @@ def semantic_dedup(
         df, id_col, vec_col, k, iters, assign=assign)
     v = df.select(F.col(id_col).alias("_id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
+    blk = _PRUNE_BLOCK  # bound at build time: ships inside the
+    # pickled kernels (a worker re-import would not see an override)
     if method == "gemm":
         af = _assign(v, cents, assign)
         id_type = dict((f.name, f.dataType.simpleString())
@@ -452,9 +505,17 @@ def semantic_dedup(
             nz = norms > 0
             X[nz] = X[nz] / norms[nz, None]
             X[~nz] = 0.0
-            S = np.round(X @ X.T, 6) >= threshold
-            np.fill_diagonal(S, False)
-            dominated = np.triu(S, 1).any(axis=0)
+            if X.shape[0] <= blk:
+                S = np.round(X @ X.T, 6) >= threshold
+                np.fill_diagonal(S, False)
+                dominated = np.triu(S, 1).any(axis=0)
+            else:
+                # skew guard: tile the m x m similarity (module
+                # docstring at _PRUNE_BLOCK) — same rounded-gemm
+                # compare per pair, bounded memory per tile
+                dominated = _dominated_blocked(
+                    X, X, lambda t: np.round(t, 6) >= threshold,
+                    upper_only=True, gemm=True, block=blk)
             kept = pdf.loc[~dominated]
             return pd.DataFrame({id_col: kept["_id"].values,
                                  "cluster": kept["cluster"].values})
@@ -499,11 +560,18 @@ def semantic_dedup(
         Xn = np.empty_like(X)
         Xn[nz] = X[nz] / norm[nz, None]
         Xn[~nz] = X[~nz] * 0.0
-        S = np.zeros((m, m))
-        for i in range(dim):
-            S = S + np.multiply.outer(Xn[:, i], Xn[:, i])
-        mask = (S >= bound) | np.isnan(S)
-        dominated = np.triu(mask, 1).any(axis=0)
+        if m <= blk:
+            S = np.zeros((m, m))
+            for i in range(dim):
+                S = S + np.multiply.outer(Xn[:, i], Xn[:, i])
+            mask = (S >= bound) | np.isnan(S)
+            dominated = np.triu(mask, 1).any(axis=0)
+        else:
+            # skew guard (_PRUNE_BLOCK): tiled index-ordered fold —
+            # bit-identical elements, bounded memory per tile
+            dominated = _dominated_blocked(
+                Xn, Xn, lambda t: (t >= bound) | np.isnan(t),
+                upper_only=True, gemm=False, block=blk)
         kept = pdf.loc[~dominated]
         return pd.DataFrame({id_col: kept["_id"].values,
                              "cluster": kept["cluster"].values})
@@ -640,6 +708,7 @@ def semantic_dedup_incremental(
     from .rounding import dround_ge_boundary
 
     bound = dround_ge_boundary(threshold, 6)
+    blk = _PRUNE_BLOCK  # build-time bind (see semantic_dedup)
     ab = prep(batch)
     ac = prep(catalog)
     id_type = dict((f.name, f.dataType.simpleString())
@@ -673,15 +742,28 @@ def semantic_dedup_incremental(
         if len(cpdf) > 0:
             Xc = _norm_foldleft(
                 np.asarray(cpdf["v"].tolist(), dtype=np.float64))
-            S = np.zeros((m, Xc.shape[0]))
+            if m * Xc.shape[0] <= blk * blk:
+                S = np.zeros((m, Xc.shape[0]))
+                for i in range(dim):
+                    S = S + np.multiply.outer(Xb[:, i], Xc[:, i])
+                dominated |= ((S >= bound) | np.isnan(S)).any(axis=1)
+            else:
+                # skew guard (_PRUNE_BLOCK): tiled, catalog rows x
+                # batch cols — IEEE multiply commutes, so the
+                # transposed elements are bit-identical
+                dominated |= _dominated_blocked(
+                    Xc, Xb, lambda t: (t >= bound) | np.isnan(t),
+                    upper_only=False, gemm=False, block=blk)
+        if m <= blk:
+            S = np.zeros((m, m))
             for i in range(dim):
-                S = S + np.multiply.outer(Xb[:, i], Xc[:, i])
-            dominated |= ((S >= bound) | np.isnan(S)).any(axis=1)
-        S = np.zeros((m, m))
-        for i in range(dim):
-            S = S + np.multiply.outer(Xb[:, i], Xb[:, i])
-        mask = (S >= bound) | np.isnan(S)
-        dominated |= np.triu(mask, 1).any(axis=0)
+                S = S + np.multiply.outer(Xb[:, i], Xb[:, i])
+            mask = (S >= bound) | np.isnan(S)
+            dominated |= np.triu(mask, 1).any(axis=0)
+        else:
+            dominated |= _dominated_blocked(
+                Xb, Xb, lambda t: (t >= bound) | np.isnan(t),
+                upper_only=True, gemm=False, block=blk)
         kept = bpdf.loc[~dominated]
         return pd.DataFrame({id_col: kept["_id"].values,
                              "cluster": kept["cluster"].values})
