@@ -237,3 +237,31 @@ def test_edit_join_positional_filter_boundary(spark):
                       for (a, sa) in rows for (b, sb) in rows
                       if a < b and _lev(sa, sb) <= d)
         assert got == want, f"max_dist={d}"
+
+
+def test_edit_join_content_filter_boundary(spark):
+    """r17: content-based count filter (partial char-histogram L1 <=
+    2d over the packed probe characters). Stress its `<=` boundary:
+    pairs whose d edits ALL hit probe characters have partial L1 of
+    EXACTLY 2d (substitution probe->probe) or d (probe->non-probe) —
+    one lost pair means the filter over-prunes. Plus all-non-probe
+    keys (digits/unicode: counts all zero, filter vacuous) and
+    repeated probe chars near the 255 packing cap."""
+    rows = [
+        (0, "arrest roast"),
+        (1, "errest roust"),       # 2 probe->probe subs: L1 = 4
+        (2, "arrest roasX"),       # probe->non-probe sub: L1 = 2
+        (3, "arrest roast!!!"),    # 3 non-probe inserts: L1 = 0
+        (4, "0123456789"), (5, "0123456798"),   # all non-probe
+        (6, "ФЫВА"), (7, "ФЫВБ"),               # non-Latin
+        (8, "a" * 300), (9, "a" * 299 + "b"),   # past the 255 cap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    for d in (0, 1, 2, 3):
+        got = sorted(tuple(r) for r in
+                     edit_similarity_join(df, "doc_id", "name",
+                                          max_dist=d).collect())
+        want = sorted((a, b, _lev(sa, sb))
+                      for (a, sa) in rows for (b, sb) in rows
+                      if a < b and _lev(sa, sb) <= d)
+        assert got == want, f"max_dist={d}"
