@@ -616,10 +616,15 @@ def duplicate_clusters(
                               base=base).select("id1", "id2")
     edges = pairs.unionAll(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
-    edges = edges.localCheckpoint()
+    # eager=False on every checkpoint here: each is immediately
+    # followed by an action that computes every partition (the label
+    # sum, or round 1's join for the edges), so one job materializes
+    # the checkpoint AND reads the scalar — halving the per-round job
+    # count. Value-neutral: localCheckpoint only truncates lineage.
+    edges = edges.localCheckpoint(eager=False)
     labels = df.select(F.col(id_col).alias("id"),
                        F.col(id_col).cast("long").alias("label"))
-    labels = labels.localCheckpoint()
+    labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
@@ -630,7 +635,7 @@ def duplicate_clusters(
                           F.least(F.col("label"),
                                   F.coalesce(F.col("nbr"), F.col("label")))
                           .alias("label"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True
@@ -1091,10 +1096,13 @@ def components_from_pairs(
     edges = pairs.select("id1", "id2").unionAll(
         pairs.select(F.col("id2").alias("id1"),
                      F.col("id1").alias("id2")))
-    edges = edges.localCheckpoint()
+    # eager=False: round 1's join/count computes every partition of
+    # both checkpoints — fuse materialization into it (see
+    # duplicate_clusters)
+    edges = edges.localCheckpoint(eager=False)
     labels = ids.select(F.col(id_col).alias("id"),
                         F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint()
+    labels = labels.localCheckpoint(eager=False)
     converged = False
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges["id2"] == labels["id"])
@@ -1106,7 +1114,7 @@ def components_from_pairs(
                                    F.coalesce(F.col("nbr"),
                                               F.col("label")))
                            .alias("label"))
-                   .localCheckpoint())
+                   .localCheckpoint(eager=False))
         changed = (stepped.filter(F.col("label") != F.col("__old"))
                    .count())
         labels = stepped.drop("__old")

@@ -187,8 +187,15 @@ def pagerank(
                               + F.lit(damping)
                               * (F.coalesce(F.col("c"), F.lit(0.0))
                                  + F.col("dm") / F.lit(float(n))))
-                             .alias("rank"))
-                         .localCheckpoint(eager=True))
+                             .alias("rank")))
+            # tol mode: eager=False — the delta aggregate below is the
+            # first action over new_ranks and computes every partition,
+            # so ONE job both materializes the checkpoint and reads the
+            # scalar (2 jobs/iteration -> 1; values unchanged — a
+            # localCheckpoint is value-neutral). Fixed-iters mode keeps
+            # eager=True: it has no per-iteration action to fuse into,
+            # and an unmaterialized lazy chain would nest the plan.
+            new_ranks = new_ranks.localCheckpoint(eager=(tol is None))
             if tol is not None:
                 delta = (new_ranks
                          .join(ranks.withColumnRenamed("rank", "_old"),
@@ -628,7 +635,9 @@ def core_numbers(
                            F.least(F.col("c"),
                                    F.coalesce(F.col("h"), F.lit(0)))
                            .alias("c"))
-                   .localCheckpoint(eager=True))
+                   # eager=False: the changed-count below computes
+                   # every partition, so one job materializes + reads
+                   .localCheckpoint(eager=False))
         changed = (stepped.filter(F.col("c") != F.col("__old"))
                    .count())
         vals = stepped.drop("__old")
@@ -734,7 +743,10 @@ def connected_components(
                                           F.coalesce(F.col("nl"),
                                                      F.col("label")))
                                   .alias("label"))
-                          .localCheckpoint(eager=True))
+                          # eager=False: the changed-count join below
+                          # computes every partition — one job
+                          # materializes + reads (2/round -> 1)
+                          .localCheckpoint(eager=False))
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "node")
                        .filter(F.col("n.label") != F.col("o.label"))
