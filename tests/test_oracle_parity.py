@@ -125,7 +125,21 @@ def _assert_dtypes(name, sdf, arrow_schema):
         f"match. CAST the oracle (or Spark) side. Diffs: {bad}")
 
 
+# Default scope (r17, VERDICT r16 task 2 — the driver-budget fix):
+# the full 244-query registry battery costs ~6 min of suite wall; the
+# DEFAULT run mirrors the driver's own gate (the first
+# window_ledger.WINDOW_SIZE registered queries — exactly the rows the
+# driver hashes) and SPARK_GRAFT_FULL_BATTERY=1 restores the full
+# registry. One recorded full-battery run per round (both small SFs)
+# stays a release gate — see OPTIMIZATION_rNN.md "gates".
+import os
+
+from window_ledger import WINDOW_SIZE
+
 ALL = sorted(entrymod.queries())
+if os.environ.get("SPARK_GRAFT_FULL_BATTERY") != "1":
+    _window = set(list(entrymod.queries())[:WINDOW_SIZE])
+    ALL = [n for n in ALL if n in _window]
 WITH_ORACLE = [n for n in ALL if n in entrymod.oracle_sql()]
 ROWS_ONLY = [n for n in ALL if n not in entrymod.oracle_sql()]
 
