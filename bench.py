@@ -276,7 +276,6 @@ def _q_llm_pretrain(spark, sf_dir):
         track_persist,
     )
     bng = track_persist(benchmark_ngrams(bench_docs, "text", 8))
-    bng.count()  # materialize before the threads race the lazy cache
 
     def _clean_one(s):
         p = track_persist(
@@ -286,13 +285,21 @@ def _q_llm_pretrain(spark, sf_dir):
         p.count()  # keep the dedup chain inside the parallel region
         return p
 
+    # r17 third lane: bng materializes on its own thread NEXT TO the
+    # source cleans (they consume it only at their last stage; a lost
+    # race costs a duplicate bounded computation, never a value) —
+    # mirrors plans/llm_pretrain.llm_pretrain_plan
     from nifi_extracttext_processor_spark.plans.llm_pretrain import (
-        _map_sources_concurrently,
+        _run_concurrently,
     )
-    cleaned = list(zip(
-        _map_sources_concurrently(_clean_one, [s for s, _w in srcs]),
-        [w for _s, w in srcs]))
-    corpus = build_pretrain_corpus(cleaned)
+    results = _run_concurrently(
+        [lambda: bng.count()]
+        + [(lambda s=s: _clean_one(s)) for s, _w in srcs])
+    cleaned = list(zip(results[1:], [w for _s, w in srcs]))
+    corpus = track_persist(build_pretrain_corpus(cleaned))
+    # persist: the BPE histogram, the tokenize kernel and the packer
+    # all traverse the mix/dedup_exact/split chain otherwise (r17;
+    # the histogram agg below materializes every partition)
     merges = train_bpe(corpus.filter(F.col("split") == "train"),
                        n_merges=200, max_words=20000)
     # emit=("doc_id",): pack_sequences needs only (id, count) — don't

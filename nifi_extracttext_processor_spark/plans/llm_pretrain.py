@@ -63,6 +63,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _run_concurrently(tasks: "list") -> list:
+    """Run argless thunks on concurrent driver threads (guide §2.6
+    overlap-independent-jobs) and return their results in order;
+    exceptions propagate. Single task short-circuits. Used to overlap
+    independent materializations (e.g. the benchmark n-gram table next
+    to the per-source clean pipelines — the r17 'third lane')."""
+    if len(tasks) <= 1:
+        return [t() for t in tasks]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(4, len(tasks))) as ex:
+        futs = [ex.submit(t) for t in tasks]
+        return [f.result() for f in futs]
+
+
 def _map_sources_concurrently(fn, frames: "list[DataFrame]") -> list:
     """Run one clean pipeline per source on concurrent driver threads
     (guide §7 scheduling: Spark's scheduler multiplexes jobs submitted
@@ -221,8 +235,15 @@ def tokenize_pack_shard(
     are measured in the tokens that will actually be emitted, not the
     regex approximation."""
     from ..operators.corpus import pack_sequences, write_corpus_shards
+    from ..operators.lifecycle import track_persist
     from ..operators.tokenize import bpe_tokenize, train_bpe
 
+    # r17: this stage traverses `corpus` several times (BPE histogram,
+    # the tokenize kernel, the pack join-back) and the frame usually
+    # sits on a mix/cross-source-dedup/split chain whose exact-dedup
+    # shuffle would replay per traversal — persist the survivors once
+    # (lifecycle-tracked; the release sweep frees it with the rest)
+    corpus = track_persist(corpus)
     if merges is None:
         train = corpus.filter(F.col("split") == train_split) \
             if "split" in corpus.columns else corpus
@@ -307,9 +328,6 @@ def llm_pretrain_plan(
     if benchmark is not None:
         bng = track_persist(
             benchmark_ngrams(benchmark, text_col, decontaminate_n))
-        # materialize BEFORE the per-source threads fan out: two
-        # threads racing a lazy shared cache can each recompute it
-        bng.count()
 
     def _clean_one(df: DataFrame) -> DataFrame:
         c = clean_source(df, id_col=id_col, text_col=text_col,
@@ -327,9 +345,21 @@ def llm_pretrain_plan(
         p.count()
         return p
 
-    cleaned = list(zip(_map_sources_concurrently(
-        _clean_one, [df for df, _w in sources]),
-        [w for _df, w in sources]))
+    # r17 'third lane': the benchmark n-gram materialization runs on
+    # its own driver thread NEXT TO the per-source cleans instead of
+    # sequentially before them (guide §2.6). The cleans consume bng
+    # only deep into their chains (decontaminate is their LAST stage),
+    # so the count thread almost always wins the race; if a clean's
+    # AQE leaf stage does build the broadcast before the cache is
+    # warm, the race costs a duplicate bounded computation on idle
+    # cores — never a value (bng is deterministic and the cache is
+    # content-addressed to this plan).
+    tasks = ([(lambda: bng.count())] if bng is not None else [])
+    tasks += [(lambda df=df: _clean_one(df)) for df, _w in sources]
+    results = _run_concurrently(tasks)
+    if bng is not None:
+        results = results[1:]
+    cleaned = list(zip(results, [w for _df, w in sources]))
     corpus = build_pretrain_corpus(cleaned, id_col=id_col,
                                    text_col=text_col,
                                    token_budget=token_budget,
