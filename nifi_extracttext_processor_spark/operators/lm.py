@@ -94,18 +94,75 @@ def train_char_lm(
 
     `top_k` keeps only the most frequent n-grams (ties broken by
     n-gram value for determinism) — the bounded-broadcast scale path;
-    context counts stay complete (they are ≤ |charset|^(n-1))."""
+    context counts stay complete (they are ≤ |charset|^(n-1)).
+
+    One corpus pass (r17): the old form exploded the corpus THREE
+    times (n-grams, (n-1)-grams, 1-grams). Context and vocabulary
+    derive exactly from the bounded n-gram count table plus narrow
+    per-document tail projections instead:
+
+      * ctx: every (n-1)-gram occurrence at position i <= len-n+1 is
+        the prefix of the n-gram at i, so ctx_cnt = sum of cnt over
+        n-grams sharing the prefix, PLUS one occurrence per document
+        for the final position len-n+2 (exists iff len >= n-1 —
+        documents shorter than n have no n-gram and contribute only
+        that tail gram). Integer sums — count-identical to the
+        (n-1)-gram explode.
+      * vocab: distinct chars = first chars of the observed n-grams
+        (positions 1..len-n+1) ∪ chars of each document's last
+        min(n-1, len) characters (positions len-n+2..len; the whole
+        text when len < n). Set-identical to the 1-gram explode.
+
+    The n-gram table is lifecycle-persisted (it feeds the returned
+    counts, the ctx derivation and the vocab scalar — and it is the
+    same bounded table callers already broadcast into lm_score)."""
+    if n < 2:
+        grams = _exploded_char_ngrams(df, text_col, n)
+        counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+        if top_k is not None:
+            counts = (counts
+                      .orderBy(F.desc("cnt"), F.asc("ngram"))
+                      .limit(top_k))
+        ctx = (_exploded_char_ngrams(df, text_col, n - 1, alias="ctx")
+               .groupBy("ctx").agg(F.count("*").alias("ctx_cnt")))
+        vocab = (_exploded_char_ngrams(df, text_col, 1, alias="ch")
+                 .agg(F.countDistinct("ch").alias("v"))
+                 .collect()[0]["v"])
+        return counts, ctx, int(vocab)
+
+    from .lifecycle import track_persist
+
     grams = _exploded_char_ngrams(df, text_col, n)
-    counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+    full = track_persist(
+        grams.groupBy("ngram").agg(F.count("*").alias("cnt")))
+    cexp = f"coalesce({text_col}, '')"
+    tail = f"substring({cexp}, greatest(length({cexp}) - {n - 2}, 1))"
+    # the one (n-1)-gram position no n-gram prefix covers
+    ctx_extra = (df.select(F.expr(
+        f"CASE WHEN length({cexp}) >= {n - 1} THEN "
+        f"substring({cexp}, length({cexp}) - {n - 2}, {n - 1}) END")
+        .alias("ctx"))
+        .filter(F.col("ctx").isNotNull())
+        .withColumn("cnt", F.lit(1).cast("long")))
+    ctx = (full.select(
+        F.expr(f"substring(ngram, 1, {n - 1})").alias("ctx"), "cnt")
+        .unionByName(ctx_extra)
+        .groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt")))
+    first_chars = full.select(
+        F.expr("substring(ngram, 1, 1)").alias("ch"))
+    tail_chars = df.select(F.explode(F.expr(
+        f"CASE WHEN length({cexp}) >= 1 THEN "
+        f"transform(sequence(1, length({tail})), "
+        f"i -> substring({tail}, i, 1)) "
+        f"ELSE array() END")).alias("ch"))
+    vocab = (first_chars.unionByName(tail_chars)
+             .agg(F.countDistinct("ch").alias("v"))
+             .collect()[0]["v"])
+    counts = full
     if top_k is not None:
         counts = (counts
                   .orderBy(F.desc("cnt"), F.asc("ngram"))
                   .limit(top_k))
-    ctx = (_exploded_char_ngrams(df, text_col, n - 1, alias="ctx")
-           .groupBy("ctx").agg(F.count("*").alias("ctx_cnt")))
-    vocab = (_exploded_char_ngrams(df, text_col, 1, alias="ch")
-             .agg(F.countDistinct("ch").alias("v"))
-             .collect()[0]["v"])
     return counts, ctx, int(vocab)
 
 

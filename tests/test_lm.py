@@ -171,3 +171,60 @@ class TestBucketReviewFixes:
         # and on a fully empty frame
         empty = df.limit(0)
         assert lm_buckets(empty, mode="approx").count() == 0
+
+
+class TestTrainFusedSinglePass:
+    """r17: train_char_lm derives ctx + vocab from the n-gram count
+    table plus per-doc tail projections (one corpus explode instead of
+    three). These pin count-exact equality against the old three-pass
+    form on adversarial lengths (empty / NULL / len < n / len == n-1 /
+    len == n / unicode / single char appearing only in a tail)."""
+
+    def _old_train(self, df, text_col, n):
+        from pyspark.sql import functions as F
+
+        from nifi_extracttext_processor_spark.operators.lm import (
+            _exploded_char_ngrams,
+        )
+        grams = _exploded_char_ngrams(df, text_col, n)
+        counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+        ctx = (_exploded_char_ngrams(df, text_col, n - 1, alias="ctx")
+               .groupBy("ctx").agg(F.count("*").alias("ctx_cnt")))
+        vocab = (_exploded_char_ngrams(df, text_col, 1, alias="ch")
+                 .agg(F.countDistinct("ch").alias("v"))
+                 .collect()[0]["v"])
+        return counts, ctx, int(vocab)
+
+    def test_counts_ctx_vocab_identical(self, spark):
+        from nifi_extracttext_processor_spark.operators.lm import (
+            train_char_lm,
+        )
+        rows = [("",), (None,), ("a",), ("ab",), ("abc",), ("abcd",),
+                ("ümläut",), ("xx",), ("x",), ("aaaa",),
+                ("the quick brown fox",), ("Q",)]
+        df = spark.createDataFrame(rows, "text string")
+        for n in (2, 3, 4):
+            nc, nx, nv = train_char_lm(df, "text", n=n)
+            oc, ox, ov = self._old_train(df, "text", n)
+            assert sorted(map(tuple, nc.collect())) == \
+                sorted(map(tuple, oc.collect())), f"counts n={n}"
+            assert sorted(map(tuple, nx.collect())) == \
+                sorted(map(tuple, ox.collect())), f"ctx n={n}"
+            assert nv == ov, f"vocab n={n}"
+            assert dict(nc.dtypes) == dict(oc.dtypes)
+            assert dict(nx.dtypes) == dict(ox.dtypes)
+
+    def test_top_k_applies_after_full_ctx(self, spark):
+        from nifi_extracttext_processor_spark.operators.lm import (
+            train_char_lm,
+        )
+        df = spark.createDataFrame(
+            [("ababab",), ("zzz",)], "text string")
+        nc, nx, nv = train_char_lm(df, "text", n=3, top_k=1)
+        oc, ox, ov = self._old_train(df, "text", 3)
+        # counts: only the single most frequent n-gram survives
+        assert nc.count() == 1
+        # ctx stays COMPLETE (derived from the pre-limit table)
+        assert sorted(map(tuple, nx.collect())) == \
+            sorted(map(tuple, ox.collect()))
+        assert nv == ov
