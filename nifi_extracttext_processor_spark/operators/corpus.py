@@ -616,17 +616,25 @@ def exact_substring_dedup(
     # spread a narrow scan across the cluster first (same rationale as
     # minhash_base)
     d = _spread(df).select(F.col(id_col), toks.alias("toks"))
-    # window positions: pos i covers tokens [i, i+min_len). The
-    # POSITIONS explode first and the window hash is computed as a
-    # flat projection — whole-stage codegen — where the pre-r16
-    # transform lambda ran md5(concat_ws(slice(...))) INTERPRETED per
-    # position and materialized a per-row array of structs just to
-    # explode it (the same explode-then-hash restructure as
-    # dsir_weights / _minhash_sig; identical (id, pos, h) rows).
-    idx = F.when(
+    # window hashes: pos i covers tokens [i, i+min_len). This is the
+    # pre-r16 transform-lambda form, RESTORED in r17: the r16
+    # explode-positions-then-hash restructure (the move that won for
+    # dsir/_minhash_sig) was re-adjudicated here with repeated
+    # interleaved stage profiles and measured ~35% MORE executor CPU
+    # (59-69 -> 75-87 core-s at sf0.1) — unlike those ops, every
+    # exploded row here must carry the FULL toks array into the
+    # slice(toks, pos, min_len), so the per-position hash work is the
+    # same in both forms and the restructure only added per-row
+    # array-handling overhead. Identical (id, pos, h) rows either way.
+    wins = F.when(
         F.size("toks") >= min_len,
-        F.sequence(F.lit(0), F.size("toks") - min_len)
-    ).otherwise(F.expr("array()").cast("array<int>"))
+        F.expr(
+            f"transform(sequence(0, size(toks) - {min_len}), "
+            f"i -> struct(i AS pos, "
+            f"md5(concat_ws(' ', slice(toks, i + 1, {min_len}))) "
+            "AS h))")).otherwise(F.expr(
+                "array()").cast(
+                "array<struct<pos:int,h:string>>"))
     from pyspark.sql.window import Window
 
     from .lifecycle import track_persist
@@ -640,12 +648,9 @@ def exact_substring_dedup(
     # Owner = min(struct(id, pos)) — lexicographic, works for ANY
     # orderable id type (string ids included), no packed-key overflow.
     occ = track_persist(
-        d.select(F.col(id_col), F.col("toks"),
-                 F.explode(idx).alias("pos"))
-        .select(F.col(id_col), F.col("pos"),
-                F.md5(F.concat_ws(
-                    " ", F.slice(F.col("toks"), F.col("pos") + 1,
-                                 F.lit(min_len)))).alias("h")))
+        d.select(F.col(id_col), F.explode(wins).alias("w"))
+        .select(F.col(id_col), F.col("w.pos").alias("pos"),
+                F.col("w.h").alias("h")))
     agg = (occ.groupBy("h")
            .agg(F.count("*").alias("cnt"),
                 F.min(F.struct(id_col, "pos")).alias("own")))
