@@ -46,9 +46,14 @@ def _archive_notes(rpath: str, lines: "list[str]", today: str) -> None:
     with open(rpath, "a") as f:
         f.write(f"\n\n## regenerated measurement ({today}) — "
                 "appended by bench_variance.py\n\n")
-        # drop the "# BENCH_NOTES" title + blank so the appended
-        # section nests under the existing document
-        f.write("\n".join(lines[2:]))
+        # drop the leading title/blank lines BY CONTENT so the
+        # appended section nests under the existing document — a
+        # positional lines[2:] silently ate a real line whenever the
+        # header block changed shape (ADVICE r16)
+        body = list(lines)
+        while body and (body[0].startswith("# ") or not body[0].strip()):
+            body.pop(0)
+        f.write("\n".join(body))
 
 
 def main() -> None:

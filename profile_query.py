@@ -44,15 +44,26 @@ def profile(query: str, sf_dir: str) -> None:
     from nifi_extracttext_processor_spark.operators import lifecycle
     from nifi_extracttext_processor_spark.session import get_spark
 
+    # resolve the query BEFORE the session spins up: a typo'd name
+    # otherwise costs ~15 s of JVM + warmups before the KeyError
+    # (ADVICE r16)
+    qs = __import__("__spark_entry__").queries()
+    if bench.LOCAL.get(query) is None and query not in qs:
+        raise SystemExit(f"unknown query {query!r} — not a bench LOCAL "
+                         f"or a registered entry query")
+
     spark = get_spark("profile", extra_conf={
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": evdir,
+        # the events_* glob below is the rolling-v2 layout — pin it
+        # explicitly rather than relying on the version default
+        # (ADVICE r16)
+        "spark.eventLog.rolling.enabled": "true",
         # zstd-compressed rolling logs need a decoder; plain JSON keeps
         # this script stdlib-only
         "spark.eventLog.compress": "false",
     })
     spark.sparkContext.setLogLevel("ERROR")
-    qs = __import__("__spark_entry__").queries()
 
     # the same two warmups bench.py runs, for the same reason: JVM
     # codegen + the per-core Python worker pool are session costs, not
@@ -79,7 +90,13 @@ def profile(query: str, sf_dir: str) -> None:
 
     run = cpu = sh_w = 0.0
     stages = []
-    for path in glob.glob(f"{evdir}/**/events_*", recursive=True):
+    paths = glob.glob(f"{evdir}/**/events_*", recursive=True)
+    if not paths:
+        raise SystemExit(
+            f"no event-log files under {evdir} — the rolling-v2 "
+            "events_* layout was not produced; check the Spark "
+            "version/eventLog configs (ADVICE r16)")
+    for path in paths:
         for line in open(path):
             try:
                 ev = json.loads(line)
