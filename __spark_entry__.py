@@ -5224,6 +5224,57 @@ _rotate_slot("ab_diff_in_diff", "growth_accounting_daily", rnd=16)
 _rotate_slot("survival_report", "profile_events", rnd=16)
 _rotate_slot("experiment_report", "dsir_weights", rnd=16)
 
+# ===========================================================================
+# Driver-window rotation r17 (the SURVEY r16 schedule executed): 17
+# swaps — 7 STALE re-attestations led by the scheduled anchors
+# (`chunk_documents` r5, `dedup_by_url` r7, `length_histogram` r5,
+# `corpus_summary` r4) plus the three rows carrying this round's
+# optimizations under driver hashes (`ab_bootstrap_ci` — the r17 md5
+# Arrow weight kernel; `char_lm_score` — the single-pass LM train
+# fusion) plus `fuzzy_edit_join` (stale r13; its r17 content-filter
+# attempt was measured and REVERTED, so the seat re-attests the
+# r16-final plan), and 10
+# never-driver-seen drains (backlog 107 -> 97) led by the r16-parked
+# graph family's return (`doc_link_components` / `graph_coreness`
+# carry the r17 checkpoint-materialization fusion; `host_hits`
+# completes the trio) plus one debut per under-represented family:
+# `lm_buckets` (LM, exercises the train fusion via self-score),
+# `pretrain_mix_select` (the llm composition's SQL spine),
+# `fuzzy_jaccard_join` + `bm25_pairs` (similarity/retrieval twins),
+# `lang_id_ngram` (language-ID), `pq_topk` (ANN/PQ — replaces the
+# evicted ann_topk_lsh_indexed/knn_recall seats), `calibration_ece`
+# (eval — replaces eval_brier_decomposition). Evictions: 13 of the 15
+# r15-in rows banking their second green in r16, plus the 4
+# re-attested stale rows (tfidf_top_terms 5, knn_recall 5,
+# dedup_clusters 7, ann_topk_lsh_indexed 6 greens). Family
+# continuity: `events_km_greenwood` and `bpe_tokenize` KEEP their
+# seats (sole in-window survival / frozen-tokenizer reps); events
+# keeps anomaly/top_paths/changepoints/robust_trend; ab keeps
+# group_sequential + the returning bootstrap. Every incoming row
+# pre-verified dtype-exact at sf0.001 AND sf0.01 (full battery) and
+# smoke-checked at sf1 this round; evicted rows keep full oracle
+# parity below the window (SPARK_GRAFT_FULL_BATTERY battery).
+# ===========================================================================
+
+_rotate_slot("ab_odds_ratio", "chunk_documents", rnd=17)
+_rotate_slot("ab_paired_t", "dedup_by_url", rnd=17)
+_rotate_slot("ab_kruskal_wallis", "length_histogram", rnd=17)
+_rotate_slot("events_cusum", "corpus_summary", rnd=17)
+_rotate_slot("eval_brier_decomposition", "ab_bootstrap_ci", rnd=17)
+_rotate_slot("ab_mood_median", "char_lm_score", rnd=17)
+_rotate_slot("ab_mh_odds_ratio", "fuzzy_edit_join", rnd=17)
+_rotate_slot("zipf_fit_by_lang", "doc_link_components", rnd=17)
+_rotate_slot("events_competing_risks", "graph_coreness", rnd=17)
+_rotate_slot("events_durbin_watson", "host_hits", rnd=17)
+_rotate_slot("events_runs_test", "lm_buckets", rnd=17)
+_rotate_slot("events_seasonal_decompose", "pretrain_mix_select",
+             rnd=17)
+_rotate_slot("unigram_tokenize", "fuzzy_jaccard_join", rnd=17)
+_rotate_slot("tfidf_top_terms", "bm25_pairs", rnd=17)
+_rotate_slot("knn_recall", "lang_id_ngram", rnd=17)
+_rotate_slot("dedup_clusters", "pq_topk", rnd=17)
+_rotate_slot("ann_topk_lsh_indexed", "calibration_ece", rnd=17)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)

@@ -44,6 +44,22 @@ edit_similarity_join (ED ≤ d):
     one shared low-gram bucket, quadratic only in their own count.
   * verify = levenshtein(s1, s2, threshold=d) — Spark's
     bounded-band implementation, O(len·d) per candidate.
+  * a THIRD filter was built, measured and REVERTED in r17 (recorded
+    so it is not retried): a content-based count filter — 16 probe-
+    char histogram counts packed into two longs per side, candidate
+    dropped when the partial L1 exceeds 2·d (lossless; pruned 97% of
+    the post-positional candidates at sf0.1). It LOST ~2-3x on
+    executor CPU: the ~70-node per-pair unpack/abs/sum expression
+    evaluated at ~15µs/pair in the join condition (interleaved stage
+    profiles: join stage 21 -> 85-107 core-s), while the banded
+    levenshtein it was saving costs only ~2.5µs/pair on these short
+    keys. Lesson: a pre-verify filter in a JOIN CONDITION must be an
+    ORDER OF MAGNITUDE cheaper than the verify predicate itself —
+    multi-lane packed-histogram compares are not, at any pruning
+    rate, when the verify is an O(len·d) banded edit distance over
+    attribute-length keys. tests/test_fuzzy_join.py keeps the
+    boundary fixture the attempt produced (it pins the lossless
+    candidate chain regardless).
 
 jaccard_similarity_join (J ≥ t on distinct word tokens):
   * per-string prefix of size m − ceil(t·m) + 1 over the
@@ -84,56 +100,6 @@ _PAD_R = "\x03"
 #: both strings through a shuffle, which is only sane for short
 #: attribute-like columns
 MAX_KEY_LEN = 512
-
-# Probe characters for the content-based count filter (r17, the
-# second Ed-Join-style filter): each side of a candidate carries the
-# per-character occurrence counts of these 16 characters packed into
-# two longs (8 bits per character, capped at 255), and the join drops
-# candidate rows whose partial histogram L1 distance exceeds 2*d.
-# Lossless: one edit changes the FULL character histogram's L1 by at
-# most 2 (substitution ±1 on two counts; insert/delete ±1 on one), so
-# ED(x,y) >= L1_full/2 >= L1_subset/2 — capping at 255 and probing a
-# subset only shrink the lower bound, never inflate it. The filter is
-# a property of the PAIR, so a true pair's every candidate row passes
-# (its c*-row survives the prefix/positional filters as before). The
-# probe set targets Latin-script attribute keys (frequent letters +
-# space + digits); keys in other scripts make the filter vacuous
-# (all-zero counts both sides), never wrong.
-_PROBE_CHARS = " aeorstlnicdumgh"
-
-
-def _char_counts_packed(col):
-    """Two long columns packing least(count(ch), 255) for each of the
-    16 probe characters (8 per long, 8 bits each). Pure codegen'd
-    string/int expressions — no arrays, no lambdas."""
-    packed = []
-    for half in (0, 1):
-        acc = F.lit(0).cast("long")
-        for i, ch in enumerate(_PROBE_CHARS[half * 8:half * 8 + 8]):
-            cnt = F.least(
-                F.length(col) - F.length(F.replace(col, F.lit(ch))),
-                F.lit(255)).cast("long")
-            acc = acc.bitwiseOR(F.shiftleft(cnt, 8 * i))
-        packed.append(acc)
-    return packed
-
-
-def _packed_l1(a, b):
-    """Sum over the 8 packed byte lanes of |lane(a) - lane(b)|."""
-    total = F.lit(0).cast("long")
-    for i in range(8):
-        la = F.shiftright(a, 8 * i).bitwiseAND(F.lit(255))
-        lb = F.shiftright(b, 8 * i).bitwiseAND(F.lit(255))
-        total = total + F.abs(la - lb)
-    return total
-
-
-def _content_filter(q: int, max_dist: int):
-    """The candidate-join predicate: partial-histogram L1 <= 2*d
-    (docstring at _PROBE_CHARS). Expects h0/h1 on both sides."""
-    return (_packed_l1(F.col("l.h0"), F.col("r.h0"))
-            + _packed_l1(F.col("l.h1"), F.col("r.h1"))
-            <= F.lit(2 * max_dist))
 
 
 def _padded_grams(col, q: int):
@@ -206,10 +172,8 @@ def _edit_signatures(keys: DataFrame, q: int, max_dist: int,
     low = (ordered.filter(F.size("units") <= q * max_dist)
            .select("id", F.size("units").alias("n"),
                    F.lit(0).alias("pos"), F.lit("\x00LOW").alias("g")))
-    h0, h1 = _char_counts_packed(F.col("s"))
     return (main.unionAll(low).join(keys, "id")
-            .select("id", "s", "g", "pos", "n",
-                    h0.alias("h0"), h1.alias("h1")))
+            .select("id", "s", "g", "pos", "n"))
 
 
 def _gram_freq(*gram_frames: DataFrame) -> DataFrame:
@@ -256,10 +220,7 @@ def edit_similarity_join(
                    & (F.least(F.col("l.n") - F.col("l.pos"),
                               F.col("r.n") - F.col("r.pos"))
                       >= F.greatest(F.col("l.n"), F.col("r.n"))
-                      - F.lit(q * max_dist))
-                   # content-based count filter (lossless — docstring
-                   # at _PROBE_CHARS): partial char-histogram L1 <= 2d
-                   & _content_filter(q, max_dist))
+                      - F.lit(q * max_dist)))
             .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"),
                     F.col("l.s").alias("s1"), F.col("r.s").alias("s2")))
     # VERIFY BEFORE DEDUP: the banded levenshtein is a narrow O(len·d)
@@ -317,9 +278,7 @@ def edit_similarity_lookup(
                     & (F.least(F.col("l.n") - F.col("l.pos"),
                                F.col("r.n") - F.col("r.pos"))
                        >= F.greatest(F.col("l.n"), F.col("r.n"))
-                       - F.lit(q * max_dist))
-                    # content-based count filter (lossless)
-                    & _content_filter(q, max_dist))
+                       - F.lit(q * max_dist)))
             .select(F.col("l.id").alias(left_id),
                     F.col("r.id").alias(right_id),
                     F.col("l.s").alias("s1"), F.col("r.s").alias("s2")))

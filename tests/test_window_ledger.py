@@ -187,6 +187,36 @@ R16_STALE_IN = {
     "ann_topk_lsh_indexed", "knn_recall",
 }
 
+R17_PAIRS = {
+    "ab_odds_ratio": "chunk_documents",
+    "ab_paired_t": "dedup_by_url",
+    "ab_kruskal_wallis": "length_histogram",
+    "events_cusum": "corpus_summary",
+    "eval_brier_decomposition": "ab_bootstrap_ci",
+    "ab_mood_median": "char_lm_score",
+    "ab_mh_odds_ratio": "fuzzy_edit_join",
+    "zipf_fit_by_lang": "doc_link_components",
+    "events_competing_risks": "graph_coreness",
+    "events_durbin_watson": "host_hits",
+    "events_runs_test": "lm_buckets",
+    "events_seasonal_decompose": "pretrain_mix_select",
+    "unigram_tokenize": "fuzzy_jaccard_join",
+    "tfidf_top_terms": "bm25_pairs",
+    "knn_recall": "lang_id_ngram",
+    "dedup_clusters": "pq_topk",
+    "ann_topk_lsh_indexed": "calibration_ece",
+}
+R17_IN = set(R17_PAIRS.values())
+R17_OUT = set(R17_PAIRS)
+# 7 STALE re-attestations (scheduled anchors + the rows whose code
+# this round touched — they return so the driver hashes the current
+# plans); the other 10 are never-seen drains.
+R17_STALE_IN = {
+    "chunk_documents", "dedup_by_url", "length_histogram",
+    "corpus_summary", "ab_bootstrap_ci", "char_lm_score",
+    "fuzzy_edit_join",
+}
+
 # queries first registered in r13 (backlog INFLOW, not debt)
 R13_NEW = {
     "doc_link_components_large",
@@ -223,6 +253,20 @@ def test_rows_only_set_is_exactly_the_carveouts():
     assert rows_only == ROWS_ONLY_CARVEOUTS
 
 
+def _evicted_after(ledger, rnd):
+    """Rows a LATER recorded rotation evicted — rN-in rows stay seated
+    only until some later round's swap takes the seat back."""
+    return {o for r2, o, _i in ledger["rotations"] if r2 > rnd}
+
+
+def _readmitted_after(ledger, rnd):
+    """Rows a LATER recorded rotation brought back into the window —
+    the stale-green re-attestation path (r16 onward) makes
+    "out at rN" non-terminal, so the per-round eviction asserts must
+    exempt exactly the recorded re-admissions."""
+    return {i for r2, _o, i in ledger["rotations"] if r2 > rnd}
+
+
 def test_r12_rotation_applied(ledger):
     window = set(ledger["window"])
     # r12-in rows stay in the window until a LATER recorded rotation
@@ -233,7 +277,7 @@ def test_r12_rotation_applied(ledger):
     assert R12_IN - later_out <= window
     for n in R12_IN & later_out:
         assert 12 in ledger["rows"][n]["rounds_seen"], n
-    assert not (R12_OUT & window)
+    assert not (R12_OUT & window - _readmitted_after(ledger, 12))
     # evicted queries stay registered with their oracle parity intact
     for n in R12_OUT:
         assert n in entry.oracle_sql(), n
@@ -250,7 +294,7 @@ def test_r13_rotation_applied(ledger):
     assert R13_IN - R15_OUT - R16_OUT <= window
     for n in R13_IN & (R15_OUT | R16_OUT):
         assert 13 in ledger["rows"][n]["rounds_seen"], n
-    assert not (R13_OUT & window)
+    assert not (R13_OUT & window - _readmitted_after(ledger, 13))
     for n in R13_OUT:
         assert n in entry.oracle_sql(), n
     assert R13_OUT <= set(entry.queries())
@@ -271,7 +315,7 @@ def test_r14_rotation_applied(ledger):
     assert R14_IN - R16_OUT <= window
     for n in R14_IN & R16_OUT:
         assert 14 in ledger["rows"][n]["rounds_seen"], n
-    assert not (R14_OUT & window)
+    assert not (R14_OUT & window - _readmitted_after(ledger, 14))
     for n in R14_OUT:
         assert n in entry.oracle_sql(), n
     assert R14_OUT <= set(entry.queries())
@@ -286,8 +330,8 @@ def test_r14_rotation_applied(ledger):
 
 def test_r15_rotation_applied(ledger):
     window = set(ledger["window"])
-    assert R15_IN <= window
-    assert not (R15_OUT & window)
+    assert R15_IN - _evicted_after(ledger, 15) <= window
+    assert not (R15_OUT & window - _readmitted_after(ledger, 15))
     for n in R15_OUT:
         assert n in entry.oracle_sql(), n
     assert R15_OUT <= set(entry.queries())
@@ -302,8 +346,8 @@ def test_r15_rotation_applied(ledger):
 
 def test_r16_rotation_applied(ledger):
     window = set(ledger["window"])
-    assert R16_IN <= window
-    assert not (R16_OUT & window)
+    assert R16_IN - _evicted_after(ledger, 16) <= window
+    assert not (R16_OUT & window - _readmitted_after(ledger, 16))
     for n in R16_OUT:
         assert n in entry.oracle_sql(), n
     assert R16_OUT <= set(entry.queries())
@@ -322,6 +366,32 @@ def test_r16_rotation_applied(ledger):
     for n in R16_STALE_IN:
         greens = ledger["rows"][n]["rounds_green"]
         assert greens and min(greens) < 16, (n, greens)
+
+
+def test_r17_rotation_applied(ledger):
+    window = set(ledger["window"])
+    assert R17_IN <= window
+    assert not (R17_OUT & window - _readmitted_after(ledger, 17))
+    for n in R17_OUT:
+        assert n in entry.oracle_sql(), n
+    assert R17_OUT <= set(entry.queries())
+    r17 = [(o, i) for rnd, o, i in ledger["rotations"] if rnd == 17]
+    assert dict(r17) == R17_PAIRS
+    # policy bar: >= 2 prior green rounds for every eviction
+    for out in R17_OUT:
+        greens = [r for r in ledger["rows"][out]["rounds_green"]
+                  if r < 17]
+        assert len(greens) >= 2, (out, greens)
+    # 10 never-seen drains; 7 stale re-attestations with old greens
+    for n in R17_IN - R17_STALE_IN:
+        assert not ledger["rows"][n]["rounds_green"] or \
+            min(ledger["rows"][n]["rounds_green"]) >= 17, n
+    for n in R17_STALE_IN:
+        greens = ledger["rows"][n]["rounds_green"]
+        assert greens and min(greens) < 17, (n, greens)
+    # family continuity the rotation note promises
+    assert "events_km_greenwood" in window      # survival rep stays
+    assert "bpe_tokenize" in window             # frozen-tokenizer rep
 
 
 def test_r15_consolidation_zero_inflow(ledger):
@@ -350,6 +420,10 @@ def test_rotations_reverse_replay_to_consistent_base(ledger):
     assert R14_IN & base_window == set()
     assert R15_IN & base_window == set()
     assert R16_IN & base_window == set()
+    # r17 stale re-attestations may have been ORIGINAL window members
+    # (rotated out r6-r14); only the never-seen drains must replay to
+    # below the base window
+    assert (R17_IN - R17_STALE_IN) & base_window == set()
 
 
 def test_no_correctness_key_was_silently_dropped():
@@ -378,7 +452,7 @@ def test_rotated_in_queries_were_backlog(ledger):
     window >= 3 rounds, brought back for re-attestation. Each must be
     listed in its round's R*_STALE_IN set; anything else with early
     rows is still a policy violation."""
-    stale_ok = R16_STALE_IN
+    stale_ok = R16_STALE_IN | R17_STALE_IN
     for rnd, _out, inn in ledger["rotations"]:
         if inn in stale_ok:
             continue
