@@ -45,7 +45,8 @@ ADJUDICATED = {
     "operators/histogram.py": 2,
     "operators/image_dedup.py": 1,
     "operators/kn_lm.py": 1,
-    "operators/lm.py": 2,
+    "operators/lm.py": 3,  # r17: top_k orderBy duplicated
+    # into the legacy n<2 branch (SURVEY sweep table, class P)
     "operators/models.py": 3,
     "operators/paths.py": 3,
     "operators/privacy.py": 1,
